@@ -1,0 +1,284 @@
+"""Chain-pattern DSL → Spark SQL compiler.
+
+The reference compiles its chain DSL (``'(n1) -(e:Likes)> (n2)'``) into a
+single SQLite SELECT (parser /root/reference/graphydb.py:741-807, emitter
+:809-1017).  This module re-implements the same *language* with a fresh
+parser and compiles it to a Spark SQL SELECT over temp views, so Catalyst
+owns optimization (predicate pushdown, join strategy, AQE) — the reference
+delegates the same job to SQLite's planner.
+
+Grammar (whitespace-separated tokens):
+
+* node link:  ``(alias)`` | ``(alias:Kind)`` | ``[alias]`` |
+  ``[alias:Kind,extra1,extra2]``  — square brackets mark the *collect* link
+  (the link whose rows the query returns; default = right-most link), and
+  may list extra output column names whose expressions arrive as kwargs.
+* edge link (rightward):  ``-(e)>`` | ``-(e:Kind)>`` | ``-[e]>`` …
+* edge link (leftward):   ``<(e)-`` | ``<(e:Kind)-`` | ``<[e]-`` …
+
+Join semantics (graphydb.py:753-758): a rightward edge joins
+``edge.startuid = leftnode.uid`` and continues from ``edge.enduid``; a
+leftward edge joins ``edge.enduid = leftnode.uid`` and continues from
+``edge.startuid``.
+
+WHERE / ORDER / GROUP strings pass through to Spark SQL after two rewrites
+(parity with graphydb.py:170-177 ``jsonextract`` and GLOB semantics):
+
+* ``alias.data.key.sub`` → ``get_json_object(alias.props, '$.key.sub')``
+* ``expr GLOB 'pat'``    → anchored case-sensitive RLIKE
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+from .items import GraphydbError
+
+#: clause keywords recognised by fetch (parity: graphydb.py:133)
+FETCH_KEYWORDS = ("WHERE", "CHAIN", "ORDER", "LIMIT", "GROUP", "COUNT",
+                  "DISTINCT", "OFFSET", "DEBUG")
+
+NODE_COLS = ("uid", "kind", "ctime", "mtime", "props")
+EDGE_COLS = ("uid", "kind", "startuid", "enduid", "ctime", "mtime", "props")
+
+
+@dataclass
+class Link:
+    alias: str
+    ltype: str                     # 'node' | 'redge' | 'ledge'
+    kind: Optional[str] = None
+    collect: bool = False
+    extras: list = field(default_factory=list)
+
+    @property
+    def is_edge(self) -> bool:
+        return self.ltype in ("redge", "ledge")
+
+
+_INNER_RE = re.compile(
+    r"^(?P<open>[\(\[])"
+    r"(?P<alias>[A-Za-z_]\w*)"
+    r"(?::(?P<kind>[A-Za-z_]\w*))?"
+    r"(?P<extras>(?:,[A-Za-z_]\w*)*)"
+    r"(?P<close>[\)\]])$"
+)
+
+
+def parse_chain(chain: str) -> list[Link]:
+    """Parse a chain string into an ordered list of :class:`Link`.
+
+    Errors mirror the reference (graphydb.py:788-791): malformed tokens and
+    duplicate aliases raise.  Exactly one collect link is allowed; when none
+    is bracketed, the right-most link collects (graphydb.py:804-806).
+    """
+    links: list[Link] = []
+    seen: set[str] = set()
+    for token in chain.split():
+        body = token
+        if token.startswith("<") and token.endswith("-"):
+            ltype, body = "ledge", token[1:-1]
+        elif token.startswith("-") and token.endswith(">"):
+            ltype, body = "redge", token[1:-1]
+        elif token.startswith("<") or token.endswith(">"):
+            raise GraphydbError(f"Malformed chain token: {token!r}")
+        else:
+            ltype = "node"
+        m = _INNER_RE.match(body)
+        if not m:
+            raise GraphydbError(f"Malformed chain token: {token!r}")
+        if (m.group("open") == "(") != (m.group("close") == ")"):
+            raise GraphydbError(f"Mismatched brackets in token: {token!r}")
+        alias = m.group("alias")
+        if alias in seen:
+            raise GraphydbError(f"Duplicate alias in chain: {alias!r}")
+        seen.add(alias)
+        extras = [e for e in m.group("extras").split(",") if e]
+        links.append(Link(alias=alias, ltype=ltype, kind=m.group("kind"),
+                          collect=m.group("open") == "[", extras=extras))
+    if not links:
+        raise GraphydbError("Empty chain")
+    ncollect = sum(1 for l in links if l.collect)
+    if ncollect > 1:
+        raise GraphydbError("Only one collect link ([...]) allowed per chain")
+    if ncollect == 0:
+        links[-1].collect = True
+    # structural sanity: no two adjacent links of the same class
+    for a, b in zip(links, links[1:]):
+        if a.is_edge == b.is_edge:
+            raise GraphydbError(
+                f"Chain must alternate nodes and edges: {a.alias!r}, {b.alias!r}")
+    return links
+
+
+# ---------------------------------------------------------------------------
+# expression rewrites
+
+_JSON_RE = re.compile(r"\b([A-Za-z_]\w*)\.data((?:\.[A-Za-z_]\w*)+)")
+_GLOB_RE = re.compile(r"(\S+)\s+GLOB\s+('(?:[^']*)')", re.IGNORECASE)
+
+
+def rewrite_json_paths(expr: str) -> str:
+    """``n.data.a.b`` → ``get_json_object(n.props, '$.a.b')``.
+
+    Parity with ``jsonextract`` (graphydb.py:170-177); Spark's
+    ``get_json_object`` uses the same ``$.path`` JSONPath dialect as
+    SQLite's JSON1.
+    """
+    def sub(m: re.Match) -> str:
+        alias, path = m.group(1), m.group(2)
+        return f"get_json_object({alias}.props, '${path}')"
+    return _JSON_RE.sub(sub, expr)
+
+
+def glob_to_rlike(expr: str) -> str:
+    """``x GLOB 'B*'`` → ``x RLIKE '^(?s:B.*)\\Z'`` (case-sensitive).
+
+    SQLite GLOB (exercised in reference tests, tests/test_graphdb.py:64-67)
+    is case-sensitive with ``*``/``?`` wildcards; ``fnmatch.translate``
+    yields an equivalent Java-compatible regex which we anchor at the start
+    (Spark RLIKE has find-anywhere semantics).
+    """
+    def sub(m: re.Match) -> str:
+        target, pat = m.group(1), m.group(2)[1:-1]
+        rx = "^" + fnmatch.translate(pat)
+        rx = rx.replace("\\", "\\\\").replace("'", "\\'")
+        return f"{target} RLIKE '{rx}'"
+    return _GLOB_RE.sub(sub, expr)
+
+
+_AGG_RE = re.compile(
+    r"\b(COUNT|SUM|AVG|MIN|MAX|TOTAL|GROUP_CONCAT|COLLECT_LIST|COLLECT_SET"
+    r"|FIRST|LAST|STDDEV|VARIANCE|ANY_VALUE)\s*\(", re.IGNORECASE)
+
+_GROUP_CONCAT_RE = re.compile(r"\bGROUP_CONCAT\s*\(([^()]*)\)", re.IGNORECASE)
+_TOTAL_RE = re.compile(r"\bTOTAL\s*\(([^()]*)\)", re.IGNORECASE)
+_IFNULL_RE = re.compile(r"\bIFNULL\s*\(", re.IGNORECASE)
+
+
+def rewrite_sqlite_funcs(expr: str) -> str:
+    """Map SQLite-only functions onto Spark SQL equivalents.
+
+    ``GROUP_CONCAT(x)`` → sorted ``array_join(collect_list)`` (SQLite's is
+    insertion-ordered; we sort for determinism — documented divergence, see
+    SURVEY.md §7.4). ``TOTAL(x)`` → null-safe double SUM. ``IFNULL`` →
+    ``COALESCE``.
+    """
+    expr = _GROUP_CONCAT_RE.sub(
+        r"array_join(sort_array(collect_list(\1)), ',')", expr)
+    expr = _TOTAL_RE.sub(r"COALESCE(SUM(CAST(\1 AS DOUBLE)), 0.0D)", expr)
+    expr = _IFNULL_RE.sub("COALESCE(", expr)
+    return expr
+
+
+def rewrite_expr(expr: str) -> str:
+    # sqlite-func rewrites first: their regexes assume un-expanded (flat)
+    # argument lists, which the json-path expansion would break
+    return rewrite_json_paths(glob_to_rlike(rewrite_sqlite_funcs(expr)))
+
+
+def is_aggregate_expr(expr: str) -> bool:
+    return bool(_AGG_RE.search(expr))
+
+
+# ---------------------------------------------------------------------------
+# SQL emission
+
+def compile_fetch_sql(
+    links: list[Link],
+    node_view: str,
+    edge_view: str,
+    where: Optional[object] = None,
+    order: Optional[str] = None,
+    group: Optional[str] = None,
+    limit: Optional[int] = None,
+    offset: Optional[int] = None,
+    count: bool = False,
+    distinct: bool = True,
+    extras: Optional[dict] = None,
+    fts_views: Optional[dict] = None,
+) -> str:
+    """Emit one Spark SQL SELECT for the parsed chain.
+
+    Mirrors the reference's single-SELECT compilation (graphydb.py:874-973):
+    one JOIN per adjacent link pair with kind predicates inlined, collect
+    link projected, WHERE/GROUP/ORDER/LIMIT/OFFSET appended.  ``fts_views``
+    maps alias → temp-view name holding matching uids; each becomes an IN
+    subquery (semi-join), the Spark analogue of the reference's FTS MATCH
+    join (graphydb.py:876-893).
+    """
+    extras = extras or {}
+    fts_views = fts_views or {}
+    collect = next(l for l in links if l.collect)
+
+    # FROM / JOIN chain, left to right
+    def rel(l: Link) -> str:
+        return f"{edge_view if l.is_edge else node_view} AS {l.alias}"
+
+    from_sql = rel(links[0])
+    conds0 = []
+    if links[0].kind:
+        conds0.append(f"{links[0].alias}.kind = '{links[0].kind}'")
+    join_sql = []
+    for left, right in zip(links, links[1:]):
+        if right.ltype == "redge":
+            on = f"{right.alias}.startuid = {left.alias}.uid"
+        elif right.ltype == "ledge":
+            on = f"{right.alias}.enduid = {left.alias}.uid"
+        elif left.ltype == "redge":
+            on = f"{right.alias}.uid = {left.alias}.enduid"
+        else:  # left is ledge
+            on = f"{right.alias}.uid = {left.alias}.startuid"
+        if right.kind:
+            on += f" AND {right.alias}.kind = '{right.kind}'"
+        join_sql.append(f"JOIN {rel(right)} ON {on}")
+
+    # SELECT list
+    if count:
+        select_sql = f"COUNT(DISTINCT {collect.alias}.uid) AS n"
+    else:
+        cols = EDGE_COLS if collect.is_edge else NODE_COLS
+        parts = [f"{collect.alias}.{c} AS {c}" for c in cols]
+        for name in collect.extras:
+            if name not in extras:
+                raise GraphydbError(
+                    f"Extra column {name!r} declared in chain but no "
+                    f"expression kwarg supplied")
+        for name, e in extras.items():
+            parts.append(f"({rewrite_expr(str(e))}) AS {name}")
+        select_sql = ("DISTINCT " if distinct else "") + ", ".join(parts)
+
+    # WHERE
+    conds = list(conds0)
+    for alias, view in fts_views.items():
+        conds.append(f"{alias}.uid IN (SELECT uid FROM {view})")
+    if where:
+        if isinstance(where, str):
+            where = [where]
+        conds.extend(f"({rewrite_expr(w)})" for w in where)
+    where_sql = f"WHERE {' AND '.join(conds)}" if conds else ""
+
+    # GROUP BY — Spark (unlike SQLite) requires every non-aggregate select
+    # expression to be grouped; the reference relies on SQLite's bare-column
+    # permissiveness (graphydb.py:953-956).  uid is the collect link's PK so
+    # grouping by the remaining system columns never changes cardinality.
+    group_sql = ""
+    if group:
+        keys = [rewrite_expr(group)]
+        if not count:
+            cols = EDGE_COLS if collect.is_edge else NODE_COLS
+            keys.extend(f"{collect.alias}.{c}" for c in cols)
+            for name, e in extras.items():
+                if not is_aggregate_expr(str(e)):
+                    keys.append(f"({rewrite_expr(str(e))})")
+        group_sql = "GROUP BY " + ", ".join(keys)
+
+    order_sql = f"ORDER BY {rewrite_expr(order)}" if order else ""
+    limit_sql = f"LIMIT {int(limit)}" if limit is not None else ""
+    offset_sql = f"OFFSET {int(offset)}" if offset is not None else ""
+
+    parts = ["SELECT", select_sql, "FROM", from_sql, *join_sql,
+             where_sql, group_sql, order_sql, limit_sql, offset_sql]
+    return " ".join(p for p in parts if p)

@@ -1,0 +1,135 @@
+"""Full-text search: derived inverted index + MATCH-expression compiler.
+
+The reference uses SQLite FTS5 virtual tables (``nodefts``/``edgefts``,
+/root/reference/graphydb.py:638-658) and joins them on uid with a ``MATCH``
+predicate (graphydb.py:876-893).  Here the index is a *derived* DataFrame
+``(uid, field, token)`` built with JVM-side built-ins (lower + regex split +
+posexplode — no Python UDF in the hot path), and a MATCH expression compiles
+to semi-join set algebra on uids.
+
+Tokenizer parity: FTS5's default ``unicode61`` splits on non-alphanumeric
+codepoints and lowercases.  We mirror that with ``[^\\p{L}\\p{N}]+`` —
+diacritic folding is NOT applied (documented divergence, SURVEY.md §7.4).
+
+Supported MATCH syntax (the subset the reference exercises,
+tests/test_graphdb.py:107-110 + graphydb.py:855):
+
+* ``term``            — token equality (case-insensitive)
+* ``term*``           — token prefix
+* ``field: term``     — restrict to one indexed field
+* ``a b``             — implicit AND (uid must match every term)
+* ``a OR b``          — union
+* ``NOT a``           — difference (applied after positive terms)
+
+At scale the index is just another DataFrame: partition it by token for
+point lookups, or leave it co-partitioned with the base table for rebuilds;
+matches are semi-joins that AQE can broadcast when the term is selective.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"[^\p{L}\p{N}]+"
+
+
+def tokens_col(col):
+    """Array-of-tokens column (JVM-side, codegen-friendly)."""
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT), lambda t: t != "")
+
+
+def build_index(df: DataFrame, fields: list[str]) -> DataFrame:
+    """``(uid, field, token)`` inverted index over JSON property fields.
+
+    ``field`` values are property names inside the ``props`` JSON document
+    (the reference indexes chosen columns of the item's data,
+    graphydb.py:638-658).
+    """
+    parts = []
+    for f_name in fields:
+        src = F.get_json_object(F.col("props"), f"$.{f_name}")
+        parts.append(
+            df.select(
+                F.col("uid"),
+                F.lit(f_name).alias("field"),
+                F.explode(tokens_col(src)).alias("token"),
+            ).where(F.col("token").isNotNull())
+        )
+    if not parts:
+        # empty index with the right schema
+        return df.sparkSession.createDataFrame(
+            [], "uid string, field string, token string")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["uid", "field", "token"])
+
+
+_TERM_RE = re.compile(r'(?:([\w]+)\s*:\s*)?([\w]+)(\*)?', re.UNICODE)
+
+
+def parse_match(query: str) -> list[tuple[str, list[tuple]]]:
+    """Parse a MATCH expression into OR-groups of (negated, field, term,
+    prefix) tuples; terms inside a group are ANDed."""
+    groups: list[list[tuple]] = [[]]
+    tokens = query.replace("(", " ").replace(")", " ").split()
+    negate_next = False
+    i = 0
+    while i < len(tokens):
+        tok = tokens[i]
+        up = tok.upper()
+        if up == "OR":
+            groups.append([])
+            i += 1
+            continue
+        if up == "AND":
+            i += 1
+            continue
+        if up == "NOT":
+            negate_next = True
+            i += 1
+            continue
+        # field-qualified term may come as 'field:' 'term' or 'field:term'
+        if tok.endswith(":") and i + 1 < len(tokens):
+            tok = tok + tokens[i + 1]
+            i += 1
+        m = _TERM_RE.fullmatch(tok)
+        if m:
+            field, term, star = m.group(1), m.group(2), m.group(3)
+            groups[-1].append((negate_next, field, term.lower(), bool(star)))
+            negate_next = False
+        i += 1
+    return [("OR", g) for g in groups if g]
+
+
+def _term_uids(index: DataFrame, field, term, prefix) -> DataFrame:
+    cond = F.col("token").startswith(term) if prefix else F.col("token") == term
+    if field:
+        cond = cond & (F.col("field") == field)
+    return index.where(cond).select("uid").distinct()
+
+
+def match_uids(index: DataFrame, query: str) -> DataFrame:
+    """Compile a MATCH expression to a DataFrame of matching uids."""
+    or_parts = []
+    for _, group in parse_match(query):
+        pos = [t for t in group if not t[0]]
+        neg = [t for t in group if t[0]]
+        if pos:
+            acc = _term_uids(index, *pos[0][1:])
+            for t in pos[1:]:
+                acc = acc.join(_term_uids(index, *t[1:]), "uid", "left_semi")
+        else:
+            acc = index.select("uid").distinct()
+        for t in neg:
+            acc = acc.join(_term_uids(index, *t[1:]), "uid", "left_anti")
+        or_parts.append(acc)
+    if not or_parts:
+        return index.select("uid").limit(0)
+    out = or_parts[0]
+    for p in or_parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()

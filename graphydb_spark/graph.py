@@ -1,0 +1,559 @@
+"""The Graph: DataFrame-backed property-graph store + query surface.
+
+Re-expresses the reference's ``Graph`` class (/root/reference/graphydb.py:
+485-1064) on Spark DataFrames:
+
+* storage = two DataFrames with the reference's physical schema
+  (graphydb.py:521-522): ``nodes(uid, kind, ctime, mtime, props)`` and
+  ``edges(uid, kind, startuid, enduid, ctime, mtime, props)`` where
+  ``props`` is the JSON document column (the reference's ``data``).
+* queries = the chain DSL compiled to one Spark SQL SELECT
+  (:mod:`graphydb_spark.chain`) — Catalyst plays the role SQLite's planner
+  plays in the reference (SURVEY.md §4).
+* mutation = driver-side pending upserts merged into the DataFrames with
+  last-writer-wins-by-uid semantics (the reference's ``INSERT OR REPLACE``,
+  graphydb.py:1325-1326), plus a JSON-diff change log powering undo
+  (graphydb.py:572-636).
+
+Scale notes: the interactive mutation path is driver-mediated by design
+(same as the reference's API); bulk data lands via
+:func:`Graph.from_dataframes` / :func:`Graph.open` and flows through pure
+DataFrame plans.  Merges cut lineage with ``localCheckpoint`` so long
+mutation sessions don't accrete unbounded plans.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .chain import compile_fetch_sql, parse_chain
+from .items import Edge, GraphydbError, Item, Node, clean_data, diff_items, \
+    generate_uid, patch_reverse
+from .sets import ESet, NSet
+
+NODE_SCHEMA = T.StructType([
+    T.StructField("uid", T.StringType(), False),
+    T.StructField("kind", T.StringType(), True),
+    T.StructField("ctime", T.DoubleType(), True),
+    T.StructField("mtime", T.DoubleType(), True),
+    T.StructField("props", T.StringType(), True),
+])
+
+EDGE_SCHEMA = T.StructType([
+    T.StructField("uid", T.StringType(), False),
+    T.StructField("kind", T.StringType(), True),
+    T.StructField("startuid", T.StringType(), False),
+    T.StructField("enduid", T.StringType(), False),
+    T.StructField("ctime", T.DoubleType(), True),
+    T.StructField("mtime", T.DoubleType(), True),
+    T.StructField("props", T.StringType(), True),
+])
+
+_GRAPH_SEQ = [0]
+
+
+def _item_to_row(item: dict, edge: bool) -> dict:
+    data = clean_data(dict(item))
+    row = {
+        "uid": data["uid"],
+        "kind": data.get("kind"),
+        "ctime": float(data.get("ctime", 0.0)),
+        "mtime": float(data.get("mtime", 0.0)),
+        "props": json.dumps(data, sort_keys=True),
+    }
+    if edge:
+        row["startuid"] = data["startuid"]
+        row["enduid"] = data["enduid"]
+    return row
+
+
+class Graph:
+    """A property graph over Spark DataFrames.
+
+    ``Graph(spark)`` starts empty (the reference's ``Graph(':memory:')``,
+    graphydb.py:489-506); ``Graph.open(spark, path)`` loads a saved graph;
+    ``Graph.from_dataframes`` wraps existing conforming DataFrames.
+    """
+
+    def __init__(self, spark: SparkSession, path: Optional[str] = None) -> None:
+        self.spark = spark
+        _GRAPH_SEQ[0] += 1
+        self._gid = _GRAPH_SEQ[0]
+        self.reset()
+        if path is not None:
+            self._nodes_df = spark.read.parquet(f"{path}/nodes")
+            self._edges_df = spark.read.parquet(f"{path}/edges")
+
+    # ------------------------------------------------------------------ DDL
+    def reset(self) -> None:
+        """Drop everything (graphydb.py:508-529)."""
+        self._nodes_df = self.spark.createDataFrame([], NODE_SCHEMA)
+        self._edges_df = self.spark.createDataFrame([], EDGE_SCHEMA)
+        self._pending_nodes: dict[str, dict] = {}
+        self._pending_edges: dict[str, dict] = {}
+        self._settings: dict[str, Any] = {}
+        self._cache: dict[str, Any] = {}
+        self._changes: list[dict] = []
+        self._change_seq = 0
+        self._fts_node_fields: list[str] = []
+        self._fts_edge_fields: list[str] = []
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "Graph":
+        return cls(spark, path=path)
+
+    @classmethod
+    def from_dataframes(cls, spark: SparkSession, nodes_df: DataFrame,
+                        edges_df: DataFrame) -> "Graph":
+        g = cls(spark)
+        g._nodes_df = nodes_df.select(*[f.name for f in NODE_SCHEMA.fields])
+        g._edges_df = edges_df.select(*[f.name for f in EDGE_SCHEMA.fields])
+        return g
+
+    def write(self, path: str, mode: str = "overwrite") -> None:
+        """Persist to a parquet directory pair (the engine's durable form)."""
+        self._flush()
+        self._nodes_df.write.mode(mode).parquet(f"{path}/nodes")
+        self._edges_df.write.mode(mode).parquet(f"{path}/edges")
+
+    # -------------------------------------------------------------- access
+    @property
+    def nodes_df(self) -> DataFrame:
+        self._flush()
+        return self._nodes_df
+
+    @property
+    def edges_df(self) -> DataFrame:
+        self._flush()
+        return self._edges_df
+
+    def _view(self, which: str) -> str:
+        name = f"gdb_{which}_{self._gid}"
+        df = self.nodes_df if which == "nodes" else self.edges_df
+        df.createOrReplaceTempView(name)
+        return name
+
+    # ------------------------------------------------------- item factories
+    def Node(self, kind: str, **props: Any) -> Node:
+        """Factory (graphydb.py:1046-1051)."""
+        return Node(graph=self, kind=kind, **props)
+
+    def Edge(self, start, kind: str, end, **props: Any) -> Edge:
+        """Factory; accepts Node items or uid strings for the endpoints."""
+        s = start.uid if isinstance(start, Item) else start
+        e = end.uid if isinstance(end, Item) else end
+        return Edge(graph=self, kind=kind, startuid=s, enduid=e, **props)
+
+    # --------------------------------------------------------------- flush
+    def _flush(self) -> None:
+        """Merge pending upserts into the DataFrames (last writer wins).
+
+        The Spark analogue of the reference's per-row ``INSERT OR REPLACE``
+        (graphydb.py:1325-1326, 1502-1503): anti-join out replaced uids,
+        union the new rows, cut lineage.
+        """
+        if self._pending_nodes:
+            self._nodes_df = self._merge(
+                self._nodes_df, list(self._pending_nodes.values()), NODE_SCHEMA)
+            self._pending_nodes = {}
+        if self._pending_edges:
+            self._edges_df = self._merge(
+                self._edges_df, list(self._pending_edges.values()), EDGE_SCHEMA)
+            self._pending_edges = {}
+
+    def _merge(self, df: DataFrame, rows: list[dict],
+               schema: T.StructType) -> DataFrame:
+        new = self.spark.createDataFrame(
+            [tuple(r.get(f.name) for f in schema.fields) for r in rows], schema)
+        out = df.join(new.select("uid"), "uid", "left_anti").unionByName(new)
+        return out.localCheckpoint(eager=True)
+
+    def _remove_uids(self, df: DataFrame, uids: list[str]) -> DataFrame:
+        if not uids:
+            return df
+        dels = self.spark.createDataFrame([(u,) for u in uids], "uid string")
+        return df.join(dels, "uid", "left_anti").localCheckpoint(eager=True)
+
+    # ------------------------------------------------------------- lookups
+    def exists(self, uid: str) -> bool:
+        """Probe both tables (graphydb.py:1019-1033); pending-aware."""
+        if uid in self._pending_nodes or uid in self._pending_edges:
+            return True
+        for df in (self._nodes_df, self._edges_df):
+            if df.filter(F.col("uid") == F.lit(uid)).limit(1).count() > 0:
+                return True
+        return False
+
+    def getuid(self, uid: str):
+        """Fetch node else edge by uid (graphydb.py:1035-1044)."""
+        self._flush()
+        row = self._nodes_df.filter(F.col("uid") == F.lit(uid)).limit(1).collect()
+        if row:
+            return self._hydrate(row[0], edge=False)
+        row = self._edges_df.filter(F.col("uid") == F.lit(uid)).limit(1).collect()
+        if row:
+            return self._hydrate(row[0], edge=True)
+        raise GraphydbError(f"No item with uid {uid!r}")
+
+    def _hydrate(self, row, edge: bool, extra_names: tuple = ()):
+        data = json.loads(row["props"]) if row["props"] else {}
+        data["uid"] = row["uid"]
+        data["kind"] = row["kind"]
+        data["ctime"] = row["ctime"]
+        data["mtime"] = row["mtime"]
+        if edge:
+            data["startuid"] = row["startuid"]
+            data["enduid"] = row["enduid"]
+        for name in extra_names:
+            data["_" + name] = row[name]
+        item = (Edge if edge else Node)(graph=self, **data)
+        item._mark_clean()
+        return item
+
+    # --------------------------------------------------------------- fetch
+    def fetch(self, CHAIN: str = "(n)", WHERE=None, ORDER=None, GROUP=None,
+              LIMIT=None, OFFSET=None, COUNT=False, DISTINCT=True,
+              DEBUG=False, as_df: bool = False, _anchor=None, **params):
+        """The query workhorse (graphydb.py:809-1017).
+
+        Returns an :class:`NSet`/:class:`ESet` of hydrated items by default
+        (reference parity), a DataFrame with ``as_df=True`` (the scale
+        path), an int with ``COUNT=True``, or ``(sql, params)`` with
+        ``DEBUG=True`` (the reference's explain surface,
+        graphydb.py:977-978).
+        """
+        links = parse_chain(CHAIN)
+        collect = next(l for l in links if l.collect)
+        aliases = {l.alias for l in links}
+
+        # split kwargs: FTS matches, extra column expressions, bind params
+        fts_specs: dict[str, str] = {}
+        extras: dict[str, str] = {}
+        binds: dict[str, Any] = {}
+        for key, val in params.items():
+            if key.endswith("_fts") and key[:-4] in aliases:
+                fts_specs[key[:-4]] = val
+            elif key in collect.extras:
+                extras[key] = val
+            else:
+                binds[key] = val
+        missing = [n for n in collect.extras if n not in extras]
+        if missing:
+            raise GraphydbError(f"No expression supplied for extras {missing}")
+
+        conds: list[str] = []
+        if WHERE:
+            conds.extend([WHERE] if isinstance(WHERE, str) else list(WHERE))
+        if _anchor is not None:
+            conds.append(f"{_anchor[0]} = :gdb_anchor_uid")
+            binds["gdb_anchor_uid"] = _anchor[1]
+
+        # FTS: compile each match to a uid view, semi-joined in the SQL
+        fts_views: dict[str, str] = {}
+        for alias, query in fts_specs.items():
+            link = next(l for l in links if l.alias == alias)
+            uid_df = self._fts_match_uids(query, edge=link.is_edge)
+            vname = f"gdb_fts_{self._gid}_{alias}"
+            uid_df.createOrReplaceTempView(vname)
+            fts_views[alias] = vname
+
+        sql = compile_fetch_sql(
+            links, self._view("nodes"), self._view("edges"),
+            where=conds or None, order=ORDER, group=GROUP, limit=LIMIT,
+            offset=OFFSET, count=COUNT, distinct=DISTINCT, extras=extras,
+            fts_views=fts_views)
+        if DEBUG:
+            return sql, binds
+        df = self.spark.sql(sql, args=binds) if binds else self.spark.sql(sql)
+        if COUNT:
+            return df.collect()[0]["n"]
+        if as_df:
+            return df
+        rows = df.collect()
+        extra_names = tuple(extras)
+        items = [self._hydrate(r, edge=collect.is_edge, extra_names=extra_names)
+                 for r in rows]
+        return (ESet if collect.is_edge else NSet)(items)
+
+    def sql(self, query: str, **binds) -> DataFrame:
+        """Raw SQL escape hatch over ``nodes``/``edges`` temp views — the
+        analogue of ``Graph.cursor()`` (graphydb.py:696-702)."""
+        self.nodes_df.createOrReplaceTempView("nodes")
+        self.edges_df.createOrReplaceTempView("edges")
+        return self.spark.sql(query, args=binds) if binds else self.spark.sql(query)
+
+    # ------------------------------------------------- set-anchored traversal
+    def traverse(self, uids: list[str], direction: str, nodes: bool,
+                 kind: Optional[str] = None, COUNT: bool = False):
+        """One frontier join for a whole uid set.
+
+        Replaces the reference's per-node N+1 query loop
+        (``NSet.outN``/… graphydb.py:1711-1772) with a single distributed
+        join — the key scale divergence called out in SURVEY.md §3.2.
+        ``direction`` ∈ {'out', 'in', 'both'}.
+        """
+        self._flush()
+        frontier = self.spark.createDataFrame([(u,) for u in uids], "uid string")
+        edges = self._edges_df
+        if kind:
+            edges = edges.filter(F.col("kind") == kind)
+        legs = []
+        if direction in ("out", "both"):
+            legs.append(edges.join(
+                frontier.withColumnRenamed("uid", "startuid"),
+                "startuid", "inner"))
+        if direction in ("in", "both"):
+            legs.append(edges.join(
+                frontier.withColumnRenamed("uid", "enduid"),
+                "enduid", "inner"))
+        hit = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
+        hit = hit.select(*[f.name for f in EDGE_SCHEMA.fields]) \
+                 .dropDuplicates(["uid"])
+        if not nodes:
+            if COUNT:
+                return hit.count()
+            return ESet([self._hydrate(r, edge=True) for r in hit.collect()])
+        # endpoints on the far side of each traversed edge
+        tgt = []
+        if direction in ("out", "both"):
+            tgt.append(hit.join(frontier.withColumnRenamed("uid", "startuid"),
+                                "startuid", "left_semi").select(
+                                    F.col("enduid").alias("nuid")))
+        if direction in ("in", "both"):
+            tgt.append(hit.join(frontier.withColumnRenamed("uid", "enduid"),
+                                "enduid", "left_semi").select(
+                                    F.col("startuid").alias("nuid")))
+        nuids = tgt[0] if len(tgt) == 1 else tgt[0].unionByName(tgt[1])
+        out = self._nodes_df.join(nuids.distinct(),
+                                  self._nodes_df.uid == F.col("nuid"),
+                                  "left_semi")
+        if COUNT:
+            return out.count()
+        return NSet([self._hydrate(r, edge=False) for r in out.collect()])
+
+    # ------------------------------------------------------------ mutation
+    def save_node(self, node: Node, force: bool = False,
+                  batch: Optional[str] = None, setchange: bool = True) -> None:
+        """Upsert (graphydb.py:1309-1332); no-op when clean unless forced."""
+        if not node.changed and not force:
+            return
+        old = self._current_data(node.uid)
+        if setchange:
+            self._add_change(node.uid, old, node.data(), batch)
+        self._pending_nodes[node.uid] = _item_to_row(node, edge=False)
+        node._mark_clean()
+
+    def save_edge(self, edge: Edge, force: bool = False,
+                  batch: Optional[str] = None, setchange: bool = True,
+                  check: bool = True) -> None:
+        """Upsert with endpoint referential check (graphydb.py:1480-1509)."""
+        if not edge.changed and not force:
+            return
+        if check:
+            for end in (edge["startuid"], edge["enduid"]):
+                if not (end in self._pending_nodes
+                        or self._node_exists(end)):
+                    raise GraphydbError(
+                        f"Edge endpoint {end!r} does not exist in nodes")
+        old = self._current_data(edge.uid)
+        if setchange:
+            self._add_change(edge.uid, old, edge.data(), batch)
+        self._pending_edges[edge.uid] = _item_to_row(edge, edge=True)
+        edge._mark_clean()
+
+    def _node_exists(self, uid: str) -> bool:
+        return self._nodes_df.filter(
+            F.col("uid") == F.lit(uid)).limit(1).count() > 0
+
+    def _current_data(self, uid: str) -> Optional[dict]:
+        for pend in (self._pending_nodes, self._pending_edges):
+            if uid in pend:
+                return json.loads(pend[uid]["props"])
+        for df, edge in ((self._nodes_df, False), (self._edges_df, True)):
+            rows = df.filter(F.col("uid") == F.lit(uid)).limit(1).collect()
+            if rows:
+                d = json.loads(rows[0]["props"]) if rows[0]["props"] else {}
+                return d
+        return None
+
+    def delete_node(self, node, disconnect: bool = False,
+                    batch: Optional[str] = None, setchange: bool = True) -> None:
+        """Guarded cascade delete (graphydb.py:1425-1452)."""
+        uid = node.uid if isinstance(node, Item) else node
+        self._flush()
+        incident = self._edges_df.filter(
+            (F.col("startuid") == uid) | (F.col("enduid") == uid))
+        n_inc = incident.limit(1).count()
+        if n_inc > 0:
+            if not disconnect:
+                raise GraphydbError(
+                    f"Node {uid!r} still has edges; delete(disconnect=True) "
+                    f"to cascade")
+            batch = batch or generate_uid()
+            for row in incident.collect():
+                e = self._hydrate(row, edge=True)
+                self.delete_edge(e, batch=batch, setchange=setchange)
+        old = self._current_data(uid)
+        if setchange and old is not None:
+            self._add_change(uid, old, None, batch)
+        self._pending_nodes.pop(uid, None)
+        self._nodes_df = self._remove_uids(self._nodes_df, [uid])
+
+    def delete_edge(self, edge, batch: Optional[str] = None,
+                    setchange: bool = True) -> None:
+        uid = edge.uid if isinstance(edge, Item) else edge
+        self._flush()
+        old = self._current_data(uid)
+        if setchange and old is not None:
+            self._add_change(uid, old, None, batch)
+        self._pending_edges.pop(uid, None)
+        self._edges_df = self._remove_uids(self._edges_df, [uid])
+
+    def bulk_save(self, items, batch: Optional[str] = None,
+                  setchange: bool = True) -> str:
+        """Bulk save under one batch id (graphydb.py:1561-1573)."""
+        batch = batch or generate_uid()
+        for it in items:
+            if isinstance(it, Edge):
+                self.save_edge(it, batch=batch, setchange=setchange)
+            else:
+                self.save_node(it, batch=batch, setchange=setchange)
+        return batch
+
+    # ---------------------------------------------------------- change log
+    def _add_change(self, uid: str, old: Optional[dict], new: Optional[dict],
+                    batch: Optional[str]) -> None:
+        """Append a JSON-diff change record (graphydb.py:572-603)."""
+        d = diff_items(old, new)
+        if not d:
+            return
+        self._change_seq += 1
+        rec = {"id": self._change_seq, "uid": uid, "time": time.time()}
+        rec.update(d)
+        if batch:
+            rec["batch"] = batch
+        self._changes.append(rec)
+
+    @property
+    def nchanges(self) -> int:
+        return len(self._changes)
+
+    def clear_changes(self) -> None:
+        """graphydb.py:536-543."""
+        self._changes = []
+
+    def changes_df(self) -> DataFrame:
+        rows = [(c["id"], c["uid"], json.dumps(c, sort_keys=True))
+                for c in self._changes]
+        return self.spark.createDataFrame(
+            rows, "id long, uid string, change string")
+
+    def lastchanges(self) -> list[dict]:
+        """All change rows of the most recent batch, in id order
+        (graphydb.py:545-566)."""
+        if not self._changes:
+            return []
+        last = self._changes[-1]
+        batch = last.get("batch")
+        if batch is None:
+            return [last]
+        return [c for c in self._changes if c.get("batch") == batch]
+
+    def undo(self) -> None:
+        """Invert and consume the most recent change batch
+        (graphydb.py:605-636): pure-add → delete; pure-delete → re-insert
+        (Edge iff ``startuid`` recorded, graphydb.py:621-624); modify →
+        reverse patch + force save."""
+        chunk = self.lastchanges()
+        ids = {c["id"] for c in chunk}
+        self._changes = [c for c in self._changes if c["id"] not in ids]
+        for change in reversed(chunk):
+            uid = change["uid"]
+            plus, minus = change.get("+"), change.get("-")
+            if plus and not minus:
+                is_edge = "startuid" in plus
+                if is_edge:
+                    self._pending_edges.pop(uid, None)
+                    self._edges_df = self._remove_uids(self._edges_df, [uid])
+                else:
+                    self._pending_nodes.pop(uid, None)
+                    self._nodes_df = self._remove_uids(self._nodes_df, [uid])
+            elif minus and not plus:
+                if "startuid" in minus:
+                    e = Edge(graph=self, **minus)
+                    self.save_edge(e, force=True, setchange=False, check=False)
+                else:
+                    n = Node(graph=self, **minus)
+                    self.save_node(n, force=True, setchange=False)
+            else:
+                cur = self._current_data(uid)
+                if cur is None:
+                    continue
+                restored = patch_reverse(cur, change)
+                if "startuid" in restored:
+                    self.save_edge(Edge(graph=self, **restored), force=True,
+                                   setchange=False, check=False)
+                else:
+                    self.save_node(Node(graph=self, **restored), force=True,
+                                   setchange=False)
+
+    # ------------------------------------------------------------ KV stores
+    def savesetting(self, key: str, value: Any) -> None:
+        """JSON-roundtrip KV (graphydb.py:660-677)."""
+        self._settings[key] = json.loads(json.dumps(value))
+
+    def getsetting(self, key: str, default: Any = None) -> Any:
+        return self._settings.get(key, default)
+
+    def cache(self, key: str, value: Any) -> None:
+        self._cache[key] = json.loads(json.dumps(value))
+
+    def cached(self, key: str) -> Any:
+        """KeyError on miss (graphydb.py:679-694)."""
+        return self._cache[key]
+
+    # --------------------------------------------------------------- stats
+    @property
+    def stats(self) -> dict:
+        """Totals + per-kind counts (graphydb.py:704-739)."""
+        self._flush()
+        nodekinds = {r["kind"]: r["count"] for r in
+                     self._nodes_df.groupBy("kind").count().collect()}
+        edgekinds = {r["kind"]: r["count"] for r in
+                     self._edges_df.groupBy("kind").count().collect()}
+        return {
+            "nodes": sum(nodekinds.values()),
+            "edges": sum(edgekinds.values()),
+            "nodekinds": nodekinds,
+            "edgekinds": edgekinds,
+            "changes": len(self._changes),
+            "spark_version": self.spark.version,
+        }
+
+    # ----------------------------------------------------------------- FTS
+    def resetfts(self, nodefields: Optional[list[str]] = None,
+                 edgefields: Optional[list[str]] = None) -> None:
+        """Declare FTS-indexed property fields (graphydb.py:638-658).
+
+        The index itself is a *derived* DataFrame rebuilt lazily from the
+        current nodes/edges (so updates/deletes never desync it) — see
+        :mod:`graphydb_spark.fts`.
+        """
+        self._fts_node_fields = list(nodefields or [])
+        self._fts_edge_fields = list(edgefields or [])
+
+    def fts_index(self, edge: bool = False) -> DataFrame:
+        from .fts import build_index
+        fields = self._fts_edge_fields if edge else self._fts_node_fields
+        df = self.edges_df if edge else self.nodes_df
+        return build_index(df, fields)
+
+    def _fts_match_uids(self, query: str, edge: bool = False) -> DataFrame:
+        from .fts import match_uids
+        return match_uids(self.fts_index(edge=edge), query)

@@ -1,0 +1,176 @@
+"""Deterministic graph encoding of the driver's TPC-H-ish parquet tables.
+
+Implements the FIXTURES.md §5 mapping: each dimension/fact row becomes a
+node ``uid = '<Kind>:<natural key>'``, foreign keys become typed edges, all
+non-key columns land in the ``props`` JSON document.  ``ctime = mtime = 0.0``
+so results are bit-deterministic across runs (FIXTURES.md §5).
+
+Everything here is pure DataFrame expressions (``concat``/``to_json``/
+``struct``) — no UDFs, fully codegen-able, scales linearly with input;
+the unions are narrow maps over each source table so no shuffle happens
+until a downstream query asks for one.
+
+Timestamps are stored in props as epoch-seconds doubles (cast) to keep the
+JSON stable and DuckDB-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+
+TABLE_NAMES = ("region", "nation", "customer", "supplier", "part", "orders",
+               "lineitem", "events", "documents", "embeddings")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+            for t in TABLE_NAMES}
+
+
+def _uid(kind: str, key_col) -> F.Column:
+    return F.concat(F.lit(kind + ":"), key_col.cast("string"))
+
+
+def _node(df: DataFrame, kind: str, key: str, prop_cols: dict) -> DataFrame:
+    """prop_cols: name → Column (already cast as desired)."""
+    props = F.to_json(F.struct(*[c.alias(n) for n, c in prop_cols.items()]))
+    return df.select(
+        _uid(kind, F.col(key)).alias("uid"),
+        F.lit(kind).alias("kind"),
+        F.lit(0.0).alias("ctime"),
+        F.lit(0.0).alias("mtime"),
+        props.alias("props"),
+    )
+
+
+def _edge(df: DataFrame, kind: str, uid_col, start_col, end_col,
+          prop_cols: dict | None = None) -> DataFrame:
+    if prop_cols:
+        props = F.to_json(F.struct(*[c.alias(n) for n, c in prop_cols.items()]))
+    else:
+        props = F.lit("{}")
+    return df.select(
+        uid_col.alias("uid"),
+        F.lit(kind).alias("kind"),
+        start_col.alias("startuid"),
+        end_col.alias("enduid"),
+        F.lit(0.0).alias("ctime"),
+        F.lit(0.0).alias("mtime"),
+        props.alias("props"),
+    )
+
+
+def encode_nodes(t: dict[str, DataFrame]) -> DataFrame:
+    c = F.col
+    parts = [
+        _node(t["region"], "Region", "r_regionkey",
+              {"r_regionkey": c("r_regionkey"), "r_name": c("r_name")}),
+        _node(t["nation"], "Nation", "n_nationkey",
+              {"n_nationkey": c("n_nationkey"), "n_name": c("n_name"),
+               "n_regionkey": c("n_regionkey")}),
+        _node(t["customer"], "Customer", "c_custkey",
+              {"c_custkey": c("c_custkey"), "c_name": c("c_name"),
+               "c_nationkey": c("c_nationkey"), "c_acctbal": c("c_acctbal"),
+               "c_mktsegment": c("c_mktsegment")}),
+        _node(t["supplier"], "Supplier", "s_suppkey",
+              {"s_suppkey": c("s_suppkey"), "s_name": c("s_name"),
+               "s_nationkey": c("s_nationkey"), "s_acctbal": c("s_acctbal")}),
+        _node(t["part"], "Part", "p_partkey",
+              {"p_partkey": c("p_partkey"), "p_name": c("p_name"),
+               "p_brand": c("p_brand"), "p_type": c("p_type"),
+               "p_size": c("p_size"), "p_retailprice": c("p_retailprice")}),
+        _node(t["orders"], "Order", "o_orderkey",
+              {"o_orderkey": c("o_orderkey"), "o_custkey": c("o_custkey"),
+               "o_orderstatus": c("o_orderstatus"),
+               "o_totalprice": c("o_totalprice"),
+               "o_orderdate": c("o_orderdate").cast("double"),
+               "o_orderpriority": c("o_orderpriority")}),
+        _node(t["documents"], "Document", "doc_id",
+              {"doc_id": c("doc_id"), "text": c("text"), "lang": c("lang"),
+               "source": c("source"), "n_chars": c("n_chars")}),
+        _node(t["events"].select("user_id").distinct(), "User", "user_id",
+              {"user_id": c("user_id")}),
+        _node(t["events"], "Event", "event_id",
+              {"event_id": c("event_id"), "event_type": c("event_type"),
+               "value": c("value"), "ts": c("ts").cast("double"),
+               "user_id": c("user_id")}),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def encode_edges(t: dict[str, DataFrame]) -> DataFrame:
+    c = F.col
+    li = t["lineitem"]
+    li_uid_tail = F.concat(c("l_orderkey").cast("string"), F.lit(":"),
+                           c("l_linenumber").cast("string"))
+    li_props = {
+        "l_orderkey": c("l_orderkey"), "l_partkey": c("l_partkey"),
+        "l_suppkey": c("l_suppkey"), "l_linenumber": c("l_linenumber"),
+        "l_quantity": c("l_quantity"), "l_extendedprice": c("l_extendedprice"),
+        "l_discount": c("l_discount"), "l_tax": c("l_tax"),
+        "l_returnflag": c("l_returnflag"), "l_linestatus": c("l_linestatus"),
+        "l_shipdate": c("l_shipdate").cast("double"),
+    }
+    parts = [
+        _edge(t["nation"], "InRegion",
+              _uid("InRegion", c("n_nationkey")),
+              _uid("Nation", c("n_nationkey")),
+              _uid("Region", c("n_regionkey"))),
+        _edge(t["customer"], "FromNation",
+              _uid("FromNation", c("c_custkey")),
+              _uid("Customer", c("c_custkey")),
+              _uid("Nation", c("c_nationkey"))),
+        _edge(t["supplier"], "LocatedIn",
+              _uid("LocatedIn", c("s_suppkey")),
+              _uid("Supplier", c("s_suppkey")),
+              _uid("Nation", c("s_nationkey"))),
+        _edge(t["orders"], "Placed",
+              _uid("Placed", c("o_orderkey")),
+              _uid("Customer", c("o_custkey")),
+              _uid("Order", c("o_orderkey"))),
+        _edge(li, "Contains",
+              F.concat(F.lit("Contains:"), li_uid_tail),
+              _uid("Order", c("l_orderkey")),
+              _uid("Part", c("l_partkey")),
+              li_props),
+        _edge(li, "SuppliedBy",
+              F.concat(F.lit("SuppliedBy:"), li_uid_tail),
+              _uid("Order", c("l_orderkey")),
+              _uid("Supplier", c("l_suppkey"))),
+        _edge(t["events"], "Did",
+              _uid("Did", c("event_id")),
+              _uid("User", c("user_id")),
+              _uid("Event", c("event_id")),
+              {"event_type": c("event_type"), "value": c("value"),
+               "ts": c("ts").cast("double")}),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_GRAPH_CACHE: dict = {}
+
+
+def tpch_graph(spark: SparkSession, sf_dir: str, cache: bool = True) -> Graph:
+    """Build (and memoize per session+dir) the encoded Graph."""
+    key = (id(spark), sf_dir)
+    if cache and key in _GRAPH_CACHE:
+        return _GRAPH_CACHE[key]
+    t = load_tables(spark, sf_dir)
+    nodes = encode_nodes(t)
+    edges = encode_edges(t)
+    if cache:
+        nodes = nodes.persist()
+        edges = edges.persist()
+    g = Graph.from_dataframes(spark, nodes, edges)
+    if cache:
+        _GRAPH_CACHE[key] = g
+    return g
