@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query; ``queries()``/``oracle_sql()``
+declare the SURVEY.md §2 inventory (implementations live in
+``graphydb_spark.queries``).
 """
 
 from __future__ import annotations
@@ -13,26 +11,30 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from graphydb_spark.queries import ORACLES, QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 2-hop graph pattern with JSON predicate + computed extras
+    over the sf0.001 fixture (chain DSL → one Spark SQL join tree)."""
+    from graphydb_spark.sources.tpch_graph import tpch_graph
+
+    g = tpch_graph(spark, "/root/testdata/sf0.001", cache=False)
+    return g.fetch(
+        "(r:Region) <(ir:InRegion)- (n:Nation) <(fn:FromNation)- "
+        "[c:Customer,acctbal]",
+        'r.data.r_name = "ASIA"',
+        acctbal="CAST(c.data.c_acctbal AS DOUBLE)",
+        as_df=True,
+    ).select("uid", "kind", "acctbal")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 / §7.3."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twins; keys with None are omitted
+    (non-SQL-expressible → rows-only check)."""
+    return {k: v for k, v in ORACLES.items() if v is not None}

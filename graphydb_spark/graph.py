@@ -272,7 +272,7 @@ class Graph:
             return sql, binds
         df = self.spark.sql(sql, args=binds) if binds else self.spark.sql(sql)
         if COUNT:
-            return df.collect()[0]["n"]
+            return df if as_df else df.collect()[0]["n"]
         if as_df:
             return df
         rows = df.collect()

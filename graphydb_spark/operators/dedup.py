@@ -1,0 +1,193 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Beyond-reference extensions (SURVEY.md §7.3) designed for 100 TB corpora:
+
+* exact     — one hash-groupBy shuffle on a 32-byte key, not the raw text.
+* minhash   — per-doc signature is a narrow map-side computation; the LSH
+  band join shuffles only ``(band_hash, doc_id)`` pairs, never documents.
+* simhash   — 64-bit signature; near-dup = small hamming distance within
+  LSH buckets on bit-bands.
+* jaccard   — exact n-gram Jaccard verification for candidate pairs
+  (run it *after* LSH pruning, never all-pairs).
+
+Hash functions are md5-based so results are engine-portable (the DuckDB
+oracle reproduces them bit-for-bit); all column work is JVM built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical texts: (content_hash, n_dups, keep_id)."""
+    h = F.md5(F.col(text_col))
+    return (df.groupBy(h.alias("content_hash"))
+              .agg(F.count("*").alias("n_dups"),
+                   F.min(id_col).alias("keep_id"))
+              .where(F.col("n_dups") > 1))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per identical text (the scalable keep-first)."""
+    w_min = (df.groupBy(F.md5(F.col(text_col)).alias("h"))
+               .agg(F.min(id_col).alias(id_col)))
+    return df.join(w_min.select(id_col), id_col, "left_semi")
+
+
+def shingles(col, k: int = 3) -> F.Column:
+    """Array of k-word shingle strings (space-joined token windows)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    return F.when(n >= k, F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int"))
+                   for j in range(k)]))
+    ).otherwise(F.array())
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      num_hashes: int = 8) -> DataFrame:
+    """(id, sig[0..num_hashes)) — each sig_i = min over shingles of
+    md5(i || shingle).  Salted-md5 permutations keep the oracle portable;
+    swap for xxhash64 when oracle parity doesn't matter (≈3× faster)."""
+    sh = shingles(F.col(text_col), k)
+    out = df.select(id_col, sh.alias("_sh")).where(F.size("_sh") > 0)
+    for i in range(num_hashes):
+        out = out.withColumn(
+            f"sig{i}",
+            F.array_min(F.transform(
+                F.col("_sh"), lambda s: F.md5(F.concat(F.lit(str(i) + ":"), s)))))
+    return out.drop("_sh")
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      num_hashes: int = 8, bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via banded LSH.
+
+    Signature split into ``bands`` bands of ``num_hashes/bands`` rows; docs
+    sharing any band hash become a candidate pair.  The self-join shuffles
+    only (band, hash, id) triples — at 100 TB the band tables are ~1% of
+    corpus bytes.  Verify candidates with :func:`jaccard_verify`.
+    """
+    sig = minhash_signature(df, text_col, id_col, k, num_hashes)
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"sig{b * rows_per_band + r}")
+                for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.md5(F.concat_ws("|", *cols)).alias("bh")))
+    buckets = (sig.select(id_col, F.explode(F.array(*band_cols)).alias("bb"))
+                  .select(id_col, "bb.band", "bb.bh"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (a.join(b, [F.col("a.band") == F.col("b.band"),
+                       F.col("a.bh") == F.col("b.bh"),
+                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+
+
+def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 3,
+                   threshold: float = 0.5) -> DataFrame:
+    """Exact k-shingle Jaccard for candidate pairs → (id_a, id_b, jaccard).
+
+    Joins the shingle sets back onto the (pruned) pair list only.
+    """
+    sh = df.select(F.col(id_col),
+                   F.array_distinct(shingles(F.col(text_col), k)).alias("sh"))
+    out = (pairs
+           .join(sh.withColumnRenamed(id_col, "id_a")
+                   .withColumnRenamed("sh", "sh_a"), "id_a")
+           .join(sh.withColumnRenamed(id_col, "id_b")
+                   .withColumnRenamed("sh", "sh_b"), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (out.withColumn("jaccard", (inter / union).cast("double"))
+               .where(F.col("jaccard") >= threshold)
+               .select("id_a", "id_b", "jaccard"))
+
+
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over unigram tokens → (id, simhash BIGINT).
+
+    Each token hashes to 64 bits (xxhash64); per bit, +1 if set else -1,
+    summed over tokens; the sign vector is the signature.  Pure JVM
+    expression work (no UDF): bit i extracted with shiftright/&1.
+    """
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_cols = []
+    for i in range(64):
+        votes = F.aggregate(
+            th, F.lit(0),
+            lambda acc, h: acc + F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+        bit_cols.append(F.when(votes > 0,
+                               F.shiftleft(F.lit(1).cast("long"), i))
+                        .otherwise(F.lit(0).cast("long")))
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig.bitwiseOR(c)
+    return df.select(id_col, sig.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3,
+                       bands: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash: LSH on 16-bit bands (a pair within
+    hamming distance ≤ bands-1 must agree on ≥1 band), then exact hamming
+    filter via bit_count(xor)."""
+    sig = simhash64(df, text_col, id_col)
+    band_rows = []
+    width = 64 // bands
+    for b in range(bands):
+        band_rows.append(F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), b * width)
+             .bitwiseAND(F.lit((1 << width) - 1)).alias("key")))
+    buckets = (sig.select(id_col, "simhash",
+                          F.explode(F.array(*band_rows)).alias("bb"))
+                  .select(id_col, "simhash", "bb.band", "bb.key"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (a.join(b, [F.col("a.band") == F.col("b.band"),
+                       F.col("a.key") == F.col("b.key"),
+                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.col("a.simhash").alias("sh_a"),
+                     F.col("b.simhash").alias("sh_b"))
+             .distinct())
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.withColumn("hamming", ham.cast("int"))
+                .where(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming"))
+
+
+def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        min_cosine: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-dup pairs.
+
+    Brute-force O(n²) — correct baseline for ≤1e5 vectors; at scale feed
+    LSH/IVF buckets (see operators.similarity) into the same verifier.
+    """
+    from .similarity import cosine_expr
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (pairs.withColumn("cosine", cosine_expr("va", "vb"))
+                 .where(F.col("cosine") >= min_cosine)
+                 .select("id_a", "id_b", "cosine"))

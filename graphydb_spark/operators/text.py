@@ -1,0 +1,107 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side built-ins (split/filter/transform/aggregate) —
+no Python UDFs — so they stay inside whole-stage codegen and scale
+linearly.  These are beyond-reference extensions (SURVEY.md §7.3) over the
+driver's ``documents`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: same tokenizer as the FTS layer (lower + split on non-alphanumeric)
+TOKEN_SPLIT = r"[^\p{L}\p{N}]+"
+
+#: tiny multilingual stopword lists for the n-gram/stopword language
+#: heuristic and quality scoring (public knowledge)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "de", "un", "une", "pour"],
+    "es": ["el", "la", "los", "y", "es", "de", "un", "una", "para"],
+}
+
+
+def tokens(col) -> F.Column:
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT), lambda t: t != "")
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append n_tokens / n_chars_obs / avg_token_len columns."""
+    toks = tokens(F.col(text_col))
+    return (df
+            .withColumn("n_tokens", F.size(toks).cast("long"))
+            .withColumn("n_chars_obs", F.length(F.col(text_col)).cast("long"))
+            .withColumn("avg_token_len",
+                        (F.length(F.concat_ws("", toks)) /
+                         F.greatest(F.size(toks), F.lit(1))).cast("double")))
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  stopwords: list[str] | None = None) -> DataFrame:
+    """Heuristic quality: stopword ratio + length signals.
+
+    ``stopword_ratio`` = fraction of tokens in the (english, by default)
+    stopword list; natural text scores high, keyword soup scores low.
+    """
+    sw = stopwords or STOPWORDS["en"]
+    toks = tokens(F.col(text_col))
+    swarr = F.array(*[F.lit(s) for s in sw])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(swarr, t)))
+    return df.withColumn(
+        "stopword_ratio",
+        (n_sw / F.greatest(F.size(toks), F.lit(1))).cast("double"))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language guess — returns ``lang_guess`` column.
+
+    Per language, count stopword hits; argmax wins (ties broken by language
+    code order for determinism).  A deterministic, JVM-only heuristic — a
+    stand-in for fasttext-style models which aren't in this container.
+    """
+    toks = tokens(F.col(text_col))
+    scores = []
+    for code in sorted(STOPWORDS):
+        swarr = F.array(*[F.lit(s) for s in STOPWORDS[code]])
+        scores.append(F.struct(
+            F.size(F.filter(toks, lambda t: F.array_contains(swarr, t)))
+             .alias("hits"),
+            F.lit(code).alias("code")))
+    # array_max on (hits, code) structs: max hits, then max code — to get
+    # deterministic *lowest* code on ties we compare on (hits, reversed code)
+    best = F.array_max(F.array(*scores))
+    return df.withColumn("lang_guess", best["code"]) \
+             .withColumn("lang_hits", best["hits"].cast("long"))
+
+
+def token_counts(df: DataFrame, text_col: str = "text",
+                 group_col: str | None = None) -> DataFrame:
+    """Corpus token counting, optionally grouped (e.g. by lang)."""
+    toks = F.size(tokens(F.col(text_col))).cast("long")
+    if group_col is None:
+        return df.select(F.sum(toks).alias("total_tokens"))
+    return (df.groupBy(group_col)
+              .agg(F.sum(toks).cast("long").alias("total_tokens")))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out_col: str = "fp") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized token
+    stream (whitespace-/case-insensitive content hash)."""
+    toks = tokens(F.col(text_col))
+    return df.withColumn(out_col, F.md5(F.concat_ws(" ", toks)))
+
+
+def bpe_ish_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Approximate BPE token count with a GPT-2-style pre-tokenizer regex:
+    words, numbers, punctuation runs, whitespace collapsed.  Counts
+    sub-word-ish units without a vocab (len/4 is the usual fallback; this
+    regex splits far closer to real BPE segmentations)."""
+    pattern = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+    units = F.expr(
+        f"size(filter(regexp_extract_all({text_col}, '{pattern}', 0),"
+        f" x -> x != ''))")
+    return df.withColumn("bpe_tokens", units.cast("long"))

@@ -1,0 +1,592 @@
+"""The declared query catalog: SURVEY.md §2 inventory as runnable queries.
+
+Each entry is ``name → (spark_fn, oracle_sql | None)``:
+
+* ``spark_fn(spark, sf_dir) → DataFrame`` — the engine path (graph fetch /
+  operator / SQL escape hatch).
+* ``oracle_sql`` — ANSI SQL DuckDB runs on the raw parquet views
+  (``region nation customer supplier part orders lineitem events documents
+  embeddings``) producing the same rows, column names, and types.  ``None``
+  for non-SQL-expressible ops (iterative algorithms) → driver records a
+  rows-only check.
+
+Determinism ground rules (why the SQL looks the way it does):
+* money/value sums go through DECIMAL(18,2) (order-independent, exact) and
+  are cast to DOUBLE at the very end on both sides;
+* top-k queries carry a uid/id tiebreak so the selected row set is unique;
+* md5 is the portable hash (same hex in Spark and DuckDB);
+* the tokenizer is lower + split on non-alphanumeric in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup, graph_algos, similarity, text
+from .sources.tpch_graph import load_tables, tpch_graph
+from .streaming.windows import sessionize, tumbling_counts
+
+# --------------------------------------------------------------------------
+# helpers
+
+_NODE_KINDS_SQL = """
+SELECT 'Region' AS kind, COUNT(*) AS n FROM region
+UNION ALL SELECT 'Nation', COUNT(*) FROM nation
+UNION ALL SELECT 'Customer', COUNT(*) FROM customer
+UNION ALL SELECT 'Supplier', COUNT(*) FROM supplier
+UNION ALL SELECT 'Part', COUNT(*) FROM part
+UNION ALL SELECT 'Order', COUNT(*) FROM orders
+UNION ALL SELECT 'Document', COUNT(*) FROM documents
+UNION ALL SELECT 'User', COUNT(DISTINCT user_id) FROM events
+UNION ALL SELECT 'Event', COUNT(*) FROM events
+"""
+
+_EDGE_KINDS_SQL = """
+SELECT 'InRegion' AS kind, COUNT(*) AS n FROM nation
+UNION ALL SELECT 'FromNation', COUNT(*) FROM customer
+UNION ALL SELECT 'LocatedIn', COUNT(*) FROM supplier
+UNION ALL SELECT 'Placed', COUNT(*) FROM orders
+UNION ALL SELECT 'Contains', COUNT(*) FROM lineitem
+UNION ALL SELECT 'SuppliedBy', COUNT(*) FROM lineitem
+UNION ALL SELECT 'Did', COUNT(*) FROM events
+"""
+
+_TOKENIZE_DUCK = "string_split_regex(lower({col}), '[^a-z0-9]+')"
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark, sf_dir):
+    return load_tables(spark, sf_dir)["events"]
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _register_raw(spark, sf_dir):
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+# --------------------------------------------------------------------------
+# graph-core queries (SURVEY §2.1-§2.8 over the FIXTURES §5 encoding)
+
+def q_node_kind_counts(spark, sf_dir):
+    """S14 stats: node totals per kind."""
+    g = tpch_graph(spark, sf_dir)
+    return g.nodes_df.groupBy("kind").agg(F.count("*").alias("n"))
+
+
+def q_edge_kind_counts(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    return g.edges_df.groupBy("kind").agg(F.count("*").alias("n"))
+
+
+def q_filter_json(spark, sf_dir):
+    """P3/P4: JSON-path predicate on a node scan."""
+    g = tpch_graph(spark, sf_dir)
+    return g.fetch("(c:Customer)", 'c.data.c_mktsegment = "BUILDING"',
+                   as_df=True).select("uid")
+
+
+def q_filter_glob(spark, sf_dir):
+    """C2: GLOB translation (case-sensitive wildcard match)."""
+    g = tpch_graph(spark, sf_dir)
+    return g.fetch("(c:Customer)", "c.uid GLOB 'Customer:1?'",
+                   as_df=True).select("uid")
+
+
+def q_one_hop(spark, sf_dir):
+    """J1: node-edge-node equi-join with JSON predicate + typed extra."""
+    g = tpch_graph(spark, sf_dir)
+    return g.fetch(
+        "(c:Customer) -(e:Placed)> [o:Order,total]",
+        "CAST(o.data.o_totalprice AS DOUBLE) > 300000",
+        total="CAST(o.data.o_totalprice AS DOUBLE)",
+        as_df=True).select("uid", "total")
+
+
+def q_two_hop(spark, sf_dir):
+    """J3: 2-hop chain with leftward edges (region → its customers)."""
+    g = tpch_graph(spark, sf_dir)
+    return g.fetch(
+        "(r:Region) <(ir:InRegion)- (n:Nation) <(fn:FromNation)- [c:Customer]",
+        'r.data.r_name = "ASIA"', as_df=True).select("uid")
+
+
+def q_three_hop(spark, sf_dir):
+    """J3: customer→order→part chain, DISTINCT-by-uid collect (A3)."""
+    g = tpch_graph(spark, sf_dir)
+    return g.fetch(
+        "[c:Customer] -(pl:Placed)> (o:Order) -(ct:Contains)> (p:Part)",
+        "CAST(p.data.p_size AS INT) = 10", as_df=True).select("uid").distinct()
+
+
+def q_group_count(spark, sf_dir):
+    """A2: GROUP BY with aggregate extra (orders per customer)."""
+    g = tpch_graph(spark, sf_dir)
+    return g.fetch(
+        "[c:Customer,ordercount] -(pl:Placed)> (o:Order)",
+        GROUP="c.uid", ordercount="COUNT(o.uid)",
+        as_df=True).select("uid", "ordercount")
+
+
+def q_order_limit(spark, sf_dir):
+    """O1+O2: top-10 orders by totalprice (uid tiebreak)."""
+    g = tpch_graph(spark, sf_dir)
+    return g.fetch(
+        "[o:Order,total]",
+        ORDER="total DESC, uid ASC", LIMIT=10,
+        total="CAST(o.data.o_totalprice AS DOUBLE)",
+        as_df=True).select("uid", "total")
+
+
+def q_count_distinct(spark, sf_dir):
+    """A1: COUNT(DISTINCT uid) of customers having orders."""
+    g = tpch_graph(spark, sf_dir)
+    return g.fetch("[c:Customer] -(pl:Placed)> (o:Order)",
+                   COUNT=True, as_df=True)
+
+
+def q_traverse_out(spark, sf_dir):
+    """J9: set-anchored frontier traversal as ONE join (users 0-4 → their
+    events)."""
+    g = tpch_graph(spark, sf_dir)
+    frontier = spark.createDataFrame(
+        [(f"User:{i}",) for i in range(5)], "uid string")
+    hit = (g.edges_df.where(F.col("kind") == "Did")
+           .join(frontier.withColumnRenamed("uid", "startuid"), "startuid")
+           .select(F.col("enduid").alias("uid")).distinct())
+    return hit
+
+
+def q_degree_supplier(spark, sf_dir):
+    """A5: both-direction degree per supplier node."""
+    g = tpch_graph(spark, sf_dir)
+    deg = graph_algos.degrees(g.edges_df, "both")
+    return deg.where(F.col("uid").startswith("Supplier:"))
+
+
+def q_set_difference(spark, sf_dir):
+    """U3: customers with no orders (anti-join difference on uid)."""
+    g = tpch_graph(spark, sf_dir)
+    cust = g.fetch("(c:Customer)", as_df=True).select("uid")
+    with_orders = (g.edges_df.where(F.col("kind") == "Placed")
+                   .select(F.col("startuid").alias("uid")))
+    return cust.join(with_orders, "uid", "left_anti")
+
+
+def q_set_intersection(spark, sf_dir):
+    """U2: BUILDING-segment ∩ acctbal>5000 (semi-join on uid)."""
+    g = tpch_graph(spark, sf_dir)
+    a = g.fetch("(c:Customer)", 'c.data.c_mktsegment = "BUILDING"',
+                as_df=True).select("uid")
+    b = g.fetch("(c:Customer)", "CAST(c.data.c_acctbal AS DOUBLE) > 5000",
+                as_df=True).select("uid")
+    return a.join(b, "uid", "left_semi")
+
+
+def q_fts_term(spark, sf_dir):
+    """F2: FTS term match over Document.text."""
+    g = tpch_graph(spark, sf_dir)
+    g.resetfts(nodefields=["text"])
+    return g.fetch("(d:Document)", d_fts="data", as_df=True).select("uid")
+
+
+def q_fts_prefix(spark, sf_dir):
+    """F2: FTS prefix match ``quer*``."""
+    g = tpch_graph(spark, sf_dir)
+    g.resetfts(nodefields=["text"])
+    return g.fetch("(d:Document)", d_fts="quer*", as_df=True).select("uid")
+
+
+def q_fts_and(spark, sf_dir):
+    """F2: implicit-AND of two terms."""
+    g = tpch_graph(spark, sf_dir)
+    g.resetfts(nodefields=["text"])
+    return g.fetch("(d:Document)", d_fts="data query", as_df=True).select("uid")
+
+
+def q_sql_escape_hatch(spark, sf_dir):
+    """S13: raw SQL over the graph views (edge-kind histogram of
+    high-quantity Contains edges)."""
+    g = tpch_graph(spark, sf_dir)
+    return g.sql("""
+        SELECT count(*) AS n
+        FROM edges e
+        WHERE e.kind = 'Contains'
+          AND CAST(get_json_object(e.props, '$.l_quantity') AS DOUBLE) > 45
+    """)
+
+
+# --------------------------------------------------------------------------
+# relational headliners (scale/bench anchors; S13 spark.sql parity)
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01 00:00:00'
+  AND l_shipdate < '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+_Q3ISH_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q1(spark, sf_dir):
+    _register_raw(spark, sf_dir)
+    return spark.sql(_Q1_SQL)
+
+
+def q_tpch_q6(spark, sf_dir):
+    _register_raw(spark, sf_dir)
+    return spark.sql(_Q6_SQL)
+
+
+def q_orders_by_segment(spark, sf_dir):
+    _register_raw(spark, sf_dir)
+    return spark.sql(_Q3ISH_SQL)
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline extensions (SURVEY §7.3)
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup on content fingerprint (normalized token stream).
+
+    Emits every fingerprint group (not just dups) so the oracle hash-checks
+    the md5 fingerprints themselves — a far stronger parity signal than an
+    empty dup list."""
+    docs = text.fingerprint(_docs(spark, sf_dir))
+    return docs.groupBy("fp").agg(F.count("*").alias("n_dups"),
+                                  F.min("doc_id").alias("keep_id"))
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pairs (single-hash band, md5)."""
+    docs = _docs(spark, sf_dir)
+    sig = dedup.minhash_signature(docs, num_hashes=1)
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("sig0"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("sig0").alias("s2"))
+    return (a.join(b, (F.col("sig0") == F.col("s2")) &
+                   (F.col("id_a") < F.col("id_b")))
+            .select("id_a", "id_b"))
+
+
+def q_text_stats(spark, sf_dir):
+    """Per-doc token/char stats (JVM-side tokenizer)."""
+    return text.with_text_stats(_docs(spark, sf_dir)) \
+        .select("doc_id", "n_tokens", "n_chars_obs")
+
+
+def q_token_count_by_lang(spark, sf_dir):
+    return (text.token_counts(_docs(spark, sf_dir), group_col="lang")
+            .select("lang", "total_tokens"))
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality signal as exact integer counts (n_stopwords / n_tokens) —
+    integer outputs avoid cross-engine float-rounding divergence; the
+    ratio form lives in operators.text.quality_score."""
+    from .operators.text import STOPWORDS, tokens
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    swarr = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.array_contains(swarr, t)))
+         .cast("long").alias("n_stopwords"),
+        F.size(toks).cast("long").alias("n_tokens"))
+
+
+def q_knn_cosine(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors of vec_id=0 (deterministic
+    sequential-fold arithmetic, rounded to 1e-6)."""
+    emb = _emb(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    top = similarity.cosine_topk(emb, list(qv), k=5, exclude_ids=[0])
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_events_window(spark, sf_dir):
+    """Event-time tumbling window (1 h) counts+sums per type.
+
+    Window start emitted as epoch seconds (double) — timestamp objects
+    round-trip differently across engines; epoch doubles don't."""
+    out = tumbling_counts(_events(spark, sf_dir), "1 hour")
+    return out.select(F.col("wstart").cast("double").alias("wstart"),
+                      "event_type", "n", "total")
+
+
+def q_sessionize(spark, sf_dir):
+    """30-min-gap sessionization per user (lag + cumsum windows)."""
+    return sessionize(_events(spark, sf_dir), gap_minutes=30)
+
+
+def q_connected_components(spark, sf_dir):
+    """Iterative label propagation on the Nation/Region subgraph.
+    Non-SQL-expressible (iterative) → rows-only oracle."""
+    g = tpch_graph(spark, sf_dir)
+    nodes = g.nodes_df.where(F.col("kind").isin("Nation", "Region"))
+    edges = g.edges_df.where(F.col("kind") == "InRegion")
+    return graph_algos.connected_components(nodes, edges, max_iter=6)
+
+
+def q_pagerank_top10(spark, sf_dir):
+    """PageRank over the Placed/Contains graph — rows-only oracle
+    (iterative float algorithm)."""
+    g = tpch_graph(spark, sf_dir)
+    nodes = g.nodes_df.where(F.col("kind").isin("Customer", "Order", "Part"))
+    edges = g.edges_df.where(F.col("kind").isin("Placed", "Contains"))
+    pr = graph_algos.pagerank(nodes, edges, iters=5)
+    return (pr.orderBy(F.col("rank").desc(), F.col("uid")).limit(10)
+            .select("uid"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-column plumbing: Arrow-batched mapInPandas feature extraction
+    over payload bytes (deterministic fake decoder) — rows-only oracle
+    (Python-side md5-derived dims are not cleanly SQL-portable)."""
+    from .operators.multimodal import documents_as_media, extract_features
+    media = documents_as_media(_docs(spark, sf_dir))
+    return extract_features(media).select("media_id", "width", "height")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (xxhash64 bit votes) — rows-only oracle
+    (xxhash64 isn't available in DuckDB)."""
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN probe for vec_id=0 — rows-only oracle (bucket
+    structure is engine-internal)."""
+    emb = _emb(spark, sf_dir)
+    qv = list(emb.where(F.col("vec_id") == 0)
+              .select("embedding").collect()[0][0])
+    indexed, planes = similarity.ann_index(emb, dim=len(qv), bits=6)
+    top = similarity.ann_topk(indexed, planes, qv, k=5)
+    return (top.where(F.col("vec_id") != 0)
+            .select("vec_id", F.round("cosine", 6).alias("cosine")))
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect-compatible ANSI)
+
+ORACLES: dict[str, str | None] = {
+    "node_kind_counts": _NODE_KINDS_SQL,
+    "edge_kind_counts": _EDGE_KINDS_SQL,
+    "filter_json": (
+        "SELECT 'Customer:' || CAST(c_custkey AS VARCHAR) AS uid "
+        "FROM customer WHERE c_mktsegment = 'BUILDING'"),
+    "filter_glob": (
+        "SELECT uid FROM (SELECT 'Customer:' || CAST(c_custkey AS VARCHAR) "
+        "AS uid FROM customer) WHERE uid GLOB 'Customer:1?'"),
+    "one_hop": (
+        "SELECT 'Order:' || CAST(o_orderkey AS VARCHAR) AS uid, "
+        "o_totalprice AS total FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE o_totalprice > 300000"),
+    "two_hop": (
+        "SELECT 'Customer:' || CAST(c_custkey AS VARCHAR) AS uid "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'"),
+    "three_hop": (
+        "SELECT DISTINCT 'Customer:' || CAST(c_custkey AS VARCHAR) AS uid "
+        "FROM customer JOIN orders ON o_custkey = c_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN part ON p_partkey = l_partkey WHERE p_size = 10"),
+    "group_count": (
+        "SELECT 'Customer:' || CAST(o_custkey AS VARCHAR) AS uid, "
+        "COUNT(*) AS ordercount FROM orders GROUP BY o_custkey"),
+    "order_limit": (
+        "SELECT 'Order:' || CAST(o_orderkey AS VARCHAR) AS uid, "
+        "o_totalprice AS total FROM orders "
+        "ORDER BY total DESC, uid ASC LIMIT 10"),
+    "count_distinct": (
+        "SELECT COUNT(DISTINCT o_custkey) AS n FROM orders"),
+    "traverse_out": (
+        "SELECT DISTINCT 'Event:' || CAST(event_id AS VARCHAR) AS uid "
+        "FROM events WHERE user_id < 5"),
+    "degree_supplier": (
+        "SELECT 'Supplier:' || CAST(s.s_suppkey AS VARCHAR) AS uid, "
+        "CAST(1 + COALESCE(li.cnt, 0) AS BIGINT) AS degree "
+        "FROM supplier s LEFT JOIN (SELECT l_suppkey, COUNT(*) AS cnt "
+        "FROM lineitem GROUP BY l_suppkey) li ON s.s_suppkey = li.l_suppkey"),
+    "set_difference": (
+        "SELECT 'Customer:' || CAST(c_custkey AS VARCHAR) AS uid "
+        "FROM customer WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders)"),
+    "set_intersection": (
+        "SELECT 'Customer:' || CAST(c_custkey AS VARCHAR) AS uid "
+        "FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000"),
+    "fts_term": (
+        "SELECT 'Document:' || CAST(doc_id AS VARCHAR) AS uid "
+        "FROM documents WHERE list_contains("
+        + _TOKENIZE_DUCK.format(col="text") + ", 'data')"),
+    "fts_prefix": (
+        "SELECT 'Document:' || CAST(doc_id AS VARCHAR) AS uid "
+        "FROM documents WHERE len(list_filter("
+        + _TOKENIZE_DUCK.format(col="text") + ", x -> x LIKE 'quer%')) > 0"),
+    "fts_and": (
+        "SELECT 'Document:' || CAST(doc_id AS VARCHAR) AS uid "
+        "FROM documents WHERE list_contains("
+        + _TOKENIZE_DUCK.format(col="text") + ", 'data') AND list_contains("
+        + _TOKENIZE_DUCK.format(col="text") + ", 'query')"),
+    "sql_escape_hatch": (
+        "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 45"),
+    "tpch_q1": _Q1_SQL,
+    "tpch_q6": _Q6_SQL,
+    "orders_by_segment": _Q3ISH_SQL,
+    "dedup_exact": (
+        "SELECT md5(array_to_string(list_filter("
+        + _TOKENIZE_DUCK.format(col="text") + ", x -> x != ''), ' ')) AS fp, "
+        "COUNT(*) AS n_dups, MIN(doc_id) AS keep_id "
+        "FROM documents GROUP BY fp"),
+    "minhash_pairs": """
+        WITH toks AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '') AS ws
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, list_min(list_transform(range(1, len(ws)-1),
+                i -> md5('0:' || ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+                AS mh
+          FROM toks WHERE len(ws) >= 3
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.mh = b.mh AND a.doc_id < b.doc_id
+    """,
+    "text_stats": (
+        "SELECT doc_id, CAST(len(list_filter("
+        + _TOKENIZE_DUCK.format(col="text") + ", x -> x != '')) AS BIGINT) "
+        "AS n_tokens, CAST(length(text) AS BIGINT) AS n_chars_obs "
+        "FROM documents"),
+    "token_count_by_lang": (
+        "SELECT lang, CAST(SUM(len(list_filter("
+        + _TOKENIZE_DUCK.format(col="text") + ", x -> x != ''))) AS BIGINT) "
+        "AS total_tokens FROM documents GROUP BY lang"),
+    "quality_score": """
+        SELECT doc_id,
+          CAST(len(list_filter(
+            string_split_regex(lower(text),'[^a-z0-9]+'),
+            x -> list_contains(['the','a','of','and','to','in','is','for',
+                                'on','with'], x))) AS BIGINT) AS n_stopwords,
+          CAST(len(list_filter(
+            string_split_regex(lower(text),'[^a-z0-9]+'),
+            x -> x != '')) AS BIGINT) AS n_tokens
+        FROM documents
+    """,
+    "knn_cosine": """
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT e.vec_id,
+            list_sum(list_transform(range(1, len(e.embedding)+1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(range(1, len(q.qe)+1),
+                 i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                 i -> CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(e.embedding[i] AS DOUBLE)))))
+            AS cos
+          FROM embeddings e, q WHERE e.vec_id != 0
+        )
+        SELECT vec_id, round(cos, 6) AS cosine
+        FROM scored ORDER BY cos DESC, vec_id LIMIT 5
+    """,
+    "events_window": """
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS DOUBLE) AS wstart,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2
+    """,
+    "sessionize": """
+        WITH g AS (
+          SELECT user_id, ts,
+            CASE WHEN (CAST(epoch_us(ts) AS DOUBLE)
+                     - CAST(epoch_us(LAG(ts) OVER
+                 (PARTITION BY user_id ORDER BY ts)) AS DOUBLE)) / 1e6 > 1800
+                 THEN 1 ELSE 0 END AS brk
+          FROM events
+        ), s AS (
+          SELECT user_id,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sess
+          FROM g
+        )
+        SELECT user_id, CAST(MAX(sess) + 1 AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id
+    """,
+    # iterative / engine-internal → rows-only checks
+    "connected_components": None,
+    "pagerank_top10": None,
+    "multimodal_features": None,
+    "simhash_pairs": None,
+    "ann_lsh_topk": None,
+}
+
+QUERIES = {
+    "node_kind_counts": q_node_kind_counts,
+    "edge_kind_counts": q_edge_kind_counts,
+    "filter_json": q_filter_json,
+    "filter_glob": q_filter_glob,
+    "one_hop": q_one_hop,
+    "two_hop": q_two_hop,
+    "three_hop": q_three_hop,
+    "group_count": q_group_count,
+    "order_limit": q_order_limit,
+    "count_distinct": q_count_distinct,
+    "traverse_out": q_traverse_out,
+    "degree_supplier": q_degree_supplier,
+    "set_difference": q_set_difference,
+    "set_intersection": q_set_intersection,
+    "fts_term": q_fts_term,
+    "fts_prefix": q_fts_prefix,
+    "fts_and": q_fts_and,
+    "sql_escape_hatch": q_sql_escape_hatch,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q6": q_tpch_q6,
+    "orders_by_segment": q_orders_by_segment,
+    "dedup_exact": q_dedup_exact,
+    "minhash_pairs": q_minhash_pairs,
+    "text_stats": q_text_stats,
+    "token_count_by_lang": q_token_count_by_lang,
+    "quality_score": q_quality_score,
+    "knn_cosine": q_knn_cosine,
+    "events_window": q_events_window,
+    "sessionize": q_sessionize,
+    "connected_components": q_connected_components,
+    "pagerank_top10": q_pagerank_top10,
+    "multimodal_features": q_multimodal_features,
+    "simhash_pairs": q_simhash_pairs,
+    "ann_lsh_topk": q_ann_lsh_topk,
+}

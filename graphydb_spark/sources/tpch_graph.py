@@ -26,8 +26,15 @@ TABLE_NAMES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
-            for t in TABLE_NAMES}
+    # events.parquet carries TIMESTAMP(NANOS) which Spark only reads as a
+    # long behind this legacy flag; normalize to a µs timestamp (same
+    # truncation DuckDB applies when it reads ns parquet natively)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+           for t in TABLE_NAMES}
+    out["events"] = out["events"].withColumn(
+        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    return out
 
 
 def _uid(kind: str, key_col) -> F.Column:
@@ -86,7 +93,7 @@ def encode_nodes(t: dict[str, DataFrame]) -> DataFrame:
               {"o_orderkey": c("o_orderkey"), "o_custkey": c("o_custkey"),
                "o_orderstatus": c("o_orderstatus"),
                "o_totalprice": c("o_totalprice"),
-               "o_orderdate": c("o_orderdate").cast("double"),
+               "o_orderdate": c("o_orderdate").cast("timestamp").cast("double"),
                "o_orderpriority": c("o_orderpriority")}),
         _node(t["documents"], "Document", "doc_id",
               {"doc_id": c("doc_id"), "text": c("text"), "lang": c("lang"),
@@ -105,17 +112,28 @@ def encode_nodes(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def encode_edges(t: dict[str, DataFrame]) -> DataFrame:
+    from pyspark.sql import Window as W
     c = F.col
-    li = t["lineitem"]
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic fixtures —
+    # disambiguate with a deterministic row_number so edge uids stay unique
+    # (uid uniqueness is a storage invariant, graphydb.py:1019-1044).
+    # One window shuffle at encode time; ordering by the remaining columns
+    # makes the assignment reproducible.
+    li = t["lineitem"].withColumn(
+        "_rn", F.row_number().over(
+            W.partitionBy("l_orderkey", "l_linenumber")
+             .orderBy("l_partkey", "l_suppkey", "l_quantity",
+                      "l_extendedprice", "l_discount", "l_tax", "l_shipdate")))
     li_uid_tail = F.concat(c("l_orderkey").cast("string"), F.lit(":"),
-                           c("l_linenumber").cast("string"))
+                           c("l_linenumber").cast("string"), F.lit(":"),
+                           c("_rn").cast("string"))
     li_props = {
         "l_orderkey": c("l_orderkey"), "l_partkey": c("l_partkey"),
         "l_suppkey": c("l_suppkey"), "l_linenumber": c("l_linenumber"),
         "l_quantity": c("l_quantity"), "l_extendedprice": c("l_extendedprice"),
         "l_discount": c("l_discount"), "l_tax": c("l_tax"),
         "l_returnflag": c("l_returnflag"), "l_linestatus": c("l_linestatus"),
-        "l_shipdate": c("l_shipdate").cast("double"),
+        "l_shipdate": c("l_shipdate").cast("timestamp").cast("double"),
     }
     parts = [
         _edge(t["nation"], "InRegion",

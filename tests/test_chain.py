@@ -1,0 +1,77 @@
+"""Parser/compiler unit tests (no Spark session needed)."""
+
+import pytest
+
+from graphydb_spark.chain import (compile_fetch_sql, glob_to_rlike,
+                                  parse_chain, rewrite_expr,
+                                  rewrite_json_paths)
+from graphydb_spark.items import GraphydbError
+
+
+def test_parse_simple_node():
+    links = parse_chain("(n)")
+    assert len(links) == 1
+    assert links[0].alias == "n" and links[0].ltype == "node"
+    assert links[0].collect  # right-most collects by default
+
+
+def test_parse_kinds_and_collect():
+    links = parse_chain("[p:Person,strength] -(e:Drinks)> (d:Drink)")
+    p, e, d = links
+    assert (p.alias, p.kind, p.collect, p.extras) == ("p", "Person", True,
+                                                      ["strength"])
+    assert (e.alias, e.ltype, e.kind) == ("e", "redge", "Drinks")
+    assert (d.alias, d.kind, d.collect) == ("d", "Drink", False)
+
+
+def test_parse_left_edge():
+    links = parse_chain("(a) <(e)- (b)")
+    assert links[1].ltype == "ledge"
+
+
+def test_parse_edge_only():
+    links = parse_chain("-(e)>")
+    assert links[0].is_edge and links[0].collect
+
+
+def test_parse_errors():
+    with pytest.raises(GraphydbError):
+        parse_chain("(n) (m)")          # two adjacent nodes
+    with pytest.raises(GraphydbError):
+        parse_chain("(n) -(e)> (n)")    # duplicate alias
+    with pytest.raises(GraphydbError):
+        parse_chain("[a] -(e)> [b]")    # two collect links
+    with pytest.raises(GraphydbError):
+        parse_chain("-(e> (n)")         # malformed token
+
+
+def test_json_rewrite_nested():
+    assert rewrite_json_paths("n.data.a.b = 1") == \
+        "get_json_object(n.props, '$.a.b') = 1"
+
+
+def test_glob_rewrite():
+    out = glob_to_rlike("n.uid GLOB 'B?b*'")
+    assert "RLIKE" in out and "B" in out
+
+
+def test_group_concat_rewrite():
+    out = rewrite_expr("GROUP_CONCAT(n.data.name)")
+    assert out.startswith("array_join(sort_array(collect_list(")
+
+
+def test_compile_join_directions():
+    sql = compile_fetch_sql(parse_chain("(a) -(e)> (b)"), "N", "E")
+    assert "e.startuid = a.uid" in sql and "b.uid = e.enduid" in sql
+    sql = compile_fetch_sql(parse_chain("(a) <(e)- (b)"), "N", "E")
+    assert "e.enduid = a.uid" in sql and "b.uid = e.startuid" in sql
+
+
+def test_compile_count():
+    sql = compile_fetch_sql(parse_chain("(n)"), "N", "E", count=True)
+    assert "COUNT(DISTINCT n.uid)" in sql
+
+
+def test_extras_must_have_expression():
+    with pytest.raises(GraphydbError):
+        compile_fetch_sql(parse_chain("[n,x]"), "N", "E")

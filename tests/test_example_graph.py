@@ -1,0 +1,119 @@
+"""Port of ExampleGraphTests: change log, guarded delete, undo
+(/root/reference/tests/test_graphdb.py:210-281, FIXTURES.md §3)."""
+
+import pytest
+
+from graphydb_spark import Graph, GraphydbError
+
+from .conftest import build_example_graph
+
+
+@pytest.fixture()
+def eg(graph):
+    items = build_example_graph(graph)
+    return graph, items
+
+
+def test_change_log_count(eg):
+    """11 creation change records after setup (tests/test_graphdb.py:242-244)."""
+    g, _ = eg
+    assert g.nchanges == 11
+
+
+def test_guarded_delete_raises(eg):
+    g, it = eg
+    with pytest.raises(GraphydbError):
+        it["bob"].delete()          # bob still has edges
+
+
+def test_json_predicate_query(eg):
+    g, _ = eg
+    res = g.fetch("[p:Person,strength] -(e:Drinks)> (d:Drink)",
+                  'd.data.sort = "Coffee"', strength="e.data.strength")
+    by_name = {n["name"]: n["_strength"] for n in res}
+    assert set(by_name) == {"Anne", "Bob", "Charlie"}
+    assert by_name["Anne"] == "strong"
+
+
+def test_numeric_json_predicate(eg):
+    g, _ = eg
+    res = g.fetch("(p:Person)", "p.data.age > 21")
+    assert sorted(n["name"] for n in res) == ["Anne", "Charlie"]
+
+
+def test_undo_modify(eg):
+    g, it = eg
+    anne = it["anne"]
+    anne["age"] = 23
+    anne.save()
+    assert g.nchanges == 12
+    g.undo()
+    assert g.nchanges == 11
+    assert g.getuid(anne.uid)["age"] == 22
+
+
+def test_undo_add_node(eg):
+    g, _ = eg
+    extra = g.Node("Person", name="Temp").save()
+    assert g.exists(extra.uid)
+    g.undo()
+    assert not g.exists(extra.uid)
+    assert g.nchanges == 11
+
+
+def test_undo_add_edge(eg):
+    g, it = eg
+    e = g.Edge(it["anne"], "Likes", it["charlie"]).save()
+    assert g.fetch("-(e:Likes)>", COUNT=True) == 3
+    g.undo()
+    assert g.fetch("-(e:Likes)>", COUNT=True) == 2
+    assert not g.exists(e.uid)
+
+
+def test_undo_delete_edge(eg):
+    g, _ = eg
+    edge = g.fetch("-(e:Likes)>").one()
+    edge.delete()
+    assert g.fetch("-(e:Likes)>", COUNT=True) == 1
+    g.undo()
+    assert g.fetch("-(e:Likes)>", COUNT=True) == 2
+
+
+def test_undo_cascade_delete(eg):
+    """Disconnect-delete groups all its changes into one batch; a single
+    undo restores node and incident edges (tests/test_graphdb.py:250-281)."""
+    g, it = eg
+    bob = it["bob"]
+    before = g.stats
+    bob.delete(disconnect=True)
+    s = g.stats
+    assert s["nodes"] == before["nodes"] - 1
+    assert s["edges"] == before["edges"] - 4   # 2 Likes->bob + 2 bob Drinks
+    g.undo()
+    s2 = g.stats
+    assert s2["nodes"] == before["nodes"] and s2["edges"] == before["edges"]
+    assert g.getuid(bob.uid)["nickname"] == "Bobby"
+
+
+def test_edge_endpoint_check(eg):
+    g, _ = eg
+    with pytest.raises(GraphydbError):
+        g.Edge("NOSUCHUID1", "Likes", "NOSUCHUID2").save()
+
+
+def test_settings_cache_roundtrip(graph):
+    """SimpleTests parity (tests/test_graphdb.py:11-25)."""
+    graph.savesetting("k", {"a": [1, 2], "b": "x"})
+    assert graph.getsetting("k") == {"a": [1, 2], "b": "x"}
+    assert graph.getsetting("missing", 42) == 42
+    graph.cache("ck", [1, "two"])
+    assert graph.cached("ck") == [1, "two"]
+    with pytest.raises(KeyError):
+        graph.cached("nope")
+
+
+def test_copy_new_uid(eg):
+    g, it = eg
+    anne2 = it["anne"].copy()
+    assert anne2.uid != it["anne"].uid
+    assert anne2["name"] == "Anne"
