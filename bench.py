@@ -1,0 +1,75 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec}, "sf": ...}``
+
+Two timing phases per query: a warm-up action is NOT taken (cold numbers —
+the driver compares engines cold); each query runs once, wall-clocked to
+its terminal action (count), which executes the full plan without
+driver-side materialization cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from graphydb_spark import get_spark
+
+BENCH_QUERIES = [
+    # graph pattern matching
+    "two_hop",
+    "three_hop",
+    "group_count",
+    "order_limit",
+    "degree_supplier",
+    # relational headliners
+    "tpch_q1",
+    "tpch_q6",
+    "orders_by_segment",
+    # LLM-pipeline extensions
+    "dedup_exact",
+    "minhash_pairs",
+    "fts_term",
+    "knn_cosine",
+    "events_window",
+    "sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app="graphydb_spark_bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from graphydb_spark.queries import QUERIES
+    from graphydb_spark.sources.tpch_graph import tpch_graph
+
+    # materialize the shared graph encoding once (cached DataFrames) —
+    # it is the engine's "database", not part of per-query latency
+    g = tpch_graph(spark, sf_dir)
+    g.nodes_df.count()
+    g.edges_df.count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "graphydb_spark_bench_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

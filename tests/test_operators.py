@@ -1,0 +1,177 @@
+"""Unit tests for the LLM-pipeline operators (dedup, similarity, text,
+multimodal, graph algorithms) on tiny in-line fixtures."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphydb_spark.operators import dedup, graph_algos, similarity, text
+from graphydb_spark.operators.multimodal import (documents_as_media,
+                                                 extract_features,
+                                                 frame_sample_plan)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy cat", "en"),
+        (2, "completely different content about spark engines", "en"),
+        (3, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (4, "", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2 and groups[0]["keep_id"] == 0
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    kept = {r["doc_id"] for r in dedup.dedup_exact(docs).collect()}
+    assert kept == {0, 1, 2, 4}
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "id long, text string")
+    sh = df.select(dedup.shingles(F.col("text"), 3).alias("s")).collect()[0]["s"]
+    assert sh == ["a b c", "b c d"]
+    df2 = spark.createDataFrame([(1, "a b")], "id long, text string")
+    sh2 = df2.select(dedup.shingles(F.col("text"), 3).alias("s")).collect()[0]["s"]
+    assert sh2 == []
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.minhash_lsh_pairs(docs, num_hashes=8,
+                                              bands=4).collect()}
+    assert (0, 3) in pairs          # exact dup always collides
+    assert (0, 1) in pairs          # 1-word-different near dup
+    assert not any({a, b} == {0, 2} for a, b in pairs)
+
+
+def test_jaccard_verify(docs, spark):
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 3)],
+                                  "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.jaccard_verify(docs, pairs, threshold=0.0).collect()}
+    assert out[(0, 3)] == 1.0
+    assert 0.0 < out[(0, 1)] < 1.0
+    assert out[(0, 2)] == 0.0
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_near_pairs(docs, max_hamming=10).collect()}
+    assert pairs[(0, 3)] == 0       # identical text → identical simhash
+
+
+def test_cosine_topk(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = similarity.cosine_topk(emb, [1.0, 0.0], k=2, exclude_ids=[0]).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]
+    assert abs(top[0]["cosine"] - 0.9 / math.hypot(0.9, 0.1)) < 1e-12
+
+
+def test_ann_finds_planted_neighbors(spark):
+    """LSH ANN recall on *planted* near-neighbors (the near-dup workload):
+    5 small perturbations of the query must mostly land in probed
+    buckets.  (On pure-random vectors LSH recall is legitimately poor —
+    that's not the workload.)"""
+    import random
+    rng = random.Random(7)
+    dim = 16
+    q = [rng.gauss(0, 1) for _ in range(dim)]
+    rows = [(i, [v + rng.gauss(0, 0.05) for v in q]) for i in range(5)]
+    rows += [(i, [rng.gauss(0, 1) for _ in range(dim)])
+             for i in range(5, 200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = [r["vec_id"] for r in
+             similarity.cosine_topk(emb, q, k=5).collect()]
+    assert set(exact) == {0, 1, 2, 3, 4}
+    indexed, planes = similarity.ann_index(emb, dim=dim, bits=4, seed=1)
+    approx = [r["vec_id"] for r in
+              similarity.ann_topk(indexed, planes, q, k=5).collect()]
+    assert len(set(exact) & set(approx)) >= 4
+
+
+def test_text_stats(docs):
+    out = {r["doc_id"]: r for r in text.with_text_stats(docs).collect()}
+    assert out[0]["n_tokens"] == 9
+    assert out[4]["n_tokens"] == 0
+    assert out[0]["n_chars_obs"] == len("the quick brown fox jumps over the lazy dog")
+
+
+def test_language_id(spark):
+    rows = [(0, "the cat is on the mat and it is happy"),
+            (1, "der hund ist gross und die katze ist klein"),
+            (2, "el perro es grande y la casa es bonita")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["lang_guess"] for r in text.language_id(df).collect()}
+    assert out[0] == "en" and out[1] == "de" and out[2] == "es"
+
+
+def test_fingerprint_normalizes(spark):
+    rows = [(0, "Hello,   World!"), (1, "hello world"), (2, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r["doc_id"]: r["fp"] for r in text.fingerprint(df).collect()}
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_multimodal_plumbing(docs):
+    media = documents_as_media(
+        docs.withColumn("source", F.lit("s")).withColumn("n_chars", F.length("text")))
+    feats = extract_features(media).collect()
+    assert len(feats) == 5
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[0]["feat_hash"] == by_id[3]["feat_hash"]   # same payload
+    assert 64 <= by_id[0]["width"] < 64 + 1920
+    frames = frame_sample_plan(media, every_n=4).collect()
+    assert all(r["frame_idx"] % 4 == 0 for r in frames)
+
+
+def test_degrees_selfloop(spark):
+    edges = spark.createDataFrame(
+        [("e1", "A", "A"), ("e2", "A", "B")],
+        "uid string, startuid string, enduid string")
+    deg = {r["uid"]: r["degree"]
+           for r in graph_algos.degrees(edges, "both").collect()}
+    assert deg["A"] == 2    # self-loop counts once (uid-dedup), plus e2
+    assert deg["B"] == 1
+
+
+def test_connected_components(spark):
+    nodes = spark.createDataFrame(
+        [(u,) for u in "abcdef"], "uid string")
+    edges = spark.createDataFrame(
+        [("e1", "a", "b"), ("e2", "b", "c"), ("e3", "d", "e")],
+        "uid string, startuid string, enduid string")
+    cc = {r["uid"]: r["component"] for r in
+          graph_algos.connected_components(nodes, edges).collect()}
+    assert cc["a"] == cc["b"] == cc["c"] == "a"
+    assert cc["d"] == cc["e"] == "d"
+    assert cc["f"] == "f"
+
+
+def test_pagerank_sink_gets_rank(spark):
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "uid string")
+    edges = spark.createDataFrame(
+        [("e1", "a", "c"), ("e2", "b", "c")],
+        "uid string, startuid string, enduid string")
+    pr = {r["uid"]: r["rank"] for r in
+          graph_algos.pagerank(nodes, edges, iters=5).collect()}
+    assert pr["c"] > pr["a"] and pr["c"] > pr["b"]
+
+
+def test_k_hop(spark):
+    edges = spark.createDataFrame(
+        [("e1", "a", "b"), ("e2", "b", "c"), ("e3", "c", "d")],
+        "uid string, startuid string, enduid string")
+    seeds = spark.createDataFrame([("a",)], "uid string")
+    got = {r["uid"] for r in graph_algos.k_hop(edges, seeds, 2).collect()}
+    assert got == {"a", "b", "c"}

@@ -1,0 +1,62 @@
+"""Structured Streaming smoke tests (memory sink, processAllAvailable) +
+batch/stream equivalence for the windowed aggregations."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphydb_spark.streaming.windows import (sessionize,
+                                              stream_tumbling_counts,
+                                              tumbling_counts)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from graphydb_spark.sources.tpch_graph import load_tables
+    return load_tables(spark, "/root/testdata/sf0.001")["events"]
+
+
+def test_tumbling_counts_batch(events):
+    out = tumbling_counts(events, "1 hour")
+    rows = out.collect()
+    assert len(rows) > 0
+    total = sum(r["n"] for r in rows)
+    assert total == events.count()
+
+
+def test_sessionize_batch(events):
+    out = sessionize(events, gap_minutes=30)
+    rows = out.collect()
+    assert sum(r["n_events"] for r in rows) == events.count()
+    assert all(r["n_sessions"] >= 1 for r in rows)
+
+
+def test_stream_tumbling_equals_batch(spark, events, tmp_path):
+    """The streaming twin over the same rows produces the same counts —
+    append-mode with watermark closes all windows once data is exhausted
+    except the final one, so compare on complete mode."""
+    src = str(tmp_path / "events_stream")
+    events.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    agg = (spark.readStream.format("parquet").schema(schema).load(src)
+           .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+           .agg(F.count("*").alias("n"))
+           .select(F.col("w.start").alias("wstart"), "event_type", "n"))
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("t_stream_win").start())
+    try:
+        q.processAllAvailable()
+        got = {(r["wstart"], r["event_type"]): r["n"]
+               for r in spark.sql("SELECT * FROM t_stream_win").collect()}
+    finally:
+        q.stop()
+    want = {(r["wstart"], r["event_type"]): r["n"]
+            for r in tumbling_counts(events, "1 hour").collect()}
+    assert got == want
+
+
+def test_stream_helper_builds(spark, events, tmp_path):
+    src = str(tmp_path / "events_stream2")
+    events.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    agg = stream_tumbling_counts(spark, src, schema)
+    assert agg.isStreaming
