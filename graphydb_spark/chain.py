@@ -235,9 +235,16 @@ def compile_fetch_sql(
             on += f" AND {right.alias}.kind = '{right.kind}'"
         join_sql.append(f"JOIN {rel(right)} ON {on}")
 
-    # SELECT list
+    # SELECT list.  DISTINCT-by-row is the reference default (A3,
+    # graphydb.py:865,903) but on a single-link chain uid is the table's
+    # primary key, so rows are already unique — elide the dedup shuffle
+    # (same rewrite SQLite's planner would not do; on Spark it saves a
+    # full exchange+sort of the props column).
+    unique_anyway = len(links) == 1
     if count:
-        select_sql = f"COUNT(DISTINCT {collect.alias}.uid) AS n"
+        agg = f"{collect.alias}.uid" if unique_anyway \
+            else f"DISTINCT {collect.alias}.uid"
+        select_sql = f"COUNT({agg}) AS n"
     else:
         cols = EDGE_COLS if collect.is_edge else NODE_COLS
         parts = [f"{collect.alias}.{c} AS {c}" for c in cols]
@@ -248,7 +255,8 @@ def compile_fetch_sql(
                     f"expression kwarg supplied")
         for name, e in extras.items():
             parts.append(f"({rewrite_expr(str(e))}) AS {name}")
-        select_sql = ("DISTINCT " if distinct else "") + ", ".join(parts)
+        select_sql = ("DISTINCT " if distinct and not unique_anyway else "") \
+            + ", ".join(parts)
 
     # WHERE
     conds = list(conds0)

@@ -290,9 +290,12 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash-LSH near-dup candidate pairs (single-hash band, md5)."""
+    """MinHash-LSH near-dup candidate pairs (single-hash band, md5).
+
+    The signature frame is localCheckpointed before the self-join so the
+    md5-over-shingles computation runs once, not once per join side."""
     docs = _docs(spark, sf_dir)
-    sig = dedup.minhash_signature(docs, num_hashes=1)
+    sig = dedup.minhash_signature(docs, num_hashes=1).localCheckpoint()
     a = sig.select(F.col("doc_id").alias("id_a"), F.col("sig0"))
     b = sig.select(F.col("doc_id").alias("id_b"), F.col("sig0").alias("s2"))
     return (a.join(b, (F.col("sig0") == F.col("s2")) &

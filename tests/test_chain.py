@@ -68,8 +68,14 @@ def test_compile_join_directions():
 
 
 def test_compile_count():
+    # single link: uid already unique → DISTINCT elided
     sql = compile_fetch_sql(parse_chain("(n)"), "N", "E", count=True)
+    assert "COUNT(n.uid)" in sql
+    # multi link: join can fan out → DISTINCT required
+    sql = compile_fetch_sql(parse_chain("[n] -(e)> (m)"), "N", "E", count=True)
     assert "COUNT(DISTINCT n.uid)" in sql
+    sql = compile_fetch_sql(parse_chain("(n) -(e)> (m)"), "N", "E")
+    assert sql.startswith("SELECT DISTINCT")
 
 
 def test_extras_must_have_expression():
