@@ -101,7 +101,5 @@ def bpe_ish_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     sub-word-ish units without a vocab (len/4 is the usual fallback; this
     regex splits far closer to real BPE segmentations)."""
     pattern = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
-    units = F.expr(
-        f"size(filter(regexp_extract_all({text_col}, '{pattern}', 0),"
-        f" x -> x != ''))")
-    return df.withColumn("bpe_tokens", units.cast("long"))
+    units = F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)
+    return df.withColumn("bpe_tokens", F.size(units).cast("long"))

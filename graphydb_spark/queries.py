@@ -223,6 +223,111 @@ def q_sql_escape_hatch(spark, sf_dir):
     """)
 
 
+def q_offset_page(spark, sf_dir):
+    """O2+O3: pagination — second page of the totalprice ranking."""
+    g = tpch_graph(spark, sf_dir)
+    return g.fetch(
+        "[o:Order,total]",
+        ORDER="total DESC, uid ASC", LIMIT=10, OFFSET=10,
+        total="CAST(o.data.o_totalprice AS DOUBLE)",
+        as_df=True).select("uid", "total")
+
+
+def q_group_concat(spark, sf_dir):
+    """A2/C: GROUP_CONCAT rewrite (sorted, deterministic) — supplier names
+    per nation."""
+    g = tpch_graph(spark, sf_dir)
+    return g.fetch(
+        "[n:Nation,snames] <(l:LocatedIn)- (s:Supplier)",
+        GROUP="n.uid", snames="GROUP_CONCAT(s.data.s_name)",
+        as_df=True).select("uid", "snames")
+
+
+def q_theta_join(spark, sf_dir):
+    """J5: cross-link theta predicate (order worth >100× the customer's
+    balance)."""
+    g = tpch_graph(spark, sf_dir)
+    return g.fetch(
+        "(c:Customer) -(p:Placed)> [o:Order]",
+        "CAST(o.data.o_totalprice AS DOUBLE) > "
+        "100 * CAST(c.data.c_acctbal AS DOUBLE)",
+        as_df=True).select("uid")
+
+
+def q_param_bind(spark, sf_dir):
+    """P6: named parameter binding."""
+    g = tpch_graph(spark, sf_dir)
+    return g.fetch(
+        "(c:Customer)",
+        ["c.data.c_mktsegment = :seg",
+         "CAST(c.data.c_acctbal AS DOUBLE) >= :minbal"],
+        seg="MACHINERY", minbal=1000,
+        as_df=True).select("uid")
+
+
+def q_point_lookup(spark, sf_dir):
+    """S4: point lookup by uid (bound parameter)."""
+    g = tpch_graph(spark, sf_dir)
+    return g.fetch("(n)", "n.uid = :u", u="Customer:7",
+                   as_df=True).select("uid", "kind")
+
+
+def q_edge_prop_filter(spark, sf_dir):
+    """P3 on edge props: parts appearing in returned lineitems."""
+    g = tpch_graph(spark, sf_dir)
+    return g.fetch(
+        "(o:Order) -(ct:Contains)> [p:Part]",
+        'ct.data.l_returnflag = "R"',
+        as_df=True).select("uid").distinct()
+
+
+def q_fts_or(spark, sf_dir):
+    """F2: OR of two terms."""
+    g = tpch_graph(spark, sf_dir)
+    g.resetfts(nodefields=["text"])
+    return g.fetch("(d:Document)", d_fts="data OR stream",
+                   as_df=True).select("uid")
+
+
+def q_fts_not(spark, sf_dir):
+    """F2: NOT (docs with 'data' but not 'query')."""
+    g = tpch_graph(spark, sf_dir)
+    g.resetfts(nodefields=["text"])
+    return g.fetch("(d:Document)", d_fts="data NOT query",
+                   as_df=True).select("uid")
+
+
+def q_fts_field(spark, sf_dir):
+    """F2: column-restricted match ``lang: en``."""
+    g = tpch_graph(spark, sf_dir)
+    g.resetfts(nodefields=["text", "lang"])
+    return g.fetch("(d:Document)", d_fts="lang: en",
+                   as_df=True).select("uid")
+
+
+def q_sliding_window(spark, sf_dir):
+    """Sliding window (1 h window, 30 min slide) counts per type."""
+    from .streaming.windows import sliding_counts
+    out = sliding_counts(_events(spark, sf_dir), "1 hour", "30 minutes")
+    return out.select(F.col("wstart").cast("double").alias("wstart"),
+                      "event_type", "n")
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish sub-word unit counting (GPT-2-style pre-tokenizer regex)."""
+    return text.bpe_ish_token_count(_docs(spark, sf_dir)) \
+        .select("doc_id", "bpe_tokens")
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """Candidate pairs from MinHash LSH verified with exact 3-shingle
+    Jaccard (the LSH-then-verify pipeline)."""
+    docs = _docs(spark, sf_dir)
+    cand = q_minhash_pairs(spark, sf_dir)
+    out = dedup.jaccard_verify(docs, cand, threshold=0.3)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 # --------------------------------------------------------------------------
 # relational headliners (scale/bench anchors; S13 spark.sql parity)
 
@@ -549,6 +654,85 @@ ORACLES: dict[str, str | None] = {
                COUNT(*) AS n_events
         FROM s GROUP BY user_id
     """,
+    "offset_page": (
+        "SELECT 'Order:' || CAST(o_orderkey AS VARCHAR) AS uid, "
+        "o_totalprice AS total FROM orders "
+        "ORDER BY total DESC, uid ASC LIMIT 10 OFFSET 10"),
+    "group_concat": (
+        "SELECT 'Nation:' || CAST(s_nationkey AS VARCHAR) AS uid, "
+        "string_agg(s_name, ',' ORDER BY s_name) AS snames "
+        "FROM supplier GROUP BY s_nationkey"),
+    "theta_join": (
+        "SELECT 'Order:' || CAST(o_orderkey AS VARCHAR) AS uid "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "WHERE o_totalprice > 100 * c_acctbal"),
+    "param_bind": (
+        "SELECT 'Customer:' || CAST(c_custkey AS VARCHAR) AS uid "
+        "FROM customer WHERE c_mktsegment = 'MACHINERY' "
+        "AND c_acctbal >= 1000"),
+    "point_lookup": (
+        "SELECT 'Customer:7' AS uid, 'Customer' AS kind"),
+    "edge_prop_filter": (
+        "SELECT DISTINCT 'Part:' || CAST(l_partkey AS VARCHAR) AS uid "
+        "FROM lineitem WHERE l_returnflag = 'R'"),
+    "fts_or": (
+        "SELECT 'Document:' || CAST(doc_id AS VARCHAR) AS uid "
+        "FROM documents WHERE list_contains("
+        + _TOKENIZE_DUCK.format(col="text") + ", 'data') OR list_contains("
+        + _TOKENIZE_DUCK.format(col="text") + ", 'stream')"),
+    "fts_not": (
+        "SELECT 'Document:' || CAST(doc_id AS VARCHAR) AS uid "
+        "FROM documents WHERE list_contains("
+        + _TOKENIZE_DUCK.format(col="text")
+        + ", 'data') AND NOT list_contains("
+        + _TOKENIZE_DUCK.format(col="text") + ", 'query')"),
+    "fts_field": (
+        "SELECT 'Document:' || CAST(doc_id AS VARCHAR) AS uid "
+        "FROM documents WHERE lower(lang) = 'en'"),
+    "sliding_window": """
+        WITH w AS (
+          SELECT event_type,
+                 unnest([
+                   CAST(epoch(ts) AS DOUBLE) - (CAST(epoch(ts) AS DOUBLE) % 1800),
+                   CAST(epoch(ts) AS DOUBLE) - (CAST(epoch(ts) AS DOUBLE) % 1800) - 1800
+                 ]) AS wstart
+          FROM events
+        )
+        SELECT wstart, event_type, COUNT(*) AS n
+        FROM w GROUP BY wstart, event_type
+    """,
+    "bpe_token_count": (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+        "'[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+')) AS BIGINT) AS bpe_tokens "
+        "FROM documents"),
+    "jaccard_pairs": """
+        WITH toks AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '') AS ws
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, list_min(list_transform(range(1, len(ws)-1),
+                i -> md5('0:' || ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+                AS mh
+          FROM toks WHERE len(ws) >= 3
+        ), cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.mh = b.mh AND a.doc_id < b.doc_id
+        ), shd AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+          FROM toks WHERE len(ws) >= 3
+        ), scored AS (
+          SELECT id_a, id_b,
+                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                 AS j
+          FROM cand JOIN shd a ON a.doc_id = id_a
+                    JOIN shd b ON b.doc_id = id_b
+        )
+        SELECT id_a, id_b, round(j, 6) AS jaccard
+        FROM scored WHERE j >= 0.3
+    """,
     # iterative / engine-internal → rows-only checks
     "connected_components": None,
     "pagerank_top10": None,
@@ -576,6 +760,18 @@ QUERIES = {
     "fts_prefix": q_fts_prefix,
     "fts_and": q_fts_and,
     "sql_escape_hatch": q_sql_escape_hatch,
+    "offset_page": q_offset_page,
+    "group_concat": q_group_concat,
+    "theta_join": q_theta_join,
+    "param_bind": q_param_bind,
+    "point_lookup": q_point_lookup,
+    "edge_prop_filter": q_edge_prop_filter,
+    "fts_or": q_fts_or,
+    "fts_not": q_fts_not,
+    "fts_field": q_fts_field,
+    "sliding_window": q_sliding_window,
+    "bpe_token_count": q_bpe_token_count,
+    "jaccard_pairs": q_jaccard_pairs,
     "tpch_q1": q_tpch_q1,
     "tpch_q6": q_tpch_q6,
     "orders_by_segment": q_orders_by_segment,

@@ -178,17 +178,20 @@ _GRAPH_CACHE: dict = {}
 
 
 def tpch_graph(spark: SparkSession, sf_dir: str, cache: bool = True) -> Graph:
-    """Build (and memoize per session+dir) the encoded Graph."""
+    """Build (and memoize per session+dir) the encoded Graph.
+
+    The node/edge frames stay LAZY (no .persist()): each union branch
+    carries its kind as a literal, so a ``kind = 'X'`` filter constant-folds
+    every other branch to false and Catalyst prunes it — a chain query
+    scans only the parquet files it actually references.  Measured faster
+    than a materialized cache even at sf0.1, and it is the only viable
+    shape at 100 TB (partition-pruned scans, no duplicated copy).
+    """
     key = (id(spark), sf_dir)
     if cache and key in _GRAPH_CACHE:
         return _GRAPH_CACHE[key]
     t = load_tables(spark, sf_dir)
-    nodes = encode_nodes(t)
-    edges = encode_edges(t)
-    if cache:
-        nodes = nodes.persist()
-        edges = edges.persist()
-    g = Graph.from_dataframes(spark, nodes, edges)
+    g = Graph.from_dataframes(spark, encode_nodes(t), encode_edges(t))
     if cache:
         _GRAPH_CACHE[key] = g
     return g
