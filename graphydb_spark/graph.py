@@ -87,8 +87,11 @@ class Graph:
         self._gid = _GRAPH_SEQ[0]
         self.reset()
         if path is not None:
-            self._nodes_df = spark.read.parquet(f"{path}/nodes")
-            self._edges_df = spark.read.parquet(f"{path}/edges")
+            # select() restores column order (partitionBy moves kind last)
+            self._nodes_df = spark.read.parquet(f"{path}/nodes") \
+                .select(*[f.name for f in NODE_SCHEMA.fields])
+            self._edges_df = spark.read.parquet(f"{path}/edges") \
+                .select(*[f.name for f in EDGE_SCHEMA.fields])
 
     # ------------------------------------------------------------------ DDL
     def reset(self) -> None:
@@ -116,11 +119,23 @@ class Graph:
         g._edges_df = edges_df.select(*[f.name for f in EDGE_SCHEMA.fields])
         return g
 
-    def write(self, path: str, mode: str = "overwrite") -> None:
-        """Persist to a parquet directory pair (the engine's durable form)."""
+    def write(self, path: str, mode: str = "overwrite",
+              partition_by_kind: bool = True) -> None:
+        """Persist to a parquet directory pair (the engine's durable form).
+
+        ``partition_by_kind`` lays files out as ``nodes/kind=X/…`` so kind
+        filters — which the chain compiler emits for every typed link —
+        become partition pruning at the scan (the 100 TB layout; the
+        reference has no secondary index on kind at all, SURVEY.md §4.1).
+        """
         self._flush()
-        self._nodes_df.write.mode(mode).parquet(f"{path}/nodes")
-        self._edges_df.write.mode(mode).parquet(f"{path}/edges")
+        nw = self._nodes_df.write.mode(mode)
+        ew = self._edges_df.write.mode(mode)
+        if partition_by_kind:
+            nw = nw.partitionBy("kind")
+            ew = ew.partitionBy("kind")
+        nw.parquet(f"{path}/nodes")
+        ew.parquet(f"{path}/edges")
 
     # -------------------------------------------------------------- access
     @property

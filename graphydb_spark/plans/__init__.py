@@ -19,13 +19,14 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
 def plan_report(df: DataFrame) -> dict:
     """Quick scale-health signals: pushed filters, broadcast joins,
     codegen coverage."""
+    import re
     s = explain_str(df, "formatted")
     return {
         "pushed_filters": "PushedFilters: [" in s and
                           "PushedFilters: []" not in s,
         "broadcast_joins": s.count("BroadcastHashJoin"),
         "sortmerge_joins": s.count("SortMergeJoin"),
-        "codegen_stages": s.count("WholeStageCodegen"),
+        "codegen_stages": len(set(re.findall(r"codegen id : (\d+)", s))),
         "exchanges": s.count("Exchange"),
         "plan": s,
     }

@@ -1,0 +1,90 @@
+"""Storage roundtrip (partitioned parquet) + physical-plan quality gates.
+
+The plan tests are the engine's scale guardrails: they fail if a change
+stops filters reaching the parquet scan or turns a dimension join into a
+shuffle join — the regressions that stay invisible at sf0.001 and kill a
+100 TB run.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphydb_spark import Graph
+from graphydb_spark.plans import explain_str, plan_report
+
+from .conftest import build_friend_graph
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_write_open_roundtrip(spark, tmp_path):
+    g = Graph(spark)
+    build_friend_graph(g)
+    path = str(tmp_path / "gstore")
+    g.write(path)
+    g2 = Graph.open(spark, path)
+    assert g2.stats["nodes"] == 6 and g2.stats["edges"] == 10
+    assert g2.stats["edgekinds"] == {"Likes": 6, "Follows": 4}
+    # kind-partitioned layout on disk
+    import os
+    assert any(d.startswith("kind=") for d in os.listdir(f"{path}/nodes"))
+    # queries over the reopened graph behave identically
+    res = g2.fetch("(n:Person)", "n.data.name GLOB 'B*'")
+    assert [n["name"] for n in res] == ["Bob"]
+
+
+def test_kind_filter_prunes_partitions(spark, tmp_path):
+    """A typed link must reach the scan as a partition filter."""
+    g = Graph(spark)
+    build_friend_graph(g)
+    path = str(tmp_path / "gstore2")
+    g.write(path)
+    g2 = Graph.open(spark, path)
+    df = g2.fetch("-(e:Likes)>", as_df=True)
+    plan = explain_str(df)
+    assert "PartitionFilters" in plan and "Likes" in plan
+
+
+def test_predicate_pushdown_on_raw_tables(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    df = orders.select("o_orderkey").filter(F.col("o_totalprice") > 100000)
+    plan = explain_str(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(o_totalprice" in plan
+    # column pruning: the scan reads only the two referenced columns
+    assert "o_orderpriority" not in plan.split("ReadSchema")[1][:300]
+
+
+def test_chain_query_uses_broadcast_join(spark):
+    """Small dimension side of a chain join must broadcast (no shuffle of
+    the big side) — AQE/Catalyst picks it; this pins the behavior."""
+    from graphydb_spark.sources.tpch_graph import tpch_graph
+    g = tpch_graph(spark, SF, cache=False)
+    df = g.fetch(
+        "(r:Region) <(ir:InRegion)- (n:Nation) <(fn:FromNation)- [c:Customer]",
+        'r.data.r_name = "ASIA"', as_df=True)
+    rep = plan_report(df)
+    assert rep["broadcast_joins"] >= 2, rep["plan"][:2000]
+
+
+def test_union_branch_pruning(spark):
+    """kind = 'Order' over the 9-branch node union must prune every other
+    branch (constant folding of the per-branch kind literal)."""
+    from graphydb_spark.sources.tpch_graph import tpch_graph
+    g = tpch_graph(spark, SF, cache=False)
+    df = g.fetch("(o:Order)", as_df=True)
+    plan = explain_str(df)
+    # only the orders parquet remains in the scan set
+    assert "orders.parquet" in plan
+    for absent in ("customer.parquet", "lineitem.parquet", "region.parquet",
+                   "documents.parquet"):
+        assert absent not in plan, f"union branch not pruned: {absent}"
+
+
+def test_fetch_whole_stage_codegen(spark):
+    from graphydb_spark.sources.tpch_graph import tpch_graph
+    g = tpch_graph(spark, SF, cache=False)
+    df = g.fetch("(c:Customer)", "CAST(c.data.c_acctbal AS DOUBLE) > 0",
+                 as_df=True)
+    rep = plan_report(df)
+    assert rep["codegen_stages"] >= 1
