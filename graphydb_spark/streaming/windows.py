@@ -75,10 +75,50 @@ def stream_tumbling_counts(spark, source_dir: str, schema,
             .select(F.col("w.start").alias("wstart"), key_col, "n"))
 
 
-def stream_graph_upserts(spark, nodes_dir: str):
-    """Streaming ingest of node upserts in the engine's storage schema —
-    the streaming twin of Graph._flush's merge: emit latest-mtime row per
-    uid per micro-batch via foreachBatch + merge."""
-    stream = (spark.readStream.format("parquet").schema(NODE_SCHEMA)
-              .load(nodes_dir))
-    return stream
+def stream_graph_upserts(spark, source_dir: str, store_path: str,
+                         edge: bool = False,
+                         checkpoint_dir: str | None = None):
+    """Streaming ingest of node/edge upserts into a parquet graph store.
+
+    The streaming twin of ``Graph._flush``: each micro-batch keeps its
+    latest-mtime row per uid, then merges into the store with
+    last-writer-wins semantics (anti-join + union + rewrite) inside
+    ``foreachBatch``.  Returns the started StreamingQuery — caller stops
+    it.  At scale the merge would target Delta/Iceberg MERGE INTO; plain
+    parquet rewrite keeps the same semantics in this container.
+    """
+    from pyspark.sql import Window as W
+
+    schema = EDGE_SCHEMA if edge else NODE_SCHEMA
+    sub = "edges" if edge else "nodes"
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .load(source_dir))
+
+    def merge_batch(batch_df, epoch_id: int) -> None:
+        w = W.partitionBy("uid").orderBy(F.col("mtime").desc())
+        latest = (batch_df
+                  .withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") == 1).drop("_rn"))
+        target = f"{store_path}/{sub}"
+        try:
+            current = batch_df.sparkSession.read.parquet(target) \
+                .select(*[f.name for f in schema.fields])
+        except Exception:
+            current = batch_df.sparkSession.createDataFrame([], schema)
+        merged = (current.join(latest.select("uid"), "uid", "left_anti")
+                  .unionByName(latest))
+        # two-phase rewrite (all distributed): parquet cannot overwrite a
+        # path it is reading, so stage the merge then copy back.  A Delta/
+        # Iceberg MERGE INTO replaces both phases when available.
+        staging = f"{store_path}/_staging/{sub}_{epoch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        batch_df.sparkSession.read.parquet(staging) \
+            .write.mode("overwrite").parquet(target)
+
+    q = (stream.writeStream
+         .foreachBatch(merge_batch)
+         .option("checkpointLocation",
+                 checkpoint_dir or f"{store_path}/_checkpoints/{sub}")
+         .trigger(availableNow=True)
+         .start())
+    return q

@@ -60,3 +60,26 @@ def test_stream_helper_builds(spark, events, tmp_path):
     schema = spark.read.parquet(src).schema
     agg = stream_tumbling_counts(spark, src, schema)
     assert agg.isStreaming
+
+
+def test_stream_graph_upserts_merge(spark, tmp_path):
+    """Streaming upsert ingest: two files with overlapping uids — the
+    store must end with latest-mtime-wins per uid."""
+    import json as _json
+    from graphydb_spark.graph import NODE_SCHEMA
+    from graphydb_spark.streaming.windows import stream_graph_upserts
+
+    src = str(tmp_path / "incoming")
+    store = str(tmp_path / "store")
+    batch1 = [("u1", "Person", 0.0, 1.0, _json.dumps({"name": "old"})),
+              ("u2", "Person", 0.0, 1.0, _json.dumps({"name": "two"}))]
+    batch2 = [("u1", "Person", 0.0, 2.0, _json.dumps({"name": "new"})),
+              ("u3", "Person", 0.0, 1.0, _json.dumps({"name": "three"}))]
+    spark.createDataFrame(batch1 + batch2, NODE_SCHEMA) \
+        .write.mode("overwrite").parquet(src)
+    q = stream_graph_upserts(spark, src, store)
+    q.awaitTermination(120)
+    out = {r["uid"]: r for r in spark.read.parquet(f"{store}/nodes").collect()}
+    assert set(out) == {"u1", "u2", "u3"}
+    assert out["u1"]["mtime"] == 2.0
+    assert _json.loads(out["u1"]["props"])["name"] == "new"
