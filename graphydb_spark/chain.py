@@ -268,20 +268,32 @@ def compile_fetch_sql(
         conds.extend(f"({rewrite_expr(w)})" for w in where)
     where_sql = f"WHERE {' AND '.join(conds)}" if conds else ""
 
-    # GROUP BY — Spark (unlike SQLite) requires every non-aggregate select
-    # expression to be grouped; the reference relies on SQLite's bare-column
-    # permissiveness (graphydb.py:953-956).  uid is the collect link's PK so
-    # grouping by the remaining system columns never changes cardinality.
+    # GROUP BY — SQLite lets bare columns ride along with aggregates and
+    # returns an arbitrary representative row per group
+    # (graphydb.py:953-956); Spark requires grouping or aggregating every
+    # select expression.  We take MIN() as the (deterministic)
+    # representative for the system columns and any non-aggregate extra
+    # that is not itself a group key.
     group_sql = ""
-    if group:
-        keys = [rewrite_expr(group)]
-        if not count:
-            cols = EDGE_COLS if collect.is_edge else NODE_COLS
-            keys.extend(f"{collect.alias}.{c}" for c in cols)
-            for name, e in extras.items():
-                if not is_aggregate_expr(str(e)):
-                    keys.append(f"({rewrite_expr(str(e))})")
+    if group and not count:
+        keys = [k.strip() for k in _split_top_level(rewrite_expr(group))]
+        cols = EDGE_COLS if collect.is_edge else NODE_COLS
+        parts = []
+        for c in cols:
+            q = f"{collect.alias}.{c}"
+            parts.append(f"{q} AS {c}" if q in keys
+                         else f"MIN({q}) AS {c}")
+        for name, e in extras.items():
+            rewritten = rewrite_expr(str(e))
+            if is_aggregate_expr(rewritten) or rewritten.strip() in keys:
+                parts.append(f"({rewritten}) AS {name}")
+            else:
+                parts.append(f"MIN({rewritten}) AS {name}")
+        select_sql = ("DISTINCT " if distinct and not unique_anyway else "") \
+            + ", ".join(parts)
         group_sql = "GROUP BY " + ", ".join(keys)
+    elif group:
+        group_sql = "GROUP BY " + rewrite_expr(group)
 
     order_sql = f"ORDER BY {rewrite_expr(order)}" if order else ""
     limit_sql = f"LIMIT {int(limit)}" if limit is not None else ""
@@ -289,4 +301,63 @@ def compile_fetch_sql(
 
     parts = ["SELECT", select_sql, "FROM", from_sql, *join_sql,
              where_sql, group_sql, order_sql, limit_sql, offset_sql]
-    return " ".join(p for p in parts if p)
+    sql = " ".join(p for p in parts if p)
+    return _fuse_json_paths(sql, links, node_view, edge_view)
+
+
+def _split_top_level(expr: str) -> list[str]:
+    """Split on commas not nested inside parentheses."""
+    out, depth, cur = [], 0, []
+    for ch in expr:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+_GJO_RE = re.compile(r"get_json_object\((\w+)\.props, '\$\.(\w+)'\)")
+
+
+def _fuse_json_paths(sql: str, links: list[Link], node_view: str,
+                     edge_view: str) -> str:
+    """One JSON parse per row instead of one per path reference.
+
+    ``get_json_object`` re-parses the document on every call — the #1 hot
+    path cost the compiler controls (SURVEY.md §4.3).  When a link alias
+    references ≥2 distinct top-level keys, wrap its relation in a subquery
+    that extracts all of them with a single ``json_tuple`` (one parse) and
+    rewrite the references to the extracted columns.  Nested paths keep
+    the direct ``get_json_object`` form.
+    """
+    by_alias: dict[str, list[str]] = {}
+    for alias, key in _GJO_RE.findall(sql):
+        keys = by_alias.setdefault(alias, [])
+        if key not in keys:
+            keys.append(key)
+    links_by_alias = {l.alias: l for l in links}
+    for alias, keys in by_alias.items():
+        link = links_by_alias.get(alias)
+        if link is None or len(keys) < 2:
+            continue
+        view = edge_view if link.is_edge else node_view
+        old_rel = f"{view} AS {alias}"
+        if old_rel not in sql:
+            continue
+        gj_cols = [f"__gj_{k}" for k in keys]
+        key_list = ", ".join(f"'{k}'" for k in keys)
+        new_rel = (f"(SELECT *, json_tuple(props, {key_list}) AS "
+                   f"({', '.join(gj_cols)}) FROM {view}) AS {alias}")
+        sql = sql.replace(old_rel, new_rel)
+        for k in keys:
+            sql = sql.replace(
+                f"get_json_object({alias}.props, '$.{k}')",
+                f"{alias}.__gj_{k}")
+    return sql

@@ -365,6 +365,32 @@ GROUP BY o_orderpriority
 """
 
 
+def q_graph_q1(spark, sf_dir):
+    """TPC-H Q1 expressed IN the graph DSL over Contains-edge JSON props —
+    exercises GROUP with aggregate extras and the compiler's json_tuple
+    fusion (one parse per edge for 5 referenced keys)."""
+    g = tpch_graph(spark, sf_dir)
+    epoch_cut = 904694400.0  # 1998-09-02 UTC
+    return g.fetch(
+        "-[ct:Contains,l_returnflag,l_linestatus,sum_qty,sum_base_price,"
+        "sum_disc_price,count_order]>",
+        f"CAST(ct.data.l_shipdate AS DOUBLE) <= {epoch_cut}",
+        GROUP="ct.data.l_returnflag, ct.data.l_linestatus",
+        l_returnflag="ct.data.l_returnflag",
+        l_linestatus="ct.data.l_linestatus",
+        sum_qty="CAST(SUM(CAST(ct.data.l_quantity AS DECIMAL(18,2))) "
+                "AS DOUBLE)",
+        sum_base_price="CAST(SUM(CAST(ct.data.l_extendedprice "
+                       "AS DECIMAL(18,2))) AS DOUBLE)",
+        sum_disc_price="CAST(SUM(CAST(ct.data.l_extendedprice AS "
+                       "DECIMAL(18,2)) * CAST(1 - CAST(ct.data.l_discount "
+                       "AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE)",
+        count_order="COUNT(ct.uid)",
+        as_df=True,
+    ).select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+             "sum_disc_price", "count_order")
+
+
 def q_tpch_q1(spark, sf_dir):
     _register_raw(spark, sf_dir)
     return spark.sql(_Q1_SQL)
@@ -570,6 +596,7 @@ ORACLES: dict[str, str | None] = {
         + _TOKENIZE_DUCK.format(col="text") + ", 'query')"),
     "sql_escape_hatch": (
         "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 45"),
+    "graph_q1": _Q1_SQL,
     "tpch_q1": _Q1_SQL,
     "tpch_q6": _Q6_SQL,
     "orders_by_segment": _Q3ISH_SQL,
@@ -772,6 +799,7 @@ QUERIES = {
     "sliding_window": q_sliding_window,
     "bpe_token_count": q_bpe_token_count,
     "jaccard_pairs": q_jaccard_pairs,
+    "graph_q1": q_graph_q1,
     "tpch_q1": q_tpch_q1,
     "tpch_q6": q_tpch_q6,
     "orders_by_segment": q_orders_by_segment,
