@@ -92,6 +92,17 @@ class Graph:
                 .select(*[f.name for f in NODE_SCHEMA.fields])
             self._edges_df = spark.read.parquet(f"{path}/edges") \
                 .select(*[f.name for f in EDGE_SCHEMA.fields])
+            try:
+                raw = spark.read.json(f"{path}/meta").collect()
+                meta = json.loads(raw[0]["meta"]) if raw else {}
+            except Exception:
+                meta = {}
+            self._settings = meta.get("settings", {})
+            self._cache = meta.get("cache", {})
+            self._changes = meta.get("changes", [])
+            self._change_seq = meta.get("change_seq", len(self._changes))
+            self._fts_node_fields = meta.get("fts_node_fields", [])
+            self._fts_edge_fields = meta.get("fts_edge_fields", [])
 
     # ------------------------------------------------------------------ DDL
     def reset(self) -> None:
@@ -136,6 +147,16 @@ class Graph:
             ew = ew.partitionBy("kind")
         nw.parquet(f"{path}/nodes")
         ew.parquet(f"{path}/edges")
+        # small metadata side-tables (settings/cache KV + change log) ride
+        # along as JSON — driver-scale data, like the reference's
+        # settings/cache/changes tables (graphydb.py:523-525)
+        meta = {"settings": self._settings, "cache": self._cache,
+                "changes": self._changes, "change_seq": self._change_seq,
+                "fts_node_fields": self._fts_node_fields,
+                "fts_edge_fields": self._fts_edge_fields}
+        self.spark.createDataFrame(
+            [(json.dumps(meta, sort_keys=True),)], "meta string") \
+            .coalesce(1).write.mode(mode).json(f"{path}/meta")
 
     # -------------------------------------------------------------- access
     @property
@@ -429,6 +450,36 @@ class Graph:
             self._add_change(uid, old, None, batch)
         self._pending_edges.pop(uid, None)
         self._edges_df = self._remove_uids(self._edges_df, [uid])
+
+    def upsert_nodes_df(self, df: DataFrame) -> None:
+        """Bulk distributed upsert of a conforming nodes DataFrame —
+        last-writer-wins by uid (keeps the incoming row).  The scale twin
+        of per-item ``save()``; no change records (bulk loads don't journal,
+        same stance as the reference's batch flag)."""
+        self._flush()
+        incoming = df.select(*[f.name for f in NODE_SCHEMA.fields])
+        self._nodes_df = (self._nodes_df
+                          .join(incoming.select("uid"), "uid", "left_anti")
+                          .unionByName(incoming))
+
+    def upsert_edges_df(self, df: DataFrame, check: bool = True) -> None:
+        """Bulk edge upsert; ``check`` validates endpoint existence with
+        one anti-join (the set-level form of graphydb.py:1491-1494)."""
+        self._flush()
+        incoming = df.select(*[f.name for f in EDGE_SCHEMA.fields])
+        if check:
+            node_uids = self._nodes_df.select("uid")
+            dangling = (incoming.select(F.col("startuid").alias("uid"))
+                        .unionByName(incoming.select(F.col("enduid")
+                                                     .alias("uid")))
+                        .distinct()
+                        .join(node_uids, "uid", "left_anti"))
+            bad = [r["uid"] for r in dangling.limit(3).collect()]
+            if bad:
+                raise GraphydbError(f"Edge endpoints missing from nodes: {bad}")
+        self._edges_df = (self._edges_df
+                          .join(incoming.select("uid"), "uid", "left_anti")
+                          .unionByName(incoming))
 
     def bulk_save(self, items, batch: Optional[str] = None,
                   setchange: bool = True) -> str:
