@@ -484,6 +484,22 @@ def q_sessionize(spark, sf_dir):
     return sessionize(_events(spark, sf_dir), gap_minutes=30)
 
 
+def q_k_hop(spark, sf_dir):
+    """Frontier expansion: everything within 2 out-hops of customers 0-9
+    (customers → their orders → parts/suppliers on those orders)."""
+    g = tpch_graph(spark, sf_dir)
+    seeds = spark.createDataFrame(
+        [(f"Customer:{i}",) for i in range(10)], "uid string")
+    return graph_algos.k_hop(g.edges_df, seeds, k=2, direction="out")
+
+
+def q_language_id(spark, sf_dir):
+    """Stopword-vote language heuristic per doc — rows-only oracle (the
+    argmax tie-break is engine-internal)."""
+    return text.language_id(_docs(spark, sf_dir)) \
+        .select("doc_id", "lang_guess")
+
+
 def q_connected_components(spark, sf_dir):
     """Iterative label propagation on the Nation/Region subgraph.
     Non-SQL-expressible (iterative) → rows-only oracle."""
@@ -760,6 +776,29 @@ ORACLES: dict[str, str | None] = {
         SELECT id_a, id_b, round(j, 6) AS jaccard
         FROM scored WHERE j >= 0.3
     """,
+    "k_hop": """
+        SELECT 'Customer:' || CAST(c_custkey AS VARCHAR) AS uid
+          FROM customer WHERE c_custkey < 10
+        UNION
+        SELECT 'Order:' || CAST(o_orderkey AS VARCHAR)
+          FROM orders WHERE o_custkey < 10
+        UNION
+        SELECT 'Part:' || CAST(l_partkey AS VARCHAR)
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_custkey < 10
+        UNION
+        SELECT 'Supplier:' || CAST(l_suppkey AS VARCHAR)
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_custkey < 10
+        UNION
+        SELECT 'Nation:' || CAST(c_nationkey AS VARCHAR)
+          FROM customer WHERE c_custkey < 10
+        UNION
+        SELECT 'Region:' || CAST(n_regionkey AS VARCHAR)
+          FROM nation JOIN customer ON c_nationkey = n_nationkey
+          WHERE c_custkey < 10
+    """,
+    "language_id": None,
     # iterative / engine-internal → rows-only checks
     "connected_components": None,
     "pagerank_top10": None,
@@ -811,6 +850,8 @@ QUERIES = {
     "knn_cosine": q_knn_cosine,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
+    "k_hop": q_k_hop,
+    "language_id": q_language_id,
     "connected_components": q_connected_components,
     "pagerank_top10": q_pagerank_top10,
     "multimodal_features": q_multimodal_features,
