@@ -87,6 +87,8 @@ class Graph:
         self._gid = _GRAPH_SEQ[0]
         self.reset()
         if path is not None:
+            self._known_node_uids = None
+            self._known_edge_uids = None
             # select() restores column order (partitionBy moves kind last)
             self._nodes_df = spark.read.parquet(f"{path}/nodes") \
                 .select(*[f.name for f in NODE_SCHEMA.fields])
@@ -111,6 +113,13 @@ class Graph:
         self._edges_df = self.spark.createDataFrame([], EDGE_SCHEMA)
         self._pending_nodes: dict[str, dict] = {}
         self._pending_edges: dict[str, dict] = {}
+        # exact driver-side uid membership — maintained only while the
+        # graph's full uid set is driver-known (built from scratch via the
+        # item API).  Bulk loads (open/from_dataframes/upsert_*_df) set
+        # these to None and membership falls back to DataFrame probes.
+        # Interactive saves then cost zero Spark jobs for existence checks.
+        self._known_node_uids: Optional[set] = set()
+        self._known_edge_uids: Optional[set] = set()
         self._settings: dict[str, Any] = {}
         self._cache: dict[str, Any] = {}
         self._changes: list[dict] = []
@@ -128,6 +137,8 @@ class Graph:
         g = cls(spark)
         g._nodes_df = nodes_df.select(*[f.name for f in NODE_SCHEMA.fields])
         g._edges_df = edges_df.select(*[f.name for f in EDGE_SCHEMA.fields])
+        g._known_node_uids = None
+        g._known_edge_uids = None
         return g
 
     def write(self, path: str, mode: str = "overwrite",
@@ -218,9 +229,15 @@ class Graph:
 
     # ------------------------------------------------------------- lookups
     def exists(self, uid: str) -> bool:
-        """Probe both tables (graphydb.py:1019-1033); pending-aware."""
+        """Probe both tables (graphydb.py:1019-1033); pending-aware.
+
+        Zero Spark jobs while the uid set is driver-known."""
         if uid in self._pending_nodes or uid in self._pending_edges:
             return True
+        if self._known_node_uids is not None and \
+                self._known_edge_uids is not None:
+            return uid in self._known_node_uids or \
+                uid in self._known_edge_uids
         for df in (self._nodes_df, self._edges_df):
             if df.filter(F.col("uid") == F.lit(uid)).limit(1).count() > 0:
                 return True
@@ -383,6 +400,8 @@ class Graph:
         if setchange:
             self._add_change(node.uid, old, node.data(), batch)
         self._pending_nodes[node.uid] = _item_to_row(node, edge=False)
+        if self._known_node_uids is not None:
+            self._known_node_uids.add(node.uid)
         node._mark_clean()
 
     def save_edge(self, edge: Edge, force: bool = False,
@@ -401,9 +420,13 @@ class Graph:
         if setchange:
             self._add_change(edge.uid, old, edge.data(), batch)
         self._pending_edges[edge.uid] = _item_to_row(edge, edge=True)
+        if self._known_edge_uids is not None:
+            self._known_edge_uids.add(edge.uid)
         edge._mark_clean()
 
     def _node_exists(self, uid: str) -> bool:
+        if self._known_node_uids is not None:
+            return uid in self._known_node_uids
         return self._nodes_df.filter(
             F.col("uid") == F.lit(uid)).limit(1).count() > 0
 
@@ -411,6 +434,11 @@ class Graph:
         for pend in (self._pending_nodes, self._pending_edges):
             if uid in pend:
                 return json.loads(pend[uid]["props"])
+        if self._known_node_uids is not None and \
+                self._known_edge_uids is not None and \
+                uid not in self._known_node_uids and \
+                uid not in self._known_edge_uids:
+            return None
         for df, edge in ((self._nodes_df, False), (self._edges_df, True)):
             rows = df.filter(F.col("uid") == F.lit(uid)).limit(1).collect()
             if rows:
@@ -439,6 +467,8 @@ class Graph:
         if setchange and old is not None:
             self._add_change(uid, old, None, batch)
         self._pending_nodes.pop(uid, None)
+        if self._known_node_uids is not None:
+            self._known_node_uids.discard(uid)
         self._nodes_df = self._remove_uids(self._nodes_df, [uid])
 
     def delete_edge(self, edge, batch: Optional[str] = None,
@@ -449,6 +479,8 @@ class Graph:
         if setchange and old is not None:
             self._add_change(uid, old, None, batch)
         self._pending_edges.pop(uid, None)
+        if self._known_edge_uids is not None:
+            self._known_edge_uids.discard(uid)
         self._edges_df = self._remove_uids(self._edges_df, [uid])
 
     def upsert_nodes_df(self, df: DataFrame) -> None:
@@ -457,6 +489,8 @@ class Graph:
         of per-item ``save()``; no change records (bulk loads don't journal,
         same stance as the reference's batch flag)."""
         self._flush()
+        self._known_node_uids = None
+        self._known_edge_uids = None
         incoming = df.select(*[f.name for f in NODE_SCHEMA.fields])
         self._nodes_df = (self._nodes_df
                           .join(incoming.select("uid"), "uid", "left_anti")
@@ -467,6 +501,7 @@ class Graph:
         one anti-join (the set-level form of graphydb.py:1491-1494)."""
         self._flush()
         incoming = df.select(*[f.name for f in EDGE_SCHEMA.fields])
+        self._known_edge_uids = None
         if check:
             node_uids = self._nodes_df.select("uid")
             dangling = (incoming.select(F.col("startuid").alias("uid"))
@@ -546,9 +581,13 @@ class Graph:
                 is_edge = "startuid" in plus
                 if is_edge:
                     self._pending_edges.pop(uid, None)
+                    if self._known_edge_uids is not None:
+                        self._known_edge_uids.discard(uid)
                     self._edges_df = self._remove_uids(self._edges_df, [uid])
                 else:
                     self._pending_nodes.pop(uid, None)
+                    if self._known_node_uids is not None:
+                        self._known_node_uids.discard(uid)
                     self._nodes_df = self._remove_uids(self._nodes_df, [uid])
             elif minus and not plus:
                 if "startuid" in minus:
