@@ -68,6 +68,57 @@ def build_index(df: DataFrame, fields: list[str]) -> DataFrame:
     return out.dropDuplicates(["uid", "field", "token"])
 
 
+def build_tf_index(df: DataFrame, fields: list[str]) -> DataFrame:
+    """``(uid, field, token, tf, doc_len)`` — the ranked-search index
+    (keeps term frequencies; :func:`build_index` is the boolean-match
+    form).  One narrow explode + one groupBy per field."""
+    parts = []
+    for f_name in fields:
+        src = F.get_json_object(F.col("props"), f"$.{f_name}")
+        toks = df.select(F.col("uid"), F.lit(f_name).alias("field"),
+                         F.explode(tokens_col(src)).alias("token"))
+        tf = (toks.groupBy("uid", "field", "token")
+                  .agg(F.count("*").alias("tf")))
+        dlen = (toks.groupBy("uid", "field")
+                    .agg(F.count("*").alias("doc_len")))
+        parts.append(tf.join(dlen, ["uid", "field"]))
+    if not parts:
+        return df.sparkSession.createDataFrame(
+            [], "uid string, field string, token string, tf long, "
+                "doc_len long")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def bm25_scores(tf_index: DataFrame, terms: list[str], k1: float = 1.2,
+                b: float = 0.75) -> DataFrame:
+    """BM25 ranking over the tf index → (uid, score), descending-worthy.
+
+    The F5 surface the reference only exposes as a raw FTS5 table
+    reference (graphydb.py:895-898) — here it is a first-class ranked
+    retrieval operator.  All aggregation is distributed; N/avgdl/df are
+    computed as one tiny aggregate + broadcast join.
+    """
+    terms = [t.lower() for t in terms]
+    docs = tf_index.select("uid", "doc_len").dropDuplicates(["uid"])
+    stats = docs.agg(F.count("*").alias("n_docs"),
+                     F.avg("doc_len").alias("avgdl")).collect()[0]
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"] or 1.0
+    hits = tf_index.where(F.col("token").isin(terms))
+    dfreq = (hits.groupBy("token")
+             .agg(F.countDistinct("uid").alias("df")))
+    scored = (hits.join(F.broadcast(dfreq), "token")
+              .withColumn("idf", F.log(
+                  (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5) + 1.0))
+              .withColumn("w", F.col("idf") * (F.col("tf") * (k1 + 1)) /
+                          (F.col("tf") + k1 * (1 - b + b * F.col("doc_len")
+                                               / F.lit(float(avgdl))))))
+    return scored.groupBy("uid").agg(F.sum("w").alias("score"))
+
+
 _TERM_RE = re.compile(r'(?:([\w]+)\s*:\s*)?([\w]+)(\*)?', re.UNICODE)
 
 

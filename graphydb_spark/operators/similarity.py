@@ -88,6 +88,64 @@ def ann_index(emb: DataFrame, dim: int, bits: int = 8, seed: int = 42,
     return emb.withColumn("bucket", lsh_bucket_col(vec_col, planes)), planes
 
 
+def ivf_index(emb: DataFrame, k: int = 16, iters: int = 3,
+              id_col: str = "vec_id", vec_col: str = "embedding"
+              ) -> tuple[DataFrame, list[list[float]]]:
+    """IVF (inverted-file) ANN index: k-means centroids + per-vector
+    cluster assignment.
+
+    Deterministic: centroids init from the k lowest-id vectors; each Lloyd
+    round assigns distributed (argmin over k inlined dot-distances) and
+    re-averages via a (cluster, dim) explode-aggregate.  Centroids live on
+    the driver (k × dim floats); assignments are a DataFrame — at scale,
+    write it partitioned by ``cluster`` for partition-pruned probes.
+    """
+    seed_rows = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [list(r[0]) for r in seed_rows]
+    dim = len(centroids[0])
+
+    def assign_col(cents: list[list[float]]) -> F.Column:
+        # argmin over squared L2 — one struct per centroid, array_min picks
+        best = F.array_min(F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(F.array(*[F.lit(float(v)) for v in c]),
+                               F.col(vec_col),
+                               lambda a, x: (a - x.cast("double"))
+                               * (a - x.cast("double"))),
+                    F.lit(0.0), lambda acc, v: acc + v).alias("d"),
+                F.lit(i).alias("c"))
+            for i, c in enumerate(cents)]))
+        return best["c"]
+
+    for _ in range(iters):
+        assigned = emb.withColumn("cluster", assign_col(centroids))
+        means = (assigned
+                 .select("cluster", F.posexplode(vec_col).alias("dim", "v"))
+                 .groupBy("cluster", "dim").agg(F.avg("v").alias("m"))
+                 .collect())
+        new_c = [list(c) for c in centroids]
+        for r in means:
+            new_c[r["cluster"]][r["dim"]] = r["m"]
+        centroids = new_c
+    return emb.withColumn("cluster", assign_col(centroids)), centroids
+
+
+def ivf_topk(indexed: DataFrame, centroids: list[list[float]],
+             query_vec: list[float], k: int = 10, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Probe the ``nprobe`` nearest clusters, exact cosine re-rank inside."""
+    dists = [(i, sum((a - b) ** 2 for a, b in zip(c, query_vec)))
+             for i, c in enumerate(centroids)]
+    probes = [i for i, _ in sorted(dists, key=lambda t: t[1])[:nprobe]]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cand = indexed.where(F.col("cluster").isin(probes))
+    return (cand.withColumn("cosine", cosine_expr(q, F.col(vec_col)))
+                .select(id_col, "cosine")
+                .orderBy(F.col("cosine").desc(), F.col(id_col))
+                .limit(k))
+
+
 def ann_topk(indexed: DataFrame, planes: list[list[float]],
              query_vec: list[float], k: int = 10, id_col: str = "vec_id",
              vec_col: str = "embedding", probe_hamming: int = 1) -> DataFrame:

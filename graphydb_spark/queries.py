@@ -484,6 +484,31 @@ def q_sessionize(spark, sf_dir):
     return sessionize(_events(spark, sf_dir), gap_minutes=30)
 
 
+def q_bm25_rank(spark, sf_dir):
+    """BM25-ranked retrieval for ['data','query'] over Document.text —
+    top 10 with deterministic tie-break.  Rows-only oracle (F5; ranking
+    internals)."""
+    from .fts import bm25_scores, build_tf_index
+    g = tpch_graph(spark, sf_dir)
+    docs = g.nodes_df.where(F.col("kind") == "Document")
+    idx = build_tf_index(docs, ["text"])
+    return (bm25_scores(idx, ["data", "query"])
+            .orderBy(F.col("score").desc(), F.col("uid"))
+            .limit(10).select("uid"))
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN probe for vec_id=0 — rows-only oracle (cluster
+    structure is engine-internal)."""
+    emb = _emb(spark, sf_dir)
+    qv = list(emb.where(F.col("vec_id") == 0)
+              .select("embedding").collect()[0][0])
+    indexed, cents = similarity.ivf_index(emb, k=8, iters=2)
+    top = similarity.ivf_topk(indexed, cents, qv, k=6, nprobe=2)
+    return (top.where(F.col("vec_id") != 0)
+            .select("vec_id", F.round("cosine", 6).alias("cosine")))
+
+
 def q_k_hop(spark, sf_dir):
     """Frontier expansion: everything within 2 out-hops of customers 0-9
     (customers → their orders → parts/suppliers on those orders)."""
@@ -799,6 +824,8 @@ ORACLES: dict[str, str | None] = {
           WHERE c_custkey < 10
     """,
     "language_id": None,
+    "bm25_rank": None,
+    "ivf_topk": None,
     # iterative / engine-internal → rows-only checks
     "connected_components": None,
     "pagerank_top10": None,
@@ -852,6 +879,8 @@ QUERIES = {
     "sessionize": q_sessionize,
     "k_hop": q_k_hop,
     "language_id": q_language_id,
+    "bm25_rank": q_bm25_rank,
+    "ivf_topk": q_ivf_topk,
     "connected_components": q_connected_components,
     "pagerank_top10": q_pagerank_top10,
     "multimodal_features": q_multimodal_features,

@@ -175,3 +175,39 @@ def test_k_hop(spark):
     seeds = spark.createDataFrame([("a",)], "uid string")
     got = {r["uid"] for r in graph_algos.k_hop(edges, seeds, 2).collect()}
     assert got == {"a", "b", "c"}
+
+
+def test_ivf_finds_planted_clusters(spark):
+    import random
+    rng = random.Random(3)
+    dim = 8
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(3)]
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, [v + rng.gauss(0, 0.05) for v in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    indexed, cents = similarity.ivf_index(emb, k=3, iters=3)
+    q = centers[1]
+    top = [r["vec_id"] for r in
+           similarity.ivf_topk(indexed, cents, q, k=5, nprobe=1).collect()]
+    assert len(top) == 5
+    assert all(v % 3 == 1 for v in top)   # all from the queried cluster
+
+
+def test_bm25_ranking(spark):
+    import json as _json
+    from graphydb_spark.fts import bm25_scores, build_tf_index
+    rows = [
+        ("d1", _json.dumps({"text": "spark spark spark engine"})),
+        ("d2", _json.dumps({"text": "spark engine for big data"})),
+        ("d3", _json.dumps({"text": "completely unrelated words here"})),
+    ]
+    df = spark.createDataFrame(
+        [(u, "Doc", 0.0, 0.0, p) for u, p in rows],
+        "uid string, kind string, ctime double, mtime double, props string")
+    idx = build_tf_index(df, ["text"])
+    scores = {r["uid"]: r["score"]
+              for r in bm25_scores(idx, ["spark"]).collect()}
+    assert set(scores) == {"d1", "d2"}
+    assert scores["d1"] > scores["d2"]   # higher tf → higher score
