@@ -65,7 +65,10 @@ def build_index(df: DataFrame, fields: list[str]) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.dropDuplicates(["uid", "field", "token"])
+    # NOT deduplicated: boolean matching distincts per term anyway
+    # (match path), so a global dedup here would only add a full shuffle
+    # of the token stream.  Use build_tf_index for frequency-aware use.
+    return out
 
 
 def build_tf_index(df: DataFrame, fields: list[str]) -> DataFrame:

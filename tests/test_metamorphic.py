@@ -1,0 +1,109 @@
+"""Randomized metamorphic properties on generated graphs — the
+reference's differential-test strategy (tests/test_indexedset.py:24-95,
+tests/test_graphdb.py:112-115) generalized: every identity below must
+hold on ANY graph, so random multigraphs with self-loops probe the
+query/traversal/set-algebra semantics far beyond the fixed fixtures."""
+
+import random
+
+import pytest
+
+from graphydb_spark import Graph, NSet
+
+
+def random_graph(g: Graph, seed: int, n_nodes: int = 12, n_edges: int = 30):
+    rng = random.Random(seed)
+    nodes = [g.Node("Person", idx=i).save(setchange=False)
+             for i in range(n_nodes)]
+    edges = []
+    for j in range(n_edges):
+        a, b = rng.choice(nodes), rng.choice(nodes)   # self-loops possible
+        kind = rng.choice(["A", "B"])
+        edges.append(g.Edge(a, kind, b).save(setchange=False))
+    return nodes, edges
+
+
+@pytest.fixture(scope="module", params=[1, 2, 3])
+def rg(request, spark):
+    g = Graph(spark)
+    nodes, edges = random_graph(g, seed=request.param)
+    return g, nodes, edges
+
+
+def test_collect_start_equivalence(rg):
+    """fetch('[n1] -(e)> (n2)') ≡ fetch('-(e)>').start — the reference's
+    own metamorphic assertion (tests/test_graphdb.py:112-115)."""
+    g, _, _ = rg
+    assert g.fetch("[n1] -(e)> (n2)") == g.fetch("-(e)>").start
+
+
+def test_collect_end_equivalence(rg):
+    g, _, _ = rg
+    assert g.fetch("(n1) -(e)> [n2]") == g.fetch("-(e)>").end
+
+
+def test_count_equals_len(rg):
+    g, _, _ = rg
+    for chain in ["(n)", "-(e)>", "(n1) -(e:A)> (n2)"]:
+        assert g.fetch(chain, COUNT=True) == len(g.fetch(chain))
+
+
+def test_edge_uid_ground_truth(rg):
+    """Engine results must equal a pure-Python evaluation over the edge
+    list (an in-memory oracle)."""
+    g, nodes, edges = rg
+    out_of_0 = {e["enduid"] for e in edges if e["startuid"] == nodes[0].uid}
+    assert set(nodes[0].outN().uids()) == out_of_0
+    in_of_0 = {e["startuid"] for e in edges if e["enduid"] == nodes[0].uid}
+    assert set(nodes[0].inN().uids()) == in_of_0
+
+
+def test_both_traversal_is_union(rg):
+    g, nodes, _ = rg
+    n = nodes[1]
+    both = n.bothN()
+    assert set(both.uids()) == set(n.outN().uids()) | set(n.inN().uids())
+    assert n.bothN(COUNT=True) == len(both)
+
+
+def test_set_traversal_equals_per_node_union(rg):
+    """One frontier join ≡ the reference's per-node loop."""
+    g, nodes, _ = rg
+    subset = NSet(nodes[:5])
+    via_join = set(subset.outN().uids())
+    via_loop = set()
+    for n in nodes[:5]:
+        via_loop |= set(n.outN().uids())
+    assert via_join == via_loop
+
+
+def test_kind_filter_partitions_edges(rg):
+    g, _, edges = rg
+    a = g.fetch("-(e:A)>", COUNT=True)
+    b = g.fetch("-(e:B)>", COUNT=True)
+    assert a + b == len(edges)
+
+
+def test_set_algebra_vs_python(rg):
+    g, nodes, _ = rg
+    ns_a = g.fetch("[n1] -(e:A)> (n2)")
+    ns_b = g.fetch("[n1] -(e:B)> (n2)")
+    sa, sb = set(ns_a.uids()), set(ns_b.uids())
+    assert set((ns_a | ns_b).uids()) == sa | sb
+    assert set((ns_a & ns_b).uids()) == sa & sb
+    assert set((ns_a - ns_b).uids()) == sa - sb
+    assert set((ns_a ^ ns_b).uids()) == sa ^ sb
+
+
+def test_distinct_by_uid_under_fanout(rg):
+    """A node with k out-edges appears once in the collect (A3)."""
+    g, _, _ = rg
+    res = g.fetch("[n1] -(e)> (n2)")
+    assert len(res) == len(set(res.uids()))
+
+
+def test_theta_selfloop_consistency(rg):
+    g, _, edges = rg
+    via_theta = g.fetch("-[e]>", "e.startuid == e.enduid")
+    truth = {e.uid for e in edges if e["startuid"] == e["enduid"]}
+    assert set(via_theta.uids()) == truth
