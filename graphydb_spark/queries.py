@@ -484,6 +484,19 @@ def q_sessionize(spark, sf_dir):
     return sessionize(_events(spark, sf_dir), gap_minutes=30)
 
 
+def q_copurchase_pairs(spark, sf_dir):
+    """Motif/wedge query: distinct customer pairs who ordered the same
+    part — a 6-hop chain (c1→o1→part←o2←c2) compiled to ONE Spark SQL
+    join tree with a cross-link theta (c1.uid < c2.uid)."""
+    g = tpch_graph(spark, sf_dir)
+    return g.fetch(
+        "[c1:Customer,other] -(p1:Placed)> (o1:Order) -(ct1:Contains)> "
+        "(pt:Part) <(ct2:Contains)- (o2:Order) <(p2:Placed)- (c2:Customer)",
+        "c1.uid < c2.uid",
+        other="c2.uid",
+        as_df=True).select("uid", "other").distinct()
+
+
 def q_bm25_rank(spark, sf_dir):
     """BM25-ranked retrieval for ['data','query'] over Document.text —
     top 10 with deterministic tie-break.  Rows-only oracle (F5; ranking
@@ -823,6 +836,17 @@ ORACLES: dict[str, str | None] = {
           FROM nation JOIN customer ON c_nationkey = n_nationkey
           WHERE c_custkey < 10
     """,
+    "copurchase_pairs": """
+        SELECT DISTINCT
+               'Customer:' || CAST(o1.o_custkey AS VARCHAR) AS uid,
+               'Customer:' || CAST(o2.o_custkey AS VARCHAR) AS other
+        FROM lineitem l1
+        JOIN lineitem l2 ON l1.l_partkey = l2.l_partkey
+        JOIN orders o1 ON l1.l_orderkey = o1.o_orderkey
+        JOIN orders o2 ON l2.l_orderkey = o2.o_orderkey
+        WHERE 'Customer:' || CAST(o1.o_custkey AS VARCHAR)
+            < 'Customer:' || CAST(o2.o_custkey AS VARCHAR)
+    """,
     "language_id": None,
     "bm25_rank": None,
     "ivf_topk": None,
@@ -879,6 +903,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "k_hop": q_k_hop,
     "language_id": q_language_id,
+    "copurchase_pairs": q_copurchase_pairs,
     "bm25_rank": q_bm25_rank,
     "ivf_topk": q_ivf_topk,
     "connected_components": q_connected_components,
