@@ -120,15 +120,26 @@ _JSON_RE = re.compile(r"\b([A-Za-z_]\w*)\.data((?:\.[A-Za-z_]\w*)+)")
 _GLOB_RE = re.compile(r"(\S+)\s+GLOB\s+('(?:[^']*)')", re.IGNORECASE)
 
 
-def rewrite_json_paths(expr: str) -> str:
+def rewrite_json_paths(expr: str, typed: Optional[dict] = None) -> str:
     """``n.data.a.b`` → ``get_json_object(n.props, '$.a.b')``.
 
     Parity with ``jsonextract`` (graphydb.py:170-177); Spark's
     ``get_json_object`` uses the same ``$.path`` JSONPath dialect as
     SQLite's JSON1.
+
+    ``typed`` maps alias → set of field names available in that frame's
+    typed ``pstruct`` column.  Single-level paths into a typed field
+    rewrite to ``alias.pstruct.field`` instead: Catalyst folds the struct
+    access to the source column (columnar scan + pushed filter, no JSON
+    parse), and values keep their native types — the same dynamic-typing
+    behavior SQLite's ``json_extract`` has, which stringly
+    ``get_json_object`` does not (SURVEY.md §7.4 trap #1).
     """
     def sub(m: re.Match) -> str:
         alias, path = m.group(1), m.group(2)
+        key = path[1:]
+        if typed and "." not in key and key in typed.get(alias, ()):
+            return f"{alias}.pstruct.{key}"
         return f"get_json_object({alias}.props, '${path}')"
     return _JSON_RE.sub(sub, expr)
 
@@ -173,10 +184,11 @@ def rewrite_sqlite_funcs(expr: str) -> str:
     return expr
 
 
-def rewrite_expr(expr: str) -> str:
+def rewrite_expr(expr: str, typed: Optional[dict] = None) -> str:
     # sqlite-func rewrites first: their regexes assume un-expanded (flat)
     # argument lists, which the json-path expansion would break
-    return rewrite_json_paths(glob_to_rlike(rewrite_sqlite_funcs(expr)))
+    return rewrite_json_paths(glob_to_rlike(rewrite_sqlite_funcs(expr)),
+                              typed=typed)
 
 
 def is_aggregate_expr(expr: str) -> bool:
@@ -199,6 +211,7 @@ def compile_fetch_sql(
     distinct: bool = True,
     extras: Optional[dict] = None,
     fts_views: Optional[dict] = None,
+    typed: Optional[dict] = None,
 ) -> str:
     """Emit one Spark SQL SELECT for the parsed chain.
 
@@ -254,7 +267,7 @@ def compile_fetch_sql(
                     f"Extra column {name!r} declared in chain but no "
                     f"expression kwarg supplied")
         for name, e in extras.items():
-            parts.append(f"({rewrite_expr(str(e))}) AS {name}")
+            parts.append(f"({rewrite_expr(str(e), typed)}) AS {name}")
         select_sql = ("DISTINCT " if distinct and not unique_anyway else "") \
             + ", ".join(parts)
 
@@ -265,7 +278,7 @@ def compile_fetch_sql(
     if where:
         if isinstance(where, str):
             where = [where]
-        conds.extend(f"({rewrite_expr(w)})" for w in where)
+        conds.extend(f"({rewrite_expr(w, typed)})" for w in where)
     where_sql = f"WHERE {' AND '.join(conds)}" if conds else ""
 
     # GROUP BY — SQLite lets bare columns ride along with aggregates and
@@ -276,7 +289,7 @@ def compile_fetch_sql(
     # that is not itself a group key.
     group_sql = ""
     if group and not count:
-        keys = [k.strip() for k in _split_top_level(rewrite_expr(group))]
+        keys = [k.strip() for k in _split_top_level(rewrite_expr(group, typed))]
         cols = EDGE_COLS if collect.is_edge else NODE_COLS
         parts = []
         for c in cols:
@@ -284,7 +297,7 @@ def compile_fetch_sql(
             parts.append(f"{q} AS {c}" if q in keys
                          else f"MIN({q}) AS {c}")
         for name, e in extras.items():
-            rewritten = rewrite_expr(str(e))
+            rewritten = rewrite_expr(str(e), typed)
             if is_aggregate_expr(rewritten) or rewritten.strip() in keys:
                 parts.append(f"({rewritten}) AS {name}")
             else:
@@ -293,9 +306,9 @@ def compile_fetch_sql(
             + ", ".join(parts)
         group_sql = "GROUP BY " + ", ".join(keys)
     elif group:
-        group_sql = "GROUP BY " + rewrite_expr(group)
+        group_sql = "GROUP BY " + rewrite_expr(group, typed)
 
-    order_sql = f"ORDER BY {rewrite_expr(order)}" if order else ""
+    order_sql = f"ORDER BY {rewrite_expr(order, typed)}" if order else ""
     limit_sql = f"LIMIT {int(limit)}" if limit is not None else ""
     offset_sql = f"OFFSET {int(offset)}" if offset is not None else ""
 

@@ -41,6 +41,16 @@ def tokens_col(col):
     return F.filter(F.split(F.lower(col), TOKEN_SPLIT), lambda t: t != "")
 
 
+def _field_col(df: DataFrame, f_name: str):
+    """Property accessor: typed pstruct field when the frame has one
+    (columnar, no JSON parse), else a JSON path extract."""
+    if "pstruct" in df.columns:
+        fields = {f.name for f in df.schema["pstruct"].dataType.fields}
+        if f_name in fields:
+            return F.col("pstruct").getField(f_name).cast("string")
+    return F.get_json_object(F.col("props"), f"$.{f_name}")
+
+
 def build_index(df: DataFrame, fields: list[str]) -> DataFrame:
     """``(uid, field, token)`` inverted index over JSON property fields.
 
@@ -50,7 +60,7 @@ def build_index(df: DataFrame, fields: list[str]) -> DataFrame:
     """
     parts = []
     for f_name in fields:
-        src = F.get_json_object(F.col("props"), f"$.{f_name}")
+        src = _field_col(df, f_name)
         parts.append(
             df.select(
                 F.col("uid"),
@@ -77,7 +87,7 @@ def build_tf_index(df: DataFrame, fields: list[str]) -> DataFrame:
     form).  One narrow explode + one groupBy per field."""
     parts = []
     for f_name in fields:
-        src = F.get_json_object(F.col("props"), f"$.{f_name}")
+        src = _field_col(df, f_name)
         toks = df.select(F.col("uid"), F.lit(f_name).alias("field"),
                          F.explode(tokens_col(src)).alias("token"))
         tf = (toks.groupBy("uid", "field", "token")

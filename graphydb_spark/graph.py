@@ -89,11 +89,16 @@ class Graph:
         if path is not None:
             self._known_node_uids = None
             self._known_edge_uids = None
-            # select() restores column order (partitionBy moves kind last)
-            self._nodes_df = spark.read.parquet(f"{path}/nodes") \
-                .select(*[f.name for f in NODE_SCHEMA.fields])
-            self._edges_df = spark.read.parquet(f"{path}/edges") \
-                .select(*[f.name for f in EDGE_SCHEMA.fields])
+            # select() restores column order (partitionBy moves kind last);
+            # a typed pstruct column (columnar props shadow) rides along
+            nraw = spark.read.parquet(f"{path}/nodes")
+            eraw = spark.read.parquet(f"{path}/edges")
+            self._nodes_df = nraw.select(
+                *[f.name for f in NODE_SCHEMA.fields],
+                *(["pstruct"] if "pstruct" in nraw.columns else []))
+            self._edges_df = eraw.select(
+                *[f.name for f in EDGE_SCHEMA.fields],
+                *(["pstruct"] if "pstruct" in eraw.columns else []))
             try:
                 raw = spark.read.json(f"{path}/meta").collect()
                 meta = json.loads(raw[0]["meta"]) if raw else {}
@@ -126,6 +131,11 @@ class Graph:
         self._change_seq = 0
         self._fts_node_fields: list[str] = []
         self._fts_edge_fields: list[str] = []
+        # FTS index cache, invalidated by any mutation (epoch bump) — the
+        # Spark analogue of FTS5's persistent index (built once, queried
+        # many times) rather than a per-query re-tokenize of the corpus.
+        self._epoch = 0
+        self._fts_cache: dict = {}
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "Graph":
@@ -135,8 +145,12 @@ class Graph:
     def from_dataframes(cls, spark: SparkSession, nodes_df: DataFrame,
                         edges_df: DataFrame) -> "Graph":
         g = cls(spark)
-        g._nodes_df = nodes_df.select(*[f.name for f in NODE_SCHEMA.fields])
-        g._edges_df = edges_df.select(*[f.name for f in EDGE_SCHEMA.fields])
+        g._nodes_df = nodes_df.select(
+            *[f.name for f in NODE_SCHEMA.fields],
+            *(["pstruct"] if "pstruct" in nodes_df.columns else []))
+        g._edges_df = edges_df.select(
+            *[f.name for f in EDGE_SCHEMA.fields],
+            *(["pstruct"] if "pstruct" in edges_df.columns else []))
         g._known_node_uids = None
         g._known_edge_uids = None
         return g
@@ -216,14 +230,32 @@ class Graph:
 
     def _merge(self, df: DataFrame, rows: list[dict],
                schema: T.StructType) -> DataFrame:
+        self._epoch += 1
         new = self.spark.createDataFrame(
             [tuple(r.get(f.name) for f in schema.fields) for r in rows], schema)
+        new = self._conform(new, df)
         out = df.join(new.select("uid"), "uid", "left_anti").unionByName(new)
         return out.localCheckpoint(eager=True)
+
+    @staticmethod
+    def _conform(incoming: DataFrame, existing: DataFrame) -> DataFrame:
+        """Give incoming rows the existing frame's typed pstruct column by
+        parsing their JSON props with the same schema (or drop theirs if
+        the store is JSON-only)."""
+        if "pstruct" in existing.columns:
+            if "pstruct" in incoming.columns:
+                return incoming
+            dtype = existing.schema["pstruct"].dataType
+            return incoming.withColumn(
+                "pstruct", F.from_json(F.col("props"), dtype))
+        if "pstruct" in incoming.columns:
+            return incoming.drop("pstruct")
+        return incoming
 
     def _remove_uids(self, df: DataFrame, uids: list[str]) -> DataFrame:
         if not uids:
             return df
+        self._epoch += 1
         dels = self.spark.createDataFrame([(u,) for u in uids], "uid string")
         return df.join(dels, "uid", "left_anti").localCheckpoint(eager=True)
 
@@ -316,11 +348,21 @@ class Graph:
             uid_df.createOrReplaceTempView(vname)
             fts_views[alias] = vname
 
+        # typed-props map: aliases over a frame carrying a pstruct column
+        # compile JSON paths to struct access (columnar, pushdown-able)
+        def _pfields(df: DataFrame):
+            if "pstruct" in df.columns:
+                return frozenset(
+                    f.name for f in df.schema["pstruct"].dataType.fields)
+            return frozenset()
+        nfields, efields = _pfields(self.nodes_df), _pfields(self.edges_df)
+        typed = {l.alias: (efields if l.is_edge else nfields) for l in links}
+
         sql = compile_fetch_sql(
             links, self._view("nodes"), self._view("edges"),
             where=conds or None, order=ORDER, group=GROUP, limit=LIMIT,
             offset=OFFSET, count=COUNT, distinct=DISTINCT, extras=extras,
-            fts_views=fts_views)
+            fts_views=fts_views, typed=typed)
         if DEBUG:
             return sql, binds
         df = self.spark.sql(sql, args=binds) if binds else self.spark.sql(sql)
@@ -489,9 +531,13 @@ class Graph:
         of per-item ``save()``; no change records (bulk loads don't journal,
         same stance as the reference's batch flag)."""
         self._flush()
+        self._epoch += 1
         self._known_node_uids = None
         self._known_edge_uids = None
-        incoming = df.select(*[f.name for f in NODE_SCHEMA.fields])
+        incoming = self._conform(
+            df.select(*[f.name for f in NODE_SCHEMA.fields],
+                      *(["pstruct"] if "pstruct" in df.columns else [])),
+            self._nodes_df)
         self._nodes_df = (self._nodes_df
                           .join(incoming.select("uid"), "uid", "left_anti")
                           .unionByName(incoming))
@@ -500,7 +546,11 @@ class Graph:
         """Bulk edge upsert; ``check`` validates endpoint existence with
         one anti-join (the set-level form of graphydb.py:1491-1494)."""
         self._flush()
-        incoming = df.select(*[f.name for f in EDGE_SCHEMA.fields])
+        self._epoch += 1
+        incoming = self._conform(
+            df.select(*[f.name for f in EDGE_SCHEMA.fields],
+                      *(["pstruct"] if "pstruct" in df.columns else [])),
+            self._edges_df)
         self._known_edge_uids = None
         if check:
             node_uids = self._nodes_df.select("uid")
@@ -656,8 +706,16 @@ class Graph:
     def fts_index(self, edge: bool = False) -> DataFrame:
         from .fts import build_index
         fields = self._fts_edge_fields if edge else self._fts_node_fields
-        df = self.edges_df if edge else self.nodes_df
-        return build_index(df, fields)
+        df = self.edges_df if edge else self.nodes_df   # flushes pending
+        key = (edge, tuple(fields), self._epoch)
+        hit = self._fts_cache.get(key)
+        if hit is None:
+            hit = build_index(df, fields).localCheckpoint(eager=True)
+            # keep only current-epoch entries (old epochs are stale)
+            self._fts_cache = {k: v for k, v in self._fts_cache.items()
+                               if k[2] == self._epoch}
+            self._fts_cache[key] = hit
+        return hit
 
     def _fts_match_uids(self, query: str, edge: bool = False) -> DataFrame:
         from .fts import match_uids

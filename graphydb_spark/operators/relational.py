@@ -1,0 +1,70 @@
+"""Relational extension operators Spark lacks as single primitives.
+
+The reference has no window functions or temporal joins at all
+(/root/reference/graphydb.py — SURVEY.md §2.5 "Window functions: none");
+these are the beyond-parity additions a large-scale analytics engine
+needs, built purely from shuffle-aware DataFrame compositions:
+
+* ``asof_join`` — backward as-of (nearest-earlier) join, the canonical
+  event-stream enrichment.  Implemented as union-tag + last-ignore-nulls
+  window: ONE shuffle on the key (no range-explosion cross join, no
+  per-key driver loop), which is the scalable shape — a range join would
+  blow up on hot keys and a broadcast works only for tiny right sides.
+* ``topk_per_group`` — rank-k selection per key via ``row_number``; the
+  partial top-k runs map-side inside the window sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              right_cols: tuple = (), suffix: str = "_matched") -> DataFrame:
+    """Backward as-of join: each left row picks the right row with the
+    greatest ``right_ts`` ≤ its ``left_ts`` (per ``on`` key), or nulls.
+
+    Ties inside ``right`` on (key, ts) must be resolved by the caller
+    (e.g. pre-aggregate) — duplicate timestamps would make "the" as-of row
+    ambiguous in any engine.
+
+    Scale: both sides shuffle once on ``on``; the window scan is a single
+    ordered pass per key partition.  Skewed keys behave like any other
+    window aggregation (AQE cannot split a window partition — salt the
+    key upstream if one key dominates).
+    """
+    lcols = [c for c in left.columns]
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ats"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
+          for c in right_cols])
+    r = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c != on],
+        F.col(on),
+        F.col(right_ts).alias("__ats"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(c + suffix) for c in right_cols])
+    u = l.unionByName(r)
+    # right rows sort before left rows at equal ts → inclusive (≤) match
+    w = (Window.partitionBy(on).orderBy("__ats", "__side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    for c in right_cols:
+        u = u.withColumn(c + suffix,
+                         F.last(c + suffix, ignorenulls=True).over(w))
+    return u.where(F.col("__side") == 1).drop("__ats", "__side")
+
+
+def topk_per_group(df: DataFrame, keys: list[str], order_by: list,
+                   k: int, rank_col: str = "rn") -> DataFrame:
+    """Top-k rows per group (deterministic given a total order in
+    ``order_by``).  ``row_number`` + filter — Spark evaluates the rank
+    inside the per-partition sort, so only k rows per key survive the
+    window stage."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+              .where(F.col(rank_col) <= k))

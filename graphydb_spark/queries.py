@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import dedup, graph_algos, similarity, text
+from .operators import dedup, graph_algos, relational, similarity, text
 from .sources.tpch_graph import load_tables, tpch_graph
 from .streaming.windows import sessionize, tumbling_counts
 
@@ -497,6 +497,61 @@ def q_copurchase_pairs(spark, sf_dir):
         as_df=True).select("uid", "other").distinct()
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join: each click event enriched with the user's most
+    recent view event at-or-before it (union-tag + last-ignore-nulls
+    window — one shuffle, no range explosion)."""
+    ev = _events(spark, sf_dir)
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    views = (ev.where(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("view_id")))
+    out = relational.asof_join(clicks, views, on="user_id",
+                               right_cols=("view_id",))
+    return out.select("event_id", F.col("view_id_matched").alias("view_id"))
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer by totalprice (row_number window with a
+    total-order tiebreak)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    out = relational.topk_per_group(
+        orders, ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")], k=3)
+    return out.select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP aggregate (grand total + per-flag + per-flag-status rows) —
+    multi-level aggregation in one pass."""
+    _register_raw(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS rev,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Exact embedding near-duplicate pairs (cosine ≥ 0.35, rounded before
+    thresholding so both engines cut on the same 6-dp value).  This is the
+    exact baseline; ann_lsh_topk / ivf_topk are the sub-quadratic scale
+    paths for the same capability."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    out = pairs.withColumn(
+        "cosine", F.round(similarity.cosine_expr(F.col("ea"),
+                                                 F.col("eb")), 6))
+    return (out.where(F.col("cosine") >= 0.35)
+            .select("id_a", "id_b", "cosine"))
+
+
 def q_bm25_rank(spark, sf_dir):
     """BM25-ranked retrieval for ['data','query'] over Document.text —
     top 10 with deterministic tie-break.  Rows-only oracle (F5; ranking
@@ -847,6 +902,49 @@ ORACLES: dict[str, str | None] = {
         WHERE 'Customer:' || CAST(o1.o_custkey AS VARCHAR)
             < 'Customer:' || CAST(o2.o_custkey AS VARCHAR)
     """,
+    "asof_join": """
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ), views AS (
+          SELECT user_id, ts, MAX(event_id) AS view_id
+          FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+        )
+        SELECT c.event_id, v.view_id
+        FROM clicks c ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+    "topk_per_group": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey)
+                     AS rn
+          FROM orders) WHERE rn <= 3
+    """,
+    "rollup_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS rev,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "embedding_near_dup": """
+        WITH p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            round(
+              list_sum(list_transform(range(1, len(a.embedding)+1),
+                i -> CAST(a.embedding[i] AS DOUBLE)
+                   * CAST(b.embedding[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+                   i -> CAST(a.embedding[i] AS DOUBLE)
+                      * CAST(a.embedding[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
+                   i -> CAST(b.embedding[i] AS DOUBLE)
+                      * CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35
+    """,
     "language_id": None,
     "bm25_rank": None,
     "ivf_topk": None,
@@ -904,6 +1002,10 @@ QUERIES = {
     "k_hop": q_k_hop,
     "language_id": q_language_id,
     "copurchase_pairs": q_copurchase_pairs,
+    "asof_join": q_asof_join,
+    "topk_per_group": q_topk_per_group,
+    "rollup_revenue": q_rollup_revenue,
+    "embedding_near_dup": q_embedding_near_dup,
     "bm25_rank": q_bm25_rank,
     "ivf_topk": q_ivf_topk,
     "connected_components": q_connected_components,

@@ -42,23 +42,35 @@ def _uid(kind: str, key_col) -> F.Column:
 
 
 def _node(df: DataFrame, kind: str, key: str, prop_cols: dict) -> DataFrame:
-    """prop_cols: name → Column (already cast as desired)."""
-    props = F.to_json(F.struct(*[c.alias(n) for n, c in prop_cols.items()]))
+    """prop_cols: name → Column (already cast as desired).
+
+    Besides the JSON ``props`` document, each branch carries a typed
+    ``pstruct`` column of the same fields.  Branch unions merge these by
+    name (missing fields → null), and Catalyst's SimplifyExtractValueOps
+    folds ``pstruct.field`` back to the source parquet column — so
+    JSON-path predicates compile to columnar scans with pushed filters
+    instead of per-row JSON parses (the 100 TB access path).
+    """
+    own = [c.alias(n) for n, c in prop_cols.items()]
     return df.select(
         _uid(kind, F.col(key)).alias("uid"),
         F.lit(kind).alias("kind"),
         F.lit(0.0).alias("ctime"),
         F.lit(0.0).alias("mtime"),
-        props.alias("props"),
+        F.to_json(F.struct(*own)).alias("props"),
+        F.struct(*own).alias("pstruct"),
     )
 
 
 def _edge(df: DataFrame, kind: str, uid_col, start_col, end_col,
           prop_cols: dict | None = None) -> DataFrame:
     if prop_cols:
-        props = F.to_json(F.struct(*[c.alias(n) for n, c in prop_cols.items()]))
+        own = [c.alias(n) for n, c in prop_cols.items()]
+        props = F.to_json(F.struct(*own))
+        pstruct = F.struct(*own)
     else:
         props = F.lit("{}")
+        pstruct = F.struct(F.lit(None).cast("string").alias("_empty"))
     return df.select(
         uid_col.alias("uid"),
         F.lit(kind).alias("kind"),
@@ -67,7 +79,35 @@ def _edge(df: DataFrame, kind: str, uid_col, start_col, end_col,
         F.lit(0.0).alias("ctime"),
         F.lit(0.0).alias("mtime"),
         props.alias("props"),
+        pstruct.alias("pstruct"),
     )
+
+
+def _align_pstruct(parts: list[DataFrame]) -> list[DataFrame]:
+    """Pad every branch's ``pstruct`` to one canonical merged schema
+    (union of all branches' fields, first-seen order, nulls elsewhere).
+
+    Doing the padding explicitly keeps each branch a single flat
+    projection; iterated ``unionByName(allowMissingColumns=True)`` would
+    instead re-wrap the struct once per union and the nested rebuilds
+    blow up analysis time with 9 branches.
+    """
+    merged: dict = {}
+    for p in parts:
+        for f in p.schema["pstruct"].dataType.fields:
+            prev = merged.setdefault(f.name, f.dataType)
+            if prev != f.dataType:
+                raise ValueError(
+                    f"pstruct field {f.name!r} has conflicting types: "
+                    f"{prev} vs {f.dataType}")
+    aligned = []
+    for p in parts:
+        own = {f.name for f in p.schema["pstruct"].dataType.fields}
+        cols = [(F.col("pstruct").getField(nm).cast(dt) if nm in own
+                 else F.lit(None).cast(dt)).alias(nm)
+                for nm, dt in merged.items()]
+        aligned.append(p.withColumn("pstruct", F.struct(*cols)))
+    return aligned
 
 
 def encode_nodes(t: dict[str, DataFrame]) -> DataFrame:
@@ -105,6 +145,7 @@ def encode_nodes(t: dict[str, DataFrame]) -> DataFrame:
                "value": c("value"), "ts": c("ts").cast("double"),
                "user_id": c("user_id")}),
     ]
+    parts = _align_pstruct(parts)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -168,6 +209,7 @@ def encode_edges(t: dict[str, DataFrame]) -> DataFrame:
               {"event_type": c("event_type"), "value": c("value"),
                "ts": c("ts").cast("double")}),
     ]
+    parts = _align_pstruct(parts)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
