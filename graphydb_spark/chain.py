@@ -195,6 +195,47 @@ def is_aggregate_expr(expr: str) -> bool:
     return bool(_AGG_RE.search(expr))
 
 
+def eliminable_links(links: list[Link], refs_text: str,
+                     fts_aliases: set, integrity: dict) -> set:
+    """Node links whose join is provably redundant.
+
+    A node link can be dropped from the join tree when (a) nothing
+    observes it — not collected, no extras, no FTS match, and its alias
+    is never referenced in WHERE/ORDER/GROUP/extras — and (b) a
+    neighboring edge link with a declared referential-integrity guarantee
+    (``integrity[edge_kind] = (start_node_kind, end_node_kind)``) proves
+    the node row exists with the required kind.  Because ``uid`` is the
+    node table's key, the dropped join could never have changed row
+    multiplicity; with the FK guarantee it cannot filter either, so
+    elimination is semantics-preserving.  At scale this removes whole
+    scans+joins of the (large) node table from multi-hop patterns — the
+    reference's SQLite planner has no such rewrite (it never needs one at
+    10k rows; at 100 TB it is the difference between k and 2k-1 joins).
+    """
+    out: set = set()
+    for i, l in enumerate(links):
+        if l.is_edge or l.collect or l.extras or l.alias in fts_aliases:
+            continue
+        if re.search(rf"\b{re.escape(l.alias)}\s*\.", refs_text):
+            continue
+        roles = []
+        if i > 0:
+            el = links[i - 1]
+            roles.append((el, "end" if el.ltype == "redge" else "start"))
+        if i + 1 < len(links):
+            er = links[i + 1]
+            roles.append((er, "start" if er.ltype == "redge" else "end"))
+        for edge, role in roles:
+            guar = integrity.get(edge.kind)
+            if not guar:
+                continue
+            target = guar[0] if role == "start" else guar[1]
+            if target is not None and (l.kind is None or l.kind == target):
+                out.add(l.alias)
+                break
+    return out
+
+
 # ---------------------------------------------------------------------------
 # SQL emission
 
@@ -212,6 +253,7 @@ def compile_fetch_sql(
     extras: Optional[dict] = None,
     fts_views: Optional[dict] = None,
     typed: Optional[dict] = None,
+    eliminated: Optional[set] = None,
 ) -> str:
     """Emit one Spark SQL SELECT for the parsed chain.
 
@@ -224,29 +266,49 @@ def compile_fetch_sql(
     """
     extras = extras or {}
     fts_views = fts_views or {}
+    eliminated = eliminated or set()
     collect = next(l for l in links if l.collect)
 
-    # FROM / JOIN chain, left to right
+    # FROM / JOIN chain, left to right.  ``prev`` tracks the SQL
+    # expression holding the current continuation uid; an eliminated node
+    # link (redundant-join elimination — its existence is FK-guaranteed
+    # by a neighboring edge and nothing references it) simply leaves
+    # ``prev`` pointing at the edge's endpoint column, so the two edges
+    # join directly and the node table never enters the plan.
     def rel(l: Link) -> str:
         return f"{edge_view if l.is_edge else node_view} AS {l.alias}"
 
-    from_sql = rel(links[0])
-    conds0 = []
-    if links[0].kind:
-        conds0.append(f"{links[0].alias}.kind = '{links[0].kind}'")
+    from_sql = None
+    conds0: list[str] = []
     join_sql = []
-    for left, right in zip(links, links[1:]):
-        if right.ltype == "redge":
-            on = f"{right.alias}.startuid = {left.alias}.uid"
-        elif right.ltype == "ledge":
-            on = f"{right.alias}.enduid = {left.alias}.uid"
-        elif left.ltype == "redge":
-            on = f"{right.alias}.uid = {left.alias}.enduid"
-        else:  # left is ledge
-            on = f"{right.alias}.uid = {left.alias}.startuid"
-        if right.kind:
-            on += f" AND {right.alias}.kind = '{right.kind}'"
-        join_sql.append(f"JOIN {rel(right)} ON {on}")
+    prev = None
+    for l in links:
+        if l.is_edge:
+            mycol, nextcol = (("startuid", "enduid") if l.ltype == "redge"
+                              else ("enduid", "startuid"))
+            on = []
+            if prev is not None:
+                on.append(f"{l.alias}.{mycol} = {prev}")
+            if l.kind:
+                on.append(f"{l.alias}.kind = '{l.kind}'")
+            prev_next = f"{l.alias}.{nextcol}"
+        else:
+            if l.alias in eliminated:
+                continue
+            on = []
+            if prev is not None:
+                on.append(f"{l.alias}.uid = {prev}")
+            if l.kind:
+                on.append(f"{l.alias}.kind = '{l.kind}'")
+            prev_next = f"{l.alias}.uid"
+        if from_sql is None:
+            from_sql = rel(l)
+            conds0.extend(on)
+        else:
+            join_sql.append(f"JOIN {rel(l)} ON {' AND '.join(on)}")
+        prev = prev_next
+    if from_sql is None:
+        raise GraphydbError("Chain eliminated every link")
 
     # SELECT list.  DISTINCT-by-row is the reference default (A3,
     # graphydb.py:865,903) but on a single-link chain uid is the table's

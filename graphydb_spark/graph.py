@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .chain import compile_fetch_sql, parse_chain
+from .chain import compile_fetch_sql, eliminable_links, parse_chain
 from .items import Edge, GraphydbError, Item, Node, clean_data, diff_items, \
     generate_uid, patch_reverse
 from .sets import ESet, NSet
@@ -110,6 +110,9 @@ class Graph:
             self._change_seq = meta.get("change_seq", len(self._changes))
             self._fts_node_fields = meta.get("fts_node_fields", [])
             self._fts_edge_fields = meta.get("fts_edge_fields", [])
+            self._edge_integrity = {
+                k: tuple(v) for k, v
+                in meta.get("edge_integrity", {}).items()}
 
     # ------------------------------------------------------------------ DDL
     def reset(self) -> None:
@@ -136,6 +139,19 @@ class Graph:
         # many times) rather than a per-query re-tokenize of the corpus.
         self._epoch = 0
         self._fts_cache: dict = {}
+        # declared referential-integrity guarantees per edge kind:
+        # kind → (start_node_kind | None, end_node_kind | None).  Powers
+        # redundant-join elimination in fetch (chain.eliminable_links).
+        self._edge_integrity: dict[str, tuple] = {}
+
+    def declare_integrity(self, edge_kind: str,
+                          start_kind: Optional[str] = None,
+                          end_kind: Optional[str] = None) -> None:
+        """Declare that every edge of ``edge_kind`` references existing
+        endpoint nodes of the given kinds.  An assertion by the data
+        owner (like a foreign key), used to drop provably redundant node
+        joins from chain queries."""
+        self._edge_integrity[edge_kind] = (start_kind, end_kind)
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "Graph":
@@ -178,7 +194,9 @@ class Graph:
         meta = {"settings": self._settings, "cache": self._cache,
                 "changes": self._changes, "change_seq": self._change_seq,
                 "fts_node_fields": self._fts_node_fields,
-                "fts_edge_fields": self._fts_edge_fields}
+                "fts_edge_fields": self._fts_edge_fields,
+                "edge_integrity": {k: list(v) for k, v
+                                   in self._edge_integrity.items()}}
         self.spark.createDataFrame(
             [(json.dumps(meta, sort_keys=True),)], "meta string") \
             .coalesce(1).write.mode(mode).json(f"{path}/meta")
@@ -358,11 +376,19 @@ class Graph:
         nfields, efields = _pfields(self.nodes_df), _pfields(self.edges_df)
         typed = {l.alias: (efields if l.is_edge else nfields) for l in links}
 
+        # redundant-join elimination: unobserved node links whose
+        # existence a declared FK guarantees never enter the join tree
+        refs_text = " ".join(
+            [str(c) for c in conds] + [str(ORDER or ""), str(GROUP or "")]
+            + [str(v) for v in extras.values()])
+        eliminated = eliminable_links(
+            links, refs_text, set(fts_specs), self._edge_integrity)
+
         sql = compile_fetch_sql(
             links, self._view("nodes"), self._view("edges"),
             where=conds or None, order=ORDER, group=GROUP, limit=LIMIT,
             offset=OFFSET, count=COUNT, distinct=DISTINCT, extras=extras,
-            fts_views=fts_views, typed=typed)
+            fts_views=fts_views, typed=typed, eliminated=eliminated)
         if DEBUG:
             return sql, binds
         df = self.spark.sql(sql, args=binds) if binds else self.spark.sql(sql)

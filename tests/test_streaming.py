@@ -83,3 +83,28 @@ def test_stream_graph_upserts_merge(spark, tmp_path):
     assert set(out) == {"u1", "u2", "u3"}
     assert out["u1"]["mtime"] == 2.0
     assert _json.loads(out["u1"]["props"])["name"] == "new"
+
+
+def test_stateful_sessionize_equals_batch(spark, events, tmp_path):
+    """applyInPandasWithState sessionizer over one micro-batch must agree
+    with the batch lag+cumsum sessionizer on final per-user totals."""
+    from graphydb_spark.streaming.windows import stream_sessionize_stateful
+    src = str(tmp_path / "events_state")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    out = stream_sessionize_stateful(spark, src, schema, gap_minutes=30)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("t_state_sess").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM t_state_sess").collect()
+    finally:
+        q.stop()
+    # latest emitted row per user = final totals
+    got = {}
+    for r in rows:
+        got[r["user_id"]] = (r["n_sessions"], r["n_events"])
+    want = {r["user_id"]: (r["n_sessions"], r["n_events"])
+            for r in sessionize(events, gap_minutes=30).collect()}
+    assert got == want
