@@ -269,46 +269,62 @@ def compile_fetch_sql(
     eliminated = eliminated or set()
     collect = next(l for l in links if l.collect)
 
-    # FROM / JOIN chain, left to right.  ``prev`` tracks the SQL
-    # expression holding the current continuation uid; an eliminated node
-    # link (redundant-join elimination — its existence is FK-guaranteed
-    # by a neighboring edge and nothing references it) simply leaves
-    # ``prev`` pointing at the edge's endpoint column, so the two edges
-    # join directly and the node table never enters the plan.
     def rel(l: Link) -> str:
         return f"{edge_view if l.is_edge else node_view} AS {l.alias}"
 
-    from_sql = None
-    conds0: list[str] = []
-    join_sql = []
-    prev = None
-    for l in links:
-        if l.is_edge:
-            mycol, nextcol = (("startuid", "enduid") if l.ltype == "redge"
-                              else ("enduid", "startuid"))
-            on = []
-            if prev is not None:
-                on.append(f"{l.alias}.{mycol} = {prev}")
-            if l.kind:
-                on.append(f"{l.alias}.kind = '{l.kind}'")
-            prev_next = f"{l.alias}.{nextcol}"
-        else:
-            if l.alias in eliminated:
-                continue
-            on = []
-            if prev is not None:
-                on.append(f"{l.alias}.uid = {prev}")
-            if l.kind:
-                on.append(f"{l.alias}.kind = '{l.kind}'")
-            prev_next = f"{l.alias}.uid"
-        if from_sql is None:
-            from_sql = rel(l)
-            conds0.extend(on)
-        else:
-            join_sql.append(f"JOIN {rel(l)} ON {' AND '.join(on)}")
-        prev = prev_next
-    if from_sql is None:
+    # Each link exposes a left/right "connector" column; adjacent kept
+    # links join connector-to-connector.  An eliminated node link
+    # (redundant-join elimination — its existence is FK-guaranteed by a
+    # neighboring edge and nothing references it) simply drops out of the
+    # sequence, so the flanking edges join directly on their endpoint
+    # columns and the node table never enters the plan.
+    def conns(l: Link) -> tuple:
+        if not l.is_edge:
+            return f"{l.alias}.uid", f"{l.alias}.uid"
+        if l.ltype == "redge":
+            return f"{l.alias}.startuid", f"{l.alias}.enduid"
+        return f"{l.alias}.enduid", f"{l.alias}.startuid"
+
+    seq = [l for l in links if l.is_edge or l.alias not in eliminated]
+    if not seq:
         raise GraphydbError("Chain eliminated every link")
+    # pair_cond[i] joins seq[i] to seq[i+1]
+    pair_cond = [f"{conns(b)[0]} = {conns(a)[1]}"
+                 for a, b in zip(seq, seq[1:])]
+
+    # Join-order heuristic: anchor the join tree at the most-constrained
+    # link (single-alias WHERE predicates, FTS matches) and extend
+    # outward along the chain, so the accumulated intermediate stays
+    # small and Spark broadcasts IT instead of a large edge frame.  Inner
+    # equi-join chains are order-independent semantically; without
+    # derived-frame statistics Catalyst keeps the textual order, which
+    # makes this the engine's (cheap, compile-time) join reordering.
+    wlist = [where] if isinstance(where, str) else list(where or [])
+    all_aliases = {l.alias for l in links}
+    wrefs = [set(re.findall(r"\b(\w+)\s*\.", str(w))) & all_aliases
+             for w in wlist]  # ∩ aliases: 'p.data.x' must not count 'data'
+    scores = []
+    for l in seq:
+        s = 0
+        for refs in wrefs:
+            if refs == {l.alias}:
+                s += 2
+        if l.alias in fts_views:
+            s += 2
+        scores.append(s)
+    a = scores.index(max(scores))  # leftmost on ties → stable plans
+
+    from_sql = rel(seq[a])
+    conds0: list[str] = []
+    if seq[a].kind:
+        conds0.append(f"{seq[a].alias}.kind = '{seq[a].kind}'")
+    join_sql = []
+    for i in list(range(a + 1, len(seq))) + list(range(a - 1, -1, -1)):
+        l = seq[i]
+        on = [pair_cond[i - 1] if i > a else pair_cond[i]]
+        if l.kind:
+            on.append(f"{l.alias}.kind = '{l.kind}'")
+        join_sql.append(f"JOIN {rel(l)} ON {' AND '.join(on)}")
 
     # SELECT list.  DISTINCT-by-row is the reference default (A3,
     # graphydb.py:865,903) but on a single-link chain uid is the table's

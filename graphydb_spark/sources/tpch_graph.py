@@ -25,7 +25,17 @@ TABLE_NAMES = ("region", "nation", "customer", "supplier", "part", "orders",
                "lineitem", "events", "documents", "embeddings")
 
 
+_TABLE_CACHE: dict = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    # Memoized per (session, dir): spark.read.parquet does a file listing
+    # and footer read on every call — ~50-80 ms × 10 tables of pure
+    # driver-side overhead per query if not reused.  DataFrames are
+    # immutable plans, so sharing them across queries is free.
+    ck = (id(spark), sf_dir)
+    if ck in _TABLE_CACHE:
+        return _TABLE_CACHE[ck]
     # events.parquet carries TIMESTAMP(NANOS) which Spark only reads as a
     # long behind this legacy flag; normalize to a µs timestamp (same
     # truncation DuckDB applies when it reads ns parquet natively)
@@ -34,6 +44,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
            for t in TABLE_NAMES}
     out["events"] = out["events"].withColumn(
         "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    _TABLE_CACHE[ck] = out
     return out
 
 
