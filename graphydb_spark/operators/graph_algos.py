@@ -18,21 +18,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def degrees(edges_df: DataFrame, direction: str = "both") -> DataFrame:
+def degrees(edges_df: DataFrame, direction: str = "both",
+            uid_prefix: str | None = None) -> DataFrame:
     """(uid, degree) — counting edge *incidences* (a self-loop adds one to
     in and one to out but its edge-uid dedups to a single both-incidence
     per endpoint, matching the reference's union-by-uid counting,
-    graphydb.py:1359-1378)."""
-    out_d = edges_df.groupBy(F.col("startuid").alias("uid")) \
-                    .agg(F.count("*").alias("out_degree"))
-    in_d = edges_df.groupBy(F.col("enduid").alias("uid")) \
-                   .agg(F.count("*").alias("in_degree"))
+    graphydb.py:1359-1378).
+
+    ``uid_prefix`` restricts output to nodes whose uid starts with it —
+    applied BEFORE the dedup/aggregation shuffle (per-node degrees are
+    independent, so pre-filtering incidences is exact).  Filtering after
+    would shuffle every incidence in the graph to keep a sliver: on the
+    sf0.1 fixture that is 2.6M shuffled rows vs 120k for 'Supplier:'.
+    """
+    def pref(df, col):
+        return df.where(F.col(col).startswith(uid_prefix)) \
+            if uid_prefix else df
+
+    out_d = pref(edges_df, "startuid") \
+        .groupBy(F.col("startuid").alias("uid")) \
+        .agg(F.count("*").alias("out_degree"))
+    in_d = pref(edges_df, "enduid") \
+        .groupBy(F.col("enduid").alias("uid")) \
+        .agg(F.count("*").alias("in_degree"))
     if direction == "out":
         return out_d.withColumnRenamed("out_degree", "degree")
     if direction == "in":
         return in_d.withColumnRenamed("in_degree", "degree")
-    both = (edges_df.select("uid", F.col("startuid").alias("nuid"))
-            .unionByName(edges_df.select("uid", F.col("enduid").alias("nuid")))
+    both = (pref(edges_df, "startuid")
+            .select("uid", F.col("startuid").alias("nuid"))
+            .unionByName(pref(edges_df, "enduid")
+                         .select("uid", F.col("enduid").alias("nuid")))
             .dropDuplicates(["uid", "nuid"]))
     return both.groupBy(F.col("nuid").alias("uid")) \
                .agg(F.count("*").alias("degree"))
