@@ -68,3 +68,49 @@ def topk_per_group(df: DataFrame, keys: list[str], order_by: list,
     w = Window.partitionBy(*keys).orderBy(*order_by)
     return (df.withColumn(rank_col, F.row_number().over(w).cast("long"))
               .where(F.col(rank_col) <= k))
+
+
+def range_join(left: DataFrame, right: DataFrame, on: str,
+               left_ts: str = "lts", right_ts: str = "rts",
+               window_s: float = 60.0) -> DataFrame:
+    """Forward range join: pairs (l, r) with the same ``on`` key and
+    ``l.left_ts < r.right_ts ≤ l.left_ts + window_s`` (timestamps as
+    epoch-second doubles).
+
+    Open-source Spark has no range-join strategy — a naive inequality
+    join plans as a per-key cross product (quadratic on hot keys).  This
+    is the standard bucketing decomposition: each side maps its timestamp
+    to a bucket of width ``window_s``; a match can only sit in the left
+    row's own bucket or the next one, so the left side expands to exactly
+    2 (bucket, row) candidates and the join is a plain equi-join on
+    (key, bucket) + a residual filter.  One bounded-fanout shuffle, AQE
+    handles skew like any equi-join.
+    """
+    b = F.lit(window_s)
+    l = left.withColumn(
+        "__b", F.explode(F.array(
+            F.floor(F.col(left_ts) / b), F.floor(F.col(left_ts) / b) + 1)))
+    r = right.withColumn("__b", F.floor(F.col(right_ts) / b))
+    return (l.join(r, [on, "__b"])
+             .where((F.col(right_ts) > F.col(left_ts))
+                    & (F.col(right_ts) <= F.col(left_ts) + b))
+             .drop("__b"))
+
+
+def salted_join(left: DataFrame, right: DataFrame, on,
+                salt: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-mitigating equi-join: the (large, possibly skewed) left side
+    scatters each row into one of ``salt`` sub-buckets; the right side
+    replicates ``salt`` ways, so a hot key's rows spread over ``salt``
+    tasks instead of one straggler.
+
+    Use when AQE's skew-join split can't help: broadcast-ineligible right
+    sides with a dominant key, or as the pre-shuffle for skewed window/
+    aggregation partitions.  Result is row-identical to a plain join (the
+    salt column is internal).
+    """
+    keys = on if isinstance(on, list) else [on]
+    l = left.withColumn("__salt", (F.rand(42) * salt).cast("int"))
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    return l.join(r, keys + ["__salt"], how).drop("__salt")

@@ -533,6 +533,64 @@ def q_rollup_revenue(spark, sf_dir):
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")
 
 
+def q_cube_revenue(spark, sf_dir):
+    """CUBE aggregate — all 4 grouping-set combinations in one pass
+    (partial aggregation handles the expansion map-side)."""
+    _register_raw(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS rev,
+               COUNT(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")
+
+
+def q_percentile_price(spark, sf_dir):
+    """Exact interpolated percentiles (median, p90) per order priority —
+    order-statistic aggregates the reference cannot express at all."""
+    _register_raw(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderpriority,
+               ROUND(percentile(o_totalprice, 0.5), 6) AS p50,
+               ROUND(percentile(o_totalprice, 0.9), 6) AS p90
+        FROM orders GROUP BY o_orderpriority""")
+
+
+def q_moving_avg_daily(spark, sf_dir):
+    """7-day moving average of daily revenue (window frame over an
+    ordered date axis).  Daily sums in DECIMAL so the frame aggregation
+    is exact and engine-portable; the final divide is one double op."""
+    _register_raw(spark, sf_dir)
+    return spark.sql("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        )
+        SELECT CAST(d AS STRING) AS d,
+               CAST(CAST(SUM(rev) OVER w AS DOUBLE)
+                    / (COUNT(*) OVER w) AS DOUBLE) AS avg7
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""")
+
+
+def q_range_join_events(spark, sf_dir):
+    """Forward range join via bucketing: for each error event, the count
+    of same-user clicks in the following 24 h.  Equi-join on
+    (user, time-bucket) with bounded 2x fanout — no per-key cross
+    product, unlike a naive inequality join."""
+    ev = (_events(spark, sf_dir)
+          .withColumn("tsd", F.col("ts").cast("double")))
+    errors = (ev.where(F.col("event_type") == "error")
+              .select("event_id", "user_id", F.col("tsd").alias("lts")))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", F.col("tsd").alias("rts")))
+    out = relational.range_join(errors, clicks, on="user_id",
+                                window_s=86400.0)
+    return (out.groupBy("event_id")
+            .agg(F.count("*").alias("n_clicks")))
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Exact embedding near-duplicate pairs (cosine ≥ 0.35, rounded before
     thresholding so both engines cut on the same 6-dp value).  This is the
@@ -927,6 +985,40 @@ ORACLES: dict[str, str | None] = {
                COUNT(*) AS n
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
+    "cube_revenue": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS rev,
+               COUNT(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "percentile_price": """
+        SELECT o_orderpriority,
+               ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "moving_avg_daily": """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        )
+        SELECT CAST(d AS STRING) AS d,
+               CAST(CAST(SUM(rev) OVER w AS DOUBLE)
+                    / (COUNT(*) OVER w) AS DOUBLE) AS avg7
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    "range_join_events": """
+        SELECT a.event_id, COUNT(*) AS n_clicks
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'error' AND b.event_type = 'click'
+         AND epoch(b.ts) > epoch(a.ts)
+         AND epoch(b.ts) <= epoch(a.ts) + 86400.0
+        GROUP BY a.event_id
+    """,
     "embedding_near_dup": """
         WITH p AS (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1027,6 +1119,10 @@ QUERIES = {
     "asof_join": q_asof_join,
     "topk_per_group": q_topk_per_group,
     "rollup_revenue": q_rollup_revenue,
+    "cube_revenue": q_cube_revenue,
+    "percentile_price": q_percentile_price,
+    "moving_avg_daily": q_moving_avg_daily,
+    "range_join_events": q_range_join_events,
     "embedding_near_dup": q_embedding_near_dup,
     "bm25_rank": q_bm25_rank,
     "ivf_topk": q_ivf_topk,

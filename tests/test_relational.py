@@ -46,3 +46,53 @@ def test_topk_per_group(spark):
     out = topk_per_group(df, ["k"], [F.col("v").desc(), F.col("id")], k=2)
     rows = {(r["k"], r["id"], r["rn"]) for r in out.collect()}
     assert rows == {("g1", 4, 1), ("g1", 3, 2), ("g2", 9, 1)}
+
+
+def test_range_join_equals_naive_inequality(spark):
+    """Metamorphic: bucketed range join == naive inequality join on a
+    randomized frame (boundary timestamps included)."""
+    import random
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 4), round(rng.uniform(0, 600), 3))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, k long, t double")
+    from graphydb_spark.operators.relational import range_join
+    left = df.select("id", "k", F.col("t").alias("lts"))
+    right = df.select(F.col("id").alias("rid"), "k",
+                      F.col("t").alias("rts"))
+    got = {(r["id"], r["rid"])
+           for r in range_join(left, right, on="k",
+                               window_s=60.0).collect()}
+    naive = left.join(right, "k").where(
+        (F.col("rts") > F.col("lts")) & (F.col("rts") <= F.col("lts") + 60))
+    want = {(r["id"], r["rid"]) for r in naive.collect()}
+    assert got == want and got
+
+
+def test_range_join_exact_boundaries(spark):
+    left = spark.createDataFrame([(1, "u", 100.0)],
+                                 "id long, k string, lts double")
+    right = spark.createDataFrame(
+        [(10, "u", 100.0), (11, "u", 100.5), (12, "u", 160.0),
+         (13, "u", 160.0001), (14, "v", 101.0)],
+        "rid long, k string, rts double")
+    from graphydb_spark.operators.relational import range_join
+    got = {r["rid"] for r in
+           range_join(left, right, on="k", window_s=60.0).collect()}
+    assert got == {11, 12}   # strict lower bound, inclusive upper, key-scoped
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Metamorphic: salted join row-multiset == plain join (skewed key)."""
+    from graphydb_spark.operators.relational import salted_join
+    left = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}") for i in range(500)],
+        "id long, k string")
+    right = spark.createDataFrame(
+        [("hot", 1), ("hot", 2), ("k10", 3), ("nope", 4)],
+        "k string, v long")
+    got = sorted((r["id"], r["k"], r["v"])
+                 for r in salted_join(left, right, "k", salt=8).collect())
+    want = sorted((r["id"], r["k"], r["v"])
+                  for r in left.join(right, "k").collect())
+    assert got == want and len(got) > 500
