@@ -344,6 +344,21 @@ WHERE l_shipdate <= '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
 
+_Q3_SQL = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue,
+       CAST(CAST(o_orderdate AS DATE) AS STRING) AS orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < '1995-03-15 00:00:00'
+  AND l_shipdate  > '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+"""
+
 _Q6_SQL = """
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
                 CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
@@ -589,6 +604,93 @@ def q_range_join_events(spark, sf_dir):
                                 window_s=86400.0)
     return (out.groupBy("event_id")
             .agg(F.count("*").alias("n_clicks")))
+
+
+def q_pivot_status(spark, sf_dir):
+    """Pivot (wide aggregation): order counts per priority x status.
+    DataFrame ``.pivot`` with an explicit value list, so the output schema
+    is fixed at plan time (no extra distinct-values job, and the plan is
+    a single partial+final aggregate — no shuffle per pivot column)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    out = (orders.groupBy("o_orderpriority")
+           .pivot("o_orderstatus", ["F", "O", "P"])
+           .agg(F.count(F.lit(1))))
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"))
+
+
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS — two independent group-bys in one scan+expand pass
+    (the generalization of the reference's single GROUP clause)."""
+    _register_raw(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS rev
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""")
+
+
+def q_window_rank(spark, sf_dir):
+    """Ranking + lag analytics: top-3 orders per priority with the gap to
+    the previous order's price.  Window ORDER carries an o_orderkey
+    tiebreak so rank/lag are deterministic across engines."""
+    from pyspark.sql.window import Window
+    orders = load_tables(spark, sf_dir)["orders"]
+    w = (Window.partitionBy("o_orderpriority")
+         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")))
+    return (orders
+            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+            .withColumn("rnk", F.rank().over(w).cast("long"))
+            .withColumn("prev_price", F.lag("o_totalprice").over(w))
+            .where(F.col("rnk") <= 3))
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping priority): 3-way join with per-side pushed
+    filters, DECIMAL-exact revenue.  The segment-filtered customer side is
+    broadcast; lineitem (the fact table) never shuffles."""
+    _register_raw(spark, sf_dir)
+    return spark.sql(_Q3_SQL)
+
+
+def q_anti_join_customers(spark, sf_dir):
+    """Anti join: customers with no big-ticket order (left_anti against a
+    filtered build side — the relational face of the graph set-difference
+    in q:set_difference).  The filter lands on the anti-join's build side
+    before the shuffle, so the probe never sees disqualified orders."""
+    t = load_tables(spark, sf_dir)
+    big = t["orders"].where(F.col("o_totalprice") > 400000)
+    return (t["customer"]
+            .join(big, t["customer"].c_custkey == big.o_custkey,
+                  "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+def q_regex_extract(spark, sf_dir):
+    """Regex extraction over document text (first engine keyword) —
+    JVM-side regexp_extract, no Python in the loop."""
+    docs = _docs(spark, sf_dir)
+    pat = "(spark|stream|scan|sort)"
+    return (docs
+            .select("doc_id",
+                    F.regexp_extract("text", pat, 1).alias("kw"))
+            .where(F.col("kw") != ""))
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic engine-portable sampling: keep rows whose md5(key)
+    prefix falls under a threshold (~6.25%).  Unlike TABLESAMPLE this is
+    reproducible across engines, partitionings, and reruns — the property
+    a training-data pipeline needs for stable holdout splits."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return (orders
+            .where(F.substring(F.md5(F.col("o_orderkey").cast("string")),
+                               1, 2) < "10")
+            .select("o_orderkey", "o_totalprice"))
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -1019,6 +1121,47 @@ ORACLES: dict[str, str | None] = {
          AND epoch(b.ts) <= epoch(a.ts) + 86400.0
         GROUP BY a.event_id
     """,
+    "pivot_status": """
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS rev
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    "window_rank": """
+        SELECT * FROM (
+          SELECT o_orderkey, o_orderpriority, o_totalprice,
+                 rank() OVER w AS rnk,
+                 lag(o_totalprice) OVER w AS prev_price
+          FROM orders
+          WINDOW w AS (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey)
+        ) WHERE rnk <= 3
+    """,
+    "tpch_q3": _Q3_SQL,
+    "anti_join_customers": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 400000)
+    """,
+    "regex_extract": """
+        SELECT doc_id,
+               regexp_extract(text, '(spark|stream|scan|sort)', 1) AS kw
+        FROM documents
+        WHERE regexp_extract(text, '(spark|stream|scan|sort)', 1) != ''
+    """,
+    "hash_sample": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '10'
+    """,
     "embedding_near_dup": """
         WITH p AS (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1123,6 +1266,13 @@ QUERIES = {
     "percentile_price": q_percentile_price,
     "moving_avg_daily": q_moving_avg_daily,
     "range_join_events": q_range_join_events,
+    "pivot_status": q_pivot_status,
+    "grouping_sets": q_grouping_sets,
+    "window_rank": q_window_rank,
+    "tpch_q3": q_tpch_q3,
+    "anti_join_customers": q_anti_join_customers,
+    "regex_extract": q_regex_extract,
+    "hash_sample": q_hash_sample,
     "embedding_near_dup": q_embedding_near_dup,
     "bm25_rank": q_bm25_rank,
     "ivf_topk": q_ivf_topk,
