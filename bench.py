@@ -27,8 +27,10 @@ BENCH_QUERIES = [
     "degree_supplier",
     # relational headliners
     "tpch_q1",
+    "tpch_q3",
     "tpch_q6",
     "orders_by_segment",
+    "range_join_events",
     # LLM-pipeline extensions
     "dedup_exact",
     "minhash_pairs",
