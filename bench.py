@@ -53,14 +53,18 @@ def main() -> None:
     # touch the shared graph encoding once (plan warm-up; frames are lazy)
     g = tpch_graph(spark, sf_dir)
     g.nodes_df.count()
-    g.edges_df.count()
+    n_edges = g.edges_df.count()
+
+    # shuffle parallelism proportional to data, not machine (see session.py)
+    from graphydb_spark.session import tune_shuffle_for_input
+    tune_shuffle_for_input(spark, n_edges)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         fn(spark, sf_dir).count()          # warm-up (codegen compile)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)

@@ -332,6 +332,7 @@ def compile_fetch_sql(
     # (same rewrite SQLite's planner would not do; on Spark it saves a
     # full exchange+sort of the props column).
     unique_anyway = len(links) == 1
+    group_sql_override = None
     if count:
         agg = f"{collect.alias}.uid" if unique_anyway \
             else f"DISTINCT {collect.alias}.uid"
@@ -348,6 +349,29 @@ def compile_fetch_sql(
             parts.append(f"({rewrite_expr(str(e), typed)}) AS {name}")
         select_sql = ("DISTINCT " if distinct and not unique_anyway else "") \
             + ", ".join(parts)
+        # Dedup-by-uid rewrite: uid is the collect frame's primary key, so
+        # when every extra depends only on the collect link, all selected
+        # columns are functions of uid and row-DISTINCT ≡ GROUP BY uid with
+        # a (deterministic) MIN representative.  The aggregate shuffles on
+        # uid alone instead of the whole row (no props/JSON in the exchange
+        # key), and a downstream projection that drops a column lets
+        # Catalyst prune its MIN() — e.g. .count() never serializes props.
+        # Extras referencing other aliases keep full-row DISTINCT: distinct
+        # per-path values are genuinely separate result rows (reference
+        # semantics, graphydb.py:865,903).
+        if distinct and not unique_anyway and not group and not order:
+            erefs = set()
+            for e in extras.values():
+                erefs |= set(re.findall(r"\b(\w+)\s*\.", str(e))) & \
+                    {l.alias for l in links}
+            if erefs <= {collect.alias}:
+                reps = [f"{collect.alias}.uid AS uid"]
+                reps += [f"MIN({collect.alias}.{c}) AS {c}"
+                         for c in cols if c != "uid"]
+                reps += [f"MIN({rewrite_expr(str(e), typed)}) AS {name}"
+                         for name, e in extras.items()]
+                select_sql = ", ".join(reps)
+                group_sql_override = f"GROUP BY {collect.alias}.uid"
 
     # WHERE
     conds = list(conds0)
@@ -365,7 +389,7 @@ def compile_fetch_sql(
     # select expression.  We take MIN() as the (deterministic)
     # representative for the system columns and any non-aggregate extra
     # that is not itself a group key.
-    group_sql = ""
+    group_sql = group_sql_override or ""
     if group and not count:
         keys = [k.strip() for k in _split_top_level(rewrite_expr(group, typed))]
         cols = EDGE_COLS if collect.is_edge else NODE_COLS

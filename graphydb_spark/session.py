@@ -40,6 +40,11 @@ def get_spark(app: str = "graphydb_spark", cpus: int | None = None) -> SparkSess
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # respect the advisory partition size rather than maximizing
+        # parallelism: fewer, right-sized post-shuffle partitions — the
+        # recommended production setting, and it cuts small-task scheduling
+        # overhead on small inputs too
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -74,7 +74,14 @@ def test_compile_count():
     # multi link: join can fan out → DISTINCT required
     sql = compile_fetch_sql(parse_chain("[n] -(e)> (m)"), "N", "E", count=True)
     assert "COUNT(DISTINCT n.uid)" in sql
+    # non-count multi-link dedup compiles to GROUP BY uid with MIN
+    # representatives (uid is the frame PK, so it's row-DISTINCT with a
+    # narrower shuffle key and prunable column aggregates)
     sql = compile_fetch_sql(parse_chain("(n) -(e)> (m)"), "N", "E")
+    assert "GROUP BY m.uid" in sql and "MIN(m.props) AS props" in sql
+    # but an extra referencing another alias forces full-row DISTINCT
+    sql = compile_fetch_sql(parse_chain("[n,x] -(e)> (m)"), "N", "E",
+                            extras={"x": "e.uid"})
     assert sql.startswith("SELECT DISTINCT")
 
 
