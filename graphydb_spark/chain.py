@@ -254,6 +254,7 @@ def compile_fetch_sql(
     fts_views: Optional[dict] = None,
     typed: Optional[dict] = None,
     eliminated: Optional[set] = None,
+    edge_endpoints: Optional[dict] = None,
 ) -> str:
     """Emit one Spark SQL SELECT for the parsed chain.
 
@@ -288,9 +289,43 @@ def compile_fetch_sql(
     seq = [l for l in links if l.is_edge or l.alias not in eliminated]
     if not seq:
         raise GraphydbError("Chain eliminated every link")
+
+    # Int-key join rewrite.  uids are '<Kind>:<int>' and the frames carry
+    # the raw int64 behind each uid/startuid/enduid (nkey / skey / ekey).
+    # When BOTH connector kinds at a junction are statically known (node
+    # link declares its kind; edge link's endpoint kinds come from the
+    # graph's declared referential integrity) and equal, the string
+    # equality  concat(K,':',a) = concat(K,':',b)  is exactly  a = b  —
+    # so the join keys become int64s: cheaper hash/compare in the
+    # HashedRelation build and probe, and no concat in the scan on the
+    # join path.  Unknown or mismatched kinds keep the string join
+    # (mismatched is correctly empty either way).
+    def conn_kind(l: Link, side: int) -> Optional[str]:
+        if not l.is_edge:
+            return l.kind
+        if edge_endpoints is None or not l.kind:
+            return None
+        skind, ekind = edge_endpoints.get(l.kind) or (None, None)
+        fwd = l.ltype == "redge"
+        return (skind if fwd else ekind) if side == 0 else \
+               (ekind if fwd else skind)
+
+    def conn_int(l: Link, side: int) -> str:
+        if not l.is_edge:
+            return f"{l.alias}.nkey"
+        fwd = l.ltype == "redge"
+        return (f"{l.alias}.skey" if fwd else f"{l.alias}.ekey") \
+            if side == 0 else \
+               (f"{l.alias}.ekey" if fwd else f"{l.alias}.skey")
+
+    def junction_cond(a: Link, b: Link) -> str:
+        ka, kb = conn_kind(a, 1), conn_kind(b, 0)
+        if edge_endpoints is not None and ka and kb and ka == kb:
+            return f"{conn_int(b, 0)} = {conn_int(a, 1)}"
+        return f"{conns(b)[0]} = {conns(a)[1]}"
+
     # pair_cond[i] joins seq[i] to seq[i+1]
-    pair_cond = [f"{conns(b)[0]} = {conns(a)[1]}"
-                 for a, b in zip(seq, seq[1:])]
+    pair_cond = [junction_cond(a, b) for a, b in zip(seq, seq[1:])]
 
     # Join-order heuristic: anchor the join tree at the most-constrained
     # link (single-alias WHERE predicates, FTS matches) and extend
@@ -332,10 +367,15 @@ def compile_fetch_sql(
     # (same rewrite SQLite's planner would not do; on Spark it saves a
     # full exchange+sort of the props column).
     unique_anyway = len(links) == 1
+    # collect link eligible for the int-key identity rewrite: its uid is
+    # '<Kind>:' || nkey, a bijection within the kind, so dedup/count can
+    # key on the int64 instead of the concatenated string
+    int_ident = (edge_endpoints is not None and not collect.is_edge
+                 and collect.kind is not None)
     group_sql_override = None
     if count:
-        agg = f"{collect.alias}.uid" if unique_anyway \
-            else f"DISTINCT {collect.alias}.uid"
+        key = f"{collect.alias}.nkey" if int_ident else f"{collect.alias}.uid"
+        agg = key if unique_anyway else f"DISTINCT {key}"
         select_sql = f"COUNT({agg}) AS n"
     else:
         cols = EDGE_COLS if collect.is_edge else NODE_COLS
@@ -365,13 +405,22 @@ def compile_fetch_sql(
                 erefs |= set(re.findall(r"\b(\w+)\s*\.", str(e))) & \
                     {l.alias for l in links}
             if erefs <= {collect.alias}:
-                reps = [f"{collect.alias}.uid AS uid"]
+                if int_ident:
+                    # group on the int64 key; uid is a function of it, so
+                    # reconstruct it per GROUP (not per input row) and the
+                    # dedup exchange hashes longs instead of strings
+                    gkey = f"{collect.alias}.nkey"
+                    reps = [f"concat('{collect.kind}:', "
+                            f"CAST({gkey} AS STRING)) AS uid"]
+                else:
+                    gkey = f"{collect.alias}.uid"
+                    reps = [f"{gkey} AS uid"]
                 reps += [f"MIN({collect.alias}.{c}) AS {c}"
                          for c in cols if c != "uid"]
                 reps += [f"MIN({rewrite_expr(str(e), typed)}) AS {name}"
                          for name, e in extras.items()]
                 select_sql = ", ".join(reps)
-                group_sql_override = f"GROUP BY {collect.alias}.uid"
+                group_sql_override = f"GROUP BY {gkey}"
 
     # WHERE
     conds = list(conds0)

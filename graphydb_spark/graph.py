@@ -153,6 +153,11 @@ class Graph:
         joins from chain queries."""
         self._edge_integrity[edge_kind] = (start_kind, end_kind)
 
+    @property
+    def edge_integrity(self) -> dict:
+        """Declared edge kind → (start_kind, end_kind) map (read-only copy)."""
+        return dict(self._edge_integrity)
+
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "Graph":
         return cls(spark, path=path)
@@ -161,12 +166,16 @@ class Graph:
     def from_dataframes(cls, spark: SparkSession, nodes_df: DataFrame,
                         edges_df: DataFrame) -> "Graph":
         g = cls(spark)
+        # optional engine columns ride along: pstruct (typed props shadow)
+        # and nkey/skey/ekey (raw int keys behind prefixed uids — enables
+        # the chain compiler's int-key join rewrite)
         g._nodes_df = nodes_df.select(
             *[f.name for f in NODE_SCHEMA.fields],
-            *(["pstruct"] if "pstruct" in nodes_df.columns else []))
+            *[c for c in ("pstruct", "nkey") if c in nodes_df.columns])
         g._edges_df = edges_df.select(
             *[f.name for f in EDGE_SCHEMA.fields],
-            *(["pstruct"] if "pstruct" in edges_df.columns else []))
+            *[c for c in ("pstruct", "skey", "ekey")
+              if c in edges_df.columns])
         g._known_node_uids = None
         g._known_edge_uids = None
         return g
@@ -249,6 +258,11 @@ class Graph:
     def _merge(self, df: DataFrame, rows: list[dict],
                schema: T.StructType) -> DataFrame:
         self._epoch += 1
+        # int-key columns are a static-encoding contract (uid = Kind:nkey
+        # for every row); freshly saved items need not honor it, so any
+        # mutation drops the columns and joins fall back to uid strings —
+        # a null nkey would silently drop rows from int-key joins
+        df = df.drop("nkey", "skey", "ekey")
         new = self.spark.createDataFrame(
             [tuple(r.get(f.name) for f in schema.fields) for r in rows], schema)
         new = self._conform(new, df)
@@ -384,11 +398,20 @@ class Graph:
         eliminated = eliminable_links(
             links, refs_text, set(fts_specs), self._edge_integrity)
 
+        # int-key join rewrite is available when the frames carry the raw
+        # int keys behind the prefixed uids AND referential integrity is
+        # declared (conn kinds must be statically known to drop the prefix)
+        self._flush()   # a pending mutation drops the key columns
+        int_keys = ("nkey" in self._nodes_df.columns
+                    and {"skey", "ekey"} <= set(self._edges_df.columns)
+                    and bool(self._edge_integrity))
+
         sql = compile_fetch_sql(
             links, self._view("nodes"), self._view("edges"),
             where=conds or None, order=ORDER, group=GROUP, limit=LIMIT,
             offset=OFFSET, count=COUNT, distinct=DISTINCT, extras=extras,
-            fts_views=fts_views, typed=typed, eliminated=eliminated)
+            fts_views=fts_views, typed=typed, eliminated=eliminated,
+            edge_endpoints=self._edge_integrity if int_keys else None)
         if DEBUG:
             return sql, binds
         df = self.spark.sql(sql, args=binds) if binds else self.spark.sql(sql)

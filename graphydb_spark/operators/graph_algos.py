@@ -19,7 +19,9 @@ from pyspark.sql import functions as F
 
 
 def degrees(edges_df: DataFrame, direction: str = "both",
-            uid_prefix: str | None = None) -> DataFrame:
+            uid_prefix: str | None = None,
+            node_kind: str | None = None,
+            endpoint_kinds: dict | None = None) -> DataFrame:
     """(uid, degree) — counting edge *incidences* (a self-loop adds one to
     in and one to out but its edge-uid dedups to a single both-incidence
     per endpoint, matching the reference's union-by-uid counting,
@@ -30,7 +32,21 @@ def degrees(edges_df: DataFrame, direction: str = "both",
     independent, so pre-filtering incidences is exact).  Filtering after
     would shuffle every incidence in the graph to keep a sliver: on the
     sf0.1 fixture that is 2.6M shuffled rows vs 120k for 'Supplier:'.
+
+    ``node_kind`` + ``endpoint_kinds`` (edge kind → (start_kind,
+    end_kind), e.g. ``Graph.edge_integrity``) is the stronger form of the
+    same pushdown: only edge kinds that can touch the node kind are
+    scanned — a literal ``kind IN (…)`` predicate that constant-folds
+    away whole branches of a union-of-kinds edge frame, instead of a
+    concat-prefix filter that must materialize every edge's uid strings.
+    When the frame also carries int key columns (skey/ekey, the
+    uid = 'Kind:int' static-encoding contract), the sum keys on int64 and
+    uid strings are built once per output node, not once per edge.
     """
+    if node_kind is not None and endpoint_kinds:
+        return _degrees_by_kind(edges_df, direction, node_kind,
+                                endpoint_kinds)
+
     def pref(df, col):
         return df.where(F.col(col).startswith(uid_prefix)) \
             if uid_prefix else df
@@ -45,13 +61,66 @@ def degrees(edges_df: DataFrame, direction: str = "both",
         return out_d.withColumnRenamed("out_degree", "degree")
     if direction == "in":
         return in_d.withColumnRenamed("in_degree", "degree")
-    both = (pref(edges_df, "startuid")
-            .select("uid", F.col("startuid").alias("nuid"))
-            .unionByName(pref(edges_df, "enduid")
-                         .select("uid", F.col("enduid").alias("nuid")))
-            .dropDuplicates(["uid", "nuid"]))
+    # both = |distinct incident edge uids| per node.  An edge contributes
+    # 1 via its start, 1 via its end; a self-loop (start == end) is one
+    # incidence, so it gets a single +1.  ONE scan emits per-edge weighted
+    # (node, w) pairs via an inline array explode, then a single sum
+    # keyed on node uid — map-side combine collapses each partition to
+    # its distinct nodes before the exchange, edge uids never enter the
+    # shuffle, and the previous dedup shuffle keyed on (edge_uid,
+    # node_uid) string pairs disappears entirely.
+    s, e = F.col("startuid"), F.col("enduid")
+    scan = edges_df
+    if uid_prefix:
+        scan = scan.where(s.startswith(uid_prefix)
+                          | e.startswith(uid_prefix))
+    pair = F.when(
+        s == e, F.array(F.struct(s.alias("nuid"), F.lit(1).alias("w")))
+    ).otherwise(F.array(F.struct(s.alias("nuid"), F.lit(1).alias("w")),
+                        F.struct(e.alias("nuid"), F.lit(1).alias("w"))))
+    both = scan.select(F.explode(pair).alias("x")).select("x.nuid", "x.w")
+    if uid_prefix:
+        both = both.where(F.col("nuid").startswith(uid_prefix))
     return both.groupBy(F.col("nuid").alias("uid")) \
-               .agg(F.count("*").alias("degree"))
+               .agg(F.sum("w").cast("long").alias("degree"))
+
+
+def _degrees_by_kind(edges_df: DataFrame, direction: str, node_kind: str,
+                     endpoint_kinds: dict) -> DataFrame:
+    """Kind-pruned degree counting (see :func:`degrees`)."""
+    int_keys = {"skey", "ekey"} <= set(edges_df.columns)
+    sk = sorted(k for k, (s, _) in endpoint_kinds.items() if s == node_kind)
+    ek = sorted(k for k, (_, e) in endpoint_kinds.items() if e == node_kind)
+    both_k = [k for k in sk if k in ek]
+
+    def side(kinds, uid_col, key_col, w):
+        df = edges_df.where(F.col("kind").isin(kinds))
+        key = F.col(key_col) if int_keys else F.col(uid_col)
+        return df, key, F.lit(w).alias("w")
+
+    parts = []
+    if direction in ("out", "both") and sk:
+        df, key, w = side(sk, "startuid", "skey", 1)
+        parts.append(df.select(key.alias("k"), w))
+    if direction in ("in", "both") and ek:
+        df, key, w = side(ek, "enduid", "ekey", 1)
+        parts.append(df.select(key.alias("k"), w))
+    if direction == "both" and both_k:
+        # self-loops were counted once per side above but are a single
+        # incidence (reference dedups by edge uid, graphydb.py:1367-1373)
+        df, key, w = side(both_k, "startuid", "skey", -1)
+        parts.append(df.where(F.col("startuid") == F.col("enduid"))
+                       .select(key.alias("k"), w))
+    if not parts:
+        raise ValueError(
+            f"No declared edge kind touches node kind {node_kind!r}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    agg = out.groupBy("k").agg(F.sum("w").cast("long").alias("degree"))
+    uid = (F.concat(F.lit(node_kind + ":"), F.col("k").cast("string"))
+           if int_keys else F.col("k"))
+    return agg.select(uid.alias("uid"), "degree")
 
 
 def connected_components(nodes_df: DataFrame, edges_df: DataFrame,

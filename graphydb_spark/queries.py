@@ -165,9 +165,12 @@ def q_traverse_out(spark, sf_dir):
 
 
 def q_degree_supplier(spark, sf_dir):
-    """A5: both-direction degree per supplier node."""
+    """A5: both-direction degree per supplier node.  The declared
+    endpoint-kind map turns the uid-prefix restriction into a literal
+    kind filter (branch-pruned scan) + int-key aggregation."""
     g = tpch_graph(spark, sf_dir)
-    return graph_algos.degrees(g.edges_df, "both", uid_prefix="Supplier:")
+    return graph_algos.degrees(g.edges_df, "both", node_kind="Supplier",
+                               endpoint_kinds=g.edge_integrity)
 
 
 def q_set_difference(spark, sf_dir):

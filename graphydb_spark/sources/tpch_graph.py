@@ -61,6 +61,11 @@ def _node(df: DataFrame, kind: str, key: str, prop_cols: dict) -> DataFrame:
     folds ``pstruct.field`` back to the source parquet column — so
     JSON-path predicates compile to columnar scans with pushed filters
     instead of per-row JSON parses (the 100 TB access path).
+
+    ``nkey`` is the raw integer natural key behind the uid: within one
+    kind, ``uid = '<Kind>:' || nkey`` is a bijection, so chain joins whose
+    endpoint kinds are both declared can equi-join on the int64 instead of
+    hashing the concatenated string (chain.py int-key join rewrite).
     """
     own = [c.alias(n) for n, c in prop_cols.items()]
     return df.select(
@@ -70,11 +75,15 @@ def _node(df: DataFrame, kind: str, key: str, prop_cols: dict) -> DataFrame:
         F.lit(0.0).alias("mtime"),
         F.to_json(F.struct(*own)).alias("props"),
         F.struct(*own).alias("pstruct"),
+        F.col(key).cast("long").alias("nkey"),
     )
 
 
 def _edge(df: DataFrame, kind: str, uid_col, start_col, end_col,
-          prop_cols: dict | None = None) -> DataFrame:
+          prop_cols: dict | None = None,
+          skey=None, ekey=None) -> DataFrame:
+    """``skey``/``ekey``: raw integer keys behind startuid/enduid (the
+    int-key join fast path, see :func:`_node`)."""
     if prop_cols:
         own = [c.alias(n) for n, c in prop_cols.items()]
         props = F.to_json(F.struct(*own))
@@ -91,6 +100,8 @@ def _edge(df: DataFrame, kind: str, uid_col, start_col, end_col,
         F.lit(0.0).alias("mtime"),
         props.alias("props"),
         pstruct.alias("pstruct"),
+        (skey if skey is not None else F.lit(None)).cast("long").alias("skey"),
+        (ekey if ekey is not None else F.lit(None)).cast("long").alias("ekey"),
     )
 
 
@@ -191,34 +202,41 @@ def encode_edges(t: dict[str, DataFrame]) -> DataFrame:
         _edge(t["nation"], "InRegion",
               _uid("InRegion", c("n_nationkey")),
               _uid("Nation", c("n_nationkey")),
-              _uid("Region", c("n_regionkey"))),
+              _uid("Region", c("n_regionkey")),
+              skey=c("n_nationkey"), ekey=c("n_regionkey")),
         _edge(t["customer"], "FromNation",
               _uid("FromNation", c("c_custkey")),
               _uid("Customer", c("c_custkey")),
-              _uid("Nation", c("c_nationkey"))),
+              _uid("Nation", c("c_nationkey")),
+              skey=c("c_custkey"), ekey=c("c_nationkey")),
         _edge(t["supplier"], "LocatedIn",
               _uid("LocatedIn", c("s_suppkey")),
               _uid("Supplier", c("s_suppkey")),
-              _uid("Nation", c("s_nationkey"))),
+              _uid("Nation", c("s_nationkey")),
+              skey=c("s_suppkey"), ekey=c("s_nationkey")),
         _edge(t["orders"], "Placed",
               _uid("Placed", c("o_orderkey")),
               _uid("Customer", c("o_custkey")),
-              _uid("Order", c("o_orderkey"))),
+              _uid("Order", c("o_orderkey")),
+              skey=c("o_custkey"), ekey=c("o_orderkey")),
         _edge(li, "Contains",
               F.concat(F.lit("Contains:"), li_uid_tail),
               _uid("Order", c("l_orderkey")),
               _uid("Part", c("l_partkey")),
-              li_props),
+              li_props,
+              skey=c("l_orderkey"), ekey=c("l_partkey")),
         _edge(li, "SuppliedBy",
               F.concat(F.lit("SuppliedBy:"), li_uid_tail),
               _uid("Order", c("l_orderkey")),
-              _uid("Supplier", c("l_suppkey"))),
+              _uid("Supplier", c("l_suppkey")),
+              skey=c("l_orderkey"), ekey=c("l_suppkey")),
         _edge(t["events"], "Did",
               _uid("Did", c("event_id")),
               _uid("User", c("user_id")),
               _uid("Event", c("event_id")),
               {"event_type": c("event_type"), "value": c("value"),
-               "ts": c("ts").cast("double")}),
+               "ts": c("ts").cast("double")},
+              skey=c("user_id"), ekey=c("event_id")),
     ]
     parts = _align_pstruct(parts)
     out = parts[0]

@@ -67,6 +67,31 @@ def test_compile_join_directions():
     assert "e.enduid = a.uid" in sql and "b.uid = e.startuid" in sql
 
 
+def test_compile_int_key_joins():
+    ep = {"Placed": ("Customer", "Order")}
+    # both junction kinds statically known → int64 join keys
+    sql = compile_fetch_sql(parse_chain("[c:Customer] -(e:Placed)> (o:Order)"),
+                            "N", "E", edge_endpoints=ep)
+    assert "e.skey = c.nkey" in sql and "o.nkey = e.ekey" in sql
+    # untyped node link → kind unknown → uid string join on that junction
+    sql = compile_fetch_sql(parse_chain("[c] -(e:Placed)> (o:Order)"),
+                            "N", "E", edge_endpoints=ep)
+    assert "e.startuid = c.uid" in sql and "o.nkey = e.ekey" in sql
+    # untyped edge → no endpoint metadata → string joins throughout
+    sql = compile_fetch_sql(parse_chain("[c:Customer] -(e)> (o:Order)"),
+                            "N", "E", edge_endpoints=ep)
+    assert "e.startuid = c.uid" in sql and "o.uid = e.enduid" in sql
+    # kind mismatch at the junction (Placed ends at Order, not Part):
+    # keep the string join — correctly empty, never wrongly matched
+    sql = compile_fetch_sql(parse_chain("[c:Customer] -(e:Placed)> (p:Part)"),
+                            "N", "E", edge_endpoints=ep)
+    assert "p.uid = e.enduid" in sql
+    # no metadata at all → unchanged legacy SQL
+    sql = compile_fetch_sql(parse_chain("[c:Customer] -(e:Placed)> (o:Order)"),
+                            "N", "E")
+    assert "e.startuid = c.uid" in sql and "o.uid = e.enduid" in sql
+
+
 def test_compile_count():
     # single link: uid already unique → DISTINCT elided
     sql = compile_fetch_sql(parse_chain("(n)"), "N", "E", count=True)

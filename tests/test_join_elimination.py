@@ -56,7 +56,8 @@ def test_eliminated_sql_drops_relation(spark):
     g = tpch_graph(spark, SF, cache=False)
     sql, _ = g.fetch("[c:Customer] -(pl:Placed)> (o:Order)", DEBUG=True)
     assert " AS o " not in sql + " "
-    assert "pl.startuid = c.uid" in sql
+    # declared-kind junction compiles to the int-key join
+    assert "pl.skey = c.nkey" in sql
 
 
 def test_interior_and_terminal_chain_elimination(spark):
@@ -68,5 +69,6 @@ def test_interior_and_terminal_chain_elimination(spark):
     for gone in ("o1", "pt", "o2"):
         assert f" AS {gone} " not in sql + " "
     # edges chain through the eliminated nodes' continuation columns
-    assert "ct1.startuid = p1.enduid" in sql
-    assert "ct2.enduid = ct1.enduid" in sql
+    # (int-key form: the junction kinds are declared on both sides)
+    assert "ct1.skey = p1.ekey" in sql
+    assert "ct2.ekey = ct1.ekey" in sql
