@@ -802,6 +802,132 @@ def q_ann_lsh_topk(spark, sf_dir):
             .select("vec_id", F.round("cosine", 6).alias("cosine")))
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join (the plan
+    Catalyst picks for EXISTS; the probe side never duplicates rows)."""
+    t = load_tables(spark, sf_dir)
+    o, l = t["orders"], t["lineitem"]
+    hit = o.join(
+        l, (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi")
+    return hit.groupBy("o_orderpriority") \
+              .agg(F.count("*").alias("n_orders"))
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5: 6-table join, revenue by nation for one region where the
+    supplier and customer share the nation.  Dimensions broadcast; the
+    fact table (lineitem) is never shuffled before the final group-by."""
+    t = load_tables(spark, sf_dir)
+    dp = (F.col("l_extendedprice").cast("decimal(18,2)")
+          * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+    asia_nations = (t["nation"]
+                    .join(F.broadcast(t["region"].where(
+                        F.col("r_name") == "ASIA")),
+                        F.col("n_regionkey") == F.col("r_regionkey")))
+    return (t["lineitem"]
+            .join(F.broadcast(t["orders"]),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(t["customer"]),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(t["supplier"]),
+                  (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(asia_nations),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.sum(dp).cast("double").alias("revenue")))
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share — conditional aggregation over
+    a fact-dimension join, one scalar out."""
+    t = load_tables(spark, sf_dir)
+    dp = (F.col("l_extendedprice").cast("decimal(18,2)")
+          * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+    j = (t["lineitem"]
+         .where((F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1997-01-01"))
+         .join(F.broadcast(t["part"]),
+               F.col("l_partkey") == F.col("p_partkey")))
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", dp)
+              .otherwise(F.lit(0).cast("decimal(18,2)")))
+         .alias("promo"),
+        F.sum(dp).alias("total"))
+    return agg.select(
+        (F.col("promo").cast("double") * 100.0
+         / F.col("total").cast("double")).alias("promo_pct"))
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders — HAVING on a grouped fact,
+    then a semi-join back to orders/customer.  The heavy group-by happens
+    before any join, so only qualifying keys reach the join."""
+    t = load_tables(spark, sf_dir)
+    big = (t["lineitem"].groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .alias("sum_qty"))
+           .where(F.col("sum_qty") > 150))
+    return (t["orders"]
+            .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(t["customer"]),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_custkey", "o_orderkey",
+                    F.col("sum_qty").cast("double").alias("sum_qty")))
+
+
+def q_above_nation_avg(spark, sf_dir):
+    """Correlated-subquery shape (customers above their nation's mean
+    acctbal), decorrelated to a grouped join.  The comparison multiplies
+    through by the count — decimal-exact, no float-division drift."""
+    t = load_tables(spark, sf_dir)
+    stats = (t["customer"].groupBy(F.col("c_nationkey").alias("nk"))
+             .agg(F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                  .alias("bal_sum"),
+                  F.count("*").alias("cnt")))
+    return (t["customer"]
+            .join(F.broadcast(stats), F.col("c_nationkey") == F.col("nk"))
+            .where(F.col("c_acctbal").cast("decimal(18,2)")
+                   * F.col("cnt") > F.col("bal_sum"))
+            .select("c_custkey"))
+
+
+def q_ntile_quartiles(spark, sf_dir):
+    """NTILE window: suppliers bucketed into acctbal quartiles
+    (suppkey tiebreak keeps the bucketing deterministic)."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+    w = W.orderBy(F.col("s_acctbal").asc(), F.col("s_suppkey").asc())
+    return t["supplier"].select(
+        "s_suppkey", F.ntile(4).over(w).alias("quartile"))
+
+
+def q_event_funnel(spark, sf_dir):
+    """Funnel conversion: users whose first 'view' precedes their last
+    'purchase'.  One conditional aggregation per user — no self-join,
+    no window; shuffles exactly once on user_id."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+         .alias("first_view"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
+         .alias("last_purchase"))
+    return per_user.agg(
+        F.count(F.col("first_view")).alias("n_viewers"),
+        F.sum(F.when(F.col("first_view") < F.col("last_purchase"), 1)
+              .otherwise(0)).cast("long").alias("n_converted"))
+
+
+def q_event_props_json(spark, sf_dir):
+    """P4 over a RAW table (not the graph encoding): JSON-path extraction
+    from the events.props varchar column, aggregated per event type."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"), F.count(k).alias("k_cnt"))
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect-compatible ANSI)
 
@@ -1186,11 +1312,106 @@ ORACLES: dict[str, str | None] = {
     "bm25_rank": None,
     "ivf_topk": None,
     # iterative / engine-internal → rows-only checks
-    "connected_components": None,
+    # iterative label propagation in the engine; the oracle replays it as
+    # a recursive reachability closure (tiny subgraph: Nation/Region)
+    "connected_components": """
+        WITH RECURSIVE
+        nr_nodes(uid) AS (
+          SELECT 'Nation:' || CAST(n_nationkey AS VARCHAR) FROM nation
+          UNION ALL
+          SELECT 'Region:' || CAST(r_regionkey AS VARCHAR) FROM region
+        ),
+        nr_edges(a, b) AS (
+          SELECT 'Nation:' || CAST(n_nationkey AS VARCHAR),
+                 'Region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+          UNION ALL
+          SELECT 'Region:' || CAST(n_regionkey AS VARCHAR),
+                 'Nation:' || CAST(n_nationkey AS VARCHAR) FROM nation
+        ),
+        reach(src, dst) AS (
+          SELECT uid, uid FROM nr_nodes
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN nr_edges e ON e.a = r.dst
+        )
+        SELECT src AS uid, MIN(dst) AS component FROM reach GROUP BY src
+    """,
     "pagerank_top10": None,
     "multimodal_features": None,
     "simhash_pairs": None,
     "ann_lsh_topk": None,
+    "tpch_q4": (
+        "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders o "
+        "WHERE EXISTS (SELECT 1 FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey "
+        "AND l.l_shipdate > o.o_orderdate) "
+        "GROUP BY o_orderpriority"),
+    "tpch_q5": """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    "tpch_q14": """
+        SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         CAST(1 - l_discount AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+               / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+               AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+    """,
+    "tpch_q18": """
+        SELECT c_custkey, o_orderkey, CAST(sum_qty AS DOUBLE) AS sum_qty
+        FROM orders
+        JOIN (SELECT l_orderkey,
+                     SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150) big
+          ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "above_nation_avg": """
+        SELECT c_custkey
+        FROM customer
+        JOIN (SELECT c_nationkey AS nk,
+                     SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum,
+                     COUNT(*) AS cnt
+              FROM customer GROUP BY c_nationkey) s
+          ON c_nationkey = s.nk
+        WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > bal_sum
+    """,
+    "ntile_quartiles": (
+        "SELECT s_suppkey, NTILE(4) OVER "
+        "(ORDER BY s_acctbal ASC, s_suppkey ASC) AS quartile "
+        "FROM supplier"),
+    "event_funnel": """
+        SELECT COUNT(first_view) AS n_viewers,
+               CAST(SUM(CASE WHEN first_view < last_purchase
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        FROM (SELECT user_id,
+                     MIN(CASE WHEN event_type = 'view' THEN ts END)
+                         AS first_view,
+                     MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+                         AS last_purchase
+              FROM events GROUP BY user_id)
+    """,
+    "event_props_json": (
+        "SELECT event_type, "
+        "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+        "AS BIGINT) AS k_sum, "
+        "COUNT(json_extract_string(props, '$.k')) AS k_cnt "
+        "FROM events GROUP BY event_type"),
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -1284,6 +1505,14 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "simhash_pairs": q_simhash_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
+    "above_nation_avg": q_above_nation_avg,
+    "ntile_quartiles": q_ntile_quartiles,
+    "event_funnel": q_event_funnel,
+    "event_props_json": q_event_props_json,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
