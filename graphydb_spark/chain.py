@@ -255,6 +255,7 @@ def compile_fetch_sql(
     typed: Optional[dict] = None,
     eliminated: Optional[set] = None,
     edge_endpoints: Optional[dict] = None,
+    edge_unique: Optional[dict] = None,
 ) -> str:
     """Emit one Spark SQL SELECT for the parsed chain.
 
@@ -366,7 +367,32 @@ def compile_fetch_sql(
     # primary key, so rows are already unique — elide the dedup shuffle
     # (same rewrite SQLite's planner would not do; on Spark it saves a
     # full exchange+sort of the props column).
-    unique_anyway = len(links) == 1
+    # Key-preserving-join dedup elision.  The collect frame's rows are
+    # unique by uid; each join outward from the collect link multiplies
+    # cardinality only if the joined link can match a connector value
+    # more than once.  Node links never fan out (uid is the primary
+    # key).  An edge link fans out unless the edge kind is declared
+    # unique on the connector column FACING the collect link (e.g. a
+    # FK-shaped edge: one FromNation edge per customer).  If no link
+    # fans out, the result is already distinct-by-row and the reference's
+    # default DISTINCT (graphydb.py:865,903) is a no-op — eliding it
+    # removes the dedup exchange, a full shuffle of the result at scale.
+    def _conn_unique(l: Link, facing_right: bool) -> bool:
+        if not l.is_edge:
+            return True
+        if not edge_unique or not l.kind:
+            return False
+        su, eu = edge_unique.get(l.kind, (False, False))
+        # right connector of a redge is enduid; of a ledge is startuid
+        if facing_right:
+            return eu if l.ltype == "redge" else su
+        return su if l.ltype == "redge" else eu
+
+    ci = seq.index(collect)
+    no_fanout = (all(_conn_unique(l, True) for l in seq[:ci])
+                 and all(_conn_unique(l, False) for l in seq[ci + 1:]))
+
+    unique_anyway = len(links) == 1 or no_fanout
     # collect link eligible for the int-key identity rewrite: its uid is
     # '<Kind>:' || nkey, a bijection within the kind, so dedup/count can
     # key on the int64 instead of the concatenated string

@@ -113,6 +113,9 @@ class Graph:
             self._edge_integrity = {
                 k: tuple(v) for k, v
                 in meta.get("edge_integrity", {}).items()}
+            self._edge_unique = {
+                k: tuple(v) for k, v
+                in meta.get("edge_unique", {}).items()}
 
     # ------------------------------------------------------------------ DDL
     def reset(self) -> None:
@@ -143,15 +146,31 @@ class Graph:
         # kind → (start_node_kind | None, end_node_kind | None).  Powers
         # redundant-join elimination in fetch (chain.eliminable_links).
         self._edge_integrity: dict[str, tuple] = {}
+        # declared multiplicity per edge kind:
+        # kind → (start_unique, end_unique) — True means at most one edge
+        # of this kind per distinct startuid/enduid (a FK-shaped edge).
+        # Powers key-preserving-join dedup elision in chain queries.
+        self._edge_unique: dict[str, tuple] = {}
 
     def declare_integrity(self, edge_kind: str,
                           start_kind: Optional[str] = None,
-                          end_kind: Optional[str] = None) -> None:
+                          end_kind: Optional[str] = None,
+                          start_unique: bool = False,
+                          end_unique: bool = False) -> None:
         """Declare that every edge of ``edge_kind`` references existing
         endpoint nodes of the given kinds.  An assertion by the data
         owner (like a foreign key), used to drop provably redundant node
-        joins from chain queries."""
+        joins from chain queries.
+
+        ``start_unique``/``end_unique`` additionally assert that at most
+        one edge of this kind exists per distinct startuid/enduid (the
+        shape of a FK edge: one FromNation edge per customer).  Chains
+        that only traverse unique directions away from the collect link
+        cannot fan out, so the compiler elides the default dedup-by-row
+        DISTINCT — one fewer shuffle."""
         self._edge_integrity[edge_kind] = (start_kind, end_kind)
+        self._edge_unique[edge_kind] = (bool(start_unique),
+                                        bool(end_unique))
 
     @property
     def edge_integrity(self) -> dict:
@@ -205,7 +224,9 @@ class Graph:
                 "fts_node_fields": self._fts_node_fields,
                 "fts_edge_fields": self._fts_edge_fields,
                 "edge_integrity": {k: list(v) for k, v
-                                   in self._edge_integrity.items()}}
+                                   in self._edge_integrity.items()},
+                "edge_unique": {k: list(v) for k, v
+                                in self._edge_unique.items()}}
         self.spark.createDataFrame(
             [(json.dumps(meta, sort_keys=True),)], "meta string") \
             .coalesce(1).write.mode(mode).json(f"{path}/meta")
@@ -411,7 +432,8 @@ class Graph:
             where=conds or None, order=ORDER, group=GROUP, limit=LIMIT,
             offset=OFFSET, count=COUNT, distinct=DISTINCT, extras=extras,
             fts_views=fts_views, typed=typed, eliminated=eliminated,
-            edge_endpoints=self._edge_integrity if int_keys else None)
+            edge_endpoints=self._edge_integrity if int_keys else None,
+            edge_unique=self._edge_unique or None)
         if DEBUG:
             return sql, binds
         df = self.spark.sql(sql, args=binds) if binds else self.spark.sql(sql)

@@ -265,16 +265,21 @@ def tpch_graph(spark: SparkSession, sf_dir: str, cache: bool = True) -> Graph:
     g = Graph.from_dataframes(spark, encode_nodes(t), encode_edges(t))
     # TPC-H foreign keys hold by construction → declare them so fetch can
     # drop provably redundant node joins from multi-hop patterns
-    for kind, (s, e) in {
-        "InRegion": ("Nation", "Region"),
-        "FromNation": ("Customer", "Nation"),
-        "LocatedIn": ("Supplier", "Nation"),
-        "Placed": ("Customer", "Order"),
-        "Contains": ("Order", "Part"),
-        "SuppliedBy": ("Order", "Supplier"),
-        "Did": ("User", "Event"),
+    # (start_kind, end_kind, start_unique, end_unique): uniqueness is the
+    # FK shape — e.g. exactly one FromNation edge per customer, exactly
+    # one Placed edge per order.  Contains/SuppliedBy are genuinely
+    # many-many (an order has many lineitems, a part is in many).
+    for kind, (s, e, su, eu) in {
+        "InRegion": ("Nation", "Region", True, False),
+        "FromNation": ("Customer", "Nation", True, False),
+        "LocatedIn": ("Supplier", "Nation", True, False),
+        "Placed": ("Customer", "Order", False, True),
+        "Contains": ("Order", "Part", False, False),
+        "SuppliedBy": ("Order", "Supplier", False, False),
+        "Did": ("User", "Event", False, True),
     }.items():
-        g.declare_integrity(kind, start_kind=s, end_kind=e)
+        g.declare_integrity(kind, start_kind=s, end_kind=e,
+                            start_unique=su, end_unique=eu)
     if cache:
         _GRAPH_CACHE[key] = g
     return g

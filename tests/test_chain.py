@@ -92,6 +92,36 @@ def test_compile_int_key_joins():
     assert "e.startuid = c.uid" in sql and "o.uid = e.enduid" in sql
 
 
+def test_compile_dedup_elision_on_unique_chains():
+    ep = {"Placed": ("Customer", "Order"),
+          "FromNation": ("Customer", "Nation")}
+    uq = {"Placed": (False, True), "FromNation": (True, False)}
+    # collect at the right end; edge's right connector (enduid) unique →
+    # no fanout → no DISTINCT / GROUP BY dedup in the SQL
+    sql = compile_fetch_sql(parse_chain("(c:Customer) -(e:Placed)> [o:Order]"),
+                            "N", "E", edge_endpoints=ep, edge_unique=uq)
+    assert "DISTINCT" not in sql and "GROUP BY" not in sql
+    # walking the NON-unique direction (customer → its many orders):
+    # dedup must stay
+    sql = compile_fetch_sql(parse_chain("[c:Customer] -(e:Placed)> (o:Order)"),
+                            "N", "E", edge_endpoints=ep, edge_unique=uq)
+    assert "GROUP BY" in sql or "DISTINCT" in sql
+    # ledge form: '<(f:FromNation)-' right connector is startuid (unique)
+    sql = compile_fetch_sql(
+        parse_chain("(n:Nation) <(f:FromNation)- [c:Customer]"),
+        "N", "E", edge_endpoints=ep, edge_unique=uq)
+    assert "DISTINCT" not in sql and "GROUP BY" not in sql
+    # undeclared edge kind → conservative, dedup stays
+    sql = compile_fetch_sql(parse_chain("(c:Customer) -(e)> [o:Order]"),
+                            "N", "E", edge_endpoints=ep, edge_unique=uq)
+    assert "GROUP BY" in sql or "DISTINCT" in sql
+    # COUNT on a no-fanout chain drops the DISTINCT aggregate
+    sql = compile_fetch_sql(parse_chain("(c:Customer) -(e:Placed)> [o:Order]"),
+                            "N", "E", count=True,
+                            edge_endpoints=ep, edge_unique=uq)
+    assert "COUNT(o.nkey)" in sql
+
+
 def test_compile_count():
     # single link: uid already unique → DISTINCT elided
     sql = compile_fetch_sql(parse_chain("(n)"), "N", "E", count=True)
