@@ -716,8 +716,8 @@ def q_embedding_near_dup(spark, sf_dir):
 
 def q_bm25_rank(spark, sf_dir):
     """BM25-ranked retrieval for ['data','query'] over Document.text —
-    top 10 with deterministic tie-break.  Rows-only oracle (F5; ranking
-    internals)."""
+    top 10 with deterministic tie-break (F5 as a first-class ranked
+    operator; full SQL-replay oracle)."""
     from .fts import bm25_scores, build_tf_index
     g = tpch_graph(spark, sf_dir)
     docs = g.nodes_df.where(F.col("kind") == "Document")
@@ -749,8 +749,8 @@ def q_k_hop(spark, sf_dir):
 
 
 def q_language_id(spark, sf_dir):
-    """Stopword-vote language heuristic per doc — rows-only oracle (the
-    argmax tie-break is engine-internal)."""
+    """Stopword-vote language heuristic per doc (SQL-replay oracle from
+    the same stopword lists; argmax = max hits, ties to max code)."""
     return text.language_id(_docs(spark, sf_dir)) \
         .select("doc_id", "lang_guess")
 
@@ -1308,8 +1308,70 @@ ORACLES: dict[str, str | None] = {
         )
         SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35
     """,
-    "language_id": None,
-    "bm25_rank": None,
+    # stopword-vote replay: hits per (doc, lang) from the same stopword
+    # lists, argmax = max hits then max code (the engine's array_max on
+    # (hits, code) structs).  The VALUES list is generated from
+    # text.STOPWORDS so the two sides can never drift.
+    "language_id": """
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '[^\\pL\\pN]+'),
+            x -> x != '')) AS tok
+          FROM documents
+        ),
+        sw(code, w) AS (VALUES {sw_values}),
+        langs AS (SELECT DISTINCT code FROM sw),
+        hits AS (
+          SELECT d.doc_id, l.code, COUNT(s.w) AS h
+          FROM documents d
+          CROSS JOIN langs l
+          LEFT JOIN toks t ON t.doc_id = d.doc_id
+          LEFT JOIN sw s ON s.code = l.code AND s.w = t.tok
+          GROUP BY d.doc_id, l.code
+        )
+        SELECT doc_id, code AS lang_guess
+        FROM (SELECT doc_id, code, ROW_NUMBER() OVER
+                (PARTITION BY doc_id ORDER BY h DESC, code DESC) AS rn
+              FROM hits)
+        WHERE rn = 1
+    """.format(sw_values=", ".join(
+        f"('{code}','{w}')"
+        for code in text.STOPWORDS for w in text.STOPWORDS[code])),
+    # full BM25 replay in SQL (k1=1.2, b=0.75, same tokenizer); the
+    # rank-10/11 score gap is ~5e-3, far beyond float noise, so the
+    # top-10 set is stable across engines
+    "bm25_rank": """
+        WITH toks AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(text),'[^a-z0-9]+'),
+            x -> x != '') AS ws
+          FROM documents
+        ),
+        docs AS (SELECT doc_id, len(ws) AS dl FROM toks WHERE len(ws) > 0),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM docs),
+        tf AS (
+          SELECT toks.doc_id, u.tok AS term, COUNT(*) AS tf
+          FROM toks, UNNEST(ws) AS u(tok)
+          WHERE u.tok IN ('data','query')
+          GROUP BY toks.doc_id, u.tok
+        ),
+        dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                  FROM tf GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id,
+                 SUM( ln((s.n - d.df + 0.5)/(d.df + 0.5) + 1.0)
+                      * (tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * docs.dl / s.avgdl))
+                    ) AS score
+          FROM tf JOIN dfreq d USING (term)
+               JOIN docs ON docs.doc_id = tf.doc_id
+               CROSS JOIN stats s
+          GROUP BY tf.doc_id
+        )
+        SELECT 'Document:' || CAST(doc_id AS VARCHAR) AS uid
+        FROM scored
+        ORDER BY score DESC, uid ASC LIMIT 10
+    """,
     "ivf_topk": None,
     # iterative / engine-internal → rows-only checks
     # iterative label propagation in the engine; the oracle replays it as
