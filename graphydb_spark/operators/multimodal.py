@@ -94,3 +94,41 @@ def frame_sample_plan(media: DataFrame, every_n: int = 4) -> DataFrame:
     feats = extract_features(media)
     idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
     return feats.select("media_id", F.explode(idx).alias("frame_idx"))
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+])
+
+
+def resize(media: DataFrame, max_side: int = 256,
+           fake: bool = True) -> DataFrame:
+    """Arrow-batched resize: payload in → (smaller) payload out, with the
+    scaled dimensions.  The pixel work is STUBBED (the fake keeps a
+    deterministic byte prefix proportional to the area ratio); the
+    Spark-side shape is the real one — a binary-to-binary mapInPandas
+    whose output batches are smaller than the input, which is exactly the
+    memory profile a thumbnailing stage has at scale.  Aspect ratio is
+    preserved; media already within ``max_side`` pass through unchanged.
+    """
+    if not fake:
+        decode_image(b"")  # raises NotImplementedError
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _, _ = _fake_decode(p)
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                body = bytes(p or b"")
+                keep = max(1, int(len(body) * scale * scale))
+                out_rows.append((int(m), body[:keep], nw, nh))
+            yield pd.DataFrame(
+                out_rows, columns=["media_id", "payload", "width", "height"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=RESIZED_SCHEMA)

@@ -784,6 +784,15 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media).select("media_id", "width", "height")
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Binary→binary resize stage (deterministic fake pixels): returns the
+    scaled dimensions per media row — rows-only oracle (payload bytes are
+    engine-internal)."""
+    from .operators.multimodal import documents_as_media, resize
+    media = documents_as_media(_docs(spark, sf_dir))
+    return resize(media, max_side=256).select("media_id", "width", "height")
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (xxhash64 bit votes) — rows-only oracle
     (xxhash64 isn't available in DuckDB)."""
@@ -1399,6 +1408,7 @@ ORACLES: dict[str, str | None] = {
     """,
     "pagerank_top10": None,
     "multimodal_features": None,
+    "multimodal_resize": None,
     "simhash_pairs": None,
     "ann_lsh_topk": None,
     "tpch_q4": (
@@ -1565,6 +1575,7 @@ QUERIES = {
     "connected_components": q_connected_components,
     "pagerank_top10": q_pagerank_top10,
     "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
     "simhash_pairs": q_simhash_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
     "tpch_q4": q_tpch_q4,

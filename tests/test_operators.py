@@ -135,6 +135,25 @@ def test_multimodal_plumbing(docs):
     assert all(r["frame_idx"] % 4 == 0 for r in frames)
 
 
+def test_multimodal_resize(docs):
+    from graphydb_spark.operators.multimodal import resize
+    media = documents_as_media(
+        docs.withColumn("source", F.lit("s")).withColumn("n_chars", F.length("text")))
+    out = {r["media_id"]: r for r in resize(media, max_side=128).collect()}
+    assert len(out) == 5
+    for r in out.values():
+        assert max(r["width"], r["height"]) <= 128
+        assert r["width"] >= 1 and r["height"] >= 1
+    # same payload → same resize decision (deterministic)
+    assert (out[0]["width"], out[0]["payload"]) == \
+           (out[3]["width"], out[3]["payload"])
+    # payload shrinks with the area ratio (never grows)
+    src = {r["media_id"]: r for r in media.collect()}
+    assert all(len(out[i]["payload"] or b"") <=
+               max(1, len(src[i]["payload"] or b""))
+               for i in out)
+
+
 def test_degrees_selfloop(spark):
     edges = spark.createDataFrame(
         [("e1", "A", "A"), ("e2", "A", "B")],
