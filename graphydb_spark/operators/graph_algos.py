@@ -131,11 +131,16 @@ def connected_components(nodes_df: DataFrame, edges_df: DataFrame,
     join + one min-aggregation.  Converges in graph-diameter rounds;
     ``localCheckpoint`` caps lineage so 50-round runs stay planful.
     """
+    # symmetrized edge list materialized once, partitioned on the join
+    # key (dst) — iterations then only shuffle the label frame (see the
+    # same pattern in pagerank)
     sym = (edges_df.select(F.col("startuid").alias("src"),
                            F.col("enduid").alias("dst"))
            .unionByName(edges_df.select(F.col("enduid").alias("src"),
                                         F.col("startuid").alias("dst")))
-           .distinct())
+           .distinct()
+           .repartition("dst")
+           .localCheckpoint(eager=True))
     labels = nodes_df.select(F.col("uid"), F.col("uid").alias("component"))
     for _ in range(max_iter):
         # neighbor labels + own label, take the min per node
@@ -159,11 +164,17 @@ def pagerank(nodes_df: DataFrame, edges_df: DataFrame, iters: int = 10,
     """(uid, rank) — standard power iteration with dangling-mass
     redistribution; ranks sum to ~N (GraphX convention)."""
     n_total = nodes_df.count()
-    out_deg = edges_df.groupBy(F.col("startuid").alias("uid")) \
-                      .agg(F.count("*").alias("deg"))
+    # Materialize the edge list ONCE, hash-partitioned on the join key.
+    # localCheckpoint preserves the partitioning, so every iteration's
+    # edges⋈ranks join reuses it and only the (node-sized) rank frame
+    # shuffles — without this the full edge table re-shuffles every
+    # round, which dominates at scale.
+    edges = (edges_df.select(F.col("startuid").alias("uid"),
+                             F.col("enduid").alias("dst"))
+             .repartition("uid")
+             .localCheckpoint(eager=True))
+    out_deg = edges.groupBy("uid").agg(F.count("*").alias("deg"))
     ranks = nodes_df.select("uid").withColumn("rank", F.lit(1.0))
-    edges = edges_df.select(F.col("startuid").alias("uid"),
-                            F.col("enduid").alias("dst"))
     for _ in range(iters):
         contrib_src = ranks.join(out_deg, "uid", "left")
         dangling = (contrib_src.where(F.col("deg").isNull())
