@@ -46,6 +46,10 @@ def get_spark(app: str = "graphydb_spark", cpus: int | None = None) -> SparkSess
         # overhead on small inputs too
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # bucketed tables (Graph.write_bucketed) land here, not in cwd
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                               "/tmp/graphydb_spark_warehouse"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory",

@@ -1,0 +1,49 @@
+"""Bucketed storage: co-located node-edge joins need no exchange."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphydb_spark.graph import Graph
+from graphydb_spark.sources.tpch_graph import tpch_graph
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark):
+    g = tpch_graph(spark, SF, cache=False)
+    names = g.write_bucketed(
+        n_buckets=4, node_table="t_nodes_b", edge_table="t_edges_b")
+    yield Graph.from_tables(spark, *names)
+    for t in names:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed):
+    """nodes.uid = edges.startuid with both sides bucketed on the key and
+    broadcast disabled: the sort-merge join must read bucket files
+    pairwise — zero Exchange operators in the physical plan."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed.nodes_df.join(
+            bucketed.edges_df,
+            bucketed.nodes_df.uid == bucketed.edges_df.startuid)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_graph_answers_fetch(bucketed):
+    out = bucketed.fetch(
+        "(n:Nation) <(fn:FromNation)- [c:Customer]",
+        'n.data.n_name = "NATION_3"', as_df=True)
+    assert out.count() > 0
+
+
+def test_bucketed_roundtrip_preserves_rows(spark, bucketed):
+    g0 = tpch_graph(spark, SF, cache=False)
+    assert bucketed.nodes_df.count() == g0.nodes_df.count()
+    assert bucketed.edges_df.count() == g0.edges_df.count()
