@@ -124,6 +124,42 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
              .distinct())
 
 
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                   id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """(doc_id, cluster) — connected components over a near-dup pair list;
+    cluster = the minimum doc id in the component (its canonical keep).
+
+    This is the stage after candidate generation + verification in a
+    dedup pipeline: transitive closure groups A~B~C into one cluster even
+    when A-C was never a candidate pair.  Min-label propagation on int64
+    ids: the pair list is materialized once, partitioned on the join key,
+    and every iteration shuffles only the (node, label) frame.  Converges
+    in O(cluster diameter) rounds — near-dup clusters are shallow.
+    """
+    sym = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+           .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                     F.col(id_a).alias("dst")))
+           .distinct()
+           .repartition("dst")
+           .localCheckpoint(eager=True))
+    labels = (sym.select(F.col("src").alias("id"))
+              .distinct()
+              .select("id", F.col("id").alias("cluster")))
+    for _ in range(max_iter):
+        nbr = (sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+               .select(F.col("src").alias("id"), "cluster"))
+        new = (labels.unionByName(nbr)
+               .groupBy("id").agg(F.min("cluster").alias("cluster"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n").join(labels.alias("o"), "id")
+                   .where(F.col("n.cluster") != F.col("o.cluster"))
+                   .limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster")
+
+
 def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", k: int = 3,
                    threshold: float = 0.5) -> DataFrame:

@@ -451,6 +451,20 @@ def q_minhash_pairs(spark, sf_dir):
             .select("id_a", "id_b"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: transitive closure over the minhash candidate
+    pairs — (doc_id, cluster) with cluster = min doc id in the component,
+    i.e. the canonical keep decision of a dedup pipeline."""
+    docs = _docs(spark, sf_dir)
+    sig = dedup.minhash_signature(docs, num_hashes=1).localCheckpoint()
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("sig0"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("sig0").alias("s2"))
+    pairs = (a.join(b, (F.col("sig0") == F.col("s2")) &
+                    (F.col("id_a") < F.col("id_b")))
+             .select("id_a", "id_b"))
+    return dedup.dedup_clusters(pairs)
+
+
 def q_text_stats(spark, sf_dir):
     """Per-doc token/char stats (JVM-side tokenizer)."""
     return text.with_text_stats(_docs(spark, sf_dir)) \
@@ -1025,6 +1039,30 @@ ORACLES: dict[str, str | None] = {
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sh a JOIN sh b ON a.mh = b.mh AND a.doc_id < b.doc_id
     """,
+    "dedup_clusters": """
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '') AS ws
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, list_min(list_transform(range(1, len(ws)-1),
+                i -> md5('0:' || ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+                AS mh
+          FROM toks WHERE len(ws) >= 3
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.mh = b.mh AND a.doc_id < b.doc_id
+        ), dedges(a, b) AS (
+          SELECT id_a, id_b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs
+        ), dnodes(id) AS (SELECT DISTINCT a FROM dedges),
+        reach(src, dst) AS (
+          SELECT id, id FROM dnodes
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN dedges e ON e.a = r.dst
+        )
+        SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src
+    """,
     "text_stats": (
         "SELECT doc_id, CAST(len(list_filter("
         + _TOKENIZE_DUCK.format(col="text") + ", x -> x != '')) AS BIGINT) "
@@ -1545,6 +1583,7 @@ QUERIES = {
     "tpch_q6": q_tpch_q6,
     "orders_by_segment": q_orders_by_segment,
     "dedup_exact": q_dedup_exact,
+    "dedup_clusters": q_dedup_clusters,
     "minhash_pairs": q_minhash_pairs,
     "text_stats": q_text_stats,
     "token_count_by_lang": q_token_count_by_lang,

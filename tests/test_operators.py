@@ -154,6 +154,16 @@ def test_multimodal_resize(docs):
                for i in out)
 
 
+def test_dedup_clusters_transitive(spark):
+    """A~B and B~C (no direct A~C pair) must land in ONE cluster labeled
+    by the minimum id; disconnected pairs stay separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long")
+    out = {r["doc_id"]: r["cluster"]
+           for r in dedup.dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
 def test_degrees_selfloop(spark):
     edges = spark.createDataFrame(
         [("e1", "A", "A"), ("e2", "A", "B")],
