@@ -451,6 +451,21 @@ def q_minhash_pairs(spark, sf_dir):
             .select("id_a", "id_b"))
 
 
+def q_top_bigrams(spark, sf_dir):
+    """Corpus collocations: top-20 bigrams by frequency (bigram tiebreak).
+    One explode + one count — the canonical n-gram statistics shape."""
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                    lambda t: t != "")
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda t, i: F.concat_ws(" ", t, F.get(toks, i + 1)))
+    return (docs.select(F.explode(bigrams).alias("bigram"))
+            .groupBy("bigram").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("bigram").asc())
+            .limit(20))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERING: transitive closure over the minhash candidate
     pairs — (doc_id, cluster) with cluster = min doc id in the component,
@@ -1039,6 +1054,20 @@ ORACLES: dict[str, str | None] = {
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sh a JOIN sh b ON a.mh = b.mh AND a.doc_id < b.doc_id
     """,
+    "top_bigrams": """
+        WITH toks AS (
+          SELECT list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+                             x -> x != '') AS ws
+          FROM documents
+        ),
+        bg AS (
+          SELECT unnest(list_transform(range(1, len(ws)),
+                        i -> ws[i] || ' ' || ws[i+1])) AS bigram
+          FROM toks
+        )
+        SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+        ORDER BY n DESC, bigram ASC LIMIT 20
+    """,
     "dedup_clusters": """
         WITH RECURSIVE toks AS (
           SELECT doc_id, list_filter(
@@ -1584,6 +1613,7 @@ QUERIES = {
     "orders_by_segment": q_orders_by_segment,
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
+    "top_bigrams": q_top_bigrams,
     "minhash_pairs": q_minhash_pairs,
     "text_stats": q_text_stats,
     "token_count_by_lang": q_token_count_by_lang,
