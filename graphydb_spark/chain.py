@@ -467,20 +467,35 @@ def compile_fetch_sql(
     group_sql = group_sql_override or ""
     if group and not count:
         keys = [k.strip() for k in _split_top_level(rewrite_expr(group, typed))]
+        # int-key identity: grouping on the collect link's uid string is
+        # grouping on its nkey (bijective within the kind) — swap the key
+        # so the exchange hashes int64s, and rebuild uid per group
+        uid_key = f"{collect.alias}.uid"
+        uid_expr = uid_key
+        if int_ident and uid_key in keys:
+            keys[keys.index(uid_key)] = f"{collect.alias}.nkey"
+            uid_expr = (f"concat('{collect.kind}:', "
+                        f"CAST({collect.alias}.nkey AS STRING))")
         cols = EDGE_COLS if collect.is_edge else NODE_COLS
         parts = []
         for c in cols:
             q = f"{collect.alias}.{c}"
-            parts.append(f"{q} AS {c}" if q in keys
-                         else f"MIN({q}) AS {c}")
+            if c == "uid" and uid_expr != uid_key:
+                parts.append(f"{uid_expr} AS uid")
+            else:
+                parts.append(f"{q} AS {c}" if q in keys
+                             else f"MIN({q}) AS {c}")
         for name, e in extras.items():
             rewritten = rewrite_expr(str(e), typed)
             if is_aggregate_expr(rewritten) or rewritten.strip() in keys:
                 parts.append(f"({rewritten}) AS {name}")
             else:
                 parts.append(f"MIN({rewritten}) AS {name}")
-        select_sql = ("DISTINCT " if distinct and not unique_anyway else "") \
-            + ", ".join(parts)
+        # no DISTINCT on grouped output: every select list here carries
+        # uid either as a group key or as MIN(uid), and group uid sets
+        # are disjoint — rows are already unique, the dedup would be a
+        # second full exchange for nothing
+        select_sql = ", ".join(parts)
         group_sql = "GROUP BY " + ", ".join(keys)
     elif group:
         group_sql = "GROUP BY " + rewrite_expr(group, typed)
