@@ -96,13 +96,21 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3,
-                      num_hashes: int = 8, bands: int = 4) -> DataFrame:
+                      num_hashes: int = 8, bands: int = 4,
+                      max_bucket: int | None = None) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via banded LSH.
 
     Signature split into ``bands`` bands of ``num_hashes/bands`` rows; docs
     sharing any band hash become a candidate pair.  The self-join shuffles
     only (band, hash, id) triples — at 100 TB the band tables are ~1% of
     corpus bytes.  Verify candidates with :func:`jaccard_verify`.
+
+    ``max_bucket`` drops buckets holding more than that many docs before
+    the self-join.  An n-doc bucket yields n(n-1)/2 pairs, so one
+    boilerplate-heavy bucket of 100k docs emits 5e9 pairs and sinks the
+    job — the standard production guard is to cap bucket size (run exact
+    dedup first; giant buckets are near-identical boilerplate it already
+    collapses).  Unset = exact LSH semantics.
     """
     sig = minhash_signature(df, text_col, id_col, k, num_hashes)
     rows_per_band = num_hashes // bands
@@ -114,6 +122,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                                   F.md5(F.concat_ws("|", *cols)).alias("bh")))
     buckets = (sig.select(id_col, F.explode(F.array(*band_cols)).alias("bb"))
                   .select(id_col, "bb.band", "bb.bh"))
+    if max_bucket is not None:
+        small = (buckets.groupBy("band", "bh")
+                 .agg(F.count("*").alias("_n"))
+                 .where(F.col("_n") <= max_bucket)
+                 .select("band", "bh"))
+        buckets = buckets.join(small, ["band", "bh"], "left_semi")
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (a.join(b, [F.col("a.band") == F.col("b.band"),

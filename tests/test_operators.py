@@ -53,6 +53,22 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert not any({a, b} == {0, 2} for a, b in pairs)
 
 
+def test_minhash_bucket_cap_bounds_pairs(spark):
+    """max_bucket drops oversize buckets: 20 identical docs (one giant
+    bucket of 190 pairs) emit ZERO pairs under a cap of 5, while the
+    small distinct-pair bucket survives."""
+    rows = [(i, "spam spam spam identical boilerplate text") for i in range(20)]
+    rows += [(100, "a rare unique document about spark"),
+             (101, "a rare unique document about spark")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.minhash_lsh_pairs(df, num_hashes=8, bands=4,
+                                     max_bucket=5).collect()
+    ids = {i for r in capped for i in (r["id_a"], r["id_b"])}
+    assert ids == {100, 101}
+    uncapped = dedup.minhash_lsh_pairs(df, num_hashes=8, bands=4).count()
+    assert uncapped == 190 + 1
+
+
 def test_jaccard_verify(docs, spark):
     pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 3)],
                                   "id_a long, id_b long")
