@@ -222,10 +222,14 @@ def simhash64(df: DataFrame, text_col: str = "text",
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3,
-                       bands: int = 4) -> DataFrame:
+                       bands: int = 4,
+                       max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash: LSH on 16-bit bands (a pair within
     hamming distance ≤ bands-1 must agree on ≥1 band), then exact hamming
-    filter via bit_count(xor)."""
+    filter via bit_count(xor).
+
+    ``max_bucket`` drops oversize bands before the self-join — same
+    quadratic-blowup guard as :func:`minhash_lsh_pairs`."""
     sig = simhash64(df, text_col, id_col)
     band_rows = []
     width = 64 // bands
@@ -237,6 +241,12 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     buckets = (sig.select(id_col, "simhash",
                           F.explode(F.array(*band_rows)).alias("bb"))
                   .select(id_col, "simhash", "bb.band", "bb.key"))
+    if max_bucket is not None:
+        small = (buckets.groupBy("band", "key")
+                 .agg(F.count("*").alias("_n"))
+                 .where(F.col("_n") <= max_bucket)
+                 .select("band", "key"))
+        buckets = buckets.join(small, ["band", "key"], "left_semi")
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (a.join(b, [F.col("a.band") == F.col("b.band"),
                        F.col("a.key") == F.col("b.key"),
