@@ -28,12 +28,16 @@ BENCH_QUERIES = [
     # relational headliners
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
     "tpch_q6",
     "orders_by_segment",
     "range_join_events",
     # LLM-pipeline extensions
     "dedup_exact",
     "minhash_pairs",
+    # (dedup_clusters is excluded: its plan-cached DataFrame holds the
+    # checkpointed final labels, so a re-count measures a re-read, not
+    # the iterative clustering work)
     "fts_term",
     "knn_cosine",
     "events_window",
