@@ -915,6 +915,51 @@ def q_tpch_q18(spark, sf_dir):
                     F.col("sum_qty").cast("double").alias("sum_qty")))
 
 
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape: volume shipped between two specific nations
+    (supplier nation → customer nation), grouped by year.  Both nation
+    filters prune before the fact join; dims broadcast."""
+    t = load_tables(spark, sf_dir)
+    dp = (F.col("l_extendedprice").cast("decimal(18,2)")
+          * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+    n1 = t["nation"].where(F.col("n_name") == "NATION_1") \
+        .select(F.col("n_nationkey").alias("supp_nk"))
+    n2 = t["nation"].where(F.col("n_name") == "NATION_2") \
+        .select(F.col("n_nationkey").alias("cust_nk"))
+    return (t["lineitem"]
+            .join(F.broadcast(t["supplier"].join(
+                F.broadcast(n1), F.col("s_nationkey") == F.col("supp_nk"))),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(t["orders"]),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(t["customer"].join(
+                F.broadcast(n2), F.col("c_nationkey") == F.col("cust_nk"))),
+                F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy(F.year("l_shipdate").alias("l_year"))
+            .agg(F.sum(dp).cast("double").alias("revenue")))
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns
+    (l_returnflag = 'R'), with nation — group-heavy join + ordered
+    limit with key tiebreak."""
+    t = load_tables(spark, sf_dir)
+    dp = (F.col("l_extendedprice").cast("decimal(18,2)")
+          * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+    g = (t["lineitem"].where(F.col("l_returnflag") == "R")
+         .join(F.broadcast(t["orders"]),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+         .groupBy("o_custkey").agg(F.sum(dp).alias("rev")))
+    return (g.join(F.broadcast(t["customer"]),
+                   F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(t["nation"]),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select(F.col("c_custkey"), F.col("c_name"), F.col("n_name"),
+                    F.col("rev").cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+            .limit(20))
+
+
 def q_above_nation_avg(spark, sf_dir):
     """Correlated-subquery shape (customers above their nation's mean
     acctbal), decorrelated to a grouped join.  The comparison multiplies
@@ -1520,6 +1565,34 @@ ORACLES: dict[str, str | None] = {
           ON o_orderkey = big.l_orderkey
         JOIN customer ON o_custkey = c_custkey
     """,
+    "tpch_q7": """
+        SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                      AND n1.n_name = 'NATION_1'
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                      AND n2.n_name = 'NATION_2'
+        GROUP BY l_year
+    """,
+    "tpch_q10": """
+        SELECT c_custkey, c_name, n_name,
+               CAST(rev AS DOUBLE) AS revenue
+        FROM (SELECT o_custkey,
+                     SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         CAST(1 - l_discount AS DECIMAL(18,2))) AS rev
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'R'
+              GROUP BY o_custkey) g
+        JOIN customer ON g.o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
     "above_nation_avg": """
         SELECT c_custkey
         FROM customer
@@ -1651,6 +1724,8 @@ QUERIES = {
     "tpch_q5": q_tpch_q5,
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q10": q_tpch_q10,
     "above_nation_avg": q_above_nation_avg,
     "ntile_quartiles": q_ntile_quartiles,
     "event_funnel": q_event_funnel,
