@@ -976,6 +976,22 @@ def q_above_nation_avg(spark, sf_dir):
             .select("c_custkey"))
 
 
+def q_running_total(spark, sf_dir):
+    """Cumulative window frame: per-customer running order total in
+    order-date order (ROWS UNBOUNDED PRECEDING, orderkey tiebreak,
+    decimal accumulation so partial-sum order cannot drift)."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+    w = (W.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (t["orders"]
+            .where(F.col("o_custkey") < 100)
+            .select("o_custkey", "o_orderkey",
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                    .over(w).cast("double").alias("running_total")))
+
+
 def q_ntile_quartiles(spark, sf_dir):
     """NTILE window: suppliers bucketed into acctbal quartiles
     (suppkey tiebreak keeps the bucketing deterministic)."""
@@ -1603,6 +1619,15 @@ ORACLES: dict[str, str | None] = {
           ON c_nationkey = s.nk
         WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > bal_sum
     """,
+    "running_total": """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate ASC, o_orderkey ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS running_total
+        FROM orders WHERE o_custkey < 100
+    """,
     "ntile_quartiles": (
         "SELECT s_suppkey, NTILE(4) OVER "
         "(ORDER BY s_acctbal ASC, s_suppkey ASC) AS quartile "
@@ -1727,6 +1752,7 @@ QUERIES = {
     "tpch_q7": q_tpch_q7,
     "tpch_q10": q_tpch_q10,
     "above_nation_avg": q_above_nation_avg,
+    "running_total": q_running_total,
     "ntile_quartiles": q_ntile_quartiles,
     "event_funnel": q_event_funnel,
     "event_props_json": q_event_props_json,
