@@ -65,13 +65,14 @@ def build_index(df: DataFrame, fields: list[str]) -> DataFrame:
             df.select(
                 F.col("uid"),
                 F.lit(f_name).alias("field"),
-                F.explode(tokens_col(src)).alias("token"),
+                F.posexplode(tokens_col(src)).alias("pos", "token"),
             ).where(F.col("token").isNotNull())
+            .select("uid", "field", "token", "pos")
         )
     if not parts:
         # empty index with the right schema
         return df.sparkSession.createDataFrame(
-            [], "uid string, field string, token string")
+            [], "uid string, field string, token string, pos int")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -135,10 +136,24 @@ def bm25_scores(tf_index: DataFrame, terms: list[str], k1: float = 1.2,
 _TERM_RE = re.compile(r'(?:([\w]+)\s*:\s*)?([\w]+)(\*)?', re.UNICODE)
 
 
+_PHRASE_RE = re.compile(r'(?:([\w]+)\s*:\s*)?"([^"]*)"', re.UNICODE)
+
+
 def parse_match(query: str) -> list[tuple[str, list[tuple]]]:
     """Parse a MATCH expression into OR-groups of (negated, field, term,
-    prefix) tuples; terms inside a group are ANDed."""
+    prefix) tuples; terms inside a group are ANDed.  FTS5-style quoted
+    phrases (``"exact words"``, optionally field-qualified) parse into a
+    term that is a TUPLE of tokens — matched by adjacent positions."""
     groups: list[list[tuple]] = [[]]
+    # pull quoted phrases out before whitespace-splitting
+    phrases: list[tuple] = []
+
+    def keep(m: re.Match) -> str:
+        toks = tuple(t for t in re.split(r"[^\w]+", m.group(2).lower()) if t)
+        phrases.append((m.group(1), toks))
+        return f" \x00{len(phrases) - 1}\x00 "
+
+    query = _PHRASE_RE.sub(keep, query)
     tokens = query.replace("(", " ").replace(")", " ").split()
     negate_next = False
     i = 0
@@ -156,6 +171,13 @@ def parse_match(query: str) -> list[tuple[str, list[tuple]]]:
             negate_next = True
             i += 1
             continue
+        if tok.startswith("\x00") and tok.endswith("\x00"):
+            field, toks = phrases[int(tok.strip("\x00"))]
+            if toks:
+                groups[-1].append((negate_next, field, toks, False))
+            negate_next = False
+            i += 1
+            continue
         # field-qualified term may come as 'field:' 'term' or 'field:term'
         if tok.endswith(":") and i + 1 < len(tokens):
             tok = tok + tokens[i + 1]
@@ -170,10 +192,33 @@ def parse_match(query: str) -> list[tuple[str, list[tuple]]]:
 
 
 def _term_uids(index: DataFrame, field, term, prefix) -> DataFrame:
+    if isinstance(term, tuple):
+        return _phrase_uids(index, field, term)
     cond = F.col("token").startswith(term) if prefix else F.col("token") == term
     if field:
         cond = cond & (F.col("field") == field)
     return index.where(cond).select("uid").distinct()
+
+
+def _phrase_uids(index: DataFrame, field, terms: tuple) -> DataFrame:
+    """uids containing the tokens at ADJACENT positions (FTS5 phrase).
+
+    Anchor on the first token's (uid, field, pos) and semi-join each
+    subsequent token at pos+i — per-term postings are small after the
+    token filter, so the joins stay narrow."""
+    def postings(term, alias_pos):
+        cond = F.col("token") == term
+        if field:
+            cond = cond & (F.col("field") == field)
+        return index.where(cond).select(
+            "uid", F.col("field").alias("f"),
+            F.col("pos").alias(alias_pos))
+    acc = postings(terms[0], "p0")
+    for i, term in enumerate(terms[1:], start=1):
+        nxt = postings(term, "pn") \
+            .withColumn("p0", F.col("pn") - i).drop("pn")
+        acc = acc.join(nxt, ["uid", "f", "p0"], "left_semi")
+    return acc.select("uid").distinct()
 
 
 def match_uids(index: DataFrame, query: str) -> DataFrame:

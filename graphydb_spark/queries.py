@@ -307,6 +307,17 @@ def q_fts_field(spark, sf_dir):
                    as_df=True).select("uid")
 
 
+def q_fts_phrase(spark, sf_dir):
+    """F2 extension: FTS5-style quoted PHRASE match (adjacent positions
+    in the token index).  Oracle replays it as a substring probe on the
+    space-joined normalized token stream — equivalent because tokens are
+    [a-z0-9]+ joined by single spaces."""
+    g = tpch_graph(spark, sf_dir)
+    g.resetfts(nodefields=["text"])
+    return g.fetch("(d:Document)", d_fts='"table hash"',
+                   as_df=True).select("uid")
+
+
 def q_sliding_window(spark, sf_dir):
     """Sliding window (1 h window, 30 min slide) counts per type."""
     from .streaming.windows import sliding_counts
@@ -1090,6 +1101,11 @@ ORACLES: dict[str, str | None] = {
         "FROM documents WHERE list_contains("
         + _TOKENIZE_DUCK.format(col="text") + ", 'data') AND list_contains("
         + _TOKENIZE_DUCK.format(col="text") + ", 'query')"),
+    "fts_phrase": (
+        "SELECT 'Document:' || CAST(doc_id AS VARCHAR) AS uid "
+        "FROM documents WHERE instr(' ' || array_to_string(list_filter("
+        + _TOKENIZE_DUCK.format(col="text")
+        + ", x -> x != ''), ' ') || ' ', ' table hash ') > 0"),
     "sql_escape_hatch": (
         "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 45"),
     "graph_q1": _Q1_SQL,
@@ -1702,6 +1718,7 @@ QUERIES = {
     "fts_or": q_fts_or,
     "fts_not": q_fts_not,
     "fts_field": q_fts_field,
+    "fts_phrase": q_fts_phrase,
     "sliding_window": q_sliding_window,
     "bpe_token_count": q_bpe_token_count,
     "jaccard_pairs": q_jaccard_pairs,

@@ -170,6 +170,30 @@ def test_multimodal_resize(docs):
                for i in out)
 
 
+def test_fts_phrase_matching(spark):
+    from graphydb_spark.fts import build_index, match_uids, parse_match
+    docs = spark.createDataFrame(
+        [("D:0", '{"t": "big data query engine"}'),
+         ("D:1", '{"t": "data big query"}'),
+         ("D:2", '{"t": "the big data revolution"}')],
+        "uid string, props string")
+    idx = build_index(docs, ["t"])
+
+    def uids(q):
+        return sorted(r["uid"] for r in match_uids(idx, q).collect())
+
+    # adjacency, not bag-of-words: D:1 has both tokens but not adjacent
+    assert uids('"big data"') == ["D:0", "D:2"]
+    assert uids('"big data" AND engine') == ["D:0"]
+    assert uids('query NOT "big data"') == ["D:1"]
+    # field-qualified phrase; 3-token phrase; no-match phrase
+    assert uids('t: "data query engine"') == ["D:0"]
+    assert uids('"engine big"') == []
+    # parser: phrase tuple inside a group, field captured
+    ((_, group),) = parse_match('t: "big data"')
+    assert group == [(False, "t", ("big", "data"), False)]
+
+
 def test_dedup_clusters_transitive(spark):
     """A~B and B~C (no direct A~C pair) must land in ONE cluster labeled
     by the minimum id; disconnected pairs stay separate."""
