@@ -468,7 +468,17 @@ class Graph:
             edge_unique=self._edge_unique or None)
         if DEBUG:
             return sql, binds
-        df = self.spark.sql(sql, args=binds) if binds else self.spark.sql(sql)
+        try:
+            df = self.spark.sql(sql, args=binds) if binds \
+                else self.spark.sql(sql)
+        except Exception as ex:  # surface the query, not a Spark stack
+            from pyspark.errors import AnalysisException
+            if not isinstance(ex, AnalysisException):
+                raise
+            raise GraphydbError(
+                f"fetch compilation failed: {getattr(ex, 'desc', ex)}"
+                f"\n  CHAIN: {CHAIN!r}\n  WHERE: {WHERE!r}"
+                f"\n  SQL: {sql}") from ex
         if COUNT:
             return df if as_df else df.collect()[0]["n"]
         if as_df:

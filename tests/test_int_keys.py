@@ -26,6 +26,15 @@ CASES = [
 ]
 
 
+def test_bad_where_raises_graphydb_error_with_context(spark):
+    from graphydb_spark.items import GraphydbError
+    g = tpch_graph(spark, SF, cache=False)
+    with pytest.raises(GraphydbError) as exc:
+        g.fetch("(c:Customer)", "c.data.x !!!@ not sql")
+    msg = str(exc.value)
+    assert "CHAIN" in msg and "WHERE" in msg and "SQL" in msg
+
+
 @pytest.mark.parametrize("chain,where,params", CASES)
 def test_int_key_rewrite_metamorphic(spark, chain, where, params):
     g = tpch_graph(spark, SF, cache=False)
