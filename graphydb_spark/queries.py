@@ -1038,6 +1038,194 @@ def q_event_props_json(spark, sf_dir):
         F.sum(k).alias("k_sum"), F.count(k).alias("k_cnt"))
 
 
+def _dp():
+    """Discounted-price term, decimal-exact (order-independent sums)."""
+    return (F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): NATION_3's share of STANDARD
+    part revenue sold to AMERICA-region customers, per year.  Every
+    dimension broadcasts; the conditional numerator folds into the same
+    group-by as the denominator (one pass, no self-join)."""
+    t = load_tables(spark, sf_dir)
+    am_nations = (t["nation"]
+                  .join(F.broadcast(t["region"].where(
+                      F.col("r_name") == "AMERICA")),
+                      F.col("n_regionkey") == F.col("r_regionkey"))
+                  .select(F.col("n_nationkey").alias("cust_nk")))
+    supp_n = (t["supplier"]
+              .join(F.broadcast(t["nation"].select(
+                  F.col("n_nationkey").alias("snk"),
+                  F.col("n_name").alias("supp_nation"))),
+                  F.col("s_nationkey") == F.col("snk")))
+    j = (t["lineitem"]
+         .join(F.broadcast(t["part"].where(F.col("p_type") == "STANDARD")),
+               F.col("l_partkey") == F.col("p_partkey"))
+         .join(F.broadcast(t["orders"].where(
+             (F.col("o_orderdate") >= "1995-01-01")
+             & (F.col("o_orderdate") < "1997-01-01"))),
+             F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(t["customer"]),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(am_nations),
+               F.col("c_nationkey") == F.col("cust_nk"))
+         .join(F.broadcast(supp_n),
+               F.col("l_suppkey") == F.col("s_suppkey")))
+    return (j.groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(F.sum(F.when(F.col("supp_nation") == "NATION_3", _dp())
+                       .otherwise(F.lit(0).cast("decimal(18,2)")))
+                 .cast("double").alias("nation_rev"),
+                 F.sum(_dp()).cast("double").alias("total_rev")))
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit): revenue by supplier nation ×
+    order year for parts whose name contains 'widget' (fixture has no
+    partsupp, so profit = discounted revenue; the join/agg topology — part
+    filter pruning the fact, two broadcast dims, two-level group — is
+    Q9's).  Ref: graphydb.py:952-1016 fetch compiles multi-table joins
+    the same declarative way."""
+    t = load_tables(spark, sf_dir)
+    supp_n = (t["supplier"]
+              .join(F.broadcast(t["nation"].select(
+                  F.col("n_nationkey").alias("snk"),
+                  F.col("n_name").alias("nation"))),
+                  F.col("s_nationkey") == F.col("snk")))
+    return (t["lineitem"]
+            .join(F.broadcast(t["part"].where(
+                F.col("p_name").contains("widget"))),
+                F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(t["orders"]),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(supp_n),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy(F.col("nation"),
+                     F.year("o_orderdate").alias("o_year"))
+            .agg(F.sum(_dp()).cast("double").alias("sum_profit")))
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape (late shipments by priority): lines shipped >30
+    days after order date in 1996, split urgent/non-urgent per
+    linestatus.  The date filter reaches the lineitem scan; orders
+    broadcasts."""
+    t = load_tables(spark, sf_dir)
+    late = (t["lineitem"]
+            .where((F.col("l_shipdate") >= "1996-01-01")
+                   & (F.col("l_shipdate") < "1997-01-01"))
+            .join(F.broadcast(t["orders"]),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .where(F.col("l_shipdate")
+                   > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")))
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (late.groupBy("l_linestatus")
+            .agg(F.sum(F.when(urgent, 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(urgent, 0).otherwise(1)).cast("long")
+                 .alias("low_line_count")))
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): LEFT join so
+    zero-order customers survive, two-level aggregation.  First group-by
+    keys on the FK (pre-aggregates map-side); the histogram group-by is
+    tiny."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (t["customer"]
+                .join(t["orders"],
+                      F.col("c_custkey") == F.col("o_custkey"), "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, return
+    the max-revenue supplier(s) via a broadcast join against the 1-row
+    max — no rank/window over the whole aggregate."""
+    t = load_tables(spark, sf_dir)
+    rev = (t["lineitem"]
+           .where((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1996-04-01"))
+           .groupBy("l_suppkey")
+           .agg(F.sum(_dp()).alias("total_rev")))
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (rev.join(F.broadcast(top),
+                     F.col("total_rev") == F.col("max_rev"))
+            .join(F.broadcast(t["supplier"]),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    F.col("total_rev").cast("double").alias("total_rev")))
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity revenue): revenue from lines under
+    20% of their part's mean quantity, for one brand.  The per-part mean
+    is a broadcast aggregate of the same filtered join — decorrelated,
+    two passes over a brand-pruned sliver instead of a correlated
+    subquery per row."""
+    t = load_tables(spark, sf_dir)
+    brand_lines = (t["lineitem"]
+                   .join(F.broadcast(t["part"].where(
+                       F.col("p_brand") == "Brand#13")),
+                       F.col("l_partkey") == F.col("p_partkey")))
+    avg_q = (brand_lines.groupBy(F.col("l_partkey").alias("pk"))
+             .agg(F.avg("l_quantity").alias("avg_qty")))
+    return (brand_lines
+            .join(F.broadcast(avg_q), F.col("l_partkey") == F.col("pk"))
+            .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+            .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                  .cast("double") / F.lit(7.0)).alias("avg_yearly")))
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape (disjunctive predicate pushdown): three OR'd
+    brand/size/quantity bands over a part-lineitem join.  Catalyst pushes
+    the common conjuncts and the per-branch part predicates into the
+    scans; the OR evaluates post-join."""
+    t = load_tables(spark, sf_dir)
+    j = t["lineitem"].join(F.broadcast(t["part"]),
+                           F.col("l_partkey") == F.col("p_partkey"))
+    band = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 15)
+           & F.col("l_quantity").between(20, 30)))
+    return j.where(band).agg(
+        F.sum(_dp()).cast("double").alias("revenue"))
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): rich-but-inactive
+    customers per nation — scalar subquery for the positive-balance mean,
+    anti join against recent orders, small group-by.  The anti join's
+    build side is date-filtered and projected to the key column before
+    the shuffle.  ('Inactive' = no order since 2000; the fixture gives
+    every customer at least one lifetime order, so the pure NOT-EXISTS
+    of spec-Q22 would be the empty set.)"""
+    t = load_tables(spark, sf_dir)
+    avg_bal = (t["customer"].where(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("avg_bal")))
+    rich = (t["customer"]
+            .join(F.broadcast(avg_bal))
+            .where(F.col("c_acctbal") > F.col("avg_bal")))
+    recent = (t["orders"]
+              .where(F.col("o_orderdate") >= "2000-01-01")
+              .select("o_custkey"))
+    inactive = rich.join(recent,
+                         F.col("c_custkey") == F.col("o_custkey"),
+                         "left_anti")
+    return (inactive.groupBy(F.col("c_nationkey").alias("nationkey"))
+            .agg(F.count("*").alias("numcust"),
+                 F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                 .cast("double").alias("totacctbal")))
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect-compatible ANSI)
 
@@ -1665,6 +1853,115 @@ ORACLES: dict[str, str | None] = {
         "AS BIGINT) AS k_sum, "
         "COUNT(json_extract_string(props, '$.k')) AS k_cnt "
         "FROM events GROUP BY event_type"),
+    "tpch_q8": """
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                             THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                                  CAST(1 - l_discount AS DECIMAL(18,2))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END)
+                    AS DOUBLE) AS nation_rev,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(1 - l_discount AS DECIMAL(18,2)))
+                    AS DOUBLE) AS total_rev
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey AND p_type = 'STANDARD'
+        JOIN orders   ON l_orderkey = o_orderkey
+                     AND o_orderdate >= TIMESTAMP '1995-01-01'
+                     AND o_orderdate <  TIMESTAMP '1997-01-01'
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+                     AND r_name = 'AMERICA'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        GROUP BY o_year
+    """,
+    "tpch_q9": """
+        SELECT n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(1 - l_discount AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+                     AND p_name LIKE '%widget%'
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY n_name, o_year
+    """,
+    "tpch_q12": """
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                   AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        GROUP BY l_linestatus
+    """,
+    "tpch_q13": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+        GROUP BY c_count
+    """,
+    "tpch_q15": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       CAST(1 - l_discount AS DECIMAL(18,2))) AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    "tpch_q17": """
+        WITH bl AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#13')
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DOUBLE) / 7.0 AS avg_yearly
+        FROM bl
+        JOIN (SELECT l_partkey AS pk, AVG(l_quantity) AS avg_qty
+              FROM bl GROUP BY l_partkey) a
+          ON l_partkey = a.pk
+        WHERE l_quantity < 0.2 * avg_qty
+    """,
+    "tpch_q19": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(1 - l_discount AS DECIMAL(18,2)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size <= 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#13' AND p_size <= 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#23' AND p_size <= 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "tpch_q22": """
+        SELECT c_nationkey AS nationkey,
+               COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_nationkey
+    """,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -1773,6 +2070,14 @@ QUERIES = {
     "ntile_quartiles": q_ntile_quartiles,
     "event_funnel": q_event_funnel,
     "event_props_json": q_event_props_json,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q22": q_tpch_q22,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
