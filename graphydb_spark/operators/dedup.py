@@ -196,17 +196,30 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
 
 
 def simhash64(df: DataFrame, text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over unigram tokens → (id, simhash BIGINT).
+              id_col: str = "doc_id", nbits: int = 64,
+              portable: bool = False) -> DataFrame:
+    """SimHash over unigram tokens → (id, simhash BIGINT).
 
-    Each token hashes to 64 bits (xxhash64); per bit, +1 if set else -1,
-    summed over tokens; the sign vector is the signature.  Pure JVM
-    expression work (no UDF): bit i extracted with shiftright/&1.
+    Each token hashes to ``nbits`` bits (xxhash64 by default); per bit,
+    +1 if set else -1, summed over tokens; the sign vector is the
+    signature.  Pure JVM expression work (no UDF): bit i extracted with
+    shiftright/&1.
+
+    ``portable=True`` swaps the token hash for the first 15 hex digits
+    of md5 (a 60-bit int DuckDB computes identically via
+    ``('0x' || substr(md5(t),1,15))::BIGINT``) so the whole pipeline is
+    oracle-checkable cross-engine; pass ``nbits=60`` with it.
     """
     toks = F.array_distinct(tokens(F.col(text_col)))
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+    if portable:
+        th = F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+                       .cast("long"))
+    else:
+        th = F.transform(toks, lambda t: F.xxhash64(t))
     bit_cols = []
-    for i in range(64):
+    for i in range(nbits):
         votes = F.aggregate(
             th, F.lit(0),
             lambda acc, h: acc + F.when(
@@ -223,16 +236,18 @@ def simhash64(df: DataFrame, text_col: str = "text",
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3,
                        bands: int = 4,
-                       max_bucket: int | None = None) -> DataFrame:
-    """Near-dup pairs by SimHash: LSH on 16-bit bands (a pair within
-    hamming distance ≤ bands-1 must agree on ≥1 band), then exact hamming
-    filter via bit_count(xor).
+                       max_bucket: int | None = None,
+                       nbits: int = 64,
+                       portable: bool = False) -> DataFrame:
+    """Near-dup pairs by SimHash: LSH on ``nbits/bands``-bit bands (a
+    pair within hamming distance ≤ bands-1 must agree on ≥1 band), then
+    exact hamming filter via bit_count(xor).
 
     ``max_bucket`` drops oversize bands before the self-join — same
     quadratic-blowup guard as :func:`minhash_lsh_pairs`."""
-    sig = simhash64(df, text_col, id_col)
+    sig = simhash64(df, text_col, id_col, nbits=nbits, portable=portable)
     band_rows = []
-    width = 64 // bands
+    width = nbits // bands
     for b in range(bands):
         band_rows.append(F.struct(
             F.lit(b).alias("band"),

@@ -834,9 +834,13 @@ def q_multimodal_resize(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (xxhash64 bit votes) — rows-only oracle
-    (xxhash64 isn't available in DuckDB)."""
-    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+    """SimHash near-dup pairs, portable md5-hash variant (60-bit
+    signature, 4×15-bit LSH bands).  Oracle-checkable end to end: with
+    hamming ≤ 3 < bands, pigeonhole guarantees every qualifying pair
+    shares a band, so the banded result equals brute-force hamming —
+    which is what the DuckDB twin computes."""
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3,
+                                    nbits=60, portable=True)
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -1741,7 +1745,33 @@ ORACLES: dict[str, str | None] = {
     "pagerank_top10": None,
     "multimodal_features": None,
     "multimodal_resize": None,
-    "simhash_pairs": None,
+    "simhash_pairs": """
+        WITH toks AS (
+          SELECT doc_id, list_distinct(list_filter(
+            string_split_regex(lower(text),'[^a-z0-9]+'),
+            x -> x != '')) AS ws
+          FROM documents
+        ), hashes AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h
+          FROM toks, UNNEST(ws) AS t(tok)
+        ), votes AS (
+          SELECT doc_id, i.i,
+                 SUM(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END)
+                     AS vote
+          FROM hashes CROSS JOIN (SELECT UNNEST(range(60)) AS i) i
+          GROUP BY doc_id, i.i
+        ), sig AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN vote > 0 THEN (1::BIGINT << i)
+                          ELSE 0 END)::BIGINT AS simhash
+          FROM votes GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
     "ann_lsh_topk": None,
     "tpch_q4": (
         "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders o "
