@@ -4,10 +4,11 @@ Prints ONE JSON line:
 ``{"metric": "...", "value": total_sec, "unit": "sec",
    "queries": {name: sec}, "sf": ...}``
 
-Per query: one untimed warm-up run (JIT/codegen compile + file listing —
-one-time JVM costs that amortize away at scale), then the minimum of two
-timed runs.  The terminal action is count(), which executes the full plan
-without driver-side materialization cost.
+Per query: two untimed warm-up runs (JIT/codegen compile + file listing —
+one-time JVM costs that amortize away at scale; one run is not enough for
+the C2 compiler to reach steady state on the join kernels), then the
+minimum of three timed runs.  The terminal action is count(), which
+executes the full plan without driver-side materialization cost.
 """
 
 from __future__ import annotations
@@ -67,6 +68,7 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         fn(spark, sf_dir).count()          # warm-up (codegen compile)
+        fn(spark, sf_dir).count()          # second warm-up (C2 JIT)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()

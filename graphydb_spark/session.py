@@ -23,7 +23,10 @@ def tune_shuffle_for_input(spark: SparkSession, approx_rows: int,
     cluster the same formula yields thousands of partitions, on sf0.1
     locally it yields 8-16 and avoids paying scheduling overhead for empty
     tasks.  AQE still coalesces/ splits at runtime — this just sets a sane
-    starting point.
+    starting point.  (AQE itself stays on at every scale: a controlled
+    same-JVM A/B at sf0.1 shows its per-stage scheduling cost is within
+    run noise once the JIT is warm — earlier measurements attributing
+    ~0.3 s/query to AQE were confounded by JVM warm-up order.)
     """
     cores = spark.sparkContext.defaultParallelism
     n = max(8, min(approx_rows // rows_per_partition + 1, cores * 4))
