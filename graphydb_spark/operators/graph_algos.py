@@ -222,3 +222,84 @@ def k_hop(edges_df: DataFrame, seed_uids_df: DataFrame, k: int,
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def triangle_count(edges_df: DataFrame,
+                   src_col: str = "startuid",
+                   dst_col: str = "enduid") -> DataFrame:
+    """Global triangle count of the undirected simple graph under
+    ``edges_df`` → 1-row ``(n_triangles BIGINT)``.
+
+    Scale design (the classic MapReduce/Spark strategy): canonicalize
+    each edge to an undirected (lo, hi) pair and dedup; rank nodes by
+    (degree, id) and orient every edge low-rank → high-rank — each
+    triangle then has exactly ONE wedge node (its lowest-rank vertex),
+    so the wedge self-join enumerates every candidate once and no
+    triangle is double-counted.  Orientation bounds the wedge fanout by
+    sqrt(m) per node (a high-degree hub only fans out to the few
+    neighbors ranked above it), which is what keeps the join from
+    exploding on skewed degree distributions at scale.
+    """
+    und = (edges_df
+           .select(F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+                   F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"))
+           .where(F.col("lo") != F.col("hi"))
+           .distinct())
+    deg = (und.select(F.col("lo").alias("v"))
+           .unionByName(und.select(F.col("hi").alias("v")))
+           .groupBy("v").agg(F.count("*").alias("deg")))
+    ranked = und \
+        .join(deg.withColumnRenamed("v", "lo")
+                 .withColumnRenamed("deg", "deg_lo"), "lo") \
+        .join(deg.withColumnRenamed("v", "hi")
+                 .withColumnRenamed("deg", "deg_hi"), "hi")
+    lo_first = (F.col("deg_lo") < F.col("deg_hi")) | \
+        ((F.col("deg_lo") == F.col("deg_hi")) & (F.col("lo") < F.col("hi")))
+    oriented = ranked.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("src"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("dst"))
+    w1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    w2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
+    # closing edge may be oriented either way between b and c
+    closing = oriented.select(
+        F.least("src", "dst").alias("b"), F.greatest("src", "dst").alias("c"))
+    return (wedges.join(closing, ["b", "c"], "left_semi")
+            .agg(F.count("*").alias("n_triangles")))
+
+
+def bfs_distances(edges_df: DataFrame, seed_uids_df: DataFrame,
+                  max_depth: int = 6, direction: str = "both") -> DataFrame:
+    """(uid, dist) — minimum hop count from the seed set, up to
+    ``max_depth``.  Frontier expansion with a visited anti-join: each
+    round shuffles only the new frontier (never the full reach set), and
+    because BFS discovers every node at its minimum depth, the first
+    visit IS the distance — no min-aggregation over paths.
+    """
+    if direction == "out":
+        step = edges_df.select(F.col("startuid").alias("src"),
+                               F.col("enduid").alias("dst"))
+    elif direction == "in":
+        step = edges_df.select(F.col("enduid").alias("src"),
+                               F.col("startuid").alias("dst"))
+    else:
+        step = (edges_df.select(F.col("startuid").alias("src"),
+                                F.col("enduid").alias("dst"))
+                .unionByName(edges_df.select(F.col("enduid").alias("src"),
+                                             F.col("startuid").alias("dst"))))
+    step = step.repartition("src").localCheckpoint(eager=True)
+    visited = (seed_uids_df.select("uid").distinct()
+               .withColumn("dist", F.lit(0)))
+    frontier = visited.select("uid")
+    for d in range(1, max_depth + 1):
+        nxt = (step.join(frontier.withColumnRenamed("uid", "src"), "src")
+                   .select(F.col("dst").alias("uid")).distinct()
+                   .join(visited.select("uid"), "uid", "left_anti")
+                   .localCheckpoint(eager=True))
+        if nxt.limit(1).count() == 0:
+            break
+        visited = (visited
+                   .unionByName(nxt.withColumn("dist", F.lit(d)))
+                   .localCheckpoint(eager=True))
+        frontier = nxt
+    return visited

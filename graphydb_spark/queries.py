@@ -804,6 +804,37 @@ def q_connected_components(spark, sf_dir):
     return graph_algos.connected_components(nodes, edges, max_iter=6)
 
 
+def q_triangles_copurchase(spark, sf_dir):
+    """Global triangle count of the part co-purchase graph (parts linked
+    when some order contains both).  Degree-ranked edge orientation
+    bounds the wedge fanout by sqrt(m) per node — the property that
+    keeps the self-join alive on power-law co-occurrence graphs."""
+    li = load_tables(spark, sf_dir)["lineitem"] \
+        .select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    co = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                 & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+          .select(F.col("a.l_partkey").alias("pa"),
+                  F.col("b.l_partkey").alias("pb"))
+          .distinct())
+    return graph_algos.triangle_count(co, "pa", "pb")
+
+
+def q_bfs_distance(spark, sf_dir):
+    """Minimum hop distance from the ASIA region node over the undirected
+    Region-Nation-Customer-Order subgraph, depth ≤ 3 — frontier BFS
+    where each round shuffles only the new frontier."""
+    t = load_tables(spark, sf_dir)
+    seed = (t["region"].where(F.col("r_name") == "ASIA")
+            .select(F.concat(F.lit("Region:"),
+                             F.col("r_regionkey")).alias("uid")))
+    g = tpch_graph(spark, sf_dir)
+    edges = g.edges_df.where(
+        F.col("kind").isin("InRegion", "FromNation", "Placed"))
+    return graph_algos.bfs_distances(edges, seed, max_depth=3,
+                                     direction="both")
+
+
 def q_pagerank_top10(spark, sf_dir):
     """PageRank over the Placed/Contains graph — rows-only oracle
     (iterative float algorithm)."""
@@ -1743,6 +1774,47 @@ ORACLES: dict[str, str | None] = {
         SELECT src AS uid, MIN(dst) AS component FROM reach GROUP BY src
     """,
     "pagerank_top10": None,
+    "triangles_copurchase": """
+        WITH e AS (
+          SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey)
+        SELECT COUNT(*)::BIGINT AS n_triangles
+        FROM e ab
+        JOIN e bc ON ab.hi = bc.lo
+        JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+    """,
+    "bfs_distance": """
+        WITH RECURSIVE
+        ed(a, b) AS (
+          SELECT 'Nation:' || CAST(n_nationkey AS VARCHAR),
+                 'Region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+          UNION ALL
+          SELECT 'Region:' || CAST(n_regionkey AS VARCHAR),
+                 'Nation:' || CAST(n_nationkey AS VARCHAR) FROM nation
+          UNION ALL
+          SELECT 'Customer:' || CAST(c_custkey AS VARCHAR),
+                 'Nation:' || CAST(c_nationkey AS VARCHAR) FROM customer
+          UNION ALL
+          SELECT 'Nation:' || CAST(c_nationkey AS VARCHAR),
+                 'Customer:' || CAST(c_custkey AS VARCHAR) FROM customer
+          UNION ALL
+          SELECT 'Customer:' || CAST(o_custkey AS VARCHAR),
+                 'Order:' || CAST(o_orderkey AS VARCHAR) FROM orders
+          UNION ALL
+          SELECT 'Order:' || CAST(o_orderkey AS VARCHAR),
+                 'Customer:' || CAST(o_custkey AS VARCHAR) FROM orders
+        ),
+        walk(uid, d) AS (
+          SELECT 'Region:' || CAST(r_regionkey AS VARCHAR), 0
+          FROM region WHERE r_name = 'ASIA'
+          UNION
+          SELECT ed.b, w.d + 1 FROM walk w
+          JOIN ed ON ed.a = w.uid WHERE w.d < 3
+        )
+        SELECT uid, CAST(MIN(d) AS INT) AS dist FROM walk GROUP BY uid
+    """,
     "multimodal_features": None,
     "multimodal_resize": None,
     "simhash_pairs": """
@@ -2085,6 +2157,8 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "connected_components": q_connected_components,
     "pagerank_top10": q_pagerank_top10,
+    "triangles_copurchase": q_triangles_copurchase,
+    "bfs_distance": q_bfs_distance,
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
     "simhash_pairs": q_simhash_pairs,

@@ -280,3 +280,35 @@ def test_bm25_ranking(spark):
               for r in bm25_scores(idx, ["spark"]).collect()}
     assert set(scores) == {"d1", "d2"}
     assert scores["d1"] > scores["d2"]   # higher tf → higher score
+
+
+def test_triangle_count_planted(spark):
+    # K4 on a-b-c-d (4 triangles) plus a pendant edge and a dup/reversed
+    # edge that must canonicalize away; self-loop ignored.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+         ("c", "d"), ("d", "e"), ("b", "a"), ("c", "c")],
+        "startuid string, enduid string")
+    n = graph_algos.triangle_count(edges).collect()[0]["n_triangles"]
+    assert n == 4
+
+
+def test_triangle_count_none(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")],
+        "startuid string, enduid string")
+    assert graph_algos.triangle_count(edges) \
+        .collect()[0]["n_triangles"] == 0
+
+
+def test_bfs_distances_min_depth(spark):
+    # diamond a->b, a->c, b->d, c->d plus far chain d->e->f; undirected
+    edges = spark.createDataFrame(
+        [("e1", "a", "b"), ("e2", "a", "c"), ("e3", "b", "d"),
+         ("e4", "c", "d"), ("e5", "d", "e"), ("e6", "e", "f")],
+        "uid string, startuid string, enduid string")
+    seed = spark.createDataFrame([("a",)], "uid string")
+    out = {r["uid"]: r["dist"] for r in
+           graph_algos.bfs_distances(edges, seed, max_depth=3).collect()}
+    assert out == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+    # depth cap respected: f (dist 4) not present
