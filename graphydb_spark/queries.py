@@ -835,6 +835,24 @@ def q_bfs_distance(spark, sf_dir):
                                      direction="both")
 
 
+def q_pagerank_nations(spark, sf_dir):
+    """PageRank with a full SQL oracle: the bidirectional Nation↔Region
+    graph has no dangling nodes (every node has out-degree ≥ 1 by
+    construction), so the dangling-mass term is identically zero and the
+    power iteration is expressible as a recursive CTE.  Ranks rounded to
+    6 dp on both sides — float-associativity drift is ~1e-12, far below
+    the rounding grain, so the value hash is stable."""
+    g = tpch_graph(spark, sf_dir)
+    nodes = g.nodes_df.where(F.col("kind").isin("Nation", "Region"))
+    fwd = g.edges_df.where(F.col("kind") == "InRegion") \
+        .select("startuid", "enduid")
+    edges = fwd.unionByName(
+        fwd.select(F.col("enduid").alias("startuid"),
+                   F.col("startuid").alias("enduid")))
+    pr = graph_algos.pagerank(nodes, edges, iters=5)
+    return pr.select("uid", F.round("rank", 6).alias("rank"))
+
+
 def q_pagerank_top10(spark, sf_dir):
     """PageRank over the Placed/Contains graph — rows-only oracle
     (iterative float algorithm)."""
@@ -1774,6 +1792,31 @@ ORACLES: dict[str, str | None] = {
         SELECT src AS uid, MIN(dst) AS component FROM reach GROUP BY src
     """,
     "pagerank_top10": None,
+    "pagerank_nations": """
+        WITH RECURSIVE
+        ed(a, b) AS (
+          SELECT 'Nation:' || CAST(n_nationkey AS VARCHAR),
+                 'Region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+          UNION ALL
+          SELECT 'Region:' || CAST(n_regionkey AS VARCHAR),
+                 'Nation:' || CAST(n_nationkey AS VARCHAR) FROM nation
+        ),
+        nodes(uid) AS (SELECT DISTINCT a FROM ed),
+        deg AS (SELECT a, COUNT(*) AS out_deg FROM ed GROUP BY a),
+        pr(iter, uid, rank) AS (
+          SELECT 0, uid, 1.0::DOUBLE FROM nodes
+          UNION ALL
+          SELECT p.iter + 1, n.uid,
+                 0.15 + 0.85 * COALESCE(SUM(p.rank / dg.out_deg), 0)
+          FROM pr p
+          JOIN deg dg ON p.uid = dg.a
+          JOIN ed ON p.uid = ed.a
+          RIGHT JOIN nodes n ON ed.b = n.uid
+          WHERE p.iter < 5
+          GROUP BY p.iter + 1, n.uid
+        )
+        SELECT uid, ROUND(rank, 6) AS rank FROM pr WHERE iter = 5
+    """,
     "triangles_copurchase": """
         WITH e AS (
           SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
@@ -2157,6 +2200,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "connected_components": q_connected_components,
     "pagerank_top10": q_pagerank_top10,
+    "pagerank_nations": q_pagerank_nations,
     "triangles_copurchase": q_triangles_copurchase,
     "bfs_distance": q_bfs_distance,
     "multimodal_features": q_multimodal_features,
