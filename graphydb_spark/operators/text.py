@@ -103,3 +103,39 @@ def bpe_ish_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     pattern = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
     units = F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)
     return df.withColumn("bpe_tokens", F.size(units).cast("long"))
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 64,
+                    overlap: int = 16) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap →
+    ``(id, chunk_id, chunk_text, n_tokens)`` — the standard
+    context-window packing step of an LLM training pipeline.
+
+    Chunk *i* covers tokens ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the last chunk starts at the
+    first stride multiple whose window reaches the end, so every token
+    appears in ≥ 1 chunk and no chunk is a suffix of another.  Entirely
+    JVM-side (split / sequence / explode / slice): one narrow map stage,
+    no shuffle, no Python — chunking 100 TB is embarrassingly parallel
+    and this stays inside whole-stage codegen.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    i_max = F.when(n <= chunk_tokens, F.lit(0)).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)).cast("double") / stride)
+         .cast("int"))
+    out = (df
+           .select(id_col, toks.alias("_toks"),
+                   F.explode(F.sequence(F.lit(0), i_max)).alias("chunk_id"))
+           .select(id_col, "chunk_id",
+                   F.slice(F.col("_toks"),
+                           F.col("chunk_id") * stride + 1,
+                           chunk_tokens).alias("_chunk")))
+    return out.select(
+        id_col, "chunk_id",
+        F.array_join("_chunk", " ").alias("chunk_text"),
+        F.size("_chunk").cast("long").alias("n_tokens"))

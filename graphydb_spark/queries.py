@@ -835,6 +835,16 @@ def q_bfs_distance(spark, sf_dir):
                                      direction="both")
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Context-window packing: 64-token chunks with 16-token overlap.
+    Compared by md5 of chunk text (portable, keeps the diff payload
+    small); one narrow map stage, no shuffle."""
+    out = text.chunk_documents(_docs(spark, sf_dir),
+                               chunk_tokens=64, overlap=16)
+    return out.select("doc_id", "chunk_id",
+                      F.md5("chunk_text").alias("chunk_hash"), "n_tokens")
+
+
 def q_pagerank_nations(spark, sf_dir):
     """PageRank with a full SQL oracle: the bidirectional Nation↔Region
     graph has no dangling nodes (every node has out-degree ≥ 1 by
@@ -1792,6 +1802,27 @@ ORACLES: dict[str, str | None] = {
         SELECT src AS uid, MIN(dst) AS component FROM reach GROUP BY src
     """,
     "pagerank_top10": None,
+    "chunk_docs": """
+        WITH toks AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> x != '') AS ws
+          FROM documents
+        ), meta AS (
+          SELECT doc_id, ws,
+                 CASE WHEN len(ws) <= 64 THEN 0
+                      ELSE CAST(CEIL((len(ws) - 64)::DOUBLE / 48) AS INT)
+                 END AS i_max
+          FROM toks
+        )
+        SELECT doc_id, i.i AS chunk_id,
+               md5(array_to_string(
+                   list_slice(ws, i.i * 48 + 1, i.i * 48 + 64), ' '))
+                   AS chunk_hash,
+               len(list_slice(ws, i.i * 48 + 1, i.i * 48 + 64))::BIGINT
+                   AS n_tokens
+        FROM meta, UNNEST(range(0, i_max + 1)) AS i(i)
+    """,
     "pagerank_nations": """
         WITH RECURSIVE
         ed(a, b) AS (
@@ -2201,6 +2232,7 @@ QUERIES = {
     "connected_components": q_connected_components,
     "pagerank_top10": q_pagerank_top10,
     "pagerank_nations": q_pagerank_nations,
+    "chunk_docs": q_chunk_docs,
     "triangles_copurchase": q_triangles_copurchase,
     "bfs_distance": q_bfs_distance,
     "multimodal_features": q_multimodal_features,

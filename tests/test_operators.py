@@ -312,3 +312,24 @@ def test_bfs_distances_min_depth(spark):
            graph_algos.bfs_distances(edges, seed, max_depth=3).collect()}
     assert out == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
     # depth cap respected: f (dist 4) not present
+
+
+def test_chunk_documents_windows(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),   # 10 toks: 3 chunks
+         (2, "a b c"),                                 # fits in one chunk
+         (3, "")],                                     # empty doc
+        "doc_id long, text string")
+    out = text.chunk_documents(docs, chunk_tokens=4, overlap=2)
+    rows = {(r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+            for r in out.collect()}
+    # doc 1: stride 2, i_max = ceil((10-4)/2) = 3 -> 4 chunks
+    assert rows[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert rows[(1, 1)] == ("t2 t3 t4 t5", 4)
+    assert rows[(1, 3)] == ("t6 t7 t8 t9", 4)
+    assert rows[(2, 0)] == ("a b c", 3)
+    assert rows[(3, 0)] == ("", 0)
+    assert len(rows) == 6
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        text.chunk_documents(docs, chunk_tokens=4, overlap=4)
