@@ -835,6 +835,126 @@ def q_bfs_distance(spark, sf_dir):
                                      direction="both")
 
 
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier per part): for EUROPE suppliers
+    of size-15 parts, the supplier(s) hitting each part's minimum unit
+    price (fixture has no partsupp; unit price = extendedprice/quantity
+    from lineitem).  Decorrelated argmin: per-part min as a broadcast
+    aggregate joined back — the same two-pass shape the spec's
+    correlated subquery decorrelates to."""
+    t = load_tables(spark, sf_dir)
+    eur_supp = (t["supplier"]
+                .join(F.broadcast(
+                    t["nation"].join(F.broadcast(t["region"].where(
+                        F.col("r_name") == "EUROPE")),
+                        F.col("n_regionkey") == F.col("r_regionkey"))),
+                    F.col("s_nationkey") == F.col("n_nationkey")))
+    offers = (t["lineitem"]
+              .join(F.broadcast(t["part"].where(F.col("p_size") == 15)),
+                    F.col("l_partkey") == F.col("p_partkey"))
+              .join(F.broadcast(eur_supp),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+              .select("p_partkey", "s_suppkey", "s_name", "n_name",
+                      (F.col("l_extendedprice").cast("decimal(18,6)")
+                       / F.col("l_quantity").cast("decimal(18,6)"))
+                      .alias("unit_price")))
+    mins = (offers.groupBy(F.col("p_partkey").alias("pk"))
+            .agg(F.min("unit_price").alias("min_price")))
+    return (offers.join(F.broadcast(mins),
+                        (F.col("p_partkey") == F.col("pk"))
+                        & (F.col("unit_price") == F.col("min_price")))
+            .select("p_partkey", "s_suppkey", "s_name", "n_name",
+                    F.col("unit_price").cast("double").alias("unit_price")))
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 shape (value concentration): parts whose shipped value
+    exceeds 0.05% of total shipped value (partsupp-free: value =
+    extendedprice sums from lineitem).  Group, then HAVING against a
+    broadcast scalar — two aggregations over one shuffle of the fact."""
+    t = load_tables(spark, sf_dir)
+    val = (t["lineitem"].groupBy("l_partkey")
+           .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .alias("value")))
+    total = val.agg((F.sum("value") * 0.0005).alias("threshold"))
+    return (val.join(F.broadcast(total))
+            .where(F.col("value") > F.col("threshold"))
+            .select("l_partkey", F.col("value").cast("double")
+                    .alias("value")))
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape (supplier concentration by part attribute):
+    distinct suppliers per (brand, type, size) for three sizes,
+    excluding one brand — COUNT(DISTINCT) after a broadcast-pruned
+    fact join (supplier link via lineitem, no partsupp)."""
+    t = load_tables(spark, sf_dir)
+    pp = t["part"].where((F.col("p_brand") != "Brand#13")
+                         & F.col("p_size").isin(1, 7, 15))
+    return (t["lineitem"]
+            .join(F.broadcast(pp),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.count_distinct(F.col("l_suppkey"))
+                 .alias("supplier_cnt")))
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 shape (excess-stock suppliers): suppliers in one nation
+    who shipped more than 50 units of some widget part in 1996
+    (partsupp-free restatement keeping the nested-aggregate → semi-join
+    topology: inner grouped HAVING feeds a left-semi on the outer)."""
+    t = load_tables(spark, sf_dir)
+    widget = t["part"].where(F.col("p_name").contains("widget"))
+    big = (t["lineitem"]
+           .where((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1997-01-01"))
+           .join(F.broadcast(widget),
+                 F.col("l_partkey") == F.col("p_partkey"))
+           .groupBy("l_suppkey", "l_partkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .alias("qty"))
+           .where(F.col("qty") > 50)
+           .select("l_suppkey"))
+    nat = t["nation"].where(F.col("n_name") == "NATION_1")
+    return (t["supplier"]
+            .join(F.broadcast(nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(big, F.col("s_suppkey") == F.col("l_suppkey"),
+                  "left_semi")
+            .select("s_suppkey", "s_name"))
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape (sole late shipper): suppliers with a late line
+    (shipped >60 days after order date) in a finished multi-supplier
+    order where NO other supplier shipped late — EXISTS + NOT EXISTS as
+    semi/anti joins on the order key (commitdate-free restatement).
+    The order-level supplier sets aggregate once; both existence probes
+    ride the same grouped frame instead of two fact self-joins."""
+    t = load_tables(spark, sf_dir)
+    li = (t["lineitem"]
+          .join(F.broadcast(t["orders"].where(
+              F.col("o_orderstatus") == "F")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+          .select("l_orderkey", "l_suppkey",
+                  (F.col("l_shipdate") > F.col("o_orderdate")
+                   + F.expr("INTERVAL 60 DAYS")).alias("late")))
+    per_order = (li.groupBy("l_orderkey")
+                 .agg(F.count_distinct("l_suppkey").alias("n_supp"),
+                      F.count_distinct(F.when(F.col("late"),
+                                              F.col("l_suppkey")))
+                      .alias("n_late_supp")))
+    sole = per_order.where((F.col("n_supp") > 1)
+                           & (F.col("n_late_supp") == 1))
+    return (li.where(F.col("late"))
+            .join(sole, "l_orderkey", "left_semi")
+            .select("l_suppkey").distinct()
+            .join(F.broadcast(t["supplier"]),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name"))
+
+
 def q_chunk_docs(spark, sf_dir):
     """Context-window packing: 64-token chunks with 16-token overlap.
     Compared by md5 of chunk text (portable, keeps the diff payload
@@ -2125,6 +2245,71 @@ ORACLES: dict[str, str | None] = {
            OR (p_brand = 'Brand#23' AND p_size <= 15
                AND l_quantity BETWEEN 20 AND 30)
     """,
+    "tpch_q2": """
+        WITH offers AS (
+          SELECT p_partkey, s_suppkey, s_name, n_name,
+                 CAST(l_extendedprice AS DECIMAL(18,6))
+                   / CAST(l_quantity AS DECIMAL(18,6)) AS unit_price
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey AND p_size = 15
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+                     AND r_name = 'EUROPE')
+        SELECT p_partkey, s_suppkey, s_name, n_name,
+               CAST(unit_price AS DOUBLE) AS unit_price
+        FROM offers o
+        JOIN (SELECT p_partkey AS pk, MIN(unit_price) AS min_price
+              FROM offers GROUP BY p_partkey) m
+          ON o.p_partkey = m.pk AND o.unit_price = m.min_price
+    """,
+    "tpch_q11": """
+        WITH val AS (
+          SELECT l_partkey,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+          FROM lineitem GROUP BY l_partkey)
+        SELECT l_partkey, CAST(value AS DOUBLE) AS value
+        FROM val
+        WHERE value > (SELECT SUM(value) * 0.0005 FROM val)
+    """,
+    "tpch_q16": """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#13' AND p_size IN (1, 7, 15)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    "tpch_q20": """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+                   AND n_name = 'NATION_1'
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+                   AND p_name LIKE '%widget%'
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-01-01'
+          GROUP BY l_suppkey, l_partkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+    """,
+    "tpch_q21": """
+        WITH li AS (
+          SELECT l_orderkey, l_suppkey,
+                 l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'),
+        sole AS (
+          SELECT l_orderkey FROM li GROUP BY l_orderkey
+          HAVING COUNT(DISTINCT l_suppkey) > 1
+             AND COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) = 1)
+        SELECT DISTINCT s_suppkey, s_name
+        FROM li
+        JOIN sole USING (l_orderkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE li.late
+    """,
     "tpch_q22": """
         SELECT c_nationkey AS nationkey,
                COUNT(*) AS numcust,
@@ -2258,6 +2443,11 @@ QUERIES = {
     "tpch_q17": q_tpch_q17,
     "tpch_q19": q_tpch_q19,
     "tpch_q22": q_tpch_q22,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
