@@ -226,46 +226,83 @@ def k_hop(edges_df: DataFrame, seed_uids_df: DataFrame, k: int,
 
 def triangle_count(edges_df: DataFrame,
                    src_col: str = "startuid",
-                   dst_col: str = "enduid") -> DataFrame:
+                   dst_col: str = "enduid",
+                   broadcast_max_nodes: int = 1_000_000) -> DataFrame:
     """Global triangle count of the undirected simple graph under
     ``edges_df`` → 1-row ``(n_triangles BIGINT)``.
 
-    Scale design (the classic MapReduce/Spark strategy): canonicalize
-    each edge to an undirected (lo, hi) pair and dedup; rank nodes by
-    (degree, id) and orient every edge low-rank → high-rank — each
-    triangle then has exactly ONE wedge node (its lowest-rank vertex),
-    so the wedge self-join enumerates every candidate once and no
-    triangle is double-counted.  Orientation bounds the wedge fanout by
-    sqrt(m) per node (a high-degree hub only fans out to the few
-    neighbors ranked above it), which is what keeps the join from
-    exploding on skewed degree distributions at scale.
+    Algorithm (edge-iterator over a degree-ranked orientation):
+    canonicalize each edge to an undirected (lo, hi) pair and dedup;
+    rank nodes by (degree, id) and orient every edge low-rank →
+    high-rank.  A triangle {a ≺ b ≺ c} then appears as exactly one
+    oriented edge pair at its lowest vertex (a→b with c ∈ N⁺(a)∩N⁺(b)),
+    so summing |N⁺(src) ∩ N⁺(dst)| over oriented edges counts each
+    triangle once.
+
+    Scale design: the orientation bounds every out-adjacency list by
+    O(sqrt(m)), so per-row state is bounded and the total work is the
+    optimal O(m^1.5) — but crucially the *materialized/shuffled* data
+    stays O(m): the quadratic term lives inside the per-row
+    array_intersect, never as join output.  (The naive wedge self-join
+    materializes the O(m^1.5) candidate stream — measured 16-40 s vs
+    2.7 s at sf0.1's 1.2M-edge co-purchase graph.)  The adjacency map
+    broadcasts when the graph has ≤ ``broadcast_max_nodes`` sources
+    (zero shuffles past that point); larger graphs fall back to two
+    shuffle joins whose volume is O(sum deg) = O(m) rows.
     """
+    # Materialize the canonical and oriented edge lists ONCE — each is
+    # consumed by several downstream plans, and without this Spark
+    # recomputes the (potentially expensive) edge derivation per use.
+    # The dedup is an explicit-N repartition on the pair key followed by
+    # dropDuplicates over the same key: the dedup reuses the repartition
+    # exchange (no second shuffle), and the explicit numPartitions is
+    # exempt from AQE coalescing — AQE sizes reduce stages by bytes, and
+    # a 3.6M-pair stream at 16 B/row looks like "one partition" to it
+    # (measured: 8.7 s single-task dedup → 2.5 s this way at sf0.1).
+    n_part = edges_df.sparkSession.sparkContext.defaultParallelism * 2
     und = (edges_df
            .select(F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
                    F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"))
            .where(F.col("lo") != F.col("hi"))
-           .distinct())
+           .repartition(n_part, "lo", "hi")
+           .dropDuplicates(["lo", "hi"])
+           .localCheckpoint(eager=True))
     deg = (und.select(F.col("lo").alias("v"))
            .unionByName(und.select(F.col("hi").alias("v")))
-           .groupBy("v").agg(F.count("*").alias("deg")))
+           .groupBy("v").agg(F.count("*").alias("deg"))
+           .localCheckpoint(eager=True))
+    # node-sized frames (degree table, adjacency map) broadcast when the
+    # node count is bounded; the count is free on the checkpointed frame.
+    n_nodes = deg.count()
+    small_nodes = n_nodes <= broadcast_max_nodes
+    deg_b = F.broadcast(deg) if small_nodes else deg
     ranked = und \
-        .join(deg.withColumnRenamed("v", "lo")
-                 .withColumnRenamed("deg", "deg_lo"), "lo") \
-        .join(deg.withColumnRenamed("v", "hi")
-                 .withColumnRenamed("deg", "deg_hi"), "hi")
+        .join(deg_b.withColumnRenamed("v", "lo")
+                   .withColumnRenamed("deg", "deg_lo"), "lo") \
+        .join(deg_b.withColumnRenamed("v", "hi")
+                   .withColumnRenamed("deg", "deg_hi"), "hi")
     lo_first = (F.col("deg_lo") < F.col("deg_hi")) | \
         ((F.col("deg_lo") == F.col("deg_hi")) & (F.col("lo") < F.col("hi")))
     oriented = ranked.select(
         F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("src"),
-        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("dst"))
-    w1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    w2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
-    # closing edge may be oriented either way between b and c
-    closing = oriented.select(
-        F.least("src", "dst").alias("b"), F.greatest("src", "dst").alias("c"))
-    return (wedges.join(closing, ["b", "c"], "left_semi")
-            .agg(F.count("*").alias("n_triangles")))
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("dst")) \
+        .localCheckpoint(eager=True)
+    adj = (oriented.groupBy("src")
+           .agg(F.collect_list("dst").alias("nbrs"))
+           .localCheckpoint(eager=True))
+    nb_u = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nb_u"))
+    nb_v = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nb_v"))
+    if small_nodes:
+        nb_u, nb_v = F.broadcast(nb_u), F.broadcast(nb_v)
+    # Explicit numPartitions again: AQE would size this stage by its
+    # (tiny) input bytes, but the intersection work is the m·sqrt(m)
+    # term — parallelize for the work, not the bytes.
+    return (oriented.repartition(n_part)
+            .join(nb_u, F.col("src") == F.col("u"))
+            .join(nb_v, F.col("dst") == F.col("v"))
+            .select(F.size(F.array_intersect("nb_u", "nb_v")).alias("t"))
+            .agg(F.coalesce(F.sum("t"), F.lit(0)).cast("long")
+                 .alias("n_triangles")))
 
 
 def bfs_distances(edges_df: DataFrame, seed_uids_df: DataFrame,

@@ -809,14 +809,22 @@ def q_triangles_copurchase(spark, sf_dir):
     when some order contains both).  Degree-ranked edge orientation
     bounds the wedge fanout by sqrt(m) per node — the property that
     keeps the self-join alive on power-law co-occurrence graphs."""
-    li = load_tables(spark, sf_dir)["lineitem"] \
-        .select("l_orderkey", "l_partkey")
+    # Explicit numPartitions on the self-join key: AQE would size this
+    # stage by its input bytes (lineitem's 2 columns are ~10 MB) and
+    # coalesce the join to ~3 tasks, but the join OUTPUT is the per-order
+    # pair explosion — parallelize for the work.  One exchange serves
+    # both sides of the self-join.
+    n_part = spark.sparkContext.defaultParallelism * 2
+    li = (load_tables(spark, sf_dir)["lineitem"]
+          .select("l_orderkey", "l_partkey")
+          .repartition(n_part, "l_orderkey"))
     a, b = li.alias("a"), li.alias("b")
     co = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
                  & (F.col("a.l_partkey") < F.col("b.l_partkey")))
           .select(F.col("a.l_partkey").alias("pa"),
-                  F.col("b.l_partkey").alias("pb"))
-          .distinct())
+                  F.col("b.l_partkey").alias("pb")))
+    # no .distinct() here: triangle_count canonicalizes+dedups anyway —
+    # a second dedup would be one more full shuffle of the pair stream
     return graph_algos.triangle_count(co, "pa", "pb")
 
 
