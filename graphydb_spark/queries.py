@@ -1004,17 +1004,19 @@ def q_pagerank_top10(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Binary-column plumbing: Arrow-batched mapInPandas feature extraction
-    over payload bytes (deterministic fake decoder) — rows-only oracle
-    (Python-side md5-derived dims are not cleanly SQL-portable)."""
+    over payload bytes.  The deterministic fake decoder derives dims from
+    the payload md5, which DuckDB replays exactly via hex-prefix ints —
+    full SQL oracle despite the Python decode stage."""
     from .operators.multimodal import documents_as_media, extract_features
     media = documents_as_media(_docs(spark, sf_dir))
     return extract_features(media).select("media_id", "width", "height")
 
 
 def q_multimodal_resize(spark, sf_dir):
-    """Binary→binary resize stage (deterministic fake pixels): returns the
-    scaled dimensions per media row — rows-only oracle (payload bytes are
-    engine-internal)."""
+    """Binary→binary resize stage (deterministic fake pixels): returns
+    the scaled dimensions per media row.  Scale math is pure IEEE-double
+    (min(1, 256/max(w,h)), floor) so the SQL oracle reproduces it
+    bit-exactly from the same md5-derived dims."""
     from .operators.multimodal import documents_as_media, resize
     media = documents_as_media(_docs(spark, sf_dir))
     return resize(media, max_side=256).select("media_id", "width", "height")
@@ -1031,8 +1033,12 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN probe for vec_id=0 — rows-only oracle (bucket
-    structure is engine-internal)."""
+    """LSH-bucketed ANN probe for vec_id=0, full SQL oracle: the seeded
+    hyperplanes are deterministic (random.Random(42).gauss), so the
+    oracle inlines the same 6×64 plane literals and replays bucket
+    assignment (sign bits), hamming≤1 probe-set selection, and the
+    double-precision cosine re-rank.  Both sides fold dots in double, so
+    6 dp rounding is far above any accumulation-order drift."""
     emb = _emb(spark, sf_dir)
     qv = list(emb.where(F.col("vec_id") == 0)
               .select("embedding").collect()[0][0])
@@ -1040,6 +1046,39 @@ def q_ann_lsh_topk(spark, sf_dir):
     top = similarity.ann_topk(indexed, planes, qv, k=5)
     return (top.where(F.col("vec_id") != 0)
             .select("vec_id", F.round("cosine", 6).alias("cosine")))
+
+
+def _ann_oracle_sql() -> str:
+    """DuckDB twin of q_ann_lsh_topk with the seed-42 planes inlined."""
+    planes = similarity._random_hyperplanes(dim=64, bits=6, seed=42)
+    lits = ["[" + ", ".join(repr(v) for v in p) + "]::DOUBLE[]"
+            for p in planes]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product({{v}}, {lit}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, lit in enumerate(lits))
+    return f"""
+        WITH q AS (
+          SELECT embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id = 0
+        ), base AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 {bucket.format(v='embedding::DOUBLE[]')} AS bucket
+          FROM embeddings
+        ), qb AS (
+          SELECT {bucket.format(v='qv')} AS qbucket FROM q
+        ), top AS (
+          SELECT b.vec_id,
+                 list_dot_product(b.v, q.qv)
+                   / (sqrt(list_dot_product(b.v, b.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+          FROM base b, q, qb
+          WHERE bit_count(xor(b.bucket::BIGINT, qb.qbucket::BIGINT)) <= 1
+          ORDER BY cos DESC, b.vec_id ASC LIMIT 5
+        )
+        SELECT vec_id, ROUND(cos, 6) AS cosine FROM top
+        WHERE vec_id <> 0
+    """
 
 
 def q_tpch_q4(spark, sf_dir):
@@ -2017,8 +2056,32 @@ ORACLES: dict[str, str | None] = {
         )
         SELECT uid, CAST(MIN(d) AS INT) AS dist FROM walk GROUP BY uid
     """,
-    "multimodal_features": None,
-    "multimodal_resize": None,
+    "multimodal_features": """
+        SELECT doc_id AS media_id,
+               CAST(64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1920
+                    AS INT) AS width,
+               CAST(64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1080
+                    AS INT) AS height
+        FROM documents
+    """,
+    "multimodal_resize": """
+        WITH dims AS (
+          SELECT doc_id AS media_id,
+                 64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1920
+                     AS w,
+                 64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1080
+                     AS h
+          FROM documents
+        ), scaled AS (
+          SELECT media_id, w, h,
+                 LEAST(1.0, 256.0 / GREATEST(w, h)) AS scale
+          FROM dims
+        )
+        SELECT media_id,
+               CAST(GREATEST(1, FLOOR(w * scale)) AS INT) AS width,
+               CAST(GREATEST(1, FLOOR(h * scale)) AS INT) AS height
+        FROM scaled
+    """,
     "simhash_pairs": """
         WITH toks AS (
           SELECT doc_id, list_distinct(list_filter(
@@ -2046,7 +2109,7 @@ ORACLES: dict[str, str | None] = {
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
-    "ann_lsh_topk": None,
+    "ann_lsh_topk": _ann_oracle_sql(),
     "tpch_q4": (
         "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders o "
         "WHERE EXISTS (SELECT 1 FROM lineitem l "
