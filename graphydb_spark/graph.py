@@ -804,6 +804,58 @@ class Graph:
             "spark_version": self.spark.version,
         }
 
+    # ----------------------------------------------------- batch analytics
+    # Thin facades over operators.graph_algos (beyond-reference extension,
+    # SURVEY.md §7.3e): the reference has no batch analytics at all, so
+    # these define the switchover surface.  Kind filters prune the lazy
+    # union-of-kinds frames before any shuffle.
+
+    def degrees(self, direction: str = "both", **kw) -> DataFrame:
+        from .operators.graph_algos import degrees
+        return degrees(self.edges_df, direction, **kw)
+
+    def connected_components(self, node_kinds: Optional[list[str]] = None,
+                             edge_kinds: Optional[list[str]] = None,
+                             **kw) -> DataFrame:
+        from .operators.graph_algos import connected_components
+        return connected_components(self._sub(self.nodes_df, node_kinds),
+                                    self._sub(self.edges_df, edge_kinds),
+                                    **kw)
+
+    def pagerank(self, node_kinds: Optional[list[str]] = None,
+                 edge_kinds: Optional[list[str]] = None, **kw) -> DataFrame:
+        from .operators.graph_algos import pagerank
+        return pagerank(self._sub(self.nodes_df, node_kinds),
+                        self._sub(self.edges_df, edge_kinds), **kw)
+
+    def k_hop(self, seed_uids: list[str], k: int,
+              direction: str = "out",
+              edge_kinds: Optional[list[str]] = None) -> DataFrame:
+        from .operators.graph_algos import k_hop
+        seeds = self.spark.createDataFrame([(u,) for u in seed_uids],
+                                           "uid string")
+        return k_hop(self._sub(self.edges_df, edge_kinds), seeds, k,
+                     direction)
+
+    def bfs_distances(self, seed_uids: list[str], max_depth: int = 6,
+                      direction: str = "both",
+                      edge_kinds: Optional[list[str]] = None) -> DataFrame:
+        from .operators.graph_algos import bfs_distances
+        seeds = self.spark.createDataFrame([(u,) for u in seed_uids],
+                                           "uid string")
+        return bfs_distances(self._sub(self.edges_df, edge_kinds), seeds,
+                             max_depth, direction)
+
+    def triangle_count(self,
+                       edge_kinds: Optional[list[str]] = None,
+                       **kw) -> DataFrame:
+        from .operators.graph_algos import triangle_count
+        return triangle_count(self._sub(self.edges_df, edge_kinds), **kw)
+
+    @staticmethod
+    def _sub(df: DataFrame, kinds: Optional[list[str]]) -> DataFrame:
+        return df.where(F.col("kind").isin(kinds)) if kinds else df
+
     # ----------------------------------------------------------------- FTS
     def resetfts(self, nodefields: Optional[list[str]] = None,
                  edgefields: Optional[list[str]] = None) -> None:

@@ -107,3 +107,74 @@ def test_theta_selfloop_consistency(rg):
     via_theta = g.fetch("-[e]>", "e.startuid == e.enduid")
     truth = {e.uid for e in edges if e["startuid"] == e["enduid"]}
     assert set(via_theta.uids()) == truth
+
+
+def test_triangle_count_invariances(spark):
+    """Triangle count is invariant under edge reversal, duplication, and
+    row order — the canonicalization layer must absorb all three."""
+    import random
+    from graphydb_spark.operators.graph_algos import triangle_count
+    rng = random.Random(7)
+    edges = [(f"n{rng.randrange(30)}", f"n{rng.randrange(30)}")
+             for _ in range(120)]
+    base = spark.createDataFrame(edges, "startuid string, enduid string")
+    n0 = triangle_count(base).collect()[0]["n_triangles"]
+    assert n0 > 0  # dense enough to have triangles
+    mutated = edges + [(b, a) for a, b in edges[::2]] + edges[:40]
+    rng.shuffle(mutated)
+    m = spark.createDataFrame(mutated, "startuid string, enduid string")
+    assert triangle_count(m).collect()[0]["n_triangles"] == n0
+
+
+def test_bfs_distances_equal_khop_layers(spark):
+    """bfs_distances dist==d set must equal k_hop(d) minus k_hop(d-1)."""
+    import random
+    from graphydb_spark.operators.graph_algos import bfs_distances, k_hop
+    rng = random.Random(11)
+    edges = [("e%d" % i, f"n{rng.randrange(40)}", f"n{rng.randrange(40)}")
+             for i in range(80)]
+    df = spark.createDataFrame(
+        edges, "uid string, startuid string, enduid string")
+    seed = spark.createDataFrame([("n0",)], "uid string")
+    dist = {r["uid"]: r["dist"]
+            for r in bfs_distances(df, seed, max_depth=3).collect()}
+    prev = {"n0"}
+    for d in (1, 2, 3):
+        reach = {r["uid"] for r in k_hop(df, seed, d, "both").collect()}
+        layer = {u for u, dd in dist.items() if dd == d}
+        assert layer == reach - prev, f"layer {d} mismatch"
+        prev = reach
+
+
+def test_chunk_documents_covers_all_tokens(spark):
+    """Every token of every doc appears in >= 1 chunk, in order, and
+    adjacent chunks overlap by exactly `overlap` tokens (except the
+    snapped last chunk)."""
+    import random
+    from graphydb_spark.operators.text import chunk_documents, tokens
+    rng = random.Random(3)
+    docs = [(i, " ".join(f"w{rng.randrange(50)}"
+                         for _ in range(rng.randrange(0, 300))))
+            for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    chunks = chunk_documents(df, chunk_tokens=32, overlap=8)
+    got = {}
+    for r in chunks.collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_text"]
+    from pyspark.sql import functions as F
+    toks = {r["doc_id"]: r["t"] for r in
+            df.select("doc_id", tokens(F.col("text")).alias("t")).collect()}
+    for doc_id, text in docs:
+        parts = got[doc_id]
+        stride = 32 - 8
+        rebuilt = []
+        for i in sorted(parts):
+            ctoks = parts[i].split() if parts[i] else []
+            start = i * stride
+            assert ctoks == toks[doc_id][start:start + 32]
+        n = len(toks[doc_id])
+        seen = set()
+        for i in sorted(parts):
+            seen.update(range(i * stride,
+                              min(i * stride + 32, n)))
+        assert seen == set(range(n))

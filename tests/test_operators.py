@@ -333,3 +333,23 @@ def test_chunk_documents_windows(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         text.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_graph_analytics_facades(graph):
+    g = graph
+    n = {}
+    for name in "abcd":
+        n[name] = g.Node("P", name=name).save()
+    for s, e in [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]:
+        g.Edge(n[s], "L", n[e]).save()
+    tri = g.triangle_count().collect()[0]["n_triangles"]
+    assert tri == 1
+    dist = {r["uid"]: r["dist"]
+            for r in g.bfs_distances([n["a"]["uid"]], max_depth=2).collect()}
+    assert dist[n["a"]["uid"]] == 0 and dist[n["d"]["uid"]] == 2
+    cc = g.connected_components()
+    assert len({r["component"] for r in cc.collect()}) == 1
+    pr = g.pagerank(edge_kinds=["L"], iters=2)
+    assert pr.count() == 4
+    hop = g.k_hop([n["a"]["uid"]], 1)
+    assert hop.count() == 3  # a, b, c
