@@ -292,3 +292,37 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     return (pairs.withColumn("cosine", cosine_expr("va", "vb"))
                  .where(F.col("cosine") >= min_cosine)
                  .select("id_a", "id_b", "cosine"))
+
+
+def ngram_contamination(train: DataFrame, bench: DataFrame, n: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_id_col: str = "doc_id") -> DataFrame:
+    """Benchmark-decontamination check: training docs sharing at least one
+    ``n``-gram with any benchmark doc → ``(id, n_hits BIGINT)``.
+
+    The standard eval-overlap sweep of an LLM data pipeline (13-gram
+    matching in most published recipes; ``n`` is a knob).  Both corpora
+    explode to md5 n-gram fingerprints (64-bit-prefixed — portable and
+    collision-safe at corpus scale); the match is a semi-join-shaped
+    inner join on the fingerprint with a distinct-per-(doc, gram) count.
+    The benchmark side is typically tiny next to training data — at
+    scale it broadcasts, so the training side never shuffles; hits are
+    counted with map-side partial aggregation on the training doc id.
+    """
+    def grams(df, idc):
+        toks = tokens(F.col(text_col))
+        g = F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda _, i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        return (df.select(F.col(idc).alias("_id"),
+                          F.explode(F.array_distinct(g)).alias("gram"))
+                  .select("_id",
+                          F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+                           .cast("long").alias("fp")))
+
+    bench_fps = grams(bench, bench_id_col).select("fp").distinct()
+    hits = (grams(train, id_col)
+            .join(F.broadcast(bench_fps), "fp")
+            .groupBy(F.col("_id").alias(id_col))
+            .agg(F.count("*").cast("long").alias("n_hits")))
+    return hits

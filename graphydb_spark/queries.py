@@ -963,6 +963,17 @@ def q_tpch_q21(spark, sf_dir):
             .select("s_suppkey", "s_name"))
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id % 20 != 0)
+    sharing any 8-gram with the held-out eval slice (doc_id % 20 == 0),
+    with hit counts.  The eval fingerprint set broadcasts — the
+    training side never shuffles before its per-doc count."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    return dedup.ngram_contamination(train, bench, n=8)
+
+
 def q_chunk_docs(spark, sf_dir):
     """Context-window packing: 64-token chunks with 16-token overlap.
     Compared by md5 of chunk text (portable, keeps the diff payload
@@ -1969,6 +1980,29 @@ ORACLES: dict[str, str | None] = {
         SELECT src AS uid, MIN(dst) AS component FROM reach GROUP BY src
     """,
     "pagerank_top10": None,
+    "contamination": """
+        WITH toks AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> x != '') AS ws
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, fp FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     range(1, len(ws) - 6),
+                     i -> ('0x' || substr(md5(
+                            array_to_string(list_slice(ws, i, i + 7), ' ')
+                          ), 1, 15))::BIGINT)) AS fps
+            FROM toks), UNNEST(fps) AS t(fp)
+        )
+        SELECT g.doc_id, COUNT(*)::BIGINT AS n_hits
+        FROM grams g
+        JOIN (SELECT DISTINCT fp FROM grams WHERE doc_id % 20 = 0) b
+          ON g.fp = b.fp
+        WHERE g.doc_id % 20 <> 0
+        GROUP BY g.doc_id
+    """,
     "chunk_docs": """
         WITH toks AS (
           SELECT doc_id, list_filter(
@@ -2489,6 +2523,7 @@ QUERIES = {
     "pagerank_top10": q_pagerank_top10,
     "pagerank_nations": q_pagerank_nations,
     "chunk_docs": q_chunk_docs,
+    "contamination": q_contamination,
     "triangles_copurchase": q_triangles_copurchase,
     "bfs_distance": q_bfs_distance,
     "multimodal_features": q_multimodal_features,

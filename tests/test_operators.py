@@ -353,3 +353,18 @@ def test_graph_analytics_facades(graph):
     assert pr.count() == 4
     hop = g.k_hop([n["a"]["uid"]], 1)
     assert hop.count() == 3  # a, b, c
+
+
+def test_ngram_contamination_planted(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    train = spark.createDataFrame(
+        [(1, f"prefix words here {shared} and a tail"),
+         (2, "completely different text with no overlap at all whatsoever"),
+         (3, f"{shared} {shared} repeated")],   # distinct grams still count once each
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, f"the eval question is {shared} obviously")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["n_hits"]
+           for r in dedup.ngram_contamination(train, bench, n=8).collect()}
+    assert 1 in out and 3 in out and 2 not in out
