@@ -71,3 +71,11 @@ def test_query_matches_oracle(spark, duck, name):
     if g != w:
         diffs = [(a, b) for a, b in zip(g, w) if a != b][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_catalog_consistency():
+    """Every oracle key must name a declared query (a typo here would
+    silently drop a correctness gate), and entry-point exports must
+    mirror the catalog."""
+    assert set(ORACLE) <= set(QUERIES)
+    assert set(entrymod.queries()) == set(QUERIES)
