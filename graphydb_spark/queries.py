@@ -2440,8 +2440,23 @@ ORACLES: dict[str, str | None] = {
 _PLAN_CACHE: dict = {}
 
 
+_SHIPPED_SESSIONS: set = set()
+
+
+def _ensure_shipped(spark):
+    # The driver hands us its own SparkSession; Pandas-UDF closures in this
+    # package pickle by reference, so workers must be able to import it —
+    # ship the package zip once per session (same mechanism as a cluster
+    # deploy; no-op cost afterwards).
+    if id(spark) not in _SHIPPED_SESSIONS:
+        from .session import _ship_package
+        _ship_package(spark)
+        _SHIPPED_SESSIONS.add(id(spark))
+
+
 def _plan_cached(name, fn):
     def wrapper(spark, sf_dir, _name=name, _fn=fn):
+        _ensure_shipped(spark)
         key = (id(spark), sf_dir, _name)
         df = _PLAN_CACHE.get(key)
         if df is None:

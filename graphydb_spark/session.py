@@ -33,10 +33,33 @@ def tune_shuffle_for_input(spark: SparkSession, approx_rows: int,
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``graphydb_spark`` importable on executor Python workers.
+
+    Pandas-UDF/``mapInPandas`` closures defined inside the package pickle
+    by *reference* (module + qualname), so every worker must be able to
+    ``import graphydb_spark``.  That holds by accident when the driver's
+    cwd is the repo root, and breaks otherwise (observed: driver script
+    run from another directory).  Shipping a zip via ``addPyFile`` is the
+    same mechanism a real cluster deploy uses — workers get the package
+    regardless of their filesystem layout.
+    """
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(tempfile.gettempdir(),
+                            f"graphydb_spark_pkg_{os.getpid()}")
+    if not os.path.exists(zip_base + ".zip"):
+        shutil.make_archive(zip_base, "zip",
+                            os.path.dirname(pkg_dir), "graphydb_spark")
+    spark.sparkContext.addPyFile(zip_base + ".zip")
+
+
 def get_spark(app: str = "graphydb_spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
-    return (
+    spark = (
         SparkSession.builder
         .master(f"local[{cpus}]")
         .appName(app)
@@ -59,3 +82,5 @@ def get_spark(app: str = "graphydb_spark", cpus: int | None = None) -> SparkSess
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .getOrCreate()
     )
+    _ship_package(spark)
+    return spark

@@ -36,14 +36,21 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     ck = (id(spark), sf_dir)
     if ck in _TABLE_CACHE:
         return _TABLE_CACHE[ck]
-    # events.parquet carries TIMESTAMP(NANOS) which Spark only reads as a
-    # long behind this legacy flag; normalize to a µs timestamp (same
-    # truncation DuckDB applies when it reads ns parquet natively)
+    # events.ts has shipped as TIMESTAMP(NANOS) (readable only as long
+    # behind the legacy flag), as plain int64 nanos, and as timestamp[us]
+    # across fixture generations — normalize whatever arrives to a µs
+    # session-TZ timestamp (session TZ is pinned UTC, so this matches
+    # DuckDB's naive-timestamp reading of the same file).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
            for t in TABLE_NAMES}
-    out["events"] = out["events"].withColumn(
-        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    ts_type = dict(out["events"].dtypes)["ts"]
+    if ts_type == "bigint":  # raw nanos
+        out["events"] = out["events"].withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    elif ts_type != "timestamp":  # timestamp_ntz → session-TZ timestamp
+        out["events"] = out["events"].withColumn(
+            "ts", F.col("ts").cast("timestamp"))
     _TABLE_CACHE[ck] = out
     return out
 
