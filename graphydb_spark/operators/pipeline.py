@@ -1,0 +1,173 @@
+"""Training-data pipeline operators: sampling, mixing, packing, redaction.
+
+Beyond-reference extensions (SURVEY.md §7.3) over the driver's
+``documents`` table — the corpus-construction steps of an LLM data
+pipeline.  Everything is JVM-side built-ins (md5 / regexp_replace /
+window cumsum), no Python UDFs, so the operators stay inside
+whole-stage codegen and scale linearly; the only shuffles are the
+ones the semantics require (a count per stratum, a per-partition sort
+for packing).
+
+Determinism contract: all sampling is *hash-gated* — a row's fate is
+``md5(key)`` against a rate-derived threshold, so results are identical
+across engines, partitionings, reruns, and cluster sizes.  This is the
+property `TABLESAMPLE`/`rand()` lack and a training pipeline needs for
+stable holdout splits and reproducible mixes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 16-bit hash-prefix space for rate thresholds (4 hex chars)
+_HASH_SPACE = 65536
+
+
+def _hash_prefix(key_col) -> F.Column:
+    return F.substring(F.md5(key_col.cast("string")), 1, 4)
+
+
+def _keeps(key_col, rate_col) -> F.Column:
+    """keep ⇔ first 16 bits of md5(key) < floor(rate·2^16).
+
+    The threshold is rendered as a 4-hex-char string with %04x and
+    compared lexicographically (hex of a fixed width orders like the
+    integer) — portable to any engine with printf-style formatting, no
+    hex→int parse needed.  ``rate ≥ 1`` keeps everything (the threshold
+    string would be 5 chars and mis-compare, so it is special-cased).
+    """
+    thresh = F.format_string(
+        "%04x", F.floor(rate_col * _HASH_SPACE).cast("int"))
+    return (rate_col >= 1.0) | (_hash_prefix(key_col) < thresh)
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      rates: dict[str, float], key_col: str,
+                      default_rate: float = 0.0) -> DataFrame:
+    """Deterministic per-stratum sampling (e.g. per-language rates).
+
+    A narrow filter — no shuffle, no second pass; strata not named in
+    ``rates`` get ``default_rate``.
+    """
+    rate = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(float(r))) \
+                .otherwise(rate)
+    return df.where(_keeps(F.col(key_col), rate))
+
+
+def mixture_sample(df: DataFrame, source_col: str,
+                   weights: dict[str, float], key_col: str) -> DataFrame:
+    """Down-sample to target source proportions (training-mix step).
+
+    Given target weights ``w_s`` and observed counts ``n_s``, the largest
+    mixture achievable without upsampling keeps
+    ``r_s = C·w_s/n_s`` rows of source *s*, where ``C = min_s n_s/w_s``
+    (the bottleneck source is kept whole).  Execution: one tiny count
+    aggregate (broadcast back), then a narrow hash-gated filter — the
+    corpus itself is never shuffled, so this is 100 TB-safe.
+    """
+    total_w = sum(weights.values())
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items()
+                          for x in (kv[0], float(kv[1]) / total_w)])
+    counts = (df.groupBy(source_col).agg(F.count("*").alias("_n"))
+                .withColumn("_w", wmap[F.col(source_col)])
+                .where(F.col("_w").isNotNull()))
+    cap = counts.agg(F.min(F.col("_n") / F.col("_w")).alias("_cap"))
+    rates = (counts.crossJoin(F.broadcast(cap))
+             .select(source_col,
+                     (F.col("_cap") * F.col("_w") / F.col("_n"))
+                     .alias("_rate")))
+    return (df.join(F.broadcast(rates), source_col)
+              .where(_keeps(F.col(key_col), F.col("_rate")))
+              .drop("_rate"))
+
+
+def pack_shards(df: DataFrame, id_col: str, token_col,
+                budget: int, partition_col: str | None = None) -> DataFrame:
+    """Assign rows to fixed-token-budget output shards.
+
+    Rows are laid out in deterministic ``id_col`` order (within
+    ``partition_col`` if given — e.g. one shard sequence per language)
+    and a shard boundary falls every ``budget`` cumulative tokens:
+    ``shard_id = floor(tokens_before_this_row / budget)``.  With inputs
+    pre-chunked to ≤ budget (chunk_documents), every shard holds
+    budget ± one-chunk tokens — the standard block-packing step that
+    turns a document table into training shards.
+
+    One sort-shuffle keyed on the partition column; the cumsum is a
+    single window pass.  At 100 TB the sort is per-partition-key and
+    AQE splits skewed keys.
+    """
+    part = [partition_col] if partition_col else []
+    w = (Window.partitionBy(*part).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    toks = token_col if isinstance(token_col, F.Column) else F.col(token_col)
+    out = (df.withColumn("_cum", F.sum(toks).over(w))
+             .withColumn("shard_id",
+                         F.floor((F.col("_cum") - toks) / budget)
+                          .cast("long"))
+             .drop("_cum"))
+    return out
+
+
+def pii_redact(df: DataFrame, text_col: str = "text",
+               out_col: str = "redacted") -> DataFrame:
+    """Mask emails, North-American phone numbers, and IPv4 addresses.
+
+    Three chained JVM-side ``regexp_replace`` passes (patterns restricted
+    to the RE2 ∩ java.util.regex common dialect so the DuckDB oracle can
+    replay them verbatim).  A stand-in for model-based PII tagging; at
+    scale this is a narrow map over the corpus, no shuffle.
+    """
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
+    ipv4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+    col = F.col(text_col)
+    col = F.regexp_replace(col, email, "<EMAIL>")
+    col = F.regexp_replace(col, phone, "<PHONE>")
+    col = F.regexp_replace(col, ipv4, "<IP>")
+    return df.withColumn(out_col, col)
+
+
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   min_tokens: int = 20, max_tokens: int = 100_000,
+                   min_avg_len: float = 2.0, max_avg_len: float = 12.0,
+                   max_symbol_ratio: float = 0.10,
+                   min_stopword_hits: int = 2) -> DataFrame:
+    """Gopher-style rule-based document quality gate.
+
+    Emits per-rule booleans plus an overall ``keep`` — pipelines want the
+    per-rule attrition stats, not just the survivors.  Rules (public
+    Gopher/C4-style heuristics): token-count band, mean-token-length
+    band, symbol-to-char ratio cap, minimum english-stopword hits.
+    Pure JVM expressions over one pass of the text column.
+    """
+    from .text import STOPWORDS, tokens
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    avg_len = (F.length(F.concat_ws("", toks)) /
+               F.greatest(n, F.lit(1))).cast("double")
+    symbols = F.length(F.regexp_replace(
+        F.col(text_col), r"[A-Za-z0-9\s]", ""))
+    sym_ratio = (symbols /
+                 F.greatest(F.length(F.col(text_col)), F.lit(1))
+                 ).cast("double")
+    swarr = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    sw_hits = F.size(F.filter(toks, lambda t: F.array_contains(swarr, t)))
+
+    rules = {
+        "ok_tokens": (n >= min_tokens) & (n <= max_tokens),
+        "ok_avg_len": (avg_len >= min_avg_len) & (avg_len <= max_avg_len),
+        "ok_symbols": sym_ratio <= max_symbol_ratio,
+        "ok_stopwords": sw_hits >= min_stopword_hits,
+    }
+    out = df
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("keep", keep)

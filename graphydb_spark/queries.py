@@ -1467,6 +1467,73 @@ def q_tpch_q22(spark, sf_dir):
                  .cast("double").alias("totacctbal")))
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language sampling of the corpus (hash-gated
+    rates: en 0.8, de 0.5, fr/es 0.25, default 0.1) — the reproducible
+    alternative to TABLESAMPLE a training pipeline needs for stable
+    splits.  Narrow filter, no shuffle."""
+    from .operators.pipeline import stratified_sample
+    docs = _docs(spark, sf_dir)
+    out = stratified_sample(
+        docs, "lang",
+        {"en": 0.8, "de": 0.5, "fr": 0.25, "es": 0.25},
+        key_col="doc_id", default_rate=0.1)
+    return out.select("doc_id", "lang")
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Training-mix construction: down-sample sources to target weights
+    (src0:0.5 src1:0.3 src2:0.2), keeping the bottleneck source whole.
+    One tiny count aggregate broadcast back; the corpus itself never
+    shuffles."""
+    from .operators.pipeline import mixture_sample
+    docs = _docs(spark, sf_dir)
+    out = mixture_sample(docs, "source",
+                         {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+                         key_col="doc_id")
+    return out.select("doc_id", "source")
+
+
+def q_pack_shards(spark, sf_dir):
+    """Token-budget shard packing: lay documents out per language in
+    doc_id order, close a shard every 2000 cumulative chars; returns
+    per-shard stats.  One per-language sort + window cumsum."""
+    from .operators.pipeline import pack_shards
+    docs = _docs(spark, sf_dir)
+    packed = pack_shards(docs, "doc_id", "n_chars", budget=2000,
+                         partition_col="lang")
+    return (packed.groupBy("lang", "shard_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("shard_chars")))
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII masking (emails / phone numbers / IPv4) as chained JVM-side
+    regexp_replace.  Synthetic PII derived from doc_id is appended first
+    so every row actually exercises all three patterns; the DuckDB twin
+    builds and redacts the identical string."""
+    from .operators.pipeline import pii_redact
+    docs = _docs(spark, sf_dir)
+    seeded = docs.withColumn(
+        "text",
+        F.concat(F.col("text"),
+                 F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com or 555-123-4567 at 10.0."),
+                 (F.col("doc_id") % 256).cast("string"), F.lit(".7")))
+    return pii_redact(seeded).select("doc_id", "redacted")
+
+
+def q_quality_filter(spark, sf_dir):
+    """Gopher-style rule gate with per-rule attrition flags (token band,
+    mean token length band, symbol ratio, stopword hits) — one codegen
+    pass over the text column."""
+    from .operators.pipeline import quality_filter
+    docs = _docs(spark, sf_dir)
+    return quality_filter(docs).select(
+        "doc_id", "ok_tokens", "ok_avg_len", "ok_symbols",
+        "ok_stopwords", "keep")
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect-compatible ANSI)
 
@@ -2428,6 +2495,89 @@ ORACLES: dict[str, str | None] = {
                             AND o_orderdate >= TIMESTAMP '2000-01-01')
         GROUP BY c_nationkey
     """,
+    # hash-gated sampling twins: keep ⇔ 16-bit md5 prefix < floor(rate·2^16)
+    # rendered as %04x (fixed-width hex orders like the integer; rate ≥ 1
+    # special-cased — its threshold would be 5 chars and mis-compare)
+    "stratified_sample": """
+        WITH r AS (
+          SELECT doc_id, lang,
+                 CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5
+                           WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.25
+                           ELSE 0.1 END AS rate
+          FROM documents)
+        SELECT doc_id, lang FROM r
+        WHERE rate >= 1.0
+           OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              < printf('%04x', CAST(floor(rate * 65536) AS INT))
+    """,
+    "mixture_sample": """
+        WITH counts AS (
+          SELECT source, COUNT(*) AS n,
+                 CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                             WHEN 'src2' THEN 0.2 END AS w
+          FROM documents GROUP BY source
+        ), kept AS (SELECT * FROM counts WHERE w IS NOT NULL),
+        cap AS (SELECT MIN(n / w) AS c FROM kept),
+        rates AS (SELECT source, (c * w / n) AS rate FROM kept, cap)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN rates USING (source)
+        WHERE rate >= 1.0
+           OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              < printf('%04x', CAST(floor(rate * 65536) AS INT))
+    """,
+    "pack_shards": """
+        WITH c AS (
+          SELECT lang, doc_id, n_chars,
+                 SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM documents)
+        SELECT lang,
+               CAST(floor((cum - n_chars) / 2000) AS BIGINT) AS shard_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS shard_chars
+        FROM c GROUP BY lang, shard_id
+    """,
+    "pii_redact": r"""
+        SELECT doc_id,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com or 555-123-4567 at 10.0.'
+                     || CAST(doc_id % 256 AS VARCHAR) || '.7',
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g'),
+              '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g'),
+            '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
+        FROM documents
+    """,
+    "quality_filter": """
+        WITH t AS (
+          SELECT doc_id, text,
+            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                        x -> x != '') AS toks
+          FROM documents),
+        m AS (
+          SELECT doc_id, text, len(toks) AS n,
+            length(array_to_string(toks, ''))
+              / greatest(len(toks), 1) AS avg_len,
+            length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+              / greatest(length(text), 1) AS sym_ratio,
+            len(list_filter(toks, x -> list_contains(
+              ['the','a','of','and','to','in','is','for','on','with'], x)))
+              AS sw_hits
+          FROM t)
+        SELECT doc_id,
+               (n >= 20 AND n <= 100000) AS ok_tokens,
+               (avg_len >= 2.0 AND avg_len <= 12.0) AS ok_avg_len,
+               (sym_ratio <= 0.10) AS ok_symbols,
+               (sw_hits >= 2) AS ok_stopwords,
+               ((n >= 20 AND n <= 100000)
+                AND (avg_len >= 2.0 AND avg_len <= 12.0)
+                AND (sym_ratio <= 0.10)
+                AND (sw_hits >= 2)) AS keep
+        FROM m
+    """,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -2569,6 +2719,11 @@ QUERIES = {
     "tpch_q16": q_tpch_q16,
     "tpch_q20": q_tpch_q20,
     "tpch_q21": q_tpch_q21,
+    "stratified_sample": q_stratified_sample,
+    "mixture_sample": q_mixture_sample,
+    "pack_shards": q_pack_shards,
+    "pii_redact": q_pii_redact,
+    "quality_filter": q_quality_filter,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -1,0 +1,108 @@
+"""Unit tests for the training-data pipeline operators (sampling, mixing,
+shard packing, PII redaction, quality filtering)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphydb_spark.operators.pipeline import (mixture_sample, pack_shards,
+                                               pii_redact, quality_filter,
+                                               stratified_sample)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i,
+             f"src{i % 4}",
+             ["en", "de", "fr"][i % 3],
+             "the quick brown fox jumps over the lazy dog number %d" % i,
+             50 + (i * 7) % 300)
+            for i in range(400)]
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string, "
+              "n_chars long")
+
+
+def test_stratified_sample_rates_and_determinism(corpus):
+    out = stratified_sample(corpus, "lang", {"en": 1.0, "de": 0.5},
+                            key_col="doc_id", default_rate=0.0)
+    rows = out.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in rows}
+    # rate 1.0 keeps every row (the threshold edge case)
+    assert by_lang["en"] == 134
+    # rate 0.5 keeps about half (hash-uniform; 134 de rows total)
+    assert 40 <= by_lang.get("de", 0) <= 95
+    # rate 0.0 (default) keeps none
+    assert "fr" not in by_lang
+    # deterministic: identical on re-run
+    again = stratified_sample(corpus, "lang", {"en": 1.0, "de": 0.5},
+                              key_col="doc_id", default_rate=0.0)
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())
+
+
+def test_mixture_sample_hits_target_proportions(corpus):
+    # sources src0..src3, 100 docs each; target 60/20/20 over three of them
+    out = mixture_sample(corpus, "source",
+                         {"src0": 0.6, "src1": 0.2, "src2": 0.2},
+                         key_col="doc_id")
+    counts = {r["source"]: r["count"]
+              for r in out.groupBy("source").count().collect()}
+    assert set(counts) == {"src0", "src1", "src2"}
+    # bottleneck source (src0: needs 0.6 share from 100 rows → cap
+    # C=100/0.6) is kept whole; others aim at C*w ≈ 33
+    assert counts["src0"] == 100
+    for s in ("src1", "src2"):
+        assert 20 <= counts[s] <= 50
+    total = sum(counts.values())
+    assert counts["src0"] / total > 0.5
+
+
+def test_pack_shards_budget_bound(corpus):
+    packed = pack_shards(corpus, "doc_id", "n_chars", budget=1000,
+                         partition_col="lang")
+    stats = (packed.groupBy("lang", "shard_id")
+             .agg(F.sum("n_chars").alias("chars"),
+                  F.max("n_chars").alias("biggest")).collect())
+    for r in stats:
+        # a shard never exceeds budget + one document (boundary overhang)
+        assert r["chars"] <= 1000 + r["biggest"]
+    # shard ids are dense from 0 within each partition
+    for lang in ("en", "de", "fr"):
+        ids = sorted(r["shard_id"] for r in stats if r["lang"] == lang)
+        assert ids == list(range(len(ids)))
+
+
+def test_pack_shards_deterministic_layout(corpus):
+    a = pack_shards(corpus, "doc_id", "n_chars", budget=1000,
+                    partition_col="lang").select("doc_id", "shard_id")
+    b = pack_shards(corpus, "doc_id", "n_chars", budget=1000,
+                    partition_col="lang").select("doc_id", "shard_id")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pii_redact_masks_all_three(spark):
+    df = spark.createDataFrame(
+        [(1, "reach me at jo.doe+x@mail-site.org or 555-123-4567, "
+             "server 192.168.0.1 thanks"),
+         (2, "no pii here at all")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["redacted"]
+           for r in pii_redact(df).collect()}
+    assert out[1] == ("reach me at <EMAIL> or <PHONE>, server <IP> thanks")
+    assert out[2] == "no pii here at all"
+
+
+def test_quality_filter_rules(spark):
+    long_good = ("the cat sat on the mat and looked at the dog for a while "
+                 "then it is time to go home with all of us in the end " * 2)
+    df = spark.createDataFrame(
+        [(1, long_good),               # passes everything
+         (2, "short text"),            # fails token band
+         (3, "@@ ## $$ %% ^^ && ** (( )) !! " * 10),  # symbol soup
+         (4, " ".join(["internationalization"] * 40))],  # long tokens, no sw
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_filter(df).collect()}
+    assert out[1]["keep"]
+    assert not out[2]["ok_tokens"] and not out[2]["keep"]
+    assert not out[3]["ok_symbols"] and not out[3]["keep"]
+    assert not out[4]["ok_avg_len"] and not out[4]["ok_stopwords"]
