@@ -340,3 +340,42 @@ def bfs_distances(edges_df: DataFrame, seed_uids_df: DataFrame,
                    .localCheckpoint(eager=True))
         frontier = nxt
     return visited
+
+
+def sssp(weighted_edges_df: DataFrame, seed_uids_df: DataFrame,
+         max_hops: int = 10) -> DataFrame:
+    """(uid, dist) — minimum path cost from the seed set over weighted
+    edges ``(src, dst, w)``, restricted to paths of ≤ ``max_hops`` edges
+    (Bellman-Ford: iteration *k* holds the exact ≤ *k*-hop minimum, so a
+    hop-bounded DuckDB recursive-CTE twin can replay it).
+
+    Each round relaxes every edge once: one join of the edge list
+    against the (node-sized) distance frame + one min-aggregation.  The
+    edge list is materialized once, hash-partitioned on ``src``, so
+    iterations shuffle only distances — the same partitioning-reuse
+    pattern as pagerank/connected_components.  Early-exits when a round
+    improves nothing.  Negative weights are allowed (it is Bellman-Ford,
+    not Dijkstra); without negative cycles the result converges in
+    ≤ diameter rounds.
+    """
+    edges = (weighted_edges_df.select("src", "dst", "w")
+             .repartition("src").localCheckpoint(eager=True))
+    dist = (seed_uids_df.select("uid").distinct()
+            .withColumn("dist", F.lit(0).cast("long")))
+    for _ in range(max_hops):
+        relax = (edges.join(dist.withColumnRenamed("uid", "src"), "src")
+                 .select(F.col("dst").alias("uid"),
+                         (F.col("dist") + F.col("w")).cast("long")
+                         .alias("dist")))
+        new = (dist.unionByName(relax)
+               .groupBy("uid").agg(F.min("dist").alias("dist"))
+               .localCheckpoint(eager=True))
+        improved = (new.alias("n")
+                    .join(dist.alias("o"), "uid", "left")
+                    .where(F.col("o.dist").isNull() |
+                           (F.col("n.dist") < F.col("o.dist")))
+                    .limit(1).count())
+        dist = new
+        if improved == 0:
+            break
+    return dist

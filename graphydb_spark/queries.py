@@ -1534,6 +1534,53 @@ def q_quality_filter(spark, sf_dir):
         "ok_stopwords", "keep")
 
 
+def q_sssp_cost(spark, sf_dir):
+    """Weighted single-source shortest paths (Bellman-Ford over
+    DataFrames, ≤3 hops from Region:ASIA's node) on the bidirected
+    Region–Nation–Customer graph with deterministic synthetic edge
+    weights.  Iteration k holds the exact ≤k-hop minimum, which the
+    hop-bounded recursive-CTE oracle replays."""
+    from .operators.graph_algos import sssp
+    t = load_tables(spark, sf_dir)
+
+    def _e(df, ak, acol, bk, bcol, w):
+        fwd = df.select(
+            F.concat(F.lit(ak + ":"), F.col(acol).cast("string"))
+             .alias("src"),
+            F.concat(F.lit(bk + ":"), F.col(bcol).cast("string"))
+             .alias("dst"),
+            w.cast("long").alias("w"))
+        rev = df.select(
+            F.concat(F.lit(bk + ":"), F.col(bcol).cast("string"))
+             .alias("src"),
+            F.concat(F.lit(ak + ":"), F.col(acol).cast("string"))
+             .alias("dst"),
+            w.cast("long").alias("w"))
+        return fwd.unionByName(rev)
+
+    edges = _e(t["nation"], "Nation", "n_nationkey", "Region", "n_regionkey",
+               F.col("n_nationkey") % 5 + 1) \
+        .unionByName(_e(t["customer"], "Customer", "c_custkey",
+                        "Nation", "c_nationkey",
+                        F.col("c_custkey") % 7 + 1))
+    seeds = (t["region"].where(F.col("r_name") == "ASIA")
+             .select(F.concat(F.lit("Region:"),
+                              F.col("r_regionkey").cast("string"))
+                     .alias("uid")))
+    return sssp(edges, seeds, max_hops=3).select("uid", "dist")
+
+
+def q_interval_join_events(spark, sf_dir):
+    """Event-pair interval join (batch twin of the watermarked
+    stream-stream join): same-user event pairs where the right event
+    follows the left by 1-120 s.  One equi-join on user; the band stays
+    a join-stage predicate."""
+    from .streaming.windows import interval_join
+    ev = _events(spark, sf_dir)
+    return interval_join(ev, ev, key_col="user_id", ts_col="ts",
+                         lower_s=1, upper_s=120)
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect-compatible ANSI)
 
@@ -2551,6 +2598,41 @@ ORACLES: dict[str, str | None] = {
             '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
         FROM documents
     """,
+    "sssp_cost": """
+        WITH RECURSIVE
+        ed(a, b, w) AS (
+          SELECT 'Nation:' || CAST(n_nationkey AS VARCHAR),
+                 'Region:' || CAST(n_regionkey AS VARCHAR),
+                 n_nationkey % 5 + 1 FROM nation
+          UNION ALL
+          SELECT 'Region:' || CAST(n_regionkey AS VARCHAR),
+                 'Nation:' || CAST(n_nationkey AS VARCHAR),
+                 n_nationkey % 5 + 1 FROM nation
+          UNION ALL
+          SELECT 'Customer:' || CAST(c_custkey AS VARCHAR),
+                 'Nation:' || CAST(c_nationkey AS VARCHAR),
+                 c_custkey % 7 + 1 FROM customer
+          UNION ALL
+          SELECT 'Nation:' || CAST(c_nationkey AS VARCHAR),
+                 'Customer:' || CAST(c_custkey AS VARCHAR),
+                 c_custkey % 7 + 1 FROM customer
+        ),
+        walk(uid, hops, d) AS (
+          SELECT 'Region:' || CAST(r_regionkey AS VARCHAR), 0, 0
+          FROM region WHERE r_name = 'ASIA'
+          UNION ALL
+          SELECT ed.b, w.hops + 1, w.d + ed.w FROM walk w
+          JOIN ed ON ed.a = w.uid WHERE w.hops < 3
+        )
+        SELECT uid, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY uid
+    """,
+    "interval_join_events": """
+        SELECT a.user_id, a.event_id AS left_id, b.event_id AS right_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts >= a.ts + INTERVAL 1 SECOND
+         AND b.ts <= a.ts + INTERVAL 120 SECOND
+    """,
     "quality_filter": """
         WITH t AS (
           SELECT doc_id, text,
@@ -2724,6 +2806,8 @@ QUERIES = {
     "pack_shards": q_pack_shards,
     "pii_redact": q_pii_redact,
     "quality_filter": q_quality_filter,
+    "sssp_cost": q_sssp_cost,
+    "interval_join_events": q_interval_join_events,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -164,3 +164,63 @@ def stream_graph_upserts(spark, source_dir: str, store_path: str,
          .trigger(availableNow=True)
          .start())
     return q
+
+
+def interval_join(left: DataFrame, right: DataFrame,
+                  key_col: str = "user_id", ts_col: str = "ts",
+                  lower_s: int = 0, upper_s: int = 600) -> DataFrame:
+    """Batch form of the stream-stream interval join: pairs of (left,
+    right) events of the same key with ``right.ts ∈ [left.ts + lower,
+    left.ts + upper]``.  One equi-join on the key; the time band is a
+    post-join predicate Catalyst keeps inside the join stage."""
+    lhs = left.select(F.col(key_col).alias("k"),
+                      F.col(ts_col).alias("lts"),
+                      F.col("event_id").alias("left_id"))
+    rhs = right.select(F.col(key_col).alias("k"),
+                       F.col(ts_col).alias("rts"),
+                       F.col("event_id").alias("right_id"))
+    return (lhs.join(rhs, "k")
+            .where((F.col("rts") >= F.col("lts") + F.expr(
+                f"INTERVAL {lower_s} SECOND")) &
+                   (F.col("rts") <= F.col("lts") + F.expr(
+                       f"INTERVAL {upper_s} SECOND")))
+            .select(F.col("k").alias(key_col), "left_id", "right_id"))
+
+
+def stream_interval_join(spark, left_dir: str, right_dir: str, schema,
+                         key_col: str = "user_id", ts_col: str = "ts",
+                         lower_s: int = 0, upper_s: int = 600,
+                         watermark: str = "30 minutes"):
+    """Structured-Streaming twin of :func:`interval_join`: both sides
+    watermarked, join condition carries the event-time band so Spark can
+    bound the join state (state for a row is dropped once the other
+    side's watermark passes its band) — the canonical stream-stream join
+    pattern.  Caller starts the sink."""
+    lhs = (spark.readStream.format("parquet").schema(schema).load(left_dir)
+           .select(F.col(key_col).alias("k_l"), F.col(ts_col).alias("lts"),
+                   F.col("event_id").alias("left_id"))
+           .withWatermark("lts", watermark))
+    rhs = (spark.readStream.format("parquet").schema(schema).load(right_dir)
+           .select(F.col(key_col).alias("k_r"), F.col(ts_col).alias("rts"),
+                   F.col("event_id").alias("right_id"))
+           .withWatermark("rts", watermark))
+    cond = F.expr(
+        f"k_l = k_r AND "
+        f"rts >= lts + INTERVAL {lower_s} SECOND AND "
+        f"rts <= lts + INTERVAL {upper_s} SECOND")
+    return (lhs.join(rhs, cond)
+            .select(F.col("k_l").alias(key_col), "left_id", "right_id"))
+
+
+def stream_dedup(spark, source_dir: str, schema,
+                 keys: list[str], watermark: str = "1 hour",
+                 ts_col: str = "ts"):
+    """Watermarked streaming deduplication
+    (``dropDuplicatesWithinWatermark``): keeps the first event per key
+    within the watermark horizon, with bounded state — the streaming twin
+    of batch ``dropDuplicates(keys)`` for sources that can replay or
+    double-deliver (at-least-once ingestion)."""
+    events = (spark.readStream.format("parquet").schema(schema)
+              .load(source_dir)
+              .withWatermark(ts_col, watermark))
+    return events.dropDuplicatesWithinWatermark(keys)

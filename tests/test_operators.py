@@ -368,3 +368,19 @@ def test_ngram_contamination_planted(spark):
     out = {r["doc_id"]: r["n_hits"]
            for r in dedup.ngram_contamination(train, bench, n=8).collect()}
     assert 1 in out and 3 in out and 2 not in out
+
+
+def test_sssp_weighted_paths(spark):
+    """Bellman-Ford on a 4-node weighted diamond: the cheap 2-hop route
+    must beat the expensive direct edge, and hop bounding must hold."""
+    from graphydb_spark.operators.graph_algos import sssp
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("a", "c", 10),
+         ("c", "d", 1)],
+        "src string, dst string, w long")
+    seeds = spark.createDataFrame([("a",)], "uid string")
+    dist = {r["uid"]: r["dist"] for r in sssp(edges, seeds, 10).collect()}
+    assert dist == {"a": 0, "b": 1, "c": 2, "d": 3}
+    # one-hop bound: only direct neighbors, at direct-edge cost
+    d1 = {r["uid"]: r["dist"] for r in sssp(edges, seeds, 1).collect()}
+    assert d1 == {"a": 0, "b": 1, "c": 10}

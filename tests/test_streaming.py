@@ -108,3 +108,51 @@ def test_stateful_sessionize_equals_batch(spark, events, tmp_path):
     want = {r["user_id"]: (r["n_sessions"], r["n_events"])
             for r in sessionize(events, gap_minutes=30).collect()}
     assert got == want
+
+
+def test_stream_interval_join_equals_batch(spark, events, tmp_path):
+    """Watermarked stream-stream interval join over the same rows must
+    produce exactly the batch interval join's pairs (append mode; with
+    availableNow exhausted input, every in-band pair is emitted)."""
+    from graphydb_spark.streaming.windows import (interval_join,
+                                                  stream_interval_join)
+    src = str(tmp_path / "ev_join")
+    events.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    joined = stream_interval_join(spark, src, src, schema,
+                                  lower_s=1, upper_s=120)
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName("t_stream_ij").start())
+    try:
+        q.processAllAvailable()
+        got = {(r["user_id"], r["left_id"], r["right_id"])
+               for r in spark.sql("SELECT * FROM t_stream_ij").collect()}
+    finally:
+        q.stop()
+    want = {(r["user_id"], r["left_id"], r["right_id"])
+            for r in interval_join(events, events,
+                                   lower_s=1, upper_s=120).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_stream_dedup_within_watermark(spark, events, tmp_path):
+    """dropDuplicatesWithinWatermark over a doubled input keeps one row
+    per key — equal to batch dropDuplicates on the same keys."""
+    from graphydb_spark.streaming.windows import stream_dedup
+    src = str(tmp_path / "ev_dup")
+    doubled = events.unionByName(events)
+    doubled.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    dd = stream_dedup(spark, src, schema, keys=["event_id"],
+                      watermark="1 hour")
+    q = (dd.writeStream.outputMode("append").format("memory")
+         .queryName("t_stream_dd").start())
+    try:
+        q.processAllAvailable()
+        n = spark.sql("SELECT COUNT(*) AS n FROM t_stream_dd").first()["n"]
+        n_ids = spark.sql(
+            "SELECT COUNT(DISTINCT event_id) AS n FROM t_stream_dd"
+        ).first()["n"]
+    finally:
+        q.stop()
+    assert n == n_ids == events.select("event_id").distinct().count()
