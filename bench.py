@@ -43,6 +43,15 @@ BENCH_QUERIES = [
     "knn_cosine",
     "events_window",
     "sessionize",
+    # training-data pipeline (round 2)
+    "quality_filter",
+    "pii_redact",
+    "pack_shards",
+    "mixture_sample",
+    "interval_join_events",
+    # (sssp_cost is excluded for the same reason as dedup_clusters: the
+    # plan-cached frame holds checkpointed final distances, so a re-count
+    # would measure a re-read, not the iterative relaxation)
 ]
 
 
