@@ -362,6 +362,7 @@ def sssp(weighted_edges_df: DataFrame, seed_uids_df: DataFrame,
              .repartition("src").localCheckpoint(eager=True))
     dist = (seed_uids_df.select("uid").distinct()
             .withColumn("dist", F.lit(0).cast("long")))
+    fingerprint = None
     for _ in range(max_hops):
         relax = (edges.join(dist.withColumnRenamed("uid", "src"), "src")
                  .select(F.col("dst").alias("uid"),
@@ -370,12 +371,12 @@ def sssp(weighted_edges_df: DataFrame, seed_uids_df: DataFrame,
         new = (dist.unionByName(relax)
                .groupBy("uid").agg(F.min("dist").alias("dist"))
                .localCheckpoint(eager=True))
-        improved = (new.alias("n")
-                    .join(dist.alias("o"), "uid", "left")
-                    .where(F.col("o.dist").isNull() |
-                           (F.col("n.dist") < F.col("o.dist")))
-                    .limit(1).count())
+        # convergence probe without a new-vs-old join: per-node distance
+        # is monotone non-increasing and the reached set only grows, so
+        # the (count, sum) pair is stationary iff nothing changed
+        fp = tuple(new.agg(F.count("*"), F.sum("dist")).first())
         dist = new
-        if improved == 0:
+        if fp == fingerprint:
             break
+        fingerprint = fp
     return dist

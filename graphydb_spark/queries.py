@@ -1585,6 +1585,32 @@ def q_interval_join_events(spark, sf_dir):
                          lower_s=1, upper_s=120)
 
 
+def q_approx_distinct_users(spark, sf_dir):
+    """Approximate distinct (HyperLogLog++): distinct users per event
+    type at 1% target error.  Sketches merge associatively, so the
+    partial aggregation is a fixed-size sketch per partition — the
+    cardinality operator that stays cheap at 100 TB where exact
+    COUNT(DISTINCT) must shuffle every key.  Rows-only check: the HLL
+    estimate is implementation-specific (error bound asserted in
+    tests/test_operators.py against the exact count)."""
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", rsd=0.01)
+                 .alias("approx_users")))
+
+
+def q_approx_percentiles(spark, sf_dir):
+    """Approximate percentiles (Greenwald-Khanna sketch) of order value:
+    p50/p95/p99 at accuracy 10000.  Same scale story as HLL — bounded
+    sketch per partition instead of a global sort.  Rows-only check
+    (sketch-specific); tests assert the estimates bracket the exact
+    order statistics."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000)
+        .alias("pcts"))
+
+
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect-compatible ANSI)
 
@@ -2812,6 +2838,8 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "sssp_cost": q_sssp_cost,
     "interval_join_events": q_interval_join_events,
+    "approx_distinct_users": q_approx_distinct_users,
+    "approx_percentiles": q_approx_percentiles,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

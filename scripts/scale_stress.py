@@ -1,0 +1,96 @@
+"""Scale-stress probe for the round-2 operators (not part of bench.py):
+synthesizes 10-20x the sf0.1 row counts in-memory (deterministic,
+seed-free — pure functions of the row id) and times each operator, to
+check the scaling shape locally before trusting it at cluster scale.
+
+Run: python scripts/scale_stress.py [events_rows] [docs_rows] [edges]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from graphydb_spark import get_spark
+from graphydb_spark.operators.graph_algos import sssp
+from graphydb_spark.operators.pipeline import (mixture_sample, pack_shards,
+                                               pii_redact, quality_filter)
+from graphydb_spark.streaming.windows import interval_join
+
+
+def timed(name, df):
+    df.count()  # warm
+    t0 = time.perf_counter()
+    n = df.count()
+    print(f"{name}: {time.perf_counter() - t0:.2f}s  rows_out={n}")
+
+
+def main():
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    n_edges = int(sys.argv[3]) if len(sys.argv) > 3 else 2_000_000
+    spark = get_spark(app="scale_stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+
+    # events: 15k users, ~30-day span, id-derived pseudo-random times
+    ev = (spark.range(n_events).repartition(64)
+          .select(F.col("id").alias("event_id"),
+                  (F.col("id") % 15000).alias("user_id"),
+                  F.timestamp_seconds(
+                      1700000000
+                      + (F.xxhash64(F.col("id")) % 2592000)).alias("ts")))
+    ev = ev.localCheckpoint(eager=True)
+    timed(f"interval_join[{n_events:,} ev]",
+          interval_join(ev, ev, lower_s=1, upper_s=120))
+
+    # documents: ~60-token synthetic text, 20 sources, 5 langs
+    words = F.concat_ws(" ", *[
+        F.concat(F.lit("tok"), ((F.xxhash64(F.col("id") + i) % 1000)
+                                .cast("string")))
+        for i in range(12)])
+    docs = (spark.range(n_docs).repartition(64)
+            .select(F.col("id").alias("doc_id"),
+                    F.concat(F.lit("src"),
+                             (F.col("id") % 20).cast("string"))
+                    .alias("source"),
+                    F.element_at(
+                        F.array(*[F.lit(x) for x in
+                                  ("en", "de", "fr", "es", "zh")]),
+                        (F.col("id") % 5 + 1).cast("int")).alias("lang"),
+                    F.concat(F.lit("the quick brown fox and the lazy dog "),
+                             words).alias("text"))
+            .withColumn("n_chars", F.length("text"))
+            .localCheckpoint(eager=True))
+    timed(f"quality_filter[{n_docs:,} docs]", quality_filter(docs))
+    timed(f"pii_redact[{n_docs:,} docs]", pii_redact(docs))
+    timed(f"pack_shards[{n_docs:,} docs]",
+          pack_shards(docs, "doc_id", "n_chars", budget=20000,
+                      partition_col="lang"))
+    timed(f"mixture_sample[{n_docs:,} docs]",
+          mixture_sample(docs, "source",
+                         {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+                         key_col="doc_id"))
+
+    # random graph: n_edges over n_edges/20 nodes, int-string uids
+    edges = (spark.range(n_edges).repartition(64)
+             .select((F.xxhash64(F.col("id")) % (n_edges // 20))
+                     .cast("string").alias("src"),
+                     (F.xxhash64(F.col("id") + 7) % (n_edges // 20))
+                     .cast("string").alias("dst"),
+                     (F.col("id") % 9 + 1).alias("w"))
+             .localCheckpoint(eager=True))
+    seeds = spark.createDataFrame([("0",)], "uid string")
+    t0 = time.perf_counter()
+    n = sssp(edges, seeds, max_hops=6).count()
+    print(f"sssp[{n_edges:,} edges, 6 hops]: "
+          f"{time.perf_counter() - t0:.2f}s  reached={n}")
+
+
+if __name__ == "__main__":
+    main()

@@ -384,3 +384,27 @@ def test_sssp_weighted_paths(spark):
     # one-hop bound: only direct neighbors, at direct-edge cost
     d1 = {r["uid"]: r["dist"] for r in sssp(edges, seeds, 1).collect()}
     assert d1 == {"a": 0, "b": 1, "c": 10}
+
+
+def test_approx_aggregates_error_bounds(spark):
+    """HLL distinct and GK percentiles must land within their declared
+    error of the exact answers on the sf0.001 fixture."""
+    from graphydb_spark.queries import (q_approx_distinct_users,
+                                        q_approx_percentiles)
+    from graphydb_spark.sources.tpch_graph import load_tables
+    sf = "/root/testdata/sf0.001"
+    ev = load_tables(spark, sf)["events"]
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type")
+               .agg(F.count_distinct("user_id").alias("n")).collect()}
+    for r in q_approx_distinct_users(spark, sf).collect():
+        want = exact[r["event_type"]]
+        assert abs(r["approx_users"] - want) <= max(3, 0.05 * want)
+    orders = load_tables(spark, sf)["orders"]
+    vals = sorted(x["o_totalprice"] for x in
+                  orders.select("o_totalprice").collect())
+    pcts = q_approx_percentiles(spark, sf).first()["pcts"]
+    for p, got in zip([0.5, 0.95, 0.99], pcts):
+        lo = vals[max(0, int(len(vals) * (p - 0.01)) - 1)]
+        hi = vals[min(len(vals) - 1, int(len(vals) * (p + 0.01)))]
+        assert lo <= got <= hi
