@@ -15,6 +15,12 @@ Grammar (whitespace-separated tokens):
   may list extra output column names whose expressions arrive as kwargs.
 * edge link (rightward):  ``-(e)>`` | ``-(e:Kind)>`` | ``-[e]>`` …
 * edge link (leftward):   ``<(e)-`` | ``<(e:Kind)-`` | ``<[e]-`` …
+* optional edge (beyond-reference): ``-(e?)>`` | ``-(e?:Kind)>`` —
+  opens a LEFT-JOIN suffix (Cypher's OPTIONAL MATCH): the edge and
+  every link after it are null-extended instead of filtering; kind
+  predicates compile into the join's ON clause.  The collect link must
+  be mandatory; aggregate extras over an optional alias express
+  count-including-zero queries the reference DSL cannot.
 
 Join semantics (graphydb.py:753-758): a rightward edge joins
 ``edge.startuid = leftnode.uid`` and continues from ``edge.enduid``; a
@@ -52,6 +58,10 @@ class Link:
     kind: Optional[str] = None
     collect: bool = False
     extras: list = field(default_factory=list)
+    #: beyond-reference extension: ``-(e?)>`` marks an OPTIONAL edge
+    #: (LEFT JOIN — Cypher's OPTIONAL MATCH); nodes beyond an optional
+    #: edge are absorbed into the optional suffix
+    optional: bool = False
 
     @property
     def is_edge(self) -> bool:
@@ -61,6 +71,7 @@ class Link:
 _INNER_RE = re.compile(
     r"^(?P<open>[\(\[])"
     r"(?P<alias>[A-Za-z_]\w*)"
+    r"(?P<opt>\?)?"
     r"(?::(?P<kind>[A-Za-z_]\w*))?"
     r"(?P<extras>(?:,[A-Za-z_]\w*)*)"
     r"(?P<close>[\)\]])$"
@@ -97,14 +108,36 @@ def parse_chain(chain: str) -> list[Link]:
         seen.add(alias)
         extras = [e for e in m.group("extras").split(",") if e]
         links.append(Link(alias=alias, ltype=ltype, kind=m.group("kind"),
-                          collect=m.group("open") == "[", extras=extras))
+                          collect=m.group("open") == "[", extras=extras,
+                          optional=m.group("opt") is not None))
     if not links:
         raise GraphydbError("Empty chain")
+    # optional-suffix semantics (beyond-reference): the first optional
+    # link opens a LEFT-JOIN suffix — every link after it is structurally
+    # optional too (a node reached only through an optional edge cannot
+    # be mandatory), mirroring Cypher's OPTIONAL MATCH.
+    opt_at = next((i for i, l in enumerate(links) if l.optional), None)
+    if opt_at is not None:
+        if opt_at == 0:
+            raise GraphydbError(
+                "Chain cannot start with an optional link")
+        if not links[opt_at].is_edge:
+            raise GraphydbError(
+                "Only edge links can be marked optional ('?'); nodes "
+                "beyond an optional edge are optional automatically")
+        for l in links[opt_at:]:
+            l.optional = True
     ncollect = sum(1 for l in links if l.collect)
     if ncollect > 1:
         raise GraphydbError("Only one collect link ([...]) allowed per chain")
     if ncollect == 0:
-        links[-1].collect = True
+        # default collect = right-most MANDATORY link: collecting an
+        # optional link would return null-extended phantom rows
+        last_mand = max(i for i, l in enumerate(links) if not l.optional)
+        links[last_mand].collect = True
+    collect = next(l for l in links if l.collect)
+    if collect.optional:
+        raise GraphydbError("The collect link cannot be optional")
     # structural sanity: no two adjacent links of the same class
     for a, b in zip(links, links[1:]):
         if a.is_edge == b.is_edge:
@@ -214,7 +247,8 @@ def eliminable_links(links: list[Link], refs_text: str,
     """
     out: set = set()
     for i, l in enumerate(links):
-        if l.is_edge or l.collect or l.extras or l.alias in fts_aliases:
+        if l.is_edge or l.collect or l.extras or l.alias in fts_aliases \
+                or l.optional:
             continue
         if re.search(rf"\b{re.escape(l.alias)}\s*\.", refs_text):
             continue
@@ -339,8 +373,14 @@ def compile_fetch_sql(
     all_aliases = {l.alias for l in links}
     wrefs = [set(re.findall(r"\b(\w+)\s*\.", str(w))) & all_aliases
              for w in wlist]  # ∩ aliases: 'p.data.x' must not count 'data'
+    # LEFT-JOIN suffix (optional links): starts at the first optional
+    # link; the anchor must sit in the mandatory prefix (outer joins are
+    # not freely reorderable) and the suffix is emitted last, in chain
+    # order, with kind predicates inside ON (a WHERE kind filter would
+    # silently turn the outer join inner).
+    i0 = next((i for i, l in enumerate(seq) if l.optional), len(seq))
     scores = []
-    for l in seq:
+    for l in seq[:i0]:
         s = 0
         for refs in wrefs:
             if refs == {l.alias}:
@@ -355,12 +395,15 @@ def compile_fetch_sql(
     if seq[a].kind:
         conds0.append(f"{seq[a].alias}.kind = '{seq[a].kind}'")
     join_sql = []
-    for i in list(range(a + 1, len(seq))) + list(range(a - 1, -1, -1)):
+    order_idx = (list(range(a + 1, i0)) + list(range(a - 1, -1, -1))
+                 + list(range(i0, len(seq))))
+    for i in order_idx:
         l = seq[i]
         on = [pair_cond[i - 1] if i > a else pair_cond[i]]
         if l.kind:
             on.append(f"{l.alias}.kind = '{l.kind}'")
-        join_sql.append(f"JOIN {rel(l)} ON {' AND '.join(on)}")
+        jtype = "LEFT JOIN" if l.optional else "JOIN"
+        join_sql.append(f"{jtype} {rel(l)} ON {' AND '.join(on)}")
 
     # SELECT list.  DISTINCT-by-row is the reference default (A3,
     # graphydb.py:865,903) but on a single-link chain uid is the table's

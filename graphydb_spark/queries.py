@@ -1585,6 +1585,19 @@ def q_interval_join_events(spark, sf_dir):
                          lower_s=1, upper_s=120)
 
 
+def q_optional_match(spark, sf_dir):
+    """Beyond-reference OPTIONAL MATCH: orders per customer INCLUDING
+    zero-order customers — ``-(pl?:Placed)>`` compiles to a LEFT JOIN
+    suffix (kind predicate inside ON), which the reference's inner-only
+    chain DSL cannot express (its group_count twin silently drops
+    customers with no orders)."""
+    g = tpch_graph(spark, sf_dir)
+    return g.fetch(
+        "[c:Customer,ordercount] -(pl?:Placed)> (o)",
+        GROUP="c.uid", ordercount="COUNT(pl.uid)",
+        as_df=True).select("uid", "ordercount")
+
+
 def q_approx_distinct_users(spark, sf_dir):
     """Approximate distinct (HyperLogLog++): distinct users per event
     type at 1% target error.  Sketches merge associatively, so the
@@ -1640,6 +1653,12 @@ ORACLES: dict[str, str | None] = {
     "group_count": (
         "SELECT 'Customer:' || CAST(o_custkey AS VARCHAR) AS uid, "
         "COUNT(*) AS ordercount FROM orders GROUP BY o_custkey"),
+    "optional_match": """
+        SELECT 'Customer:' || CAST(c.c_custkey AS VARCHAR) AS uid,
+               COUNT(o.o_orderkey) AS ordercount
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    """,
     "order_limit": (
         "SELECT 'Order:' || CAST(o_orderkey AS VARCHAR) AS uid, "
         "o_totalprice AS total FROM orders "
@@ -2840,6 +2859,7 @@ QUERIES = {
     "interval_join_events": q_interval_join_events,
     "approx_distinct_users": q_approx_distinct_users,
     "approx_percentiles": q_approx_percentiles,
+    "optional_match": q_optional_match,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -144,3 +144,42 @@ def test_set_anchored_traversal_single_join(fg):
     assert sorted(n["name"] for n in out) == \
         ["Anne", "Bob", "Charlotte", "Eugene", "Fred"]
     assert ns.outE(COUNT=True) == 6  # Anne:3 + Bob:3
+
+
+def test_optional_edge_counts_include_zero(fg):
+    """Beyond-reference OPTIONAL MATCH: '-(e?:Likes)>' left-joins, so
+    every Person appears — including the two with zero outgoing Likes
+    (the inner-join form above returns only the 4 likers)."""
+    g, _ = fg
+    res = g.fetch("[p:Person,likecount] -(e?:Likes)> (n2)",
+                  GROUP="p.uid", likecount="COUNT(e.uid)")
+    counts = sorted(n["_likecount"] for n in res)
+    assert counts == [0, 0, 1, 1, 2, 2]
+
+
+def test_optional_edge_null_extension(fg):
+    """Rows matched through the optional edge carry real values; rows
+    without a match survive with a null extra.  (as_df: the ItemSet
+    form would dedup by uid — reference NSet semantics.)"""
+    import json as _json
+    g, _ = fg
+    df = g.fetch("[p:Person,liked] -(e?:Likes)> (n2)",
+                 liked="n2.data.name", as_df=True)
+    by_person = {}
+    for r in df.collect():
+        name = _json.loads(r["props"])["name"]
+        by_person.setdefault(name, set()).add(r["liked"])
+    assert by_person["Eugene"] == {None}       # likes nobody
+    assert by_person["Fred"] == {None}
+    assert by_person["Anne"] == {"Bob"}
+    assert by_person["Bob"] == {"Anne", "Charlotte"}
+
+
+def test_optional_edge_parse_errors(fg):
+    g, _ = fg
+    import pytest as _pytest
+    from graphydb_spark.items import GraphydbError
+    with _pytest.raises(GraphydbError):
+        g.fetch("(a?) -(e)> (b)")              # node marked optional
+    with _pytest.raises(GraphydbError):
+        g.fetch("(a) -[e?:Likes]> (b)")        # optional collect link
