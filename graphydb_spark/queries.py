@@ -1585,6 +1585,35 @@ def q_interval_join_events(spark, sf_dir):
                          lower_s=1, upper_s=120)
 
 
+def q_corpus_pipeline(spark, sf_dir):
+    """End-to-end corpus construction in ONE lazy DAG: quality gate →
+    exact dedup (min doc_id per content fingerprint) → 50% hash-gated
+    sample → token-budget shard packing → per-shard stats.  Each stage
+    is the already-verified operator; composing them adds no extra
+    shuffles beyond the stages' own (the whole pipeline is 2 shuffles:
+    the dedup window and the packing sort — filters and fingerprints
+    ride the same scan).  The DuckDB twin replays all four stages as a
+    CTE chain."""
+    from .operators.pipeline import pack_shards, quality_filter
+    from .operators.text import fingerprint
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    clean = quality_filter(docs).where(F.col("keep")) \
+        .select("doc_id", "lang", "text", "n_chars")
+    w = W.partitionBy("fp").orderBy("doc_id")
+    deduped = (fingerprint(clean)
+               .withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") == 1).drop("_rn", "fp"))
+    sampled = deduped.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < "8000")
+    packed = pack_shards(sampled, "doc_id", "n_chars", budget=4000,
+                         partition_col="lang")
+    return (packed.groupBy("lang", "shard_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("shard_chars")))
+
+
 def q_optional_match(spark, sf_dir):
     """Beyond-reference OPTIONAL MATCH: orders per customer INCLUDING
     zero-order customers — ``-(pl?:Placed)>`` compiles to a LEFT JOIN
@@ -2682,6 +2711,41 @@ ORACLES: dict[str, str | None] = {
          AND b.ts >= a.ts + INTERVAL 1 SECOND
          AND b.ts <= a.ts + INTERVAL 120 SECOND
     """,
+    "corpus_pipeline": r"""
+        WITH q AS (
+          SELECT doc_id, lang, text, n_chars,
+            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                        x -> x != '') AS toks
+          FROM documents),
+        m AS (
+          SELECT doc_id, lang, text, n_chars, toks FROM q
+          WHERE len(toks) >= 20 AND len(toks) <= 100000
+            AND length(array_to_string(toks, ''))
+                / greatest(len(toks), 1) >= 2.0
+            AND length(array_to_string(toks, ''))
+                / greatest(len(toks), 1) <= 12.0
+            AND length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                / greatest(length(text), 1) <= 0.10
+            AND len(list_filter(toks, x -> list_contains(
+              ['the','a','of','and','to','in','is','for','on','with'], x)))
+                >= 2),
+        f AS (SELECT doc_id, lang, n_chars,
+                     md5(array_to_string(toks, ' ')) AS fp FROM m),
+        d AS (SELECT doc_id, lang, n_chars FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY fp
+                  ORDER BY doc_id) AS rn FROM f) WHERE rn = 1),
+        s AS (SELECT * FROM d
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'),
+        c AS (SELECT lang, doc_id, n_chars,
+                SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM s)
+        SELECT lang,
+               CAST(floor((cum - n_chars) / 4000) AS BIGINT) AS shard_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS shard_chars
+        FROM c GROUP BY lang, shard_id
+    """,
     "quality_filter": """
         WITH t AS (
           SELECT doc_id, text,
@@ -2860,6 +2924,7 @@ QUERIES = {
     "approx_distinct_users": q_approx_distinct_users,
     "approx_percentiles": q_approx_percentiles,
     "optional_match": q_optional_match,
+    "corpus_pipeline": q_corpus_pipeline,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
