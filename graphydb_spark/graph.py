@@ -738,38 +738,78 @@ class Graph:
         ids = {c["id"] for c in chunk}
         self._changes = [c for c in self._changes if c["id"] not in ids]
         for change in reversed(chunk):
-            uid = change["uid"]
-            plus, minus = change.get("+"), change.get("-")
-            if plus and not minus:
-                is_edge = "startuid" in plus
-                if is_edge:
-                    self._pending_edges.pop(uid, None)
-                    if self._known_edge_uids is not None:
-                        self._known_edge_uids.discard(uid)
-                    self._edges_df = self._remove_uids(self._edges_df, [uid])
-                else:
-                    self._pending_nodes.pop(uid, None)
-                    if self._known_node_uids is not None:
-                        self._known_node_uids.discard(uid)
-                    self._nodes_df = self._remove_uids(self._nodes_df, [uid])
-            elif minus and not plus:
-                if "startuid" in minus:
-                    e = Edge(graph=self, **minus)
-                    self.save_edge(e, force=True, setchange=False, check=False)
-                else:
-                    n = Node(graph=self, **minus)
-                    self.save_node(n, force=True, setchange=False)
+            self._apply_inverse(change)
+
+    def _apply_inverse(self, change: dict) -> None:
+        """Apply the inverse of one change record to this graph's state
+        (the body of ``undo``, factored out so snapshot reconstruction
+        can replay it on a clone without consuming any log)."""
+        uid = change["uid"]
+        plus, minus = change.get("+"), change.get("-")
+        if plus and not minus:
+            is_edge = "startuid" in plus
+            if is_edge:
+                self._pending_edges.pop(uid, None)
+                if self._known_edge_uids is not None:
+                    self._known_edge_uids.discard(uid)
+                self._edges_df = self._remove_uids(self._edges_df, [uid])
             else:
-                cur = self._current_data(uid)
-                if cur is None:
-                    continue
-                restored = patch_reverse(cur, change)
-                if "startuid" in restored:
-                    self.save_edge(Edge(graph=self, **restored), force=True,
-                                   setchange=False, check=False)
-                else:
-                    self.save_node(Node(graph=self, **restored), force=True,
-                                   setchange=False)
+                self._pending_nodes.pop(uid, None)
+                if self._known_node_uids is not None:
+                    self._known_node_uids.discard(uid)
+                self._nodes_df = self._remove_uids(self._nodes_df, [uid])
+        elif minus and not plus:
+            if "startuid" in minus:
+                e = Edge(graph=self, **minus)
+                self.save_edge(e, force=True, setchange=False, check=False)
+            else:
+                n = Node(graph=self, **minus)
+                self.save_node(n, force=True, setchange=False)
+        else:
+            cur = self._current_data(uid)
+            if cur is None:
+                return
+            restored = patch_reverse(cur, change)
+            if "startuid" in restored:
+                self.save_edge(Edge(graph=self, **restored), force=True,
+                               setchange=False, check=False)
+            else:
+                self.save_node(Node(graph=self, **restored), force=True,
+                               setchange=False)
+
+    def as_of_change(self, change_id: int) -> "Graph":
+        """Snapshot time travel (beyond reference — graphydb can only
+        *destructively* undo, graphydb.py:605-636): return a NEW Graph
+        reconstructed to the state immediately after change ``change_id``
+        (0 = before all recorded history), leaving this graph and its
+        change log untouched.
+
+        Reconstruction replays the inverse of every later change, newest
+        first, onto a clone that shares this graph's (immutable)
+        DataFrames — so the cost is proportional to the number of undone
+        changes, not to graph size, and nothing is copied until an
+        inverse actually rewrites a frame."""
+        self._flush()
+        g = Graph(self.spark)
+        g._nodes_df = self._nodes_df
+        g._edges_df = self._edges_df
+        # a fresh Graph's known-uid caches say "empty store", which would
+        # short-circuit _current_data away from the inherited frames
+        g._known_node_uids = (set(self._known_node_uids)
+                              if self._known_node_uids is not None else None)
+        g._known_edge_uids = (set(self._known_edge_uids)
+                              if self._known_edge_uids is not None else None)
+        g._settings = dict(self._settings)
+        g._cache = dict(self._cache)
+        later = sorted((c for c in self._changes if c["id"] > change_id),
+                       key=lambda c: -c["id"])
+        for change in later:
+            g._apply_inverse(change)
+        g._flush()
+        g._changes = [dict(c) for c in self._changes
+                      if c["id"] <= change_id]
+        g._change_seq = max((c["id"] for c in g._changes), default=0)
+        return g
 
     # ------------------------------------------------------------ KV stores
     def savesetting(self, key: str, value: Any) -> None:

@@ -117,3 +117,30 @@ def test_copy_new_uid(eg):
     anne2 = it["anne"].copy()
     assert anne2.uid != it["anne"].uid
     assert anne2["name"] == "Anne"
+
+
+def test_as_of_change_snapshot(spark):
+    """Beyond-reference time travel: as_of_change(k) reconstructs the
+    state right after change k on a NEW graph, leaving the original and
+    its log untouched (the reference can only destructively undo)."""
+    from graphydb_spark import Graph
+    g = Graph(spark)
+    n1 = g.Node("P", name="one")
+    n1.save()
+    k = g.nchanges
+    g.Node("P", name="two").save()
+    e = g.Edge(n1, "Self", n1)
+    e.save()
+    n1["name"] = "one-renamed"
+    n1.save()
+
+    snap = g.as_of_change(k)
+    assert snap.stats["nodes"] == 1 and snap.stats["edges"] == 0
+    assert snap.getuid(n1["uid"])["name"] == "one"
+    assert snap.nchanges == k
+    # original untouched
+    assert g.stats["nodes"] == 2 and g.stats["edges"] == 1
+    assert g.getuid(n1["uid"])["name"] == "one-renamed"
+    # pre-history snapshot is empty
+    empty = g.as_of_change(0)
+    assert empty.stats["nodes"] == 0 and empty.stats["edges"] == 0
