@@ -1,0 +1,60 @@
+"""Physical-plan shape regressions for the pipeline operators: the
+properties the 100 TB story rests on, asserted against executedPlan so
+a refactor that silently adds a corpus shuffle fails CI."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphydb_spark.operators.pipeline import (mixture_sample, pack_shards,
+                                               pii_redact, quality_filter,
+                                               stratified_sample)
+from graphydb_spark.streaming.windows import interval_join
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_stratified_sample_is_narrow(docs):
+    """Hash-gated sampling must be a pure filter: zero exchanges."""
+    p = plan_of(stratified_sample(docs, "lang", {"en": 0.5}, "doc_id"))
+    assert "Exchange" not in p
+
+
+def test_quality_and_redact_are_narrow(docs):
+    assert "Exchange" not in plan_of(quality_filter(docs))
+    assert "Exchange" not in plan_of(pii_redact(docs))
+
+
+def test_pack_shards_single_sort(docs):
+    """Shard packing is exactly one partition-keyed exchange + sort."""
+    p = plan_of(pack_shards(docs, "doc_id", "n_chars", 2000, "lang"))
+    assert p.count("Exchange") == 1
+    assert "Sort" in p
+
+
+def test_mixture_sample_corpus_not_shuffled(docs):
+    """The per-source rates come back to the corpus via broadcast; the
+    corpus side itself must never sort-merge (i.e. never shuffles on the
+    join key).  The only non-broadcast exchanges belong to the tiny
+    count/cap aggregates."""
+    p = plan_of(mixture_sample(docs, "source",
+                               {"src0": 0.5, "src1": 0.5}, "doc_id"))
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_interval_join_is_bucketed_equi_join(spark):
+    """The time band must ride a (key, bucket) equi-join — never a
+    cartesian/broadcast-nested-loop with a post-filter."""
+    from graphydb_spark.sources.tpch_graph import load_tables
+    ev = load_tables(spark, "/root/testdata/sf0.001")["events"]
+    p = plan_of(interval_join(ev, ev, lower_s=1, upper_s=120))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "__b" in p  # bucket column participates in the join keys
