@@ -380,3 +380,45 @@ def sssp(weighted_edges_df: DataFrame, seed_uids_df: DataFrame,
             break
         fingerprint = fp
     return dist
+
+
+def label_propagation(nodes_df: DataFrame, edges_df: DataFrame,
+                      iters: int = 5) -> DataFrame:
+    """(uid, label) — synchronous label propagation over the undirected
+    edge set, fully deterministic: each round every node adopts its
+    neighborhood's most frequent label, ties broken by smallest label
+    string (plain LPA is run-order dependent; the tie-break plus
+    synchronous rounds makes reruns bit-identical).  Isolated nodes keep
+    their own uid as label.
+
+    Per round: one join (edge list is materialized once, partitioned on
+    the join key) + one (uid,label) count + one per-uid argmax window —
+    the label frame is node-sized, the edge frame never reshuffles.
+    Fixed iteration count (community detection, not a convergence
+    proof): ``iters`` ≈ the diameter of the communities sought.
+    """
+    from pyspark.sql import Window as W
+
+    sym = (edges_df.select(F.col("startuid").alias("src"),
+                           F.col("enduid").alias("dst"))
+           .unionByName(edges_df.select(F.col("enduid").alias("src"),
+                                        F.col("startuid").alias("dst")))
+           .distinct()
+           .repartition("src")
+           .localCheckpoint(eager=True))
+    labels = nodes_df.select("uid", F.col("uid").alias("label"))
+    w = W.partitionBy("uid").orderBy(F.col("n").desc(), F.col("label"))
+    for _ in range(iters):
+        nbr = (sym.join(labels.withColumnRenamed("uid", "src"), "src")
+               .select(F.col("dst").alias("uid"), "label"))
+        best = (nbr.groupBy("uid", "label").agg(F.count("*").alias("n"))
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select("uid", F.col("label").alias("_new")))
+        labels = (nodes_df.select("uid")
+                  .join(best, "uid", "left")
+                  .select("uid",
+                          F.coalesce(F.col("_new"), F.col("uid"))
+                          .alias("label"))
+                  .localCheckpoint(eager=True))
+    return labels

@@ -1627,6 +1627,22 @@ def q_optional_match(spark, sf_dir):
         as_df=True).select("uid", "ordercount")
 
 
+def q_label_propagation(spark, sf_dir):
+    """Community detection by deterministic synchronous label
+    propagation (majority label, ties to smallest) on the
+    Customer-Nation-Region graph; returns community sizes.  Rows-only:
+    the per-round windowed argmax dynamics aren't SQL-replayable, but
+    the result is bit-deterministic (tie-break + synchronous rounds)
+    and the planted-community unit test pins the semantics."""
+    from .operators.graph_algos import label_propagation
+    g = tpch_graph(spark, sf_dir)
+    nodes = g.nodes_df.where(
+        F.col("kind").isin("Customer", "Nation", "Region"))
+    edges = g.edges_df.where(F.col("kind").isin("FromNation", "InRegion"))
+    lp = label_propagation(nodes, edges, iters=4)
+    return (lp.groupBy("label").agg(F.count("*").alias("n_members")))
+
+
 def q_approx_distinct_users(spark, sf_dir):
     """Approximate distinct (HyperLogLog++): distinct users per event
     type at 1% target error.  Sketches merge associatively, so the
@@ -2925,6 +2941,7 @@ QUERIES = {
     "approx_percentiles": q_approx_percentiles,
     "optional_match": q_optional_match,
     "corpus_pipeline": q_corpus_pipeline,
+    "label_propagation": q_label_propagation,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

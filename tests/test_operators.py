@@ -408,3 +408,27 @@ def test_approx_aggregates_error_bounds(spark):
         lo = vals[max(0, int(len(vals) * (p - 0.01)) - 1)]
         hi = vals[min(len(vals) - 1, int(len(vals) * (p + 0.01)))]
         assert lo <= got <= hi
+
+
+def test_label_propagation_planted_communities(spark):
+    """Two 5-cliques joined by a single bridge edge: LPA must label each
+    clique uniformly and keep the two communities distinct; reruns are
+    bit-identical (deterministic tie-break)."""
+    from graphydb_spark.operators.graph_algos import label_propagation
+    nodes = spark.createDataFrame(
+        [(f"{side}{i}",) for side in "ab" for i in range(5)],
+        "uid string")
+    cliq = [(f"{s}{i}", f"{s}{j}") for s in "ab"
+            for i in range(5) for j in range(i + 1, 5)]
+    edges = spark.createDataFrame(
+        cliq + [("a0", "b0")],
+        "startuid string, enduid string")
+    out = {r["uid"]: r["label"]
+           for r in label_propagation(nodes, edges, iters=5).collect()}
+    a_labels = {out[f"a{i}"] for i in range(5)}
+    b_labels = {out[f"b{i}"] for i in range(5)}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels
+    again = {r["uid"]: r["label"]
+             for r in label_propagation(nodes, edges, iters=5).collect()}
+    assert again == out
