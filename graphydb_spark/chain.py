@@ -260,6 +260,12 @@ def eliminable_links(links: list[Link], refs_text: str,
             er = links[i + 1]
             roles.append((er, "start" if er.ltype == "redge" else "end"))
         for edge, role in roles:
+            if edge.optional:
+                # an optional edge's FK guarantee holds only when the
+                # edge matched; it cannot justify dropping a MANDATORY
+                # node join (null-edge rows would lose the node's
+                # existence filter)
+                continue
             guar = integrity.get(edge.kind)
             if not guar:
                 continue

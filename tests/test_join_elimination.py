@@ -72,3 +72,18 @@ def test_interior_and_terminal_chain_elimination(spark):
     # (int-key form: the junction kinds are declared on both sides)
     assert "ct1.skey = p1.ekey" in sql
     assert "ct2.ekey = ct1.ekey" in sql
+
+
+def test_optional_edge_guarantee_cannot_eliminate():
+    """An optional edge's FK guarantee must not justify dropping a
+    mandatory node join: when the optional edge is null the node's
+    existence filter still applies.  With the edge mandatory, the same
+    node IS eliminable."""
+    links = parse_chain("[c:Customer] -(pl:Placed)> (o:Order) "
+                        "-(ct?:Contains)> (p)")
+    # 'o' is flanked by mandatory Placed (guarantees end=Order) → still
+    # eliminable; 'p' is in the optional suffix → never eliminable
+    assert eliminable_links(links, "", set(), INTEGRITY) == {"o"}
+    # integrity declared ONLY for the optional edge: nothing eliminable
+    only_opt = {"Contains": ("Order", "Part")}
+    assert eliminable_links(links, "", set(), only_opt) == set()
