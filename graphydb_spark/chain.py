@@ -499,7 +499,13 @@ def compile_fetch_sql(
 
     # WHERE
     conds = list(conds0)
+    by_alias = {l.alias: l for l in links}
     for alias, view in fts_views.items():
+        if by_alias.get(alias) is not None and by_alias[alias].optional:
+            raise GraphydbError(
+                f"FTS match on optional link {alias!r}: the uid semi-join "
+                f"would silently turn the LEFT JOIN inner — match a "
+                f"mandatory link instead")
         conds.append(f"{alias}.uid IN (SELECT uid FROM {view})")
     if where:
         if isinstance(where, str):

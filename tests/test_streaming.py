@@ -156,3 +156,41 @@ def test_stream_dedup_within_watermark(spark, events, tmp_path):
     finally:
         q.stop()
     assert n == n_ids == events.select("event_id").distinct().count()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data handling: with a 10-minute watermark, an event arriving
+    (in a later micro-batch) 2 hours behind the advanced watermark must
+    NOT reopen its closed window in append mode."""
+    import datetime as dt
+    src = str(tmp_path / "late_events")
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, event_type string"
+    rows1 = [(i, base + dt.timedelta(minutes=i), "a") for i in range(60)]
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    agg = (spark.readStream.format("parquet").schema(
+               spark.read.parquet(src).schema)
+           .option("maxFilesPerTrigger", "1").load(src)
+           .withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "30 minutes").alias("w"))
+           .agg(F.count("*").alias("n"))
+           .select(F.col("w.start").alias("wstart"), "n"))
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName("t_late").start())
+    try:
+        q.processAllAvailable()
+        # second batch: one on-time event (advances watermark past all
+        # old windows) and one 2-hours-late event for the FIRST window
+        rows2 = [(100, base + dt.timedelta(minutes=180), "a"),
+                 (101, base + dt.timedelta(minutes=5), "a")]
+        spark.createDataFrame(rows2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {r["wstart"]: r["n"]
+               for r in spark.sql("SELECT * FROM t_late").collect()}
+    finally:
+        q.stop()
+    # first window emitted exactly its on-time count — the late event
+    # neither reopened it nor produced a second row for the same window
+    assert got.get(base) == 30
