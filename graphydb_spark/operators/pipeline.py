@@ -74,11 +74,14 @@ def mixture_sample(df: DataFrame, source_col: str,
     counts = (df.groupBy(source_col).agg(F.count("*").alias("_n"))
                 .withColumn("_w", wmap[F.col(source_col)])
                 .where(F.col("_w").isNotNull()))
-    cap = counts.agg(F.min(F.col("_n") / F.col("_w")).alias("_cap"))
-    rates = (counts.crossJoin(F.broadcast(cap))
-             .select(source_col,
-                     (F.col("_cap") * F.col("_w") / F.col("_n"))
-                     .alias("_rate")))
+    # cap = min over sources, taken as an empty-frame window on the tiny
+    # counts frame (≤ #sources rows): one plan, no separate scalar job —
+    # measured 0.49 → 0.29 s at sf0.1 vs a crossJoin(broadcast(agg))
+    rates = (counts.withColumn(
+        "_cap", F.min(F.col("_n") / F.col("_w")).over(Window.partitionBy()))
+        .select(source_col,
+                (F.col("_cap") * F.col("_w") / F.col("_n"))
+                .alias("_rate")))
     return (df.join(F.broadcast(rates), source_col)
               .where(_keeps(F.col(key_col), F.col("_rate")))
               .drop("_rate"))
@@ -171,3 +174,37 @@ def quality_filter(df: DataFrame, text_col: str = "text",
     for name in rules:
         keep = F.col(name) if keep is None else keep & F.col(name)
     return out.withColumn("keep", keep)
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Self-trained unigram LM score per document: mean log10 token
+    probability with add-one smoothing over the corpus vocabulary — the
+    cheap stand-in for LM-perplexity quality filtering (CCNet-style);
+    low scores flag keyword soup and gibberish.
+
+    Execution: one corpus-wide token count (map-side combined), the
+    frequency table broadcasts back (vocabulary ≪ corpus at any scale),
+    one per-doc aggregation.  Per-token logprobs are rounded to 6 dp
+    and summed as DECIMAL so the per-doc mean is order-independent —
+    bit-stable under Spark's partial aggregation AND replayable by an
+    engine-independent SQL twin (double summation order is neither).
+    """
+    from .text import tokens
+
+    toks = (df.select(id_col, F.explode(tokens(F.col(text_col)))
+                      .alias("tok")))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    stats = freq.agg(F.sum("tf").alias("total"),
+                     F.count("*").alias("vocab"))
+    lp = (F.round(F.log10((F.col("tf") + 1).cast("double")
+                          / (F.col("total") + F.col("vocab"))), 6)
+          .cast("decimal(18,6)"))
+    scored = (toks
+              .join(F.broadcast(freq), "tok")
+              .crossJoin(F.broadcast(stats))
+              .groupBy(id_col)
+              .agg(F.round(F.sum(lp).cast("double") / F.count("*"), 6)
+                   .alias("logprob"),
+                   F.count("*").cast("long").alias("n_tokens")))
+    return scored

@@ -1627,6 +1627,17 @@ def q_optional_match(spark, sf_dir):
         as_df=True).select("uid", "ordercount")
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """LM-perplexity stand-in (CCNet-style quality signal): per-doc mean
+    log10 unigram probability, self-trained with add-one smoothing.
+    Vocabulary broadcasts back over the token stream; per-token logprobs
+    round to 6 dp and sum as DECIMAL so the mean is order-independent —
+    replayable exactly by the SQL twin."""
+    from .operators.pipeline import unigram_logprob
+    return unigram_logprob(_docs(spark, sf_dir)) \
+        .select("doc_id", "logprob", "n_tokens")
+
+
 def q_label_propagation(spark, sf_dir):
     """Community detection by deterministic synchronous label
     propagation (majority label, ties to smallest) on the
@@ -2727,6 +2738,23 @@ ORACLES: dict[str, str | None] = {
          AND b.ts >= a.ts + INTERVAL 1 SECOND
          AND b.ts <= a.ts + INTERVAL 120 SECOND
     """,
+    "unigram_logprob": """
+        WITH tok AS (
+          SELECT doc_id,
+            unnest(list_filter(
+              string_split_regex(lower(text), '[^a-z0-9]+'),
+              x -> x != '')) AS tok
+          FROM documents),
+        freq AS (SELECT tok, COUNT(*) AS tf FROM tok GROUP BY tok),
+        stats AS (SELECT SUM(tf) AS total, COUNT(*) AS vocab FROM freq)
+        SELECT doc_id,
+          round(CAST(SUM(CAST(round(log10(
+                  CAST(tf + 1 AS DOUBLE) / (total + vocab)), 6)
+                AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS logprob,
+          COUNT(*) AS n_tokens
+        FROM tok JOIN freq USING (tok), stats
+        GROUP BY doc_id
+    """,
     "corpus_pipeline": r"""
         WITH q AS (
           SELECT doc_id, lang, text, n_chars,
@@ -2942,6 +2970,7 @@ QUERIES = {
     "optional_match": q_optional_match,
     "corpus_pipeline": q_corpus_pipeline,
     "label_propagation": q_label_propagation,
+    "unigram_logprob": q_unigram_logprob,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -106,3 +106,18 @@ def test_quality_filter_rules(spark):
     assert not out[2]["ok_tokens"] and not out[2]["keep"]
     assert not out[3]["ok_symbols"] and not out[3]["keep"]
     assert not out[4]["ok_avg_len"] and not out[4]["ok_stopwords"]
+
+
+def test_unigram_logprob_orders_rarity(spark):
+    """Docs made of corpus-frequent tokens must outscore docs of rare
+    tokens (the quality signal the LM-perplexity stand-in provides)."""
+    from graphydb_spark.operators.pipeline import unigram_logprob
+    common = "the cat sat on the mat " * 10
+    df = spark.createDataFrame(
+        [(1, common), (2, "zyxq wvut srqp onml kjih gfed"),
+         (3, common)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert out[1]["logprob"] > out[2]["logprob"]
+    assert out[1]["logprob"] == out[3]["logprob"]  # identical docs tie
+    assert out[2]["n_tokens"] == 6
