@@ -208,3 +208,26 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
                    .alias("logprob"),
                    F.count("*").cast("long").alias("n_tokens")))
     return scored
+
+
+def write_training_shards(df: DataFrame, path: str, id_col: str,
+                          token_col, budget: int,
+                          partition_col: str | None = None) -> None:
+    """Materialize token-budget shards as a partitioned parquet dataset:
+    ``path/[partition=…/]shard_id=N/`` with ONE file per shard, rows in
+    ``id_col`` order inside each file (training readers stream shards
+    sequentially; a shard split across many small files defeats the
+    packing).
+
+    The repartition keys on (partition, shard) so each output directory
+    is written by exactly one task; ``sortWithinPartitions`` restores
+    document order after the shuffle.  This is the standard
+    distributed-writer layout — at cluster scale every shard file is
+    written in parallel, no driver involvement.
+    """
+    packed = pack_shards(df, id_col, token_col, budget, partition_col)
+    keys = ([partition_col] if partition_col else []) + ["shard_id"]
+    (packed
+     .repartition(*[F.col(k) for k in keys])
+     .sortWithinPartitions(id_col)
+     .write.mode("overwrite").partitionBy(*keys).parquet(path))

@@ -121,3 +121,22 @@ def test_unigram_logprob_orders_rarity(spark):
     assert out[1]["logprob"] > out[2]["logprob"]
     assert out[1]["logprob"] == out[3]["logprob"]  # identical docs tie
     assert out[2]["n_tokens"] == 6
+
+
+def test_write_training_shards_roundtrip(corpus, tmp_path):
+    """Shard writer: partitioned layout, one parquet file per shard dir,
+    same (doc, shard) assignment as pack_shards."""
+    import glob
+    from graphydb_spark.operators.pipeline import write_training_shards
+    path = str(tmp_path / "shards")
+    write_training_shards(corpus, path, "doc_id", "n_chars",
+                          budget=2000, partition_col="lang")
+    spark = corpus.sparkSession
+    back = spark.read.parquet(path)
+    want = pack_shards(corpus, "doc_id", "n_chars", 2000, "lang") \
+        .select("doc_id", "lang", "shard_id")
+    assert sorted(map(tuple, back.select("doc_id", "lang", "shard_id")
+                      .collect())) == sorted(map(tuple, want.collect()))
+    for d in glob.glob(f"{path}/lang=*/shard_id=*"):
+        files = [f for f in glob.glob(f"{d}/*.parquet")]
+        assert len(files) == 1, d
