@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "pack_shards",
     "mixture_sample",
     "interval_join_events",
+    "unigram_logprob",
+    "corpus_pipeline",
     # (sssp_cost is excluded for the same reason as dedup_clusters: the
     # plan-cached frame holds checkpointed final distances, so a re-count
     # would measure a re-read, not the iterative relaxation)

@@ -69,6 +69,8 @@ def main():
             .localCheckpoint(eager=True))
     timed(f"quality_filter[{n_docs:,} docs]", quality_filter(docs))
     timed(f"pii_redact[{n_docs:,} docs]", pii_redact(docs))
+    from graphydb_spark.operators.pipeline import unigram_logprob
+    timed(f"unigram_logprob[{n_docs:,} docs]", unigram_logprob(docs))
     timed(f"pack_shards[{n_docs:,} docs]",
           pack_shards(docs, "doc_id", "n_chars", budget=20000,
                       partition_col="lang"))
