@@ -1627,6 +1627,27 @@ def q_optional_match(spark, sf_dir):
         as_df=True).select("uid", "ordercount")
 
 
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted per week-offset of subsequent activity — two aggregations
+    (first-touch per user broadcasts back over the distinct activity
+    weeks).  Week arithmetic stays in whole days / 7 (date_trunc aligns
+    Mondays in both engines) so the offsets are integer-exact."""
+    ev = _events(spark, sf_dir)
+    firsts = (ev.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts")).alias("cohort")))
+    activity = (ev.select("user_id",
+                          F.date_trunc("week", F.col("ts")).alias("wk"))
+                .distinct())
+    return (activity.join(F.broadcast(firsts), "user_id")
+            .select(F.col("cohort").cast("date").cast("string")
+                    .alias("cohort"),
+                    (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+                    .cast("int").alias("week_offset"))
+            .groupBy("cohort", "week_offset")
+            .agg(F.count("*").cast("long").alias("n_users")))
+
+
 def q_unigram_logprob(spark, sf_dir):
     """LM-perplexity stand-in (CCNet-style quality signal): per-doc mean
     log10 unigram probability, self-trained with add-one smoothing.
@@ -2738,6 +2759,19 @@ ORACLES: dict[str, str | None] = {
          AND b.ts >= a.ts + INTERVAL 1 SECOND
          AND b.ts <= a.ts + INTERVAL 120 SECOND
     """,
+    "retention_cohorts": """
+        WITH firsts AS (
+          SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+          FROM events GROUP BY user_id),
+        act AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+          FROM events)
+        SELECT CAST(CAST(cohort AS DATE) AS VARCHAR) AS cohort,
+               CAST(date_diff('day', cohort, wk) / 7 AS INT) AS week_offset,
+               COUNT(*) AS n_users
+        FROM act JOIN firsts USING (user_id)
+        GROUP BY 1, 2
+    """,
     "unigram_logprob": """
         WITH tok AS (
           SELECT doc_id,
@@ -2971,6 +3005,7 @@ QUERIES = {
     "corpus_pipeline": q_corpus_pipeline,
     "label_propagation": q_label_propagation,
     "unigram_logprob": q_unigram_logprob,
+    "retention_cohorts": q_retention_cohorts,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
