@@ -231,3 +231,41 @@ def write_training_shards(df: DataFrame, path: str, id_col: str,
      .repartition(*[F.col(k) for k in keys])
      .sortWithinPartitions(id_col)
      .write.mode("overwrite").partitionBy(*keys).parquet(path))
+
+
+def global_shuffle(df: DataFrame, key_col: str, seed: str = "0") -> DataFrame:
+    """Deterministic corpus-order randomization: ``shuffle_rank`` =
+    dense position under ``md5(seed ‖ key)`` ordering.  Training wants
+    documents in a reproducible pseudo-random order decorrelated from
+    ingestion order; keying the sort on a seeded hash gives the same
+    permutation on any engine/cluster/partitioning, and changing the
+    seed reshuffles.  Execution is one global sort — Spark's range
+    partitioner samples split points, so at 100 TB this is the classic
+    terasort shape (no single-node bottleneck).
+    """
+    h = F.md5(F.concat(F.lit(str(seed) + ":"),
+                       F.col(key_col).cast("string")))
+    from pyspark.sql import Window as W
+    return df.withColumn(
+        "shuffle_rank",
+        F.row_number().over(W.orderBy(h, key_col)).cast("long"))
+
+
+def train_val_test_split(df: DataFrame, key_col: str,
+                         val: float = 0.05, test: float = 0.05) -> DataFrame:
+    """Hash-banded holdout split: ``split`` ∈ {train, val, test} by the
+    16-bit md5 prefix of the key — stable across reruns, engines, and
+    data growth (a document keeps its split forever; new documents
+    distribute proportionally).  Pure narrow map; band edges are
+    compile-time hex literals so any engine replays them with a string
+    compare (no hex→int parsing)."""
+    import math
+
+    val_t = f"{math.ceil(val * _HASH_SPACE):04x}"
+    test_t = f"{math.ceil((val + test) * _HASH_SPACE):04x}"
+    p = _hash_prefix(F.col(key_col))
+    return df.withColumn(
+        "split",
+        F.when(p < val_t, "val")
+         .when(p < test_t, "test")
+         .otherwise("train"))

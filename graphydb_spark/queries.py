@@ -1627,6 +1627,26 @@ def q_optional_match(spark, sf_dir):
         as_df=True).select("uid", "ordercount")
 
 
+def q_global_shuffle(spark, sf_dir):
+    """Deterministic corpus-order randomization: shuffle_rank under
+    seeded-hash ordering — terasort-shaped global sort, reproducible on
+    any engine/partitioning.  Returns the first 100 positions."""
+    from .operators.pipeline import global_shuffle
+    docs = _docs(spark, sf_dir)
+    return (global_shuffle(docs, "doc_id", seed="42")
+            .where(F.col("shuffle_rank") <= 100)
+            .select("doc_id", "shuffle_rank"))
+
+
+def q_train_val_test(spark, sf_dir):
+    """Hash-banded holdout split (5% val / 5% test): per-split counts.
+    The band edges are hex literals both engines compare as strings."""
+    from .operators.pipeline import train_val_test_split
+    docs = _docs(spark, sf_dir)
+    return (train_val_test_split(docs, "doc_id")
+            .groupBy("split").agg(F.count("*").alias("n")))
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Weekly retention cohorts: users grouped by first-activity week,
     counted per week-offset of subsequent activity — two aggregations
@@ -2759,6 +2779,28 @@ ORACLES: dict[str, str | None] = {
          AND b.ts >= a.ts + INTERVAL 1 SECOND
          AND b.ts <= a.ts + INTERVAL 120 SECOND
     """,
+    "global_shuffle": """
+        WITH h AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (
+                   ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
+                 AS shuffle_rank
+          FROM documents)
+        SELECT doc_id, shuffle_rank FROM h WHERE shuffle_rank <= 100
+    """,
+    "train_val_test": """
+        SELECT CASE
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                      < printf('%04x', CAST(ceil(0.05 * 65536) AS INT))
+                   THEN 'val'
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                      < printf('%04x', CAST(ceil(0.10 * 65536) AS INT))
+                   THEN 'test'
+                 ELSE 'train'
+               END AS split,
+               COUNT(*) AS n
+        FROM documents GROUP BY 1
+    """,
     "retention_cohorts": """
         WITH firsts AS (
           SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
@@ -3006,6 +3048,8 @@ QUERIES = {
     "label_propagation": q_label_propagation,
     "unigram_logprob": q_unigram_logprob,
     "retention_cohorts": q_retention_cohorts,
+    "global_shuffle": q_global_shuffle,
+    "train_val_test": q_train_val_test,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -140,3 +140,32 @@ def test_write_training_shards_roundtrip(corpus, tmp_path):
     for d in glob.glob(f"{path}/lang=*/shard_id=*"):
         files = [f for f in glob.glob(f"{d}/*.parquet")]
         assert len(files) == 1, d
+
+
+def test_global_shuffle_is_seeded_permutation(corpus):
+    from graphydb_spark.operators.pipeline import global_shuffle
+    a = global_shuffle(corpus, "doc_id", seed="1") \
+        .select("doc_id", "shuffle_rank").collect()
+    ranks = sorted(r["shuffle_rank"] for r in a)
+    assert ranks == list(range(1, 401))          # a true permutation
+    again = global_shuffle(corpus, "doc_id", seed="1") \
+        .select("doc_id", "shuffle_rank").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, again))
+    other = global_shuffle(corpus, "doc_id", seed="2") \
+        .select("doc_id", "shuffle_rank").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, other))
+
+
+def test_train_val_test_split_bands(corpus):
+    from graphydb_spark.operators.pipeline import train_val_test_split
+    out = train_val_test_split(corpus, "doc_id")
+    counts = {r["split"]: r["count"]
+              for r in out.groupBy("split").count().collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > 300                 # ~90% of 400
+    # membership is stable under data growth: a doc keeps its split
+    half = train_val_test_split(corpus.where(F.col("doc_id") < 200),
+                                "doc_id")
+    full = {r["doc_id"]: r["split"] for r in out.collect()}
+    for r in half.collect():
+        assert full[r["doc_id"]] == r["split"]
