@@ -422,3 +422,38 @@ def label_propagation(nodes_df: DataFrame, edges_df: DataFrame,
                           .alias("label"))
                   .localCheckpoint(eager=True))
     return labels
+
+
+def k_core(nodes_df: DataFrame, edges_df: DataFrame, k: int,
+           max_iter: int = 30) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every member has
+    ≥ k neighbors *within the subgraph* — the standard peel loop
+    (drop degree<k nodes, recompute, repeat to fixpoint).
+
+    Each round: one degree aggregation over the surviving edge set +
+    one semi-join to shrink it.  The surviving-edge frame shrinks
+    monotonically, so per-round cost falls; total rounds ≤ peel depth
+    (≪ node count in practice).  Self-loops count once (a node is not
+    its own neighbor twice); parallel edges count once per distinct
+    neighbor (degree = distinct neighbors, the standard k-core
+    definition).
+    """
+    sym = (edges_df.select(F.col("startuid").alias("a"),
+                           F.col("enduid").alias("b"))
+           .unionByName(edges_df.select(F.col("enduid").alias("a"),
+                                        F.col("startuid").alias("b")))
+           .where(F.col("a") != F.col("b"))
+           .distinct()
+           .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        deg = sym.groupBy("a").agg(F.count("*").alias("d"))
+        keep = deg.where(F.col("d") >= k).select(F.col("a").alias("uid"))
+        nxt = (sym.join(keep.withColumnRenamed("uid", "a"), "a", "left_semi")
+               .join(keep.select(F.col("uid").alias("b")), "b", "left_semi")
+               .localCheckpoint(eager=True))
+        done = nxt.count() == sym.count()
+        sym = nxt
+        if done:
+            break
+    return (sym.select(F.col("a").alias("uid")).distinct()
+            .join(nodes_df.select("uid"), "uid", "left_semi"))

@@ -1627,6 +1627,19 @@ def q_optional_match(spark, sf_dir):
         as_df=True).select("uid", "ordercount")
 
 
+def q_k_core(spark, sf_dir):
+    """k-core of the Order–Part bipartite graph (k=6): orders with ≥6
+    distinct parts that themselves appear in ≥6 surviving orders, to
+    fixpoint.  Rows-only (the peel-to-fixpoint loop recomputes degrees
+    over a shrinking edge set — not expressible as a recursive CTE);
+    semantics pinned by the planted clique-plus-tail unit test."""
+    from .operators.graph_algos import k_core
+    g = tpch_graph(spark, sf_dir)
+    nodes = g.nodes_df.where(F.col("kind").isin("Order", "Part"))
+    edges = g.edges_df.where(F.col("kind") == "Contains")
+    return k_core(nodes, edges, k=6)
+
+
 def q_global_shuffle(spark, sf_dir):
     """Deterministic corpus-order randomization: shuffle_rank under
     seeded-hash ordering — terasort-shaped global sort, reproducible on
@@ -3050,6 +3063,7 @@ QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "global_shuffle": q_global_shuffle,
     "train_val_test": q_train_val_test,
+    "k_core_orders": q_k_core,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

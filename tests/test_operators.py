@@ -432,3 +432,19 @@ def test_label_propagation_planted_communities(spark):
     again = {r["uid"]: r["label"]
              for r in label_propagation(nodes, edges, iters=5).collect()}
     assert again == out
+
+
+def test_k_core_peels_tail(spark):
+    """K4 clique with a pendant path: the 3-core is exactly the clique
+    (the path peels away over successive rounds); 4-core is empty."""
+    from graphydb_spark.operators.graph_algos import k_core
+    nodes = spark.createDataFrame(
+        [(u,) for u in ["c0", "c1", "c2", "c3", "p1", "p2"]], "uid string")
+    edges = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(["c0", "c1", "c2", "c3"])
+         for b in ["c0", "c1", "c2", "c3"][i + 1:]]
+        + [("c0", "p1"), ("p1", "p2")],
+        "startuid string, enduid string")
+    core3 = {r["uid"] for r in k_core(nodes, edges, 3).collect()}
+    assert core3 == {"c0", "c1", "c2", "c3"}
+    assert k_core(nodes, edges, 4).count() == 0
