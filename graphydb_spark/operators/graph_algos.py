@@ -457,3 +457,29 @@ def k_core(nodes_df: DataFrame, edges_df: DataFrame, k: int,
             break
     return (sym.select(F.col("a").alias("uid")).distinct()
             .join(nodes_df.select("uid"), "uid", "left_semi"))
+
+
+def transitivity(edges_df: DataFrame, src_col: str = "startuid",
+                 dst_col: str = "enduid") -> DataFrame:
+    """Global clustering coefficient: 3·triangles / wedges over the
+    undirected simple graph → 1 row ``(n_triangles, n_wedges,
+    transitivity)``.  Wedges = Σ d(v)·(d(v)−1)/2 — one degree
+    aggregation over the canonical edge set; the triangle term reuses
+    the degree-ranked edge-iterator (O(m) shuffled bytes).  The ratio
+    is computed from exact integers and rounded to 6 dp, so any engine
+    reproduces it bit-exactly."""
+    lo = F.least(F.col(src_col), F.col(dst_col))
+    hi = F.greatest(F.col(src_col), F.col(dst_col))
+    canon = (edges_df.where(F.col(src_col) != F.col(dst_col))
+             .select(lo.alias("lo"), hi.alias("hi")).distinct())
+    deg = (canon.select(F.col("lo").alias("v"))
+           .unionByName(canon.select(F.col("hi").alias("v")))
+           .groupBy("v").agg(F.count("*").alias("d")))
+    wedges = deg.agg(F.sum(F.expr("d * (d - 1) DIV 2"))
+                     .cast("long").alias("n_wedges"))
+    tri = triangle_count(canon, "lo", "hi")
+    return (tri.crossJoin(wedges)
+            .select("n_triangles", "n_wedges",
+                    F.round(F.lit(3) * F.col("n_triangles")
+                            / F.greatest(F.col("n_wedges"), F.lit(1)), 6)
+                    .alias("transitivity")))

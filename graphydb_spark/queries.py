@@ -1627,6 +1627,23 @@ def q_optional_match(spark, sf_dir):
         as_df=True).select("uid", "ordercount")
 
 
+def q_transitivity(spark, sf_dir):
+    """Global clustering coefficient of the part co-purchase graph:
+    3·triangles / wedges from exact integer counts (rounded 6 dp), so
+    the SQL twin reproduces the ratio bit-exactly."""
+    from .operators.graph_algos import transitivity
+    n_part = spark.sparkContext.defaultParallelism * 2
+    li = (load_tables(spark, sf_dir)["lineitem"]
+          .select("l_orderkey", "l_partkey")
+          .repartition(n_part, "l_orderkey"))
+    a, b = li.alias("a"), li.alias("b")
+    co = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                 & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+          .select(F.col("a.l_partkey").alias("pa"),
+                  F.col("b.l_partkey").alias("pb")))
+    return transitivity(co, "pa", "pb")
+
+
 def q_k_core(spark, sf_dir):
     """k-core of the Order–Part bipartite graph (k=6): orders with ≥6
     distinct parts that themselves appear in ≥6 surviving orders, to
@@ -2792,6 +2809,28 @@ ORACLES: dict[str, str | None] = {
          AND b.ts >= a.ts + INTERVAL 1 SECOND
          AND b.ts <= a.ts + INTERVAL 120 SECOND
     """,
+    "transitivity_copurchase": """
+        WITH e AS (
+          SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey),
+        tri AS (
+          SELECT COUNT(*)::BIGINT AS n_triangles
+          FROM e ab
+          JOIN e bc ON ab.hi = bc.lo
+          JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+        deg AS (
+          SELECT v, COUNT(*) AS d FROM (
+            SELECT lo AS v FROM e UNION ALL SELECT hi FROM e)
+          GROUP BY v),
+        w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+              FROM deg)
+        SELECT n_triangles, n_wedges,
+               round(3.0 * n_triangles / greatest(n_wedges, 1), 6)
+                 AS transitivity
+        FROM tri, w
+    """,
     "global_shuffle": """
         WITH h AS (
           SELECT doc_id,
@@ -3064,6 +3103,7 @@ QUERIES = {
     "global_shuffle": q_global_shuffle,
     "train_val_test": q_train_val_test,
     "k_core_orders": q_k_core,
+    "transitivity_copurchase": q_transitivity,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -448,3 +448,19 @@ def test_k_core_peels_tail(spark):
     core3 = {r["uid"] for r in k_core(nodes, edges, 3).collect()}
     assert core3 == {"c0", "c1", "c2", "c3"}
     assert k_core(nodes, edges, 4).count() == 0
+
+
+def test_transitivity_known_graphs(spark):
+    """K4 has transitivity 1.0; a star has 0 (no triangles)."""
+    from graphydb_spark.operators.graph_algos import transitivity
+    k4 = spark.createDataFrame(
+        [(a, b) for i, a in enumerate("abcd") for b in "abcd"[i + 1:]],
+        "startuid string, enduid string")
+    r = transitivity(k4).first()
+    assert r["n_triangles"] == 4 and r["n_wedges"] == 12
+    assert r["transitivity"] == 1.0
+    star = spark.createDataFrame(
+        [("hub", x) for x in ("a", "b", "c", "d")],
+        "startuid string, enduid string")
+    r2 = transitivity(star).first()
+    assert r2["n_triangles"] == 0 and r2["transitivity"] == 0.0
