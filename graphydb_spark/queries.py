@@ -1627,6 +1627,33 @@ def q_optional_match(spark, sf_dir):
         as_df=True).select("uid", "ordercount")
 
 
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman's r) of the Order-Part bipartite
+    graph: Pearson correlation of endpoint degrees over edge stubs.
+    Every term (N, Σx, Σxy, Σx²) is an exact integer sum — the single
+    final division happens in doubles and rounds to 6 dp, so the SQL
+    twin reproduces r bit-exactly.  Two degree aggregations + one
+    broadcast-joined pass over the edge list."""
+    li = (load_tables(spark, sf_dir)["lineitem"]
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p")).distinct())
+    do = li.groupBy("o").agg(F.count("*").alias("do"))
+    dp = li.groupBy("p").agg(F.count("*").alias("dp"))
+    j = (li.join(F.broadcast(do), "o").join(F.broadcast(dp), "p"))
+    s = j.agg(
+        (F.count("*") * 2).cast("long").alias("n"),
+        F.sum(F.col("do") + F.col("dp")).cast("long").alias("sx"),
+        (F.sum(F.col("do") * F.col("dp")) * 2).cast("long").alias("sxy"),
+        F.sum(F.col("do") * F.col("do")
+              + F.col("dp") * F.col("dp")).cast("long").alias("sxx"))
+    return s.select(
+        "n",
+        F.round((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx"))
+                .cast("double")
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                6).alias("assortativity"))
+
+
 def q_transitivity(spark, sf_dir):
     """Global clustering coefficient of the part co-purchase graph:
     3·triangles / wedges from exact integer counts (rounded 6 dp), so
@@ -2809,6 +2836,25 @@ ORACLES: dict[str, str | None] = {
          AND b.ts >= a.ts + INTERVAL 1 SECOND
          AND b.ts <= a.ts + INTERVAL 120 SECOND
     """,
+    "assortativity_orders": """
+        WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                   FROM lineitem),
+        dd AS (
+          SELECT e.o, e.p, d1.don AS dor, d2.dpn AS dpr
+          FROM e
+          JOIN (SELECT o, COUNT(*) AS don FROM e GROUP BY o) d1 USING (o)
+          JOIN (SELECT p, COUNT(*) AS dpn FROM e GROUP BY p) d2 USING (p)),
+        s AS (
+          SELECT CAST(COUNT(*) * 2 AS BIGINT) AS n,
+                 CAST(SUM(dor + dpr) AS BIGINT) AS sx,
+                 CAST(SUM(dor * dpr) * 2 AS BIGINT) AS sxy,
+                 CAST(SUM(dor * dor + dpr * dpr) AS BIGINT) AS sxx
+          FROM dd)
+        SELECT n,
+               round(CAST(n * sxy - sx * sx AS DOUBLE)
+                     / (n * sxx - sx * sx), 6) AS assortativity
+        FROM s
+    """,
     "transitivity_copurchase": """
         WITH e AS (
           SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
@@ -3104,6 +3150,7 @@ QUERIES = {
     "train_val_test": q_train_val_test,
     "k_core_orders": q_k_core,
     "transitivity_copurchase": q_transitivity,
+    "assortativity_orders": q_assortativity,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
