@@ -1627,6 +1627,24 @@ def q_optional_match(spark, sf_dir):
         as_df=True).select("uid", "ordercount")
 
 
+def q_cumulative_users(spark, sf_dir):
+    """Daily new + cumulative distinct users.  The scale-correct
+    rewrite: a running COUNT(DISTINCT) recounts every prefix
+    (quadratic); first-seen-date per user + a cumulative sum of daily
+    news is two aggregations and one tiny ordered window."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window as W
+    firsts = (ev.groupBy("user_id")
+              .agg(F.min(F.col("ts").cast("date")).alias("d")))
+    daily = firsts.groupBy("d").agg(F.count("*").alias("new_users"))
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (daily.withColumn("cum_users",
+                             F.sum("new_users").over(w).cast("long"))
+            .select(F.col("d").cast("string").alias("d"),
+                    F.col("new_users").cast("long").alias("new_users"),
+                    "cum_users"))
+
+
 def q_assortativity(spark, sf_dir):
     """Degree assortativity (Newman's r) of the Order-Part bipartite
     graph: Pearson correlation of endpoint degrees over edge stubs.
@@ -2836,6 +2854,18 @@ ORACLES: dict[str, str | None] = {
          AND b.ts >= a.ts + INTERVAL 1 SECOND
          AND b.ts <= a.ts + INTERVAL 120 SECOND
     """,
+    "cumulative_users": """
+        WITH firsts AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS d
+          FROM events GROUP BY user_id),
+        daily AS (SELECT d, COUNT(*) AS new_users FROM firsts GROUP BY d)
+        SELECT CAST(d AS VARCHAR) AS d,
+               CAST(new_users AS BIGINT) AS new_users,
+               CAST(SUM(new_users) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_users
+        FROM daily
+    """,
     "assortativity_orders": """
         WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
                    FROM lineitem),
@@ -3151,6 +3181,7 @@ QUERIES = {
     "k_core_orders": q_k_core,
     "transitivity_copurchase": q_transitivity,
     "assortativity_orders": q_assortativity,
+    "cumulative_users": q_cumulative_users,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
