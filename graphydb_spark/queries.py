@@ -1627,6 +1627,33 @@ def q_optional_match(spark, sf_dir):
         as_df=True).select("uid", "ordercount")
 
 
+def q_basket_lift(spark, sf_dir):
+    """Market-basket association metrics for the 20 most co-purchased
+    part pairs: support count, confidence and lift from exact integer
+    counts (ratios round to 6 dp).  Pair counts ride the order-keyed
+    self-join; per-part support broadcasts back."""
+    li = (load_tables(spark, sf_dir)["lineitem"]
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p")).distinct())
+    n_orders = li.select("o").distinct().count()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (a.join(b, (F.col("a.o") == F.col("b.o"))
+                    & (F.col("a.p") < F.col("b.p")))
+             .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+             .agg(F.count("*").alias("n_ab")))
+    supp = li.groupBy("p").agg(F.count("*").alias("n"))
+    sa = supp.select(F.col("p").alias("pa"), F.col("n").alias("n_a"))
+    sb = supp.select(F.col("p").alias("pb"), F.col("n").alias("n_b"))
+    return (pairs.join(F.broadcast(sa), "pa").join(F.broadcast(sb), "pb")
+            .select("pa", "pb", "n_ab",
+                    F.round(F.col("n_ab").cast("double") / F.col("n_a"), 6)
+                    .alias("confidence"),
+                    F.round(F.col("n_ab").cast("double") * n_orders
+                            / (F.col("n_a") * F.col("n_b")), 6)
+                    .alias("lift"))
+            .orderBy(F.col("n_ab").desc(), "pa", "pb").limit(20))
+
+
 def q_cumulative_users(spark, sf_dir):
     """Daily new + cumulative distinct users.  The scale-correct
     rewrite: a running COUNT(DISTINCT) recounts every prefix
@@ -2854,6 +2881,24 @@ ORACLES: dict[str, str | None] = {
          AND b.ts >= a.ts + INTERVAL 1 SECOND
          AND b.ts <= a.ts + INTERVAL 120 SECOND
     """,
+    "basket_lift": """
+        WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                   FROM lineitem),
+        pairs AS (
+          SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n_ab
+          FROM e a JOIN e b ON a.o = b.o AND a.p < b.p
+          GROUP BY 1, 2),
+        supp AS (SELECT p, COUNT(*) AS n FROM e GROUP BY p),
+        tot AS (SELECT COUNT(DISTINCT o) AS n_orders FROM e)
+        SELECT pa, pb, n_ab,
+               round(CAST(n_ab AS DOUBLE) / sa.n, 6) AS confidence,
+               round(CAST(n_ab AS DOUBLE) * n_orders / (sa.n * sb.n), 6)
+                 AS lift
+        FROM pairs
+        JOIN supp sa ON sa.p = pa
+        JOIN supp sb ON sb.p = pb, tot
+        ORDER BY n_ab DESC, pa, pb LIMIT 20
+    """,
     "cumulative_users": """
         WITH firsts AS (
           SELECT user_id, MIN(CAST(ts AS DATE)) AS d
@@ -3182,6 +3227,7 @@ QUERIES = {
     "transitivity_copurchase": q_transitivity,
     "assortativity_orders": q_assortativity,
     "cumulative_users": q_cumulative_users,
+    "basket_lift": q_basket_lift,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
