@@ -373,6 +373,40 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate
 """
 
+# Spark-side Q3: same semantics as _Q3_SQL (the DuckDB oracle replays the
+# flat form), restructured for scale.  The aggregation is pushed below the
+# fact-side join: revenue is grouped by l_orderkey BEFORE joining — exact
+# because o_orderkey is unique in co, so the post-join GROUP BY
+# (l_orderkey, o_orderdate) partitions rows identically.  At any scale
+# this shrinks the fact side to one row per qualifying order before it
+# meets the orders side; locally it also means the statically-chosen hash
+# build is the genuinely small post-agg side, not a 300k-row raw scan
+# (the r02 regression: the compression-blind file-size estimate made the
+# planner broadcast filtered lineitem — a single-threaded hash build).
+# The only forced hint is on the segment-filtered customer (dim-sized);
+# fact tables carry no hints, so at cluster scale every fact join
+# degrades to a shuffle join on its own size evidence.
+_Q3_SPARK_SQL = """
+WITH co AS (
+  SELECT /*+ BROADCAST(customer) */ o_orderkey, o_orderdate
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < '1995-03-15 00:00:00'
+),
+la AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             CAST(1 - l_discount AS DECIMAL(18,2))) AS rev
+  FROM lineitem
+  WHERE l_shipdate > '1995-03-15 00:00:00'
+  GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(CAST(o_orderdate AS DATE) AS STRING) AS orderdate
+FROM la JOIN co ON l_orderkey = o_orderkey
+"""
+
 _Q6_SQL = """
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
                 CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
@@ -694,10 +728,12 @@ def q_window_rank(spark, sf_dir):
 
 def q_tpch_q3(spark, sf_dir):
     """TPC-H Q3 (shipping priority): 3-way join with per-side pushed
-    filters, DECIMAL-exact revenue.  The segment-filtered customer side is
-    broadcast; lineitem (the fact table) never shuffles."""
+    filters, DECIMAL-exact revenue.  Aggregation is pushed below the
+    fact join (see _Q3_SPARK_SQL) so the fact table is reduced to one
+    row per order before any join; the only broadcast hint is the
+    segment-filtered customer (dim-sized)."""
     _register_raw(spark, sf_dir)
-    return spark.sql(_Q3_SQL)
+    return spark.sql(_Q3_SPARK_SQL)
 
 
 def q_anti_join_customers(spark, sf_dir):
@@ -1106,31 +1142,39 @@ def q_tpch_q4(spark, sf_dir):
 
 def q_tpch_q5(spark, sf_dir):
     """TPC-H Q5: 6-table join, revenue by nation for one region where the
-    supplier and customer share the nation.  True dimensions (supplier,
-    nation, region) are broadcast-hinted; orders and customer are left to
-    the planner — they are fact-sized tables that must shuffle-join at
-    real scale, and AQE broadcasts them at small scale from runtime
-    stats anyway (measured faster locally than a forced broadcast: the
-    single-threaded 150k-row HashedRelation build dominated)."""
+    supplier and customer share the nation.
+
+    Scale shape: the ASIA-region filter is pushed THROUGH the supplier
+    dimension onto the fact table first — lineitem joins the broadcast
+    (supplier ⋈ asia-nations) sliver before it ever meets another fact,
+    dropping ~4/5 of lineitem ahead of the fact-fact joins.  The orders
+    and customer joins carry no hints: the planner sizes them from its
+    own evidence (by-estimate broadcast at bench scale, shuffle join
+    once the estimate crosses the threshold at cluster scale — the
+    self-limiting path, unlike a forced hint).  Only true dimension
+    slivers (region, nation, supplier) are broadcast-hinted."""
     t = load_tables(spark, sf_dir)
     dp = (F.col("l_extendedprice").cast("decimal(18,2)")
           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
     asia_nations = (t["nation"]
                     .join(F.broadcast(t["region"].where(
                         F.col("r_name") == "ASIA")),
-                        F.col("n_regionkey") == F.col("r_regionkey")))
-    return (t["lineitem"]
-            .join(t["orders"],
-                  F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(t["customer"],
-                  F.col("o_custkey") == F.col("c_custkey"))
-            .join(F.broadcast(t["supplier"]),
-                  (F.col("l_suppkey") == F.col("s_suppkey"))
-                  & (F.col("c_nationkey") == F.col("s_nationkey")))
-            .join(F.broadcast(asia_nations),
-                  F.col("s_nationkey") == F.col("n_nationkey"))
+                        F.col("n_regionkey") == F.col("r_regionkey"))
+                    .select("n_nationkey", "n_name"))
+    sup_asia = (t["supplier"]
+                .join(F.broadcast(asia_nations),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+                .select("s_suppkey", "s_nationkey", "n_name"))
+    la = (t["lineitem"]
+          .join(F.broadcast(sup_asia),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+          .select("l_orderkey", "s_nationkey", "n_name", dp.alias("dp")))
+    return (la
+            .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(t["customer"], (F.col("o_custkey") == F.col("c_custkey"))
+                  & (F.col("s_nationkey") == F.col("c_nationkey")))
             .groupBy("n_name")
-            .agg(F.sum(dp).cast("double").alias("revenue")))
+            .agg(F.sum("dp").cast("double").alias("revenue")))
 
 
 def q_tpch_q14(spark, sf_dir):

@@ -58,3 +58,38 @@ def test_interval_join_is_bucketed_equi_join(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "__b" in p  # bucket column participates in the join keys
+
+
+def test_tpch_q3_no_raw_fact_broadcast(spark):
+    """Q3's hash-build side must be the post-aggregation order-level
+    frame, never the raw filtered lineitem scan (the r02 regression: the
+    compression-blind file-size estimate put filtered lineitem under the
+    broadcast threshold and the planner paid a single-threaded 300k-row
+    hash build — and at any scale the raw fact is the wrong build side).
+    Detectable shape: every BroadcastExchange that reads lineitem must
+    sit ABOVE a HashAggregate, and the pre-join aggregate exists."""
+    from graphydb_spark.queries import QUERIES
+    df = QUERIES["tpch_q3"](spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in p
+    for chunk in p.split("BroadcastExchange")[1:]:
+        if "lineitem.parquet" in chunk:
+            # lineitem reachable under this broadcast: require the agg
+            # to sit between them (pre-aggregated side, not raw scan)
+            assert "HashAggregate" in chunk.split("lineitem.parquet")[0]
+
+
+def test_tpch_q5_fact_pruned_before_fact_join(spark):
+    """Q5 must prune lineitem through the broadcast ASIA-supplier sliver
+    BEFORE any fact-fact join, and fact tables must carry no forced
+    broadcast: the supplier join is a BroadcastHashJoin below the
+    orders join in the plan tree."""
+    from graphydb_spark.queries import QUERIES
+    df = QUERIES["tpch_q5"](spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # the supplier broadcast-prune exists
+    assert "BroadcastHashJoin" in p
+    assert "supplier.parquet" in p
+    # no cartesian fallbacks
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
