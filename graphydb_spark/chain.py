@@ -510,6 +510,23 @@ def compile_fetch_sql(
     if where:
         if isinstance(where, str):
             where = [where]
+        # same footgun the FTS guard above exists for: a WHERE predicate
+        # over an optional alias is evaluated AFTER the LEFT JOIN, where
+        # the alias's columns are NULL for unmatched rows — the predicate
+        # silently filters those rows out, turning the join inner.
+        # Reference semantics put such predicates in the ON clause; we
+        # don't rewrite user SQL, so reject with the fix spelled out.
+        optional_aliases = {l.alias for l in links if l.optional}
+        for w in where:
+            refs = set(re.findall(r"\b(\w+)\s*\.", str(w)))
+            bad = refs & optional_aliases
+            if bad:
+                raise GraphydbError(
+                    f"WHERE predicate {w!r} references optional link(s) "
+                    f"{sorted(bad)}: evaluated after the LEFT JOIN it "
+                    f"silently drops unmatched rows (inner-join "
+                    f"semantics). Filter the optional link in its chain "
+                    f"segment, or make the link mandatory.")
         conds.extend(f"({rewrite_expr(w, typed)})" for w in where)
     where_sql = f"WHERE {' AND '.join(conds)}" if conds else ""
 

@@ -801,6 +801,14 @@ class Graph:
                               if self._known_edge_uids is not None else None)
         g._settings = dict(self._settings)
         g._cache = dict(self._cache)
+        # behavioral config must travel with the snapshot: without the FTS
+        # field lists a fetch with an FTS match builds an index over zero
+        # fields (silently no matches), and without the declared-integrity
+        # dicts join elimination / int-key joins silently turn off
+        g._fts_node_fields = list(self._fts_node_fields)
+        g._fts_edge_fields = list(self._fts_edge_fields)
+        g._edge_integrity = dict(self._edge_integrity)
+        g._edge_unique = dict(self._edge_unique)
         later = sorted((c for c in self._changes if c["id"] > change_id),
                        key=lambda c: -c["id"])
         for change in later:

@@ -445,16 +445,26 @@ def k_core(nodes_df: DataFrame, edges_df: DataFrame, k: int,
            .where(F.col("a") != F.col("b"))
            .distinct()
            .localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_iter):
         deg = sym.groupBy("a").agg(F.count("*").alias("d"))
         keep = deg.where(F.col("d") >= k).select(F.col("a").alias("uid"))
         nxt = (sym.join(keep.withColumnRenamed("uid", "a"), "a", "left_semi")
                .join(keep.select(F.col("uid").alias("b")), "b", "left_semi")
                .localCheckpoint(eager=True))
-        done = nxt.count() == sym.count()
+        converged = nxt.count() == sym.count()
         sym = nxt
-        if done:
+        if converged:
             break
+    if not converged:
+        # peel depth can exceed max_iter (e.g. a pendant chain peels a
+        # couple of nodes per round); returning silently would hand back
+        # a superset of the true k-core
+        import warnings
+        warnings.warn(
+            f"k_core: peel loop did not reach a fixpoint in {max_iter} "
+            "rounds; result is a superset of the true k-core. "
+            "Raise max_iter.", RuntimeWarning, stacklevel=2)
     return (sym.select(F.col("a").alias("uid")).distinct()
             .join(nodes_df.select("uid"), "uid", "left_semi"))
 

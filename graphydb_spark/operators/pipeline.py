@@ -239,16 +239,43 @@ def global_shuffle(df: DataFrame, key_col: str, seed: str = "0") -> DataFrame:
     documents in a reproducible pseudo-random order decorrelated from
     ingestion order; keying the sort on a seeded hash gives the same
     permutation on any engine/cluster/partitioning, and changing the
-    seed reshuffles.  Execution is one global sort — Spark's range
-    partitioner samples split points, so at 100 TB this is the classic
-    terasort shape (no single-node bottleneck).
+    seed reshuffles.
+
+    Execution is the classic terasort shape: range-partition on the
+    hash, sort within partitions, then turn per-partition positions
+    into global ranks by adding per-partition offsets (a
+    partition-count-sized aggregate collected to the driver — NOT a
+    partitionless window, which would funnel the whole dataset through
+    one task).  ``monotonically_increasing_id`` on the sorted frame
+    encodes (partition, position) as ``pid·2³³ + pos``, so the rank is
+    pure arithmetic; ranks are globally correct for any split points
+    because range partitions are themselves ordered.
     """
     h = F.md5(F.concat(F.lit(str(seed) + ":"),
                        F.col(key_col).cast("string")))
-    from pyspark.sql import Window as W
-    return df.withColumn(
-        "shuffle_rank",
-        F.row_number().over(W.orderBy(h, key_col)).cast("long"))
+    sorted_df = (df.withColumn("_h", h)
+                 .repartitionByRange(F.col("_h"), F.col(key_col))
+                 .sortWithinPartitions("_h", key_col)
+                 .withColumn("_mid", F.monotonically_increasing_id())
+                 .localCheckpoint(eager=True))
+    pid = F.shiftright("_mid", 33)
+    pos = F.col("_mid").bitwiseAND((1 << 33) - 1)
+    counts = (sorted_df.groupBy(pid.alias("_pid"))
+              .agg(F.count("*").alias("_n"))
+              .collect())                      # one row per partition
+    acc = 0
+    offsets = []
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["_n"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "_pid INT, _off LONG")
+    return (sorted_df
+            .withColumn("_pid", pid.cast("int"))
+            .join(F.broadcast(off_df), "_pid")
+            .withColumn("shuffle_rank",
+                        (F.col("_off") + pos + 1).cast("long"))
+            .drop("_h", "_mid", "_pid", "_off"))
 
 
 def train_val_test_split(df: DataFrame, key_col: str,

@@ -44,15 +44,31 @@ def _ship_package(spark: SparkSession) -> None:
     same mechanism a real cluster deploy uses — workers get the package
     regardless of their filesystem layout.
     """
+    import hashlib
     import shutil
     import tempfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    # key the archive on package content, not the pid: pid reuse (or a
+    # long-lived process that edits the package between sessions) must
+    # not ship a stale zip to executors
+    h = hashlib.md5()
+    for root, dirs, files in sorted(os.walk(pkg_dir)):
+        dirs.sort()
+        for fn in sorted(f for f in files if f.endswith(".py")):
+            path = os.path.join(root, fn)
+            h.update(path.encode())
+            with open(path, "rb") as fh:
+                h.update(fh.read())
     zip_base = os.path.join(tempfile.gettempdir(),
-                            f"graphydb_spark_pkg_{os.getpid()}")
+                            f"graphydb_spark_pkg_{h.hexdigest()[:16]}")
     if not os.path.exists(zip_base + ".zip"):
-        shutil.make_archive(zip_base, "zip",
-                            os.path.dirname(pkg_dir), "graphydb_spark")
+        tmp = tempfile.mkdtemp()
+        staged = shutil.make_archive(
+            os.path.join(tmp, "pkg"), "zip",
+            os.path.dirname(pkg_dir), "graphydb_spark")
+        os.replace(staged, zip_base + ".zip")  # atomic vs concurrent builds
+        shutil.rmtree(tmp, ignore_errors=True)
     spark.sparkContext.addPyFile(zip_base + ".zip")
 
 

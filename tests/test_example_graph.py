@@ -144,3 +144,58 @@ def test_as_of_change_snapshot(spark):
     # pre-history snapshot is empty
     empty = g.as_of_change(0)
     assert empty.stats["nodes"] == 0 and empty.stats["edges"] == 0
+
+
+def test_as_of_change_preserves_behavioral_config(spark):
+    """The snapshot must behave like the graph it was taken from: FTS
+    field lists and declared edge integrity travel with it (a snapshot
+    that silently FTS-matches nothing, or silently drops join
+    elimination, is not a snapshot)."""
+    from graphydb_spark import Graph
+    g = Graph(spark)
+    g.declare_integrity("Wrote", "Author", "Doc")
+    a = g.Node("Author", name="Grace Hopper")
+    a.save()
+    d = g.Node("Doc", title="compilers and subroutines")
+    d.save()
+    g.Edge(a, "Wrote", d).save()
+    g.resetfts(nodefields=["name", "title"])
+    k = g.nchanges
+
+    snap = g.as_of_change(k)
+    assert snap.edge_integrity == g.edge_integrity
+    assert snap._fts_node_fields == g._fts_node_fields
+    # an FTS fetch on the snapshot finds the same node the live graph does
+    live = g.fetch("[d:Doc]", FTS="compilers", as_df=True).count()
+    got = snap.fetch("[d:Doc]", FTS="compilers", as_df=True).count()
+    assert live == 1 and got == 1
+
+
+def test_where_on_optional_alias_rejected(spark):
+    """A WHERE predicate over an optional link would run after the LEFT
+    JOIN and silently turn it inner — same guard class as the FTS one."""
+    import pytest
+    from graphydb_spark import Graph, GraphydbError
+    g = Graph(spark)
+    c = g.Node("Customer", name="c")
+    c.save()
+    with pytest.raises(GraphydbError, match="optional"):
+        g.fetch("[c:Customer] -(pl?:Placed)> (o)",
+                "pl.data.x = 1", as_df=True)
+
+
+def test_k_core_warns_when_not_converged(spark):
+    """A peel loop cut off before the fixpoint must say so (the result
+    is a superset of the true k-core), not silently return."""
+    import warnings
+    from graphydb_spark.operators.graph_algos import k_core
+    # a 6-node pendant chain peels ~one endpoint layer per round at k=2
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(6)],
+        "startuid string, enduid string")
+    nodes = spark.createDataFrame(
+        [(f"n{i}",) for i in range(7)], "uid string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        k_core(nodes, edges, k=2, max_iter=1)
+        assert any("fixpoint" in str(x.message) for x in w)
