@@ -167,6 +167,34 @@ class Item(MutableMapping):
         out = type(self)(graph=self.graph, **d)
         return out
 
+    # -- store refresh ------------------------------------------------------
+    @property
+    def exists(self) -> bool:
+        """True iff this uid is in the store (graphydb.py:1129-1139)."""
+        return self.graph.exists(self._data["uid"])
+
+    def original(self) -> "Item":
+        """Return the item fresh from the store (graphydb.py:1141-1146).
+
+        The returned item reflects persisted state only: unsaved local
+        edits and transient ``_`` keys are absent.  Raises
+        ``GraphydbError`` if the uid was never saved."""
+        return self.graph.getuid(self._data["uid"])
+
+    def renew(self) -> "Item":
+        """Reload from the store in place (graphydb.py:1148-1163).
+
+        Local changes are discarded without recording a change item;
+        transient ``_``-prefixed keys are carried over undisturbed."""
+        fresh = self.original()
+        data = dict(fresh._data)
+        for k, v in self._data.items():
+            if k.startswith("_"):
+                data[k] = v
+        self._data = data
+        self._mark_clean()
+        return self
+
 
 class Node(Item):
     """A node item (graphydb.py:1295-1455). Requires ``kind``."""

@@ -199,3 +199,38 @@ def test_k_core_warns_when_not_converged(spark):
         warnings.simplefilter("always")
         k_core(nodes, edges, k=2, max_iter=1)
         assert any("fixpoint" in str(x.message) for x in w)
+
+
+def test_original_and_renew(spark):
+    """Parity with graphydb.py:1141-1163 and the reference undo_change
+    fixture (test_graphdb.py:257-264): original() reads persisted state;
+    renew() discards local edits in place, keeps transient _ keys, and
+    records no change item."""
+    from graphydb_spark import Graph
+    g = Graph(spark)
+    bob = g.Node("Person", name="Bob", nickname="Bobby")
+    bob.save()
+
+    # original() reflects the store, not unsaved local edits
+    bob["nickname"] = "Bobs The Impaler"
+    assert bob.original()["nickname"] == "Bobby"
+    bob.save()
+    assert bob.original()["nickname"] == "Bobs The Impaler"
+    g.undo()
+    assert bob.original()["nickname"] == "Bobby"
+
+    # renew(): local edits discarded, _ keys survive, no change recorded
+    bob["nickname"] = "unsaved-edit"
+    bob["_score"] = 0.75
+    n_before = g.nchanges
+    out = bob.renew()
+    assert out is bob
+    assert bob["nickname"] == "Bobby"
+    assert bob["_score"] == 0.75
+    assert not bob.changed
+    assert g.nchanges == n_before
+
+    # exists property (graphydb.py:1129-1139)
+    assert bob.exists
+    ghost = g.Node("Person", name="ghost")
+    assert not ghost.exists
