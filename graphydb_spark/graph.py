@@ -603,21 +603,38 @@ class Graph:
 
     def delete_node(self, node, disconnect: bool = False,
                     batch: Optional[str] = None, setchange: bool = True) -> None:
-        """Guarded cascade delete (graphydb.py:1425-1452)."""
+        """Guarded cascade delete (graphydb.py:1425-1452).
+
+        The cascade is vectorized: incident edges are collected once
+        (their ``props`` column already carries the full old data for
+        the change log) and removed with ONE anti-join — the reference
+        loops per edge (graphydb.py:1437-1443), which here would mean
+        O(degree) Spark jobs and stall the driver on a hub node."""
         uid = node.uid if isinstance(node, Item) else node
         self._flush()
         incident = self._edges_df.filter(
             (F.col("startuid") == uid) | (F.col("enduid") == uid))
-        n_inc = incident.limit(1).count()
-        if n_inc > 0:
+        inc_rows = incident.select("uid", "props").collect()
+        if inc_rows:
             if not disconnect:
                 raise GraphydbError(
                     f"Node {uid!r} still has edges; delete(disconnect=True) "
                     f"to cascade")
             batch = batch or generate_uid()
-            for row in incident.collect():
-                e = self._hydrate(row, edge=True)
-                self.delete_edge(e, batch=batch, setchange=setchange)
+            for row in inc_rows:
+                if setchange:
+                    e_old = json.loads(row["props"]) if row["props"] else {}
+                    self._add_change(row["uid"], e_old, None, batch)
+                self._pending_edges.pop(row["uid"], None)
+                if self._known_edge_uids is not None:
+                    self._known_edge_uids.discard(row["uid"])
+            # removal is the same predicate, pushed down — no driver-side
+            # uid list shipped back to the cluster
+            self._epoch += 1
+            self._edges_df = (self._edges_df
+                              .filter(~((F.col("startuid") == uid)
+                                        | (F.col("enduid") == uid)))
+                              .localCheckpoint(eager=True))
         old = self._current_data(uid)
         if setchange and old is not None:
             self._add_change(uid, old, None, batch)

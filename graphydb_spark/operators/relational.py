@@ -114,3 +114,26 @@ def salted_join(left: DataFrame, right: DataFrame, on,
     r = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     return l.join(r, keys + ["__salt"], how).drop("__salt")
+
+
+def cap_group_size(df: DataFrame, group_col, max_size: int) -> DataFrame:
+    """Drop every row belonging to a group larger than ``max_size``.
+
+    The quadratic-blowup guard for self-join/pair-expansion operators
+    (the within-group pair count is n(n-1)/2, so a single 10k-item
+    group emits 5e7 pairs and sinks the stage): cap the group size
+    before the join, mirroring the ``max_bucket`` guard in
+    :func:`graphydb_spark.operators.dedup.minhash_lsh_pairs`.
+
+    One aggregation over the grouping key + one semi-join back — the
+    aggregate is map-side combinable and the oversized-group frame it
+    produces is tiny (only outliers), so the guard costs far less than
+    the explosion it prevents.  Deterministic: the same groups are
+    dropped on any engine, so a SQL oracle can replay the cap with a
+    ``HAVING COUNT(*) <= max_size`` semi-join.
+    """
+    keys = group_col if isinstance(group_col, list) else [group_col]
+    small = (df.groupBy(*keys).agg(F.count("*").alias("__n"))
+             .where(F.col("__n") <= max_size)
+             .select(*keys))
+    return df.join(small, keys, "left_semi")

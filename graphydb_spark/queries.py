@@ -575,15 +575,35 @@ def q_sessionize(spark, sf_dir):
     return sessionize(_events(spark, sf_dir), gap_minutes=30)
 
 
+#: the wedge pivot is the part: a part in n orders yields n(n-1)/2
+#: customer pairs, so one viral part would emit quadratically.  TPC-H
+#: part degrees are ~30, far under the cap — never binds at test
+#: scale; the oracle replays the same exclusion.
+MAX_PART_DEGREE = 4096
+
+
 def q_copurchase_pairs(spark, sf_dir):
     """Motif/wedge query: distinct customer pairs who ordered the same
     part — a 6-hop chain (c1→o1→part←o2←c2) compiled to ONE Spark SQL
-    join tree with a cross-link theta (c1.uid < c2.uid)."""
+    join tree with a cross-link theta (c1.uid < c2.uid).
+
+    Skew guard: parts whose Contains-degree exceeds MAX_PART_DEGREE are
+    excluded from the wedge BEFORE the self-join (one map-side-combined
+    aggregation; the hot set is outliers by construction, normally
+    empty, and the filter lands on the pt scan side of the join)."""
     g = tpch_graph(spark, sf_dir)
+    hot = (g.edges_df.where(F.col("kind") == "Contains")
+           .groupBy("enduid").agg(F.count("*").alias("d"))
+           .where(F.col("d") > MAX_PART_DEGREE)
+           .select("enduid").limit(1000).collect())
+    where = ["c1.uid < c2.uid"]
+    if hot:
+        uids = ", ".join(f"'{r['enduid']}'" for r in hot)
+        where.append(f"pt.uid NOT IN ({uids})")
     return g.fetch(
         "[c1:Customer,other] -(p1:Placed)> (o1:Order) -(ct1:Contains)> "
         "(pt:Part) <(ct2:Contains)- (o2:Order) <(p2:Placed)- (c2:Customer)",
-        "c1.uid < c2.uid",
+        where,
         other="c2.uid",
         as_df=True).select("uid", "other").distinct()
 
@@ -1671,16 +1691,27 @@ def q_optional_match(spark, sf_dir):
         as_df=True).select("uid", "ordercount")
 
 
+#: pair expansion is n(n-1)/2 per basket — one pathological 10k-item
+#: basket would emit 5e7 pairs from a single key.  TPC-H baskets hold
+#: ≤7 items so the cap never binds at test scale; the oracle SQL
+#: replays the same HAVING guard so semantics agree by construction.
+MAX_BASKET = 256
+
+
 def q_basket_lift(spark, sf_dir):
     """Market-basket association metrics for the 20 most co-purchased
     part pairs: support count, confidence and lift from exact integer
     counts (ratios round to 6 dp).  Pair counts ride the order-keyed
-    self-join; per-part support broadcasts back."""
+    self-join; per-part support broadcasts back.  Baskets larger than
+    MAX_BASKET are excluded from pair expansion (quadratic-blowup
+    guard, see relational.cap_group_size); support counts and the
+    order total stay global."""
     li = (load_tables(spark, sf_dir)["lineitem"]
           .select(F.col("l_orderkey").alias("o"),
                   F.col("l_partkey").alias("p")).distinct())
     n_orders = li.select("o").distinct().count()
-    a, b = li.alias("a"), li.alias("b")
+    li_cap = relational.cap_group_size(li, "o", MAX_BASKET)
+    a, b = li_cap.alias("a"), li_cap.alias("b")
     pairs = (a.join(b, (F.col("a.o") == F.col("b.o"))
                     & (F.col("a.p") < F.col("b.p")))
              .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
@@ -2168,6 +2199,8 @@ ORACLES: dict[str, str | None] = {
           WHERE c_custkey < 10
     """,
     "copurchase_pairs": """
+        WITH hot AS (SELECT l_partkey FROM lineitem
+                     GROUP BY l_partkey HAVING COUNT(*) > 4096)
         SELECT DISTINCT
                'Customer:' || CAST(o1.o_custkey AS VARCHAR) AS uid,
                'Customer:' || CAST(o2.o_custkey AS VARCHAR) AS other
@@ -2177,6 +2210,7 @@ ORACLES: dict[str, str | None] = {
         JOIN orders o2 ON l2.l_orderkey = o2.o_orderkey
         WHERE 'Customer:' || CAST(o1.o_custkey AS VARCHAR)
             < 'Customer:' || CAST(o2.o_custkey AS VARCHAR)
+          AND l1.l_partkey NOT IN (SELECT l_partkey FROM hot)
     """,
     "asof_join": """
         WITH clicks AS (
@@ -2928,9 +2962,11 @@ ORACLES: dict[str, str | None] = {
     "basket_lift": """
         WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
                    FROM lineitem),
+        small AS (SELECT o FROM e GROUP BY o HAVING COUNT(*) <= 256),
+        ec AS (SELECT e.* FROM e JOIN small USING (o)),
         pairs AS (
           SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n_ab
-          FROM e a JOIN e b ON a.o = b.o AND a.p < b.p
+          FROM ec a JOIN ec b ON a.o = b.o AND a.p < b.p
           GROUP BY 1, 2),
         supp AS (SELECT p, COUNT(*) AS n FROM e GROUP BY p),
         tot AS (SELECT COUNT(DISTINCT o) AS n_orders FROM e)

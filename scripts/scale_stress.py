@@ -93,6 +93,27 @@ def main():
     print(f"sssp[{n_edges:,} edges, 6 hops]: "
           f"{time.perf_counter() - t0:.2f}s  reached={n}")
 
+    # skewed-basket pair expansion: 100k normal baskets (8 items) plus
+    # ONE 20k-item basket.  Uncapped, the hot basket alone contributes
+    # 2e8 pairs (quadratic — the straggler/OOM shape at scale); the
+    # cap_group_size guard drops it before the self-join, so the pair
+    # count stays linear in the sane baskets.
+    from graphydb_spark.operators.relational import cap_group_size
+    baskets = (spark.range(100_000 * 8).repartition(64)
+               .select((F.col("id") % 100_000).alias("o"),
+                       F.xxhash64(F.col("id")).alias("p"))
+               .unionByName(
+                   spark.range(20_000)
+                   .select(F.lit(-1).cast("long").alias("o"),
+                           (F.col("id") + 10**12).alias("p")))
+               .localCheckpoint(eager=True))
+    capped = cap_group_size(baskets, "o", 256)
+    a, b = capped.alias("a"), capped.alias("b")
+    timed("capped_basket_pairs[800k rows + 20k-item hot basket]",
+          a.join(b, (F.col("a.o") == F.col("b.o"))
+                 & (F.col("a.p") < F.col("b.p")))
+          .select(F.col("a.o")))
+
 
 if __name__ == "__main__":
     main()

@@ -234,3 +234,55 @@ def test_original_and_renew(spark):
     assert bob.exists
     ghost = g.Node("Person", name="ghost")
     assert not ghost.exists
+
+
+def test_cascade_delete_hub_vectorized(spark):
+    """Cascade delete of a 10k-edge hub must be O(1) Spark jobs, not
+    O(degree): the incident set is journaled from one collect and
+    removed with one pushed-down filter."""
+    from graphydb_spark import Graph
+    from graphydb_spark.graph import NODE_SCHEMA, EDGE_SCHEMA
+    import time as _t
+
+    g = Graph(spark)
+    hub = g.Node("Hub", name="hub")
+    hub.save()
+    n = 10_000
+    now = _t.time()
+    nodes = [(f"SPOKE{i:020d}", "Spoke", now, now, "{}") for i in range(n)]
+    g.upsert_nodes_df(spark.createDataFrame(nodes, NODE_SCHEMA))
+    edges = [(f"E{i:023d}", "Link", hub.uid, f"SPOKE{i:020d}",
+              now, now, '{"startuid": "%s"}' % hub.uid)
+             for i in range(n)]
+    g.upsert_edges_df(spark.createDataFrame(edges, EDGE_SCHEMA), check=False)
+    assert g.stats["edges"] == n
+
+    t0 = _t.time()
+    hub.delete(disconnect=True, setchange=False)
+    elapsed = _t.time() - t0
+    assert g.stats["edges"] == 0
+    assert g.stats["nodes"] == n  # spokes survive
+    # O(degree) jobs took minutes; the vectorized path is a few seconds
+    assert elapsed < 30, f"cascade took {elapsed:.1f}s — not vectorized?"
+
+
+def test_cascade_delete_journals_and_undoes(spark):
+    """The vectorized cascade still writes one change record per edge
+    under one batch, and undo() restores node + edges atomically."""
+    from graphydb_spark import Graph
+    g = Graph(spark)
+    hub = g.Node("Hub", name="h")
+    hub.save()
+    spokes = [g.Node("S", i=i) for i in range(3)]
+    for s in spokes:
+        s.save()
+        g.Edge(hub, "L", s).save()
+    before = g.nchanges
+    hub.delete(disconnect=True)
+    # 3 edge deletes + 1 node delete in the same batch
+    assert g.nchanges == before + 4
+    batches = {c.get("batch") for c in g.lastchanges()}
+    assert len(batches) == 1
+    assert g.stats["edges"] == 0 and g.stats["nodes"] == 3
+    g.undo()
+    assert g.stats["edges"] == 3 and g.stats["nodes"] == 4

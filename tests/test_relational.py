@@ -96,3 +96,17 @@ def test_salted_join_equals_plain_join(spark):
     want = sorted((r["id"], r["k"], r["v"])
                   for r in left.join(right, "k").collect())
     assert got == want and len(got) > 500
+
+
+def test_cap_group_size_drops_only_oversized_groups(spark):
+    """The quadratic-blowup guard: rows of groups larger than the cap
+    disappear; every other row survives untouched."""
+    from graphydb_spark.operators.relational import cap_group_size
+    rows = ([("small", i) for i in range(3)]
+            + [("big", i) for i in range(10)]
+            + [("exact", i) for i in range(5)])
+    df = spark.createDataFrame(rows, "g string, v int")
+    out = cap_group_size(df, "g", 5)
+    got = {(r["g"], r["v"]) for r in out.collect()}
+    assert {g for g, _ in got} == {"small", "exact"}
+    assert len(got) == 8
