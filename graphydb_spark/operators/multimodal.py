@@ -3,15 +3,26 @@
 Beyond-reference extension (SURVEY.md §7.3).  Images/audio/video travel as
 ``binary`` columns with a metadata struct; decode/feature steps run as
 Arrow-batched ``mapInPandas`` so each Python worker sees columnar batches,
-never rows.  The actual codec calls are STUBBED (pillow/ffmpeg are not in
-this container — ``decode_image`` raises ``NotImplementedError`` unless
-``fake=True``); the Spark-side plumbing (schema, batching, partitioning)
-is real and tested.
+never rows.
+
+``decode_image`` is a REAL container-header decoder (pure stdlib
+``struct``/byte-walking over the public BMP/PNG/GIF/JPEG formats): width,
+height and GIF frame count come from the actual bytes.  Pixel-level work
+(full raster decode, resampling) still needs an imaging library this
+container doesn't ship — ``resize`` documents its payload transform as a
+byte-proportional stand-in while computing the real scaled dimensions
+from the real headers.
+
+Corrupt/unrecognized payloads decode to nulls instead of failing the
+task: at 100 TB a handful of truncated files must not kill the stage —
+filter ``fmt IS NULL`` downstream to quarantine them.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -31,6 +42,7 @@ MEDIA_SCHEMA = T.StructType([
 
 FEATURE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
+    T.StructField("fmt", T.StringType(), True),
     T.StructField("width", T.IntegerType(), True),
     T.StructField("height", T.IntegerType(), True),
     T.StructField("n_frames", T.IntegerType(), True),
@@ -38,62 +50,210 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
-def documents_as_media(docs: DataFrame) -> DataFrame:
-    """Wrap the documents fixture as a media table (payload = utf-8 bytes)
-    so the binary plumbing is exercisable without image fixtures."""
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.lit("image").alias("media_type"),
-        F.struct(F.col("source").alias("source"),
-                 F.col("n_chars").cast("long").alias("bytes")).alias("meta"))
+# --------------------------------------------------------------- decoding
 
+def _gif_frame_count(b: bytes) -> int:
+    """Walk the GIF block structure and count image descriptors.
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
-    """Deterministic stand-in for a real decoder: dimensions derived from
-    the payload hash.  Replace with PIL/ffmpeg in a full container."""
-    h = hashlib.md5(payload or b"").hexdigest()
-    width = 64 + int(h[:4], 16) % 1920
-    height = 64 + int(h[4:8], 16) % 1080
-    n_frames = 1 + int(h[8:10], 16) % 16
-    return width, height, n_frames, h
-
-
-def decode_image(payload: bytes):
-    """Real decode stub — requires an imaging library not in this
-    container."""
-    raise NotImplementedError(
-        "image decoding requires pillow/opencv; use extract_features(..., "
-        "fake=True) for the deterministic test double")
-
-
-def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads.
-
-    ``mapInPandas`` keeps the transfer columnar; at scale, repartition by a
-    size-balanced key first so one giant video doesn't skew a task.
+    Blocks after the logical screen descriptor (+ optional global color
+    table): 0x21 extension (label + length-prefixed sub-blocks), 0x2C
+    image descriptor (9-byte header + optional local color table + LZW
+    min-code byte + sub-blocks), 0x3B trailer.
     """
-    if not fake:
-        decode_image(b"")  # raises NotImplementedError
+    if len(b) < 13:
+        return 1
+    i = 13
+    packed = b[10]
+    if packed & 0x80:                       # global color table
+        i += 3 * (2 ** ((packed & 0x07) + 1))
+    frames = 0
+    n = len(b)
+    while i < n:
+        t = b[i]
+        if t == 0x3B:                       # trailer
+            break
+        if t == 0x21:                       # extension block
+            i += 2
+            while i < n and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+        elif t == 0x2C:                     # image descriptor
+            frames += 1
+            if i + 10 > n:
+                break
+            lpacked = b[i + 9]
+            i += 10
+            if lpacked & 0x80:              # local color table
+                i += 3 * (2 ** ((lpacked & 0x07) + 1))
+            i += 1                          # LZW minimum code size
+            while i < n and b[i] != 0:      # data sub-blocks
+                i += 1 + b[i]
+            i += 1
+        else:                               # unknown block: stop walking
+            break
+    return max(frames, 1)
 
+
+def decode_image(payload) -> dict | None:
+    """Parse real image-container headers: BMP, PNG, GIF, JPEG.
+
+    Returns ``{"fmt", "width", "height", "n_frames"}`` read from the
+    actual bytes (big-endian IHDR for PNG, little-endian logical screen
+    descriptor for GIF, little-endian BITMAPINFOHEADER for BMP, the
+    first start-of-frame segment for JPEG; GIF frame count walks the
+    block structure).  ``None`` for unrecognized/truncated payloads —
+    callers surface that as null columns, never a task failure.
+
+    Pure stdlib on public formats; full pixel decode (rasters, EXIF
+    rotation, ICC) is explicitly out of scope without an imaging
+    library.
+    """
+    b = bytes(payload or b"")
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return {"fmt": "png", "width": w, "height": h, "n_frames": 1}
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 13:
+        w, h = struct.unpack("<HH", b[6:10])
+        return {"fmt": "gif", "width": w, "height": h,
+                "n_frames": _gif_frame_count(b)}
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        # negative height = top-down row order, dims still |h|
+        return {"fmt": "bmp", "width": w, "height": abs(h), "n_frames": 1}
+    if b[:2] == b"\xff\xd8":                # JPEG: scan marker segments
+        i = 2
+        n = len(b)
+        while i + 9 <= n and b[i] == 0xFF:
+            marker = b[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                i += 2
+                continue
+            seglen = struct.unpack(">H", b[i + 2:i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                return {"fmt": "jpeg", "width": w, "height": h,
+                        "n_frames": 1}
+            i += 2 + seglen
+    return None
+
+
+# ------------------------------------------------- container synthesizers
+# Deterministic, valid-enough files built with stdlib only — the test
+# fixtures for the real decoder (and the payloads documents_as_media
+# wraps around the documents fixture).
+
+def make_bmp(width: int, height: int) -> bytes:
+    """Complete 24-bit uncompressed BMP (BITMAPINFOHEADER, rows padded
+    to 4 bytes, deterministic pixel bytes)."""
+    row = (3 * width + 3) & ~3
+    size = 54 + row * height
+    header = (b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
+                            0, row * height, 2835, 2835, 0, 0))
+    body = bytes((7 * i) & 0xFF for i in range(row)) * height
+    return header + body
+
+
+def make_png(width: int, height: int) -> bytes:
+    """Complete valid PNG: 8-bit grayscale, one zlib IDAT, real CRCs."""
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes((x * 3 + y) & 0xFF
+                                   for x in range(width))
+                   for y in range(height))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def make_gif(width: int, height: int, n_frames: int = 1) -> bytes:
+    """Structurally valid GIF89a: logical screen descriptor, 2-entry
+    global color table, ``n_frames`` image descriptors each carrying a
+    minimal LZW data stream, trailer."""
+    out = [b"GIF89a", struct.pack("<HH", width, height),
+           bytes([0x80, 0, 0]),             # GCT flag, 2 entries
+           b"\x00\x00\x00\xff\xff\xff"]     # the color table
+    frame = (b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+             + b"\x00"                      # no local color table
+             + b"\x02"                      # LZW min code size
+             + b"\x02\x44\x01"              # one 2-byte data sub-block
+             + b"\x00")                     # block terminator
+    out.extend([frame] * max(1, n_frames))
+    out.append(b"\x3b")
+    return b"".join(out)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Wrap the documents fixture as a media table whose payloads are
+    REAL container bytes: format cycles bmp/png/gif by doc_id, the
+    dimensions are a pure function of ``n_chars`` (so a SQL oracle can
+    predict what the header decoder must read back), and GIFs carry
+    1-4 frames.  Arrow-batched synthesis — the builder is the same
+    mapInPandas shape a real ingest/decode stage has.
+    """
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, src, nch in zip(pdf["doc_id"], pdf["source"],
+                                     pdf["n_chars"]):
+                did, nch = int(did), int(nch)
+                w = 4 + nch % 60
+                h = 4 + (nch // 7) % 60
+                k = did % 3
+                if k == 0:
+                    payload = make_bmp(w, h)
+                elif k == 1:
+                    payload = make_png(w, h)
+                else:
+                    payload = make_gif(w, h, 1 + did % 4)
+                rows.append((did, payload, "image",
+                             {"source": src, "bytes": len(payload)}))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "media_type", "meta"])
+
+    return (docs.select("doc_id", "source", "n_chars")
+            .mapInPandas(build, schema=MEDIA_SCHEMA))
+
+
+# ------------------------------------------------------------- operators
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads: container
+    format, dimensions and frame count from the REAL headers
+    (:func:`decode_image`), plus an md5 payload fingerprint.
+    Unrecognized payloads yield null features.
+
+    ``mapInPandas`` keeps the transfer columnar; at scale, repartition by
+    a size-balanced key first so one giant video doesn't skew a task.
+    """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [(int(m), *_fake_decode(p))
-                    for m, p in zip(pdf["media_id"], pdf["payload"])]
-            out = pd.DataFrame(rows, columns=["media_id", "width", "height",
-                                              "n_frames", "feat_hash"])
-            yield out
+            rows = []
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_image(p)
+                fp = hashlib.md5(bytes(p or b"")).hexdigest()
+                if d is None:
+                    rows.append((int(m), None, None, None, None, fp))
+                else:
+                    rows.append((int(m), d["fmt"], d["width"], d["height"],
+                                 d["n_frames"], fp))
+            yield pd.DataFrame(rows, columns=["media_id", "fmt", "width",
+                                              "height", "n_frames",
+                                              "feat_hash"])
 
     return media.select("media_id", "payload").mapInPandas(
         run, schema=FEATURE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 4) -> DataFrame:
-    """Plan frame sampling: explode per-media frame indices (metadata only;
-    decoding stubbed).  Shows the fan-out shape: one row per kept frame."""
+    """Plan frame sampling from the real per-container frame counts:
+    explode per-media frame indices — one row per kept frame (the
+    fan-out shape of a video sampling stage)."""
     feats = extract_features(media)
     idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
-    return feats.select("media_id", F.explode(idx).alias("frame_idx"))
+    return (feats.where(F.col("n_frames").isNotNull())
+            .select("media_id", F.explode(idx).alias("frame_idx")))
 
 
 RESIZED_SCHEMA = T.StructType([
@@ -104,27 +264,30 @@ RESIZED_SCHEMA = T.StructType([
 ])
 
 
-def resize(media: DataFrame, max_side: int = 256,
-           fake: bool = True) -> DataFrame:
-    """Arrow-batched resize: payload in → (smaller) payload out, with the
-    scaled dimensions.  The pixel work is STUBBED (the fake keeps a
-    deterministic byte prefix proportional to the area ratio); the
-    Spark-side shape is the real one — a binary-to-binary mapInPandas
-    whose output batches are smaller than the input, which is exactly the
-    memory profile a thumbnailing stage has at scale.  Aspect ratio is
-    preserved; media already within ``max_side`` pass through unchanged.
-    """
-    if not fake:
-        decode_image(b"")  # raises NotImplementedError
+def resize(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Arrow-batched resize: payload in → (smaller) payload out, with
+    the scaled dimensions computed from the REAL header dims
+    (aspect-preserving, media already within ``max_side`` pass through).
 
+    The payload transform is a byte-proportional stand-in — true
+    resampling needs an imaging library this container doesn't ship —
+    but the Spark-side shape is the real one: a binary-to-binary
+    mapInPandas whose output batches shrink by the area ratio, exactly
+    the memory profile a thumbnailing stage has at scale.  Undecodable
+    payloads pass through with null dims.
+    """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = []
             for m, p in zip(pdf["media_id"], pdf["payload"]):
-                w, h, _, _ = _fake_decode(p)
-                scale = min(1.0, max_side / max(w, h))
-                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
                 body = bytes(p or b"")
+                d = decode_image(body)
+                if d is None:
+                    out_rows.append((int(m), body, None, None))
+                    continue
+                w, h = d["width"], d["height"]
+                scale = min(1.0, max_side / max(w, h, 1))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
                 keep = max(1, int(len(body) * scale * scale))
                 out_rows.append((int(m), body[:keep], nw, nh))
             yield pd.DataFrame(

@@ -1070,23 +1070,30 @@ def q_pagerank_top10(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Binary-column plumbing: Arrow-batched mapInPandas feature extraction
-    over payload bytes.  The deterministic fake decoder derives dims from
-    the payload md5, which DuckDB replays exactly via hex-prefix ints —
-    full SQL oracle despite the Python decode stage."""
+    """Binary-column plumbing with a REAL header decoder: payloads are
+    complete BMP/PNG/GIF containers synthesized from the documents
+    fixture (dims a pure function of n_chars, format cycling by doc_id,
+    GIF frame counts 1-4), and extract_features reads format, width,
+    height and frame count back out of the actual bytes
+    (struct-unpacked IHDR / logical screen descriptor /
+    BITMAPINFOHEADER; GIF block walk).  The oracle predicts the same
+    values from the construction arithmetic — a wrong parse fails the
+    hash."""
     from .operators.multimodal import documents_as_media, extract_features
     media = documents_as_media(_docs(spark, sf_dir))
-    return extract_features(media).select("media_id", "width", "height")
+    return extract_features(media).select(
+        "media_id", "fmt", "width", "height", "n_frames")
 
 
 def q_multimodal_resize(spark, sf_dir):
-    """Binary→binary resize stage (deterministic fake pixels): returns
-    the scaled dimensions per media row.  Scale math is pure IEEE-double
-    (min(1, 256/max(w,h)), floor) so the SQL oracle reproduces it
-    bit-exactly from the same md5-derived dims."""
+    """Binary→binary resize stage: scaled dimensions computed from the
+    REAL container headers (payload resampling stubbed — no imaging lib
+    in this container).  Scale math is pure IEEE-double
+    (min(1, 32/max(w,h)), floor) so the SQL oracle reproduces it
+    bit-exactly from the construction dims."""
     from .operators.multimodal import documents_as_media, resize
     media = documents_as_media(_docs(spark, sf_dir))
-    return resize(media, max_side=256).select("media_id", "width", "height")
+    return resize(media, max_side=32).select("media_id", "width", "height")
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -2532,23 +2539,23 @@ ORACLES: dict[str, str | None] = {
     """,
     "multimodal_features": """
         SELECT doc_id AS media_id,
-               CAST(64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1920
-                    AS INT) AS width,
-               CAST(64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1080
-                    AS INT) AS height
+               CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                    ELSE 'gif' END AS fmt,
+               CAST(4 + n_chars % 60 AS INT) AS width,
+               CAST(4 + (n_chars // 7) % 60 AS INT) AS height,
+               CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 4
+                         ELSE 1 END AS INT) AS n_frames
         FROM documents
     """,
     "multimodal_resize": """
         WITH dims AS (
           SELECT doc_id AS media_id,
-                 64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1920
-                     AS w,
-                 64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1080
-                     AS h
+                 4 + n_chars % 60 AS w,
+                 4 + (n_chars // 7) % 60 AS h
           FROM documents
         ), scaled AS (
           SELECT media_id, w, h,
-                 LEAST(1.0, 256.0 / GREATEST(w, h)) AS scale
+                 LEAST(1.0, 32.0 / GREATEST(w, h)) AS scale
           FROM dims
         )
         SELECT media_id,

@@ -139,6 +139,32 @@ def test_fingerprint_normalizes(spark):
     assert fps[0] == fps[1] != fps[2]
 
 
+def test_decode_image_real_headers():
+    """The decoder reads actual container bytes: round-trips the
+    synthesizers, handles BMP top-down (negative height), parses a JPEG
+    SOF segment, and returns None on garbage instead of raising."""
+    import struct
+    from graphydb_spark.operators.multimodal import (decode_image, make_bmp,
+                                                     make_gif, make_png)
+    assert decode_image(make_png(17, 9)) == {
+        "fmt": "png", "width": 17, "height": 9, "n_frames": 1}
+    assert decode_image(make_bmp(33, 21)) == {
+        "fmt": "bmp", "width": 33, "height": 21, "n_frames": 1}
+    assert decode_image(make_gif(12, 8, n_frames=3)) == {
+        "fmt": "gif", "width": 12, "height": 8, "n_frames": 3}
+    # top-down BMP: height stored negative, dims still positive
+    b = bytearray(make_bmp(10, 4))
+    b[22:26] = struct.pack("<i", -4)
+    assert decode_image(bytes(b))["height"] == 4
+    # minimal JPEG: SOI + SOF0 segment
+    jpg = (b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 11)
+           + b"\x08" + struct.pack(">HH", 31, 47) + b"\x01\x11\x00\x00")
+    assert decode_image(jpg) == {"fmt": "jpeg", "width": 47, "height": 31,
+                                 "n_frames": 1}
+    assert decode_image(b"not an image at all") is None
+    assert decode_image(b"") is None
+
+
 def test_multimodal_plumbing(docs):
     media = documents_as_media(
         docs.withColumn("source", F.lit("s")).withColumn("n_chars", F.length("text")))
@@ -146,19 +172,28 @@ def test_multimodal_plumbing(docs):
     assert len(feats) == 5
     by_id = {r["media_id"]: r for r in feats}
     assert by_id[0]["feat_hash"] == by_id[3]["feat_hash"]   # same payload
-    assert 64 <= by_id[0]["width"] < 64 + 1920
+    assert by_id[0]["fmt"] == "bmp" and by_id[1]["fmt"] == "png"
+    assert by_id[2]["fmt"] == "gif" and by_id[2]["n_frames"] == 3
+    assert 4 <= by_id[0]["width"] < 64
     frames = frame_sample_plan(media, every_n=4).collect()
     assert all(r["frame_idx"] % 4 == 0 for r in frames)
+    # corrupt payload → null features, not a task failure
+    bad = media.withColumn(
+        "payload",
+        F.when(F.col("media_id") == 0,
+               F.lit(b"garbage")).otherwise(F.col("payload")))
+    brow = {r["media_id"]: r for r in extract_features(bad).collect()}[0]
+    assert brow["fmt"] is None and brow["width"] is None
 
 
 def test_multimodal_resize(docs):
     from graphydb_spark.operators.multimodal import resize
     media = documents_as_media(
         docs.withColumn("source", F.lit("s")).withColumn("n_chars", F.length("text")))
-    out = {r["media_id"]: r for r in resize(media, max_side=128).collect()}
+    out = {r["media_id"]: r for r in resize(media, max_side=16).collect()}
     assert len(out) == 5
     for r in out.values():
-        assert max(r["width"], r["height"]) <= 128
+        assert max(r["width"], r["height"]) <= 16
         assert r["width"] >= 1 and r["height"] >= 1
     # same payload → same resize decision (deterministic)
     assert (out[0]["width"], out[0]["payload"]) == \
