@@ -318,6 +318,28 @@ def q_fts_phrase(spark, sf_dir):
                    as_df=True).select("uid")
 
 
+def q_fts_near(spark, sf_dir):
+    """F2 extension: FTS proximity match ``query NEAR/3 table`` (≤ 3
+    tokens strictly between, either order — FTS3 infix / FTS5 NEAR()
+    semantics).  Compiles to a positional band-join over per-term
+    postings; the DuckDB oracle replays it as a positional self-join on
+    the same tokenizer."""
+    g = tpch_graph(spark, sf_dir)
+    g.resetfts(nodefields=["text"])
+    return g.fetch("(d:Document)", d_fts="query NEAR/3 table",
+                   as_df=True).select("uid")
+
+
+def q_fts_colgroup(spark, sf_dir):
+    """F2 extension: FTS5 column-group syntax ``{text lang}: en`` —
+    the term may match in ANY of the listed fields.  Here: documents
+    whose text contains the token 'en' OR whose lang field is 'en'."""
+    g = tpch_graph(spark, sf_dir)
+    g.resetfts(nodefields=["text", "lang"])
+    return g.fetch("(d:Document)", d_fts="{text lang}: en",
+                   as_df=True).select("uid")
+
+
 def q_sliding_window(spark, sf_dir):
     """Sliding window (1 h window, 30 min slide) counts per type."""
     from .streaming.windows import sliding_counts
@@ -3153,6 +3175,33 @@ ORACLES: dict[str, str | None] = {
                 AND (sw_hits >= 2)) AS keep
         FROM m
     """,
+    # positional self-join replay of NEAR/3: ≤ 3 tokens strictly between
+    # occurrences of the two terms, either order (zip-unnested positions
+    # over the same tokenizer as the engine index)
+    "fts_near": (
+        """
+        WITH t AS (
+          SELECT doc_id, list_filter("""
+        + _TOKENIZE_DUCK.format(col="text") + """, x -> x != '') AS ws
+          FROM documents),
+        p AS (
+          SELECT doc_id, unnest(ws) AS tok,
+                 unnest(range(1, len(ws) + 1)) AS pos
+          FROM t)
+        SELECT DISTINCT 'Document:' || CAST(a.doc_id AS VARCHAR) AS uid
+        FROM p a JOIN p b ON a.doc_id = b.doc_id
+        WHERE a.tok = 'query' AND b.tok = 'table'
+          AND greatest(a.pos, b.pos) - least(a.pos, b.pos) - 1 <= 3
+    """),
+    "fts_colgroup": (
+        """
+        SELECT 'Document:' || CAST(doc_id AS VARCHAR) AS uid
+        FROM documents
+        WHERE list_contains(list_filter("""
+        + _TOKENIZE_DUCK.format(col="text") + """, x -> x != ''), 'en')
+           OR list_contains(list_filter("""
+        + _TOKENIZE_DUCK.format(col="lang") + """, x -> x != ''), 'en')
+    """),
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -3315,6 +3364,8 @@ QUERIES = {
     "assortativity_orders": q_assortativity,
     "cumulative_users": q_cumulative_users,
     "basket_lift": q_basket_lift,
+    "fts_near": q_fts_near,
+    "fts_colgroup": q_fts_colgroup,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -499,3 +499,53 @@ def test_transitivity_known_graphs(spark):
         "startuid string, enduid string")
     r2 = transitivity(star).first()
     assert r2["n_triangles"] == 0 and r2["transitivity"] == 0.0
+
+
+def test_fts_near_matching(spark):
+    from graphydb_spark.fts import build_index, match_uids
+    docs = spark.createDataFrame(
+        [("D:0", '{"t": "query the big data table now"}'),      # gap 3
+         ("D:1", '{"t": "query table"}'),                       # gap 0
+         ("D:2", '{"t": "query one two three four five table"}'),  # gap 5
+         ("D:3", '{"t": "table only here"}'),
+         ("D:4", '{"t": "query only here"}')],
+        "uid string, props string")
+    idx = build_index(docs, ["t"])
+
+    def hits(q):
+        return {r["uid"] for r in match_uids(idx, q).collect()}
+
+    assert hits("query NEAR/0 table") == {"D:1"}
+    assert hits("query NEAR/3 table") == {"D:0", "D:1"}
+    assert hits("NEAR(query table, 5)") == {"D:0", "D:1", "D:2"}
+    assert hits("NEAR(query table)") == {"D:0", "D:1", "D:2"}  # default 10
+    # order-insensitive
+    assert hits("table NEAR/3 query") == {"D:0", "D:1"}
+    # chained infix: both gaps must hold around the shared middle term
+    assert hits("query NEAR/1 big NEAR/1 table") == {"D:0"}
+    # composes with booleans
+    assert hits("query NEAR/3 table OR here") == {"D:0", "D:1", "D:3", "D:4"}
+    # phrase participant
+    assert hits('NEAR("big data" table, 1)') == {"D:0"}
+
+
+def test_fts_column_group(spark):
+    from graphydb_spark.fts import build_index, match_uids, parse_match
+    docs = spark.createDataFrame(
+        [("D:0", '{"title": "spark engine", "body": "slow stuff"}'),
+         ("D:1", '{"title": "duck engine", "body": "spark inside"}'),
+         ("D:2", '{"title": "plain", "body": "plain"}')],
+        "uid string, props string")
+    idx = build_index(docs, ["title", "body"])
+
+    def hits(q):
+        return {r["uid"] for r in match_uids(idx, q).collect()}
+
+    assert hits("{title body}: spark") == {"D:0", "D:1"}
+    assert hits("{title}: spark") == {"D:0"}
+    assert hits("body: spark") == {"D:1"}
+    # group + phrase
+    assert hits('{title body}: "spark engine"') == {"D:0"}
+    # parse shape: field is a tuple
+    [(_, [(neg, field, term, prefix)])] = parse_match("{a b}: x")
+    assert field == ("a", "b") and term == "x" and not neg and not prefix
