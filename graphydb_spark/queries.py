@@ -1081,13 +1081,16 @@ def q_pagerank_nations(spark, sf_dir):
 
 
 def q_pagerank_top10(spark, sf_dir):
-    """PageRank over the Placed/Contains graph — rows-only oracle
-    (iterative float algorithm)."""
+    """PageRank over the Placed/Contains graph, top-10 nodes.  The
+    DuckDB oracle replays the SAME 5 unrolled power iterations
+    (dangling-mass scalar per round, damping 0.85, ranks init 1.0);
+    ordering is on round(rank, 6) + uid so engine-order float-summation
+    noise (~1e-13) cannot flip the comparison."""
     g = tpch_graph(spark, sf_dir)
     nodes = g.nodes_df.where(F.col("kind").isin("Customer", "Order", "Part"))
     edges = g.edges_df.where(F.col("kind").isin("Placed", "Contains"))
     pr = graph_algos.pagerank(nodes, edges, iters=5)
-    return (pr.orderBy(F.col("rank").desc(), F.col("uid")).limit(10)
+    return (pr.orderBy(F.round("rank", 6).desc(), F.col("uid")).limit(10)
             .select("uid"))
 
 
@@ -1823,9 +1826,9 @@ def q_transitivity(spark, sf_dir):
 def q_k_core(spark, sf_dir):
     """k-core of the Order–Part bipartite graph (k=6): orders with ≥6
     distinct parts that themselves appear in ≥6 surviving orders, to
-    fixpoint.  Rows-only (the peel-to-fixpoint loop recomputes degrees
-    over a shrinking edge set — not expressible as a recursive CTE);
-    semantics pinned by the planted clique-plus-tail unit test."""
+    fixpoint.  The DuckDB oracle unrolls the peel (idempotent after
+    the fixpoint, so over-unrolling is exact); semantics additionally
+    pinned by the planted clique-plus-tail unit test."""
     from .operators.graph_algos import k_core
     g = tpch_graph(spark, sf_dir)
     nodes = g.nodes_df.where(F.col("kind").isin("Order", "Part"))
@@ -1888,10 +1891,10 @@ def q_unigram_logprob(spark, sf_dir):
 def q_label_propagation(spark, sf_dir):
     """Community detection by deterministic synchronous label
     propagation (majority label, ties to smallest) on the
-    Customer-Nation-Region graph; returns community sizes.  Rows-only:
-    the per-round windowed argmax dynamics aren't SQL-replayable, but
-    the result is bit-deterministic (tie-break + synchronous rounds)
-    and the planted-community unit test pins the semantics."""
+    Customer-Nation-Region graph; returns community sizes.  The
+    DuckDB oracle replays the same 4 synchronous rounds as unrolled
+    CTEs (integer counts + the same argmax tie-break → bit-identical
+    on any engine)."""
     from .operators.graph_algos import label_propagation
     g = tpch_graph(spark, sf_dir)
     nodes = g.nodes_df.where(
@@ -1906,29 +1909,159 @@ def q_approx_distinct_users(spark, sf_dir):
     type at 1% target error.  Sketches merge associatively, so the
     partial aggregation is a fixed-size sketch per partition — the
     cardinality operator that stays cheap at 100 TB where exact
-    COUNT(DISTINCT) must shuffle every key.  Rows-only check: the HLL
-    estimate is implementation-specific (error bound asserted in
-    tests/test_operators.py against the exact count)."""
+    COUNT(DISTINCT) must shuffle every key.
+
+    Hash-match oracle via BRACKETING: the query emits the exact count
+    plus a boolean asserting the HLL estimate lands within 5× the
+    target error (the sketch value itself is implementation-specific,
+    the bound is not); the oracle replays the exact count and TRUE."""
     ev = _events(spark, sf_dir)
     return (ev.groupBy("event_type")
             .agg(F.approx_count_distinct("user_id", rsd=0.01)
-                 .alias("approx_users")))
+                 .alias("approx"),
+                 F.countDistinct("user_id").alias("n_exact"))
+            .select("event_type", "n_exact",
+                    ((F.abs(F.col("approx") - F.col("n_exact"))
+                      / F.col("n_exact")) <= 0.05).alias("approx_ok")))
 
 
 def q_approx_percentiles(spark, sf_dir):
     """Approximate percentiles (Greenwald-Khanna sketch) of order value:
     p50/p95/p99 at accuracy 10000.  Same scale story as HLL — bounded
-    sketch per partition instead of a global sort.  Rows-only check
-    (sketch-specific); tests assert the estimates bracket the exact
-    order statistics."""
+    sketch per partition instead of a global sort.
+
+    Hash-match oracle via BRACKETING: GK at accuracy a guarantees rank
+    error ≤ n/a (~15 ranks here); the query asserts each estimate falls
+    inside the exact ±0.002-rank-fraction interval (±300 ranks — 20×
+    headroom) and emits the booleans + row count; the oracle replays
+    TRUE + the count."""
     t = load_tables(spark, sf_dir)
-    return t["orders"].agg(
+    a = t["orders"].agg(
         F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000)
-        .alias("pcts"))
+        .alias("p"),
+        F.expr("percentile(o_totalprice, "
+               "array(0.498, 0.502, 0.948, 0.952, 0.988, 0.992))")
+        .alias("x"),
+        F.count("*").alias("n_orders"))
+    p, x = F.col("p"), F.col("x")
+    return a.select(
+        "n_orders",
+        ((x[0] <= p[0]) & (p[0] <= x[1])).alias("p50_ok"),
+        ((x[2] <= p[1]) & (p[1] <= x[3])).alias("p95_ok"),
+        ((x[4] <= p[2]) & (p[2] <= x[5])).alias("p99_ok"))
 
 
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect-compatible ANSI)
+
+def _pagerank_top10_sql(iters: int = 5, d: float = 0.85) -> str:
+    """Unrolled power iteration replaying graph_algos.pagerank exactly:
+    ranks init 1.0, per-round dangling-mass scalar, base = 1-d +
+    d·dangling/N, contributions rank/outdeg over the raw (non-distinct)
+    edge rows."""
+    parts = [
+        """nodes AS (
+          SELECT 'Customer:' || CAST(c_custkey AS VARCHAR) AS uid
+          FROM customer
+          UNION ALL
+          SELECT 'Order:' || CAST(o_orderkey AS VARCHAR) FROM orders
+          UNION ALL
+          SELECT 'Part:' || CAST(p_partkey AS VARCHAR) FROM part)""",
+        """edges AS (
+          SELECT 'Customer:' || CAST(o_custkey AS VARCHAR) AS src,
+                 'Order:' || CAST(o_orderkey AS VARCHAR) AS dst
+          FROM orders
+          UNION ALL
+          SELECT 'Order:' || CAST(l_orderkey AS VARCHAR),
+                 'Part:' || CAST(l_partkey AS VARCHAR)
+          FROM lineitem)""",
+        "odeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "r0 AS (SELECT uid, 1.0 AS rank FROM nodes)"]
+    for i in range(iters):
+        parts.append(f"""d{i} AS MATERIALIZED (
+          SELECT COALESCE(SUM(r.rank), 0) AS dm FROM r{i} r
+          LEFT JOIN odeg o ON o.src = r.uid WHERE o.src IS NULL)""")
+        parts.append(f"""r{i + 1} AS MATERIALIZED (
+          SELECT n.uid,
+                 (1 - {d}) + {d} * (SELECT dm FROM d{i}) / (SELECT n FROM nn)
+                 + {d} * COALESCE(inc.s, 0) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS uid, SUM(r.rank / o.deg) AS s
+            FROM edges e
+            JOIN r{i} r ON r.uid = e.src
+            JOIN odeg o ON o.src = e.src
+            GROUP BY e.dst) inc ON inc.uid = n.uid)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT uid FROM r{iters} "
+              "ORDER BY round(rank, 6) DESC, uid LIMIT 10")
+
+
+def _label_propagation_sql(iters: int = 4) -> str:
+    """Unrolled synchronous LPA replaying graph_algos.label_propagation:
+    per round every node adopts its neighborhood's most frequent label,
+    ties to the smallest label string; isolated nodes keep their uid."""
+    parts = [
+        """nodes AS (
+          SELECT 'Customer:' || CAST(c_custkey AS VARCHAR) AS uid
+          FROM customer
+          UNION ALL
+          SELECT 'Nation:' || CAST(n_nationkey AS VARCHAR) FROM nation
+          UNION ALL
+          SELECT 'Region:' || CAST(r_regionkey AS VARCHAR) FROM region)""",
+        """de AS (
+          SELECT 'Customer:' || CAST(c_custkey AS VARCHAR) AS src,
+                 'Nation:' || CAST(c_nationkey AS VARCHAR) AS dst
+          FROM customer
+          UNION ALL
+          SELECT 'Nation:' || CAST(n_nationkey AS VARCHAR),
+                 'Region:' || CAST(n_regionkey AS VARCHAR)
+          FROM nation)""",
+        """sym AS (SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM de
+          UNION ALL SELECT dst, src FROM de))""",
+        "l0 AS (SELECT uid, uid AS label FROM nodes)"]
+    for i in range(iters):
+        parts.append(f"""l{i + 1} AS MATERIALIZED (
+          SELECT n.uid, COALESCE(b.lab, n.uid) AS label
+          FROM nodes n LEFT JOIN (
+            SELECT uid, lab FROM (
+              SELECT uid, lab,
+                     ROW_NUMBER() OVER (PARTITION BY uid
+                                        ORDER BY c DESC, lab) AS rn
+              FROM (SELECT s.dst AS uid, l.label AS lab, COUNT(*) AS c
+                    FROM sym s JOIN l{i} l ON l.uid = s.src
+                    GROUP BY s.dst, l.label))
+            WHERE rn = 1) b ON b.uid = n.uid)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT label, COUNT(*) AS n_members "
+              f"FROM l{iters} GROUP BY label")
+
+
+def _k_core_sql(k: int = 6, rounds: int = 16) -> str:
+    """Unrolled peel replaying graph_algos.k_core: round i keeps nodes
+    with ≥ k distinct neighbors in the surviving subgraph.  Peeling is
+    idempotent after its fixpoint, so unrolling more rounds than the
+    actual peel depth is exact (the engine-side loop warns if 30 rounds
+    ever stop short; this fixture peels in far fewer)."""
+    parts = ["""e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+          SELECT 'Order:' || CAST(l_orderkey AS VARCHAR) AS src,
+                 'Part:' || CAST(l_partkey AS VARCHAR) AS dst
+          FROM lineitem
+          UNION ALL
+          SELECT 'Part:' || CAST(l_partkey AS VARCHAR),
+                 'Order:' || CAST(l_orderkey AS VARCHAR)
+          FROM lineitem))"""]
+    for i in range(rounds):
+        parts.append(f"""k{i} AS MATERIALIZED (
+          SELECT src AS uid FROM e{i} GROUP BY src HAVING COUNT(*) >= {k})""")
+        parts.append(f"""e{i + 1} AS MATERIALIZED (
+          SELECT e.src, e.dst FROM e{i} e
+          JOIN k{i} a ON a.uid = e.src
+          JOIN k{i} b ON b.uid = e.dst)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT DISTINCT src AS uid FROM e{rounds}")
+
 
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
@@ -2448,7 +2581,7 @@ ORACLES: dict[str, str | None] = {
         )
         SELECT src AS uid, MIN(dst) AS component FROM reach GROUP BY src
     """,
-    "pagerank_top10": None,
+    "pagerank_top10": _pagerank_top10_sql(),
     "contamination": """
         WITH toks AS (
           SELECT doc_id, list_filter(
@@ -3202,6 +3335,18 @@ ORACLES: dict[str, str | None] = {
            OR list_contains(list_filter("""
         + _TOKENIZE_DUCK.format(col="lang") + """, x -> x != ''), 'en')
     """),
+    "label_propagation": _label_propagation_sql(),
+    "k_core_orders": _k_core_sql(),
+    "approx_distinct_users": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+               TRUE AS approx_ok
+        FROM events GROUP BY event_type
+    """,
+    "approx_percentiles": """
+        SELECT COUNT(*) AS n_orders, TRUE AS p50_ok, TRUE AS p95_ok,
+               TRUE AS p99_ok
+        FROM orders
+    """,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
