@@ -82,6 +82,15 @@ def get_spark(app: str = "graphydb_spark", cpus: int | None = None) -> SparkSess
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # celebrity-node protection for graph pattern chains: AQE's
+        # skew-join split stays on, and we let it apply even when the
+        # split breaks a downstream stage's co-partitioning — pattern
+        # chains join a DIFFERENT key at every hop, so the preserved
+        # partitioning is rarely reusable anyway and the extra exchange
+        # it may introduce is bounded by the straggler it removes
+        # (regression-tested in test_plan_shapes on a power-law graph)
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
         # respect the advisory partition size rather than maximizing
         # parallelism: fewer, right-sized post-shuffle partitions — the
         # recommended production setting, and it cuts small-task scheduling

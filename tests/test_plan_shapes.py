@@ -93,3 +93,67 @@ def test_tpch_q5_fact_pruned_before_fact_join(spark):
     # no cartesian fallbacks
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pattern_join_skew_split_on_power_law_graph(spark):
+    """The 100x celebrity-node risk for pattern chains: one node owning
+    75% of all edges must trigger AQE's skew-join partition split on the
+    chain-compiled join (thresholds lowered so toy data exhibits the
+    production shape).  Without the split, the hot startuid partition is
+    one straggler task."""
+    from pyspark.sql import functions as F
+    from graphydb_spark import Graph
+
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes")}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "8k")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+
+        n_users, hub_edges, tail_edges = 2000, 60000, 20000
+        base = [F.lit(0.0).alias("ctime"), F.lit(0.0).alias("mtime"),
+                F.lit("{}").alias("props")]
+        nodes = (spark.range(n_users)
+                 .select(F.concat(F.lit("U:"), F.col("id").cast("string"))
+                         .alias("uid"), F.lit("User").alias("kind"), *base))
+        hub = (spark.range(hub_edges)
+               .select(F.concat(F.lit("E:h"), F.col("id").cast("string"))
+                       .alias("uid"), F.lit("Follows").alias("kind"),
+                       F.lit("U:0").alias("startuid"),
+                       F.concat(F.lit("U:"),
+                                (F.col("id") % (n_users - 1) + 1)
+                                .cast("string")).alias("enduid"), *base))
+        tail = (spark.range(tail_edges)
+                .select(F.concat(F.lit("E:t"), F.col("id").cast("string"))
+                        .alias("uid"), F.lit("Follows").alias("kind"),
+                        F.concat(F.lit("U:"), (F.col("id") % n_users)
+                                 .cast("string")).alias("startuid"),
+                        F.concat(F.lit("U:"), ((F.col("id") * 7) % n_users)
+                                 .cast("string")).alias("enduid"), *base))
+        cols = ["uid", "kind", "startuid", "enduid", "ctime", "mtime",
+                "props"]
+        g = Graph.from_dataframes(
+            spark, nodes, hub.unionByName(tail).select(*cols))
+        df = g.fetch("[a:User] -(f:Follows)> (b:User)", as_df=True)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
