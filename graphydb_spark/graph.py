@@ -25,6 +25,7 @@ mutation sessions don't accrete unbounded plans.
 from __future__ import annotations
 
 import json
+import os
 import time
 from typing import Any, Optional
 
@@ -85,14 +86,24 @@ class Graph:
         self.spark = spark
         _GRAPH_SEQ[0] += 1
         self._gid = _GRAPH_SEQ[0]
+        self.path = path
         self.reset()
         if path is not None:
             self._known_node_uids = None
             self._known_edge_uids = None
             # select() restores column order (partitionBy moves kind last);
             # a typed pstruct column (columnar props shadow) rides along
-            nraw = spark.read.parquet(f"{path}/nodes")
-            eraw = spark.read.parquet(f"{path}/edges")
+            # an empty table partitioned by kind writes no data files, so
+            # the read can't infer a schema — fall back to the fixed one
+            # (the schemas are engine invariants, not file properties)
+            try:
+                nraw = spark.read.parquet(f"{path}/nodes")
+            except Exception:
+                nraw = spark.createDataFrame([], NODE_SCHEMA)
+            try:
+                eraw = spark.read.parquet(f"{path}/edges")
+            except Exception:
+                eraw = spark.createDataFrame([], EDGE_SCHEMA)
             self._nodes_df = nraw.select(
                 *[f.name for f in NODE_SCHEMA.fields],
                 *(["pstruct"] if "pstruct" in nraw.columns else []))
@@ -230,6 +241,8 @@ class Graph:
         self.spark.createDataFrame(
             [(json.dumps(meta, sort_keys=True),)], "meta string") \
             .coalesce(1).write.mode(mode).json(f"{path}/meta")
+        # the graph is now disk-backed: stats can report the footprint
+        self.path = path
 
     def write_bucketed(self, n_buckets: int = 16,
                        node_table: str = "gdb_nodes_bucketed",
@@ -860,7 +873,7 @@ class Graph:
                      self._nodes_df.groupBy("kind").count().collect()}
         edgekinds = {r["kind"]: r["count"] for r in
                      self._edges_df.groupBy("kind").count().collect()}
-        return {
+        out = {
             "nodes": sum(nodekinds.values()),
             "edges": sum(edgekinds.values()),
             "nodekinds": nodekinds,
@@ -868,6 +881,22 @@ class Graph:
             "changes": len(self._changes),
             "spark_version": self.spark.version,
         }
+        if self.path is not None:
+            # reference parity (graphydb.py:719-731): on-disk footprint,
+            # human-formatted with the same B/K/M break points
+            size = 0
+            for sub in ("nodes", "edges", "meta"):
+                d = os.path.join(self.path, sub)
+                for root, _dirs, files in os.walk(d):
+                    size += sum(os.path.getsize(os.path.join(root, f))
+                                for f in files)
+            if size < 1000:
+                out["file_size"] = f"{size}B"
+            elif size < 1000000:
+                out["file_size"] = f"{size // 1000}K"
+            else:
+                out["file_size"] = f"{size // 1000000}M"
+        return out
 
     # ----------------------------------------------------- batch analytics
     # Thin facades over operators.graph_algos (beyond-reference extension,

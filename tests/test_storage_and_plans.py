@@ -88,3 +88,21 @@ def test_fetch_whole_stage_codegen(spark):
                  as_df=True)
     rep = plan_report(df)
     assert rep["codegen_stages"] >= 1
+
+
+def test_stats_file_size_when_disk_backed(spark, tmp_path):
+    """Reference parity (graphydb.py:719-731): stats reports the on-disk
+    footprint with the same B/K/M formatting once the graph is backed by
+    a path; in-memory graphs omit it."""
+    from graphydb_spark import Graph
+    g = Graph(spark)
+    assert "file_size" not in g.stats
+    for i in range(50):
+        g.Node("P", name=f"n{i}", blob="x" * 200).save()
+    p = str(tmp_path / "gdb")
+    g.write(p)
+    s = g.stats
+    assert "file_size" in s
+    assert s["file_size"].endswith(("B", "K", "M"))
+    g2 = Graph.open(spark, p)
+    assert g2.stats["file_size"] == s["file_size"]
