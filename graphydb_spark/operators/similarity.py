@@ -20,6 +20,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def vec_lit(v: list[float]) -> F.Column:
+    """A query vector / plane as ONE array literal node.
+
+    ``F.array(*[F.lit(x) …])`` builds dim separate Literal expressions —
+    at dim 4096 (× bits planes) the codegen expression tree is enormous.
+    ``F.lit(list)`` is a single typed ArrayType Literal: constant size in
+    the plan regardless of dimensionality, same broadcast-by-value
+    semantics."""
+    return F.lit([float(x) for x in v])
+
+
 def dot_expr(a: str | F.Column, b: str | F.Column) -> F.Column:
     """Sequential-fold dot product (deterministic; JVM-side)."""
     az = F.col(a) if isinstance(a, str) else a
@@ -46,11 +57,12 @@ def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
                 exclude_ids: list | None = None) -> DataFrame:
     """Exact top-k by cosine against a literal query vector.
 
-    The query vector is inlined as an array literal (broadcast by value);
+    The query vector is inlined as one array-literal node (broadcast by
+    value, constant plan size at any dim — see vec_lit);
     ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — each
     partition keeps only k rows, no global sort.
     """
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = vec_lit(query_vec)
     out = emb
     if exclude_ids:
         out = out.where(~F.col(id_col).isin(exclude_ids))
@@ -66,15 +78,20 @@ def _random_hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
 
 
 def lsh_bucket_col(vec_col: str, planes: list[list[float]]) -> F.Column:
-    """Sign-pattern bucket id for random-hyperplane LSH."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(v)) for v in plane])
-        bit = F.when(dot_expr(p, F.col(vec_col)) >= 0,
-                     F.shiftleft(F.lit(1).cast("long"), i)) \
-               .otherwise(F.lit(0).cast("long"))
-        bucket = bucket.bitwiseOR(bit)
-    return bucket
+    """Sign-pattern bucket id for random-hyperplane LSH.
+
+    The plane matrix is ONE nested array literal folded with
+    transform/aggregate (MSB-first: plane 0 is the highest bit), so the
+    expression tree is O(1) in dim and bits — not dim x bits literal
+    nodes.  Python-side bucketing (ann_topk) mirrors the same fold."""
+    planes_lit = F.lit([[float(v) for v in p] for p in planes])
+    bits_arr = F.transform(
+        planes_lit,
+        lambda p, _i: F.when(dot_expr(p, F.col(vec_col)) >= 0,
+                             F.lit(1).cast("long"))
+                       .otherwise(F.lit(0).cast("long")))
+    return F.aggregate(bits_arr, F.lit(0).cast("long"),
+                       lambda acc, b: acc * 2 + b)
 
 
 def ann_index(emb: DataFrame, dim: int, bits: int = 8, seed: int = 42,
@@ -105,17 +122,19 @@ def ivf_index(emb: DataFrame, k: int = 16, iters: int = 3,
     dim = len(centroids[0])
 
     def assign_col(cents: list[list[float]]) -> F.Column:
-        # argmin over squared L2 — one struct per centroid, array_min picks
-        best = F.array_min(F.array(*[
-            F.struct(
+        # argmin over squared L2: the centroid matrix is ONE nested array
+        # literal; transform-with-index builds (dist, idx) structs and
+        # array_min picks the smallest — O(1) plan size in k and dim
+        cents_lit = F.lit([[float(v) for v in c] for c in cents])
+        best = F.array_min(F.transform(
+            cents_lit,
+            lambda c, i: F.struct(
                 F.aggregate(
-                    F.zip_with(F.array(*[F.lit(float(v)) for v in c]),
-                               F.col(vec_col),
+                    F.zip_with(c, F.col(vec_col),
                                lambda a, x: (a - x.cast("double"))
                                * (a - x.cast("double"))),
                     F.lit(0.0), lambda acc, v: acc + v).alias("d"),
-                F.lit(i).alias("c"))
-            for i, c in enumerate(cents)]))
+                i.cast("int").alias("c"))))
         return best["c"]
 
     for _ in range(iters):
@@ -138,7 +157,7 @@ def ivf_topk(indexed: DataFrame, centroids: list[list[float]],
     dists = [(i, sum((a - b) ** 2 for a, b in zip(c, query_vec)))
              for i, c in enumerate(centroids)]
     probes = [i for i, _ in sorted(dists, key=lambda t: t[1])[:nprobe]]
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = vec_lit(query_vec)
     cand = indexed.where(F.col("cluster").isin(probes))
     return (cand.withColumn("cosine", cosine_expr(q, F.col(vec_col)))
                 .select(id_col, "cosine")
@@ -152,15 +171,14 @@ def ann_topk(indexed: DataFrame, planes: list[list[float]],
     """Probe the query's bucket (± buckets within ``probe_hamming`` bit
     flips), then exact cosine re-rank inside the candidate set."""
     qbucket = 0
-    for i, plane in enumerate(planes):
+    for plane in planes:                  # MSB-first, mirrors lsh_bucket_col
         dot = sum(p * q for p, q in zip(plane, query_vec))
-        if dot >= 0:
-            qbucket |= 1 << i
+        qbucket = qbucket * 2 + (1 if dot >= 0 else 0)
     probes = {qbucket}
     if probe_hamming >= 1:
         for i in range(len(planes)):
             probes.add(qbucket ^ (1 << i))
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = vec_lit(query_vec)
     cand = indexed.where(F.col("bucket").isin(list(probes)))
     return (cand.withColumn("cosine", cosine_expr(q, F.col(vec_col)))
                 .select(id_col, "cosine")
