@@ -493,3 +493,74 @@ def transitivity(edges_df: DataFrame, src_col: str = "startuid",
                     F.round(F.lit(3) * F.col("n_triangles")
                             / F.greatest(F.col("n_wedges"), F.lit(1)), 6)
                     .alias("transitivity")))
+
+
+def hits(edges_df: DataFrame, iters: int = 5,
+         src_col: str = "startuid", dst_col: str = "enduid") -> DataFrame:
+    """HITS hubs-and-authorities over the directed edge list →
+    ``(uid, hub, authority)``.
+
+    Classic synchronous power iteration: auth(v) = Σ hub(u) over
+    in-edges, then hub(u) = Σ auth(v) over out-edges, each side
+    sum-normalized per round (order-independent up to float summation
+    noise — consumers should compare at ≤6 dp, like pagerank).  The
+    edge list is materialized once, hash-partitioned on each join key's
+    side; per round only the node-sized score frames shuffle.
+    """
+    edges = (edges_df.select(F.col(src_col).alias("src"),
+                             F.col(dst_col).alias("dst"))
+             .localCheckpoint(eager=True))
+    nodes = (edges.select(F.col("src").alias("uid"))
+             .unionByName(edges.select(F.col("dst").alias("uid")))
+             .distinct().localCheckpoint(eager=True))
+    hub = nodes.withColumn("h", F.lit(1.0))
+    auth = nodes.withColumn("a", F.lit(1.0))
+    for _ in range(iters):
+        a_new = (edges.join(hub.withColumnRenamed("uid", "src"), "src")
+                 .groupBy(F.col("dst").alias("uid"))
+                 .agg(F.sum("h").alias("a")))
+        a_tot = a_new.agg(F.sum("a")).collect()[0][0] or 1.0
+        auth = (nodes.join(a_new, "uid", "left")
+                .select("uid", (F.coalesce(F.col("a"), F.lit(0.0))
+                                / F.lit(float(a_tot))).alias("a"))
+                .localCheckpoint(eager=True))
+        h_new = (edges.join(auth.withColumnRenamed("uid", "dst"), "dst")
+                 .groupBy(F.col("src").alias("uid"))
+                 .agg(F.sum("a").alias("h")))
+        h_tot = h_new.agg(F.sum("h")).collect()[0][0] or 1.0
+        hub = (nodes.join(h_new, "uid", "left")
+               .select("uid", (F.coalesce(F.col("h"), F.lit(0.0))
+                               / F.lit(float(h_tot))).alias("h"))
+               .localCheckpoint(eager=True))
+    return (nodes.join(hub, "uid", "left").join(auth, "uid", "left")
+            .select("uid", F.coalesce(F.col("h"), F.lit(0.0)).alias("hub"),
+                    F.coalesce(F.col("a"), F.lit(0.0)).alias("authority")))
+
+
+def adamic_adar(edges_df: DataFrame, max_junction_degree: int = 4096,
+                src_col: str = "startuid",
+                dst_col: str = "enduid") -> DataFrame:
+    """Link prediction over a bipartite edge list: for every pair of
+    ``src`` nodes sharing ≥1 ``dst`` neighbor, the Adamic-Adar score
+    Σ 1/ln(deg(z)) over shared neighbors z (rarer shared neighbors
+    weigh more; deg is the junction's src-side degree).
+
+    The wedge self-join rides the junction key, guarded by the same
+    quadratic-blowup cap as the other pair-expansion operators
+    (``cap_group_size``): junctions above ``max_junction_degree``
+    distinct src nodes are excluded before the join.  deg(z) < 2 cannot
+    produce a shared pair, so ln is always of ≥2 — no division hazards.
+    """
+    from .relational import cap_group_size
+    e = (edges_df.select(F.col(src_col).alias("s"),
+                         F.col(dst_col).alias("z")).distinct())
+    e = cap_group_size(e, "z", max_junction_degree)
+    deg = e.groupBy("z").agg(F.count("*").alias("d"))
+    ew = (e.join(deg.where(F.col("d") >= 2), "z")
+          .withColumn("w", F.lit(1.0) / F.log(F.col("d"))))
+    a, b = ew.alias("a"), ew.alias("b")
+    return (a.join(b, (F.col("a.z") == F.col("b.z"))
+                   & (F.col("a.s") < F.col("b.s")))
+            .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+            .agg(F.round(F.sum(F.col("a.w")), 6).alias("aa_score"),
+                 F.count("*").alias("common")))

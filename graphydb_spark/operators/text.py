@@ -139,3 +139,35 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
         id_col, "chunk_id",
         F.array_join("_chunk", " ").alias("chunk_text"),
         F.size("_chunk").cast("long").alias("n_tokens"))
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 2) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of all
+    n-grams claimed by the single most frequent n-gram (``top_frac``)
+    and the fraction sitting in n-grams that occur more than once
+    (``dup_frac``).  Boilerplate, keyword-stuffed and looping generative
+    text light up both; natural prose stays low.
+
+    Shape: explode n-grams → count per (doc, gram) → two per-doc ratios.
+    The grouping key contains the document id and documents are
+    contiguous within partitions, so partial aggregation collapses the
+    n-gram stream before the shuffle — shuffled bytes ≈ distinct grams
+    per document, linear in corpus size.
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda _t, i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    per_gram = (df.select(F.col(id_col), F.explode(grams).alias("gram"))
+                .groupBy(id_col, "gram").agg(F.count("*").alias("c")))
+    return (per_gram.groupBy(id_col)
+            .agg(F.max("c").alias("_top"),
+                 F.sum("c").alias("_tot"),
+                 F.sum(F.when(F.col("c") > 1, F.col("c"))
+                       .otherwise(F.lit(0))).alias("_dup"))
+            .select(id_col,
+                    F.round(F.col("_top") / F.col("_tot"), 6)
+                    .alias("top_frac"),
+                    F.round(F.col("_dup") / F.col("_tot"), 6)
+                    .alias("dup_frac")))

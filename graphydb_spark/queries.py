@@ -340,6 +340,45 @@ def q_fts_colgroup(spark, sf_dir):
                    as_df=True).select("uid")
 
 
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition signals: per-document top-2-gram share
+    and duplicated-2-gram share, with the keep decision (top ≤ 0.2 AND
+    dup ≤ 0.6).  Explode → per-(doc, gram) count → two ratios; the
+    doc id rides the grouping key so partial aggregation collapses
+    the gram stream before the shuffle."""
+    from .operators.text import repetition_stats
+    docs = _docs(spark, sf_dir)
+    st = repetition_stats(docs, "doc_id", "text", n=2)
+    return st.select(
+        "doc_id", "top_frac", "dup_frac",
+        ((F.col("top_frac") <= 0.2) & (F.col("dup_frac") <= 0.6))
+        .alias("keep"))
+
+
+def q_hits_authorities(spark, sf_dir):
+    """HITS hubs/authorities over the Contains graph (orders are hubs,
+    parts authorities): top-10 authorities.  The oracle replays the
+    same 5 sum-normalized synchronous rounds unrolled; scores compare
+    at 6 dp (float-summation-order tolerance, as pagerank)."""
+    g = tpch_graph(spark, sf_dir)
+    edges = g.edges_df.where(F.col("kind") == "Contains")
+    h = graph_algos.hits(edges, iters=5)
+    return (h.select("uid", F.round("authority", 6).alias("authority"))
+            .orderBy(F.col("authority").desc(), "uid").limit(10))
+
+
+def q_link_prediction(spark, sf_dir):
+    """Adamic-Adar link prediction between orders sharing parts: score
+    = Σ 1/ln(orders-per-shared-part) — rarer co-parts weigh more.
+    Junction degrees above 4096 are excluded before the wedge join
+    (cap_group_size guard, replayed by the oracle)."""
+    g = tpch_graph(spark, sf_dir)
+    edges = g.edges_df.where(F.col("kind") == "Contains")
+    aa = graph_algos.adamic_adar(edges, max_junction_degree=4096)
+    return (aa.orderBy(F.col("aa_score").desc(), "u", "v").limit(20)
+            .select("u", "v", "aa_score", "common"))
+
+
 def q_sliding_window(spark, sf_dir):
     """Sliding window (1 h window, 30 min slide) counts per type."""
     from .streaming.windows import sliding_counts
@@ -2063,6 +2102,42 @@ def _k_core_sql(k: int = 6, rounds: int = 16) -> str:
             + f"\nSELECT DISTINCT src AS uid FROM e{rounds}")
 
 
+def _hits_sql(iters: int = 5) -> str:
+    """Unrolled HITS replaying graph_algos.hits on the Contains graph:
+    hub/auth init 1.0 over edge-touched nodes, per-round sum
+    normalization via MATERIALIZED scalar CTEs."""
+    parts = [
+        """edges AS MATERIALIZED (
+          SELECT 'Order:' || CAST(l_orderkey AS VARCHAR) AS src,
+                 'Part:' || CAST(l_partkey AS VARCHAR) AS dst
+          FROM lineitem)""",
+        """nodes AS MATERIALIZED (
+          SELECT DISTINCT uid FROM (
+            SELECT src AS uid FROM edges
+            UNION ALL SELECT dst FROM edges))""",
+        "h0 AS (SELECT uid, 1.0 AS h FROM nodes)"]
+    for i in range(iters):
+        parts.append(f"""ar{i} AS MATERIALIZED (
+          SELECT n.uid, COALESCE(x.a, 0) AS a
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS uid, SUM(h.h) AS a
+            FROM edges e JOIN h{i} h ON h.uid = e.src
+            GROUP BY e.dst) x ON x.uid = n.uid)""")
+        parts.append(f"""a{i + 1} AS MATERIALIZED (
+          SELECT uid, a / (SELECT SUM(a) FROM ar{i}) AS a FROM ar{i})""")
+        parts.append(f"""hr{i} AS MATERIALIZED (
+          SELECT n.uid, COALESCE(x.h, 0) AS h
+          FROM nodes n LEFT JOIN (
+            SELECT e.src AS uid, SUM(a.a) AS h
+            FROM edges e JOIN a{i + 1} a ON a.uid = e.dst
+            GROUP BY e.src) x ON x.uid = n.uid)""")
+        parts.append(f"""h{i + 1} AS MATERIALIZED (
+          SELECT uid, h / (SELECT SUM(h) FROM hr{i}) AS h FROM hr{i})""")
+    return ("WITH " + ",\n".join(parts) + f"""
+        SELECT uid, round(a, 6) AS authority FROM a{iters}
+        ORDER BY authority DESC, uid LIMIT 10""")
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -3337,6 +3412,47 @@ ORACLES: dict[str, str | None] = {
     """),
     "label_propagation": _label_propagation_sql(),
     "k_core_orders": _k_core_sql(),
+    "repetition_filter": """
+        WITH t AS (
+          SELECT doc_id, list_filter("""
+    + _TOKENIZE_DUCK.format(col="text") + """, x -> x != '') AS ws
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws)),
+                        i -> ws[i] || ' ' || ws[i + 1])) AS gram
+          FROM t WHERE len(ws) >= 2),
+        pg AS (SELECT doc_id, gram, COUNT(*) AS c
+               FROM g GROUP BY doc_id, gram),
+        st AS (
+          SELECT doc_id,
+                 round(MAX(c) * 1.0 / SUM(c), 6) AS top_frac,
+                 round(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0
+                       / SUM(c), 6) AS dup_frac
+          FROM pg GROUP BY doc_id)
+        SELECT doc_id, top_frac, dup_frac,
+               (top_frac <= 0.2 AND dup_frac <= 0.6) AS keep
+        FROM st
+    """,
+    "hits_authorities": _hits_sql(),
+    "link_prediction": """
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT 'Order:' || CAST(l_orderkey AS VARCHAR) AS s,
+                 'Part:' || CAST(l_partkey AS VARCHAR) AS z
+          FROM lineitem),
+        small AS (SELECT z FROM e GROUP BY z HAVING COUNT(*) <= 4096),
+        ec AS (SELECT e.* FROM e JOIN small USING (z)),
+        deg AS (SELECT z, COUNT(*) AS d FROM ec GROUP BY z
+                HAVING COUNT(*) >= 2),
+        ew AS (SELECT ec.s, ec.z, 1.0 / ln(deg.d) AS w
+               FROM ec JOIN deg USING (z))
+        SELECT a.s AS u, b.s AS v,
+               round(SUM(a.w), 6) AS aa_score,
+               COUNT(*) AS common
+        FROM ew a JOIN ew b ON a.z = b.z AND a.s < b.s
+        GROUP BY a.s, b.s
+        ORDER BY aa_score DESC, u, v LIMIT 20
+    """,
     "approx_distinct_users": """
         SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
                TRUE AS approx_ok
@@ -3511,6 +3627,9 @@ QUERIES = {
     "basket_lift": q_basket_lift,
     "fts_near": q_fts_near,
     "fts_colgroup": q_fts_colgroup,
+    "repetition_filter": q_repetition_filter,
+    "hits_authorities": q_hits_authorities,
+    "link_prediction": q_link_prediction,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

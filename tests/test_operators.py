@@ -573,3 +573,54 @@ def test_similarity_plan_size_constant_in_dim(spark):
     exact = cosine_topk(emb, q, k=3)
     assert len(exact._jdf.queryExecution().analyzed().toString()) < 100_000
     assert [r["vec_id"] for r in exact.collect()][0] == 0
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from graphydb_spark.operators.text import repetition_stats
+    rows = [(0, "spam ham spam ham spam ham spam ham"),   # one dominant 2-gram pair
+            (1, "a b c d e f g h"),                       # all 2-grams unique
+            (2, "x")]                                     # too short: no 2-grams
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df, n=2).collect()}
+    assert out[1]["top_frac"] == round(1 / 7, 6)
+    assert out[1]["dup_frac"] == 0.0
+    assert out[0]["dup_frac"] == 1.0          # every 2-gram repeats
+    assert out[0]["top_frac"] == round(4 / 7, 6)   # 'spam ham' x4 of 7
+    assert 2 not in out                        # sub-n docs drop out
+
+
+def test_hits_authority_concentration(spark):
+    """Star: many hubs all pointing at one authority + a side edge —
+    the shared target must dominate the authority scores and the
+    pointing hubs must out-rank the stray one."""
+    from graphydb_spark.operators.graph_algos import hits
+    edges = [(f"h{i}", "star") for i in range(5)] + [("h0", "other")]
+    df = spark.createDataFrame(edges, "startuid string, enduid string")
+    out = {r["uid"]: r for r in hits(df, iters=5).collect()}
+    assert out["star"]["authority"] > out["other"]["authority"]
+    assert out["star"]["authority"] > 0.7   # sum-normalized: 0.809
+    assert out["h1"]["hub"] > out["star"]["hub"]
+    assert out["h0"]["hub"] > out["h1"]["hub"]   # h0 feeds two authorities
+
+
+def test_adamic_adar_weights_rare_junctions(spark):
+    """Pairs sharing a RARE neighbor must outscore pairs sharing only a
+    popular one (1/ln(deg) weighting), and the junction-degree cap must
+    drop mega-junction contributions."""
+    from graphydb_spark.operators.graph_algos import adamic_adar
+    import math
+    edges = ([("a", "rare"), ("b", "rare")]                 # deg 2
+             + [(u, "popular") for u in "abcdef"])          # deg 6
+    df = spark.createDataFrame(edges, "startuid string, enduid string")
+    out = {(r["u"], r["v"]): r for r in adamic_adar(df).collect()}
+    ab = out[("a", "b")]
+    assert ab["common"] == 2
+    assert abs(ab["aa_score"]
+               - round(1 / math.log(2) + 1 / math.log(6), 6)) < 1e-9
+    cd = out[("c", "d")]
+    assert cd["aa_score"] == round(1 / math.log(6), 6)
+    assert ab["aa_score"] > cd["aa_score"]
+    capped = adamic_adar(df, max_junction_degree=5)
+    got = {(r["u"], r["v"]): r["aa_score"] for r in capped.collect()}
+    assert set(got) == {("a", "b")}           # popular junction dropped
+    assert got[("a", "b")] == round(1 / math.log(2), 6)
