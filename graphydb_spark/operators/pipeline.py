@@ -296,3 +296,51 @@ def train_val_test_split(df: DataFrame, key_col: str,
         F.when(p < val_t, "val")
          .when(p < test_t, "test")
          .otherwise("train"))
+
+
+def pack_sequences(df: DataFrame, id_col: str, token_col: str,
+                   seq_len: int, truncate: bool = True) -> DataFrame:
+    """Sequence packing: concatenate documents (in deterministic id
+    order) into fixed ``seq_len``-token training sequences, emitting one
+    row per (sequence, document) with the document's token offset inside
+    its sequence — the metadata a packed-attention loader needs to mask
+    cross-document attention.
+
+    Boundary documents (straddling a multiple of ``seq_len``) belong to
+    the sequence their FIRST token falls in; with ``truncate`` the
+    carried token count is clipped to the sequence end (the standard
+    drop-remainder packing), else the full count is reported.
+
+    The global running token total is computed terasort-style (the same
+    shape as global_shuffle): range-partition on the id, per-partition
+    window cumsum, plus per-partition token offsets from a
+    partition-count-sized aggregate — never a partitionless window
+    funneling the corpus through one task.
+    """
+    toks = F.col(token_col)
+    sorted_df = (df.select(F.col(id_col), toks.alias("n_tok"))
+                 .repartitionByRange(F.col(id_col))
+                 .sortWithinPartitions(id_col)
+                 .withColumn("_pid", F.spark_partition_id())
+                 .localCheckpoint(eager=True))
+    ptot = sorted_df.groupBy("_pid").agg(F.sum("n_tok").alias("_t")) \
+        .collect()
+    acc = 0
+    offs = []
+    for row in sorted(ptot, key=lambda r: r["_pid"]):
+        offs.append((row["_pid"], acc))
+        acc += row["_t"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offs, "_pid INT, _poff LONG")
+    w = (Window.partitionBy("_pid").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (F.col("_poff") + F.sum("n_tok").over(w) - F.col("n_tok"))
+    out = (sorted_df.join(F.broadcast(off_df), "_pid")
+           .select(F.col(id_col), F.col("n_tok"),
+                   F.floor(cum / seq_len).cast("long").alias("seq_id"),
+                   (cum % seq_len).cast("long").alias("offset")))
+    kept = F.least(F.col("n_tok"),
+                   F.lit(seq_len) - F.col("offset")) if truncate \
+        else F.col("n_tok")
+    return out.select(id_col, "seq_id", "offset",
+                      kept.cast("long").alias("n_tok"))

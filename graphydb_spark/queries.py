@@ -379,6 +379,16 @@ def q_link_prediction(spark, sf_dir):
             .select("u", "v", "aa_score", "common"))
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing: documents concatenated (id order) into
+    2048-token training sequences; one row per (sequence, document)
+    with the in-sequence offset and the truncated carried token count —
+    the cross-document attention-mask metadata a packed loader needs."""
+    from .operators.pipeline import pack_sequences
+    docs = _docs(spark, sf_dir)
+    return pack_sequences(docs, "doc_id", "n_chars", seq_len=2048)
+
+
 def q_sliding_window(spark, sf_dir):
     """Sliding window (1 h window, 30 min slide) counts per type."""
     from .streaming.windows import sliding_counts
@@ -3435,6 +3445,20 @@ ORACLES: dict[str, str | None] = {
         FROM st
     """,
     "hits_authorities": _hits_sql(),
+    "pack_sequences": """
+        WITH c AS (
+          SELECT doc_id, n_chars,
+                 COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum
+          FROM documents)
+        SELECT doc_id,
+               CAST(cum // 2048 AS BIGINT) AS seq_id,
+               CAST(cum % 2048 AS BIGINT) AS offset,
+               CAST(LEAST(n_chars, 2048 - (cum % 2048)) AS BIGINT)
+                 AS n_tok
+        FROM c
+    """,
     "link_prediction": """
         WITH e AS MATERIALIZED (
           SELECT DISTINCT 'Order:' || CAST(l_orderkey AS VARCHAR) AS s,
@@ -3630,6 +3654,7 @@ QUERIES = {
     "repetition_filter": q_repetition_filter,
     "hits_authorities": q_hits_authorities,
     "link_prediction": q_link_prediction,
+    "pack_sequences": q_pack_sequences,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

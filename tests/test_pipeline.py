@@ -169,3 +169,25 @@ def test_train_val_test_split_bands(corpus):
     full = {r["doc_id"]: r["split"] for r in out.collect()}
     for r in half.collect():
         assert full[r["doc_id"]] == r["split"]
+
+
+def test_pack_sequences_offsets_and_truncation(spark):
+    """Docs fill sequences in id order; a boundary-straddling doc joins
+    the sequence its first token falls in, with the carried count
+    clipped to the sequence end."""
+    from graphydb_spark.operators.pipeline import pack_sequences
+    rows = [(0, 60), (1, 30), (2, 40), (3, 100), (4, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok int")
+    out = {r["doc_id"]: r for r in
+           pack_sequences(df, "doc_id", "n_tok", seq_len=100).collect()}
+    assert (out[0]["seq_id"], out[0]["offset"], out[0]["n_tok"]) == (0, 0, 60)
+    assert (out[1]["seq_id"], out[1]["offset"], out[1]["n_tok"]) == (0, 60, 30)
+    # doc 2 starts at 90 → seq 0, truncated to the 10 tokens that fit
+    assert (out[2]["seq_id"], out[2]["offset"], out[2]["n_tok"]) == (0, 90, 10)
+    assert (out[3]["seq_id"], out[3]["offset"], out[3]["n_tok"]) == (1, 30, 70)
+    assert out[4]["seq_id"] == 2
+    # untruncated mode reports full counts
+    full = {r["doc_id"]: r["n_tok"] for r in
+            pack_sequences(df, "doc_id", "n_tok", seq_len=100,
+                           truncate=False).collect()}
+    assert full[2] == 40 and full[3] == 100
