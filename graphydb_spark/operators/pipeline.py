@@ -87,6 +87,34 @@ def mixture_sample(df: DataFrame, source_col: str,
               .drop("_rate"))
 
 
+def _global_cum_before(df: DataFrame, id_col: str, weight_col) -> DataFrame:
+    """Append ``_cum_before`` = running total of ``weight_col`` over the
+    global ``id_col`` order, terasort-style: range-partition on the id,
+    per-partition window cumsum, per-partition offsets from a
+    partition-count-sized aggregate.  Two balanced shuffles; never a
+    partitionless window funneling the dataset through one task."""
+    w_col = weight_col if isinstance(weight_col, F.Column) \
+        else F.col(weight_col)
+    sorted_df = (df.withColumn("_w", w_col)
+                 .repartitionByRange(F.col(id_col))
+                 .sortWithinPartitions(id_col)
+                 .withColumn("_pid", F.spark_partition_id())
+                 .localCheckpoint(eager=True))
+    ptot = sorted_df.groupBy("_pid").agg(F.sum("_w").alias("_t")).collect()
+    acc = 0
+    offs = []
+    for row in sorted(ptot, key=lambda r: r["_pid"]):
+        offs.append((row["_pid"], acc))
+        acc += row["_t"]
+    off_df = df.sparkSession.createDataFrame(offs, "_pid INT, _poff LONG")
+    w = (Window.partitionBy("_pid").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (sorted_df.join(F.broadcast(off_df), "_pid")
+            .withColumn("_cum_before",
+                        F.col("_poff") + F.sum("_w").over(w) - F.col("_w"))
+            .drop("_pid", "_poff", "_w"))
+
+
 def pack_shards(df: DataFrame, id_col: str, token_col,
                 budget: int, partition_col: str | None = None) -> DataFrame:
     """Assign rows to fixed-token-budget output shards.
@@ -99,14 +127,20 @@ def pack_shards(df: DataFrame, id_col: str, token_col,
     budget ± one-chunk tokens — the standard block-packing step that
     turns a document table into training shards.
 
-    One sort-shuffle keyed on the partition column; the cumsum is a
-    single window pass.  At 100 TB the sort is per-partition-key and
-    AQE splits skewed keys.
+    With a partition column: one sort-shuffle keyed on it, cumsum as a
+    single window pass (AQE splits skewed keys).  Without one, the
+    global running total uses the terasort shape (_global_cum_before) —
+    a partitionless window would funnel the corpus through one task.
     """
-    part = [partition_col] if partition_col else []
-    w = (Window.partitionBy(*part).orderBy(id_col)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     toks = token_col if isinstance(token_col, F.Column) else F.col(token_col)
+    if partition_col is None:
+        return (_global_cum_before(df, id_col, toks)
+                .withColumn("shard_id",
+                            F.floor(F.col("_cum_before") / budget)
+                            .cast("long"))
+                .drop("_cum_before"))
+    w = (Window.partitionBy(partition_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     out = (df.withColumn("_cum", F.sum(toks).over(w))
              .withColumn("shard_id",
                          F.floor((F.col("_cum") - toks) / budget)
@@ -317,28 +351,14 @@ def pack_sequences(df: DataFrame, id_col: str, token_col: str,
     partition-count-sized aggregate — never a partitionless window
     funneling the corpus through one task.
     """
-    toks = F.col(token_col)
-    sorted_df = (df.select(F.col(id_col), toks.alias("n_tok"))
-                 .repartitionByRange(F.col(id_col))
-                 .sortWithinPartitions(id_col)
-                 .withColumn("_pid", F.spark_partition_id())
-                 .localCheckpoint(eager=True))
-    ptot = sorted_df.groupBy("_pid").agg(F.sum("n_tok").alias("_t")) \
-        .collect()
-    acc = 0
-    offs = []
-    for row in sorted(ptot, key=lambda r: r["_pid"]):
-        offs.append((row["_pid"], acc))
-        acc += row["_t"]
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(offs, "_pid INT, _poff LONG")
-    w = (Window.partitionBy("_pid").orderBy(id_col)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = (F.col("_poff") + F.sum("n_tok").over(w) - F.col("n_tok"))
-    out = (sorted_df.join(F.broadcast(off_df), "_pid")
-           .select(F.col(id_col), F.col("n_tok"),
-                   F.floor(cum / seq_len).cast("long").alias("seq_id"),
-                   (cum % seq_len).cast("long").alias("offset")))
+    base = _global_cum_before(
+        df.select(F.col(id_col), F.col(token_col).alias("n_tok")),
+        id_col, "n_tok")
+    cum = F.col("_cum_before")
+    out = base.select(
+        F.col(id_col), F.col("n_tok"),
+        F.floor(cum / seq_len).cast("long").alias("seq_id"),
+        (cum % seq_len).cast("long").alias("offset"))
     kept = F.least(F.col("n_tok"),
                    F.lit(seq_len) - F.col("offset")) if truncate \
         else F.col("n_tok")
