@@ -59,3 +59,22 @@ def test_graph_from_csv_source(spark, tiny_files):
         spark.read.schema(schema_e).option("header", True)
              .csv(str(tiny_files / "edges_csv")))
     _check(g)
+
+
+def test_graph_from_orc_source(spark, tiny_files, tmp_path):
+    """ORC round-trip: Spark's built-in columnar alternative to parquet
+    reads straight into the graph (predicate pushdown included)."""
+    from graphydb_spark import Graph
+    nodes = spark.read.json(str(tiny_files / "nodes_json"))
+    edges = spark.read.json(str(tiny_files / "edges_json"))
+    nodes.write.mode("overwrite").orc(str(tmp_path / "nodes_orc"))
+    edges.write.mode("overwrite").orc(str(tmp_path / "edges_orc"))
+    g = Graph.from_dataframes(
+        spark, spark.read.orc(str(tmp_path / "nodes_orc")),
+        spark.read.orc(str(tmp_path / "edges_orc")))
+    assert g.stats["nodes"] == nodes.count()
+    assert g.fetch("(n)", COUNT=True) == nodes.count()
+    plan = (spark.read.orc(str(tmp_path / "nodes_orc"))
+            .where("uid = 'X'")._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "PushedFilters" in plan or "pushed" in plan.lower()
