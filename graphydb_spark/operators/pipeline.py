@@ -228,15 +228,20 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
 
     toks = (df.select(id_col, F.explode(tokens(F.col(text_col)))
                       .alias("tok")))
-    freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
-    stats = freq.agg(F.sum("tf").alias("total"),
-                     F.count("*").alias("vocab"))
-    lp = (F.round(F.log10((F.col("tf") + 1).cast("double")
-                          / (F.col("total") + F.col("vocab"))), 6)
+    # materialize the vocabulary once: without this the corpus is
+    # re-tokenized for the frequency table, again for its totals, and a
+    # third time for scoring (three full passes); checkpointed, the
+    # totals are a scan of the tiny vocab frame and scoring is the only
+    # other corpus pass
+    freq = (toks.groupBy("tok").agg(F.count("*").alias("tf"))
+            .localCheckpoint(eager=True))
+    srow = freq.agg(F.sum("tf").alias("total"),
+                    F.count("*").alias("vocab")).collect()[0]
+    denom = float((srow["total"] or 0) + (srow["vocab"] or 0)) or 1.0
+    lp = (F.round(F.log10((F.col("tf") + 1).cast("double") / denom), 6)
           .cast("decimal(18,6)"))
     scored = (toks
               .join(F.broadcast(freq), "tok")
-              .crossJoin(F.broadcast(stats))
               .groupBy(id_col)
               .agg(F.round(F.sum(lp).cast("double") / F.count("*"), 6)
                    .alias("logprob"),
