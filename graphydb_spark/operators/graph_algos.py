@@ -564,3 +564,46 @@ def adamic_adar(edges_df: DataFrame, max_junction_degree: int = 4096,
             .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
             .agg(F.round(F.sum(F.col("a.w")), 6).alias("aa_score"),
                  F.count("*").alias("common")))
+
+
+def personalized_pagerank(nodes_df: DataFrame, edges_df: DataFrame,
+                          seed_uids: list[str], iters: int = 5,
+                          damping: float = 0.85) -> DataFrame:
+    """Personalized PageRank: teleportation returns to the SEED set
+    (uniformly) instead of all nodes, so rank mass measures proximity
+    to the seeds — the standard recommendation / related-entities
+    primitive.  Dangling mass also returns to the seeds.
+
+    Same execution scheme as :func:`pagerank` (edge list materialized
+    once, node-sized rank frame shuffles per round); ranks sum to ~1.
+    """
+    seeds = set(seed_uids)
+    n_seeds = len(seeds) or 1
+    edges = (edges_df.select(F.col("startuid").alias("uid"),
+                             F.col("enduid").alias("dst"))
+             .repartition("uid")
+             .localCheckpoint(eager=True))
+    out_deg = edges.groupBy("uid").agg(F.count("*").alias("deg"))
+    is_seed = F.col("uid").isin(list(seeds))
+    seed_share = F.when(is_seed, F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0))
+    ranks = nodes_df.select("uid").withColumn("rank", seed_share)
+    for _ in range(iters):
+        contrib_src = ranks.join(out_deg, "uid", "left")
+        dangling = (contrib_src.where(F.col("deg").isNull())
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
+                    .collect()[0]["d"])
+        contribs = (edges.join(contrib_src.where(F.col("deg").isNotNull()),
+                               "uid")
+                    .select(F.col("dst").alias("uid"),
+                            (F.col("rank") / F.col("deg")).alias("c")))
+        incoming = contribs.groupBy("uid").agg(F.sum("c").alias("inc"))
+        teleport = (1.0 - damping) + damping * dangling
+        ranks = (nodes_df.select("uid")
+                 .join(incoming, "uid", "left")
+                 .select("uid",
+                         (seed_share * F.lit(teleport)
+                          + F.lit(damping)
+                          * F.coalesce(F.col("inc"), F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint(eager=True))
+    return ranks

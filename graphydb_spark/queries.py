@@ -389,6 +389,22 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, "doc_id", "n_chars", seq_len=2048)
 
 
+def q_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank from customers 0-4 over the Placed/Contains
+    graph: rank mass = proximity to the seed customers (the
+    related-entities / recommendation primitive).  Top-15 non-seed
+    nodes; oracle replays the same 5 unrolled seed-teleport rounds."""
+    g = tpch_graph(spark, sf_dir)
+    nodes = g.nodes_df.where(F.col("kind").isin("Customer", "Order", "Part"))
+    edges = g.edges_df.where(F.col("kind").isin("Placed", "Contains"))
+    seeds = [f"Customer:{i}" for i in range(5)]
+    pr = graph_algos.personalized_pagerank(nodes, edges, seeds, iters=5)
+    return (pr.where(~F.col("uid").isin(seeds))
+            .select("uid", F.round("rank", 9).alias("rank"))
+            .where(F.col("rank") > 0)
+            .orderBy(F.col("rank").desc(), "uid").limit(15))
+
+
 def q_sliding_window(spark, sf_dir):
     """Sliding window (1 h window, 30 min slide) counts per type."""
     from .streaming.windows import sliding_counts
@@ -2148,6 +2164,56 @@ def _hits_sql(iters: int = 5) -> str:
         ORDER BY authority DESC, uid LIMIT 10""")
 
 
+def _ppr_sql(iters: int = 5, d: float = 0.85, n_seeds: int = 5) -> str:
+    """Unrolled personalized PageRank replaying
+    graph_algos.personalized_pagerank: teleport + dangling mass return
+    to the seed customers uniformly."""
+    seeds = ", ".join(f"'Customer:{i}'" for i in range(n_seeds))
+    parts = [
+        """nodes AS MATERIALIZED (
+          SELECT 'Customer:' || CAST(c_custkey AS VARCHAR) AS uid
+          FROM customer
+          UNION ALL
+          SELECT 'Order:' || CAST(o_orderkey AS VARCHAR) FROM orders
+          UNION ALL
+          SELECT 'Part:' || CAST(p_partkey AS VARCHAR) FROM part)""",
+        """edges AS MATERIALIZED (
+          SELECT 'Customer:' || CAST(o_custkey AS VARCHAR) AS src,
+                 'Order:' || CAST(o_orderkey AS VARCHAR) AS dst
+          FROM orders
+          UNION ALL
+          SELECT 'Order:' || CAST(l_orderkey AS VARCHAR),
+                 'Part:' || CAST(l_partkey AS VARCHAR)
+          FROM lineitem)""",
+        "odeg AS MATERIALIZED "
+        "(SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        f"""ss AS MATERIALIZED (
+          SELECT uid, CASE WHEN uid IN ({seeds})
+                 THEN 1.0 / {n_seeds} ELSE 0.0 END AS s
+          FROM nodes)""",
+        "r0 AS (SELECT uid, s AS rank FROM ss)"]
+    for i in range(iters):
+        parts.append(f"""d{i} AS MATERIALIZED (
+          SELECT COALESCE(SUM(r.rank), 0) AS dm FROM r{i} r
+          LEFT JOIN odeg o ON o.src = r.uid WHERE o.src IS NULL)""")
+        parts.append(f"""r{i + 1} AS MATERIALIZED (
+          SELECT n.uid,
+                 ss.s * ((1 - {d}) + {d} * (SELECT dm FROM d{i}))
+                 + {d} * COALESCE(inc.x, 0) AS rank
+          FROM nodes n
+          JOIN ss ON ss.uid = n.uid
+          LEFT JOIN (
+            SELECT e.dst AS uid, SUM(r.rank / o.deg) AS x
+            FROM edges e
+            JOIN r{i} r ON r.uid = e.src
+            JOIN odeg o ON o.src = e.src
+            GROUP BY e.dst) inc ON inc.uid = n.uid)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+        SELECT uid, round(rank, 9) AS rank FROM r{iters}
+        WHERE uid NOT IN ({seeds}) AND round(rank, 9) > 0
+        ORDER BY rank DESC, uid LIMIT 15""")
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -3445,6 +3511,7 @@ ORACLES: dict[str, str | None] = {
         FROM st
     """,
     "hits_authorities": _hits_sql(),
+    "personalized_pagerank": _ppr_sql(),
     "pack_sequences": """
         WITH c AS (
           SELECT doc_id, n_chars,
@@ -3655,6 +3722,7 @@ QUERIES = {
     "hits_authorities": q_hits_authorities,
     "link_prediction": q_link_prediction,
     "pack_sequences": q_pack_sequences,
+    "personalized_pagerank": q_personalized_pagerank,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

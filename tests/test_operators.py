@@ -624,3 +624,19 @@ def test_adamic_adar_weights_rare_junctions(spark):
     got = {(r["u"], r["v"]): r["aa_score"] for r in capped.collect()}
     assert set(got) == {("a", "b")}           # popular junction dropped
     assert got[("a", "b")] == round(1 / math.log(2), 6)
+
+
+def test_personalized_pagerank_proximity(spark):
+    """Path a->b->c->d seeded at 'a': rank must decay with distance
+    from the seed, and mass never leaks to an unreachable island."""
+    from graphydb_spark.operators.graph_algos import personalized_pagerank
+    nodes = spark.createDataFrame(
+        [(u,) for u in "abcd"] + [("island",)], "uid string")
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")],
+        "startuid string, enduid string")
+    out = {r["uid"]: r["rank"] for r in
+           personalized_pagerank(nodes, edges, ["a"], iters=8).collect()}
+    assert out["a"] > out["b"] > out["c"] > out["d"] > 0
+    assert out["island"] == 0.0
+    assert abs(sum(out.values()) - 1.0) < 1e-9
