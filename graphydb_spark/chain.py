@@ -638,3 +638,78 @@ def _fuse_json_paths(sql: str, links: list[Link], node_view: str,
                 f"get_json_object({alias}.props, '$.{k}')",
                 f"{alias}.__gj_{k}")
     return sql
+
+
+# ---------------------------------------------------------------- varlength
+
+_VARLEN_RE = re.compile(
+    r"^(?P<alias>[A-Za-z_]\w*)"
+    r"\*(?P<lo>\d+)?(?:\.\.(?P<hi>\d+))?"
+    r"(?::(?P<kind>[A-Za-z_]\w*))?$")
+
+#: expansion guard: a 1..n variable path compiles to n chains of up to n
+#: joins each — unbounded depth belongs to the iterative operators
+#: (k_hop / bfs_distance), not the declarative compiler
+MAX_VARLEN_DEPTH = 8
+
+
+def expand_varlength(chain: str) -> Optional[list[str]]:
+    """Expand ONE variable-length edge ``-(e*lo..hi:Kind)>`` into the
+    list of fixed-length chain strings (depth lo..hi) — Cypher's
+    ``-[:K*1..3]->`` for the chain DSL, beyond the reference.
+
+    Each depth-d expansion repeats the edge token d times with
+    anonymous intermediate nodes (``e__2 … , e__v1 …``); the collect
+    link, endpoints and every other alias survive verbatim, so the
+    per-depth results are union-compatible.  Returns None when the
+    chain has no variable-length token.  The var-length alias cannot
+    collect, carry extras, or be referenced elsewhere (each depth
+    binds different physical edges — there is no single 'e' row).
+    """
+    hits = []
+    for i, token in enumerate(chain.split()):
+        body = token
+        if (token.startswith("-") and token.endswith(">")) or \
+                (token.startswith("<") and token.endswith("-")):
+            body = token[1:-1]
+        if body.startswith("(") and body.endswith(")") and "*" in body:
+            hits.append(i)
+    if not hits:
+        return None
+    if len(hits) > 1:
+        raise GraphydbError(
+            "At most one variable-length link per chain")
+    tokens = chain.split()
+    i = hits[0]
+    token = tokens[i]
+    if token.startswith("-") and token.endswith(">"):
+        arrow = ("-", ">")
+    elif token.startswith("<") and token.endswith("-"):
+        arrow = ("<", "-")
+    else:
+        raise GraphydbError(
+            f"Variable-length marker only applies to edges: {token!r}")
+    m = _VARLEN_RE.match(token[2:-2])
+    if not m:
+        raise GraphydbError(f"Malformed variable-length token: {token!r}")
+    lo = int(m.group("lo") or 1)
+    hi = int(m.group("hi") or lo)
+    if not (1 <= lo <= hi):
+        raise GraphydbError(
+            f"Bad variable-length bounds *{lo}..{hi} (need 1 <= lo <= hi)")
+    if hi > MAX_VARLEN_DEPTH:
+        raise GraphydbError(
+            f"Variable-length depth {hi} exceeds {MAX_VARLEN_DEPTH}; use "
+            f"k_hop/bfs_distance for deep traversals")
+    alias, kind = m.group("alias"), m.group("kind")
+    ksuffix = f":{kind}" if kind else ""
+    out = []
+    for d in range(lo, hi + 1):
+        parts = []
+        for step in range(1, d + 1):
+            ea = f"{alias}__{d}_{step}"
+            parts.append(f"{arrow[0]}({ea}{ksuffix}){arrow[1]}")
+            if step < d:
+                parts.append(f"({alias}__v{d}_{step})")
+        out.append(" ".join(tokens[:i] + parts + tokens[i + 1:]))
+    return out

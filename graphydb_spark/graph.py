@@ -33,7 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .chain import compile_fetch_sql, eliminable_links, parse_chain
+from .chain import compile_fetch_sql, eliminable_links, expand_varlength, \
+    parse_chain
 from .items import Edge, GraphydbError, Item, Node, clean_data, diff_items, \
     generate_uid, patch_reverse
 from .sets import ESet, NSet
@@ -410,7 +411,19 @@ class Graph:
         path), an int with ``COUNT=True``, or ``(sql, params)`` with
         ``DEBUG=True`` (the reference's explain surface,
         graphydb.py:977-978).
+
+        Variable-length edges ``-(e*1..3:Kind)>`` (beyond reference,
+        Cypher's ``*lo..hi``) expand to a UNION of fixed-length chains,
+        distinct by collect uid — every depth stays a declarative join
+        tree Catalyst optimizes independently.
         """
+        expanded = expand_varlength(CHAIN)
+        if expanded is not None:
+            return self._fetch_varlength(
+                expanded, CHAIN, WHERE=WHERE, ORDER=ORDER, GROUP=GROUP,
+                LIMIT=LIMIT, OFFSET=OFFSET, COUNT=COUNT,
+                DISTINCT=DISTINCT, DEBUG=DEBUG, as_df=as_df,
+                _anchor=_anchor, **params)
         links = parse_chain(CHAIN)
         collect = next(l for l in links if l.collect)
         aliases = {l.alias for l in links}
@@ -500,6 +513,60 @@ class Graph:
         extra_names = tuple(extras)
         items = [self._hydrate(r, edge=collect.is_edge, extra_names=extra_names)
                  for r in rows]
+        return (ESet if collect.is_edge else NSet)(items)
+
+    def _fetch_varlength(self, chains: list[str], orig_chain: str,
+                         WHERE=None, ORDER=None, GROUP=None, LIMIT=None,
+                         OFFSET=None, COUNT=False, DISTINCT=True,
+                         DEBUG=False, as_df=False, _anchor=None, **params):
+        """Variable-length fetch: run each expanded fixed-length chain
+        through the normal compiler, union, distinct by collect uid.
+
+        The var-length alias binds a DIFFERENT physical edge per depth,
+        so referencing it in WHERE/extras is rejected; GROUP/ORDER/
+        OFFSET don't compose with the per-depth union and raise (use a
+        DataFrame op on the as_df result instead)."""
+        import re as _re
+
+        var_alias = _re.search(r"[\(\[]([A-Za-z_]\w*)\*", orig_chain).group(1)
+        refs = " ".join([str(WHERE or "")]
+                        + [f"{k} {v}" for k, v in params.items()])
+        if _re.search(rf"\b{var_alias}\s*\.", refs):
+            raise GraphydbError(
+                f"Variable-length alias {var_alias!r} cannot be referenced "
+                f"in WHERE/extras: each depth binds different edges")
+        for clause, name in ((ORDER, "ORDER"), (GROUP, "GROUP"),
+                             (OFFSET, "OFFSET")):
+            if clause:
+                raise GraphydbError(
+                    f"{name} is not supported with variable-length chains; "
+                    f"apply it to the as_df result")
+        if DEBUG:
+            return [self.fetch(c, WHERE=WHERE, DISTINCT=DISTINCT,
+                               DEBUG=True, _anchor=_anchor, **params)
+                    for c in chains]
+        frames = [self.fetch(c, WHERE=WHERE, DISTINCT=DISTINCT,
+                             as_df=True, _anchor=_anchor, **params)
+                  for c in chains]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        if DISTINCT:
+            out = out.dropDuplicates(["uid"])
+        if LIMIT is not None:
+            out = out.limit(int(LIMIT))
+        if COUNT:
+            return out if as_df else out.count()
+        if as_df:
+            return out
+        # hydrate like the scalar path; the collect link's edge-ness is
+        # depth-invariant, read it off the first expanded chain
+        collect = next(l for l in parse_chain(chains[0]) if l.collect)
+        extra_names = tuple(k for k in params
+                            if k in collect.extras)
+        items = [self._hydrate(r, edge=collect.is_edge,
+                               extra_names=extra_names)
+                 for r in out.collect()]
         return (ESet if collect.is_edge else NSet)(items)
 
     def sql(self, query: str, **binds) -> DataFrame:

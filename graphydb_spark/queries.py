@@ -405,6 +405,17 @@ def q_personalized_pagerank(spark, sf_dir):
             .orderBy(F.col("rank").desc(), "uid").limit(15))
 
 
+def q_var_length_reach(spark, sf_dir):
+    """Variable-length chain (beyond reference, Cypher *1..2): every
+    node within 1-2 out-hops of customers 0-4 — orders + home nations
+    at depth 1, their parts + regions at depth 2.  Compiles to a UNION
+    of fixed-length join trees, distinct by collect uid."""
+    g = tpch_graph(spark, sf_dir)
+    seeds = ", ".join(f"'Customer:{i}'" for i in range(5))
+    return g.fetch("(c:Customer) -(e*1..2)> [x]",
+                   f"c.uid IN ({seeds})", as_df=True).select("uid")
+
+
 def q_sliding_window(spark, sf_dir):
     """Sliding window (1 h window, 30 min slide) counts per type."""
     from .streaming.windows import sliding_counts
@@ -3512,6 +3523,27 @@ ORACLES: dict[str, str | None] = {
     """,
     "hits_authorities": _hits_sql(),
     "personalized_pagerank": _ppr_sql(),
+    "var_length_reach": """
+        SELECT DISTINCT uid FROM (
+          SELECT 'Order:' || CAST(o_orderkey AS VARCHAR) AS uid
+          FROM orders WHERE o_custkey BETWEEN 0 AND 4
+          UNION ALL
+          SELECT 'Nation:' || CAST(c_nationkey AS VARCHAR)
+          FROM customer WHERE c_custkey BETWEEN 0 AND 4
+          UNION ALL
+          SELECT 'Part:' || CAST(l_partkey AS VARCHAR)
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_custkey BETWEEN 0 AND 4
+          UNION ALL
+          SELECT 'Supplier:' || CAST(l_suppkey AS VARCHAR)
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_custkey BETWEEN 0 AND 4
+          UNION ALL
+          SELECT 'Region:' || CAST(n_regionkey AS VARCHAR)
+          FROM nation JOIN customer ON n_nationkey = c_nationkey
+          WHERE c_custkey BETWEEN 0 AND 4
+        )
+    """,
     "pack_sequences": """
         WITH c AS (
           SELECT doc_id, n_chars,
@@ -3723,6 +3755,7 @@ QUERIES = {
     "link_prediction": q_link_prediction,
     "pack_sequences": q_pack_sequences,
     "personalized_pagerank": q_personalized_pagerank,
+    "var_length_reach": q_var_length_reach,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

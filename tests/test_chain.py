@@ -143,3 +143,83 @@ def test_compile_count():
 def test_extras_must_have_expression():
     with pytest.raises(GraphydbError):
         compile_fetch_sql(parse_chain("[n,x]"), "N", "E")
+
+
+def test_varlength_expansion_shapes():
+    """-(e*1..3:K)> expands to 1/2/3-hop chains with anonymous
+    intermediates; endpoints and collect survive verbatim."""
+    from graphydb_spark.chain import expand_varlength
+    out = expand_varlength("[a:Person] -(e*1..3:Knows)> (b:Person)")
+    assert len(out) == 3
+    assert out[0] == "[a:Person] -(e__1_1:Knows)> (b:Person)"
+    assert out[1] == ("[a:Person] -(e__2_1:Knows)> (e__v2_1) "
+                      "-(e__2_2:Knows)> (b:Person)")
+    assert out[2].count(":Knows") == 3
+    # kindless + left arrows + fixed depth
+    left = expand_varlength("(x) <(e*2)- [y]")
+    assert left == ["(x) <(e__2_1)- (e__v2_1) <(e__2_2)- [y]"]
+    # no marker → None
+    assert expand_varlength("[a] -(e:K)> (b)") is None
+
+
+def test_varlength_expansion_errors():
+    import pytest
+    from graphydb_spark import GraphydbError
+    from graphydb_spark.chain import expand_varlength
+    with pytest.raises(GraphydbError, match="one variable-length"):
+        expand_varlength("(a) -(e*1..2)> (b) -(f*1..2)> (c)")
+    with pytest.raises(GraphydbError, match="bounds"):
+        expand_varlength("(a) -(e*3..2)> (b)")
+    with pytest.raises(GraphydbError, match="exceeds"):
+        expand_varlength("(a) -(e*1..99)> (b)")
+    with pytest.raises(GraphydbError, match="edges"):
+        expand_varlength("(a*1..2) -(e)> (b)")
+
+
+def test_varlength_fetch_union_semantics(spark):
+    """Path p0->p1->p2->p3 (Knows): *1..2 from p0 reaches {p1, p2},
+    *1..3 reaches {p1, p2, p3}; a diamond (two length-2 routes to the
+    same node) still yields the node once."""
+    from graphydb_spark import Graph
+    g = Graph(spark)
+    ps = {n: g.Node("Person", name=n) for n in
+          ("p0", "p1", "p2", "p3", "d1", "d2", "dz")}
+    for p in ps.values():
+        p.save()
+    for s, e in (("p0", "p1"), ("p1", "p2"), ("p2", "p3"),
+                 ("p0", "d1"), ("p0", "d2"), ("d1", "dz"), ("d2", "dz")):
+        g.Edge(ps[s], "Knows", ps[e]).save()
+
+    def reach(chain, **kw):
+        df = g.fetch(chain, 'a.data.name = "p0"', as_df=True, **kw)
+        rows = df.collect()
+        names = sorted(
+            __import__("json").loads(r["props"])["name"] for r in rows)
+        return names, len(rows)
+
+    names, n = reach("(a:Person) -(e*1..2:Knows)> [b:Person]")
+    assert names == ["d1", "d2", "dz", "p1", "p2"]
+    assert n == 5                       # dz via two routes → one row
+    names, _ = reach("(a:Person) -(e*1..3:Knows)> [b:Person]")
+    assert names == ["d1", "d2", "dz", "p1", "p2", "p3"]
+    # COUNT + LIMIT compose
+    assert g.fetch("(a:Person) -(e*1..2:Knows)> [b:Person]",
+                   'a.data.name = "p0"', COUNT=True) == 5
+    assert len(g.fetch("(a:Person) -(e*1..2:Knows)> [b:Person]",
+                       'a.data.name = "p0"', LIMIT=2)) == 2
+    # hydrated NSet path works too
+    items = g.fetch("(a:Person) -(e*1..2:Knows)> [b:Person]",
+                    'a.data.name = "p0"')
+    assert {i["name"] for i in items} == {"d1", "d2", "dz", "p1", "p2"}
+
+
+def test_varlength_fetch_guards(spark):
+    import pytest
+    from graphydb_spark import Graph, GraphydbError
+    g = Graph(spark)
+    a = g.Node("P", name="a")
+    a.save()
+    with pytest.raises(GraphydbError, match="cannot be referenced"):
+        g.fetch("(a:P) -(e*1..2)> (b)", "e.data.x = 1", as_df=True)
+    with pytest.raises(GraphydbError, match="ORDER"):
+        g.fetch("(a:P) -(e*1..2)> (b)", ORDER="b.uid", as_df=True)
