@@ -88,3 +88,77 @@ def test_chain_laws(fgraph, spec):
     prefix = render(nodes[:opt_edge + 1], edges[:opt_edge],
                     collect_at, None)
     assert opt_uids == uids(fgraph, prefix)
+
+
+# ---------------------------------------------------------- FTS grammar fuzz
+
+@st.composite
+def match_queries(draw):
+    """Random MATCH expressions over the full grammar: terms, prefixes,
+    field/colgroup qualifiers, phrases, NOT/AND/OR, NEAR both forms."""
+    words = st.sampled_from(["big", "data", "query", "engine", "spark",
+                             "table", "scan", "zzz"])
+    fields = st.sampled_from(["t", "u"])
+
+    def term():
+        w = draw(words)
+        if draw(st.booleans()):
+            w += "*"
+        q = draw(st.sampled_from(["", "field", "group"]))
+        if q == "field":
+            w = f"{draw(fields)}: {w}"
+        elif q == "group":
+            w = f"{{{draw(fields)} {draw(fields)}}}: {w}"
+        return w
+
+    def phrase():
+        k = draw(st.integers(1, 3))
+        return '"' + " ".join(draw(words) for _ in range(k)) + '"'
+
+    def near():
+        if draw(st.booleans()):
+            n = draw(st.integers(0, 5))
+            return f"{draw(words)} NEAR/{n} {draw(words)}"
+        k = draw(st.integers(2, 3))
+        body = " ".join(draw(words) for _ in range(k))
+        return f"NEAR({body}, {draw(st.integers(0, 5))})"
+
+    pieces = []
+    for _ in range(draw(st.integers(1, 4))):
+        kind = draw(st.sampled_from(["term", "term", "phrase", "near"]))
+        piece = {"term": term, "phrase": phrase, "near": near}[kind]()
+        if draw(st.booleans()):
+            piece = "NOT " + piece
+        pieces.append(piece)
+        if draw(st.booleans()):
+            pieces.append(draw(st.sampled_from(["OR", "AND"])))
+    if pieces and pieces[-1] in ("OR", "AND"):
+        pieces.pop()
+    return " ".join(pieces)
+
+
+@pytest.fixture(scope="module")
+def fts_idx(spark):
+    from graphydb_spark.fts import build_index
+    docs = spark.createDataFrame(
+        [("D:0", '{"t": "big data query engine", "u": "spark table"}'),
+         ("D:1", '{"t": "spark scan table data", "u": "query engine"}'),
+         ("D:2", '{"t": "zzz", "u": "zzz zzz"}'),
+         ("D:3", '{"t": "", "u": "big big data"}')],
+        "uid string, props string")
+    return build_index(docs, ["t", "u"])
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=match_queries())
+def test_fts_grammar_never_crashes_and_stays_bounded(fts_idx, q):
+    """Any expression the grammar can produce must parse and evaluate
+    to a subset of the indexed uids — no exceptions, no phantom rows.
+    (The differential value-checks live in the oracle suite; this pins
+    total robustness of the parser/compiler composition.)"""
+    from graphydb_spark.fts import match_uids, parse_match
+    parsed = parse_match(q)
+    assert isinstance(parsed, list)
+    got = {r["uid"] for r in match_uids(fts_idx, q).collect()}
+    assert got <= {"D:0", "D:1", "D:2", "D:3"}
