@@ -607,3 +607,50 @@ def personalized_pagerank(nodes_df: DataFrame, edges_df: DataFrame,
                          .alias("rank"))
                  .localCheckpoint(eager=True))
     return ranks
+
+
+def bfs_paths(edges_df: DataFrame, seed_uids_df: DataFrame,
+              max_depth: int = 6, direction: str = "out") -> DataFrame:
+    """(uid, dist, path) — one shortest path from the seed set per
+    reached node, reconstructed as an array of uids (seed … node).
+
+    Deterministic: among equal-length paths the MIN-uid predecessor
+    wins at every hop, so any engine reproduces the same path.  Same
+    frontier/anti-join scheme as bfs_distances; the frontier carries
+    its path array, so per-round shuffle is frontier-sized × path
+    length (bounded by max_depth — at 100 TB keep max_depth small or
+    carry only the predecessor and reconstruct on demand).
+    """
+    if direction == "out":
+        step = edges_df.select(F.col("startuid").alias("src"),
+                               F.col("enduid").alias("dst"))
+    elif direction == "in":
+        step = edges_df.select(F.col("enduid").alias("src"),
+                               F.col("startuid").alias("dst"))
+    else:
+        step = (edges_df.select(F.col("startuid").alias("src"),
+                                F.col("enduid").alias("dst"))
+                .unionByName(edges_df.select(F.col("enduid").alias("src"),
+                                             F.col("startuid").alias("dst"))))
+    step = step.repartition("src").localCheckpoint(eager=True)
+    visited = (seed_uids_df.select("uid").distinct()
+               .withColumn("dist", F.lit(0))
+               .withColumn("path", F.array(F.col("uid"))))
+    frontier = visited.select("uid", "path")
+    for d in range(1, max_depth + 1):
+        # deterministic parent choice: lexicographically smallest
+        # (parent-path ‖ parent-uid) among same-depth predecessors
+        nxt = (step.join(frontier.withColumnRenamed("uid", "src"), "src")
+               .select(F.col("dst").alias("uid"),
+                       F.concat(F.col("path"),
+                                F.array(F.col("dst"))).alias("path"))
+               .join(visited.select("uid"), "uid", "left_anti")
+               .groupBy("uid").agg(F.min("path").alias("path"))
+               .localCheckpoint(eager=True))
+        if nxt.limit(1).count() == 0:
+            break
+        visited = (visited.unionByName(
+            nxt.withColumn("dist", F.lit(d)).select("uid", "dist", "path"))
+            .localCheckpoint(eager=True))
+        frontier = nxt.select("uid", "path")
+    return visited

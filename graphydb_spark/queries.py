@@ -416,6 +416,17 @@ def q_var_length_reach(spark, sf_dir):
                    f"c.uid IN ({seeds})", as_df=True).select("uid")
 
 
+def q_bfs_paths(spark, sf_dir):
+    """BFS with path reconstruction from Customer:0 (2 out-hops): every
+    reached node with its hop distance and ONE deterministic shortest
+    path (min-lexicographic parent route) — the provenance-carrying
+    traversal bfs_distances drops."""
+    g = tpch_graph(spark, sf_dir)
+    seeds = spark.createDataFrame([("Customer:0",)], "uid string")
+    return graph_algos.bfs_paths(g.edges_df, seeds, max_depth=2,
+                                 direction="out")
+
+
 def q_sliding_window(spark, sf_dir):
     """Sliding window (1 h window, 30 min slide) counts per type."""
     from .streaming.windows import sliding_counts
@@ -3523,6 +3534,37 @@ ORACLES: dict[str, str | None] = {
     """,
     "hits_authorities": _hits_sql(),
     "personalized_pagerank": _ppr_sql(),
+    "bfs_paths": """
+        WITH e AS MATERIALIZED (
+          SELECT 'Customer:' || CAST(o_custkey AS VARCHAR) AS src,
+                 'Order:' || CAST(o_orderkey AS VARCHAR) AS dst
+          FROM orders
+          UNION ALL
+          SELECT 'Customer:' || CAST(c_custkey AS VARCHAR),
+                 'Nation:' || CAST(c_nationkey AS VARCHAR) FROM customer
+          UNION ALL
+          SELECT 'Order:' || CAST(l_orderkey AS VARCHAR),
+                 'Part:' || CAST(l_partkey AS VARCHAR) FROM lineitem
+          UNION ALL
+          SELECT 'Order:' || CAST(l_orderkey AS VARCHAR),
+                 'Supplier:' || CAST(l_suppkey AS VARCHAR) FROM lineitem
+          UNION ALL
+          SELECT 'Nation:' || CAST(n_nationkey AS VARCHAR),
+                 'Region:' || CAST(n_regionkey AS VARCHAR) FROM nation),
+        d1 AS MATERIALIZED (
+          SELECT DISTINCT dst AS uid FROM e WHERE src = 'Customer:0'),
+        d2 AS (
+          SELECT e.dst AS uid, MIN(e.src) AS par
+          FROM e JOIN d1 ON e.src = d1.uid
+          WHERE e.dst <> 'Customer:0'
+            AND e.dst NOT IN (SELECT uid FROM d1)
+          GROUP BY e.dst)
+        SELECT 'Customer:0' AS uid, 0 AS dist, ['Customer:0'] AS path
+        UNION ALL
+        SELECT uid, 1, ['Customer:0', uid] FROM d1
+        UNION ALL
+        SELECT uid, 2, ['Customer:0', par, uid] FROM d2
+    """,
     "var_length_reach": """
         SELECT DISTINCT uid FROM (
           SELECT 'Order:' || CAST(o_orderkey AS VARCHAR) AS uid
@@ -3756,6 +3798,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "personalized_pagerank": q_personalized_pagerank,
     "var_length_reach": q_var_length_reach,
+    "bfs_paths": q_bfs_paths,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -640,3 +640,19 @@ def test_personalized_pagerank_proximity(spark):
     assert out["a"] > out["b"] > out["c"] > out["d"] > 0
     assert out["island"] == 0.0
     assert abs(sum(out.values()) - 1.0) < 1e-9
+
+
+def test_bfs_paths_reconstruction(spark):
+    """Diamond a->{b,c}->d: d gets dist 2 with the MIN-uid route
+    (a,b,d); unreached nodes are absent; seeds carry themselves."""
+    from graphydb_spark.operators.graph_algos import bfs_paths
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("x", "y")],
+        "startuid string, enduid string")
+    seeds = spark.createDataFrame([("a",)], "uid string")
+    out = {r["uid"]: r for r in bfs_paths(edges, seeds, max_depth=4).collect()}
+    assert out["a"]["dist"] == 0 and out["a"]["path"] == ["a"]
+    assert out["b"]["path"] == ["a", "b"]
+    assert out["d"]["dist"] == 2
+    assert out["d"]["path"] == ["a", "b", "d"]   # min-uid parent route
+    assert "x" not in out and "y" not in out
