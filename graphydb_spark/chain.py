@@ -713,3 +713,47 @@ def expand_varlength(chain: str) -> Optional[list[str]]:
                 parts.append(f"({alias}__v{d}_{step})")
         out.append(" ".join(tokens[:i] + parts + tokens[i + 1:]))
     return out
+
+
+def uid_only_rewrites(links: list[Link], refs_parts: list[str],
+                      fts_aliases: set, integrity: dict) -> dict:
+    """Node links observed ONLY through ``alias.uid`` → replacement
+    expression over the adjacent edge's endpoint column.
+
+    A node's uid is definitionally equal to the joining edge endpoint
+    (``o.uid ≡ pl.enduid``), so when nothing else observes the node and
+    a declared FK guarantees the row exists with the required kind, the
+    uid reference can be read off the edge and the node join becomes
+    fully eliminable (``eliminable_links`` then drops it).  E.g.
+    ``GROUP c.uid, COUNT(o.uid)`` over ``[c] -(pl:Placed)> (o:Order)``
+    compiles to customer ⋈ Placed alone — one whole node-table scan +
+    join removed.
+    """
+    joined = " ".join(refs_parts)
+    out: dict = {}
+    for i, l in enumerate(links):
+        if l.is_edge or l.collect or l.extras or l.alias in fts_aliases \
+                or l.optional:
+            continue
+        occs = re.findall(rf"\b{re.escape(l.alias)}\s*\.\s*(\w+)", joined)
+        if not occs or any(o != "uid" for o in occs):
+            continue
+        roles = []
+        if i > 0:
+            el = links[i - 1]
+            roles.append((el, "end" if el.ltype == "redge" else "start"))
+        if i + 1 < len(links):
+            er = links[i + 1]
+            roles.append((er, "start" if er.ltype == "redge" else "end"))
+        for edge, role in roles:
+            if edge.optional:
+                continue
+            guar = integrity.get(edge.kind)
+            if not guar:
+                continue
+            target = guar[0] if role == "start" else guar[1]
+            if target is not None and (l.kind is None or l.kind == target):
+                col = "startuid" if role == "start" else "enduid"
+                out[l.alias] = f"{edge.alias}.{col}"
+                break
+    return out

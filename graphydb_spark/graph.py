@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .chain import compile_fetch_sql, eliminable_links, expand_varlength, \
+    uid_only_rewrites, \
     parse_chain
 from .items import Edge, GraphydbError, Item, Node, clean_data, diff_items, \
     generate_uid, patch_reverse
@@ -468,6 +469,25 @@ class Graph:
             return frozenset()
         nfields, efields = _pfields(self.nodes_df), _pfields(self.edges_df)
         typed = {l.alias: (efields if l.is_edge else nfields) for l in links}
+
+        # uid-only node references read off the adjacent edge's endpoint
+        # column (o.uid ≡ pl.enduid) so the node join below can be
+        # eliminated too — e.g. COUNT(o.uid) never scans the order nodes
+        import re as _re
+        ref_parts = ([str(c) for c in conds]
+                     + [str(ORDER or ""), str(GROUP or "")]
+                     + [str(v) for v in extras.values()])
+        rewrites = uid_only_rewrites(
+            links, ref_parts, set(fts_specs), self._edge_integrity)
+        if rewrites:
+            def _sub(txt: str) -> str:
+                for a, repl in rewrites.items():
+                    txt = _re.sub(rf"\b{a}\s*\.\s*uid\b", repl, txt)
+                return txt
+            conds = [_sub(str(c)) for c in conds]
+            extras = {k: _sub(str(v)) for k, v in extras.items()}
+            ORDER = _sub(str(ORDER)) if ORDER else ORDER
+            GROUP = _sub(str(GROUP)) if GROUP else GROUP
 
         # redundant-join elimination: unobserved node links whose
         # existence a declared FK guarantees never enter the join tree

@@ -87,3 +87,47 @@ def test_optional_edge_guarantee_cannot_eliminate():
     # integrity declared ONLY for the optional edge: nothing eliminable
     only_opt = {"Contains": ("Order", "Part")}
     assert eliminable_links(links, "", set(), only_opt) == set()
+
+
+def test_uid_only_reference_eliminates_node_join(spark):
+    """A node observed ONLY through alias.uid reads the uid off the
+    adjacent edge endpoint (o.uid = pl.enduid) and its join disappears —
+    but only under a declared FK (without it, the node join must stay:
+    it filters dangling edges)."""
+    from graphydb_spark import Graph
+    g = Graph(spark)
+    g.declare_integrity("Placed", "Customer", "Order")
+    c = g.Node("Customer", name="c")
+    c.save()
+    o1, o2 = g.Node("Order", n=1), g.Node("Order", n=2)
+    o1.save(), o2.save()
+    g.Edge(c, "Placed", o1).save()
+    g.Edge(c, "Placed", o2).save()
+
+    sql, _ = g.fetch("[c:Customer,nord] -(pl:Placed)> (o:Order)",
+                     GROUP="c.uid", nord="COUNT(o.uid)", DEBUG=True)
+    assert " o " not in f" {sql} " and "AS o" not in sql
+    assert "pl.enduid" in sql
+    out = g.fetch("[c:Customer,nord] -(pl:Placed)> (o:Order)",
+                  GROUP="c.uid", nord="COUNT(o.uid)", as_df=True).collect()
+    assert len(out) == 1 and out[0]["nord"] == 2
+
+    # WHERE on o.uid also rewrites and eliminates
+    sql2, _ = g.fetch("[c:Customer] -(pl:Placed)> (o:Order)",
+                      f"o.uid = '{o1.uid}'", DEBUG=True)
+    assert "AS o" not in sql2 and "pl.enduid" in sql2
+    assert g.fetch("[c:Customer] -(pl:Placed)> (o:Order)",
+                   f"o.uid = '{o1.uid}'", COUNT=True) == 1
+
+    # any non-uid observation keeps the join
+    sql3, _ = g.fetch("[c:Customer,kinds] -(pl:Placed)> (o:Order)",
+                      GROUP="c.uid", kinds="COUNT(o.kind)", DEBUG=True)
+    assert "AS o" in sql3
+
+    # no declared integrity → no elimination (the join filters dangling)
+    g2 = Graph(spark)
+    c2 = g2.Node("Customer", name="c")
+    c2.save()
+    sql4, _ = g2.fetch("[c:Customer,nord] -(pl:Placed)> (o:Order)",
+                       GROUP="c.uid", nord="COUNT(o.uid)", DEBUG=True)
+    assert "AS o" in sql4
