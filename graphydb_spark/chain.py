@@ -62,6 +62,10 @@ class Link:
     #: (LEFT JOIN — Cypher's OPTIONAL MATCH); nodes beyond an optional
     #: edge are absorbed into the optional suffix
     optional: bool = False
+    #: ``-(e!)>`` marks an ANTI edge: keep rows where the whole suffix
+    #: pattern has NO match (Cypher's WHERE NOT exists(...)); compiles
+    #: to the LEFT-JOIN suffix + last-alias IS NULL
+    anti: bool = False
 
     @property
     def is_edge(self) -> bool:
@@ -71,7 +75,7 @@ class Link:
 _INNER_RE = re.compile(
     r"^(?P<open>[\(\[])"
     r"(?P<alias>[A-Za-z_]\w*)"
-    r"(?P<opt>\?)?"
+    r"(?P<opt>[?!])?"
     r"(?::(?P<kind>[A-Za-z_]\w*))?"
     r"(?P<extras>(?:,[A-Za-z_]\w*)*)"
     r"(?P<close>[\)\]])$"
@@ -109,13 +113,16 @@ def parse_chain(chain: str) -> list[Link]:
         extras = [e for e in m.group("extras").split(",") if e]
         links.append(Link(alias=alias, ltype=ltype, kind=m.group("kind"),
                           collect=m.group("open") == "[", extras=extras,
-                          optional=m.group("opt") is not None))
+                          optional=m.group("opt") is not None,
+                          anti=m.group("opt") == "!"))
     if not links:
         raise GraphydbError("Empty chain")
     # optional-suffix semantics (beyond-reference): the first optional
     # link opens a LEFT-JOIN suffix — every link after it is structurally
     # optional too (a node reached only through an optional edge cannot
     # be mandatory), mirroring Cypher's OPTIONAL MATCH.
+    if sum(1 for l in links if l.anti) > 1:
+        raise GraphydbError("At most one anti ('!') link per chain")
     opt_at = next((i for i, l in enumerate(links) if l.optional), None)
     if opt_at is not None:
         if opt_at == 0:
@@ -123,8 +130,11 @@ def parse_chain(chain: str) -> list[Link]:
                 "Chain cannot start with an optional link")
         if not links[opt_at].is_edge:
             raise GraphydbError(
-                "Only edge links can be marked optional ('?'); nodes "
-                "beyond an optional edge are optional automatically")
+                "Only edge links can be marked optional ('?' / '!'); "
+                "nodes beyond one are absorbed automatically")
+        if any(l.anti for l in links[:opt_at]):
+            raise GraphydbError(
+                "The anti ('!') link must open the suffix")
         for l in links[opt_at:]:
             l.optional = True
     ncollect = sum(1 for l in links if l.collect)
@@ -528,6 +538,23 @@ def compile_fetch_sql(
                     f"semantics). Filter the optional link in its chain "
                     f"segment, or make the link mandatory.")
         conds.extend(f"({rewrite_expr(w, typed)})" for w in where)
+    # anti suffix: the whole LEFT-JOIN suffix must have found NO match —
+    # a complete match binds the LAST suffix link, so its null-ness is
+    # the no-complete-path test (Cypher's WHERE NOT exists(pattern)).
+    # Partial suffix matches leave multiplicity artifacts that the
+    # default DISTINCT collapses; without it the semantics leak.
+    if any(l.anti for l in links):
+        if not distinct:
+            raise GraphydbError(
+                "Anti ('!') chains require DISTINCT (partial suffix "
+                "matches would duplicate surviving rows)")
+        suffix_aliases = {l.alias for l in links if l.optional}
+        for name, e in (extras or {}).items():
+            if set(re.findall(r"\b(\w+)\s*\.", str(e))) & suffix_aliases:
+                raise GraphydbError(
+                    f"Extra {name!r} references the anti suffix — every "
+                    f"surviving row has it NULL by construction")
+        conds.append(f"{links[-1].alias}.uid IS NULL")
     where_sql = f"WHERE {' AND '.join(conds)}" if conds else ""
 
     # GROUP BY — SQLite lets bare columns ride along with aggregates and

@@ -427,6 +427,16 @@ def q_bfs_paths(spark, sf_dir):
                                  direction="out")
 
 
+def q_never_ordered_parts(spark, sf_dir):
+    """Anti-edge chain (beyond reference, Cypher's WHERE NOT exists):
+    parts with NO Contains edge — ``<(ct!:Contains)-`` compiles to the
+    LEFT-JOIN suffix plus a last-alias IS NULL filter, which Catalyst
+    plans as an anti join."""
+    g = tpch_graph(spark, sf_dir)
+    return g.fetch("[p:Part] <(ct!:Contains)- (o:Order)",
+                   as_df=True).select("uid")
+
+
 def q_sliding_window(spark, sf_dir):
     """Sliding window (1 h window, 30 min slide) counts per type."""
     from .streaming.windows import sliding_counts
@@ -3534,6 +3544,11 @@ ORACLES: dict[str, str | None] = {
     """,
     "hits_authorities": _hits_sql(),
     "personalized_pagerank": _ppr_sql(),
+    "never_ordered_parts": """
+        SELECT 'Part:' || CAST(p_partkey AS VARCHAR) AS uid
+        FROM part
+        WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+    """,
     "bfs_paths": """
         WITH e AS MATERIALIZED (
           SELECT 'Customer:' || CAST(o_custkey AS VARCHAR) AS src,
@@ -3799,6 +3814,7 @@ QUERIES = {
     "personalized_pagerank": q_personalized_pagerank,
     "var_length_reach": q_var_length_reach,
     "bfs_paths": q_bfs_paths,
+    "never_ordered_parts": q_never_ordered_parts,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -223,3 +223,40 @@ def test_varlength_fetch_guards(spark):
         g.fetch("(a:P) -(e*1..2)> (b)", "e.data.x = 1", as_df=True)
     with pytest.raises(GraphydbError, match="ORDER"):
         g.fetch("(a:P) -(e*1..2)> (b)", ORDER="b.uid", as_df=True)
+
+
+def test_anti_edge_semantics(spark):
+    """-(e!:K)> keeps rows with NO matching suffix: single-hop,
+    kind-discriminated, and multi-hop (no COMPLETE path) forms."""
+    from graphydb_spark import Graph, GraphydbError
+    import pytest
+    g = Graph(spark)
+    ps = {n: g.Node("Person", name=n) for n in ("a", "b", "c", "loner")}
+    d = g.Node("Dog", name="rex")
+    for x in (*ps.values(), d):
+        x.save()
+    g.Edge(ps["a"], "Likes", ps["b"]).save()
+    g.Edge(ps["b"], "Likes", ps["c"]).save()
+    g.Edge(ps["c"], "Owns", d).save()
+
+    def names(chain):
+        return {i["name"] for i in g.fetch(chain)}
+
+    # who likes nobody?
+    assert names("[p:Person] -(e!:Likes)> (q:Person)") == {"c", "loner"}
+    # who owns nothing?
+    assert names("[p:Person] -(e!:Owns)> (x)") == {"a", "b", "loner"}
+    # multi-hop: who has NO complete Likes->Owns path?  only b->c->dog
+    # completes, so everyone but b survives
+    assert names("[p:Person] -(e!:Likes)> (q:Person) -(f:Owns)> (x)") \
+        == {"a", "c", "loner"}
+    # anti + COUNT composes
+    assert g.fetch("[p:Person] -(e!:Likes)> (q:Person)", COUNT=True) == 2
+    # guards
+    with pytest.raises(GraphydbError, match="DISTINCT"):
+        g.fetch("[p:Person] -(e!:Likes)> (q)", DISTINCT=False, as_df=True)
+    with pytest.raises(GraphydbError, match="NULL"):
+        g.fetch("[p:Person,n] -(e!:Likes)> (q)", n="COUNT(q.uid)",
+                as_df=True)
+    with pytest.raises(GraphydbError, match="one anti"):
+        g.fetch("(a) -(e!:X)> (b) -(f!:Y)> (c)", as_df=True)
