@@ -427,13 +427,14 @@ def q_bfs_paths(spark, sf_dir):
                                  direction="out")
 
 
-def q_never_ordered_parts(spark, sf_dir):
+def q_empty_orders(spark, sf_dir):
     """Anti-edge chain (beyond reference, Cypher's WHERE NOT exists):
-    parts with NO Contains edge — ``<(ct!:Contains)-`` compiles to the
+    orders with NO Contains edge — ``-(ct!:Contains)>`` compiles to the
     LEFT-JOIN suffix plus a last-alias IS NULL filter, which Catalyst
-    plans as an anti join."""
+    plans as an anti join.  Non-empty on the fixtures (27 / 257 empty
+    orders at sf0.001 / sf0.01)."""
     g = tpch_graph(spark, sf_dir)
-    return g.fetch("[p:Part] <(ct!:Contains)- (o:Order)",
+    return g.fetch("[o:Order] -(ct!:Contains)> (p:Part)",
                    as_df=True).select("uid")
 
 
@@ -3544,10 +3545,10 @@ ORACLES: dict[str, str | None] = {
     """,
     "hits_authorities": _hits_sql(),
     "personalized_pagerank": _ppr_sql(),
-    "never_ordered_parts": """
-        SELECT 'Part:' || CAST(p_partkey AS VARCHAR) AS uid
-        FROM part
-        WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+    "empty_orders": """
+        SELECT 'Order:' || CAST(o_orderkey AS VARCHAR) AS uid
+        FROM orders
+        WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
     """,
     "bfs_paths": """
         WITH e AS MATERIALIZED (
@@ -3814,7 +3815,7 @@ QUERIES = {
     "personalized_pagerank": q_personalized_pagerank,
     "var_length_reach": q_var_length_reach,
     "bfs_paths": q_bfs_paths,
-    "never_ordered_parts": q_never_ordered_parts,
+    "empty_orders": q_empty_orders,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
