@@ -178,3 +178,40 @@ def test_chunk_documents_covers_all_tokens(spark):
             seen.update(range(i * stride,
                               min(i * stride + 32, n)))
         assert seen == set(range(n))
+
+
+def test_anti_and_semi_partition_nodes(rg):
+    """For any kind K: {nodes with an out-K edge} and {nodes with none}
+    partition the node set — fetch(semi) ⊎ fetch(anti) with no overlap.
+    Ground truth recomputed from the edge items."""
+    g, nodes, edges = rg
+    all_uids = {n.uid for n in nodes}
+    for kind in ("A", "B"):
+        have = {e["startuid"] for e in edges if e["kind"] == kind}
+        semi = {r["uid"] for r in
+                g.fetch(f"[p:Person] -(e:{kind})> (q:Person)",
+                        as_df=True).collect()}
+        anti = {r["uid"] for r in
+                g.fetch(f"[p:Person] -(e!:{kind})> (q:Person)",
+                        as_df=True).collect()}
+        assert semi == have
+        assert anti == all_uids - have
+        assert semi | anti == all_uids and not (semi & anti)
+
+
+def test_varlength_union_equals_khop_reach(rg):
+    """-(e*1..k)> from a seed must equal k_hop's out-reach minus the
+    seed itself (ground truth from the iterative operator)."""
+    from graphydb_spark.operators.graph_algos import k_hop
+    g, nodes, edges = rg
+    seed = nodes[0]
+    for k in (1, 2, 3):
+        got = {r["uid"] for r in
+               g.fetch(f"(a:Person) -(e*1..{k})> [b:Person]",
+                       f"a.uid = '{seed.uid}'", as_df=True).collect()}
+        seeds = g.spark.createDataFrame([(seed.uid,)], "uid string")
+        reach = {r["uid"] for r in
+                 k_hop(g.edges_df, seeds, k=k, direction="out").collect()}
+        # identical up to the seed itself: k_hop includes it at distance
+        # 0, the chain re-reaches it only through a cycle of length ≤ k
+        assert got - {seed.uid} == reach - {seed.uid}
