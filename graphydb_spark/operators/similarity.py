@@ -113,9 +113,15 @@ def ivf_index(emb: DataFrame, k: int = 16, iters: int = 3,
 
     Deterministic: centroids init from the k lowest-id vectors; each Lloyd
     round assigns distributed (argmin over k inlined dot-distances) and
-    re-averages via a (cluster, dim) explode-aggregate.  Centroids live on
-    the driver (k × dim floats); assignments are a DataFrame — at scale,
-    write it partitioned by ``cluster`` for partition-pruned probes.
+    re-averages via a (cluster, dim) explode-aggregate.  The re-average is
+    an *order-free* quantized mean — each value rounds to an integer at
+    1e-9 resolution, the BIGINT sum is exact under any aggregation order,
+    and the final divide is one deterministic double op.  A plain double
+    ``avg`` would vary with partition order, making the index
+    irreproducible across runs/engines; the 1e-9 quantization error is
+    orders below float32 input precision.  Centroids live on the driver
+    (k × dim floats); assignments are a DataFrame — at scale, write it
+    partitioned by ``cluster`` for partition-pruned probes.
     """
     seed_rows = emb.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [list(r[0]) for r in seed_rows]
@@ -139,9 +145,12 @@ def ivf_index(emb: DataFrame, k: int = 16, iters: int = 3,
 
     for _ in range(iters):
         assigned = emb.withColumn("cluster", assign_col(centroids))
+        qint = F.round(F.col("v").cast("double") * F.lit(1e9)).cast("long")
         means = (assigned
                  .select("cluster", F.posexplode(vec_col).alias("dim", "v"))
-                 .groupBy("cluster", "dim").agg(F.avg("v").alias("m"))
+                 .groupBy("cluster", "dim")
+                 .agg((F.sum(qint).cast("double")
+                       / (F.lit(1e9) * F.count(F.lit(1)))).alias("m"))
                  .collect())
         new_c = [list(c) for c in centroids]
         for r in means:

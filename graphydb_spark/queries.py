@@ -944,8 +944,11 @@ def q_bm25_rank(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
-    """IVF-bucketed ANN probe for vec_id=0 — rows-only oracle (cluster
-    structure is engine-internal)."""
+    """IVF-bucketed ANN probe for vec_id=0 — FULL hash oracle: the
+    seeded k-means is reproducible by construction (k-lowest-id init,
+    lowest-cluster tie-break, order-free quantized Lloyd mean — see
+    similarity.ivf_index), so the oracle replays both Lloyd rounds as
+    unrolled CTEs and walks the identical centroid trajectory."""
     emb = _emb(spark, sf_dir)
     qv = list(emb.where(F.col("vec_id") == 0)
               .select("embedding").collect()[0][0])
@@ -953,6 +956,85 @@ def q_ivf_topk(spark, sf_dir):
     top = similarity.ivf_topk(indexed, cents, qv, k=6, nprobe=2)
     return (top.where(F.col("vec_id") != 0)
             .select("vec_id", F.round("cosine", 6).alias("cosine")))
+
+
+def _ivf_oracle_sql(k: int = 8, iters: int = 2, nprobe: int = 2,
+                    topk: int = 6) -> str:
+    """DuckDB replay of q_ivf_topk — the engine's k-means unrolled round
+    by round (same pattern as the pagerank/k_core unrolled-CTE oracles).
+
+    Reproducibility rests on three shared-by-construction rules:
+    seed = the k lowest vec_ids; argmin ties break to the lowest cluster
+    id; the Lloyd re-average is the quantized integer mean
+    (round(v*1e9) → exact BIGINT sum → one double divide), bit-identical
+    at any parallelism in any engine.  Distances and cosines are the same
+    sequential left-to-right folds the engine's F.aggregate emits
+    (list_sum ≡ fold — already load-bearing for the knn_cosine oracle).
+    """
+    def dist(c):
+        return (f"list_sum(list_transform(range(1, len(e.embedding)+1), "
+                f"i -> ({c}.cent[i] - CAST(e.embedding[i] AS DOUBLE)) * "
+                f"({c}.cent[i] - CAST(e.embedding[i] AS DOUBLE))))")
+
+    sql = [f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+  FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT {k}))"""]
+    for r in range(1, iters + 1):
+        p = f"c{r-1}"
+        sql.append(f""",
+a{r} AS MATERIALIZED (
+  SELECT vec_id, c FROM (
+    SELECT e.vec_id, {p}.c,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist(p)}, {p}.c) AS rn
+    FROM e, {p}) WHERE rn = 1),
+m{r} AS (
+  SELECT a{r}.c, t.i AS dim,
+         CAST(SUM(CAST(ROUND(CAST(e.embedding[t.i] AS DOUBLE) * 1e9)
+                       AS BIGINT)) AS DOUBLE) / (1e9 * COUNT(*)) AS m
+  FROM a{r} JOIN e USING (vec_id),
+       UNNEST(range(1, len(e.embedding)+1)) AS t(i)
+  GROUP BY a{r}.c, t.i),
+c{r} AS MATERIALIZED (
+  SELECT {p}.c, COALESCE(g.cent, {p}.cent) AS cent
+  FROM {p} LEFT JOIN (SELECT c, list(m ORDER BY dim) AS cent
+                      FROM m{r} GROUP BY c) g USING (c))""")
+    fc = f"c{iters}"
+    sql.append(f""",
+fin AS MATERIALIZED (
+  SELECT vec_id, c FROM (
+    SELECT e.vec_id, {fc}.c,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist(fc)}, {fc}.c) AS rn
+    FROM e, {fc}) WHERE rn = 1),
+q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT c FROM (
+    SELECT {fc}.c,
+           list_sum(list_transform(range(1, len(q.qv)+1),
+             i -> ({fc}.cent[i] - q.qv[i]) * ({fc}.cent[i] - q.qv[i])))
+             AS d
+    FROM {fc}, q) ORDER BY d, c LIMIT {nprobe}),
+scored AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding)+1),
+           i -> q.qv[i] * CAST(e.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, len(q.qv)+1),
+              i -> q.qv[i] * q.qv[i])))
+          * sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+              i -> CAST(e.embedding[i] AS DOUBLE)
+                 * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+  FROM e JOIN fin USING (vec_id), q
+  WHERE fin.c IN (SELECT c FROM probe))
+SELECT vec_id, cosine FROM (
+  SELECT vec_id, round(cos, 6) AS cosine
+  FROM scored ORDER BY cos DESC, vec_id LIMIT {topk})
+WHERE vec_id != 0""")
+    return "".join(sql)
 
 
 def q_k_hop(spark, sf_dir):
@@ -2740,8 +2822,7 @@ ORACLES: dict[str, str | None] = {
         FROM scored
         ORDER BY score DESC, uid ASC LIMIT 10
     """,
-    "ivf_topk": None,
-    # iterative / engine-internal → rows-only checks
+    "ivf_topk": _ivf_oracle_sql(),
     # iterative label propagation in the engine; the oracle replays it as
     # a recursive reachability closure (tiny subgraph: Nation/Region)
     "connected_components": """
