@@ -168,6 +168,54 @@ def pii_redact(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, col)
 
 
+def line_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", min_chars: int = 16,
+               sep: str = "\n") -> DataFrame:
+    """C4-style line-level dedup: a line appearing in multiple documents
+    survives only at its first corpus occurrence (lowest ``(doc_id,
+    line_no)``); every other copy — including repeats inside one
+    document — is dropped, and documents are reassembled from their
+    surviving lines.  Returns ``(doc_id, clean_text, n_kept,
+    n_dropped)``.
+
+    Lines shorter than ``min_chars`` are never dedup candidates (boiler-
+    plate blanks/bullets would otherwise vanish corpus-wide except one).
+
+    Scale shape: the winner election shuffles ``(md5, doc_id, line_no)``
+    — 48-byte rows, never text; the only wide rows move in the final
+    per-document reassembly, partitioned by ``doc_id``.  Both shuffles
+    are skew-safe (line-hash keys are near-unique; doc keys are
+    bounded by document size).  All JVM built-ins, so the whole op stays
+    in whole-stage codegen and the DuckDB oracle replays it verbatim.
+    """
+    lines = df.select(
+        id_col, F.posexplode(F.split(F.col(text_col), sep))
+                 .alias("line_no", "line"))
+    cand = lines.where(F.length("line") >= min_chars)
+    winners = (cand.groupBy(F.md5(F.col("line")).alias("h"))
+               .agg(F.min(F.struct(F.col(id_col).alias("d"),
+                                   F.col("line_no").alias("p")))
+                    .alias("w")))
+    flagged = (lines
+               .withColumn("h", F.when(F.length("line") >= min_chars,
+                                       F.md5(F.col("line"))))
+               .join(winners, "h", "left")
+               .withColumn("keep",
+                           F.col("h").isNull()
+                           | ((F.col("w.d") == F.col(id_col))
+                              & (F.col("w.p") == F.col("line_no")))))
+    kept_struct = F.when(F.col("keep"), F.struct("line_no", "line"))
+    return (flagged.groupBy(id_col)
+            .agg(F.array_join(
+                     F.transform(F.array_sort(F.collect_list(kept_struct)),
+                                 lambda s: s["line"]),
+                     sep).alias("clean_text"),
+                 F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                  .alias("n_kept"),
+                 F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+                  .alias("n_dropped")))
+
+
 def quality_filter(df: DataFrame, text_col: str = "text",
                    min_tokens: int = 20, max_tokens: int = 100_000,
                    min_avg_len: float = 2.0, max_avg_len: float = 12.0,

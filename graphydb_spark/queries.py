@@ -2036,6 +2036,27 @@ def q_train_val_test(spark, sf_dir):
             .groupBy("split").agg(F.count("*").alias("n")))
 
 
+def q_line_dedup(spark, sf_dir):
+    """C4-style line-level dedup over the corpus: documents are first
+    line-ified deterministically (8-token lines — the fixture text is
+    single-line), then every ≥16-char line that repeats anywhere in the
+    corpus survives only at its first (doc_id, line_no) occurrence and
+    documents are reassembled from the survivors.  The oracle replays
+    the line-ification and the winner election verbatim; clean_text is
+    hash-compared, so the gate covers reassembly order too."""
+    from .operators.pipeline import line_dedup
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    nlines = F.greatest(
+        F.ceil(F.size(toks) / F.lit(8)).cast("int"), F.lit(1))
+    lines = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "))
+    reshaped = docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("text"))
+    return line_dedup(reshaped)
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Weekly retention cohorts: users grouped by first-activity week,
     counted per week-offset of subsequent activity — two aggregations
@@ -3725,6 +3746,39 @@ ORACLES: dict[str, str | None] = {
                TRUE AS p99_ok
         FROM orders
     """,
+    "line_dedup": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        resh AS (
+          SELECT doc_id,
+                 array_to_string(list_transform(
+                   range(0, GREATEST(CAST(ceil(len(toks)/8.0) AS INT), 1)),
+                   i -> array_to_string(toks[i*8+1 : i*8+8], ' ')),
+                   chr(10)) AS text
+          FROM t),
+        l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM resh),
+        lines AS (
+          SELECT doc_id, i - 1 AS line_no, ls[i] AS line
+          FROM l, UNNEST(range(1, len(ls)+1)) AS s(i)),
+        win AS (
+          SELECT h, wd, wp FROM (
+            SELECT md5(line) AS h, doc_id AS wd, line_no AS wp,
+                   row_number() OVER (PARTITION BY md5(line)
+                                      ORDER BY doc_id, line_no) AS rn
+            FROM lines WHERE length(line) >= 16) WHERE rn = 1),
+        flagged AS (
+          SELECT li.doc_id, li.line_no, li.line,
+                 (length(li.line) < 16
+                  OR (w.wd = li.doc_id AND w.wp = li.line_no)) AS keep
+          FROM lines li LEFT JOIN win w
+            ON length(li.line) >= 16 AND md5(li.line) = w.h)
+        SELECT doc_id,
+               COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+                                   ORDER BY line_no), '') AS clean_text,
+               SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+               SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS n_dropped
+        FROM flagged GROUP BY doc_id
+    """,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -3897,6 +3951,7 @@ QUERIES = {
     "var_length_reach": q_var_length_reach,
     "bfs_paths": q_bfs_paths,
     "empty_orders": q_empty_orders,
+    "line_dedup": q_line_dedup,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -191,3 +191,38 @@ def test_pack_sequences_offsets_and_truncation(spark):
             pack_sequences(df, "doc_id", "n_tok", seq_len=100,
                            truncate=False).collect()}
     assert full[2] == 40 and full[3] == 100
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    """A ≥16-char line repeated across (or within) documents survives
+    only at its lowest (doc_id, line_no); short lines are never dedup
+    candidates; docs reassemble in line order."""
+    from graphydb_spark.operators.pipeline import line_dedup
+    boiler = "this boilerplate line repeats everywhere"
+    rows = [
+        (1, f"unique opening sentence one\n{boiler}\nok"),
+        (2, f"{boiler}\nanother unique sentence here\nok"),
+        (3, f"ok\n{boiler}\n{boiler}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    # doc 1 holds the first occurrence → everything kept
+    assert out[1]["clean_text"] == rows[0][1]
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (3, 0)
+    # doc 2 loses its copy, keeps its unique line + the short line
+    assert out[2]["clean_text"] == "another unique sentence here\nok"
+    assert out[2]["n_dropped"] == 1
+    # doc 3: both copies dropped (intra-doc repeat too), short line kept
+    assert out[3]["clean_text"] == "ok"
+    assert (out[3]["n_kept"], out[3]["n_dropped"]) == (1, 2)
+
+
+def test_line_dedup_all_dropped_doc_yields_empty_text(spark):
+    from graphydb_spark.operators.pipeline import line_dedup
+    long_line = "exactly the same long line in both documents"
+    df = spark.createDataFrame(
+        [(1, long_line), (2, long_line)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert out[1]["clean_text"] == long_line
+    assert out[2]["clean_text"] == ""
+    assert out[2]["n_kept"] == 0
