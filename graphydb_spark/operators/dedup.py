@@ -174,6 +174,37 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
     return labels.select(F.col("id").alias("doc_id"), "cluster")
 
 
+def resolve_duplicates(df: DataFrame, clusters: DataFrame, score_col,
+                       id_col: str = "doc_id",
+                       cluster_col: str = "cluster") -> DataFrame:
+    """Pick ONE representative per near-dup cluster: the highest
+    ``score_col``, ties to the lowest id — the keep-best policy real
+    pipelines want instead of dedup_clusters' arbitrary keep-min-id.
+
+    ``score_col`` may be a column name or a Column expression evaluated
+    against ``df`` (e.g. a quality score).  Docs absent from ``clusters``
+    are implicit singletons and are untouched — the full corpus joins
+    only against the (small) clustered subset, so at scale this is a
+    semi-join-sized shuffle, not a corpus self-join.  Returns
+    ``(cluster, keep_id, best_score, n_members)``.
+
+    The argmax is one ``max(struct(score, -id))`` aggregation — a single
+    partial+final shuffle on the cluster key, no window over the corpus.
+    """
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    scored = clusters.join(
+        df.select(F.col(id_col),
+                  s.cast("long").alias("_s")), id_col)
+    best = F.max(F.struct(F.col("_s").alias("s"),
+                          (-F.col(id_col)).alias("negid")))
+    return (scored.groupBy(cluster_col)
+            .agg(best.alias("b"), F.count("*").alias("n_members"))
+            .select(cluster_col,
+                    (-F.col("b.negid")).alias("keep_id"),
+                    F.col("b.s").alias("best_score"),
+                    "n_members"))
+
+
 def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", k: int = 3,
                    threshold: float = 0.5) -> DataFrame:

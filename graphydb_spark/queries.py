@@ -54,6 +54,31 @@ UNION ALL SELECT 'Did', COUNT(*) FROM events
 
 _TOKENIZE_DUCK = "string_split_regex(lower({col}), '[^a-z0-9]+')"
 
+# Shared CTE chain: minhash candidate pairs → undirected edge closure
+# (used by the dedup_clusters oracle and the dedup_resolve oracle that
+# builds on it; the trailing SELECT differs per query).
+_CLUSTER_CTES = """toks AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '') AS ws
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, list_min(list_transform(range(1, len(ws)-1),
+                i -> md5('0:' || ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+                AS mh
+          FROM toks WHERE len(ws) >= 3
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.mh = b.mh AND a.doc_id < b.doc_id
+        ), dedges(a, b) AS (
+          SELECT id_a, id_b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs
+        ), dnodes(id) AS (SELECT DISTINCT a FROM dedges),
+        reach(src, dst) AS (
+          SELECT id, id FROM dnodes
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN dedges e ON e.a = r.dst
+        )"""
+
 
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -643,6 +668,21 @@ def q_dedup_clusters(spark, sf_dir):
                     (F.col("id_a") < F.col("id_b")))
              .select("id_a", "id_b"))
     return dedup.dedup_clusters(pairs)
+
+
+def q_dedup_resolve(spark, sf_dir):
+    """Near-dup RESOLUTION: keep the best-scoring member of each
+    minhash cluster (score = text length here; ties to lowest id) —
+    the keep-best policy layered on q_dedup_clusters' closure."""
+    docs = _docs(spark, sf_dir)
+    sig = dedup.minhash_signature(docs, num_hashes=1).localCheckpoint()
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("sig0"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("sig0").alias("s2"))
+    pairs = (a.join(b, (F.col("sig0") == F.col("s2")) &
+                    (F.col("id_a") < F.col("id_b")))
+             .select("id_a", "id_b"))
+    clusters = dedup.dedup_clusters(pairs)
+    return dedup.resolve_duplicates(docs, clusters, F.length("text"))
 
 
 def q_text_stats(spark, sf_dir):
@@ -2460,30 +2500,23 @@ ORACLES: dict[str, str | None] = {
         SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
         ORDER BY n DESC, bigram ASC LIMIT 20
     """,
-    "dedup_clusters": """
-        WITH RECURSIVE toks AS (
-          SELECT doc_id, list_filter(
-            string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '') AS ws
-          FROM documents
-        ), sh AS (
-          SELECT doc_id, list_min(list_transform(range(1, len(ws)-1),
-                i -> md5('0:' || ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
-                AS mh
-          FROM toks WHERE len(ws) >= 3
-        ), pairs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM sh a JOIN sh b ON a.mh = b.mh AND a.doc_id < b.doc_id
-        ), dedges(a, b) AS (
-          SELECT id_a, id_b FROM pairs
-          UNION ALL SELECT id_b, id_a FROM pairs
-        ), dnodes(id) AS (SELECT DISTINCT a FROM dedges),
-        reach(src, dst) AS (
-          SELECT id, id FROM dnodes
-          UNION
-          SELECT r.src, e.b FROM reach r JOIN dedges e ON e.a = r.dst
-        )
+    "dedup_clusters": ("WITH RECURSIVE " + _CLUSTER_CTES + """
         SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src
-    """,
+    """),
+    "dedup_resolve": ("WITH RECURSIVE " + _CLUSTER_CTES + """,
+        cl AS (SELECT src AS doc_id, MIN(dst) AS cluster
+               FROM reach GROUP BY src),
+        scored AS (
+          SELECT cl.cluster, cl.doc_id, CAST(length(d.text) AS BIGINT) AS s
+          FROM cl JOIN documents d ON d.doc_id = cl.doc_id)
+        SELECT cluster, doc_id AS keep_id, s AS best_score, n_members
+        FROM (SELECT cluster, doc_id, s,
+                     COUNT(*) OVER (PARTITION BY cluster) AS n_members,
+                     row_number() OVER (PARTITION BY cluster
+                                        ORDER BY s DESC, doc_id) AS rn
+              FROM scored)
+        WHERE rn = 1
+    """),
     "text_stats": (
         "SELECT doc_id, CAST(len(list_filter("
         + _TOKENIZE_DUCK.format(col="text") + ", x -> x != '')) AS BIGINT) "
@@ -3952,6 +3985,7 @@ QUERIES = {
     "bfs_paths": q_bfs_paths,
     "empty_orders": q_empty_orders,
     "line_dedup": q_line_dedup,
+    "dedup_resolve": q_dedup_resolve,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -656,3 +656,24 @@ def test_bfs_paths_reconstruction(spark):
     assert out["d"]["dist"] == 2
     assert out["d"]["path"] == ["a", "b", "d"]   # min-uid parent route
     assert "x" not in out and "y" not in out
+
+
+def test_resolve_duplicates_keeps_best_scoring_member(spark):
+    """Argmax-by-score per cluster, ties to the lowest id; singletons
+    (absent from the cluster frame) are not emitted."""
+    from graphydb_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "aaaa"), (3, "aaaa"), (4, "zz"), (9, "solo")],
+        "doc_id long, text string")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "doc_id long, cluster long")
+    out = {r["cluster"]: r for r in
+           dedup.resolve_duplicates(docs, clusters,
+                                    F.length("text")).collect()}
+    # cluster 1: docs 2 and 3 tie on score 4 → lowest id wins
+    assert (out[1]["keep_id"], out[1]["best_score"],
+            out[1]["n_members"]) == (2, 4, 3)
+    assert (out[4]["keep_id"], out[4]["n_members"]) == (4, 1)
+    assert 9 not in {r["keep_id"] for r in out.values()}
