@@ -57,6 +57,28 @@ def stratified_sample(df: DataFrame, strata_col: str,
     return df.where(_keeps(F.col(key_col), rate))
 
 
+def balanced_sample(df: DataFrame, group_col: str, key_col: str,
+                    per_group: int) -> DataFrame:
+    """Uniform-coverage sampling: keep ~``per_group`` rows of EVERY
+    group — diversity sampling (e.g. over embedding clusters, so a
+    dominant content cluster can't drown the tails in a training mix).
+
+    ``rate_g = min(1, per_group / n_g)`` — small groups survive whole,
+    big groups thin to the target.  Execution: one tiny count aggregate
+    broadcast back, then the hash-gated narrow filter; the corpus is
+    never shuffled, so this is 100 TB-safe and reproducible at any
+    parallelism.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    rates = counts.select(
+        group_col,
+        F.least(F.lit(1.0),
+                F.lit(float(per_group)) / F.col("_n")).alias("_rate"))
+    return (df.join(F.broadcast(rates), group_col)
+              .where(_keeps(F.col(key_col), F.col("_rate")))
+              .drop("_rate"))
+
+
 def mixture_sample(df: DataFrame, source_col: str,
                    weights: dict[str, float], key_col: str) -> DataFrame:
     """Down-sample to target source proportions (training-mix step).

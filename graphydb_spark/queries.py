@@ -1011,6 +1011,37 @@ def _ivf_oracle_sql(k: int = 8, iters: int = 2, nprobe: int = 2,
     sequential left-to-right folds the engine's F.aggregate emits
     (list_sum ≡ fold — already load-bearing for the knn_cosine oracle).
     """
+    return _ivf_ctes(k, iters) + f""",
+q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT c FROM (
+    SELECT c{iters}.c,
+           list_sum(list_transform(range(1, len(q.qv)+1),
+             i -> (c{iters}.cent[i] - q.qv[i])
+                * (c{iters}.cent[i] - q.qv[i]))) AS d
+    FROM c{iters}, q) ORDER BY d, c LIMIT {nprobe}),
+scored AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding)+1),
+           i -> q.qv[i] * CAST(e.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, len(q.qv)+1),
+              i -> q.qv[i] * q.qv[i])))
+          * sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+              i -> CAST(e.embedding[i] AS DOUBLE)
+                 * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+  FROM e JOIN fin USING (vec_id), q
+  WHERE fin.c IN (SELECT c FROM probe))
+SELECT vec_id, cosine FROM (
+  SELECT vec_id, round(cos, 6) AS cosine
+  FROM scored ORDER BY cos DESC, vec_id LIMIT {topk})
+WHERE vec_id != 0"""
+
+
+def _ivf_ctes(k: int, iters: int) -> str:
+    """The unrolled k-means CTE chain shared by the ivf_topk and
+    cluster_balanced oracles: seeds → per-round (assign, quantized mean,
+    centroid) → final assignment ``fin(vec_id, c)``."""
     def dist(c):
         return (f"list_sum(list_transform(range(1, len(e.embedding)+1), "
                 f"i -> ({c}.cent[i] - CAST(e.embedding[i] AS DOUBLE)) * "
@@ -1049,32 +1080,37 @@ fin AS MATERIALIZED (
     SELECT e.vec_id, {fc}.c,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {dist(fc)}, {fc}.c) AS rn
-    FROM e, {fc}) WHERE rn = 1),
-q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-      FROM e WHERE vec_id = 0),
-probe AS (
-  SELECT c FROM (
-    SELECT {fc}.c,
-           list_sum(list_transform(range(1, len(q.qv)+1),
-             i -> ({fc}.cent[i] - q.qv[i]) * ({fc}.cent[i] - q.qv[i])))
-             AS d
-    FROM {fc}, q) ORDER BY d, c LIMIT {nprobe}),
-scored AS (
-  SELECT e.vec_id,
-         list_sum(list_transform(range(1, len(e.embedding)+1),
-           i -> q.qv[i] * CAST(e.embedding[i] AS DOUBLE)))
-         / (sqrt(list_sum(list_transform(range(1, len(q.qv)+1),
-              i -> q.qv[i] * q.qv[i])))
-          * sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
-              i -> CAST(e.embedding[i] AS DOUBLE)
-                 * CAST(e.embedding[i] AS DOUBLE))))) AS cos
-  FROM e JOIN fin USING (vec_id), q
-  WHERE fin.c IN (SELECT c FROM probe))
-SELECT vec_id, cosine FROM (
-  SELECT vec_id, round(cos, 6) AS cosine
-  FROM scored ORDER BY cos DESC, vec_id LIMIT {topk})
-WHERE vec_id != 0""")
+    FROM e, {fc}) WHERE rn = 1)""")
     return "".join(sql)
+
+
+def _cluster_balanced_oracle_sql(k: int = 8, iters: int = 2,
+                                 per_group: int = 40) -> str:
+    """DuckDB replay of q_cluster_balanced: the shared IVF CTE chain
+    delivers the engine-identical assignments; the per-cluster rate and
+    the md5 hash gate replay pipeline.balanced_sample verbatim."""
+    return _ivf_ctes(k, iters) + f""",
+counts AS (SELECT c, COUNT(*) AS n FROM fin GROUP BY c),
+rates AS (SELECT c, LEAST(1.0, CAST({per_group} AS DOUBLE) / n) AS rate
+          FROM counts)
+SELECT f.vec_id, f.c AS cluster
+FROM fin f JOIN rates USING (c)
+WHERE rate >= 1.0
+   OR substr(md5(CAST(f.vec_id AS VARCHAR)), 1, 4)
+      < printf('%04x', CAST(floor(rate * 65536) AS INT))"""
+
+
+def q_cluster_balanced(spark, sf_dir):
+    """Diversity sampling over embedding clusters: ~40 vectors kept per
+    IVF k-means cluster (small clusters survive whole) — the
+    cluster-balanced training-mix step.  FULL hash oracle: the shared
+    unrolled-k-means CTE chain reproduces the assignments, then the
+    rate + md5 gate replay balanced_sample verbatim."""
+    from .operators.pipeline import balanced_sample
+    emb = _emb(spark, sf_dir)
+    indexed, _ = similarity.ivf_index(emb, k=8, iters=2)
+    return (balanced_sample(indexed, "cluster", "vec_id", per_group=40)
+            .select("vec_id", "cluster"))
 
 
 def q_k_hop(spark, sf_dir):
@@ -2877,6 +2913,7 @@ ORACLES: dict[str, str | None] = {
         ORDER BY score DESC, uid ASC LIMIT 10
     """,
     "ivf_topk": _ivf_oracle_sql(),
+    "cluster_balanced": _cluster_balanced_oracle_sql(),
     # iterative label propagation in the engine; the oracle replays it as
     # a recursive reachability closure (tiny subgraph: Nation/Region)
     "connected_components": """
@@ -3986,6 +4023,7 @@ QUERIES = {
     "empty_orders": q_empty_orders,
     "line_dedup": q_line_dedup,
     "dedup_resolve": q_dedup_resolve,
+    "cluster_balanced": q_cluster_balanced,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -79,6 +79,19 @@ def main():
                          {"src0": 0.5, "src1": 0.3, "src2": 0.2},
                          key_col="doc_id"))
 
+    # line-level dedup: multi-line docs drawn from a 5000-line vocabulary
+    # (n_docs x 6 lines → massive cross-doc duplication, the C4 shape)
+    from graphydb_spark.operators.pipeline import line_dedup
+    mdocs = (spark.range(n_docs).repartition(64)
+             .select(F.col("id").alias("doc_id"),
+                     F.concat_ws("\n", *[
+                         F.concat(F.lit("shared content line number "),
+                                  (F.xxhash64(F.col("id") * 7 + i) % 5000)
+                                  .cast("string"))
+                         for i in range(6)]).alias("text"))
+             .localCheckpoint(eager=True))
+    timed(f"line_dedup[{n_docs:,} docs x 6 lines]", line_dedup(mdocs))
+
     # random graph: n_edges over n_edges/20 nodes, int-string uids
     edges = (spark.range(n_edges).repartition(64)
              .select((F.xxhash64(F.col("id")) % (n_edges // 20))

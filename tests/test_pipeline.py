@@ -226,3 +226,21 @@ def test_line_dedup_all_dropped_doc_yields_empty_text(spark):
     assert out[1]["clean_text"] == long_line
     assert out[2]["clean_text"] == ""
     assert out[2]["n_kept"] == 0
+
+
+def test_balanced_sample_rates_per_group(spark):
+    """Big groups thin toward the target, small groups survive whole,
+    and the gate is deterministic (re-run identical)."""
+    from graphydb_spark.operators.pipeline import balanced_sample
+    rows = ([(i, "big") for i in range(400)]
+            + [(1000 + i, "small") for i in range(5)])
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = balanced_sample(df, "grp", "doc_id", per_group=40)
+    got = out.groupBy("grp").count().collect()
+    counts = {r["grp"]: r["count"] for r in got}
+    assert counts["small"] == 5                     # rate 1 keeps all
+    assert 15 <= counts["big"] <= 70                # ~40 of 400 (hash noise)
+    again = {r["grp"]: r["count"] for r in
+             balanced_sample(df, "grp", "doc_id", per_group=40)
+             .groupBy("grp").count().collect()}
+    assert again == counts
