@@ -319,6 +319,37 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     return scored
 
 
+def quantile_sample(df: DataFrame, score_col: str, key_col: str,
+                    rates: tuple[float, float, float] = (1.0, 0.5, 0.1)
+                    ) -> DataFrame:
+    """CCNet-style quality-bucketed sampling: the exact 25th/75th score
+    percentiles split the corpus into head (top quartile) / middle /
+    tail bands, each kept at its own deterministic hash-gated rate —
+    keep the most-natural text whole, thin the noise.
+
+    Adds ``bucket`` and filters to the kept rows.  Execution: ONE
+    single-column exact-percentile aggregate (narrow: only the score
+    shuffles) joined back as a 1-row broadcast, then the hash-gated
+    narrow filter — the corpus itself is never shuffled.  0.25/0.75 are
+    exactly representable doubles and the score is pre-rounded by its
+    producer, so the cutpoints (and therefore the band of every row)
+    reproduce bit-for-bit in any engine with interpolated quantiles.
+    """
+    cuts = df.agg(F.expr(
+        f"percentile({score_col}, array(0.25, 0.75))").alias("_cs"))
+    r_head, r_mid, r_tail = (float(r) for r in rates)
+    bucket = (F.when(F.col(score_col) >= F.col("_cs")[1], "head")
+               .when(F.col(score_col) >= F.col("_cs")[0], "mid")
+               .otherwise("tail"))
+    rate = (F.when(F.col("bucket") == "head", r_head)
+             .when(F.col("bucket") == "mid", r_mid)
+             .otherwise(r_tail))
+    return (df.join(F.broadcast(cuts))
+              .withColumn("bucket", bucket)
+              .where(_keeps(F.col(key_col), rate))
+              .drop("_cs"))
+
+
 def write_training_shards(df: DataFrame, path: str, id_col: str,
                           token_col, budget: int,
                           partition_col: str | None = None) -> None:

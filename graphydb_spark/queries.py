@@ -2133,6 +2133,19 @@ def q_line_dedup(spark, sf_dir):
     return line_dedup(reshaped)
 
 
+def q_ppl_bucket_sample(spark, sf_dir):
+    """Quality-bucketed sampling: unigram-LM score quartiles split the
+    corpus into head/mid/tail bands kept at 1.0/0.5/0.1 — the CCNet
+    perplexity-bucket policy on the engine's own LM scores.  Full
+    oracle: the unigram CTE reproduces the (6-dp, order-free) scores,
+    quantile_cont the cutpoints, and the md5 gate the kept set."""
+    from .operators.pipeline import quantile_sample, unigram_logprob
+    docs = _docs(spark, sf_dir)
+    scored = unigram_logprob(docs)
+    return (quantile_sample(scored, "logprob", "doc_id")
+            .select("doc_id", "bucket"))
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Weekly retention cohorts: users grouped by first-activity week,
     counted per week-offset of subsequent activity — two aggregations
@@ -3816,6 +3829,39 @@ ORACLES: dict[str, str | None] = {
                TRUE AS p99_ok
         FROM orders
     """,
+    "ppl_bucket_sample": """
+        WITH tok AS (
+          SELECT doc_id,
+            unnest(list_filter(
+              string_split_regex(lower(text), '[^a-z0-9]+'),
+              x -> x != '')) AS tok
+          FROM documents),
+        freq AS (SELECT tok, COUNT(*) AS tf FROM tok GROUP BY tok),
+        stats AS (SELECT SUM(tf) AS total, COUNT(*) AS vocab FROM freq),
+        scored AS (
+          SELECT doc_id,
+            round(CAST(SUM(CAST(round(log10(
+                    CAST(tf + 1 AS DOUBLE) / (total + vocab)), 6)
+                  AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS logprob
+          FROM tok JOIN freq USING (tok), stats
+          GROUP BY doc_id),
+        cs AS (SELECT quantile_cont(logprob, 0.25) AS c25,
+                      quantile_cont(logprob, 0.75) AS c75 FROM scored),
+        b AS (
+          SELECT doc_id,
+                 CASE WHEN logprob >= c75 THEN 'head'
+                      WHEN logprob >= c25 THEN 'mid'
+                      ELSE 'tail' END AS bucket
+          FROM scored, cs),
+        r AS (SELECT doc_id, bucket,
+                     CASE bucket WHEN 'head' THEN 1.0 WHEN 'mid' THEN 0.5
+                                 ELSE 0.1 END AS rate
+              FROM b)
+        SELECT doc_id, bucket FROM r
+        WHERE rate >= 1.0
+           OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              < printf('%04x', CAST(floor(rate * 65536) AS INT))
+    """,
     "line_dedup": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                    FROM documents),
@@ -4024,6 +4070,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "dedup_resolve": q_dedup_resolve,
     "cluster_balanced": q_cluster_balanced,
+    "ppl_bucket_sample": q_ppl_bucket_sample,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -244,3 +244,23 @@ def test_balanced_sample_rates_per_group(spark):
              balanced_sample(df, "grp", "doc_id", per_group=40)
              .groupBy("grp").count().collect()}
     assert again == counts
+
+
+def test_quantile_sample_buckets_and_rates(spark):
+    """Quartile cutpoints: top quartile → head (kept whole at rate 1.0),
+    middle half → mid, bottom quartile → tail; gate is deterministic."""
+    from graphydb_spark.operators.pipeline import quantile_sample
+    rows = [(i, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    out = quantile_sample(df, "score", "doc_id").collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["doc_id"])
+    # head = scores >= p75 (74.25) → ids 75..99, all kept (rate 1.0)
+    assert sorted(by_bucket["head"]) == list(range(75, 100))
+    # mid/tail thinned by the hash gate but non-empty and disjoint
+    assert 0 < len(by_bucket["mid"]) < 50
+    assert 0 < len(by_bucket["tail"]) < 25
+    assert not (set(by_bucket["mid"]) & set(by_bucket["tail"]))
+    again = quantile_sample(df, "score", "doc_id").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
