@@ -340,20 +340,72 @@ def ngram_contamination(train: DataFrame, bench: DataFrame, n: int = 8,
     scale it broadcasts, so the training side never shuffles; hits are
     counted with map-side partial aggregation on the training doc id.
     """
-    def grams(df, idc):
-        toks = tokens(F.col(text_col))
+    bench_fps = (_gram_fps(bench, bench_id_col, text_col, n, distinct=True)
+                 .select("fp").distinct())
+    hits = (_gram_fps(train, id_col, text_col, n, distinct=True)
+            .join(F.broadcast(bench_fps), "fp")
+            .groupBy(F.col("_id").alias(id_col))
+            .agg(F.count("*").cast("long").alias("n_hits")))
+    return hits
+
+
+def _gram_fps(df: DataFrame, idc: str, text_col: str, n: int,
+              distinct: bool) -> DataFrame:
+    """``(_id, pos, fp)`` 64-bit md5 fingerprints of token n-grams
+    (``distinct=True`` drops positions and dedups per doc)."""
+    toks = tokens(F.col(text_col))
+    fp_of = (lambda gram: F.conv(F.substring(F.md5(gram), 1, 15), 16, 10)
+             .cast("long"))
+    if distinct:
         g = F.transform(
             F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
             lambda _, i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
         return (df.select(F.col(idc).alias("_id"),
                           F.explode(F.array_distinct(g)).alias("gram"))
-                  .select("_id",
-                          F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
-                           .cast("long").alias("fp")))
+                  .select("_id", fp_of(F.col("gram")).alias("fp")))
+    g = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda _, i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(" ", F.slice(toks, i + 1, n)).alias("gram")))
+    return (df.select(F.col(idc).alias("_id"), F.explode(g).alias("pg"))
+              .select("_id", F.col("pg.pos").alias("pos"),
+                      fp_of(F.col("pg.gram")).alias("fp")))
 
-    bench_fps = grams(bench, bench_id_col).select("fp").distinct()
-    hits = (grams(train, id_col)
-            .join(F.broadcast(bench_fps), "fp")
-            .groupBy(F.col("_id").alias(id_col))
-            .agg(F.count("*").cast("long").alias("n_hits")))
-    return hits
+
+def mask_contaminated_spans(train: DataFrame, bench: DataFrame, n: int = 8,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            bench_id_col: str = "doc_id") -> DataFrame:
+    """Span-level decontamination: instead of dropping a training doc
+    that shares an ``n``-gram with the benchmark, cut exactly the
+    overlapping token spans and keep the rest — ``(id, clean_text,
+    n_masked)`` over the normalized token stream.
+
+    Scale shape: benchmark fingerprints broadcast (eval sets are tiny);
+    the matched ``(doc, pos)`` pairs — only contaminated docs — are
+    aggregated small and broadcast back onto the corpus, so the
+    training text itself never shuffles; the span-union and token
+    filtering are per-row array expressions inside codegen.
+    """
+    bench_fps = (_gram_fps(bench, bench_id_col, text_col, n, distinct=True)
+                 .select("fp").distinct())
+    spans = (_gram_fps(train, id_col, text_col, n, distinct=False)
+             .join(F.broadcast(bench_fps), "fp")
+             .groupBy("_id").agg(F.collect_list("pos").alias("_ps")))
+    covered = F.coalesce(
+        F.array_distinct(F.flatten(F.transform(
+            F.col("_ps"), lambda p: F.sequence(p, p + F.lit(n - 1))))),
+        F.array().cast("array<int>"))
+    toks = tokens(F.col(text_col))
+    clean = F.filter(F.col("_toks"),
+                     lambda _, i: ~F.array_contains(F.col("_cov"), i))
+    return (train
+            .join(F.broadcast(spans),
+                  F.col(id_col) == F.col("_id"), "left")
+            .withColumn("_toks", toks)
+            .withColumn("_cov", covered)
+            .withColumn("_clean", clean)
+            .select(id_col,
+                    F.array_join(F.col("_clean"), " ").alias("clean_text"),
+                    (F.size("_toks") - F.size("_clean")).cast("long")
+                    .alias("n_masked")))

@@ -1308,6 +1308,18 @@ def q_contamination(spark, sf_dir):
     return dedup.ngram_contamination(train, bench, n=8)
 
 
+def q_decontaminate_spans(spark, sf_dir):
+    """Span-level decontamination: the 8-gram eval overlaps found by
+    q_contamination are cut out of the training docs (token-exact span
+    union) instead of dropping whole documents.  Full oracle: the gram
+    fingerprints, span union, and token filtering replay in SQL;
+    clean_text is hash-compared."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    return dedup.mask_contaminated_spans(train, bench, n=8)
+
+
 def q_chunk_docs(spark, sf_dir):
     """Context-window packing: 64-token chunks with 16-token overlap.
     Compared by md5 of chunk text (portable, keeps the diff payload
@@ -3862,6 +3874,45 @@ ORACLES: dict[str, str | None] = {
            OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
               < printf('%04x', CAST(floor(rate * 65536) AS INT))
     """,
+    "decontaminate_spans": """
+        WITH toks AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> x != '') AS ws
+          FROM documents
+        ), bench AS (
+          SELECT DISTINCT fp FROM (
+            SELECT list_distinct(list_transform(
+                     range(1, len(ws) - 6),
+                     i -> ('0x' || substr(md5(
+                            array_to_string(list_slice(ws, i, i + 7), ' ')
+                          ), 1, 15))::BIGINT)) AS fps
+            FROM toks WHERE doc_id % 20 = 0), UNNEST(fps) AS t(fp)
+        ), tr AS (SELECT doc_id, ws FROM toks WHERE doc_id % 20 <> 0),
+        tg AS (
+          SELECT doc_id, i - 1 AS pos,
+                 ('0x' || substr(md5(
+                    array_to_string(list_slice(ws, i, i + 7), ' ')
+                  ), 1, 15))::BIGINT AS fp
+          FROM tr, UNNEST(range(1, len(ws) - 6)) AS t(i)
+        ), m AS (SELECT tg.doc_id, tg.pos FROM tg JOIN bench USING (fp)),
+        cl AS (
+          SELECT doc_id, list(DISTINCT ci) AS cov FROM (
+            SELECT DISTINCT m.doc_id, u.ci
+            FROM m, UNNEST(range(m.pos, m.pos + 8)) AS u(ci))
+          GROUP BY doc_id
+        ), kept AS (
+          SELECT tr.doc_id, tr.ws,
+                 list_filter(range(1, len(tr.ws)+1),
+                   i -> NOT list_contains(COALESCE(cl.cov, []), i - 1))
+                 AS ki
+          FROM tr LEFT JOIN cl USING (doc_id))
+        SELECT doc_id,
+               COALESCE(array_to_string(list_transform(ki, i -> ws[i]),
+                                        ' '), '') AS clean_text,
+               CAST(len(ws) - len(ki) AS BIGINT) AS n_masked
+        FROM kept
+    """,
     "line_dedup": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                    FROM documents),
@@ -4071,6 +4122,7 @@ QUERIES = {
     "dedup_resolve": q_dedup_resolve,
     "cluster_balanced": q_cluster_balanced,
     "ppl_bucket_sample": q_ppl_bucket_sample,
+    "decontaminate_spans": q_decontaminate_spans,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -677,3 +677,24 @@ def test_resolve_duplicates_keeps_best_scoring_member(spark):
             out[1]["n_members"]) == (2, 4, 3)
     assert (out[4]["keep_id"], out[4]["n_members"]) == (4, 1)
     assert 9 not in {r["keep_id"] for r in out.values()}
+
+
+def test_mask_contaminated_spans_token_exact(spark):
+    """Only the overlapping 8-gram span is cut (plus any union with
+    adjacent matches); clean docs pass through untouched."""
+    from graphydb_spark.operators import dedup
+
+    secret = "alpha beta gamma delta epsilon zeta eta theta"   # 8 tokens
+    train = spark.createDataFrame(
+        [(1, f"start filler words here {secret} tail words"),
+         (2, "completely clean document with no overlap at all")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, f"prefix {secret} suffix")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.mask_contaminated_spans(train, bench, n=8).collect()}
+    assert out[1]["n_masked"] == 8
+    assert out[1]["clean_text"] == "start filler words here tail words"
+    assert out[2]["n_masked"] == 0
+    assert out[2]["clean_text"] == \
+        "completely clean document with no overlap at all"
