@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "interval_join_events",
     "unigram_logprob",
     "corpus_pipeline",
+    # round 3
+    "line_dedup",
     # (sssp_cost is excluded for the same reason as dedup_clusters: the
     # plan-cached frame holds checkpointed final distances, so a re-count
     # would measure a re-read, not the iterative relaxation)
