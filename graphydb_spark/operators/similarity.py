@@ -174,6 +174,48 @@ def ivf_topk(indexed: DataFrame, centroids: list[list[float]],
                 .limit(k))
 
 
+def lsh_near_dup_pairs(emb: DataFrame, dim: int, bits: int = 6,
+                       tables: int = 4, seed: int = 42,
+                       min_cosine: float = 0.95, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       max_bucket: int = 10_000) -> DataFrame:
+    """Embedding near-dup PAIRS at scale — the LSH-bucketed join that
+    completes the O(n²) ``dedup.embedding_near_dups`` baseline's
+    documented scale path.
+
+    ``tables`` independent sign-pattern hashes (seeds ``seed..seed+T-1``)
+    recover the recall a single 2^bits partition loses: a pair is a
+    candidate if it collides in ANY table (recall ≈ 1-(1-p^bits)^T with
+    p = 1-θ/π), then the exact cosine verifies.  Expected candidate
+    volume is O(T·n²/2^bits) and only ``(table, bucket, id)`` rows
+    shuffle; ``cap_group_size`` guards the degenerate all-identical
+    bucket (same rationale as minhash_lsh_pairs' max_bucket).
+    """
+    from .relational import cap_group_size
+
+    plane_sets = [_random_hyperplanes(dim, bits, seed + t)
+                  for t in range(tables)]
+    tagged = (emb.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"),
+                     lsh_bucket_col(vec_col, ps).alias("b"))
+            for t, ps in enumerate(plane_sets)])).alias("tb"))
+        .select(id_col, F.col("tb.t").alias("t"), F.col("tb.b").alias("b")))
+    capped = cap_group_size(tagged, ["t", "b"], max_bucket)
+    a = capped.select("t", "b", F.col(id_col).alias("id_a"))
+    bb = capped.select("t", "b", F.col(id_col).alias("id_b"))
+    cand = (a.join(bb, ["t", "b"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("cosine", cosine_expr("va", "vb"))
+            .where(F.col("cosine") >= min_cosine)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+
+
 def ann_topk(indexed: DataFrame, planes: list[list[float]],
              query_vec: list[float], k: int = 10, id_col: str = "vec_id",
              vec_col: str = "embedding", probe_hamming: int = 1) -> DataFrame:

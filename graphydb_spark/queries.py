@@ -1448,6 +1448,81 @@ def _ann_oracle_sql() -> str:
     """
 
 
+def q_lsh_near_dup(spark, sf_dir):
+    """Embedding near-dup pairs via multi-table LSH (the scale path the
+    O(n²) embedding_near_dup baseline documents).  The fixture has no
+    natural near-dups (max pairwise cosine ≈ 0.48), so every 50th vector
+    gets a deterministic perturbed twin (+0.1 on dim 0 → cosine ≈ 0.995)
+    planted in-query; the oracle replays the perturbation, all four
+    seeded hash tables, the candidate join, and the cosine verify."""
+    emb = _emb(spark, sf_dir)
+    as_double = F.transform(F.col("embedding"),
+                            lambda x: x.cast("double"))
+    base = emb.select("vec_id", as_double.alias("embedding"))
+    pert = (base.where(F.col("vec_id") % 50 == 0)
+            .select((F.col("vec_id") + 100000).alias("vec_id"),
+                    F.transform(
+                        F.col("embedding"),
+                        lambda x, i: F.when(i == 0, x + F.lit(0.1))
+                                      .otherwise(x)).alias("embedding")))
+    corpus = base.unionByName(pert)
+    return similarity.lsh_near_dup_pairs(corpus, dim=64, bits=6,
+                                         tables=4, min_cosine=0.95)
+
+
+def _lsh_near_dup_oracle_sql(dim: int = 64, bits: int = 6,
+                             tables: int = 4, seed: int = 42,
+                             thresh: float = 0.95) -> str:
+    """DuckDB twin of q_lsh_near_dup with all four seeded plane sets
+    inlined.  Bucket ids use LSB-first bit packing (vs the engine's
+    MSB-first fold) — equality collisions are invariant under any
+    consistent bit permutation, so the candidate sets are identical.
+    The engine's max_bucket=10k cap is not replayed: fixture buckets
+    hold ≤ hundreds of vectors, so the cap provably never fires."""
+    def bucket(v: str, ps) -> str:
+        lits = ["[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+                for p in ps]
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({v}, {lit}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, lit in enumerate(lits))
+
+    plane_sets = [similarity._random_hyperplanes(dim, bits, seed + t)
+                  for t in range(tables)]
+    tag = "\n          UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {bucket('v', ps)} AS b FROM corpus"
+        for t, ps in enumerate(plane_sets))
+    return f"""
+        WITH base AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), pert AS (
+          SELECT vec_id + 100000 AS vec_id,
+                 list_transform(range(1, len(v)+1),
+                   i -> CASE WHEN i = 1 THEN v[i] + 0.1 ELSE v[i] END) AS v
+          FROM base WHERE vec_id % 50 = 0
+        ), corpus AS (
+          SELECT * FROM base UNION ALL SELECT * FROM pert
+        ), tagged AS (
+          {tag}
+        ), cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM tagged a JOIN tagged b
+            ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM (
+          SELECT c.id_a, c.id_b,
+                 list_dot_product(x.v, y.v)
+                   / (sqrt(list_dot_product(x.v, x.v))
+                      * sqrt(list_dot_product(y.v, y.v))) AS cos
+          FROM cand c
+          JOIN corpus x ON x.vec_id = c.id_a
+          JOIN corpus y ON y.vec_id = c.id_b)
+        WHERE cos >= {thresh}
+    """
+
+
 def q_tpch_q4(spark, sf_dir):
     """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join (the plan
     Catalyst picks for EXISTS; the probe side never duplicates rows)."""
@@ -3127,6 +3202,7 @@ ORACLES: dict[str, str | None] = {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
     "ann_lsh_topk": _ann_oracle_sql(),
+    "lsh_near_dup": _lsh_near_dup_oracle_sql(),
     "tpch_q4": (
         "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders o "
         "WHERE EXISTS (SELECT 1 FROM lineitem l "
@@ -4123,6 +4199,7 @@ QUERIES = {
     "cluster_balanced": q_cluster_balanced,
     "ppl_bucket_sample": q_ppl_bucket_sample,
     "decontaminate_spans": q_decontaminate_spans,
+    "lsh_near_dup": q_lsh_near_dup,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -698,3 +698,24 @@ def test_mask_contaminated_spans_token_exact(spark):
     assert out[2]["n_masked"] == 0
     assert out[2]["clean_text"] == \
         "completely clean document with no overlap at all"
+
+
+def test_lsh_near_dup_finds_planted_pairs(spark):
+    """Planted perturbed twins (cos ≈ 0.995) are recovered through the
+    multi-table LSH candidate join; unrelated random vectors are not."""
+    import random
+    from pyspark.sql import functions as F
+    from graphydb_spark.operators import similarity
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(200)]
+    # twins: id+1000 = id with a +0.05 nudge on one dim
+    twins = [(i + 1000, [v + (0.05 if j == 0 else 0.0)
+                         for j, v in enumerate(vec)])
+             for i, vec in rows if i % 20 == 0]
+    df = spark.createDataFrame(rows + twins,
+                               "vec_id long, embedding array<double>")
+    out = similarity.lsh_near_dup_pairs(df, dim=32, bits=6, tables=4,
+                                        min_cosine=0.99)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(i, i + 1000) for i in range(0, 200, 20)}
