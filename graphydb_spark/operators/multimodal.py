@@ -264,14 +264,55 @@ RESIZED_SCHEMA = T.StructType([
 ])
 
 
+def resize_bmp(body: bytes, max_side: int) -> tuple[bytes, int, int] | None:
+    """REAL nearest-neighbor resample of an uncompressed 24-bit BMP
+    (numpy row/column index-gather over the raw BGR raster, rows
+    re-padded to 4 bytes, a fresh valid header) — no imaging library
+    needed because the format stores raw pixels.  Returns None for any
+    other BMP flavor (palette/compressed) or a truncated raster."""
+    import numpy as np
+
+    if len(body) < 54 or body[:2] != b"BM":
+        return None
+    off = struct.unpack_from("<I", body, 10)[0]
+    w, h = struct.unpack_from("<ii", body, 18)
+    bpp = struct.unpack_from("<H", body, 28)[0]
+    comp = struct.unpack_from("<I", body, 30)[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    flipped = h < 0
+    hh = abs(h)
+    row = (3 * w + 3) & ~3
+    if len(body) < off + row * hh:
+        return None
+    raster = (np.frombuffer(body, dtype=np.uint8, count=row * hh,
+                            offset=off)
+              .reshape(hh, row)[:, :3 * w].reshape(hh, w, 3))
+    scale = min(1.0, max_side / max(w, hh, 1))
+    nw, nh = max(1, int(w * scale)), max(1, int(hh * scale))
+    yi = (np.arange(nh) * (hh / nh)).astype(int)
+    xi = (np.arange(nw) * (w / nw)).astype(int)
+    out = raster[yi][:, xi]
+    nrow = (3 * nw + 3) & ~3
+    rows = np.zeros((nh, nrow), dtype=np.uint8)
+    rows[:, :3 * nw] = out.reshape(nh, 3 * nw)
+    header = (b"BM" + struct.pack("<IHHI", 54 + nrow * nh, 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, nw,
+                            -nh if flipped else nh, 1, 24, 0,
+                            nrow * nh, 2835, 2835, 0, 0))
+    return header + rows.tobytes(), nw, nh
+
+
 def resize(media: DataFrame, max_side: int = 256) -> DataFrame:
     """Arrow-batched resize: payload in → (smaller) payload out, with
     the scaled dimensions computed from the REAL header dims
     (aspect-preserving, media already within ``max_side`` pass through).
 
-    The payload transform is a byte-proportional stand-in — true
-    resampling needs an imaging library this container doesn't ship —
-    but the Spark-side shape is the real one: a binary-to-binary
+    Uncompressed 24-bit BMPs get a REAL nearest-neighbor pixel resample
+    (see :func:`resize_bmp` — raw rasters need no codec); compressed
+    formats (PNG/GIF/JPEG) keep a byte-proportional payload stand-in
+    because their codecs aren't in this container — for them the
+    Spark-side shape is still the real one: a binary-to-binary
     mapInPandas whose output batches shrink by the area ratio, exactly
     the memory profile a thumbnailing stage has at scale.  Undecodable
     payloads pass through with null dims.
@@ -285,6 +326,11 @@ def resize(media: DataFrame, max_side: int = 256) -> DataFrame:
                 if d is None:
                     out_rows.append((int(m), body, None, None))
                     continue
+                if d["fmt"] == "bmp":
+                    real = resize_bmp(body, max_side)
+                    if real is not None:
+                        out_rows.append((int(m),) + real)
+                        continue
                 w, h = d["width"], d["height"]
                 scale = min(1.0, max_side / max(w, h, 1))
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))

@@ -1380,10 +1380,12 @@ def q_multimodal_features(spark, sf_dir):
 
 def q_multimodal_resize(spark, sf_dir):
     """Binary→binary resize stage: scaled dimensions computed from the
-    REAL container headers (payload resampling stubbed — no imaging lib
-    in this container).  Scale math is pure IEEE-double
-    (min(1, 32/max(w,h)), floor) so the SQL oracle reproduces it
-    bit-exactly from the construction dims."""
+    REAL container headers; uncompressed 24-bit BMPs get a REAL
+    nearest-neighbor pixel resample (multimodal.resize_bmp), compressed
+    formats a byte-proportional stand-in (no codec libs here).  Scale
+    math is pure IEEE-double (min(1, 32/max(w,h)), floor) so the SQL
+    oracle reproduces the dims bit-exactly from the construction
+    arithmetic."""
     from .operators.multimodal import documents_as_media, resize
     media = documents_as_media(_docs(spark, sf_dir))
     return resize(media, max_side=32).select("media_id", "width", "height")

@@ -719,3 +719,30 @@ def test_lsh_near_dup_finds_planted_pairs(spark):
                                         min_cosine=0.99)
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert got == {(i, i + 1000) for i in range(0, 200, 20)}
+
+
+def test_resize_bmp_real_nearest_neighbor_pixels():
+    """Uncompressed-BMP resize is a REAL pixel resample: output raster
+    bytes are the nearest-neighbor gather of the input raster, and the
+    emitted file is itself a valid BMP with the scaled dims."""
+    from graphydb_spark.operators.multimodal import (decode_image,
+                                                     make_bmp, resize_bmp)
+
+    src = make_bmp(64, 32)
+    out, nw, nh = resize_bmp(src, max_side=16)
+    assert (nw, nh) == (16, 8)
+    d = decode_image(out)
+    assert (d["fmt"], d["width"], d["height"]) == ("bmp", 16, 8)
+    # make_bmp paints pixel x as bytes (21x, 21x+7, 21x+14) & 0xFF on
+    # every row; 64→16 maps output pixel j to source pixel 4j
+    raster = out[54:]
+    nrow = (3 * 16 + 3) & ~3
+    for j in (0, 5, 15):
+        x = 4 * j
+        expect = bytes(((21 * x) & 0xFF, (21 * x + 7) & 0xFF,
+                        (21 * x + 14) & 0xFF))
+        assert raster[3 * j:3 * j + 3] == expect
+        # same triple on the last row (rows are identical by construction)
+        assert raster[7 * nrow + 3 * j:7 * nrow + 3 * j + 3] == expect
+    # palette/compressed flavors refuse rather than emit garbage
+    assert resize_bmp(b"BM" + b"\x00" * 60, 16) is None
