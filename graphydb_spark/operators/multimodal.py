@@ -184,6 +184,119 @@ def make_gif(width: int, height: int, n_frames: int = 1) -> bytes:
     return b"".join(out)
 
 
+def make_wav(seed: int, n_samples: int, sample_rate: int = 8000) -> bytes:
+    """Complete valid RIFF/WAVE file: PCM, mono, 8-bit, deterministic
+    samples ``(seed*31 + i*7) % 256`` (unsigned, 128 = silence)."""
+    data = bytes((seed * 31 + i * 7) % 256 for i in range(n_samples))
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate, 1, 8)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_audio(payload) -> dict | None:
+    """Parse a real RIFF/WAVE container: walk the chunk list for
+    ``fmt `` and ``data`` (tolerating extra chunks), return
+    ``{"fmt", "sample_rate", "channels", "bits", "data_off",
+    "n_bytes"}`` from the actual bytes.  ``None`` for non-WAV or
+    truncated payloads — null columns downstream, never a task
+    failure.  PCM sample bytes are raw, so feature extraction needs no
+    codec (cf. the BMP raster argument in :func:`resize_bmp`)."""
+    b = bytes(payload or b"")
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(b)
+    rate = ch = bits = None
+    off = nb = None
+    while i + 8 <= n:
+        tag = b[i:i + 4]
+        ln = struct.unpack("<I", b[i + 4:i + 8])[0]
+        if tag == b"fmt " and i + 8 + 16 <= n:
+            _, ch, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", b[i + 8:i + 24])
+        elif tag == b"data":
+            off, nb = i + 8, min(ln, n - i - 8)
+        i += 8 + ln + (ln & 1)
+    if rate is None or off is None:
+        return None
+    return {"fmt": "wav", "sample_rate": rate, "channels": ch,
+            "bits": bits, "data_off": off, "n_bytes": nb}
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("fmt", T.StringType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("n_samples", T.LongType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("sum_sq", T.LongType(), True),
+    T.StructField("zero_crossings", T.LongType(), True),
+])
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction from the decoded PCM samples:
+    energy (sum of squared centered amplitudes) and zero-crossing
+    count, both as exact integers — sufficient statistics for RMS/ZCR
+    that are bit-stable under any batch split (float accumulation
+    order never enters).  8-bit mono PCM is computed with numpy over
+    the actual data chunk; other encodings yield header fields with
+    null features."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                body = bytes(p or b"")
+                d = decode_audio(body)
+                if d is None:
+                    rows.append((int(m), None, None, None, None,
+                                 None, None))
+                    continue
+                nb = d["n_bytes"]
+                dur = (nb * 1000) // d["sample_rate"] \
+                    if d["sample_rate"] else None
+                if d["bits"] != 8 or d["channels"] != 1 or nb == 0:
+                    rows.append((int(m), "wav", d["sample_rate"], nb,
+                                 dur, None, None))
+                    continue
+                s = (np.frombuffer(body, np.uint8, count=nb,
+                                   offset=d["data_off"])
+                     .astype(np.int64) - 128)
+                pos = s >= 0
+                rows.append((int(m), "wav", d["sample_rate"], nb, dur,
+                             int((s * s).sum()),
+                             int((pos[1:] != pos[:-1]).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "fmt", "sample_rate", "n_samples",
+                "duration_ms", "sum_sq", "zero_crossings"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def documents_as_audio(docs: DataFrame) -> DataFrame:
+    """Wrap the documents fixture as an audio table with REAL WAV
+    payloads: ``n_samples = 200 + n_chars % 600`` and the deterministic
+    sample formula of :func:`make_wav`, so a SQL oracle can recompute
+    the energy/ZCR statistics the decoder must read back."""
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, src, nch in zip(pdf["doc_id"], pdf["source"],
+                                     pdf["n_chars"]):
+                did, nch = int(did), int(nch)
+                payload = make_wav(did, 200 + nch % 600)
+                rows.append((did, payload, "audio",
+                             {"source": src, "bytes": len(payload)}))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "media_type", "meta"])
+
+    return (docs.select("doc_id", "source", "n_chars")
+            .mapInPandas(build, schema=MEDIA_SCHEMA))
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Wrap the documents fixture as a media table whose payloads are
     REAL container bytes: format cycles bmp/png/gif by doc_id, the

@@ -1391,6 +1391,17 @@ def q_multimodal_resize(spark, sf_dir):
     return resize(media, max_side=32).select("media_id", "width", "height")
 
 
+def q_audio_features(spark, sf_dir):
+    """REAL audio path: synthesized RIFF/WAVE payloads decoded back by
+    chunk-walking, energy and zero-crossing statistics computed from
+    the actual PCM bytes as exact integers (no float accumulation).
+    The oracle recomputes both from the construction formula — a
+    mismatch would mean the decoder misread the container."""
+    from .operators.multimodal import audio_features, documents_as_audio
+    media = documents_as_audio(_docs(spark, sf_dir))
+    return audio_features(media)
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs, portable md5-hash variant (60-bit
     signature, 4×15-bit LSH bands).  Oracle-checkable end to end: with
@@ -3160,6 +3171,28 @@ ORACLES: dict[str, str | None] = {
                          ELSE 1 END AS INT) AS n_frames
         FROM documents
     """,
+    "audio_features": """
+        WITH m AS (
+          SELECT doc_id AS media_id, 200 + n_chars % 600 AS n
+          FROM documents
+        ), s AS (
+          SELECT media_id, n, t.i AS i,
+                 (media_id * 31 + t.i * 7) % 256 - 128 AS a
+          FROM m, UNNEST(range(0, n)) AS t(i)
+        ), f AS (
+          SELECT media_id, n, a,
+                 LAG(a) OVER (PARTITION BY media_id ORDER BY i) AS pa
+          FROM s)
+        SELECT media_id, 'wav' AS fmt, 8000 AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+               CAST(SUM(a * a) AS BIGINT) AS sum_sq,
+               CAST(SUM(CASE WHEN pa IS NOT NULL
+                              AND ((a >= 0) <> (pa >= 0))
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS zero_crossings
+        FROM f GROUP BY media_id, n
+    """,
     "multimodal_resize": """
         WITH dims AS (
           SELECT doc_id AS media_id,
@@ -4202,6 +4235,7 @@ QUERIES = {
     "ppl_bucket_sample": q_ppl_bucket_sample,
     "decontaminate_spans": q_decontaminate_spans,
     "lsh_near_dup": q_lsh_near_dup,
+    "audio_features": q_audio_features,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -746,3 +746,26 @@ def test_resize_bmp_real_nearest_neighbor_pixels():
         assert raster[7 * nrow + 3 * j:7 * nrow + 3 * j + 3] == expect
     # palette/compressed flavors refuse rather than emit garbage
     assert resize_bmp(b"BM" + b"\x00" * 60, 16) is None
+
+
+def test_decode_audio_and_features_from_real_bytes():
+    """WAV chunk walk reads back the construction parameters, features
+    match a direct Python computation over the same PCM bytes, and a
+    payload with an extra chunk before data still parses."""
+    import struct
+    from graphydb_spark.operators.multimodal import decode_audio, make_wav
+
+    w = make_wav(seed=5, n_samples=300, sample_rate=16000)
+    d = decode_audio(w)
+    assert (d["fmt"], d["sample_rate"], d["channels"], d["bits"],
+            d["n_bytes"]) == ("wav", 16000, 1, 8, 300)
+    samples = [((5 * 31 + i * 7) % 256) - 128 for i in range(300)]
+    body = w[d["data_off"]:d["data_off"] + d["n_bytes"]]
+    assert list(b - 128 for b in body) == samples
+    # junk chunk between fmt and data is walked over
+    junk = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    w2 = w[:36] + junk + w[36:]
+    w2 = w2[:4] + struct.pack("<I", len(w2) - 8) + w2[8:]
+    d2 = decode_audio(w2)
+    assert d2 is not None and d2["n_bytes"] == 300
+    assert decode_audio(b"RIFFxxxxAVI ") is None
