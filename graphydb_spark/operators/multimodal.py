@@ -52,34 +52,43 @@ FEATURE_SCHEMA = T.StructType([
 
 # --------------------------------------------------------------- decoding
 
-def _gif_frame_count(b: bytes) -> int:
-    """Walk the GIF block structure and count image descriptors.
+def _gif_segments(b: bytes) -> tuple[int, list[tuple[int, int]]] | None:
+    """Walk the GIF block structure: ``(header_end, frame_segments)``.
 
     Blocks after the logical screen descriptor (+ optional global color
     table): 0x21 extension (label + length-prefixed sub-blocks), 0x2C
     image descriptor (9-byte header + optional local color table + LZW
-    min-code byte + sub-blocks), 0x3B trailer.
+    min-code byte + sub-blocks), 0x3B trailer.  A frame's segment
+    starts at any extension run immediately preceding its image
+    descriptor (graphic-control extensions travel with their frame), so
+    ``header + segment + trailer`` is a standalone single-frame GIF.
     """
-    if len(b) < 13:
-        return 1
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
     i = 13
     packed = b[10]
     if packed & 0x80:                       # global color table
         i += 3 * (2 ** ((packed & 0x07) + 1))
-    frames = 0
+    header_end = i
+    segs: list[tuple[int, int]] = []
+    pend: int | None = None                 # start of pending extension run
     n = len(b)
     while i < n:
         t = b[i]
         if t == 0x3B:                       # trailer
             break
         if t == 0x21:                       # extension block
+            if pend is None:
+                pend = i
             i += 2
             while i < n and b[i] != 0:
                 i += 1 + b[i]
             i += 1
         elif t == 0x2C:                     # image descriptor
-            frames += 1
+            start = pend if pend is not None else i
+            pend = None
             if i + 10 > n:
+                segs.append((start, n))
                 break
             lpacked = b[i + 9]
             i += 10
@@ -89,9 +98,50 @@ def _gif_frame_count(b: bytes) -> int:
             while i < n and b[i] != 0:      # data sub-blocks
                 i += 1 + b[i]
             i += 1
+            segs.append((start, min(i, n)))
         else:                               # unknown block: stop walking
             break
-    return max(frames, 1)
+    return header_end, segs
+
+
+def _gif_frame_count(b: bytes) -> int:
+    seg = _gif_segments(b)
+    return max(len(seg[1]), 1) if seg else 1
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame_payload", T.BinaryType(), True),
+])
+
+
+def extract_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video-frame sampling for GIF containers: demux every
+    ``every_n``-th frame into a STANDALONE single-frame GIF (header +
+    global color table + the frame's byte segment + trailer) — actual
+    bytes out, not an index plan (cf. :func:`frame_sample_plan`).
+    Pure block-walking, no codec: the frame's pixel data is copied
+    verbatim.  Non-GIF / undecodable payloads yield no rows.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p or b"")
+                seg = _gif_segments(b)
+                if seg is None:
+                    continue
+                header_end, segs = seg
+                head = b[:header_end]
+                for idx in range(0, len(segs), max(1, every_n)):
+                    s, e = segs[idx]
+                    rows.append((int(m), idx, head + b[s:e] + b"\x3b"))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_payload"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=FRAME_SCHEMA)
 
 
 def decode_image(payload) -> dict | None:

@@ -1391,6 +1391,21 @@ def q_multimodal_resize(spark, sf_dir):
     return resize(media, max_side=32).select("media_id", "width", "height")
 
 
+def q_gif_frames(spark, sf_dir):
+    """Real GIF frame demux over the media fixture: every 2nd frame of
+    each multi-frame GIF becomes a standalone single-frame file.  The
+    oracle replays the sampling plan (which media, which frame indices)
+    and the emitted byte size (35 = 19-byte header + 15-byte frame
+    segment + trailer by construction); byte-level correctness of the
+    demux is pinned by the re-decode unit test."""
+    from .operators.multimodal import documents_as_media, extract_frames
+    media = documents_as_media(_docs(spark, sf_dir))
+    return (extract_frames(media, every_n=2)
+            .select("media_id", "frame_idx",
+                    F.length("frame_payload").cast("long")
+                    .alias("frame_bytes")))
+
+
 def q_audio_features(spark, sf_dir):
     """REAL audio path: synthesized RIFF/WAVE payloads decoded back by
     chunk-walking, energy and zero-crossing statistics computed from
@@ -3171,6 +3186,14 @@ ORACLES: dict[str, str | None] = {
                          ELSE 1 END AS INT) AS n_frames
         FROM documents
     """,
+    "gif_frames": """
+        WITH g AS (
+          SELECT doc_id AS media_id, 1 + doc_id % 4 AS nf
+          FROM documents WHERE doc_id % 3 = 2)
+        SELECT media_id, CAST(t.i AS INT) AS frame_idx,
+               CAST(35 AS BIGINT) AS frame_bytes
+        FROM g, UNNEST(range(0, nf, 2)) AS t(i)
+    """,
     "audio_features": """
         WITH m AS (
           SELECT doc_id AS media_id, 200 + n_chars % 600 AS n
@@ -4236,6 +4259,7 @@ QUERIES = {
     "decontaminate_spans": q_decontaminate_spans,
     "lsh_near_dup": q_lsh_near_dup,
     "audio_features": q_audio_features,
+    "gif_frames": q_gif_frames,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

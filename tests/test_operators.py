@@ -769,3 +769,41 @@ def test_decode_audio_and_features_from_real_bytes():
     d2 = decode_audio(w2)
     assert d2 is not None and d2["n_bytes"] == 300
     assert decode_audio(b"RIFFxxxxAVI ") is None
+
+
+def test_extract_frames_standalone_gifs():
+    """Each demuxed frame is itself a valid single-frame GIF with the
+    source dims; a graphic-control extension travels with its frame;
+    every_n strides the plan."""
+    import struct
+    from graphydb_spark.operators.multimodal import (_gif_segments,
+                                                     decode_image, make_gif)
+
+    src = make_gif(12, 9, n_frames=4)
+    header_end, segs = _gif_segments(src)
+    assert len(segs) == 4
+    for s, e in segs:
+        frame = src[:header_end] + src[s:e] + b"\x3b"
+        d = decode_image(frame)
+        assert (d["fmt"], d["width"], d["height"], d["n_frames"]) == \
+            ("gif", 12, 9, 1)
+    # graphic-control extension before frame 0 is included in its segment
+    gce = b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+    s0 = segs[0][0]
+    with_gce = src[:s0] + gce + src[s0:]
+    he2, segs2 = _gif_segments(with_gce)
+    assert len(segs2) == 4
+    f0 = with_gce[segs2[0][0]:segs2[0][1]]
+    assert f0.startswith(b"\x21\xf9")
+
+
+def test_extract_frames_dataframe_stride(spark):
+    from graphydb_spark.operators.multimodal import (extract_frames,
+                                                     make_gif)
+    df = spark.createDataFrame(
+        [(1, bytearray(make_gif(8, 8, n_frames=4))),
+         (2, bytearray(b"not a gif"))],
+        "media_id long, payload binary")
+    out = sorted((r["media_id"], r["frame_idx"])
+                 for r in extract_frames(df, every_n=2).collect())
+    assert out == [(1, 0), (1, 2)]
