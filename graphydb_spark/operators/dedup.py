@@ -308,6 +308,79 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                 .select("id_a", "id_b", "hamming"))
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5,
+                        window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS rolling-hash algorithm) → ``(id, pos, fp)``.
+
+    k-gram hashes over the normalized token stream; every window of
+    ``window`` consecutive hashes selects its minimum (leftmost on tie),
+    and the distinct selections are the document's fingerprints.  The
+    winnowing guarantee: any token run of length ≥ k + window - 1 shared
+    by two documents yields at least one shared fingerprint, while only
+    ~2/(window+1) of all k-gram hashes are kept.
+
+    Scale shape: a per-doc narrow map — O(n·window) JVM array work
+    inside codegen, no UDF, no shuffle.  Fingerprints are 60-bit
+    md5-derived ints (same construction as :func:`simhash64`
+    ``portable=True``) so the DuckDB oracle replays them bit-for-bit.
+    ``pos`` is the 1-based k-gram index of the selected hash, enabling
+    span-level overlap reports downstream.
+    """
+    need = k + window - 1
+    toksed = (df.select(id_col, tokens(F.col(text_col)).alias("_toks"))
+                .where(F.size("_toks") >= need))
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), i, k))),
+                        1, 15), 16, 10).cast("long"))
+    hashed = toksed.select(id_col, gram.alias("_h"))
+
+    def pick(s):
+        win = F.slice(F.col("_h"), s, window)
+        mn = F.array_min(win)
+        return F.struct(
+            (s - 1 + F.array_position(win, mn)).cast("long").alias("pos"),
+            mn.alias("fp"))
+
+    sel = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size("_h") - (window - 1)), pick))
+    return (hashed.select(id_col, F.explode(sel).alias("_s"))
+                  .select(id_col, F.col("_s.pos").alias("pos"),
+                          F.col("_s.fp").alias("fp")))
+
+
+def winnow_pairs(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 5, window: int = 4,
+                 min_shared: int = 2,
+                 max_bucket: int | None = None) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints →
+    ``(id_a, id_b, n_shared)`` with ``n_shared`` distinct shared
+    fingerprints ≥ ``min_shared``.
+
+    The inverted-index join shuffles only (fp, id) pairs — like the
+    MinHash band join, fingerprint tables are a few % of corpus bytes
+    at 100 TB.  ``max_bucket`` drops fingerprints shared by more than
+    that many docs before the self-join (boilerplate guard — same
+    quadratic-blowup cap as :func:`minhash_lsh_pairs`).
+    """
+    fps = (winnow_fingerprints(df, text_col, id_col, k, window)
+           .select(id_col, "fp").distinct())
+    if max_bucket is not None:
+        small = (fps.groupBy("fp").agg(F.count("*").alias("_n"))
+                 .where(F.col("_n") <= max_bucket).select("fp"))
+        fps = fps.join(small, "fp", "left_semi")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (a.join(b, [F.col("a.fp") == F.col("b.fp"),
+                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"))
+             .agg(F.count("*").cast("long").alias("n_shared"))
+             .where(F.col("n_shared") >= min_shared))
+
+
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         min_cosine: float = 0.95) -> DataFrame:

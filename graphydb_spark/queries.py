@@ -1427,6 +1427,16 @@ def q_simhash_pairs(spark, sf_dir):
                                     nbits=60, portable=True)
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """Rolling-hash document fingerprinting (winnowing, Schleimer et al.
+    SIGMOD'03): near-dup candidate pairs sharing ≥ 2 selected k-gram
+    fingerprints.  The DuckDB twin replays the full algorithm — token
+    5-grams, 60-bit md5 hashes, min-of-each-4-window selection — so the
+    fingerprint sets match bit-for-bit."""
+    return dedup.winnow_pairs(_docs(spark, sf_dir), k=5, window=4,
+                              min_shared=2)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN probe for vec_id=0, full SQL oracle: the seeded
     hyperplanes are deterministic (random.Random(42).gauss), so the
@@ -3261,6 +3271,29 @@ ORACLES: dict[str, str | None] = {
     """,
     "ann_lsh_topk": _ann_oracle_sql(),
     "lsh_near_dup": _lsh_near_dup_oracle_sql(),
+    "winnow_pairs": """
+        WITH toks AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(text),'[^a-z0-9]+'),
+            x -> x != '') AS ws
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, list_transform(range(1, len(ws)-5+2),
+            i -> ('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')),
+                                 1, 15))::BIGINT) AS hs
+          FROM toks WHERE len(ws) >= 8
+        ), sel AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, len(hs)-4+2), s -> list_min(hs[s:s+3]))) AS sfps
+          FROM grams
+        ), fps AS (
+          SELECT doc_id, f.fp FROM sel, UNNEST(sfps) AS f(fp)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               COUNT(*)::BIGINT AS n_shared
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
     "tpch_q4": (
         "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders o "
         "WHERE EXISTS (SELECT 1 FROM lineitem l "
@@ -4260,6 +4293,7 @@ QUERIES = {
     "lsh_near_dup": q_lsh_near_dup,
     "audio_features": q_audio_features,
     "gif_frames": q_gif_frames,
+    "winnow_pairs": q_winnow_pairs,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

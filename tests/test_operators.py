@@ -807,3 +807,47 @@ def test_extract_frames_dataframe_stride(spark):
     out = sorted((r["media_id"], r["frame_idx"])
                  for r in extract_frames(df, every_n=2).collect())
     assert out == [(1, 0), (1, 2)]
+
+
+def test_winnow_guarantee_and_selectivity(spark):
+    """Winnowing invariants (Schleimer et al. SIGMOD'03): (1) two docs
+    sharing a token run of length >= k + window - 1 share at least one
+    fingerprint; (2) an unrelated doc shares none; (3) fingerprints are
+    a strict subset of all k-gram hashes (the whole point)."""
+    shared = " ".join(f"tok{i}" for i in range(12))   # 12-token run >= 5+4-1
+    df = spark.createDataFrame(
+        [(1, f"left padding words here {shared} right tail words"),
+         (2, f"other opening {shared} different ending entirely"),
+         (3, "nothing in common with the others at all "
+             "just filler text going on and on for a while longer")],
+        "doc_id long, text string")
+    fps = dedup.winnow_fingerprints(df, k=5, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared run must yield a shared fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    # selectivity: fewer fingerprints than k-grams (12+8 tokens -> many grams)
+    n_tokens_doc1 = 4 + 12 + 3
+    assert len(by_doc[1]) < n_tokens_doc1 - 5 + 1
+
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"]
+             for r in dedup.winnow_pairs(df, k=5, window=4,
+                                         min_shared=1).collect()}
+    assert (1, 2) in pairs and len(pairs) == 1
+
+
+def test_winnow_pairs_max_bucket_guard(spark):
+    """A fingerprint shared by every doc is dropped by max_bucket before
+    the quadratic self-join (boilerplate guard)."""
+    boiler = " ".join(f"b{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(i, f"unique{i} opener {boiler} closer{i} word{i}")
+         for i in range(6)],
+        "doc_id long, text string")
+    unguarded = dedup.winnow_pairs(df, k=5, window=4, min_shared=1)
+    assert unguarded.count() == 15          # all C(6,2) pairs
+    guarded = dedup.winnow_pairs(df, k=5, window=4, min_shared=1,
+                                 max_bucket=3)
+    assert guarded.count() == 0
