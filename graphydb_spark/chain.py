@@ -239,7 +239,8 @@ def is_aggregate_expr(expr: str) -> bool:
 
 
 def eliminable_links(links: list[Link], refs_text: str,
-                     fts_aliases: set, integrity: dict) -> set:
+                     fts_aliases: set, integrity: dict,
+                     allow_collect: bool = False) -> set:
     """Node links whose join is provably redundant.
 
     A node link can be dropped from the join tree when (a) nothing
@@ -257,8 +258,12 @@ def eliminable_links(links: list[Link], refs_text: str,
     """
     out: set = set()
     for i, l in enumerate(links):
-        if l.is_edge or l.collect or l.extras or l.alias in fts_aliases \
-                or l.optional:
+        if l.is_edge or l.extras or l.alias in fts_aliases or l.optional:
+            continue
+        if l.collect and not allow_collect:
+            # the collect link is only droppable when the caller proved a
+            # uid-only projection (fetch's PROJECT=['uid'] path) — its uid
+            # then reads off the adjacent edge endpoint via collect_sub
             continue
         if re.search(rf"\b{re.escape(l.alias)}\s*\.", refs_text):
             continue
@@ -306,6 +311,8 @@ def compile_fetch_sql(
     eliminated: Optional[set] = None,
     edge_endpoints: Optional[dict] = None,
     edge_unique: Optional[dict] = None,
+    project: Optional[list] = None,
+    collect_sub: Optional[str] = None,
 ) -> str:
     """Emit one Spark SQL SELECT for the parsed chain.
 
@@ -340,6 +347,18 @@ def compile_fetch_sql(
     seq = [l for l in links if l.is_edge or l.alias not in eliminated]
     if not seq:
         raise GraphydbError("Chain eliminated every link")
+
+    # Collect-link elimination (PROJECT=['uid'] + declared FK): the
+    # terminal node table never enters the plan; its uid is read off the
+    # adjacent edge endpoint given in ``collect_sub`` ("fn.startuid").
+    collect_gone = collect.alias in eliminated
+    if collect_gone:
+        if not collect_sub:
+            raise GraphydbError(
+                "internal: collect link eliminated without a substitute")
+        sub_alias, sub_col = collect_sub.split(".")
+        sub_int = (f"{sub_alias}.skey" if sub_col == "startuid"
+                   else f"{sub_alias}.ekey")
 
     # Int-key join rewrite.  uids are '<Kind>:<int>' and the frames carry
     # the raw int64 behind each uid/startuid/enduid (nkey / skey / ekey).
@@ -447,11 +466,27 @@ def compile_fetch_sql(
             return eu if l.ltype == "redge" else su
         return su if l.ltype == "redge" else eu
 
-    ci = seq.index(collect)
-    no_fanout = (all(_conn_unique(l, True) for l in seq[:ci])
-                 and all(_conn_unique(l, False) for l in seq[ci + 1:]))
-
-    unique_anyway = len(links) == 1 or no_fanout
+    if collect_gone:
+        # Output rows are the substitute edge's endpoint values.  They
+        # are unique iff (a) the joins away from the substitute edge
+        # cannot fan its rows out (same key-preserving test as below)
+        # AND (b) the edge kind is declared unique on the connector
+        # facing the eliminated collect link (FK shape: one FromNation
+        # edge per customer ⇒ distinct edges ⇒ distinct endpoints).
+        # When both hold, the dedup GROUP BY is a no-op — the whole
+        # chain becomes a shuffle-free broadcast-join map pipeline.
+        sub_link = next(l for l in seq if l.alias == sub_alias)
+        ci = seq.index(sub_link)
+        collect_right = links.index(collect) > links.index(sub_link)
+        no_fanout = (all(_conn_unique(l, True) for l in seq[:ci])
+                     and all(_conn_unique(l, False) for l in seq[ci + 1:])
+                     and _conn_unique(sub_link, collect_right))
+        unique_anyway = no_fanout
+    else:
+        ci = seq.index(collect)
+        no_fanout = (all(_conn_unique(l, True) for l in seq[:ci])
+                     and all(_conn_unique(l, False) for l in seq[ci + 1:]))
+        unique_anyway = len(links) == 1 or no_fanout
     # collect link eligible for the int-key identity rewrite: its uid is
     # '<Kind>:' || nkey, a bijection within the kind, so dedup/count can
     # key on the int64 instead of the concatenated string
@@ -459,17 +494,38 @@ def compile_fetch_sql(
                  and collect.kind is not None)
     group_sql_override = None
     if count:
-        key = f"{collect.alias}.nkey" if int_ident else f"{collect.alias}.uid"
+        if collect_gone:
+            key = sub_int if int_ident else collect_sub
+        else:
+            key = f"{collect.alias}.nkey" if int_ident \
+                else f"{collect.alias}.uid"
         agg = key if unique_anyway else f"DISTINCT {key}"
         select_sql = f"COUNT({agg}) AS n"
+    elif collect_gone:
+        # uid-only projection with the node join eliminated: uid is a
+        # bijection of the edge's int endpoint within the (FK-known)
+        # kind, so dedup keys on the int64 and uid is rebuilt per group
+        uid_sql = (f"concat('{collect.kind}:', CAST({sub_int} AS STRING))"
+                   if int_ident else collect_sub)
+        if distinct and not unique_anyway and not group and not order:
+            select_sql = f"{uid_sql} AS uid"
+            group_sql_override = \
+                f"GROUP BY {sub_int if int_ident else collect_sub}"
+        else:
+            select_sql = ("DISTINCT " if distinct and not unique_anyway
+                          else "") + f"{uid_sql} AS uid"
     else:
         cols = EDGE_COLS if collect.is_edge else NODE_COLS
+        if project:
+            cols = [c for c in cols if c in project]
         parts = [f"{collect.alias}.{c} AS {c}" for c in cols]
         for name in collect.extras:
             if name not in extras:
                 raise GraphydbError(
                     f"Extra column {name!r} declared in chain but no "
                     f"expression kwarg supplied")
+        extras = {k: v for k, v in extras.items()
+                  if not project or k in project}
         for name, e in extras.items():
             parts.append(f"({rewrite_expr(str(e), typed)}) AS {name}")
         select_sql = ("DISTINCT " if distinct and not unique_anyway else "") \
@@ -576,6 +632,8 @@ def compile_fetch_sql(
             uid_expr = (f"concat('{collect.kind}:', "
                         f"CAST({collect.alias}.nkey AS STRING))")
         cols = EDGE_COLS if collect.is_edge else NODE_COLS
+        if project:
+            cols = [c for c in cols if c in project]
         parts = []
         for c in cols:
             q = f"{collect.alias}.{c}"
@@ -743,7 +801,8 @@ def expand_varlength(chain: str) -> Optional[list[str]]:
 
 
 def uid_only_rewrites(links: list[Link], refs_parts: list[str],
-                      fts_aliases: set, integrity: dict) -> dict:
+                      fts_aliases: set, integrity: dict,
+                      include_collect: bool = False) -> dict:
     """Node links observed ONLY through ``alias.uid`` → replacement
     expression over the adjacent edge's endpoint column.
 
@@ -759,11 +818,17 @@ def uid_only_rewrites(links: list[Link], refs_parts: list[str],
     joined = " ".join(refs_parts)
     out: dict = {}
     for i, l in enumerate(links):
-        if l.is_edge or l.collect or l.extras or l.alias in fts_aliases \
-                or l.optional:
+        if l.is_edge or l.extras or l.alias in fts_aliases or l.optional:
+            continue
+        if l.collect and not include_collect:
             continue
         occs = re.findall(rf"\b{re.escape(l.alias)}\s*\.\s*(\w+)", joined)
-        if not occs or any(o != "uid" for o in occs):
+        if any(o != "uid" for o in occs):
+            continue
+        if not occs and not l.collect:
+            # a non-collect node nobody references needs no rewrite —
+            # eliminable_links alone handles it; the collect link needs
+            # the replacement even when unreferenced (it IS the output)
             continue
         roles = []
         if i > 0:

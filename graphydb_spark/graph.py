@@ -33,9 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .chain import compile_fetch_sql, eliminable_links, expand_varlength, \
-    uid_only_rewrites, \
-    parse_chain
+from .chain import EDGE_COLS, NODE_COLS, compile_fetch_sql, \
+    eliminable_links, expand_varlength, uid_only_rewrites, parse_chain
 from .items import Edge, GraphydbError, Item, Node, clean_data, diff_items, \
     generate_uid, patch_reverse
 from .sets import ESet, NSet
@@ -404,7 +403,8 @@ class Graph:
     # --------------------------------------------------------------- fetch
     def fetch(self, CHAIN: str = "(n)", WHERE=None, ORDER=None, GROUP=None,
               LIMIT=None, OFFSET=None, COUNT=False, DISTINCT=True,
-              DEBUG=False, as_df: bool = False, _anchor=None, **params):
+              DEBUG=False, as_df: bool = False, PROJECT=None,
+              _anchor=None, **params):
         """The query workhorse (graphydb.py:809-1017).
 
         Returns an :class:`NSet`/:class:`ESet` of hydrated items by default
@@ -424,10 +424,32 @@ class Graph:
                 expanded, CHAIN, WHERE=WHERE, ORDER=ORDER, GROUP=GROUP,
                 LIMIT=LIMIT, OFFSET=OFFSET, COUNT=COUNT,
                 DISTINCT=DISTINCT, DEBUG=DEBUG, as_df=as_df,
-                _anchor=_anchor, **params)
+                PROJECT=PROJECT, _anchor=_anchor, **params)
         links = parse_chain(CHAIN)
         collect = next(l for l in links if l.collect)
         aliases = {l.alias for l in links}
+
+        # PROJECT: restrict the output to the named collect-link columns
+        # (beyond reference — the scale knob a trailing .select() can't
+        # be: with PROJECT=['uid'] and a declared FK the collect node's
+        # TABLE never enters the plan, uid reads off the edge endpoint)
+        proj = None
+        if PROJECT is not None:
+            proj = [PROJECT] if isinstance(PROJECT, str) else list(PROJECT)
+            if not as_df and not COUNT and not DEBUG:
+                raise GraphydbError(
+                    "PROJECT requires as_df=True — hydrated items need "
+                    "every system column")
+            base_cols = EDGE_COLS if collect.is_edge else NODE_COLS
+            allowed = set(base_cols) | set(collect.extras)
+            bad = [c for c in proj if c not in allowed]
+            if bad:
+                raise GraphydbError(
+                    f"PROJECT columns {bad} not available; choose from "
+                    f"{sorted(allowed)}")
+            if "uid" not in proj:
+                raise GraphydbError(
+                    "PROJECT must include 'uid' (the distinct/dedup key)")
 
         # split kwargs: FTS matches, extra column expressions, bind params
         fts_specs: dict[str, str] = {}
@@ -477,8 +499,13 @@ class Graph:
         ref_parts = ([str(c) for c in conds]
                      + [str(ORDER or ""), str(GROUP or "")]
                      + [str(v) for v in extras.values()])
+        collect_uid_only = (proj is not None and set(proj) == {"uid"}
+                            and not collect.extras
+                            and collect.alias not in fts_specs
+                            and not GROUP)
         rewrites = uid_only_rewrites(
-            links, ref_parts, set(fts_specs), self._edge_integrity)
+            links, ref_parts, set(fts_specs), self._edge_integrity,
+            include_collect=collect_uid_only)
         if rewrites:
             def _sub(txt: str) -> str:
                 for a, repl in rewrites.items():
@@ -495,7 +522,8 @@ class Graph:
             [str(c) for c in conds] + [str(ORDER or ""), str(GROUP or "")]
             + [str(v) for v in extras.values()])
         eliminated = eliminable_links(
-            links, refs_text, set(fts_specs), self._edge_integrity)
+            links, refs_text, set(fts_specs), self._edge_integrity,
+            allow_collect=collect.alias in rewrites)
 
         # int-key join rewrite is available when the frames carry the raw
         # int keys behind the prefixed uids AND referential integrity is
@@ -511,7 +539,9 @@ class Graph:
             offset=OFFSET, count=COUNT, distinct=DISTINCT, extras=extras,
             fts_views=fts_views, typed=typed, eliminated=eliminated,
             edge_endpoints=self._edge_integrity if int_keys else None,
-            edge_unique=self._edge_unique or None)
+            edge_unique=self._edge_unique or None, project=proj,
+            collect_sub=(rewrites.get(collect.alias)
+                         if collect.alias in eliminated else None))
         if DEBUG:
             return sql, binds
         try:
@@ -538,7 +568,8 @@ class Graph:
     def _fetch_varlength(self, chains: list[str], orig_chain: str,
                          WHERE=None, ORDER=None, GROUP=None, LIMIT=None,
                          OFFSET=None, COUNT=False, DISTINCT=True,
-                         DEBUG=False, as_df=False, _anchor=None, **params):
+                         DEBUG=False, as_df=False, PROJECT=None,
+                         _anchor=None, **params):
         """Variable-length fetch: run each expanded fixed-length chain
         through the normal compiler, union, distinct by collect uid.
 
@@ -561,12 +592,18 @@ class Graph:
                 raise GraphydbError(
                     f"{name} is not supported with variable-length chains; "
                     f"apply it to the as_df result")
+        if PROJECT is not None and not as_df and not COUNT:
+            raise GraphydbError(
+                "PROJECT requires as_df=True — hydrated items need "
+                "every system column")
         if DEBUG:
             return [self.fetch(c, WHERE=WHERE, DISTINCT=DISTINCT,
-                               DEBUG=True, _anchor=_anchor, **params)
+                               DEBUG=True, PROJECT=PROJECT,
+                               _anchor=_anchor, **params)
                     for c in chains]
         frames = [self.fetch(c, WHERE=WHERE, DISTINCT=DISTINCT,
-                             as_df=True, _anchor=_anchor, **params)
+                             as_df=True, PROJECT=PROJECT,
+                             _anchor=_anchor, **params)
                   for c in chains]
         out = frames[0]
         for f in frames[1:]:

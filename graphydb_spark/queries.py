@@ -136,19 +136,25 @@ def q_one_hop(spark, sf_dir):
 
 
 def q_two_hop(spark, sf_dir):
-    """J3: 2-hop chain with leftward edges (region → its customers)."""
+    """J3: 2-hop chain with leftward edges (region → its customers).
+
+    PROJECT=['uid'] + the declared FromNation FK eliminate the customer
+    node join entirely — the plan scans region + two edge kinds and
+    never touches the (largest) node table."""
     g = tpch_graph(spark, sf_dir)
     return g.fetch(
         "(r:Region) <(ir:InRegion)- (n:Nation) <(fn:FromNation)- [c:Customer]",
-        'r.data.r_name = "ASIA"', as_df=True).select("uid")
+        'r.data.r_name = "ASIA"', as_df=True, PROJECT=["uid"])
 
 
 def q_three_hop(spark, sf_dir):
-    """J3: customer→order→part chain, DISTINCT-by-uid collect (A3)."""
+    """J3: customer→order→part chain, DISTINCT-by-uid collect (A3).
+    PROJECT=['uid'] elides the customer node join (uid reads off the
+    Placed edge's int start key; dedup groups on the int64)."""
     g = tpch_graph(spark, sf_dir)
     return g.fetch(
         "[c:Customer] -(pl:Placed)> (o:Order) -(ct:Contains)> (p:Part)",
-        "CAST(p.data.p_size AS INT) = 10", as_df=True).select("uid").distinct()
+        "CAST(p.data.p_size AS INT) = 10", as_df=True, PROJECT=["uid"])
 
 
 def q_group_count(spark, sf_dir):

@@ -131,3 +131,63 @@ def test_uid_only_reference_eliminates_node_join(spark):
     sql4, _ = g2.fetch("[c:Customer,nord] -(pl:Placed)> (o:Order)",
                        GROUP="c.uid", nord="COUNT(o.uid)", DEBUG=True)
     assert "AS o" in sql4
+
+
+def test_project_uid_only_eliminates_collect_join(spark):
+    """PROJECT=['uid'] + declared FK: the collect node table leaves the
+    plan; uid reads off the adjacent edge endpoint; results match the
+    unprojected fetch + .select('uid')."""
+    g = tpch_graph(spark, SF, cache=False)
+    chain = "(r:Region) <(ir:InRegion)- (n:Nation) <(fn:FromNation)- [c:Customer]"
+    where = 'r.data.r_name = "ASIA"'
+    sql, _ = g.fetch(chain, where, PROJECT=["uid"], DEBUG=True)
+    assert " AS c " not in sql + " "
+    assert "fn.skey" in sql            # int-key dedup + uid reconstruction
+    projected = {r["uid"] for r in
+                 g.fetch(chain, where, as_df=True, PROJECT=["uid"]).collect()}
+    baseline = {r["uid"] for r in
+                g.fetch(chain, where, as_df=True).select("uid").collect()}
+    assert projected == baseline and projected
+
+
+def test_project_uid_only_distinct_false_keeps_multiplicity(spark):
+    """Without DISTINCT the eliminated-collect path must preserve one row
+    per matched path (edge endpoints repeat)."""
+    g = tpch_graph(spark, SF, cache=False)
+    chain = "(o:Order) <(pl:Placed)- [c:Customer]"
+    n_paths = g.fetch(chain, as_df=True, DISTINCT=False,
+                      PROJECT=["uid"]).count()
+    n_edges = g.edges_df.where("kind = 'Placed'").count()
+    assert n_paths == n_edges
+
+
+def test_project_subset_columns_no_elimination(spark):
+    """A wider PROJECT keeps the collect join but narrows the output."""
+    g = tpch_graph(spark, SF, cache=False)
+    df = g.fetch("(r:Region) <(ir:InRegion)- [n:Nation]", as_df=True,
+                 PROJECT=["uid", "props"])
+    assert df.columns == ["uid", "props"]
+    sql, _ = g.fetch("(r:Region) <(ir:InRegion)- [n:Nation]",
+                     PROJECT=["uid", "props"], DEBUG=True)
+    assert " AS n " in sql + " "
+
+
+def test_project_guards(spark):
+    import pytest
+    from graphydb_spark.items import GraphydbError
+    g = tpch_graph(spark, SF, cache=False)
+    with pytest.raises(GraphydbError, match="as_df"):
+        g.fetch("(c:Customer)", PROJECT=["uid"])
+    with pytest.raises(GraphydbError, match="uid"):
+        g.fetch("(c:Customer)", as_df=True, PROJECT=["props"])
+    with pytest.raises(GraphydbError, match="not available"):
+        g.fetch("(c:Customer)", as_df=True, PROJECT=["uid", "nope"])
+
+
+def test_project_count_uses_edge_key(spark):
+    """COUNT + PROJECT composes; and the projected COUNT equals the
+    unprojected one."""
+    g = tpch_graph(spark, SF, cache=False)
+    chain = "[c:Customer] -(pl:Placed)> (o:Order)"
+    assert g.fetch(chain, COUNT=True) == \
+        g.fetch(chain, COUNT=True, PROJECT=["uid"])
