@@ -350,6 +350,35 @@ def quantile_sample(df: DataFrame, score_col: str, key_col: str,
               .drop("_cs"))
 
 
+def weighted_sample(df: DataFrame, weight_col, key_col: str,
+                    n: int) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (the
+    Efraimidis–Spirakis A-ES reservoir, PIS 2006): each row draws a
+    uniform ``u ∈ [0,1)`` from the first 60 bits of ``md5(key)`` and
+    scores ``u^(1/w)``; the global top-``n`` scores are the sample —
+    inclusion probability proportional to weight, exactly the
+    distributed one-pass weighted reservoir.
+
+    Returns ``(key, weight, score)`` for the selected rows.  Execution:
+    a narrow map + TakeOrdered top-n (each partition keeps ≤ n rows, no
+    global sort, corpus never shuffled) — the same plan shape at 100 TB.
+    Rows with non-positive weight score 0 and lose every comparison.
+    ``weight_col`` may be a name or a Column expression (e.g. a token
+    count).  Deterministic and engine-portable: u is hash-derived, so
+    the oracle replays the identical sample.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
+                16, 10).cast("double") / F.lit(float(1 << 60)))
+    score = F.when(w > 0, F.pow(u, F.lit(1.0) / w.cast("double"))) \
+             .otherwise(F.lit(0.0))
+    return (df.select(F.col(key_col),
+                      w.cast("double").alias("weight"),
+                      score.alias("score"))
+              .orderBy(F.col("score").desc(), F.col(key_col))
+              .limit(n))
+
+
 def write_training_shards(df: DataFrame, path: str, id_col: str,
                           token_col, budget: int,
                           partition_col: str | None = None) -> None:

@@ -22,20 +22,43 @@ from pyspark.sql import functions as F
 
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_ts: str = "ts", right_ts: str = "ts",
-              right_cols: tuple = (), suffix: str = "_matched") -> DataFrame:
-    """Backward as-of join: each left row picks the right row with the
-    greatest ``right_ts`` ≤ its ``left_ts`` (per ``on`` key), or nulls.
+              right_cols: tuple = (), suffix: str = "_matched",
+              direction: str = "backward") -> DataFrame:
+    """As-of join: each left row picks, per ``on`` key, the right row with
+
+    * ``direction='backward'`` — greatest ``right_ts`` ≤ ``left_ts``
+      (the canonical event-stream enrichment),
+    * ``direction='forward'``  — smallest ``right_ts`` ≥ ``left_ts``,
+    * ``direction='nearest'``  — smaller absolute time difference of the
+      two (ties go backward — deterministic, matching pandas
+      ``merge_asof`` tolerance-free semantics),
+
+    or nulls when no candidate exists.  The pandas/kdb as-of family on a
+    distributed plan.
 
     Ties inside ``right`` on (key, ts) must be resolved by the caller
     (e.g. pre-aggregate) — duplicate timestamps would make "the" as-of row
     ambiguous in any engine.
 
-    Scale: both sides shuffle once on ``on``; the window scan is a single
-    ordered pass per key partition.  Skewed keys behave like any other
-    window aggregation (AQE cannot split a window partition — salt the
-    key upstream if one key dominates).
+    Scale: both sides shuffle once on ``on`` (``nearest`` runs the
+    backward and forward passes back to back — two window scans on the
+    SAME partitioning, so the second pass reuses the exchange); the
+    window scan is a single ordered pass per key partition.  Skewed keys
+    behave like any other window aggregation (AQE cannot split a window
+    partition — salt the key upstream if one key dominates).
     """
+    if direction == "nearest":
+        return _asof_nearest(left, right, on, left_ts, right_ts,
+                             right_cols, suffix)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward/nearest, "
+                         f"got {direction!r}")
+    fwd = direction == "forward"
     lcols = [c for c in left.columns]
+    # side codes order right rows before left at equal ts for backward
+    # (inclusive ≤ via last() over preceding) and after left for forward
+    # (inclusive ≥ via first() over following)
+    rside = 2 if fwd else 0
     l = left.select(
         *lcols,
         F.col(left_ts).alias("__ats"),
@@ -47,16 +70,44 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
           for c in lcols if c != on],
         F.col(on),
         F.col(right_ts).alias("__ats"),
-        F.lit(0).alias("__side"),
+        F.lit(rside).alias("__side"),
         *[F.col(c).alias(c + suffix) for c in right_cols])
     u = l.unionByName(r)
-    # right rows sort before left rows at equal ts → inclusive (≤) match
-    w = (Window.partitionBy(on).orderBy("__ats", "__side")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = Window.partitionBy(on).orderBy("__ats", "__side")
+    if fwd:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)   # noqa: E731
     for c in right_cols:
-        u = u.withColumn(c + suffix,
-                         F.last(c + suffix, ignorenulls=True).over(w))
+        u = u.withColumn(c + suffix, pick(c + suffix))
     return u.where(F.col("__side") == 1).drop("__ats", "__side")
+
+
+def _asof_nearest(left: DataFrame, right: DataFrame, on: str,
+                  left_ts: str, right_ts: str, right_cols: tuple,
+                  suffix: str) -> DataFrame:
+    """Nearest as-of = backward pass + forward pass + per-row choice by
+    absolute time distance (ties backward)."""
+    r2 = right.withColumn("__rts", F.col(right_ts).cast("double"))
+    rc = tuple(right_cols) + ("__rts",)
+    b = asof_join(left, r2, on, left_ts, right_ts, rc,
+                  suffix="__b", direction="backward")
+    bf = asof_join(b, r2, on, left_ts, right_ts, rc,
+                   suffix="__f", direction="forward")
+    lts = F.col(left_ts).cast("double")
+    db = lts - F.col("__rts__b")
+    df_ = F.col("__rts__f") - lts
+    use_b = F.col("__rts__f").isNull() | \
+        (F.col("__rts__b").isNotNull() & (db <= df_))
+    out = bf
+    for c in right_cols:
+        out = out.withColumn(
+            c + suffix,
+            F.when(use_b, F.col(c + "__b")).otherwise(F.col(c + "__f")))
+    drop = [c + s for c in rc for s in ("__b", "__f")]
+    return out.drop(*drop)
 
 
 def topk_per_group(df: DataFrame, keys: list[str], order_by: list,

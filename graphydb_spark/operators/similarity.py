@@ -216,6 +216,48 @@ def lsh_near_dup_pairs(emb: DataFrame, dim: int, bits: int = 6,
             .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
 
 
+def semantic_dedup(emb: DataFrame, k: int = 16, iters: int = 3,
+                   min_cosine: float = 0.95, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   max_cluster: int | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — semantic deduplication over an
+    embedding column → ``(id, cluster, kept)``.
+
+    The published web-scale recipe: k-means the embeddings (the IVF
+    index doubles as the clustering), then inside each cluster compute
+    pairwise cosines and drop every item that has a lower-id neighbor
+    at or above ``min_cosine`` (the paper's upper-triangular-mask
+    semantics with id order as the ordering; the drop does not cascade
+    — j is dropped if ANY i < j is similar, kept or not).
+
+    Scale shape: clustering makes the pair join block-diagonal —
+    O(Σ n_c²) instead of O(n²), with n_c ≈ n/k; only (cluster, id, vec)
+    rows shuffle, and the dominator check is a distinct + left-anti
+    join.  ``max_cluster`` optionally caps degenerate clusters before
+    the pair join (same blowup guard as the LSH paths — capped items
+    skip the dominance check, trading exactness for boundedness).
+    """
+    indexed, _ = ivf_index(emb, k=k, iters=iters, id_col=id_col,
+                           vec_col=vec_col)
+    paired = indexed.select("cluster", id_col, vec_col)
+    if max_cluster is not None:
+        from .relational import cap_group_size
+        paired = cap_group_size(paired, ["cluster"], max_cluster)
+    a = paired.select("cluster", F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("va"))
+    b = paired.select("cluster", F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("vb"))
+    dominated = (a.join(b, "cluster")
+                 .where(F.col("id_a") < F.col("id_b"))
+                 .where(cosine_expr("va", "vb") >= min_cosine)
+                 .select(F.col("id_b").alias(id_col))
+                 .distinct())
+    return (indexed.select(id_col, "cluster")
+            .join(dominated.withColumn("_dom", F.lit(True)), id_col, "left")
+            .select(id_col, "cluster",
+                    F.coalesce(~F.col("_dom"), F.lit(True)).alias("kept")))
+
+
 def ann_topk(indexed: DataFrame, planes: list[list[float]],
              query_vec: list[float], k: int = 10, id_col: str = "vec_id",
              vec_col: str = "embedding", probe_hamming: int = 1) -> DataFrame:

@@ -789,6 +789,22 @@ def q_asof_join(spark, sf_dir):
     return out.select("event_id", F.col("view_id_matched").alias("view_id"))
 
 
+def q_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join (pandas merge_asof 'nearest'): each
+    click picks the view with the smallest |Δt|, ties backward.  Two
+    window passes on one key partitioning — no range explosion."""
+    ev = _events(spark, sf_dir)
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    views = (ev.where(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("view_id")))
+    out = relational.asof_join(clicks, views, on="user_id",
+                               right_cols=("view_id",),
+                               direction="nearest")
+    return out.select("event_id", F.col("view_id_matched").alias("view_id"))
+
+
 def q_topk_per_group(spark, sf_dir):
     """Top-3 orders per customer by totalprice (row_number window with a
     total-order tiebreak)."""
@@ -1044,17 +1060,21 @@ SELECT vec_id, cosine FROM (
 WHERE vec_id != 0"""
 
 
-def _ivf_ctes(k: int, iters: int) -> str:
-    """The unrolled k-means CTE chain shared by the ivf_topk and
-    cluster_balanced oracles: seeds → per-round (assign, quantized mean,
-    centroid) → final assignment ``fin(vec_id, c)``."""
+def _ivf_ctes(k: int, iters: int,
+              source: str = "SELECT vec_id, embedding FROM embeddings"
+              ) -> str:
+    """The unrolled k-means CTE chain shared by the ivf_topk,
+    cluster_balanced and semantic_dedup oracles: seeds → per-round
+    (assign, quantized mean, centroid) → final assignment
+    ``fin(vec_id, c)``.  ``source`` overrides the corpus CTE (e.g. to
+    replay a planted-twin corpus)."""
     def dist(c):
         return (f"list_sum(list_transform(range(1, len(e.embedding)+1), "
                 f"i -> ({c}.cent[i] - CAST(e.embedding[i] AS DOUBLE)) * "
                 f"({c}.cent[i] - CAST(e.embedding[i] AS DOUBLE))))")
 
     sql = [f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings),
+WITH e AS ({source}),
 c0 AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
@@ -1104,6 +1124,91 @@ FROM fin f JOIN rates USING (c)
 WHERE rate >= 1.0
    OR substr(md5(CAST(f.vec_id AS VARCHAR)), 1, 4)
       < printf('%04x', CAST(floor(rate * 65536) AS INT))"""
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+    over documents, weight = token count: top-50 by u^(1/w) with
+    hash-derived u.  FULL oracle — the sample is deterministic, so
+    DuckDB replays the identical selection."""
+    from .operators.pipeline import weighted_sample
+    docs = _docs(spark, sf_dir)
+    wt = F.size(text.tokens(F.col("text")))
+    top = weighted_sample(docs, wt, "doc_id", n=50)
+    return top.select("doc_id", "weight",
+                      F.round("score", 6).alias("score"))
+
+
+_WEIGHTED_SAMPLE_ORACLE = """
+WITH wt AS (
+  SELECT doc_id,
+         CAST(len(list_filter(
+           string_split_regex(lower(text),'[^a-z0-9]+'),
+           x -> x != '')) AS DOUBLE) AS weight,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS u
+  FROM documents)
+SELECT doc_id, weight,
+       ROUND(CASE WHEN weight > 0 THEN POW(u, 1.0/weight)
+                  ELSE 0 END, 6) AS score
+FROM wt
+ORDER BY (CASE WHEN weight > 0 THEN POW(u, 1.0/weight) ELSE 0 END) DESC,
+         doc_id
+LIMIT 50"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table with
+    planted near-dup twins (every 50th vector gets a +0.1-on-dim-0 copy
+    at id+100000, cosine ≈ 0.995 to its original — the fixture has no
+    natural pairs above 0.48, so exactly the twins are dropped).  FULL
+    hash oracle: the shared unrolled-k-means CTE chain runs on the same
+    planted corpus, then the within-cluster dominance check replays
+    pairwise (lower-id neighbor with cosine ≥ 0.95 ⇒ kept=false)."""
+    emb = _emb(spark, sf_dir)
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", as_double.alias("embedding"))
+    pert = (base.where(F.col("vec_id") % 50 == 0)
+            .select((F.col("vec_id") + 100000).alias("vec_id"),
+                    F.transform(
+                        F.col("embedding"),
+                        lambda x, i: F.when(i == 0, x + F.lit(0.1))
+                                      .otherwise(x)).alias("embedding")))
+    corpus = base.unionByName(pert)
+    return similarity.semantic_dedup(corpus, k=8, iters=2, min_cosine=0.95)
+
+
+_SEMDEDUP_SOURCE = """SELECT vec_id, embedding FROM (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(range(1, len(embedding)+1),
+           i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.1
+                     ELSE CAST(embedding[i] AS DOUBLE) END)
+  FROM embeddings WHERE vec_id % 50 = 0)"""
+
+
+def _semantic_dedup_oracle_sql(k: int = 8, iters: int = 2,
+                               thresh: float = 0.95) -> str:
+    """DuckDB replay of q_semantic_dedup: planted corpus → shared
+    unrolled k-means → within-cluster lower-id dominance."""
+    cos = ("list_sum(list_transform(range(1, len(a.embedding)+1), "
+           "i -> a.embedding[i] * b.embedding[i])) "
+           "/ (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), "
+           "i -> a.embedding[i] * a.embedding[i]))) "
+           "* sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), "
+           "i -> b.embedding[i] * b.embedding[i]))))")
+    return _ivf_ctes(k, iters, source=_SEMDEDUP_SOURCE) + f""",
+dom AS (
+  SELECT DISTINCT fb.vec_id AS vid
+  FROM fin fa JOIN fin fb ON fa.c = fb.c AND fa.vec_id < fb.vec_id
+  JOIN e a ON a.vec_id = fa.vec_id
+  JOIN e b ON b.vec_id = fb.vec_id
+  WHERE {cos} >= {thresh})
+SELECT f.vec_id, f.c AS cluster, (d.vid IS NULL) AS kept
+FROM fin f LEFT JOIN dom d ON f.vec_id = d.vid"""
 
 
 def q_cluster_balanced(spark, sf_dir):
@@ -2885,6 +2990,30 @@ ORACLES: dict[str, str | None] = {
         FROM clicks c ASOF LEFT JOIN views v
           ON c.user_id = v.user_id AND c.ts >= v.ts
     """,
+    "asof_nearest": """
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ), views AS (
+          SELECT user_id, ts, MAX(event_id) AS view_id
+          FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+        ), cand AS (
+          SELECT c.event_id, c.user_id, c.ts,
+                 MAX(CASE WHEN v.ts <= c.ts THEN v.ts END) AS bts,
+                 MIN(CASE WHEN v.ts >= c.ts THEN v.ts END) AS fts
+          FROM clicks c LEFT JOIN views v ON c.user_id = v.user_id
+          GROUP BY 1, 2, 3
+        ), chosen AS (
+          SELECT event_id, user_id,
+                 CASE WHEN fts IS NULL THEN bts
+                      WHEN bts IS NULL THEN fts
+                      WHEN epoch(ts) - epoch(bts) <= epoch(fts) - epoch(ts)
+                      THEN bts ELSE fts END AS cts
+          FROM cand
+        )
+        SELECT ch.event_id, v.view_id
+        FROM chosen ch LEFT JOIN views v
+          ON v.user_id = ch.user_id AND v.ts = ch.cts
+    """,
     "topk_per_group": """
         SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
           SELECT o_custkey, o_orderkey, o_totalprice,
@@ -3277,6 +3406,8 @@ ORACLES: dict[str, str | None] = {
     """,
     "ann_lsh_topk": _ann_oracle_sql(),
     "lsh_near_dup": _lsh_near_dup_oracle_sql(),
+    "semantic_dedup": _semantic_dedup_oracle_sql(),
+    "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
     "winnow_pairs": """
         WITH toks AS (
           SELECT doc_id, list_filter(
@@ -4300,6 +4431,9 @@ QUERIES = {
     "audio_features": q_audio_features,
     "gif_frames": q_gif_frames,
     "winnow_pairs": q_winnow_pairs,
+    "semantic_dedup": q_semantic_dedup,
+    "weighted_sample": q_weighted_sample,
+    "asof_nearest": q_asof_nearest,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

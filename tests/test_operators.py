@@ -851,3 +851,29 @@ def test_winnow_pairs_max_bucket_guard(spark):
     guarded = dedup.winnow_pairs(df, k=5, window=4, min_shared=1,
                                  max_bucket=3)
     assert guarded.count() == 0
+
+
+def test_semantic_dedup_drops_planted_twins(spark):
+    """SemDeDup: orthogonal base vectors + two planted near-copies.  The
+    copies (higher ids) must be dropped; the bases and the distant
+    vector survive; the drop is upper-triangular (no cascade check —
+    a copy is dropped even when its dominator is itself dropped)."""
+    import random
+    rng = random.Random(7)
+    dim = 16
+    rows = []
+    for i in range(6):
+        v = [0.0] * dim
+        v[i] = 1.0
+        rows.append((i, v))
+    rows.append((100, [x + (0.01 if j == 0 else 0)
+                       for j, x in enumerate(rows[2][1])]))   # twin of 2
+    rows.append((101, [x + (0.01 if j == 1 else 0)
+                       for j, x in enumerate(rows[3][1])]))   # twin of 3
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["kept"]
+           for r in similarity.semantic_dedup(
+               df, k=4, iters=2, min_cosine=0.95).collect()}
+    assert len(out) == 8
+    assert out[100] is False and out[101] is False
+    assert all(out[i] for i in range(6))

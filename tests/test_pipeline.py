@@ -264,3 +264,23 @@ def test_quantile_sample_buckets_and_rates(spark):
     assert not (set(by_bucket["mid"]) & set(by_bucket["tail"]))
     again = quantile_sample(df, "score", "doc_id").collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_weighted_sample_aes_invariants(spark):
+    """A-ES weighted sampling: deterministic, without replacement,
+    zero-weight rows lose to any positive weight, and a heavy weight
+    beats a light one more often than not across key saltings."""
+    from graphydb_spark.operators.pipeline import weighted_sample
+    from pyspark.sql import functions as F
+    rows = [(i, 1000.0 if i % 10 == 0 else 1.0) for i in range(100)]
+    rows += [(900 + i, 0.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    top = weighted_sample(df, "w", "k", n=50)
+    got = [r["k"] for r in top.collect()]
+    assert len(got) == len(set(got)) == 50
+    assert not any(k >= 900 for k in got)           # zero weights excluded
+    heavy = [k for k in got if k % 10 == 0 and k < 900]
+    # the 10 heavy rows have u^(1/1000) ~ 1; all should make a top-50 cut
+    assert len(heavy) == 10
+    again = [r["k"] for r in weighted_sample(df, "w", "k", n=50).collect()]
+    assert got == again                              # deterministic

@@ -110,3 +110,52 @@ def test_cap_group_size_drops_only_oversized_groups(spark):
     got = {(r["g"], r["v"]) for r in out.collect()}
     assert {g for g, _ in got} == {"small", "exact"}
     assert len(got) == 8
+
+
+def _ts(s):
+    import datetime
+    return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_asof_directions_hand_checked(spark):
+    """backward / forward / nearest on a fixture where every case
+    differs: exact tie, closer-later, closer-earlier, no-earlier,
+    no-later, empty key."""
+    from graphydb_spark.operators.relational import asof_join
+    left = spark.createDataFrame(
+        [(1, "a", _ts(10)),   # right at 10 exists -> tie: all match 10
+         (2, "a", _ts(14)),   # 10 (d4) vs 17 (d3): nearest=17, back=10
+         (3, "a", _ts(5)),    # before first: back=null, fwd=10, nearest=10
+         (4, "a", _ts(30)),   # after last: back=17, fwd=null, nearest=17
+         (5, "b", _ts(10))],  # no right rows at all
+        "event_id long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("a", _ts(10), 100), ("a", _ts(17), 170)],
+        "k string, ts timestamp, rid long")
+
+    def run(direction):
+        out = asof_join(left, right, on="k", right_cols=("rid",),
+                        direction=direction)
+        return {r["event_id"]: r["rid_matched"] for r in out.collect()}
+
+    assert run("backward") == {1: 100, 2: 100, 3: None, 4: 170, 5: None}
+    assert run("forward") == {1: 100, 2: 170, 3: 100, 4: None, 5: None}
+    # nearest: exact-distance tie (event 6 below) goes backward
+    assert run("nearest") == {1: 100, 2: 170, 3: 100, 4: 170, 5: None}
+    tie = spark.createDataFrame(
+        [(6, "a", _ts(13))],   # 10 (d3) vs 17 (d4) -> backward
+        "event_id long, k string, ts timestamp")
+    out = asof_join(tie, right, on="k", right_cols=("rid",),
+                    direction="nearest")
+    assert out.collect()[0]["rid_matched"] == 100
+    mid = spark.createDataFrame(
+        [(7, "a", _ts(13) )],
+        "event_id long, k string, ts timestamp")
+    # equidistant: 13.5 is not representable with int seconds; use 13 vs
+    # right at 9 and 17 -> d4 both -> tie -> backward
+    right2 = spark.createDataFrame(
+        [("a", _ts(9), 90), ("a", _ts(17), 170)],
+        "k string, ts timestamp, rid long")
+    out2 = asof_join(mid, right2, on="k", right_cols=("rid",),
+                     direction="nearest")
+    assert out2.collect()[0]["rid_matched"] == 90
