@@ -350,6 +350,44 @@ def quantile_sample(df: DataFrame, score_col: str, key_col: str,
               .drop("_cs"))
 
 
+def source_reputation(df: DataFrame, source_col: str = "source",
+                      text_col: str = "text",
+                      min_mean_ratio: float = 0.05,
+                      min_docs: int = 1) -> DataFrame:
+    """Domain/source-level quality gating — the URL-level stage of the
+    published web-corpus recipes (C4 / RefinedWeb filter whole domains,
+    not just documents): per-source document count and mean stopword
+    ratio, with ``kept`` false for sources below ``min_mean_ratio`` or
+    ``min_docs`` → ``(source, n_docs, mean_ratio, kept)``.
+
+    The mean is the quantized-integer mean (round(r·1e9) → exact BIGINT
+    sum → one double divide), bit-stable at any parallelism and
+    engine-replayable.  One narrow map + one map-side-combinable
+    aggregate on the source key; the result is domain-sized (tiny), so
+    :func:`filter_by_source_reputation` applies it as a broadcast
+    semi-join — the corpus itself never shuffles.
+    """
+    from .text import quality_score
+    scored = quality_score(df, text_col).select(source_col,
+                                                "stopword_ratio")
+    q = F.round(F.col("stopword_ratio") * 1e9).cast("long")
+    stats = (scored.groupBy(source_col)
+             .agg(F.count("*").cast("long").alias("n_docs"),
+                  (F.sum(q).cast("double")
+                   / (F.lit(1e9) * F.count("*"))).alias("mean_ratio")))
+    return stats.withColumn(
+        "kept", (F.col("mean_ratio") >= min_mean_ratio)
+                & (F.col("n_docs") >= min_docs))
+
+
+def filter_by_source_reputation(df: DataFrame, reputation: DataFrame,
+                                source_col: str = "source") -> DataFrame:
+    """Drop every document of a not-kept source (broadcast semi-join;
+    the corpus stays unshuffled)."""
+    keep = reputation.where(F.col("kept")).select(source_col)
+    return df.join(F.broadcast(keep), source_col, "left_semi")
+
+
 def weighted_sample(df: DataFrame, weight_col, key_col: str,
                     n: int) -> DataFrame:
     """Deterministic weighted sampling WITHOUT replacement (the
@@ -377,6 +415,26 @@ def weighted_sample(df: DataFrame, weight_col, key_col: str,
                       score.alias("score"))
               .orderBy(F.col("score").desc(), F.col(key_col))
               .limit(n))
+
+
+def write_clustered(df: DataFrame, path: str, sort_cols: list[str],
+                    num_files: int | None = None) -> None:
+    """Cluster-sorted parquet layout for data skipping — the 100 TB
+    substitute for a secondary index.
+
+    Range-partitions the frame on ``sort_cols`` and sorts within each
+    partition, so every output file (and parquet row group) covers a
+    tight, non-overlapping value range.  Parquet footers carry min/max
+    stats per row group; any engine (Spark, DuckDB, Trino) prunes files
+    and row groups whose range can't match a predicate on the cluster
+    key — a selective range scan reads O(selectivity) bytes instead of
+    the whole corpus.  ``repartitionByRange`` samples the key
+    distribution, so skew produces balanced files, not one hot file.
+    """
+    out = (df.repartitionByRange(num_files, *sort_cols) if num_files
+           else df.repartitionByRange(*sort_cols))
+    (out.sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite").parquet(path))
 
 
 def write_training_shards(df: DataFrame, path: str, id_col: str,

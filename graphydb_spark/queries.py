@@ -1126,6 +1126,38 @@ WHERE rate >= 1.0
       < printf('%04x', CAST(floor(rate * 65536) AS INT))"""
 
 
+def q_source_reputation(spark, sf_dir):
+    """Domain-level quality gate (C4/RefinedWeb URL-level stage): mean
+    stopword ratio + doc count per source, kept = mean ≥ 0.06 ∧ n ≥ 5.
+    FULL oracle — the quantized-integer mean reproduces bit-for-bit."""
+    from .operators.pipeline import source_reputation
+    rep = source_reputation(_docs(spark, sf_dir), min_mean_ratio=0.06,
+                            min_docs=5)
+    return rep.select("source", "n_docs",
+                      F.round("mean_ratio", 9).alias("mean_ratio"), "kept")
+
+
+_SOURCE_REPUTATION_ORACLE = """
+WITH toks AS (
+  SELECT source, list_filter(
+    string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '') AS ws
+  FROM documents),
+ratio AS (
+  SELECT source,
+    CAST(len(list_filter(ws, t -> list_contains(
+      ['the','a','of','and','to','in','is','for','on','with'], t)))
+      AS DOUBLE) / GREATEST(len(ws), 1) AS r
+  FROM toks),
+stats AS (
+  SELECT source, COUNT(*)::BIGINT AS n_docs,
+         CAST(SUM(CAST(ROUND(r * 1e9) AS BIGINT)) AS DOUBLE)
+           / (1e9 * COUNT(*)) AS mean_ratio
+  FROM ratio GROUP BY source)
+SELECT source, n_docs, ROUND(mean_ratio, 9) AS mean_ratio,
+       (mean_ratio >= 0.06 AND n_docs >= 5) AS kept
+FROM stats"""
+
+
 def q_weighted_sample(spark, sf_dir):
     """Weighted sampling without replacement (Efraimidis–Spirakis A-ES)
     over documents, weight = token count: top-50 by u^(1/w) with
@@ -3408,6 +3440,7 @@ ORACLES: dict[str, str | None] = {
     "lsh_near_dup": _lsh_near_dup_oracle_sql(),
     "semantic_dedup": _semantic_dedup_oracle_sql(),
     "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
+    "source_reputation": _SOURCE_REPUTATION_ORACLE,
     "winnow_pairs": """
         WITH toks AS (
           SELECT doc_id, list_filter(
@@ -4434,6 +4467,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "weighted_sample": q_weighted_sample,
     "asof_nearest": q_asof_nearest,
+    "source_reputation": q_source_reputation,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -284,3 +284,25 @@ def test_weighted_sample_aes_invariants(spark):
     assert len(heavy) == 10
     again = [r["k"] for r in weighted_sample(df, "w", "k", n=50).collect()]
     assert got == again                              # deterministic
+
+
+def test_source_reputation_gates_whole_domains(spark):
+    """Domain-level gate: a natural-text source passes, a keyword-soup
+    source is dropped wholesale, a tiny source fails min_docs even with
+    good text; the corpus filter keeps only kept-source docs."""
+    from graphydb_spark.operators.pipeline import (
+        filter_by_source_reputation, source_reputation)
+    natural = "the cat sat on the mat and the dog is in the house for a while"
+    soup = "keyword spam spam buy now click here best cheap deal offer"
+    rows = ([(i, natural, "good") for i in range(6)]
+            + [(10 + i, soup, "spam") for i in range(6)]
+            + [(20, natural, "tiny")])
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    rep = source_reputation(df, min_mean_ratio=0.2, min_docs=3)
+    by_src = {r["source"]: (r["kept"], r["n_docs"]) for r in rep.collect()}
+    assert by_src["good"] == (True, 6)
+    assert by_src["spam"][0] is False
+    assert by_src["tiny"] == (False, 1)
+    kept = filter_by_source_reputation(df, rep)
+    assert {r["source"] for r in kept.collect()} == {"good"}
+    assert kept.count() == 6

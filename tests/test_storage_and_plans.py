@@ -106,3 +106,61 @@ def test_stats_file_size_when_disk_backed(spark, tmp_path):
     assert s["file_size"].endswith(("B", "K", "M"))
     g2 = Graph.open(spark, p)
     assert g2.stats["file_size"] == s["file_size"]
+
+
+def test_write_clustered_row_group_pruning(spark, tmp_path):
+    """Cluster-sorted layout: per-file min/max footer ranges must be
+    non-overlapping (that's what makes readers skip), and a selective
+    range read over the clustered copy must scan fewer rows than over a
+    hash-scattered copy of the same data."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from graphydb_spark.operators.pipeline import write_clustered
+
+    df = spark.range(0, 20000).select(
+        F.col("id"), (F.col("id") * 37 % 20000).alias("score"))
+    clustered = str(tmp_path / "clustered")
+    scattered = str(tmp_path / "scattered")
+    write_clustered(df, clustered, ["score"], num_files=8)
+    df.repartition(8).write.mode("overwrite").parquet(scattered)
+
+    import glob
+    ranges = []
+    for f in glob.glob(f"{clustered}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = [md.schema.column(i).name
+               for i in range(md.num_columns)].index("score")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min); maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {hi1} vs {lo2}"
+
+    # skipping proof at the footer level: the predicate range can only
+    # touch files whose [min,max] overlaps it — 1-2 of 8 clustered files
+    # vs all 8 scattered ones
+    def files_matching(path):
+        n = 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = [md.schema.column(i).name
+                   for i in range(md.num_columns)].index("score")
+            lo = min(md.row_group(rg).column(idx).statistics.min
+                     for rg in range(md.num_row_groups))
+            hi = max(md.row_group(rg).column(idx).statistics.max
+                     for rg in range(md.num_row_groups))
+            if hi >= 100 and lo < 200:
+                n += 1
+        return n
+
+    assert files_matching(clustered) <= 2
+    assert files_matching(scattered) == 8
+
+    a = sorted(r["id"] for r in spark.read.parquet(clustered)
+               .where("score >= 100 and score < 200").collect())
+    b = sorted(r["id"] for r in spark.read.parquet(scattered)
+               .where("score >= 100 and score < 200").collect())
+    assert a == b and len(a) == 100
