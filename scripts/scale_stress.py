@@ -127,6 +127,33 @@ def main():
                  & (F.col("a.p") < F.col("b.p")))
           .select(F.col("a.o")))
 
+    # winnowing fingerprints: per-doc O(tokens x window) map, zero
+    # shuffle — time should track n_docs linearly
+    from graphydb_spark.operators.dedup import winnow_fingerprints
+    timed(f"winnow_fingerprints[{n_docs:,} docs]",
+          winnow_fingerprints(mdocs.withColumn(
+              "text", F.regexp_replace("text", "\n", " "))))
+
+    # semantic dedup at 20k x 32-dim synthetic vectors, k=32 clusters:
+    # the pair join is block-diagonal (~20k^2/32/2 = 6e6 cosines)
+    from graphydb_spark.operators.similarity import semantic_dedup
+    vecs = (spark.range(20_000).repartition(64)
+            .select(F.col("id").alias("vec_id"),
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(32)),
+                        lambda i: ((F.xxhash64(F.col("id") * 37 + i)
+                                    % 1000).cast("double") / 1000.0))
+                    .alias("embedding"))
+            .localCheckpoint(eager=True))
+    t0 = time.perf_counter()
+    sd = semantic_dedup(vecs, k=32, iters=2, min_cosine=0.999,
+                        max_cluster=5000)   # k-means collects here
+    build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n = sd.count()                          # block-diagonal pair join
+    print(f"semantic_dedup[20k x 32d, k=32]: kmeans={build:.2f}s "
+          f"pair_join={time.perf_counter() - t0:.2f}s  rows_out={n}")
+
 
 if __name__ == "__main__":
     main()
