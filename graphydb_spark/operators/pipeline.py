@@ -319,6 +319,61 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     return scored
 
 
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", lam: float = 0.7) -> DataFrame:
+    """Self-trained interpolated bigram LM score per document
+    (Jelinek–Mercer smoothing): mean log10 of
+    ``λ·p_bigram(w|prev) + (1-λ)·p_unigram(w)`` over the doc's bigram
+    positions — a sharper gibberish/boilerplate signal than
+    :func:`unigram_logprob` because word ORDER now matters (shuffled
+    text keeps its unigram score but craters here).
+
+    ``p_bigram = c(prev,w)/c(prev,·)`` (exact ML from the corpus bigram
+    table), ``p_unigram`` add-one smoothed.  Execution: one tokenize
+    pass feeds both count tables (map-side combined); scoring joins the
+    bigram stream against the bigram/context/unigram tables on narrow
+    string keys — plain shuffled equi-joins, so a 100 TB corpus works
+    even when the bigram vocabulary outgrows broadcast.  Per-position
+    logprobs round to 6 dp and sum as DECIMAL — order-independent,
+    bit-stable, SQL-replayable (same idiom as unigram_logprob).
+    """
+    from .text import tokens
+
+    toksed = (df.select(id_col, tokens(F.col(text_col)).alias("_t"))
+              .where(F.size("_t") >= 2)
+              .localCheckpoint(eager=True))
+    grams = (toksed.select(
+        id_col,
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("_t") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("_t"), i).alias("prev"),
+                F.element_at(F.col("_t"), i + 1).alias("cur"))))
+        .alias("g"))
+        .select(id_col, "g.prev", "g.cur"))
+    uni = (toksed.select(F.explode("_t").alias("tok"))
+           .groupBy("tok").agg(F.count("*").alias("tf"))
+           .localCheckpoint(eager=True))
+    srow = uni.agg(F.sum("tf").alias("total"),
+                   F.count("*").alias("vocab")).collect()[0]
+    denom = float((srow["total"] or 0) + (srow["vocab"] or 0)) or 1.0
+    bi = (grams.groupBy("prev", "cur").agg(F.count("*").alias("bc"))
+          .localCheckpoint(eager=True))
+    ctx = bi.groupBy("prev").agg(F.sum("bc").alias("cc"))
+    p = (F.lit(float(lam)) * F.col("bc").cast("double") / F.col("cc")
+         + F.lit(1.0 - float(lam))
+         * (F.col("tf") + 1).cast("double") / F.lit(denom))
+    lp = F.round(F.log10(p), 6).cast("decimal(18,6)")
+    return (grams
+            .join(bi, ["prev", "cur"])
+            .join(ctx, "prev")
+            .join(uni.withColumnRenamed("tok", "cur"), "cur")
+            .groupBy(id_col)
+            .agg(F.round(F.sum(lp).cast("double") / F.count("*"), 6)
+                 .alias("bigram_logprob"),
+                 F.count("*").cast("long").alias("n_bigrams")))
+
+
 def quantile_sample(df: DataFrame, score_col: str, key_col: str,
                     rates: tuple[float, float, float] = (1.0, 0.5, 0.1)
                     ) -> DataFrame:

@@ -1126,6 +1126,42 @@ WHERE rate >= 1.0
       < printf('%04x', CAST(floor(rate * 65536) AS INT))"""
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram LM quality score (Jelinek–Mercer λ=0.7) —
+    the word-order-sensitive upgrade of unigram_logprob.  FULL oracle:
+    exact ML bigram + add-one unigram tables replay in SQL; the 6 dp
+    decimal per-position rounding makes the mean order-free."""
+    from .operators.pipeline import bigram_logprob
+    return bigram_logprob(_docs(spark, sf_dir), lam=0.7)
+
+
+_BIGRAM_LOGPROB_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '') AS ws
+  FROM documents WHERE len(list_filter(
+    string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '')) >= 2),
+uni AS (SELECT t.tok, COUNT(*) AS tf FROM toks, UNNEST(ws) AS t(tok)
+        GROUP BY 1),
+tot AS (SELECT SUM(tf) AS total, COUNT(*) AS vocab FROM uni),
+grams AS (
+  SELECT doc_id, ws[t.i] AS prev, ws[t.i + 1] AS cur
+  FROM toks, UNNEST(range(1, len(ws))) AS t(i)),
+bi AS (SELECT prev, cur, COUNT(*) AS bc FROM grams GROUP BY 1, 2),
+ctx AS (SELECT prev, SUM(bc) AS cc FROM bi GROUP BY 1)
+SELECT g.doc_id,
+       ROUND(CAST(SUM(CAST(ROUND(log10(
+           0.7 * bc / cc
+           + 0.3 * (tf + 1) / (total + vocab)), 6)
+         AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS bigram_logprob,
+       COUNT(*)::BIGINT AS n_bigrams
+FROM grams g
+JOIN bi USING (prev, cur)
+JOIN ctx USING (prev)
+JOIN uni ON uni.tok = g.cur, tot
+GROUP BY 1"""
+
+
 def q_source_reputation(spark, sf_dir):
     """Domain-level quality gate (C4/RefinedWeb URL-level stage): mean
     stopword ratio + doc count per source, kept = mean ≥ 0.06 ∧ n ≥ 5.
@@ -3441,6 +3477,7 @@ ORACLES: dict[str, str | None] = {
     "semantic_dedup": _semantic_dedup_oracle_sql(),
     "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
     "source_reputation": _SOURCE_REPUTATION_ORACLE,
+    "bigram_logprob": _BIGRAM_LOGPROB_ORACLE,
     "winnow_pairs": """
         WITH toks AS (
           SELECT doc_id, list_filter(
@@ -4468,6 +4505,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "asof_nearest": q_asof_nearest,
     "source_reputation": q_source_reputation,
+    "bigram_logprob": q_bigram_logprob,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

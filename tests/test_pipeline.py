@@ -306,3 +306,21 @@ def test_source_reputation_gates_whole_domains(spark):
     kept = filter_by_source_reputation(df, rep)
     assert {r["source"] for r in kept.collect()} == {"good"}
     assert kept.count() == 6
+
+
+def test_bigram_logprob_word_order_sensitivity(spark):
+    """The claim that justifies the operator: a doc with corpus-typical
+    word ORDER outscores a doc with the same unigram histogram but
+    scrambled order."""
+    from graphydb_spark.operators.pipeline import bigram_logprob
+    natural = "the cat sat on the mat"
+    rows = [(i, natural) for i in range(8)]
+    rows.append((100, natural))                      # in-distribution
+    rows.append((101, "mat the on sat cat the"))     # same bag, wrong order
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["bigram_logprob"]
+           for r in bigram_logprob(df, lam=0.7).collect()}
+    assert out[100] > out[101]
+    again = {r["doc_id"]: r["bigram_logprob"]
+             for r in bigram_logprob(df, lam=0.7).collect()}
+    assert out == again                              # deterministic
