@@ -33,6 +33,16 @@ def generate_uid(rng: Optional[random.Random] = None) -> str:
     return "".join(r.choice(_BASE36) for _ in range(_UID_LEN))
 
 
+def ensure_list(x) -> list:
+    """Coerce None/scalar/list to a list (graphydb.py:179-187 parity —
+    WHERE clauses and uid arguments accept a scalar or a list)."""
+    if x is None:
+        return []
+    if isinstance(x, list):
+        return x
+    return [x]
+
+
 def clean_data(data: dict) -> dict:
     """Strip transient keys (leading underscore) before persisting.
 
@@ -165,6 +175,17 @@ class Item(MutableMapping):
         if newuid:
             d["uid"] = generate_uid()
         out = type(self)(graph=self.graph, **d)
+        return out
+
+    @classmethod
+    def fromkeys(cls, iterable, value=None) -> "Item":
+        """dict.fromkeys parity (graphydb.py:1285-1291; the reference's
+        version references ``self`` inside a classmethod and would
+        NameError — here every key lands dirty on the new item, which is
+        what its intent reads as)."""
+        out = cls()
+        for key in iterable:
+            out[key] = value
         return out
 
     # -- store refresh ------------------------------------------------------

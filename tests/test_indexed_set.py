@@ -105,3 +105,13 @@ def test_list_semantics():
 def test_membership_by_item_or_uid():
     s = IndexedSet([V(7)])
     assert V(7) in s and "7" in s and V(8) not in s
+
+
+def test_item_fromkeys_and_ensure_list():
+    from graphydb_spark.items import Item, ensure_list
+    it = Item.fromkeys(["a", "b"], 0)
+    assert it["a"] == 0 and it["b"] == 0 and it.changed
+    assert "uid" in it and "ctime" in it
+    assert ensure_list(None) == []
+    assert ensure_list(3) == [3]
+    assert ensure_list([3]) == [3]
