@@ -499,10 +499,14 @@ class Graph:
         ref_parts = ([str(c) for c in conds]
                      + [str(ORDER or ""), str(GROUP or "")]
                      + [str(v) for v in extras.values()])
+        # ORDER is excluded along with GROUP: with the collect join gone
+        # the select list is DISTINCT/grouped uid only, and an ORDER
+        # clause referencing any chain alias would name a column outside
+        # the select list (analysis error) — keep the node join instead
         collect_uid_only = (proj is not None and set(proj) == {"uid"}
                             and not collect.extras
                             and collect.alias not in fts_specs
-                            and not GROUP)
+                            and not GROUP and not ORDER)
         rewrites = uid_only_rewrites(
             links, ref_parts, set(fts_specs), self._edge_integrity,
             include_collect=collect_uid_only)
@@ -592,7 +596,7 @@ class Graph:
                 raise GraphydbError(
                     f"{name} is not supported with variable-length chains; "
                     f"apply it to the as_df result")
-        if PROJECT is not None and not as_df and not COUNT:
+        if PROJECT is not None and not as_df and not COUNT and not DEBUG:
             raise GraphydbError(
                 "PROJECT requires as_df=True — hydrated items need "
                 "every system column")

@@ -182,8 +182,12 @@ class Item(MutableMapping):
         """dict.fromkeys parity (graphydb.py:1285-1291; the reference's
         version references ``self`` inside a classmethod and would
         NameError — here every key lands dirty on the new item, which is
-        what its intent reads as)."""
-        out = cls()
+        what its intent reads as).  Subclass construction requirements
+        (Node's kind, Edge's endpoints) are deliberately bypassed: the
+        result is a key template, validated at save time like any other
+        mutation."""
+        out = cls.__new__(cls)
+        Item.__init__(out)
         for key in iterable:
             out[key] = value
         return out

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import tokens
+from .text import hash60, tokens
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -245,8 +245,7 @@ def simhash64(df: DataFrame, text_col: str = "text",
     if portable:
         th = F.transform(
             toks,
-            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
-                       .cast("long"))
+            lambda t: hash60(t))
     else:
         th = F.transform(toks, lambda t: F.xxhash64(t))
     bit_cols = []
@@ -333,9 +332,7 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                 .where(F.size("_toks") >= need))
     gram = F.transform(
         F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
-        lambda i: F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), i, k))),
-                        1, 15), 16, 10).cast("long"))
+        lambda i: hash60(F.concat_ws(" ", F.slice(F.col("_toks"), i, k))))
     hashed = toksed.select(id_col, gram.alias("_h"))
 
     def pick(s):
@@ -427,8 +424,7 @@ def _gram_fps(df: DataFrame, idc: str, text_col: str, n: int,
     """``(_id, pos, fp)`` 64-bit md5 fingerprints of token n-grams
     (``distinct=True`` drops positions and dedups per doc)."""
     toks = tokens(F.col(text_col))
-    fp_of = (lambda gram: F.conv(F.substring(F.md5(gram), 1, 15), 16, 10)
-             .cast("long"))
+    fp_of = hash60
     if distinct:
         g = F.transform(
             F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),

@@ -457,18 +457,24 @@ def weighted_sample(df: DataFrame, weight_col, key_col: str,
     global sort, corpus never shuffled) — the same plan shape at 100 TB.
     Rows with non-positive weight score 0 and lose every comparison.
     ``weight_col`` may be a name or a Column expression (e.g. a token
-    count).  Deterministic and engine-portable: u is hash-derived, so
-    the oracle replays the identical sample.
+    count).  Cross-engine determinism: u is hash-derived and the rank
+    key is ``round(score, 12)`` with the row key as tiebreak — libm
+    ``pow`` is only 1-ulp-reproducible across engines, so ranking on
+    the quantized score (ties broken by key) keeps the selected SET
+    identical even when the last bits of pow() differ; only a true
+    value sitting within 1 ulp of a 0.5e-12 rounding boundary could
+    diverge.
     """
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    u = (F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
-                16, 10).cast("double") / F.lit(float(1 << 60)))
+    from .text import hash60
+    u = (hash60(F.col(key_col).cast("string")).cast("double")
+         / F.lit(float(1 << 60)))
     score = F.when(w > 0, F.pow(u, F.lit(1.0) / w.cast("double"))) \
              .otherwise(F.lit(0.0))
     return (df.select(F.col(key_col),
                       w.cast("double").alias("weight"),
                       score.alias("score"))
-              .orderBy(F.col("score").desc(), F.col(key_col))
+              .orderBy(F.round(F.col("score"), 12).desc(), F.col(key_col))
               .limit(n))
 
 

@@ -90,13 +90,19 @@ def _asof_nearest(left: DataFrame, right: DataFrame, on: str,
                   suffix: str) -> DataFrame:
     """Nearest as-of = backward pass + forward pass + per-row choice by
     absolute time distance (ties backward)."""
-    r2 = right.withColumn("__rts", F.col(right_ts).cast("double"))
+    # distance needs arithmetic; go through timestamp first so string/
+    # date ts columns (which backward/forward accept via ordering) work
+    # here too — numeric columns round-trip unchanged
+    def _num(c):
+        return F.col(c).cast("timestamp").cast("double")
+
+    r2 = right.withColumn("__rts", _num(right_ts))
     rc = tuple(right_cols) + ("__rts",)
     b = asof_join(left, r2, on, left_ts, right_ts, rc,
                   suffix="__b", direction="backward")
     bf = asof_join(b, r2, on, left_ts, right_ts, rc,
                    suffix="__f", direction="forward")
-    lts = F.col(left_ts).cast("double")
+    lts = _num(left_ts)
     db = lts - F.col("__rts__b")
     df_ = F.col("__rts__f") - lts
     use_b = F.col("__rts__f").isNull() | \

@@ -239,6 +239,11 @@ def semantic_dedup(emb: DataFrame, k: int = 16, iters: int = 3,
     """
     indexed, _ = ivf_index(emb, k=k, iters=iters, id_col=id_col,
                            vec_col=vec_col)
+    # materialize the assignment once: the cluster column is an inline
+    # O(k·dim) argmin expression, and the frame below feeds BOTH pair-
+    # join sides plus the final output — uncheckpointed it would be
+    # recomputed three times per run
+    indexed = indexed.localCheckpoint(eager=True)
     paired = indexed.select("cluster", id_col, vec_col)
     if max_cluster is not None:
         from .relational import cap_group_size

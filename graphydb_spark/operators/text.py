@@ -28,6 +28,16 @@ def tokens(col) -> F.Column:
     return F.filter(F.split(F.lower(col), TOKEN_SPLIT), lambda t: t != "")
 
 
+def hash60(col) -> F.Column:
+    """First 60 bits of md5 as a BIGINT — the engine-portable hash every
+    hash-derived operator shares (simhash portable mode, winnowing,
+    n-gram fingerprints, weighted sampling).  The DuckDB twin is
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT`` — keep the two in
+    lockstep; widening or reseeding one side desynchronizes every
+    oracle built on it."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append n_tokens / n_chars_obs / avg_token_len columns."""
     toks = tokens(F.col(text_col))

@@ -1135,7 +1135,12 @@ def q_bigram_logprob(spark, sf_dir):
     return bigram_logprob(_docs(spark, sf_dir), lam=0.7)
 
 
-_BIGRAM_LOGPROB_ORACLE = """
+def _bigram_logprob_oracle_sql(lam: float = 0.7) -> str:
+    """The λ literals are rendered with repr() so DuckDB parses the
+    SAME doubles the engine computes — in particular 1-λ is
+    0.30000000000000004, not 0.3 (a 1-ulp difference that could flip
+    the 6 dp rounding on a boundary-sitting position)."""
+    return f"""
 WITH toks AS (
   SELECT doc_id, list_filter(
     string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '') AS ws
@@ -1151,8 +1156,8 @@ bi AS (SELECT prev, cur, COUNT(*) AS bc FROM grams GROUP BY 1, 2),
 ctx AS (SELECT prev, SUM(bc) AS cc FROM bi GROUP BY 1)
 SELECT g.doc_id,
        ROUND(CAST(SUM(CAST(ROUND(log10(
-           0.7 * bc / cc
-           + 0.3 * (tf + 1) / (total + vocab)), 6)
+           {float(lam)!r} * bc / cc
+           + {1.0 - float(lam)!r} * (tf + 1) / (total + vocab)), 6)
          AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS bigram_logprob,
        COUNT(*)::BIGINT AS n_bigrams
 FROM grams g
@@ -1220,7 +1225,8 @@ SELECT doc_id, weight,
        ROUND(CASE WHEN weight > 0 THEN POW(u, 1.0/weight)
                   ELSE 0 END, 6) AS score
 FROM wt
-ORDER BY (CASE WHEN weight > 0 THEN POW(u, 1.0/weight) ELSE 0 END) DESC,
+ORDER BY ROUND(CASE WHEN weight > 0 THEN POW(u, 1.0/weight)
+               ELSE 0 END, 12) DESC,
          doc_id
 LIMIT 50"""
 
@@ -3477,7 +3483,7 @@ ORACLES: dict[str, str | None] = {
     "semantic_dedup": _semantic_dedup_oracle_sql(),
     "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
     "source_reputation": _SOURCE_REPUTATION_ORACLE,
-    "bigram_logprob": _BIGRAM_LOGPROB_ORACLE,
+    "bigram_logprob": _bigram_logprob_oracle_sql(),
     "winnow_pairs": """
         WITH toks AS (
           SELECT doc_id, list_filter(

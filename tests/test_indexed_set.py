@@ -115,3 +115,13 @@ def test_item_fromkeys_and_ensure_list():
     assert ensure_list(None) == []
     assert ensure_list(3) == [3]
     assert ensure_list([3]) == [3]
+
+
+def test_fromkeys_on_node_and_edge_subclasses():
+    """Regression: fromkeys must not trip subclass constructor
+    validation (kind/endpoints) — it builds a key template."""
+    from graphydb_spark.items import Edge, Node
+    n = Node.fromkeys(["kind", "name"], None)
+    assert n["kind"] is None and n.changed
+    e = Edge.fromkeys(["kind"], "Likes")
+    assert e["kind"] == "Likes"

@@ -191,3 +191,24 @@ def test_project_count_uses_edge_key(spark):
     chain = "[c:Customer] -(pl:Placed)> (o:Order)"
     assert g.fetch(chain, COUNT=True) == \
         g.fetch(chain, COUNT=True, PROJECT=["uid"])
+
+
+def test_project_with_order_keeps_collect_join(spark):
+    """Regression: ORDER + PROJECT=['uid'] must not eliminate the
+    collect join (the DISTINCT select list could not carry the ORDER
+    expression) — it compiles with the join kept and still runs."""
+    g = tpch_graph(spark, SF, cache=False)
+    chain = "[c:Customer] -(pl:Placed)> (o:Order)"
+    sql, _ = g.fetch(chain, ORDER="uid", PROJECT=["uid"], DEBUG=True)
+    assert " AS c " in sql + " "
+    out = g.fetch(chain, ORDER="uid", LIMIT=5, as_df=True, PROJECT=["uid"])
+    assert out.count() == 5
+
+
+def test_project_debug_varlength(spark):
+    """Regression: PROJECT + DEBUG composes on variable-length chains
+    exactly like on fixed-length ones."""
+    g = tpch_graph(spark, SF, cache=False)
+    sqls = g.fetch("(r:Region) <(e*1..2:InRegion)- [n]", DEBUG=True,
+                   PROJECT=["uid"])
+    assert isinstance(sqls, list) and len(sqls) == 2

@@ -159,3 +159,20 @@ def test_asof_directions_hand_checked(spark):
     out2 = asof_join(mid, right2, on="k", right_cols=("rid",),
                      direction="nearest")
     assert out2.collect()[0]["rid_matched"] == 90
+
+
+def test_asof_nearest_string_timestamps(spark):
+    """Regression: direction='nearest' must accept the string/date ts
+    columns backward/forward already handle (distance goes through a
+    timestamp cast, not a raw double cast)."""
+    from graphydb_spark.operators.relational import asof_join
+    left = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:14")],
+        "event_id long, k string, ts string")
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:10", 100),
+         ("a", "2024-01-01 00:00:17", 170)],
+        "k string, ts string, rid long")
+    out = asof_join(left, right, on="k", right_cols=("rid",),
+                    direction="nearest")
+    assert out.collect()[0]["rid_matched"] == 170
