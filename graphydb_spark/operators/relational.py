@@ -194,3 +194,53 @@ def cap_group_size(df: DataFrame, group_col, max_size: int) -> DataFrame:
              .where(F.col("__n") <= max_size)
              .select(*keys))
     return df.join(small, keys, "left_semi")
+
+
+def resample_locf(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+                  unit: str = "hour", tiebreak: str | None = None,
+                  bucket_col: str = "bucket_ts",
+                  filled_col: str = "filled") -> DataFrame:
+    """Time-series resample to a dense per-key grid with last-observation-
+    carried-forward gap filling (the timeseries-DB "hypertable rollup +
+    locf" shape; neither exists in the reference — SURVEY.md §2.5/§2.10).
+
+    Per ``key_col``: truncate ``ts_col`` to ``unit`` buckets, elect the
+    latest observation inside each bucket (order by ts then ``tiebreak``
+    descending — the tiebreak makes the election deterministic when two
+    observations share a timestamp), generate the dense bucket grid
+    spanning the key's own [min, max] range, and forward-fill missing
+    buckets from the most recent earlier observation.  ``filled_col``
+    marks carried rows.  The first grid row per key is always a real
+    observation, so no leading nulls exist.
+
+    Scale shape: one shuffle on (key, bucket) for the election window,
+    one on key for the span aggregate + fill window — both key-local; the
+    grid explode is bounded by time-range/unit per key, never global.
+    The value column passes through untouched (no float arithmetic), so
+    a SQL oracle hash-matches exactly.
+    """
+    order = [F.col(ts_col).desc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).desc())
+    bucketed = df.withColumn("__b", F.date_trunc(unit, F.col(ts_col)))
+    w_elect = Window.partitionBy(key_col, "__b").orderBy(*order)
+    latest = (bucketed
+              .withColumn("__rn", F.row_number().over(w_elect))
+              .where(F.col("__rn") == 1)
+              .select(key_col, "__b", F.col(value_col).alias("__obs")))
+    # span straight off the raw frame (map-side-combinable min/max agg)
+    # so the election subtree is planned once, not once per consumer
+    span = bucketed.groupBy(key_col).agg(F.min("__b").alias("__lo"),
+                                         F.max("__b").alias("__hi"))
+    grid = span.select(
+        key_col,
+        F.explode(F.sequence(
+            "__lo", "__hi", F.expr(f"INTERVAL 1 {unit}"))).alias("__b"))
+    w_fill = (Window.partitionBy(key_col).orderBy("__b")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    return (grid.join(latest, [key_col, "__b"], "left")
+            .withColumn(filled_col, F.col("__obs").isNull())
+            .withColumn(value_col,
+                        F.last("__obs", ignorenulls=True).over(w_fill))
+            .select(key_col, F.col("__b").alias(bucket_col),
+                    value_col, filled_col))

@@ -2749,6 +2749,37 @@ def _ppr_sql(iters: int = 5, d: float = 0.85, n_seeds: int = 5) -> str:
         ORDER BY rank DESC, uid LIMIT 15""")
 
 
+def q_resample_locf(spark, sf_dir):
+    """Time-series gap-fill: hourly per-user resample of events.value
+    with last-observation-carried-forward (the timeseries-DB hypertable
+    rollup + locf shape).  FULL oracle: the value column is copied, not
+    computed, so doubles hash exactly; the in-bucket election is made
+    deterministic by the (ts, event_id) tiebreak."""
+    from .operators.relational import resample_locf
+    return resample_locf(_events(spark, sf_dir), "user_id", "ts", "value",
+                         unit="hour", tiebreak="event_id")
+
+
+_RESAMPLE_LOCF_ORACLE = """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+latest AS (SELECT user_id, bucket_ts, value AS obs FROM b WHERE rn = 1),
+span AS (SELECT user_id, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi
+         FROM latest GROUP BY 1),
+grid AS (SELECT user_id, g.g AS bucket_ts
+         FROM span, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS g(g))
+SELECT g.user_id, g.bucket_ts,
+       last_value(l.obs IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket_ts
+         ROWS UNBOUNDED PRECEDING) AS value,
+       l.obs IS NULL AS filled
+FROM grid g LEFT JOIN latest l USING (user_id, bucket_ts)
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -4326,6 +4357,7 @@ ORACLES: dict[str, str | None] = {
                SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS n_dropped
         FROM flagged GROUP BY doc_id
     """,
+    "resample_locf": _RESAMPLE_LOCF_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -4512,6 +4544,7 @@ QUERIES = {
     "asof_nearest": q_asof_nearest,
     "source_reputation": q_source_reputation,
     "bigram_logprob": q_bigram_logprob,
+    "resample_locf": q_resample_locf,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -176,3 +176,41 @@ def test_asof_nearest_string_timestamps(spark):
     out = asof_join(left, right, on="k", right_cols=("rid",),
                     direction="nearest")
     assert out.collect()[0]["rid_matched"] == 170
+
+
+def test_resample_locf_fills_gaps_and_elects_latest(spark):
+    from graphydb_spark.operators.relational import resample_locf
+    dt = datetime.datetime
+    rows = [
+        # user "a": two obs in hour 0 (election by ts then id), gap at
+        # hour 1-2, obs at hour 3
+        (1, "a", dt(2024, 1, 1, 0, 10), 10.0),
+        (2, "a", dt(2024, 1, 1, 0, 50), 20.0),
+        (3, "a", dt(2024, 1, 1, 3, 0), 30.0),
+        # user "b": single observation → single grid row
+        (4, "b", dt(2024, 1, 1, 5, 0), 99.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, value double")
+    out = resample_locf(df, "user_id", "ts", "value",
+                        unit="hour", tiebreak="event_id")
+    got = {(r["user_id"], r["bucket_ts"].hour): (r["value"], r["filled"])
+           for r in out.collect()}
+    assert got == {
+        ("a", 0): (20.0, False),   # latest-in-bucket election
+        ("a", 1): (20.0, True),    # carried forward
+        ("a", 2): (20.0, True),
+        ("a", 3): (30.0, False),
+        ("b", 5): (99.0, False),
+    }
+
+
+def test_resample_locf_tiebreak_on_equal_ts(spark):
+    from graphydb_spark.operators.relational import resample_locf
+    t = datetime.datetime(2024, 1, 1, 0, 30)
+    df = spark.createDataFrame(
+        [(1, "a", t, 1.0), (2, "a", t, 2.0)],
+        "event_id long, user_id string, ts timestamp, value double")
+    out = resample_locf(df, "user_id", "ts", "value",
+                        unit="hour", tiebreak="event_id").collect()
+    assert len(out) == 1 and out[0]["value"] == 2.0  # higher id wins
