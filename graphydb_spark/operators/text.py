@@ -181,3 +181,66 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                     .alias("top_frac"),
                     F.round(F.col("_dup") / F.col("_tot"), 6)
                     .alias("dup_frac")))
+
+
+def bpe_train(df: DataFrame, text_col: str = "text",
+              rounds: int = 6) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    the first ``rounds`` merge rules from corpus word frequencies.
+
+    Returns one row per learned merge: ``(merge_round, lhs, rhs, cnt)``
+    where ``cnt`` is the corpus-weighted adjacent-pair count the merge
+    won with (ties broken by pair string ascending — fully
+    deterministic, so a SQL oracle replays the identical merges).
+
+    Shape per round over the *word-frequency dict*, never the corpus:
+    the corpus collapses once into ``(word, freq)`` (the only
+    corpus-sized shuffle); each round is one map-side-combinable pair
+    aggregation over the dict + a 1-row argmax collect + a narrow
+    string rewrite.  The dict is cached and re-cached per round so the
+    lineage stays flat.  At 100 TB the dict is ~1e7 rows regardless of
+    corpus size — rounds cost O(dict), not O(corpus).
+
+    Merged symbols are concatenations (working on strings, not symbol
+    tuples), the standard plain-text BPE encoding; the merge rewrite is
+    a double ``replace`` over the space-delimited symbol sequence —
+    both engines scan left-to-right non-overlapping, so the result is
+    engine-identical.
+    """
+    spark = df.sparkSession
+    words = (df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+             .groupBy("word").agg(F.count("*").alias("freq")))
+    seqs = words.select(
+        F.concat_ws(" ", F.filter(F.split("word", ""),
+                                  lambda c: c != "")).alias("seq"),
+        "freq").cache()
+    merges = []
+    for r in range(1, rounds + 1):
+        syms = F.split("seq", " ")
+        idx = F.when(F.size(syms) > 1,
+                     F.sequence(F.lit(1), F.size(syms) - 1)
+                     ).otherwise(F.array().cast("array<int>"))
+        pairs = seqs.select(
+            F.explode(F.transform(
+                idx,
+                lambda i: F.concat_ws(" ", F.element_at(syms, i),
+                                      F.element_at(syms, i + F.lit(1)))
+            )).alias("pair"), "freq")
+        best = (pairs.groupBy("pair").agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("pair")).first())
+        if best is None:
+            break
+        lhs, rhs = best["pair"].split(" ")
+        merges.append((r, lhs, rhs, int(best["cnt"])))
+        pat = F.lit(f" {lhs} {rhs} ")
+        rep = F.lit(f" {lhs}{rhs} ")
+        padded = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
+        nxt = words.sparkSession  # noqa: F841  (kept: session liveness)
+        prev = seqs
+        seqs = prev.select(
+            F.trim(F.replace(F.replace(padded, pat, rep), pat, rep)
+                   ).alias("seq"), "freq").cache()
+        prev.unpersist()
+    seqs.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_round int, lhs string, rhs string, cnt long")

@@ -2780,6 +2780,53 @@ FROM grid g LEFT JOIN latest l USING (user_id, bucket_ts)
 """
 
 
+def q_bpe_train(spark, sf_dir):
+    """BPE tokenizer training: first 6 merge rules learned from the
+    documents corpus (Sennrich et al. 2016).  FULL oracle: integer
+    pair counts + lexicographic tie-break make every merge choice
+    deterministic; the unrolled per-round CTE chain replays the
+    identical count→argmax→rewrite loop."""
+    from .operators.text import bpe_train
+    return bpe_train(_docs(spark, sf_dir), rounds=6)
+
+
+def _bpe_train_oracle_sql(rounds: int = 6) -> str:
+    """Unrolled BPE rounds: per round a pair-count aggregate over the
+    word-frequency dict, a 1-row argmax (ORDER BY cnt DESC, pair), and
+    the double-replace merge rewrite (both engines scan left-to-right
+    non-overlapping, so the rewrites agree byte-for-byte)."""
+    parts = ["""w0 AS MATERIALIZED (
+  SELECT array_to_string(string_split(word, ''), ' ') AS seq, freq
+  FROM (SELECT t.tok AS word, COUNT(*) AS freq
+        FROM (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x != '') AS ws FROM documents),
+             UNNEST(ws) AS t(tok)
+        GROUP BY 1))"""]
+    for r in range(1, rounds + 1):
+        p = f"w{r-1}"
+        parts.append(f"""p{r} AS (
+  SELECT syms[i] || ' ' || syms[i+1] AS pair, SUM(freq) AS cnt
+  FROM (SELECT string_split(seq, ' ') AS syms, freq FROM {p}),
+       UNNEST(range(1, len(syms))) AS t(i)
+  GROUP BY 1),
+b{r} AS MATERIALIZED (SELECT pair, cnt FROM p{r}
+                      ORDER BY cnt DESC, pair LIMIT 1),
+w{r} AS MATERIALIZED (
+  SELECT trim(replace(replace(' ' || seq || ' ',
+           ' ' || (SELECT pair FROM b{r}) || ' ',
+           ' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' '),
+           ' ' || (SELECT pair FROM b{r}) || ' ',
+           ' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' ')) AS seq,
+         freq
+  FROM {p})""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT {r} AS merge_round, split_part(pair, ' ', 1) AS lhs, "
+        f"split_part(pair, ' ', 2) AS rhs, CAST(cnt AS BIGINT) AS cnt "
+        f"FROM b{r}"
+        for r in range(1, rounds + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -4358,6 +4405,7 @@ ORACLES: dict[str, str | None] = {
         FROM flagged GROUP BY doc_id
     """,
     "resample_locf": _RESAMPLE_LOCF_ORACLE,
+    "bpe_train": _bpe_train_oracle_sql(),
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -4545,6 +4593,7 @@ QUERIES = {
     "source_reputation": q_source_reputation,
     "bigram_logprob": q_bigram_logprob,
     "resample_locf": q_resample_locf,
+    "bpe_train": q_bpe_train,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -877,3 +877,21 @@ def test_semantic_dedup_drops_planted_twins(spark):
     assert len(out) == 8
     assert out[100] is False and out[101] is False
     assert all(out[i] for i in range(6))
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    """Hand-checked BPE rounds on a tiny corpus (word freqs: aa:2,
+    ab:1, banana:1, bandana:1) — verifies pair counting, the
+    lexicographic tie-break, and the non-overlapping merge rewrite."""
+    from graphydb_spark.operators.text import bpe_train
+    df = spark.createDataFrame([("aa aa ab",), ("banana bandana",)],
+                               "text string")
+    got = [(r["merge_round"], r["lhs"], r["rhs"], r["cnt"])
+           for r in bpe_train(df, rounds=5).collect()]
+    assert got == [
+        (1, "a", "n", 4),    # banana/bandana dominate
+        (2, "a", "a", 2),    # tie at 2 → "a a" < "an a" < "b an"
+        (3, "an", "a", 2),
+        (4, "b", "an", 2),
+        (5, "a", "b", 1),
+    ]
