@@ -105,6 +105,24 @@ def ann_index(emb: DataFrame, dim: int, bits: int = 8, seed: int = 42,
     return emb.withColumn("bucket", lsh_bucket_col(vec_col, planes)), planes
 
 
+def kmeans_assign(cents: list[list[float]], vec: F.Column) -> F.Column:
+    """Nearest-centroid id for ``vec`` (argmin over squared L2, ties to
+    the lowest cluster id).  The centroid matrix is ONE nested array
+    literal; transform-with-index builds (dist, idx) structs and
+    array_min picks the smallest — O(1) plan size in k and dim."""
+    cents_lit = F.lit([[float(v) for v in c] for c in cents])
+    best = F.array_min(F.transform(
+        cents_lit,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(c, vec,
+                           lambda a, x: (a - x.cast("double"))
+                           * (a - x.cast("double"))),
+                F.lit(0.0), lambda acc, v: acc + v).alias("d"),
+            i.cast("int").alias("c"))))
+    return best["c"]
+
+
 def ivf_index(emb: DataFrame, k: int = 16, iters: int = 3,
               id_col: str = "vec_id", vec_col: str = "embedding"
               ) -> tuple[DataFrame, list[list[float]]]:
@@ -128,20 +146,7 @@ def ivf_index(emb: DataFrame, k: int = 16, iters: int = 3,
     dim = len(centroids[0])
 
     def assign_col(cents: list[list[float]]) -> F.Column:
-        # argmin over squared L2: the centroid matrix is ONE nested array
-        # literal; transform-with-index builds (dist, idx) structs and
-        # array_min picks the smallest — O(1) plan size in k and dim
-        cents_lit = F.lit([[float(v) for v in c] for c in cents])
-        best = F.array_min(F.transform(
-            cents_lit,
-            lambda c, i: F.struct(
-                F.aggregate(
-                    F.zip_with(c, F.col(vec_col),
-                               lambda a, x: (a - x.cast("double"))
-                               * (a - x.cast("double"))),
-                    F.lit(0.0), lambda acc, v: acc + v).alias("d"),
-                i.cast("int").alias("c"))))
-        return best["c"]
+        return kmeans_assign(cents, F.col(vec_col))
 
     for _ in range(iters):
         assigned = emb.withColumn("cluster", assign_col(centroids))
@@ -282,3 +287,74 @@ def ann_topk(indexed: DataFrame, planes: list[list[float]],
                 .select(id_col, "cosine")
                 .orderBy(F.col("cosine").desc(), F.col(id_col))
                 .limit(k))
+
+
+def pq_index(emb: DataFrame, m: int = 4, k: int = 8, iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding"
+             ) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product quantization (Jégou et al. 2011): split the vector into
+    ``m`` contiguous subspaces, learn a ``k``-centroid codebook per
+    subspace (the same deterministic seeded/quantized-mean k-means as
+    :func:`ivf_index`, run on the sliced frame), and encode every vector
+    as ``m`` small code ids.
+
+    Returns ``(codes_df[id, codes: array<int>], codebooks[m][k][sub])``.
+    Compression is the point at scale: a dim-4096 float32 vector (16 KB)
+    becomes m bytes — the whole corpus' codes fit in memory/one shuffle
+    where raw vectors never would.  Training cost is m small k-means
+    runs over the sliced columns; encoding is one codegen pass (argmin
+    over an inlined k×sub literal per subspace, O(1) plan size)."""
+    dim = len(emb.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sliced = emb.select(
+            id_col, F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col))
+        _, cents = ivf_index(sliced, k=k, iters=iters,
+                             id_col=id_col, vec_col=vec_col)
+        books.append(cents)
+    coded = emb.select(
+        id_col,
+        F.array(*[
+            kmeans_assign(books[s],
+                          F.slice(F.col(vec_col), s * sub + 1, sub))
+            for s in range(m)]).alias("codes"))
+    return coded, books
+
+
+def pq_topk(codes: DataFrame, books: list[list[list[float]]],
+            query_vec: list[float], k: int = 10,
+            id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query builds an
+    m×k distance table on the driver (exact squared L2 from the query
+    sub-vector to every codebook centroid); scanning is then a pure
+    table-lookup-and-sum over the tiny code arrays — no raw vectors are
+    read, so the scan is bandwidth-light at any corpus size.
+
+    Deterministic: table entries and the per-row sum are sequential
+    left-to-right double folds (the same fold the engine's other vector
+    ops and their SQL oracles share); ties break on id."""
+    m = len(books)
+    sub = len(books[0][0])
+    tables = []
+    for s in range(m):
+        qs = query_vec[s * sub:(s + 1) * sub]
+        row = []
+        for cent in books[s]:
+            acc = 0.0
+            for a, b in zip(cent, qs):
+                d = a - float(b)
+                acc = acc + d * d
+            row.append(acc)
+        tables.append(row)
+    tab_lit = F.lit([[float(d) for d in t] for t in tables])
+    dist = F.aggregate(
+        F.zip_with(tab_lit, F.col("codes"),
+                   lambda t, c: F.element_at(t, c + F.lit(1))),
+        F.lit(0.0), lambda a, v: a + v)
+    return (codes.withColumn("adc_dist", dist)
+            .select(id_col, "adc_dist")
+            .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+            .limit(k))

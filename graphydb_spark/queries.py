@@ -1061,52 +1061,61 @@ WHERE vec_id != 0"""
 
 
 def _ivf_ctes(k: int, iters: int,
-              source: str = "SELECT vec_id, embedding FROM embeddings"
-              ) -> str:
+              source: str = "SELECT vec_id, embedding FROM embeddings",
+              pfx: str = "", with_kw: bool = True) -> str:
     """The unrolled k-means CTE chain shared by the ivf_topk,
-    cluster_balanced and semantic_dedup oracles: seeds → per-round
-    (assign, quantized mean, centroid) → final assignment
+    cluster_balanced, semantic_dedup and pq_topk oracles: seeds →
+    per-round (assign, quantized mean, centroid) → final assignment
     ``fin(vec_id, c)``.  ``source`` overrides the corpus CTE (e.g. to
-    replay a planted-twin corpus)."""
-    def dist(c):
-        return (f"list_sum(list_transform(range(1, len(e.embedding)+1), "
-                f"i -> ({c}.cent[i] - CAST(e.embedding[i] AS DOUBLE)) * "
-                f"({c}.cent[i] - CAST(e.embedding[i] AS DOUBLE))))")
+    replay a planted-twin corpus); ``pfx`` namespaces every CTE so
+    several chains (one per PQ subspace) compose in one query;
+    ``with_kw=False`` drops the leading WITH for chained use."""
+    e, fin = f"{pfx}e", f"{pfx}fin"
 
+    def cn(r):
+        return f"{pfx}c{r}"
+
+    def dist(c):
+        return (f"list_sum(list_transform(range(1, len({e}.embedding)+1), "
+                f"i -> ({c}.cent[i] - CAST({e}.embedding[i] AS DOUBLE)) * "
+                f"({c}.cent[i] - CAST({e}.embedding[i] AS DOUBLE))))")
+
+    kw = "WITH " if with_kw else ""
     sql = [f"""
-WITH e AS ({source}),
-c0 AS MATERIALIZED (
+{kw}{e} AS ({source}),
+{cn(0)} AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
-  FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT {k}))"""]
+  FROM (SELECT vec_id, embedding FROM {e} ORDER BY vec_id LIMIT {k}))"""]
     for r in range(1, iters + 1):
-        p = f"c{r-1}"
+        p = cn(r - 1)
+        a, m = f"{pfx}a{r}", f"{pfx}m{r}"
         sql.append(f""",
-a{r} AS MATERIALIZED (
+{a} AS MATERIALIZED (
   SELECT vec_id, c FROM (
-    SELECT e.vec_id, {p}.c,
-           row_number() OVER (PARTITION BY e.vec_id
+    SELECT {e}.vec_id, {p}.c,
+           row_number() OVER (PARTITION BY {e}.vec_id
                               ORDER BY {dist(p)}, {p}.c) AS rn
-    FROM e, {p}) WHERE rn = 1),
-m{r} AS (
-  SELECT a{r}.c, t.i AS dim,
-         CAST(SUM(CAST(ROUND(CAST(e.embedding[t.i] AS DOUBLE) * 1e9)
+    FROM {e}, {p}) WHERE rn = 1),
+{m} AS (
+  SELECT {a}.c, t.i AS dim,
+         CAST(SUM(CAST(ROUND(CAST({e}.embedding[t.i] AS DOUBLE) * 1e9)
                        AS BIGINT)) AS DOUBLE) / (1e9 * COUNT(*)) AS m
-  FROM a{r} JOIN e USING (vec_id),
-       UNNEST(range(1, len(e.embedding)+1)) AS t(i)
-  GROUP BY a{r}.c, t.i),
-c{r} AS MATERIALIZED (
+  FROM {a} JOIN {e} USING (vec_id),
+       UNNEST(range(1, len({e}.embedding)+1)) AS t(i)
+  GROUP BY {a}.c, t.i),
+{cn(r)} AS MATERIALIZED (
   SELECT {p}.c, COALESCE(g.cent, {p}.cent) AS cent
   FROM {p} LEFT JOIN (SELECT c, list(m ORDER BY dim) AS cent
-                      FROM m{r} GROUP BY c) g USING (c))""")
-    fc = f"c{iters}"
+                      FROM {m} GROUP BY c) g USING (c))""")
+    fc = cn(iters)
     sql.append(f""",
-fin AS MATERIALIZED (
+{fin} AS MATERIALIZED (
   SELECT vec_id, c FROM (
-    SELECT e.vec_id, {fc}.c,
-           row_number() OVER (PARTITION BY e.vec_id
+    SELECT {e}.vec_id, {fc}.c,
+           row_number() OVER (PARTITION BY {e}.vec_id
                               ORDER BY {dist(fc)}, {fc}.c) AS rn
-    FROM e, {fc}) WHERE rn = 1)""")
+    FROM {e}, {fc}) WHERE rn = 1)""")
     return "".join(sql)
 
 
@@ -2780,6 +2789,53 @@ FROM grid g LEFT JOIN latest l USING (user_id, bucket_ts)
 """
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k for vec_id=0 (Jégou et al. 2011):
+    4 subspaces × 8-centroid codebooks, asymmetric-distance scan over
+    the code table only.  FULL oracle: each subspace k-means is the
+    shared deterministic unrolled-CTE chain (namespaced per subspace);
+    distance-table entries and the ADC sum are sequential double folds
+    in both engines, so they agree bitwise."""
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0)
+          .select("embedding").collect()[0][0]]
+    codes, books = similarity.pq_index(emb, m=4, k=8, iters=2)
+    top = similarity.pq_topk(codes, books, qv, k=10)
+    return top.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+
+
+def _pq_oracle_sql(m: int = 4, k: int = 8, iters: int = 2,
+                   topk: int = 10, dim: int = 64) -> str:
+    """DuckDB replay of q_pq_topk: one namespaced k-means CTE chain per
+    subspace (bit-identical centroids/assignments by the same three
+    rules as _ivf_oracle_sql), then the ADC table join."""
+    sub = dim // m
+    chains = "".join(
+        ("," if s else "") + _ivf_ctes(
+            k, iters,
+            source=(f"SELECT vec_id, embedding[{s*sub+1}:{(s+1)*sub}] "
+                    f"AS embedding FROM embeddings"),
+            pfx=f"s{s}_", with_kw=(s == 0))
+        for s in range(m))
+    tabs = ",".join(f"""
+tab{s} AS (
+  SELECT c.c, list_sum(list_transform(range(1, {sub}+1),
+    i -> (c.cent[i] - q.qv[{s*sub} + i])
+       * (c.cent[i] - q.qv[{s*sub} + i]))) AS d
+  FROM s{s}_c{iters} c, q)""" for s in range(m))
+    code_joins = " ".join(f"JOIN s{s}_fin USING (vec_id)"
+                          for s in range(1, m))
+    tab_joins = " ".join(f"JOIN tab{s} t{s} ON t{s}.c = s{s}_fin.c"
+                         for s in range(m))
+    dist = " + ".join(f"t{s}.d" for s in range(m))
+    return chains + f""",
+q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0),{tabs}
+SELECT s0_fin.vec_id, round({dist}, 6) AS adc_dist
+FROM s0_fin {code_joins} {tab_joins}
+ORDER BY {dist}, s0_fin.vec_id LIMIT {topk}"""
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: first 6 merge rules learned from the
     documents corpus (Sennrich et al. 2016).  FULL oracle: integer
@@ -4406,6 +4462,7 @@ ORACLES: dict[str, str | None] = {
     """,
     "resample_locf": _RESAMPLE_LOCF_ORACLE,
     "bpe_train": _bpe_train_oracle_sql(),
+    "pq_topk": _pq_oracle_sql(),
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -4594,6 +4651,7 @@ QUERIES = {
     "bigram_logprob": q_bigram_logprob,
     "resample_locf": q_resample_locf,
     "bpe_train": q_bpe_train,
+    "pq_topk": q_pq_topk,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -895,3 +895,21 @@ def test_bpe_train_learns_expected_merges(spark):
         (4, "b", "an", 2),
         (5, "a", "b", 1),
     ]
+
+
+def test_pq_adc_ranks_planted_twin_first(spark):
+    """PQ/ADC sanity: with two well-separated groups, a query from one
+    group ranks all of its own group's vectors above the other group's
+    (codes collapse within a group, so intra-group ADC distance is
+    near-zero and inter-group is large)."""
+    from graphydb_spark.operators.similarity import pq_index, pq_topk
+    near = [[float(i % 3)] * 8 for i in range(6)]          # group A
+    far = [[100.0 + (i % 3)] * 8 for i in range(6)]        # group B
+    rows = [(i, v) for i, v in enumerate(near + far)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codes, books = pq_index(emb, m=2, k=4, iters=2)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    top = pq_topk(codes, books, [0.0] * 8, k=12).collect()
+    first_half = [r["vec_id"] for r in top[:6]]
+    assert set(first_half) == set(range(6))   # group A fills the top half
+    assert top[0]["adc_dist"] <= top[-1]["adc_dist"]
