@@ -654,3 +654,57 @@ def bfs_paths(edges_df: DataFrame, seed_uids_df: DataFrame,
             .localCheckpoint(eager=True))
         frontier = nxt.select("uid", "path")
     return visited
+
+
+def random_walks(edges_df: DataFrame, start_uids_df: DataFrame,
+                 walk_len: int = 4, walks_per_node: int = 2,
+                 symmetrize: bool = True, seed: str = "w") -> DataFrame:
+    """Deterministic uniform random walks (the DeepWalk/node2vec corpus
+    generator, Perozzi et al. 2014): ``walks_per_node`` walks of
+    ``walk_len`` steps from every start node, returned as
+    ``(walk_id, path)`` with the path '>'-joined.
+
+    "Random" is a seeded hash: step t of walk w picks neighbor index
+    ``md5-hash60(seed:walk_id:t) mod degree`` over the *sorted distinct*
+    neighbor list — fully reproducible across runs, partitionings and
+    engines (a SQL oracle replays the identical walks), which is what a
+    training pipeline needs for resumable embedding corpus generation.
+
+    Shape: adjacency lists build once (one groupBy, checkpointed and
+    reused every step); each step is ONE equi-join frontier⋈adjacency +
+    an O(1) element_at pick — no per-step fan-out by degree, shuffled
+    bytes are walks × (path so far).  Walks at isolated nodes stay put
+    (path stops growing).  ``symmetrize`` unions the reversed edges
+    first (walks on the undirected graph, the DeepWalk default).
+    """
+    from .text import hash60
+    e = edges_df.select(F.col("startuid").alias("src"),
+                        F.col("enduid").alias("dst"))
+    if symmetrize:
+        e = e.unionByName(e.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    adj = (e.distinct().groupBy("src")
+           .agg(F.array_sort(F.collect_set("dst")).alias("nbrs"))
+           .localCheckpoint(eager=True))
+    walks = (start_uids_df.select("uid")
+             .select(F.col("uid").alias("cur"),
+                     F.explode(F.sequence(
+                         F.lit(0), F.lit(walks_per_node - 1))).alias("__w"))
+             .select(F.concat_ws("#", "cur", "__w").alias("walk_id"),
+                     "cur", F.col("cur").alias("path")))
+    for t in range(1, walk_len + 1):
+        h = hash60(F.concat_ws(":", F.lit(seed), F.col("walk_id"),
+                               F.lit(str(t))))
+        nxt = F.when(
+            F.coalesce(F.size("nbrs"), F.lit(0)) > 0,
+            F.element_at("nbrs", (F.pmod(h, F.size("nbrs")) + 1)
+                         .cast("int")))
+        walks = (walks.join(adj, walks["cur"] == adj["src"], "left")
+                 .withColumn("__nxt", nxt)
+                 .select("walk_id",
+                         F.coalesce("__nxt", "cur").alias("cur"),
+                         F.when(F.col("__nxt").isNull(), F.col("path"))
+                         .otherwise(F.concat_ws(">", "path", "__nxt"))
+                         .alias("path"))
+                 .localCheckpoint(eager=True))
+    return walks.select("walk_id", "path")

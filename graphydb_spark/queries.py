@@ -2836,6 +2836,52 @@ FROM s0_fin {code_joins} {tab_joins}
 ORDER BY {dist}, s0_fin.vec_id LIMIT {topk}"""
 
 
+def q_random_walks(spark, sf_dir):
+    """DeepWalk corpus: 2 seeded walks of length 4 from the 20 lowest
+    orders over the symmetrized Contains (order↔part) graph.  FULL
+    oracle: walks are hash-driven (md5-hash60 of seed:walk_id:step mod
+    degree over sorted distinct neighbors), so SQL replays every step."""
+    g = tpch_graph(spark, sf_dir)
+    edges = g.edges_df.where(F.col("kind") == "Contains")
+    starts = (load_tables(spark, sf_dir)["orders"]
+              .orderBy("o_orderkey").limit(20)
+              .select(F.concat(F.lit("Order:"),
+                               F.col("o_orderkey").cast("string"))
+                      .alias("uid")))
+    return graph_algos.random_walks(edges, starts, walk_len=4,
+                                    walks_per_node=2)
+
+
+def _random_walks_oracle_sql(walk_len: int = 4, wpn: int = 2,
+                             n_starts: int = 20, seed: str = "w") -> str:
+    """Unrolled walk steps; each w{t} CTE replays the engine's
+    hash-pick (left join keeps walks alive at isolated nodes)."""
+    ws = ", ".join(str(i) for i in range(wpn))
+    parts = [f"""ed AS (
+  SELECT 'Order:' || CAST(l_orderkey AS VARCHAR) AS src,
+         'Part:' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+sym AS (SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed),
+adj AS (SELECT src, list_sort(list_distinct(list(dst))) AS nbrs
+        FROM sym GROUP BY src),
+starts AS (SELECT 'Order:' || CAST(o_orderkey AS VARCHAR) AS uid
+           FROM orders ORDER BY o_orderkey LIMIT {n_starts}),
+w0 AS (SELECT uid || '#' || CAST(t.w AS VARCHAR) AS walk_id,
+              uid AS cur, uid AS path
+       FROM starts, UNNEST([{ws}]) AS t(w))"""]
+    for t in range(1, walk_len + 1):
+        pick = (f"nbrs[1 + CAST((('0x' || substr(md5("
+                f"'{seed}:' || walk_id || ':{t}'), 1, 15))::BIGINT "
+                f"% len(nbrs)) AS INT)]")
+        parts.append(f"""w{t} AS (
+  SELECT walk_id,
+         CASE WHEN nbrs IS NULL THEN cur ELSE {pick} END AS cur,
+         CASE WHEN nbrs IS NULL THEN path
+              ELSE path || '>' || {pick} END AS path
+  FROM w{t-1} LEFT JOIN adj ON cur = src)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT walk_id, path FROM w{walk_len}")
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: first 6 merge rules learned from the
     documents corpus (Sennrich et al. 2016).  FULL oracle: integer
@@ -4463,6 +4509,7 @@ ORACLES: dict[str, str | None] = {
     "resample_locf": _RESAMPLE_LOCF_ORACLE,
     "bpe_train": _bpe_train_oracle_sql(),
     "pq_topk": _pq_oracle_sql(),
+    "random_walks": _random_walks_oracle_sql(),
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -4652,6 +4699,7 @@ QUERIES = {
     "resample_locf": q_resample_locf,
     "bpe_train": q_bpe_train,
     "pq_topk": q_pq_topk,
+    "random_walks": q_random_walks,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

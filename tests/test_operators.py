@@ -913,3 +913,29 @@ def test_pq_adc_ranks_planted_twin_first(spark):
     first_half = [r["vec_id"] for r in top[:6]]
     assert set(first_half) == set(range(6))   # group A fills the top half
     assert top[0]["adc_dist"] <= top[-1]["adc_dist"]
+
+
+def test_random_walks_deterministic_and_bounded(spark):
+    from graphydb_spark.operators.graph_algos import random_walks
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")],
+        "startuid string, enduid string")
+    starts = spark.createDataFrame([("a",), ("z",)], "uid string")
+    out1 = {r["walk_id"]: r["path"]
+            for r in random_walks(edges, starts, walk_len=3,
+                                  walks_per_node=2).collect()}
+    out2 = {r["walk_id"]: r["path"]
+            for r in random_walks(edges, starts, walk_len=3,
+                                  walks_per_node=2).collect()}
+    assert out1 == out2                       # seeded hash → reproducible
+    assert set(out1) == {"a#0", "a#1", "z#0", "z#1"}
+    for wid, path in out1.items():
+        hops = path.split(">")
+        if wid.startswith("z"):
+            assert path == "z"                # isolated start stays put
+        else:
+            assert len(hops) == 4             # walk_len steps taken
+            # symmetrized triangle: every hop is a real neighbor
+            nbr = {"a": {"b", "c"}, "b": {"a", "c"}, "c": {"a", "b"}}
+            for u, v in zip(hops, hops[1:]):
+                assert v in nbr[u]
