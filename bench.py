@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "corpus_pipeline",
     # round 3
     "line_dedup",
+    "bigram_logprob",
+    "resample_locf",
     # (sssp_cost is excluded for the same reason as dedup_clusters: the
     # plan-cached frame holds checkpointed final distances, so a re-count
     # would measure a re-read, not the iterative relaxation)
