@@ -244,3 +244,31 @@ def resample_locf(df: DataFrame, key_col: str, ts_col: str, value_col: str,
                         F.last("__obs", ignorenulls=True).over(w_fill))
             .select(key_col, F.col("__b").alias(bucket_col),
                     value_col, filled_col))
+
+
+def transition_matrix(df: DataFrame, key_col: str, ts_col: str,
+                      state_col: str, tiebreak: str | None = None
+                      ) -> DataFrame:
+    """First-order Markov transition counts/probabilities over per-key
+    event sequences: for each key, order events by (ts, tiebreak) and
+    count (state → next_state) adjacencies; ``prob`` is row-normalized
+    per source state (rounded to 6 dp).
+
+    The sequential-pattern primitive (clickstream analysis, curriculum
+    ordering, session modeling).  One window shuffle on the key builds
+    the lag pairs; the count is map-side combinable; the normalizing
+    sum runs over the tiny (state × state) count frame.  Deterministic
+    given a tiebreak that totals the order within a key.
+    """
+    order = [F.col(ts_col)]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak))
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (df.select(F.col(state_col).alias("state"),
+                       F.lead(F.col(state_col)).over(w).alias("next_state"))
+             .where(F.col("next_state").isNotNull()))
+    counts = pairs.groupBy("state", "next_state").agg(
+        F.count("*").alias("cnt"))
+    wt = Window.partitionBy("state")
+    return counts.withColumn(
+        "prob", F.round(F.col("cnt") / F.sum("cnt").over(wt), 6))

@@ -2882,6 +2882,29 @@ w0 AS (SELECT uid || '#' || CAST(t.w AS VARCHAR) AS walk_id,
             + f"\nSELECT walk_id, path FROM w{walk_len}")
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (clickstream modeling).  FULL oracle: integer counts,
+    (ts, event_id) total order, 6 dp row-normalized probabilities."""
+    from .operators.relational import transition_matrix
+    return transition_matrix(_events(spark, sf_dir), "user_id", "ts",
+                             "event_type", tiebreak="event_id")
+
+
+_EVENT_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS state,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_state
+  FROM events),
+c AS (SELECT state, next_state, COUNT(*) AS cnt
+      FROM seq WHERE next_state IS NOT NULL GROUP BY 1, 2)
+SELECT state, next_state, cnt,
+       round(cnt / SUM(cnt) OVER (PARTITION BY state), 6) AS prob
+FROM c
+"""
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: first 6 merge rules learned from the
     documents corpus (Sennrich et al. 2016).  FULL oracle: integer
@@ -4510,6 +4533,7 @@ ORACLES: dict[str, str | None] = {
     "bpe_train": _bpe_train_oracle_sql(),
     "pq_topk": _pq_oracle_sql(),
     "random_walks": _random_walks_oracle_sql(),
+    "event_transitions": _EVENT_TRANSITIONS_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -4700,6 +4724,7 @@ QUERIES = {
     "bpe_train": q_bpe_train,
     "pq_topk": q_pq_topk,
     "random_walks": q_random_walks,
+    "event_transitions": q_event_transitions,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

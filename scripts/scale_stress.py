@@ -154,6 +154,39 @@ def main():
     print(f"semantic_dedup[20k x 32d, k=32]: kmeans={build:.2f}s "
           f"pair_join={time.perf_counter() - t0:.2f}s  rows_out={n}")
 
+    # LOCF resample: grid ≈ users x active-hours (15k x ~720); all
+    # shuffles key-local — time should track grid size, not events
+    from graphydb_spark.operators.relational import resample_locf
+    evv = ev.withColumn("value", (F.xxhash64("event_id") % 1000)
+                        .cast("double"))
+    timed(f"resample_locf[{n_events:,} ev, 15k users, hourly]",
+          resample_locf(evv, "user_id", "ts", "value",
+                        unit="hour", tiebreak="event_id"))
+
+    # BPE rounds cost O(word dict), not O(corpus): wall-clock the whole
+    # driver loop (argmax collect per round is the sync point)
+    from graphydb_spark.operators.text import bpe_train
+    t0 = time.perf_counter()
+    merges = bpe_train(docs, rounds=6).collect()
+    print(f"bpe_train[{n_docs:,} docs, 6 rounds]: "
+          f"{time.perf_counter() - t0:.2f}s  merges={len(merges)}")
+
+    # random walks: adjacency builds once; per step one equi-join over
+    # walks (10k starts x 4) — time tracks walks x steps, not edges
+    from graphydb_spark.operators.graph_algos import random_walks
+    redges = (spark.range(n_edges).repartition(64)
+              .select((F.xxhash64("id") % 100_000).cast("string")
+                      .alias("startuid"),
+                      (F.xxhash64(F.col("id") + 7) % 100_000).cast("string")
+                      .alias("enduid"))
+              .localCheckpoint(eager=True))
+    starts = (spark.range(10_000)
+              .select(F.col("id").cast("string").alias("uid")))
+    t0 = time.perf_counter()
+    n = random_walks(redges, starts, walk_len=6, walks_per_node=4).count()
+    print(f"random_walks[{n_edges:,} edges, 40k walks x 6 steps]: "
+          f"{time.perf_counter() - t0:.2f}s  rows_out={n}")
+
 
 if __name__ == "__main__":
     main()

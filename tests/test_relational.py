@@ -214,3 +214,23 @@ def test_resample_locf_tiebreak_on_equal_ts(spark):
     out = resample_locf(df, "user_id", "ts", "value",
                         unit="hour", tiebreak="event_id").collect()
     assert len(out) == 1 and out[0]["value"] == 2.0  # higher id wins
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from graphydb_spark.operators.relational import transition_matrix
+    dt = datetime.datetime
+    rows = [  # user a: v->c->v ; user b: v->c
+        (1, "a", dt(2024, 1, 1, 0, 0), "view"),
+        (2, "a", dt(2024, 1, 1, 0, 1), "click"),
+        (3, "a", dt(2024, 1, 1, 0, 2), "view"),
+        (4, "b", dt(2024, 1, 1, 0, 0), "view"),
+        (5, "b", dt(2024, 1, 1, 0, 1), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, "
+              "event_type string")
+    got = {(r["state"], r["next_state"]): (r["cnt"], r["prob"])
+           for r in transition_matrix(df, "user_id", "ts", "event_type",
+                                      tiebreak="event_id").collect()}
+    assert got == {("view", "click"): (2, 1.0),
+                   ("click", "view"): (1, 1.0)}
