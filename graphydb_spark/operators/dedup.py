@@ -478,3 +478,40 @@ def mask_contaminated_spans(train: DataFrame, bench: DataFrame, n: int = 8,
                     F.array_join(F.col("_clean"), " ").alias("clean_text"),
                     (F.size("_toks") - F.size("_clean")).cast("long")
                     .alias("n_masked")))
+
+
+def incremental_dedup(new_docs: DataFrame, history_index: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id"
+                      ) -> DataFrame:
+    """Dedup an incoming batch against a persisted corpus fingerprint
+    index (the snapshot-over-snapshot crawl-refresh shape: CCNet/Dolma
+    process each dump against everything already kept).
+
+    ``history_index`` holds one ``content_hash`` (md5 of text — the same
+    fingerprint :func:`dedup_exact` keys on) per historical document.
+    Returns every new row tagged ``status``:
+
+    * ``dup_history`` — fingerprint already in the index,
+    * ``dup_batch``   — first seen inside this batch (min-id wins),
+    * ``kept``        — novel; these rows' fingerprints are the index
+      delta (append them to the store for the next increment).
+
+    Scale shape: the index is corpus-sized, so it is never broadcast —
+    one equi-join on the hash (both sides hash-partitioned; the index
+    can be written bucketed by ``content_hash`` to make this join
+    shuffle-free on the big side) plus one min-id aggregate over the
+    batch.  The batch never shuffles its text, only (id, hash).
+    """
+    fp = new_docs.select(F.col(id_col),
+                         F.md5(F.col(text_col)).alias("content_hash"))
+    hist = history_index.select("content_hash").distinct()
+    first = (fp.groupBy("content_hash")
+             .agg(F.min(id_col).alias("__first_id")))
+    return (fp.join(hist.withColumn("__h", F.lit(True)),
+                    "content_hash", "left")
+            .join(first, "content_hash")
+            .select(id_col, "content_hash",
+                    F.when(F.col("__h"), F.lit("dup_history"))
+                    .when(F.col(id_col) != F.col("__first_id"),
+                          F.lit("dup_batch"))
+                    .otherwise(F.lit("kept")).alias("status")))

@@ -2905,6 +2905,34 @@ FROM c
 """
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Snapshot-over-snapshot dedup: documents with doc_id < 250 play
+    the already-ingested corpus (their md5 fingerprints are the
+    persisted index); the rest arrive as the new batch and are tagged
+    kept / dup_history / dup_batch.  FULL oracle (pure hash joins)."""
+    from .operators.dedup import incremental_dedup
+    docs = _docs(spark, sf_dir)
+    hist = (docs.where(F.col("doc_id") < 250)
+            .select(F.md5("text").alias("content_hash")))
+    return incremental_dedup(docs.where(F.col("doc_id") >= 250), hist)
+
+
+_INCREMENTAL_DEDUP_ORACLE = """
+WITH fp AS (SELECT doc_id, md5(text) AS content_hash
+            FROM documents WHERE doc_id >= 250),
+hist AS (SELECT DISTINCT md5(text) AS content_hash
+         FROM documents WHERE doc_id < 250),
+first AS (SELECT content_hash, MIN(doc_id) AS first_id
+          FROM fp GROUP BY 1)
+SELECT fp.doc_id, fp.content_hash,
+       CASE WHEN hist.content_hash IS NOT NULL THEN 'dup_history'
+            WHEN fp.doc_id != first.first_id THEN 'dup_batch'
+            ELSE 'kept' END AS status
+FROM fp LEFT JOIN hist USING (content_hash)
+JOIN first USING (content_hash)
+"""
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: first 6 merge rules learned from the
     documents corpus (Sennrich et al. 2016).  FULL oracle: integer
@@ -4534,6 +4562,7 @@ ORACLES: dict[str, str | None] = {
     "pq_topk": _pq_oracle_sql(),
     "random_walks": _random_walks_oracle_sql(),
     "event_transitions": _EVENT_TRANSITIONS_ORACLE,
+    "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -4725,6 +4754,7 @@ QUERIES = {
     "pq_topk": q_pq_topk,
     "random_walks": q_random_walks,
     "event_transitions": q_event_transitions,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -939,3 +939,21 @@ def test_random_walks_deterministic_and_bounded(spark):
             nbr = {"a": {"b", "c"}, "b": {"a", "c"}, "c": {"a", "b"}}
             for u, v in zip(hops, hops[1:]):
                 assert v in nbr[u]
+
+
+def test_incremental_dedup_statuses(spark):
+    from graphydb_spark.operators.dedup import incremental_dedup
+    from pyspark.sql import functions as F
+    hist_docs = spark.createDataFrame(
+        [(1, "old text"), (2, "shared text")], "doc_id long, text string")
+    new_docs = spark.createDataFrame(
+        [(10, "shared text"),      # dup vs history
+         (11, "fresh text"),       # kept
+         (12, "fresh text"),       # dup within batch (11 wins)
+         (13, "another")],         # kept
+        "doc_id long, text string")
+    hist = hist_docs.select(F.md5("text").alias("content_hash"))
+    got = {r["doc_id"]: r["status"]
+           for r in incremental_dedup(new_docs, hist).collect()}
+    assert got == {10: "dup_history", 11: "kept",
+                   12: "dup_batch", 13: "kept"}
