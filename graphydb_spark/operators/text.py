@@ -244,3 +244,34 @@ def bpe_train(df: DataFrame, text_col: str = "text",
     seqs.unpersist()
     return spark.createDataFrame(
         merges, "merge_round int, lhs string, rhs string, cnt long")
+
+
+def bpe_apply(df: DataFrame, merges: list[tuple[str, str]],
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Tokenize with a learned BPE merge table: returns
+    ``(id, n_bpe_tokens)`` — the number of symbols each document
+    encodes to under the merges (the real token count a trained
+    tokenizer would bill, vs the whitespace/regex approximations).
+
+    Pure corpus-wide codegen map (no shuffle, no UDF): each word
+    char-splits and the merges apply as a fixed chain of double
+    ``replace`` calls inside a ``transform`` lambda — plan size is
+    2×len(merges) expressions regardless of corpus size.  Apply order =
+    training order (BPE semantics); the left-to-right non-overlapping
+    replace scan matches across engines, so counts are oracle-exact.
+    """
+    def encode_word(w):
+        seq = F.concat(
+            F.lit(" "),
+            F.array_join(F.filter(F.split(w, ""), lambda c: c != ""), " "),
+            F.lit(" "))
+        for lhs, rhs in merges:
+            pat = F.lit(f" {lhs} {rhs} ")
+            rep = F.lit(f" {lhs}{rhs} ")
+            seq = F.replace(F.replace(seq, pat, rep), pat, rep)
+        return F.size(F.split(F.trim(seq), " "))
+
+    toks = tokens(F.col(text_col))
+    n = F.aggregate(F.transform(toks, encode_word), F.lit(0),
+                    lambda a, v: a + v)
+    return df.select(id_col, n.cast("long").alias("n_bpe_tokens"))

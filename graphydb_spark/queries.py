@@ -2943,11 +2943,23 @@ def q_bpe_train(spark, sf_dir):
     return bpe_train(_docs(spark, sf_dir), rounds=6)
 
 
-def _bpe_train_oracle_sql(rounds: int = 6) -> str:
+def q_bpe_tokenize(spark, sf_dir):
+    """Train-then-apply: per-document token counts under the 6 learned
+    BPE merges (the billed token count a real tokenizer reports).  FULL
+    oracle: shared training CTEs + the identical replace chain."""
+    from .operators.text import bpe_apply, bpe_train
+    docs = _docs(spark, sf_dir)
+    merges = [(r["lhs"], r["rhs"])
+              for r in bpe_train(docs, rounds=6).collect()]
+    return bpe_apply(docs, merges)
+
+
+def _bpe_ctes(rounds: int = 6) -> str:
     """Unrolled BPE rounds: per round a pair-count aggregate over the
     word-frequency dict, a 1-row argmax (ORDER BY cnt DESC, pair), and
     the double-replace merge rewrite (both engines scan left-to-right
-    non-overlapping, so the rewrites agree byte-for-byte)."""
+    non-overlapping, so the rewrites agree byte-for-byte).  Shared by
+    the bpe_train and bpe_tokenize oracles."""
     parts = ["""w0 AS MATERIALIZED (
   SELECT array_to_string(string_split(word, ''), ' ') AS seq, freq
   FROM (SELECT t.tok AS word, COUNT(*) AS freq
@@ -2972,12 +2984,39 @@ w{r} AS MATERIALIZED (
            ' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' ')) AS seq,
          freq
   FROM {p})""")
+    return ",\n".join(parts)
+
+
+def _bpe_train_oracle_sql(rounds: int = 6) -> str:
     sel = "\nUNION ALL ".join(
         f"SELECT {r} AS merge_round, split_part(pair, ' ', 1) AS lhs, "
         f"split_part(pair, ' ', 2) AS rhs, CAST(cnt AS BIGINT) AS cnt "
         f"FROM b{r}"
         for r in range(1, rounds + 1))
-    return "WITH " + ",\n".join(parts) + "\n" + sel
+    return "WITH " + _bpe_ctes(rounds) + "\n" + sel
+
+
+def _bpe_tokenize_oracle_sql(rounds: int = 6) -> str:
+    """Replays training (shared CTE chain) then the apply chain: the
+    learned pairs land as row columns via a 1-row cross join (lambdas
+    capture them), and each word encodes through the same double-replace
+    sequence the engine compiles."""
+    mrg = ", ".join(f"(SELECT pair FROM b{r}) AS p{r}"
+                    for r in range(1, rounds + 1))
+    seq = "' ' || array_to_string(string_split(w, ''), ' ') || ' '"
+    for r in range(1, rounds + 1):
+        pat = f"' ' || p{r} || ' '"
+        rep = f"' ' || replace(p{r}, ' ', '') || ' '"
+        seq = f"replace(replace({seq}, {pat}, {rep}), {pat}, {rep})"
+    return "WITH " + _bpe_ctes(rounds) + f""",
+mrg AS (SELECT {mrg})
+SELECT doc_id,
+       CAST(COALESCE(list_sum(list_transform(ws,
+         w -> len(string_split(trim({seq}), ' ')))), 0) AS BIGINT)
+       AS n_bpe_tokens
+FROM (SELECT doc_id, list_filter(
+        string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS ws
+      FROM documents), mrg"""
 
 
 ORACLES: dict[str, str | None] = {
@@ -4563,6 +4602,7 @@ ORACLES: dict[str, str | None] = {
     "random_walks": _random_walks_oracle_sql(),
     "event_transitions": _EVENT_TRANSITIONS_ORACLE,
     "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
+    "bpe_tokenize": _bpe_tokenize_oracle_sql(),
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -4755,6 +4795,7 @@ QUERIES = {
     "random_walks": q_random_walks,
     "event_transitions": q_event_transitions,
     "incremental_dedup": q_incremental_dedup,
+    "bpe_tokenize": q_bpe_tokenize,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

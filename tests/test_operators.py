@@ -957,3 +957,15 @@ def test_incremental_dedup_statuses(spark):
            for r in incremental_dedup(new_docs, hist).collect()}
     assert got == {10: "dup_history", 11: "kept",
                    12: "dup_batch", 13: "kept"}
+
+
+def test_bpe_apply_counts_merged_symbols(spark):
+    """'banana' under merges (a,n),(an,a): b a n a n a -> b an an a
+    -> b ana n? — hand-walk: (a,n) gives b an an a (4 symbols);
+    (an,a) double-replace gives b an ana (3 symbols)."""
+    from graphydb_spark.operators.text import bpe_apply
+    df = spark.createDataFrame([(1, "banana"), (2, "aa"), (3, "")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe_apply(df, [("a", "n"), ("an", "a")]).collect()}
+    assert got == {1: 3, 2: 2, 3: 0}
