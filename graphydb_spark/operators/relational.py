@@ -272,3 +272,37 @@ def transition_matrix(df: DataFrame, key_col: str, ts_col: str,
     wt = Window.partitionBy("state")
     return counts.withColumn(
         "prob", F.round(F.col("cnt") / F.sum("cnt").over(wt), 6))
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None
+                    ) -> DataFrame:
+    """Single-pass column profiler (the ANALYZE/data-quality primitive a
+    pipeline runs before trusting a new snapshot): one row per column
+    with ``(col_name, n_nulls, n_distinct, min_value, max_value)`` —
+    min/max rendered as strings so the output schema is uniform.
+
+    ONE aggregation job for every column together (Catalyst plans the
+    distinct counts via a single expand — no per-column scans); the
+    result is k rows pivoted long via an exploded struct array.  On
+    100 TB this is the cheapest full-scan statistic pass possible:
+    map-side partial aggregation, no shuffle of row data.
+    """
+    cols = list(cols or df.columns)
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+             .cast("long").alias(f"__n_{i}"),
+            F.countDistinct(F.col(c)).alias(f"__d_{i}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{i}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{i}"),
+        ]
+    row = df.agg(*aggs)
+    pieces = [F.struct(F.lit(c).alias("col_name"),
+                       F.col(f"__n_{i}").alias("n_nulls"),
+                       F.col(f"__d_{i}").alias("n_distinct"),
+                       F.col(f"__min_{i}").alias("min_value"),
+                       F.col(f"__max_{i}").alias("max_value"))
+              for i, c in enumerate(cols)]
+    return (row.select(F.explode(F.array(*pieces)).alias("s"))
+            .select("s.*"))

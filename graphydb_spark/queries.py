@@ -2933,6 +2933,32 @@ JOIN first USING (content_hash)
 """
 
 
+_PROFILE_COLS = ["event_id", "user_id", "event_type", "value", "ts"]
+
+
+def q_profile_events(spark, sf_dir):
+    """Single-pass column profiler over the raw events table (nulls,
+    exact distincts, min/max as strings).  FULL oracle — the profiled
+    columns render identically in both engines (ints, strings, 2 dp
+    doubles, microsecond timestamps)."""
+    from .operators.relational import profile_columns
+    return profile_columns(_events(spark, sf_dir), _PROFILE_COLS)
+
+
+def _profile_events_oracle_sql() -> str:
+    aggs = ", ".join(
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_{i}, COUNT(DISTINCT {c}) AS d_{i}, "
+        f"CAST(MIN({c}) AS VARCHAR) AS mn_{i}, "
+        f"CAST(MAX({c}) AS VARCHAR) AS mx_{i}"
+        for i, c in enumerate(_PROFILE_COLS))
+    sel = "\nUNION ALL ".join(
+        f"SELECT '{c}' AS col_name, n_{i} AS n_nulls, d_{i} AS n_distinct, "
+        f"mn_{i} AS min_value, mx_{i} AS max_value FROM a"
+        for i, c in enumerate(_PROFILE_COLS))
+    return f"WITH a AS (SELECT {aggs} FROM events)\n{sel}"
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: first 6 merge rules learned from the
     documents corpus (Sennrich et al. 2016).  FULL oracle: integer
@@ -4603,6 +4629,7 @@ ORACLES: dict[str, str | None] = {
     "event_transitions": _EVENT_TRANSITIONS_ORACLE,
     "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
     "bpe_tokenize": _bpe_tokenize_oracle_sql(),
+    "profile_events": _profile_events_oracle_sql(),
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -4796,6 +4823,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "incremental_dedup": q_incremental_dedup,
     "bpe_tokenize": q_bpe_tokenize,
+    "profile_events": q_profile_events,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -234,3 +234,20 @@ def test_transition_matrix_counts_and_probs(spark):
                                       tiebreak="event_id").collect()}
     assert got == {("view", "click"): (2, 1.0),
                    ("click", "view"): (1, 1.0)}
+
+
+def test_profile_columns_single_pass(spark):
+    from graphydb_spark.operators.relational import profile_columns
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, 5.5), (2, "b", 5.5)],
+        "k long, s string, v double")
+    got = {r["col_name"]: (r["n_nulls"], r["n_distinct"],
+                           r["min_value"], r["max_value"])
+           for r in profile_columns(df).collect()}
+    assert got == {"k": (0, 2, "1", "2"),
+                   "s": (1, 2, "a", "b"),
+                   "v": (1, 1, "5.5", "5.5")}
+    # all columns profile in ONE aggregate over the source (no
+    # per-column re-scan): exactly one scan node in the plan
+    plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("scan existingrdd") <= 1
