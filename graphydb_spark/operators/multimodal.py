@@ -204,17 +204,121 @@ def make_bmp(width: int, height: int) -> bytes:
     return header + body
 
 
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
 def make_png(width: int, height: int) -> bytes:
     """Complete valid PNG: 8-bit grayscale, one zlib IDAT, real CRCs."""
-    def chunk(tag: bytes, data: bytes) -> bytes:
-        return (struct.pack(">I", len(data)) + tag + data
-                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
     raw = b"".join(b"\x00" + bytes((x * 3 + y) & 0xFF
                                    for x in range(width))
                    for y in range(height))
-    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+            + _png_chunk(b"IEND", b""))
+
+
+#: PNG color type → samples per pixel (8-bit depth, non-interlaced)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def decode_png_pixels(body: bytes):
+    """REAL PNG raster decode — stdlib only: walk the chunk list,
+    concatenate IDAT, ``zlib.decompress``, then invert the per-scanline
+    filters (None/Sub/Up/Average/Paeth, the complete PNG filter set).
+    Returns ``(raster ndarray [h, w, channels], color_type)`` or None
+    for unsupported flavors (bit depth ≠ 8, palette, interlaced) or
+    corrupt streams."""
+    import numpy as np
+
+    if len(body) < 33 or body[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", body[16:29])
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        return None
+    ch = _PNG_CHANNELS[ctype]
+    idat, pos = [], 8
+    while pos + 8 <= len(body):
+        ln, tag = struct.unpack(">I4s", body[pos:pos + 8])
+        if tag == b"IDAT":
+            idat.append(body[pos + 8:pos + 8 + ln])
+        if tag == b"IEND":
+            break
+        pos += 12 + ln
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) < h * (stride + 1) or w == 0 or h == 0:
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += 1 + stride
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride,
+                                                              np.int32)
+        if f == 0:
+            cur = line
+        elif f == 1:                          # Sub
+            cur = line.copy()
+            for x in range(ch, stride):
+                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
+        elif f == 2:                          # Up
+            cur = (line + prev) & 0xFF
+        elif f == 3:                          # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:                          # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pr) & 0xFF
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, ch), ctype
+
+
+def encode_png(raster, ctype: int) -> bytes:
+    """Re-encode an 8-bit raster as a valid PNG (filter 0 rows, one
+    zlib IDAT, real CRCs) — the inverse of :func:`decode_png_pixels`."""
+    h, w, ch = raster.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = b"".join(b"\x00" + raster[y].tobytes() for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def resize_png(body: bytes, max_side: int) -> tuple[bytes, int, int] | None:
+    """REAL nearest-neighbor resample of an 8-bit PNG via full raster
+    decode (stdlib zlib + unfilter) → index-gather → re-encode."""
+    import numpy as np
+
+    d = decode_png_pixels(body)
+    if d is None:
+        return None
+    raster, ctype = d
+    h, w = raster.shape[:2]
+    scale = min(1.0, max_side / max(w, h, 1))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    yi = (np.arange(nh) * (h / nh)).astype(int)
+    xi = (np.arange(nw) * (w / nw)).astype(int)
+    out = np.ascontiguousarray(raster[yi][:, xi])
+    return encode_png(out, ctype), nw, nh
 
 
 def make_gif(width: int, height: int, n_frames: int = 1) -> bytes:
@@ -471,14 +575,16 @@ def resize(media: DataFrame, max_side: int = 256) -> DataFrame:
     the scaled dimensions computed from the REAL header dims
     (aspect-preserving, media already within ``max_side`` pass through).
 
-    Uncompressed 24-bit BMPs get a REAL nearest-neighbor pixel resample
-    (see :func:`resize_bmp` — raw rasters need no codec); compressed
-    formats (PNG/GIF/JPEG) keep a byte-proportional payload stand-in
-    because their codecs aren't in this container — for them the
-    Spark-side shape is still the real one: a binary-to-binary
-    mapInPandas whose output batches shrink by the area ratio, exactly
-    the memory profile a thumbnailing stage has at scale.  Undecodable
-    payloads pass through with null dims.
+    Uncompressed 24-bit BMPs and 8-bit PNGs get a REAL nearest-neighbor
+    pixel resample (:func:`resize_bmp` reads the raw raster;
+    :func:`resize_png` decodes through stdlib zlib + the full PNG
+    unfilter set and re-encodes with real CRCs); the remaining
+    compressed formats (GIF/JPEG — LZW/DCT codecs, not stdlib) keep a
+    byte-proportional payload stand-in, for which the Spark-side shape
+    is still the real one: a binary-to-binary mapInPandas whose output
+    batches shrink by the area ratio, exactly the memory profile a
+    thumbnailing stage has at scale.  Undecodable payloads pass through
+    with null dims.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -491,6 +597,11 @@ def resize(media: DataFrame, max_side: int = 256) -> DataFrame:
                     continue
                 if d["fmt"] == "bmp":
                     real = resize_bmp(body, max_side)
+                    if real is not None:
+                        out_rows.append((int(m),) + real)
+                        continue
+                if d["fmt"] == "png":
+                    real = resize_png(body, max_side)
                     if real is not None:
                         out_rows.append((int(m),) + real)
                         continue
