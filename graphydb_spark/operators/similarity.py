@@ -358,3 +358,31 @@ def pq_topk(codes: DataFrame, books: list[list[list[float]]],
             .select(id_col, "adc_dist")
             .orderBy(F.col("adc_dist").asc(), F.col(id_col))
             .limit(k))
+
+
+def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id") -> DataFrame:
+    """Batch k-NN join: the exact cosine top-k of ``corpus`` for EVERY
+    query vector at once (the production retrieval shape — one query at
+    a time never saturates a cluster).
+
+    The query batch broadcasts (it is the small side by construction);
+    cosines compute in one codegen pass over |Q| × corpus pairs, and
+    the per-query top-k runs as a rank window whose partial
+    (WindowGroupLimit) keeps ≤ k rows per query *per partition* before
+    the shuffle — shuffled bytes are O(|Q| × k × partitions), never the
+    pair count.  Deterministic: ties break on corpus id."""
+    q = queries.select(F.col(id_col).alias(query_id_col),
+                       F.col(vec_col).alias("__qv"))
+    pairs = (corpus.select(id_col, vec_col)
+             .join(F.broadcast(q))
+             .withColumn("cosine", cosine_expr(F.col("__qv"),
+                                               F.col(vec_col))))
+    from pyspark.sql import Window
+    w = (Window.partitionBy(query_id_col)
+         .orderBy(F.col("cosine").desc(), F.col(id_col)))
+    return (pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+            .where(F.col("rn") <= k)
+            .select(query_id_col, id_col, F.round("cosine", 6)
+                    .alias("cosine"), "rn"))

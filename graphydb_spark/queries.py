@@ -2959,6 +2959,39 @@ def _profile_events_oracle_sql() -> str:
     return f"WITH a AS (SELECT {aggs} FROM events)\n{sel}"
 
 
+def q_knn_join(spark, sf_dir):
+    """Batch k-NN join: exact cosine top-5 of the corpus (vec_id ≥ 10)
+    for EACH of the 10 lowest-id query vectors at once.  FULL oracle —
+    the same sequential cosine folds as the knn_cosine oracle, ranked
+    per query with an id tiebreak."""
+    emb = _emb(spark, sf_dir)
+    return similarity.knn_join(emb.where(F.col("vec_id") < 10),
+                               emb.where(F.col("vec_id") >= 10), k=5)
+
+
+_KNN_JOIN_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+pairs AS (
+  SELECT q.query_id, c.vec_id,
+         list_sum(list_transform(range(1, len(c.embedding)+1),
+           i -> q.qv[i] * CAST(c.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, len(q.qv)+1),
+              i -> q.qv[i] * q.qv[i])))
+          * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
+              i -> CAST(c.embedding[i] AS DOUBLE)
+                 * CAST(c.embedding[i] AS DOUBLE))))) AS cos
+  FROM c, q)
+SELECT query_id, vec_id, round(cos, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+FROM pairs
+QUALIFY rn <= 5
+"""
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: first 6 merge rules learned from the
     documents corpus (Sennrich et al. 2016).  FULL oracle: integer
@@ -4630,6 +4663,7 @@ ORACLES: dict[str, str | None] = {
     "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
     "bpe_tokenize": _bpe_tokenize_oracle_sql(),
     "profile_events": _profile_events_oracle_sql(),
+    "knn_join": _KNN_JOIN_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -4824,6 +4858,7 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "bpe_tokenize": q_bpe_tokenize,
     "profile_events": q_profile_events,
+    "knn_join": q_knn_join,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -1032,3 +1032,22 @@ def test_png_unfilter_all_filter_types():
     raster, ctype = decode_png_pixels(body)
     assert ctype == 2
     assert np.array_equal(raster.reshape(h, w * ch), rng)
+
+
+def test_knn_join_topk_and_plan_shape(spark):
+    from graphydb_spark.operators.similarity import knn_join
+    import math
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.9, 0.1]), (12, [0.0, 1.0]),
+         (13, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = knn_join(qs, corpus, k=2)
+    got = {(r["query_id"], r["rn"]): r["vec_id"] for r in out.collect()}
+    assert got == {(0, 1): 10, (0, 2): 11,   # x-axis query
+                   (1, 1): 12, (1, 2): 11}   # y-axis query
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan        # partial top-k before shuffle
+    assert "BroadcastExchange" in plan       # query batch broadcast
