@@ -213,21 +213,24 @@ def resample_locf(df: DataFrame, key_col: str, ts_col: str, value_col: str,
     marks carried rows.  The first grid row per key is always a real
     observation, so no leading nulls exist.
 
-    Scale shape: one shuffle on (key, bucket) for the election window,
-    one on key for the span aggregate + fill window — both key-local; the
-    grid explode is bounded by time-range/unit per key, never global.
-    The value column passes through untouched (no float arithmetic), so
-    a SQL oracle hash-matches exactly.
+    Scale shape: the in-bucket election is a ``max(struct(ts, tiebreak,
+    value))`` hash aggregate — map-side combinable (each input partition
+    pre-elects before the shuffle), strictly cheaper than a sort-based
+    row_number window at any scale; the span aggregate and fill window
+    shuffle on the key only.  The grid explode is bounded by
+    time-range/unit per key, never global.  The value column passes
+    through untouched (no float arithmetic), so a SQL oracle
+    hash-matches exactly.
     """
-    order = [F.col(ts_col).desc()]
+    parts = [F.col(ts_col)]
     if tiebreak is not None:
-        order.append(F.col(tiebreak).desc())
+        parts.append(F.col(tiebreak))
+    parts.append(F.col(value_col))
     bucketed = df.withColumn("__b", F.date_trunc(unit, F.col(ts_col)))
-    w_elect = Window.partitionBy(key_col, "__b").orderBy(*order)
-    latest = (bucketed
-              .withColumn("__rn", F.row_number().over(w_elect))
-              .where(F.col("__rn") == 1)
-              .select(key_col, "__b", F.col(value_col).alias("__obs")))
+    latest = (bucketed.groupBy(key_col, "__b")
+              .agg(F.max(F.struct(*parts)).alias("__m"))
+              .select(key_col, "__b",
+                      F.col(f"__m.{value_col}").alias("__obs")))
     # span straight off the raw frame (map-side-combinable min/max agg)
     # so the election subtree is planned once, not once per consumer
     span = bucketed.groupBy(key_col).agg(F.min("__b").alias("__lo"),
