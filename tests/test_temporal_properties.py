@@ -1,0 +1,95 @@
+"""Property-based differential tests (hypothesis) for the temporal
+operators: random event streams vs brute-force Python models of the
+same semantics — the reference's own randomized-differential test
+strategy (SURVEY.md §5) applied to the beyond-parity surface."""
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from graphydb_spark.operators.relational import (resample_locf,
+                                                 transition_matrix)
+
+BASE = datetime.datetime(2024, 1, 1)
+
+
+events = st.lists(
+    st.tuples(st.integers(0, 2),            # key
+              st.integers(0, 30),           # offset hours*4 (15-min grid)
+              st.integers(0, 9)),           # value/state selector
+    min_size=1, max_size=25)
+
+
+def _rows(ev):
+    return [(i, f"k{k}", BASE + datetime.timedelta(minutes=15 * q), float(v))
+            for i, (k, q, v) in enumerate(ev)]
+
+
+def _locf_model(rows):
+    """Brute-force LOCF on the driver."""
+    per_key = {}
+    for eid, k, ts, v in rows:
+        b = ts.replace(minute=0, second=0, microsecond=0)
+        per_key.setdefault(k, {})
+        cur = per_key[k].get(b)
+        # election: latest (ts, event_id) wins
+        if cur is None or (ts, eid) > cur[0]:
+            per_key[k][b] = ((ts, eid), v)
+    out = {}
+    for k, buckets in per_key.items():
+        lo, hi = min(buckets), max(buckets)
+        t, last = lo, None
+        while t <= hi:
+            if t in buckets:
+                last = buckets[t][1]
+                out[(k, t)] = (last, False)
+            else:
+                out[(k, t)] = (last, True)
+            t += datetime.timedelta(hours=1)
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ev=events)
+def test_resample_locf_matches_bruteforce(spark, ev):
+    rows = _rows(ev)
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, value double")
+    got = {(r["user_id"], r["bucket_ts"]): (r["value"], r["filled"])
+           for r in resample_locf(df, "user_id", "ts", "value",
+                                  unit="hour",
+                                  tiebreak="event_id").collect()}
+    assert got == _locf_model(rows)
+
+
+def _transition_model(rows):
+    per_key = {}
+    for eid, k, ts, v in rows:
+        per_key.setdefault(k, []).append(((ts, eid), str(v)))
+    counts = {}
+    for seq in per_key.values():
+        seq.sort()
+        for (_, a), (_, b) in zip(seq, seq[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    totals = {}
+    for (a, _), c in counts.items():
+        totals[a] = totals.get(a, 0) + c
+    return {k: (c, round(c / totals[k[0]], 6))
+            for k, c in counts.items()}
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ev=events)
+def test_transition_matrix_matches_bruteforce(spark, ev):
+    rows = [(i, k, ts, str(int(v))) for i, k, ts, v in _rows(ev)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, "
+              "event_type string")
+    got = {(r["state"], r["next_state"]): (r["cnt"], r["prob"])
+           for r in transition_matrix(df, "user_id", "ts", "event_type",
+                                      tiebreak="event_id").collect()}
+    assert got == _transition_model(
+        [(i, k, ts, int(v)) for i, k, ts, v in rows])
