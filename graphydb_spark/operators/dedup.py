@@ -515,3 +515,34 @@ def incremental_dedup(new_docs: DataFrame, history_index: DataFrame,
                     .when(F.col(id_col) != F.col("__first_id"),
                           F.lit("dup_batch"))
                     .otherwise(F.lit("kept")).alias("status")))
+
+
+def containment_pairs(df: DataFrame, pairs: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Asymmetric containment for candidate pairs:
+    ``containment(A in B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|``
+    computed in BOTH directions per pair — the quote/subset detector
+    symmetric Jaccard misses (a paragraph fully quoted inside a long
+    document has tiny Jaccard but containment ≈ 1; Broder's original
+    resemblance/containment pairing).
+
+    Same scale contract as :func:`jaccard_verify`: shingle sets join
+    onto the pruned candidate list only, never all-pairs.  Keeps pairs
+    where either direction clears ``threshold``.
+    """
+    sh = shingled(df, text_col, id_col, k) \
+        .select(F.col(id_col), F.array_distinct("_sh").alias("sh"))
+    out = (pairs
+           .join(sh.withColumnRenamed(id_col, "id_a")
+                   .withColumnRenamed("sh", "sh_a"), "id_a")
+           .join(sh.withColumnRenamed(id_col, "id_b")
+                   .withColumnRenamed("sh", "sh_b"), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    c_a = F.round(inter / F.greatest(F.size("sh_a"), F.lit(1)), 6)
+    c_b = F.round(inter / F.greatest(F.size("sh_b"), F.lit(1)), 6)
+    return (out.withColumn("containment_a", c_a.cast("double"))
+               .withColumn("containment_b", c_b.cast("double"))
+               .where((F.col("containment_a") >= threshold)
+                      | (F.col("containment_b") >= threshold))
+               .select("id_a", "id_b", "containment_a", "containment_b"))

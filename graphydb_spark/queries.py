@@ -492,6 +492,47 @@ def q_jaccard_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_containment_pairs(spark, sf_dir):
+    """LSH candidates scored with asymmetric containment both ways —
+    the quote/subset detector symmetric Jaccard misses.  FULL oracle
+    (exact integer set sizes, 6 dp rounding before the threshold)."""
+    docs = _docs(spark, sf_dir)
+    cand = q_minhash_pairs(spark, sf_dir)
+    from .operators.dedup import containment_pairs
+    return containment_pairs(docs, cand, threshold=0.5)
+
+
+_CONTAINMENT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_min(list_transform(range(1, len(ws)-1),
+        i -> md5('0:' || ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+        AS mh
+  FROM toks WHERE len(ws) >= 3
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.mh = b.mh AND a.doc_id < b.doc_id
+), shd AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
+        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+  FROM toks WHERE len(ws) >= 3
+), scored AS (
+  SELECT id_a, id_b,
+         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / greatest(len(a.s), 1), 6) AS ca,
+         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / greatest(len(b.s), 1), 6) AS cb
+  FROM cand JOIN shd a ON a.doc_id = id_a
+            JOIN shd b ON b.doc_id = id_b
+)
+SELECT id_a, id_b, ca AS containment_a, cb AS containment_b
+FROM scored WHERE ca >= 0.5 OR cb >= 0.5
+"""
+
+
 # --------------------------------------------------------------------------
 # relational headliners (scale/bench anchors; S13 spark.sql parity)
 
@@ -4664,6 +4705,7 @@ ORACLES: dict[str, str | None] = {
     "bpe_tokenize": _bpe_tokenize_oracle_sql(),
     "profile_events": _profile_events_oracle_sql(),
     "knn_join": _KNN_JOIN_ORACLE,
+    "containment_pairs": _CONTAINMENT_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -4859,6 +4901,7 @@ QUERIES = {
     "bpe_tokenize": q_bpe_tokenize,
     "profile_events": q_profile_events,
     "knn_join": q_knn_join,
+    "containment_pairs": q_containment_pairs,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

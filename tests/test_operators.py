@@ -1051,3 +1051,20 @@ def test_knn_join_topk_and_plan_shape(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan        # partial top-k before shuffle
     assert "BroadcastExchange" in plan       # query batch broadcast
+
+
+def test_containment_detects_quoted_subset(spark):
+    """A short doc fully quoted inside a long one: Jaccard is small but
+    containment(A in B) = 1."""
+    from graphydb_spark.operators.dedup import containment_pairs
+    quote = "alpha beta gamma delta epsilon"
+    long_doc = ("zero one two three four five six seven eight nine "
+                + quote + " ten eleven twelve thirteen fourteen fifteen")
+    docs = spark.createDataFrame([(1, quote), (2, long_doc)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = containment_pairs(docs, pairs, threshold=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["containment_a"] == 1.0       # quote fully inside long doc
+    assert r["containment_b"] < 0.5        # but not vice versa
