@@ -386,3 +386,75 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
             .where(F.col("rn") <= k)
             .select(query_id_col, id_col, F.round("cosine", 6)
                     .alias("cosine"), "rn"))
+
+
+def dim_stats(emb: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> tuple[list[float], list[float]]:
+    """Per-dimension (mean, std) over the corpus, computed with the same
+    order-free quantized-integer sums as the Lloyd re-average in
+    :func:`ivf_index` (round(v·1e9) → exact BIGINT sums for Σv and Σv²,
+    then a fixed double formula) — bit-reproducible at any parallelism
+    and replayable in SQL.  One posexplode aggregate; the result is
+    dim-sized and lives on the driver."""
+    q = F.round(F.col("v").cast("double") * F.lit(1e9)).cast("long")
+    q2 = F.round(F.col("v").cast("double") * F.col("v").cast("double")
+                 * F.lit(1e9)).cast("long")
+    rows = (emb.select(F.posexplode(vec_col).alias("dim", "v"))
+            .groupBy("dim")
+            .agg(F.sum(q).alias("s"), F.sum(q2).alias("ss"),
+                 F.count(F.lit(1)).alias("n"))
+            .collect())
+    dim = max(r["dim"] for r in rows) + 1
+    mean, std = [0.0] * dim, [0.0] * dim
+    for r in rows:
+        m = float(r["s"]) / (1e9 * r["n"])
+        ms = float(r["ss"]) / (1e9 * r["n"])
+        var = ms - m * m
+        mean[r["dim"]] = m
+        std[r["dim"]] = math.sqrt(var) if var > 0 else 0.0
+    return mean, std
+
+
+def standardize(emb: DataFrame, mean: list[float], std: list[float],
+                id_col: str = "vec_id", vec_col: str = "embedding"
+                ) -> DataFrame:
+    """Z-score feature normalization of an embedding column against
+    corpus :func:`dim_stats` (zero-std dims map to 0): one codegen
+    zip_with pass, stats inlined as two array literals — O(1) plan
+    size, no shuffle.  Adds ``z`` (6 dp elements) and ``z_norm``."""
+    m_lit, s_lit = F.lit([float(x) for x in mean]), \
+        F.lit([float(x) for x in std])
+    z = F.zip_with(
+        F.zip_with(F.col(vec_col), m_lit,
+                   lambda x, mu: x.cast("double") - mu),
+        s_lit,
+        lambda d, s: F.when(s > 0, F.round(d / s, 6)).otherwise(F.lit(0.0)))
+    return (emb.withColumn("z", z)
+            .withColumn("z_norm", F.round(F.sqrt(F.aggregate(
+                F.col("z"), F.lit(0.0), lambda a, v: a + v * v)), 6))
+            .select(id_col, "z", "z_norm"))
+
+
+def random_projection(emb: DataFrame, out_dim: int, in_dim: int,
+                      seed: int = 7, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``out_dim`` dims:
+    seeded Gaussian plane matrix (shared generator with the LSH
+    hyperplanes), projected coordinates scaled by 1/√out_dim so
+    pairwise L2 distances are preserved in expectation.  One
+    transform/fold codegen pass; the plane matrix is a single nested
+    array literal (O(1) plan size).  Adds ``proj`` (6 dp) and
+    ``proj_norm``."""
+    planes = _random_hyperplanes(in_dim, out_dim, seed)
+    p_lit = F.lit([[float(v) for v in p] for p in planes])
+    inv = 1.0 / math.sqrt(out_dim)
+    proj = F.transform(
+        p_lit, lambda p, _i: F.round(
+            F.aggregate(F.zip_with(p, F.col(vec_col),
+                                   lambda a, x: a * x.cast("double")),
+                        F.lit(0.0), lambda acc, v: acc + v)
+            * F.lit(inv), 6))
+    return (emb.withColumn("proj", proj)
+            .withColumn("proj_norm", F.round(F.sqrt(F.aggregate(
+                F.col("proj"), F.lit(0.0), lambda a, v: a + v * v)), 6))
+            .select(id_col, "proj", "proj_norm"))

@@ -3033,6 +3033,75 @@ QUALIFY rn <= 5
 """
 
 
+def q_standardize(spark, sf_dir):
+    """Z-score feature normalization of the embedding corpus against
+    per-dimension quantized-integer stats (bit-reproducible at any
+    parallelism).  FULL oracle: the stats CTE replays the exact BIGINT
+    sums and the same double formula, element rounding at 6 dp."""
+    emb = _emb(spark, sf_dir)
+    mean, std = similarity.dim_stats(emb)
+    return similarity.standardize(emb, mean, std)
+
+
+_STANDARDIZE_ORACLE = """
+WITH x AS (SELECT vec_id, embedding FROM embeddings),
+st AS (
+  SELECT t.i AS dim,
+    CAST(SUM(CAST(ROUND(CAST(embedding[t.i] AS DOUBLE) * 1e9) AS BIGINT))
+         AS DOUBLE) / (1e9 * COUNT(*)) AS m,
+    CAST(SUM(CAST(ROUND(CAST(embedding[t.i] AS DOUBLE)
+                        * CAST(embedding[t.i] AS DOUBLE) * 1e9) AS BIGINT))
+         AS DOUBLE) / (1e9 * COUNT(*)) AS ms
+  FROM x, UNNEST(range(1, len(embedding)+1)) AS t(i)
+  GROUP BY 1),
+sa AS (SELECT list(m ORDER BY dim) AS mean,
+              list(CASE WHEN ms - m*m > 0 THEN sqrt(ms - m*m)
+                        ELSE 0.0 END ORDER BY dim) AS sd
+       FROM st),
+zz AS (
+  SELECT vec_id,
+    list_transform(range(1, len(embedding)+1),
+      i -> CASE WHEN sa.sd[i] > 0
+                THEN round((CAST(embedding[i] AS DOUBLE) - sa.mean[i])
+                           / sa.sd[i], 6)
+                ELSE 0.0 END) AS z
+  FROM x, sa)
+SELECT vec_id, z,
+       round(sqrt(list_sum(list_transform(z, v -> v*v))), 6) AS z_norm
+FROM zz
+"""
+
+
+def q_jl_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss random projection 64 → 16 dims (seeded
+    Gaussian planes, 1/√16 scale).  FULL oracle with the plane matrix
+    inlined via repr() — the same doubles the engine folds."""
+    return similarity.random_projection(_emb(spark, sf_dir),
+                                        out_dim=16, in_dim=64, seed=7)
+
+
+def _jl_oracle_sql(out_dim: int = 16, in_dim: int = 64,
+                   seed: int = 7) -> str:
+    import math as _math
+    planes = similarity._random_hyperplanes(in_dim, out_dim, seed)
+    pl = "[" + ", ".join(
+        "[" + ", ".join(repr(v) for v in p) + "]" for p in planes) + "]"
+    inv = repr(1.0 / _math.sqrt(out_dim))
+    return f"""
+WITH p AS (SELECT {pl} AS pl),
+proj AS (
+  SELECT vec_id,
+    list_transform(range(1, {out_dim}+1),
+      k -> round(list_sum(list_transform(range(1, {in_dim}+1),
+             j -> p.pl[k][j] * CAST(e.embedding[j] AS DOUBLE)))
+           * {inv}, 6)) AS proj
+  FROM embeddings e, p)
+SELECT vec_id, proj,
+       round(sqrt(list_sum(list_transform(proj, v -> v*v))), 6)
+       AS proj_norm
+FROM proj"""
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: first 6 merge rules learned from the
     documents corpus (Sennrich et al. 2016).  FULL oracle: integer
@@ -4706,6 +4775,8 @@ ORACLES: dict[str, str | None] = {
     "profile_events": _profile_events_oracle_sql(),
     "knn_join": _KNN_JOIN_ORACLE,
     "containment_pairs": _CONTAINMENT_ORACLE,
+    "standardize_embeddings": _STANDARDIZE_ORACLE,
+    "jl_projection": _jl_oracle_sql(),
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -4902,6 +4973,8 @@ QUERIES = {
     "profile_events": q_profile_events,
     "knn_join": q_knn_join,
     "containment_pairs": q_containment_pairs,
+    "standardize_embeddings": q_standardize,
+    "jl_projection": q_jl_projection,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

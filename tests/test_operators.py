@@ -1068,3 +1068,36 @@ def test_containment_detects_quoted_subset(spark):
     r = out[0]
     assert r["containment_a"] == 1.0       # quote fully inside long doc
     assert r["containment_b"] < 0.5        # but not vice versa
+
+
+def test_standardize_zscores_and_zero_std_guard(spark):
+    from graphydb_spark.operators.similarity import dim_stats, standardize
+    emb = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [3.0, 5.0])],   # dim0 mean 2 std 1; dim1 const
+        "vec_id long, embedding array<float>")
+    mean, std = dim_stats(emb)
+    assert abs(mean[0] - 2.0) < 1e-9 and abs(std[0] - 1.0) < 1e-9
+    assert std[1] == 0.0
+    got = {r["vec_id"]: r["z"] for r in standardize(emb, mean, std).collect()}
+    assert got[0] == [-1.0, 0.0] and got[1] == [1.0, 0.0]
+
+
+def test_jl_projection_preserves_distances_approximately(spark):
+    """JL property: pairwise L2 distances survive the 64→16 projection
+    within a loose multiplicative band on a deterministic sample."""
+    import math
+    import random
+    from graphydb_spark.operators.similarity import random_projection
+    rng = random.Random(3)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(20)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    proj = {r["vec_id"]: r["proj"]
+            for r in random_projection(emb, 16, 64, seed=7).collect()}
+    def d(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+    ratios = []
+    for i in range(0, 20, 3):
+        for j in range(i + 1, 20, 4):
+            orig = d(vecs[i][1], vecs[j][1])
+            ratios.append(d(proj[i], proj[j]) / orig)
+    assert 0.5 < min(ratios) and max(ratios) < 1.6
