@@ -708,3 +708,52 @@ def random_walks(edges_df: DataFrame, start_uids_df: DataFrame,
                          .alias("path"))
                  .localCheckpoint(eager=True))
     return walks.select("walk_id", "path")
+
+
+def dag_layers(edges_df: DataFrame, max_iter: int = 32) -> DataFrame:
+    """Topological layering of a DAG: ``layer(v)`` = length of the
+    longest directed path ending at ``v`` (sources sit at layer 0) —
+    the dependency-scheduling / critical-path primitive.
+
+    Bellman-Ford-shaped iteration on negated lengths: each round joins
+    the current layer frame to the edge list and max-aggregates
+    ``layer(src) + 1`` into the destinations; converges in
+    graph-depth rounds (a (count, sum) fingerprint detects the
+    fixpoint — layers only grow, so the pair is stationary iff nothing
+    changed).  Warns and stops after ``max_iter`` rounds — a cycle
+    would otherwise run forever (layers are only defined on DAGs).
+
+    Scale: the edge list is partitioned once on ``src`` and reused
+    every round; per round only the node-sized layer frame shuffles.
+    """
+    step = (edges_df.select(F.col("startuid").alias("src"),
+                            F.col("enduid").alias("dst"))
+            .distinct().repartition("src").localCheckpoint(eager=True))
+    nodes = (step.select(F.col("src").alias("uid"))
+             .unionByName(step.select(F.col("dst").alias("uid")))
+             .distinct())
+    layers = nodes.withColumn("layer", F.lit(0).cast("long")) \
+        .localCheckpoint(eager=True)
+    prev_fp = None
+    for i in range(max_iter):
+        inc = (step.join(layers.withColumnRenamed("uid", "src")
+                         .withColumnRenamed("layer", "__sl"), "src")
+               .groupBy(F.col("dst").alias("uid"))
+               .agg((F.max("__sl") + 1).alias("__cand")))
+        layers = (layers.join(inc, "uid", "left")
+                  .select("uid",
+                          F.greatest("layer", F.coalesce("__cand",
+                                                         F.lit(0)))
+                          .alias("layer"))
+                  .localCheckpoint(eager=True))
+        fp = layers.agg(F.count(F.lit(1)).cast("long"),
+                        F.sum("layer").cast("long")).collect()[0]
+        fp = (fp[0], fp[1])
+        if fp == prev_fp:
+            return layers
+        prev_fp = fp
+    import warnings
+    warnings.warn(f"dag_layers did not converge in {max_iter} rounds — "
+                  "the graph likely contains a cycle; returning the "
+                  "partial layering", RuntimeWarning, stacklevel=2)
+    return layers

@@ -3102,6 +3102,46 @@ SELECT vec_id, proj,
 FROM proj"""
 
 
+def q_dag_layers(spark, sf_dir):
+    """Topological layering of the (acyclic) TPC-H graph encoding:
+    longest directed path ending at each node.  FULL oracle: the
+    recursive-CTE walk enumerates all paths and max-aggregates per
+    destination — integer-exact."""
+    g = tpch_graph(spark, sf_dir)
+    return graph_algos.dag_layers(g.edges_df)
+
+
+_DAG_LAYERS_ORACLE = """
+WITH RECURSIVE e(src, dst) AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'Nation:' || CAST(n_nationkey AS VARCHAR) AS src,
+           'Region:' || CAST(n_regionkey AS VARCHAR) AS dst FROM nation
+    UNION ALL SELECT 'Customer:' || CAST(c_custkey AS VARCHAR),
+                     'Nation:' || CAST(c_nationkey AS VARCHAR)
+              FROM customer
+    UNION ALL SELECT 'Supplier:' || CAST(s_suppkey AS VARCHAR),
+                     'Nation:' || CAST(s_nationkey AS VARCHAR)
+              FROM supplier
+    UNION ALL SELECT 'Customer:' || CAST(o_custkey AS VARCHAR),
+                     'Order:' || CAST(o_orderkey AS VARCHAR) FROM orders
+    UNION ALL SELECT 'Order:' || CAST(l_orderkey AS VARCHAR),
+                     'Part:' || CAST(l_partkey AS VARCHAR) FROM lineitem
+    UNION ALL SELECT 'Order:' || CAST(l_orderkey AS VARCHAR),
+                     'Supplier:' || CAST(l_suppkey AS VARCHAR)
+              FROM lineitem
+    UNION ALL SELECT 'User:' || CAST(user_id AS VARCHAR),
+                     'Event:' || CAST(event_id AS VARCHAR) FROM events)),
+nodes AS (SELECT src AS uid FROM e UNION SELECT dst FROM e),
+walk(uid, len) AS (
+  SELECT dst, 1 FROM e
+  UNION ALL
+  SELECT e.dst, w.len + 1 FROM walk w JOIN e ON e.src = w.uid)
+SELECT n.uid, CAST(COALESCE(MAX(w.len), 0) AS BIGINT) AS layer
+FROM nodes n LEFT JOIN walk w ON w.uid = n.uid
+GROUP BY n.uid
+"""
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: first 6 merge rules learned from the
     documents corpus (Sennrich et al. 2016).  FULL oracle: integer
@@ -4777,6 +4817,7 @@ ORACLES: dict[str, str | None] = {
     "containment_pairs": _CONTAINMENT_ORACLE,
     "standardize_embeddings": _STANDARDIZE_ORACLE,
     "jl_projection": _jl_oracle_sql(),
+    "dag_layers": _DAG_LAYERS_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -4975,6 +5016,7 @@ QUERIES = {
     "containment_pairs": q_containment_pairs,
     "standardize_embeddings": q_standardize,
     "jl_projection": q_jl_projection,
+    "dag_layers": q_dag_layers,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

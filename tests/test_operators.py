@@ -1101,3 +1101,21 @@ def test_jl_projection_preserves_distances_approximately(spark):
             orig = d(vecs[i][1], vecs[j][1])
             ratios.append(d(proj[i], proj[j]) / orig)
     assert 0.5 < min(ratios) and max(ratios) < 1.6
+
+
+def test_dag_layers_longest_path_and_cycle_warning(spark):
+    from graphydb_spark.operators.graph_algos import dag_layers
+    # diamond + tail: a->b, a->c, b->d, c->d, d->e
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")],
+        "startuid string, enduid string")
+    got = {r["uid"]: r["layer"] for r in dag_layers(edges).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+    # a 2-cycle must warn, not hang
+    import warnings
+    cyc = spark.createDataFrame([("x", "y"), ("y", "x")],
+                                "startuid string, enduid string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dag_layers(cyc, max_iter=3)
+        assert any("converge" in str(x.message) for x in w)
