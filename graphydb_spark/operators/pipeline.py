@@ -17,6 +17,8 @@ stable holdout splits and reproducible mixes.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -618,3 +620,80 @@ def pack_sequences(df: DataFrame, id_col: str, token_col: str,
         else F.col("n_tok")
     return out.select(id_col, "seq_id", "offset",
                       kept.cast("long").alias("n_tok"))
+
+
+def zorder_key(df: DataFrame, cols: list[str],
+               bits: int = 16) -> F.Column:
+    """Z-order (Morton) interleave key over ``cols``: each column
+    min-max-normalizes to a ``bits``-bit integer rank, and the bits
+    interleave into one BIGINT.  Sorting by this key clusters the data
+    on ALL the columns at once, so parquet min/max footer pruning works
+    for predicates on any of them — the multi-dimensional upgrade of
+    :func:`write_clustered`'s single-key layout (what lakehouse engines
+    call Z-ORDER BY).
+
+    One tiny min/max aggregate per call (collected; broadcast as
+    literals); the key itself is a pure codegen expression.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"lo_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"hi_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    scaled = []
+    for c in cols:
+        lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+        span = (hi - lo) or 1.0
+        q = F.least(
+            F.lit((1 << bits) - 1),
+            F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span)
+                    * F.lit((1 << bits) - 1)).cast("long"))
+        scaled.append(q)
+    # interleave: output bit (b*len + i) takes bit b of column i
+    key = F.lit(0).cast("long")
+    n = len(cols)
+    for b in range(bits):
+        for i, q in enumerate(scaled):
+            key = key + F.shiftleft(
+                F.shiftright(q, b).bitwiseAND(F.lit(1)), b * n + i)
+    return key
+
+
+def write_zordered(df: DataFrame, path: str, cols: list[str],
+                   num_files: int, bits: int = 16) -> None:
+    """Write parquet Z-ordered on ``cols``: range-partition + sort by
+    the Morton key so each file covers a tight hyper-rectangle — range
+    predicates on ANY of the z-columns prune files via footer min/max
+    stats (verified in tests by reading the footers back)."""
+    key = zorder_key(df, cols, bits)
+    (df.withColumn("__z", key)
+       .repartitionByRange(num_files, "__z")
+       .sortWithinPartitions("__z")
+       .drop("__z")
+       .write.mode("overwrite").parquet(path))
+
+
+def compact_table(spark, path: str, target_file_mb: int = 128) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(bytes / target)`` files (the lakehouse OPTIMIZE maintenance
+    pass — streaming ingests and fine-grained merges strand thousands
+    of tiny files whose per-file open/footer cost dominates scans at
+    100 TB).  Returns the new file count.  The rewrite stages into a
+    sibling directory first and swaps only after success, so a failed
+    compaction never destroys the table."""
+    import math
+    import shutil
+
+    root = Path(path)
+    n_bytes = sum(p.stat().st_size
+                  for p in root.rglob("*.parquet") if p.is_file())
+    n_files = max(1, math.ceil(n_bytes / (target_file_mb * 1024 * 1024)))
+    staged = str(root.with_name(root.name + ".__compacting"))
+    (spark.read.parquet(path).repartition(n_files)
+     .write.mode("overwrite").parquet(staged))
+    backup = str(root.with_name(root.name + ".__old"))
+    shutil.rmtree(backup, ignore_errors=True)
+    root.rename(backup)
+    Path(staged).rename(root)
+    shutil.rmtree(backup)
+    return n_files

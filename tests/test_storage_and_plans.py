@@ -164,3 +164,62 @@ def test_write_clustered_row_group_pruning(spark, tmp_path):
     b = sorted(r["id"] for r in spark.read.parquet(scattered)
                .where("score >= 100 and score < 200").collect())
     assert a == b and len(a) == 100
+
+
+def _files_overlapping(path, col, lo_q, hi_q):
+    """Count parquet files whose footer [min,max] on ``col`` overlaps
+    [lo_q, hi_q] — what any footer-pruning reader would open."""
+    import glob
+
+    import pyarrow.parquet as pq
+    n = 0
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = [md.schema.column(i).name
+               for i in range(md.num_columns)].index(col)
+        lo = min(md.row_group(rg).column(idx).statistics.min
+                 for rg in range(md.num_row_groups))
+        hi = max(md.row_group(rg).column(idx).statistics.max
+                 for rg in range(md.num_row_groups))
+        if hi >= lo_q and lo <= hi_q:
+            n += 1
+    return n
+
+
+def test_write_zordered_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order layout: a selective range predicate on EITHER z-column
+    touches fewer files than on a hash-scattered copy — the
+    multi-dimensional skipping 1-D clustering can't give."""
+    from pyspark.sql import functions as F
+
+    from graphydb_spark.operators.pipeline import write_zordered
+    df = spark.range(0, 40000).select(
+        (F.col("id") % 200).alias("x"),
+        ((F.col("id") * 37) % 200).alias("y"))
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(df, zpath, ["x", "y"], num_files=16)
+    df.repartition(16).write.mode("overwrite").parquet(spath)
+    for col in ("x", "y"):
+        z_hit = _files_overlapping(zpath, col, 10, 20)
+        s_hit = _files_overlapping(spath, col, 10, 20)
+        assert s_hit == 16                    # scattered: every file
+        assert z_hit <= 8, f"{col}: {z_hit}"  # z-order: a minority
+    # data intact
+    assert (spark.read.parquet(zpath).count()
+            == spark.read.parquet(spath).count() == 40000)
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    from graphydb_spark.operators.pipeline import compact_table
+    import glob
+    path = str(tmp_path / "t")
+    df = spark.range(0, 5000).select("id", (F.col("id") * 2).alias("v"))
+    df.repartition(40).write.parquet(path)          # 40 tiny files
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 40
+    total_before = spark.read.parquet(path).agg(F.sum("v")).collect()[0][0]
+    n = compact_table(spark, path, target_file_mb=128)
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert n == 1 and len(files) == 1               # tiny table → one file
+    assert spark.read.parquet(path).agg(
+        F.sum("v")).collect()[0][0] == total_before
+    assert not glob.glob(f"{path}.__*")             # staging cleaned up
