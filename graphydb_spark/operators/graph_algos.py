@@ -757,3 +757,95 @@ def dag_layers(edges_df: DataFrame, max_iter: int = 32) -> DataFrame:
                   "the graph likely contains a cycle; returning the "
                   "partial layering", RuntimeWarning, stacklevel=2)
     return layers
+
+
+def strongly_connected_components(edges_df: DataFrame,
+                                  max_outer: int = 30,
+                                  max_inner: int = 100) -> DataFrame:
+    """SCC decomposition of a directed graph → ``(uid, scc)`` where
+    ``scc`` is the minimum uid in the component (canonical, so any
+    correct algorithm — or a SQL transitive-closure spec — produces
+    the identical output).
+
+    The coloring algorithm (Orzan / Slota et al.'s multistep shape —
+    the practical distributed SCC, since Tarjan's stack is inherently
+    sequential): per outer round, propagate the maximum uid forward to
+    a fixpoint (``color(v)`` = max uid that can reach v); every color
+    root (``color(r) = r``) anchors one SCC, which is exactly the set
+    of vertices with color r that reach r — collected by a backward
+    BFS from the roots *restricted to their own color class*.  Found
+    components retire, the induced subgraph shrinks, repeat.
+
+    Scale shape: edge frames are (re-)checkpointed per outer round and
+    partitioned on the join key; every propagation/BFS step shuffles
+    only node-sized frames.  Rounds are bounded by the condensation
+    depth (outer) × graph diameter (inner).
+    """
+    base = (edges_df.select(F.col("startuid").alias("src"),
+                            F.col("enduid").alias("dst"))
+            .where(F.col("src") != F.col("dst")).distinct()
+            .localCheckpoint(eager=True))
+    remaining = (base.select(F.col("src").alias("uid"))
+                 .unionByName(base.select(F.col("dst").alias("uid")))
+                 .unionByName(edges_df.where(
+                     F.col("startuid") == F.col("enduid"))
+                     .select(F.col("startuid").alias("uid")))
+                 .distinct().localCheckpoint(eager=True))
+    assigned = None
+    for _ in range(max_outer):
+        if remaining.limit(1).count() == 0:
+            return assigned
+        er = (base.join(remaining.withColumnRenamed("uid", "src"), "src")
+              .join(remaining.withColumnRenamed("uid", "dst"), "dst")
+              .select("src", "dst").repartition("src")
+              .localCheckpoint(eager=True))
+        # forward max-label propagation to fixpoint
+        color = remaining.withColumn("c", F.col("uid")) \
+            .localCheckpoint(eager=True)
+        for _i in range(max_inner):
+            inc = (er.join(color.select(F.col("uid").alias("src"),
+                                        F.col("c").alias("__in")), "src")
+                   .groupBy(F.col("dst").alias("uid"))
+                   .agg(F.max("__in").alias("__m")))
+            nxt = (color.join(inc, "uid", "left")
+                   .select("uid", F.greatest("c", F.coalesce(
+                       "__m", F.col("c"))).alias("c"))
+                   .localCheckpoint(eager=True))
+            changed = (nxt.join(color.withColumnRenamed("c", "__old"),
+                                "uid")
+                       .where(F.col("c") != F.col("__old"))
+                       .limit(1).count())
+            color = nxt
+            if changed == 0:
+                break
+        # backward BFS from the color roots inside their color class
+        roots = color.where(F.col("c") == F.col("uid")) \
+            .select("uid", F.col("c").alias("root"))
+        reach = roots.select("uid", "root").localCheckpoint(eager=True)
+        frontier = reach
+        for _i in range(max_inner):
+            step = (er.join(frontier.select(F.col("uid").alias("dst"),
+                                            "root"), "dst")
+                    .select(F.col("src").alias("uid"), "root")
+                    .join(color, "uid")
+                    .where(F.col("c") == F.col("root")).drop("c")
+                    .distinct()
+                    .join(reach.select("uid"), "uid", "left_anti")
+                    .localCheckpoint(eager=True))
+            if step.limit(1).count() == 0:
+                break
+            reach = reach.unionByName(step).localCheckpoint(eager=True)
+            frontier = step
+        comp_min = reach.groupBy("root").agg(F.min("uid").alias("scc"))
+        found = (reach.join(comp_min, "root").select("uid", "scc")
+                 .localCheckpoint(eager=True))
+        assigned = found if assigned is None else \
+            assigned.unionByName(found).localCheckpoint(eager=True)
+        remaining = (remaining.join(found.select("uid"), "uid",
+                                    "left_anti")
+                     .localCheckpoint(eager=True))
+    import warnings
+    warnings.warn(f"scc did not finish in {max_outer} outer rounds; "
+                  "returning the partial assignment", RuntimeWarning,
+                  stacklevel=2)
+    return assigned

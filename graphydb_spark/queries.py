@@ -3142,6 +3142,55 @@ GROUP BY n.uid
 """
 
 
+def q_scc(spark, sf_dir):
+    """Strongly connected components over the order-ring part graph
+    (each order's sorted distinct parts close a directed ring; orders
+    sharing a part merge into one SCC).  FULL oracle: the output is
+    canonical (scc = min member uid), so the DuckDB side states the
+    SPEC — mutual reachability via a transitive-closure CTE — rather
+    than replaying the engine's coloring algorithm."""
+    from pyspark.sql import Window as W
+    li = (load_tables(spark, sf_dir)["lineitem"]
+          .where(F.col("l_orderkey") < 100)
+          .select("l_orderkey", "l_partkey").distinct())
+    w = W.partitionBy("l_orderkey").orderBy("l_partkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ring = li.select(
+        F.concat(F.lit("Part:"), F.col("l_partkey").cast("string"))
+        .alias("startuid"),
+        F.concat(F.lit("Part:"),
+                 F.coalesce(F.lead("l_partkey").over(w),
+                            F.first("l_partkey").over(wf))
+                 .cast("string")).alias("enduid"))
+    return graph_algos.strongly_connected_components(ring)
+
+
+_SCC_ORACLE = """
+WITH RECURSIVE li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_orderkey < 100),
+ring AS (
+  SELECT 'Part:' || CAST(p AS VARCHAR) AS src,
+         'Part:' || CAST(COALESCE(
+             lead(p) OVER (PARTITION BY o ORDER BY p),
+             first_value(p) OVER (PARTITION BY o ORDER BY p))
+           AS VARCHAR) AS dst
+  FROM li),
+e AS (SELECT DISTINCT src, dst FROM ring WHERE src != dst),
+nodes AS (SELECT DISTINCT src AS uid FROM ring
+          UNION SELECT dst FROM ring),
+reach(a, b) AS (
+  SELECT uid, uid FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b)
+SELECT n.uid, MIN(r.a) AS scc
+FROM nodes n
+JOIN reach r ON r.b = n.uid
+JOIN reach r2 ON r2.a = n.uid AND r2.b = r.a
+GROUP BY n.uid
+"""
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: first 6 merge rules learned from the
     documents corpus (Sennrich et al. 2016).  FULL oracle: integer
@@ -4818,6 +4867,7 @@ ORACLES: dict[str, str | None] = {
     "standardize_embeddings": _STANDARDIZE_ORACLE,
     "jl_projection": _jl_oracle_sql(),
     "dag_layers": _DAG_LAYERS_ORACLE,
+    "scc_parts": _SCC_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -5017,6 +5067,7 @@ QUERIES = {
     "standardize_embeddings": q_standardize,
     "jl_projection": q_jl_projection,
     "dag_layers": q_dag_layers,
+    "scc_parts": q_scc,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -1119,3 +1119,92 @@ def test_dag_layers_longest_path_and_cycle_warning(spark):
         warnings.simplefilter("always")
         dag_layers(cyc, max_iter=3)
         assert any("converge" in str(x.message) for x in w)
+
+
+def test_scc_hand_fixtures(spark):
+    from graphydb_spark.operators.graph_algos import \
+        strongly_connected_components as scc
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "startuid string, enduid string")
+        return {r["uid"]: r["scc"] for r in scc(df).collect()}
+
+    # ring + tail: {a,b,c} cycle, d/e singletons
+    assert run([("a", "b"), ("b", "c"), ("c", "a"),
+                ("c", "d"), ("d", "e")]) == \
+        {"a": "a", "b": "a", "c": "a", "d": "d", "e": "e"}
+    # two 2-cycles sharing b merge into one SCC
+    assert run([("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")]) == \
+        {"a": "a", "b": "a", "c": "a"}
+    # condensation chain: SCC {a,b} -> SCC {c,d}
+    assert run([("a", "b"), ("b", "a"), ("b", "c"),
+                ("c", "d"), ("d", "c")]) == \
+        {"a": "a", "b": "a", "c": "c", "d": "c"}
+
+
+def _tarjan(nodes, edges):
+    """Iterative Tarjan — the sequential reference the distributed
+    coloring algorithm must agree with."""
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    index, low, onstk = {}, {}, set()
+    stack, out, counter = [], {}, [0]
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                onstk.add(v)
+            recurse = False
+            succs = sorted(adj.get(v, []))
+            for i in range(pi, len(succs)):
+                w = succs[i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in onstk:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    onstk.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+    return out
+
+
+def test_scc_matches_tarjan_on_random_graphs(spark):
+    """Randomized differential: the distributed coloring SCC must equal
+    sequential Tarjan on seeded random digraphs."""
+    import random
+    from graphydb_spark.operators.graph_algos import \
+        strongly_connected_components as scc
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = 14
+        nodes = [f"n{i:02d}" for i in range(n)]
+        edges = list({(nodes[rng.randrange(n)], nodes[rng.randrange(n)])
+                      for _ in range(26)})
+        df = spark.createDataFrame(edges, "startuid string, enduid string")
+        got = {r["uid"]: r["scc"] for r in scc(df).collect()}
+        used = sorted({u for e in edges for u in e})
+        want = _tarjan(used, edges)
+        assert got == want, f"seed {seed}: {got} != {want}"
