@@ -697,3 +697,34 @@ def compact_table(spark, path: str, target_file_mb: int = 128) -> int:
     Path(staged).rename(root)
     shutil.rmtree(backup)
     return n_files
+
+
+def temperature_mixture(df: DataFrame, source_col: str, key_col: str,
+                        alpha: float = 0.7) -> DataFrame:
+    """Temperature-scaled mixture sampling: target weights derive from
+    the observed counts themselves, ``w_s ∝ n_s^α`` (the multilingual
+    rebalancing rule of mBERT/XLM-R/mT5 — α<1 flattens head sources and
+    upweights the tail), then the bottleneck-C down-sampling of
+    :func:`mixture_sample` applies.
+
+    Determinism across engines: ``n^α`` quantizes to an integer at 1e-6
+    (exact BIGINT sum for the normalizer, so the weight normalization is
+    order-free), and the final per-source rate rounds to 6 dp before the
+    md5 hash gate.  Same scale contract: one tiny count aggregate
+    broadcast back; the corpus never shuffles.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("_n"))
+    wq = F.round(F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))
+                 * F.lit(1e6)).cast("long")
+    tot = Window.partitionBy()
+    rates = (counts.withColumn("_wq", wq)
+             .withColumn("_wn", F.col("_wq").cast("double")
+                         / F.sum("_wq").over(tot).cast("double"))
+             .withColumn("_cap",
+                         F.min(F.col("_n") / F.col("_wn")).over(tot))
+             .select(source_col,
+                     F.round(F.col("_cap") * F.col("_wn") / F.col("_n"),
+                             6).alias("_rate")))
+    return (df.join(F.broadcast(rates), source_col)
+            .where(_keeps(F.col(key_col), F.col("_rate")))
+            .drop("_rate"))

@@ -3191,6 +3191,38 @@ GROUP BY n.uid
 """
 
 
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled mixture (w_s ∝ n_s^0.7, the mBERT/XLM-R
+    multilingual rebalancing rule).  FULL oracle: n^α quantizes to a
+    1e-6 integer (exact normalizer sum), the per-source rate rounds to
+    6 dp before the md5 hash gate."""
+    from .operators.pipeline import temperature_mixture
+    out = temperature_mixture(_docs(spark, sf_dir), "source", "doc_id",
+                              alpha=0.7)
+    return out.select("doc_id", "source")
+
+
+_TEMPERATURE_MIXTURE_ORACLE = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n,
+         CAST(ROUND(pow(CAST(COUNT(*) AS DOUBLE), 0.7) * 1e6) AS BIGINT)
+         AS wq
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS t FROM counts),
+rates AS (
+  SELECT source,
+         round((SELECT MIN(n / (CAST(wq AS DOUBLE) / CAST(t AS DOUBLE)))
+                FROM counts, tot)
+               * (CAST(wq AS DOUBLE) / CAST(t AS DOUBLE)) / n, 6) AS rate
+  FROM counts, tot)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates USING (source)
+WHERE rate >= 1.0
+   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+      < printf('%04x', CAST(floor(rate * 65536) AS INT))
+"""
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: first 6 merge rules learned from the
     documents corpus (Sennrich et al. 2016).  FULL oracle: integer
@@ -4868,6 +4900,7 @@ ORACLES: dict[str, str | None] = {
     "jl_projection": _jl_oracle_sql(),
     "dag_layers": _DAG_LAYERS_ORACLE,
     "scc_parts": _SCC_ORACLE,
+    "temperature_mixture": _TEMPERATURE_MIXTURE_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -5068,6 +5101,7 @@ QUERIES = {
     "jl_projection": q_jl_projection,
     "dag_layers": q_dag_layers,
     "scc_parts": q_scc,
+    "temperature_mixture": q_temperature_mixture,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -324,3 +324,26 @@ def test_bigram_logprob_word_order_sensitivity(spark):
     again = {r["doc_id"]: r["bigram_logprob"]
              for r in bigram_logprob(df, lam=0.7).collect()}
     assert out == again                              # deterministic
+
+
+def test_temperature_mixture_flattens_skew(spark):
+    """α=0.5 on a 1600-vs-100 skew: the tail source is kept whole, the
+    head thins toward sqrt-proportional share, totals deterministic."""
+    from pyspark.sql import functions as F
+
+    from graphydb_spark.operators.pipeline import temperature_mixture
+    df = (spark.range(1700)
+          .select(F.col("id").alias("doc_id"),
+                  F.when(F.col("id") < 1600, "head").otherwise("tail")
+                  .alias("source")))
+    out = temperature_mixture(df, "source", "doc_id", alpha=0.5)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["tail"] == 100                 # bottleneck kept whole
+    # head target = C * w_head / n_head with w ∝ sqrt(n):
+    # C = n_tail/w_tail → expected head ≈ 100*sqrt(16) = 400
+    assert 320 <= counts["head"] <= 480          # hash-gate tolerance
+    # deterministic: rerun produces the identical selection
+    again = temperature_mixture(df, "source", "doc_id", alpha=0.5)
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())
