@@ -849,3 +849,44 @@ def strongly_connected_components(edges_df: DataFrame,
                   "returning the partial assignment", RuntimeWarning,
                   stacklevel=2)
     return assigned
+
+
+def negative_samples(edges_df: DataFrame, k: int = 5,
+                     seed: str = "neg") -> DataFrame:
+    """Deterministic negative sampling for link-prediction / embedding
+    training: up to ``k`` non-edge pairs per node, chosen by seeded
+    hash over a canonical node indexing (row_number over sorted uids)
+    and then anti-joined against the real edges in both orientations —
+    candidates that happen to hit a true edge (or a self-pair) drop,
+    the standard over-generate-and-filter contract.
+
+    Reproducible across runs/partitionings/engines (a SQL oracle
+    replays the identical picks).  Scale: one sort-shuffle builds the
+    node index; candidates are k per node (never quadratic); the
+    anti-join is a plain equi-join on the pair.
+    """
+    from pyspark.sql import Window as W
+
+    from .text import hash60
+    e = edges_df.select(F.col("startuid").alias("src"),
+                        F.col("enduid").alias("dst"))
+    nodes = (e.select(F.col("src").alias("uid"))
+             .unionByName(e.select(F.col("dst").alias("uid")))
+             .distinct())
+    idx = (nodes.withColumn(
+        "__i", F.row_number().over(W.orderBy("uid")) - 1)
+        .localCheckpoint(eager=True))
+    n = idx.count()
+    cand = (idx.select(F.col("uid").alias("src"), "__i")
+            .withColumn("__k", F.explode(F.sequence(
+                F.lit(0), F.lit(k - 1))))
+            .withColumn("__pick", F.pmod(
+                hash60(F.concat_ws(":", F.lit(seed), F.col("src"),
+                                   F.col("__k"))), F.lit(n))))
+    cand = (cand.join(idx.select(F.col("uid").alias("dst"),
+                                 F.col("__i").alias("__pick")), "__pick")
+            .where(F.col("src") != F.col("dst"))
+            .select("src", "dst").distinct())
+    sym = e.unionByName(e.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    return cand.join(sym, ["src", "dst"], "left_anti")

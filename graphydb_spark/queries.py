@@ -3223,6 +3223,46 @@ WHERE rate >= 1.0
 """
 
 
+def q_negative_samples(spark, sf_dir):
+    """Deterministic negative sampling (3 hash-picked non-edges per
+    node) over the l_orderkey<50 Contains slice — the link-prediction
+    training-pair generator paired with q:random_walks.  FULL oracle:
+    canonical row_number indexing + md5-hash60 picks + NOT EXISTS."""
+    li = (load_tables(spark, sf_dir)["lineitem"]
+          .where(F.col("l_orderkey") < 50))
+    edges = li.select(
+        F.concat(F.lit("Order:"), F.col("l_orderkey").cast("string"))
+        .alias("startuid"),
+        F.concat(F.lit("Part:"), F.col("l_partkey").cast("string"))
+        .alias("enduid")).distinct()
+    return graph_algos.negative_samples(edges, k=3)
+
+
+_NEGATIVE_SAMPLES_ORACLE = """
+WITH e AS (SELECT DISTINCT
+             'Order:' || CAST(l_orderkey AS VARCHAR) AS src,
+             'Part:' || CAST(l_partkey AS VARCHAR) AS dst
+           FROM lineitem WHERE l_orderkey < 50),
+nodes AS (SELECT src AS uid FROM e UNION SELECT dst FROM e),
+idx AS (SELECT uid, row_number() OVER (ORDER BY uid) - 1 AS i
+        FROM nodes),
+nn AS (SELECT COUNT(*) AS n FROM idx),
+cand AS (
+  SELECT x.uid AS src,
+         ('0x' || substr(md5('neg:' || x.uid || ':'
+                             || CAST(t.k AS VARCHAR)), 1, 15))::BIGINT
+         % nn.n AS pick
+  FROM idx x, UNNEST([0, 1, 2]) AS t(k), nn),
+pairs AS (SELECT DISTINCT c.src, y.uid AS dst
+          FROM cand c JOIN idx y ON y.i = c.pick
+          WHERE c.src != y.uid),
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+SELECT p.src, p.dst FROM pairs p
+WHERE NOT EXISTS (SELECT 1 FROM sym s
+                  WHERE s.src = p.src AND s.dst = p.dst)
+"""
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: first 6 merge rules learned from the
     documents corpus (Sennrich et al. 2016).  FULL oracle: integer
@@ -4901,6 +4941,7 @@ ORACLES: dict[str, str | None] = {
     "dag_layers": _DAG_LAYERS_ORACLE,
     "scc_parts": _SCC_ORACLE,
     "temperature_mixture": _TEMPERATURE_MIXTURE_ORACLE,
+    "negative_samples": _NEGATIVE_SAMPLES_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -5102,6 +5143,7 @@ QUERIES = {
     "dag_layers": q_dag_layers,
     "scc_parts": q_scc,
     "temperature_mixture": q_temperature_mixture,
+    "negative_samples": q_negative_samples,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

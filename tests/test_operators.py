@@ -1208,3 +1208,23 @@ def test_scc_matches_tarjan_on_random_graphs(spark):
         used = sorted({u for e in edges for u in e})
         want = _tarjan(used, edges)
         assert got == want, f"seed {seed}: {got} != {want}"
+
+
+def test_negative_samples_avoid_real_edges(spark):
+    from graphydb_spark.operators.graph_algos import negative_samples
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")],
+        "startuid string, enduid string")
+    out = [(r["src"], r["dst"])
+           for r in negative_samples(edges, k=4).collect()]
+    real = {("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+            ("c", "d"), ("d", "c")}
+    nodes = {"a", "b", "c", "d"}
+    assert out, "should produce some negatives on a sparse graph"
+    for s, d in out:
+        assert s != d and (s, d) not in real
+        assert s in nodes and d in nodes
+    # deterministic across reruns
+    again = [(r["src"], r["dst"])
+             for r in negative_samples(edges, k=4).collect()]
+    assert sorted(out) == sorted(again)
