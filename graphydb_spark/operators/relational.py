@@ -309,3 +309,43 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None
               for i, c in enumerate(cols)]
     return (row.select(F.explode(F.array(*pieces)).alias("s"))
             .select("s.*"))
+
+
+def apply_cdc(snapshot: DataFrame, changes: DataFrame, key_col: str,
+              seq_col: str, op_col: str = "op") -> DataFrame:
+    """Apply a change-data-capture feed to a snapshot: per key, the
+    highest-``seq_col`` change wins — ``D`` deletes the key, ``I``/``U``
+    replace the row with the change's payload columns; keys without
+    changes pass through.  The lakehouse MERGE/CDC-apply primitive (and
+    the table-shaped generalization of the graph's last-writer-wins
+    upsert merge).
+
+    One map-side-combinable ``max(struct(seq, payload...))`` aggregate
+    elects the winning change per key (no sort window), then one full
+    outer join against the snapshot — both shuffles key-local, so a
+    100 TB snapshot merges against a feed of any size without ever
+    sorting either side globally.  ``seq_col`` must totally order each
+    key's changes (engines would otherwise disagree on "latest").
+    """
+    payload = [c for c in changes.columns
+               if c not in (key_col, seq_col, op_col)]
+    elected = (changes.groupBy(key_col)
+               .agg(F.max(F.struct(F.col(seq_col), F.col(op_col),
+                                   *[F.col(c) for c in payload]))
+                    .alias("__w")))
+    win = elected.select(
+        key_col, F.col(f"__w.{op_col}").alias("__op"),
+        *[F.col(f"__w.{c}").alias(f"__new_{c}") for c in payload])
+    out = snapshot.join(win, key_col, "full_outer")
+    keep = F.col("__op").isNull() | (F.col("__op") != "D")
+    cols = [F.col(key_col)]
+    for c in snapshot.columns:
+        if c == key_col:
+            continue
+        if c in payload:
+            cols.append(F.when(F.col("__op").isNotNull(),
+                               F.col(f"__new_{c}"))
+                        .otherwise(F.col(c)).alias(c))
+        else:
+            cols.append(F.col(c))
+    return out.where(keep).select(*cols)

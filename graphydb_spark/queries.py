@@ -3263,6 +3263,64 @@ WHERE NOT EXISTS (SELECT 1 FROM sym s
 """
 
 
+def q_apply_cdc(spark, sf_dir):
+    """CDC apply: a synthesized change feed (deletes for keys ≡0 mod
+    10, a delete-then-update conflict for ≡1 — the seq-2 update must
+    win, inserts under new keys for ≡2) merges onto the orders
+    snapshot.  FULL oracle: window replay of the same feed."""
+    from .operators.relational import apply_cdc
+    o = (load_tables(spark, sf_dir)["orders"]
+         .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    k = F.col("o_orderkey")
+
+    def chg(rows, seq, op, tp, st):
+        return rows.select(
+            k.alias("o_orderkey"), F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"), tp.alias("o_totalprice"),
+            st.alias("o_orderstatus"))
+
+    nul_d, nul_s = (F.lit(None).cast("double"),
+                    F.lit(None).cast("string"))
+    feed = (chg(o.where(k % 10 == 0), 1, "D", nul_d, nul_s)
+            .unionByName(chg(o.where(k % 10 == 1), 1, "D", nul_d, nul_s))
+            .unionByName(chg(o.where(k % 10 == 1), 2, "U",
+                             F.col("o_totalprice") + 1000, F.lit("U9")))
+            .unionByName(
+                o.where(k % 10 == 2).select(
+                    (k + 10000000).alias("o_orderkey"),
+                    F.lit(1).alias("seq"), F.lit("I").alias("op"),
+                    F.col("o_totalprice"), F.lit("N")
+                    .alias("o_orderstatus"))))
+    return apply_cdc(o, feed, "o_orderkey", "seq")
+
+
+_APPLY_CDC_ORACLE = """
+WITH snap AS (SELECT o_orderkey AS k, o_totalprice AS tp,
+                     o_orderstatus AS st FROM orders),
+chg AS (
+  SELECT o_orderkey AS k, 1 AS seq, 'D' AS op,
+         CAST(NULL AS DOUBLE) AS tp, CAST(NULL AS VARCHAR) AS st
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL SELECT o_orderkey, 1, 'D', NULL, NULL
+  FROM orders WHERE o_orderkey % 10 = 1
+  UNION ALL SELECT o_orderkey, 2, 'U', o_totalprice + 1000, 'U9'
+  FROM orders WHERE o_orderkey % 10 = 1
+  UNION ALL SELECT o_orderkey + 10000000, 1, 'I', o_totalprice, 'N'
+  FROM orders WHERE o_orderkey % 10 = 2),
+win AS (SELECT k, op, tp, st FROM (
+  SELECT k, op, tp, st,
+         row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+  FROM chg) WHERE rn = 1)
+SELECT COALESCE(s.k, w.k) AS o_orderkey,
+       CASE WHEN w.op IS NOT NULL THEN w.tp ELSE s.tp END
+         AS o_totalprice,
+       CASE WHEN w.op IS NOT NULL THEN w.st ELSE s.st END
+         AS o_orderstatus
+FROM snap s FULL OUTER JOIN win w ON s.k = w.k
+WHERE w.op IS NULL OR w.op != 'D'
+"""
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: first 6 merge rules learned from the
     documents corpus (Sennrich et al. 2016).  FULL oracle: integer
@@ -4942,6 +5000,7 @@ ORACLES: dict[str, str | None] = {
     "scc_parts": _SCC_ORACLE,
     "temperature_mixture": _TEMPERATURE_MIXTURE_ORACLE,
     "negative_samples": _NEGATIVE_SAMPLES_ORACLE,
+    "apply_cdc": _APPLY_CDC_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -5144,6 +5203,7 @@ QUERIES = {
     "scc_parts": q_scc,
     "temperature_mixture": q_temperature_mixture,
     "negative_samples": q_negative_samples,
+    "apply_cdc": q_apply_cdc,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -251,3 +251,23 @@ def test_profile_columns_single_pass(spark):
     # per-column re-scan): exactly one scan node in the plan
     plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.lower().count("scan existingrdd") <= 1
+
+
+def test_apply_cdc_semantics(spark):
+    from graphydb_spark.operators.relational import apply_cdc
+    snap = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")],
+        "k long, v double, s string")
+    feed = spark.createDataFrame(
+        [(2, 1, "D", None, None),          # delete 2
+         (3, 1, "U", 31.0, "c1"),          # update 3 ...
+         (3, 2, "U", 32.0, "c2"),          # ... seq 2 wins
+         (4, 1, "I", 40.0, "d"),           # insert new key
+         (5, 2, "D", None, None),          # insert-then-delete:
+         (5, 1, "I", 50.0, "e")],          # net effect = absent
+        "k long, seq int, op string, v double, s string")
+    got = {r["k"]: (r["v"], r["s"])
+           for r in apply_cdc(snap, feed, "k", "seq").collect()}
+    assert got == {1: (10.0, "a"),         # untouched passes through
+                   3: (32.0, "c2"),
+                   4: (40.0, "d")}
