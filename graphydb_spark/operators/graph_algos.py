@@ -725,15 +725,27 @@ def dag_layers(edges_df: DataFrame, max_iter: int = 32) -> DataFrame:
 
     Scale: the edge list is partitioned once on ``src`` and reused
     every round; per round only the node-sized layer frame shuffles.
+    Local/mid-scale note: per-round frames are row-heavy but
+    byte-light, so AQE's byte-based coalescing can starve the rounds
+    of tasks under the default 64 MB advisory — set
+    ``spark.sql.adaptive.advisoryPartitionSizeInBytes`` to a few MB
+    for iterative graph work (measured 4× on a 1M-edge DAG; the same
+    lesson as the triangle pair stages in BASELINE.md).
     """
     step = (edges_df.select(F.col("startuid").alias("src"),
                             F.col("enduid").alias("dst"))
             .distinct().repartition("src").localCheckpoint(eager=True))
+    # explicit parallelism for the per-round joins: AQE sizes stages by
+    # shuffled BYTES, but the compute here is row-proportional — a 1M-
+    # node layer frame compresses to ~40 MB and would coalesce onto 1-2
+    # tasks (the pair-explosion lesson from BASELINE.md, same cause)
+    np = max(step.rdd.getNumPartitions(),
+             edges_df.sparkSession.sparkContext.defaultParallelism)
     nodes = (step.select(F.col("src").alias("uid"))
              .unionByName(step.select(F.col("dst").alias("uid")))
              .distinct())
-    layers = nodes.withColumn("layer", F.lit(0).cast("long")) \
-        .localCheckpoint(eager=True)
+    layers = (nodes.withColumn("layer", F.lit(0).cast("long"))
+              .repartition(np, "uid").localCheckpoint(eager=True))
     prev_fp = None
     for i in range(max_iter):
         inc = (step.join(layers.withColumnRenamed("uid", "src")
@@ -745,6 +757,7 @@ def dag_layers(edges_df: DataFrame, max_iter: int = 32) -> DataFrame:
                           F.greatest("layer", F.coalesce("__cand",
                                                          F.lit(0)))
                           .alias("layer"))
+                  .repartition(np, "uid")
                   .localCheckpoint(eager=True))
         fp = layers.agg(F.count(F.lit(1)).cast("long"),
                         F.sum("layer").cast("long")).collect()[0]
@@ -779,7 +792,9 @@ def strongly_connected_components(edges_df: DataFrame,
     Scale shape: edge frames are (re-)checkpointed per outer round and
     partitioned on the join key; every propagation/BFS step shuffles
     only node-sized frames.  Rounds are bounded by the condensation
-    depth (outer) × graph diameter (inner).
+    depth (outer) × graph diameter (inner).  As with
+    :func:`dag_layers`, lower the AQE advisory partition size for
+    byte-light/row-heavy graphs so rounds keep their task width.
     """
     base = (edges_df.select(F.col("startuid").alias("src"),
                             F.col("enduid").alias("dst"))
@@ -792,16 +807,21 @@ def strongly_connected_components(edges_df: DataFrame,
                      .select(F.col("startuid").alias("uid")))
                  .distinct().localCheckpoint(eager=True))
     assigned = None
+    # explicit per-round parallelism: the node-sized frames compress to
+    # a few MB, so AQE would coalesce the row-proportional join work
+    # onto 1-2 tasks (cf. the same fix in dag_layers / BASELINE.md)
+    np = max(base.rdd.getNumPartitions(),
+             edges_df.sparkSession.sparkContext.defaultParallelism)
     for _ in range(max_outer):
         if remaining.limit(1).count() == 0:
             return assigned
         er = (base.join(remaining.withColumnRenamed("uid", "src"), "src")
               .join(remaining.withColumnRenamed("uid", "dst"), "dst")
-              .select("src", "dst").repartition("src")
+              .select("src", "dst").repartition(np, "src")
               .localCheckpoint(eager=True))
         # forward max-label propagation to fixpoint
         color = remaining.withColumn("c", F.col("uid")) \
-            .localCheckpoint(eager=True)
+            .repartition(np, "uid").localCheckpoint(eager=True)
         for _i in range(max_inner):
             inc = (er.join(color.select(F.col("uid").alias("src"),
                                         F.col("c").alias("__in")), "src")
@@ -810,6 +830,7 @@ def strongly_connected_components(edges_df: DataFrame,
             nxt = (color.join(inc, "uid", "left")
                    .select("uid", F.greatest("c", F.coalesce(
                        "__m", F.col("c"))).alias("c"))
+                   .repartition(np, "uid")
                    .localCheckpoint(eager=True))
             changed = (nxt.join(color.withColumnRenamed("c", "__old"),
                                 "uid")

@@ -240,3 +240,20 @@ def stream_dedup(spark, source_dir: str, schema,
               .load(source_dir)
               .withWatermark(ts_col, watermark))
     return events.dropDuplicatesWithinWatermark(keys)
+
+
+def stream_enrich(spark, source_dir: str, schema, dim_df,
+                  on: str, dim_cols: list[str] | None = None):
+    """Stream-static enrichment: join each micro-batch of the stream
+    against a static dimension frame on ``on`` — the canonical
+    dimension-lookup stage of a streaming pipeline.  Spark plans the
+    static side as a broadcast per micro-batch (dimension-sized, never
+    the stream), so state stays empty and throughput is the narrow-map
+    rate; for a dimension too big to broadcast, pre-bucket both sides
+    on the key instead.  Left join keeps unmatched events (nulls), the
+    lossless ingest default."""
+    events = (spark.readStream.format("parquet").schema(schema)
+              .load(source_dir))
+    dim = dim_df.select(
+        on, *(dim_cols or [c for c in dim_df.columns if c != on]))
+    return events.join(dim, on, "left")

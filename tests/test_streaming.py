@@ -194,3 +194,31 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # first window emitted exactly its on-time count — the late event
     # neither reopened it nor produced a second row for the same window
     assert got.get(base) == 30
+
+
+def test_stream_enrich_equals_batch_join(spark, events, tmp_path):
+    """Stream-static enrichment over the same rows equals the batch
+    left join; unmatched events survive with nulls."""
+    from graphydb_spark.streaming.windows import stream_enrich
+    src = str(tmp_path / "events_enrich")
+    events.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    users = sorted(r["user_id"]
+                   for r in events.select("user_id").distinct().collect())
+    half = users[: len(users) // 2]                    # rest stay unmatched
+    dim = spark.createDataFrame(
+        [(u, f"tier{u % 3}") for u in half], "user_id long, tier string")
+    out = stream_enrich(spark, src, schema, dim, on="user_id")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("t_enrich").start())
+    try:
+        q.processAllAvailable()
+        got = {(r["event_id"], r["tier"])
+               for r in spark.sql("SELECT event_id, tier FROM t_enrich")
+               .collect()}
+    finally:
+        q.stop()
+    want = {(r["event_id"], r["tier"])
+            for r in events.join(dim, "user_id", "left")
+            .select("event_id", "tier").collect()}
+    assert got == want and any(t is None for _, t in got)
