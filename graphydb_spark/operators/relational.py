@@ -349,3 +349,61 @@ def apply_cdc(snapshot: DataFrame, changes: DataFrame, key_col: str,
         else:
             cols.append(F.col(c))
     return out.where(keep).select(*cols)
+
+
+def histogram(df: DataFrame, col: str, bins: int = 10,
+              lo: float | None = None, hi: float | None = None
+              ) -> DataFrame:
+    """Equi-width histogram of a numeric column → ``(bin, lo, hi, n)``
+    (empty bins included — a plottable profile, not a sparse count).
+
+    Bounds default to the observed min/max (one tiny aggregate).  The
+    binning is a pure codegen expression + one map-side-combinable
+    count; the dense bin spine comes from a ``sequence`` explode over
+    the bins constant.  Values exactly at ``hi`` fold into the last
+    bin (the standard closed-right-edge rule).
+    """
+    if lo is None or hi is None:
+        row = df.agg(F.min(F.col(col).cast("double")).alias("lo"),
+                     F.max(F.col(col).cast("double")).alias("hi")) \
+                .collect()[0]
+        lo = row["lo"] if lo is None else lo
+        hi = row["hi"] if hi is None else hi
+    width = (hi - lo) / bins or 1.0
+    b = F.least(F.lit(bins - 1),
+                F.floor((F.col(col).cast("double") - F.lit(lo))
+                        / F.lit(width)).cast("long"))
+    counts = (df.where(F.col(col).isNotNull()
+                       & (F.col(col).cast("double") >= lo)
+                       & (F.col(col).cast("double") <= hi))
+              .groupBy(b.alias("bin")).agg(F.count("*").alias("n")))
+    spine = (df.sparkSession.range(bins)
+             .select(F.col("id").alias("bin")))
+    return (spine.join(counts, "bin", "left")
+            .select("bin",
+                    F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6)
+                    .alias("lo"),
+                    F.round(F.lit(lo) + (F.col("bin") + 1)
+                            * F.lit(width), 6).alias("hi"),
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n")))
+
+
+def winsorize(df: DataFrame, col: str, lower_pct: float = 0.01,
+              upper_pct: float = 0.99,
+              out_col: str | None = None) -> DataFrame:
+    """Winsorization (percentile clipping): values below the
+    ``lower_pct`` exact percentile clamp up to it, above ``upper_pct``
+    clamp down — the outlier-robust normalization step before scoring/
+    training on heavy-tailed metrics.  One exact-percentile aggregate
+    (linear interpolation, the engine-portable definition shared with
+    the percentile queries), then a narrow clamp map — no shuffle of
+    the data itself."""
+    row = df.agg(
+        F.expr(f"percentile({col}, {lower_pct!r})").alias("lo"),
+        F.expr(f"percentile({col}, {upper_pct!r})").alias("hi")) \
+        .collect()[0]
+    lo, hi = float(row["lo"]), float(row["hi"])
+    return df.withColumn(
+        out_col or f"{col}_winsorized",
+        F.round(F.least(F.greatest(F.col(col).cast("double"),
+                                   F.lit(lo)), F.lit(hi)), 6))

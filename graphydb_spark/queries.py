@@ -3321,6 +3321,52 @@ WHERE w.op IS NULL OR w.op != 'D'
 """
 
 
+def q_histogram_values(spark, sf_dir):
+    """Equi-width 10-bin histogram of events.value with a dense bin
+    spine (empty bins present).  FULL oracle — bounds/width/binning
+    replay as the same double expressions."""
+    from .operators.relational import histogram
+    return histogram(_events(spark, sf_dir), "value", bins=10)
+
+
+_HISTOGRAM_ORACLE = """
+WITH b AS (SELECT MIN(CAST(value AS DOUBLE)) AS blo,
+                  MAX(CAST(value AS DOUBLE)) AS bhi FROM events),
+p AS (SELECT blo, bhi, (bhi - blo) / 10 AS w FROM b),
+c AS (SELECT LEAST(9, CAST(floor((CAST(value AS DOUBLE) - blo) / w)
+                           AS BIGINT)) AS bin,
+             COUNT(*) AS n
+      FROM events, p
+      WHERE value IS NOT NULL AND CAST(value AS DOUBLE) >= blo
+        AND CAST(value AS DOUBLE) <= bhi
+      GROUP BY 1),
+spine AS (SELECT t.b AS bin FROM UNNEST(range(0, 10)) AS t(b))
+SELECT s.bin, round(p.blo + s.bin * p.w, 6) AS lo,
+       round(p.blo + (s.bin + 1) * p.w, 6) AS hi,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM spine s CROSS JOIN p LEFT JOIN c ON c.bin = s.bin
+"""
+
+
+def q_winsorize_values(spark, sf_dir):
+    """p01/p99 winsorization of events.value (outlier-robust clamp).
+    FULL oracle: exact linear-interpolation percentiles (the shared
+    portable definition), clamp rounded to 6 dp."""
+    from .operators.relational import winsorize
+    out = winsorize(_events(spark, sf_dir), "value")
+    return out.select("event_id", "value_winsorized")
+
+
+_WINSORIZE_ORACLE = """
+WITH p AS (SELECT quantile_cont(value, 0.01) AS lo,
+                  quantile_cont(value, 0.99) AS hi FROM events)
+SELECT event_id,
+       round(LEAST(GREATEST(CAST(value AS DOUBLE), lo), hi), 6)
+       AS value_winsorized
+FROM events, p
+"""
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: first 6 merge rules learned from the
     documents corpus (Sennrich et al. 2016).  FULL oracle: integer
@@ -5001,6 +5047,8 @@ ORACLES: dict[str, str | None] = {
     "temperature_mixture": _TEMPERATURE_MIXTURE_ORACLE,
     "negative_samples": _NEGATIVE_SAMPLES_ORACLE,
     "apply_cdc": _APPLY_CDC_ORACLE,
+    "histogram_values": _HISTOGRAM_ORACLE,
+    "winsorize_values": _WINSORIZE_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -5204,6 +5252,8 @@ QUERIES = {
     "temperature_mixture": q_temperature_mixture,
     "negative_samples": q_negative_samples,
     "apply_cdc": q_apply_cdc,
+    "histogram_values": q_histogram_values,
+    "winsorize_values": q_winsorize_values,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -271,3 +271,29 @@ def test_apply_cdc_semantics(spark):
     assert got == {1: (10.0, "a"),         # untouched passes through
                    3: (32.0, "c2"),
                    4: (40.0, "d")}
+
+
+def test_histogram_dense_bins_and_edge_rule(spark):
+    from graphydb_spark.operators.relational import histogram
+    df = spark.createDataFrame([(float(v),) for v in
+                                [0, 1, 2, 5, 9, 10, 10]], "v double")
+    got = {r["bin"]: (r["lo"], r["hi"], r["n"])
+           for r in histogram(df, "v", bins=5).collect()}
+    assert len(got) == 5                       # dense spine
+    assert got[0] == (0.0, 2.0, 2)             # 0, 1
+    assert got[1] == (2.0, 4.0, 1)             # 2
+    assert got[2] == (4.0, 6.0, 1)             # 5
+    assert got[3] == (6.0, 8.0, 0)             # empty bin present
+    assert got[4] == (8.0, 10.0, 3)            # 9 + the two max values
+
+
+def test_winsorize_clamps_tails(spark):
+    from graphydb_spark.operators.relational import winsorize
+    vals = [float(v) for v in range(1, 100)] + [10000.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "event_id long, value double")
+    out = {r["event_id"]: r["value_winsorized"]
+           for r in winsorize(df, "value").collect()}
+    assert out[99] < 10000.0                   # outlier clamped
+    assert out[50] == 51.0                     # body untouched
+    assert max(out.values()) == out[99]
