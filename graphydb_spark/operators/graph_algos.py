@@ -911,3 +911,21 @@ def negative_samples(edges_df: DataFrame, k: int = 5,
     sym = e.unionByName(e.select(F.col("dst").alias("src"),
                                  F.col("src").alias("dst")))
     return cand.join(sym, ["src", "dst"], "left_anti")
+
+
+def reciprocity(edges_df: DataFrame) -> DataFrame:
+    """Graph reciprocity: the fraction of directed (non-loop, distinct)
+    edges whose reverse edge also exists — a 1-row frame
+    ``(n_edges, n_reciprocated, reciprocity)``.  One self-semi-join on
+    the swapped pair + two counts; the ratio is exact-integer division
+    rounded to 6 dp."""
+    e = (edges_df.select(F.col("startuid").alias("src"),
+                         F.col("enduid").alias("dst"))
+         .where(F.col("src") != F.col("dst")).distinct())
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    rec = e.join(rev, ["src", "dst"], "left_semi")
+    return (e.agg(F.count("*").alias("n_edges"))
+            .crossJoin(rec.agg(F.count("*").alias("n_reciprocated")))
+            .select("n_edges", "n_reciprocated",
+                    F.round(F.col("n_reciprocated") / F.col("n_edges"),
+                            6).alias("reciprocity")))

@@ -275,3 +275,35 @@ def bpe_apply(df: DataFrame, merges: list[tuple[str, str]],
     n = F.aggregate(F.transform(toks, encode_word), F.lit(0),
                     lambda a, v: a + v)
     return df.select(id_col, n.cast("long").alias("n_bpe_tokens"))
+
+
+def tfidf_topk(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Top-``k`` keywords per document by TF-IDF → ``(id, term, rank)``
+    with ``tfidf`` rounded to 6 dp — the classic keyword-extraction /
+    relevance-weighting primitive feeding search indexes and dedup
+    blocking keys.
+
+    ``tf`` = in-document term count; ``idf`` = ln(N / df) with exact
+    integer N and df.  Shape: one (doc, term) count aggregate (map-side
+    combinable), one document-frequency aggregate over the distinct
+    (doc, term) pairs, a broadcast-sized join back, and a per-doc rank
+    window whose WindowGroupLimit keeps ≤ k rows per doc per partition.
+    Deterministic: ties break lexicographically on the term.
+    """
+    n_docs = df.select(id_col).distinct().count()
+    toks = (df.select(F.col(id_col),
+                      F.explode(tokens(F.col(text_col))).alias("term")))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    idf = (tf.groupBy("term").agg(F.count("*").alias("df"))
+           .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df"))))
+    scored = (tf.join(idf.select("term", "idf"), "term")
+              .withColumn("tfidf",
+                          F.round(F.col("tf") * F.col("idf"), 6)))
+    from pyspark.sql import Window as W
+    w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(),
+                                      F.col("term"))
+    return (scored.withColumn("rank", F.row_number().over(w)
+                              .cast("long"))
+            .where(F.col("rank") <= k)
+            .select(id_col, "term", "tfidf", "rank"))

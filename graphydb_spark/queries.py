@@ -3367,6 +3367,78 @@ FROM events, p
 """
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document (exact integer tf/df, natural
+    log idf, 6 dp, term tiebreak).  FULL oracle."""
+    from .operators.text import tfidf_topk
+    return tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM (SELECT doc_id, list_filter(
+          string_split_regex(lower(text), '[^a-z0-9]+'),
+          x -> x != '') AS ws FROM documents),
+       UNNEST(ws) AS t(term)),
+n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+idf AS (SELECT term, ln(CAST((SELECT nd FROM n) AS DOUBLE) / COUNT(*))
+               AS idf
+        FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, round(tf.tf * idf.idf, 6) AS tfidf
+  FROM tf JOIN idf USING (term))
+SELECT doc_id, term, tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS BIGINT)
+       AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+def q_reciprocity(spark, sf_dir):
+    """Reciprocity of the order-ring part graph (2-part orders close
+    mutually-reciprocated pairs).  FULL oracle — exact integer counts."""
+    from pyspark.sql import Window as W
+    li = (load_tables(spark, sf_dir)["lineitem"]
+          .where(F.col("l_orderkey") < 100)
+          .select("l_orderkey", "l_partkey").distinct())
+    w = W.partitionBy("l_orderkey").orderBy("l_partkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ring = li.select(
+        F.concat(F.lit("Part:"), F.col("l_partkey").cast("string"))
+        .alias("startuid"),
+        F.concat(F.lit("Part:"),
+                 F.coalesce(F.lead("l_partkey").over(w),
+                            F.first("l_partkey").over(wf))
+                 .cast("string")).alias("enduid"))
+    return graph_algos.reciprocity(ring)
+
+
+_RECIPROCITY_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_orderkey < 100),
+ring AS (
+  SELECT 'Part:' || CAST(p AS VARCHAR) AS src,
+         'Part:' || CAST(COALESCE(
+             lead(p) OVER (PARTITION BY o ORDER BY p),
+             first_value(p) OVER (PARTITION BY o ORDER BY p))
+           AS VARCHAR) AS dst
+  FROM li),
+e AS (SELECT DISTINCT src, dst FROM ring WHERE src != dst),
+rec AS (SELECT COUNT(*) AS nr FROM e
+        WHERE EXISTS (SELECT 1 FROM e e2
+                      WHERE e2.src = e.dst AND e2.dst = e.src))
+SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+       nr AS n_reciprocated,
+       round(nr / (SELECT COUNT(*) FROM e), 6) AS reciprocity
+FROM rec
+"""
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: first 6 merge rules learned from the
     documents corpus (Sennrich et al. 2016).  FULL oracle: integer
@@ -5049,6 +5121,8 @@ ORACLES: dict[str, str | None] = {
     "apply_cdc": _APPLY_CDC_ORACLE,
     "histogram_values": _HISTOGRAM_ORACLE,
     "winsorize_values": _WINSORIZE_ORACLE,
+    "tfidf_keywords": _TFIDF_ORACLE,
+    "reciprocity_parts": _RECIPROCITY_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -5254,6 +5328,8 @@ QUERIES = {
     "apply_cdc": q_apply_cdc,
     "histogram_values": q_histogram_values,
     "winsorize_values": q_winsorize_values,
+    "tfidf_keywords": q_tfidf_keywords,
+    "reciprocity_parts": q_reciprocity,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

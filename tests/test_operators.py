@@ -1228,3 +1228,31 @@ def test_negative_samples_avoid_real_edges(spark):
     again = [(r["src"], r["dst"])
              for r in negative_samples(edges, k=4).collect()]
     assert sorted(out) == sorted(again)
+
+
+def test_tfidf_topk_ranks_distinctive_terms(spark):
+    from graphydb_spark.operators.text import tfidf_topk
+    docs = spark.createDataFrame(
+        [(1, "common common apple apple apple"),
+         (2, "common common banana"),
+         (3, "common cherry cherry")],
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["rank"]): r["term"]
+           for r in tfidf_topk(docs, k=2).collect()}
+    # 'common' appears in every doc -> idf = ln(1) = 0; distinctive
+    # terms must outrank it
+    assert got[(1, 1)] == "apple"
+    assert got[(2, 1)] == "banana"
+    assert got[(3, 1)] == "cherry"
+
+
+def test_reciprocity_counts(spark):
+    from graphydb_spark.operators.graph_algos import reciprocity
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"),      # reciprocated pair
+         ("b", "c"),                  # one-way
+         ("d", "d")],                 # self-loop excluded
+        "startuid string, enduid string")
+    r = reciprocity(edges).collect()[0]
+    assert (r["n_edges"], r["n_reciprocated"]) == (3, 2)
+    assert abs(r["reciprocity"] - round(2 / 3, 6)) < 1e-9
