@@ -501,9 +501,15 @@ def incremental_dedup(new_docs: DataFrame, history_index: DataFrame,
     can be written bucketed by ``content_hash`` to make this join
     shuffle-free on the big side) plus one min-id aggregate over the
     batch.  The batch never shuffles its text, only (id, hash).
+
+    NULL text fingerprints as the empty string (md5(NULL) would be
+    NULL and silently fall out of the hash joins — every batch row
+    must receive a status).
     """
-    fp = new_docs.select(F.col(id_col),
-                         F.md5(F.col(text_col)).alias("content_hash"))
+    fp = new_docs.select(
+        F.col(id_col),
+        F.md5(F.coalesce(F.col(text_col), F.lit("")))
+        .alias("content_hash"))
     hist = history_index.select("content_hash").distinct()
     first = (fp.groupBy("content_hash")
              .agg(F.min(id_col).alias("__first_id")))

@@ -806,6 +806,8 @@ def strongly_connected_components(edges_df: DataFrame,
                      F.col("startuid") == F.col("enduid"))
                      .select(F.col("startuid").alias("uid")))
                  .distinct().localCheckpoint(eager=True))
+    empty = edges_df.sparkSession.createDataFrame(
+        [], "uid string, scc string")
     assigned = None
     # explicit per-round parallelism: the node-sized frames compress to
     # a few MB, so AQE would coalesce the row-proportional join work
@@ -814,7 +816,7 @@ def strongly_connected_components(edges_df: DataFrame,
              edges_df.sparkSession.sparkContext.defaultParallelism)
     for _ in range(max_outer):
         if remaining.limit(1).count() == 0:
-            return assigned
+            return assigned if assigned is not None else empty
         er = (base.join(remaining.withColumnRenamed("uid", "src"), "src")
               .join(remaining.withColumnRenamed("uid", "dst"), "dst")
               .select("src", "dst").repartition(np, "src")
@@ -839,6 +841,13 @@ def strongly_connected_components(edges_df: DataFrame,
             color = nxt
             if changed == 0:
                 break
+        else:
+            # an unconverged coloring would mint FALSE roots and split
+            # real SCCs — wrong output, so fail loudly instead
+            raise RuntimeError(
+                f"scc color propagation did not converge in {max_inner} "
+                "rounds (graph diameter exceeds max_inner) — raise "
+                "max_inner")
         # backward BFS from the color roots inside their color class
         roots = color.where(F.col("c") == F.col("uid")) \
             .select("uid", F.col("c").alias("root"))
@@ -857,6 +866,10 @@ def strongly_connected_components(edges_df: DataFrame,
                 break
             reach = reach.unionByName(step).localCheckpoint(eager=True)
             frontier = step
+        else:
+            raise RuntimeError(
+                f"scc backward reach did not converge in {max_inner} "
+                "rounds — raise max_inner")
         comp_min = reach.groupBy("root").agg(F.min("uid").alias("scc"))
         found = (reach.join(comp_min, "root").select("uid", "scc")
                  .localCheckpoint(eager=True))

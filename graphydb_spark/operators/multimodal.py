@@ -313,6 +313,8 @@ def resize_png(body: bytes, max_side: int) -> tuple[bytes, int, int] | None:
         return None
     raster, ctype = d
     h, w = raster.shape[:2]
+    if max(w, h) <= max_side:
+        return body, w, h          # already small: pass through verbatim
     scale = min(1.0, max_side / max(w, h, 1))
     nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
     yi = (np.arange(nh) * (h / nh)).astype(int)
@@ -552,6 +554,8 @@ def resize_bmp(body: bytes, max_side: int) -> tuple[bytes, int, int] | None:
     row = (3 * w + 3) & ~3
     if len(body) < off + row * hh:
         return None
+    if max(w, hh) <= max_side:
+        return body, w, hh         # already small: pass through verbatim
     raster = (np.frombuffer(body, dtype=np.uint8, count=row * hh,
                             offset=off)
               .reshape(hh, row)[:, :3 * w].reshape(hh, w, 3))

@@ -635,6 +635,11 @@ def zorder_key(df: DataFrame, cols: list[str],
     One tiny min/max aggregate per call (collected; broadcast as
     literals); the key itself is a pure codegen expression.
     """
+    if len(cols) * bits > 63:
+        raise ValueError(
+            f"{len(cols)} columns × {bits} bits = {len(cols) * bits} "
+            "interleave bits — exceeds the 63 usable bits of the BIGINT "
+            "key (shiftleft would wrap mod 64); lower bits or cols")
     aggs = []
     for c in cols:
         aggs += [F.min(F.col(c).cast("double")).alias(f"lo_{c}"),
@@ -678,9 +683,17 @@ def compact_table(spark, path: str, target_file_mb: int = 128) -> int:
     ``ceil(bytes / target)`` files (the lakehouse OPTIMIZE maintenance
     pass — streaming ingests and fine-grained merges strand thousands
     of tiny files whose per-file open/footer cost dominates scans at
-    100 TB).  Returns the new file count.  The rewrite stages into a
-    sibling directory first and swaps only after success, so a failed
-    compaction never destroys the table."""
+    100 TB).  Returns the new file count.
+
+    Failure contract: the rewrite stages into a sibling directory, so a
+    failed WRITE never touches the table.  The swap itself is two
+    renames (plain filesystems have no atomic directory swap): a crash
+    between them leaves the data intact in ``<path>.__old`` +
+    ``<path>.__compacting`` (never lost, manual rename recovers), and a
+    failed second rename is rolled back automatically.  On a real
+    deployment, readers racing the swap should go through a catalog /
+    table format — this is the maintenance primitive, not a lock
+    manager."""
     import math
     import shutil
 
@@ -691,10 +704,14 @@ def compact_table(spark, path: str, target_file_mb: int = 128) -> int:
     staged = str(root.with_name(root.name + ".__compacting"))
     (spark.read.parquet(path).repartition(n_files)
      .write.mode("overwrite").parquet(staged))
-    backup = str(root.with_name(root.name + ".__old"))
+    backup = root.with_name(root.name + ".__old")
     shutil.rmtree(backup, ignore_errors=True)
     root.rename(backup)
-    Path(staged).rename(root)
+    try:
+        Path(staged).rename(root)
+    except OSError:
+        backup.rename(root)        # roll the table back into place
+        raise
     shutil.rmtree(backup)
     return n_files
 

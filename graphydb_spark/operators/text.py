@@ -235,11 +235,13 @@ def bpe_train(df: DataFrame, text_col: str = "text",
         pat = F.lit(f" {lhs} {rhs} ")
         rep = F.lit(f" {lhs}{rhs} ")
         padded = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
-        nxt = words.sparkSession  # noqa: F841  (kept: session liveness)
         prev = seqs
         seqs = prev.select(
             F.trim(F.replace(F.replace(padded, pat, rep), pat, rep)
                    ).alias("seq"), "freq").cache()
+        # materialize the new cache BEFORE dropping the old one — else
+        # every later round re-derives the whole lineage from the corpus
+        seqs.count()
         prev.unpersist()
     seqs.unpersist()
     return spark.createDataFrame(

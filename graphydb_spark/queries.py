@@ -2959,9 +2959,9 @@ def q_incremental_dedup(spark, sf_dir):
 
 
 _INCREMENTAL_DEDUP_ORACLE = """
-WITH fp AS (SELECT doc_id, md5(text) AS content_hash
+WITH fp AS (SELECT doc_id, md5(COALESCE(text, '')) AS content_hash
             FROM documents WHERE doc_id >= 250),
-hist AS (SELECT DISTINCT md5(text) AS content_hash
+hist AS (SELECT DISTINCT md5(COALESCE(text, '')) AS content_hash
          FROM documents WHERE doc_id < 250),
 first AS (SELECT content_hash, MIN(doc_id) AS first_id
           FROM fp GROUP BY 1)
@@ -3332,7 +3332,9 @@ def q_histogram_values(spark, sf_dir):
 _HISTOGRAM_ORACLE = """
 WITH b AS (SELECT MIN(CAST(value AS DOUBLE)) AS blo,
                   MAX(CAST(value AS DOUBLE)) AS bhi FROM events),
-p AS (SELECT blo, bhi, (bhi - blo) / 10 AS w FROM b),
+p AS (SELECT blo, bhi,
+             CASE WHEN (bhi - blo) / 10 = 0 THEN 1.0
+                  ELSE (bhi - blo) / 10 END AS w FROM b),
 c AS (SELECT LEAST(9, CAST(floor((CAST(value AS DOUBLE) - blo) / w)
                            AS BIGINT)) AS bin,
              COUNT(*) AS n

@@ -1256,3 +1256,35 @@ def test_reciprocity_counts(spark):
     r = reciprocity(edges).collect()[0]
     assert (r["n_edges"], r["n_reciprocated"]) == (3, 2)
     assert abs(r["reciprocity"] - round(2 / 3, 6)) < 1e-9
+
+
+def test_incremental_dedup_null_text_gets_status(spark):
+    from pyspark.sql import functions as F
+
+    from graphydb_spark.operators.dedup import incremental_dedup
+    hist = (spark.createDataFrame([(1, "x")], "doc_id long, text string")
+            .select(F.md5(F.coalesce("text", F.lit("")))
+                    .alias("content_hash")))
+    new = spark.createDataFrame([(10, None), (11, "x")],
+                                "doc_id long, text string")
+    got = {r["doc_id"]: r["status"]
+           for r in incremental_dedup(new, hist).collect()}
+    assert got == {10: "kept", 11: "dup_history"}  # null row not lost
+
+
+def test_scc_empty_graph_returns_empty_frame(spark):
+    from graphydb_spark.operators.graph_algos import \
+        strongly_connected_components as scc
+    empty = spark.createDataFrame([], "startuid string, enduid string")
+    out = scc(empty)
+    assert out.columns == ["uid", "scc"] and out.count() == 0
+
+
+def test_zorder_key_rejects_overflow(spark):
+    import pytest
+
+    from graphydb_spark.operators.pipeline import zorder_key
+    df = spark.range(10).select(*[(F.col("id") + i).alias(f"c{i}")
+                                  for i in range(5)])
+    with pytest.raises(ValueError, match="63 usable bits"):
+        zorder_key(df, [f"c{i}" for i in range(5)], bits=16)
