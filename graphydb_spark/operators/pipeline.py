@@ -745,3 +745,18 @@ def temperature_mixture(df: DataFrame, source_col: str, key_col: str,
     return (df.join(F.broadcast(rates), source_col)
             .where(_keeps(F.col(key_col), F.col("_rate")))
             .drop("_rate"))
+
+
+def grouped_split(df: DataFrame, group_col: str,
+                  val: float = 0.05, test: float = 0.05) -> DataFrame:
+    """Leakage-safe holdout split: the hash band is computed on
+    ``group_col`` instead of the row key, so EVERY row of a group (all
+    documents of one source/domain, all near-dup cluster members, all
+    chunks of one document) lands in the same split — the
+    GroupShuffleSplit rule that keeps eval honest when rows within a
+    group are correlated (per-row splits leak near-copies of training
+    rows into validation).
+
+    Same contract as :func:`train_val_test_split`: stable across
+    reruns/engines/data growth, pure narrow map, no shuffle."""
+    return train_val_test_split(df, group_col, val=val, test=test)

@@ -3441,6 +3441,31 @@ FROM rec
 """
 
 
+def q_grouped_split(spark, sf_dir):
+    """Leakage-safe holdout split: the hash band keys on the SOURCE, so
+    every document of a source lands in one split (GroupShuffleSplit).
+    FULL oracle — same band-edge hex literals on the group key."""
+    from .operators.pipeline import grouped_split
+    out = grouped_split(_docs(spark, sf_dir), "source",
+                        val=0.2, test=0.2)
+    return out.select("doc_id", "source", "split")
+
+
+_GROUPED_SPLIT_ORACLE = """
+SELECT doc_id, source,
+       CASE
+         WHEN substr(md5(source), 1, 4)
+              < printf('%04x', CAST(ceil(0.2 * 65536) AS INT))
+           THEN 'val'
+         WHEN substr(md5(source), 1, 4)
+              < printf('%04x', CAST(ceil(0.4 * 65536) AS INT))
+           THEN 'test'
+         ELSE 'train'
+       END AS split
+FROM documents
+"""
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: first 6 merge rules learned from the
     documents corpus (Sennrich et al. 2016).  FULL oracle: integer
@@ -5125,6 +5150,7 @@ ORACLES: dict[str, str | None] = {
     "winsorize_values": _WINSORIZE_ORACLE,
     "tfidf_keywords": _TFIDF_ORACLE,
     "reciprocity_parts": _RECIPROCITY_ORACLE,
+    "grouped_split": _GROUPED_SPLIT_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -5332,6 +5358,7 @@ QUERIES = {
     "winsorize_values": q_winsorize_values,
     "tfidf_keywords": q_tfidf_keywords,
     "reciprocity_parts": q_reciprocity,
+    "grouped_split": q_grouped_split,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

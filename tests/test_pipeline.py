@@ -347,3 +347,17 @@ def test_temperature_mixture_flattens_skew(spark):
     again = temperature_mixture(df, "source", "doc_id", alpha=0.5)
     assert sorted(r["doc_id"] for r in out.collect()) == \
         sorted(r["doc_id"] for r in again.collect())
+
+
+def test_grouped_split_keeps_groups_intact(spark):
+    from pyspark.sql import functions as F
+
+    from graphydb_spark.operators.pipeline import grouped_split
+    df = spark.createDataFrame(
+        [(i, f"src{i % 7}") for i in range(700)],
+        "doc_id long, source string")
+    out = grouped_split(df, "source", val=0.3, test=0.3)
+    per_source = (out.groupBy("source")
+                  .agg(F.countDistinct("split").alias("k")).collect())
+    assert all(r["k"] == 1 for r in per_source)   # no group straddles
+    assert out.select("split").distinct().count() >= 2
