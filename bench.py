@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "line_dedup",
     "bigram_logprob",
     "resample_locf",
+    "containment_pairs",
     # (sssp_cost is excluded for the same reason as dedup_clusters: the
     # plan-cached frame holds checkpointed final distances, so a re-count
     # would measure a re-read, not the iterative relaxation)

@@ -407,3 +407,41 @@ def winsorize(df: DataFrame, col: str, lower_pct: float = 0.01,
         out_col or f"{col}_winsorized",
         F.round(F.least(F.greatest(F.col(col).cast("double"),
                                    F.lit(lo)), F.lit(hi)), 6))
+
+
+def interval_lookup(df: DataFrame, ranges: DataFrame, value_col: str,
+                    key_cols: list[str], lo_col: str = "lo",
+                    hi_col: str = "hi",
+                    bucket_width: float | None = None) -> DataFrame:
+    """Enrich each row with the attributes of the (non-overlapping,
+    half-open ``[lo, hi)``) range containing ``value_col`` — the
+    IP-to-geo / value-band lookup.  Rows matching no range keep nulls.
+
+    A naive BETWEEN join plans as a nested-loop scan of the range table
+    per row; this is the bucket decomposition instead: every range
+    explodes into the fixed-width buckets it covers, the probe side
+    maps to its single bucket, and the match is a broadcast equi-join
+    on the bucket + a residual BETWEEN — candidates per row are bounded
+    by ranges-per-bucket, not the range-table size.  Non-overlap means
+    at most one range hits, so the matched attributes left-join back
+    onto the input by ``key_cols`` (the input's unique key) — no
+    window, two joins, the probe side never fans out.  ``bucket_width``
+    defaults to the mean range width (wide ranges cost a few extra
+    bucket rows on the tiny build side only).
+    """
+    if bucket_width is None:
+        row = ranges.agg(F.avg(F.col(hi_col) - F.col(lo_col))
+                         .alias("w")).collect()[0]
+        bucket_width = float(row["w"]) or 1.0
+    w = F.lit(float(bucket_width))
+    r = ranges.withColumn(
+        "__b", F.explode(F.sequence(F.floor(F.col(lo_col) / w),
+                                    F.floor(F.col(hi_col) / w))))
+    v = F.col(value_col).cast("double")
+    attr = [c for c in ranges.columns if c not in (lo_col, hi_col)]
+    matched = (df.select(*key_cols, value_col)
+               .withColumn("__b", F.floor(v / w))
+               .join(F.broadcast(r), "__b")
+               .where((v >= F.col(lo_col)) & (v < F.col(hi_col)))
+               .select(*key_cols, *attr))
+    return df.join(matched, key_cols, "left")

@@ -3466,6 +3466,36 @@ FROM documents
 """
 
 
+_VALUE_BANDS = [(0.0, 1.0, "tiny"), (1.0, 2.0, "small"),
+                (2.0, 4.0, "low"), (4.0, 8.0, "mid"),
+                (8.0, 16.0, "high"), (16.0, 64.0, "big"),
+                (64.0, 1024.0, "huge")]
+
+
+def q_interval_lookup(spark, sf_dir):
+    """Value-band enrichment of events via the bucketed interval lookup
+    (non-uniform power-of-two bands — the IP-geo shape).  FULL oracle:
+    the bands inline as VALUES and DuckDB's BETWEEN join replays the
+    same half-open semantics."""
+    from .operators.relational import interval_lookup
+    ranges = spark.createDataFrame(_VALUE_BANDS,
+                                   "lo double, hi double, band string")
+    out = interval_lookup(_events(spark, sf_dir), ranges, "value",
+                          key_cols=["event_id"])
+    return out.select("event_id", "value", "band")
+
+
+def _interval_lookup_oracle_sql() -> str:
+    vals = ", ".join(f"({lo!r}, {hi!r}, '{b}')"
+                     for lo, hi, b in _VALUE_BANDS)
+    return f"""
+WITH bands(lo, hi, band) AS (VALUES {vals})
+SELECT e.event_id, e.value, b.band
+FROM events e LEFT JOIN bands b
+  ON CAST(e.value AS DOUBLE) >= b.lo AND CAST(e.value AS DOUBLE) < b.hi
+"""
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: first 6 merge rules learned from the
     documents corpus (Sennrich et al. 2016).  FULL oracle: integer
@@ -5151,6 +5181,7 @@ ORACLES: dict[str, str | None] = {
     "tfidf_keywords": _TFIDF_ORACLE,
     "reciprocity_parts": _RECIPROCITY_ORACLE,
     "grouped_split": _GROUPED_SPLIT_ORACLE,
+    "interval_lookup": _interval_lookup_oracle_sql(),
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -5359,6 +5390,7 @@ QUERIES = {
     "tfidf_keywords": q_tfidf_keywords,
     "reciprocity_parts": q_reciprocity,
     "grouped_split": q_grouped_split,
+    "interval_lookup": q_interval_lookup,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

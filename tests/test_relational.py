@@ -297,3 +297,19 @@ def test_winsorize_clamps_tails(spark):
     assert out[99] < 10000.0                   # outlier clamped
     assert out[50] == 51.0                     # body untouched
     assert max(out.values()) == out[99]
+
+
+def test_interval_lookup_bands(spark):
+    from graphydb_spark.operators.relational import interval_lookup
+    ranges = spark.createDataFrame(
+        [(0.0, 1.0, "a"), (1.0, 10.0, "b"), (50.0, 60.0, "c")],
+        "lo double, hi double, band string")
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, 1.0), (3, 9.99), (4, 20.0), (5, 55.0)],
+        "event_id long, value double")
+    got = {r["event_id"]: r["band"]
+           for r in interval_lookup(df, ranges, "value",
+                                    key_cols=["event_id"]).collect()}
+    assert got == {1: "a", 2: "b",        # half-open: 1.0 -> band b
+                   3: "b", 4: None,       # gap keeps nulls
+                   5: "c"}                # wide-band bucket explode works
