@@ -3496,6 +3496,29 @@ FROM events e LEFT JOIN bands b
 """
 
 
+def q_grouped_percentiles(spark, sf_dir):
+    """Exact per-group percentiles (p50/p95/p99 of value per event
+    type) — the grouped order-statistics profile.  FULL oracle: both
+    engines use linear-interpolation exact percentiles; results round
+    to 6 dp."""
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count("*").alias("n")))
+
+
+_GROUPED_PERCENTILES_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: first 6 merge rules learned from the
     documents corpus (Sennrich et al. 2016).  FULL oracle: integer
@@ -5182,6 +5205,7 @@ ORACLES: dict[str, str | None] = {
     "reciprocity_parts": _RECIPROCITY_ORACLE,
     "grouped_split": _GROUPED_SPLIT_ORACLE,
     "interval_lookup": _interval_lookup_oracle_sql(),
+    "grouped_percentiles": _GROUPED_PERCENTILES_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -5391,6 +5415,7 @@ QUERIES = {
     "reciprocity_parts": q_reciprocity,
     "grouped_split": q_grouped_split,
     "interval_lookup": q_interval_lookup,
+    "grouped_percentiles": q_grouped_percentiles,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
