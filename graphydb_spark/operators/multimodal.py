@@ -619,3 +619,102 @@ def resize(media: DataFrame, max_side: int = 256) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         run, schema=RESIZED_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("fmt", T.StringType(), True),
+    T.StructField("n_px", T.LongType(), True),
+    T.StructField("px_sum", T.LongType(), True),
+    T.StructField("px_sum_sq", T.LongType(), True),
+])
+
+
+def pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL pixel-level statistics from decoded rasters (BMP raw BGR,
+    PNG via :func:`decode_png_pixels`): sample count, sum and
+    sum-of-squares of the 8-bit channel values — exact integers, so
+    mean/variance derive bit-stably under any batch split (the same
+    sufficient-statistics discipline as :func:`audio_features`).
+    Formats without a stdlib-decodable raster (GIF/JPEG) yield null
+    stats; the brightness/contrast quality gates of an image-curation
+    pipeline run on these columns."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                body = bytes(p or b"")
+                d = decode_image(body)
+                raster = None
+                if d is not None and d["fmt"] == "png":
+                    r = decode_png_pixels(body)
+                    raster = None if r is None else r[0]
+                elif d is not None and d["fmt"] == "bmp" and len(body) >= 54:
+                    off = struct.unpack_from("<I", body, 10)[0]
+                    w, h = struct.unpack_from("<ii", body, 18)
+                    bpp = struct.unpack_from("<H", body, 28)[0]
+                    comp = struct.unpack_from("<I", body, 30)[0]
+                    hh = abs(h)
+                    row_b = (3 * w + 3) & ~3
+                    if (bpp == 24 and comp == 0 and w > 0 and hh > 0
+                            and len(body) >= off + row_b * hh):
+                        raster = (np.frombuffer(
+                            body, np.uint8, row_b * hh, off)
+                            .reshape(hh, row_b)[:, :3 * w])
+                if raster is None:
+                    rows.append((int(m), None if d is None else d["fmt"],
+                                 None, None, None))
+                else:
+                    v = raster.astype(np.int64)
+                    rows.append((int(m), d["fmt"], int(v.size),
+                                 int(v.sum()), int((v * v).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "fmt", "n_px", "px_sum", "px_sum_sq"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=PIXEL_STATS_SCHEMA)
+
+
+SPECTRAL_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("dominant_hz", T.DoubleType(), True),
+    T.StructField("spectral_centroid_hz", T.DoubleType(), True),
+])
+
+
+def audio_spectral(media: DataFrame) -> DataFrame:
+    """REAL spectral features via numpy FFT over the decoded 8-bit mono
+    PCM: dominant frequency (argmax magnitude bin above DC — an exact
+    integer bin index scaled by the real sample rate) and the spectral
+    centroid (magnitude-weighted mean frequency, rounded to 3 dp).
+    The DSP stage of an audio-curation pipeline — silence/tone/bandwidth
+    gates run on these columns.  Non-PCM payloads yield nulls."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                body = bytes(p or b"")
+                d = decode_audio(body)
+                if (d is None or d["bits"] != 8 or d["channels"] != 1
+                        or d["n_bytes"] < 4):
+                    rows.append((int(m), None, None))
+                    continue
+                s = (np.frombuffer(body, np.uint8, d["n_bytes"],
+                                   d["data_off"]).astype(np.float64)
+                     - 128.0)
+                mag = np.abs(np.fft.rfft(s))
+                freqs = np.fft.rfftfreq(len(s), 1.0 / d["sample_rate"])
+                dom = int(np.argmax(mag[1:])) + 1 if len(mag) > 1 else 0
+                tot = float(mag[1:].sum())
+                cent = (float((mag[1:] * freqs[1:]).sum()) / tot
+                        if tot > 0 else 0.0)
+                rows.append((int(m), float(freqs[dom]), round(cent, 3)))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "dominant_hz", "spectral_centroid_hz"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=SPECTRAL_SCHEMA)

@@ -1288,3 +1288,49 @@ def test_zorder_key_rejects_overflow(spark):
                                   for i in range(5)])
     with pytest.raises(ValueError, match="63 usable bits"):
         zorder_key(df, [f"c{i}" for i in range(5)], bits=16)
+
+
+def test_pixel_stats_exact_for_bmp_and_png(spark):
+    """Pixel sums computed from the decoded rasters must equal the
+    generator formulas exactly (integer sufficient statistics)."""
+    from graphydb_spark.operators.multimodal import (make_bmp, make_png,
+                                                     pixel_stats)
+    w, h = 6, 4
+    # make_png pixel (x, y) = (x*3 + y) & 255, grayscale
+    png_vals = [(x * 3 + y) & 255 for y in range(h) for x in range(w)]
+    # make_bmp row bytes = (7*i) & 255 over the padded row, h rows;
+    # pixel_stats reads only the 3*w pixel bytes per row
+    row = (3 * w + 3) & ~3
+    bmp_vals = [(7 * i) & 255 for i in range(row)][:3 * w] * h
+    media = spark.createDataFrame(
+        [(1, bytearray(make_png(w, h)), "image", None),
+         (2, bytearray(make_bmp(w, h)), "image", None),
+         (3, bytearray(b"garbage"), "image", None)],
+        "media_id long, payload binary, media_type string, meta string")
+    got = {r["media_id"]: (r["fmt"], r["n_px"], r["px_sum"],
+                           r["px_sum_sq"])
+           for r in pixel_stats(media).collect()}
+    assert got[1] == ("png", w * h, sum(png_vals),
+                      sum(v * v for v in png_vals))
+    assert got[2] == ("bmp", 3 * w * h, sum(bmp_vals),
+                      sum(v * v for v in bmp_vals))
+    assert got[3] == (None, None, None, None)
+
+
+def test_audio_spectral_finds_planted_tone(spark):
+    """A pure sine at a known frequency must dominate the FFT."""
+    import math
+    import struct as _s
+    from graphydb_spark.operators.multimodal import audio_spectral
+    sr, n, f0 = 8000, 2000, 440
+    data = bytes(int(128 + 100 * math.sin(2 * math.pi * f0 * i / sr))
+                 & 0xFF for i in range(n))
+    wav = (b"RIFF" + _s.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + _s.pack("<IHHIIHH", 16, 1, 1, sr, sr, 1, 8)
+           + b"data" + _s.pack("<I", len(data)) + data)
+    media = spark.createDataFrame(
+        [(1, bytearray(wav), "audio", None)],
+        "media_id long, payload binary, media_type string, meta string")
+    r = audio_spectral(media).collect()[0]
+    assert abs(r["dominant_hz"] - f0) <= sr / n        # one-bin tolerance
+    assert r["spectral_centroid_hz"] > 0
