@@ -635,10 +635,11 @@ def pixel_stats(media: DataFrame) -> DataFrame:
     PNG via :func:`decode_png_pixels`): sample count, sum and
     sum-of-squares of the 8-bit channel values — exact integers, so
     mean/variance derive bit-stably under any batch split (the same
-    sufficient-statistics discipline as :func:`audio_features`).
-    Formats without a stdlib-decodable raster (GIF/JPEG) yield null
-    stats; the brightness/contrast quality gates of an image-curation
-    pipeline run on these columns."""
+    sufficient-statistics discipline as :func:`audio_features`).  GIFs
+    with full LZW streams decode through :func:`decode_gif_pixels` and
+    contribute the palette-mapped RGB of every frame; only JPEG (DCT —
+    not stdlib) yields null stats.  The brightness/contrast quality
+    gates of an image-curation pipeline run on these columns."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -651,6 +652,13 @@ def pixel_stats(media: DataFrame) -> DataFrame:
                 if d is not None and d["fmt"] == "png":
                     r = decode_png_pixels(body)
                     raster = None if r is None else r[0]
+                elif d is not None and d["fmt"] == "gif":
+                    r = decode_gif_pixels(body)
+                    if r is not None:
+                        frames, pal = r
+                        lut = np.frombuffer(pal, np.uint8).reshape(-1, 3)
+                        raster = np.concatenate(
+                            [lut[f.ravel()] for f in frames])
                 elif d is not None and d["fmt"] == "bmp" and len(body) >= 54:
                     off = struct.unpack_from("<I", body, 10)[0]
                     w, h = struct.unpack_from("<ii", body, 18)
@@ -718,3 +726,182 @@ def audio_spectral(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         run, schema=SPECTRAL_SCHEMA)
+
+
+# ------------------------------------------------------------ GIF LZW codec
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF variable-width LZW encoder (pure stdlib): CLEAR/EOI codes,
+    LSB-first bit packing, code width grows when the next code would
+    not fit, table reset at 4096."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    buf = 0
+    nbits = 0
+    width = min_code_size + 1
+
+    def emit(code):
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    def reset():
+        nonlocal width
+        width = min_code_size + 1
+        return {(i,): i for i in range(clear)}
+
+    table = reset()
+    next_code = eoi + 1
+    emit(clear)
+    seq = ()
+    for px in indices:
+        nxt = seq + (int(px),)
+        if nxt in table:
+            seq = nxt
+            continue
+        emit(table[seq])
+        table[nxt] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear)
+            table = reset()
+            next_code = eoi + 1
+        seq = (int(px),)
+    if seq:
+        emit(table[seq])
+    emit(eoi)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int,
+                n_pixels: int) -> list[int] | None:
+    """Inverse of :func:`_lzw_encode`; None for truncated/invalid
+    streams or streams that don't cover ``n_pixels``."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    stream = int.from_bytes(data, "little")
+    total_bits = len(data) * 8
+    bitpos = 0
+    width = min_code_size + 1
+    table: list[tuple[int, ...] | None] = \
+        [(i,) for i in range(clear)] + [None, None]
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    while len(out) < n_pixels:
+        if bitpos + width > total_bits:
+            return None
+        code = (stream >> bitpos) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            width = min_code_size + 1
+            table = [(i,) for i in range(clear)] + [None, None]
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table) or table[code] is None:
+                return None
+            entry = table[code]
+        else:
+            if code < len(table) and table[code] is not None:
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + (prev[0],)
+            else:
+                return None
+            table.append(prev + (entry[0],))
+            # the decoder's table is ONE entry behind the encoder's
+            # (the first code after CLEAR adds nothing), so it must
+            # widen a step early: at 2^w - 1, not 2^w
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        out.extend(entry)
+        prev = entry
+    return out[:n_pixels] if len(out) >= n_pixels else None
+
+
+#: 4-color palette for raster GIFs (black, white, red, blue)
+_GIF_PALETTE = b"\x00\x00\x00\xff\xff\xff\xff\x00\x00\x00\x00\xff"
+
+
+def make_gif_raster(width: int, height: int, n_frames: int = 1) -> bytes:
+    """GIF89a with REAL LZW-encoded pixel data: 4-color global table,
+    frame f's pixel (x, y) has palette index ``(x + y + f) % 4``.
+    The fully-decodable counterpart of :func:`make_gif` (whose minimal
+    stream keeps byte-stable fixtures for the container-level oracles).
+    """
+    out = [b"GIF89a", struct.pack("<HH", width, height),
+           bytes([0x81, 0, 0]),             # GCT flag, 4 entries
+           _GIF_PALETTE]
+    for f in range(max(1, n_frames)):
+        idx = [(x + y + f) % 4
+               for y in range(height) for x in range(width)]
+        data = _lzw_encode(idx, 2)
+        blocks = bytearray()
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            blocks.append(len(chunk))
+            blocks.extend(chunk)
+        blocks.append(0)
+        out.append(b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+                   + b"\x00" + bytes([2]) + bytes(blocks))
+    out.append(b"\x3b")
+    return b"".join(out)
+
+
+def decode_gif_pixels(body: bytes):
+    """REAL GIF raster decode (pure stdlib LZW): returns
+    ``(frames, palette)`` where frames is a list of [h][w] numpy index
+    arrays mapped through the GLOBAL color table.  None for payloads
+    without a decodable full-coverage LZW stream (e.g. the minimal
+    fixture streams), interlaced frames, or local color tables."""
+    import numpy as np
+
+    if len(body) < 13 or body[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = body[10]
+    if not packed & 0x80:
+        return None
+    gct_n = 2 ** ((packed & 0x07) + 1)
+    palette = body[13:13 + 3 * gct_n]
+    seg = _gif_segments(body)
+    if seg is None or not seg[1]:
+        return None
+    frames = []
+    n = len(body)
+    for s, e in seg[1]:
+        i = s
+        while i < n and body[i] == 0x21:     # skip extension run
+            i += 2
+            while i < n and body[i] != 0:
+                i += 1 + body[i]
+            i += 1
+        if i >= n or body[i] != 0x2C or i + 10 > n:
+            return None
+        fw, fh = struct.unpack_from("<HH", body, i + 5)
+        lpacked = body[i + 9]
+        if lpacked & 0xC0:                   # local table or interlace
+            return None
+        i += 10
+        mcs = body[i]
+        i += 1
+        data = bytearray()
+        while i < n and body[i] != 0:
+            ln = body[i]
+            data.extend(body[i + 1:i + 1 + ln])
+            i += 1 + ln
+        px = _lzw_decode(bytes(data), mcs, fw * fh)
+        if px is None:
+            return None
+        frames.append(np.array(px, dtype=np.uint8).reshape(fh, fw))
+    return frames, palette

@@ -1334,3 +1334,38 @@ def test_audio_spectral_finds_planted_tone(spark):
     r = audio_spectral(media).collect()[0]
     assert abs(r["dominant_hz"] - f0) <= sr / n        # one-bin tolerance
     assert r["spectral_centroid_hz"] > 0
+
+
+def test_gif_lzw_roundtrip_and_pixel_stats(spark):
+    """Full LZW codec: encode/decode roundtrip across width growth,
+    and pixel_stats over a real raster GIF equals the palette-mapped
+    generator formula exactly (all frames)."""
+    import random
+
+    from graphydb_spark.operators.multimodal import (_GIF_PALETTE,
+                                                     _lzw_decode,
+                                                     _lzw_encode,
+                                                     decode_gif_pixels,
+                                                     make_gif,
+                                                     make_gif_raster,
+                                                     pixel_stats)
+    rng = random.Random(7)
+    for _ in range(10):
+        n = rng.randrange(1, 500)
+        idx = [rng.randrange(4) for _ in range(n)]
+        assert _lzw_decode(_lzw_encode(idx, 2), 2, n) == idx
+    w, h, nf = 9, 5, 2
+    g = make_gif_raster(w, h, nf)
+    frames, pal = decode_gif_pixels(g)
+    assert len(frames) == nf and frames[0].shape == (h, w)
+    # the minimal-stream fixture generator is honestly rejected
+    assert decode_gif_pixels(make_gif(8, 8, 2)) is None
+    media = spark.createDataFrame(
+        [(1, bytearray(g), "image", None)],
+        "media_id long, payload binary, media_type string, meta string")
+    r = {x["media_id"]: x for x in pixel_stats(media).collect()}[1]
+    pal_rgb = [_GIF_PALETTE[i * 3:(i + 1) * 3] for i in range(4)]
+    vals = [b for f in range(nf) for y in range(h) for x in range(w)
+            for b in pal_rgb[(x + y + f) % 4]]
+    assert (r["fmt"], r["n_px"], r["px_sum"], r["px_sum_sq"]) == \
+        ("gif", len(vals), sum(vals), sum(v * v for v in vals))
