@@ -609,6 +609,11 @@ def resize(media: DataFrame, max_side: int = 256) -> DataFrame:
                     if real is not None:
                         out_rows.append((int(m),) + real)
                         continue
+                if d["fmt"] == "gif":
+                    real = resize_gif(body, max_side)
+                    if real is not None:
+                        out_rows.append((int(m),) + real)
+                        continue
                 w, h = d["width"], d["height"]
                 scale = min(1.0, max_side / max(w, h, 1))
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
@@ -905,3 +910,42 @@ def decode_gif_pixels(body: bytes):
             return None
         frames.append(np.array(px, dtype=np.uint8).reshape(fh, fw))
     return frames, palette
+
+
+def resize_gif(body: bytes, max_side: int) -> tuple[bytes, int, int] | None:
+    """REAL nearest-neighbor resample of a fully-decodable GIF: every
+    frame decodes through the LZW codec, index-gathers, and re-encodes
+    against the original global color table.  None for payloads
+    :func:`decode_gif_pixels` rejects (minimal fixture streams, local
+    tables, interlace) — those keep the documented stand-in path."""
+    import numpy as np
+
+    r = decode_gif_pixels(body)
+    if r is None or not r[0]:
+        return None
+    frames, pal = r
+    h, w = frames[0].shape
+    if max(w, h) <= max_side:
+        return body, w, h
+    scale = min(1.0, max_side / max(w, h, 1))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    yi = (np.arange(nh) * (h / nh)).astype(int)
+    xi = (np.arange(nw) * (w / nw)).astype(int)
+    n_colors = len(pal) // 3
+    bits = max(1, (n_colors - 1).bit_length())
+    mcs = max(2, bits)
+    out = [b"GIF89a", struct.pack("<HH", nw, nh),
+           bytes([0x80 | (bits - 1), 0, 0]), pal]
+    for f in frames:
+        small = f[yi][:, xi]
+        data = _lzw_encode(small.ravel().tolist(), mcs)
+        blocks = bytearray()
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            blocks.append(len(chunk))
+            blocks.extend(chunk)
+        blocks.append(0)
+        out.append(b"\x2c" + struct.pack("<HHHH", 0, 0, nw, nh)
+                   + b"\x00" + bytes([mcs]) + bytes(blocks))
+    out.append(b"\x3b")
+    return b"".join(out), nw, nh

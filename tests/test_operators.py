@@ -1369,3 +1369,21 @@ def test_gif_lzw_roundtrip_and_pixel_stats(spark):
             for b in pal_rgb[(x + y + f) % 4]]
     assert (r["fmt"], r["n_px"], r["px_sum"], r["px_sum_sq"]) == \
         ("gif", len(vals), sum(vals), sum(v * v for v in vals))
+
+
+def test_resize_gif_resamples_all_frames(spark):
+    import numpy as np
+    from graphydb_spark.operators.multimodal import (decode_gif_pixels,
+                                                     make_gif_raster,
+                                                     resize)
+    media = spark.createDataFrame(
+        [(1, bytearray(make_gif_raster(40, 20, 2)), "image", None)],
+        "media_id long, payload binary, media_type string, meta string")
+    r = resize(media, max_side=10).collect()[0]
+    assert (r["width"], r["height"]) == (10, 5)
+    frames, _ = decode_gif_pixels(bytes(r["payload"]))
+    assert len(frames) == 2 and frames[0].shape == (5, 10)
+    big, _ = decode_gif_pixels(make_gif_raster(40, 20, 2))
+    yi = (np.arange(5) * 4).astype(int)
+    xi = (np.arange(10) * 4).astype(int)
+    assert np.array_equal(frames[1], big[1][yi][:, xi])
