@@ -7,11 +7,13 @@ never rows.
 
 ``decode_image`` is a REAL container-header decoder (pure stdlib
 ``struct``/byte-walking over the public BMP/PNG/GIF/JPEG formats): width,
-height and GIF frame count come from the actual bytes.  Pixel-level work
-(full raster decode, resampling) still needs an imaging library this
-container doesn't ship — ``resize`` documents its payload transform as a
-byte-proportional stand-in while computing the real scaled dimensions
-from the real headers.
+height and GIF frame count come from the actual bytes.  Pixel-level
+work is real too, stdlib-only: BMP rasters read raw BGR, PNG decodes
+through zlib + the full scanline-unfilter set, GIF through a complete
+variable-width LZW codec (encode + decode) — decode, resample,
+re-encode, pixel statistics all operate on actual pixels.  Only JPEG
+(DCT entropy coding, not stdlib) keeps a byte-proportional resize
+stand-in while its header dims stay real.
 
 Corrupt/unrecognized payloads decode to nulls instead of failing the
 task: at 100 TB a handful of truncated files must not kill the stage —
