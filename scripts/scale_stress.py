@@ -246,5 +246,43 @@ def main():
           f"chorded in pairs]: {time.perf_counter() - t0:.2f}s  sccs={n}")
 
 
+    # CDC apply: 10M-row snapshot vs 1M-change feed — one max(struct)
+    # election + one key-local full outer join, no global sort
+    from graphydb_spark.operators.relational import apply_cdc
+    snap = (spark.range(10_000_000).repartition(64)
+            .select(F.col("id").alias("k"),
+                    (F.col("id") % 997).cast("double").alias("v"))
+            .localCheckpoint(eager=True))
+    feed = (spark.range(1_000_000).repartition(64)
+            .select((F.xxhash64("id") % 12_000_000).alias("k"),
+                    (F.col("id") % 5 + 1).cast("int").alias("seq"),
+                    F.element_at(F.array(F.lit("I"), F.lit("U"),
+                                         F.lit("D")),
+                                 (F.col("id") % 3 + 1).cast("int"))
+                    .alias("op"),
+                    (F.col("id") % 883).cast("double").alias("v"))
+            .localCheckpoint(eager=True))
+    timed("apply_cdc[10M snapshot, 1M changes]",
+          apply_cdc(snap, feed, "k", "seq"))
+
+    # interval lookup: 10M probes against 1k non-uniform ranges —
+    # broadcast build side, zero probe fan-out
+    from graphydb_spark.operators.relational import interval_lookup
+    ranges = (spark.range(1000)
+              .select((F.col("id") * F.col("id")).cast("double")
+                      .alias("lo"),
+                      ((F.col("id") + 1) * (F.col("id") + 1))
+                      .cast("double").alias("hi"),
+                      F.concat(F.lit("band"), F.col("id")).alias("band")))
+    probes = (spark.range(10_000_000).repartition(64)
+              .select(F.col("id").alias("event_id"),
+                      (F.xxhash64("id") % 1_000_000).cast("double")
+                      .alias("value"))
+              .localCheckpoint(eager=True))
+    timed("interval_lookup[10M probes, 1k quadratic-width ranges]",
+          interval_lookup(probes, ranges, "value",
+                          key_cols=["event_id"]))
+
+
 if __name__ == "__main__":
     main()

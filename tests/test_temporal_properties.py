@@ -93,3 +93,41 @@ def test_transition_matrix_matches_bruteforce(spark, ev):
                                       tiebreak="event_id").collect()}
     assert got == _transition_model(
         [(i, k, ts, int(v)) for i, k, ts, v in rows])
+
+
+changes_feed = st.lists(
+    st.tuples(st.integers(0, 6),             # key
+              st.integers(1, 5),             # seq
+              st.sampled_from(["I", "U", "D"]),
+              st.integers(0, 99)),           # payload value
+    min_size=0, max_size=20, unique_by=lambda t: (t[0], t[1]))
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(feed=changes_feed)
+def test_apply_cdc_matches_bruteforce(spark, feed):
+    from graphydb_spark.operators.relational import apply_cdc
+    snap_rows = [(k, float(k * 10)) for k in range(4)]   # keys 0-3 exist
+    snap = spark.createDataFrame(snap_rows, "k long, v double")
+    if feed:
+        chg = spark.createDataFrame(
+            [(k, s, op, float(v)) for k, s, op, v in feed],
+            "k long, seq int, op string, v double")
+    else:
+        chg = spark.createDataFrame([], "k long, seq int, op string, "
+                                        "v double")
+    got = {r["k"]: r["v"] for r in apply_cdc(snap, chg, "k", "seq")
+           .collect()}
+    # brute force: highest-seq change per key wins
+    want = {k: v for k, v in snap_rows}
+    latest = {}
+    for k, s, op, v in feed:
+        if k not in latest or s > latest[k][0]:
+            latest[k] = (s, op, float(v))
+    for k, (_, op, v) in latest.items():
+        if op == "D":
+            want.pop(k, None)
+        else:
+            want[k] = v
+    assert got == want
