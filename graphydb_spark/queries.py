@@ -3519,6 +3519,51 @@ FROM events GROUP BY event_type
 """
 
 
+def q_degree_distribution(spark, sf_dir):
+    """Degree distribution of the co-incidence (Contains) graph: how
+    many parts have each order-degree — the power-law profile every
+    graph audit starts with.  FULL oracle (pure integer counts)."""
+    g = tpch_graph(spark, sf_dir)
+    deg = (g.edges_df.where(F.col("kind") == "Contains")
+           .groupBy(F.col("enduid").alias("uid"))
+           .agg(F.count("*").alias("degree")))
+    return (deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+            .orderBy("degree"))
+
+
+_DEGREE_DISTRIBUTION_ORACLE = """
+WITH deg AS (SELECT l_partkey, COUNT(*) AS degree
+             FROM lineitem GROUP BY l_partkey)
+SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+"""
+
+
+def q_modal_event(spark, sf_dir):
+    """Each user's most frequent event type (argmax of a grouped count,
+    lexicographic tiebreak).  FULL oracle."""
+    ev = _events(spark, sf_dir)
+    counts = (ev.groupBy("user_id", "event_type")
+              .agg(F.count("*").alias("cnt")))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("user_id").orderBy(F.col("cnt").desc(),
+                                         F.col("event_type"))
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", F.col("event_type").alias("modal_event"),
+                    "cnt"))
+
+
+_MODAL_EVENT_ORACLE = """
+WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt
+           FROM events GROUP BY 1, 2)
+SELECT user_id, event_type AS modal_event, cnt FROM (
+  SELECT user_id, event_type, cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type) AS rn
+  FROM c) WHERE rn = 1
+"""
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: first 6 merge rules learned from the
     documents corpus (Sennrich et al. 2016).  FULL oracle: integer
@@ -5206,6 +5251,8 @@ ORACLES: dict[str, str | None] = {
     "grouped_split": _GROUPED_SPLIT_ORACLE,
     "interval_lookup": _interval_lookup_oracle_sql(),
     "grouped_percentiles": _GROUPED_PERCENTILES_ORACLE,
+    "degree_distribution": _DEGREE_DISTRIBUTION_ORACLE,
+    "modal_event": _MODAL_EVENT_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -5416,6 +5463,8 @@ QUERIES = {
     "grouped_split": q_grouped_split,
     "interval_lookup": q_interval_lookup,
     "grouped_percentiles": q_grouped_percentiles,
+    "degree_distribution": q_degree_distribution,
+    "modal_event": q_modal_event,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
