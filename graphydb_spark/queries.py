@@ -3564,6 +3564,45 @@ SELECT user_id, event_type AS modal_event, cnt FROM (
 """
 
 
+def q_media_pipeline(spark, sf_dir):
+    """Composite multimodal DAG (the image-curation analogue of
+    corpus_pipeline): synthesize containers → decode real headers →
+    gate on pixel area ≥ 400 → thumbnail to 16 px.  FULL oracle: every
+    stage's arithmetic (construction formulas, area gate, scale math)
+    replays in SQL bit-exactly."""
+    from .operators.multimodal import (documents_as_media,
+                                       extract_features, resize)
+    media = documents_as_media(_docs(spark, sf_dir))
+    feats = extract_features(media)
+    keep = feats.where(F.col("width") * F.col("height") >= 400)
+    kept_media = media.join(keep.select("media_id"), "media_id")
+    resized = resize(kept_media, max_side=16)
+    return (resized.join(keep.select("media_id", "fmt", "n_frames"),
+                         "media_id")
+            .select("media_id", "fmt", "width", "height", "n_frames"))
+
+
+_MEDIA_PIPELINE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+              ELSE 'gif' END AS fmt,
+         4 + n_chars % 60 AS w,
+         4 + (n_chars // 7) % 60 AS h,
+         CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 4 ELSE 1 END AS nf
+  FROM documents),
+kept AS (SELECT * FROM dims WHERE w * h >= 400),
+scaled AS (SELECT media_id, fmt, w, h, nf,
+                  LEAST(1.0, 16.0 / GREATEST(w, h)) AS scale
+           FROM kept)
+SELECT media_id, fmt,
+       CAST(GREATEST(1, FLOOR(w * scale)) AS INT) AS width,
+       CAST(GREATEST(1, FLOOR(h * scale)) AS INT) AS height,
+       CAST(nf AS INT) AS n_frames
+FROM scaled
+"""
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: first 6 merge rules learned from the
     documents corpus (Sennrich et al. 2016).  FULL oracle: integer
@@ -5253,6 +5292,7 @@ ORACLES: dict[str, str | None] = {
     "grouped_percentiles": _GROUPED_PERCENTILES_ORACLE,
     "degree_distribution": _DEGREE_DISTRIBUTION_ORACLE,
     "modal_event": _MODAL_EVENT_ORACLE,
+    "media_pipeline": _MEDIA_PIPELINE_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -5465,6 +5505,7 @@ QUERIES = {
     "grouped_percentiles": q_grouped_percentiles,
     "degree_distribution": q_degree_distribution,
     "modal_event": q_modal_event,
+    "media_pipeline": q_media_pipeline,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
