@@ -942,3 +942,52 @@ def reciprocity(edges_df: DataFrame) -> DataFrame:
             .select("n_edges", "n_reciprocated",
                     F.round(F.col("n_reciprocated") / F.col("n_edges"),
                             6).alias("reciprocity")))
+
+
+def k_truss(edges_df: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
+    """Edges of the k-truss: the maximal subgraph where every edge
+    participates in ≥ k-2 triangles — the cohesive-subgraph detector
+    that is stricter than k-core (communities keep, hubs-with-spokes
+    drop).  Returns canonical undirected edges ``(a, b)`` with a < b.
+
+    The standard peel loop: per round, count per-edge triangle support
+    with one wedge join + one confirm join (the same degree-ordered
+    shape as triangle counting), drop under-supported edges, repeat to
+    the fixpoint.  The edge frame shrinks monotonically, so per-round
+    cost falls; warns if ``max_iter`` rounds don't reach the fixpoint
+    (result would be a superset).
+    """
+    e = (edges_df.select(
+        F.least("startuid", "enduid").alias("a"),
+        F.greatest("startuid", "enduid").alias("b"))
+        .where(F.col("a") < F.col("b")).distinct()
+        .localCheckpoint(eager=True))
+    converged = False
+    for _ in range(max_iter):
+        ab = e.select(F.col("a").alias("x"), F.col("b").alias("y1"))
+        ac = e.select(F.col("a").alias("x"), F.col("b").alias("y2"))
+        tri = (ab.join(ac, "x").where(F.col("y1") < F.col("y2"))
+               .join(e.select(F.col("a").alias("y1"),
+                              F.col("b").alias("y2")), ["y1", "y2"])
+               .select(F.col("x").alias("ta"), F.col("y1").alias("tb"),
+                       F.col("y2").alias("tc")))
+        sup = (tri.select(F.col("ta").alias("a"), F.col("tb").alias("b"))
+               .unionByName(tri.select(F.col("ta").alias("a"),
+                                       F.col("tc").alias("b")))
+               .unionByName(tri.select(F.col("tb").alias("a"),
+                                       F.col("tc").alias("b")))
+               .groupBy("a", "b").agg(F.count("*").alias("s")))
+        nxt = (e.join(sup, ["a", "b"], "left")
+               .where(F.coalesce("s", F.lit(0)) >= k - 2)
+               .select("a", "b").localCheckpoint(eager=True))
+        converged = nxt.count() == e.count()
+        e = nxt
+        if converged:
+            break
+    if not converged:
+        import warnings
+        warnings.warn(
+            f"k_truss: peel loop did not reach a fixpoint in "
+            f"{max_iter} rounds; result is a superset. Raise max_iter.",
+            RuntimeWarning, stacklevel=2)
+    return e

@@ -3603,6 +3603,58 @@ FROM scaled
 """
 
 
+def q_k_truss(spark, sf_dir):
+    """4-truss of the part co-purchase graph (orders < 60): edges in
+    ≥ 2 triangles survive the peel.  FULL oracle: the peel loop
+    unrolls as MATERIALIZED CTE rounds (idempotent past the fixpoint,
+    the k_core pattern)."""
+    li = (load_tables(spark, sf_dir)["lineitem"]
+          .where(F.col("l_orderkey") < 60)
+          .select("l_orderkey", "l_partkey").distinct())
+    a, b = li.alias("x"), li.alias("y")
+    edges = (a.join(b, (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+                    & (F.col("x.l_partkey") < F.col("y.l_partkey")))
+             .select(F.concat(F.lit("Part:"),
+                              F.col("x.l_partkey").cast("string"))
+                     .alias("startuid"),
+                     F.concat(F.lit("Part:"),
+                              F.col("y.l_partkey").cast("string"))
+                     .alias("enduid")).distinct())
+    return graph_algos.k_truss(edges, k=4)
+
+
+def _k_truss_oracle_sql(k: int = 4, rounds: int = 8) -> str:
+    # edges canonicalized on the STRING uids (LEAST/GREATEST), exactly
+    # as the engine does — mixing int-canonical storage with the string
+    # '<' of the wedge join would silently miss triangles
+    parts = ["""e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(sa, sb) AS a, GREATEST(sa, sb) AS b FROM (
+    SELECT 'Part:' || CAST(x.p AS VARCHAR) AS sa,
+           'Part:' || CAST(y.p AS VARCHAR) AS sb
+    FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          FROM lineitem WHERE l_orderkey < 60) x
+    JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          FROM lineitem WHERE l_orderkey < 60) y
+      ON x.o = y.o AND x.p < y.p))"""]
+    for r in range(1, rounds + 1):
+        p = f"e{r-1}"
+        parts.append(f"""t{r} AS (
+  SELECT w.a AS ta, w.b1 AS tb, w.b2 AS tc
+  FROM (SELECT x.a, x.b AS b1, y.b AS b2
+        FROM {p} x JOIN {p} y ON x.a = y.a AND x.b < y.b) w
+  JOIN {p} z ON z.a = w.b1 AND z.b = w.b2),
+s{r} AS (
+  SELECT a, b, COUNT(*) AS s FROM (
+    SELECT ta AS a, tb AS b FROM t{r}
+    UNION ALL SELECT ta, tc FROM t{r}
+    UNION ALL SELECT tb, tc FROM t{r}) GROUP BY 1, 2),
+e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {p} e LEFT JOIN s{r} USING (a, b)
+  WHERE COALESCE(s, 0) >= {k - 2})""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT a, b FROM e{rounds}")
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: first 6 merge rules learned from the
     documents corpus (Sennrich et al. 2016).  FULL oracle: integer
@@ -5293,6 +5345,7 @@ ORACLES: dict[str, str | None] = {
     "degree_distribution": _DEGREE_DISTRIBUTION_ORACLE,
     "modal_event": _MODAL_EVENT_ORACLE,
     "media_pipeline": _MEDIA_PIPELINE_ORACLE,
+    "k_truss_parts": _k_truss_oracle_sql(),
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -5506,6 +5559,7 @@ QUERIES = {
     "degree_distribution": q_degree_distribution,
     "modal_event": q_modal_event,
     "media_pipeline": q_media_pipeline,
+    "k_truss_parts": q_k_truss,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -1387,3 +1387,24 @@ def test_resize_gif_resamples_all_frames(spark):
     yi = (np.arange(5) * 4).astype(int)
     xi = (np.arange(10) * 4).astype(int)
     assert np.array_equal(frames[1], big[1][yi][:, xi])
+
+
+def test_k_truss_peels_pendant_triangle(spark):
+    """K4 plus a pendant triangle sharing one node: the 4-truss keeps
+    exactly the K4's six edges; the 3-truss keeps all nine."""
+    from graphydb_spark.operators.graph_algos import k_truss
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+         ("c", "d"), ("d", "e"), ("d", "f"), ("e", "f")],
+        "startuid string, enduid string")
+    four = sorted((r["a"], r["b"]) for r in k_truss(edges, 4).collect())
+    assert four == [("a", "b"), ("a", "c"), ("a", "d"),
+                    ("b", "c"), ("b", "d"), ("c", "d")]
+    assert k_truss(edges, 3).count() == 9
+    # cascade: removing support peels transitively — a triangle chain
+    # where each shares one EDGE with the next still dies under k=4
+    chain = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"),
+         ("b", "d"), ("c", "d")],        # second triangle on edge (b,c)
+        "startuid string, enduid string")
+    assert k_truss(chain, 4).count() == 0
