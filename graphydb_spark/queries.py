@@ -3655,6 +3655,74 @@ e{r} AS MATERIALIZED (
             + f"\nSELECT a, b FROM e{rounds}")
 
 
+def q_sentence_stats(spark, sf_dir):
+    """Per-document sentence profile (count + mean token length) via a
+    regex sentence split — the C4 sentence-level unit of analysis.
+    FULL oracle: the same split regex runs in both engines; the mean is
+    an exact integer ratio rounded to 6 dp."""
+    docs = _docs(spark, sf_dir)
+    sents = F.filter(F.split(F.col("text"), r"[.!?]+"),
+                     lambda s: F.trim(s) != "")
+    n_tokens = F.aggregate(
+        sents, F.lit(0),
+        lambda acc, s: acc + F.size(F.filter(
+            F.split(F.lower(s), "[^a-z0-9]+"), lambda t: t != "")))
+    return docs.select(
+        "doc_id",
+        F.size(sents).cast("long").alias("n_sentences"),
+        F.round(n_tokens / F.greatest(F.size(sents), F.lit(1)), 6)
+        .alias("mean_sentence_tokens"))
+
+
+_SENTENCE_STATS_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[.!?]+'),
+                     x -> trim(x) != '') AS sents
+  FROM documents)
+SELECT doc_id,
+       CAST(len(sents) AS BIGINT) AS n_sentences,
+       round(list_sum(list_transform(sents,
+               x -> len(list_filter(
+                 string_split_regex(lower(x), '[^a-z0-9]+'),
+                 t -> t != ''))))
+             / greatest(len(sents), 1), 6) AS mean_sentence_tokens
+FROM s
+"""
+
+
+def q_interarrival_stats(spark, sf_dir):
+    """Per-user inter-arrival time profile: mean/max gap seconds
+    between consecutive events (lag window, exact microsecond integers
+    until the final 6 dp division).  FULL oracle."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window as W
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = (F.unix_micros("ts")
+              - F.unix_micros(F.lag("ts").over(w)))
+    gaps = (ev.select("user_id", gap_us.alias("g"))
+            .where(F.col("g").isNotNull()))
+    return (gaps.groupBy("user_id").agg(
+        F.round((F.sum("g") / F.count("*")) / 1e6, 6)
+        .alias("mean_gap_s"),
+        F.round(F.max("g") / 1e6, 6).alias("max_gap_s"),
+        F.count("*").alias("n_gaps")))
+
+
+_INTERARRIVAL_ORACLE = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+  FROM events)
+SELECT user_id,
+       round((SUM(g) / COUNT(*)) / 1e6, 6) AS mean_gap_s,
+       round(MAX(g) / 1e6, 6) AS max_gap_s,
+       COUNT(*) AS n_gaps
+FROM g WHERE g IS NOT NULL GROUP BY user_id
+"""
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: first 6 merge rules learned from the
     documents corpus (Sennrich et al. 2016).  FULL oracle: integer
@@ -5346,6 +5414,8 @@ ORACLES: dict[str, str | None] = {
     "modal_event": _MODAL_EVENT_ORACLE,
     "media_pipeline": _MEDIA_PIPELINE_ORACLE,
     "k_truss_parts": _k_truss_oracle_sql(),
+    "sentence_stats": _SENTENCE_STATS_ORACLE,
+    "interarrival_stats": _INTERARRIVAL_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -5560,6 +5630,8 @@ QUERIES = {
     "modal_event": q_modal_event,
     "media_pipeline": q_media_pipeline,
     "k_truss_parts": q_k_truss,
+    "sentence_stats": q_sentence_stats,
+    "interarrival_stats": q_interarrival_stats,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
