@@ -8,12 +8,14 @@ never rows.
 ``decode_image`` is a REAL container-header decoder (pure stdlib
 ``struct``/byte-walking over the public BMP/PNG/GIF/JPEG formats): width,
 height and GIF frame count come from the actual bytes.  Pixel-level
-work is real too, stdlib-only: BMP rasters read raw BGR, PNG decodes
-through zlib + the full scanline-unfilter set, GIF through a complete
-variable-width LZW codec (encode + decode) — decode, resample,
-re-encode, pixel statistics all operate on actual pixels.  Only JPEG
-(DCT entropy coding, not stdlib) keeps a byte-proportional resize
-stand-in while its header dims stay real.
+DECODE is real for all four, stdlib+numpy only: BMP rasters read raw
+BGR, PNG inflates through zlib + the full scanline-unfilter set, GIF
+through a complete variable-width LZW codec (encode + decode), and
+baseline JPEG through canonical-Huffman entropy decoding + exact 8×8
+IDCT with 4:2:0/4:4:4 chroma upsampling.  Re-ENCODE exists for
+BMP/PNG/GIF (so those resize for real); JPEG resize keeps the
+byte-proportional stand-in (a DCT entropy *encoder* is the one piece
+left out of scope).
 
 Corrupt/unrecognized payloads decode to nulls instead of failing the
 task: at 100 TB a handful of truncated files must not kill the stage —
@@ -643,10 +645,11 @@ def pixel_stats(media: DataFrame) -> DataFrame:
     sum-of-squares of the 8-bit channel values — exact integers, so
     mean/variance derive bit-stably under any batch split (the same
     sufficient-statistics discipline as :func:`audio_features`).  GIFs
-    with full LZW streams decode through :func:`decode_gif_pixels` and
-    contribute the palette-mapped RGB of every frame; only JPEG (DCT —
-    not stdlib) yields null stats.  The brightness/contrast quality
-    gates of an image-curation pipeline run on these columns."""
+    with full LZW streams decode through :func:`decode_gif_pixels`
+    (palette-mapped RGB of every frame); baseline JPEGs through
+    :func:`decode_jpeg_pixels` (Huffman + IDCT).  The
+    brightness/contrast quality gates of an image-curation pipeline
+    run on these columns."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -666,6 +669,8 @@ def pixel_stats(media: DataFrame) -> DataFrame:
                         lut = np.frombuffer(pal, np.uint8).reshape(-1, 3)
                         raster = np.concatenate(
                             [lut[f.ravel()] for f in frames])
+                elif d is not None and d["fmt"] == "jpeg":
+                    raster = decode_jpeg_pixels(body)
                 elif d is not None and d["fmt"] == "bmp" and len(body) >= 54:
                     off = struct.unpack_from("<I", body, 10)[0]
                     w, h = struct.unpack_from("<ii", body, 18)
@@ -951,3 +956,250 @@ def resize_gif(body: bytes, max_side: int) -> tuple[bytes, int, int] | None:
                    + b"\x00" + bytes([mcs]) + bytes(blocks))
     out.append(b"\x3b")
     return b"".join(out), nw, nh
+
+
+# ------------------------------------------------------- baseline JPEG
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+
+def _huff_table(counts: bytes, symbols: bytes) -> dict:
+    """Canonical Huffman: {(bit_length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data with 0xFF00
+    unstuffing and RSTn marker skipping (DC predictors reset by the
+    caller via the ``restart`` flag)."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.buf = 0
+        self.nbits = 0
+        self.restart = False
+
+    def _fill(self):
+        while self.nbits <= 24 and self.pos < len(self.d):
+            b = self.d[self.pos]
+            if b == 0xFF:
+                nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) \
+                    else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    self.pos += 2
+                    self.buf = 0
+                    self.nbits = 0
+                    self.restart = True
+                    continue
+                else:                        # EOI or next segment
+                    return
+            else:
+                self.pos += 1
+            self.buf = (self.buf << 8) | b
+            self.nbits += 8
+
+    def bits(self, n: int) -> int | None:
+        if n == 0:
+            return 0
+        self._fill()
+        if self.nbits < n:
+            return None
+        self.nbits -= n
+        v = (self.buf >> self.nbits) & ((1 << n) - 1)
+        self.buf &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table: dict) -> int | None:
+        code = 0
+        for length in range(1, 17):
+            b = self.bits(1)
+            if b is None:
+                return None
+            code = (code << 1) | b
+            if (length, code) in table:
+                return table[(length, code)]
+        return None
+
+
+def _extend(v: int, t: int) -> int:
+    return v - ((1 << t) - 1) if t and v < (1 << (t - 1)) else v
+
+
+_IDCT_M = None
+
+
+def _idct8(coeffs):
+    """Exact float 8×8 inverse DCT via the orthonormal basis matrix."""
+    import numpy as np
+
+    global _IDCT_M
+    if _IDCT_M is None:
+        m = np.zeros((8, 8))
+        for u in range(8):
+            c = (1 / (2 ** 0.5)) if u == 0 else 1.0
+            for x in range(8):
+                m[u, x] = 0.5 * c * \
+                    np.cos((2 * x + 1) * u * np.pi / 16)
+        _IDCT_M = m
+    return _IDCT_M.T @ coeffs @ _IDCT_M
+
+
+def decode_jpeg_pixels(body: bytes):
+    """REAL baseline JPEG raster decode — pure stdlib + numpy: marker
+    walk (DQT/SOF0/DHT/SOS), canonical Huffman entropy decode with
+    byte unstuffing and restart markers, dequantize, de-zigzag, exact
+    8×8 IDCT, 4:2:0/4:2:2/4:4:4 chroma upsampling and YCbCr→RGB.
+    Returns an [h][w][channels] uint8 array (1 channel for grayscale,
+    3 for color) or None for progressive/arithmetic/12-bit streams and
+    corrupt payloads."""
+    import numpy as np
+
+    if len(body) < 4 or body[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None
+    h = w = 0
+    scan = None
+    i = 2
+    n = len(body)
+    while i + 4 <= n:
+        if body[i] != 0xFF:
+            return None
+        m = body[i + 1]
+        if m in (0x01,) or 0xD0 <= m <= 0xD9:
+            i += 2
+            continue
+        ln = struct.unpack(">H", body[i + 2:i + 4])[0]
+        seg = body[i + 4:i + 2 + ln]
+        if m == 0xDB:                        # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                if pq != 0:
+                    return None
+                qt[tq] = list(seg[j + 1:j + 65])
+                j += 65
+        elif m == 0xC0:                      # SOF0 baseline
+            if seg[0] != 8:
+                return None
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None                      # non-baseline
+        elif m == 0xC4:                      # DHT
+            j = 0
+            while j + 17 <= len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                counts = seg[j + 1:j + 17]
+                ns = sum(counts)
+                huff[(tc, th)] = _huff_table(counts,
+                                             seg[j + 17:j + 17 + ns])
+                j += 17 + ns
+        elif m == 0xDA:                      # SOS
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c:3 + 2 * c]
+                sel[cid] = (tt >> 4, tt & 15)
+            scan = (sel, i + 2 + ln)
+            break
+        i += 2 + ln
+    if comps is None or scan is None or not qt:
+        return None
+    sel, data_off = scan
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    planes = []
+    for c in comps:
+        pw = mcus_x * c["h"] * 8
+        ph = mcus_y * c["v"] * 8
+        planes.append(np.zeros((ph, pw), dtype=np.float64))
+    rd = _BitReader(body[data_off:])
+    preds = [0] * len(comps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if rd.restart:
+                preds = [0] * len(comps)
+                rd.restart = False
+            for ci, c in enumerate(comps):
+                dc_t = huff.get((0, sel[c["id"]][0]))
+                ac_t = huff.get((1, sel[c["id"]][1]))
+                q = qt.get(c["tq"])
+                if dc_t is None or ac_t is None or q is None:
+                    return None
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        t = rd.huff(dc_t)
+                        if t is None:
+                            return None
+                        vv = rd.bits(t)
+                        if vv is None:
+                            return None
+                        preds[ci] += _extend(vv, t)
+                        zz = [0] * 64
+                        zz[0] = preds[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = rd.huff(ac_t)
+                            if rs is None:
+                                return None
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break
+                            k += r
+                            if k > 63:
+                                return None
+                            vv = rd.bits(s)
+                            if vv is None:
+                                return None
+                            zz[_ZIGZAG[k]] = _extend(vv, s) * q[k]
+                            k += 1
+                        block = np.array(zz, dtype=np.float64) \
+                            .reshape(8, 8)
+                        sp = _idct8(block) + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = sp
+    out = []
+    for ci, c in enumerate(comps):
+        sy, sx = vmax // c["v"], hmax // c["h"]
+        p = np.repeat(np.repeat(planes[ci], sy, axis=0), sx, axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        g = np.clip(np.rint(out[0]), 0, 255).astype(np.uint8)
+        return g.reshape(h, w, 1)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
