@@ -3723,6 +3723,52 @@ FROM g WHERE g IS NOT NULL GROUP BY user_id
 """
 
 
+def q_pixel_stats(spark, sf_dir):
+    """REAL raster decoding under the oracle gate: pixel_stats decodes
+    the synthetic BMP rasters (raw BGR read) and PNG rasters (zlib
+    inflate + unfilter) and reports exact integer sum/sum-of-squares —
+    which the oracle recomputes from the generators' closed-form pixel
+    formulas ((7i) mod 256 rows for BMP, (3x+y) mod 256 for PNG).  The
+    fixture GIFs carry minimal LZW streams the decoder honestly
+    rejects, so their stats are null — also predicted."""
+    from .operators.multimodal import documents_as_media, pixel_stats
+    media = documents_as_media(_docs(spark, sf_dir))
+    return pixel_stats(media)
+
+
+_PIXEL_STATS_ORACLE = """
+WITH dims AS (
+  SELECT doc_id AS media_id, doc_id % 3 AS k,
+         4 + n_chars % 60 AS w, 4 + (n_chars // 7) % 60 AS h
+  FROM documents),
+bmp AS (
+  SELECT media_id, 'bmp' AS fmt,
+         CAST(3 * w * h AS BIGINT) AS n_px,
+         CAST(h * list_sum(list_transform(range(0, 3 * w),
+                i -> (7 * i) % 256)) AS BIGINT) AS px_sum,
+         CAST(h * list_sum(list_transform(range(0, 3 * w),
+                i -> ((7 * i) % 256) * ((7 * i) % 256)))
+              AS BIGINT) AS px_sum_sq
+  FROM dims WHERE k = 0),
+png AS (
+  SELECT media_id, 'png' AS fmt,
+         CAST(w * h AS BIGINT) AS n_px,
+         CAST(list_sum(list_transform(range(0, h), y ->
+                list_sum(list_transform(range(0, w), x ->
+                  (x * 3 + y) % 256)))) AS BIGINT) AS px_sum,
+         CAST(list_sum(list_transform(range(0, h), y ->
+                list_sum(list_transform(range(0, w), x ->
+                  ((x * 3 + y) % 256) * ((x * 3 + y) % 256)))))
+              AS BIGINT) AS px_sum_sq
+  FROM dims WHERE k = 1),
+gif AS (
+  SELECT media_id, 'gif' AS fmt, CAST(NULL AS BIGINT) AS n_px,
+         CAST(NULL AS BIGINT) AS px_sum, CAST(NULL AS BIGINT) AS px_sum_sq
+  FROM dims WHERE k = 2)
+SELECT * FROM bmp UNION ALL SELECT * FROM png UNION ALL SELECT * FROM gif
+"""
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: first 6 merge rules learned from the
     documents corpus (Sennrich et al. 2016).  FULL oracle: integer
@@ -5416,6 +5462,7 @@ ORACLES: dict[str, str | None] = {
     "k_truss_parts": _k_truss_oracle_sql(),
     "sentence_stats": _SENTENCE_STATS_ORACLE,
     "interarrival_stats": _INTERARRIVAL_ORACLE,
+    "pixel_stats": _PIXEL_STATS_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -5632,6 +5679,7 @@ QUERIES = {
     "k_truss_parts": q_k_truss,
     "sentence_stats": q_sentence_stats,
     "interarrival_stats": q_interarrival_stats,
+    "pixel_stats": q_pixel_stats,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
