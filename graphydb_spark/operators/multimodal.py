@@ -1203,3 +1203,80 @@ def decode_jpeg_pixels(body: bytes):
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def make_jpeg(width: int, height: int) -> bytes:
+    """Complete valid baseline JPEG (grayscale, DC-only blocks): block
+    (bx, by) is a flat patch of value ``(17·bx + 29·by) mod 256`` — a
+    closed-form raster, so a SQL oracle can recompute what
+    :func:`decode_jpeg_pixels` must read back, crop included.  Real
+    markers, a real canonical Huffman table (categories 0-11 as 4-bit
+    codes), real bit-packed entropy data."""
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    # DC table: categories 0..11 as canonical 4-bit codes; AC: EOB='0'
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dc_syms = list(range(12))
+    ac_counts = [1] + [0] * 15
+    ac_syms = [0x00]
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    out = [b"\xff\xd8",
+           seg(0xDB, bytes([0]) + bytes([1] * 64)),
+           seg(0xC0, bytes([8]) + struct.pack(">HH", height, width)
+               + bytes([1, 1, 0x11, 0])),
+           seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms)),
+           seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms)),
+           seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))]
+    bits: list[int] = []
+
+    def put(v, n):
+        for k in range(n - 1, -1, -1):
+            bits.append((v >> k) & 1)
+
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            v = (17 * bx + 29 * by) % 256
+            dc = (v - 128) * 8
+            diff = dc - pred
+            pred = dc
+            t = abs(diff).bit_length()
+            put(0b0000 + t, 4)              # DC category code (4 bits)
+            if t:
+                put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            bits.append(0)                  # AC EOB ('0')
+    while len(bits) % 8:
+        bits.append(1)
+    out.append(bytes(
+        int("".join(map(str, bits[i:i + 8])), 2)
+        for i in range(0, len(bits), 8)))
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
+def documents_as_jpeg(docs: DataFrame) -> DataFrame:
+    """Wrap the documents fixture as REAL baseline JPEG payloads
+    (:func:`make_jpeg`; dims from the same n_chars formulas as
+    :func:`documents_as_media`) — the oracle-checkable corpus for the
+    JPEG decoder."""
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, src, nch in zip(pdf["doc_id"], pdf["source"],
+                                     pdf["n_chars"]):
+                did, nch = int(did), int(nch)
+                w = 4 + nch % 60
+                h = 4 + (nch // 7) % 60
+                payload = make_jpeg(w, h)
+                rows.append((did, payload, "image",
+                             {"source": src, "bytes": len(payload)}))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "media_type",
+                               "meta"])
+
+    return (docs.select("doc_id", "source", "n_chars")
+            .mapInPandas(build, schema=MEDIA_SCHEMA))

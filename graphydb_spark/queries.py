@@ -3769,6 +3769,43 @@ SELECT * FROM bmp UNION ALL SELECT * FROM png UNION ALL SELECT * FROM gif
 """
 
 
+def q_jpeg_stats(spark, sf_dir):
+    """The JPEG decoder under the oracle gate: pixel_stats entropy-
+    decodes real baseline JPEGs (Huffman + IDCT) whose DC-only blocks
+    follow a closed form — the oracle recomputes the exact cropped
+    per-block pixel sums in SQL."""
+    from .operators.multimodal import documents_as_jpeg, pixel_stats
+    media = documents_as_jpeg(_docs(spark, sf_dir))
+    return (pixel_stats(media)
+            .select("media_id", "n_px", "px_sum", "px_sum_sq"))
+
+
+_JPEG_STATS_ORACLE = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         4 + n_chars % 60 AS w, 4 + (n_chars // 7) % 60 AS h
+  FROM documents),
+blocks AS (
+  SELECT media_id, w, h,
+         (w + 7) // 8 AS bw, (h + 7) // 8 AS bh
+  FROM dims)
+SELECT media_id,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(list_sum(list_transform(range(0, bh), by ->
+              list_sum(list_transform(range(0, bw), bx ->
+                ((17 * bx + 29 * by) % 256)
+                * LEAST(8, w - 8 * bx) * LEAST(8, h - 8 * by)))))
+            AS BIGINT) AS px_sum,
+       CAST(list_sum(list_transform(range(0, bh), by ->
+              list_sum(list_transform(range(0, bw), bx ->
+                ((17 * bx + 29 * by) % 256)
+                * ((17 * bx + 29 * by) % 256)
+                * LEAST(8, w - 8 * bx) * LEAST(8, h - 8 * by)))))
+            AS BIGINT) AS px_sum_sq
+FROM blocks
+"""
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: first 6 merge rules learned from the
     documents corpus (Sennrich et al. 2016).  FULL oracle: integer
@@ -5463,6 +5500,7 @@ ORACLES: dict[str, str | None] = {
     "sentence_stats": _SENTENCE_STATS_ORACLE,
     "interarrival_stats": _INTERARRIVAL_ORACLE,
     "pixel_stats": _PIXEL_STATS_ORACLE,
+    "jpeg_stats": _JPEG_STATS_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -5680,6 +5718,7 @@ QUERIES = {
     "sentence_stats": q_sentence_stats,
     "interarrival_stats": q_interarrival_stats,
     "pixel_stats": q_pixel_stats,
+    "jpeg_stats": q_jpeg_stats,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
