@@ -963,6 +963,7 @@ def k_truss(edges_df: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
         .where(F.col("a") < F.col("b")).distinct()
         .localCheckpoint(eager=True))
     converged = False
+    prev_n = e.count()
     for _ in range(max_iter):
         ab = e.select(F.col("a").alias("x"), F.col("b").alias("y1"))
         ac = e.select(F.col("a").alias("x"), F.col("b").alias("y2"))
@@ -980,7 +981,9 @@ def k_truss(edges_df: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
         nxt = (e.join(sup, ["a", "b"], "left")
                .where(F.coalesce("s", F.lit(0)) >= k - 2)
                .select("a", "b").localCheckpoint(eager=True))
-        converged = nxt.count() == e.count()
+        n = nxt.count()
+        converged = n == prev_n          # reuse last round's count
+        prev_n = n
         e = nxt
         if converged:
             break

@@ -657,7 +657,10 @@ def pixel_stats(media: DataFrame) -> DataFrame:
             rows = []
             for m, p in zip(pdf["media_id"], pdf["payload"]):
                 body = bytes(p or b"")
-                d = decode_image(body)
+                try:
+                    d = decode_image(body)
+                except Exception:
+                    d = None
                 raster = None
                 if d is not None and d["fmt"] == "png":
                     r = decode_png_pixels(body)
@@ -779,7 +782,11 @@ def _lzw_encode(indices, min_code_size: int) -> bytes:
         emit(table[seq])
         table[nxt] = next_code
         next_code += 1
-        if next_code == (1 << width) and width < 12:
+        # GIF "not-early-change": widen AFTER assigning code 2^width
+        # (codes equal to 2^width are then emitted at the new width) —
+        # the convention giflib/browsers implement; TIFF-style early
+        # change (widening at 2^width) desyncs against real decoders
+        if next_code == (1 << width) + 1 and width < 12:
             width += 1
         if next_code == 4096:
             emit(clear)
@@ -832,10 +839,11 @@ def _lzw_decode(data: bytes, min_code_size: int,
             else:
                 return None
             table.append(prev + (entry[0],))
-            # the decoder's table is ONE entry behind the encoder's
-            # (the first code after CLEAR adds nothing), so it must
-            # widen a step early: at 2^w - 1, not 2^w
-            if len(table) == (1 << width) - 1 and width < 12:
+            # decoder lags the encoder by one entry (the first code
+            # after CLEAR appends nothing), so the standard decoder
+            # widens when its table reaches 2^w — matching the
+            # encoder's widen-after-2^w rule above
+            if len(table) == (1 << width) and width < 12:
                 width += 1
         out.extend(entry)
         prev = entry
@@ -886,6 +894,8 @@ def decode_gif_pixels(body: bytes):
         return None
     gct_n = 2 ** ((packed & 0x07) + 1)
     palette = body[13:13 + 3 * gct_n]
+    if len(palette) != 3 * gct_n:
+        return None
     seg = _gif_segments(body)
     if seg is None or not seg[1]:
         return None
@@ -913,8 +923,8 @@ def decode_gif_pixels(body: bytes):
             data.extend(body[i + 1:i + 1 + ln])
             i += 1 + ln
         px = _lzw_decode(bytes(data), mcs, fw * fh)
-        if px is None:
-            return None
+        if px is None or (px and max(px) >= gct_n):
+            return None              # out-of-palette indices = corrupt
         frames.append(np.array(px, dtype=np.uint8).reshape(fh, fw))
     return frames, palette
 
@@ -983,15 +993,16 @@ def _huff_table(counts: bytes, symbols: bytes) -> dict:
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded JPEG data with 0xFF00
-    unstuffing and RSTn marker skipping (DC predictors reset by the
-    caller via the ``restart`` flag)."""
+    unstuffing.  Never reads past a marker; the MCU loop calls
+    :meth:`restart_sync` at DRI boundaries, which discards the byte-
+    alignment padding, consumes the RSTn marker, and lets the caller
+    reset its DC predictors."""
 
     def __init__(self, data: bytes):
         self.d = data
         self.pos = 0
         self.buf = 0
         self.nbits = 0
-        self.restart = False
 
     def _fill(self):
         while self.nbits <= 24 and self.pos < len(self.d):
@@ -1001,18 +1012,22 @@ class _BitReader:
                     else 0xD9
                 if nxt == 0x00:
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7:
-                    self.pos += 2
-                    self.buf = 0
-                    self.nbits = 0
-                    self.restart = True
-                    continue
-                else:                        # EOI or next segment
+                else:                        # RSTn / EOI / next segment
                     return
             else:
                 self.pos += 1
             self.buf = (self.buf << 8) | b
             self.nbits += 8
+
+    def restart_sync(self) -> bool:
+        """Byte-align (drop pad bits), consume the next RSTn marker."""
+        self.buf = 0
+        self.nbits = 0
+        if (self.pos + 1 < len(self.d) and self.d[self.pos] == 0xFF
+                and 0xD0 <= self.d[self.pos + 1] <= 0xD7):
+            self.pos += 2
+            return True
+        return False
 
     def bits(self, n: int) -> int | None:
         if n == 0:
@@ -1062,12 +1077,21 @@ def _idct8(coeffs):
 
 def decode_jpeg_pixels(body: bytes):
     """REAL baseline JPEG raster decode — pure stdlib + numpy: marker
-    walk (DQT/SOF0/DHT/SOS), canonical Huffman entropy decode with
-    byte unstuffing and restart markers, dequantize, de-zigzag, exact
-    8×8 IDCT, 4:2:0/4:2:2/4:4:4 chroma upsampling and YCbCr→RGB.
-    Returns an [h][w][channels] uint8 array (1 channel for grayscale,
-    3 for color) or None for progressive/arithmetic/12-bit streams and
-    corrupt payloads."""
+    walk (DQT/SOF0/DHT/SOS/DRI), canonical Huffman entropy decode with
+    byte unstuffing and restart-interval handling, dequantize,
+    de-zigzag, exact 8×8 IDCT, 4:2:0/4:2:2/4:4:4 chroma upsampling and
+    YCbCr→RGB.  Returns an [h][w][channels] uint8 array (1 channel for
+    grayscale, 3 for color) or None for progressive/arithmetic/12-bit
+    streams and corrupt payloads — malformed bytes must surface as
+    nulls, never a task failure (module contract), so structural
+    errors the parser can't anticipate are caught wholesale."""
+    try:
+        return _decode_jpeg_unsafe(body)
+    except (IndexError, ValueError, struct.error):
+        return None
+
+
+def _decode_jpeg_unsafe(body: bytes):
     import numpy as np
 
     if len(body) < 4 or body[:2] != b"\xff\xd8":
@@ -1077,6 +1101,7 @@ def decode_jpeg_pixels(body: bytes):
     comps = None
     h = w = 0
     scan = None
+    dri = 0
     i = 2
     n = len(body)
     while i + 4 <= n:
@@ -1118,6 +1143,8 @@ def decode_jpeg_pixels(body: bytes):
                 huff[(tc, th)] = _huff_table(counts,
                                              seg[j + 17:j + 17 + ns])
                 j += 17 + ns
+        elif m == 0xDD:                      # DRI: restart interval
+            dri = struct.unpack(">H", seg[:2])[0]
         elif m == 0xDA:                      # SOS
             ns = seg[0]
             sel = {}
@@ -1142,11 +1169,14 @@ def decode_jpeg_pixels(body: bytes):
         planes.append(np.zeros((ph, pw), dtype=np.float64))
     rd = _BitReader(body[data_off:])
     preds = [0] * len(comps)
+    mcu_i = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            if rd.restart:
+            if dri and mcu_i and mcu_i % dri == 0:
+                if not rd.restart_sync():
+                    return None
                 preds = [0] * len(comps)
-                rd.restart = False
+            mcu_i += 1
             for ci, c in enumerate(comps):
                 dc_t = huff.get((0, sel[c["id"]][0]))
                 ac_t = huff.get((1, sel[c["id"]][1]))
@@ -1251,9 +1281,13 @@ def make_jpeg(width: int, height: int) -> bytes:
             bits.append(0)                  # AC EOB ('0')
     while len(bits) % 8:
         bits.append(1)
-    out.append(bytes(
-        int("".join(map(str, bits[i:i + 8])), 2)
-        for i in range(0, len(bits), 8)))
+    stuffed = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = int("".join(map(str, bits[i:i + 8])), 2)
+        stuffed.append(byte)
+        if byte == 0xFF:             # spec: stuff a zero after 0xFF
+            stuffed.append(0x00)
+    out.append(bytes(stuffed))
     out.append(b"\xff\xd9")
     return b"".join(out)
 

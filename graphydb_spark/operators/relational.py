@@ -432,7 +432,8 @@ def interval_lookup(df: DataFrame, ranges: DataFrame, value_col: str,
     if bucket_width is None:
         row = ranges.agg(F.avg(F.col(hi_col) - F.col(lo_col))
                          .alias("w")).collect()[0]
-        bucket_width = float(row["w"]) or 1.0
+        # empty range table -> avg is NULL; any width works (no matches)
+        bucket_width = float(row["w"]) if row["w"] else 1.0
     w = F.lit(float(bucket_width))
     r = ranges.withColumn(
         "__b", F.explode(F.sequence(F.floor(F.col(lo_col) / w),

@@ -3682,10 +3682,10 @@ WITH s AS (
   FROM documents)
 SELECT doc_id,
        CAST(len(sents) AS BIGINT) AS n_sentences,
-       round(list_sum(list_transform(sents,
+       round(COALESCE(list_sum(list_transform(sents,
                x -> len(list_filter(
                  string_split_regex(lower(x), '[^a-z0-9]+'),
-                 t -> t != ''))))
+                 t -> t != '')))), 0)
              / greatest(len(sents), 1), 6) AS mean_sentence_tokens
 FROM s
 """

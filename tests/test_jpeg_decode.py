@@ -143,3 +143,40 @@ def test_pixel_stats_covers_jpeg(spark):
     r = pixel_stats(media).collect()[0]
     assert (r["fmt"], r["n_px"], r["px_sum"], r["px_sum_sq"]) == \
         ("jpeg", 64, 64 * 129, 64 * 129 * 129)
+
+
+def test_jpeg_restart_markers_with_dri():
+    """DRI=1 + RST0 between two single-block intervals: predictors
+    reset, padding discarded, both blocks decode."""
+    b1 = _Bits(); b1.add("10"); b1.add("1000"); b1.add("0")   # DC 8
+    b2 = _Bits(); b2.add("10"); b2.add("1000"); b2.add("0")   # DC 8 again
+    body = (b"\xff\xd8" + _QT + _sof0(16, 8, [(1, 1, 1, 0)]) + _DC + _AC
+            + _seg(0xDD, struct.pack(">H", 1))                # DRI = 1
+            + _sos([(1, 0, 0)])
+            + b1.bytes() + b"\xff\xd0" + b2.bytes() + b"\xff\xd9")
+    r = decode_jpeg_pixels(body)
+    assert r is not None and (r[:, :, 0] == 129).all()
+
+
+def test_jpeg_corrupt_streams_yield_none_not_crash():
+    """The corrupt-to-nulls contract: structurally plausible but broken
+    streams must return None, never raise."""
+    # empty SOS body
+    bad1 = (b"\xff\xd8" + _QT + _sof0(8, 8, [(1, 1, 1, 0)])
+            + _seg(0xDA, b"") + b"\xff\xd9")
+    # DHT declaring more symbols than it carries
+    bad2 = (b"\xff\xd8" + _QT + _sof0(8, 8, [(1, 1, 1, 0)])
+            + _seg(0xC4, bytes([0x00]) + bytes(_counts({1: 5})) + b"\x00")
+            + _sos([(1, 0, 0)]) + b"\xff\xd9")
+    assert decode_jpeg_pixels(bad1) is None
+    assert decode_jpeg_pixels(bad2) is None
+
+
+def test_make_jpeg_stuffs_ff_bytes():
+    """Dimensions whose entropy stream contains 0xFF must still form a
+    valid (stuffed) JPEG the decoder reads back."""
+    from graphydb_spark.operators.multimodal import (decode_jpeg_pixels
+                                                     as dec, make_jpeg)
+    r = dec(make_jpeg(112, 16))
+    assert r is not None and r.shape == (16, 112, 1)
+    assert r[0, 0, 0] == 0 and r[0, 8, 0] == 17 and r[8, 0, 0] == 29

@@ -1336,9 +1336,59 @@ def test_audio_spectral_finds_planted_tone(spark):
     assert r["spectral_centroid_hz"] > 0
 
 
+def _spec_lzw_decode(data, mcs, npx):
+    """INDEPENDENT reference decoder written straight from the
+    giflib/omggif convention (next_code tracks table length; widen when
+    next_code exceeds the code mask) — guards the codec against being
+    merely self-consistent with a nonstandard width-change rule."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    size = mcs + 1
+    mask = (1 << size) - 1
+    table = {i: (i,) for i in range(clear)}
+    next_code = eoi + 1
+    stream = int.from_bytes(data, "little")
+    total = len(data) * 8
+    pos = 0
+    out = []
+    prev = None
+    while len(out) < npx:
+        if pos + size > total:
+            return None
+        code = (stream >> pos) & mask
+        pos += size
+        if code == clear:
+            size, mask = mcs + 1, (1 << (mcs + 1)) - 1
+            table = {i: (i,) for i in range(clear)}
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + (prev[0],)
+            else:
+                return None
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code > mask and size < 12:
+                size += 1
+                mask = (1 << size) - 1
+        out.extend(entry)
+        prev = entry
+    return out[:npx]
+
+
 def test_gif_lzw_roundtrip_and_pixel_stats(spark):
-    """Full LZW codec: encode/decode roundtrip across width growth,
-    and pixel_stats over a real raster GIF equals the palette-mapped
+    """Full LZW codec: encode/decode roundtrip across palette widths
+    (2/4/8-bit min code sizes), width growth and the 4096 table reset,
+    cross-checked against an independent spec-convention decoder; and
+    pixel_stats over a real raster GIF equals the palette-mapped
     generator formula exactly (all frames)."""
     import random
 
@@ -1350,10 +1400,18 @@ def test_gif_lzw_roundtrip_and_pixel_stats(spark):
                                                      make_gif_raster,
                                                      pixel_stats)
     rng = random.Random(7)
-    for _ in range(10):
-        n = rng.randrange(1, 500)
-        idx = [rng.randrange(4) for _ in range(n)]
-        assert _lzw_decode(_lzw_encode(idx, 2), 2, n) == idx
+    for _ in range(15):
+        mcs = rng.choice([2, 4, 8])
+        n = rng.randrange(1, 2000)
+        idx = [rng.randrange(1 << mcs) for _ in range(n)]
+        enc = _lzw_encode(idx, mcs)
+        assert _lzw_decode(enc, mcs, n) == idx
+        assert _spec_lzw_decode(enc, mcs, n) == idx
+    # 30k-symbol stream crossing the 4096 table reset
+    idx = [(i * 7 + i // 3) % 4 for i in range(30000)]
+    enc = _lzw_encode(idx, 2)
+    assert _lzw_decode(enc, 2, len(idx)) == idx
+    assert _spec_lzw_decode(enc, 2, len(idx)) == idx
     w, h, nf = 9, 5, 2
     g = make_gif_raster(w, h, nf)
     frames, pal = decode_gif_pixels(g)
@@ -1408,3 +1466,24 @@ def test_k_truss_peels_pendant_triangle(spark):
          ("b", "d"), ("c", "d")],        # second triangle on edge (b,c)
         "startuid string, enduid string")
     assert k_truss(chain, 4).count() == 0
+
+
+def test_pixel_stats_corrupt_gif_yields_nulls(spark):
+    """A GIF whose LZW indices overflow the palette must produce null
+    stats, not a task failure (corrupt-to-nulls contract)."""
+    import struct as _s
+
+    from graphydb_spark.operators.multimodal import (_lzw_encode,
+                                                     pixel_stats)
+    # 2-entry palette but min-code-size 7 → indices up to 127
+    data = _lzw_encode([100] * 16, 7)
+    blocks = bytes([len(data)]) + data + b"\x00"
+    g = (b"GIF89a" + _s.pack("<HH", 4, 4) + bytes([0x80, 0, 0])
+         + b"\x00\x00\x00\xff\xff\xff"
+         + b"\x2c" + _s.pack("<HHHH", 0, 0, 4, 4) + b"\x00"
+         + bytes([7]) + blocks + b"\x3b")
+    media = spark.createDataFrame(
+        [(1, bytearray(g), "image", None)],
+        "media_id long, payload binary, media_type string, meta string")
+    r = pixel_stats(media).collect()[0]
+    assert r["fmt"] == "gif" and r["n_px"] is None

@@ -313,3 +313,12 @@ def test_interval_lookup_bands(spark):
     assert got == {1: "a", 2: "b",        # half-open: 1.0 -> band b
                    3: "b", 4: None,       # gap keeps nulls
                    5: "c"}                # wide-band bucket explode works
+
+
+def test_interval_lookup_empty_ranges(spark):
+    from graphydb_spark.operators.relational import interval_lookup
+    ranges = spark.createDataFrame([], "lo double, hi double, band string")
+    df = spark.createDataFrame([(1, 5.0)], "event_id long, value double")
+    out = interval_lookup(df, ranges, "value",
+                          key_cols=["event_id"]).collect()
+    assert len(out) == 1 and out[0]["band"] is None
