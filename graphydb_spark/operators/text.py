@@ -297,12 +297,16 @@ def tfidf_topk(df: DataFrame, text_col: str = "text",
     toks = (df.select(F.col(id_col),
                       F.explode(tokens(F.col(text_col))).alias("term")))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    idf = (tf.groupBy("term").agg(F.count("*").alias("df"))
-           .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df"))))
-    scored = (tf.join(idf.select("term", "idf"), "term")
+    # document frequency as a term-partitioned window over tf — one
+    # pass, no self-join, the tokenize+count subtree plans ONCE (the
+    # agg+join formulation duplicated it and cost 2× the scan)
+    from pyspark.sql import Window as W
+    w_term = W.partitionBy("term")
+    scored = (tf.withColumn("df", F.count("*").over(w_term))
+              .withColumn("idf", F.log(F.lit(float(n_docs))
+                                       / F.col("df")))
               .withColumn("tfidf",
                           F.round(F.col("tf") * F.col("idf"), 6)))
-    from pyspark.sql import Window as W
     w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(),
                                       F.col("term"))
     return (scored.withColumn("rank", F.row_number().over(w)
