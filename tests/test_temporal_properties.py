@@ -131,3 +131,37 @@ def test_apply_cdc_matches_bruteforce(spark, feed):
         else:
             want[k] = v
     assert got == want
+
+
+range_tables = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(1, 10)),  # lo, width
+    min_size=1, max_size=6)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(raw=range_tables,
+       vals=st.lists(st.integers(-5, 60), min_size=1, max_size=15))
+def test_interval_lookup_matches_bruteforce(spark, raw, vals):
+    from graphydb_spark.operators.relational import interval_lookup
+    # make ranges non-overlapping by laying them end to end
+    ranges, cur = [], 0
+    for lo_off, width in raw:
+        lo = cur + lo_off
+        ranges.append((float(lo), float(lo + width), f"b{len(ranges)}"))
+        cur = lo + width
+    rdf = spark.createDataFrame(ranges, "lo double, hi double, band string")
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)],
+        "event_id long, value double")
+    got = {r["event_id"]: r["band"]
+           for r in interval_lookup(df, rdf, "value",
+                                    key_cols=["event_id"]).collect()}
+    want = {}
+    for i, v in enumerate(vals):
+        want[i] = None
+        for lo, hi, b in ranges:
+            if lo <= v < hi:
+                want[i] = b
+                break
+    assert got == want
