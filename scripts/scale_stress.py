@@ -283,6 +283,24 @@ def main():
           interval_lookup(probes, ranges, "value",
                           key_cols=["event_id"]))
 
+    # multimodal decode throughput: the only Python hot path (Arrow
+    # mapInPandas) — linear in media count
+    from graphydb_spark.operators.multimodal import (documents_as_jpeg,
+                                                     documents_as_media,
+                                                     pixel_stats)
+    mdocs2 = (spark.range(50_000).repartition(64)
+              .select(F.col("id").alias("doc_id"),
+                      F.concat(F.lit("src"), (F.col("id") % 20))
+                      .alias("source"),
+                      (200 + F.col("id") % 600).cast("int")
+                      .alias("n_chars")))
+    media = documents_as_media(mdocs2).localCheckpoint(eager=True)
+    timed("pixel_stats[bmp+png+gif mix, 50k media]",
+          pixel_stats(media).where(F.col("n_px").isNotNull()))
+    jp = documents_as_jpeg(mdocs2).localCheckpoint(eager=True)
+    timed("pixel_stats[jpeg huffman+idct, 50k media]",
+          pixel_stats(jp).where(F.col("n_px").isNotNull()))
+
 
 if __name__ == "__main__":
     main()
