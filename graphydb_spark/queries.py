@@ -3806,6 +3806,41 @@ FROM blocks
 """
 
 
+def q_weekly_trend(spark, sf_dir):
+    """Week-over-week order revenue with percent change (lag window
+    over a weekly DECIMAL-exact sum) — the period-over-period BI shape.
+    FULL oracle; pct rounds to 6 dp, first week is null."""
+    o = load_tables(spark, sf_dir)["orders"]
+    weekly = (o.groupBy(F.date_trunc("week", F.col("o_orderdate")
+                                     .cast("timestamp")).alias("week"))
+              .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                   .alias("_rev")))
+    from pyspark.sql import Window as W
+    w = W.orderBy("week")
+    # pct math in pure IEEE doubles — decimal division SCALE rules
+    # differ between engines and flip the 6th dp
+    rd = F.col("_rev").cast("double")
+    prev = F.lag(rd).over(w)
+    return (weekly.select(
+        F.col("week").cast("date").alias("week"),
+        rd.alias("revenue"),
+        F.round((rd - prev) / prev * 100, 6).alias("wow_pct")))
+
+
+_WEEKLY_TREND_ORACLE = """
+WITH weekly AS (
+  SELECT date_trunc('week', CAST(o_orderdate AS TIMESTAMP)) AS week,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1)
+SELECT CAST(week AS DATE) AS week, CAST(rev AS DOUBLE) AS revenue,
+       round((CAST(rev AS DOUBLE)
+              - lag(CAST(rev AS DOUBLE)) OVER (ORDER BY week))
+             / lag(CAST(rev AS DOUBLE)) OVER (ORDER BY week) * 100, 6)
+       AS wow_pct
+FROM weekly
+"""
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: first 6 merge rules learned from the
     documents corpus (Sennrich et al. 2016).  FULL oracle: integer
@@ -5501,6 +5536,7 @@ ORACLES: dict[str, str | None] = {
     "interarrival_stats": _INTERARRIVAL_ORACLE,
     "pixel_stats": _PIXEL_STATS_ORACLE,
     "jpeg_stats": _JPEG_STATS_ORACLE,
+    "weekly_trend": _WEEKLY_TREND_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -5719,6 +5755,7 @@ QUERIES = {
     "interarrival_stats": q_interarrival_stats,
     "pixel_stats": q_pixel_stats,
     "jpeg_stats": q_jpeg_stats,
+    "weekly_trend": q_weekly_trend,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
