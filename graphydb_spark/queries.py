@@ -3841,6 +3841,47 @@ FROM weekly
 """
 
 
+def q_transition_entropy(spark, sf_dir):
+    """Shannon entropy of each state's next-event distribution (how
+    predictable a user's next action is, per current action).  FULL
+    oracle: each -p·log2(p) term rounds to 9 dp DECIMAL before the sum,
+    so the aggregation is order-free (the unigram_logprob discipline)."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window as W
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select(F.col("event_type").alias("state"),
+                       F.lead("event_type").over(w).alias("nxt"))
+             .where(F.col("nxt").isNotNull()))
+    c = pairs.groupBy("state", "nxt").agg(F.count("*").alias("cnt"))
+    tot = W.partitionBy("state")
+    p = F.col("cnt") / F.sum("cnt").over(tot)
+    term = F.round(-p * F.log2(p), 9).cast("decimal(18,9)")
+    return (c.withColumn("__t", term)
+            .groupBy("state")
+            .agg(F.round(F.sum("__t").cast("double"), 6)
+                 .alias("entropy_bits"),
+                 F.count("*").alias("n_successors")))
+
+
+_TRANSITION_ENTROPY_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS state,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events),
+c AS (SELECT state, nxt, COUNT(*) AS cnt
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT state,
+             CAST(ROUND(-(cnt / SUM(cnt) OVER (PARTITION BY state))
+                        * log2(cnt / SUM(cnt) OVER (PARTITION BY state)),
+                        9) AS DECIMAL(18,9)) AS term
+      FROM c)
+SELECT state, round(CAST(SUM(term) AS DOUBLE), 6) AS entropy_bits,
+       COUNT(*) AS n_successors
+FROM t GROUP BY state
+"""
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: first 6 merge rules learned from the
     documents corpus (Sennrich et al. 2016).  FULL oracle: integer
@@ -5537,6 +5578,7 @@ ORACLES: dict[str, str | None] = {
     "pixel_stats": _PIXEL_STATS_ORACLE,
     "jpeg_stats": _JPEG_STATS_ORACLE,
     "weekly_trend": _WEEKLY_TREND_ORACLE,
+    "transition_entropy": _TRANSITION_ENTROPY_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -5756,6 +5798,7 @@ QUERIES = {
     "pixel_stats": q_pixel_stats,
     "jpeg_stats": q_jpeg_stats,
     "weekly_trend": q_weekly_trend,
+    "transition_entropy": q_transition_entropy,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
