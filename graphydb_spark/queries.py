@@ -3882,6 +3882,59 @@ FROM t GROUP BY state
 """
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """Top-20 collocations by pointwise mutual information over
+    adjacent token pairs (min count 5, the classic collocation
+    extractor).  FULL oracle: PMI = log2(N·c_xy/(c_x·c_y)) from exact
+    integer counts — one deterministic double per pair."""
+    docs = _docs(spark, sf_dir)
+    toks = text.tokens(F.col("text"))
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda _t, i: F.struct(
+            F.element_at(toks, i + 1).alias("x"),
+            F.element_at(toks, i + 2).alias("y")))
+    pairs = (docs.select(F.explode(grams).alias("g"))
+             .select("g.x", "g.y"))
+    cxy = pairs.groupBy("x", "y").agg(F.count("*").alias("cxy"))
+    uni = (pairs.select(F.col("x").alias("t"))
+           .unionByName(pairs.select(F.col("y").alias("t")))
+           .groupBy("t").agg(F.count("*").alias("c")))
+    n_total = pairs.count()
+    scored = (cxy.where(F.col("cxy") >= 5)
+              .join(uni.select(F.col("t").alias("x"),
+                               F.col("c").alias("cx")), "x")
+              .join(uni.select(F.col("t").alias("y"),
+                               F.col("c").alias("cy")), "y")
+              .withColumn("pmi", F.round(F.log2(
+                  F.lit(float(n_total)) * F.col("cxy")
+                  / (F.col("cx") * F.col("cy"))), 6)))
+    return (scored.select("x", "y", "cxy", "pmi")
+            .orderBy(F.col("pmi").desc(), "x", "y").limit(20))
+
+
+_PMI_ORACLE = """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t != '') AS ws
+  FROM documents),
+pairs AS (
+  SELECT ws[t.i] AS x, ws[t.i + 1] AS y
+  FROM toks, UNNEST(range(1, len(ws))) AS t(i)),
+cxy AS (SELECT x, y, COUNT(*) AS cxy FROM pairs GROUP BY 1, 2),
+uni AS (SELECT t, COUNT(*) AS c FROM (
+          SELECT x AS t FROM pairs UNION ALL SELECT y FROM pairs)
+        GROUP BY 1),
+n AS (SELECT COUNT(*) AS total FROM pairs)
+SELECT x, y, cxy,
+       round(log2(CAST((SELECT total FROM n) AS DOUBLE) * cxy
+                  / (ux.c * uy.c)), 6) AS pmi
+FROM cxy JOIN uni ux ON ux.t = x JOIN uni uy ON uy.t = y
+WHERE cxy >= 5
+ORDER BY pmi DESC, x, y LIMIT 20
+"""
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training: first 6 merge rules learned from the
     documents corpus (Sennrich et al. 2016).  FULL oracle: integer
@@ -5579,6 +5632,7 @@ ORACLES: dict[str, str | None] = {
     "jpeg_stats": _JPEG_STATS_ORACLE,
     "weekly_trend": _WEEKLY_TREND_ORACLE,
     "transition_entropy": _TRANSITION_ENTROPY_ORACLE,
+    "pmi_collocations": _PMI_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -5799,6 +5853,7 @@ QUERIES = {
     "jpeg_stats": q_jpeg_stats,
     "weekly_trend": q_weekly_trend,
     "transition_entropy": q_transition_entropy,
+    "pmi_collocations": q_pmi_collocations,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
