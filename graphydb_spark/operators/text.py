@@ -288,10 +288,11 @@ def tfidf_topk(df: DataFrame, text_col: str = "text",
 
     ``tf`` = in-document term count; ``idf`` = ln(N / df) with exact
     integer N and df.  Shape: one (doc, term) count aggregate (map-side
-    combinable), one document-frequency aggregate over the distinct
-    (doc, term) pairs, a broadcast-sized join back, and a per-doc rank
-    window whose WindowGroupLimit keeps ≤ k rows per doc per partition.
-    Deterministic: ties break lexicographically on the term.
+    combinable), document frequency as a term-partitioned count window
+    over that same frame (the corpus scans once — no second aggregate,
+    no join), and a per-doc rank window whose WindowGroupLimit keeps
+    ≤ k rows per doc per partition.  Deterministic: ties break
+    lexicographically on the term.
     """
     n_docs = df.select(id_col).distinct().count()
     toks = (df.select(F.col(id_col),

@@ -3846,13 +3846,15 @@ def q_transition_entropy(spark, sf_dir):
     predictable a user's next action is, per current action).  FULL
     oracle: each -p·log2(p) term rounds to 9 dp DECIMAL before the sum,
     so the aggregation is order-free (the unigram_logprob discipline)."""
-    ev = _events(spark, sf_dir)
     from pyspark.sql import Window as W
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (ev.select(F.col("event_type").alias("state"),
-                       F.lead("event_type").over(w).alias("nxt"))
-             .where(F.col("nxt").isNotNull()))
-    c = pairs.groupBy("state", "nxt").agg(F.count("*").alias("cnt"))
+
+    from .operators.relational import transition_matrix
+    # reuse the sequencing/counting of transition_matrix so ordering
+    # and tiebreak semantics cannot silently diverge from
+    # q_event_transitions
+    c = transition_matrix(_events(spark, sf_dir), "user_id", "ts",
+                          "event_type", tiebreak="event_id") \
+        .select("state", "cnt")
     tot = W.partitionBy("state")
     p = F.col("cnt") / F.sum("cnt").over(tot)
     term = F.round(-p * F.log2(p), 9).cast("decimal(18,9)")
@@ -3896,18 +3898,25 @@ def q_pmi_collocations(spark, sf_dir):
             F.element_at(toks, i + 2).alias("y")))
     pairs = (docs.select(F.explode(grams).alias("g"))
              .select("g.x", "g.y"))
+    # everything derives from the ONE pair-count aggregate: the
+    # unigram counts are its margins, N its total (empty-frame window,
+    # the mixture_sample idiom) — the corpus tokenizes once (the cxy
+    # exchange is identical in every branch, so ReusedExchange shares
+    # it at runtime), and no eager count bakes work out of the plan
+    from pyspark.sql import Window as W
     cxy = pairs.groupBy("x", "y").agg(F.count("*").alias("cxy"))
-    uni = (pairs.select(F.col("x").alias("t"))
-           .unionByName(pairs.select(F.col("y").alias("t")))
-           .groupBy("t").agg(F.count("*").alias("c")))
-    n_total = pairs.count()
-    scored = (cxy.where(F.col("cxy") >= 5)
+    uni = (cxy.select(F.col("x").alias("t"), F.col("cxy").alias("c"))
+           .unionByName(cxy.select(F.col("y").alias("t"),
+                                   F.col("cxy").alias("c")))
+           .groupBy("t").agg(F.sum("c").alias("c")))
+    scored = (cxy.withColumn("__n", F.sum("cxy").over(W.partitionBy()))
+              .where(F.col("cxy") >= 5)
               .join(uni.select(F.col("t").alias("x"),
                                F.col("c").alias("cx")), "x")
               .join(uni.select(F.col("t").alias("y"),
                                F.col("c").alias("cy")), "y")
               .withColumn("pmi", F.round(F.log2(
-                  F.lit(float(n_total)) * F.col("cxy")
+                  F.col("__n").cast("double") * F.col("cxy")
                   / (F.col("cx") * F.col("cy"))), 6)))
     return (scored.select("x", "y", "cxy", "pmi")
             .orderBy(F.col("pmi").desc(), "x", "y").limit(20))
