@@ -870,6 +870,11 @@ class Graph:
         """graphydb.py:536-543."""
         self._changes = []
 
+    def deletechange(self, change_id: int) -> None:
+        """Drop one change record by id (graphydb.py:568-570) —
+        e.g. to prune a record the caller never wants undone."""
+        self._changes = [c for c in self._changes if c["id"] != change_id]
+
     def changes_df(self) -> DataFrame:
         rows = [(c["id"], c["uid"], json.dumps(c, sort_keys=True))
                 for c in self._changes]

@@ -9,6 +9,7 @@ work happens in Spark DataFrames (see :mod:`graphydb_spark.graph`).
 
 from __future__ import annotations
 
+import copy as copy_mod
 import random
 import time
 from collections.abc import MutableMapping
@@ -169,13 +170,61 @@ class Item(MutableMapping):
         """Persistable snapshot (transient ``_`` keys stripped)."""
         return clean_data(self._data)
 
-    def copy(self, newuid: bool = True) -> "Item":
-        """Duplicate, optionally minting a new uid (graphydb.py:1260-1283)."""
+    def copy(self, newuid: bool = False) -> "Item":
+        """Shallow duplicate (graphydb.py:1260-1271).
+
+        Matches the reference default: ``copy()`` keeps the SAME uid (a
+        handle onto the same stored item) and carries the dirty-key set
+        across; ``copy(newuid=True)`` mints a fresh identity."""
         d = dict(self._data)
         if newuid:
             d["uid"] = generate_uid()
         out = type(self)(graph=self.graph, **d)
+        if not newuid:
+            out._dirty = set(self._dirty)
         return out
+
+    def deepcopy(self, newuid: bool = False) -> "Item":
+        """Deep duplicate — nested values are copied too
+        (graphydb.py:1273-1283)."""
+        d = copy_mod.deepcopy(self._data)
+        if newuid:
+            d["uid"] = generate_uid()
+        out = type(self)(graph=self.graph, **d)
+        if not newuid:
+            out._dirty = set(self._dirty)
+        return out
+
+    def discard(self, key: str) -> "Item":
+        """Remove ``key`` if present (graphydb.py:1229-1235)."""
+        if key in self._data:
+            del self[key]
+        return self
+
+    def setGraph(self, graph, changed: bool = True) -> "Item":
+        """Attach the item to a graph (graphydb.py:1100-1107)."""
+        self.graph = graph
+        self.setChanged(changed)
+        return self
+
+    def setChanged(self, changed: bool) -> None:
+        """Mark every key dirty (True) or the item clean (False)
+        (graphydb.py:1112-1121)."""
+        if changed:
+            self._dirty = set(self._data)
+        else:
+            self._dirty = set()
+
+    def updatefts(self, **data) -> "Item":
+        """Reference-API shim (graphydb.py:1165-1197).  Our FTS index is
+        DERIVED from the node/edge tables at match time (fts.py), so
+        there is no side table to patch — the index can never desync and
+        this is a deliberate no-op that keeps ported code running."""
+        return self
+
+    def deletefts(self) -> "Item":
+        """Reference-API shim (graphydb.py:1237-1244) — see updatefts."""
+        return self
 
     @classmethod
     def fromkeys(cls, iterable, value=None) -> "Item":

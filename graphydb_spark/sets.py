@@ -248,6 +248,17 @@ class ItemSet(IndexedSet):
                 return it.graph
         return None
 
+    def setGraph(self, graph, changed: bool = True) -> "ItemSet":
+        """Attach every member to ``graph`` (graphydb.py:1553-1559)."""
+        for it in self:
+            it.setGraph(graph, changed=changed)
+        return self
+
+    def deletefts(self) -> "ItemSet":
+        """Reference-API shim (graphydb.py:1658-1665): our FTS index is
+        derived at match time, so there is nothing to delete — no-op."""
+        return self
+
 
 class NSet(ItemSet):
     """Node result set with set-anchored traversals (graphydb.py:1707-1784).

@@ -114,9 +114,67 @@ def test_settings_cache_roundtrip(graph):
 
 def test_copy_new_uid(eg):
     g, it = eg
-    anne2 = it["anne"].copy()
+    anne2 = it["anne"].copy(newuid=True)
     assert anne2.uid != it["anne"].uid
     assert anne2["name"] == "Anne"
+
+
+def test_copy_default_keeps_uid(eg):
+    """Reference default (graphydb.py:1260): copy() is a same-uid handle."""
+    g, it = eg
+    anne2 = it["anne"].copy()
+    assert anne2.uid == it["anne"].uid
+    assert anne2["name"] == "Anne"
+
+
+def test_deepcopy_isolates_nested_values(eg):
+    g, it = eg
+    anne = it["anne"]
+    anne["tags"] = ["a", "b"]
+    shallow = anne.copy()
+    deep = anne.deepcopy()
+    anne["tags"].append("c")
+    assert shallow["tags"] == ["a", "b", "c"]   # shares the list
+    assert deep["tags"] == ["a", "b"]           # isolated
+    assert deep.uid == anne.uid
+    assert anne.deepcopy(newuid=True).uid != anne.uid
+
+
+def test_discard_and_set_changed(eg):
+    g, it = eg
+    anne = it["anne"].copy()
+    anne["nickname"] = "Ann"
+    assert anne.discard("nickname") is anne
+    assert "nickname" not in anne
+    anne.discard("nickname")  # absent key is a no-op (graphydb.py:1229)
+    anne.setChanged(False)
+    assert not anne.changed
+    anne.setChanged(True)
+    assert anne.changed
+
+
+def test_set_graph_and_fts_shims(eg):
+    g, it = eg
+    loose = type(it["anne"])(kind="Person", name="Zoe")
+    loose.graph = None
+    assert loose.setGraph(g, changed=False) is loose
+    assert loose.graph is g and not loose.changed
+    # derived-index shims return self so ported reference code chains
+    assert loose.updatefts(name="Zoe") is loose
+    assert loose.deletefts() is loose
+
+
+def test_deletechange_prunes_one_record(eg):
+    g, it = eg
+    before = g.nchanges
+    anne = it["anne"]
+    anne["mood"] = "curious"
+    anne.save()
+    assert g.nchanges == before + 1
+    last_id = g.lastchanges()[-1]["id"]
+    g.deletechange(last_id)
+    assert g.nchanges == before
+    assert all(c["id"] != last_id for c in g.lastchanges())
 
 
 def test_as_of_change_snapshot(spark):
