@@ -4030,6 +4030,311 @@ FROM (SELECT doc_id, list_filter(
       FROM documents), mrg"""
 
 
+def q_zscore_anomaly(spark, sf_dir):
+    """Hourly event-count anomaly detection: hours whose count sits
+    more than 2 sample standard deviations from the global hourly
+    mean.  FULL oracle: mean/std derive from exact BIGINT sums
+    (sum n, sum n*n) so the z doubles are bit-identical on both
+    engines; one groupBy + one unpartitioned window over the tiny
+    hourly frame — the raw events never shuffle twice."""
+    from pyspark.sql import Window as W
+    ev = _events(spark, sf_dir)
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.count("*").alias("n")))
+    w = W.partitionBy()
+    s = F.sum("n").over(w).cast("double")
+    ss = F.sum(F.col("n") * F.col("n")).over(w).cast("double")
+    c = F.count("*").over(w).cast("double")
+    z = F.round((F.col("n") - s / c)
+                / F.sqrt((ss - s * s / c) / (c - 1)), 6)
+    return (hourly.withColumn("z", z)
+            .where(F.abs(F.col("z")) > 2)
+            .select("hour", "n", "z"))
+
+
+_ZSCORE_ANOMALY_ORACLE = """
+WITH h AS (SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+           FROM events GROUP BY 1),
+g AS (SELECT hour, n,
+             CAST(SUM(n) OVER () AS DOUBLE) AS s,
+             CAST(SUM(n * n) OVER () AS DOUBLE) AS ss,
+             CAST(COUNT(*) OVER () AS DOUBLE) AS c
+      FROM h),
+z AS (SELECT hour, n,
+             round((n - s / c) / sqrt((ss - s * s / c) / (c - 1)), 6) AS z
+      FROM g)
+SELECT hour, n, z FROM z WHERE abs(z) > 2
+"""
+
+
+def q_autocorr_revenue(spark, sf_dir):
+    """Lag-1 and lag-7 autocorrelation of daily order revenue (is
+    yesterday / the same weekday last week predictive?).  FULL oracle:
+    Pearson r computed in closed form from exact DECIMAL sums of the
+    lagged pairs — doubles appear only in the final expression, so the
+    result is deterministic on both engines."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"]
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("decimal(18,2)").alias("rev")))
+    w = W.orderBy("day")
+    parts = []
+    for lag in (1, 7):
+        x, y = F.col("rev"), F.col("prev")
+        pair = (daily.withColumn("prev", F.lag("rev", lag).over(w))
+                .where(F.col("prev").isNotNull())
+                .agg(F.count("*").cast("double").alias("c"),
+                     F.sum(x).cast("double").alias("sx"),
+                     F.sum(y).cast("double").alias("sy"),
+                     F.sum((x * y).cast("decimal(38,4)"))
+                     .cast("double").alias("sxy"),
+                     F.sum((x * x).cast("decimal(38,4)"))
+                     .cast("double").alias("sxx"),
+                     F.sum((y * y).cast("decimal(38,4)"))
+                     .cast("double").alias("syy"))
+                .select(F.lit(lag).alias("lag"),
+                        F.col("c").cast("bigint").alias("n_days"),
+                        F.round((F.col("c") * F.col("sxy")
+                                 - F.col("sx") * F.col("sy"))
+                                / F.sqrt((F.col("c") * F.col("sxx")
+                                          - F.col("sx") * F.col("sx"))
+                                         * (F.col("c") * F.col("syy")
+                                            - F.col("sy") * F.col("sy"))),
+                                6).alias("autocorr")))
+        parts.append(pair)
+    return parts[0].unionByName(parts[1])
+
+
+def _autocorr_oracle_sql() -> str:
+    sels = []
+    for lag in (1, 7):
+        sels.append(f"""
+SELECT {lag} AS lag, CAST(c AS BIGINT) AS n_days,
+       round((c * sxy - sx * sy)
+             / sqrt((c * sxx - sx * sx) * (c * syy - sy * sy)), 6)
+       AS autocorr
+FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS c,
+             CAST(SUM(rev) AS DOUBLE) AS sx,
+             CAST(SUM(prev) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(rev * prev AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(rev * rev AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(prev * prev AS DECIMAL(38,4))) AS DOUBLE) AS syy
+      FROM (SELECT rev, lag(rev, {lag}) OVER (ORDER BY day) AS prev
+            FROM daily)
+      WHERE prev IS NOT NULL)""")
+    return ("""
+WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS DECIMAL(18,2)) AS rev
+               FROM orders GROUP BY 1)
+""" + " UNION ALL ".join(sels))
+
+
+def q_benford_digits(spark, sf_dir):
+    """Benford's-law profile of order totals: observed leading-digit
+    distribution vs the expected log10(1+1/d) — the classic fraud /
+    data-quality screen.  FULL oracle: the leading digit comes from the
+    exact integer cent value's string form (no cross-engine libm in
+    the digit), counts are exact, and the two ratio doubles round at
+    6 dp."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (o.where(F.col("o_totalprice") > 0)
+              .groupBy(digit.alias("digit"))
+              .agg(F.count("*").alias("n")))
+    return (counts
+            .withColumn("pct", F.round(F.col("n").cast("double")
+                                       / F.sum("n").over(
+                                           W.partitionBy()), 6))
+            .withColumn("benford",
+                        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6))
+            .select("digit", "n", "pct", "benford"))
+
+
+_BENFORD_ORACLE = """
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         COUNT(*) AS n
+  FROM orders WHERE o_totalprice > 0 GROUP BY 1)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS pct,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford
+FROM c
+"""
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: quartile-code every customer on
+    Recency / Frequency / Monetary and count the cells — the marketing
+    workhorse.  FULL oracle: each ntile(4) carries a custkey tiebreak
+    so the quartile assignment is a total order, and the cell sums are
+    DECIMAL-exact."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"]
+    per = (o.groupBy("o_custkey")
+           .agg(F.max(F.col("o_orderdate").cast("date")).alias("r"),
+                F.count("*").alias("f"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(18,2)").alias("m")))
+    rq = F.ntile(4).over(W.orderBy("r", "o_custkey"))
+    fq = F.ntile(4).over(W.orderBy("f", "o_custkey"))
+    mq = F.ntile(4).over(W.orderBy("m", "o_custkey"))
+    coded = per.select(
+        F.concat(rq.cast("string"), fq.cast("string"),
+                 mq.cast("string")).alias("segment"),
+        F.col("m"))
+    return (coded.groupBy("segment")
+            .agg(F.count("*").alias("n_customers"),
+                 F.sum("m").cast("double").alias("monetary")))
+
+
+_RFM_ORACLE = """
+WITH per AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS r,
+         COUNT(*) AS f,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) AS m
+  FROM orders GROUP BY 1),
+coded AS (
+  SELECT CAST(ntile(4) OVER (ORDER BY r, o_custkey) AS VARCHAR)
+         || CAST(ntile(4) OVER (ORDER BY f, o_custkey) AS VARCHAR)
+         || CAST(ntile(4) OVER (ORDER BY m, o_custkey) AS VARCHAR)
+         AS segment, m
+  FROM per)
+SELECT segment, COUNT(*) AS n_customers,
+       CAST(SUM(m) AS DOUBLE) AS monetary
+FROM coded GROUP BY segment
+"""
+
+
+def q_activity_streaks(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands shape (row_number date-offset anchor).  FULL
+    oracle: pure integer/date arithmetic, no doubles at all."""
+    from pyspark.sql import Window as W
+    ev = _events(spark, sf_dir)
+    days = (ev.select("user_id", F.col("ts").cast("date").alias("day"))
+            .distinct())
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy("day"))
+    anchored = days.withColumn("anchor", F.date_sub(F.col("day"), rn))
+    streaks = (anchored.groupBy("user_id", "anchor")
+               .agg(F.count("*").alias("len")))
+    return (streaks.groupBy("user_id")
+            .agg(F.max("len").alias("longest"),
+                 F.count("*").alias("n_streaks"),
+                 F.sum("len").alias("active_days")))
+
+
+_STREAKS_ORACLE = """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+              FROM events),
+anchored AS (
+  SELECT user_id,
+         day - CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY day) AS INTEGER)
+         AS anchor
+  FROM days),
+streaks AS (SELECT user_id, anchor, COUNT(*) AS len
+            FROM anchored GROUP BY 1, 2)
+SELECT user_id, MAX(len) AS longest, COUNT(*) AS n_streaks,
+       SUM(len) AS active_days
+FROM streaks GROUP BY user_id
+"""
+
+
+def q_decile_share(spark, sf_dir):
+    """Revenue concentration: share of total revenue captured by each
+    customer decile (the Lorenz-curve table).  FULL oracle: ntile(10)
+    with custkey tiebreak, DECIMAL-exact decile sums, one ratio
+    double rounded at 6 dp."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"]
+    per = (o.groupBy("o_custkey")
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(18,2)").alias("rev")))
+    d = per.withColumn(
+        "decile", F.ntile(10).over(W.orderBy("rev", "o_custkey")))
+    by = (d.groupBy("decile")
+          .agg(F.count("*").alias("n_customers"),
+               F.sum("rev").cast("decimal(28,2)").alias("_drev")))
+    tot = F.sum("_drev").over(W.partitionBy())
+    return (by.select(
+        "decile", "n_customers",
+        F.col("_drev").cast("double").alias("revenue"),
+        F.round(F.col("_drev").cast("double") / tot.cast("double"), 6)
+        .alias("share")))
+
+
+_DECILE_SHARE_ORACLE = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) AS rev
+  FROM orders GROUP BY 1),
+d AS (SELECT rev, ntile(10) OVER (ORDER BY rev, o_custkey) AS decile
+      FROM per),
+by_d AS (SELECT decile, COUNT(*) AS n_customers,
+                CAST(SUM(rev) AS DECIMAL(28,2)) AS drev
+         FROM d GROUP BY 1)
+SELECT decile, n_customers, CAST(drev AS DOUBLE) AS revenue,
+       round(CAST(drev AS DOUBLE)
+             / CAST(SUM(drev) OVER () AS DOUBLE), 6) AS share
+FROM by_d
+"""
+
+
+def q_gini_revenue(spark, sf_dir):
+    """Gini coefficient of customer revenue — the single-number
+    inequality summary (G = sum((2i-n-1)·x_i) / (n·sum(x)) over the
+    value-sorted series).  FULL oracle: rank and both sums are exact
+    (BIGINT × DECIMAL), one closed-form double at the end; the
+    custkey tiebreak fixes i, and ties in x cannot change the sum."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"]
+    per = (o.groupBy("o_custkey")
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(18,2)").alias("rev")))
+    ranked = per.withColumn(
+        "i", F.row_number().over(W.orderBy("rev", "o_custkey"))
+        .cast("bigint"))
+    agg = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum((F.col("i") * F.col("rev")).cast("decimal(38,2)"))
+        .cast("double").alias("sir"),
+        F.sum("rev").cast("double").alias("sr"))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round((2.0 * F.col("sir") - (F.col("n") + 1) * F.col("sr"))
+                / (F.col("n") * F.col("sr")), 6).alias("gini"))
+
+
+_GINI_ORACLE = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) AS rev
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT rev,
+         CAST(row_number() OVER (ORDER BY rev, o_custkey) AS BIGINT)
+         AS i
+  FROM per),
+a AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(i * rev AS DECIMAL(38,2))) AS DOUBLE) AS sir,
+             CAST(SUM(rev) AS DOUBLE) AS sr
+      FROM ranked)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round((2.0 * sir - (n + 1) * sr) / (n * sr), 6) AS gini
+FROM a
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -5642,6 +5947,13 @@ ORACLES: dict[str, str | None] = {
     "weekly_trend": _WEEKLY_TREND_ORACLE,
     "transition_entropy": _TRANSITION_ENTROPY_ORACLE,
     "pmi_collocations": _PMI_ORACLE,
+    "zscore_anomaly": _ZSCORE_ANOMALY_ORACLE,
+    "autocorr_revenue": _autocorr_oracle_sql(),
+    "benford_digits": _BENFORD_ORACLE,
+    "rfm_segments": _RFM_ORACLE,
+    "activity_streaks": _STREAKS_ORACLE,
+    "decile_share": _DECILE_SHARE_ORACLE,
+    "gini_revenue": _GINI_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -5863,6 +6175,13 @@ QUERIES = {
     "weekly_trend": q_weekly_trend,
     "transition_entropy": q_transition_entropy,
     "pmi_collocations": q_pmi_collocations,
+    "zscore_anomaly": q_zscore_anomaly,
+    "autocorr_revenue": q_autocorr_revenue,
+    "benford_digits": q_benford_digits,
+    "rfm_segments": q_rfm_segments,
+    "activity_streaks": q_activity_streaks,
+    "decile_share": q_decile_share,
+    "gini_revenue": q_gini_revenue,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
