@@ -4335,6 +4335,205 @@ FROM a
 """
 
 
+def q_fingerprint_dups(spark, sf_dir):
+    """Token-sort fingerprint canonicalization (record-linkage
+    standard): part names that collapse to the same sorted-token key —
+    catches exact and word-reordered duplicates.  FULL oracle: pure
+    string ops + integer counts."""
+    p = load_tables(spark, sf_dir)["part"]
+    fp = F.array_join(F.array_sort(F.split(F.col("p_name"), " ")), " ")
+    return (p.groupBy(fp.alias("fingerprint"))
+            .agg(F.count("*").alias("n_parts"),
+                 F.countDistinct("p_name").alias("n_names"))
+            .where(F.col("n_parts") > 1))
+
+
+_FINGERPRINT_DUPS_ORACLE = """
+SELECT array_to_string(list_sort(string_split(p_name, ' ')), ' ')
+       AS fingerprint,
+       COUNT(*) AS n_parts,
+       COUNT(DISTINCT p_name) AS n_names
+FROM part GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """Blocked fuzzy record linkage: part-name pairs within edit
+    distance 2, candidate pairs restricted to a shared last-token
+    block (the noun) so the comparison never goes all-pairs — the
+    standard blocking+verify shape that scales where naive O(n²)
+    cannot.  FULL oracle: levenshtein is the same DP in both engines;
+    top-50 carries a full key tiebreak."""
+    p = (load_tables(spark, sf_dir)["part"]
+         .select("p_partkey", "p_name",
+                 F.element_at(F.split(F.col("p_name"), " "), -1)
+                 .alias("block")))
+    a, b = p.alias("a"), p.alias("b")
+    pairs = (a.join(b, (F.col("a.block") == F.col("b.block"))
+                    & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+             .select(F.col("a.p_partkey").alias("k1"),
+                     F.col("b.p_partkey").alias("k2"),
+                     F.col("a.p_name").alias("name1"),
+                     F.col("b.p_name").alias("name2"),
+                     F.levenshtein("a.p_name", "b.p_name").alias("dist"))
+             .where((F.col("dist") > 0) & (F.col("dist") <= 2)))
+    return pairs.orderBy("dist", "k1", "k2").limit(50)
+
+
+_FUZZY_NAME_ORACLE = """
+WITH t AS (SELECT p_partkey, p_name,
+                  string_split(p_name, ' ')[-1] AS block
+           FROM part)
+SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+       a.p_name AS name1, b.p_name AS name2,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM t a JOIN t b
+  ON a.block = b.block AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+ORDER BY dist, k1, k2 LIMIT 50
+"""
+
+
+def q_lexical_diversity(spark, sf_dir):
+    """Per-document lexical diversity: type-token ratio and hapax
+    ratio (vocab-richness quality signals for corpus filtering).
+    FULL oracle: exact integer counts, ratios round at 6 dp; the
+    per-doc token-frequency map never shuffles (doc_id is the group
+    key end-to-end)."""
+    docs = _docs(spark, sf_dir)
+    toks = (docs.select("doc_id", F.explode(text.tokens(F.col("text")))
+                        .alias("tok")))
+    freq = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    return (freq.groupBy("doc_id")
+            .agg(F.sum("c").alias("n_tokens"),
+                 F.count("*").alias("n_types"),
+                 F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                 .alias("n_hapax"))
+            .select("doc_id", "n_tokens",
+                    F.round(F.col("n_types").cast("double")
+                            / F.col("n_tokens"), 6).alias("ttr"),
+                    F.round(F.col("n_hapax").cast("double")
+                            / F.col("n_tokens"), 6).alias("hapax_ratio")))
+
+
+_LEXICAL_DIVERSITY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+    string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != ''))
+    AS tok
+  FROM documents),
+freq AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+SELECT doc_id, SUM(c) AS n_tokens,
+       round(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS ttr,
+       round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / SUM(c), 6) AS hapax_ratio
+FROM freq GROUP BY doc_id
+"""
+
+
+def q_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope
+    of ln(freq) on ln(rank) for tokens with freq ≥ 2 — the classic
+    naturalness check on a training corpus.  FULL oracle: each ln term
+    rounds to 9 dp DECIMAL before the sums (order-free, libm-proof),
+    slope/intercept emerge from one closed-form double."""
+    from pyspark.sql import Window as W
+    docs = _docs(spark, sf_dir)
+    freq = (docs.select(F.explode(text.tokens(F.col("text")))
+                        .alias("tok"))
+            .groupBy("tok").agg(F.count("*").alias("c"))
+            .where(F.col("c") >= 2))
+    ranked = freq.withColumn(
+        "r", F.row_number().over(W.orderBy(F.col("c").desc(), "tok")))
+    x = F.round(F.log(F.col("r").cast("double")), 9) \
+        .cast("decimal(18,9)")
+    y = F.round(F.log(F.col("c").cast("double")), 9) \
+        .cast("decimal(18,9)")
+    terms = ranked.select(
+        x.alias("x"), y.alias("y"),
+        (x * y).cast("decimal(38,18)").alias("xy"),
+        (x * x).cast("decimal(38,18)").alias("xx"))
+    agg = terms.agg(F.count("*").cast("double").alias("n"),
+                    F.sum("x").cast("double").alias("sx"),
+                    F.sum("y").cast("double").alias("sy"),
+                    F.sum("xy").cast("double").alias("sxy"),
+                    F.sum("xx").cast("double").alias("sxx"))
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_ranks"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+        .alias("intercept"))
+
+
+_ZIPF_ORACLE = """
+WITH freq AS (
+  SELECT tok, COUNT(*) AS c FROM (
+    SELECT unnest(list_filter(
+      string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != ''))
+      AS tok
+    FROM documents)
+  GROUP BY 1 HAVING COUNT(*) >= 2),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM freq),
+t AS (
+  SELECT CAST(round(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+         CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+  FROM ranked),
+a AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+      FROM t)
+SELECT CAST(n AS BIGINT) AS n_ranks,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+             6) AS intercept
+FROM a
+"""
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Robust per-nation outlier screen on customer balances: median /
+    MAD and the count beyond 3 MADs (the robust z-score).  FULL
+    oracle: both engines use linearly-interpolated exact percentiles;
+    outputs round at 6 dp."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    med = (cust.groupBy("c_nationkey")
+           .agg(F.expr("percentile(c_acctbal, 0.5)").alias("med")))
+    dev = (cust.join(med, "c_nationkey")
+           .withColumn("adev", F.abs(F.col("c_acctbal") - F.col("med"))))
+    mad2 = (dev.groupBy("c_nationkey")
+            .agg(F.expr("percentile(adev, 0.5)").alias("mad")))
+    out = (dev.join(mad2, "c_nationkey")
+           .groupBy("c_nationkey")
+           .agg(F.count("*").alias("n_customers"),
+                F.round(F.first("med"), 6).alias("med"),
+                F.round(F.first("mad"), 6).alias("mad"),
+                F.sum(F.when(F.col("adev") > 3 * F.col("mad"), 1)
+                      .otherwise(0)).alias("n_outliers")))
+    return out
+
+
+_MAD_ORACLE = """
+WITH med AS (SELECT c_nationkey, quantile_cont(c_acctbal, 0.5) AS med
+             FROM customer GROUP BY 1),
+dev AS (SELECT c.c_nationkey, med,
+               abs(c_acctbal - med) AS adev
+        FROM customer c JOIN med USING (c_nationkey)),
+mad AS (SELECT c_nationkey, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY 1)
+SELECT c_nationkey, COUNT(*) AS n_customers,
+       round(any_value(med), 6) AS med,
+       round(any_value(d.mad), 6) AS mad,
+       SUM(CASE WHEN adev > 3 * d.mad THEN 1 ELSE 0 END) AS n_outliers
+FROM dev JOIN mad d USING (c_nationkey)
+GROUP BY c_nationkey
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -5954,6 +6153,11 @@ ORACLES: dict[str, str | None] = {
     "activity_streaks": _STREAKS_ORACLE,
     "decile_share": _DECILE_SHARE_ORACLE,
     "gini_revenue": _GINI_ORACLE,
+    "fingerprint_dups": _FINGERPRINT_DUPS_ORACLE,
+    "fuzzy_name_pairs": _FUZZY_NAME_ORACLE,
+    "lexical_diversity": _LEXICAL_DIVERSITY_ORACLE,
+    "zipf_slope": _ZIPF_ORACLE,
+    "mad_outliers": _MAD_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -6182,6 +6386,11 @@ QUERIES = {
     "activity_streaks": q_activity_streaks,
     "decile_share": q_decile_share,
     "gini_revenue": q_gini_revenue,
+    "fingerprint_dups": q_fingerprint_dups,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "lexical_diversity": q_lexical_diversity,
+    "zipf_slope": q_zipf_slope,
+    "mad_outliers": q_mad_outliers,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
