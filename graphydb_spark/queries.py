@@ -4534,6 +4534,200 @@ GROUP BY c_nationkey
 """
 
 
+def q_scd2_intervals(spark, sf_dir):
+    """Type-2 slowly-changing-dimension build: collapse each user's
+    event stream into validity intervals of consecutive equal states
+    (run-length islands via change-flag cumsum).  FULL oracle: pure
+    integer/timestamp arithmetic under a (ts, event_id) total order."""
+    from pyspark.sql import Window as W
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w)),
+        1).otherwise(0)
+    grp = F.sum(chg).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    runs = ev.select("user_id", "event_type", "ts",
+                     grp.alias("grp"))
+    return (runs.groupBy("user_id", "grp")
+            .agg(F.min("event_type").alias("state"),
+                 F.min("ts").alias("valid_from"),
+                 F.max("ts").alias("valid_to"),
+                 F.count("*").alias("n_events"))
+            .select("user_id", "grp", "state", "valid_from",
+                    "valid_to", "n_events"))
+
+
+_SCD2_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR event_type != lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+runs AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged)
+SELECT user_id, grp, MIN(event_type) AS state,
+       MIN(ts) AS valid_from, MAX(ts) AS valid_to,
+       COUNT(*) AS n_events
+FROM runs GROUP BY user_id, grp
+"""
+
+
+def q_attribution_last_touch(spark, sf_dir):
+    """Last-touch marketing attribution: every purchase credited to
+    the user's most recent prior click/view ('direct' when none) —
+    the carry-forward last_value(IGNORE NULLS) idiom.  FULL oracle:
+    (ts, event_id) total order; value sums are DECIMAL-exact."""
+    from pyspark.sql import Window as W
+    ev = _events(spark, sf_dir)
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    marker = F.when(F.col("event_type").isin("click", "view"),
+                    F.col("event_type"))
+    ch = F.last(marker, ignorenulls=True).over(w)
+    purchases = (ev.withColumn("channel", ch)
+                 .where(F.col("event_type") == "purchase"))
+    return (purchases
+            .groupBy(F.coalesce("channel", F.lit("direct"))
+                     .alias("channel"))
+            .agg(F.count("*").alias("n_purchases"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("double").alias("total_value")))
+
+
+_ATTRIBUTION_ORACLE = """
+WITH marked AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS channel
+  FROM events)
+SELECT COALESCE(channel, 'direct') AS channel,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM marked WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+def q_rolling_distinct_users(spark, sf_dir):
+    """Rolling 7-day distinct active users per day (the DAU/WAU
+    shape).  Distinct-count-over-range-window isn't a window function
+    in either engine; the scalable form is a broadcast join of the
+    dim-sized day grid onto the distinct (day, user) pairs.  FULL
+    oracle: exact integers."""
+    ev = _events(spark, sf_dir)
+    du = (ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+          .distinct())
+    days = du.select("day").distinct() \
+        .select(F.col("day").alias("as_of"))
+    j = du.join(F.broadcast(days),
+                (F.col("day") <= F.col("as_of"))
+                & (F.col("day") >= F.date_sub(F.col("as_of"), 6)))
+    return (j.groupBy("as_of")
+            .agg(F.countDistinct("user_id").alias("wau")))
+
+
+_ROLLING_DISTINCT_ORACLE = """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+            FROM events),
+days AS (SELECT DISTINCT day AS as_of FROM du)
+SELECT as_of, COUNT(DISTINCT user_id) AS wau
+FROM du JOIN days
+  ON du.day <= as_of AND du.day >= as_of - 6
+GROUP BY as_of
+"""
+
+
+def q_skyline_parts(spark, sf_dir):
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (price ↓, size ↑).  The naive form is O(n²); this is the
+    O(n log n) shape — a 50-row per-size min-price table with a
+    strictly-greater cumulative min, broadcast back onto parts — so
+    the fact table never self-joins.  FULL oracle: integer sizes,
+    exact double price comparisons."""
+    from pyspark.sql import Window as W
+    p = load_tables(spark, sf_dir)["part"]
+    sz = (p.groupBy("p_size")
+          .agg(F.min("p_retailprice").alias("minp")))
+    wd = W.orderBy(F.col("p_size").desc()) \
+        .rowsBetween(W.unboundedPreceding, -1)
+    sz = sz.withColumn("min_gt", F.min("minp").over(wd))
+    keep = p.join(F.broadcast(sz), "p_size").where(
+        (F.col("min_gt").isNull()
+         | (F.col("p_retailprice") < F.col("min_gt")))
+        & (F.col("p_retailprice") == F.col("minp")))
+    return keep.select("p_partkey", "p_name", "p_size",
+                       "p_retailprice")
+
+
+_SKYLINE_ORACLE = """
+WITH sz AS (
+  SELECT p_size, MIN(p_retailprice) AS minp,
+         MIN(MIN(p_retailprice))
+           OVER (ORDER BY p_size DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS min_gt
+  FROM part GROUP BY p_size)
+SELECT p_partkey, p_name, p.p_size, p_retailprice
+FROM part p JOIN sz ON p.p_size = sz.p_size
+WHERE (min_gt IS NULL OR p_retailprice < min_gt)
+  AND p_retailprice = minp
+"""
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document novelty: fraction of its distinct 3-grams first
+    introduced by this document (global first-occurrence = min doc_id
+    per gram) — the redundancy-growth curve of a crawl.  FULL oracle:
+    exact integer counts, ratio rounds at 6 dp."""
+    docs = _docs(spark, sf_dir)
+    toks = text.tokens(F.col("text"))
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda _t, i: F.concat_ws(
+            " ", F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2), F.element_at(toks, i + 3)))
+    dg = (docs.select("doc_id", F.explode(grams).alias("g"))
+          .distinct())
+    first = dg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (dg.join(first, "g")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum(F.when(F.col("first_doc") == F.col("doc_id"),
+                              1).otherwise(0)).alias("n_novel"))
+            .withColumn("novelty",
+                        F.round(F.col("n_novel").cast("double")
+                                / F.col("n_grams"), 6)))
+
+
+_NGRAM_NOVELTY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '') AS ws
+  FROM documents),
+dg AS (
+  SELECT DISTINCT doc_id,
+         ws[t.i] || ' ' || ws[t.i + 1] || ' ' || ws[t.i + 2] AS g
+  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+first AS (SELECT g, MIN(doc_id) AS first_doc FROM dg GROUP BY g)
+SELECT doc_id, COUNT(*) AS n_grams,
+       SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_novel,
+       round(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS novelty
+FROM dg JOIN first USING (g)
+GROUP BY doc_id
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -6158,6 +6352,11 @@ ORACLES: dict[str, str | None] = {
     "lexical_diversity": _LEXICAL_DIVERSITY_ORACLE,
     "zipf_slope": _ZIPF_ORACLE,
     "mad_outliers": _MAD_ORACLE,
+    "scd2_intervals": _SCD2_ORACLE,
+    "attribution_last_touch": _ATTRIBUTION_ORACLE,
+    "rolling_distinct_users": _ROLLING_DISTINCT_ORACLE,
+    "skyline_parts": _SKYLINE_ORACLE,
+    "ngram_novelty": _NGRAM_NOVELTY_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -6391,6 +6590,11 @@ QUERIES = {
     "lexical_diversity": q_lexical_diversity,
     "zipf_slope": q_zipf_slope,
     "mad_outliers": q_mad_outliers,
+    "scd2_intervals": q_scd2_intervals,
+    "attribution_last_touch": q_attribution_last_touch,
+    "rolling_distinct_users": q_rolling_distinct_users,
+    "skyline_parts": q_skyline_parts,
+    "ngram_novelty": q_ngram_novelty,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
