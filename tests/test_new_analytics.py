@@ -1,0 +1,98 @@
+"""Property/differential tests for the round-3 analytics batch —
+invariants the DuckDB oracle can't express (brute-force dominance,
+interval disjointness), on the sf0.001 fixtures."""
+
+import os
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+Q = entrymod.queries()
+
+
+def test_skyline_matches_bruteforce(spark):
+    """The O(n log n) windowed skyline equals the O(n²) dominance
+    definition exactly."""
+    got = {r.p_partkey for r in Q["skyline_parts"](spark, SF_DIR).collect()}
+    parts = [(r.p_partkey, r.p_size, r.p_retailprice)
+             for r in spark.read.parquet(f"{SF_DIR}/part.parquet")
+             .select("p_partkey", "p_size", "p_retailprice").collect()]
+    brute = set()
+    for k, s, p in parts:
+        dominated = any(
+            s2 >= s and p2 <= p and (s2 > s or p2 < p)
+            for k2, s2, p2 in parts if k2 != k)
+        if not dominated:
+            brute.add(k)
+    assert got == brute
+
+
+def test_scd2_intervals_partition_the_stream(spark):
+    """Intervals per user are disjoint, ordered, alternate states, and
+    their event counts sum to the user's event count."""
+    rows = Q["scd2_intervals"](spark, SF_DIR).collect()
+    ev = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+          .groupBy("user_id").count().collect())
+    per_user_events = {r.user_id: r["count"] for r in ev}
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == set(per_user_events)
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.grp)
+        assert sum(r.n_events for r in ivs) == per_user_events[uid]
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to <= b.valid_from
+            assert a.state != b.state, "consecutive runs must differ"
+        for r in ivs:
+            assert r.valid_from <= r.valid_to
+
+
+def test_activity_streaks_invariants(spark):
+    """active_days sums to the distinct (user, day) count; the longest
+    streak never exceeds the user's active days."""
+    rows = Q["activity_streaks"](spark, SF_DIR).collect()
+    distinct_days = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+                     .selectExpr("user_id", "cast(ts as date) d")
+                     .distinct().count())
+    assert sum(r.active_days for r in rows) == distinct_days
+    for r in rows:
+        assert 1 <= r.longest <= r.active_days
+        assert r.n_streaks >= 1
+        # n_streaks * 1 <= active_days (each streak has >= 1 day)
+        assert r.n_streaks <= r.active_days
+
+
+def test_decile_share_and_gini_consistency(spark):
+    """Decile shares sum to 1 and rise monotonically; Gini falls in
+    [0, 1) and agrees with the Lorenz view of the same deciles."""
+    shares = sorted(Q["decile_share"](spark, SF_DIR).collect(),
+                    key=lambda r: r.decile)
+    assert len(shares) == 10
+    assert abs(sum(r.share for r in shares) - 1.0) < 1e-4
+    revs = [r.revenue for r in shares]
+    assert revs == sorted(revs), "decile revenue must be nondecreasing"
+    gini = Q["gini_revenue"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= gini.gini < 1.0
+
+
+def test_fuzzy_pairs_are_blocked_and_bounded(spark):
+    """Every returned pair shares the blocking noun and has edit
+    distance in [1, 2] with ordered keys."""
+    rows = Q["fuzzy_name_pairs"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r.k1 < r.k2
+        assert 1 <= r.dist <= 2
+        assert r.name1.split()[-1] == r.name2.split()[-1]
+
+
+def test_rfm_segments_cover_all_customers(spark):
+    rows = Q["rfm_segments"](spark, SF_DIR).collect()
+    n_cust = (spark.read.parquet(f"{SF_DIR}/orders.parquet")
+              .select("o_custkey").distinct().count())
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        assert len(r.segment) == 3
+        assert all(c in "1234" for c in r.segment)
