@@ -458,3 +458,65 @@ def random_projection(emb: DataFrame, out_dim: int, in_dim: int,
             .withColumn("proj_norm", F.round(F.sqrt(F.aggregate(
                 F.col("proj"), F.lit(0.0), lambda a, v: a + v * v)), 6))
             .select(id_col, "proj", "proj_norm"))
+
+
+def mmr_rerank(emb: DataFrame, query_vec: list[float], k: int = 8,
+               pool: int = 24, lam: float = 0.7,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               exclude_ids: list | None = None) -> list[tuple]:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedy diverse top-k — each pick maximizes
+    ``λ·cos(q, i) − (1−λ)·max_{s∈selected} cos(i, s)``.
+
+    Two-stage retrieval shape: the *distributed* stage prunes the
+    corpus to a ``pool``-sized candidate set by plain cosine
+    (TakeOrderedAndProject — no global sort); the greedy loop then
+    runs on the driver over pool² pairwise cosines — pool is
+    constant-sized by construction, so this is O(pool²·dim) driver
+    work regardless of corpus size (the standard rerank tier of a
+    retrieval system).  All cosines are sequential left-to-right
+    folds over doubles — bit-identical to the SQL ``list_sum``
+    replay (the knn_cosine/ivf oracle equivalence).
+
+    Returns ``[(rank, id, mmr_score, cos0), …]`` — deterministic:
+    argmax ties break to the lowest id.
+    """
+    cand_ids = cosine_topk(emb, query_vec, k=pool, id_col=id_col,
+                           vec_col=vec_col, exclude_ids=exclude_ids)
+    cands = (cand_ids.join(emb.select(id_col, vec_col), id_col)
+             .select(id_col, "cosine", vec_col).collect())
+
+    def fold_cos(a, b):
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        for x in a:
+            na += float(x) * float(x)
+        for y in b:
+            nb += float(y) * float(y)
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    vecs = {r[id_col]: [float(x) for x in r[vec_col]] for r in cands}
+    cos0 = {r[id_col]: float(r["cosine"]) for r in cands}
+    ms = {i: 0.0 for i in vecs}
+    selected: list[tuple] = []
+    chosen: set = set()
+    for rank in range(1, min(k, len(vecs)) + 1):
+        best = None
+        for i in sorted(vecs):
+            if i in chosen:
+                continue
+            score = lam * cos0[i] - (1.0 - lam) * ms[i]
+            if best is None or score > best[0]:
+                best = (score, i)
+        score, pick = best
+        selected.append((rank, pick, score, cos0[pick]))
+        chosen.add(pick)
+        for i in vecs:
+            if i not in chosen:
+                c = fold_cos(vecs[i], vecs[pick])
+                if c > ms[i]:
+                    ms[i] = c
+    return selected

@@ -4747,6 +4747,231 @@ GROUP BY doc_id
 """
 
 
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: BM25 text ranking fused with cosine vector
+    ranking by Reciprocal Rank Fusion (score = Σ 1/(60+rank), the
+    Cormack et al. standard) over the shared doc/vec id space.  FULL
+    oracle: RRF uses only ranks, both underlying rankings are already
+    oracle-proven deterministic (bm25_rank, knn_cosine), and the two
+    1/(60+r) terms are exact-input doubles."""
+    from pyspark.sql import Window as W
+
+    from .fts import bm25_scores, build_tf_index
+    g = tpch_graph(spark, sf_dir)
+    docs = g.nodes_df.where(F.col("kind") == "Document")
+    idx = build_tf_index(docs, ["text"])
+    bm = (bm25_scores(idx, ["data", "query"])
+          .withColumn("r_text", F.row_number().over(
+              W.orderBy(F.col("score").desc(), "uid")))
+          .where(F.col("r_text") <= 50)
+          .select(F.regexp_extract("uid", r"(\d+)$", 1)
+                  .cast("bigint").alias("id"), "r_text"))
+    emb = _emb(spark, sf_dir)
+    qv = list(emb.where(F.col("vec_id") == 0)
+              .select("embedding").collect()[0][0])
+    cos = (similarity.cosine_topk(emb, qv, k=50, exclude_ids=[0])
+           .withColumn("r_vec", F.row_number().over(
+               W.orderBy(F.col("cosine").desc(), "vec_id")))
+           .select(F.col("vec_id").alias("id"), "r_vec"))
+    return (bm.join(cos, "id", "outer")
+            .withColumn("rrf", F.round(
+                F.coalesce(1.0 / (60 + F.col("r_text")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("r_vec")), F.lit(0.0)),
+                9))
+            .orderBy(F.col("rrf").desc(), "id").limit(10)
+            .select("id", "r_text", "r_vec", "rrf"))
+
+
+_RRF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '') AS ws
+  FROM documents),
+docs AS (SELECT doc_id, len(ws) AS dl FROM toks WHERE len(ws) > 0),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM docs),
+tf AS (
+  SELECT toks.doc_id, u.tok AS term, COUNT(*) AS tf
+  FROM toks, UNNEST(ws) AS u(tok)
+  WHERE u.tok IN ('data','query')
+  GROUP BY toks.doc_id, u.tok),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, 'Document:' || CAST(tf.doc_id AS VARCHAR) AS uid,
+         SUM( ln((s.n - d.df + 0.5)/(d.df + 0.5) + 1.0)
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * docs.dl / s.avgdl))
+            ) AS score
+  FROM tf JOIN dfreq d USING (term)
+       JOIN docs ON docs.doc_id = tf.doc_id
+       CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+tr AS (
+  SELECT doc_id AS id, r_text FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, uid) AS r_text
+    FROM scored) WHERE r_text <= 50),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cscored AS (
+  SELECT e.vec_id,
+    list_sum(list_transform(range(1, len(e.embedding)+1),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, len(q.qe)+1),
+         i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+         i -> CAST(e.embedding[i] AS DOUBLE)
+            * CAST(e.embedding[i] AS DOUBLE)))))
+    AS cos
+  FROM embeddings e, q WHERE e.vec_id != 0),
+cr AS (
+  SELECT vec_id AS id, r_vec FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY cos DESC, vec_id) AS r_vec
+    FROM cscored) WHERE r_vec <= 50)
+SELECT COALESCE(tr.id, cr.id) AS id, r_text, r_vec,
+       round(COALESCE(1.0/(60 + r_text), 0.0)
+             + COALESCE(1.0/(60 + r_vec), 0.0), 9) AS rrf
+FROM tr FULL JOIN cr ON tr.id = cr.id
+ORDER BY rrf DESC, id LIMIT 10
+"""
+
+
+def q_mmr_select(spark, sf_dir):
+    """MMR diverse top-8 for vec_id=0: distributed cosine prune to a
+    24-candidate pool, then the greedy λ·relevance − (1−λ)·redundancy
+    selection (two-stage retrieval; pool is constant-sized so the
+    rerank tier is O(pool²·dim) regardless of corpus size).  FULL
+    oracle: the greedy loop unrolls to one CTE per pick; every cosine
+    is the same left-to-right fold on both sides."""
+    emb = _emb(spark, sf_dir)
+    qv = list(emb.where(F.col("vec_id") == 0)
+              .select("embedding").collect()[0][0])
+    sel = similarity.mmr_rerank(emb, qv, k=8, pool=24, lam=0.7,
+                                exclude_ids=[0])
+    rows = [(rank, int(i), round(score, 6), round(c0, 6))
+            for rank, i, score, c0 in sel]
+    return spark.createDataFrame(
+        rows, "rank int, vec_id bigint, mmr double, cos0 double")
+
+
+def _mmr_oracle_sql(k: int = 8, pool: int = 24, lam: float = 0.7) -> str:
+    """DuckDB replay of q_mmr_select: candidate pool + pairwise-cosine
+    CTE, then one (max-sim, argmax) CTE pair per greedy round — the
+    same unrolled-loop idiom as the ivf/pagerank oracles.  λ and 1−λ
+    are emitted as exact double reprs so the score arithmetic is
+    bit-identical to the engine's Python floats."""
+    la, ula = repr(float(lam)), repr(1.0 - float(lam))
+    parts = [f"""
+WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+           FROM embeddings WHERE vec_id = 0),
+c0 AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings WHERE vec_id != 0),
+scored AS (
+  SELECT e.vec_id, e.v,
+    list_sum(list_transform(range(1, len(e.v)+1),
+                            i -> e.v[i] * q.qe[i]))
+    / (sqrt(list_sum(list_transform(range(1, len(q.qe)+1),
+                                    i -> q.qe[i] * q.qe[i])))
+     * sqrt(list_sum(list_transform(range(1, len(e.v)+1),
+                                    i -> e.v[i] * e.v[i])))) AS cos0
+  FROM c0 e, q),
+cand AS MATERIALIZED (
+  SELECT vec_id, v, cos0 FROM scored
+  ORDER BY cos0 DESC, vec_id LIMIT {pool}),
+pc AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+    list_sum(list_transform(range(1, len(a.v)+1),
+                            i -> a.v[i] * b.v[i]))
+    / (sqrt(list_sum(list_transform(range(1, len(a.v)+1),
+                                    i -> a.v[i] * a.v[i])))
+     * sqrt(list_sum(list_transform(range(1, len(b.v)+1),
+                                    i -> b.v[i] * b.v[i])))) AS cs
+  FROM cand a, cand b WHERE a.vec_id != b.vec_id),
+ms1 AS (SELECT vec_id, cos0, CAST(0.0 AS DOUBLE) AS ms FROM cand),
+s1 AS MATERIALIZED (
+  SELECT vec_id, {la} * cos0 - {ula} * ms AS score, cos0 FROM ms1
+  ORDER BY score DESC, vec_id LIMIT 1)"""]
+    for r in range(2, k + 1):
+        excl = " AND ".join(
+            f"m.vec_id != (SELECT vec_id FROM s{j})" for j in range(1, r))
+        parts.append(f""",
+ms{r} AS (
+  SELECT m.vec_id, m.cos0, GREATEST(m.ms, pc.cs) AS ms
+  FROM ms{r - 1} m
+  JOIN pc ON pc.ia = m.vec_id
+         AND pc.ib = (SELECT vec_id FROM s{r - 1})
+  WHERE {excl}),
+s{r} AS MATERIALIZED (
+  SELECT vec_id, {la} * cos0 - {ula} * ms AS score, cos0 FROM ms{r}
+  ORDER BY score DESC, vec_id LIMIT 1)""")
+    sels = " UNION ALL ".join(
+        f"SELECT {r} AS rank, vec_id, round(score, 6) AS mmr, "
+        f"round(cos0, 6) AS cos0 FROM s{r}" for r in range(1, k + 1))
+    parts.append("\n" + sels)
+    return "".join(parts)
+
+
+def q_silhouette_kmeans(spark, sf_dir):
+    """Cluster-quality audit: simplified (centroid-based) silhouette
+    per k-means cluster — a = distance to own centroid, b = distance
+    to the nearest other centroid, s = (b−a)/b.  FULL oracle: reuses
+    the reproducible IVF centroid trajectory (unrolled Lloyd CTEs);
+    per-point terms round to 9 dp DECIMAL so the cluster means are
+    order-free."""
+    from pyspark.sql import Window as W
+    emb = _emb(spark, sf_dir)
+    _indexed, cents = similarity.ivf_index(emb, k=8, iters=2)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "c int, cent array<double>")
+    d2 = F.aggregate(
+        F.zip_with(F.col("cent"), F.col("embedding"),
+                   lambda c, x: (c - x.cast("double"))
+                   * (c - x.cast("double"))),
+        F.lit(0.0), lambda a, v: a + v)
+    j = (emb.crossJoin(F.broadcast(cdf))
+         .select("vec_id", "c", d2.alias("d2")))
+    w = W.partitionBy("vec_id").orderBy("d2", "c")
+    r = j.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 2)
+    piv = (r.groupBy("vec_id")
+           .agg(F.min(F.when(F.col("rn") == 1, F.col("c")))
+                .alias("cluster"),
+                F.min(F.when(F.col("rn") == 1, F.sqrt("d2"))).alias("a"),
+                F.min(F.when(F.col("rn") == 2, F.sqrt("d2"))).alias("b")))
+    s = F.when(F.col("b") > 0,
+               (F.col("b") - F.col("a")) / F.col("b")).otherwise(F.lit(0.0))
+    t = F.round(s, 9).cast("decimal(18,9)")
+    return (piv.select("cluster", t.alias("t"))
+            .groupBy("cluster")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("t").cast("double") / F.count("*"), 6)
+                 .alias("avg_silhouette")))
+
+
+def _silhouette_oracle_sql(k: int = 8, iters: int = 2) -> str:
+    dist = ("list_sum(list_transform(range(1, len(e.embedding)+1), "
+            "i -> (c2.cent[i] - CAST(e.embedding[i] AS DOUBLE)) * "
+            "(c2.cent[i] - CAST(e.embedding[i] AS DOUBLE))))")
+    return _ivf_ctes(k, iters) + f""",
+d AS (SELECT e.vec_id, c2.c, {dist} AS d2 FROM e, c2),
+r AS (SELECT vec_id, c, d2,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d2, c) AS rn
+      FROM d),
+piv AS (SELECT vec_id,
+               MIN(CASE WHEN rn = 1 THEN c END) AS cluster,
+               MIN(CASE WHEN rn = 1 THEN sqrt(d2) END) AS a,
+               MIN(CASE WHEN rn = 2 THEN sqrt(d2) END) AS b
+        FROM r WHERE rn <= 2 GROUP BY vec_id),
+t AS (SELECT cluster,
+             CAST(round(CASE WHEN b > 0 THEN (b - a) / b
+                             ELSE 0.0 END, 9) AS DECIMAL(18,9)) AS t
+      FROM piv)
+SELECT cluster, COUNT(*) AS n,
+       round(CAST(SUM(t) AS DOUBLE) / COUNT(*), 6) AS avg_silhouette
+FROM t GROUP BY cluster"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -6376,6 +6601,9 @@ ORACLES: dict[str, str | None] = {
     "rolling_distinct_users": _ROLLING_DISTINCT_ORACLE,
     "skyline_parts": _SKYLINE_ORACLE,
     "ngram_novelty": _NGRAM_NOVELTY_ORACLE,
+    "rrf_fusion": _RRF_ORACLE,
+    "mmr_select": _mmr_oracle_sql(),
+    "silhouette_kmeans": _silhouette_oracle_sql(),
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -6614,6 +6842,9 @@ QUERIES = {
     "rolling_distinct_users": q_rolling_distinct_users,
     "skyline_parts": q_skyline_parts,
     "ngram_novelty": q_ngram_novelty,
+    "rrf_fusion": q_rrf_fusion,
+    "mmr_select": q_mmr_select,
+    "silhouette_kmeans": q_silhouette_kmeans,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
