@@ -4972,6 +4972,194 @@ SELECT cluster, COUNT(*) AS n,
 FROM t GROUP BY cluster"""
 
 
+def q_new_vs_returning(spark, sf_dir):
+    """Monthly buyer mix: orders split into first-ever-order customers
+    vs returning ones (the growth-accounting staple).  FULL oracle:
+    first-order month per customer via a min aggregate broadcast back;
+    revenue DECIMAL-exact."""
+    o = load_tables(spark, sf_dir)["orders"]
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    firsts = (o.groupBy("o_custkey")
+              .agg(F.date_trunc("month", F.min("o_orderdate"))
+                   .cast("date").alias("first_month")))
+    return (o.join(F.broadcast(firsts), "o_custkey")
+            .withColumn("month", month)
+            .withColumn("buyer_type",
+                        F.when(F.col("month") == F.col("first_month"),
+                               "new").otherwise("returning"))
+            .groupBy("month", "buyer_type")
+            .agg(F.countDistinct("o_custkey").alias("n_buyers"),
+                 F.count("*").alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("revenue")))
+
+
+_NEW_VS_RETURNING_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey,
+         CAST(date_trunc('month', MIN(o_orderdate)) AS DATE)
+         AS first_month
+  FROM orders GROUP BY 1)
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       CASE WHEN CAST(date_trunc('month', o_orderdate) AS DATE)
+                 = first_month
+            THEN 'new' ELSE 'returning' END AS buyer_type,
+       COUNT(DISTINCT o_custkey) AS n_buyers,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       AS revenue
+FROM orders JOIN firsts USING (o_custkey)
+GROUP BY 1, 2
+"""
+
+
+def q_cohort_ltv(spark, sf_dir):
+    """Cumulative lifetime value per acquisition cohort: revenue by
+    (first-order month, months-since-acquisition), accumulated along
+    the age axis — the LTV curve behind payback analysis.  FULL
+    oracle: month offsets are integer-exact; the cumulative sum runs
+    over DECIMAL cell totals before the final double cast."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"]
+    firsts = (o.groupBy("o_custkey")
+              .agg(F.date_trunc("month", F.min("o_orderdate"))
+                   .cast("date").alias("cohort")))
+    cells = (o.join(F.broadcast(firsts), "o_custkey")
+             .select("cohort",
+                     F.months_between(
+                         F.date_trunc("month", F.col("o_orderdate")),
+                         F.col("cohort")).cast("int").alias("age"),
+                     F.col("o_totalprice").cast("decimal(18,2)")
+                     .alias("rev"))
+             .groupBy("cohort", "age")
+             .agg(F.count("*").alias("n_orders"),
+                  F.sum("rev").cast("decimal(28,2)").alias("_rev")))
+    w = (W.partitionBy("cohort").orderBy("age")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (cells.select(
+        F.col("cohort").cast("string").alias("cohort"), "age",
+        "n_orders",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.sum("_rev").over(w).cast("double").alias("cum_ltv")))
+
+
+_COHORT_LTV_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey,
+         CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS cohort
+  FROM orders GROUP BY 1),
+cells AS (
+  SELECT cohort,
+         CAST(datediff('month', CAST(cohort AS TIMESTAMP),
+                       date_trunc('month', o_orderdate)) AS INTEGER)
+         AS age,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(28,2)) AS rev
+  FROM orders JOIN firsts USING (o_custkey)
+  GROUP BY 1, 2)
+SELECT CAST(cohort AS VARCHAR) AS cohort, age, n_orders,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY age
+                           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+       AS cum_ltv
+FROM cells
+"""
+
+
+def q_churn_screen(spark, sf_dir):
+    """Churn screen by nation: customers whose last order predates the
+    dataset horizon by more than 90 days, with the nation's churn
+    rate.  FULL oracle: date arithmetic on exact timestamps, one
+    global-max scalar broadcast."""
+    from pyspark.sql import Window as W
+    t = load_tables(spark, sf_dir)
+    o, c = t["orders"], t["customer"]
+    last = (o.groupBy("o_custkey")
+            .agg(F.max(F.col("o_orderdate").cast("date")).alias("last_order")))
+    horizon = F.max("last_order").over(W.partitionBy())
+    flagged = (last.withColumn(
+        "churned",
+        F.when(F.datediff(horizon, F.col("last_order")) > 90, 1)
+        .otherwise(0)))
+    return (flagged.join(c, flagged.o_custkey == c.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("n_buyers"),
+                 F.sum("churned").alias("n_churned"),
+                 F.round(F.sum("churned").cast("double")
+                         / F.count("*"), 6).alias("churn_rate")))
+
+
+_CHURN_ORACLE = """
+WITH last AS (
+  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_order
+  FROM orders GROUP BY 1),
+flagged AS (
+  SELECT o_custkey,
+         CASE WHEN datediff('day', last_order, MAX(last_order) OVER ())
+                   > 90
+              THEN 1 ELSE 0 END AS churned
+  FROM last)
+SELECT c_nationkey, COUNT(*) AS n_buyers,
+       SUM(churned) AS n_churned,
+       round(CAST(SUM(churned) AS DOUBLE) / COUNT(*), 6) AS churn_rate
+FROM flagged JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
+def q_seq_copurchase(spark, sf_dir):
+    """Sequential pattern mining (order-2): part pairs where a
+    customer's later order contains the consequent after an earlier
+    order contained the antecedent — top-20 directed sequences.  The
+    per-customer purchase lists are capped by the same pair-explosion
+    guard as the basket queries (order timelines are short in TPC-H;
+    a power-law customer would be dropped, not exploded).  FULL
+    oracle: exact integer support counts, full key tiebreak."""
+    t = load_tables(spark, sf_dir)
+    o, li = t["orders"], t["lineitem"]
+    purch = (li.join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+                     li.l_orderkey == o.o_orderkey)
+             .select("o_custkey", "o_orderdate", "l_partkey")
+             .distinct())
+    sizes = (purch.groupBy("o_custkey")
+             .agg(F.count("*").alias("__n")))
+    purch = (purch.join(sizes.where(F.col("__n") <= 256)
+                        .select("o_custkey"), "o_custkey"))
+    a, b = purch.alias("a"), purch.alias("b")
+    seq = (a.join(b, (F.col("a.o_custkey") == F.col("b.o_custkey"))
+                  & (F.col("a.o_orderdate") < F.col("b.o_orderdate"))
+                  & (F.col("a.l_partkey") != F.col("b.l_partkey")))
+           .select(F.col("a.o_custkey").alias("cust"),
+                   F.col("a.l_partkey").alias("p1"),
+                   F.col("b.l_partkey").alias("p2"))
+           .distinct())
+    return (seq.groupBy("p1", "p2")
+            .agg(F.count("*").alias("support"))
+            .orderBy(F.col("support").desc(), "p1", "p2").limit(20))
+
+
+_SEQ_COPURCHASE_ORACLE = """
+WITH purch0 AS (
+  SELECT DISTINCT o_custkey, o_orderdate, l_partkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+purch AS (
+  SELECT * FROM purch0
+  WHERE o_custkey IN (SELECT o_custkey FROM purch0
+                      GROUP BY o_custkey HAVING COUNT(*) <= 256)),
+seq AS (
+  SELECT DISTINCT a.o_custkey AS cust, a.l_partkey AS p1,
+                  b.l_partkey AS p2
+  FROM purch a JOIN purch b
+    ON a.o_custkey = b.o_custkey
+   AND a.o_orderdate < b.o_orderdate
+   AND a.l_partkey != b.l_partkey)
+SELECT p1, p2, COUNT(*) AS support
+FROM seq GROUP BY p1, p2
+ORDER BY support DESC, p1, p2 LIMIT 20
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -6604,6 +6792,10 @@ ORACLES: dict[str, str | None] = {
     "rrf_fusion": _RRF_ORACLE,
     "mmr_select": _mmr_oracle_sql(),
     "silhouette_kmeans": _silhouette_oracle_sql(),
+    "new_vs_returning": _NEW_VS_RETURNING_ORACLE,
+    "cohort_ltv": _COHORT_LTV_ORACLE,
+    "churn_screen": _CHURN_ORACLE,
+    "seq_copurchase": _SEQ_COPURCHASE_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -6845,6 +7037,10 @@ QUERIES = {
     "rrf_fusion": q_rrf_fusion,
     "mmr_select": q_mmr_select,
     "silhouette_kmeans": q_silhouette_kmeans,
+    "new_vs_returning": q_new_vs_returning,
+    "cohort_ltv": q_cohort_ltv,
+    "churn_screen": q_churn_screen,
+    "seq_copurchase": q_seq_copurchase,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
