@@ -302,5 +302,109 @@ def main():
           pixel_stats(jp).where(F.col("n_px").isNotNull()))
 
 
+
+
+def round3_analytics_entries(spark, n_events=1_000_000, n_names=1_000_000,
+                             n_vecs=200_000):
+    """Stress the round-3 analytics shapes (run standalone:
+    ``SCALE_STRESS_ONLY=analytics python scripts/scale_stress.py``).
+
+    - scd2/attribution/streaks: per-user windows — key-local, linear.
+    - rolling distinct users: broadcast day grid, no range self-join.
+    - blocked fuzzy linkage: pairs bounded by block size, never n².
+    - MMR: the driver rerank is pool-constant; only the prune scales.
+    """
+    from graphydb_spark import queries as Q
+    from graphydb_spark.operators.similarity import mmr_rerank
+
+    ev = (spark.range(n_events).repartition(64)
+          .select(F.col("id").alias("event_id"),
+                  (F.col("id") % 15000).alias("user_id"),
+                  F.element_at(
+                      F.array(*[F.lit(t) for t in
+                                ("view", "click", "purchase", "error",
+                                 "signup")]),
+                      ((F.xxhash64("id") % 5 + 5) % 5 + 1)
+                      .cast("int"))
+                  .alias("event_type"),
+                  ((F.xxhash64("id", F.lit(1)) % 10000) / 100.0)
+                  .alias("value"),
+                  F.timestamp_seconds(
+                      1700000000
+                      + (F.xxhash64(F.col("id")) % 2592000)).alias("ts")))
+    ev = ev.localCheckpoint(eager=True)
+
+    from pyspark.sql import Window as W
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(F.lag("event_type").over(w).isNull()
+                 | (F.col("event_type") != F.lag("event_type").over(w)),
+                 1).otherwise(0)
+    grp = F.sum(chg).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    scd2 = (ev.select("user_id", "event_type", "ts", grp.alias("grp"))
+            .groupBy("user_id", "grp")
+            .agg(F.min("ts").alias("valid_from"),
+                 F.max("ts").alias("valid_to"),
+                 F.count("*").alias("n")))
+    timed(f"scd2_intervals[{n_events:,} ev, 15k users]", scd2)
+
+    marker = F.when(F.col("event_type").isin("click", "view"),
+                    F.col("event_type"))
+    ch = F.last(marker, ignorenulls=True).over(
+        w.rowsBetween(W.unboundedPreceding, -1))
+    attr = (ev.withColumn("channel", ch)
+            .where(F.col("event_type") == "purchase")
+            .groupBy(F.coalesce("channel", F.lit("direct")).alias("ch"))
+            .agg(F.count("*").alias("n")))
+    timed(f"attribution_last_touch[{n_events:,} ev]", attr)
+
+    du = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    days = du.select(F.col("day").alias("as_of")).distinct()
+    roll = (du.join(F.broadcast(days),
+                    (F.col("day") <= F.col("as_of"))
+                    & (F.col("day") >= F.date_sub(F.col("as_of"), 6)))
+            .groupBy("as_of").agg(F.countDistinct("user_id").alias("wau")))
+    timed(f"rolling_distinct_users[{n_events:,} ev, 30-day grid]", roll)
+
+    # blocked fuzzy linkage: 1M names over 50k blocks (~20/block →
+    # ~200 pair comparisons per block, bounded by construction)
+    names = (spark.range(n_names).repartition(64)
+             .select(F.col("id").alias("k"),
+                     F.concat(F.lit("name"),
+                              (F.xxhash64("id") % 10).cast("string"),
+                              F.lit("-variant"),
+                              (F.xxhash64("id", F.lit(2)) % 100)
+                              .cast("string")).alias("name"),
+                     (F.xxhash64("id", F.lit(3)) % 50000).alias("block")))
+    names = names.localCheckpoint(eager=True)
+    a, b = names.alias("a"), names.alias("b")
+    fuzzy = (a.join(b, (F.col("a.block") == F.col("b.block"))
+                    & (F.col("a.k") < F.col("b.k")))
+             .where(F.levenshtein("a.name", "b.name") <= 2)
+             .groupBy().count())
+    timed(f"fuzzy_blocked_linkage[{n_names:,} names, 50k blocks]", fuzzy)
+
+    # MMR: prune is the only corpus-proportional stage
+    vecs = (spark.range(n_vecs).repartition(64)
+            .select(F.col("id").alias("vec_id"),
+                    F.transform(F.sequence(F.lit(1), F.lit(64)),
+                                lambda i: ((F.xxhash64(F.col("id"), i)
+                                            % 2000) - 1000.0) / 1000.0)
+                    .alias("embedding")))
+    vecs = vecs.localCheckpoint(eager=True)
+    qv = [float(x) for x in
+          vecs.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    t0 = time.perf_counter()
+    sel = mmr_rerank(vecs, qv, k=8, pool=24, exclude_ids=[0])
+    print(f"mmr_rerank[{n_vecs:,} x 64d, pool=24]: "
+          f"{time.perf_counter() - t0:.2f}s  rows_out={len(sel)}")
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SCALE_STRESS_ONLY") == "analytics":
+        _s = get_spark(app="scale_stress")
+        _s.sparkContext.setLogLevel("ERROR")
+        _s.conf.set("spark.sql.shuffle.partitions", "64")
+        round3_analytics_entries(_s)
+    else:
+        main()
+        round3_analytics_entries(get_spark(app="scale_stress"))
