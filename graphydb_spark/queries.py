@@ -5160,6 +5160,208 @@ ORDER BY support DESC, p1, p2 LIMIT 20
 """
 
 
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient φ(k) of the part co-purchase graph: edge
+    density among nodes of degree > k, for a ladder of thresholds —
+    do high-degree parts preferentially co-occur?  FULL oracle: exact
+    integer N_k/E_k, one ratio double.  The pair graph is the
+    capped/oriented co-purchase projection (deg table is
+    node-dimension-sized and broadcasts onto the edges)."""
+    li = (load_tables(spark, sf_dir)["lineitem"]
+          .select("l_orderkey", "l_partkey").distinct())
+    a, b = li.alias("a"), li.alias("b")
+    edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .select(F.col("a.l_partkey").alias("u"),
+                     F.col("b.l_partkey").alias("v"))
+             .distinct())
+    deg = (edges.select(F.col("u").alias("n"))
+           .unionByName(edges.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count("*").alias("d")))
+    ks = spark.range(1, 7).select(
+        F.expr("shiftleft(1, cast(id as int))").alias("k"))
+    nk = (deg.crossJoin(F.broadcast(ks))
+          .where(F.col("d") > F.col("k"))
+          .groupBy("k").agg(F.count("*").alias("n_rich")))
+    ed = (edges
+          .join(deg.withColumnRenamed("n", "u")
+                .withColumnRenamed("d", "du"), "u")
+          .join(deg.withColumnRenamed("n", "v")
+                .withColumnRenamed("d", "dv"), "v"))
+    ek = (ed.crossJoin(F.broadcast(ks))
+          .where((F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
+          .groupBy("k").agg(F.count("*").alias("e_rich")))
+    return (nk.join(ek, "k", "left")
+            .select("k", "n_rich",
+                    F.coalesce("e_rich", F.lit(0)).alias("e_rich"),
+                    F.when(F.col("n_rich") > 1, F.round(
+                        2.0 * F.coalesce("e_rich", F.lit(0))
+                        / (F.col("n_rich")
+                           * (F.col("n_rich") - F.lit(1))), 6))
+                    .otherwise(F.lit(0.0)).alias("phi")))
+
+
+_RICH_CLUB_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (SELECT n, COUNT(*) AS d FROM (
+          SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+        GROUP BY n),
+ks AS (SELECT (1 << CAST(r AS INTEGER)) AS k
+       FROM UNNEST(range(1, 7)) AS t(r)),
+nk AS (SELECT k, COUNT(*) AS n_rich FROM deg, ks WHERE d > k GROUP BY k),
+ek AS (SELECT k, COUNT(*) AS e_rich
+       FROM edges
+       JOIN deg du ON du.n = edges.u
+       JOIN deg dv ON dv.n = edges.v
+       CROSS JOIN ks
+       WHERE du.d > k AND dv.d > k GROUP BY k)
+SELECT nk.k, n_rich, COALESCE(e_rich, 0) AS e_rich,
+       CASE WHEN n_rich > 1
+            THEN round(2.0 * COALESCE(e_rich, 0)
+                       / (n_rich * (n_rich - 1)), 6)
+            ELSE 0.0 END AS phi
+FROM nk LEFT JOIN ek ON nk.k = ek.k
+"""
+
+
+def q_neighbor_degree(spark, sf_dir):
+    """Average-neighbor-degree curve knn(k) over the co-purchase graph
+    (the functional form behind the assortativity scalar: do
+    high-degree parts attach to high-degree parts?).  FULL oracle:
+    per-node neighbor-degree ratios round to 9 dp DECIMAL before the
+    per-degree-class mean, so the aggregation is order-free."""
+    li = (load_tables(spark, sf_dir)["lineitem"]
+          .select("l_orderkey", "l_partkey").distinct())
+    a, b = li.alias("a"), li.alias("b")
+    edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .select(F.col("a.l_partkey").alias("u"),
+                     F.col("b.l_partkey").alias("v"))
+             .distinct())
+    und = (edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))))
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    nbr = (und.join(deg.select(F.col("u").alias("v"),
+                               F.col("d").alias("dv")), "v")
+           .groupBy("u").agg(F.sum("dv").alias("snd")))
+    per_node = (deg.join(nbr, "u")
+                .select("d", F.round(F.col("snd").cast("double")
+                                     / F.col("d"), 9)
+                        .cast("decimal(18,9)").alias("t")))
+    return (per_node.groupBy("d")
+            .agg(F.count("*").alias("n_nodes"),
+                 F.round(F.sum("t").cast("double") / F.count("*"), 6)
+                 .alias("knn")))
+
+
+_NEIGHBOR_DEGREE_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+und AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+nbr AS (SELECT und.u, SUM(dv.d) AS snd
+        FROM und JOIN deg dv ON dv.u = und.v GROUP BY und.u),
+per_node AS (
+  SELECT deg.d,
+         CAST(round(CAST(snd AS DOUBLE) / deg.d, 9)
+              AS DECIMAL(18,9)) AS t
+  FROM deg JOIN nbr ON deg.u = nbr.u)
+SELECT d, COUNT(*) AS n_nodes,
+       round(CAST(SUM(t) AS DOUBLE) / COUNT(*), 6) AS knn
+FROM per_node GROUP BY d
+"""
+
+
+def _ewma_weights(alpha: float = 0.2, n: int = 20) -> list[float]:
+    return [(1.0 - alpha) ** k for k in range(n)]
+
+
+def q_ewma_revenue(spark, sf_dir):
+    """Exponentially-weighted moving average of daily revenue
+    (α = 0.2, 20-day window) — the BI smoothing curve.  FULL oracle:
+    the weight ladder is one precomputed double literal shared
+    verbatim by both engines (no cross-libm pow), the windowed value
+    list is frame-ordered, and numerator/denominator are the same
+    left-to-right folds."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"]
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("double").alias("rev")))
+    w = W.orderBy("day").rowsBetween(-19, 0)
+    arr = F.collect_list("rev").over(w)
+    wl = F.lit(_ewma_weights())
+    wrev = F.reverse(F.slice(wl, 1, F.size(arr)))
+    num = F.aggregate(F.zip_with(arr, wrev, lambda x, wt: x * wt),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    den = F.aggregate(wrev, F.lit(0.0), lambda acc, v: acc + v)
+    return (daily.select("day", "rev",
+                         F.round(num / den, 6).alias("ewma")))
+
+
+def _ewma_oracle_sql(alpha: float = 0.2, n: int = 20) -> str:
+    wl = "[" + ", ".join(repr(w) for w in _ewma_weights(alpha, n)) + "]"
+    return f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS rev
+  FROM orders GROUP BY 1),
+win AS (
+  SELECT day, rev,
+         list(rev) OVER (ORDER BY day
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         AS arr
+  FROM daily),
+wts AS (SELECT day, rev, arr,
+               list_reverse(list_slice({wl}, 1, len(arr))) AS wrev
+        FROM win)
+SELECT day, rev,
+       round(list_sum(list_transform(range(1, len(arr)+1),
+                                     i -> arr[i] * wrev[i]))
+             / list_sum(wrev), 6) AS ewma
+FROM wts
+"""
+
+
+def q_spend_percentile(spark, sf_dir):
+    """Customer spend table with percent_rank and cume_dist — the
+    window ranking functions not covered elsewhere.  FULL oracle:
+    rank over (spend, custkey) is a total order, so both fractions
+    are exact-integer ratios."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"]
+    per = (o.groupBy("o_custkey")
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(18,2)").alias("spend")))
+    w = W.orderBy("spend", "o_custkey")
+    return per.select(
+        "o_custkey", F.col("spend").cast("double").alias("spend"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"))
+
+
+_SPEND_PERCENTILE_ORACLE = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) AS spend
+  FROM orders GROUP BY 1)
+SELECT o_custkey, CAST(spend AS DOUBLE) AS spend,
+       round(percent_rank() OVER (ORDER BY spend, o_custkey), 9)
+       AS pct_rank,
+       round(cume_dist() OVER (ORDER BY spend, o_custkey), 9) AS cume
+FROM per
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -6796,6 +6998,10 @@ ORACLES: dict[str, str | None] = {
     "cohort_ltv": _COHORT_LTV_ORACLE,
     "churn_screen": _CHURN_ORACLE,
     "seq_copurchase": _SEQ_COPURCHASE_ORACLE,
+    "rich_club": _RICH_CLUB_ORACLE,
+    "neighbor_degree": _NEIGHBOR_DEGREE_ORACLE,
+    "ewma_revenue": _ewma_oracle_sql(),
+    "spend_percentile": _SPEND_PERCENTILE_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -7041,6 +7247,10 @@ QUERIES = {
     "cohort_ltv": q_cohort_ltv,
     "churn_screen": q_churn_screen,
     "seq_copurchase": q_seq_copurchase,
+    "rich_club": q_rich_club,
+    "neighbor_degree": q_neighbor_degree,
+    "ewma_revenue": q_ewma_revenue,
+    "spend_percentile": q_spend_percentile,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
