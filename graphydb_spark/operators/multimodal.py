@@ -1314,3 +1314,52 @@ def documents_as_jpeg(docs: DataFrame) -> DataFrame:
 
     return (docs.select("doc_id", "source", "n_chars")
             .mapInPandas(build, schema=MEDIA_SCHEMA))
+
+
+AHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("ahash", T.StringType()),
+])
+
+
+def ahash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash over REAL decoded PNG rasters: nearest-
+    neighbor downsample to ``grid``×``grid``, each cell emits 1 iff its
+    value exceeds the grid mean — the classic aHash image-dedup
+    fingerprint (identical rasters collide; near-identical rasters land
+    within small Hamming distance).
+
+    The hash is emitted as a ``grid²``-char bit string in (row, col)
+    scan order, and the mean compare stays in integers
+    (``px·grid² > Σpx``) so the fingerprint is bit-stable across
+    engines and batch splits.  Non-PNG / undecodable payloads yield
+    null.  Arrow-batched ``mapInPandas``; at scale partition by a
+    size-balanced key so one giant payload doesn't skew a task."""
+    n2 = grid * grid
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                body = bytes(p or b"")
+                r = decode_png_pixels(body)
+                if r is None:
+                    rows.append((int(m), None))
+                    continue
+                raster, ctype = r
+                ch = _PNG_CHANNELS[ctype]
+                h = raster.shape[0]
+                w = raster.shape[1] // ch
+                # first channel only (the synthetic corpus is
+                # grayscale; for RGB this is the R plane)
+                samples = [
+                    int(raster[(y * h) // grid, ((x * w) // grid) * ch])
+                    for y in range(grid) for x in range(grid)]
+                tot = sum(samples)
+                bits = "".join(
+                    "1" if px * n2 > tot else "0" for px in samples)
+                rows.append((int(m), bits))
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=AHASH_SCHEMA)

@@ -5362,6 +5362,45 @@ FROM per
 """
 
 
+def q_ahash_groups(spark, sf_dir):
+    """Image near-dup groups by perceptual average-hash over REAL
+    decoded PNG rasters (zlib inflate + scanline unfilter on the hot
+    path, Arrow-batched).  FULL oracle: the synthetic rasters follow a
+    closed pixel form, so SQL recomputes the identical 64-bit
+    fingerprint the decoder must produce — decoder correctness is the
+    thing under test.  Groups with >1 member are duplicate classes."""
+    from .operators.multimodal import ahash, documents_as_media
+    pngs = _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 1)
+    media = documents_as_media(pngs)
+    return (ahash(media)
+            .groupBy("ahash")
+            .agg(F.count("*").alias("n_images"),
+                 F.min("media_id").alias("rep"))
+            .where(F.col("n_images") > 1))
+
+
+_AHASH_ORACLE = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         4 + n_chars % 60 AS w, 4 + (n_chars // 7) % 60 AS h
+  FROM documents WHERE doc_id % 3 = 1),
+cells AS (
+  SELECT media_id,
+         ty.y AS y, tx.x AS x,
+         ((((tx.x * w) // 8) * 3 + ((ty.y * h) // 8)) % 256) AS px
+  FROM dims, UNNEST(range(0, 8)) AS ty(y), UNNEST(range(0, 8)) AS tx(x))
+SELECT ahash, COUNT(*) AS n_images, MIN(media_id) AS rep
+FROM (SELECT media_id,
+             string_agg(CASE WHEN px * 64 > tot THEN '1' ELSE '0' END,
+                        '' ORDER BY y, x) AS ahash
+      FROM (SELECT media_id, y, x, px,
+                   SUM(px) OVER (PARTITION BY media_id) AS tot
+            FROM cells)
+      GROUP BY media_id)
+GROUP BY ahash HAVING COUNT(*) > 1
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -7002,6 +7041,7 @@ ORACLES: dict[str, str | None] = {
     "neighbor_degree": _NEIGHBOR_DEGREE_ORACLE,
     "ewma_revenue": _ewma_oracle_sql(),
     "spend_percentile": _SPEND_PERCENTILE_ORACLE,
+    "ahash_groups": _AHASH_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -7251,6 +7291,7 @@ QUERIES = {
     "neighbor_degree": q_neighbor_degree,
     "ewma_revenue": q_ewma_revenue,
     "spend_percentile": q_spend_percentile,
+    "ahash_groups": q_ahash_groups,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
