@@ -5401,6 +5401,206 @@ GROUP BY ahash HAVING COUNT(*) > 1
 """
 
 
+def q_fk_orphans(spark, sf_dir):
+    """Referential-integrity audit: orphan counts for every FK edge in
+    the schema (lineitem→orders/part/supplier, orders→customer,
+    customer/supplier→nation) — the anti-join data-quality sweep a
+    warehouse runs before trusting joins.  FULL oracle: exact counts;
+    each anti-join broadcasts the key side when dimension-sized."""
+    t = load_tables(spark, sf_dir)
+
+    def orphans(fact, fk, dim, pk, rel):
+        return (fact.select(F.col(fk).alias("k"))
+                .join(dim.select(F.col(pk).alias("k")), "k", "left_anti")
+                .agg(F.lit(rel).alias("relation"),
+                     F.count("*").alias("n_orphans")))
+    checks = [
+        orphans(t["lineitem"], "l_orderkey", t["orders"], "o_orderkey",
+                "lineitem->orders"),
+        orphans(t["lineitem"], "l_partkey", t["part"], "p_partkey",
+                "lineitem->part"),
+        orphans(t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey",
+                "lineitem->supplier"),
+        orphans(t["orders"], "o_custkey", t["customer"], "c_custkey",
+                "orders->customer"),
+        orphans(t["customer"], "c_nationkey", t["nation"], "n_nationkey",
+                "customer->nation"),
+        orphans(t["supplier"], "s_nationkey", t["nation"], "n_nationkey",
+                "supplier->nation"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+_FK_ORPHANS_ORACLE = """
+SELECT 'lineitem->orders' AS relation,
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+       AS n_orphans
+UNION ALL SELECT 'lineitem->part',
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+UNION ALL SELECT 'lineitem->supplier',
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+UNION ALL SELECT 'orders->customer',
+       (SELECT COUNT(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+UNION ALL SELECT 'customer->nation',
+       (SELECT COUNT(*) FROM customer
+        WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+UNION ALL SELECT 'supplier->nation',
+       (SELECT COUNT(*) FROM supplier
+        WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+"""
+
+
+def q_calendar_gaps(spark, sf_dir):
+    """Completeness audit: calendar days inside the event span with
+    ZERO events (ingestion holes) — dense day spine minus observed
+    days.  FULL oracle: pure date arithmetic (sequence vs
+    generate_series)."""
+    ev = _events(spark, sf_dir)
+    span = ev.agg(F.min(F.col("ts").cast("date")).alias("lo"),
+                  F.max(F.col("ts").cast("date")).alias("hi"))
+    spine = span.select(
+        F.explode(F.sequence("lo", "hi")).alias("day"))
+    seen = (ev.groupBy(F.col("ts").cast("date").alias("day"))
+            .agg(F.count("*").alias("n")))
+    return (spine.join(seen, "day", "left")
+            .select("day",
+                    F.coalesce("n", F.lit(0)).alias("n_events"),
+                    (F.coalesce("n", F.lit(0)) == 0).alias("is_gap")))
+
+
+_CALENDAR_GAPS_ORACLE = """
+WITH span AS (SELECT MIN(CAST(ts AS DATE)) AS lo,
+                     MAX(CAST(ts AS DATE)) AS hi FROM events),
+spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+                                             INTERVAL 1 DAY)) AS DATE)
+          AS day FROM span),
+seen AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+         FROM events GROUP BY 1)
+SELECT spine.day, COALESCE(n, 0) AS n_events,
+       COALESCE(n, 0) = 0 AS is_gap
+FROM spine LEFT JOIN seen ON spine.day = seen.day
+"""
+
+
+def q_chisq_independence(spark, sf_dir):
+    """χ² test of independence between market segment and order
+    priority (are they associated?), plus Cramér's V effect size.
+    FULL oracle: observed/expected derive from exact integer margins;
+    each cell's (o−e)²/e term rounds to 9 dp DECIMAL before the sum
+    (order-free), one closed-form double at the end."""
+    from pyspark.sql import Window as W
+    t = load_tables(spark, sf_dir)
+    j = (t["orders"].join(t["customer"],
+                          t["orders"].o_custkey == t["customer"].c_custkey)
+         .select("c_mktsegment", "o_orderpriority"))
+    cells = (j.groupBy("c_mktsegment", "o_orderpriority")
+             .agg(F.count("*").alias("o")))
+    rows = F.sum("o").over(W.partitionBy("c_mktsegment"))
+    cols = F.sum("o").over(W.partitionBy("o_orderpriority"))
+    tot = F.sum("o").over(W.partitionBy())
+    e = rows.cast("double") * cols / tot
+    term = F.round((F.col("o") - e) * (F.col("o") - e) / e, 9) \
+        .cast("decimal(18,9)")
+    agg = (cells.select(term.alias("t"),
+                        F.col("c_mktsegment"), F.col("o_orderpriority"),
+                        tot.alias("n"))
+           .agg(F.sum("t").cast("double").alias("chi2"),
+                F.countDistinct("c_mktsegment").alias("r"),
+                F.countDistinct("o_orderpriority").alias("c"),
+                F.max("n").alias("n")))
+    return agg.select(
+        F.round("chi2", 6).alias("chi2"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+        F.round(F.sqrt(F.col("chi2")
+                       / (F.col("n")
+                          * F.least(F.col("r") - 1, F.col("c") - 1))), 6)
+        .alias("cramers_v"))
+
+
+_CHISQ_ORACLE = """
+WITH j AS (SELECT c_mktsegment, o_orderpriority
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+cells AS (SELECT c_mktsegment, o_orderpriority, COUNT(*) AS o
+          FROM j GROUP BY 1, 2),
+g AS (SELECT c_mktsegment, o_orderpriority, o,
+             SUM(o) OVER (PARTITION BY c_mktsegment) AS rows_m,
+             SUM(o) OVER (PARTITION BY o_orderpriority) AS cols_m,
+             SUM(o) OVER () AS tot
+      FROM cells),
+t AS (SELECT c_mktsegment, o_orderpriority, tot,
+             CAST(round((o - CAST(rows_m AS DOUBLE) * cols_m / tot)
+                        * (o - CAST(rows_m AS DOUBLE) * cols_m / tot)
+                        / (CAST(rows_m AS DOUBLE) * cols_m / tot), 9)
+                  AS DECIMAL(18,9)) AS term
+      FROM g),
+a AS (SELECT CAST(SUM(term) AS DOUBLE) AS chi2,
+             COUNT(DISTINCT c_mktsegment) AS r,
+             COUNT(DISTINCT o_orderpriority) AS c,
+             MAX(tot) AS n
+      FROM t)
+SELECT round(chi2, 6) AS chi2,
+       (r - 1) * (c - 1) AS dof,
+       round(sqrt(chi2 / (n * LEAST(r - 1, c - 1))), 6) AS cramers_v
+FROM a
+"""
+
+
+def q_category_entropy(spark, sf_dir):
+    """Categorical-column profile: distinct count and Shannon entropy
+    for each low-cardinality string column of the order pipeline — the
+    profiling pass that flags constant or near-constant columns.  FULL
+    oracle: 9 dp decimal-stable entropy terms (the transition_entropy
+    discipline)."""
+    from pyspark.sql import Window as W
+    t = load_tables(spark, sf_dir)
+    o, c, li = t["orders"], t["customer"], t["lineitem"]
+    stacked = (o.select(F.lit("o_orderstatus").alias("col"),
+                        F.col("o_orderstatus").alias("val"))
+               .unionByName(o.select(F.lit("o_orderpriority").alias("col"),
+                                     F.col("o_orderpriority").alias("val")))
+               .unionByName(c.select(F.lit("c_mktsegment").alias("col"),
+                                     F.col("c_mktsegment").alias("val")))
+               .unionByName(li.select(F.lit("l_returnflag").alias("col"),
+                                      F.col("l_returnflag").alias("val")))
+               .unionByName(li.select(F.lit("l_linestatus").alias("col"),
+                                      F.col("l_linestatus").alias("val"))))
+    counts = stacked.groupBy("col", "val").agg(F.count("*").alias("n"))
+    tot = F.sum("n").over(W.partitionBy("col"))
+    p = F.col("n") / tot
+    term = F.round(-p * F.log2(p), 9).cast("decimal(18,9)")
+    return (counts.withColumn("t", term)
+            .groupBy("col")
+            .agg(F.count("*").alias("n_distinct"),
+                 F.round(F.sum("t").cast("double"), 6)
+                 .alias("entropy_bits")))
+
+
+_CATEGORY_ENTROPY_ORACLE = """
+WITH stacked AS (
+  SELECT 'o_orderstatus' AS col, o_orderstatus AS val FROM orders
+  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+  UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer
+  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+  UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem),
+counts AS (SELECT col, val, COUNT(*) AS n FROM stacked GROUP BY 1, 2),
+t AS (SELECT col,
+             CAST(round(-(n / SUM(n) OVER (PARTITION BY col))
+                        * log2(n / SUM(n) OVER (PARTITION BY col)), 9)
+                  AS DECIMAL(18,9)) AS term
+      FROM counts)
+SELECT col, COUNT(*) AS n_distinct,
+       round(CAST(SUM(term) AS DOUBLE), 6) AS entropy_bits
+FROM t GROUP BY col
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -7042,6 +7242,10 @@ ORACLES: dict[str, str | None] = {
     "ewma_revenue": _ewma_oracle_sql(),
     "spend_percentile": _SPEND_PERCENTILE_ORACLE,
     "ahash_groups": _AHASH_ORACLE,
+    "fk_orphans": _FK_ORPHANS_ORACLE,
+    "calendar_gaps": _CALENDAR_GAPS_ORACLE,
+    "chisq_independence": _CHISQ_ORACLE,
+    "category_entropy": _CATEGORY_ENTROPY_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -7292,6 +7496,10 @@ QUERIES = {
     "ewma_revenue": q_ewma_revenue,
     "spend_percentile": q_spend_percentile,
     "ahash_groups": q_ahash_groups,
+    "fk_orphans": q_fk_orphans,
+    "calendar_gaps": q_calendar_gaps,
+    "chisq_independence": q_chisq_independence,
+    "category_entropy": q_category_entropy,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
