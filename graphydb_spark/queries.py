@@ -5601,6 +5601,202 @@ FROM t GROUP BY col
 """
 
 
+def q_survival_curve(spark, sf_dir):
+    """User survival curve: fraction of users whose observed lifespan
+    (last − first event, days) reaches each day k — retention's
+    survival-analysis view.  FULL oracle: lifespans and the
+    at-risk/total counts are exact integers; one ratio double."""
+    from pyspark.sql import Window as W
+    ev = _events(spark, sf_dir)
+    lif = (ev.groupBy("user_id")
+           .agg(F.datediff(F.max(F.col("ts").cast("date")),
+                           F.min(F.col("ts").cast("date")))
+                .alias("lifespan")))
+    n = F.sum("c").over(
+        W.partitionBy().orderBy(F.col("lifespan").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow))
+    tot = F.sum("c").over(W.partitionBy())
+    per = (lif.groupBy("lifespan").agg(F.count("*").alias("c")))
+    return (per.select(F.col("lifespan").alias("day"),
+                       n.alias("n_surviving"),
+                       F.round(n.cast("double") / tot, 6)
+                       .alias("survival")))
+
+
+_SURVIVAL_ORACLE = """
+WITH lif AS (
+  SELECT user_id,
+         datediff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+         AS lifespan
+  FROM events GROUP BY 1),
+per AS (SELECT lifespan, COUNT(*) AS c FROM lif GROUP BY 1)
+SELECT lifespan AS day,
+       SUM(c) OVER (ORDER BY lifespan DESC
+                    ROWS UNBOUNDED PRECEDING) AS n_surviving,
+       round(CAST(SUM(c) OVER (ORDER BY lifespan DESC
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / SUM(c) OVER (), 6) AS survival
+FROM per
+"""
+
+
+def q_ab_proportion_test(spark, sf_dir):
+    """Two-proportion z-test on purchase conversion between user
+    buckets (hash-split variants A/B) — the experimentation staple.
+    FULL oracle: conversion counts are exact integers, the pooled-z
+    closed form is one deterministic double chain."""
+    ev = _events(spark, sf_dir)
+    per = (ev.groupBy("user_id")
+           .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                      .otherwise(0)).alias("converted"))
+           .withColumn("variant",
+                       F.when(F.pmod(F.col("user_id"), 2) == 0, "A")
+                       .otherwise("B")))
+    g = (per.groupBy("variant")
+         .agg(F.count("*").alias("n"),
+              F.sum("converted").alias("conv")))
+    a = g.where(F.col("variant") == "A").select(
+        F.col("n").alias("n1"), F.col("conv").alias("c1"))
+    b = g.where(F.col("variant") == "B").select(
+        F.col("n").alias("n2"), F.col("conv").alias("c2"))
+    j = a.crossJoin(b)
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    p2 = F.col("c2").cast("double") / F.col("n2")
+    pp = (F.col("c1") + F.col("c2")).cast("double") \
+        / (F.col("n1") + F.col("n2"))
+    se = F.sqrt(pp * (1 - pp)
+                * (1.0 / F.col("n1") + 1.0 / F.col("n2")))
+    z = F.when(se > 0, F.round((p1 - p2) / se, 6))
+    return j.select("n1", "c1", "n2", "c2",
+                    F.round(p1, 6).alias("rate_a"),
+                    F.round(p2, 6).alias("rate_b"),
+                    z.alias("z"))
+
+
+_AB_TEST_ORACLE = """
+WITH per AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS converted,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+  FROM events GROUP BY user_id),
+g AS (SELECT variant, COUNT(*) AS n, SUM(converted) AS conv
+      FROM per GROUP BY 1),
+j AS (SELECT a.n AS n1, a.conv AS c1, b.n AS n2, b.conv AS c2
+      FROM (SELECT * FROM g WHERE variant = 'A') a,
+           (SELECT * FROM g WHERE variant = 'B') b)
+SELECT n1, c1, n2, c2,
+       round(CAST(c1 AS DOUBLE) / n1, 6) AS rate_a,
+       round(CAST(c2 AS DOUBLE) / n2, 6) AS rate_b,
+       CASE WHEN sqrt((CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                      * (1 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                      * (1.0 / n1 + 1.0 / n2)) > 0
+            THEN round((CAST(c1 AS DOUBLE) / n1
+                        - CAST(c2 AS DOUBLE) / n2)
+                       / sqrt((CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                              * (1 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                              * (1.0 / n1 + 1.0 / n2)), 6)
+            END AS z
+FROM j
+"""
+
+
+def q_user_trend_slope(spark, sf_dir):
+    """Per-user engagement trend: least-squares slope of event value on
+    event time (hours since the user's first event) — rising or
+    falling usage, per user.  FULL oracle: the per-term x/y values
+    round to 9 dp DECIMAL, sums are exact, slope is one closed-form
+    double (the zipf_slope discipline, grouped)."""
+    from pyspark.sql import Window as W
+    ev = _events(spark, sf_dir)
+    t0 = F.min("ts").over(W.partitionBy("user_id"))
+    x = F.round((F.col("ts").cast("double") - t0.cast("double"))
+                / 3600.0, 9).cast("decimal(18,9)")
+    y = F.round(F.col("value"), 9).cast("decimal(18,9)")
+    terms = ev.select(
+        "user_id", x.alias("x"), y.alias("y"),
+        (x * y).cast("decimal(38,18)").alias("xy"),
+        (x * x).cast("decimal(38,18)").alias("xx"))
+    agg = (terms.groupBy("user_id")
+           .agg(F.count("*").cast("double").alias("n"),
+                F.sum("x").cast("double").alias("sx"),
+                F.sum("y").cast("double").alias("sy"),
+                F.sum("xy").cast("double").alias("sxy"),
+                F.sum("xx").cast("double").alias("sxx"))
+           .where(F.col("n") >= 3))
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (agg.where(den != 0)
+            .select("user_id", F.col("n").cast("bigint").alias("n_events"),
+                    F.round((F.col("n") * F.col("sxy")
+                             - F.col("sx") * F.col("sy")) / den, 6)
+                    .alias("slope")))
+
+
+_USER_TREND_ORACLE = """
+WITH t AS (
+  SELECT user_id,
+         CAST(round((epoch(ts)
+                     - epoch(MIN(ts) OVER (PARTITION BY user_id)))
+                    / 3600.0, 9) AS DECIMAL(18,9)) AS x,
+         CAST(round(value, 9) AS DECIMAL(18,9)) AS y
+  FROM events),
+a AS (SELECT user_id,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+      FROM t GROUP BY user_id HAVING COUNT(*) >= 3)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+FROM a WHERE (n * sxx - sx * sx) != 0
+"""
+
+
+def q_readability_scores(spark, sf_dir):
+    """Flesch-style readability per document: words/sentence and a
+    vowel-group syllable proxy drive the standard 206.835 − 1.015·WPS
+    − 84.6·SPW formula — a text-quality gate input.  FULL oracle: all
+    three counts are exact integers from shared regexes; one double
+    formula rounded at 4 dp."""
+    docs = _docs(spark, sf_dir)
+    sents = F.filter(F.split(F.col("text"), r"[.!?]+"),
+                     lambda s: F.trim(s) != "")
+    words = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                     lambda t: t != "")
+    syll = F.size(F.filter(
+        F.split(F.lower(F.col("text")), "[^aeiou]+"),
+        lambda g: g != ""))
+    out = docs.select(
+        "doc_id",
+        F.greatest(F.size(sents), F.lit(1)).cast("long").alias("n_sents"),
+        F.greatest(F.size(words), F.lit(1)).cast("long").alias("n_words"),
+        syll.cast("long").alias("n_syll"))
+    wps = F.col("n_words").cast("double") / F.col("n_sents")
+    spw = F.col("n_syll").cast("double") / F.col("n_words")
+    return out.select(
+        "doc_id", "n_sents", "n_words", "n_syll",
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("flesch"))
+
+
+_READABILITY_ORACLE = """
+WITH c AS (
+  SELECT doc_id,
+         GREATEST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                  x -> trim(x) != '')), 1) AS n_sents,
+         GREATEST(len(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'),
+           x -> x != '')), 1) AS n_words,
+         len(list_filter(string_split_regex(lower(text), '[^aeiou]+'),
+                         x -> x != '')) AS n_syll
+  FROM documents)
+SELECT doc_id, n_sents, n_words, n_syll,
+       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+             - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4) AS flesch
+FROM c
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -7246,6 +7442,10 @@ ORACLES: dict[str, str | None] = {
     "calendar_gaps": _CALENDAR_GAPS_ORACLE,
     "chisq_independence": _CHISQ_ORACLE,
     "category_entropy": _CATEGORY_ENTROPY_ORACLE,
+    "survival_curve": _SURVIVAL_ORACLE,
+    "ab_proportion_test": _AB_TEST_ORACLE,
+    "user_trend_slope": _USER_TREND_ORACLE,
+    "readability_scores": _READABILITY_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -7500,6 +7700,10 @@ QUERIES = {
     "calendar_gaps": q_calendar_gaps,
     "chisq_independence": q_chisq_independence,
     "category_entropy": q_category_entropy,
+    "survival_curve": q_survival_curve,
+    "ab_proportion_test": q_ab_proportion_test,
+    "user_trend_slope": q_user_trend_slope,
+    "readability_scores": q_readability_scores,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
