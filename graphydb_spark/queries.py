@@ -5797,6 +5797,219 @@ FROM c
 """
 
 
+def q_abc_classification(spark, sf_dir):
+    """ABC inventory classification: parts ranked by revenue, bucketed
+    A/B/C at 80%/95% cumulative share (the ops-analytics Pareto
+    standard).  FULL oracle: cumulative DECIMAL sums under a
+    (rev, partkey) total order; the class boundaries compare exact
+    decimals scaled to integers (share·10⁶) so no double boundary
+    flips."""
+    from pyspark.sql import Window as W
+    li = load_tables(spark, sf_dir)["lineitem"]
+    per = (li.groupBy("l_partkey")
+           .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                      * (1 - F.col("l_discount").cast("decimal(8,2)")))
+                .cast("decimal(24,4)").alias("rev")))
+    w = (W.orderBy(F.col("rev").desc(), "l_partkey")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    tot = F.sum("rev").over(W.partitionBy())
+    cum = F.sum("rev").over(w)
+    share = F.round(cum.cast("double") / tot.cast("double"), 9)
+    cls = (F.when(share <= 0.8, "A")
+           .when(share <= 0.95, "B").otherwise("C"))
+    ranked = per.select("l_partkey", "rev", cls.alias("abc_class"))
+    return (ranked.groupBy("abc_class")
+            .agg(F.count("*").alias("n_parts"),
+                 F.sum("rev").cast("double").alias("revenue")))
+
+
+_ABC_ORACLE = """
+WITH per AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(8,2))))
+              AS DECIMAL(24,4)) AS rev
+  FROM lineitem GROUP BY 1),
+ranked AS (
+  SELECT l_partkey, rev,
+         round(CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST(SUM(rev) OVER () AS DOUBLE), 9) AS share
+  FROM per)
+SELECT CASE WHEN share <= 0.8 THEN 'A'
+            WHEN share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class,
+       COUNT(*) AS n_parts, CAST(SUM(rev) AS DOUBLE) AS revenue
+FROM ranked GROUP BY 1
+"""
+
+
+def q_leadtime_percentiles(spark, sf_dir):
+    """Fulfillment lead time (order date → ship date, days) p50/p90/p99
+    per order priority — the SLA distribution table.  FULL oracle:
+    integer day gaps, linearly-interpolated exact percentiles on both
+    engines, 6 dp rounding."""
+    t = load_tables(spark, sf_dir)
+    j = (t["lineitem"].join(t["orders"],
+                            F.col("l_orderkey") == F.col("o_orderkey"))
+         .select("o_orderpriority",
+                 F.datediff(F.col("l_shipdate").cast("date"),
+                            F.col("o_orderdate").cast("date"))
+                 .alias("lead")))
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.expr("percentile(lead, 0.5)"), 6).alias("p50"),
+                 F.round(F.expr("percentile(lead, 0.9)"), 6).alias("p90"),
+                 F.round(F.expr("percentile(lead, 0.99)"), 6).alias("p99")))
+
+
+_LEADTIME_ORACLE = """
+WITH j AS (
+  SELECT o_orderpriority,
+         datediff('day', CAST(o_orderdate AS DATE),
+                  CAST(l_shipdate AS DATE)) AS lead
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT o_orderpriority, COUNT(*) AS n,
+       round(quantile_cont(lead, 0.5), 6) AS p50,
+       round(quantile_cont(lead, 0.9), 6) AS p90,
+       round(quantile_cont(lead, 0.99), 6) AS p99
+FROM j GROUP BY 1
+"""
+
+
+def q_discount_quantity_corr(spark, sf_dir):
+    """Does discounting move volume?  Pearson correlation of discount
+    vs quantity per return-flag segment — closed form from exact
+    DECIMAL sums (discount/quantity are exact 2 dp decimals in the
+    generator), doubles only at the end."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    x = F.col("l_discount").cast("decimal(8,2)")
+    y = F.col("l_quantity").cast("decimal(8,2)")
+    terms = li.select(
+        "l_returnflag", x.alias("x"), y.alias("y"),
+        (x * y).cast("decimal(18,4)").alias("xy"),
+        (x * x).cast("decimal(18,4)").alias("xx"),
+        (y * y).cast("decimal(18,4)").alias("yy"))
+    agg = (terms.groupBy("l_returnflag")
+           .agg(F.count("*").cast("double").alias("n"),
+                F.sum("x").cast("double").alias("sx"),
+                F.sum("y").cast("double").alias("sy"),
+                F.sum("xy").cast("double").alias("sxy"),
+                F.sum("xx").cast("double").alias("sxx"),
+                F.sum("yy").cast("double").alias("syy")))
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        / F.sqrt((F.col("n") * F.col("sxx")
+                  - F.col("sx") * F.col("sx"))
+                 * (F.col("n") * F.col("syy")
+                    - F.col("sy") * F.col("sy")))
+    return agg.select("l_returnflag",
+                      F.col("n").cast("bigint").alias("n_lines"),
+                      F.round(r, 6).alias("corr"))
+
+
+_DISCOUNT_QTY_ORACLE = """
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(l_discount AS DECIMAL(8,2)) AS x,
+         CAST(l_quantity AS DECIMAL(8,2)) AS y
+  FROM lineitem),
+a AS (SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(18,4))) AS DOUBLE) AS syy
+      FROM t GROUP BY 1)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_lines,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+       AS corr
+FROM a
+"""
+
+
+def q_weekday_seasonality(spark, sf_dir):
+    """Day-of-week seasonality of order revenue: share per weekday and
+    the seasonality index (share / uniform).  FULL oracle: DECIMAL
+    daily sums; DOW from ISO dayofweek (identical numbering both
+    engines via the same formula)."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"]
+    dow = F.dayofweek(F.col("o_orderdate").cast("date"))
+    per = (o.groupBy(dow.alias("dow"))
+           .agg(F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(28,2)").alias("_rev")))
+    tot = F.sum("_rev").over(W.partitionBy())
+    share = F.col("_rev").cast("double") / tot.cast("double")
+    return per.select("dow", "n_orders",
+                      F.col("_rev").cast("double").alias("revenue"),
+                      F.round(share, 6).alias("share"),
+                      F.round(share * 7, 6).alias("seasonality_idx"))
+
+
+_WEEKDAY_ORACLE = """
+WITH per AS (
+  SELECT dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(28,2)) AS rev
+  FROM orders GROUP BY 1)
+SELECT dow, n_orders, CAST(rev AS DOUBLE) AS revenue,
+       round(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE), 6)
+       AS share,
+       round(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE)
+             * 7, 6) AS seasonality_idx
+FROM per
+"""
+
+
+def q_hhi_by_month(spark, sf_dir):
+    """Market-concentration time series: Herfindahl–Hirschman index of
+    nation revenue shares per month (is revenue concentrating?).
+    FULL oracle: per-cell DECIMAL sums; each squared share rounds to
+    9 dp DECIMAL before the sum."""
+    from pyspark.sql import Window as W
+    t = load_tables(spark, sf_dir)
+    j = (t["orders"].join(t["customer"],
+                          F.col("o_custkey") == F.col("c_custkey"))
+         .select(F.date_trunc("month", F.col("o_orderdate"))
+                 .cast("date").alias("month"),
+                 "c_nationkey",
+                 F.col("o_totalprice").cast("decimal(18,2)").alias("rev")))
+    cells = (j.groupBy("month", "c_nationkey")
+             .agg(F.sum("rev").cast("decimal(28,2)").alias("r")))
+    tot = F.sum("r").over(W.partitionBy("month"))
+    share = F.col("r").cast("double") / tot.cast("double")
+    term = F.round(share * share, 9).cast("decimal(18,9)")
+    return (cells.withColumn("t", term)
+            .groupBy("month")
+            .agg(F.count("*").alias("n_nations"),
+                 F.round(F.sum("t").cast("double"), 6).alias("hhi")))
+
+
+_HHI_ORACLE = """
+WITH cells AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         c_nationkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(28,2)) AS r
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2),
+s AS (SELECT month,
+             CAST(r AS DOUBLE)
+             / CAST(SUM(r) OVER (PARTITION BY month) AS DOUBLE)
+             AS share
+      FROM cells),
+t AS (SELECT month,
+             CAST(round(share * share, 9) AS DECIMAL(18,9)) AS term
+      FROM s)
+SELECT month, COUNT(*) AS n_nations,
+       round(CAST(SUM(term) AS DOUBLE), 6) AS hhi
+FROM t GROUP BY month
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -7446,6 +7659,11 @@ ORACLES: dict[str, str | None] = {
     "ab_proportion_test": _AB_TEST_ORACLE,
     "user_trend_slope": _USER_TREND_ORACLE,
     "readability_scores": _READABILITY_ORACLE,
+    "abc_classification": _ABC_ORACLE,
+    "leadtime_percentiles": _LEADTIME_ORACLE,
+    "discount_quantity_corr": _DISCOUNT_QTY_ORACLE,
+    "weekday_seasonality": _WEEKDAY_ORACLE,
+    "hhi_by_month": _HHI_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -7704,6 +7922,11 @@ QUERIES = {
     "ab_proportion_test": q_ab_proportion_test,
     "user_trend_slope": q_user_trend_slope,
     "readability_scores": q_readability_scores,
+    "abc_classification": q_abc_classification,
+    "leadtime_percentiles": q_leadtime_percentiles,
+    "discount_quantity_corr": q_discount_quantity_corr,
+    "weekday_seasonality": q_weekday_seasonality,
+    "hhi_by_month": q_hhi_by_month,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
