@@ -2647,7 +2647,8 @@ def _pagerank_top10_sql(iters: int = 5, d: float = 0.85) -> str:
               "ORDER BY round(rank, 6) DESC, uid LIMIT 10")
 
 
-def _label_propagation_sql(iters: int = 4) -> str:
+def _label_propagation_sql(iters: int = 4,
+                           final: str | None = None) -> str:
     """Unrolled synchronous LPA replaying graph_algos.label_propagation:
     per round every node adopts its neighborhood's most frequent label,
     ties to the smallest label string; isolated nodes keep their uid."""
@@ -2683,9 +2684,10 @@ def _label_propagation_sql(iters: int = 4) -> str:
                     FROM sym s JOIN l{i} l ON l.uid = s.src
                     GROUP BY s.dst, l.label))
             WHERE rn = 1) b ON b.uid = n.uid)""")
-    return ("WITH " + ",\n".join(parts)
-            + f"\nSELECT label, COUNT(*) AS n_members "
-              f"FROM l{iters} GROUP BY label")
+    tail = final if final is not None else (
+        f"SELECT label, COUNT(*) AS n_members "
+        f"FROM l{iters} GROUP BY label")
+    return "WITH " + ",\n".join(parts) + "\n" + tail
 
 
 def _k_core_sql(k: int = 6, rounds: int = 16) -> str:
@@ -6010,6 +6012,66 @@ FROM t GROUP BY month
 """
 
 
+def q_modularity_lpa(spark, sf_dir):
+    """Partition-quality audit: Newman modularity contribution per LPA
+    community — e_c/m − (d_c/2m)², the score community detectors
+    optimize.  FULL oracle: the deterministic LPA labels replay as
+    unrolled CTEs (the label_propagation oracle), and every
+    modularity input (m, e_c, d_c) is an exact integer."""
+    from .operators.graph_algos import label_propagation
+    g = tpch_graph(spark, sf_dir)
+    nodes = g.nodes_df.where(
+        F.col("kind").isin("Customer", "Nation", "Region"))
+    edges = g.edges_df.where(F.col("kind").isin("FromNation", "InRegion"))
+    lab = label_propagation(nodes, edges, iters=4).select("uid", "label")
+    de = edges.select(F.col("startuid").alias("src"),
+                      F.col("enduid").alias("dst"))
+    m = de.agg(F.count("*").alias("m"))
+    ein = (de.join(lab.withColumnRenamed("uid", "src")
+                   .withColumnRenamed("label", "ls"), "src")
+           .join(lab.withColumnRenamed("uid", "dst")
+                 .withColumnRenamed("label", "ld"), "dst")
+           .where(F.col("ls") == F.col("ld"))
+           .groupBy(F.col("ls").alias("label"))
+           .agg(F.count("*").alias("e_in")))
+    sym = (de.unionByName(de.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+           .distinct())
+    deg = sym.groupBy(F.col("src").alias("uid")) \
+        .agg(F.count("*").alias("d"))
+    dc = (lab.join(deg, "uid", "left")
+          .groupBy("label")
+          .agg(F.count("*").alias("n_members"),
+               F.sum(F.coalesce("d", F.lit(0))).alias("d_sum")))
+    j = (dc.join(ein, "label", "left").crossJoin(m))
+    e = F.coalesce("e_in", F.lit(0))
+    half = F.col("d_sum").cast("double") / (2 * F.col("m"))
+    return j.select(
+        "label", "n_members", e.alias("e_in"), "d_sum",
+        F.round(e.cast("double") / F.col("m") - half * half, 9)
+        .alias("contribution"))
+
+
+_MODULARITY_FINAL = """
+lab AS (SELECT uid, label FROM l4),
+m AS (SELECT COUNT(*) AS m FROM de),
+ein AS (SELECT l1.label, COUNT(*) AS e_in
+        FROM de JOIN lab l1 ON l1.uid = de.src
+                JOIN lab l2 ON l2.uid = de.dst
+        WHERE l1.label = l2.label GROUP BY 1),
+deg AS (SELECT src AS uid, COUNT(*) AS d FROM sym GROUP BY 1),
+dc AS (SELECT label, COUNT(*) AS n_members,
+               SUM(COALESCE(d, 0)) AS d_sum
+        FROM lab LEFT JOIN deg USING (uid) GROUP BY label)
+SELECT dc.label, n_members, COALESCE(e_in, 0) AS e_in, d_sum,
+       round(CAST(COALESCE(e_in, 0) AS DOUBLE) / m.m
+             - (CAST(d_sum AS DOUBLE) / (2 * m.m))
+               * (CAST(d_sum AS DOUBLE) / (2 * m.m)), 9)
+       AS contribution
+FROM dc LEFT JOIN ein USING (label), m
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -7664,6 +7726,7 @@ ORACLES: dict[str, str | None] = {
     "discount_quantity_corr": _DISCOUNT_QTY_ORACLE,
     "weekday_seasonality": _WEEKDAY_ORACLE,
     "hhi_by_month": _HHI_ORACLE,
+    "modularity_lpa": _label_propagation_sql(4, final="," + _MODULARITY_FINAL),
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -7927,6 +7990,7 @@ QUERIES = {
     "discount_quantity_corr": q_discount_quantity_corr,
     "weekday_seasonality": q_weekday_seasonality,
     "hhi_by_month": q_hhi_by_month,
+    "modularity_lpa": q_modularity_lpa,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
