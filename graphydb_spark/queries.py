@@ -6072,6 +6072,176 @@ FROM dc LEFT JOIN ein USING (label), m
 """
 
 
+def q_node_jaccard(spark, sf_dir):
+    """Neighborhood Jaccard similarity between parts in the order
+    bipartite graph: J = |orders(u) ∩ orders(v)| / |orders(u) ∪
+    orders(v)| for co-purchased pairs — top-20.  Intersections come
+    from the wedge join (never all-pairs), degrees broadcast back.
+    FULL oracle: exact integer set sizes, full key tiebreak."""
+    li = (load_tables(spark, sf_dir)["lineitem"]
+          .select("l_orderkey", "l_partkey").distinct())
+    deg = li.groupBy("l_partkey").agg(F.count("*").alias("d"))
+    a, b = li.alias("a"), li.alias("b")
+    inter = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .groupBy(F.col("a.l_partkey").alias("u"),
+                      F.col("b.l_partkey").alias("v"))
+             .agg(F.count("*").alias("ix")))
+    j = (inter
+         .join(deg.select(F.col("l_partkey").alias("u"),
+                          F.col("d").alias("du")), "u")
+         .join(deg.select(F.col("l_partkey").alias("v"),
+                          F.col("d").alias("dv")), "v")
+         .select("u", "v", "ix",
+                 F.round(F.col("ix").cast("double")
+                         / (F.col("du") + F.col("dv") - F.col("ix")), 6)
+                 .alias("jaccard")))
+    return j.orderBy(F.col("jaccard").desc(), "u", "v").limit(20)
+
+
+_NODE_JACCARD_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+deg AS (SELECT l_partkey, COUNT(*) AS d FROM li GROUP BY 1),
+inter AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS ix
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2)
+SELECT u, v, ix,
+       round(CAST(ix AS DOUBLE) / (du.d + dv.d - ix), 6) AS jaccard
+FROM inter JOIN deg du ON du.l_partkey = u
+           JOIN deg dv ON dv.l_partkey = v
+ORDER BY jaccard DESC, u, v LIMIT 20
+"""
+
+
+def q_revenue_drawdown(spark, sf_dir):
+    """Daily revenue drawdown from the running peak — the
+    volatility/health curve (finance's max-drawdown shape applied to
+    a revenue series).  FULL oracle: DECIMAL daily sums, running max
+    over exact decimals, one ratio double."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"]
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("decimal(18,2)").alias("rev")))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    peak = F.max("rev").over(w)
+    return daily.select(
+        "day", F.col("rev").cast("double").alias("rev"),
+        peak.cast("double").alias("peak"),
+        F.round((peak - F.col("rev")).cast("double")
+                / peak.cast("double"), 6).alias("drawdown"))
+
+
+_DRAWDOWN_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) AS rev
+  FROM orders GROUP BY 1)
+SELECT day, CAST(rev AS DOUBLE) AS rev,
+       CAST(MAX(rev) OVER w AS DOUBLE) AS peak,
+       round(CAST(MAX(rev) OVER w - rev AS DOUBLE)
+             / CAST(MAX(rev) OVER w AS DOUBLE), 6) AS drawdown
+FROM daily
+WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def q_bot_screen(spark, sf_dir):
+    """Bot/abuse screen: per-user event rate (events per active hour)
+    and event-type entropy — high-rate low-entropy users are the
+    automation signature.  FULL oracle: exact integer counts, 9 dp
+    decimal entropy terms, rate from exact second spans."""
+    from pyspark.sql import Window as W
+    ev = _events(spark, sf_dir)
+    tc = (ev.groupBy("user_id", "event_type")
+          .agg(F.count("*").alias("c")))
+    totw = W.partitionBy("user_id")
+    p = F.col("c") / F.sum("c").over(totw)
+    term = F.round(-p * F.log2(p), 9).cast("decimal(18,9)")
+    ent = (tc.withColumn("t", term)
+           .groupBy("user_id")
+           .agg(F.round(F.sum("t").cast("double"), 6).alias("entropy")))
+    span = (ev.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 (F.max(F.col("ts").cast("double"))
+                  - F.min(F.col("ts").cast("double"))).alias("span_s")))
+    rate = F.col("n_events").cast("double") \
+        / F.greatest(F.col("span_s") / 3600.0, F.lit(1.0))
+    return (span.join(ent, "user_id")
+            .select("user_id", "n_events",
+                    F.round(rate, 6).alias("events_per_hour"),
+                    "entropy",
+                    ((rate > 8) & (F.col("entropy") < 1.5))
+                    .alias("flagged")))
+
+
+_BOT_SCREEN_ORACLE = """
+WITH tc AS (SELECT user_id, event_type, COUNT(*) AS c
+            FROM events GROUP BY 1, 2),
+ent AS (SELECT user_id,
+               round(CAST(SUM(term) AS DOUBLE), 6) AS entropy
+        FROM (SELECT user_id,
+                     CAST(round(-(c / SUM(c) OVER (PARTITION BY user_id))
+                                * log2(c / SUM(c) OVER
+                                       (PARTITION BY user_id)), 9)
+                          AS DECIMAL(18,9)) AS term
+              FROM tc)
+        GROUP BY user_id),
+span AS (SELECT user_id, COUNT(*) AS n_events,
+                MAX(epoch(ts)) - MIN(epoch(ts)) AS span_s
+         FROM events GROUP BY 1)
+SELECT span.user_id, n_events,
+       round(CAST(n_events AS DOUBLE)
+             / GREATEST(span_s / 3600.0, 1.0), 6) AS events_per_hour,
+       entropy,
+       (CAST(n_events AS DOUBLE)
+        / GREATEST(span_s / 3600.0, 1.0) > 8 AND entropy < 1.5)
+       AS flagged
+FROM span JOIN ent ON span.user_id = ent.user_id
+"""
+
+
+def q_conversion_latency(spark, sf_dir):
+    """Signup→first-purchase latency percentiles (hours) — the
+    activation-speed SLA.  FULL oracle: first-event timestamps are
+    exact mins, the interpolated percentiles follow the shared
+    quantile_cont convention, 6 dp."""
+    ev = _events(spark, sf_dir)
+    s = (ev.where(F.col("event_type") == "signup")
+         .groupBy("user_id")
+         .agg(F.min(F.col("ts").cast("double")).alias("t_signup")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .groupBy("user_id")
+         .agg(F.max(F.col("ts").cast("double")).alias("t_last_purchase"),
+              F.min(F.col("ts").cast("double")).alias("t_first_purchase")))
+    j = (s.join(p, "user_id")
+         .where(F.col("t_first_purchase") >= F.col("t_signup"))
+         .select(((F.col("t_first_purchase") - F.col("t_signup"))
+                  / 3600.0).alias("lat_h")))
+    return j.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.expr("percentile(lat_h, 0.5)"), 6).alias("p50_h"),
+        F.round(F.expr("percentile(lat_h, 0.9)"), 6).alias("p90_h"))
+
+
+_CONVERSION_LATENCY_ORACLE = """
+WITH s AS (SELECT user_id, MIN(epoch(ts)) AS t_signup
+           FROM events WHERE event_type = 'signup' GROUP BY 1),
+p AS (SELECT user_id, MIN(epoch(ts)) AS t_first_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+j AS (SELECT (t_first_purchase - t_signup) / 3600.0 AS lat_h
+      FROM s JOIN p USING (user_id)
+      WHERE t_first_purchase >= t_signup)
+SELECT COUNT(*) AS n_converted,
+       round(quantile_cont(lat_h, 0.5), 6) AS p50_h,
+       round(quantile_cont(lat_h, 0.9), 6) AS p90_h
+FROM j
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -7727,6 +7897,10 @@ ORACLES: dict[str, str | None] = {
     "weekday_seasonality": _WEEKDAY_ORACLE,
     "hhi_by_month": _HHI_ORACLE,
     "modularity_lpa": _label_propagation_sql(4, final="," + _MODULARITY_FINAL),
+    "node_jaccard": _NODE_JACCARD_ORACLE,
+    "revenue_drawdown": _DRAWDOWN_ORACLE,
+    "bot_screen": _BOT_SCREEN_ORACLE,
+    "conversion_latency": _CONVERSION_LATENCY_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -7991,6 +8165,10 @@ QUERIES = {
     "weekday_seasonality": q_weekday_seasonality,
     "hhi_by_month": q_hhi_by_month,
     "modularity_lpa": q_modularity_lpa,
+    "node_jaccard": q_node_jaccard,
+    "revenue_drawdown": q_revenue_drawdown,
+    "bot_screen": q_bot_screen,
+    "conversion_latency": q_conversion_latency,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
