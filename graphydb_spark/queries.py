@@ -6242,6 +6242,206 @@ FROM j
 """
 
 
+def q_seasonal_naive_backtest(spark, sf_dir):
+    """Forecast backtest: the seasonal-naive model (ŷ_d = y_{d−7})
+    scored with MAE and MAPE over the daily revenue series — the
+    baseline every forecaster must beat.  FULL oracle: absolute
+    errors are exact DECIMALs; per-day MAPE terms round to 9 dp
+    DECIMAL before the mean."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"]
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("decimal(18,2)").alias("rev")))
+    w = W.orderBy("day")
+    pred = F.lag("rev", 7).over(w)
+    scored = (daily.withColumn("pred", pred)
+              .where(F.col("pred").isNotNull()))
+    abs_err = F.abs(F.col("rev") - F.col("pred"))
+    ape = F.round(abs_err.cast("double")
+                  / F.col("rev").cast("double"), 9) \
+        .cast("decimal(18,9)")
+    return (scored.select(abs_err.alias("ae"), ape.alias("ape"))
+            .agg(F.count("*").alias("n_days"),
+                 F.round(F.sum("ae").cast("double") / F.count("*"), 6)
+                 .alias("mae"),
+                 F.round(F.sum("ape").cast("double") / F.count("*"), 6)
+                 .alias("mape")))
+
+
+_SEASONAL_NAIVE_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) AS rev
+  FROM orders GROUP BY 1),
+scored AS (
+  SELECT rev, lag(rev, 7) OVER (ORDER BY day) AS pred FROM daily),
+t AS (SELECT abs(rev - pred) AS ae,
+             CAST(round(CAST(abs(rev - pred) AS DOUBLE)
+                        / CAST(rev AS DOUBLE), 9)
+                  AS DECIMAL(18,9)) AS ape
+      FROM scored WHERE pred IS NOT NULL)
+SELECT COUNT(*) AS n_days,
+       round(CAST(SUM(ae) AS DOUBLE) / COUNT(*), 6) AS mae,
+       round(CAST(SUM(ape) AS DOUBLE) / COUNT(*), 6) AS mape
+FROM t
+"""
+
+
+def q_basket_diversity(spark, sf_dir):
+    """Basket-diversity histogram: distribution of distinct brands per
+    order (how mixed are carts?).  FULL oracle: pure integer
+    counting, two grouped aggregations."""
+    t = load_tables(spark, sf_dir)
+    per = (t["lineitem"].join(t["part"],
+                              F.col("l_partkey") == F.col("p_partkey"))
+           .groupBy("l_orderkey")
+           .agg(F.countDistinct("p_brand").alias("n_brands")))
+    return (per.groupBy("n_brands")
+            .agg(F.count("*").alias("n_orders")))
+
+
+_BASKET_DIVERSITY_ORACLE = """
+WITH per AS (
+  SELECT l_orderkey, COUNT(DISTINCT p_brand) AS n_brands
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1)
+SELECT n_brands, COUNT(*) AS n_orders FROM per GROUP BY 1
+"""
+
+
+def q_topk_share_by_nation(spark, sf_dir):
+    """Revenue concentration per nation: share captured by each
+    nation's top-3 customers — the grouped top-k + conditional-share
+    shape.  FULL oracle: rank under a (rev, custkey) total order,
+    DECIMAL sums, one ratio double."""
+    from pyspark.sql import Window as W
+    t = load_tables(spark, sf_dir)
+    per = (t["orders"].join(t["customer"],
+                            F.col("o_custkey") == F.col("c_custkey"))
+           .groupBy("c_nationkey", "o_custkey")
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(18,2)").alias("rev")))
+    rnk = F.row_number().over(
+        W.partitionBy("c_nationkey")
+        .orderBy(F.col("rev").desc(), "o_custkey"))
+    flagged = per.withColumn("topk", rnk <= 3)
+    return (flagged.groupBy("c_nationkey")
+            .agg(F.count("*").alias("n_customers"),
+                 F.sum(F.when(F.col("topk"), F.col("rev"))
+                       .otherwise(F.lit(0).cast("decimal(18,2)")))
+                 .cast("double").alias("top3_rev"),
+                 F.round(F.sum(F.when(F.col("topk"), F.col("rev"))
+                               .otherwise(F.lit(0)
+                                          .cast("decimal(18,2)")))
+                         .cast("double")
+                         / F.sum("rev").cast("double"), 6)
+                 .alias("top3_share")))
+
+
+_TOPK_SHARE_ORACLE = """
+WITH per AS (
+  SELECT c_nationkey, o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2),
+flagged AS (
+  SELECT c_nationkey, rev,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY rev DESC, o_custkey) <= 3 AS topk
+  FROM per)
+SELECT c_nationkey, COUNT(*) AS n_customers,
+       CAST(SUM(CASE WHEN topk THEN rev
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       AS top3_rev,
+       round(CAST(SUM(CASE WHEN topk THEN rev
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE), 6) AS top3_share
+FROM flagged GROUP BY c_nationkey
+"""
+
+
+def q_return_rate_by_discount(spark, sf_dir):
+    """Do discounted lines get returned more?  Return-flag rate per
+    discount bucket with lift over the global rate.  FULL oracle:
+    buckets from exact cent-scaled discounts, rates as exact-count
+    ratios."""
+    from pyspark.sql import Window as W
+    li = load_tables(spark, sf_dir)["lineitem"]
+    bucket = F.round(F.col("l_discount") * 100).cast("int")
+    per = (li.groupBy(bucket.alias("disc_pct"))
+           .agg(F.count("*").alias("n_lines"),
+                F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                      .otherwise(0)).alias("n_returned")))
+    gr = (F.sum("n_returned").over(W.partitionBy()).cast("double")
+          / F.sum("n_lines").over(W.partitionBy()))
+    rate = F.col("n_returned").cast("double") / F.col("n_lines")
+    return per.select("disc_pct", "n_lines", "n_returned",
+                      F.round(rate, 6).alias("return_rate"),
+                      F.round(rate / gr, 6).alias("lift"))
+
+
+_RETURN_RATE_ORACLE = """
+WITH per AS (
+  SELECT CAST(round(l_discount * 100) AS INTEGER) AS disc_pct,
+         COUNT(*) AS n_lines,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         AS n_returned
+  FROM lineitem GROUP BY 1)
+SELECT disc_pct, n_lines, n_returned,
+       round(CAST(n_returned AS DOUBLE) / n_lines, 6) AS return_rate,
+       round((CAST(n_returned AS DOUBLE) / n_lines)
+             / (CAST(SUM(n_returned) OVER () AS DOUBLE)
+                / SUM(n_lines) OVER ()), 6) AS lift
+FROM per
+"""
+
+
+def q_price_dispersion(spark, sf_dir):
+    """Unit-price dispersion per brand: coefficient of variation of
+    price-per-unit — pricing-consistency audit.  FULL oracle: unit
+    prices round to 9 dp DECIMAL once, then mean/std come from exact
+    decimal sums (closed form)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    t = load_tables(spark, sf_dir)["part"]
+    up = F.round(F.col("l_extendedprice") / F.col("l_quantity"), 9) \
+        .cast("decimal(18,9)")
+    terms = (li.join(t, F.col("l_partkey") == F.col("p_partkey"))
+             .select("p_brand", up.alias("x"),
+                     (up * up).cast("decimal(38,18)").alias("xx")))
+    agg = (terms.groupBy("p_brand")
+           .agg(F.count("*").cast("double").alias("n"),
+                F.sum("x").cast("double").alias("sx"),
+                F.sum("xx").cast("double").alias("sxx")))
+    mean = F.col("sx") / F.col("n")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) \
+        / (F.col("n") - 1)
+    return (agg.where(F.col("n") > 1)
+            .select("p_brand", F.col("n").cast("bigint").alias("n_lines"),
+                    F.round(mean, 6).alias("mean_unit_price"),
+                    F.round(F.sqrt(var) / mean, 6).alias("cv")))
+
+
+_PRICE_DISPERSION_ORACLE = """
+WITH t AS (
+  SELECT p_brand,
+         CAST(round(l_extendedprice / l_quantity, 9)
+              AS DECIMAL(18,9)) AS x
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+a AS (SELECT p_brand,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+      FROM t GROUP BY 1 HAVING COUNT(*) > 1)
+SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+       round(sx / n, 6) AS mean_unit_price,
+       round(sqrt((sxx - sx * sx / n) / (n - 1)) / (sx / n), 6) AS cv
+FROM a
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -7901,6 +8101,11 @@ ORACLES: dict[str, str | None] = {
     "revenue_drawdown": _DRAWDOWN_ORACLE,
     "bot_screen": _BOT_SCREEN_ORACLE,
     "conversion_latency": _CONVERSION_LATENCY_ORACLE,
+    "seasonal_naive_backtest": _SEASONAL_NAIVE_ORACLE,
+    "basket_diversity": _BASKET_DIVERSITY_ORACLE,
+    "topk_share_by_nation": _TOPK_SHARE_ORACLE,
+    "return_rate_by_discount": _RETURN_RATE_ORACLE,
+    "price_dispersion": _PRICE_DISPERSION_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -8169,6 +8374,11 @@ QUERIES = {
     "revenue_drawdown": q_revenue_drawdown,
     "bot_screen": q_bot_screen,
     "conversion_latency": q_conversion_latency,
+    "seasonal_naive_backtest": q_seasonal_naive_backtest,
+    "basket_diversity": q_basket_diversity,
+    "topk_share_by_nation": q_topk_share_by_nation,
+    "return_rate_by_discount": q_return_rate_by_discount,
+    "price_dispersion": q_price_dispersion,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
