@@ -6442,6 +6442,189 @@ FROM a
 """
 
 
+def q_ks_statistic(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov statistic comparing account-
+    balance distributions of the BUILDING vs MACHINERY segments —
+    distribution-drift detection.  FULL oracle: the empirical CDFs are
+    exact-count step functions (peer-inclusive RANGE frames handle
+    ties identically), D = max |F₁−F₂| is an exact-rational compare."""
+    from pyspark.sql import Window as W
+    c = load_tables(spark, sf_dir)["customer"]
+    pool = (c.where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+            .select(F.col("c_acctbal").alias("val"),
+                    (F.col("c_mktsegment") == "BUILDING")
+                    .cast("int").alias("is_a")))
+    n1 = F.sum("is_a").over(W.partitionBy())
+    n2 = F.sum(1 - F.col("is_a")).over(W.partitionBy())
+    wr = (W.orderBy("val")
+          .rangeBetween(W.unboundedPreceding, W.currentRow))
+    ca = F.sum("is_a").over(wr)
+    cb = F.sum(1 - F.col("is_a")).over(wr)
+    d = F.abs(ca.cast("double") / n1 - cb.cast("double") / n2)
+    return (pool.select(n1.alias("n1"), n2.alias("n2"), d.alias("d"))
+            .agg(F.max("n1").alias("n1"), F.max("n2").alias("n2"),
+                 F.round(F.max("d"), 6).alias("ks")))
+
+
+_KS_ORACLE = """
+WITH pool AS (
+  SELECT c_acctbal AS val,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is_a
+  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+t AS (
+  SELECT SUM(is_a) OVER () AS n1,
+         SUM(1 - is_a) OVER () AS n2,
+         abs(CAST(SUM(is_a) OVER w AS DOUBLE) / SUM(is_a) OVER ()
+             - CAST(SUM(1 - is_a) OVER w AS DOUBLE)
+               / SUM(1 - is_a) OVER ()) AS d
+  FROM pool
+  WINDOW w AS (ORDER BY val
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT MAX(n1) AS n1, MAX(n2) AS n2, round(MAX(d), 6) AS ks FROM t
+"""
+
+
+def q_mann_whitney(spark, sf_dir):
+    """Mann–Whitney U (rank-sum) test between the same two segments,
+    with tie-corrected normal approximation — the nonparametric
+    location test.  FULL oracle: average ranks are exact .5-step
+    decimals, the tie-correction sums are exact integers, z is one
+    closed-form double."""
+    from pyspark.sql import Window as W
+    c = load_tables(spark, sf_dir)["customer"]
+    pool = (c.where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+            .select(F.col("c_acctbal").alias("val"),
+                    (F.col("c_mktsegment") == "BUILDING")
+                    .cast("int").alias("is_a")))
+    # doubled average rank 2·ar = 2·rank + t − 1 stays an exact
+    # INTEGER (no cross-engine decimal division); the tie-correction
+    # Σ_groups(t³−t) accumulates row-wise as Σ_rows(t²−1)
+    rk = F.rank().over(W.orderBy("val"))
+    tie = F.count("*").over(W.partitionBy("val"))
+    ranked = pool.select(
+        "is_a", (2 * rk + tie - 1).alias("ar2"), tie.alias("t"))
+    agg = ranked.agg(
+        F.sum("is_a").cast("double").alias("n1"),
+        F.sum(1 - F.col("is_a")).cast("double").alias("n2"),
+        F.sum(F.when(F.col("is_a") == 1, F.col("ar2")).otherwise(0))
+        .cast("double").alias("r1x2"),
+        F.sum(F.col("t") * F.col("t") - 1).cast("double").alias("tcorr"),
+        F.count("*").cast("double").alias("n"))
+    u1 = (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)) / 2
+    mu = F.col("n1") * F.col("n2") / 2
+    var = (F.col("n1") * F.col("n2") / 12) \
+        * ((F.col("n") + 1)
+           - F.col("tcorr") / (F.col("n") * (F.col("n") - 1)))
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        u1.alias("u"),
+        F.round((u1 - mu) / F.sqrt(var), 6).alias("z"))
+
+
+_MANN_WHITNEY_ORACLE = """
+WITH pool AS (
+  SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is_a,
+         c_acctbal AS val
+  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+ranked AS (
+  SELECT is_a,
+         2 * rank() OVER (ORDER BY val)
+         + COUNT(*) OVER (PARTITION BY val) - 1 AS ar2,
+         COUNT(*) OVER (PARTITION BY val) AS t
+  FROM pool),
+a AS (SELECT CAST(SUM(is_a) AS DOUBLE) AS n1,
+             CAST(SUM(1 - is_a) AS DOUBLE) AS n2,
+             CAST(SUM(CASE WHEN is_a = 1 THEN ar2 ELSE 0 END)
+                  AS DOUBLE) AS r1x2,
+             CAST(SUM(t * t - 1) AS DOUBLE) AS tcorr,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM ranked)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       (r1x2 - n1 * (n1 + 1)) / 2 AS u,
+       round(((r1x2 - n1 * (n1 + 1)) / 2 - n1 * n2 / 2)
+             / sqrt((n1 * n2 / 12)
+                    * ((n + 1) - tcorr / (n * (n - 1)))), 6) AS z
+FROM a
+"""
+
+
+def q_welch_ttest(spark, sf_dir):
+    """Welch's t-test + Cohen's d between the two segments' balances —
+    the parametric counterpart.  FULL oracle: means/variances from
+    exact DECIMAL sums, t/df/d in closed form."""
+    c = load_tables(spark, sf_dir)["customer"]
+    x = F.col("c_acctbal").cast("decimal(12,2)")
+    pool = (c.where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+            .select((F.col("c_mktsegment") == "BUILDING")
+                    .cast("int").alias("is_a"),
+                    x.alias("x"),
+                    (x * x).cast("decimal(28,4)").alias("xx")))
+    g = (pool.groupBy("is_a")
+         .agg(F.count("*").cast("double").alias("n"),
+              F.sum("x").cast("double").alias("s"),
+              F.sum("xx").cast("double").alias("ss")))
+    a = g.where(F.col("is_a") == 1).select(
+        F.col("n").alias("n1"), F.col("s").alias("s1"),
+        F.col("ss").alias("ss1"))
+    b = g.where(F.col("is_a") == 0).select(
+        F.col("n").alias("n2"), F.col("s").alias("s2"),
+        F.col("ss").alias("ss2"))
+    j = a.crossJoin(b)
+    m1 = F.col("s1") / F.col("n1")
+    m2 = F.col("s2") / F.col("n2")
+    v1 = (F.col("ss1") - F.col("s1") * F.col("s1") / F.col("n1")) \
+        / (F.col("n1") - 1)
+    v2 = (F.col("ss2") - F.col("s2") * F.col("s2") / F.col("n2")) \
+        / (F.col("n2") - 1)
+    se2 = v1 / F.col("n1") + v2 / F.col("n2")
+    t = (m1 - m2) / F.sqrt(se2)
+    df = se2 * se2 / ((v1 / F.col("n1")) * (v1 / F.col("n1"))
+                      / (F.col("n1") - 1)
+                      + (v2 / F.col("n2")) * (v2 / F.col("n2"))
+                      / (F.col("n2") - 1))
+    sp = F.sqrt(((F.col("n1") - 1) * v1 + (F.col("n2") - 1) * v2)
+                / (F.col("n1") + F.col("n2") - 2))
+    return j.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(m1 - m2, 6).alias("mean_diff"),
+        F.round(t, 6).alias("t"),
+        F.round(df, 6).alias("df"),
+        F.round((m1 - m2) / sp, 6).alias("cohens_d"))
+
+
+_WELCH_ORACLE = """
+WITH pool AS (
+  SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is_a,
+         CAST(c_acctbal AS DECIMAL(12,2)) AS x
+  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+g AS (SELECT is_a, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS s,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS ss
+      FROM pool GROUP BY 1),
+j AS (SELECT a.n AS n1, a.s AS s1, a.ss AS ss1,
+             b.n AS n2, b.s AS s2, b.ss AS ss2
+      FROM (SELECT * FROM g WHERE is_a = 1) a,
+           (SELECT * FROM g WHERE is_a = 0) b),
+c AS (SELECT n1, n2,
+             s1 / n1 AS m1, s2 / n2 AS m2,
+             (ss1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+             (ss2 - s2 * s2 / n2) / (n2 - 1) AS v2
+      FROM j)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       round(m1 - m2, 6) AS mean_diff,
+       round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t,
+       round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+             / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS df,
+       round((m1 - m2)
+             / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)),
+             6) AS cohens_d
+FROM c
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -8106,6 +8289,9 @@ ORACLES: dict[str, str | None] = {
     "topk_share_by_nation": _TOPK_SHARE_ORACLE,
     "return_rate_by_discount": _RETURN_RATE_ORACLE,
     "price_dispersion": _PRICE_DISPERSION_ORACLE,
+    "ks_statistic": _KS_ORACLE,
+    "mann_whitney": _MANN_WHITNEY_ORACLE,
+    "welch_ttest": _WELCH_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -8379,6 +8565,9 @@ QUERIES = {
     "topk_share_by_nation": q_topk_share_by_nation,
     "return_rate_by_discount": q_return_rate_by_discount,
     "price_dispersion": q_price_dispersion,
+    "ks_statistic": q_ks_statistic,
+    "mann_whitney": q_mann_whitney,
+    "welch_ttest": q_welch_ttest,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
