@@ -6625,6 +6625,165 @@ FROM c
 """
 
 
+def q_revenue_peaks(spark, sf_dir):
+    """Local maxima in the daily revenue series with prominence over
+    the centered 7-day mean — spike detection.  FULL oracle: strict
+    lag/lead compares on exact DECIMALs; the centered mean divides an
+    exact frame sum by its exact frame count."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"]
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("decimal(18,2)").alias("rev")))
+    w = W.orderBy("day")
+    wc = w.rowsBetween(-3, 3)
+    prev, nxt = F.lag("rev").over(w), F.lead("rev").over(w)
+    cmean = F.sum("rev").over(wc).cast("double") \
+        / F.count("*").over(wc)
+    return (daily
+            .withColumn("prev", prev).withColumn("nxt", nxt)
+            .withColumn("cmean", cmean)
+            .where(F.col("prev").isNotNull() & F.col("nxt").isNotNull()
+                   & (F.col("rev") > F.col("prev"))
+                   & (F.col("rev") > F.col("nxt")))
+            .select("day", F.col("rev").cast("double").alias("rev"),
+                    F.round(F.col("rev").cast("double")
+                            - F.col("cmean"), 6).alias("prominence")))
+
+
+_REVENUE_PEAKS_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) AS rev
+  FROM orders GROUP BY 1),
+t AS (
+  SELECT day, rev,
+         lag(rev) OVER (ORDER BY day) AS prev,
+         lead(rev) OVER (ORDER BY day) AS nxt,
+         CAST(SUM(rev) OVER wc AS DOUBLE) / COUNT(*) OVER wc AS cmean
+  FROM daily
+  WINDOW wc AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+SELECT day, CAST(rev AS DOUBLE) AS rev,
+       round(CAST(rev AS DOUBLE) - cmean, 6) AS prominence
+FROM t
+WHERE prev IS NOT NULL AND nxt IS NOT NULL
+  AND rev > prev AND rev > nxt
+"""
+
+
+def q_level_shifts(spark, sf_dir):
+    """Largest level shifts in daily revenue: |mean of next 7 days −
+    mean of prior 7 days| per day, top-5 — the window-contrast
+    changepoint heuristic.  FULL oracle: both means are exact frame
+    sums over DECIMALs divided by exact counts; full-frame rows
+    only."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"]
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("decimal(18,2)").alias("rev")))
+    w = W.orderBy("day")
+    wb = w.rowsBetween(-7, -1)
+    wa = w.rowsBetween(0, 6)
+    mb = F.sum("rev").over(wb).cast("double") / F.count("*").over(wb)
+    ma = F.sum("rev").over(wa).cast("double") / F.count("*").over(wa)
+    return (daily
+            .withColumn("shift", F.round(F.abs(ma - mb), 6))
+            .withColumn("cb", F.count("*").over(wb))
+            .withColumn("ca", F.count("*").over(wa))
+            .where((F.col("cb") == 7) & (F.col("ca") == 7))
+            .select("day", "shift")
+            .orderBy(F.col("shift").desc(), "day").limit(5))
+
+
+_LEVEL_SHIFTS_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) AS rev
+  FROM orders GROUP BY 1),
+t AS (
+  SELECT day,
+         round(abs(CAST(SUM(rev) OVER wa AS DOUBLE)
+                   / COUNT(*) OVER wa
+                   - CAST(SUM(rev) OVER wb AS DOUBLE)
+                     / COUNT(*) OVER wb), 6) AS shift,
+         COUNT(*) OVER wb AS cb, COUNT(*) OVER wa AS ca
+  FROM daily
+  WINDOW wb AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+         wa AS (ORDER BY day ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING))
+SELECT day, shift FROM t WHERE cb = 7 AND ca = 7
+ORDER BY shift DESC, day LIMIT 5
+"""
+
+
+def q_session_event_pairs(spark, sf_dir):
+    """Within-session event-type co-occurrence lift: which action
+    pairs happen in the same 30-min session more than independence
+    predicts.  FULL oracle: session ids replay the gap-break cumsum,
+    all probabilities are exact session-count ratios."""
+    from pyspark.sql import Window as W
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") \
+        - F.lag(F.col("ts").cast("double")).over(w)
+    brk = F.when(gap > 30 * 60, 1).otherwise(0)
+    sess = F.sum(brk).over(w.rowsBetween(W.unboundedPreceding, 0))
+    st = (ev.withColumn("sess", sess)
+          .select("user_id", "sess", "event_type").distinct())
+    nses = (st.select("user_id", "sess").distinct()
+            .agg(F.count("*").alias("n_sessions")))
+    per = st.groupBy("event_type").agg(F.count("*").alias("c"))
+    a, b = st.alias("a"), st.alias("b")
+    pairs = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                    & (F.col("a.sess") == F.col("b.sess"))
+                    & (F.col("a.event_type") < F.col("b.event_type")))
+             .groupBy(F.col("a.event_type").alias("et_a"),
+                      F.col("b.event_type").alias("et_b"))
+             .agg(F.count("*").alias("cab")))
+    j = (pairs
+         .join(per.select(F.col("event_type").alias("et_a"),
+                          F.col("c").alias("ca")), "et_a")
+         .join(per.select(F.col("event_type").alias("et_b"),
+                          F.col("c").alias("cb")), "et_b")
+         .crossJoin(nses))
+    lift = (F.col("cab").cast("double") * F.col("n_sessions")) \
+        / (F.col("ca") * F.col("cb"))
+    return j.select("et_a", "et_b", "cab",
+                    F.round(lift, 6).alias("lift"))
+
+
+_SESSION_PAIRS_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type,
+         SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sess
+  FROM (SELECT user_id, event_type, ts, event_id,
+               epoch(ts) - lag(epoch(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS gap
+        FROM events)),
+st AS (SELECT DISTINCT user_id, sess, event_type FROM s),
+nses AS (SELECT COUNT(*) AS n_sessions
+         FROM (SELECT DISTINCT user_id, sess FROM st)),
+per AS (SELECT event_type, COUNT(*) AS c FROM st GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS et_a, b.event_type AS et_b, COUNT(*) AS cab
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.sess = b.sess
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT et_a, et_b, cab,
+       round(CAST(cab AS DOUBLE) * n_sessions / (ca.c * cb.c), 6)
+       AS lift
+FROM pairs
+JOIN per ca ON ca.event_type = et_a
+JOIN per cb ON cb.event_type = et_b, nses
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -8292,6 +8451,9 @@ ORACLES: dict[str, str | None] = {
     "ks_statistic": _KS_ORACLE,
     "mann_whitney": _MANN_WHITNEY_ORACLE,
     "welch_ttest": _WELCH_ORACLE,
+    "revenue_peaks": _REVENUE_PEAKS_ORACLE,
+    "level_shifts": _LEVEL_SHIFTS_ORACLE,
+    "session_event_pairs": _SESSION_PAIRS_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -8568,6 +8730,9 @@ QUERIES = {
     "ks_statistic": q_ks_statistic,
     "mann_whitney": q_mann_whitney,
     "welch_ttest": q_welch_ttest,
+    "revenue_peaks": q_revenue_peaks,
+    "level_shifts": q_level_shifts,
+    "session_event_pairs": q_session_event_pairs,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
