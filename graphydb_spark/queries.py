@@ -6784,6 +6784,40 @@ JOIN per cb ON cb.event_type = et_b, nses
 """
 
 
+def q_ssjoin_exact(spark, sf_dir):
+    """EXACT set-similarity self-join (PPJoin-style prefix filtering):
+    every document pair with 3-shingle Jaccard >= 0.5, no false
+    negatives — the lossless counterpart to q:minhash_pairs (which
+    trades recall for speed).  Candidate generation joins only the
+    rarest ``n - ceil(t*n) + 1`` shingles of each document (global
+    rarest-first order), so the join fan-out is bounded by
+    rare-shingle document frequencies, never all-pairs.  The oracle
+    is *independent* of the pruning strategy: it computes pair
+    intersections with a plain shingle equi-join + count, so a prefix
+    filter bug that dropped a true pair would hash-mismatch."""
+    return dedup.ssjoin_jaccard(_docs(spark, sf_dir), threshold=0.5)
+
+
+_SSJOIN_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
+        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+  FROM toks WHERE len(ws) >= 3
+), tt AS (SELECT doc_id, len(s) AS n, unnest(s) AS tok FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+         count(*) AS i
+  FROM tt a JOIN tt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, round(CAST(i AS DOUBLE)/(na+nb-i), 6) AS jaccard
+FROM inter WHERE CAST(i AS DOUBLE)/(na+nb-i) >= 0.5
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -8454,6 +8488,7 @@ ORACLES: dict[str, str | None] = {
     "revenue_peaks": _REVENUE_PEAKS_ORACLE,
     "level_shifts": _LEVEL_SHIFTS_ORACLE,
     "session_event_pairs": _SESSION_PAIRS_ORACLE,
+    "ssjoin_exact": _SSJOIN_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -8733,6 +8768,7 @@ QUERIES = {
     "revenue_peaks": q_revenue_peaks,
     "level_shifts": q_level_shifts,
     "session_event_pairs": q_session_event_pairs,
+    "ssjoin_exact": q_ssjoin_exact,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

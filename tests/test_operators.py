@@ -1487,3 +1487,50 @@ def test_pixel_stats_corrupt_gif_yields_nulls(spark):
         "media_id long, payload binary, media_type string, meta string")
     r = pixel_stats(media).collect()[0]
     assert r["fmt"] == "gif" and r["n_px"] is None
+
+
+def test_ssjoin_exact_is_lossless(spark):
+    """Prefix filtering must find EVERY pair above the threshold —
+    compare against brute-force all-pairs 3-shingle Jaccard computed
+    in plain Python on a corpus with planted near/far pairs."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (0, base),
+        (1, base + " kilo"),                       # near dup of 0
+        (2, base.replace("delta", "xray")),        # near dup of 0/1
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "one two three four five six seven eight nine eleven"),
+        (5, "totally unrelated words nothing shared here at all ok"),
+        (6, "alpha bravo charlie"),                # tiny subset: low Jaccard
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.5
+
+    def sh(s):
+        w = s.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = sh(rows[i][1]), sh(rows[j][1])
+            jac = len(a & b) / len(a | b)
+            if jac >= t:
+                want.add((rows[i][0], rows[j][0], round(jac, 6)))
+
+    got = {(r["id_a"], r["id_b"], r["jaccard"])
+           for r in dedup.ssjoin_jaccard(df, threshold=t).collect()}
+    assert got == want
+    assert want, "fixture must plant at least one qualifying pair"
+
+
+def test_ssjoin_threshold_monotone(spark):
+    """Raising the threshold can only shrink the result set."""
+    rows = [(i, f"w{i % 3} common tokens shared across docs {i % 2}")
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lo = {(r["id_a"], r["id_b"])
+          for r in dedup.ssjoin_jaccard(df, threshold=0.3).collect()}
+    hi = {(r["id_a"], r["id_b"])
+          for r in dedup.ssjoin_jaccard(df, threshold=0.7).collect()}
+    assert hi <= lo
