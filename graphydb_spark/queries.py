@@ -6818,6 +6818,63 @@ FROM inter WHERE CAST(i AS DOUBLE)/(na+nb-i) >= 0.5
 """
 
 
+def q_closeness_nations(spark, sf_dir):
+    """Closeness + harmonic centrality for all 25 Nation nodes over the
+    undirected Region-Nation-Customer-Order subgraph, depth <= 3 —
+    multi-source labeled BFS where k sources ride the frontier KEY
+    (one frame keyed (source, uid)), so 25 sources cost the same
+    number of Spark rounds as one.  Exact integer (reached, sum_dist)
+    plus two engine-portable IEEE divisions; the harmonic sum is an
+    integer ladder scaled by lcm(1..3)=6, so no float accumulation
+    order exists anywhere."""
+    t = load_tables(spark, sf_dir)
+    g = tpch_graph(spark, sf_dir)
+    seeds = t["nation"].select(
+        F.concat(F.lit("Nation:"), F.col("n_nationkey")).alias("uid"))
+    edges = g.edges_df.where(
+        F.col("kind").isin("InRegion", "FromNation", "Placed"))
+    return graph_algos.closeness_centrality(edges, seeds, max_depth=3,
+                                            direction="both")
+
+
+_CLOSENESS_ORACLE = """
+WITH RECURSIVE
+ed(a, b) AS (
+  SELECT 'Nation:' || CAST(n_nationkey AS VARCHAR),
+         'Region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+  UNION ALL
+  SELECT 'Region:' || CAST(n_regionkey AS VARCHAR),
+         'Nation:' || CAST(n_nationkey AS VARCHAR) FROM nation
+  UNION ALL
+  SELECT 'Customer:' || CAST(c_custkey AS VARCHAR),
+         'Nation:' || CAST(c_nationkey AS VARCHAR) FROM customer
+  UNION ALL
+  SELECT 'Nation:' || CAST(c_nationkey AS VARCHAR),
+         'Customer:' || CAST(c_custkey AS VARCHAR) FROM customer
+  UNION ALL
+  SELECT 'Customer:' || CAST(o_custkey AS VARCHAR),
+         'Order:' || CAST(o_orderkey AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'Order:' || CAST(o_orderkey AS VARCHAR),
+         'Customer:' || CAST(o_custkey AS VARCHAR) FROM orders
+),
+walk(source, uid, d) AS (
+  SELECT 'Nation:' || CAST(n_nationkey AS VARCHAR),
+         'Nation:' || CAST(n_nationkey AS VARCHAR), 0 FROM nation
+  UNION
+  SELECT w.source, ed.b, w.d + 1 FROM walk w
+  JOIN ed ON ed.a = w.uid WHERE w.d < 3
+),
+md AS (SELECT source, uid, MIN(d) AS d FROM walk GROUP BY 1, 2),
+per AS (SELECT source, d, COUNT(*) AS c FROM md WHERE d > 0 GROUP BY 1, 2)
+SELECT source, CAST(SUM(c) AS BIGINT) AS reached,
+       CAST(SUM(c * d) AS BIGINT) AS sum_dist,
+       round(CAST(SUM(c) AS DOUBLE) / SUM(c * d), 6) AS closeness,
+       round(SUM(c * (6 // d)) / 6.0, 6) AS harmonic
+FROM per GROUP BY source
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -8489,6 +8546,7 @@ ORACLES: dict[str, str | None] = {
     "level_shifts": _LEVEL_SHIFTS_ORACLE,
     "session_event_pairs": _SESSION_PAIRS_ORACLE,
     "ssjoin_exact": _SSJOIN_ORACLE,
+    "closeness_nations": _CLOSENESS_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -8769,6 +8827,7 @@ QUERIES = {
     "level_shifts": q_level_shifts,
     "session_event_pairs": q_session_event_pairs,
     "ssjoin_exact": q_ssjoin_exact,
+    "closeness_nations": q_closeness_nations,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

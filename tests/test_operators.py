@@ -1534,3 +1534,26 @@ def test_ssjoin_threshold_monotone(spark):
     hi = {(r["id_a"], r["id_b"])
           for r in dedup.ssjoin_jaccard(df, threshold=0.7).collect()}
     assert hi <= lo
+
+
+def test_closeness_centrality_path_graph(spark):
+    """Path a-b-c-d: hand-computed closeness/harmonic from both ends
+    and the middle, plus multi-source independence (each source's row
+    must equal its single-source run)."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "startuid string, enduid string")
+    seeds = spark.createDataFrame([("a",), ("b",)], "uid string")
+    got = {r["source"]: r for r in graph_algos.closeness_centrality(
+        edges, seeds, max_depth=3).collect()}
+    # a: dists 1,2,3 -> reached 3, sum 6, closeness 0.5, harmonic 1+1/2+1/3
+    assert got["a"]["reached"] == 3 and got["a"]["sum_dist"] == 6
+    assert got["a"]["closeness"] == 0.5
+    assert got["a"]["harmonic"] == round(11 / 6, 6)
+    # b: dists 1,1,2 -> reached 3, sum 4, harmonic 1+1+0.5
+    assert got["b"]["reached"] == 3 and got["b"]["sum_dist"] == 4
+    assert got["b"]["closeness"] == 0.75
+    assert got["b"]["harmonic"] == 2.5
+    solo = graph_algos.closeness_centrality(
+        edges, spark.createDataFrame([("a",)], "uid string"),
+        max_depth=3).collect()[0]
+    assert tuple(solo) == tuple(got["a"])
