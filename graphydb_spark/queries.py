@@ -20,6 +20,8 @@ Determinism ground rules (why the SQL looks the way it does):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -6875,6 +6877,97 @@ FROM per GROUP BY source
 """
 
 
+def _holt_coeffs(T: int = 12, horizons=(1, 2, 3, 4)):
+    """Holt's linear trend method (double exponential smoothing,
+    alpha=beta=1/2) UNROLLED to exact dyadic-rational coefficients over
+    the last T observations: l_t and b_t are linear in y_1..y_t, so the
+    h-step forecast l_T + h*b_T is one integer dot product.  Computing
+    the coefficients once in ``fractions.Fraction`` and sharing the
+    SAME integer ladder with the DuckDB oracle removes every source of
+    cross-engine float drift — the recursion never executes at query
+    time in either engine.
+
+    Returns (D, {h: [num_1..num_T]}) with coefficient_i = num_i / D.
+    """
+    from fractions import Fraction
+    half = Fraction(1, 2)
+    # l/b as coefficient vectors over y_1..y_T (1-indexed at i-1)
+    l = [Fraction(0)] * T
+    b = [Fraction(0)] * T
+    l[0] = Fraction(1)                       # l_1 = y_1
+    b[0], b[1] = Fraction(-1), Fraction(1)   # b_1 = y_2 - y_1
+    for t in range(1, T):                    # observations y_2..y_T
+        prev_l = l[:]
+        l = [half * lv + half * bv for lv, bv in zip(l, b)]
+        l[t] += half
+        b = [half * (lv - pv) + half * bv
+             for lv, pv, bv in zip(l, prev_l, b)]
+    out = {h: [l[i] + h * b[i] for i in range(T)] for h in horizons}
+    denom = 1
+    for cs in out.values():
+        for c in cs:
+            denom = denom * c.denominator // math.gcd(denom, c.denominator)
+    return denom, {h: [int(c * denom) for c in cs]
+                   for h, cs in out.items()}
+
+
+_HOLT_T = 12
+_HOLT_D, _HOLT_NUMS = _holt_coeffs(_HOLT_T)
+
+
+def q_holt_forecast(spark, sf_dir):
+    """1..4-week-ahead revenue forecast by Holt's linear trend method
+    over the last 12 weeks of order revenue.  The smoothing recursion
+    is unrolled to an exact integer coefficient ladder (see
+    :func:`_holt_coeffs`), so the whole forecast is: weekly DECIMAL
+    cents -> pick last 12 -> one broadcast join against 48 literal
+    coefficients -> integer dot product -> two IEEE divisions.  Scale:
+    the only full-data pass is the weekly aggregation (map-side
+    partial); everything after operates on <= 12 rows."""
+    o = load_tables(spark, sf_dir)["orders"]
+    weekly = (o.groupBy(F.date_trunc("week", F.col("o_orderdate")
+                                     .cast("timestamp")).alias("week"))
+              .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                    * 100).cast("decimal(38,0)").alias("cents")))
+    from pyspark.sql import Window as W
+    rn = F.row_number().over(W.orderBy(F.col("week").desc()))
+    last = (weekly.withColumn("_rn", rn).where(F.col("_rn") <= _HOLT_T)
+            .select((F.lit(_HOLT_T + 1) - F.col("_rn")).alias("i"),
+                    "cents"))
+    coef = spark.createDataFrame(
+        [(h, i + 1, _HOLT_NUMS[h][i])
+         for h in sorted(_HOLT_NUMS) for i in range(_HOLT_T)],
+        "h int, i int, num long")
+    return (last.join(F.broadcast(coef), "i")
+            .groupBy("h")
+            .agg(F.sum(F.col("num") * F.col("cents"))
+                  .cast("decimal(38,0)").alias("_s"))
+            .select(F.col("h").alias("horizon"),
+                    F.round(F.col("_s").cast("double") / _HOLT_D / 100.0,
+                            4).alias("forecast")))
+
+
+def _holt_oracle_sql() -> str:
+    vals = ", ".join(f"({h}, {i + 1}, {_HOLT_NUMS[h][i]})"
+                     for h in sorted(_HOLT_NUMS) for i in range(_HOLT_T))
+    return f"""
+WITH weekly AS (
+  SELECT date_trunc('week', CAST(o_orderdate AS TIMESTAMP)) AS week,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+              AS DECIMAL(38,0)) AS cents
+  FROM orders GROUP BY 1
+), last AS (
+  SELECT {_HOLT_T} + 1 - row_number() OVER (ORDER BY week DESC) AS i,
+         cents
+  FROM weekly ORDER BY week DESC LIMIT {_HOLT_T}
+), coef(h, i, num) AS (VALUES {vals})
+SELECT h AS horizon,
+       round(CAST(SUM(num * cents) AS DOUBLE) / {_HOLT_D} / 100.0, 4)
+       AS forecast
+FROM last JOIN coef USING (i) GROUP BY h
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -8547,6 +8640,7 @@ ORACLES: dict[str, str | None] = {
     "session_event_pairs": _SESSION_PAIRS_ORACLE,
     "ssjoin_exact": _SSJOIN_ORACLE,
     "closeness_nations": _CLOSENESS_ORACLE,
+    "holt_forecast": _holt_oracle_sql(),
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -8828,6 +8922,7 @@ QUERIES = {
     "session_event_pairs": q_session_event_pairs,
     "ssjoin_exact": q_ssjoin_exact,
     "closeness_nations": q_closeness_nations,
+    "holt_forecast": q_holt_forecast,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -96,3 +96,23 @@ def test_rfm_segments_cover_all_customers(spark):
     for r in rows:
         assert len(r.segment) == 3
         assert all(c in "1234" for c in r.segment)
+
+
+def test_holt_coeffs_match_direct_recursion():
+    """The unrolled dyadic coefficient ladder must reproduce the
+    textbook Holt recursion run directly in floats."""
+    from graphydb_spark.queries import _holt_coeffs
+    T = 12
+    D, nums = _holt_coeffs(T)
+    import random
+    rng = random.Random(7)
+    y = [rng.randint(100, 10000) for _ in range(T)]
+    l, b = y[0], y[1] - y[0]
+    for t in range(1, T):
+        l_new = 0.5 * y[t] + 0.5 * (l + b)
+        b = 0.5 * (l_new - l) + 0.5 * b
+        l = l_new
+    for h in (1, 2, 3, 4):
+        direct = l + h * b
+        ladder = sum(nums[h][i] * y[i] for i in range(T)) / D
+        assert abs(direct - ladder) < 1e-6, (h, direct, ladder)
