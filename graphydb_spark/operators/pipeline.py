@@ -760,3 +760,39 @@ def grouped_split(df: DataFrame, group_col: str,
     Same contract as :func:`train_val_test_split`: stable across
     reruns/engines/data growth, pure narrow map, no shuffle."""
     return train_val_test_split(df, group_col, val=val, test=test)
+
+
+def priority_sample(df: DataFrame, weight_col, n: int,
+                    key_col: str = "doc_id",
+                    salt: str = "ps") -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Duffield, Lund & Thorup, JACM 2007): each row gets priority
+    ``q = w / u`` with ``u`` a hash-derived uniform, and the sample is
+    the global top-n by priority — heavier rows win proportionally
+    more often, yet the draw is a pure function of (key, salt).
+
+    Engine-portability: ``u`` comes from the shared md5-based
+    :func:`~graphydb_spark.operators.text.hash60` ladder and the
+    priority is ``w * 2^60 / (h+1)`` — an exact int→double conversion,
+    one exact power-of-two scaling, and ONE correctly-rounded IEEE
+    division, so Spark and the SQL oracle rank identically (no libm,
+    no RNG state).  Determinism also makes the sample REPRODUCIBLE and
+    re-runnable incrementally — the property a 100 TB pipeline needs
+    (a reshuffle or retry cannot change the draw).
+
+    Scale shape: narrow map to compute priorities + TakeOrdered top-n
+    (each partition keeps <= n candidates; no global sort shuffle).
+    """
+    from .text import hash60
+    h = hash60(F.concat(F.lit(salt + ":"),
+                        F.col(key_col).cast("string")))
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    q = (w.cast("double") * F.lit(float(1 << 60))
+         / (h + F.lit(1)).cast("double"))
+    # NO rounding: the raw priority is bit-identical across engines
+    # (exact conversions + one correctly-rounded division), whereas
+    # round(double, 6) at 1e10 magnitude differs in the last ulp
+    # between round implementations
+    return (df.withColumn("priority", q)
+              .orderBy(F.col("priority").desc(), F.col(key_col))
+              .limit(n))

@@ -6968,6 +6968,36 @@ FROM last JOIN coef USING (i) GROUP BY h
 """
 
 
+def q_priority_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (priority sampling,
+    Duffield-Lund-Thorup): 64 orders drawn proportionally to revenue,
+    as a pure function of (orderkey, salt) — reproducible across
+    reruns, engines, partitionings and retries.  Plan: narrow map to
+    integer cents + one md5-derived priority, then TakeOrdered top-64
+    (no global sort shuffle)."""
+    from .operators import pipeline
+    o = load_tables(spark, sf_dir)["orders"]
+    w = o.select("o_orderkey",
+                 (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                 .cast("long").alias("cents"))
+    return pipeline.priority_sample(w, "cents", 64, key_col="o_orderkey")
+
+
+_PRIORITY_SAMPLE_ORACLE = """
+WITH w AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents,
+         CAST(('0x' || substr(md5('ps:' || CAST(o_orderkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS h
+  FROM orders)
+SELECT o_orderkey, cents,
+       CAST(cents AS DOUBLE) * 1152921504606846976.0
+             / CAST(h + 1 AS DOUBLE) AS priority
+FROM w ORDER BY priority DESC, o_orderkey LIMIT 64
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -8641,6 +8671,7 @@ ORACLES: dict[str, str | None] = {
     "ssjoin_exact": _SSJOIN_ORACLE,
     "closeness_nations": _CLOSENESS_ORACLE,
     "holt_forecast": _holt_oracle_sql(),
+    "priority_sample": _PRIORITY_SAMPLE_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -8923,6 +8954,7 @@ QUERIES = {
     "ssjoin_exact": q_ssjoin_exact,
     "closeness_nations": q_closeness_nations,
     "holt_forecast": q_holt_forecast,
+    "priority_sample": q_priority_sample,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

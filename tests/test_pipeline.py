@@ -361,3 +361,23 @@ def test_grouped_split_keeps_groups_intact(spark):
                   .agg(F.countDistinct("split").alias("k")).collect())
     assert all(r["k"] == 1 for r in per_source)   # no group straddles
     assert out.select("split").distinct().count() >= 2
+
+
+def test_priority_sample_weighted_and_deterministic(spark):
+    """Heavier rows must be sampled far more often, and the draw must
+    be a pure function of (key, salt) — identical across reruns and
+    partitionings."""
+    from graphydb_spark.operators.pipeline import priority_sample
+    rows = [(i, 1000 if i < 50 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    s1 = {r["doc_id"] for r in priority_sample(df, "w", 100).collect()}
+    s2 = {r["doc_id"] for r in
+          priority_sample(df.repartition(7), "w", 100).collect()}
+    assert s1 == s2                      # partitioning-invariant
+    heavy = sum(1 for d in s1 if d < 50)
+    # 50 rows carry 1000x weight of the other 950: essentially all
+    # heavy rows must be drawn
+    assert heavy >= 45
+    s3 = {r["doc_id"]
+          for r in priority_sample(df, "w", 100, salt="other").collect()}
+    assert s1 != s3                      # salt changes the draw
