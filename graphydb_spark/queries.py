@@ -6998,6 +6998,52 @@ FROM w ORDER BY priority DESC, o_orderkey LIMIT 64
 """
 
 
+def q_local_clustering(spark, sf_dir):
+    """Per-node local clustering coefficient of the part co-purchase
+    graph — 2*tri/(deg*(deg-1)) for every part with degree >= 2.  Same
+    degree-ranked orientation as q:triangles_copurchase (wedge work
+    bounded O(m^1.5), shuffled data O(m) + true triangle stream).  The
+    oracle counts each node's triangles independently via the plain
+    three-way edge join, so an orientation/crediting bug cannot
+    self-confirm."""
+    n_part = spark.sparkContext.defaultParallelism * 2
+    li = (load_tables(spark, sf_dir)["lineitem"]
+          .select("l_orderkey", "l_partkey")
+          .repartition(n_part, "l_orderkey"))
+    a, b = li.alias("a"), li.alias("b")
+    co = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                 & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+          .select(F.col("a.l_partkey").alias("pa"),
+                  F.col("b.l_partkey").alias("pb")))
+    out = graph_algos.local_clustering(co, "pa", "pb")
+    return out.select(F.col("v").alias("l_partkey"), "deg", "tri", "lcc")
+
+
+_LOCAL_CLUSTERING_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT lo AS v FROM e UNION ALL SELECT hi FROM e) GROUP BY v),
+tri3 AS (
+  SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+  FROM e ab JOIN e bc ON ab.hi = bc.lo
+  JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+pn AS (
+  SELECT v, COUNT(*) AS tri FROM (
+    SELECT a AS v FROM tri3 UNION ALL SELECT b FROM tri3
+    UNION ALL SELECT c FROM tri3) GROUP BY v)
+SELECT d.v AS l_partkey, CAST(d.deg AS BIGINT) AS deg,
+       CAST(COALESCE(pn.tri, 0) AS BIGINT) AS tri,
+       round(2.0 * COALESCE(pn.tri, 0) / (d.deg * (d.deg - 1)), 6)
+         AS lcc
+FROM deg d LEFT JOIN pn ON pn.v = d.v
+WHERE d.deg >= 2
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -8672,6 +8718,7 @@ ORACLES: dict[str, str | None] = {
     "closeness_nations": _CLOSENESS_ORACLE,
     "holt_forecast": _holt_oracle_sql(),
     "priority_sample": _PRIORITY_SAMPLE_ORACLE,
+    "local_clustering": _LOCAL_CLUSTERING_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -8955,6 +9002,7 @@ QUERIES = {
     "closeness_nations": q_closeness_nations,
     "holt_forecast": q_holt_forecast,
     "priority_sample": q_priority_sample,
+    "local_clustering": q_local_clustering,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -1557,3 +1557,19 @@ def test_closeness_centrality_path_graph(spark):
         edges, spark.createDataFrame([("a",)], "uid string"),
         max_depth=3).collect()[0]
     assert tuple(solo) == tuple(got["a"])
+
+
+def test_local_clustering_known_graph(spark):
+    """K4 minus one edge + pendant: hand-computed per-node lcc."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+         ("d", "e")],
+        "startuid string, enduid string")
+    got = {r["v"]: (r["deg"], r["tri"], r["lcc"])
+           for r in graph_algos.local_clustering(edges).collect()}
+    # triangles: abc, abd — c-d not an edge
+    assert got["a"] == (3, 2, round(2 * 2 / 6, 6))
+    assert got["b"] == (3, 2, round(2 * 2 / 6, 6))
+    assert got["c"] == (2, 1, 1.0)
+    assert got["d"] == (3, 1, round(2 * 1 / 6, 6))
+    assert "e" not in got          # deg 1 filtered
