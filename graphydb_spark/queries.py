@@ -7044,6 +7044,107 @@ WHERE d.deg >= 2
 """
 
 
+def q_seq_triples(spark, sf_dir):
+    """Sequential pattern mining, order-3: contiguous event-type
+    trigrams along each user's timeline (ordered by ts, event_id — the
+    deterministic total order) with support >= 10.  One shuffle: the
+    per-user window; the trigram aggregation map-side combines.  The
+    PrefixSpan-lite shape for 'what do users do next' funnels."""
+    from pyspark.sql import Window as W
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (ev.select("user_id", "ts", "event_id", "event_type")
+         .withColumn("e2", F.lead("event_type", 1).over(w))
+         .withColumn("e3", F.lead("event_type", 2).over(w))
+         .where(F.col("e3").isNotNull()))
+    return (t.groupBy(F.col("event_type").alias("et1"),
+                      F.col("e2").alias("et2"),
+                      F.col("e3").alias("et3"))
+            .agg(F.count("*").alias("support"))
+            .where(F.col("support") >= 10))
+
+
+_SEQ_TRIPLES_ORACLE = """
+WITH t AS (
+  SELECT event_type AS et1,
+         lead(event_type, 1) OVER w AS et2,
+         lead(event_type, 2) OVER w AS et3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT et1, et2, et3, COUNT(*) AS support
+FROM t WHERE et3 IS NOT NULL
+GROUP BY 1, 2, 3 HAVING COUNT(*) >= 10
+"""
+
+
+def q_embedding_covariance(spark, sf_dir):
+    """Exact population covariance matrix of the embedding corpus
+    (upper triangle, 64x65/2 = 2080 cells) — the X^T X building block
+    behind PCA/whitening at corpus scale.  Embeddings quantize to a
+    1e-6 integer grid, so every accumulation is EXACT integer math
+    (no float summation order anywhere); cov = (n*S_ij - s_i*s_j)
+    / n^2 / 1e12 with the numerator in DECIMAL(38,0) and two final
+    IEEE divisions.
+
+    Scale shape: the outer products are generated per row by a nested
+    JVM ``transform`` over the array (narrow map — NO self-join) and
+    collapse in one map-side-combined groupBy on (i, j); only 2080
+    keys ever cross the wire.  The moment sums are a second narrow
+    pass; dims and the row count broadcast back onto the cell frame."""
+    emb = _emb(spark, sf_dir)
+    q = emb.select(
+        F.transform(F.col("embedding"),
+                    lambda x: F.round(x.cast("double") * 1e6)
+                    .cast("long")).alias("q"))
+    arr = F.col("q")
+    outer = F.flatten(F.transform(
+        arr, lambda x, i: F.transform(
+            F.slice(arr, i + 1, F.size(arr)),
+            lambda y, j: F.struct(i.alias("i"),
+                                  (i + j).alias("j"),
+                                  (x * y).alias("p")))))
+    cells = (q.select(F.explode(outer).alias("c"))
+             .select("c.i", "c.j", "c.p")
+             .groupBy("i", "j")
+             .agg(F.sum("p").cast("decimal(38,0)").alias("s_ij")))
+    mom = (q.select(F.posexplode("q").alias("i", "v"))
+           .groupBy("i").agg(F.sum("v").cast("decimal(38,0)").alias("s")))
+    n = emb.count()
+    num = (F.lit(n).cast("decimal(38,0)") * F.col("s_ij")
+           - F.col("s_i") * F.col("s_j"))
+    return (cells
+            .join(F.broadcast(mom.select(F.col("i"),
+                                         F.col("s").alias("s_i"))), "i")
+            .join(F.broadcast(mom.select(F.col("i").alias("j"),
+                                         F.col("s").alias("s_j"))), "j")
+            .select("i", "j",
+                    # + 0.0 folds IEEE -0.0 to +0.0 (a tiny negative
+                    # covariance rounds to -0.0 in DuckDB, +0.0 here)
+                    (F.round(num.cast("double") / n / n / 1e12, 6)
+                     + F.lit(0.0)).alias("cov")))
+
+
+_EMB_COV_ORACLE = """
+WITH q AS (
+  SELECT vec_id, CAST(t.i AS INT) AS i,
+         CAST(round(CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE)
+                    * 1e6) AS BIGINT) AS v
+  FROM embeddings, UNNEST(range(len(embedding))) AS t(i)),
+n AS (SELECT COUNT(DISTINCT vec_id) AS n FROM q),
+cells AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS s_ij
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2),
+mom AS (SELECT i, SUM(v) AS s FROM q GROUP BY i)
+SELECT c.i, c.j,
+       round(CAST(n.n * c.s_ij - mi.s * mj.s AS DOUBLE)
+             / n.n / n.n / 1e12, 6) + 0.0 AS cov
+FROM cells c
+JOIN mom mi ON mi.i = c.i
+JOIN mom mj ON mj.i = c.j, n
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -8719,6 +8820,8 @@ ORACLES: dict[str, str | None] = {
     "holt_forecast": _holt_oracle_sql(),
     "priority_sample": _PRIORITY_SAMPLE_ORACLE,
     "local_clustering": _LOCAL_CLUSTERING_ORACLE,
+    "seq_triples": _SEQ_TRIPLES_ORACLE,
+    "embedding_covariance": _EMB_COV_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -9003,6 +9106,8 @@ QUERIES = {
     "holt_forecast": q_holt_forecast,
     "priority_sample": q_priority_sample,
     "local_clustering": q_local_clustering,
+    "seq_triples": q_seq_triples,
+    "embedding_covariance": q_embedding_covariance,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

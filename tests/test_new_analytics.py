@@ -116,3 +116,20 @@ def test_holt_coeffs_match_direct_recursion():
         direct = l + h * b
         ladder = sum(nums[h][i] * y[i] for i in range(T)) / D
         assert abs(direct - ladder) < 1e-6, (h, direct, ladder)
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """Quantized-grid covariance must equal numpy's population cov of
+    the quantized vectors."""
+    import numpy as np
+    from graphydb_spark.queries import q_embedding_covariance
+    sf = "/root/testdata/sf0.001"
+    got = {(r["i"], r["j"]): r["cov"]
+           for r in q_embedding_covariance(spark, sf).collect()}
+    emb = np.array([r["embedding"] for r in
+                    spark.read.parquet(sf + "/embeddings.parquet")
+                    .select("embedding").collect()])
+    q = np.round(emb.astype(np.float64) * 1e6)
+    c = np.cov(q, rowvar=False, bias=True) / 1e12
+    for (i, j), v in list(got.items())[:200]:
+        assert abs(v - c[i, j]) < 2e-6, (i, j, v, c[i, j])
