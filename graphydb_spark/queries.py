@@ -7145,6 +7145,56 @@ JOIN mom mj ON mj.i = c.j, n
 """
 
 
+def q_interval_coverage(spark, sf_dir):
+    """Union length of overlapping per-user activity intervals
+    (event ts .. ts + value seconds): gaps-and-islands with a running
+    max-end — the interval-algebra shape (utilization, SLA coverage,
+    dedup of overlapping spans).  Integer epoch seconds end to end;
+    one window shuffle on user_id."""
+    from pyspark.sql import Window as W
+    ev = _events(spark, sf_dir)
+    iv = ev.select(
+        "user_id",
+        F.col("ts").cast("long").alias("s"),
+        (F.col("ts").cast("long")
+         + F.col("value").cast("long")).alias("e"),
+        "event_id")
+    w = (W.partitionBy("user_id").orderBy("s", "e", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    run = (iv.withColumn("prev_max_e", F.max("e").over(w))
+           .withColumn("covered",
+                       F.greatest(
+                           F.col("e")
+                           - F.greatest(F.col("s"),
+                                        F.coalesce(F.col("prev_max_e"),
+                                                   F.col("s"))),
+                           F.lit(0))))
+    return (run.groupBy("user_id")
+            .agg(F.sum("covered").cast("long").alias("covered_sec"),
+                 F.count("*").alias("n_intervals")))
+
+
+_INTERVAL_COVERAGE_ORACLE = """
+WITH iv AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + CAST(floor(value) AS BIGINT) AS e,
+         event_id
+  FROM events),
+run AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_e
+  FROM iv)
+SELECT user_id,
+       CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(prev_max_e, s)), 0))
+            AS BIGINT) AS covered_sec,
+       COUNT(*) AS n_intervals
+FROM run GROUP BY user_id
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -8822,6 +8872,7 @@ ORACLES: dict[str, str | None] = {
     "local_clustering": _LOCAL_CLUSTERING_ORACLE,
     "seq_triples": _SEQ_TRIPLES_ORACLE,
     "embedding_covariance": _EMB_COV_ORACLE,
+    "interval_coverage": _INTERVAL_COVERAGE_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -9108,6 +9159,7 @@ QUERIES = {
     "local_clustering": q_local_clustering,
     "seq_triples": q_seq_triples,
     "embedding_covariance": q_embedding_covariance,
+    "interval_coverage": q_interval_coverage,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

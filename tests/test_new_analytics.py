@@ -133,3 +133,39 @@ def test_embedding_covariance_matches_numpy(spark):
     c = np.cov(q, rowvar=False, bias=True) / 1e12
     for (i, j), v in list(got.items())[:200]:
         assert abs(v - c[i, j]) < 2e-6, (i, j, v, c[i, j])
+
+
+def test_interval_coverage_hand_case(spark):
+    """Overlap, containment, disjoint, zero-length — hand-checked."""
+    import datetime as dt
+    from graphydb_spark.queries import q_interval_coverage  # noqa: F401
+    from pyspark.sql import functions as F, Window as W
+    rows = [
+        # user 1: [0,10) + [5,20) overlap -> 20; [30,40) disjoint -> 10
+        (1, 0.0, 10.0), (2, 5.0, 15.0), (3, 30.0, 10.0),
+        # user 2: [0,100) contains [10,20) -> 100
+        (4, 0.0, 100.0), (5, 10.0, 10.0),
+        # user 3: zero-length interval -> 0
+        (6, 7.0, 0.0),
+    ]
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(eid, base + dt.timedelta(seconds=s), 1 if eid < 4 else
+          (2 if eid < 6 else 3), "t", v)
+         for eid, s, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double")
+    iv = ev.select("user_id", F.col("ts").cast("long").alias("s"),
+                   (F.col("ts").cast("long")
+                    + F.col("value").cast("long")).alias("e"), "event_id")
+    w = (W.partitionBy("user_id").orderBy("s", "e", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    run = (iv.withColumn("pm", F.max("e").over(w))
+           .withColumn("c", F.greatest(
+               F.col("e") - F.greatest(F.col("s"),
+                                       F.coalesce(F.col("pm"),
+                                                  F.col("s"))),
+               F.lit(0))))
+    got = {r["user_id"]: r["cs"] for r in
+           run.groupBy("user_id").agg(F.sum("c").alias("cs")).collect()}
+    assert got == {1: 30, 2: 100, 3: 0}
