@@ -1141,3 +1141,110 @@ def local_clustering(edges_df: DataFrame,
                     F.round(2.0 * F.coalesce(F.col("tri"), F.lit(0))
                             / (F.col("deg") * (F.col("deg") - 1)), 6)
                      .alias("lcc")))
+
+
+def betweenness_sampled(edges_df: DataFrame, sources_df: DataFrame,
+                        max_depth: int = 3,
+                        direction: str = "both") -> DataFrame:
+    """Source-sampled betweenness centrality (Brandes' dependency
+    accumulation — Brandes 2001; sampling per Eppstein-Wang / Bader
+    et al.): exact path-count forward BFS + backward dependency sweep
+    for a pinned source set, truncated at ``max_depth`` — the standard
+    way betweenness is computed on graphs too large for the O(V·E)
+    full sweep.
+
+    Forward: one (source, uid)-keyed frontier carries sigma (the exact
+    integer shortest-path count, summed over predecessors); k sources
+    ride the key, not the loop.  The shortest-path DAG is recovered
+    with one edge join (BFS levels are consecutive, so ``dist_w =
+    dist_v + 1`` identifies DAG edges).  Backward: depth layers sweep
+    deepest-first; each dependency term ``sigma_v/sigma_w * (1 +
+    delta_w)`` is rounded to 9 dp and accumulated in DECIMAL so the
+    layer sums are associative — bit-stable across partitionings and
+    engines (the SQL oracle replays the same ladder).
+
+    Rounds: max_depth forward + max_depth backward, each a keyed
+    join + aggregation over frontier/layer-sized frames only.
+    """
+    if direction == "out":
+        step = edges_df.select(F.col("startuid").alias("src"),
+                               F.col("enduid").alias("dst"))
+    elif direction == "in":
+        step = edges_df.select(F.col("enduid").alias("src"),
+                               F.col("startuid").alias("dst"))
+    else:
+        step = (edges_df.select(F.col("startuid").alias("src"),
+                                F.col("enduid").alias("dst"))
+                .unionByName(edges_df.select(
+                    F.col("enduid").alias("src"),
+                    F.col("startuid").alias("dst"))))
+    step = step.distinct().repartition("src").localCheckpoint(eager=True)
+    cur = (sources_df.select(F.col("uid").alias("source")).distinct()
+           .select("source", F.col("source").alias("uid"),
+                   F.lit(0).alias("dist"),
+                   F.lit(1).cast("long").alias("sigma"))
+           .localCheckpoint(eager=True))
+    layers = {0: cur}
+    visited = cur.select("source", "uid")
+    for d in range(1, max_depth + 1):
+        nxt = (step.join(cur.select("source",
+                                    F.col("uid").alias("src"), "sigma"),
+                         "src")
+               .select("source", F.col("dst").alias("uid"), "sigma")
+               .join(visited, ["source", "uid"], "left_anti")
+               .groupBy("source", "uid")
+               .agg(F.sum("sigma").cast("long").alias("sigma"))
+               .withColumn("dist", F.lit(d))
+               .localCheckpoint(eager=True))
+        if nxt.limit(1).count() == 0:
+            break
+        layers[d] = nxt
+        visited = (visited.unionByName(nxt.select("source", "uid"))
+                   .localCheckpoint(eager=True))
+        cur = nxt
+    maxd = max(layers)
+    all_v = layers[0]
+    for d in range(1, maxd + 1):
+        all_v = all_v.unionByName(layers[d])
+    # shortest-path DAG edges: (v at dist) -> (w at dist+1)
+    sp = (all_v.select("source", F.col("uid").alias("v"),
+                       F.col("dist").alias("dv"),
+                       F.col("sigma").alias("sv"))
+          .join(step.withColumnRenamed("src", "v"), "v")
+          .join(all_v.select("source", F.col("uid").alias("dst"),
+                             F.col("dist").alias("dw"),
+                             F.col("sigma").alias("sw")),
+                ["source", "dst"])
+          .where(F.col("dw") == F.col("dv") + 1)
+          .select("source", "v", F.col("dst").alias("w"),
+                  "dv", "sv", "sw")
+          .localCheckpoint(eager=True))
+    # backward dependency sweep, deepest layer first
+    deltas = {maxd: layers[maxd].select(
+        "source", "uid", F.lit(0).cast("decimal(28,9)").alias("delta"))}
+    for d in range(maxd - 1, -1, -1):
+        dw = deltas[d + 1].select("source",
+                                  F.col("uid").alias("w"),
+                                  F.col("delta").alias("delta_w"))
+        term = F.round(
+            (F.col("sv").cast("double") / F.col("sw"))
+            * (F.lit(1.0) + F.coalesce(F.col("delta_w"), F.lit(0))
+               .cast("double")), 9).cast("decimal(18,9)")
+        acc = (sp.where(F.col("dv") == d)
+               .join(dw, ["source", "w"], "left")
+               .groupBy("source", F.col("v").alias("uid"))
+               .agg(F.sum(term).cast("decimal(28,9)").alias("delta")))
+        deltas[d] = (layers[d].select("source", "uid")
+                     .join(acc, ["source", "uid"], "left")
+                     .select("source", "uid",
+                             F.coalesce(F.col("delta"),
+                                        F.lit(0).cast("decimal(28,9)"))
+                             .alias("delta"))
+                     .localCheckpoint(eager=True))
+    contrib = deltas[1] if 1 in deltas else None
+    for d in range(2, maxd + 1):
+        contrib = contrib.unionByName(deltas[d])
+    return (contrib.groupBy("uid")
+            .agg(F.sum("delta").cast("decimal(38,9)").alias("_b"))
+            .select("uid", F.round(F.col("_b").cast("double"), 6)
+                    .alias("betweenness")))

@@ -7195,6 +7195,99 @@ FROM run GROUP BY user_id
 """
 
 
+def q_betweenness_customers(spark, sf_dir):
+    """Source-sampled betweenness centrality (truncated Brandes) over
+    the Customer-Order-Part purchase graph from 10 pinned customer
+    sources, depth <= 3.  Exact integer shortest-path counts (sigma)
+    ride the (source, uid) frontier key; the backward dependency sweep
+    accumulates 9 dp DECIMAL terms so layer sums are associative and
+    the unrolled-CTE oracle replays them bit-for-bit."""
+    t = load_tables(spark, sf_dir)
+    g = tpch_graph(spark, sf_dir)
+    seeds = (t["customer"].where(F.col("c_custkey") <= 10)
+             .select(F.concat(F.lit("Customer:"),
+                              F.col("c_custkey")).alias("uid")))
+    edges = g.edges_df.where(F.col("kind").isin("Placed", "Contains"))
+    return graph_algos.betweenness_sampled(edges, seeds, max_depth=3)
+
+
+_BETWEENNESS_ORACLE = """
+WITH
+edd AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT 'Customer:' || CAST(o_custkey AS VARCHAR) AS a,
+           'Order:' || CAST(o_orderkey AS VARCHAR) AS b FROM orders
+    UNION ALL
+    SELECT 'Order:' || CAST(o_orderkey AS VARCHAR),
+           'Customer:' || CAST(o_custkey AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'Order:' || CAST(l_orderkey AS VARCHAR),
+           'Part:' || CAST(l_partkey AS VARCHAR) FROM lineitem
+    UNION ALL
+    SELECT 'Part:' || CAST(l_partkey AS VARCHAR),
+           'Order:' || CAST(l_orderkey AS VARCHAR) FROM lineitem)),
+f0 AS MATERIALIZED (
+  SELECT 'Customer:' || CAST(c_custkey AS VARCHAR) AS source,
+         'Customer:' || CAST(c_custkey AS VARCHAR) AS uid,
+         CAST(1 AS BIGINT) AS sigma
+  FROM customer WHERE c_custkey <= 10),
+f1 AS MATERIALIZED (
+  SELECT f0.source, edd.b AS uid, CAST(SUM(f0.sigma) AS BIGINT) AS sigma
+  FROM f0 JOIN edd ON edd.a = f0.uid
+  LEFT JOIN f0 p ON p.source = f0.source AND p.uid = edd.b
+  WHERE p.uid IS NULL GROUP BY 1, 2),
+f2 AS MATERIALIZED (
+  SELECT f1.source, edd.b AS uid, CAST(SUM(f1.sigma) AS BIGINT) AS sigma
+  FROM f1 JOIN edd ON edd.a = f1.uid
+  LEFT JOIN (SELECT source, uid FROM f0
+             UNION SELECT source, uid FROM f1) v
+    ON v.source = f1.source AND v.uid = edd.b
+  WHERE v.uid IS NULL GROUP BY 1, 2),
+f3 AS MATERIALIZED (
+  SELECT f2.source, edd.b AS uid, CAST(SUM(f2.sigma) AS BIGINT) AS sigma
+  FROM f2 JOIN edd ON edd.a = f2.uid
+  LEFT JOIN (SELECT source, uid FROM f0
+             UNION SELECT source, uid FROM f1
+             UNION SELECT source, uid FROM f2) v
+    ON v.source = f2.source AND v.uid = edd.b
+  WHERE v.uid IS NULL GROUP BY 1, 2),
+sp2 AS MATERIALIZED (
+  SELECT f2.source, f2.uid AS v, f3.uid AS w, f2.sigma AS sv,
+         f3.sigma AS sw
+  FROM f2 JOIN edd ON edd.a = f2.uid
+  JOIN f3 ON f3.source = f2.source AND f3.uid = edd.b),
+sp1 AS MATERIALIZED (
+  SELECT f1.source, f1.uid AS v, f2.uid AS w, f1.sigma AS sv,
+         f2.sigma AS sw
+  FROM f1 JOIN edd ON edd.a = f1.uid
+  JOIN f2 ON f2.source = f1.source AND f2.uid = edd.b),
+d2 AS MATERIALIZED (
+  SELECT source, v AS uid,
+         SUM(CAST(round(CAST(sv AS DOUBLE) / sw * 1.0, 9)
+                  AS DECIMAL(18,9))) AS delta
+  FROM sp2 GROUP BY 1, 2),
+d1 AS MATERIALIZED (
+  SELECT sp1.source, sp1.v AS uid,
+         SUM(CAST(round(CAST(sp1.sv AS DOUBLE) / sp1.sw
+                        * (1.0 + CAST(COALESCE(d2.delta, 0) AS DOUBLE)),
+                        9) AS DECIMAL(18,9))) AS delta
+  FROM sp1 LEFT JOIN d2 ON d2.source = sp1.source AND d2.uid = sp1.w
+  GROUP BY 1, 2),
+contrib AS (
+  SELECT f1.source, f1.uid,
+         COALESCE(d1.delta, CAST(0 AS DECIMAL(18,9))) AS delta
+  FROM f1 LEFT JOIN d1 ON d1.source = f1.source AND d1.uid = f1.uid
+  UNION ALL
+  SELECT f2.source, f2.uid,
+         COALESCE(d2.delta, CAST(0 AS DECIMAL(18,9)))
+  FROM f2 LEFT JOIN d2 ON d2.source = f2.source AND d2.uid = f2.uid
+  UNION ALL
+  SELECT source, uid, CAST(0 AS DECIMAL(18,9)) FROM f3)
+SELECT uid, round(CAST(SUM(delta) AS DOUBLE), 6) AS betweenness
+FROM contrib GROUP BY uid
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -8873,6 +8966,7 @@ ORACLES: dict[str, str | None] = {
     "seq_triples": _SEQ_TRIPLES_ORACLE,
     "embedding_covariance": _EMB_COV_ORACLE,
     "interval_coverage": _INTERVAL_COVERAGE_ORACLE,
+    "betweenness_customers": _BETWEENNESS_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -9160,6 +9254,7 @@ QUERIES = {
     "seq_triples": q_seq_triples,
     "embedding_covariance": q_embedding_covariance,
     "interval_coverage": q_interval_coverage,
+    "betweenness_customers": q_betweenness_customers,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

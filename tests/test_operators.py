@@ -1573,3 +1573,25 @@ def test_local_clustering_known_graph(spark):
     assert got["c"] == (2, 1, 1.0)
     assert got["d"] == (3, 1, round(2 * 1 / 6, 6))
     assert "e" not in got          # deg 1 filtered
+
+
+def test_betweenness_sampled_hand_graphs(spark):
+    """Path and diamond: hand-computed Brandes dependencies."""
+    # path a-b-c, sources {a, c}: delta_a(b) = 1, delta_c(b) = 1
+    path = spark.createDataFrame([("a", "b"), ("b", "c")],
+                                 "startuid string, enduid string")
+    seeds = spark.createDataFrame([("a",), ("c",)], "uid string")
+    got = {r["uid"]: r["betweenness"] for r in
+           graph_algos.betweenness_sampled(path, seeds, 3).collect()}
+    assert got["b"] == 2.0
+    assert got["a"] == 0.0 and got["c"] == 0.0
+    # diamond a-b-d / a-c-d, source {a}: sigma_d = 2,
+    # delta(b) = delta(c) = 1/2 * (1 + 0) = 0.5
+    dia = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")],
+        "startuid string, enduid string")
+    seeds_a = spark.createDataFrame([("a",)], "uid string")
+    got = {r["uid"]: r["betweenness"] for r in
+           graph_algos.betweenness_sampled(dia, seeds_a, 3).collect()}
+    assert got["b"] == 0.5 and got["c"] == 0.5
+    assert got["d"] == 0.0
