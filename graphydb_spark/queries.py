@@ -7288,6 +7288,238 @@ FROM contrib GROUP BY uid
 """
 
 
+def q_minhash_recall(spark, sf_dir):
+    """Dedup-pipeline QUALITY AUDIT: recall of the MinHash LSH
+    candidate generator against the exact prefix-filtered set-
+    similarity join at Jaccard >= 0.5 — the measurement that tells a
+    100 TB pipeline owner whether the cheap approximate pass is
+    missing real duplicates.  Three scalar aggregates broadcast-joined
+    into one row; both operand pipelines are the already-oracled
+    q:minhash_pairs and q:ssjoin_exact plans."""
+    exact = (dedup.ssjoin_jaccard(_docs(spark, sf_dir), threshold=0.5)
+             .select("id_a", "id_b"))
+    cand = q_minhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    hit = exact.join(cand, ["id_a", "id_b"], "left_semi")
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_cand = cand.agg(F.count("*").alias("n_cand"))
+    n_hit = hit.agg(F.count("*").alias("n_hit"))
+    return (n_exact.crossJoin(F.broadcast(n_cand))
+            .crossJoin(F.broadcast(n_hit))
+            .select("n_exact", "n_cand", "n_hit",
+                    F.round(F.col("n_hit") * 1.0 / F.col("n_exact"), 6)
+                     .alias("recall")))
+
+
+_MINHASH_RECALL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '') AS ws
+  FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
+        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+  FROM toks WHERE len(ws) >= 3),
+tt AS (SELECT doc_id, len(s) AS n, unnest(s) AS tok FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+         count(*) AS i
+  FROM tt a JOIN tt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+exact AS (
+  SELECT id_a, id_b FROM inter
+  WHERE CAST(i AS DOUBLE)/(na+nb-i) >= 0.5),
+mh AS (
+  SELECT doc_id, list_min(list_transform(range(1, len(ws)-1),
+        i -> md5('0:' || ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+        AS mh
+  FROM toks WHERE len(ws) >= 3),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mh a JOIN mh b ON a.mh = b.mh AND a.doc_id < b.doc_id),
+hit AS (SELECT * FROM exact INTERSECT SELECT * FROM cand)
+SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+       (SELECT COUNT(*) FROM cand) AS n_cand,
+       (SELECT COUNT(*) FROM hit) AS n_hit,
+       round((SELECT COUNT(*) FROM hit) * 1.0
+             / (SELECT COUNT(*) FROM exact), 6) AS recall
+"""
+
+
+def q_stratified_topn(spark, sf_dir):
+    """EXACTLY-n-per-stratum deterministic sample (the fixed-quota
+    complement to rate-based stratified_sample): 20 documents per
+    language chosen by hash order — reproducible, partition-invariant,
+    and stable under corpus growth *within* the kept set's hash
+    prefix.  One window shuffle on the stratum key; at scale the
+    row_number cutoff keeps per-task state at n."""
+    from pyspark.sql import Window as W
+    docs = _docs(spark, sf_dir)
+    h = text.hash60(F.concat(F.lit("topn:"),
+                             F.col("doc_id").cast("string")))
+    w = W.partitionBy("lang").orderBy(F.col("_h"), F.col("doc_id"))
+    return (docs.withColumn("_h", h)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= 20)
+            .select("lang", "doc_id"))
+
+
+_STRATIFIED_TOPN_ORACLE = """
+WITH h AS (
+  SELECT lang, doc_id,
+         CAST(('0x' || substr(md5('topn:' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS hv
+  FROM documents),
+r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id)
+           AS rn
+  FROM h)
+SELECT lang, doc_id FROM r WHERE rn <= 20
+"""
+
+
+def q_funnel_windowed(spark, sf_dir):
+    """Time-boxed ordered funnel view -> click -> purchase: for each
+    user, the earliest view, then the earliest click strictly after it
+    within 72 h, then the earliest purchase strictly after that click
+    within 72 h.  Per-step user counts + median step latencies —
+    integer epoch seconds throughout.  Plan: three per-user min-
+    aggregations over pre-filtered event slivers (each a map-side
+    combine), chained with two broadcast-sized joins on user_id."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type",
+        F.col("ts").cast("long").alias("t"))
+    lim = 72 * 3600
+    v = (ev.where(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("t").alias("tv")))
+    c = (ev.where(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .where((F.col("t") > F.col("tv"))
+                & (F.col("t") <= F.col("tv") + lim))
+         .groupBy("user_id", "tv").agg(F.min("t").alias("tc")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .where((F.col("t") > F.col("tc"))
+                & (F.col("t") <= F.col("tc") + lim))
+         .groupBy("user_id", "tv", "tc").agg(F.min("t").alias("tp")))
+    n_view = v.agg(F.count("*").alias("n_view"))
+    n_click = c.agg(F.count("*").alias("n_click"),
+                    F.sum(F.col("tc") - F.col("tv")).cast("long")
+                    .alias("sum_view_to_click"))
+    n_buy = p.agg(F.count("*").alias("n_purchase"),
+                  F.sum(F.col("tp") - F.col("tc")).cast("long")
+                  .alias("sum_click_to_buy"))
+    return (n_view.crossJoin(F.broadcast(n_click))
+            .crossJoin(F.broadcast(n_buy))
+            .select("n_view", "n_click", "n_purchase",
+                    "sum_view_to_click", "sum_click_to_buy",
+                    F.round(F.col("n_purchase") * 1.0
+                            / F.col("n_view"), 6).alias("conversion")))
+
+
+_FUNNEL_WINDOWED_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+v AS (
+  SELECT user_id, MIN(t) AS tv FROM ev
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT ev.user_id, v.tv, MIN(ev.t) AS tc
+  FROM ev JOIN v ON v.user_id = ev.user_id
+  WHERE ev.event_type = 'click' AND ev.t > v.tv
+    AND ev.t <= v.tv + 72*3600
+  GROUP BY 1, 2),
+p AS (
+  SELECT ev.user_id, c.tv, c.tc, MIN(ev.t) AS tp
+  FROM ev JOIN c ON c.user_id = ev.user_id
+  WHERE ev.event_type = 'purchase' AND ev.t > c.tc
+    AND ev.t <= c.tc + 72*3600
+  GROUP BY 1, 2, 3)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click,
+       (SELECT COUNT(*) FROM p) AS n_purchase,
+       (SELECT CAST(SUM(tc - tv) AS BIGINT) FROM c)
+         AS sum_view_to_click,
+       (SELECT CAST(SUM(tp - tc) AS BIGINT) FROM p)
+         AS sum_click_to_buy,
+       round((SELECT COUNT(*) FROM p) * 1.0
+             / (SELECT COUNT(*) FROM v), 6) AS conversion
+"""
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index per price bucket — the ML-ops drift
+    metric between a reference window (orders before 1998) and the
+    current window: psi_b = (p_cur - p_b_ref) * ln(p_cur/p_ref).
+    libm-proof: every ln runs on an INTEGER count (ln(p_cur/p_ref) =
+    ln(n_cur) + ln(N_ref) - ln(n_ref) - ln(N_cur)), each rounded to
+    9 dp DECIMAL before any arithmetic; proportions are 9 dp DECIMAL
+    ratios; the product is exact.  Buckets present in only one window
+    are excluded (standard PSI practice).  One aggregation shuffle on
+    (bucket, window) + broadcast scalar totals."""
+    o = load_tables(spark, sf_dir)["orders"]
+    # explicit 50k-wide buckets (width_bucket is missing in DuckDB 1.0;
+    # floor-division is the portable equivalent)
+    b = F.least(F.lit(12),
+                (F.floor(F.col("o_totalprice").cast("double") / 50000.0)
+                 + 1).cast("int"))
+    cnt = (o.select(b.alias("bucket"),
+                    (F.col("o_orderdate") < F.lit("1998-01-01"))
+                    .alias("is_ref"))
+           .groupBy("bucket", "is_ref").agg(F.count("*").alias("n")))
+    ref = cnt.where(F.col("is_ref")).select(
+        "bucket", F.col("n").alias("n_ref"))
+    cur = cnt.where(~F.col("is_ref")).select(
+        "bucket", F.col("n").alias("n_cur"))
+    tot = (cnt.groupBy("is_ref").agg(F.sum("n").alias("t"))
+           .groupBy()
+           .pivot("is_ref", [True, False]).agg(F.first("t"))
+           .select(F.col("true").alias("t_ref"),
+                   F.col("false").alias("t_cur")))
+
+    def ln9(c):
+        return F.round(F.log(c.cast("double")), 9).cast("decimal(18,9)")
+
+    j = ref.join(cur, "bucket").crossJoin(F.broadcast(tot))
+    p_ref = F.round(F.col("n_ref") / F.col("t_ref"), 9) \
+        .cast("decimal(18,9)")
+    p_cur = F.round(F.col("n_cur") / F.col("t_cur"), 9) \
+        .cast("decimal(18,9)")
+    lnr = (ln9(F.col("n_cur")) + ln9(F.col("t_ref"))
+           - ln9(F.col("n_ref")) - ln9(F.col("t_cur")))
+    return (j.select("bucket", "n_ref", "n_cur",
+                     ((p_cur - p_ref) * lnr).cast("double").alias("_t"))
+            .select("bucket", "n_ref", "n_cur",
+                    (F.round(F.col("_t"), 9) + F.lit(0.0))
+                    .alias("psi_term")))
+
+
+_PSI_DRIFT_ORACLE = """
+WITH cnt AS (
+  SELECT LEAST(12, CAST(floor(CAST(o_totalprice AS DOUBLE) / 50000.0)
+                        AS INT) + 1) AS bucket,
+         o_orderdate < DATE '1998-01-01' AS is_ref,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1, 2),
+ref AS (SELECT bucket, n AS n_ref FROM cnt WHERE is_ref),
+cur AS (SELECT bucket, n AS n_cur FROM cnt WHERE NOT is_ref),
+tot AS (
+  SELECT SUM(CASE WHEN is_ref THEN n END) AS t_ref,
+         SUM(CASE WHEN NOT is_ref THEN n END) AS t_cur FROM cnt)
+SELECT bucket, n_ref, n_cur,
+       round(CAST(
+         (CAST(round(n_cur * 1.0 / t_cur, 9) AS DECIMAL(18,9))
+          - CAST(round(n_ref * 1.0 / t_ref, 9) AS DECIMAL(18,9)))
+         * (CAST(round(ln(n_cur), 9) AS DECIMAL(18,9))
+            + CAST(round(ln(t_ref), 9) AS DECIMAL(18,9))
+            - CAST(round(ln(n_ref), 9) AS DECIMAL(18,9))
+            - CAST(round(ln(t_cur), 9) AS DECIMAL(18,9)))
+         AS DOUBLE), 9) + 0.0 AS psi_term
+FROM ref JOIN cur USING (bucket), tot
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -8967,6 +9199,10 @@ ORACLES: dict[str, str | None] = {
     "embedding_covariance": _EMB_COV_ORACLE,
     "interval_coverage": _INTERVAL_COVERAGE_ORACLE,
     "betweenness_customers": _BETWEENNESS_ORACLE,
+    "minhash_recall": _MINHASH_RECALL_ORACLE,
+    "stratified_topn": _STRATIFIED_TOPN_ORACLE,
+    "funnel_windowed": _FUNNEL_WINDOWED_ORACLE,
+    "psi_drift": _PSI_DRIFT_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -9255,6 +9491,10 @@ QUERIES = {
     "embedding_covariance": q_embedding_covariance,
     "interval_coverage": q_interval_coverage,
     "betweenness_customers": q_betweenness_customers,
+    "minhash_recall": q_minhash_recall,
+    "stratified_topn": q_stratified_topn,
+    "funnel_windowed": q_funnel_windowed,
+    "psi_drift": q_psi_drift,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
