@@ -7520,6 +7520,45 @@ FROM ref JOIN cur USING (bucket), tot
 """
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. NeurIPS 2023): top-100
+    documents by unigram log importance ratio between the English
+    target slice and the whole corpus — the cheap domain-tilt selector
+    for crawl-scale data.  One token pass builds BOTH add-one models
+    (conditional counts in the same aggregation); 6 dp DECIMAL
+    log-ratio terms keep the score order-independent."""
+    from .operators import pipeline
+    return pipeline.dsir_select(_docs(spark, sf_dir),
+                                F.col("lang") == "en", n=100)
+
+
+_DSIR_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS tgt,
+         unnest(list_filter(string_split_regex(lower(text),
+                '[^a-z0-9]+'), x -> x != '')) AS tok
+  FROM documents),
+freq AS (
+  SELECT tok, COUNT(*) AS tf_all,
+         SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tf_tgt
+  FROM toks GROUP BY tok),
+s AS (SELECT SUM(tf_all) + COUNT(*) AS denom_all,
+             SUM(tf_tgt) + COUNT(*) AS denom_tgt FROM freq),
+scored AS (
+  SELECT t.doc_id,
+         SUM(CAST(round(log10((f.tf_tgt + 1) * 1.0 / s.denom_tgt), 6)
+                  AS DECIMAL(18,6))
+             - CAST(round(log10((f.tf_all + 1) * 1.0 / s.denom_all), 6)
+                    AS DECIMAL(18,6))) AS r,
+         COUNT(*) AS n_tokens
+  FROM toks t JOIN freq f USING (tok), s
+  GROUP BY t.doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(r AS DOUBLE), 6) + 0.0 AS log_ratio
+FROM scored ORDER BY log_ratio DESC, doc_id LIMIT 100
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -9203,6 +9242,7 @@ ORACLES: dict[str, str | None] = {
     "stratified_topn": _STRATIFIED_TOPN_ORACLE,
     "funnel_windowed": _FUNNEL_WINDOWED_ORACLE,
     "psi_drift": _PSI_DRIFT_ORACLE,
+    "dsir_select": _DSIR_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -9495,6 +9535,7 @@ QUERIES = {
     "stratified_topn": q_stratified_topn,
     "funnel_windowed": q_funnel_windowed,
     "psi_drift": q_psi_drift,
+    "dsir_select": q_dsir_select,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

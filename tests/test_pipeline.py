@@ -381,3 +381,22 @@ def test_priority_sample_weighted_and_deterministic(spark):
     s3 = {r["doc_id"]
           for r in priority_sample(df, "w", 100, salt="other").collect()}
     assert s1 != s3                      # salt changes the draw
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """Docs written in the target slice's vocabulary must outrank
+    docs in the off-target vocabulary."""
+    from graphydb_spark.operators.pipeline import dsir_select
+    from pyspark.sql import functions as F
+    tgt_text = "science research method theory data analysis result"
+    off_text = "buy cheap deal sale discount offer price shop"
+    rows = ([(i, tgt_text, "en") for i in range(10)]
+            + [(i + 10, off_text, "xx") for i in range(10)]
+            # unlabeled docs, half target-like, half off-target
+            + [(100, tgt_text + " extra", "zz"),
+               (101, off_text + " extra", "zz")])
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    top = [r["doc_id"] for r in
+           dsir_select(df, F.col("lang") == "en", n=12).collect()]
+    assert 100 in top          # target-like unlabeled doc selected
+    assert 101 not in top      # off-target unlabeled doc rejected
