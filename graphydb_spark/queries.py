@@ -6807,7 +6807,9 @@ WITH toks AS (
   FROM documents
 ), sh AS (
   SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
-        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        i -> CAST(('0x' || substr(md5(
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))
+             AS BIGINT))) AS s
   FROM toks WHERE len(ws) >= 3
 ), tt AS (SELECT doc_id, len(s) AS n, unnest(s) AS tok FROM sh),
 inter AS (
@@ -7317,7 +7319,9 @@ WITH toks AS (
   FROM documents),
 sh AS (
   SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
-        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        i -> CAST(('0x' || substr(md5(
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))
+             AS BIGINT))) AS s
   FROM toks WHERE len(ws) >= 3),
 tt AS (SELECT doc_id, len(s) AS n, unnest(s) AS tok FROM sh),
 inter AS (

@@ -399,8 +399,85 @@ def round3_analytics_entries(spark, n_events=1_000_000, n_names=1_000_000,
           f"{time.perf_counter() - t0:.2f}s  rows_out={len(sel)}")
 
 
+
+
+def round4_entries(spark, n_docs=100_000, n_edges=2_000_000,
+                   n_vecs=200_000):
+    """Stress the session's new operators (run standalone:
+    ``SCALE_STRESS_ONLY=round4 python scripts/scale_stress.py``).
+
+    - ssjoin: candidates bounded by rare-shingle doc frequencies; the
+      synthetic corpus keeps shingle df small so the prefix join stays
+      near-linear.
+    - betweenness: frontier-keyed — cost scales with (sources x
+      reach), not V*E.
+    - covariance: narrow outer-product map, 2080 keys shuffle.
+    - priority_sample: narrow map + TakeOrdered.
+    """
+    from graphydb_spark.operators.dedup import ssjoin_jaccard
+    from graphydb_spark.operators.graph_algos import (betweenness_sampled,
+                                                      closeness_centrality)
+    from graphydb_spark.operators.pipeline import priority_sample
+
+    words = F.concat_ws(" ", *[
+        F.concat(F.lit("tok"), ((F.xxhash64(F.col("id") + i) % 20000)
+                                .cast("string")))
+        for i in range(30)])
+    docs = (spark.range(n_docs).repartition(64)
+            .select(F.col("id").alias("doc_id"), words.alias("text")))
+    docs = docs.localCheckpoint(eager=True)
+    timed(f"ssjoin_jaccard[{n_docs:,} docs]", ssjoin_jaccard(docs, 0.5))
+
+    edges = (spark.range(n_edges).repartition(64)
+             .select((F.xxhash64("id") % 100000).cast("string")
+                     .alias("startuid"),
+                     (F.xxhash64("id", F.lit(1)) % 100000).cast("string")
+                     .alias("enduid")))
+    edges = edges.localCheckpoint(eager=True)
+    seeds = spark.createDataFrame([(str(i),) for i in range(10)],
+                                  "uid string")
+    timed(f"betweenness_sampled[{n_edges:,} edges, 10 src, d2]",
+          betweenness_sampled(edges, seeds, max_depth=2))
+    timed(f"closeness_centrality[{n_edges:,} edges, 10 src, d3]",
+          closeness_centrality(edges, seeds, max_depth=3))
+
+    vecs = (spark.range(n_vecs).repartition(64)
+            .select(F.col("id").alias("vec_id"),
+                    F.transform(F.sequence(F.lit(1), F.lit(64)),
+                                lambda i: (((F.xxhash64(F.col("id"), i)
+                                             % 2000) - 1000.0) / 1000.0)
+                                .cast("float"))
+                    .alias("embedding")))
+    vecs = vecs.localCheckpoint(eager=True)
+    q = vecs.select(F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1e6).cast("long")).alias("q"))
+    arr = F.col("q")
+    outer = F.flatten(F.transform(
+        arr, lambda x, i: F.transform(
+            F.slice(arr, i + 1, F.size(arr)),
+            lambda y, j: F.struct(i.alias("i"), (i + j).alias("j"),
+                                  (x * y).alias("p")))))
+    cov_cells = (q.select(F.explode(outer).alias("c"))
+                 .select("c.i", "c.j", "c.p")
+                 .groupBy("i", "j")
+                 .agg(F.sum("p").cast("decimal(38,0)").alias("s")))
+    timed(f"embedding_covariance_cells[{n_vecs:,} x 64d]", cov_cells)
+
+    w = (spark.range(2_000_000)
+         .select(F.col("id").alias("doc_id"),
+                 ((F.xxhash64("id") % 100000) + 1).alias("wt")))
+    timed("priority_sample[2,000,000 rows, top-1000]",
+          priority_sample(w, "wt", 1000))
+
+
 if __name__ == "__main__":
-    if os.environ.get("SCALE_STRESS_ONLY") == "analytics":
+    if os.environ.get("SCALE_STRESS_ONLY") == "round4":
+        _s = get_spark(app="scale_stress")
+        _s.sparkContext.setLogLevel("ERROR")
+        _s.conf.set("spark.sql.shuffle.partitions", "64")
+        round4_entries(_s)
+    elif os.environ.get("SCALE_STRESS_ONLY") == "analytics":
         _s = get_spark(app="scale_stress")
         _s.sparkContext.setLogLevel("ERROR")
         _s.conf.set("spark.sql.shuffle.partitions", "64")
