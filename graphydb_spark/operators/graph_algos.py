@@ -1248,3 +1248,73 @@ def betweenness_sampled(edges_df: DataFrame, sources_df: DataFrame,
             .agg(F.sum("delta").cast("decimal(38,9)").alias("_b"))
             .select("uid", F.round(F.col("_b").cast("double"), 6)
                     .alias("betweenness")))
+
+
+def hits(edges_df: DataFrame, iters: int = 2,
+         src_col: str = "startuid", dst_col: str = "enduid") -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) — UNNORMALIZED power
+    iteration from the all-ones vector, which keeps every score an
+    exact INTEGER (h = A a, a = A^T h over integer vectors).  Rankings
+    are identical to the normalized variant at the same iteration
+    count (per-iteration normalization is a uniform scale), and
+    integer scores make the result bit-portable with a plain SQL
+    replay — no float accumulation anywhere.
+
+    Returns ``(uid, hub, authority)`` (longs; nodes missing a side
+    score 0).  Each iteration is two keyed join+sum shuffles over the
+    edge frame, which is hash-partitioned once and checkpointed.
+    """
+    edges = (edges_df.select(F.col(src_col).alias("s"),
+                             F.col(dst_col).alias("d"))
+             .distinct().repartition("s").localCheckpoint(eager=True))
+    auth = (edges.select(F.col("d").alias("uid")).distinct()
+            .withColumn("a", F.lit(1).cast("long")))
+    hub = None
+    for _ in range(iters):
+        hub = (edges.join(auth.select(F.col("uid").alias("d"), "a"), "d")
+               .groupBy(F.col("s").alias("uid"))
+               .agg(F.sum("a").cast("long").alias("h"))
+               .localCheckpoint(eager=True))
+        auth = (edges.join(hub.select(F.col("uid").alias("s"), "h"), "s")
+                .groupBy(F.col("d").alias("uid"))
+                .agg(F.sum("h").cast("long").alias("a"))
+                .localCheckpoint(eager=True))
+    return (hub.join(auth, "uid", "full")
+            .select("uid",
+                    F.coalesce(F.col("h"), F.lit(0)).cast("long")
+                    .alias("hub"),
+                    F.coalesce(F.col("a"), F.lit(0)).cast("long")
+                    .alias("authority")))
+
+
+def katz_walks(edges_df: DataFrame, iters: int = 3, beta_inv: int = 8,
+               src_col: str = "startuid",
+               dst_col: str = "enduid") -> DataFrame:
+    """Katz centrality with attenuation ``alpha = 1/beta_inv``
+    truncated at ``iters`` walk lengths, SCALED to an exact integer:
+    ``katz_scaled(v) = sum_k beta_inv^(iters-k) * walks_k(v)`` where
+    ``walks_k(v)`` counts length-k walks ending at v (w_k = A^T
+    w_{k-1} over integer vectors).  Dividing by beta_inv^iters gives
+    the usual truncated Katz score; keeping the integer avoids every
+    cross-engine float question.  One keyed join+sum per length."""
+    edges = (edges_df.select(F.col(src_col).alias("s"),
+                             F.col(dst_col).alias("d"))
+             .repartition("s").localCheckpoint(eager=True))
+    nodes = (edges.select(F.col("s").alias("uid"))
+             .unionByName(edges.select(F.col("d").alias("uid")))
+             .distinct().localCheckpoint(eager=True))
+    w = nodes.withColumn("w", F.lit(1).cast("long"))
+    total = nodes.withColumn("k", F.lit(0).cast("long"))
+    for k in range(1, iters + 1):
+        w = (edges.join(w.select(F.col("uid").alias("s"), "w"), "s")
+             .groupBy(F.col("d").alias("uid"))
+             .agg(F.sum("w").cast("long").alias("w"))
+             .localCheckpoint(eager=True))
+        scale = beta_inv ** (iters - k)
+        total = (total.join(w, "uid", "left")
+                 .select("uid",
+                         (F.col("k") + F.lit(scale)
+                          * F.coalesce(F.col("w"), F.lit(0)))
+                         .cast("long").alias("k"))
+                 .localCheckpoint(eager=True))
+    return total.select("uid", F.col("k").alias("katz_scaled"))

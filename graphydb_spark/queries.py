@@ -7563,6 +7563,82 @@ FROM scored ORDER BY log_ratio DESC, doc_id LIMIT 100
 """
 
 
+def q_hits_copurchase(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg) over the bipartite
+    customer->part purchase graph, 2 unnormalized power iterations —
+    every score an exact INTEGER (h = A a, a = A^T h from all-ones),
+    ranking-equivalent to the normalized variant and bit-portable to
+    the SQL replay.  Two join+sum shuffles per iteration over an
+    edge frame partitioned once."""
+    t = load_tables(spark, sf_dir)
+    cp = (t["orders"].select("o_orderkey", "o_custkey")
+          .join(load_tables(spark, sf_dir)["lineitem"]
+                .select("l_orderkey", "l_partkey"),
+                F.col("o_orderkey") == F.col("l_orderkey"))
+          .select(F.concat(F.lit("Customer:"),
+                           F.col("o_custkey")).alias("startuid"),
+                  F.concat(F.lit("Part:"),
+                           F.col("l_partkey")).alias("enduid")))
+    return graph_algos.hits(cp, iters=2)
+
+
+_HITS_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT 'Customer:' || CAST(o_custkey AS VARCHAR) AS s,
+         'Part:' || CAST(l_partkey AS VARCHAR) AS d
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+h1 AS (SELECT s AS uid, COUNT(*) AS h FROM e GROUP BY s),
+a1 AS (
+  SELECT e.d AS uid, SUM(h1.h) AS a
+  FROM e JOIN h1 ON h1.uid = e.s GROUP BY e.d),
+h2 AS (
+  SELECT e.s AS uid, SUM(a1.a) AS h
+  FROM e JOIN a1 ON a1.uid = e.d GROUP BY e.s),
+a2 AS (
+  SELECT e.d AS uid, SUM(h2.h) AS a
+  FROM e JOIN h2 ON h2.uid = e.s GROUP BY e.d)
+SELECT COALESCE(h2.uid, a2.uid) AS uid,
+       CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub,
+       CAST(COALESCE(a2.a, 0) AS BIGINT) AS authority
+FROM h2 FULL JOIN a2 ON h2.uid = a2.uid
+"""
+
+
+def q_katz_parts(spark, sf_dir):
+    """Truncated Katz centrality (alpha = 1/8, walk lengths <= 3) over
+    the directed Customer->Order->Part graph, scaled by 8^3 to an
+    exact integer: katz_scaled(v) = sum_k 8^(3-k) * walks_k(v).
+    Integer walk-count vectors w_k = A^T w_{k-1} — no float anywhere;
+    one keyed join+sum per length."""
+    g = tpch_graph(spark, sf_dir)
+    edges = g.edges_df.where(F.col("kind").isin("Placed", "Contains"))
+    return graph_algos.katz_walks(edges, iters=3, beta_inv=8)
+
+
+_KATZ_ORACLE = """
+WITH e AS (
+  SELECT 'Customer:' || CAST(o_custkey AS VARCHAR) AS s,
+         'Order:' || CAST(o_orderkey AS VARCHAR) AS d FROM orders
+  UNION ALL
+  SELECT 'Order:' || CAST(l_orderkey AS VARCHAR),
+         'Part:' || CAST(l_partkey AS VARCHAR) FROM lineitem),
+nodes AS (SELECT DISTINCT uid FROM
+          (SELECT s AS uid FROM e UNION ALL SELECT d FROM e)),
+w1 AS (SELECT d AS uid, COUNT(*) AS w FROM e GROUP BY d),
+w2 AS (SELECT e.d AS uid, SUM(w1.w) AS w
+       FROM e JOIN w1 ON w1.uid = e.s GROUP BY e.d),
+w3 AS (SELECT e.d AS uid, SUM(w2.w) AS w
+       FROM e JOIN w2 ON w2.uid = e.s GROUP BY e.d)
+SELECT n.uid,
+       CAST(64 * COALESCE(w1.w, 0) + 8 * COALESCE(w2.w, 0)
+            + COALESCE(w3.w, 0) AS BIGINT) AS katz_scaled
+FROM nodes n
+LEFT JOIN w1 ON w1.uid = n.uid
+LEFT JOIN w2 ON w2.uid = n.uid
+LEFT JOIN w3 ON w3.uid = n.uid
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -9247,6 +9323,8 @@ ORACLES: dict[str, str | None] = {
     "funnel_windowed": _FUNNEL_WINDOWED_ORACLE,
     "psi_drift": _PSI_DRIFT_ORACLE,
     "dsir_select": _DSIR_ORACLE,
+    "hits_copurchase": _HITS_ORACLE,
+    "katz_parts": _KATZ_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -9540,6 +9618,8 @@ QUERIES = {
     "funnel_windowed": q_funnel_windowed,
     "psi_drift": q_psi_drift,
     "dsir_select": q_dsir_select,
+    "hits_copurchase": q_hits_copurchase,
+    "katz_parts": q_katz_parts,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -1595,3 +1595,23 @@ def test_betweenness_sampled_hand_graphs(spark):
            graph_algos.betweenness_sampled(dia, seeds_a, 3).collect()}
     assert got["b"] == 0.5 and got["c"] == 0.5
     assert got["d"] == 0.0
+
+
+def test_hits_and_katz_hand_graphs(spark):
+    """Star bipartite graph: hub/authority integers and Katz walk
+    counts hand-checked."""
+    # c1 -> {p1, p2}; c2 -> {p1}
+    e = spark.createDataFrame([("c1", "p1"), ("c1", "p2"), ("c2", "p1")],
+                              "startuid string, enduid string")
+    got = {r["uid"]: (r["hub"], r["authority"])
+           for r in graph_algos.hits(e, iters=2).collect()}
+    # h1: c1=2, c2=1; a1: p1=3, p2=2; h2: c1=5, c2=3; a2: p1=8, p2=5
+    assert got["c1"] == (5, 0) and got["c2"] == (3, 0)
+    assert got["p1"] == (0, 8) and got["p2"] == (0, 5)
+    # path a->b->c: walks ending: b: len1=1; c: len1=1, len2=1
+    p = spark.createDataFrame([("a", "b"), ("b", "c")],
+                              "startuid string, enduid string")
+    kz = {r["uid"]: r["katz_scaled"]
+          for r in graph_algos.katz_walks(p, iters=3, beta_inv=8).collect()}
+    # scale 8^3: b: 64*1 = 64; c: 64*1 + 8*1 = 72; a: 0
+    assert kz == {"a": 0, "b": 64, "c": 72}
