@@ -7639,6 +7639,101 @@ LEFT JOIN w3 ON w3.uid = n.uid
 """
 
 
+def q_item_recommendations(spark, sf_dir):
+    """Item-item collaborative filtering, end to end: per-customer
+    top-3 part recommendations scored by summed item-item JACCARD
+    similarity (rational — no sqrt, unlike cosine, so every term is
+    engine-exact) over co-ownership, excluding parts already owned.
+    Pipeline: distinct baskets -> capped per-customer pair explosion
+    (the dedup.py max-bucket guard pattern) -> cooc >= 2 neighbor
+    table -> owned x neighbors scoring join -> anti-join owned ->
+    window top-3.  9 dp DECIMAL similarity terms keep the score sum
+    order-independent; output restricted to custkey <= 300."""
+    from pyspark.sql import Window as W
+    t = load_tables(spark, sf_dir)
+    basket = (t["orders"].select("o_orderkey", "o_custkey")
+              .join(t["lineitem"].select("l_orderkey", "l_partkey"),
+                    F.col("o_orderkey") == F.col("l_orderkey"))
+              .select(F.col("o_custkey").alias("c"),
+                      F.col("l_partkey").alias("p"))
+              .distinct())
+    sz = basket.groupBy("c").agg(F.count("*").alias("nb"))
+    capped = basket.join(sz.where(F.col("nb") <= 100).select("c"), "c")
+    pop = basket.groupBy("p").agg(F.count("*").alias("pop"))
+    a, b = capped.alias("a"), capped.alias("b")
+    cooc = (a.join(b, (F.col("a.c") == F.col("b.c"))
+                   & (F.col("a.p") < F.col("b.p")))
+            .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+            .agg(F.count("*").alias("cooc"))
+            .where(F.col("cooc") >= 2))
+    jac = (cooc
+           .join(F.broadcast(pop.select(F.col("p").alias("pa"),
+                                        F.col("pop").alias("na"))), "pa")
+           .join(F.broadcast(pop.select(F.col("p").alias("pb"),
+                                        F.col("pop").alias("nb"))), "pb")
+           .select("pa", "pb",
+                   F.round(F.col("cooc")
+                           / (F.col("na") + F.col("nb") - F.col("cooc")),
+                           9).cast("decimal(18,9)").alias("jac")))
+    nbrs = (jac.select(F.col("pa").alias("p"),
+                       F.col("pb").alias("q"), "jac")
+            .unionByName(jac.select(F.col("pb").alias("p"),
+                                    F.col("pa").alias("q"), "jac")))
+    scored = (capped.join(nbrs, capped["p"] == nbrs["p"])
+              .groupBy("c", "q")
+              .agg(F.sum("jac").cast("decimal(28,9)").alias("s"))
+              .join(basket.select("c", F.col("p").alias("q")),
+                    ["c", "q"], "left_anti"))
+    w = W.partitionBy("c").orderBy(F.col("s").desc(), F.col("q"))
+    return (scored.where(F.col("c") <= 300)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select(F.col("c").alias("c_custkey"),
+                    F.col("q").alias("rec_partkey"),
+                    F.round(F.col("s").cast("double"), 6).alias("score")))
+
+
+_ITEM_RECS_ORACLE = """
+WITH basket AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+capped AS (
+  SELECT b.* FROM basket b
+  JOIN (SELECT c FROM basket GROUP BY c HAVING COUNT(*) <= 100) k
+    USING (c)),
+pop AS (SELECT p, COUNT(*) AS pop FROM basket GROUP BY p),
+cooc AS (
+  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cooc
+  FROM capped a JOIN capped b ON a.c = b.c AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+jac AS (
+  SELECT pa, pb,
+         CAST(round(cooc * 1.0 / (na.pop + nb.pop - cooc), 9)
+              AS DECIMAL(18,9)) AS jac
+  FROM cooc
+  JOIN pop na ON na.p = pa
+  JOIN pop nb ON nb.p = pb),
+nbrs AS (
+  SELECT pa AS p, pb AS q, jac FROM jac
+  UNION ALL SELECT pb, pa, jac FROM jac),
+scored AS (
+  SELECT cp.c, n.q, SUM(n.jac) AS s
+  FROM capped cp JOIN nbrs n ON n.p = cp.p
+  GROUP BY 1, 2),
+fresh AS (
+  SELECT s.* FROM scored s
+  LEFT JOIN basket o ON o.c = s.c AND o.p = s.q
+  WHERE o.p IS NULL),
+r AS (
+  SELECT c, q, s,
+         row_number() OVER (PARTITION BY c ORDER BY s DESC, q) AS rn
+  FROM fresh WHERE c <= 300)
+SELECT c AS c_custkey, q AS rec_partkey,
+       round(CAST(s AS DOUBLE), 6) AS score
+FROM r WHERE rn <= 3
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -9325,6 +9420,7 @@ ORACLES: dict[str, str | None] = {
     "dsir_select": _DSIR_ORACLE,
     "hits_copurchase": _HITS_ORACLE,
     "katz_parts": _KATZ_ORACLE,
+    "item_recommendations": _ITEM_RECS_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -9620,6 +9716,7 @@ QUERIES = {
     "dsir_select": q_dsir_select,
     "hits_copurchase": q_hits_copurchase,
     "katz_parts": q_katz_parts,
+    "item_recommendations": q_item_recommendations,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
