@@ -1318,3 +1318,78 @@ def katz_walks(edges_df: DataFrame, iters: int = 3, beta_inv: int = 8,
                          .cast("long").alias("k"))
                  .localCheckpoint(eager=True))
     return total.select("uid", F.col("k").alias("katz_scaled"))
+
+
+def maximal_independent_set(edges_df: DataFrame, rounds: int = 6,
+                            salt: str = "mis",
+                            src_col: str = "startuid",
+                            dst_col: str = "enduid") -> DataFrame:
+    """Luby's maximal-independent-set algorithm (Luby 1986) with
+    DETERMINISTIC hash priorities: each round, every alive node whose
+    md5-derived priority is a strict local minimum among alive
+    neighbors joins the set; winners and their neighbors leave the
+    graph.  O(log n) expected rounds; ``rounds`` fixes the replay
+    horizon so the SQL oracle can unroll the exact same rounds (on the
+    fixtures the loop converges well inside it — non-convergence
+    warns).
+
+    MIS is the classic symmetry-breaking primitive (scheduling,
+    graph contraction, parallel coloring); hash priorities make the
+    output a pure function of the node ids — engine- and
+    partitioning-portable.  Per round: one neighbor min-join + one
+    anti-join, frontier-sized shuffles only.
+
+    Returns ``(uid)`` — the selected set.
+    """
+    sym = (edges_df.select(F.col(src_col).alias("u"),
+                           F.col(dst_col).alias("v"))
+           .where(F.col("u") != F.col("v"))
+           .unionByName(edges_df.select(F.col(dst_col).alias("u"),
+                                        F.col(src_col).alias("v"))
+                        .where(F.col("u") != F.col("v")))
+           .distinct().repartition("u").localCheckpoint(eager=True))
+
+    def pri(col):
+        return F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), col)), 1, 15), 16, 10) \
+            .cast("long")
+
+    alive_nodes = (sym.select(F.col("u").alias("uid")).distinct()
+                   .localCheckpoint(eager=True))
+    alive_edges = sym
+    selected = None
+    for _ in range(rounds):
+        if alive_nodes.limit(1).count() == 0:
+            break
+        nbr_min = (alive_edges
+                   .groupBy(F.col("u").alias("uid"))
+                   .agg(F.min(F.struct(pri(F.col("v")).alias("p"),
+                                       F.col("v").alias("id")))
+                        .alias("nm")))
+        cand = (alive_nodes.join(nbr_min, "uid", "left")
+                .where(F.col("nm").isNull()
+                       | (F.struct(pri(F.col("uid")).alias("p"),
+                                   F.col("uid").alias("id"))
+                          < F.col("nm")))
+                .select("uid").localCheckpoint(eager=True))
+        selected = cand if selected is None \
+            else selected.unionByName(cand)
+        removed = (cand.unionByName(
+            alive_edges.join(cand.withColumnRenamed("uid", "u"), "u")
+            .select(F.col("v").alias("uid"))).distinct()
+            .localCheckpoint(eager=True))
+        alive_nodes = (alive_nodes.join(removed, "uid", "left_anti")
+                       .localCheckpoint(eager=True))
+        alive_edges = (alive_edges
+                       .join(alive_nodes.withColumnRenamed("uid", "u"),
+                             "u", "left_semi")
+                       .join(alive_nodes.withColumnRenamed("uid", "v"),
+                             "v", "left_semi")
+                       .localCheckpoint(eager=True))
+    if alive_nodes.limit(1).count() > 0:
+        import warnings
+        warnings.warn(
+            f"maximal_independent_set: not converged in {rounds} rounds; "
+            "result is independent but may not be maximal.",
+            RuntimeWarning, stacklevel=2)
+    return selected.select("uid")

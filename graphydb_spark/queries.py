@@ -7734,6 +7734,58 @@ FROM r WHERE rn <= 3
 """
 
 
+def q_mis_parts(spark, sf_dir):
+    """Luby's maximal independent set over the part co-purchase graph
+    with deterministic md5 priorities — the classic parallel
+    symmetry-breaking primitive, 6 unrolled rounds (converges in ~4 on
+    the fixtures; every node here is edge-incident, so no isolated-
+    node special case).  The oracle replays the identical rounds via
+    the equivalent NOT-EXISTS-smaller-neighbor formulation."""
+    li = load_tables(spark, sf_dir)["lineitem"] \
+        .select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    co = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                 & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+          .select(F.col("a.l_partkey").cast("string").alias("pa"),
+                  F.col("b.l_partkey").cast("string").alias("pb")))
+    out = graph_algos.maximal_independent_set(co, rounds=6,
+                                              src_col="pa",
+                                              dst_col="pb")
+    return out.select(F.col("uid").cast("long").alias("l_partkey"))
+
+
+def _mis_oracle_sql(rounds: int = 6) -> str:
+    pri = lambda c: ("CAST(('0x' || substr(md5('mis:' || " + c +
+                     "), 1, 15)) AS BIGINT)")
+    ctes = ["""e0 AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT CAST(a.l_partkey AS VARCHAR) AS u,
+           CAST(b.l_partkey AS VARCHAR) AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)
+  GROUP BY u, v)""",
+            "a0 AS MATERIALIZED (SELECT DISTINCT u AS uid FROM e0)"]
+    for r in range(rounds):
+        ctes.append(f"""c{r} AS MATERIALIZED (
+  SELECT a.uid FROM a{r} a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM e{r} e WHERE e.u = a.uid
+      AND ({pri('e.v')}, e.v) < ({pri('a.uid')}, a.uid)))""")
+        ctes.append(f"""rm{r} AS MATERIALIZED (
+  SELECT uid FROM c{r}
+  UNION SELECT e.v FROM e{r} e JOIN c{r} c ON c.uid = e.u)""")
+        ctes.append(f"""a{r + 1} AS MATERIALIZED (
+  SELECT uid FROM a{r} EXCEPT SELECT uid FROM rm{r})""")
+        ctes.append(f"""e{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r} e
+  JOIN a{r + 1} x ON x.uid = e.u
+  JOIN a{r + 1} y ON y.uid = e.v)""")
+    sel = "\nUNION ALL ".join(f"SELECT uid FROM c{r}"
+                              for r in range(rounds))
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT CAST(uid AS BIGINT) AS l_partkey FROM ({sel})")
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -9421,6 +9473,7 @@ ORACLES: dict[str, str | None] = {
     "hits_copurchase": _HITS_ORACLE,
     "katz_parts": _KATZ_ORACLE,
     "item_recommendations": _ITEM_RECS_ORACLE,
+    "mis_parts": _mis_oracle_sql(),
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -9717,6 +9770,7 @@ QUERIES = {
     "hits_copurchase": q_hits_copurchase,
     "katz_parts": q_katz_parts,
     "item_recommendations": q_item_recommendations,
+    "mis_parts": q_mis_parts,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

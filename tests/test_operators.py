@@ -1615,3 +1615,25 @@ def test_hits_and_katz_hand_graphs(spark):
           for r in graph_algos.katz_walks(p, iters=3, beta_inv=8).collect()}
     # scale 8^3: b: 64*1 = 64; c: 64*1 + 8*1 = 72; a: 0
     assert kz == {"a": 0, "b": 64, "c": 72}
+
+
+def test_mis_independent_and_maximal(spark):
+    """On a deterministic graph the returned set must be independent
+    (no internal edge) and maximal (every outsider has a member
+    neighbor)."""
+    import itertools
+    rng_edges = [(str(a), str(b))
+                 for a, b in itertools.combinations(range(30), 2)
+                 if (a * 31 + b * 17) % 7 == 0]
+    e = spark.createDataFrame(rng_edges, "startuid string, enduid string")
+    mis = {r["uid"] for r in
+           graph_algos.maximal_independent_set(e, rounds=8).collect()}
+    adj = {}
+    for a, b in rng_edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    assert mis, "non-empty"
+    for u in mis:
+        assert not (adj.get(u, set()) & mis), "independence violated"
+    for u in set(adj) - mis:
+        assert adj[u] & mis, f"maximality violated at {u}"
