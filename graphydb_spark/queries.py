@@ -7786,6 +7786,106 @@ def _mis_oracle_sql(rounds: int = 6) -> str:
             + f"\nSELECT CAST(uid AS BIGINT) AS l_partkey FROM ({sel})")
 
 
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood record linkage (Hernandez-Stolfo 1995):
+    sort parts by name, compare each record only to its w=5 following
+    neighbors, keep levenshtein(p_name) <= 12 — the windowed
+    alternative to hash blocking (catches near-misses that straddle a
+    block boundary).  One global sort + a rank-band self-join whose
+    fan-out is exactly w per record — never n^2."""
+    from pyspark.sql import Window as W
+    p = load_tables(spark, sf_dir)["part"].select("p_partkey", "p_name")
+    r = p.withColumn("rn", F.row_number().over(
+        W.orderBy("p_name", "p_partkey")))
+    a, b = r.alias("a"), r.alias("b")
+    return (a.join(b, (F.col("b.rn") > F.col("a.rn"))
+                   & (F.col("b.rn") <= F.col("a.rn") + 5))
+            .where(F.levenshtein("a.p_name", "b.p_name") <= 12)
+            .select(F.col("a.p_partkey").alias("key_a"),
+                    F.col("b.p_partkey").alias("key_b"),
+                    F.levenshtein("a.p_name", "b.p_name").alias("dist")))
+
+
+_SORTED_NBR_ORACLE = """
+WITH r AS (
+  SELECT p_partkey, p_name,
+         row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+  FROM part)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5
+WHERE levenshtein(a.p_name, b.p_name) <= 12
+"""
+
+
+def q_theil_sen(spark, sf_dir):
+    """Robust per-customer spend trend: Theil-Sen estimator (lower
+    median of pairwise slopes) over each customer's order timeline —
+    outlier-resistant where q:user_trend_slope's OLS is not.
+    Customers with 3..40 orders; slopes are one IEEE division of
+    integer cents by integer days; the lower-median pick is a pure
+    rank selection, so no float accumulation exists."""
+    from pyspark.sql import Window as W
+    o = (load_tables(spark, sf_dir)["orders"]
+         .select("o_custkey",
+                 F.datediff(F.col("o_orderdate"),
+                            F.lit("1995-01-01")).alias("d"),
+                 (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                 .cast("long").alias("cents"),
+                 "o_orderkey"))
+    sz = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    keep = sz.where((F.col("n") >= 3) & (F.col("n") <= 40)) \
+        .select("o_custkey")
+    ok = o.join(keep, "o_custkey")
+    a, b = ok.alias("a"), ok.alias("b")
+    pairs = (a.join(b, (F.col("a.o_custkey") == F.col("b.o_custkey"))
+                    & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+                    & (F.col("a.d") != F.col("b.d")))
+             .select(F.col("a.o_custkey").alias("c"),
+                     ((F.col("b.cents") - F.col("a.cents"))
+                      / (F.col("b.d") - F.col("a.d"))).alias("slope")))
+    w = W.partitionBy("c").orderBy("slope")
+    ranked = (pairs.withColumn("rn", F.row_number().over(w))
+              .withColumn("cnt", F.count("*").over(
+                  W.partitionBy("c"))))
+    return (ranked.where(F.col("rn")
+                   == F.floor((F.col("cnt") + 1) / 2).cast("int"))
+            .select(F.col("c").alias("o_custkey"),
+                    (F.round(F.col("slope"), 6) + F.lit(0.0))
+                    .alias("theil_sen_slope"),
+                    F.col("cnt").alias("n_pairs")))
+
+
+_THEIL_SEN_ORACLE = """
+WITH o AS (
+  SELECT o_custkey,
+         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+           AS d,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents,
+         o_orderkey
+  FROM orders),
+keep AS (
+  SELECT o_custkey FROM o GROUP BY o_custkey
+  HAVING COUNT(*) BETWEEN 3 AND 40),
+ok AS (SELECT o.* FROM o JOIN keep USING (o_custkey)),
+pairs AS (
+  SELECT a.o_custkey AS c,
+         (b.cents - a.cents) * 1.0 / (b.d - a.d) AS slope
+  FROM ok a JOIN ok b
+    ON a.o_custkey = b.o_custkey
+   AND a.o_orderkey < b.o_orderkey AND a.d <> b.d),
+ranked AS (
+  SELECT c, slope,
+         row_number() OVER (PARTITION BY c ORDER BY slope) AS rn,
+         COUNT(*) OVER (PARTITION BY c) AS cnt
+  FROM pairs)
+SELECT c AS o_custkey, round(slope, 6) + 0.0 AS theil_sen_slope,
+       cnt AS n_pairs
+FROM ranked WHERE rn = CAST(floor((cnt + 1) / 2.0) AS INT)
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -9474,6 +9574,8 @@ ORACLES: dict[str, str | None] = {
     "katz_parts": _KATZ_ORACLE,
     "item_recommendations": _ITEM_RECS_ORACLE,
     "mis_parts": _mis_oracle_sql(),
+    "sorted_neighborhood": _SORTED_NBR_ORACLE,
+    "theil_sen": _THEIL_SEN_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -9771,6 +9873,8 @@ QUERIES = {
     "katz_parts": q_katz_parts,
     "item_recommendations": q_item_recommendations,
     "mis_parts": q_mis_parts,
+    "sorted_neighborhood": q_sorted_neighborhood,
+    "theil_sen": q_theil_sen,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
