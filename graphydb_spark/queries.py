@@ -7886,6 +7886,65 @@ FROM ranked WHERE rn = CAST(floor((cnt + 1) / 2.0) AS INT)
 """
 
 
+def q_greedy_cover(spark, sf_dir):
+    """Greedy maximum-coverage (the classic (1-1/e) set-cover greedy):
+    pick 8 orders in sequence, each maximizing newly-covered parts
+    (ties to the lowest orderkey).  Greedy cover is inherently
+    sequential — 8 driver-coordinated rounds, each ONE distributed
+    anti-join + count aggregation over the order->part frame
+    (partitioned once); only the 1-row argmax crosses the driver
+    boundary.  The data-selection primitive behind coverage-oriented
+    corpus pruning."""
+    om = (load_tables(spark, sf_dir)["lineitem"]
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p"))
+          .distinct().repartition("p").localCheckpoint(eager=True))
+    covered = None
+    rows = []
+    total = 0
+    for r in range(1, 9):
+        fresh = om if covered is None else \
+            om.join(covered, "p", "left_anti")
+        top = (fresh.groupBy("o").agg(F.count("*").alias("gain"))
+               .orderBy(F.col("gain").desc(), F.col("o"))
+               .limit(1).collect())
+        if not top:
+            break
+        o_key, gain = top[0]["o"], top[0]["gain"]
+        total += gain
+        rows.append((r, o_key, gain, total))
+        new_parts = om.where(F.col("o") == o_key).select("p")
+        covered = new_parts if covered is None else \
+            covered.unionByName(new_parts).distinct()
+        covered = covered.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rows, "round int, o_orderkey long, gain long, covered_total long")
+
+
+def _greedy_cover_oracle_sql(rounds: int = 8) -> str:
+    ctes = ["""om AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)""",
+            "c0(p) AS (SELECT CAST(NULL AS BIGINT) WHERE false)"]
+    picks = []
+    for r in range(1, rounds + 1):
+        ctes.append(f"""g{r} AS MATERIALIZED (
+  SELECT om.o, COUNT(*) AS gain
+  FROM om LEFT JOIN c{r - 1} c ON c.p = om.p
+  WHERE c.p IS NULL GROUP BY om.o)""")
+        ctes.append(f"""pick{r} AS MATERIALIZED (
+  SELECT {r} AS round, o, gain FROM g{r}
+  ORDER BY gain DESC, o LIMIT 1)""")
+        ctes.append(f"""c{r} AS MATERIALIZED (
+  SELECT p FROM c{r - 1}
+  UNION SELECT om.p FROM om JOIN pick{r} k ON k.o = om.o)""")
+        picks.append(f"SELECT round, o, gain FROM pick{r}")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(round AS INT) AS round, o AS o_orderkey,
+       CAST(gain AS BIGINT) AS gain,
+       CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT) AS covered_total
+FROM ({" UNION ALL ".join(picks)})""")
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -9576,6 +9635,7 @@ ORACLES: dict[str, str | None] = {
     "mis_parts": _mis_oracle_sql(),
     "sorted_neighborhood": _SORTED_NBR_ORACLE,
     "theil_sen": _THEIL_SEN_ORACLE,
+    "greedy_cover": _greedy_cover_oracle_sql(),
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -9875,6 +9935,7 @@ QUERIES = {
     "mis_parts": q_mis_parts,
     "sorted_neighborhood": q_sorted_neighborhood,
     "theil_sen": q_theil_sen,
+    "greedy_cover": q_greedy_cover,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
