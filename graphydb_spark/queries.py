@@ -7945,6 +7945,85 @@ SELECT CAST(round AS INT) AS round, o AS o_orderkey,
 FROM ({" UNION ALL ".join(picks)})""")
 
 
+def q_facility_location(spark, sf_dir):
+    """Submodular data selection by the facility-location greedy (the
+    coreset/diversity selector used for training-data curation):
+    pick 5 embeddings maximizing sum_v max_{s in S} sim(v, s), where
+    sim is the non-negative part of the dot product on a 1e-3 integer
+    grid — every similarity, marginal gain and objective is an exact
+    INTEGER, so the argmax sequence is engine-portable.
+
+    Greedy is inherently sequential: 5 driver-coordinated rounds, each
+    one join + sum over the materialized similarity frame and a 1-row
+    argmax.  The all-pairs sim matrix is the fixture-scale baseline —
+    at corpus scale the same greedy runs over IVF/LSH-pruned candidate
+    sims (q:ann_lsh_topk is that path)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.select("vec_id", F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1e3).cast("long"))
+        .alias("q")).localCheckpoint(eager=True)
+    a = q.select(F.col("vec_id").alias("va"), F.col("q").alias("qa"))
+    b = q.select(F.col("vec_id").alias("vb"), F.col("q").alias("qb"))
+    dot = F.aggregate(F.zip_with("qa", "qb", lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, v: acc + v)
+    sims = (a.crossJoin(b)
+            .select("va", "vb", F.greatest(dot, F.lit(0)).alias("s"))
+            .repartition("vb").localCheckpoint(eager=True))
+    best = q.select(F.col("vec_id").alias("va"),
+                    F.lit(0).cast("long").alias("best"))
+    rows, obj = [], 0
+    for r in range(1, 6):
+        top = (sims.join(best, "va")
+               .groupBy("vb")
+               .agg(F.sum(F.greatest(F.col("s") - F.col("best"),
+                                     F.lit(0))).alias("gain"))
+               .orderBy(F.col("gain").desc(), F.col("vb"))
+               .limit(1).collect())
+        pick, gain = top[0]["vb"], top[0]["gain"]
+        obj += gain
+        rows.append((r, pick, gain, obj))
+        sp = sims.where(F.col("vb") == pick) \
+            .select("va", F.col("s").alias("sp"))
+        best = (best.join(sp, "va")
+                .select("va", F.greatest("best", "sp").alias("best"))
+                .localCheckpoint(eager=True))
+    return spark.createDataFrame(
+        rows, "round int, vec_id long, gain long, objective long")
+
+
+def _facility_location_oracle_sql(rounds: int = 5) -> str:
+    ctes = ["""qd AS MATERIALIZED (
+  SELECT vec_id, t.i AS i,
+         CAST(round(CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE)
+                    * 1e3) AS BIGINT) AS v
+  FROM embeddings, UNNEST(range(len(embedding))) AS t(i))""",
+            """sims AS MATERIALIZED (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         GREATEST(SUM(a.v * b.v), 0) AS s
+  FROM qd a JOIN qd b ON a.i = b.i GROUP BY 1, 2)""",
+            """b0 AS (SELECT DISTINCT va, CAST(0 AS BIGINT) AS best
+  FROM sims)"""]
+    picks = []
+    for r in range(1, rounds + 1):
+        ctes.append(f"""g{r} AS MATERIALIZED (
+  SELECT s.vb, SUM(GREATEST(s.s - b.best, 0)) AS gain
+  FROM sims s JOIN b{r - 1} b ON b.va = s.va GROUP BY s.vb)""")
+        ctes.append(f"""p{r} AS MATERIALIZED (
+  SELECT {r} AS round, vb, gain FROM g{r}
+  ORDER BY gain DESC, vb LIMIT 1)""")
+        ctes.append(f"""b{r} AS MATERIALIZED (
+  SELECT b.va, GREATEST(b.best, s.s) AS best
+  FROM b{r - 1} b JOIN sims s ON s.va = b.va
+  JOIN p{r} p ON p.vb = s.vb)""")
+        picks.append(f"SELECT round, vb, gain FROM p{r}")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(round AS INT) AS round, vb AS vec_id,
+       CAST(gain AS BIGINT) AS gain,
+       CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT) AS objective
+FROM ({" UNION ALL ".join(picks)})""")
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -9636,6 +9715,7 @@ ORACLES: dict[str, str | None] = {
     "sorted_neighborhood": _SORTED_NBR_ORACLE,
     "theil_sen": _THEIL_SEN_ORACLE,
     "greedy_cover": _greedy_cover_oracle_sql(),
+    "facility_location": _facility_location_oracle_sql(),
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -9936,6 +10016,7 @@ QUERIES = {
     "sorted_neighborhood": q_sorted_neighborhood,
     "theil_sen": q_theil_sen,
     "greedy_cover": q_greedy_cover,
+    "facility_location": q_facility_location,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
