@@ -1250,8 +1250,9 @@ def betweenness_sampled(edges_df: DataFrame, sources_df: DataFrame,
                     .alias("betweenness")))
 
 
-def hits(edges_df: DataFrame, iters: int = 2,
-         src_col: str = "startuid", dst_col: str = "enduid") -> DataFrame:
+def hits_integer(edges_df: DataFrame, iters: int = 2,
+                 src_col: str = "startuid",
+                 dst_col: str = "enduid") -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) — UNNORMALIZED power
     iteration from the all-ones vector, which keeps every score an
     exact INTEGER (h = A a, a = A^T h over integer vectors).  Rankings

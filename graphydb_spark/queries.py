@@ -7579,7 +7579,7 @@ def q_hits_copurchase(spark, sf_dir):
                            F.col("o_custkey")).alias("startuid"),
                   F.concat(F.lit("Part:"),
                            F.col("l_partkey")).alias("enduid")))
-    return graph_algos.hits(cp, iters=2)
+    return graph_algos.hits_integer(cp, iters=2)
 
 
 _HITS_ORACLE = """
@@ -7675,10 +7675,17 @@ def q_item_recommendations(spark, sf_dir):
                    F.round(F.col("cooc")
                            / (F.col("na") + F.col("nb") - F.col("cooc")),
                            9).cast("decimal(18,9)").alias("jac")))
-    nbrs = (jac.select(F.col("pa").alias("p"),
-                       F.col("pb").alias("q"), "jac")
-            .unionByName(jac.select(F.col("pb").alias("p"),
-                                    F.col("pa").alias("q"), "jac")))
+    nbrs_all = (jac.select(F.col("pa").alias("p"),
+                           F.col("pb").alias("q"), "jac")
+                .unionByName(jac.select(F.col("pb").alias("p"),
+                                        F.col("pa").alias("q"), "jac")))
+    # k-NN item neighborhoods (top-20 per part): the standard item-CF
+    # bound that keeps the scoring join fan-out at 20 x owned — without
+    # it the owned x neighbors join is unbounded on dense co-purchase
+    # graphs (GC-killed the sf0.1 run before this cap)
+    wn = W.partitionBy("p").orderBy(F.col("jac").desc(), F.col("q"))
+    nbrs = (nbrs_all.withColumn("_nr", F.row_number().over(wn))
+            .where(F.col("_nr") <= 20).drop("_nr"))
     scored = (capped.join(nbrs, capped["p"] == nbrs["p"])
               .groupBy("c", "q")
               .agg(F.sum("jac").cast("decimal(28,9)").alias("s"))
@@ -7713,9 +7720,15 @@ jac AS (
   FROM cooc
   JOIN pop na ON na.p = pa
   JOIN pop nb ON nb.p = pb),
-nbrs AS (
+nbrs_all AS (
   SELECT pa AS p, pb AS q, jac FROM jac
   UNION ALL SELECT pb, pa, jac FROM jac),
+nbrs AS (
+  SELECT p, q, jac FROM (
+    SELECT p, q, jac,
+           row_number() OVER (PARTITION BY p
+                              ORDER BY jac DESC, q) AS nr
+    FROM nbrs_all) WHERE nr <= 20),
 scored AS (
   SELECT cp.c, n.q, SUM(n.jac) AS s
   FROM capped cp JOIN nbrs n ON n.p = cp.p

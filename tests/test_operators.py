@@ -1604,7 +1604,7 @@ def test_hits_and_katz_hand_graphs(spark):
     e = spark.createDataFrame([("c1", "p1"), ("c1", "p2"), ("c2", "p1")],
                               "startuid string, enduid string")
     got = {r["uid"]: (r["hub"], r["authority"])
-           for r in graph_algos.hits(e, iters=2).collect()}
+           for r in graph_algos.hits_integer(e, iters=2).collect()}
     # h1: c1=2, c2=1; a1: p1=3, p2=2; h2: c1=5, c2=3; a2: p1=8, p2=5
     assert got["c1"] == (5, 0) and got["c2"] == (3, 0)
     assert got["p1"] == (0, 8) and got["p2"] == (0, 5)
