@@ -8037,6 +8037,53 @@ SELECT CAST(round AS INT) AS round, vb AS vec_id,
 FROM ({" UNION ALL ".join(picks)})""")
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix — the classic BI triangle: users
+    grouped by first-activity WEEK (the events fixture spans ~5
+    weeks), retention = share of the cohort active again k weeks
+    later.  Exact integer distinct counts; one 9 dp ratio per cell.
+    Two shuffles: first-activity min-agg and the (cohort, age)
+    distinct-count."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("m"))
+    first = ev.groupBy("user_id").agg(F.min("m").alias("cohort"))
+    act = (ev.join(first, "user_id")
+           .select("user_id", "cohort",
+                   (F.datediff(F.col("m").cast("date"),
+                               F.col("cohort").cast("date")) / 7)
+                   .cast("int").alias("age"))
+           .distinct())
+    size = (act.where(F.col("age") == 0)
+            .groupBy("cohort").agg(F.count("*").alias("n0")))
+    cell = act.groupBy("cohort", "age").agg(F.count("*").alias("n"))
+    return (cell.join(size, "cohort")
+            .select(F.col("cohort").cast("date").alias("cohort"),
+                    "age", "n",
+                    F.round(F.col("n") / F.col("n0"), 9)
+                    .alias("retention")))
+
+
+_COHORT_RETENTION_ORACLE = """
+WITH ev AS (
+  SELECT user_id, date_trunc('week', ts) AS m FROM events),
+first AS (
+  SELECT user_id, MIN(m) AS cohort FROM ev GROUP BY user_id),
+act AS (
+  SELECT DISTINCT ev.user_id, f.cohort,
+         CAST(datediff('day', CAST(f.cohort AS DATE),
+                       CAST(ev.m AS DATE)) // 7 AS INT) AS age
+  FROM ev JOIN first f USING (user_id)),
+size_ AS (
+  SELECT cohort, COUNT(*) AS n0 FROM act WHERE age = 0
+  GROUP BY cohort),
+cell AS (
+  SELECT cohort, age, COUNT(*) AS n FROM act GROUP BY 1, 2)
+SELECT CAST(c.cohort AS DATE) AS cohort, c.age, c.n,
+       round(c.n * 1.0 / s.n0, 9) AS retention
+FROM cell c JOIN size_ s USING (cohort)
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -9729,6 +9776,7 @@ ORACLES: dict[str, str | None] = {
     "theil_sen": _THEIL_SEN_ORACLE,
     "greedy_cover": _greedy_cover_oracle_sql(),
     "facility_location": _facility_location_oracle_sql(),
+    "cohort_retention": _COHORT_RETENTION_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -10030,6 +10078,7 @@ QUERIES = {
     "theil_sen": q_theil_sen,
     "greedy_cover": q_greedy_cover,
     "facility_location": q_facility_location,
+    "cohort_retention": q_cohort_retention,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
