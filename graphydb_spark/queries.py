@@ -8084,6 +8084,85 @@ FROM cell c JOIN size_ s USING (cohort)
 """
 
 
+def q_incremental_agg(spark, sf_dir):
+    """Incremental aggregate maintenance — the materialized-view
+    algebra: per-segment (count, sum, min, max) computed as BASE
+    (orders < 1998) merged with a DELTA batch (orders >= 1998) using
+    only the mergeable partial states, never rescanning the base.
+    The ORACLE aggregates the full table directly, so the gate proves
+    merge(base, delta) == full recompute — the property that makes
+    incremental refresh sound at 100 TB."""
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)")).alias("p"),
+        F.col("o_orderdate"))
+
+    def part(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("cnt"),
+            F.sum("p").cast("decimal(28,2)").alias("s"),
+            F.min("p").alias("mn"), F.max("p").alias("mx"))
+
+    base = part(o.where(F.col("o_orderdate") < F.lit("1998-01-01")))
+    delta = part(o.where(F.col("o_orderdate") >= F.lit("1998-01-01")))
+    merged = (base.unionByName(delta)
+              .groupBy("o_orderpriority")
+              .agg(F.sum("cnt").cast("long").alias("n_orders"),
+                   F.sum("s").cast("decimal(28,2)").alias("total"),
+                   F.min("mn").alias("min_price"),
+                   F.max("mx").alias("max_price")))
+    return merged
+
+
+_INCREMENTAL_AGG_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+         AS total,
+       MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS min_price,
+       MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_twap_users(spark, sf_dir):
+    """Time-weighted average event value per user (the TWAP shape from
+    finance/IoT): each observation holds until the user's next event;
+    weights are integer seconds, per-term products round to 9 dp
+    DECIMAL so the weighted sum is order-free.  One window shuffle."""
+    from pyspark.sql import Window as W
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("long").alias("t"),
+        F.col("value").alias("v"), "event_id")
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    dt = (F.lead("t").over(w) - F.col("t"))
+    seg = (ev.withColumn("dt", dt).where(F.col("dt").isNotNull())
+           .select("user_id", "dt",
+                   F.round(F.col("v") * F.col("dt"), 9)
+                   .cast("decimal(28,9)").alias("vw")))
+    return (seg.groupBy("user_id")
+            .agg(F.sum("dt").cast("long").alias("span_sec"),
+                 F.round(F.sum("vw").cast("double") / F.sum("dt"), 6)
+                 .alias("twap")))
+
+
+_TWAP_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value AS v,
+         event_id
+  FROM events),
+seg AS (
+  SELECT user_id,
+         lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t
+           AS dt,
+         v
+  FROM ev)
+SELECT user_id, CAST(SUM(dt) AS BIGINT) AS span_sec,
+       round(CAST(SUM(CAST(round(v * dt, 9) AS DECIMAL(28,9)))
+                  AS DOUBLE) / SUM(dt), 6) AS twap
+FROM seg WHERE dt IS NOT NULL GROUP BY user_id
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -9777,6 +9856,8 @@ ORACLES: dict[str, str | None] = {
     "greedy_cover": _greedy_cover_oracle_sql(),
     "facility_location": _facility_location_oracle_sql(),
     "cohort_retention": _COHORT_RETENTION_ORACLE,
+    "incremental_agg": _INCREMENTAL_AGG_ORACLE,
+    "twap_users": _TWAP_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -10079,6 +10160,8 @@ QUERIES = {
     "greedy_cover": q_greedy_cover,
     "facility_location": q_facility_location,
     "cohort_retention": q_cohort_retention,
+    "incremental_agg": q_incremental_agg,
+    "twap_users": q_twap_users,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
