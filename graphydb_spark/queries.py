@@ -8163,6 +8163,145 @@ FROM seg WHERE dt IS NOT NULL GROUP BY user_id
 """
 
 
+def q_segment_overlap(spark, sf_dir):
+    """Audience-overlap matrix: Jaccard between the user sets of every
+    event-type pair — the segment-intersection shape behind audience
+    planning.  Exact distinct-user counts; intersections from one
+    self-join on user_id (25 cells, map-side combined)."""
+    m = _events(spark, sf_dir).select("event_type", "user_id").distinct()
+    size = m.groupBy("event_type").agg(F.count("*").alias("n"))
+    a, b = m.alias("a"), m.alias("b")
+    inter = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                    & (F.col("a.event_type") < F.col("b.event_type")))
+             .groupBy(F.col("a.event_type").alias("et_a"),
+                      F.col("b.event_type").alias("et_b"))
+             .agg(F.count("*").alias("n_both")))
+    return (inter
+            .join(F.broadcast(size.select(
+                F.col("event_type").alias("et_a"),
+                F.col("n").alias("na"))), "et_a")
+            .join(F.broadcast(size.select(
+                F.col("event_type").alias("et_b"),
+                F.col("n").alias("nb"))), "et_b")
+            .select("et_a", "et_b", "n_both",
+                    F.round(F.col("n_both")
+                            / (F.col("na") + F.col("nb")
+                               - F.col("n_both")), 6).alias("jaccard")))
+
+
+_SEGMENT_OVERLAP_ORACLE = """
+WITH m AS (SELECT DISTINCT event_type, user_id FROM events),
+size_ AS (SELECT event_type, COUNT(*) AS n FROM m GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS et_a, b.event_type AS et_b,
+         COUNT(*) AS n_both
+  FROM m a JOIN m b ON a.user_id = b.user_id
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT et_a, et_b, n_both,
+       round(n_both * 1.0 / (sa.n + sb.n - n_both), 6) AS jaccard
+FROM inter
+JOIN size_ sa ON sa.event_type = et_a
+JOIN size_ sb ON sb.event_type = et_b
+"""
+
+
+def q_session_labels(spark, sf_dir):
+    """ML training-set construction: one labeled example per session
+    (30-min gap sessionization) — features (n_events, distinct types,
+    duration) and the binary label 'did the session contain a
+    purchase'.  The dataset-building step between raw events and a
+    conversion model; one window shuffle + one aggregation."""
+    from pyspark.sql import Window as W
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("long").alias("t"),
+        "event_type", "event_id")
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    new_s = F.when(
+        (F.col("t") - F.lag("t").over(w) > 1800)
+        | F.lag("t").over(w).isNull(), 1).otherwise(0)
+    sess = (ev.withColumn("ns", new_s)
+            .withColumn("sid", F.sum("ns").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow))))
+    return (sess.groupBy("user_id", "sid")
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("event_type").alias("n_types"),
+                 (F.max("t") - F.min("t")).alias("duration_sec"),
+                 F.max(F.when(F.col("event_type") == "purchase", 1)
+                       .otherwise(0)).alias("label")))
+
+
+_SESSION_LABELS_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type,
+         event_id
+  FROM events),
+s AS (
+  SELECT *, CASE WHEN t - lag(t) OVER w > 1800
+                   OR lag(t) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+g AS (
+  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s)
+SELECT user_id, CAST(sid AS BIGINT) AS sid, COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_types,
+       CAST(MAX(t) - MIN(t) AS BIGINT) AS duration_sec,
+       CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS INT) AS label
+FROM g GROUP BY user_id, sid
+"""
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each labeled
+    embedding, the most-similar embedding with a DIFFERENT label
+    (integer-grid dot product, ties to lowest id) — the pairs that
+    matter for metric learning.  Argmax via one max(struct) aggregate
+    over the label-filtered pair stream; fixture-scale all-pairs, with
+    the LSH/IVF bucketed path as the documented corpus-scale route."""
+    emb = _emb(spark, sf_dir)
+    q = emb.select("vec_id", "label", F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1e3).cast("long"))
+        .alias("q")).localCheckpoint(eager=True)
+    a = q.select(F.col("vec_id").alias("va"),
+                 F.col("label").alias("la"), F.col("q").alias("qa"))
+    b = q.select(F.col("vec_id").alias("vb"),
+                 F.col("label").alias("lb"), F.col("q").alias("qb"))
+    dot = F.aggregate(F.zip_with("qa", "qb", lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, v: acc + v)
+    best = F.max(F.struct(F.col("s").alias("s"),
+                          (-F.col("vb")).alias("negid")))
+    return (a.crossJoin(b)
+            .where(F.col("la") != F.col("lb"))
+            .select("va", "vb", dot.alias("s"))
+            .groupBy("va").agg(best.alias("m"))
+            .select(F.col("va").alias("vec_id"),
+                    (-F.col("m.negid")).cast("long")
+                    .alias("hard_negative"),
+                    F.col("m.s").alias("dot_scaled")))
+
+
+_HARD_NEG_ORACLE = """
+WITH qd AS (
+  SELECT vec_id, label, t.i AS i,
+         CAST(round(CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE)
+                    * 1e3) AS BIGINT) AS v
+  FROM embeddings, UNNEST(range(len(embedding))) AS t(i)),
+dots AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.v * b.v) AS s
+  FROM qd a JOIN qd b ON a.i = b.i AND a.label <> b.label
+  GROUP BY 1, 2),
+r AS (
+  SELECT va, vb, s,
+         row_number() OVER (PARTITION BY va ORDER BY s DESC, vb) AS rn
+  FROM dots)
+SELECT va AS vec_id, vb AS hard_negative, s AS dot_scaled
+FROM r WHERE rn = 1
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -9858,6 +9997,9 @@ ORACLES: dict[str, str | None] = {
     "cohort_retention": _COHORT_RETENTION_ORACLE,
     "incremental_agg": _INCREMENTAL_AGG_ORACLE,
     "twap_users": _TWAP_ORACLE,
+    "segment_overlap": _SEGMENT_OVERLAP_ORACLE,
+    "session_labels": _SESSION_LABELS_ORACLE,
+    "hard_negatives": _HARD_NEG_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -10162,6 +10304,9 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "incremental_agg": q_incremental_agg,
     "twap_users": q_twap_users,
+    "segment_overlap": q_segment_overlap,
+    "session_labels": q_session_labels,
+    "hard_negatives": q_hard_negatives,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
