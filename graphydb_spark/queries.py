@@ -8302,6 +8302,89 @@ FROM r WHERE rn = 1
 """
 
 
+def q_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation between discount and quantity over
+    lineitem — the robust complement to q:discount_quantity_corr's
+    Pearson.  Tie-averaged ranks are carried DOUBLED (rank_avg*2 is an
+    exact integer under ties, the q:mann_whitney trick), all moment
+    sums are DECIMAL(38,0)-exact, and the only irrational op is sqrt —
+    which IEEE 754 requires to be correctly rounded, so it is engine-
+    portable where ln/exp are not."""
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        (F.col("l_discount").cast("decimal(12,2)") * 100)
+        .cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("y"))
+
+    def ranked2(col, alias):
+        c = (li.groupBy(col).agg(F.count("*").alias("c")))
+        from pyspark.sql import Window as W
+        w = W.orderBy(col)
+        # doubled average rank of a tie group: 2*min_rank + (c-1)
+        return (c.withColumn(
+            "_cum", F.sum("c").over(
+                w.rowsBetween(W.unboundedPreceding, -1)))
+            .select(col,
+                    (2 * (F.coalesce(F.col("_cum"), F.lit(0)) + 1)
+                     + (F.col("c") - 1)).alias(alias)))
+    rx = ranked2("x", "rx2")
+    ry = ranked2("y", "ry2")
+    j = (li.join(F.broadcast(rx), "x").join(F.broadcast(ry), "y"))
+    agg = j.agg(
+        F.count("*").alias("n"),
+        F.sum("rx2").cast("decimal(38,0)").alias("sx"),
+        F.sum("ry2").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("decimal(38,0)")
+        .alias("syy"))
+    n = F.col("n").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                  .cast("double"))
+           * F.sqrt((n * F.col("syy") - F.col("sy") * F.col("sy"))
+                    .cast("double")))
+    return agg.select(F.col("n").cast("long").alias("n"),
+                      F.round(num / den, 6).alias("spearman_rho"))
+
+
+_SPEARMAN_ORACLE = """
+WITH li AS (
+  SELECT CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem),
+cx AS (SELECT x, COUNT(*) AS c FROM li GROUP BY x),
+rx AS (
+  SELECT x, 2 * (COALESCE(SUM(c) OVER (ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + 1) + (c - 1) AS rx2
+  FROM cx),
+cy AS (SELECT y, COUNT(*) AS c FROM li GROUP BY y),
+ry AS (
+  SELECT y, 2 * (COALESCE(SUM(c) OVER (ORDER BY y
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + 1) + (c - 1) AS ry2
+  FROM cy),
+j AS (SELECT rx2, ry2 FROM li JOIN rx USING (x) JOIN ry USING (y)),
+agg AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(rx2) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(ry2) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(rx2 * ry2) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(rx2 * rx2) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(ry2 * ry2) AS DECIMAL(38,0)) AS syy
+  FROM j)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx
+                          AS DOUBLE))
+                * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy
+                            AS DOUBLE))), 6) AS spearman_rho
+FROM agg
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -10000,6 +10083,7 @@ ORACLES: dict[str, str | None] = {
     "segment_overlap": _SEGMENT_OVERLAP_ORACLE,
     "session_labels": _SESSION_LABELS_ORACLE,
     "hard_negatives": _HARD_NEG_ORACLE,
+    "spearman_corr": _SPEARMAN_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -10307,6 +10391,7 @@ QUERIES = {
     "segment_overlap": q_segment_overlap,
     "session_labels": q_session_labels,
     "hard_negatives": q_hard_negatives,
+    "spearman_corr": q_spearman_corr,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -169,3 +169,39 @@ def test_interval_coverage_hand_case(spark):
     got = {r["user_id"]: r["cs"] for r in
            run.groupBy("user_id").agg(F.sum("c").alias("cs")).collect()}
     assert got == {1: 30, 2: 100, 3: 0}
+
+
+def test_spearman_matches_scipy_formula(spark):
+    """Doubled-rank Spearman must equal the textbook formula computed
+    directly in Python on the same data."""
+    from graphydb_spark.queries import q_spearman_corr
+    import statistics
+    got = q_spearman_corr(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT CAST(CAST(l_discount AS DECIMAL(12,2))*100 AS BIGINT), "
+        "CAST(l_quantity AS BIGINT) FROM "
+        "'/root/testdata/sf0.001/lineitem.parquet'").fetchall()
+    xs = [r[0] for r in rows]
+    ys = [r[1] for r in rows]
+
+    def avg_ranks(v):
+        order = sorted(range(len(v)), key=lambda i: v[i])
+        r = [0.0] * len(v)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and v[order[j + 1]] == v[order[i]]:
+                j += 1
+            avg = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                r[order[k]] = avg
+            i = j + 1
+        return r
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    mx, my = statistics.mean(rx), statistics.mean(ry)
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (sum((a - mx) ** 2 for a in rx)
+           * sum((b - my) ** 2 for b in ry)) ** 0.5
+    assert abs(got["spearman_rho"] - num / den) < 1e-6
