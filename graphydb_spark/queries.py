@@ -8385,6 +8385,180 @@ FROM agg
 """
 
 
+def q_cusum_alarm(spark, sf_dir):
+    """CUSUM change detection over daily revenue — the quality-control
+    classic, made DECLARATIVE: the recursion S_t = max(0, S_{t-1} +
+    x_t - k) equals P_t - min(0, min_{j<=t} P_j) for the drift-adjusted
+    prefix sum P, so two window passes (running sum + running min)
+    replace the sequential loop — the form that runs on a cluster.
+    Integer cents throughout; k = floor(overall daily mean); alarm
+    when S exceeds 5x k."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"]
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                   * 100).cast("long").alias("cents")))
+    k = daily.agg(F.floor(F.avg("cents")).cast("long").alias("k"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    run = (daily.crossJoin(F.broadcast(k))
+           .withColumn("p", F.sum(F.col("cents") - F.col("k")).over(w))
+           .withColumn("pmin",
+                       F.least(F.lit(0).cast("long"),
+                               F.min("p").over(w))))
+    s = F.col("p") - F.col("pmin")
+    return (run.select("day", "cents", s.alias("cusum"),
+                       (s > 5 * F.col("k")).alias("alarm"))
+            .where(F.col("alarm")))
+
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+k AS (SELECT CAST(floor(AVG(cents)) AS BIGINT) AS k FROM daily),
+run AS (
+  SELECT day, cents,
+         SUM(cents - k.k) OVER (ORDER BY day
+             ROWS UNBOUNDED PRECEDING) AS p,
+         k.k
+  FROM daily, k),
+s AS (
+  SELECT day, cents, k,
+         p - LEAST(0, MIN(p) OVER (ORDER BY day
+             ROWS UNBOUNDED PRECEDING)) AS cusum
+  FROM run)
+SELECT day, cents, CAST(cusum AS BIGINT) AS cusum,
+       cusum > 5 * k AS alarm
+FROM s WHERE cusum > 5 * k
+"""
+
+
+def q_wilson_intervals(spark, sf_dir):
+    """Wilson score 95% confidence interval for the purchase rate per
+    user cohort (users bucketed by id % 10) — the interval that stays
+    sane at small n where the normal approximation fails.  The only
+    irrational op is sqrt (IEEE-correctly-rounded -> engine-portable);
+    z is the literal 1.96."""
+    ev = _events(spark, sf_dir)
+    g = (ev.groupBy((F.col("user_id") % 10).alias("cohort"))
+         .agg(F.count("*").alias("n"),
+              F.sum(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).alias("x")))
+    z2 = 1.96 * 1.96
+    p = F.col("x") / F.col("n")
+    n = F.col("n")
+    center = (p + z2 / (2 * n)) / (1 + z2 / n)
+    half = (F.lit(1.96) * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+            / (1 + z2 / n))
+    return g.select("cohort", "n", "x",
+                    F.round(center - half, 6).alias("lo"),
+                    F.round(center + half, 6).alias("hi"))
+
+
+_WILSON_ORACLE = """
+WITH g AS (
+  SELECT user_id % 10 AS cohort, COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY 1)
+SELECT cohort, n, x,
+       round(((x * 1.0 / n) + 3.8416 / (2 * n)) / (1 + 3.8416 / n)
+             - 1.96 * sqrt((x * 1.0 / n) * (1 - x * 1.0 / n) / n
+                           + 3.8416 / (4 * n * n)) / (1 + 3.8416 / n),
+             6) AS lo,
+       round(((x * 1.0 / n) + 3.8416 / (2 * n)) / (1 + 3.8416 / n)
+             + 1.96 * sqrt((x * 1.0 / n) * (1 - x * 1.0 / n) / n
+                           + 3.8416 / (4 * n * n)) / (1 + 3.8416 / n),
+             6) AS hi
+FROM g
+"""
+
+
+def q_kendall_nations(spark, sf_dir):
+    """Kendall tau-a between two per-nation metrics — revenue rank vs
+    customer-count rank: concordant/discordant PAIR COUNTS are exact
+    integers over the 25-nation frame (300 pairs), tau = one IEEE
+    division.  The rank-agreement check behind 'do our two KPIs order
+    segments the same way'."""
+    t = load_tables(spark, sf_dir)
+    rev = (t["orders"].join(t["customer"],
+                            F.col("o_custkey") == F.col("c_custkey"))
+           .groupBy("c_nationkey")
+           .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 * 100).cast("long").alias("rev"),
+                F.countDistinct("c_custkey").alias("ncust")))
+    a, b = rev.alias("a"), rev.alias("b")
+    sgn = ((F.col("a.rev") < F.col("b.rev")).cast("int")
+           - (F.col("a.rev") > F.col("b.rev")).cast("int")) * \
+          ((F.col("a.ncust") < F.col("b.ncust")).cast("int")
+           - (F.col("a.ncust") > F.col("b.ncust")).cast("int"))
+    pairs = (a.join(b, F.col("a.c_nationkey") < F.col("b.c_nationkey"))
+             .select(sgn.alias("s")))
+    return (pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("s") > 0, 1).otherwise(0)).alias("concordant"),
+        F.sum(F.when(F.col("s") < 0, 1).otherwise(0)).alias("discordant"))
+        .select("n_pairs", "concordant", "discordant",
+                F.round((F.col("concordant") - F.col("discordant"))
+                        / F.col("n_pairs"), 6).alias("kendall_tau")))
+
+
+_KENDALL_ORACLE = """
+WITH rev AS (
+  SELECT c_nationkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS rev,
+         COUNT(DISTINCT c_custkey) AS ncust
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey),
+pairs AS (
+  SELECT (CASE WHEN a.rev < b.rev THEN 1
+               WHEN a.rev > b.rev THEN -1 ELSE 0 END)
+         * (CASE WHEN a.ncust < b.ncust THEN 1
+                 WHEN a.ncust > b.ncust THEN -1 ELSE 0 END) AS s
+  FROM rev a JOIN rev b ON a.c_nationkey < b.c_nationkey)
+SELECT COUNT(*) AS n_pairs,
+       SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS concordant,
+       SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS discordant,
+       round((SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END)
+              - SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END)) * 1.0
+             / COUNT(*), 6) AS kendall_tau
+FROM pairs
+"""
+
+
+def q_eb_shrinkage(spark, sf_dir):
+    """Empirical-Bayes shrinkage of per-part return rates toward the
+    Beta(20, 80) prior: shrunk = (x + 20)/(n + 100) — the rational
+    form, so every estimate is one exact integer-fed division.  Fixes
+    the small-n leaderboard problem (a part returned 1-of-1 must not
+    outrank 40-of-100).  Output: top 25 shrunk rates."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    g = (li.groupBy("l_partkey")
+         .agg(F.count("*").alias("n"),
+              F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                    .otherwise(0)).alias("x")))
+    shrunk = F.round((F.col("x") + 20) / (F.col("n") + 100), 9)
+    raw = F.round(F.col("x") / F.col("n"), 9)
+    return (g.select("l_partkey", "n", "x", raw.alias("raw_rate"),
+                     shrunk.alias("shrunk_rate"))
+            .orderBy(F.col("shrunk_rate").desc(), "l_partkey")
+            .limit(25))
+
+
+_EB_SHRINK_ORACLE = """
+WITH g AS (
+  SELECT l_partkey, COUNT(*) AS n,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS x
+  FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey, n, x,
+       round(x * 1.0 / n, 9) AS raw_rate,
+       round((x + 20) * 1.0 / (n + 100), 9) AS shrunk_rate
+FROM g ORDER BY shrunk_rate DESC, l_partkey LIMIT 25
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -10084,6 +10258,10 @@ ORACLES: dict[str, str | None] = {
     "session_labels": _SESSION_LABELS_ORACLE,
     "hard_negatives": _HARD_NEG_ORACLE,
     "spearman_corr": _SPEARMAN_ORACLE,
+    "cusum_alarm": _CUSUM_ORACLE,
+    "wilson_intervals": _WILSON_ORACLE,
+    "kendall_nations": _KENDALL_ORACLE,
+    "eb_shrinkage": _EB_SHRINK_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -10392,6 +10570,10 @@ QUERIES = {
     "session_labels": q_session_labels,
     "hard_negatives": q_hard_negatives,
     "spearman_corr": q_spearman_corr,
+    "cusum_alarm": q_cusum_alarm,
+    "wilson_intervals": q_wilson_intervals,
+    "kendall_nations": q_kendall_nations,
+    "eb_shrinkage": q_eb_shrinkage,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

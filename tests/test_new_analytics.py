@@ -205,3 +205,26 @@ def test_spearman_matches_scipy_formula(spark):
     den = (sum((a - mx) ** 2 for a in rx)
            * sum((b - my) ** 2 for b in ry)) ** 0.5
     assert abs(got["spearman_rho"] - num / den) < 1e-6
+
+
+def test_cusum_prefix_max_equals_recursion(spark):
+    """The window formulation S = P - min(0, running-min P) must equal
+    the textbook recursion S_t = max(0, S_{t-1} + d_t) run in Python."""
+    import duckdb
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT CAST(o_orderdate AS DATE) AS day, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))*100 AS BIGINT) "
+        "FROM '/root/testdata/sf0.001/orders.parquet' "
+        "GROUP BY 1 ORDER BY 1").fetchall()
+    cents = [r[1] for r in rows]
+    k = int(sum(cents) / len(cents))  # floor(avg) for positive ints
+    s, out = 0, {}
+    for (day, c) in rows:
+        s = max(0, s + c - k)
+        if s > 5 * k:
+            out[day] = s
+    from graphydb_spark.queries import q_cusum_alarm
+    got = {r["day"]: r["cusum"] for r in
+           q_cusum_alarm(spark, "/root/testdata/sf0.001").collect()}
+    assert got == out
