@@ -8559,6 +8559,90 @@ FROM g ORDER BY shrunk_rate DESC, l_partkey LIMIT 25
 """
 
 
+def q_sax_symbols(spark, sf_dir):
+    """SAX time-series symbolization (Lin et al. 2003): daily revenue
+    -> 32 PAA segments (equal day-count buckets via ntile) -> z-score
+    against the segment-mean distribution -> 4-symbol alphabet at the
+    standard Gaussian breakpoints (-0.6745, 0, 0.6745).  The indexable
+    motif/anomaly representation for massive series.  Determinism:
+    exact integer cents everywhere before the z-score; mean/std from
+    DECIMAL sums with sqrt (IEEE-exact) and one division; breakpoint
+    compares are plain IEEE."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"]
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                   * 100).cast("long").alias("cents")))
+    seg = daily.withColumn("seg", F.ntile(32).over(W.orderBy("day")))
+    paa = (seg.groupBy("seg")
+           .agg(F.min("day").alias("seg_start"),
+                F.count("*").alias("n_days"),
+                F.sum("cents").cast("decimal(38,0)").alias("s")))
+    # segment means as exact rationals scaled by the common denominator
+    # lcm(n_days) is overkill — compare means as s/n via cross-exact
+    # double division (one op each)
+    m = paa.select("seg", "seg_start",
+                   (F.col("s").cast("double") / F.col("n_days"))
+                   .alias("mean"))
+    stats = m.agg(F.count("*").alias("k"),
+                  F.sum(F.col("mean")
+                        .cast("decimal(28,6)")).alias("sm"),
+                  F.sum((F.col("mean") * F.col("mean"))
+                        .cast("decimal(38,6)")).alias("sq"))
+    mu = F.col("sm").cast("double") / F.col("k")
+    var = (F.col("sq").cast("double") / F.col("k")) - mu * mu
+    sd = F.sqrt(var)
+    z = (F.col("mean") - mu) / sd
+    sym = (F.when(z < -0.6745, "a").when(z < 0.0, "b")
+           .when(z < 0.6745, "c").otherwise("d"))
+    return (m.crossJoin(F.broadcast(stats))
+            .select("seg", "seg_start", F.round(z, 6).alias("z"),
+                    sym.alias("symbol")))
+
+
+_SAX_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+seg AS (
+  SELECT day, cents, ntile(32) OVER (ORDER BY day) AS seg FROM daily),
+paa AS (
+  SELECT seg, MIN(day) AS seg_start, COUNT(*) AS n_days,
+         CAST(SUM(cents) AS DECIMAL(38,0)) AS s
+  FROM seg GROUP BY seg),
+m AS (
+  SELECT seg, seg_start,
+         CAST(s AS DOUBLE) / n_days AS mean
+  FROM paa),
+stats AS (
+  SELECT COUNT(*) AS k,
+         SUM(CAST(mean AS DECIMAL(28,6))) AS sm,
+         SUM(CAST(mean * mean AS DECIMAL(38,6))) AS sq
+  FROM m)
+SELECT seg, seg_start,
+       round((mean - CAST(sm AS DOUBLE) / k)
+             / sqrt(CAST(sq AS DOUBLE) / k
+                    - (CAST(sm AS DOUBLE) / k)
+                      * (CAST(sm AS DOUBLE) / k)), 6) AS z,
+       CASE WHEN (mean - CAST(sm AS DOUBLE) / k)
+                 / sqrt(CAST(sq AS DOUBLE) / k
+                        - (CAST(sm AS DOUBLE) / k)
+                          * (CAST(sm AS DOUBLE) / k)) < -0.6745 THEN 'a'
+            WHEN (mean - CAST(sm AS DOUBLE) / k)
+                 / sqrt(CAST(sq AS DOUBLE) / k
+                        - (CAST(sm AS DOUBLE) / k)
+                          * (CAST(sm AS DOUBLE) / k)) < 0.0 THEN 'b'
+            WHEN (mean - CAST(sm AS DOUBLE) / k)
+                 / sqrt(CAST(sq AS DOUBLE) / k
+                        - (CAST(sm AS DOUBLE) / k)
+                          * (CAST(sm AS DOUBLE) / k)) < 0.6745 THEN 'c'
+            ELSE 'd' END AS symbol
+FROM m, stats
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -10262,6 +10346,7 @@ ORACLES: dict[str, str | None] = {
     "wilson_intervals": _WILSON_ORACLE,
     "kendall_nations": _KENDALL_ORACLE,
     "eb_shrinkage": _EB_SHRINK_ORACLE,
+    "sax_symbols": _SAX_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -10574,6 +10659,7 @@ QUERIES = {
     "wilson_intervals": q_wilson_intervals,
     "kendall_nations": q_kendall_nations,
     "eb_shrinkage": q_eb_shrinkage,
+    "sax_symbols": q_sax_symbols,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
