@@ -8643,6 +8643,78 @@ FROM m, stats
 """
 
 
+def q_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the undirected adjacent-token co-occurrence graph (tokens of
+    length >= 4), 4 synchronous iterations, top 30.  Every dependency
+    term rounds to 9 dp DECIMAL before the neighbor sum and each rank
+    update re-rounds to the same grid, so the float-summation order
+    never matters and the unrolled-CTE oracle replays bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(text.tokens(F.col("text")).alias("w"))
+    pair = toks.select(F.explode(F.zip_with(
+        F.slice(F.col("w"), 1, F.size("w") - 1),
+        F.slice(F.col("w"), 2, F.size("w") - 1),
+        lambda x, y: F.struct(F.least(x, y).alias("lo"),
+                              F.greatest(x, y).alias("hi"))))
+        .alias("p")).select("p.lo", "p.hi")
+    edges = (pair.where((F.length("lo") >= 4) & (F.length("hi") >= 4)
+                        & (F.col("lo") != F.col("hi")))
+             .distinct())
+    sym = (edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+           .unionByName(edges.select(F.col("hi").alias("u"),
+                                     F.col("lo").alias("v")))
+           .repartition("u").localCheckpoint(eager=True))
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg")) \
+        .localCheckpoint(eager=True)
+    rank = deg.select(F.col("u").alias("w"),
+                      F.lit(1.0).cast("decimal(18,9)").alias("r"))
+    for _ in range(4):
+        contrib = (sym.join(rank.withColumnRenamed("w", "u"), "u")
+                   .join(deg, "u")
+                   .select(F.col("v").alias("w"),
+                           F.round(F.col("r").cast("double")
+                                   / F.col("deg"), 9)
+                           .cast("decimal(18,9)").alias("c")))
+        rank = (contrib.groupBy("w")
+                .agg(F.round(0.15 + 0.85 * F.sum("c").cast("double"), 9)
+                     .cast("decimal(18,9)").alias("r"))
+                .localCheckpoint(eager=True))
+    return (rank.select("w", F.col("r").cast("double").alias("rank"))
+            .orderBy(F.col("rank").desc(), "w").limit(30))
+
+
+def _textrank_oracle_sql(iters: int = 4) -> str:
+    ctes = ["""toks AS MATERIALIZED (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS w
+  FROM documents)""",
+            """edges AS MATERIALIZED (
+  SELECT DISTINCT LEAST(a, b) AS lo, GREATEST(a, b) AS hi FROM (
+    SELECT w[CAST(t.i AS INT) + 1] AS a,
+           w[CAST(t.i AS INT) + 2] AS b
+    FROM toks, UNNEST(range(len(w) - 1)) AS t(i))
+  WHERE length(a) >= 4 AND length(b) >= 4 AND a <> b)""",
+            """sym AS MATERIALIZED (
+  SELECT lo AS u, hi AS v FROM edges
+  UNION ALL SELECT hi, lo FROM edges)""",
+            """deg AS MATERIALIZED (
+  SELECT u, COUNT(*) AS deg FROM sym GROUP BY u)""",
+            """r0 AS MATERIALIZED (
+  SELECT u AS w, CAST(1.0 AS DECIMAL(18,9)) AS r FROM deg)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""r{i} AS MATERIALIZED (
+  SELECT s.v AS w,
+         CAST(round(0.15 + 0.85 * CAST(SUM(
+           CAST(round(CAST(p.r AS DOUBLE) / d.deg, 9)
+                AS DECIMAL(18,9))) AS DOUBLE), 9) AS DECIMAL(18,9)) AS r
+  FROM sym s JOIN r{i - 1} p ON p.w = s.u JOIN deg d ON d.u = s.u
+  GROUP BY s.v)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT w, CAST(r AS DOUBLE) AS rank
+FROM r{iters} ORDER BY rank DESC, w LIMIT 30""")
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -10347,6 +10419,7 @@ ORACLES: dict[str, str | None] = {
     "kendall_nations": _KENDALL_ORACLE,
     "eb_shrinkage": _EB_SHRINK_ORACLE,
     "sax_symbols": _SAX_ORACLE,
+    "textrank_keywords": _textrank_oracle_sql(),
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -10660,6 +10733,7 @@ QUERIES = {
     "kendall_nations": q_kendall_nations,
     "eb_shrinkage": q_eb_shrinkage,
     "sax_symbols": q_sax_symbols,
+    "textrank_keywords": q_textrank_keywords,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
