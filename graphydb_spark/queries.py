@@ -8715,6 +8715,69 @@ SELECT w, CAST(r AS DOUBLE) AS rank
 FROM r{iters} ORDER BY rank DESC, w LIMIT 30""")
 
 
+def q_isotonic_trend(spark, sf_dir):
+    """Isotonic (monotone nondecreasing) regression of weekly revenue
+    on time WITHOUT the sequential PAVA loop: the minimax identity
+    fit_i = min_{k>=i} max_{j<=i} avg(y_j..y_k) turns the fit into
+    interval averages (prefix-sum differences) + a running max along
+    j + a per-row min — O(n^2) cells over the DIM-SIZED weekly frame,
+    every step a window/groupBy that runs distributed and replays in
+    SQL.  Averages are exact integer-cent rationals with one IEEE
+    division each; max/min are order-free."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"]
+    weekly = (o.groupBy(F.date_trunc("week", F.col("o_orderdate")
+                                     .cast("timestamp")).alias("wk"))
+              .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                    * 100).cast("long").alias("cents")))
+    idx = weekly.withColumn("i", F.row_number().over(W.orderBy("wk")))
+    pre = idx.withColumn("p", F.sum("cents").over(
+        W.orderBy("i").rowsBetween(W.unboundedPreceding, W.currentRow)))
+    a = pre.select(F.col("i").alias("j"),
+                   (F.col("p") - F.col("cents")).alias("pj1"))
+    b = pre.select(F.col("i").alias("k"), F.col("p").alias("pk"))
+    cells = (a.join(b, F.col("j") <= F.col("k"))
+             .select("j", "k",
+                     ((F.col("pk") - F.col("pj1"))
+                      / (F.col("k") - F.col("j") + 1)).alias("avg")))
+    runmax = F.max("avg").over(
+        W.partitionBy("k").orderBy("j")
+        .rowsBetween(W.unboundedPreceding, W.currentRow))
+    fit = (cells.withColumn("m", runmax)
+           .groupBy(F.col("j").alias("i"))
+           .agg(F.min("m").alias("fit")))
+    return (idx.join(fit, "i")
+            .select("i", F.col("wk").cast("date").alias("week"),
+                    "cents", F.round("fit", 6).alias("fit")))
+
+
+_ISOTONIC_ORACLE = """
+WITH weekly AS (
+  SELECT date_trunc('week', CAST(o_orderdate AS TIMESTAMP)) AS wk,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+idx AS (
+  SELECT wk, cents, row_number() OVER (ORDER BY wk) AS i FROM weekly),
+pre AS (
+  SELECT *, SUM(cents) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS p
+  FROM idx),
+cells AS (
+  SELECT a.i AS j, b.i AS k,
+         (b.p - (a.p - a.cents)) * 1.0 / (b.i - a.i + 1) AS avg
+  FROM pre a JOIN pre b ON a.i <= b.i),
+rm AS (
+  SELECT j, k,
+         MAX(avg) OVER (PARTITION BY k ORDER BY j
+                        ROWS UNBOUNDED PRECEDING) AS m
+  FROM cells),
+fit AS (SELECT j AS i, MIN(m) AS fit FROM rm GROUP BY j)
+SELECT idx.i, CAST(idx.wk AS DATE) AS week, idx.cents,
+       round(fit.fit, 6) AS fit
+FROM idx JOIN fit ON fit.i = idx.i
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -10420,6 +10483,7 @@ ORACLES: dict[str, str | None] = {
     "eb_shrinkage": _EB_SHRINK_ORACLE,
     "sax_symbols": _SAX_ORACLE,
     "textrank_keywords": _textrank_oracle_sql(),
+    "isotonic_trend": _ISOTONIC_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -10734,6 +10798,7 @@ QUERIES = {
     "eb_shrinkage": q_eb_shrinkage,
     "sax_symbols": q_sax_symbols,
     "textrank_keywords": q_textrank_keywords,
+    "isotonic_trend": q_isotonic_trend,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -228,3 +228,36 @@ def test_cusum_prefix_max_equals_recursion(spark):
     got = {r["day"]: r["cusum"] for r in
            q_cusum_alarm(spark, "/root/testdata/sf0.001").collect()}
     assert got == out
+
+
+def test_isotonic_minimax_equals_pava(spark):
+    """The window minimax formulation must equal the classic
+    pool-adjacent-violators algorithm run in Python."""
+    import duckdb
+    from graphydb_spark.queries import q_isotonic_trend
+    con = duckdb.connect()
+    ys = [r[0] for r in con.execute(
+        "SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))*100 "
+        "AS BIGINT) FROM '/root/testdata/sf0.001/orders.parquet' "
+        "GROUP BY date_trunc('week', CAST(o_orderdate AS TIMESTAMP)) "
+        "ORDER BY date_trunc('week', CAST(o_orderdate AS TIMESTAMP))"
+    ).fetchall()]
+    # PAVA: pools of (sum, count), merge while decreasing
+    pools = []
+    for y in ys:
+        pools.append([y, 1])
+        while len(pools) > 1 and \
+                pools[-2][0] * pools[-1][1] > pools[-1][0] * pools[-2][1]:
+            s2, c2 = pools.pop()
+            pools[-1][0] += s2
+            pools[-1][1] += c2
+    want = []
+    for s, c in pools:
+        want.extend([s / c] * c)
+    got = [r["fit"] for r in
+           q_isotonic_trend(spark, "/root/testdata/sf0.001")
+           .orderBy("i").collect()]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert abs(g - w) < 1e-4, (g, w)
+    assert all(a <= b + 1e-9 for a, b in zip(got, got[1:]))  # monotone
