@@ -8778,6 +8778,40 @@ FROM idx JOIN fit ON fit.i = idx.i
 """
 
 
+def q_exact_median_terasort(spark, sf_dir):
+    """EXACT global median (lower) of order value by terasort-shaped
+    rank selection: range-partition on the value, per-partition sorted
+    cumsum + partition offsets — the scale-correct way to take an
+    exact order statistic (a partitionless row_number window funnels
+    the table through one task; percentile() aggregates buffer per
+    group).  Complements q:approx_percentiles (GK sketch) with the
+    exact path."""
+    from .operators.pipeline import _global_cum_before
+    o = load_tables(spark, sf_dir)["orders"].select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"))
+    n = o.count()
+    k = (n + 1) // 2
+    ranked = _global_cum_before(o, "cents", F.lit(1))
+    kth = (ranked.where((F.col("_cum_before") < k)
+                        & (k <= F.col("_cum_before") + 1))
+           .select("cents"))
+    return (kth.agg(F.min("cents").alias("median_cents"))
+            .select(F.lit(n).cast("long").alias("n"), "median_cents"))
+
+
+_EXACT_MEDIAN_ORACLE = """
+WITH o AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+    AS cents FROM orders),
+n AS (SELECT COUNT(*) AS n FROM o)
+SELECT n.n,
+       (SELECT cents FROM o ORDER BY cents
+        LIMIT 1 OFFSET (SELECT (n + 1) // 2 - 1 FROM n)) AS median_cents
+FROM n
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -10484,6 +10518,7 @@ ORACLES: dict[str, str | None] = {
     "sax_symbols": _SAX_ORACLE,
     "textrank_keywords": _textrank_oracle_sql(),
     "isotonic_trend": _ISOTONIC_ORACLE,
+    "exact_median_terasort": _EXACT_MEDIAN_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -10799,6 +10834,7 @@ QUERIES = {
     "sax_symbols": q_sax_symbols,
     "textrank_keywords": q_textrank_keywords,
     "isotonic_trend": q_isotonic_trend,
+    "exact_median_terasort": q_exact_median_terasort,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

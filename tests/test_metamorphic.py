@@ -215,3 +215,81 @@ def test_varlength_union_equals_khop_reach(rg):
         # identical up to the seed itself: k_hop includes it at distance
         # 0, the chain re-reaches it only through a cycle of length ≤ k
         assert got - {seed.uid} == reach - {seed.uid}
+
+
+# ----------------------------------------------------------- session ops
+
+
+def _rand_docs(spark, seed, n=40):
+    import random as _r
+    rng = _r.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(5, 25))))
+            for i in range(n)]
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_ssjoin_equals_bruteforce_on_random_corpora(spark, seed):
+    """Prefix filtering is lossless on ANY corpus: compare against
+    brute-force all-pairs shingle Jaccard."""
+    from graphydb_spark.operators.dedup import ssjoin_jaccard
+    rows, df = _rand_docs(spark, seed)
+
+    def sh(s):
+        w = s.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = sh(rows[i][1]), sh(rows[j][1])
+            if not a or not b:
+                continue
+            if len(a & b) / len(a | b) >= 0.3:
+                want.add((rows[i][0], rows[j][0]))
+    got = {(r["id_a"], r["id_b"])
+           for r in ssjoin_jaccard(df, threshold=0.3).collect()}
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_betweenness_additive_over_sources(spark, seed):
+    """Brandes dependencies are per-source sums: running the operator
+    with sources {a} and {b} separately and adding must equal one run
+    with {a, b}."""
+    import random as _r
+    from graphydb_spark.operators.graph_algos import betweenness_sampled
+    rng = _r.Random(seed)
+    edges = [(str(rng.randint(0, 14)), str(rng.randint(0, 14)))
+             for _ in range(25)]
+    e = spark.createDataFrame(edges, "startuid string, enduid string")
+    sa = spark.createDataFrame([("0",)], "uid string")
+    sb = spark.createDataFrame([("1",)], "uid string")
+    sab = spark.createDataFrame([("0",), ("1",)], "uid string")
+    da = {r["uid"]: r["betweenness"]
+          for r in betweenness_sampled(e, sa, 3).collect()}
+    db = {r["uid"]: r["betweenness"]
+          for r in betweenness_sampled(e, sb, 3).collect()}
+    dab = {r["uid"]: r["betweenness"]
+           for r in betweenness_sampled(e, sab, 3).collect()}
+    for uid, v in dab.items():
+        # each output rounds to 6 dp independently -> up to 2 half-ulps
+        assert abs(v - (da.get(uid, 0.0) + db.get(uid, 0.0))) < 2e-6
+
+
+def test_holt_forecast_is_linear_in_inputs(spark):
+    """The unrolled Holt coefficients define a LINEAR map: forecasting
+    y+z must equal forecast(y) + forecast(z)."""
+    from graphydb_spark.queries import _HOLT_D, _HOLT_NUMS, _HOLT_T
+    import random as _r
+    rng = _r.Random(5)
+    y = [rng.randint(1, 100) for _ in range(_HOLT_T)]
+    z = [rng.randint(1, 100) for _ in range(_HOLT_T)]
+    for h in (1, 2, 3, 4):
+        fy = sum(_HOLT_NUMS[h][i] * y[i] for i in range(_HOLT_T))
+        fz = sum(_HOLT_NUMS[h][i] * z[i] for i in range(_HOLT_T))
+        fyz = sum(_HOLT_NUMS[h][i] * (y[i] + z[i])
+                  for i in range(_HOLT_T))
+        assert fyz == fy + fz
