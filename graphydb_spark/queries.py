@@ -8812,6 +8812,156 @@ FROM n
 """
 
 
+def q_frequent_triples(spark, sf_dir):
+    """Apriori frequent 3-itemsets over order baskets (support >= 2)
+    WITH the Apriori candidate prune: triples are generated only by
+    joining frequent PAIRS that share a leading item, then verified
+    against the basket — the downward-closure principle that keeps
+    candidate volume polynomial at scale (a naive 3-way basket
+    self-join explodes cubically).  Exact integer supports."""
+    li = (load_tables(spark, sf_dir)["lineitem"]
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p")).distinct()
+          .repartition("o").localCheckpoint(eager=True))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (a.join(b, (F.col("a.o") == F.col("b.o"))
+                    & (F.col("a.p") < F.col("b.p")))
+             .groupBy(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
+             .agg(F.count("*").alias("s"))
+             .where(F.col("s") >= 2)
+             .localCheckpoint(eager=True))
+    # candidate triples: frequent pairs (x,y), (x,z) with y < z
+    cand = (pairs.alias("p1")
+            .join(pairs.alias("p2"),
+                  (F.col("p1.x") == F.col("p2.x"))
+                  & (F.col("p1.y") < F.col("p2.y")))
+            .select(F.col("p1.x").alias("x"), F.col("p1.y").alias("y"),
+                    F.col("p2.y").alias("z")))
+    c = li.alias("c")
+    verified = (cand
+                .join(a, F.col("a.p") == F.col("x"))
+                .join(b, (F.col("b.o") == F.col("a.o"))
+                      & (F.col("b.p") == F.col("y")))
+                .join(c, (F.col("c.o") == F.col("a.o"))
+                      & (F.col("c.p") == F.col("z")))
+                .groupBy("x", "y", "z")
+                .agg(F.count("*").alias("support"))
+                .where(F.col("support") >= 2))
+    return verified.select(F.col("x").alias("item1"),
+                           F.col("y").alias("item2"),
+                           F.col("z").alias("item3"), "support")
+
+
+_FREQ_TRIPLES_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem),
+tri AS (
+  SELECT a.p AS x, b.p AS y, c.p AS z, COUNT(*) AS support
+  FROM li a
+  JOIN li b ON b.o = a.o AND a.p < b.p
+  JOIN li c ON c.o = a.o AND b.p < c.p
+  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
+fp AS (
+  SELECT a.p AS x, b.p AS y, COUNT(*) AS s
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT t.x AS item1, t.y AS item2, t.z AS item3, t.support
+FROM tri t
+JOIN fp p1 ON p1.x = t.x AND p1.y = t.y
+JOIN fp p2 ON p2.x = t.x AND p2.y = t.z
+"""
+
+
+def q_ppr_asia(spark, sf_dir):
+    """Personalized PageRank from the ASIA region node over the
+    undirected Region-Nation-Customer graph, 4 iterations, damping
+    0.85 — the seed-anchored relevance ranking behind 'related
+    entities'.  Contribution terms and rank updates re-round to the
+    9 dp DECIMAL grid each step (the q:textrank_keywords ladder), so
+    neighbor-sum order never matters; the restart mass goes entirely
+    to the seed."""
+    g = tpch_graph(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    seed_uid = "Region:" + str(
+        t["region"].where(F.col("r_name") == "ASIA")
+        .select("r_regionkey").collect()[0][0])
+    edges = g.edges_df.where(F.col("kind").isin("InRegion",
+                                                "FromNation"))
+    sym = (edges.select(F.col("startuid").alias("u"),
+                        F.col("enduid").alias("v"))
+           .unionByName(edges.select(F.col("enduid").alias("u"),
+                                     F.col("startuid").alias("v")))
+           .distinct().repartition("u").localCheckpoint(eager=True))
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg")) \
+        .localCheckpoint(eager=True)
+    rank = deg.select(F.col("u").alias("w"),
+                      F.when(F.col("u") == seed_uid, 1.0).otherwise(0.0)
+                      .cast("decimal(18,9)").alias("r"))
+    for _ in range(4):
+        contrib = (sym.join(rank.withColumnRenamed("w", "u"), "u")
+                   .join(deg, "u")
+                   .select(F.col("v").alias("w"),
+                           F.round(F.col("r").cast("double")
+                                   / F.col("deg"), 9)
+                           .cast("decimal(18,9)").alias("c")))
+        inc = contrib.groupBy("w").agg(
+            F.sum("c").cast("decimal(28,9)").alias("s"))
+        rank = (deg.select(F.col("u").alias("w"))
+                .join(inc, "w", "left")
+                .select("w", F.round(
+                    F.when(F.col("w") == seed_uid, 0.15).otherwise(0.0)
+                    + 0.85 * F.coalesce(F.col("s"), F.lit(0))
+                    .cast("double"), 9)
+                    .cast("decimal(18,9)").alias("r"))
+                .localCheckpoint(eager=True))
+    return (rank.where(F.col("r") > 0)
+            .select("w", F.col("r").cast("double").alias("ppr"))
+            .orderBy(F.col("ppr").desc(), "w").limit(40))
+
+
+def _ppr_oracle_sql(iters: int = 4) -> str:
+    ctes = ["""seed AS (
+  SELECT 'Region:' || CAST(r_regionkey AS VARCHAR) AS uid
+  FROM region WHERE r_name = 'ASIA')""",
+            """sym AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT 'Nation:' || CAST(n_nationkey AS VARCHAR) AS u,
+           'Region:' || CAST(n_regionkey AS VARCHAR) AS v FROM nation
+    UNION ALL
+    SELECT 'Region:' || CAST(n_regionkey AS VARCHAR),
+           'Nation:' || CAST(n_nationkey AS VARCHAR) FROM nation
+    UNION ALL
+    SELECT 'Customer:' || CAST(c_custkey AS VARCHAR),
+           'Nation:' || CAST(c_nationkey AS VARCHAR) FROM customer
+    UNION ALL
+    SELECT 'Nation:' || CAST(c_nationkey AS VARCHAR),
+           'Customer:' || CAST(c_custkey AS VARCHAR) FROM customer)
+  GROUP BY u, v)""",
+            """deg AS MATERIALIZED (
+  SELECT u, COUNT(*) AS deg FROM sym GROUP BY u)""",
+            """r0 AS MATERIALIZED (
+  SELECT u AS w, CAST(CASE WHEN u = (SELECT uid FROM seed)
+                           THEN 1.0 ELSE 0.0 END
+                      AS DECIMAL(18,9)) AS r
+  FROM deg)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""r{i} AS MATERIALIZED (
+  SELECT d.u AS w,
+         CAST(round(CASE WHEN d.u = (SELECT uid FROM seed)
+                         THEN 0.15 ELSE 0.0 END
+           + 0.85 * CAST(COALESCE(x.s, 0) AS DOUBLE), 9)
+              AS DECIMAL(18,9)) AS r
+  FROM deg d LEFT JOIN (
+    SELECT s.v AS w, CAST(SUM(CAST(round(CAST(p.r AS DOUBLE) / dd.deg,
+                                         9) AS DECIMAL(18,9)))
+                          AS DECIMAL(28,9)) AS s
+    FROM sym s JOIN r{i - 1} p ON p.w = s.u JOIN deg dd ON dd.u = s.u
+    GROUP BY s.v) x ON x.w = d.u)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT w, CAST(r AS DOUBLE) AS ppr
+FROM r{iters} WHERE r > 0 ORDER BY ppr DESC, w LIMIT 40""")
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -10519,6 +10669,8 @@ ORACLES: dict[str, str | None] = {
     "textrank_keywords": _textrank_oracle_sql(),
     "isotonic_trend": _ISOTONIC_ORACLE,
     "exact_median_terasort": _EXACT_MEDIAN_ORACLE,
+    "frequent_triples": _FREQ_TRIPLES_ORACLE,
+    "ppr_asia": _ppr_oracle_sql(),
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -10835,6 +10987,8 @@ QUERIES = {
     "textrank_keywords": q_textrank_keywords,
     "isotonic_trend": q_isotonic_trend,
     "exact_median_terasort": q_exact_median_terasort,
+    "frequent_triples": q_frequent_triples,
+    "ppr_asia": q_ppr_asia,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
