@@ -1394,3 +1394,81 @@ def maximal_independent_set(edges_df: DataFrame, rounds: int = 6,
             "result is independent but may not be maximal.",
             RuntimeWarning, stacklevel=2)
     return selected.select("uid")
+
+
+def maximal_matching(edges_df: DataFrame, rounds: int = 6,
+                     salt: str = "mm",
+                     src_col: str = "startuid",
+                     dst_col: str = "enduid") -> DataFrame:
+    """Distributed maximal matching, Luby-style over the LINE graph
+    without materializing it: an alive edge joins the matching when
+    its md5-derived (priority, id) beats every other alive edge at
+    BOTH endpoints; matched endpoints leave the graph.  Per-node
+    competition is resolved with a two-smallest aggregate (so 'min
+    excluding self' never needs a self-join).  The matching's endpoint
+    set is the classic 2-approximate VERTEX COVER.
+
+    Deterministic (pure function of edge ids), O(log n) expected
+    rounds, frontier-sized shuffles; ``rounds`` fixes the oracle
+    replay horizon — non-convergence warns.
+
+    Returns ``(u, v)`` — the matched edges.
+    """
+    und = (edges_df.select(F.least(F.col(src_col), F.col(dst_col))
+                           .alias("u"),
+                           F.greatest(F.col(src_col), F.col(dst_col))
+                           .alias("v"))
+           .where(F.col("u") != F.col("v"))
+           .dropDuplicates(["u", "v"])
+           .localCheckpoint(eager=True))
+
+    def pri():
+        return F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col("u"),
+                           F.lit("|"), F.col("v"))), 1, 15), 16, 10) \
+            .cast("long")
+
+    alive = und.withColumn("p", pri()).localCheckpoint(eager=True)
+    matched = None
+    for _ in range(rounds):
+        if alive.limit(1).count() == 0:
+            break
+        inc = (alive.select(F.col("u").alias("n"), "p", "u", "v")
+               .unionByName(alive.select(F.col("v").alias("n"),
+                                         "p", "u", "v")))
+        two = (inc.groupBy("n")
+               .agg(F.slice(F.array_sort(F.collect_list(
+                   F.struct("p", "u", "v"))), 1, 2).alias("t2")))
+        cand = (inc.join(two, "n")
+                .withColumn(
+                    "rival",
+                    F.when((F.col("t2")[0]["u"] == F.col("u"))
+                           & (F.col("t2")[0]["v"] == F.col("v")),
+                           F.get(F.col("t2"), 1))
+                    .otherwise(F.get(F.col("t2"), 0)))
+                .withColumn(
+                    "wins",
+                    F.col("rival").isNull()
+                    | (F.struct("p", "u", "v") < F.col("rival")))
+                .groupBy("u", "v")
+                .agg(F.min(F.col("wins").cast("int")).alias("all_win"))
+                .where(F.col("all_win") == 1)
+                .select("u", "v").localCheckpoint(eager=True))
+        matched = cand if matched is None else matched.unionByName(cand)
+        used = (cand.select(F.col("u").alias("n"))
+                .unionByName(cand.select(F.col("v").alias("n")))
+                .distinct().localCheckpoint(eager=True))
+        alive = (alive
+                 .join(used.withColumnRenamed("n", "u"), "u",
+                       "left_anti")
+                 .join(used.withColumnRenamed("n", "v"), "v",
+                       "left_anti")
+                 .select("u", "v", "p")
+                 .localCheckpoint(eager=True))
+    if alive.limit(1).count() > 0:
+        import warnings
+        warnings.warn(
+            f"maximal_matching: not converged in {rounds} rounds; "
+            "matching is valid but may not be maximal.",
+            RuntimeWarning, stacklevel=2)
+    return matched.select("u", "v")

@@ -8962,6 +8962,62 @@ SELECT w, CAST(r AS DOUBLE) AS ppr
 FROM r{iters} WHERE r > 0 ORDER BY ppr DESC, w LIMIT 40""")
 
 
+def q_maximal_matching(spark, sf_dir):
+    """Distributed maximal matching over the part co-purchase graph
+    (Luby-style edge competition on md5 priorities, 6 rounds) — the
+    matched endpoints are the classic 2-approximate vertex cover.  An
+    edge wins a round iff it is the strict (priority, id)-minimum at
+    BOTH endpoints, resolved with a per-node two-smallest aggregate
+    (no line-graph materialization, no self-join on 'shares an
+    endpoint')."""
+    li = load_tables(spark, sf_dir)["lineitem"] \
+        .select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    co = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                 & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+          .select(F.col("a.l_partkey").cast("string").alias("pa"),
+                  F.col("b.l_partkey").cast("string").alias("pb")))
+    m = graph_algos.maximal_matching(co, rounds=6,
+                                     src_col="pa", dst_col="pb")
+    return m.select(F.col("u").cast("long").alias("part_a"),
+                    F.col("v").cast("long").alias("part_b"))
+
+
+def _matching_oracle_sql(rounds: int = 6) -> str:
+    pri = ("CAST(('0x' || substr(md5('mm:' || u || '|' || v), 1, 15)) "
+           "AS BIGINT)")
+    ctes = [f"""a0 AS MATERIALIZED (
+  SELECT u, v, {pri} AS p FROM (
+    SELECT DISTINCT LEAST(CAST(a.l_partkey AS VARCHAR),
+                          CAST(b.l_partkey AS VARCHAR)) AS u,
+           GREATEST(CAST(a.l_partkey AS VARCHAR),
+                    CAST(b.l_partkey AS VARCHAR)) AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey))"""]
+    sel = []
+    for r in range(rounds):
+        ctes.append(f"""inc{r} AS MATERIALIZED (
+  SELECT u AS n, p, u, v FROM a{r}
+  UNION ALL SELECT v AS n, p, u, v FROM a{r})""")
+        ctes.append(f"""m{r} AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT n, u, v,
+           row_number() OVER (PARTITION BY n ORDER BY p, u, v) AS rn
+    FROM inc{r})
+  WHERE rn = 1 GROUP BY u, v HAVING COUNT(*) = 2)""")
+        ctes.append(f"""used{r} AS MATERIALIZED (
+  SELECT u AS n FROM m{r} UNION SELECT v FROM m{r})""")
+        ctes.append(f"""a{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v, e.p FROM a{r} e
+  LEFT JOIN used{r} x ON x.n = e.u
+  LEFT JOIN used{r} y ON y.n = e.v
+  WHERE x.n IS NULL AND y.n IS NULL)""")
+        sel.append(f"SELECT u, v FROM m{r}")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(u AS BIGINT) AS part_a, CAST(v AS BIGINT) AS part_b
+FROM ({" UNION ALL ".join(sel)})""")
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -10671,6 +10727,7 @@ ORACLES: dict[str, str | None] = {
     "exact_median_terasort": _EXACT_MEDIAN_ORACLE,
     "frequent_triples": _FREQ_TRIPLES_ORACLE,
     "ppr_asia": _ppr_oracle_sql(),
+    "maximal_matching": _matching_oracle_sql(),
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -10989,6 +11046,7 @@ QUERIES = {
     "exact_median_terasort": q_exact_median_terasort,
     "frequent_triples": q_frequent_triples,
     "ppr_asia": q_ppr_asia,
+    "maximal_matching": q_maximal_matching,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

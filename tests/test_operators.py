@@ -1637,3 +1637,21 @@ def test_mis_independent_and_maximal(spark):
         assert not (adj.get(u, set()) & mis), "independence violated"
     for u in set(adj) - mis:
         assert adj[u] & mis, f"maximality violated at {u}"
+
+
+def test_maximal_matching_properties(spark):
+    """Matched edges share no endpoints; every graph edge touches a
+    matched endpoint (maximality of the matching)."""
+    import itertools
+    edges = [(str(a), str(b))
+             for a, b in itertools.combinations(range(24), 2)
+             if (a * 13 + b * 7) % 5 == 0]
+    e = spark.createDataFrame(edges, "startuid string, enduid string")
+    m = [(r["u"], r["v"]) for r in
+         graph_algos.maximal_matching(e, rounds=8).collect()]
+    assert m
+    used = [n for uv in m for n in uv]
+    assert len(used) == len(set(used)), "endpoint reused"
+    cover = set(used)
+    for a, b in edges:
+        assert a in cover or b in cover, f"edge ({a},{b}) uncovered"
