@@ -9018,6 +9018,74 @@ SELECT CAST(u AS BIGINT) AS part_a, CAST(v AS BIGINT) AS part_b
 FROM ({" UNION ALL ".join(sel)})""")
 
 
+def q_changepoint_sse(spark, sf_dir):
+    """Exact single change-point detection by least squares (binary
+    segmentation step 1): the split s minimizing SSE_left + SSE_right
+    of a two-mean model over weekly revenue.  Every candidate split is
+    O(1) from prefix sums (SSE(a..b) = Q - S^2/n with exact DECIMAL Q
+    and S), so the whole scan is one window pass + an argmin — no
+    per-candidate aggregation, cluster-runnable.  Integer cents; two
+    IEEE divisions per candidate; argmin tie-broken by split index."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"]
+    weekly = (o.groupBy(F.date_trunc("week", F.col("o_orderdate")
+                                     .cast("timestamp")).alias("wk"))
+              .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                    * 100).cast("long").alias("y")))
+    w = W.orderBy("wk")
+    pre = (weekly.withColumn("i", F.row_number().over(w))
+           .withColumn("s", F.sum("y").over(
+               w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+           .withColumn("q", F.sum((F.col("y").cast("decimal(19,0)")
+                                   * F.col("y")).cast("decimal(38,0)"))
+                        .over(w.rowsBetween(W.unboundedPreceding,
+                                            W.currentRow))))
+    tot = pre.agg(F.max("i").alias("n"), F.max("s").alias("st"),
+                  F.max("q").alias("qt"))
+    c = pre.crossJoin(F.broadcast(tot)).where(F.col("i") < F.col("n"))
+    sse_l = (F.col("q").cast("double")
+             - F.col("s").cast("double") * F.col("s") / F.col("i"))
+    sse_r = ((F.col("qt") - F.col("q")).cast("double")
+             - (F.col("st") - F.col("s")).cast("double")
+             * (F.col("st") - F.col("s"))
+             / (F.col("n") - F.col("i")))
+    scored = c.select(F.col("i").alias("split"),
+                      F.col("wk").cast("date").alias("split_week"),
+                      F.round((sse_l + sse_r) / 1e16, 9).alias("sse"))
+    best = F.min(F.struct(F.col("sse"), F.col("split"),
+                          F.col("split_week")))
+    return (scored.agg(best.alias("b"))
+            .select(F.col("b.split").alias("split"),
+                    F.col("b.split_week").alias("split_week"),
+                    F.col("b.sse").alias("sse")))
+
+
+_CHANGEPOINT_ORACLE = """
+WITH weekly AS (
+  SELECT date_trunc('week', CAST(o_orderdate AS TIMESTAMP)) AS wk,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS y
+  FROM orders GROUP BY 1),
+pre AS (
+  SELECT wk, y,
+         row_number() OVER (ORDER BY wk) AS i,
+         SUM(y) OVER (ORDER BY wk ROWS UNBOUNDED PRECEDING) AS s,
+         SUM(y * y) OVER (ORDER BY wk ROWS UNBOUNDED PRECEDING) AS q
+  FROM weekly),
+tot AS (SELECT MAX(i) AS n, MAX(s) AS st, MAX(q) AS qt FROM pre),
+scored AS (
+  SELECT i AS split, CAST(wk AS DATE) AS split_week,
+         round((CAST(q AS DOUBLE)
+                - CAST(s AS DOUBLE) * s / i
+                + CAST(qt - q AS DOUBLE)
+                - CAST(st - s AS DOUBLE) * (st - s) / (n - i)) / 1e16,
+               9) AS sse
+  FROM pre, tot WHERE i < n)
+SELECT split, split_week, sse FROM scored
+ORDER BY sse, split LIMIT 1
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -10728,6 +10796,7 @@ ORACLES: dict[str, str | None] = {
     "frequent_triples": _FREQ_TRIPLES_ORACLE,
     "ppr_asia": _ppr_oracle_sql(),
     "maximal_matching": _matching_oracle_sql(),
+    "changepoint_sse": _CHANGEPOINT_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -11047,6 +11116,7 @@ QUERIES = {
     "frequent_triples": q_frequent_triples,
     "ppr_asia": q_ppr_asia,
     "maximal_matching": q_maximal_matching,
+    "changepoint_sse": q_changepoint_sse,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
