@@ -9086,6 +9086,79 @@ ORDER BY sse, split LIMIT 1
 """
 
 
+def q_rebalance_audit(spark, sf_dir):
+    """Shard-rebalancing audit: fraction of documents that MOVE when a
+    17th shard joins, under (a) mod-hashing (expect ~16/17 moved — the
+    resharding catastrophe) vs (b) rendezvous/HRW hashing (expect
+    ~1/17 — only keys won by the new shard move).  HRW assignment =
+    argmax over md5(key, shard) per key, computed as one max(struct)
+    aggregate over a 16/17-way generated column — no shuffle of the
+    corpus at all (narrow map + final 2-row aggregate).  The property
+    that decides whether growing a 100 TB cluster re-reads 94%% or 6%%
+    of it."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def hrw(n):
+        arr = F.array(*[
+            F.struct(
+                F.conv(F.substring(F.md5(F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(f"|s{i}"))), 1, 15), 16, 10).cast("long")
+                .alias("h"),
+                F.lit(i).alias("shard"))
+            for i in range(n)])
+        return F.array_max(arr)["shard"]
+
+    h = text.hash60(F.col("doc_id").cast("string"))
+    scored = docs.select(
+        ((h % 16 + 16) % 16).alias("mod16"),
+        ((h % 17 + 17) % 17).alias("mod17"),
+        hrw(16).alias("hrw16"),
+        hrw(17).alias("hrw17"))
+    agg = scored.agg(
+        F.count("*").alias("total"),
+        F.sum((F.col("mod16") != F.col("mod17")).cast("int"))
+        .alias("mod_moved"),
+        F.sum((F.col("hrw16") != F.col("hrw17")).cast("int"))
+        .alias("hrw_moved"))
+    return (agg.select(
+        "total", "mod_moved", "hrw_moved",
+        F.round(F.col("mod_moved") / F.col("total"), 6)
+        .alias("mod_moved_frac"),
+        F.round(F.col("hrw_moved") / F.col("total"), 6)
+        .alias("hrw_moved_frac")))
+
+
+def _rebalance_oracle_sql() -> str:
+    def hrw(n):
+        cells = ", ".join(
+            "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || "
+            f"'|s{i}'), 1, 15)) AS BIGINT), {i})" for i in range(n))
+        return (f"(SELECT shard FROM (VALUES {cells}) AS t(h, shard) "
+                "ORDER BY h DESC, shard DESC LIMIT 1)")
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM documents),
+scored AS (
+  SELECT ((hv % 16) + 16) % 16 AS mod16,
+         ((hv % 17) + 17) % 17 AS mod17,
+         {hrw(16)} AS hrw16,
+         {hrw(17)} AS hrw17
+  FROM h)
+SELECT COUNT(*) AS total,
+       SUM(CASE WHEN mod16 <> mod17 THEN 1 ELSE 0 END) AS mod_moved,
+       SUM(CASE WHEN hrw16 <> hrw17 THEN 1 ELSE 0 END) AS hrw_moved,
+       round(SUM(CASE WHEN mod16 <> mod17 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS mod_moved_frac,
+       round(SUM(CASE WHEN hrw16 <> hrw17 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS hrw_moved_frac
+FROM scored
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -10797,6 +10870,7 @@ ORACLES: dict[str, str | None] = {
     "ppr_asia": _ppr_oracle_sql(),
     "maximal_matching": _matching_oracle_sql(),
     "changepoint_sse": _CHANGEPOINT_ORACLE,
+    "rebalance_audit": _rebalance_oracle_sql(),
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -11117,6 +11191,7 @@ QUERIES = {
     "ppr_asia": q_ppr_asia,
     "maximal_matching": q_maximal_matching,
     "changepoint_sse": q_changepoint_sse,
+    "rebalance_audit": q_rebalance_audit,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
