@@ -9159,6 +9159,79 @@ FROM scored
 """
 
 
+def q_percolation_curve(spark, sf_dir):
+    """Bond-percolation curve of the part co-purchase graph: keep each
+    edge with hash-gated probability p in {0.002, 0.01, 0.05}, run
+    connected components, report component count + giant-component
+    size per p — the robustness/phase-transition probe (how much edge
+    loss fragments the graph).  Hash gating makes each subgraph a pure
+    function of the edge ids, so the recursive-CTE oracle replays the
+    exact same draw."""
+    li = load_tables(spark, sf_dir)["lineitem"] \
+        .select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    co = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                 & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+          .select(F.col("a.l_partkey").cast("string").alias("u"),
+                  F.col("b.l_partkey").cast("string").alias("v"))
+          .distinct().localCheckpoint(eager=True))
+    gate = text.hash60(F.concat(F.lit("perc:"), F.col("u"),
+                                F.lit("|"), F.col("v"))) % 10000
+    out = None
+    for p in (0.002, 0.01, 0.05):
+        kept = co.where(gate < int(p * 10000))
+        nodes = (kept.select(F.col("u").alias("uid"))
+                 .unionByName(kept.select(F.col("v").alias("uid")))
+                 .distinct())
+        # near the percolation threshold components are long chains:
+        # diameter (and so the label-propagation round count) exceeds
+        # the default cap; the changed==0 early exit keeps converged
+        # runs cheap
+        cc = graph_algos.connected_components(
+            nodes, kept.select(F.col("u").alias("startuid"),
+                               F.col("v").alias("enduid")),
+            max_iter=80)
+        stats = (cc.groupBy("component").agg(F.count("*").alias("sz"))
+                 .agg(F.count("*").alias("n_components"),
+                      F.max("sz").cast("long").alias("giant_size"),
+                      F.sum("sz").cast("long").alias("n_nodes"))
+                 .select(F.lit(p).alias("p"), "n_components",
+                         "giant_size", "n_nodes"))
+        out = stats if out is None else out.unionByName(stats)
+    return out
+
+
+def _percolation_oracle_sql() -> str:
+    parts = []
+    for p in (0.002, 0.01, 0.05):
+        t = int(p * 10000)
+        parts.append(f"""
+SELECT CAST({p} AS DOUBLE) AS p, COUNT(*) AS n_components,
+       CAST(MAX(sz) AS BIGINT) AS giant_size,
+       CAST(SUM(sz) AS BIGINT) AS n_nodes
+FROM (
+  WITH RECURSIVE
+  kept AS (
+    SELECT u, v FROM (
+      SELECT DISTINCT CAST(a.l_partkey AS VARCHAR) AS u,
+             CAST(b.l_partkey AS VARCHAR) AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    WHERE CAST(('0x' || substr(md5('perc:' || u || '|' || v), 1, 15))
+               AS BIGINT) % 10000 < {t}),
+  sym AS (SELECT u AS a, v AS b FROM kept
+          UNION SELECT v, u FROM kept),
+  reach(a, b) AS (
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
+  comp AS (
+    SELECT a AS uid, LEAST(a, MIN(b)) AS component
+    FROM reach GROUP BY a)
+  SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)""")
+    return " UNION ALL ".join(parts)
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -10871,6 +10944,7 @@ ORACLES: dict[str, str | None] = {
     "maximal_matching": _matching_oracle_sql(),
     "changepoint_sse": _CHANGEPOINT_ORACLE,
     "rebalance_audit": _rebalance_oracle_sql(),
+    "percolation_curve": _percolation_oracle_sql(),
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -11192,6 +11266,7 @@ QUERIES = {
     "maximal_matching": q_maximal_matching,
     "changepoint_sse": q_changepoint_sse,
     "rebalance_audit": q_rebalance_audit,
+    "percolation_curve": q_percolation_curve,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
