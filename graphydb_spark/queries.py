@@ -9232,6 +9232,90 @@ FROM (
     return " UNION ALL ".join(parts)
 
 
+def q_simrank_parts(spark, sf_dir):
+    """SimRank (Jeh & Widom 2002) between parts on the directed
+    Customer -> Order -> Part graph, C = 0.8, two exact iterations.
+    Because orders have exactly one in-neighbor (their customer), the
+    recursion collapses to closed joins:
+
+      s1(o1,o2) = C                 iff o1 != o2, same customer
+      s2(a,b)   = C/(na*nb) * ( |Ia ∩ Ib|
+                  + C * #{(o1,o2): o1 != o2, same cust,
+                           a ∈ o1, b ∈ o2} )
+
+    (I = containing orders, n = |I|).  Both terms are exact integer
+    counts from keyed joins — the scale shape is two co-occurrence
+    joins, never a node-pair dense matrix.  Top 50 pairs by s2."""
+    li = (load_tables(spark, sf_dir)["lineitem"]
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p")).distinct()
+          .localCheckpoint(eager=True))
+    oc = (load_tables(spark, sf_dir)["orders"]
+          .select(F.col("o_orderkey").alias("o"),
+                  F.col("o_custkey").alias("c")))
+    n = li.groupBy("p").agg(F.count("*").alias("n"))
+    a, b = li.alias("a"), li.alias("b")
+    common = (a.join(b, (F.col("a.o") == F.col("b.o"))
+                     & (F.col("a.p") < F.col("b.p")))
+              .groupBy(F.col("a.p").alias("pa"),
+                       F.col("b.p").alias("pb"))
+              .agg(F.count("*").alias("shared")))
+    # same-customer distinct-order pairs containing (a, b)
+    la = li.join(oc, "o").select(F.col("p").alias("pa"),
+                                 F.col("o").alias("oa"), "c")
+    lb = li.join(oc, "o").select(F.col("p").alias("pb"),
+                                 F.col("o").alias("ob"), "c")
+    cross = (la.join(lb, "c")
+             .where((F.col("oa") != F.col("ob"))
+                    & (F.col("pa") < F.col("pb")))
+             .groupBy("pa", "pb").agg(F.count("*").alias("xc")))
+    pairs = (common.join(cross, ["pa", "pb"], "full")
+             .select("pa", "pb",
+                     F.coalesce("shared", F.lit(0)).alias("shared"),
+                     F.coalesce("xc", F.lit(0)).alias("xc")))
+    s2 = (0.8 / (F.col("na") * F.col("nb"))
+          * (F.col("shared") + 0.8 * F.col("xc")))
+    return (pairs
+            .join(F.broadcast(n.select(F.col("p").alias("pa"),
+                                       F.col("n").alias("na"))), "pa")
+            .join(F.broadcast(n.select(F.col("p").alias("pb"),
+                                       F.col("n").alias("nb"))), "pb")
+            .select("pa", "pb", "shared", "xc",
+                    F.round(s2, 9).alias("simrank2"))
+            .orderBy(F.col("simrank2").desc(), "pa", "pb")
+            .limit(50))
+
+
+_SIMRANK_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem),
+oc AS (SELECT o_orderkey AS o, o_custkey AS c FROM orders),
+n AS (SELECT p, COUNT(*) AS n FROM li GROUP BY p),
+common AS (
+  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS shared
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+cross_ AS (
+  SELECT la.p AS pa, lb.p AS pb, COUNT(*) AS xc
+  FROM (SELECT li.p, li.o, oc.c FROM li JOIN oc USING (o)) la
+  JOIN (SELECT li.p, li.o, oc.c FROM li JOIN oc USING (o)) lb
+    ON la.c = lb.c AND la.o <> lb.o AND la.p < lb.p
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT COALESCE(common.pa, cross_.pa) AS pa,
+         COALESCE(common.pb, cross_.pb) AS pb,
+         COALESCE(shared, 0) AS shared, COALESCE(xc, 0) AS xc
+  FROM common FULL JOIN cross_
+    ON common.pa = cross_.pa AND common.pb = cross_.pb)
+SELECT pairs.pa, pairs.pb, pairs.shared, pairs.xc,
+       round(0.8 / (na.n * nb.n) * (shared + 0.8 * xc), 9)
+         AS simrank2
+FROM pairs
+JOIN n na ON na.p = pairs.pa
+JOIN n nb ON nb.p = pairs.pb
+ORDER BY simrank2 DESC, pairs.pa, pairs.pb LIMIT 50
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -10945,6 +11029,7 @@ ORACLES: dict[str, str | None] = {
     "changepoint_sse": _CHANGEPOINT_ORACLE,
     "rebalance_audit": _rebalance_oracle_sql(),
     "percolation_curve": _percolation_oracle_sql(),
+    "simrank_parts": _SIMRANK_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -11267,6 +11352,7 @@ QUERIES = {
     "changepoint_sse": q_changepoint_sse,
     "rebalance_audit": q_rebalance_audit,
     "percolation_curve": q_percolation_curve,
+    "simrank_parts": q_simrank_parts,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
