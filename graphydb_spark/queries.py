@@ -9316,6 +9316,115 @@ ORDER BY simrank2 DESC, pairs.pa, pairs.pb LIMIT 50
 """
 
 
+def q_corpus_pipeline_v2(spark, sf_dir):
+    """Capstone composition of this session's operators in ONE lazy
+    DAG: EXACT near-dup removal (prefix-filtered ssjoin -> connected
+    components -> keep min id) -> DSIR top-200 domain tilt (models
+    trained on the SURVIVORS, not the raw corpus) -> priority sample
+    100 weighted by length -> token-budget shard packing -> per-shard
+    stats.  Every stage is an already-oracled operator; the whole
+    pipeline replays as one CTE chain."""
+    from .operators.pipeline import (dsir_select, pack_shards,
+                                     priority_sample)
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ssjoin_jaccard(docs, threshold=0.5) \
+        .select("id_a", "id_b")
+    clusters = dedup.dedup_clusters(pairs)
+    drop = (clusters.where(F.col("doc_id") != F.col("cluster"))
+            .select("doc_id"))
+    surv = docs.join(drop, "doc_id", "left_anti")
+    chosen = dsir_select(surv, F.col("lang") == "en", n=200) \
+        .select("doc_id")
+    sel = surv.select("doc_id", "lang", "n_chars") \
+        .join(chosen, "doc_id")
+    samp = priority_sample(sel, "n_chars", 100).drop("priority")
+    packed = pack_shards(samp, "doc_id", "n_chars", budget=2000,
+                         partition_col="lang")
+    return (packed.groupBy("lang", "shard_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("shard_chars")))
+
+
+_PIPELINE_V2_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '') AS ws
+  FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
+        i -> CAST(('0x' || substr(md5(
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))
+             AS BIGINT))) AS s
+  FROM toks WHERE len(ws) >= 3),
+tt AS (SELECT doc_id, len(s) AS n, unnest(s) AS tok FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+         count(*) AS i
+  FROM tt a JOIN tt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  WHERE CAST(i AS DOUBLE)/(na+nb-i) >= 0.5),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.a, s.b FROM r JOIN sym s ON s.a = r.b)
+  SELECT * FROM r),
+drop_ AS (
+  SELECT a AS doc_id FROM reach GROUP BY a
+  HAVING a <> LEAST(a, MIN(b))),
+surv AS (
+  SELECT d.* FROM documents d
+  LEFT JOIN drop_ x ON x.doc_id = d.doc_id WHERE x.doc_id IS NULL),
+stoks AS (
+  SELECT doc_id, lang = 'en' AS tgt,
+         unnest(list_filter(string_split_regex(lower(text),
+                '[^a-z0-9]+'), x -> x != '')) AS tok
+  FROM surv),
+freq AS (
+  SELECT tok, COUNT(*) AS tf_all,
+         SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tf_tgt
+  FROM stoks GROUP BY tok),
+sden AS (SELECT SUM(tf_all) + COUNT(*) AS denom_all,
+                SUM(tf_tgt) + COUNT(*) AS denom_tgt FROM freq),
+scored AS (
+  SELECT t.doc_id,
+         SUM(CAST(round(log10((f.tf_tgt + 1) * 1.0 / sden.denom_tgt),
+                        6) AS DECIMAL(18,6))
+             - CAST(round(log10((f.tf_all + 1) * 1.0
+                                / sden.denom_all), 6)
+                    AS DECIMAL(18,6))) AS r
+  FROM stoks t JOIN freq f USING (tok), sden
+  GROUP BY t.doc_id),
+chosen AS (
+  SELECT doc_id FROM scored
+  ORDER BY round(CAST(r AS DOUBLE), 6) + 0.0 DESC, doc_id LIMIT 200),
+sel AS (
+  SELECT s.doc_id, s.lang, s.n_chars FROM surv s
+  JOIN chosen USING (doc_id)),
+samp AS (
+  SELECT doc_id, lang, n_chars FROM sel
+  ORDER BY CAST(n_chars AS DOUBLE) * 1152921504606846976.0
+           / CAST(CAST(('0x' || substr(md5('ps:' ||
+               CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1
+             AS DOUBLE) DESC, doc_id
+  LIMIT 100),
+c AS (
+  SELECT lang, doc_id, n_chars,
+         SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM samp)
+SELECT lang,
+       CAST(floor((cum - n_chars) / 2000) AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS shard_chars
+FROM c GROUP BY lang, shard_id
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -11030,6 +11139,7 @@ ORACLES: dict[str, str | None] = {
     "rebalance_audit": _rebalance_oracle_sql(),
     "percolation_curve": _percolation_oracle_sql(),
     "simrank_parts": _SIMRANK_ORACLE,
+    "corpus_pipeline_v2": _PIPELINE_V2_ORACLE,
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -11353,6 +11463,7 @@ QUERIES = {
     "rebalance_audit": q_rebalance_audit,
     "percolation_curve": q_percolation_curve,
     "simrank_parts": q_simrank_parts,
+    "corpus_pipeline_v2": q_corpus_pipeline_v2,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
