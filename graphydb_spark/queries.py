@@ -9425,6 +9425,115 @@ FROM c GROUP BY lang, shard_id
 """
 
 
+_SHAPLEY_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _shapley_lattice():
+    """(channel, subset_without, subset_with, num, den) rows for the
+    exact Shapley value over the fixed 4-channel lattice: weight =
+    |S|! (k-|S|-1)! / k!.  Data-independent — generated once in Python
+    and shared as literals with the SQL oracle (subsets encoded as
+    comma-joined sorted channel strings; '' = empty set)."""
+    import itertools
+    from math import factorial
+    k = len(_SHAPLEY_CHANNELS)
+    rows = []
+    for c in _SHAPLEY_CHANNELS:
+        rest = [x for x in _SHAPLEY_CHANNELS if x != c]
+        for r in range(len(rest) + 1):
+            for s in itertools.combinations(rest, r):
+                num = factorial(len(s)) * factorial(k - len(s) - 1)
+                rows.append((c, ",".join(sorted(s)),
+                             ",".join(sorted(s + (c,))),
+                             num, factorial(k)))
+    return rows
+
+
+def q_shapley_attribution(spark, sf_dir):
+    """EXACT Shapley data-driven attribution (the game-theoretic
+    alternative to last-touch): the coalition value v(S) is the
+    empirical conversion rate of users whose touched pre-purchase
+    channel set is exactly S; each channel's Shapley value sums
+    |S|!(k-|S|-1)!/k! [v(S+c) - v(S)] over the 4-channel lattice.
+    The lattice and factorial weights are data-independent literals
+    shared with the oracle; v terms are 9 dp DECIMAL ratios; unseen
+    coalitions contribute v = 0.  One aggregation over users + a
+    16-row broadcast join."""
+    ev = _events(spark, sf_dir)
+    touched = (ev.where(F.col("event_type")
+                        .isin(*_SHAPLEY_CHANNELS))
+               .groupBy("user_id")
+               .agg(F.concat_ws(",", F.array_sort(
+                   F.collect_set("event_type"))).alias("sset")))
+    conv = (ev.where(F.col("event_type") == "purchase")
+            .select("user_id").distinct()
+            .withColumn("conv", F.lit(1)))
+    v = (touched.join(conv, "user_id", "left")
+         .groupBy("sset")
+         .agg(F.count("*").alias("n"),
+              F.sum(F.coalesce("conv", F.lit(0))).alias("x"))
+         .select("sset", F.round(F.col("x") / F.col("n"), 9)
+                 .cast("decimal(18,9)").alias("v")))
+    lat = spark.createDataFrame(
+        _shapley_lattice(),
+        "channel string, s_without string, s_with string, "
+        "num long, den long")
+    j = (lat
+         .join(v.withColumnRenamed("sset", "s_with")
+               .withColumnRenamed("v", "v_with"), "s_with", "left")
+         .join(v.withColumnRenamed("sset", "s_without")
+               .withColumnRenamed("v", "v_without"), "s_without",
+               "left"))
+    term = ((F.coalesce(F.col("v_with"),
+                        F.lit(0).cast("decimal(18,9)"))
+             - F.coalesce(F.col("v_without"),
+                          F.lit(0).cast("decimal(18,9)")))
+            * F.col("num"))
+    # den is the constant k! = 24; divide as ONE double op after the
+    # exact decimal sum (engine decimal-division scale rules differ)
+    return (j.groupBy("channel")
+            .agg(F.sum(term).cast("double").alias("_s"))
+            .select("channel",
+                    (F.round(F.col("_s") / 24.0, 9) + F.lit(0.0))
+                    .alias("shapley")))
+
+
+def _shapley_oracle_sql() -> str:
+    vals = ", ".join(
+        f"('{c}', '{sw}', '{swc}', {num}, {den})"
+        for c, sw, swc, num, den in _shapley_lattice())
+    chans = ", ".join(f"'{c}'" for c in _SHAPLEY_CHANNELS)
+    return f"""
+WITH touched AS (
+  SELECT user_id,
+         array_to_string(list_sort(list_distinct(
+             list(event_type))), ',') AS sset
+  FROM events WHERE event_type IN ({chans})
+  GROUP BY user_id),
+conv AS (SELECT DISTINCT user_id FROM events
+         WHERE event_type = 'purchase'),
+v AS (
+  SELECT sset,
+         CAST(round(SUM(CASE WHEN c.user_id IS NOT NULL
+                             THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 9)
+              AS DECIMAL(18,9)) AS v
+  FROM touched t LEFT JOIN conv c ON c.user_id = t.user_id
+  GROUP BY sset),
+lat(channel, s_without, s_with, num, den) AS (VALUES {vals}),
+j AS (
+  SELECT lat.channel, lat.num, lat.den,
+         COALESCE(vw.v, CAST(0 AS DECIMAL(18,9))) AS v_with,
+         COALESCE(vo.v, CAST(0 AS DECIMAL(18,9))) AS v_without
+  FROM lat
+  LEFT JOIN v vw ON vw.sset = lat.s_with
+  LEFT JOIN v vo ON vo.sset = lat.s_without)
+SELECT channel,
+       round(CAST(SUM((v_with - v_without) * num) AS DOUBLE) / 24.0,
+             9) + 0.0 AS shapley
+FROM j GROUP BY channel
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -11140,6 +11249,7 @@ ORACLES: dict[str, str | None] = {
     "percolation_curve": _percolation_oracle_sql(),
     "simrank_parts": _SIMRANK_ORACLE,
     "corpus_pipeline_v2": _PIPELINE_V2_ORACLE,
+    "shapley_attribution": _shapley_oracle_sql(),
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -11464,6 +11574,7 @@ QUERIES = {
     "percolation_curve": q_percolation_curve,
     "simrank_parts": q_simrank_parts,
     "corpus_pipeline_v2": q_corpus_pipeline_v2,
+    "shapley_attribution": q_shapley_attribution,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -261,3 +261,31 @@ def test_isotonic_minimax_equals_pava(spark):
     for g, w in zip(got, want):
         assert abs(g - w) < 1e-4, (g, w)
     assert all(a <= b + 1e-9 for a, b in zip(got, got[1:]))  # monotone
+
+
+def test_shapley_efficiency_axiom(spark):
+    """Shapley values must sum to v(grand coalition) - v(empty) —
+    the efficiency axiom, computed on the real fixture data."""
+    import duckdb
+    from graphydb_spark.queries import (q_shapley_attribution,
+                                        _SHAPLEY_CHANNELS)
+    sf = "/root/testdata/sf0.001"
+    got = {r["channel"]: r["shapley"]
+           for r in q_shapley_attribution(spark, sf).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf}/events.parquet'")
+    chans = ", ".join(f"'{c}'" for c in _SHAPLEY_CHANNELS)
+    full = ",".join(sorted(_SHAPLEY_CHANNELS))
+    v_full = con.execute(f"""
+        WITH touched AS (
+          SELECT user_id, array_to_string(list_sort(list_distinct(
+              list(event_type))), ',') AS sset
+          FROM events WHERE event_type IN ({chans}) GROUP BY user_id),
+        conv AS (SELECT DISTINCT user_id FROM events
+                 WHERE event_type = 'purchase')
+        SELECT round(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1
+                         ELSE 0 END) * 1.0 / COUNT(*), 9)
+        FROM touched t LEFT JOIN conv c ON c.user_id = t.user_id
+        WHERE sset = '{full}'""").fetchone()[0]
+    assert abs(sum(got.values()) - float(v_full)) < 1e-6
