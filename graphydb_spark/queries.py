@@ -9534,6 +9534,102 @@ FROM j GROUP BY channel
 """
 
 
+def q_attack_robustness(spark, sf_dir):
+    """Scale-free fragility probe (Albert-Barabasi): remove 100 parts
+    from the co-purchase graph either TARGETED (highest degree, ties
+    by key) or RANDOM (hash-selected), and compare the surviving
+    component structure — targeted removal shatters hub-dominated
+    graphs while random removal barely dents them.  Two CC runs over
+    hash-deterministic subgraphs."""
+    li = load_tables(spark, sf_dir)["lineitem"] \
+        .select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    co = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                 & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+          .select(F.col("a.l_partkey").cast("string").alias("u"),
+                  F.col("b.l_partkey").cast("string").alias("v"))
+          .distinct().localCheckpoint(eager=True))
+    deg = (co.select(F.col("u").alias("n"))
+           .unionByName(co.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count("*").alias("d")))
+    from pyspark.sql import Window as W
+    targeted = (deg.withColumn("r", F.row_number().over(
+        W.orderBy(F.col("d").desc(), F.col("n"))))
+        .where(F.col("r") <= 100).select("n"))
+    rnd = (deg.withColumn("h", text.hash60(
+        F.concat(F.lit("atk:"), F.col("n"))))
+        .withColumn("r", F.row_number().over(
+            W.orderBy(F.col("h"), F.col("n"))))
+        .where(F.col("r") <= 100).select("n"))
+    out = None
+    for name, rm in (("targeted", targeted), ("random", rnd)):
+        kept = (co.join(rm.withColumnRenamed("n", "u"), "u",
+                        "left_anti")
+                .join(rm.withColumnRenamed("n", "v"), "v",
+                      "left_anti"))
+        nodes = (kept.select(F.col("u").alias("uid"))
+                 .unionByName(kept.select(F.col("v").alias("uid")))
+                 .distinct())
+        cc = graph_algos.connected_components(
+            nodes, kept.select(F.col("u").alias("startuid"),
+                               F.col("v").alias("enduid")),
+            max_iter=80)
+        st = (cc.groupBy("component").agg(F.count("*").alias("sz"))
+              .agg(F.count("*").alias("n_components"),
+                   F.max("sz").cast("long").alias("giant_size"),
+                   F.sum("sz").cast("long").alias("n_nodes"))
+              .select(F.lit(name).alias("scenario"), "n_components",
+                      "giant_size", "n_nodes"))
+        out = st if out is None else out.unionByName(st)
+    return out
+
+
+def _attack_oracle_sql() -> str:
+    parts = []
+    for name, rmcte in (
+        ("targeted", """
+  SELECT n FROM (
+    SELECT n, row_number() OVER (ORDER BY d DESC, n) AS r FROM deg)
+  WHERE r <= 100"""),
+        ("random", """
+  SELECT n FROM (
+    SELECT n, row_number() OVER (ORDER BY
+      CAST(('0x' || substr(md5('atk:' || n), 1, 15)) AS BIGINT), n)
+      AS r FROM deg)
+  WHERE r <= 100""")):
+        parts.append(f"""
+SELECT '{name}' AS scenario, COUNT(*) AS n_components,
+       CAST(MAX(sz) AS BIGINT) AS giant_size,
+       CAST(SUM(sz) AS BIGINT) AS n_nodes
+FROM (
+  WITH RECURSIVE
+  co AS (
+    SELECT DISTINCT CAST(a.l_partkey AS VARCHAR) AS u,
+           CAST(b.l_partkey AS VARCHAR) AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+  deg AS (
+    SELECT n, COUNT(*) AS d FROM (
+      SELECT u AS n FROM co UNION ALL SELECT v FROM co) GROUP BY n),
+  rm AS ({rmcte}),
+  kept AS (
+    SELECT co.u, co.v FROM co
+    LEFT JOIN rm x ON x.n = co.u
+    LEFT JOIN rm y ON y.n = co.v
+    WHERE x.n IS NULL AND y.n IS NULL),
+  sym AS (SELECT u AS a, v AS b FROM kept
+          UNION SELECT v, u FROM kept),
+  reach(a, b) AS (
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
+  comp AS (
+    SELECT a AS uid, LEAST(a, MIN(b)) AS component
+    FROM reach GROUP BY a)
+  SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)""")
+    return " UNION ALL ".join(parts)
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -11250,6 +11346,7 @@ ORACLES: dict[str, str | None] = {
     "simrank_parts": _SIMRANK_ORACLE,
     "corpus_pipeline_v2": _PIPELINE_V2_ORACLE,
     "shapley_attribution": _shapley_oracle_sql(),
+    "attack_robustness": _attack_oracle_sql(),
 }
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
@@ -11575,6 +11672,7 @@ QUERIES = {
     "simrank_parts": q_simrank_parts,
     "corpus_pipeline_v2": q_corpus_pipeline_v2,
     "shapley_attribution": q_shapley_attribution,
+    "attack_robustness": q_attack_robustness,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
