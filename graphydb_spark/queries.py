@@ -1368,7 +1368,7 @@ def q_language_id(spark, sf_dir):
 
 def q_connected_components(spark, sf_dir):
     """Iterative label propagation on the Nation/Region subgraph.
-    Non-SQL-expressible (iterative) → rows-only oracle."""
+    FULL oracle: recursive-CTE transitive closure + min-label."""
     g = tpch_graph(spark, sf_dir)
     nodes = g.nodes_df.where(F.col("kind").isin("Nation", "Region"))
     edges = g.edges_df.where(F.col("kind") == "InRegion")
@@ -9630,6 +9630,64 @@ FROM (
     return " UNION ALL ".join(parts)
 
 
+def q_kappa_langid(spark, sf_dir):
+    """Cohen's kappa between the engine's own stopword-vote language
+    identifier (q:language_id) and the corpus ground-truth ``lang``
+    column — chance-corrected agreement, the honest way to score a
+    classifier against labels (accuracy flatters under class
+    imbalance).  po/pe from exact integer confusion counts; kappa =
+    (po - pe)/(1 - pe) in doubles."""
+    guessed = text.language_id(_docs(spark, sf_dir)) \
+        .select("doc_id", "lang_guess", "lang")
+    conf = guessed.groupBy("lang", "lang_guess") \
+        .agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    agree = F.sum(F.when(F.col("lang") == F.col("lang_guess"),
+                         F.col("c")).otherwise(0))
+    row = conf.groupBy("lang").agg(F.sum("c").alias("rc"))
+    colt = conf.groupBy("lang_guess").agg(F.sum("c").alias("cc"))
+    pe_num = (row.join(colt, row["lang"] == colt["lang_guess"])
+              .agg(F.sum(F.col("rc") * F.col("cc")).alias("pn")))
+    tot = conf.agg(n.alias("n"), agree.alias("agree"))
+    return (tot.crossJoin(F.broadcast(pe_num))
+            .select("n", "agree",
+                    F.round(F.col("agree") / F.col("n"), 9).alias("po"),
+                    F.round(F.col("pn") / (F.col("n") * F.col("n")), 9)
+                    .alias("pe"),
+                    F.round((F.col("agree") / F.col("n")
+                             - F.col("pn") / (F.col("n") * F.col("n")))
+                            / (1 - F.col("pn")
+                               / (F.col("n") * F.col("n"))), 6)
+                    .alias("kappa")))
+
+
+def _kappa_oracle_sql() -> str:
+    # reuse the committed language_id oracle as the guess source
+    lang_guess = ORACLES["language_id"]
+    return f"""
+WITH guesses AS ({lang_guess}),
+conf AS (
+  SELECT d.lang, g.lang_guess, COUNT(*) AS c
+  FROM guesses g JOIN documents d USING (doc_id)
+  GROUP BY 1, 2),
+tot AS (
+  SELECT SUM(c) AS n,
+         SUM(CASE WHEN lang = lang_guess THEN c ELSE 0 END) AS agree
+  FROM conf),
+r AS (SELECT lang, SUM(c) AS rc FROM conf GROUP BY lang),
+co AS (SELECT lang_guess, SUM(c) AS cc FROM conf GROUP BY lang_guess),
+pe AS (
+  SELECT SUM(r.rc * co.cc) AS pn
+  FROM r JOIN co ON co.lang_guess = r.lang)
+SELECT n, agree,
+       round(agree * 1.0 / n, 9) AS po,
+       round(pn * 1.0 / (n * n), 9) AS pe,
+       round((agree * 1.0 / n - pn * 1.0 / (n * n))
+             / (1 - pn * 1.0 / (n * n)), 6) AS kappa
+FROM tot, pe
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -11349,6 +11407,8 @@ ORACLES: dict[str, str | None] = {
     "attack_robustness": _attack_oracle_sql(),
 }
 
+ORACLES["kappa_langid"] = _kappa_oracle_sql()
+
 # Plan cache (prepared-statement semantics): the catalog queries are pure
 # functions of immutable inputs (parquet fixtures + the memoized graph
 # encoding), so the analyzed/optimized logical plan can be reused across
@@ -11673,6 +11733,7 @@ QUERIES = {
     "corpus_pipeline_v2": q_corpus_pipeline_v2,
     "shapley_attribution": q_shapley_attribution,
     "attack_robustness": q_attack_robustness,
+    "kappa_langid": q_kappa_langid,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
