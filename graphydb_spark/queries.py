@@ -9688,6 +9688,163 @@ FROM tot, pe
 """
 
 
+def q_boilerplate_lines(spark, sf_dir):
+    """Boilerplate detection: verbatim 8-token grams appearing in >= 3
+    DISTINCT documents (the C4/RefinedWeb 'repeated span' signal that
+    flags headers, footers and templates for removal before
+    training).  One explode + per-doc distinct + count — the scan
+    shape that works at crawl scale because grams hash-group and
+    documents never pair."""
+    docs = _docs(spark, sf_dir)
+    ws = text.tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_ws") - 7),
+        lambda i: F.array_join(F.slice(F.col("_ws"), i, 8), " "))
+    g = (docs.select("doc_id", ws.alias("_ws"))
+         .where(F.size("_ws") >= 8)
+         .select("doc_id", F.explode(grams).alias("gram"))
+         .distinct())
+    return (g.groupBy("gram")
+            .agg(F.count("*").alias("n_docs"))
+            .where(F.col("n_docs") >= 3))
+
+
+_BOILERPLATE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text),
+         '[^a-z0-9]+'), x -> x != '') AS ws
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(ws[CAST(t.i AS INT):CAST(t.i AS INT) + 7],
+                         ' ') AS gram
+  FROM toks, UNNEST(range(1, len(ws) - 6)) AS t(i)
+  WHERE len(ws) >= 8)
+SELECT gram, COUNT(*) AS n_docs
+FROM g GROUP BY gram HAVING COUNT(*) >= 3
+"""
+
+
+def q_heaps_law(spark, sf_dir):
+    """Heaps' law fit: distinct-vocabulary growth V(n) ~ K n^beta over
+    cumulative document prefixes (by doc_id).  Sample points every 25
+    documents; beta from the closed-form regression of ln V on ln n
+    with each ln taken on an INTEGER and rounded to 9 dp DECIMAL (the
+    zipf_slope ladder) — libm-proof.  The sub-linearity check that a
+    natural corpus passes and template spam fails."""
+    docs = _docs(spark, sf_dir)
+    toks = (docs.select("doc_id",
+                        F.explode(text.tokens(F.col("text")))
+                        .alias("tok"))
+            .groupBy("tok").agg(F.min("doc_id").alias("first_doc")))
+    # V(n) = tokens first seen at doc <= n; n from the doc-id grid
+    grid = (docs.select("doc_id")
+            .where(F.col("doc_id") % 25 == 0))
+    vn = (grid.join(toks,
+                    toks["first_doc"] <= grid["doc_id"], "left")
+          .groupBy(grid["doc_id"].alias("n"))
+          .agg(F.count("tok").alias("v"))
+          .where(F.col("v") > 0))
+    x = F.round(F.log(F.col("n").cast("double") + 1), 9) \
+        .cast("decimal(18,9)")
+    y = F.round(F.log(F.col("v").cast("double")), 9) \
+        .cast("decimal(18,9)")
+    t = vn.select(x.alias("x"), y.alias("y"),
+                  (x * y).cast("decimal(38,18)").alias("xy"),
+                  (x * x).cast("decimal(38,18)").alias("xx"))
+    agg = t.agg(F.count("*").cast("double").alias("k"),
+                F.sum("x").cast("double").alias("sx"),
+                F.sum("y").cast("double").alias("sy"),
+                F.sum("xy").cast("double").alias("sxy"),
+                F.sum("xx").cast("double").alias("sxx"))
+    beta = ((F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("k") * F.col("sxx")
+               - F.col("sx") * F.col("sx")))
+    return agg.select(F.col("k").cast("long").alias("n_points"),
+                      F.round(beta, 6).alias("heaps_beta"))
+
+
+_HEAPS_ORACLE = """
+WITH toks AS (
+  SELECT tok, MIN(doc_id) AS first_doc FROM (
+    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+           '[^a-z0-9]+'), x -> x != '')) AS tok
+    FROM documents)
+  GROUP BY tok),
+grid AS (SELECT doc_id AS n FROM documents WHERE doc_id % 25 = 0),
+vn AS (
+  SELECT g.n, COUNT(t.tok) AS v
+  FROM grid g LEFT JOIN toks t ON t.first_doc <= g.n
+  GROUP BY g.n HAVING COUNT(t.tok) > 0),
+t AS (
+  SELECT CAST(round(ln(n + 1.0), 9) AS DECIMAL(18,9)) AS x,
+         CAST(round(ln(v * 1.0), 9) AS DECIMAL(18,9)) AS y
+  FROM vn),
+a AS (
+  SELECT COUNT(*) AS k,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+  FROM t)
+SELECT CAST(k AS BIGINT) AS n_points,
+       round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+         AS heaps_beta
+FROM a
+"""
+
+
+def q_burstiness_users(spark, sf_dir):
+    """Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) of each
+    user's inter-event gaps: B -> -1 periodic, 0 Poisson, +1 bursty —
+    the behavioral fingerprint separating schedulers/bots from humans.
+    Integer-second gaps; mu and sigma from exact integer moment sums;
+    sqrt is the only irrational (IEEE-exact)."""
+    from pyspark.sql import Window as W
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("long").alias("t"), "event_id")
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    gaps = (ev.withColumn("g", F.col("t") - F.lag("t").over(w))
+            .where(F.col("g").isNotNull()))
+    agg = gaps.groupBy("user_id").agg(
+        F.count("*").alias("k"),
+        F.sum("g").cast("decimal(38,0)").alias("s"),
+        F.sum((F.col("g").cast("decimal(19,0)") * F.col("g")))
+        .cast("decimal(38,0)").alias("q"))
+    mu = F.col("s").cast("double") / F.col("k")
+    var = (F.col("q").cast("double") / F.col("k")) - mu * mu
+    sd = F.sqrt(var)
+    return (agg.where(F.col("k") >= 10)
+            .select("user_id", F.col("k").alias("n_gaps"),
+                    F.round((sd - mu) / (sd + mu), 6)
+                    .alias("burstiness")))
+
+
+_BURSTINESS_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id
+  FROM events),
+gaps AS (
+  SELECT user_id,
+         t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+           AS g
+  FROM ev),
+agg AS (
+  SELECT user_id, COUNT(*) AS k,
+         CAST(SUM(g) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(g AS DECIMAL(19,0)) * g) AS DECIMAL(38,0)) AS q
+  FROM gaps WHERE g IS NOT NULL GROUP BY user_id)
+SELECT user_id, k AS n_gaps,
+       round((sqrt(CAST(q AS DOUBLE) / k
+                   - (CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k))
+              - CAST(s AS DOUBLE) / k)
+             / (sqrt(CAST(q AS DOUBLE) / k
+                     - (CAST(s AS DOUBLE) / k)
+                       * (CAST(s AS DOUBLE) / k))
+                + CAST(s AS DOUBLE) / k), 6) AS burstiness
+FROM agg WHERE k >= 10
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -11405,6 +11562,9 @@ ORACLES: dict[str, str | None] = {
     "corpus_pipeline_v2": _PIPELINE_V2_ORACLE,
     "shapley_attribution": _shapley_oracle_sql(),
     "attack_robustness": _attack_oracle_sql(),
+    "boilerplate_lines": _BOILERPLATE_ORACLE,
+    "heaps_law": _HEAPS_ORACLE,
+    "burstiness_users": _BURSTINESS_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -11734,6 +11894,9 @@ QUERIES = {
     "shapley_attribution": q_shapley_attribution,
     "attack_robustness": q_attack_robustness,
     "kappa_langid": q_kappa_langid,
+    "boilerplate_lines": q_boilerplate_lines,
+    "heaps_law": q_heaps_law,
+    "burstiness_users": q_burstiness_users,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
