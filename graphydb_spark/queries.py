@@ -9845,6 +9845,65 @@ FROM agg WHERE k >= 10
 """
 
 
+_DCG_DISCOUNTS = [1.0 / math.log2(i + 1) for i in range(1, 6)]
+_IDCG5 = sum((6 - i) * _DCG_DISCOUNTS[i - 1] for i in range(1, 6))
+
+
+def q_ndcg_ann(spark, sf_dir):
+    """Retrieval-quality audit of the engine's OWN ANN: recall@5 and
+    nDCG@5 of the LSH-bucketed probe (q:ann_lsh_topk) against the
+    brute-force exact ranking (q:knn_cosine) for the probe query.
+    Graded relevance = 6 - exact_rank; position discounts are
+    Python-computed log2 literals shared with the oracle (no runtime
+    log anywhere).  The measurement that tells you whether the
+    approximate index is good enough to replace the exact scan."""
+    gt = q_knn_cosine(spark, sf_dir)
+    ann = q_ann_lsh_topk(spark, sf_dir)
+    from pyspark.sql import Window as W
+    rgt = gt.withColumn("rank_gt", F.row_number().over(
+        W.orderBy(F.col("cosine").desc(), "vec_id"))).drop("cosine")
+    rann = ann.withColumn("pos", F.row_number().over(
+        W.orderBy(F.col("cosine").desc(), "vec_id"))).drop("cosine")
+    disc = F.array(*[F.lit(d) for d in _DCG_DISCOUNTS])
+    j = (rann.join(rgt, "vec_id", "left")
+         .select("pos",
+                 F.coalesce(6 - F.col("rank_gt"), F.lit(0))
+                 .alias("rel"))
+         .select((F.col("rel")
+                  * F.element_at(disc, F.col("pos"))).alias("g"),
+                 (F.col("rel") > 0).cast("int").alias("hit")))
+    return (j.agg(F.sum("hit").alias("n_hits"),
+                  F.round(F.sum("hit") / 5.0, 6).alias("recall5"),
+                  F.round(F.sum("g") / F.lit(_IDCG5), 6)
+                  .alias("ndcg5")))
+
+
+def _ndcg_oracle_sql() -> str:
+    discounts = ", ".join(f"({i + 1}, {d!r})"
+                          for i, d in enumerate(_DCG_DISCOUNTS))
+    return f"""
+WITH gt AS ({ORACLES["knn_cosine"]}),
+ann AS ({ORACLES["ann_lsh_topk"]}),
+rgt AS (
+  SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id)
+    AS rank_gt FROM gt),
+rann AS (
+  SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id)
+    AS pos FROM ann),
+disc(pos, d) AS (VALUES {discounts}),
+j AS (
+  SELECT COALESCE(6 - rgt.rank_gt, 0) AS rel, disc.d
+  FROM rann
+  LEFT JOIN rgt ON rgt.vec_id = rann.vec_id
+  JOIN disc ON disc.pos = rann.pos)
+SELECT SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_hits,
+       round(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) / 5.0, 6)
+         AS recall5,
+       round(SUM(rel * d) / {_IDCG5!r}, 6) AS ndcg5
+FROM j
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -11568,6 +11627,7 @@ ORACLES: dict[str, str | None] = {
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
+ORACLES["ndcg_ann"] = _ndcg_oracle_sql()
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
 # functions of immutable inputs (parquet fixtures + the memoized graph
@@ -11897,6 +11957,7 @@ QUERIES = {
     "boilerplate_lines": q_boilerplate_lines,
     "heaps_law": q_heaps_law,
     "burstiness_users": q_burstiness_users,
+    "ndcg_ann": q_ndcg_ann,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
