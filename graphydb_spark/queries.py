@@ -9904,6 +9904,110 @@ FROM j
 """
 
 
+def q_kfold_groups(spark, sf_dir):
+    """Leakage-safe GROUPED 5-fold assignment: every customer's orders
+    land in exactly one fold (fold = md5 of the GROUP key), so
+    cross-validation never trains on a customer it tests on.  Output:
+    per-fold order/customer counts — the distinct-customer total must
+    partition (the oracle recomputes it independently)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    fold = text.hash60(F.concat(F.lit("cv:"),
+                                F.col("o_custkey").cast("string"))) % 5
+    return (o.select(fold.alias("fold"), "o_orderkey", "o_custkey")
+            .groupBy("fold")
+            .agg(F.count("*").alias("n_orders"),
+                 F.countDistinct("o_custkey").alias("n_customers")))
+
+
+_KFOLD_ORACLE = """
+SELECT CAST(('0x' || substr(md5('cv:' || CAST(o_custkey AS VARCHAR)),
+            1, 15)) AS BIGINT) % 5 AS fold,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY 1
+"""
+
+
+def q_timeseries_cv(spark, sf_dir):
+    """Expanding-window temporal cross-validation folds — the CV that
+    is SOUND for forecasting (random k-fold leaks the future): three
+    cutoffs, train = everything before, test = the following year.
+    Output per fold: train/test row counts + revenue, all exact."""
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(18,2)")).alias("p"))
+    out = None
+    for i, cut in enumerate(("1997-01-01", "1998-01-01", "1999-01-01")):
+        test_end = f"{int(cut[:4]) + 1}-01-01"
+        f = (o.select(
+            F.lit(i + 1).alias("fold"),
+            (F.col("o_orderdate") < F.lit(cut)).cast("int")
+            .alias("is_train"),
+            F.when((F.col("o_orderdate") >= F.lit(cut))
+                   & (F.col("o_orderdate") < F.lit(test_end)), 1)
+            .otherwise(0).alias("is_test"), "p")
+            .agg(F.first(F.lit(i + 1)).alias("fold"),
+                 F.sum("is_train").alias("n_train"),
+                 F.sum("is_test").alias("n_test"),
+                 F.sum(F.when(F.col("is_test") == 1, F.col("p"))
+                       .otherwise(0)).cast("decimal(28,2)")
+                 .alias("test_revenue")))
+        out = f if out is None else out.unionByName(f)
+    return out
+
+
+_TSCV_ORACLE = """
+SELECT fold,
+       SUM(CASE WHEN o_orderdate < cut THEN 1 ELSE 0 END) AS n_train,
+       SUM(CASE WHEN o_orderdate >= cut AND o_orderdate < te
+                THEN 1 ELSE 0 END) AS n_test,
+       CAST(SUM(CASE WHEN o_orderdate >= cut AND o_orderdate < te
+                     THEN CAST(o_totalprice AS DECIMAL(18,2))
+                     ELSE 0 END) AS DECIMAL(28,2)) AS test_revenue
+FROM orders, (VALUES
+  (1, DATE '1997-01-01', DATE '1998-01-01'),
+  (2, DATE '1998-01-01', DATE '1999-01-01'),
+  (3, DATE '1999-01-01', DATE '2000-01-01')) AS f(fold, cut, te)
+GROUP BY fold
+"""
+
+
+def q_dispersion_index(spark, sf_dir):
+    """Dispersion index (variance-to-mean ratio) of daily counts per
+    event type: 1 = Poisson, > 1 overdispersed (burst clusters), < 1
+    underdispersed (rate-limited) — the first question about any
+    event stream.  Exact integer moment sums; two IEEE divisions."""
+    ev = _events(spark, sf_dir)
+    daily = (ev.groupBy("event_type",
+                        F.col("ts").cast("date").alias("day"))
+             .agg(F.count("*").alias("c")))
+    agg = daily.groupBy("event_type").agg(
+        F.count("*").alias("k"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q"))
+    mu = F.col("s").cast("double") / F.col("k")
+    var = (F.col("q").cast("double") / F.col("k")) - mu * mu
+    return agg.select("event_type", F.col("k").alias("n_days"),
+                      F.round(mu, 6).alias("mean_daily"),
+                      F.round(var / mu, 6).alias("dispersion"))
+
+
+_DISPERSION_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+agg AS (
+  SELECT event_type, COUNT(*) AS k, SUM(c) AS s, SUM(c * c) AS q
+  FROM daily GROUP BY event_type)
+SELECT event_type, k AS n_days,
+       round(CAST(s AS DOUBLE) / k, 6) AS mean_daily,
+       round((CAST(q AS DOUBLE) / k
+              - (CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k))
+             / (CAST(s AS DOUBLE) / k), 6) AS dispersion
+FROM agg
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -11624,6 +11728,9 @@ ORACLES: dict[str, str | None] = {
     "boilerplate_lines": _BOILERPLATE_ORACLE,
     "heaps_law": _HEAPS_ORACLE,
     "burstiness_users": _BURSTINESS_ORACLE,
+    "kfold_groups": _KFOLD_ORACLE,
+    "timeseries_cv": _TSCV_ORACLE,
+    "dispersion_index": _DISPERSION_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -11958,6 +12065,9 @@ QUERIES = {
     "heaps_law": q_heaps_law,
     "burstiness_users": q_burstiness_users,
     "ndcg_ann": q_ndcg_ann,
+    "kfold_groups": q_kfold_groups,
+    "timeseries_cv": q_timeseries_cv,
+    "dispersion_index": q_dispersion_index,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
