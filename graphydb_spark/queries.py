@@ -10008,6 +10008,173 @@ FROM agg
 """
 
 
+def q_did_estimator(spark, sf_dir):
+    """Difference-in-differences: change in mean order value for the
+    BUILDING segment vs all other segments, before vs after 1998 —
+    the workhorse causal estimator when randomization isn't available
+    (parallel-trends caveat applies).  Four exact DECIMAL cell means;
+    DiD = (T_post - T_pre) - (C_post - C_pre) in doubles."""
+    t = load_tables(spark, sf_dir)
+    j = (t["orders"].join(t["customer"],
+                          F.col("o_custkey") == F.col("c_custkey"))
+         .select((F.col("c_mktsegment") == "BUILDING").alias("treat"),
+                 (F.col("o_orderdate") >= F.lit("1998-01-01"))
+                 .alias("post"),
+                 F.col("o_totalprice").cast("decimal(18,2)")
+                 .alias("p")))
+    cell = (j.groupBy("treat", "post")
+            .agg(F.count("*").alias("n"),
+                 F.sum("p").cast("decimal(28,2)").alias("s"))
+            .select("treat", "post",
+                    (F.col("s").cast("double") / F.col("n"))
+                    .alias("m")))
+    agg = cell.agg(
+        F.sum(F.when(F.col("treat") & F.col("post"),
+                     F.col("m"))).alias("tp"),
+        F.sum(F.when(F.col("treat") & ~F.col("post"),
+                     F.col("m"))).alias("tb"),
+        F.sum(F.when(~F.col("treat") & F.col("post"),
+                     F.col("m"))).alias("cp"),
+        F.sum(F.when(~F.col("treat") & ~F.col("post"),
+                     F.col("m"))).alias("cb"))
+    return agg.select(
+        F.round("tp", 6).alias("treat_post"),
+        F.round("tb", 6).alias("treat_pre"),
+        F.round("cp", 6).alias("ctrl_post"),
+        F.round("cb", 6).alias("ctrl_pre"),
+        F.round((F.col("tp") - F.col("tb"))
+                - (F.col("cp") - F.col("cb")), 6).alias("did"))
+
+
+_DID_ORACLE = """
+WITH cell AS (
+  SELECT c_mktsegment = 'BUILDING' AS treat,
+         o_orderdate >= DATE '1998-01-01' AS post,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(28,2)) AS s,
+         COUNT(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2),
+m AS (SELECT treat, post, CAST(s AS DOUBLE) / n AS m FROM cell),
+agg AS (
+  SELECT SUM(CASE WHEN treat AND post THEN m END) AS tp,
+         SUM(CASE WHEN treat AND NOT post THEN m END) AS tb,
+         SUM(CASE WHEN NOT treat AND post THEN m END) AS cp,
+         SUM(CASE WHEN NOT treat AND NOT post THEN m END) AS cb
+  FROM m)
+SELECT round(tp, 6) AS treat_post, round(tb, 6) AS treat_pre,
+       round(cp, 6) AS ctrl_post, round(cb, 6) AS ctrl_pre,
+       round((tp - tb) - (cp - cb), 6) AS did
+FROM agg
+"""
+
+
+def q_littles_law(spark, sf_dir):
+    """Little's law audit (L = lambda * W) over user activity spans:
+    measured time-average concurrency L (total covered user-seconds /
+    horizon) must equal arrival rate (spans / horizon) times mean span
+    W — an identity here by construction, so the ratio is exactly 1;
+    the value of the query is the operational L, lambda, W
+    decomposition every capacity plan starts from.  Integer seconds
+    everywhere; three IEEE divisions."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("long").alias("s"),
+        (F.col("ts").cast("long")
+         + F.col("value").cast("long")).alias("e"))
+    horizon = ev.agg((F.max("e") - F.min("s")).alias("h"),
+                     F.count("*").alias("n"),
+                     F.sum(F.col("e") - F.col("s")).cast("long")
+                     .alias("busy"))
+    return horizon.select(
+        "n", F.col("h").alias("horizon_sec"),
+        F.round(F.col("busy") / F.col("h"), 6).alias("avg_concurrency"),
+        F.round(F.col("n") / F.col("h").cast("double"), 9)
+        .alias("arrival_rate"),
+        F.round(F.col("busy") / F.col("n").cast("double"), 6)
+        .alias("mean_span_sec"))
+
+
+_LITTLES_ORACLE = """
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + CAST(floor(value) AS BIGINT) AS e
+  FROM events),
+a AS (
+  SELECT MAX(e) - MIN(s) AS h, COUNT(*) AS n,
+         CAST(SUM(e - s) AS BIGINT) AS busy
+  FROM ev)
+SELECT n, h AS horizon_sec,
+       round(busy * 1.0 / h, 6) AS avg_concurrency,
+       round(n * 1.0 / h, 9) AS arrival_rate,
+       round(busy * 1.0 / n, 6) AS mean_span_sec
+FROM a
+"""
+
+
+def q_aa_test(spark, sf_dir):
+    """A/A experiment sanity check: hash-split customers into two null
+    arms and z-test the revenue-per-order difference — a healthy
+    randomizer must NOT find an effect (|z| small); a skewed hash or
+    leaky split shows up here before any real A/B runs.  Exact DECIMAL
+    moment sums per arm; sqrt-only irrationals."""
+    o = load_tables(spark, sf_dir)["orders"]
+    arm = (text.hash60(F.concat(F.lit("aa:"),
+                                F.col("o_custkey").cast("string")))
+           % 2).alias("arm")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100) \
+        .cast("long")
+    g = (o.select(arm, cents.alias("y"))
+         .groupBy("arm")
+         .agg(F.count("*").alias("n"),
+              F.sum("y").cast("decimal(38,0)").alias("s"),
+              F.sum((F.col("y").cast("decimal(19,0)") * F.col("y")))
+              .cast("decimal(38,0)").alias("q")))
+    mu = F.col("s").cast("double") / F.col("n")
+    var = (F.col("q").cast("double") / F.col("n")) - mu * mu
+    stats = g.select("arm", "n", mu.alias("m"),
+                     (var / F.col("n")).alias("vn"))
+    a = stats.where(F.col("arm") == 0).select(
+        F.col("n").alias("n0"), F.col("m").alias("m0"),
+        F.col("vn").alias("v0"))
+    b = stats.where(F.col("arm") == 1).select(
+        F.col("n").alias("n1"), F.col("m").alias("m1"),
+        F.col("vn").alias("v1"))
+    return (a.crossJoin(F.broadcast(b))
+            .select("n0", "n1",
+                    F.round((F.col("m0") - F.col("m1"))
+                            / F.sqrt(F.col("v0") + F.col("v1")), 6)
+                    .alias("z"),
+                    (F.abs((F.col("m0") - F.col("m1"))
+                           / F.sqrt(F.col("v0") + F.col("v1"))) < 3)
+                    .alias("healthy")))
+
+
+_AA_ORACLE = """
+WITH g AS (
+  SELECT CAST(('0x' || substr(md5('aa:' || CAST(o_custkey AS VARCHAR)),
+              1, 15)) AS BIGINT) % 2 AS arm,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT) AS DECIMAL(19,0))
+                  * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS DECIMAL(38,0)) AS q
+  FROM orders GROUP BY 1),
+st AS (
+  SELECT arm, n, CAST(s AS DOUBLE) / n AS m,
+         (CAST(q AS DOUBLE) / n
+          - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) / n
+           AS vn
+  FROM g)
+SELECT a.n AS n0, b.n AS n1,
+       round((a.m - b.m) / sqrt(a.vn + b.vn), 6) AS z,
+       abs((a.m - b.m) / sqrt(a.vn + b.vn)) < 3 AS healthy
+FROM st a JOIN st b ON a.arm = 0 AND b.arm = 1
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -11731,6 +11898,9 @@ ORACLES: dict[str, str | None] = {
     "kfold_groups": _KFOLD_ORACLE,
     "timeseries_cv": _TSCV_ORACLE,
     "dispersion_index": _DISPERSION_ORACLE,
+    "did_estimator": _DID_ORACLE,
+    "littles_law": _LITTLES_ORACLE,
+    "aa_test": _AA_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -12068,6 +12238,9 @@ QUERIES = {
     "kfold_groups": q_kfold_groups,
     "timeseries_cv": q_timeseries_cv,
     "dispersion_index": q_dispersion_index,
+    "did_estimator": q_did_estimator,
+    "littles_law": q_littles_law,
+    "aa_test": q_aa_test,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
