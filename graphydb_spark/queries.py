@@ -10175,6 +10175,212 @@ FROM st a JOIN st b ON a.arm = 0 AND b.arm = 1
 """
 
 
+def q_price_elasticity(spark, sf_dir):
+    """Log-log price elasticity of demand: OLS slope of ln(quantity)
+    on ln(unit price cents) over lineitem — both logs taken on exact
+    INTEGERS and rounded to the 9 dp DECIMAL ladder (libm-proof), the
+    closed-form slope in doubles.  The one-number summary every
+    pricing team asks for first."""
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        ((F.col("l_extendedprice").cast("decimal(18,2)")
+          / F.col("l_quantity")).cast("decimal(18,2)") * 100)
+        .cast("long").alias("unit_cents"))
+    x = F.round(F.log(F.col("unit_cents").cast("double")), 9) \
+        .cast("decimal(18,9)")
+    y = F.round(F.log(F.col("qty").cast("double")), 9) \
+        .cast("decimal(18,9)")
+    t = li.where((F.col("qty") > 0) & (F.col("unit_cents") > 0)) \
+        .select(x.alias("x"), y.alias("y"),
+                (x * y).cast("decimal(38,18)").alias("xy"),
+                (x * x).cast("decimal(38,18)").alias("xx"))
+    agg = t.agg(F.count("*").cast("double").alias("k"),
+                F.sum("x").cast("double").alias("sx"),
+                F.sum("y").cast("double").alias("sy"),
+                F.sum("xy").cast("double").alias("sxy"),
+                F.sum("xx").cast("double").alias("sxx"))
+    slope = ((F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return agg.select(F.col("k").cast("long").alias("n"),
+                      F.round(slope, 6).alias("elasticity"))
+
+
+_ELASTICITY_ORACLE = """
+WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) / l_quantity
+                   AS DECIMAL(18,2)) * 100 AS BIGINT) AS unit_cents
+  FROM lineitem),
+t AS (
+  SELECT CAST(round(ln(unit_cents * 1.0), 9) AS DECIMAL(18,9)) AS x,
+         CAST(round(ln(qty * 1.0), 9) AS DECIMAL(18,9)) AS y
+  FROM li WHERE qty > 0 AND unit_cents > 0),
+a AS (
+  SELECT COUNT(*) AS k,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+  FROM t)
+SELECT CAST(k AS BIGINT) AS n,
+       round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+         AS elasticity
+FROM a
+"""
+
+
+def q_repeat_purchase_fit(spark, sf_dir):
+    """Repeat-purchase geometric fit: the distribution of orders per
+    customer and the MLE of a geometric model p = 1/mean — the
+    zeroth-order BG/NBD stand-in that answers 'how heavy is the
+    repeat tail'.  Exact counts; one division."""
+    o = load_tables(spark, sf_dir)["orders"]
+    per = o.groupBy("o_custkey").agg(F.count("*").alias("k"))
+    agg = per.agg(F.count("*").alias("n_customers"),
+                  F.sum("k").cast("long").alias("n_orders"),
+                  F.max("k").alias("max_orders"))
+    return agg.select("n_customers", "n_orders", "max_orders",
+                      F.round(F.col("n_customers")
+                              / F.col("n_orders").cast("double"), 9)
+                      .alias("geometric_p"))
+
+
+_REPEAT_FIT_ORACLE = """
+WITH per AS (
+  SELECT o_custkey, COUNT(*) AS k FROM orders GROUP BY o_custkey)
+SELECT COUNT(*) AS n_customers,
+       CAST(SUM(k) AS BIGINT) AS n_orders,
+       CAST(MAX(k) AS BIGINT) AS max_orders,
+       round(COUNT(*) * 1.0 / SUM(k), 9) AS geometric_p
+FROM per
+"""
+
+
+def q_abc_xyz(spark, sf_dir):
+    """ABC/XYZ inventory matrix: parts cross-classified by revenue
+    volume class (A/B/C = top 20/50/100 cumulative-share cut) and
+    demand-variability class (X/Y/Z = weekly CV < 0.5 / < 1.0 / else).
+    Output: matrix cell counts — the planner's 9-cell prioritization.
+    CV uses exact integer moments + sqrt; cumulative shares are
+    DECIMAL-exact."""
+    from pyspark.sql import Window as W
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_partkey",
+        F.date_trunc("week", F.col("l_shipdate").cast("timestamp"))
+        .alias("wk"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"))
+    weekly = (li.groupBy("l_partkey", "wk")
+              .agg(F.sum("cents").alias("y")))
+    m = weekly.groupBy("l_partkey").agg(
+        F.count("*").alias("k"),
+        F.sum("y").cast("decimal(38,0)").alias("s"),
+        F.sum((F.col("y").cast("decimal(19,0)") * F.col("y")))
+        .cast("decimal(38,0)").alias("q"))
+    mu = F.col("s").cast("double") / F.col("k")
+    sd = F.sqrt((F.col("q").cast("double") / F.col("k")) - mu * mu)
+    tot = m.agg(F.sum("s").cast("decimal(38,0)").alias("t"))
+    w = W.orderBy(F.col("s").desc(), F.col("l_partkey"))
+    ranked = (m.crossJoin(F.broadcast(tot))
+              .withColumn("cum", F.sum("s").over(
+                  w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+              .withColumn("share",
+                          F.col("cum").cast("double")
+                          / F.col("t").cast("double")))
+    abc = (F.when(F.col("share") <= 0.2, "A")
+           .when(F.col("share") <= 0.5, "B").otherwise("C"))
+    cv = sd / mu
+    xyz = (F.when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z"))
+    return (ranked.select(abc.alias("abc"), xyz.alias("xyz"))
+            .groupBy("abc", "xyz").agg(F.count("*").alias("n_parts")))
+
+
+_ABC_XYZ_ORACLE = """
+WITH li AS (
+  SELECT l_partkey,
+         date_trunc('week', CAST(l_shipdate AS TIMESTAMP)) AS wk,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM lineitem),
+weekly AS (
+  SELECT l_partkey, wk, SUM(cents) AS y FROM li GROUP BY 1, 2),
+m AS (
+  SELECT l_partkey, COUNT(*) AS k,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS q
+  FROM weekly GROUP BY l_partkey),
+tot AS (SELECT CAST(SUM(s) AS DECIMAL(38,0)) AS t FROM m),
+ranked AS (
+  SELECT m.*, tot.t,
+         SUM(s) OVER (ORDER BY s DESC, l_partkey
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM m, tot),
+cls AS (
+  SELECT CASE WHEN CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) <= 0.2
+              THEN 'A'
+              WHEN CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) <= 0.5
+              THEN 'B' ELSE 'C' END AS abc,
+         CASE WHEN sqrt(CAST(q AS DOUBLE) / k
+                        - (CAST(s AS DOUBLE) / k)
+                          * (CAST(s AS DOUBLE) / k))
+                   / (CAST(s AS DOUBLE) / k) < 0.5 THEN 'X'
+              WHEN sqrt(CAST(q AS DOUBLE) / k
+                        - (CAST(s AS DOUBLE) / k)
+                          * (CAST(s AS DOUBLE) / k))
+                   / (CAST(s AS DOUBLE) / k) < 1.0 THEN 'Y'
+              ELSE 'Z' END AS xyz
+  FROM ranked)
+SELECT abc, xyz, COUNT(*) AS n_parts FROM cls GROUP BY 1, 2
+"""
+
+
+def q_p_chart(spark, sf_dir):
+    """Statistical process control p-chart: daily proportion of
+    'error' events with 3-sigma control limits p_bar +-
+    3*sqrt(p_bar(1-p_bar)/n_day) and a per-day out-of-control flag
+    (all FALSE on the uniform fixture — the limits themselves are what
+    the gate verifies).  The Shewhart chart on a stream — exact
+    integer counts, sqrt-only irrationals."""
+    ev = _events(spark, sf_dir)
+    daily = (ev.groupBy(F.col("ts").cast("date").alias("day"))
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.when(F.col("event_type") == "error", 1)
+                        .otherwise(0)).alias("x")))
+    tot = daily.agg(F.sum("n").alias("tn"), F.sum("x").alias("tx"))
+    j = daily.crossJoin(F.broadcast(tot))
+    pbar = F.col("tx") / F.col("tn")
+    p = F.col("x") / F.col("n")
+    half = 3 * F.sqrt(pbar * (1 - pbar) / F.col("n"))
+    return (j.select("day", "n", "x",
+                     F.round(p, 6).alias("p"),
+                     F.round(pbar - half, 6).alias("lcl"),
+                     F.round(pbar + half, 6).alias("ucl"),
+                     ((p < pbar - half) | (p > pbar + half))
+                     .alias("out_of_control")))
+
+
+_P_CHART_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY 1),
+tot AS (SELECT SUM(n) AS tn, SUM(x) AS tx FROM daily)
+SELECT day, n, x,
+       round(x * 1.0 / n, 6) AS p,
+       round(tx * 1.0 / tn
+             - 3 * sqrt((tx * 1.0 / tn) * (1 - tx * 1.0 / tn) / n),
+             6) AS lcl,
+       round(tx * 1.0 / tn
+             + 3 * sqrt((tx * 1.0 / tn) * (1 - tx * 1.0 / tn) / n),
+             6) AS ucl,
+       (x * 1.0 / n < tx * 1.0 / tn
+          - 3 * sqrt((tx * 1.0 / tn) * (1 - tx * 1.0 / tn) / n)
+        OR x * 1.0 / n > tx * 1.0 / tn
+          + 3 * sqrt((tx * 1.0 / tn) * (1 - tx * 1.0 / tn) / n))
+         AS out_of_control
+FROM daily, tot
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -11901,6 +12107,10 @@ ORACLES: dict[str, str | None] = {
     "did_estimator": _DID_ORACLE,
     "littles_law": _LITTLES_ORACLE,
     "aa_test": _AA_ORACLE,
+    "price_elasticity": _ELASTICITY_ORACLE,
+    "repeat_purchase_fit": _REPEAT_FIT_ORACLE,
+    "abc_xyz": _ABC_XYZ_ORACLE,
+    "p_chart": _P_CHART_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -12241,6 +12451,10 @@ QUERIES = {
     "did_estimator": q_did_estimator,
     "littles_law": q_littles_law,
     "aa_test": q_aa_test,
+    "price_elasticity": q_price_elasticity,
+    "repeat_purchase_fit": q_repeat_purchase_fit,
+    "abc_xyz": q_abc_xyz,
+    "p_chart": q_p_chart,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
