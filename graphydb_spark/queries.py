@@ -10381,6 +10381,74 @@ FROM daily, tot
 """
 
 
+def q_topk_turnover(spark, sf_dir):
+    """Week-over-week turnover of the top-20 revenue parts: Jaccard
+    between consecutive weekly leaderboards — the assortment-stability
+    metric (1 = frozen catalog, 0 = full churn).  Leaderboards by
+    (revenue desc, part) rank; set overlap via one self-join on week+1;
+    exact integer intersections."""
+    from pyspark.sql import Window as W
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        F.date_trunc("week", F.col("l_shipdate").cast("timestamp"))
+        .cast("date").alias("wk"),
+        "l_partkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"))
+    wkrev = li.groupBy("wk", "l_partkey").agg(
+        F.sum("cents").alias("rev"))
+    w = W.partitionBy("wk").orderBy(F.col("rev").desc(), "l_partkey")
+    top = (wkrev.withColumn("r", F.row_number().over(w))
+           .where(F.col("r") <= 20).select("wk", "l_partkey"))
+    nxt = top.select(F.date_add(F.col("wk"), 7).alias("wk"),
+                     F.col("l_partkey"))
+    inter = (top.join(nxt, ["wk", "l_partkey"])
+             .groupBy("wk").agg(F.count("*").alias("n_common")))
+    weeks = top.groupBy("wk").agg(F.count("*").alias("n_top"))
+    prev = weeks.select(F.date_add(F.col("wk"), 7).alias("wk"),
+                        F.col("n_top").alias("n_prev"))
+    return (weeks.join(prev, "wk")
+            .join(inter, "wk", "left")
+            .select("wk",
+                    F.coalesce("n_common", F.lit(0)).alias("n_common"),
+                    F.round(F.coalesce("n_common", F.lit(0))
+                            / (F.col("n_top") + F.col("n_prev")
+                               - F.coalesce("n_common", F.lit(0))
+                               ).cast("double"), 6)
+                    .alias("jaccard")))
+
+
+_TOPK_TURNOVER_ORACLE = """
+WITH li AS (
+  SELECT CAST(date_trunc('week', CAST(l_shipdate AS TIMESTAMP))
+              AS DATE) AS wk,
+         l_partkey,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM lineitem),
+wkrev AS (
+  SELECT wk, l_partkey, SUM(cents) AS rev FROM li GROUP BY 1, 2),
+top AS (
+  SELECT wk, l_partkey FROM (
+    SELECT wk, l_partkey,
+           row_number() OVER (PARTITION BY wk
+                              ORDER BY rev DESC, l_partkey) AS r
+    FROM wkrev) WHERE r <= 20),
+nxt AS (SELECT wk + 7 AS wk, l_partkey FROM top),
+inter AS (
+  SELECT t.wk, COUNT(*) AS n_common
+  FROM top t JOIN nxt n ON n.wk = t.wk AND n.l_partkey = t.l_partkey
+  GROUP BY t.wk),
+weeks AS (SELECT wk, COUNT(*) AS n_top FROM top GROUP BY wk),
+prev AS (SELECT wk + 7 AS wk, n_top AS n_prev FROM weeks)
+SELECT w.wk, COALESCE(i.n_common, 0) AS n_common,
+       round(COALESCE(i.n_common, 0) * 1.0
+             / (w.n_top + p.n_prev - COALESCE(i.n_common, 0)), 6)
+         AS jaccard
+FROM weeks w JOIN prev p ON p.wk = w.wk
+LEFT JOIN inter i ON i.wk = w.wk
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -12111,6 +12179,7 @@ ORACLES: dict[str, str | None] = {
     "repeat_purchase_fit": _REPEAT_FIT_ORACLE,
     "abc_xyz": _ABC_XYZ_ORACLE,
     "p_chart": _P_CHART_ORACLE,
+    "topk_turnover": _TOPK_TURNOVER_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -12455,6 +12524,7 @@ QUERIES = {
     "repeat_purchase_fit": q_repeat_purchase_fit,
     "abc_xyz": q_abc_xyz,
     "p_chart": q_p_chart,
+    "topk_turnover": q_topk_turnover,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
