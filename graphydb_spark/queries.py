@@ -10449,6 +10449,153 @@ LEFT JOIN inter i ON i.wk = w.wk
 """
 
 
+def q_logodds_terms(spark, sf_dir):
+    """Distinctive-term analysis (Monroe-Colaresi-Quinn log-odds with
+    add-one smoothing): which tokens distinguish source src0 from the
+    rest of the corpus.  delta = ln((a+1)/(A-a+1)) - ln((b+1)/(B-b+1))
+    — every ln runs on an INTEGER and rounds to the 9 dp ladder;
+    top 15 per direction by |delta| with token tie-break."""
+    docs = _docs(spark, sf_dir)
+    toks = (docs.select((F.col("source") == "src0").alias("tgt"),
+                        F.explode(text.tokens(F.col("text")))
+                        .alias("tok")))
+    cnt = (toks.groupBy("tok")
+           .agg(F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("a"),
+                F.sum(F.when(~F.col("tgt"), 1).otherwise(0))
+                .alias("b")))
+    tot = cnt.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+
+    def ln9(c):
+        return F.round(F.log(c.cast("double")), 9) \
+            .cast("decimal(18,9)")
+
+    j = cnt.crossJoin(F.broadcast(tot))
+    delta = (ln9(F.col("a") + 1)
+             - ln9(F.col("ta") - F.col("a") + 1)
+             - ln9(F.col("b") + 1)
+             + ln9(F.col("tb") - F.col("b") + 1))
+    scored = j.select("tok", "a", "b",
+                      delta.cast("double").alias("delta"))
+    from pyspark.sql import Window as W
+    up = scored.withColumn("r", F.row_number().over(
+        W.orderBy(F.col("delta").desc(), "tok"))).where(F.col("r") <= 15)
+    dn = scored.withColumn("r", F.row_number().over(
+        W.orderBy(F.col("delta").asc(), "tok"))).where(F.col("r") <= 15)
+    return (up.select("tok", "a", "b",
+                      F.round("delta", 6).alias("delta"))
+            .unionByName(dn.select("tok", "a", "b",
+                                   F.round("delta", 6).alias("delta"))))
+
+
+_LOGODDS_ORACLE = """
+WITH toks AS (
+  SELECT source = 'src0' AS tgt,
+         unnest(list_filter(string_split_regex(lower(text),
+                '[^a-z0-9]+'), x -> x != '')) AS tok
+  FROM documents),
+cnt AS (
+  SELECT tok,
+         SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS b
+  FROM toks GROUP BY tok),
+tot AS (SELECT SUM(a) AS ta, SUM(b) AS tb FROM cnt),
+scored AS (
+  SELECT tok, a, b,
+         CAST(CAST(round(ln(a + 1), 9) AS DECIMAL(18,9))
+              - CAST(round(ln(ta - a + 1), 9) AS DECIMAL(18,9))
+              - CAST(round(ln(b + 1), 9) AS DECIMAL(18,9))
+              + CAST(round(ln(tb - b + 1), 9) AS DECIMAL(18,9))
+              AS DOUBLE) AS delta
+  FROM cnt, tot)
+SELECT tok, a, b, round(delta, 6) AS delta FROM (
+  SELECT *, row_number() OVER (ORDER BY delta DESC, tok) AS r
+  FROM scored) WHERE r <= 15
+UNION ALL
+SELECT tok, a, b, round(delta, 6) AS delta FROM (
+  SELECT *, row_number() OVER (ORDER BY delta ASC, tok) AS r
+  FROM scored) WHERE r <= 15
+"""
+
+
+def q_quota_violations(spark, sf_dir):
+    """Rate-limit audit: users exceeding 8 events inside ANY sliding
+    24-hour window — the abuse-detection shape, computed with a
+    RANGE-frame window count (each event looks back 86400 s) instead
+    of a quadratic self-join.  Output: per violating user, the worst
+    burst."""
+    from pyspark.sql import Window as W
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("long").alias("t"))
+    w = (W.partitionBy("user_id").orderBy("t")
+         .rangeBetween(-86400, 0))
+    r = ev.withColumn("in_hour", F.count("*").over(w))
+    return (r.groupBy("user_id")
+            .agg(F.max("in_hour").alias("max_burst"))
+            .where(F.col("max_burst") > 8))
+
+
+_QUOTA_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+r AS (
+  SELECT user_id,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY t
+                        RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+           AS in_hour
+  FROM ev)
+SELECT user_id, CAST(MAX(in_hour) AS BIGINT) AS max_burst
+FROM r GROUP BY user_id HAVING MAX(in_hour) > 8
+"""
+
+
+def q_peak_concurrency(spark, sf_dir):
+    """EXACT peak concurrency by sweep line: activity intervals
+    (ts .. ts+value s) become +1/-1 endpoint events; the running sum
+    over the (time, delta) order is the live concurrency and its max
+    is the capacity answer — one sort instead of an interval
+    self-join.  Ends sort before starts at the same instant
+    (half-open intervals).  Output: the peak and the earliest time
+    it is reached."""
+    from pyspark.sql import Window as W
+    ev = _events(spark, sf_dir).select(
+        F.col("ts").cast("long").alias("s"),
+        (F.col("ts").cast("long")
+         + F.col("value").cast("long")).alias("e"))
+    pts = (ev.select(F.col("s").alias("t"), F.lit(1).alias("d"))
+           .unionByName(ev.select(F.col("e").alias("t"),
+                                  F.lit(-1).alias("d"))))
+    w = (W.orderBy("t", "d")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    run = pts.withColumn("c", F.sum("d").over(w))
+    best = F.max(F.struct(F.col("c"), (-F.col("t")).alias("negt")))
+    return (run.agg(best.alias("b"))
+            .select(F.col("b.c").cast("long").alias("peak"),
+                    (-F.col("b.negt")).cast("long")
+                    .alias("at_epoch_sec")))
+
+
+_PEAK_ORACLE = """
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + CAST(floor(value) AS BIGINT) AS e
+  FROM events),
+pts AS (
+  SELECT s AS t, 1 AS d FROM ev
+  UNION ALL SELECT e, -1 FROM ev),
+run AS (
+  SELECT t, SUM(d) OVER (ORDER BY t, d
+                         ROWS UNBOUNDED PRECEDING) AS c
+  FROM pts)
+SELECT CAST(MAX(c) AS BIGINT) AS peak,
+       CAST(MIN(CASE WHEN c = m THEN t END) AS BIGINT)
+         AS at_epoch_sec
+FROM run, (SELECT MAX(c) AS m FROM (
+  SELECT SUM(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS c
+  FROM pts))
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -12180,6 +12327,9 @@ ORACLES: dict[str, str | None] = {
     "abc_xyz": _ABC_XYZ_ORACLE,
     "p_chart": _P_CHART_ORACLE,
     "topk_turnover": _TOPK_TURNOVER_ORACLE,
+    "logodds_terms": _LOGODDS_ORACLE,
+    "quota_violations": _QUOTA_ORACLE,
+    "peak_concurrency": _PEAK_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -12525,6 +12675,9 @@ QUERIES = {
     "abc_xyz": q_abc_xyz,
     "p_chart": q_p_chart,
     "topk_turnover": q_topk_turnover,
+    "logodds_terms": q_logodds_terms,
+    "quota_violations": q_quota_violations,
+    "peak_concurrency": q_peak_concurrency,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
