@@ -10596,6 +10596,110 @@ FROM run, (SELECT MAX(c) AS m FROM (
 """
 
 
+def q_hill_tail(spark, sf_dir):
+    """Hill estimator of the power-law tail index over order values:
+    alpha = k / sum(ln(x_i / x_(k+1))) on the k = 100 largest orders —
+    the standard heavy-tail exponent (is the spend distribution
+    Pareto-like, and how extreme will the next whale be).  Each ln
+    runs on an INTEGER cents value and rounds to the 9 dp ladder; the
+    ratio becomes a ladder difference, so no float log of a quotient
+    exists."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"].select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"), "o_orderkey")
+    r = o.withColumn("rk", F.row_number().over(
+        W.orderBy(F.col("cents").desc(), "o_orderkey")))
+    topk = r.where(F.col("rk") <= 100)
+    pivot = r.where(F.col("rk") == 101).select(
+        F.col("cents").alias("xk"))
+
+    def ln9(c):
+        return F.round(F.log(c.cast("double")), 9) \
+            .cast("decimal(18,9)")
+
+    j = topk.crossJoin(F.broadcast(pivot))
+    s = j.agg(F.sum(ln9(F.col("cents"))
+                    - ln9(F.col("xk"))).alias("lsum"),
+              F.count("*").alias("k"))
+    return s.select(F.col("k").cast("long").alias("k"),
+                    F.round(F.col("k")
+                            / F.col("lsum").cast("double"), 6)
+                    .alias("hill_alpha"))
+
+
+_HILL_ORACLE = """
+WITH o AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents, o_orderkey,
+         row_number() OVER (ORDER BY
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           DESC, o_orderkey) AS rk
+  FROM orders),
+pv AS (SELECT cents AS xk FROM o WHERE rk = 101),
+s AS (
+  SELECT COUNT(*) AS k,
+         SUM(CAST(round(ln(o.cents * 1.0), 9) AS DECIMAL(18,9))
+             - CAST(round(ln(p.xk * 1.0), 9) AS DECIMAL(18,9)))
+           AS lsum
+  FROM o, pv p WHERE o.rk <= 100)
+SELECT CAST(k AS BIGINT) AS k,
+       round(k / CAST(lsum AS DOUBLE), 6) AS hill_alpha
+FROM s
+"""
+
+
+def q_var_cvar(spark, sf_dir):
+    """Historical 99% VaR and CVaR (expected shortfall) of daily
+    revenue swings: the day-over-day change distribution's lower
+    1% rank-selected quantile, and the exact mean of the tail beyond
+    it — the risk pair regulators ask for, in integer cents with one
+    rank selection and one tail mean."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"]
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                   * 100).cast("long").alias("cents")))
+    w = W.orderBy("day")
+    chg = (daily.withColumn("d", F.col("cents")
+                            - F.lag("cents").over(w))
+           .where(F.col("d").isNotNull()))
+    n = chg.count()
+    k = max(1, n // 100)
+    ranked = chg.withColumn("rk", F.row_number().over(
+        W.orderBy(F.col("d"), F.col("day"))))
+    var = ranked.where(F.col("rk") == k).select(
+        F.col("d").alias("var_cents"))
+    tail = (ranked.where(F.col("rk") <= k)
+            .agg(F.count("*").alias("nt"),
+                 F.sum("d").cast("long").alias("st")))
+    return (tail.crossJoin(F.broadcast(var))
+            .select(F.lit(n).cast("long").alias("n_days"),
+                    F.col("var_cents"),
+                    F.round(F.col("st") / F.col("nt").cast("double"),
+                            6).alias("cvar_cents")))
+
+
+_VAR_CVAR_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+chg AS (
+  SELECT day, cents - lag(cents) OVER (ORDER BY day) AS d FROM daily),
+v AS (SELECT day, d FROM chg WHERE d IS NOT NULL),
+n AS (SELECT COUNT(*) AS n, GREATEST(1, COUNT(*) // 100) AS k FROM v),
+ranked AS (
+  SELECT d, row_number() OVER (ORDER BY d, day) AS rk FROM v)
+SELECT n.n AS n_days,
+       (SELECT d FROM ranked, n WHERE rk = n.k) AS var_cents,
+       round((SELECT SUM(d) * 1.0 / COUNT(*)
+              FROM ranked, n WHERE rk <= n.k), 6) AS cvar_cents
+FROM n
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -12330,6 +12434,8 @@ ORACLES: dict[str, str | None] = {
     "logodds_terms": _LOGODDS_ORACLE,
     "quota_violations": _QUOTA_ORACLE,
     "peak_concurrency": _PEAK_ORACLE,
+    "hill_tail": _HILL_ORACLE,
+    "var_cvar": _VAR_CVAR_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -12678,6 +12784,8 @@ QUERIES = {
     "logodds_terms": q_logodds_terms,
     "quota_violations": q_quota_violations,
     "peak_concurrency": q_peak_concurrency,
+    "hill_tail": q_hill_tail,
+    "var_cvar": q_var_cvar,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
