@@ -10700,6 +10700,74 @@ FROM n
 """
 
 
+def q_jsd_daily_mix(spark, sf_dir):
+    """Jensen-Shannon divergence of each day's event-type mix from the
+    global mix — the bounded symmetric drift score ([0,1] in bits)
+    monitoring pipelines prefer over raw KL (no infinities on missing
+    classes).  Every p*log2 term rounds to the 9 dp DECIMAL grid (the
+    transition_entropy ladder) before summation."""
+    ev = _events(spark, sf_dir)
+    d = (ev.groupBy(F.col("ts").cast("date").alias("day"),
+                    "event_type")
+         .agg(F.count("*").alias("c")))
+    dn = d.groupBy("day").agg(F.sum("c").alias("nd"))
+    g = d.groupBy("event_type").agg(F.sum("c").alias("cg"))
+    gn = g.agg(F.sum("cg").alias("ng"))
+    # dense (day x type) grid so classes absent on a day still
+    # contribute their q-side mass (that's what keeps JSD finite)
+    full = (dn.crossJoin(F.broadcast(g)).crossJoin(F.broadcast(gn))
+            .join(d, ["day", "event_type"], "left")
+            .select("day",
+                    F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+                    "nd", "cg", "ng"))
+    p2 = F.col("c") / F.col("nd")
+    q2 = F.col("cg") / F.col("ng")
+    m2 = (p2 + q2) / 2
+    tp = F.when(F.col("c") > 0,
+                F.round(p2 * F.log2(p2 / m2), 9)
+                .cast("decimal(18,9)")) \
+        .otherwise(F.lit(0).cast("decimal(18,9)"))
+    tq = F.round(q2 * F.log2(q2 / m2), 9).cast("decimal(18,9)")
+    return (full.groupBy("day")
+            .agg(F.round((F.sum(tp).cast("double")
+                          + F.sum(tq).cast("double")) / 2, 6)
+                 .alias("jsd_bits"))
+            .orderBy(F.col("jsd_bits").desc(), "day").limit(10))
+
+
+_JSD_ORACLE = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+dn AS (SELECT day, SUM(c) AS nd FROM d GROUP BY day),
+g AS (SELECT event_type, SUM(c) AS cg FROM d GROUP BY event_type),
+gn AS (SELECT SUM(cg) AS ng FROM g),
+grid AS (
+  SELECT dn.day, COALESCE(d.c, 0) AS c, dn.nd, g.cg, gn.ng
+  FROM dn CROSS JOIN g CROSS JOIN gn
+  LEFT JOIN d ON d.day = dn.day AND d.event_type = g.event_type),
+t AS (
+  SELECT day,
+         CASE WHEN c > 0 THEN CAST(round(
+           (c * 1.0 / nd)
+           * log2((c * 1.0 / nd)
+                  / (((c * 1.0 / nd) + (cg * 1.0 / ng)) / 2)), 9)
+           AS DECIMAL(18,9))
+         ELSE CAST(0 AS DECIMAL(18,9)) END AS tp,
+         CAST(round(
+           (cg * 1.0 / ng)
+           * log2((cg * 1.0 / ng)
+                  / (((c * 1.0 / nd) + (cg * 1.0 / ng)) / 2)), 9)
+           AS DECIMAL(18,9)) AS tq
+  FROM grid)
+SELECT day,
+       round((CAST(SUM(tp) AS DOUBLE) + CAST(SUM(tq) AS DOUBLE)) / 2,
+             6) AS jsd_bits
+FROM t GROUP BY day
+ORDER BY jsd_bits DESC, day LIMIT 10
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -12436,6 +12504,7 @@ ORACLES: dict[str, str | None] = {
     "peak_concurrency": _PEAK_ORACLE,
     "hill_tail": _HILL_ORACLE,
     "var_cvar": _VAR_CVAR_ORACLE,
+    "jsd_daily_mix": _JSD_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -12786,6 +12855,7 @@ QUERIES = {
     "peak_concurrency": q_peak_concurrency,
     "hill_tail": q_hill_tail,
     "var_cvar": q_var_cvar,
+    "jsd_daily_mix": q_jsd_daily_mix,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
