@@ -10768,6 +10768,141 @@ ORDER BY jsd_bits DESC, day LIMIT 10
 """
 
 
+def q_cuped_adjustment(spark, sf_dir):
+    """CUPED variance reduction (Deng et al. 2013): per-customer
+    post-period revenue Y adjusted by pre-period covariate X with
+    theta = cov(X,Y)/var(X); reports the variance-reduction ratio
+    var(Y_adj)/var(Y) = 1 - rho^2 — the standard lever that makes
+    A/B tests 30-50%% cheaper.  All moments are exact DECIMAL sums of
+    integer cents; theta and the ratio are a handful of IEEE ops."""
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_custkey",
+        (F.col("o_orderdate") >= F.lit("1998-01-01")).alias("post"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"))
+    per = (o.groupBy("o_custkey")
+           .agg(F.sum(F.when(~F.col("post"), F.col("cents"))
+                      .otherwise(0)).cast("long").alias("x"),
+                F.sum(F.when(F.col("post"), F.col("cents"))
+                      .otherwise(0)).cast("long").alias("y")))
+    agg = per.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(38,0)").alias("syy"))
+    n = F.col("n").cast("double")
+    cov = F.col("sxy").cast("double") / n \
+        - (F.col("sx").cast("double") / n) \
+        * (F.col("sy").cast("double") / n)
+    vx = F.col("sxx").cast("double") / n \
+        - (F.col("sx").cast("double") / n) ** 2
+    vy = F.col("syy").cast("double") / n \
+        - (F.col("sy").cast("double") / n) ** 2
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(cov / vx, 9).alias("theta"),
+        F.round(1 - (cov * cov) / (vx * vy), 9)
+        .alias("var_ratio_after_cuped"))
+
+
+_CUPED_ORACLE = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE WHEN o_orderdate < DATE '1998-01-01'
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN o_orderdate >= DATE '1998-01-01'
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+  FROM orders GROUP BY o_custkey),
+a AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0))
+           AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0))
+           AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0))
+           AS syy
+  FROM per)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round((CAST(sxy AS DOUBLE) / n
+              - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+             / (CAST(sxx AS DOUBLE) / n
+                - (CAST(sx AS DOUBLE) / n)
+                  * (CAST(sx AS DOUBLE) / n)), 9) AS theta,
+       round(1 - ((CAST(sxy AS DOUBLE) / n
+                   - (CAST(sx AS DOUBLE) / n)
+                     * (CAST(sy AS DOUBLE) / n))
+                  * (CAST(sxy AS DOUBLE) / n
+                     - (CAST(sx AS DOUBLE) / n)
+                       * (CAST(sy AS DOUBLE) / n)))
+                 / ((CAST(sxx AS DOUBLE) / n
+                     - (CAST(sx AS DOUBLE) / n)
+                       * (CAST(sx AS DOUBLE) / n))
+                    * (CAST(syy AS DOUBLE) / n
+                       - (CAST(sy AS DOUBLE) / n)
+                         * (CAST(sy AS DOUBLE) / n))), 9)
+         AS var_ratio_after_cuped
+FROM a
+"""
+
+
+def q_budget_allocation(spark, sf_dir):
+    """Token-budget allocation by quality-per-token greedy: sources
+    ranked by mean quality proxy (chars per doc as the stand-in),
+    filled into a 200k-char budget in rank order — the knapsack-greedy
+    that decides which crawl sources make the training mix.  One
+    window cumsum over the SOURCE-level aggregate (dim-sized)."""
+    from pyspark.sql import Window as W
+    docs = _docs(spark, sf_dir)
+    src = (docs.groupBy("source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("chars")))
+    score = (F.col("chars") / F.col("n_docs")).alias("chars_per_doc")
+    w = W.orderBy(F.col("chars_per_doc").desc(), F.col("source"))
+    ranked = (src.select("source", "n_docs", "chars", score)
+              .withColumn("cum_before",
+                          F.coalesce(F.sum("chars").over(
+                              w.rowsBetween(W.unboundedPreceding, -1)),
+                              F.lit(0))))
+    taken = F.greatest(
+        F.lit(0), F.least(F.col("chars"),
+                          F.lit(200000) - F.col("cum_before")))
+    return (ranked.select("source", "chars",
+                          F.round("chars_per_doc", 6)
+                          .alias("chars_per_doc"),
+                          taken.cast("long").alias("chars_taken"))
+            .where(F.col("chars_taken") > 0))
+
+
+_BUDGET_ALLOC_ORACLE = """
+WITH src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY source),
+ranked AS (
+  SELECT source, n_docs, chars,
+         chars * 1.0 / n_docs AS chars_per_doc,
+         COALESCE(SUM(chars) OVER (
+           ORDER BY chars * 1.0 / n_docs DESC, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM src)
+SELECT source, chars, round(chars_per_doc, 6) AS chars_per_doc,
+       CAST(GREATEST(0, LEAST(chars, 200000 - cum_before)) AS BIGINT)
+         AS chars_taken
+FROM ranked
+WHERE GREATEST(0, LEAST(chars, 200000 - cum_before)) > 0
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -12505,6 +12640,8 @@ ORACLES: dict[str, str | None] = {
     "hill_tail": _HILL_ORACLE,
     "var_cvar": _VAR_CVAR_ORACLE,
     "jsd_daily_mix": _JSD_ORACLE,
+    "cuped_adjustment": _CUPED_ORACLE,
+    "budget_allocation": _BUDGET_ALLOC_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -12856,6 +12993,8 @@ QUERIES = {
     "hill_tail": q_hill_tail,
     "var_cvar": q_var_cvar,
     "jsd_daily_mix": q_jsd_daily_mix,
+    "cuped_adjustment": q_cuped_adjustment,
+    "budget_allocation": q_budget_allocation,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
