@@ -10903,6 +10903,93 @@ WHERE GREATEST(0, LEAST(chars, 200000 - cum_before)) > 0
 """
 
 
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test + Sen's slope on weekly revenue — the
+    nonparametric monitoring standard (no linearity or normality
+    assumed).  S = sum of pairwise signs and its tie-corrected
+    variance are EXACT integers; z applies the +-1 continuity
+    correction with sqrt as the only irrational; Sen's slope is the
+    lower median of pairwise slopes (rank selection, one division
+    each)."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"]
+    weekly = (o.groupBy(F.date_trunc("week", F.col("o_orderdate")
+                                     .cast("timestamp")).alias("wk"))
+              .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                    * 100).cast("long").alias("y")))
+    idx = weekly.withColumn("i", F.row_number().over(W.orderBy("wk"))) \
+        .localCheckpoint(eager=True)
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = (a.join(b, F.col("a.i") < F.col("b.i"))
+             .select(((F.col("b.y") > F.col("a.y")).cast("int")
+                      - (F.col("b.y") < F.col("a.y")).cast("int"))
+                     .alias("sgn"),
+                     ((F.col("b.y") - F.col("a.y"))
+                      / (F.col("b.i") - F.col("a.i"))).alias("slope")))
+    n_row = idx.agg(F.count("*").alias("n"))
+    # tie groups for the variance correction
+    ties = (idx.groupBy("y").agg(F.count("*").alias("t"))
+            .where(F.col("t") > 1)
+            .agg(F.coalesce(F.sum(F.col("t") * (F.col("t") - 1)
+                                  * (2 * F.col("t") + 5)), F.lit(0))
+                 .alias("tie_term")))
+    s_agg = pairs.agg(F.sum("sgn").cast("long").alias("s"),
+                      F.count("*").alias("n_pairs"))
+    med = (pairs.withColumn("rk", F.row_number().over(
+        W.orderBy("slope")))
+        .crossJoin(F.broadcast(s_agg.select("n_pairs")))
+        .where(F.col("rk") == F.floor((F.col("n_pairs") + 1) / 2)
+               .cast("int"))
+        .select(F.round("slope", 6).alias("sens_slope")))
+    j = (s_agg.crossJoin(F.broadcast(n_row))
+         .crossJoin(F.broadcast(ties))
+         .crossJoin(F.broadcast(med)))
+    var = ((F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("tie_term")) / 18.0)
+    z = (F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var))
+         .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var))
+         .otherwise(F.lit(0.0)))
+    return j.select(F.col("n").cast("long").alias("n_weeks"),
+                    "s", F.round(z, 6).alias("mk_z"), "sens_slope")
+
+
+_MANN_KENDALL_ORACLE = """
+WITH weekly AS (
+  SELECT date_trunc('week', CAST(o_orderdate AS TIMESTAMP)) AS wk,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS y
+  FROM orders GROUP BY 1),
+idx AS (
+  SELECT y, row_number() OVER (ORDER BY wk) AS i FROM weekly),
+pairs AS (
+  SELECT (CASE WHEN b.y > a.y THEN 1
+               WHEN b.y < a.y THEN -1 ELSE 0 END) AS sgn,
+         (b.y - a.y) * 1.0 / (b.i - a.i) AS slope
+  FROM idx a JOIN idx b ON a.i < b.i),
+nn AS (SELECT COUNT(*) AS n FROM idx),
+ties AS (
+  SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+  FROM (SELECT COUNT(*) AS t FROM idx GROUP BY y HAVING COUNT(*) > 1)),
+sa AS (SELECT CAST(SUM(sgn) AS BIGINT) AS s, COUNT(*) AS n_pairs
+       FROM pairs),
+med AS (
+  SELECT round(slope, 6) AS sens_slope FROM (
+    SELECT slope, row_number() OVER (ORDER BY slope) AS rk FROM pairs),
+    sa
+  WHERE rk = CAST(floor((sa.n_pairs + 1) / 2.0) AS INT))
+SELECT CAST(nn.n AS BIGINT) AS n_weeks, sa.s,
+       round(CASE WHEN sa.s > 0 THEN (sa.s - 1)
+                    / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                            - ties.tie_term) / 18.0)
+                  WHEN sa.s < 0 THEN (sa.s + 1)
+                    / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                            - ties.tie_term) / 18.0)
+                  ELSE 0.0 END, 6) AS mk_z,
+       med.sens_slope
+FROM sa, nn, ties, med
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -12642,6 +12729,7 @@ ORACLES: dict[str, str | None] = {
     "jsd_daily_mix": _JSD_ORACLE,
     "cuped_adjustment": _CUPED_ORACLE,
     "budget_allocation": _BUDGET_ALLOC_ORACLE,
+    "mann_kendall": _MANN_KENDALL_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -12995,6 +13083,7 @@ QUERIES = {
     "jsd_daily_mix": q_jsd_daily_mix,
     "cuped_adjustment": q_cuped_adjustment,
     "budget_allocation": q_budget_allocation,
+    "mann_kendall": q_mann_kendall,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
