@@ -157,3 +157,27 @@ def test_pattern_join_skew_split_on_power_law_graph(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ssjoin_plan_no_cartesian_no_python(docs):
+    """The exact set-similarity join must stay JVM-side and keyed:
+    no cartesian product, no Python UDF stage anywhere in the plan."""
+    from graphydb_spark.operators.dedup import ssjoin_jaccard
+    df = ssjoin_jaccard(docs, threshold=0.5)
+    plan = df._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_betweenness_frontier_keyed(spark):
+    """Brandes forward frontier joins must be keyed equi-joins (no
+    cartesian), and the per-round frames stay (source, uid)-keyed."""
+    from graphydb_spark.operators.graph_algos import betweenness_sampled
+    from pyspark.sql import functions as F
+    e = spark.createDataFrame(
+        [(str(i), str((i * 3 + 1) % 40)) for i in range(120)],
+        "startuid string, enduid string")
+    seeds = spark.createDataFrame([("1",), ("2",)], "uid string")
+    out = betweenness_sampled(e, seeds, max_depth=2)
+    plan = out._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan
