@@ -10990,6 +10990,121 @@ FROM sa, nn, ties, med
 """
 
 
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test on the sign of day-over-day revenue
+    moves: is the up/down sequence random or sticky?  Runs, n+ and n-
+    are exact integers; the expected-runs mean and variance are
+    rational; z needs one sqrt.  Zero-change days drop (standard
+    practice)."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"]
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                   * 100).cast("long").alias("cents")))
+    w = W.orderBy("day")
+    sgn = (daily.withColumn("d", F.col("cents")
+                            - F.lag("cents").over(w))
+           .where(F.col("d").isNotNull() & (F.col("d") != 0))
+           .select("day", (F.col("d") > 0).cast("int").alias("up")))
+    runs = (sgn.withColumn("chg",
+                           F.when(F.lag("up").over(w).isNull()
+                                  | (F.col("up")
+                                     != F.lag("up").over(w)), 1)
+                           .otherwise(0))
+            .agg(F.sum("chg").cast("long").alias("r"),
+                 F.sum("up").cast("long").alias("np"),
+                 F.sum(1 - F.col("up")).cast("long").alias("nm")))
+    n2 = 2 * F.col("np") * F.col("nm")
+    n = F.col("np") + F.col("nm")
+    mean = n2 / n + 1
+    var = (n2 * (n2 - n)) / (n * n * (n - 1))
+    return runs.select("r", "np", "nm",
+                       F.round((F.col("r") - mean) / F.sqrt(var), 6)
+                       .alias("z"))
+
+
+_RUNS_TEST_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+sgn AS (
+  SELECT day, (d > 0)::INT AS up FROM (
+    SELECT day, cents - lag(cents) OVER (ORDER BY day) AS d FROM daily)
+  WHERE d IS NOT NULL AND d <> 0),
+runs AS (
+  SELECT CAST(SUM(chg) AS BIGINT) AS r,
+         CAST(SUM(up) AS BIGINT) AS np,
+         CAST(SUM(1 - up) AS BIGINT) AS nm
+  FROM (
+    SELECT up, CASE WHEN lag(up) OVER (ORDER BY day) IS NULL
+                      OR up <> lag(up) OVER (ORDER BY day)
+               THEN 1 ELSE 0 END AS chg
+    FROM sgn))
+SELECT r, np, nm,
+       round((r - (CAST(2 * np * nm AS DOUBLE) / (np + nm) + 1))
+             / sqrt(CAST((2 * np * nm) * (2 * np * nm - (np + nm))
+                         AS DOUBLE)
+                    / ((np + nm) * (np + nm) * ((np + nm) - 1))),
+             6) AS z
+FROM runs
+"""
+
+
+def q_durbin_watson(spark, sf_dir):
+    """Durbin-Watson statistic of weekly revenue deviations from the
+    mean (DW ~ 2 means no lag-1 autocorrelation; < 2 positive, > 2
+    negative).  Numerator sum (y_t - y_{t-1})^2 is exact integer math;
+    the denominator Q - S^2/n is exact DECIMAL; one final division."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"]
+    weekly = (o.groupBy(F.date_trunc("week", F.col("o_orderdate")
+                                     .cast("timestamp")).alias("wk"))
+              .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                    * 100).cast("long").alias("y")))
+    w = W.orderBy("wk")
+    d = weekly.withColumn("dy", F.col("y") - F.lag("y").over(w))
+    agg = d.agg(
+        F.count("*").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(38,0)").alias("q"),
+        F.sum(F.when(F.col("dy").isNotNull(),
+                     F.col("dy").cast("decimal(19,0)") * F.col("dy"))
+              .otherwise(0)).cast("decimal(38,0)").alias("num"))
+    den = (F.col("q").cast("double")
+           - F.col("s").cast("double") * F.col("s").cast("double")
+           / F.col("n"))
+    return agg.select(F.col("n").cast("long").alias("n_weeks"),
+                      F.round(F.col("num").cast("double") / den, 6)
+                      .alias("durbin_watson"))
+
+
+_DW_ORACLE = """
+WITH weekly AS (
+  SELECT date_trunc('week', CAST(o_orderdate AS TIMESTAMP)) AS wk,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS y
+  FROM orders GROUP BY 1),
+d AS (SELECT y, y - lag(y) OVER (ORDER BY wk) AS dy FROM weekly),
+a AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS q,
+         CAST(SUM(CASE WHEN dy IS NOT NULL
+                  THEN CAST(dy AS DECIMAL(19,0)) * dy ELSE 0 END)
+              AS DECIMAL(38,0)) AS num
+  FROM d)
+SELECT CAST(n AS BIGINT) AS n_weeks,
+       round(CAST(num AS DOUBLE)
+             / (CAST(q AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n), 6)
+         AS durbin_watson
+FROM a
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -12730,6 +12845,8 @@ ORACLES: dict[str, str | None] = {
     "cuped_adjustment": _CUPED_ORACLE,
     "budget_allocation": _BUDGET_ALLOC_ORACLE,
     "mann_kendall": _MANN_KENDALL_ORACLE,
+    "runs_test": _RUNS_TEST_ORACLE,
+    "durbin_watson": _DW_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -13084,6 +13201,8 @@ QUERIES = {
     "cuped_adjustment": q_cuped_adjustment,
     "budget_allocation": q_budget_allocation,
     "mann_kendall": q_mann_kendall,
+    "runs_test": q_runs_test,
+    "durbin_watson": q_durbin_watson,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
