@@ -11105,6 +11105,66 @@ FROM a
 """
 
 
+def q_friedman_test(spark, sf_dir):
+    """Friedman test: do the 5 market segments keep the same revenue
+    ORDER across monthly blocks?  Within-block ranks (ties impossible
+    at cent grain in practice; deterministic (revenue, segment)
+    tie-break regardless), chi2_F = 12/(n k (k+1)) * sum R_j^2 -
+    3 n (k+1) — every term an exact integer until two final IEEE
+    ops.  Only blocks containing all 5 segments count (complete
+    blocks, the test's requirement)."""
+    from pyspark.sql import Window as W
+    t = load_tables(spark, sf_dir)
+    j = (t["orders"].join(t["customer"],
+                          F.col("o_custkey") == F.col("c_custkey"))
+         .groupBy(F.date_trunc("month", F.col("o_orderdate")
+                               .cast("timestamp")).alias("m"),
+                  "c_mktsegment")
+         .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+               * 100).cast("long").alias("rev")))
+    full = (j.groupBy("m").agg(F.count("*").alias("k"))
+            .where(F.col("k") == 5).select("m"))
+    ranked = (j.join(full, "m")
+              .withColumn("r", F.row_number().over(
+                  W.partitionBy("m")
+                  .orderBy("rev", "c_mktsegment"))))
+    rj = ranked.groupBy("c_mktsegment").agg(
+        F.sum("r").cast("long").alias("rsum"))
+    n = full.count()
+    k = 5
+    chi = (F.lit(12.0) / (n * k * (k + 1))
+           * F.sum(F.col("rsum") * F.col("rsum"))
+           - F.lit(3.0) * n * (k + 1))
+    return rj.agg(F.lit(n).cast("long").alias("n_blocks"),
+                  F.round(chi, 6).alias("friedman_chi2"))
+
+
+_FRIEDMAN_ORACLE = """
+WITH j AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS m,
+         c_mktsegment,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2),
+full_ AS (
+  SELECT m FROM j GROUP BY m HAVING COUNT(*) = 5),
+ranked AS (
+  SELECT j.c_mktsegment,
+         row_number() OVER (PARTITION BY j.m
+                            ORDER BY j.rev, j.c_mktsegment) AS r
+  FROM j JOIN full_ USING (m)),
+rj AS (
+  SELECT c_mktsegment, CAST(SUM(r) AS BIGINT) AS rsum
+  FROM ranked GROUP BY c_mktsegment),
+nn AS (SELECT COUNT(*) AS n FROM full_)
+SELECT CAST(nn.n AS BIGINT) AS n_blocks,
+       round(12.0 / (nn.n * 5 * 6) * SUM(rsum * rsum)
+             - 3.0 * nn.n * 6, 6) AS friedman_chi2
+FROM rj, nn GROUP BY nn.n
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -12847,6 +12907,7 @@ ORACLES: dict[str, str | None] = {
     "mann_kendall": _MANN_KENDALL_ORACLE,
     "runs_test": _RUNS_TEST_ORACLE,
     "durbin_watson": _DW_ORACLE,
+    "friedman_test": _FRIEDMAN_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -13203,6 +13264,7 @@ QUERIES = {
     "mann_kendall": q_mann_kendall,
     "runs_test": q_runs_test,
     "durbin_watson": q_durbin_watson,
+    "friedman_test": q_friedman_test,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
