@@ -11165,6 +11165,64 @@ FROM rj, nn GROUP BY nn.n
 """
 
 
+def q_segment_migration(spark, sf_dir):
+    """Customer value-segment MIGRATION matrix: spend quartile in the
+    1996-1997 window vs in 1998-1999 — who upgraded, who churned
+    (quartiles by ntile with (spend, custkey) tie-break; customers
+    absent from a window class as 'none').  The period-over-period
+    movement table behind retention planning."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_custkey", "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"))
+
+    def quartile(lo, hi, alias):
+        spend = (o.where((F.col("o_orderdate") >= F.lit(lo))
+                         & (F.col("o_orderdate") < F.lit(hi)))
+                 .groupBy("o_custkey")
+                 .agg(F.sum("cents").cast("long").alias("s")))
+        return spend.withColumn(
+            alias, F.ntile(4).over(W.orderBy("s", "o_custkey"))) \
+            .select("o_custkey", alias)
+
+    q1 = quartile("1996-01-01", "1998-01-01", "q_before")
+    q2 = quartile("1998-01-01", "2000-01-01", "q_after")
+    j = q1.join(q2, "o_custkey", "full")
+    return (j.groupBy(
+        F.coalesce(F.col("q_before").cast("string"), F.lit("none"))
+        .alias("q_before"),
+        F.coalesce(F.col("q_after").cast("string"), F.lit("none"))
+        .alias("q_after"))
+        .agg(F.count("*").alias("n_customers")))
+
+
+_MIGRATION_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM orders),
+q1 AS (
+  SELECT o_custkey, ntile(4) OVER (ORDER BY s, o_custkey) AS q_before
+  FROM (SELECT o_custkey, CAST(SUM(cents) AS BIGINT) AS s FROM o
+        WHERE o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1998-01-01'
+        GROUP BY o_custkey)),
+q2 AS (
+  SELECT o_custkey, ntile(4) OVER (ORDER BY s, o_custkey) AS q_after
+  FROM (SELECT o_custkey, CAST(SUM(cents) AS BIGINT) AS s FROM o
+        WHERE o_orderdate >= DATE '1998-01-01'
+          AND o_orderdate < DATE '2000-01-01'
+        GROUP BY o_custkey))
+SELECT COALESCE(CAST(q_before AS VARCHAR), 'none') AS q_before,
+       COALESCE(CAST(q_after AS VARCHAR), 'none') AS q_after,
+       COUNT(*) AS n_customers
+FROM q1 FULL JOIN q2 USING (o_custkey)
+GROUP BY 1, 2
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -12908,6 +12966,7 @@ ORACLES: dict[str, str | None] = {
     "runs_test": _RUNS_TEST_ORACLE,
     "durbin_watson": _DW_ORACLE,
     "friedman_test": _FRIEDMAN_ORACLE,
+    "segment_migration": _MIGRATION_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -13265,6 +13324,7 @@ QUERIES = {
     "runs_test": q_runs_test,
     "durbin_watson": q_durbin_watson,
     "friedman_test": q_friedman_test,
+    "segment_migration": q_segment_migration,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
