@@ -11223,6 +11223,212 @@ GROUP BY 1, 2
 """
 
 
+def q_theil_index(spark, sf_dir):
+    """Theil T inequality index of customer spend, DECOMPOSED into
+    between-nation and within-nation parts (the additivity Gini
+    lacks — tells you whether inequality lives across markets or
+    inside them).  ln terms expand to integer-ln ladder differences
+    (ln x + ln n - ln S); products computed in doubles and rounded to
+    9 dp DECIMAL before summation."""
+    t = load_tables(spark, sf_dir)
+    per = (t["orders"].join(t["customer"],
+                            F.col("o_custkey") == F.col("c_custkey"))
+           .groupBy("o_custkey", "c_nationkey")
+           .agg(F.sum((F.col("o_totalprice").cast("decimal(18,2)")
+                       * 100).cast("long")).cast("long").alias("x")))
+    tot = per.agg(F.count("*").alias("n"),
+                  F.sum("x").cast("decimal(38,0)").alias("s"))
+
+    def ln9d(c):
+        return F.round(F.log(c.cast("double")), 9)
+
+    j = per.crossJoin(F.broadcast(tot))
+    share = F.col("x") * F.col("n").cast("double") \
+        / F.col("s").cast("double")
+    term = F.round(share * (ln9d(F.col("x")) + ln9d(F.col("n"))
+                            - ln9d(F.col("s"))), 9) \
+        .cast("decimal(18,9)")
+    total_t = (j.agg(F.sum(term).cast("double").alias("tt"),
+                     F.first("n").alias("n"))
+               .select(F.round(F.col("tt") / F.col("n"), 6)
+                       .alias("theil_total")))
+    # between-nation component: nations as synthetic individuals
+    nat = per.groupBy("c_nationkey").agg(
+        F.count("*").alias("nk"),
+        F.sum("x").cast("decimal(38,0)").alias("sk"))
+    jb = nat.crossJoin(F.broadcast(tot))
+    shb = F.col("sk").cast("double") / F.col("s").cast("double")
+    termb = F.round(shb * (ln9d(F.col("sk")) + ln9d(F.col("n"))
+                           - ln9d(F.col("s")) - ln9d(F.col("nk"))),
+                    9).cast("decimal(18,9)")
+    between = jb.agg(F.round(F.sum(termb).cast("double"), 6)
+                     .alias("theil_between"))
+    return (total_t.crossJoin(F.broadcast(between))
+            .select("theil_total", "theil_between",
+                    F.round(F.col("theil_total")
+                            - F.col("theil_between"), 6)
+                    .alias("theil_within")))
+
+
+_THEIL_ORACLE = """
+WITH per AS (
+  SELECT o_custkey, c_nationkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2),
+tot AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS DECIMAL(38,0)) AS s
+        FROM per),
+tt AS (
+  SELECT round(CAST(SUM(CAST(round(
+           (x * CAST(n AS DOUBLE) / CAST(s AS DOUBLE))
+           * (round(ln(x * 1.0), 9) + round(ln(n * 1.0), 9)
+              - round(ln(CAST(s AS DOUBLE)), 9)), 9)
+           AS DECIMAL(18,9))) AS DOUBLE) / MIN(n), 6) AS theil_total
+  FROM per, tot),
+nat AS (
+  SELECT c_nationkey, COUNT(*) AS nk,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS sk
+  FROM per GROUP BY 1),
+tb AS (
+  SELECT round(CAST(SUM(CAST(round(
+           (CAST(sk AS DOUBLE) / CAST(s AS DOUBLE))
+           * (round(ln(CAST(sk AS DOUBLE)), 9)
+              + round(ln(n * 1.0), 9)
+              - round(ln(CAST(s AS DOUBLE)), 9)
+              - round(ln(nk * 1.0), 9)), 9)
+           AS DECIMAL(18,9))) AS DOUBLE), 6) AS theil_between
+  FROM nat, tot)
+SELECT theil_total, theil_between,
+       round(theil_total - theil_between, 6) AS theil_within
+FROM tt, tb
+"""
+
+
+def q_growth_contribution(spark, sf_dir):
+    """Growth accounting: each nation's exact contribution to total
+    revenue growth 1997 -> 1998 (contributions sum to the total delta
+    by construction — additivity is the point).  Pure DECIMAL cents;
+    the share of growth is the single division per row."""
+    t = load_tables(spark, sf_dir)
+    j = (t["orders"].join(t["customer"],
+                          F.col("o_custkey") == F.col("c_custkey"))
+         .where(F.col("o_orderdate").between("1997-01-01",
+                                             "1998-12-31"))
+         .groupBy("c_nationkey",
+                  F.year(F.col("o_orderdate")).alias("yr"))
+         .agg(F.sum((F.col("o_totalprice").cast("decimal(18,2)")
+                     * 100).cast("long")).cast("long").alias("rev")))
+    p = (j.groupBy("c_nationkey")
+         .agg(F.sum(F.when(F.col("yr") == 1997, F.col("rev"))
+                    .otherwise(0)).cast("long").alias("r97"),
+              F.sum(F.when(F.col("yr") == 1998, F.col("rev"))
+                    .otherwise(0)).cast("long").alias("r98")))
+    tot = p.agg(F.sum(F.col("r98") - F.col("r97")).cast("long")
+                .alias("total_delta"))
+    return (p.crossJoin(F.broadcast(tot))
+            .select("c_nationkey",
+                    (F.col("r98") - F.col("r97")).alias("delta_cents"),
+                    F.round((F.col("r98") - F.col("r97"))
+                            / F.col("total_delta").cast("double"), 6)
+                    .alias("share_of_growth")))
+
+
+_GROWTH_CONTRIB_ORACLE = """
+WITH j AS (
+  SELECT c_nationkey, EXTRACT(year FROM o_orderdate) AS yr,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1998-12-31'
+  GROUP BY 1, 2),
+p AS (
+  SELECT c_nationkey,
+         CAST(SUM(CASE WHEN yr = 1997 THEN rev ELSE 0 END) AS BIGINT)
+           AS r97,
+         CAST(SUM(CASE WHEN yr = 1998 THEN rev ELSE 0 END) AS BIGINT)
+           AS r98
+  FROM j GROUP BY 1),
+tot AS (SELECT CAST(SUM(r98 - r97) AS BIGINT) AS total_delta FROM p)
+SELECT c_nationkey, r98 - r97 AS delta_cents,
+       round((r98 - r97) * 1.0 / total_delta, 6) AS share_of_growth
+FROM p, tot
+"""
+
+
+def q_price_index(spark, sf_dir):
+    """Laspeyres and Paasche price indices 1997 -> 1998 over parts
+    traded in BOTH years (avg unit price as p, total quantity as q) —
+    the econ-textbook pair bracketing true price change.  All sums
+    DECIMAL-exact; two final divisions."""
+    li = (load_tables(spark, sf_dir)["lineitem"]
+          .where(F.col("l_shipdate").between("1997-01-01",
+                                             "1998-12-31"))
+          .groupBy("l_partkey",
+                   F.year(F.col("l_shipdate")).alias("yr"))
+          .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"),
+               F.sum((F.col("l_extendedprice")
+                      .cast("decimal(18,2)") * 100).cast("long"))
+               .cast("long").alias("spend")))
+    a = li.where(F.col("yr") == 1997).select(
+        "l_partkey", F.col("q").alias("q0"),
+        F.col("spend").alias("s0"))
+    b = li.where(F.col("yr") == 1998).select(
+        "l_partkey", F.col("q").alias("q1"),
+        F.col("spend").alias("s1"))
+    j = a.join(b, "l_partkey")
+    # p = spend/q (avg unit cents, rational); index sums use
+    # p*q' = spend * q'/q — one division per term, rounded 6 dp
+    # DECIMAL so the sums stay order-free
+    lp_num = F.round(F.col("s0") / F.col("q0")
+                     * F.col("q0"), 6).cast("decimal(28,6)")
+    lp_cur = F.round(F.col("s1") / F.col("q1")
+                     * F.col("q0"), 6).cast("decimal(28,6)")
+    pa_num = F.round(F.col("s0") / F.col("q0")
+                     * F.col("q1"), 6).cast("decimal(28,6)")
+    pa_cur = F.round(F.col("s1") / F.col("q1")
+                     * F.col("q1"), 6).cast("decimal(28,6)")
+    agg = j.agg(F.count("*").alias("n_parts"),
+                F.sum(lp_num).alias("l0"), F.sum(lp_cur).alias("l1"),
+                F.sum(pa_num).alias("p0"), F.sum(pa_cur).alias("p1"))
+    return agg.select(
+        "n_parts",
+        F.round(F.col("l1").cast("double")
+                / F.col("l0").cast("double"), 6).alias("laspeyres"),
+        F.round(F.col("p1").cast("double")
+                / F.col("p0").cast("double"), 6).alias("paasche"))
+
+
+_PRICE_INDEX_ORACLE = """
+WITH li AS (
+  SELECT l_partkey, EXTRACT(year FROM l_shipdate) AS yr,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS spend
+  FROM lineitem
+  WHERE l_shipdate BETWEEN DATE '1997-01-01' AND DATE '1998-12-31'
+  GROUP BY 1, 2),
+a AS (SELECT l_partkey, q AS q0, spend AS s0 FROM li WHERE yr = 1997),
+b AS (SELECT l_partkey, q AS q1, spend AS s1 FROM li WHERE yr = 1998),
+j AS (SELECT * FROM a JOIN b USING (l_partkey)),
+agg AS (
+  SELECT COUNT(*) AS n_parts,
+         SUM(CAST(round(s0 * 1.0 / q0 * q0, 6) AS DECIMAL(28,6)))
+           AS l0,
+         SUM(CAST(round(s1 * 1.0 / q1 * q0, 6) AS DECIMAL(28,6)))
+           AS l1,
+         SUM(CAST(round(s0 * 1.0 / q0 * q1, 6) AS DECIMAL(28,6)))
+           AS p0,
+         SUM(CAST(round(s1 * 1.0 / q1 * q1, 6) AS DECIMAL(28,6)))
+           AS p1
+  FROM j)
+SELECT n_parts,
+       round(CAST(l1 AS DOUBLE) / CAST(l0 AS DOUBLE), 6) AS laspeyres,
+       round(CAST(p1 AS DOUBLE) / CAST(p0 AS DOUBLE), 6) AS paasche
+FROM agg
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -12967,6 +13173,9 @@ ORACLES: dict[str, str | None] = {
     "durbin_watson": _DW_ORACLE,
     "friedman_test": _FRIEDMAN_ORACLE,
     "segment_migration": _MIGRATION_ORACLE,
+    "theil_index": _THEIL_ORACLE,
+    "growth_contribution": _GROWTH_CONTRIB_ORACLE,
+    "price_index": _PRICE_INDEX_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -13325,6 +13534,9 @@ QUERIES = {
     "durbin_watson": q_durbin_watson,
     "friedman_test": q_friedman_test,
     "segment_migration": q_segment_migration,
+    "theil_index": q_theil_index,
+    "growth_contribution": q_growth_contribution,
+    "price_index": q_price_index,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
