@@ -11429,6 +11429,80 @@ FROM agg
 """
 
 
+def q_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per day — daily active users over the
+    distinct users of the whole fixture month; the engagement ratio
+    product teams watch.  Exact distinct counts; one division."""
+    ev = _events(spark, sf_dir)
+    dau = (ev.groupBy(F.col("ts").cast("date").alias("day"))
+           .agg(F.countDistinct("user_id").alias("dau")))
+    mau = ev.agg(F.countDistinct("user_id").alias("mau"))
+    return (dau.crossJoin(F.broadcast(mau))
+            .select("day", "dau", "mau",
+                    F.round(F.col("dau") / F.col("mau"), 6)
+                    .alias("stickiness")))
+
+
+_STICKINESS_ORACLE = """
+WITH dau AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1),
+mau AS (SELECT COUNT(DISTINCT user_id) AS mau FROM events)
+SELECT day, dau, mau, round(dau * 1.0 / mau, 6) AS stickiness
+FROM dau, mau
+"""
+
+
+def q_data_contract(spark, sf_dir):
+    """Data-contract check suite in ONE pass per table (the
+    expectations pattern): domain bounds, non-negativity, referential
+    integrity and date-range assertions, each reported as an exact
+    violation COUNT (0 = contract holds) — the gate a 100 TB ingest
+    runs before promoting a batch."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    o = t["orders"]
+    checks = li.agg(
+        F.sum((~F.col("l_quantity").between(1, 50)).cast("int"))
+        .alias("qty_out_of_domain"),
+        F.sum((F.col("l_extendedprice") <= 0).cast("int"))
+        .alias("nonpositive_price"),
+        F.sum((~F.col("l_discount").between(0.0, 0.11)).cast("int"))
+        .alias("discount_out_of_domain"),
+        F.sum((F.col("l_shipdate") < F.lit("1995-01-01")).cast("int"))
+        .alias("shipdate_before_epoch"))
+    orphans = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"),
+                       "left_anti")
+               .agg(F.count("*").alias("fk_orphan_lineitems")))
+    dup = (o.groupBy("o_orderkey").agg(F.count("*").alias("c"))
+           .where(F.col("c") > 1)
+           .agg(F.count("*").alias("duplicate_orderkeys")))
+    return (checks.crossJoin(F.broadcast(orphans))
+            .crossJoin(F.broadcast(dup)))
+
+
+_DATA_CONTRACT_ORACLE = """
+SELECT
+  (SELECT SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+              THEN 1 ELSE 0 END) FROM lineitem)
+    AS qty_out_of_domain,
+  (SELECT SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+   FROM lineitem) AS nonpositive_price,
+  (SELECT SUM(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.11
+              THEN 1 ELSE 0 END) FROM lineitem)
+    AS discount_out_of_domain,
+  (SELECT SUM(CASE WHEN l_shipdate < DATE '1995-01-01'
+              THEN 1 ELSE 0 END) FROM lineitem)
+    AS shipdate_before_epoch,
+  (SELECT COUNT(*) FROM lineitem l
+   LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+   WHERE o.o_orderkey IS NULL) AS fk_orphan_lineitems,
+  (SELECT COUNT(*) FROM (
+     SELECT o_orderkey FROM orders GROUP BY o_orderkey
+     HAVING COUNT(*) > 1)) AS duplicate_orderkeys
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -13176,6 +13250,8 @@ ORACLES: dict[str, str | None] = {
     "theil_index": _THEIL_ORACLE,
     "growth_contribution": _GROWTH_CONTRIB_ORACLE,
     "price_index": _PRICE_INDEX_ORACLE,
+    "stickiness": _STICKINESS_ORACLE,
+    "data_contract": _DATA_CONTRACT_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -13537,6 +13613,8 @@ QUERIES = {
     "theil_index": q_theil_index,
     "growth_contribution": q_growth_contribution,
     "price_index": q_price_index,
+    "stickiness": q_stickiness,
+    "data_contract": q_data_contract,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
