@@ -11503,6 +11503,113 @@ SELECT
 """
 
 
+_HOUR_TRIG = [(h, math.cos(2 * math.pi * h / 24),
+               math.sin(2 * math.pi * h / 24)) for h in range(24)]
+
+
+def q_hour_concentration(spark, sf_dir):
+    """Circular concentration of event times-of-day per event type:
+    mean resultant length R in [0,1] (1 = all events at one hour,
+    0 = uniform around the clock) — the correct statistic for cyclic
+    data where a plain mean of hours is meaningless.  The 24 unit
+    vectors are PYTHON-computed literals shared with the oracle (no
+    runtime trig); R needs one sqrt."""
+    ev = _events(spark, sf_dir)
+    trig = F.array(*[F.struct(F.lit(c).alias("c"), F.lit(s).alias("s"))
+                     for _, c, s in _HOUR_TRIG])
+    h = F.hour(F.col("ts")) + 1
+    e = ev.select("event_type",
+                  F.element_at(trig, h).alias("t"))
+    agg = (e.groupBy("event_type")
+           .agg(F.count("*").alias("n"),
+                F.round(F.sum(F.round(F.col("t.c"), 9)
+                              .cast("decimal(18,9)"))
+                        .cast("double"), 9).alias("sc"),
+                F.round(F.sum(F.round(F.col("t.s"), 9)
+                              .cast("decimal(18,9)"))
+                        .cast("double"), 9).alias("ss")))
+    r = F.sqrt(F.col("sc") * F.col("sc")
+               + F.col("ss") * F.col("ss")) / F.col("n")
+    return agg.select("event_type", "n",
+                      F.round(r, 6).alias("concentration"))
+
+
+def _hour_conc_oracle_sql() -> str:
+    vals = ", ".join(f"({h}, {c!r}, {s!r})" for h, c, s in _HOUR_TRIG)
+    return f"""
+WITH trig(h, c, s) AS (VALUES {vals}),
+e AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS h FROM events),
+agg AS (
+  SELECT event_type, COUNT(*) AS n,
+         round(CAST(SUM(CAST(round(t.c, 9) AS DECIMAL(18,9)))
+                    AS DOUBLE), 9) AS sc,
+         round(CAST(SUM(CAST(round(t.s, 9) AS DECIMAL(18,9)))
+                    AS DOUBLE), 9) AS ss
+  FROM e JOIN trig t ON t.h = e.h
+  GROUP BY event_type)
+SELECT event_type, n,
+       round(sqrt(sc * sc + ss * ss) / n, 6) AS concentration
+FROM agg
+"""
+
+
+def q_qte_segments(spark, sf_dir):
+    """Quantile treatment effects: p25/p50/p75 order-value gaps
+    between the BUILDING segment and the rest — where in the
+    distribution the difference lives (means hide it).  Lower-rank
+    selection per group; exact integer cents throughout."""
+    from pyspark.sql import Window as W
+    t = load_tables(spark, sf_dir)
+    j = (t["orders"].join(t["customer"],
+                          F.col("o_custkey") == F.col("c_custkey"))
+         .select((F.col("c_mktsegment") == "BUILDING").alias("treat"),
+                 (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                 .cast("long").alias("cents"), "o_orderkey"))
+    w = W.partitionBy("treat").orderBy("cents", "o_orderkey")
+    r = (j.withColumn("rk", F.row_number().over(w))
+         .withColumn("n", F.count("*").over(W.partitionBy("treat"))))
+    qs = None
+    for p, name in ((25, "p25"), (50, "p50"), (75, "p75")):
+        sel = (r.where(F.col("rk")
+                       == F.floor((F.col("n") * p + 99) / 100)
+                       .cast("int"))
+               .groupBy("treat")
+               .agg(F.min("cents").alias("v"))
+               .withColumn("q", F.lit(name)))
+        qs = sel if qs is None else qs.unionByName(sel)
+    a = qs.where(F.col("treat")).select("q", F.col("v").alias("vt"))
+    b = qs.where(~F.col("treat")).select("q", F.col("v").alias("vc"))
+    return (a.join(b, "q")
+            .select("q", F.col("vt").alias("treat_cents"),
+                    F.col("vc").alias("ctrl_cents"),
+                    (F.col("vt") - F.col("vc")).alias("qte_cents")))
+
+
+_QTE_ORACLE = """
+WITH j AS (
+  SELECT c_mktsegment = 'BUILDING' AS treat,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents, o_orderkey
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+r AS (
+  SELECT treat, cents,
+         row_number() OVER (PARTITION BY treat
+                            ORDER BY cents, o_orderkey) AS rk,
+         COUNT(*) OVER (PARTITION BY treat) AS n
+  FROM j),
+qs AS (
+  SELECT treat, q, MIN(cents) AS v FROM (
+    SELECT r.*, p.q, p.pp FROM r,
+      (VALUES ('p25', 25), ('p50', 50), ('p75', 75)) AS p(q, pp)
+    WHERE rk = CAST(floor((n * pp + 99) / 100.0) AS INT))
+  GROUP BY treat, q)
+SELECT a.q, a.v AS treat_cents, b.v AS ctrl_cents,
+       a.v - b.v AS qte_cents
+FROM qs a JOIN qs b ON a.q = b.q AND a.treat AND NOT b.treat
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -13252,6 +13359,8 @@ ORACLES: dict[str, str | None] = {
     "price_index": _PRICE_INDEX_ORACLE,
     "stickiness": _STICKINESS_ORACLE,
     "data_contract": _DATA_CONTRACT_ORACLE,
+    "hour_concentration": _hour_conc_oracle_sql(),
+    "qte_segments": _QTE_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -13615,6 +13724,8 @@ QUERIES = {
     "price_index": q_price_index,
     "stickiness": q_stickiness,
     "data_contract": q_data_contract,
+    "hour_concentration": q_hour_concentration,
+    "qte_segments": q_qte_segments,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
