@@ -11610,6 +11610,77 @@ FROM qs a JOIN qs b ON a.q = b.q AND a.treat AND NOT b.treat
 """
 
 
+def q_conformal_interval(spark, sf_dir):
+    """Split-conformal prediction interval for the seasonal-naive
+    forecaster (y_hat_d = y_{d-7}): the 90% quantile of absolute
+    calibration residuals (first half of days, rank-selected at
+    ceil(0.9*(n+1)) — the finite-sample-valid conformal rank) becomes
+    the interval half-width; reported with the EMPIRICAL coverage on
+    the held-out second half.  Distribution-free validity, all in
+    exact integer cents + two divisions."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"]
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                   * 100).cast("long").alias("y")))
+    w = W.orderBy("day")
+    r = (daily.withColumn("pred", F.lag("y", 7).over(w))
+         .where(F.col("pred").isNotNull())
+         .withColumn("ae", F.abs(F.col("y") - F.col("pred")))
+         .withColumn("i", F.row_number().over(w))
+         .localCheckpoint(eager=True))
+    n = r.count()
+    half_n = n // 2
+    cal = r.where(F.col("i") <= half_n)
+    test = r.where(F.col("i") > half_n)
+    k = math.ceil(0.9 * (half_n + 1))
+    qhat = (cal.withColumn("rk", F.row_number().over(
+        W.orderBy("ae", "day")))
+        .where(F.col("rk") == k).select(F.col("ae").alias("qhat")))
+    cov = (test.crossJoin(F.broadcast(qhat))
+           .agg(F.count("*").alias("n_test"),
+                F.sum((F.col("ae") <= F.col("qhat")).cast("int"))
+                .alias("covered"),
+                F.first("qhat").alias("qhat")))
+    return cov.select(
+        F.lit(half_n).cast("long").alias("n_cal"), "n_test",
+        F.col("qhat").alias("interval_halfwidth_cents"),
+        F.round(F.col("covered") / F.col("n_test").cast("double"), 6)
+        .alias("empirical_coverage"))
+
+
+def _conformal_oracle_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS y
+  FROM orders GROUP BY 1),
+r AS (
+  SELECT day, y, lag(y, 7) OVER (ORDER BY day) AS pred
+  FROM daily),
+rr AS (
+  SELECT day, abs(y - pred) AS ae,
+         row_number() OVER (ORDER BY day) AS i
+  FROM r WHERE pred IS NOT NULL),
+nn AS (SELECT COUNT(*) AS n, COUNT(*) // 2 AS hn FROM rr),
+cal AS (SELECT rr.* FROM rr, nn WHERE i <= hn),
+qh AS (
+  SELECT ae AS qhat FROM (
+    SELECT ae, row_number() OVER (ORDER BY ae, day) AS rk FROM cal),
+    nn
+  WHERE rk = CAST(ceil(0.9 * (hn + 1)) AS INT)),
+test AS (SELECT rr.* FROM rr, nn WHERE i > hn)
+SELECT (SELECT hn FROM nn) AS n_cal,
+       COUNT(*) AS n_test,
+       (SELECT qhat FROM qh) AS interval_halfwidth_cents,
+       round(SUM(CASE WHEN ae <= (SELECT qhat FROM qh)
+                 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS empirical_coverage
+FROM test
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -13361,6 +13432,7 @@ ORACLES: dict[str, str | None] = {
     "data_contract": _DATA_CONTRACT_ORACLE,
     "hour_concentration": _hour_conc_oracle_sql(),
     "qte_segments": _QTE_ORACLE,
+    "conformal_interval": _conformal_oracle_sql(),
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -13726,6 +13798,7 @@ QUERIES = {
     "data_contract": q_data_contract,
     "hour_concentration": q_hour_concentration,
     "qte_segments": q_qte_segments,
+    "conformal_interval": q_conformal_interval,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
