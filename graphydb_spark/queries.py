@@ -11681,6 +11681,95 @@ FROM test
 """
 
 
+_REPLAY_ARMS = ("click", "error", "purchase", "signup", "view")
+
+
+def q_policy_replay(spark, sf_dir):
+    """Offline policy evaluation by the REPLAY estimator (Li et al.
+    2011): replay the logged event stream against a greedy policy
+    (pick the arm with the best cumulative mean reward so far,
+    optimistic for unseen arms, ties to arm order) and average the
+    reward over the timesteps where the log happened to play the
+    policy's arm — the unbiased off-policy estimate when logging is
+    uniform.  Per-arm cumulative stats are conditional window sums
+    over the global (ts, event_id) order; matched rewards round to
+    9 dp DECIMAL before the mean."""
+    from pyspark.sql import Window as W
+    ev = (_events(spark, sf_dir)
+          .select("event_id", F.col("ts").cast("long").alias("t"),
+                  "event_type", F.col("value").alias("r")))
+    w = (W.orderBy("t", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    cols = []
+    for i, a in enumerate(_REPLAY_ARMS):
+        cnt = F.count(F.when(F.col("event_type") == a, 1)).over(w)
+        sm = F.sum(F.when(F.col("event_type") == a,
+                          F.round(F.col("r"), 9)
+                          .cast("decimal(18,9)"))).over(w)
+        cols.append(F.struct(
+            (cnt == 0).cast("int").alias("unseen"),
+            (sm.cast("double") / cnt).alias("mean"),
+            F.lit(-i).alias("negidx"),
+            F.lit(a).alias("arm")))
+    policy = F.greatest(*cols)["arm"]
+    scored = ev.withColumn("policy_arm", policy)
+    matched = scored.where(F.col("event_type") == F.col("policy_arm"))
+    return (matched.agg(
+        F.count("*").alias("n_matched"),
+        F.round(F.sum(F.round(F.col("r"), 9).cast("decimal(18,9)"))
+                .cast("double") / F.count("*"), 6)
+        .alias("replay_value"))
+        .crossJoin(F.broadcast(ev.agg(F.count("*").alias("n_total"))))
+        .select("n_total", "n_matched",
+                F.round(F.col("n_matched")
+                        / F.col("n_total").cast("double"), 6)
+                .alias("match_rate"), "replay_value"))
+
+
+def _policy_replay_oracle_sql() -> str:
+    cum = []
+    structs = []
+    for i, a in enumerate(_REPLAY_ARMS):
+        cum.append(
+            f"COUNT(CASE WHEN event_type = '{a}' THEN 1 END) OVER wb "
+            f"AS c{i},\n         "
+            f"SUM(CASE WHEN event_type = '{a}' THEN "
+            f"CAST(round(r, 9) AS DECIMAL(18,9)) END) OVER wb AS s{i}")
+        structs.append(
+            "{'unseen': (c%d = 0)::INT, "
+            "'mean': CAST(s%d AS DOUBLE) / c%d, "
+            "'negidx': %d, 'arm': '%s'}" % (i, i, i, -i, a))
+    # DuckDB GREATEST rejects structs; list_sort orders struct lists
+    # lexicographically, so the last element IS the argmax
+    greatest = ("(list_sort(["
+                + ", ".join(structs)
+                + f"]))[{len(_REPLAY_ARMS)}]")
+    return f"""
+WITH ev AS (
+  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         event_type, value AS r
+  FROM events),
+c AS (
+  SELECT *,
+         {", ".join(cum)}
+  FROM ev
+  WINDOW wb AS (ORDER BY t, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+p AS (
+  SELECT *, {greatest} AS best
+  FROM c),
+m AS (
+  SELECT * FROM p
+  WHERE event_type = best.arm),
+tot AS (SELECT COUNT(*) AS n_total FROM ev)
+SELECT tot.n_total, COUNT(*) AS n_matched,
+       round(COUNT(*) * 1.0 / tot.n_total, 6) AS match_rate,
+       round(CAST(SUM(CAST(round(r, 9) AS DECIMAL(18,9))) AS DOUBLE)
+             / COUNT(*), 6) AS replay_value
+FROM m, tot GROUP BY tot.n_total
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -13433,6 +13522,7 @@ ORACLES: dict[str, str | None] = {
     "hour_concentration": _hour_conc_oracle_sql(),
     "qte_segments": _QTE_ORACLE,
     "conformal_interval": _conformal_oracle_sql(),
+    "policy_replay": _policy_replay_oracle_sql(),
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -13799,6 +13889,7 @@ QUERIES = {
     "hour_concentration": q_hour_concentration,
     "qte_segments": q_qte_segments,
     "conformal_interval": q_conformal_interval,
+    "policy_replay": q_policy_replay,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
