@@ -11770,6 +11770,80 @@ FROM m, tot GROUP BY tot.n_total
 """
 
 
+def q_anova_segments(spark, sf_dir):
+    """One-way ANOVA of order value across the 5 market segments:
+    F statistic + eta-squared effect size from exact DECIMAL moment
+    sums (SSB/SSW computed as Q - S^2/n per group and pooled — no
+    per-row mean subtraction, one pass).  The k-group generalization
+    of q:welch_ttest."""
+    t = load_tables(spark, sf_dir)
+    j = (t["orders"].join(t["customer"],
+                          F.col("o_custkey") == F.col("c_custkey"))
+         .select("c_mktsegment",
+                 (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                 .cast("long").alias("y")))
+    g = j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(38,0)").alias("q"))
+    tot = g.agg(F.sum("n").alias("nt"),
+                F.sum("s").cast("decimal(38,0)").alias("st"),
+                F.sum("q").cast("decimal(38,0)").alias("qt"),
+                F.count("*").alias("k"),
+                F.sum((F.col("s").cast("double")
+                       * F.col("s").cast("double"))
+                      / F.col("n")).alias("ssq_over_n"))
+    sst = F.col("qt").cast("double") \
+        - (F.col("st").cast("double") * F.col("st").cast("double")
+           / F.col("nt"))
+    ssb = F.col("ssq_over_n") \
+        - (F.col("st").cast("double") * F.col("st").cast("double")
+           / F.col("nt"))
+    ssw = sst - ssb
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("nt")
+                                                - F.col("k")))
+    return tot.select(F.col("nt").cast("long").alias("n"),
+                      F.col("k").cast("long").alias("k"),
+                      F.round(f_stat, 6).alias("f_stat"),
+                      F.round(ssb / sst, 9).alias("eta_squared"))
+
+
+_ANOVA_ORACLE = """
+WITH j AS (
+  SELECT c_mktsegment,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+g AS (
+  SELECT c_mktsegment, COUNT(*) AS n,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS q
+  FROM j GROUP BY 1),
+tot AS (
+  SELECT SUM(n) AS nt, CAST(SUM(s) AS DECIMAL(38,0)) AS st,
+         CAST(SUM(q) AS DECIMAL(38,0)) AS qt, COUNT(*) AS k,
+         SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+           AS ssq_over_n
+  FROM g)
+SELECT CAST(nt AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       round(((ssq_over_n
+               - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt)
+              / (k - 1))
+             / (((CAST(qt AS DOUBLE)
+                  - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt)
+                 - (ssq_over_n
+                    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt))
+                / (nt - k)), 6) AS f_stat,
+       round((ssq_over_n
+              - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt)
+             / (CAST(qt AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt), 9)
+         AS eta_squared
+FROM tot
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -13523,6 +13597,7 @@ ORACLES: dict[str, str | None] = {
     "qte_segments": _QTE_ORACLE,
     "conformal_interval": _conformal_oracle_sql(),
     "policy_replay": _policy_replay_oracle_sql(),
+    "anova_segments": _ANOVA_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -13890,6 +13965,7 @@ QUERIES = {
     "qte_segments": q_qte_segments,
     "conformal_interval": q_conformal_interval,
     "policy_replay": q_policy_replay,
+    "anova_segments": q_anova_segments,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
