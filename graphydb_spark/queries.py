@@ -11844,6 +11844,148 @@ FROM tot
 """
 
 
+def q_degree_powerlaw(spark, sf_dir):
+    """Power-law exponent of the co-purchase degree distribution:
+    OLS slope of ln(count-of-degree) on ln(degree) — the scale-free
+    check on the product graph; integer-ln 9 dp ladder (the zipf
+    machinery on degrees)."""
+    li = load_tables(spark, sf_dir)["lineitem"] \
+        .select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    deg = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                  & (F.col("a.l_partkey") != F.col("b.l_partkey")))
+           .select(F.col("a.l_partkey").alias("p"),
+                   F.col("b.l_partkey").alias("q")).distinct()
+           .groupBy("p").agg(F.count("*").alias("d")))
+    hist = deg.groupBy("d").agg(F.count("*").alias("c"))
+    x = F.round(F.log(F.col("d").cast("double")), 9) \
+        .cast("decimal(18,9)")
+    y = F.round(F.log(F.col("c").cast("double")), 9) \
+        .cast("decimal(18,9)")
+    t = hist.select(x.alias("x"), y.alias("y"),
+                    (x * y).cast("decimal(38,18)").alias("xy"),
+                    (x * x).cast("decimal(38,18)").alias("xx"))
+    agg = t.agg(F.count("*").cast("double").alias("k"),
+                F.sum("x").cast("double").alias("sx"),
+                F.sum("y").cast("double").alias("sy"),
+                F.sum("xy").cast("double").alias("sxy"),
+                F.sum("xx").cast("double").alias("sxx"))
+    slope = ((F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return agg.select(F.col("k").cast("long").alias("n_degrees"),
+                      F.round(slope, 6).alias("powerlaw_slope"))
+
+
+_DEGREE_PL_ORACLE = """
+WITH deg AS (
+  SELECT p, COUNT(*) AS d FROM (
+    SELECT DISTINCT a.l_partkey AS p, b.l_partkey AS q
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey
+     AND a.l_partkey <> b.l_partkey)
+  GROUP BY p),
+hist AS (SELECT d, COUNT(*) AS c FROM deg GROUP BY d),
+t AS (
+  SELECT CAST(round(ln(d * 1.0), 9) AS DECIMAL(18,9)) AS x,
+         CAST(round(ln(c * 1.0), 9) AS DECIMAL(18,9)) AS y
+  FROM hist),
+a AS (
+  SELECT COUNT(*) AS k,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+  FROM t)
+SELECT CAST(k AS BIGINT) AS n_degrees,
+       round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+         AS powerlaw_slope
+FROM a
+"""
+
+
+def q_basket_entropy_nation(spark, sf_dir):
+    """Basket-size diversity per nation: Shannon entropy (bits) of the
+    order-size distribution — uniform basket sizes score high, a
+    single dominant size low.  9 dp DECIMAL -p*log2(p) ladder terms
+    (the category_entropy machinery grouped by nation)."""
+    t = load_tables(spark, sf_dir)
+    sz = (t["lineitem"].groupBy("l_orderkey")
+          .agg(F.count("*").alias("k")))
+    j = (t["orders"].join(sz, F.col("o_orderkey") == F.col("l_orderkey"))
+         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+         .groupBy("c_nationkey", "k").agg(F.count("*").alias("c")))
+    tot = j.groupBy("c_nationkey").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    term = F.round(-p * F.log2(p), 9).cast("decimal(18,9)")
+    return (j.join(tot, "c_nationkey")
+            .groupBy("c_nationkey")
+            .agg(F.round(F.sum(term).cast("double"), 6)
+                 .alias("basket_entropy_bits")))
+
+
+_BASKET_ENTROPY_ORACLE = """
+WITH sz AS (
+  SELECT l_orderkey, COUNT(*) AS k FROM lineitem GROUP BY 1),
+j AS (
+  SELECT c_nationkey, k, COUNT(*) AS c
+  FROM orders
+  JOIN sz ON o_orderkey = l_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2),
+tot AS (SELECT c_nationkey, SUM(c) AS n FROM j GROUP BY 1)
+SELECT j.c_nationkey,
+       round(CAST(SUM(CAST(round(
+         -(j.c * 1.0 / tot.n) * log2(j.c * 1.0 / tot.n), 9)
+         AS DECIMAL(18,9))) AS DOUBLE), 6) AS basket_entropy_bits
+FROM j JOIN tot USING (c_nationkey)
+GROUP BY j.c_nationkey
+"""
+
+
+def q_whale_share(spark, sf_dir):
+    """Customer concentration: revenue share of the top 1% of
+    customers (the whale curve point every marketplace tracks).
+    Rank selection for the cutoff, exact DECIMAL sums, one
+    division."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"]
+    per = o.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long")).cast("long").alias("s"))
+    n = per.count()
+    k = max(1, n // 100)
+    r = per.withColumn("rk", F.row_number().over(
+        W.orderBy(F.col("s").desc(), "o_custkey")))
+    agg = r.agg(
+        F.sum("s").cast("decimal(38,0)").alias("total"),
+        F.sum(F.when(F.col("rk") <= k, F.col("s")).otherwise(0))
+        .cast("decimal(38,0)").alias("whales"))
+    return agg.select(
+        F.lit(n).cast("long").alias("n_customers"),
+        F.lit(k).cast("long").alias("n_whales"),
+        F.round(F.col("whales").cast("double")
+                / F.col("total").cast("double"), 6)
+        .alias("whale_revenue_share"))
+
+
+_WHALE_ORACLE = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS s
+  FROM orders GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n, GREATEST(1, COUNT(*) // 100) AS k
+       FROM per),
+r AS (
+  SELECT s, row_number() OVER (ORDER BY s DESC, o_custkey) AS rk
+  FROM per)
+SELECT nn.n AS n_customers, nn.k AS n_whales,
+       round(CAST(SUM(CASE WHEN rk <= nn.k THEN s ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(SUM(s) AS DOUBLE), 6) AS whale_revenue_share
+FROM r, nn GROUP BY nn.n, nn.k
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -13598,6 +13740,9 @@ ORACLES: dict[str, str | None] = {
     "conformal_interval": _conformal_oracle_sql(),
     "policy_replay": _policy_replay_oracle_sql(),
     "anova_segments": _ANOVA_ORACLE,
+    "degree_powerlaw": _DEGREE_PL_ORACLE,
+    "basket_entropy_nation": _BASKET_ENTROPY_ORACLE,
+    "whale_share": _WHALE_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -13966,6 +14111,9 @@ QUERIES = {
     "conformal_interval": q_conformal_interval,
     "policy_replay": q_policy_replay,
     "anova_segments": q_anova_segments,
+    "degree_powerlaw": q_degree_powerlaw,
+    "basket_entropy_nation": q_basket_entropy_nation,
+    "whale_share": q_whale_share,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
