@@ -11986,6 +11986,91 @@ FROM r, nn GROUP BY nn.n, nn.k
 """
 
 
+def q_trade_flows(spark, sf_dir):
+    """Inter-nation trade-flow matrix: revenue from customer-nation i
+    buying parts supplied by nation j (the full 25x25 generalization
+    of TPC-H Q7's two-nation slice).  Star joins with broadcast dims;
+    exact DECIMAL cents."""
+    t = load_tables(spark, sf_dir)
+    return (t["lineitem"]
+            .join(t["orders"].select("o_orderkey", "o_custkey"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(t["customer"]
+                              .select("c_custkey", "c_nationkey")),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(t["supplier"]
+                              .select("s_suppkey",
+                                      F.col("s_nationkey")
+                                      .alias("supp_nation"))),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy(F.col("c_nationkey").alias("cust_nation"),
+                     "supp_nation")
+            .agg(F.sum((F.col("l_extendedprice")
+                        .cast("decimal(18,2)") * 100).cast("long"))
+                 .cast("long").alias("rev_cents"),
+                 F.count("*").alias("n_lines")))
+
+
+_TRADE_FLOWS_ORACLE = """
+SELECT c_nationkey AS cust_nation, s_nationkey AS supp_nation,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT)) AS BIGINT) AS rev_cents,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1, 2
+"""
+
+
+def q_supply_concentration(spark, sf_dir):
+    """Supply-chain concentration risk: per part TYPE prefix, the HHI
+    of supplier revenue shares — which categories depend on one
+    supplier.  9 dp DECIMAL share-squared terms; top 10 most
+    concentrated."""
+    t = load_tables(spark, sf_dir)
+    j = (t["lineitem"]
+         .join(F.broadcast(t["part"].select(
+             "p_partkey",
+             F.split(F.col("p_type"), " ").getItem(0).alias("ptype"))),
+             F.col("l_partkey") == F.col("p_partkey"))
+         .groupBy("ptype", "l_suppkey")
+         .agg(F.sum((F.col("l_extendedprice").cast("decimal(18,2)")
+                     * 100).cast("long")).cast("long").alias("rev")))
+    tot = j.groupBy("ptype").agg(
+        F.sum("rev").cast("decimal(38,0)").alias("t"),
+        F.count("*").alias("n_suppliers"))
+    share = F.col("rev").cast("double") / F.col("t").cast("double")
+    term = F.round(share * share, 9).cast("decimal(18,9)")
+    return (j.join(tot, "ptype")
+            .groupBy("ptype", "n_suppliers")
+            .agg(F.round(F.sum(term).cast("double"), 6).alias("hhi"))
+            .orderBy(F.col("hhi").desc(), "ptype").limit(10))
+
+
+_SUPPLY_CONC_ORACLE = """
+WITH j AS (
+  SELECT string_split(p_type, ' ')[1] AS ptype, l_suppkey,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2),
+tot AS (
+  SELECT ptype, CAST(SUM(rev) AS DECIMAL(38,0)) AS t,
+         COUNT(*) AS n_suppliers
+  FROM j GROUP BY 1)
+SELECT j.ptype, tot.n_suppliers,
+       round(CAST(SUM(CAST(round(
+         (CAST(rev AS DOUBLE) / CAST(t AS DOUBLE))
+         * (CAST(rev AS DOUBLE) / CAST(t AS DOUBLE)), 9)
+         AS DECIMAL(18,9))) AS DOUBLE), 6) AS hhi
+FROM j JOIN tot USING (ptype)
+GROUP BY j.ptype, tot.n_suppliers
+ORDER BY hhi DESC, j.ptype LIMIT 10
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -13743,6 +13828,8 @@ ORACLES: dict[str, str | None] = {
     "degree_powerlaw": _DEGREE_PL_ORACLE,
     "basket_entropy_nation": _BASKET_ENTROPY_ORACLE,
     "whale_share": _WHALE_ORACLE,
+    "trade_flows": _TRADE_FLOWS_ORACLE,
+    "supply_concentration": _SUPPLY_CONC_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -14114,6 +14201,8 @@ QUERIES = {
     "degree_powerlaw": q_degree_powerlaw,
     "basket_entropy_nation": q_basket_entropy_nation,
     "whale_share": q_whale_share,
+    "trade_flows": q_trade_flows,
+    "supply_concentration": q_supply_concentration,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
