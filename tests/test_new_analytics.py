@@ -289,3 +289,15 @@ def test_shapley_efficiency_axiom(spark):
         FROM touched t LEFT JOIN conv c ON c.user_id = t.user_id
         WHERE sset = '{full}'""").fetchone()[0]
     assert abs(sum(got.values()) - float(v_full)) < 1e-6
+
+
+def test_conformal_coverage_near_nominal(spark):
+    """Split-conformal validity: empirical held-out coverage should
+    sit near the 90% nominal level (exchangeability holds only
+    approximately on a trending series — allow a wide band, but the
+    guarantee must not collapse)."""
+    from graphydb_spark.queries import q_conformal_interval
+    row = q_conformal_interval(spark, "/root/testdata/sf0.01") \
+        .collect()[0]
+    assert row["n_cal"] > 100 and row["n_test"] > 100
+    assert 0.75 <= row["empirical_coverage"] <= 1.0
