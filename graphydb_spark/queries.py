@@ -12071,6 +12071,131 @@ ORDER BY hhi DESC, j.ptype LIMIT 10
 """
 
 
+def q_source_dup_matrix(spark, sf_dir):
+    """Cross-source duplication matrix: which sources near-duplicate
+    which (exact ssjoin pairs lifted to the source level) — the
+    provenance view that catches mirror sites and scraped-content
+    laundering in a crawl.  Unordered source pairs; exact counts."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    pairs = dedup.ssjoin_jaccard(_docs(spark, sf_dir), threshold=0.5) \
+        .select("id_a", "id_b")
+    j = (pairs
+         .join(docs.select(F.col("doc_id").alias("id_a"),
+                           F.col("source").alias("src_a")), "id_a")
+         .join(docs.select(F.col("doc_id").alias("id_b"),
+                           F.col("source").alias("src_b")), "id_b"))
+    return (j.groupBy(F.least("src_a", "src_b").alias("source_lo"),
+                      F.greatest("src_a", "src_b").alias("source_hi"))
+            .agg(F.count("*").alias("n_dup_pairs")))
+
+
+_SOURCE_DUP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '') AS ws
+  FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
+        i -> CAST(('0x' || substr(md5(
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))
+             AS BIGINT))) AS s
+  FROM toks WHERE len(ws) >= 3),
+tt AS (SELECT doc_id, len(s) AS n, unnest(s) AS tok FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+         count(*) AS i
+  FROM tt a JOIN tt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  WHERE CAST(i AS DOUBLE)/(na+nb-i) >= 0.5)
+SELECT LEAST(da.source, db.source) AS source_lo,
+       GREATEST(da.source, db.source) AS source_hi,
+       COUNT(*) AS n_dup_pairs
+FROM pairs
+JOIN documents da ON da.doc_id = id_a
+JOIN documents db ON db.doc_id = id_b
+GROUP BY 1, 2
+"""
+
+
+def q_backlog_curve(spark, sf_dir):
+    """Order-backlog curve: how many orders are OPEN (placed, last
+    line not yet shipped) on each day — the operations WIP series, by
+    the +1/-1 sweep (q:peak_concurrency generalized to emit the whole
+    curve).  Top 15 backlog days; exact integers."""
+    from pyspark.sql import Window as W
+    t = load_tables(spark, sf_dir)
+    iv = (t["lineitem"].groupBy("l_orderkey")
+          .agg(F.max(F.col("l_shipdate").cast("date")).alias("close"))
+          .join(t["orders"].select("o_orderkey",
+                                   F.col("o_orderdate").cast("date")
+                                   .alias("open")),
+                F.col("l_orderkey") == F.col("o_orderkey")))
+    pts = (iv.select(F.col("open").alias("d"), F.lit(1).alias("w"))
+           .unionByName(iv.select(F.col("close").alias("d"),
+                                  F.lit(-1).alias("w")))
+           .groupBy("d").agg(F.sum("w").alias("delta")))
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    run = pts.withColumn("backlog", F.sum("delta").over(w))
+    return (run.select("d", F.col("backlog").cast("long")
+                       .alias("open_orders"))
+            .orderBy(F.col("open_orders").desc(), "d").limit(15))
+
+
+_BACKLOG_ORACLE = """
+WITH iv AS (
+  SELECT o_orderdate AS open_d, MAX(CAST(l_shipdate AS DATE)) AS close
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderkey, o_orderdate),
+pts AS (
+  SELECT d, SUM(w) AS delta FROM (
+    SELECT CAST(open_d AS DATE) AS d, 1 AS w FROM iv
+    UNION ALL SELECT close, -1 FROM iv)
+  GROUP BY d),
+run AS (
+  SELECT d, SUM(delta) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+    AS backlog
+  FROM pts)
+SELECT d, CAST(backlog AS BIGINT) AS open_orders
+FROM run ORDER BY open_orders DESC, d LIMIT 15
+"""
+
+
+def q_ccdf_orders(spark, sf_dir):
+    """Complementary CDF of order value at a fixed dollar grid
+    (P(X > x) at 1k..256k doubling thresholds) — the log-log
+    survival curve read alongside q:hill_tail's exponent.  Exact
+    counts, one division per point."""
+    o = load_tables(spark, sf_dir)["orders"].select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"))
+    thresholds = [1000 * (2 ** i) for i in range(9)]
+    grid = F.array(*[F.lit(float(x)) for x in thresholds])
+    n = o.count()
+    e = o.select(F.explode(grid).alias("x"), "p")
+    return (e.groupBy("x")
+            .agg(F.sum((F.col("p") > F.col("x")).cast("int"))
+                 .alias("n_above"))
+            .select(F.col("x").cast("long").alias("threshold"),
+                    "n_above",
+                    F.round(F.col("n_above") / F.lit(float(n)), 9)
+                    .alias("ccdf")))
+
+
+def _ccdf_oracle_sql() -> str:
+    vals = ", ".join(f"({1000 * (2 ** i)})" for i in range(9))
+    return f"""
+WITH g(x) AS (VALUES {vals}),
+n AS (SELECT COUNT(*) AS n FROM orders)
+SELECT CAST(g.x AS BIGINT) AS threshold,
+       SUM(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) > g.x
+           THEN 1 ELSE 0 END) AS n_above,
+       round(SUM(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) > g.x
+                 THEN 1 ELSE 0 END) * 1.0 / MIN(n.n), 9) AS ccdf
+FROM orders, g, n GROUP BY g.x
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -13830,6 +13955,9 @@ ORACLES: dict[str, str | None] = {
     "whale_share": _WHALE_ORACLE,
     "trade_flows": _TRADE_FLOWS_ORACLE,
     "supply_concentration": _SUPPLY_CONC_ORACLE,
+    "source_dup_matrix": _SOURCE_DUP_ORACLE,
+    "backlog_curve": _BACKLOG_ORACLE,
+    "ccdf_orders": _ccdf_oracle_sql(),
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -14203,6 +14331,9 @@ QUERIES = {
     "whale_share": q_whale_share,
     "trade_flows": q_trade_flows,
     "supply_concentration": q_supply_concentration,
+    "source_dup_matrix": q_source_dup_matrix,
+    "backlog_curve": q_backlog_curve,
+    "ccdf_orders": q_ccdf_orders,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
