@@ -12196,6 +12196,173 @@ FROM orders, g, n GROUP BY g.x
 """
 
 
+def q_revenue_bridge(spark, sf_dir):
+    """Price-volume-mix bridge 1997 -> 1998 (the FP&A decomposition):
+    over parts traded both years, delta revenue = price effect
+    (q0 * dp) + volume effect (p0 * dq) + cross/mix (dp * dq), which
+    sum EXACTLY to the common-parts revenue delta — additivity is the
+    audit.  Unit prices are the q:price_index rationals rounded to
+    6 dp DECIMAL; all effects are DECIMAL sums."""
+    li = (load_tables(spark, sf_dir)["lineitem"]
+          .where(F.col("l_shipdate").between("1997-01-01",
+                                             "1998-12-31"))
+          .groupBy("l_partkey",
+                   F.year(F.col("l_shipdate")).alias("yr"))
+          .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"),
+               F.sum((F.col("l_extendedprice")
+                      .cast("decimal(18,2)") * 100).cast("long"))
+               .cast("long").alias("spend")))
+    a = li.where(F.col("yr") == 1997).select(
+        "l_partkey", F.col("q").alias("q0"),
+        F.col("spend").alias("s0"))
+    b = li.where(F.col("yr") == 1998).select(
+        "l_partkey", F.col("q").alias("q1"),
+        F.col("spend").alias("s1"))
+    j = a.join(b, "l_partkey")
+    p0 = F.round(F.col("s0") / F.col("q0"), 6).cast("decimal(28,6)")
+    p1 = F.round(F.col("s1") / F.col("q1"), 6).cast("decimal(28,6)")
+    price_eff = (F.col("q0").cast("decimal(19,0)") * (p1 - p0)) \
+        .cast("decimal(38,6)")
+    vol_eff = (p0 * (F.col("q1") - F.col("q0")).cast("decimal(19,0)")) \
+        .cast("decimal(38,6)")
+    cross_eff = ((p1 - p0)
+                 * (F.col("q1") - F.col("q0")).cast("decimal(19,0)")) \
+        .cast("decimal(38,6)")
+    agg = j.agg(F.count("*").alias("n_parts"),
+                F.sum(price_eff).alias("pe"),
+                F.sum(vol_eff).alias("ve"),
+                F.sum(cross_eff).alias("ce"),
+                F.sum(F.col("q1").cast("decimal(19,0)") * p1
+                      - F.col("q0").cast("decimal(19,0)") * p0)
+                .cast("decimal(38,6)").alias("delta"))
+    return agg.select(
+        "n_parts",
+        F.round(F.col("pe").cast("double") / 100, 2)
+        .alias("price_effect"),
+        F.round(F.col("ve").cast("double") / 100, 2)
+        .alias("volume_effect"),
+        F.round(F.col("ce").cast("double") / 100, 2)
+        .alias("mix_effect"),
+        F.round(F.col("delta").cast("double") / 100, 2)
+        .alias("total_delta"))
+
+
+_REVENUE_BRIDGE_ORACLE = """
+WITH li AS (
+  SELECT l_partkey, EXTRACT(year FROM l_shipdate) AS yr,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS spend
+  FROM lineitem
+  WHERE l_shipdate BETWEEN DATE '1997-01-01' AND DATE '1998-12-31'
+  GROUP BY 1, 2),
+a AS (SELECT l_partkey, q AS q0, spend AS s0 FROM li WHERE yr = 1997),
+b AS (SELECT l_partkey, q AS q1, spend AS s1 FROM li WHERE yr = 1998),
+j AS (
+  SELECT CAST(round(s0 * 1.0 / q0, 6) AS DECIMAL(28,6)) AS p0,
+         CAST(round(s1 * 1.0 / q1, 6) AS DECIMAL(28,6)) AS p1,
+         q0, q1
+  FROM a JOIN b USING (l_partkey)),
+agg AS (
+  SELECT COUNT(*) AS n_parts,
+         SUM(CAST(CAST(q0 AS DECIMAL(19,0)) * (p1 - p0)
+                  AS DECIMAL(38,6))) AS pe,
+         SUM(CAST(p0 * CAST(q1 - q0 AS DECIMAL(19,0))
+                  AS DECIMAL(38,6))) AS ve,
+         SUM(CAST((p1 - p0) * CAST(q1 - q0 AS DECIMAL(19,0))
+                  AS DECIMAL(38,6))) AS ce,
+         SUM(CAST(CAST(q1 AS DECIMAL(19,0)) * p1
+                  - CAST(q0 AS DECIMAL(19,0)) * p0
+                  AS DECIMAL(38,6))) AS delta
+  FROM j)
+SELECT n_parts,
+       round(CAST(pe AS DOUBLE) / 100, 2) AS price_effect,
+       round(CAST(ve AS DOUBLE) / 100, 2) AS volume_effect,
+       round(CAST(ce AS DOUBLE) / 100, 2) AS mix_effect,
+       round(CAST(delta AS DOUBLE) / 100, 2) AS total_delta
+FROM agg
+"""
+
+
+def q_dedup_roi(spark, sf_dir):
+    """Dedup ROI: bytes the exact + near-dup passes remove from the
+    corpus (exact dups keep min-id; ssjoin clusters keep min-id) —
+    the headline number that justifies running dedup at all.  Exact
+    char sums; one division."""
+    docs = _docs(spark, sf_dir)
+    exact_drop = (docs.groupBy(F.md5("text").alias("h"))
+                  .agg(F.sum("n_chars").alias("s"),
+                       F.min("n_chars").alias("keep1"),
+                       F.count("*").alias("c"))
+                  .agg(F.sum(F.when(F.col("c") > 1,
+                                    F.col("s") - F.col("keep1"))
+                             .otherwise(0)).cast("long")
+                       .alias("exact_chars")))
+    pairs = dedup.ssjoin_jaccard(docs, threshold=0.5) \
+        .select("id_a", "id_b")
+    clusters = dedup.dedup_clusters(pairs)
+    near_drop = (clusters.where(F.col("doc_id") != F.col("cluster"))
+                 .join(docs, "doc_id")
+                 .agg(F.sum("n_chars").cast("long")
+                      .alias("near_chars")))
+    tot = docs.agg(F.sum("n_chars").cast("long").alias("total_chars"))
+    return (tot.crossJoin(F.broadcast(exact_drop))
+            .crossJoin(F.broadcast(near_drop))
+            .select("total_chars", "exact_chars", "near_chars",
+                    F.round((F.col("exact_chars")
+                             + F.col("near_chars"))
+                            / F.col("total_chars").cast("double"), 6)
+                    .alias("savings_ratio")))
+
+
+_DEDUP_ROI_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '') AS ws
+  FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
+        i -> CAST(('0x' || substr(md5(
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))
+             AS BIGINT))) AS s
+  FROM toks WHERE len(ws) >= 3),
+tt AS (SELECT doc_id, len(s) AS n, unnest(s) AS tok FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+         count(*) AS i
+  FROM tt a JOIN tt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  WHERE CAST(i AS DOUBLE)/(na+nb-i) >= 0.5),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM sym
+    UNION SELECT r.a, s.b FROM r JOIN sym s ON s.a = r.b)
+  SELECT * FROM r),
+drop_ AS (
+  SELECT a AS doc_id FROM reach GROUP BY a
+  HAVING a <> LEAST(a, MIN(b))),
+exact_d AS (
+  SELECT CAST(SUM(CASE WHEN c > 1 THEN s - keep1 ELSE 0 END)
+              AS BIGINT) AS exact_chars
+  FROM (SELECT md5(text) AS h, SUM(n_chars) AS s,
+               MIN(n_chars) AS keep1, COUNT(*) AS c
+        FROM documents GROUP BY md5(text))),
+near_d AS (
+  SELECT CAST(COALESCE(SUM(d.n_chars), 0) AS BIGINT) AS near_chars
+  FROM drop_ JOIN documents d USING (doc_id)),
+tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents)
+SELECT total_chars, exact_chars, near_chars,
+       round((exact_chars + near_chars) * 1.0 / total_chars, 6)
+         AS savings_ratio
+FROM tot, exact_d, near_d
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -13958,6 +14125,8 @@ ORACLES: dict[str, str | None] = {
     "source_dup_matrix": _SOURCE_DUP_ORACLE,
     "backlog_curve": _BACKLOG_ORACLE,
     "ccdf_orders": _ccdf_oracle_sql(),
+    "revenue_bridge": _REVENUE_BRIDGE_ORACLE,
+    "dedup_roi": _DEDUP_ROI_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -14334,6 +14503,8 @@ QUERIES = {
     "source_dup_matrix": q_source_dup_matrix,
     "backlog_curve": q_backlog_curve,
     "ccdf_orders": q_ccdf_orders,
+    "revenue_bridge": q_revenue_bridge,
+    "dedup_roi": q_dedup_roi,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
