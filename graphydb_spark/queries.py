@@ -12363,6 +12363,147 @@ FROM tot, exact_d, near_d
 """
 
 
+def q_seasonality_strength(spark, sf_dir):
+    """Seasonality strength of daily revenue: eta^2 of month-of-year
+    groups (share of variance explained by the seasonal factor) —
+    one number answering 'does seasonality matter here'.  Exact
+    DECIMAL moments, the q:anova_segments machinery on calendar
+    groups."""
+    o = load_tables(spark, sf_dir)["orders"]
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                   * 100).cast("long").alias("y")))
+    g = (daily.groupBy(F.month("day").alias("m"))
+         .agg(F.count("*").alias("n"),
+              F.sum("y").cast("decimal(38,0)").alias("s"),
+              F.sum(F.col("y").cast("decimal(19,0)") * F.col("y"))
+              .cast("decimal(38,0)").alias("q")))
+    tot = g.agg(F.sum("n").alias("nt"),
+                F.sum("s").cast("decimal(38,0)").alias("st"),
+                F.sum("q").cast("decimal(38,0)").alias("qt"),
+                F.sum((F.col("s").cast("double")
+                       * F.col("s").cast("double")) / F.col("n"))
+                .alias("ssq_over_n"))
+    sst = F.col("qt").cast("double") \
+        - (F.col("st").cast("double") * F.col("st").cast("double")
+           / F.col("nt"))
+    ssb = F.col("ssq_over_n") \
+        - (F.col("st").cast("double") * F.col("st").cast("double")
+           / F.col("nt"))
+    return tot.select(F.col("nt").cast("long").alias("n_days"),
+                      F.round(ssb / sst, 9)
+                      .alias("seasonality_strength"))
+
+
+_SEASONALITY_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS y
+  FROM orders GROUP BY 1),
+g AS (
+  SELECT EXTRACT(month FROM day) AS m, COUNT(*) AS n,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS q
+  FROM daily GROUP BY 1),
+tot AS (
+  SELECT SUM(n) AS nt, CAST(SUM(s) AS DECIMAL(38,0)) AS st,
+         CAST(SUM(q) AS DECIMAL(38,0)) AS qt,
+         SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS ssq_over_n
+  FROM g)
+SELECT CAST(nt AS BIGINT) AS n_days,
+       round((ssq_over_n
+              - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt)
+             / (CAST(qt AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt), 9)
+         AS seasonality_strength
+FROM tot
+"""
+
+
+def q_quartile_dispersion(spark, sf_dir):
+    """Quartile coefficient of dispersion (q3-q1)/(q3+q1) of order
+    value per nation — the robust spread measure immune to whales.
+    Lower-rank quartile selection per group; exact integer cents."""
+    from pyspark.sql import Window as W
+    t = load_tables(spark, sf_dir)
+    j = (t["orders"].join(t["customer"],
+                          F.col("o_custkey") == F.col("c_custkey"))
+         .select("c_nationkey",
+                 (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                 .cast("long").alias("cents"), "o_orderkey"))
+    w = W.partitionBy("c_nationkey").orderBy("cents", "o_orderkey")
+    r = (j.withColumn("rk", F.row_number().over(w))
+         .withColumn("n", F.count("*").over(
+             W.partitionBy("c_nationkey"))))
+    q1 = (r.where(F.col("rk") == F.floor((F.col("n") + 3) / 4)
+                  .cast("int"))
+          .groupBy("c_nationkey").agg(F.min("cents").alias("q1")))
+    q3 = (r.where(F.col("rk") == F.floor((3 * F.col("n") + 3) / 4)
+                  .cast("int"))
+          .groupBy("c_nationkey").agg(F.min("cents").alias("q3")))
+    return (q1.join(q3, "c_nationkey")
+            .select("c_nationkey", "q1", "q3",
+                    F.round((F.col("q3") - F.col("q1"))
+                            / (F.col("q3") + F.col("q1"))
+                            .cast("double"), 6).alias("qcd")))
+
+
+_QCD_ORACLE = """
+WITH j AS (
+  SELECT c_nationkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents, o_orderkey
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+r AS (
+  SELECT c_nationkey, cents,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY cents, o_orderkey) AS rk,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM j),
+q1 AS (SELECT c_nationkey, MIN(cents) AS q1 FROM r
+       WHERE rk = CAST(floor((n + 3) / 4.0) AS INT)
+       GROUP BY c_nationkey),
+q3 AS (SELECT c_nationkey, MIN(cents) AS q3 FROM r
+       WHERE rk = CAST(floor((3 * n + 3) / 4.0) AS INT)
+       GROUP BY c_nationkey)
+SELECT c_nationkey, q1, q3,
+       round((q3 - q1) * 1.0 / (q3 + q1), 6) AS qcd
+FROM q1 JOIN q3 USING (c_nationkey)
+"""
+
+
+def q_lines_per_order_trend(spark, sf_dir):
+    """Average lines per order by quarter — the basket-size trend as
+    an exact rational (integer lines / integer orders) with a 9 dp
+    ratio."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].groupBy("l_orderkey").agg(
+        F.count("*").alias("k"))
+    j = (t["orders"].join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+         .groupBy(F.year("o_orderdate").alias("yr"),
+                  F.quarter("o_orderdate").alias("qt"))
+         .agg(F.count("*").alias("n_orders"),
+              F.sum("k").cast("long").alias("n_lines")))
+    return j.select("yr", "qt", "n_orders", "n_lines",
+                    F.round(F.col("n_lines")
+                            / F.col("n_orders").cast("double"), 9)
+                    .alias("lines_per_order"))
+
+
+_LPO_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, COUNT(*) AS k FROM lineitem GROUP BY 1)
+SELECT EXTRACT(year FROM o_orderdate) AS yr,
+       EXTRACT(quarter FROM o_orderdate) AS qt,
+       COUNT(*) AS n_orders,
+       CAST(SUM(k) AS BIGINT) AS n_lines,
+       round(SUM(k) * 1.0 / COUNT(*), 9) AS lines_per_order
+FROM orders JOIN li ON o_orderkey = l_orderkey
+GROUP BY 1, 2
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -14127,6 +14268,9 @@ ORACLES: dict[str, str | None] = {
     "ccdf_orders": _ccdf_oracle_sql(),
     "revenue_bridge": _REVENUE_BRIDGE_ORACLE,
     "dedup_roi": _DEDUP_ROI_ORACLE,
+    "seasonality_strength": _SEASONALITY_ORACLE,
+    "quartile_dispersion": _QCD_ORACLE,
+    "lines_per_order_trend": _LPO_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -14505,6 +14649,9 @@ QUERIES = {
     "ccdf_orders": q_ccdf_orders,
     "revenue_bridge": q_revenue_bridge,
     "dedup_roi": q_dedup_roi,
+    "seasonality_strength": q_seasonality_strength,
+    "quartile_dispersion": q_quartile_dispersion,
+    "lines_per_order_trend": q_lines_per_order_trend,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
