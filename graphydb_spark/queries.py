@@ -12504,6 +12504,147 @@ GROUP BY 1, 2
 """
 
 
+def q_tenure_spend_corr(spark, sf_dir):
+    """Does tenure pay?  Pearson correlation between customer tenure
+    (days from first order to the dataset horizon) and total spend —
+    exact integer inputs, DECIMAL moment sums, sqrt-only
+    irrationals."""
+    o = load_tables(spark, sf_dir)["orders"]
+    horizon = o.agg(F.max(F.col("o_orderdate").cast("date"))
+                    .alias("h"))
+    per = (o.groupBy("o_custkey")
+           .agg(F.min(F.col("o_orderdate").cast("date")).alias("first"),
+                F.sum((F.col("o_totalprice").cast("decimal(18,2)")
+                       * 100).cast("long")).cast("long").alias("y")))
+    j = per.crossJoin(F.broadcast(horizon)).select(
+        F.datediff(F.col("h"), F.col("first")).cast("long").alias("x"),
+        "y")
+    agg = j.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(38,0)").alias("syy"))
+    n = F.col("n").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                  .cast("double"))
+           * F.sqrt((n * F.col("syy") - F.col("sy") * F.col("sy"))
+                    .cast("double")))
+    return agg.select(F.col("n").cast("long").alias("n_customers"),
+                      F.round(num / den, 6).alias("tenure_spend_r"))
+
+
+_TENURE_CORR_ORACLE = """
+WITH h AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS h FROM orders),
+per AS (
+  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+j AS (
+  SELECT CAST(datediff('day', first, h.h) AS BIGINT) AS x, y
+  FROM per, h),
+a AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0))
+           AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0))
+           AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0))
+           AS syy
+  FROM j)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round(CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx
+                          AS DOUBLE))
+                * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy
+                            AS DOUBLE))), 6) AS tenure_spend_r
+FROM a
+"""
+
+
+def q_acf_table(spark, sf_dir):
+    """Autocorrelation function table of weekly revenue at lags 1..8
+    — the ACF profile that motivates AR model order (one lag is a
+    point, eight are a diagnosis).  Each lag is an exact-moment
+    Pearson between the series and its shift; one join of the
+    dim-sized weekly frame against the literal lag grid."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"]
+    weekly = (o.groupBy(F.date_trunc("week", F.col("o_orderdate")
+                                     .cast("timestamp")).alias("wk"))
+              .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                    * 100).cast("long").alias("y")))
+    idx = weekly.withColumn("i", F.row_number().over(W.orderBy("wk"))) \
+        .select("i", "y").localCheckpoint(eager=True)
+    lags = spark.createDataFrame([(l,) for l in range(1, 9)],
+                                 "lag int")
+    a = idx.select(F.col("i").alias("ia"), F.col("y").alias("ya"))
+    b = idx.select(F.col("i").alias("ib"), F.col("y").alias("yb"))
+    j = (lags.crossJoin(a)
+         .join(b, F.col("ib") == F.col("ia") + F.col("lag")))
+    agg = j.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("ya").cast("decimal(38,0)").alias("sx"),
+        F.sum("yb").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("ya").cast("decimal(19,0)") * F.col("yb"))
+        .cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("ya").cast("decimal(19,0)") * F.col("ya"))
+        .cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("yb").cast("decimal(19,0)") * F.col("yb"))
+        .cast("decimal(38,0)").alias("syy"))
+    n = F.col("n").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                  .cast("double"))
+           * F.sqrt((n * F.col("syy") - F.col("sy") * F.col("sy"))
+                    .cast("double")))
+    return agg.select("lag", F.col("n").cast("long").alias("n_pairs"),
+                      F.round(num / den, 6).alias("acf"))
+
+
+def _acf_oracle_sql() -> str:
+    vals = ", ".join(f"({l})" for l in range(1, 9))
+    return f"""
+WITH weekly AS (
+  SELECT date_trunc('week', CAST(o_orderdate AS TIMESTAMP)) AS wk,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS y
+  FROM orders GROUP BY 1),
+idx AS (SELECT row_number() OVER (ORDER BY wk) AS i, y FROM weekly),
+lags(lag) AS (VALUES {vals}),
+j AS (
+  SELECT lags.lag, a.y AS ya, b.y AS yb
+  FROM lags CROSS JOIN idx a
+  JOIN idx b ON b.i = a.i + lags.lag),
+agg AS (
+  SELECT lag, COUNT(*) AS n,
+         CAST(SUM(ya) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(yb) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(ya AS DECIMAL(19,0)) * yb) AS DECIMAL(38,0))
+           AS sxy,
+         CAST(SUM(CAST(ya AS DECIMAL(19,0)) * ya) AS DECIMAL(38,0))
+           AS sxx,
+         CAST(SUM(CAST(yb AS DECIMAL(19,0)) * yb) AS DECIMAL(38,0))
+           AS syy
+  FROM j GROUP BY lag)
+SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+       round(CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx
+                          AS DOUBLE))
+                * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy
+                            AS DOUBLE))), 6) AS acf
+FROM agg
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -14271,6 +14412,8 @@ ORACLES: dict[str, str | None] = {
     "seasonality_strength": _SEASONALITY_ORACLE,
     "quartile_dispersion": _QCD_ORACLE,
     "lines_per_order_trend": _LPO_ORACLE,
+    "tenure_spend_corr": _TENURE_CORR_ORACLE,
+    "acf_table": _acf_oracle_sql(),
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -14652,6 +14795,8 @@ QUERIES = {
     "seasonality_strength": q_seasonality_strength,
     "quartile_dispersion": q_quartile_dispersion,
     "lines_per_order_trend": q_lines_per_order_trend,
+    "tenure_spend_corr": q_tenure_spend_corr,
+    "acf_table": q_acf_table,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
