@@ -12645,6 +12645,155 @@ FROM agg
 """
 
 
+def q_markov_steady_state(spark, sf_dir):
+    """Stationary distribution of the per-user event-type Markov chain
+    by 8 synchronous power iterations from uniform — where user
+    behavior settles long-run.  Row-stochastic probabilities and every
+    update re-round to the 9 dp DECIMAL grid (the textrank ladder), so
+    the unrolled-CTE oracle replays bit-for-bit."""
+    from pyspark.sql import Window as W
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("long").alias("t"),
+        "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    tr = (ev.withColumn("nxt", F.lead("event_type").over(w))
+          .where(F.col("nxt").isNotNull())
+          .groupBy(F.col("event_type").alias("s"),
+                   F.col("nxt").alias("d"))
+          .agg(F.count("*").alias("c")))
+    tot = tr.groupBy("s").agg(F.sum("c").alias("n"))
+    p = (tr.join(tot, "s")
+         .select("s", "d",
+                 F.round(F.col("c") / F.col("n"), 9)
+                 .cast("decimal(18,9)").alias("p"))
+         .localCheckpoint(eager=True))
+    pi = (tot.select(F.col("s").alias("d"))
+          .withColumn("pi", F.lit(0.2).cast("decimal(18,9)")))
+    for _ in range(8):
+        pi = (p.join(pi.select(F.col("d").alias("s"), "pi"), "s")
+              .groupBy("d")
+              .agg(F.round(F.sum(F.col("pi") * F.col("p"))
+                           .cast("double"), 9)
+                   .cast("decimal(18,9)").alias("pi"))
+              .localCheckpoint(eager=True))
+    return pi.select(F.col("d").alias("event_type"),
+                     F.col("pi").cast("double").alias("steady_state"))
+
+
+def _steady_state_oracle_sql(iters: int = 8) -> str:
+    ctes = ["""tr AS MATERIALIZED (
+  SELECT s, d, COUNT(*) AS c FROM (
+    SELECT event_type AS s,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY CAST(floor(epoch(ts))
+                                               AS BIGINT), event_id)
+             AS d
+    FROM events)
+  WHERE d IS NOT NULL GROUP BY s, d)""",
+            """tp AS MATERIALIZED (
+  SELECT tr.s, tr.d,
+         CAST(round(tr.c * 1.0 / t.n, 9) AS DECIMAL(18,9)) AS p
+  FROM tr JOIN (SELECT s, SUM(c) AS n FROM tr GROUP BY s) t
+    ON t.s = tr.s)""",
+            """pi0 AS MATERIALIZED (
+  SELECT DISTINCT s AS d, CAST(0.2 AS DECIMAL(18,9)) AS pi FROM tr)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""pi{i} AS MATERIALIZED (
+  SELECT tp.d,
+         CAST(round(CAST(SUM(pi.pi * tp.p) AS DOUBLE), 9)
+              AS DECIMAL(18,9)) AS pi
+  FROM tp JOIN pi{i - 1} pi ON pi.d = tp.s
+  GROUP BY tp.d)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT d AS event_type, CAST(pi AS DOUBLE) AS steady_state
+FROM pi{iters}""")
+
+
+def q_token_burstiness(spark, sf_dir):
+    """Church-Gale token burstiness proxy: collection frequency over
+    document frequency for the 30 most frequent tokens — cf/df >> 1
+    flags bursty topical terms, ~1 flags function words.  Exact
+    integer counts, one division."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id",
+                       F.explode(text.tokens(F.col("text")))
+                       .alias("tok"))
+    agg = toks.groupBy("tok").agg(
+        F.count("*").alias("cf"),
+        F.countDistinct("doc_id").alias("df"))
+    return (agg.select("tok", "cf", "df",
+                       F.round(F.col("cf")
+                               / F.col("df").cast("double"), 6)
+                       .alias("burstiness"))
+            .orderBy(F.col("cf").desc(), "tok").limit(30))
+
+
+_TOKEN_BURST_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+         '[^a-z0-9]+'), x -> x != '')) AS tok
+  FROM documents),
+agg AS (
+  SELECT tok, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
+  FROM toks GROUP BY tok)
+SELECT tok, cf, df, round(cf * 1.0 / df, 6) AS burstiness
+FROM agg ORDER BY cf DESC, tok LIMIT 30
+"""
+
+
+def q_mutual_knn(spark, sf_dir):
+    """Mutual nearest-neighbor pairs over the embedding corpus: pairs
+    where each vector is the other's top-1 neighbor (integer-grid
+    dots, argmax with id tie-break) — the high-precision seed pairs
+    used to bootstrap alignment and dedup pipelines."""
+    emb = _emb(spark, sf_dir)
+    q = emb.select("vec_id", F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1e3).cast("long"))
+        .alias("q")).localCheckpoint(eager=True)
+    a = q.select(F.col("vec_id").alias("va"), F.col("q").alias("qa"))
+    b = q.select(F.col("vec_id").alias("vb"), F.col("q").alias("qb"))
+    dot = F.aggregate(F.zip_with("qa", "qb", lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, v: acc + v)
+    best = F.max(F.struct(F.col("s").alias("s"),
+                          (-F.col("vb")).alias("negid")))
+    nn = (a.crossJoin(b).where(F.col("va") != F.col("vb"))
+          .select("va", "vb", dot.alias("s"))
+          .groupBy("va").agg(best.alias("m"))
+          .select(F.col("va"), (-F.col("m.negid")).cast("long")
+                  .alias("nn"))
+          .localCheckpoint(eager=True))
+    r = nn.select(F.col("va").alias("x"), F.col("nn").alias("y"))
+    return (r.alias("p")
+            .join(r.alias("qq"),
+                  (F.col("p.x") == F.col("qq.y"))
+                  & (F.col("p.y") == F.col("qq.x")))
+            .where(F.col("p.x") < F.col("p.y"))
+            .select(F.col("p.x").alias("vec_a"),
+                    F.col("p.y").alias("vec_b")))
+
+
+_MUTUAL_KNN_ORACLE = """
+WITH qd AS (
+  SELECT vec_id, t.i AS i,
+         CAST(round(CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE)
+                    * 1e3) AS BIGINT) AS v
+  FROM embeddings, UNNEST(range(len(embedding))) AS t(i)),
+dots AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.v * b.v) AS s
+  FROM qd a JOIN qd b ON a.i = b.i AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2),
+nn AS (
+  SELECT va AS x, vb AS y FROM (
+    SELECT va, vb, row_number() OVER (PARTITION BY va
+                                      ORDER BY s DESC, vb) AS rk
+    FROM dots) WHERE rk = 1)
+SELECT p.x AS vec_a, p.y AS vec_b
+FROM nn p JOIN nn q ON p.x = q.y AND p.y = q.x
+WHERE p.x < p.y
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -14414,6 +14563,9 @@ ORACLES: dict[str, str | None] = {
     "lines_per_order_trend": _LPO_ORACLE,
     "tenure_spend_corr": _TENURE_CORR_ORACLE,
     "acf_table": _acf_oracle_sql(),
+    "markov_steady_state": _steady_state_oracle_sql(),
+    "token_burstiness": _TOKEN_BURST_ORACLE,
+    "mutual_knn": _MUTUAL_KNN_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -14797,6 +14949,9 @@ QUERIES = {
     "lines_per_order_trend": q_lines_per_order_trend,
     "tenure_spend_corr": q_tenure_spend_corr,
     "acf_table": q_acf_table,
+    "markov_steady_state": q_markov_steady_state,
+    "token_burstiness": q_token_burstiness,
+    "mutual_knn": q_mutual_knn,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
