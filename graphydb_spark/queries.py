@@ -12794,6 +12794,149 @@ WHERE p.x < p.y
 """
 
 
+def q_dead_stock(spark, sf_dir):
+    """Dead-stock screen: parts with NO sales in the trailing year of
+    the dataset but sales before it — discontinuation candidates.
+    One anti-join against the recent window; exact counts + last-sale
+    recency."""
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_partkey", F.col("l_shipdate").cast("date").alias("d"))
+    hor = li.agg(F.max("d").alias("h"))
+    j = li.crossJoin(F.broadcast(hor))
+    recent = (j.where(F.col("d") > F.date_sub(F.col("h"), 365))
+              .select("l_partkey").distinct())
+    old = (j.where(F.col("d") <= F.date_sub(F.col("h"), 365))
+           .groupBy("l_partkey")
+           .agg(F.max("d").alias("last_sale"),
+                F.count("*").alias("n_lifetime_lines")))
+    return (old.join(recent, "l_partkey", "left_anti")
+            .select("l_partkey", "last_sale", "n_lifetime_lines"))
+
+
+_DEAD_STOCK_ORACLE = """
+WITH h AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS h FROM lineitem),
+recent AS (
+  SELECT DISTINCT l_partkey FROM lineitem, h
+  WHERE CAST(l_shipdate AS DATE) > h.h - INTERVAL 365 DAY),
+old AS (
+  SELECT l_partkey, MAX(CAST(l_shipdate AS DATE)) AS last_sale,
+         COUNT(*) AS n_lifetime_lines
+  FROM lineitem, h
+  WHERE CAST(l_shipdate AS DATE) <= h.h - INTERVAL 365 DAY
+  GROUP BY 1)
+SELECT o.l_partkey, o.last_sale, o.n_lifetime_lines
+FROM old o LEFT JOIN recent r ON r.l_partkey = o.l_partkey
+WHERE r.l_partkey IS NULL
+"""
+
+
+def q_session_depth_curve(spark, sf_dir):
+    """Session-depth survival curve: P(session reaches >= k events)
+    for k = 1..10 — the engagement funnel's denominator-safe form.
+    Sessionization as in q:session_labels; exact counts."""
+    from pyspark.sql import Window as W
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("long").alias("t"), "event_id")
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    new_s = F.when(
+        (F.col("t") - F.lag("t").over(w) > 1800)
+        | F.lag("t").over(w).isNull(), 1).otherwise(0)
+    sess = (ev.withColumn("ns", new_s)
+            .withColumn("sid", F.sum("ns").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+            .groupBy("user_id", "sid")
+            .agg(F.count("*").alias("depth")))
+    ks = spark.createDataFrame([(k,) for k in range(1, 11)], "k int")
+    tot = sess.count()
+    return (ks.crossJoin(sess)
+            .groupBy("k")
+            .agg(F.sum((F.col("depth") >= F.col("k")).cast("int"))
+                 .alias("n_reaching"))
+            .select("k", "n_reaching",
+                    F.round(F.col("n_reaching") / F.lit(float(tot)), 6)
+                    .alias("survival")))
+
+
+_SESSION_DEPTH_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id
+  FROM events),
+s AS (
+  SELECT *, CASE WHEN t - lag(t) OVER w > 1800
+                   OR lag(t) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+g AS (
+  SELECT user_id,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s),
+sess AS (
+  SELECT user_id, sid, COUNT(*) AS depth FROM g GROUP BY 1, 2),
+tot AS (SELECT COUNT(*) AS n FROM sess),
+ks(k) AS (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10))
+SELECT k, SUM(CASE WHEN depth >= k THEN 1 ELSE 0 END) AS n_reaching,
+       round(SUM(CASE WHEN depth >= k THEN 1 ELSE 0 END) * 1.0
+             / MIN(tot.n), 6) AS survival
+FROM ks, sess, tot GROUP BY k
+"""
+
+
+def q_price_stickiness(spark, sf_dir):
+    """Price stickiness: share of both-year parts whose rounded unit
+    price is UNCHANGED 1997 -> 1998, plus up/down move counts — menu-
+    cost economics on the catalog.  Unit prices are the q:price_index
+    6 dp rationals; comparisons exact."""
+    li = (load_tables(spark, sf_dir)["lineitem"]
+          .where(F.col("l_shipdate").between("1997-01-01",
+                                             "1998-12-31"))
+          .groupBy("l_partkey",
+                   F.year(F.col("l_shipdate")).alias("yr"))
+          .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"),
+               F.sum((F.col("l_extendedprice")
+                      .cast("decimal(18,2)") * 100).cast("long"))
+               .cast("long").alias("spend")))
+    p = F.round(F.col("spend") / F.col("q"), 6).cast("decimal(28,6)")
+    a = li.where(F.col("yr") == 1997).select(
+        "l_partkey", p.alias("p0"))
+    b = li.where(F.col("yr") == 1998).select(
+        "l_partkey", p.alias("p1"))
+    j = a.join(b, "l_partkey")
+    return j.agg(
+        F.count("*").alias("n_parts"),
+        F.sum((F.col("p1") == F.col("p0")).cast("int"))
+        .alias("unchanged"),
+        F.sum((F.col("p1") > F.col("p0")).cast("int")).alias("up"),
+        F.sum((F.col("p1") < F.col("p0")).cast("int")).alias("down"),
+        F.round(F.sum((F.col("p1") == F.col("p0")).cast("int"))
+                / F.count("*"), 6).alias("sticky_share"))
+
+
+_PRICE_STICKY_ORACLE = """
+WITH li AS (
+  SELECT l_partkey, EXTRACT(year FROM l_shipdate) AS yr,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS spend
+  FROM lineitem
+  WHERE l_shipdate BETWEEN DATE '1997-01-01' AND DATE '1998-12-31'
+  GROUP BY 1, 2),
+a AS (SELECT l_partkey,
+             CAST(round(spend * 1.0 / q, 6) AS DECIMAL(28,6)) AS p0
+      FROM li WHERE yr = 1997),
+b AS (SELECT l_partkey,
+             CAST(round(spend * 1.0 / q, 6) AS DECIMAL(28,6)) AS p1
+      FROM li WHERE yr = 1998),
+j AS (SELECT * FROM a JOIN b USING (l_partkey))
+SELECT COUNT(*) AS n_parts,
+       SUM(CASE WHEN p1 = p0 THEN 1 ELSE 0 END) AS unchanged,
+       SUM(CASE WHEN p1 > p0 THEN 1 ELSE 0 END) AS up,
+       SUM(CASE WHEN p1 < p0 THEN 1 ELSE 0 END) AS down,
+       round(SUM(CASE WHEN p1 = p0 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS sticky_share
+FROM j
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -14566,6 +14709,9 @@ ORACLES: dict[str, str | None] = {
     "markov_steady_state": _steady_state_oracle_sql(),
     "token_burstiness": _TOKEN_BURST_ORACLE,
     "mutual_knn": _MUTUAL_KNN_ORACLE,
+    "dead_stock": _DEAD_STOCK_ORACLE,
+    "session_depth_curve": _SESSION_DEPTH_ORACLE,
+    "price_stickiness": _PRICE_STICKY_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -14952,6 +15098,9 @@ QUERIES = {
     "markov_steady_state": q_markov_steady_state,
     "token_burstiness": q_token_burstiness,
     "mutual_knn": q_mutual_knn,
+    "dead_stock": q_dead_stock,
+    "session_depth_curve": q_session_depth_curve,
+    "price_stickiness": q_price_stickiness,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
