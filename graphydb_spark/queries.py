@@ -12937,6 +12937,152 @@ FROM j
 """
 
 
+def q_roc_curve(spark, sf_dir):
+    """ROC curve of a deterministic classifier (score = discount,
+    outcome = item returned): one (threshold, tpr, fpr) row per
+    distinct score.  Scalable shape: the full fact table collapses to
+    an 11-row (score, tp, fp) contingency by ONE map-side-combinable
+    groupBy; the cumulative window runs on that tiny frame (the
+    partitionless window here is over ≤ #distinct-scores rows, not the
+    dataset — cf. the q:global_shuffle note).  All counts integer;
+    one division at the end."""
+    from pyspark.sql import Window as W
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        F.round(F.col("l_discount") * 100).cast("int").alias("thr_pct"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"))
+    by = (li.groupBy("thr_pct")
+          .agg(F.sum("y").alias("tp_s"),
+               F.sum(1 - F.col("y")).alias("fp_s")))
+    tot = by.agg(F.sum("tp_s").alias("pos"), F.sum("fp_s").alias("neg"))
+    w = W.orderBy(F.col("thr_pct").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow)
+    return (by.withColumn("cum_tp", F.sum("tp_s").over(w))
+            .withColumn("cum_fp", F.sum("fp_s").over(w))
+            .crossJoin(F.broadcast(tot))
+            .select("thr_pct", "cum_tp", "cum_fp",
+                    F.round(F.col("cum_tp") / F.col("pos"), 6).alias("tpr"),
+                    F.round(F.col("cum_fp") / F.col("neg"), 6).alias("fpr")))
+
+
+_ROC_ORACLE = """
+WITH li AS (
+  SELECT CAST(round(l_discount * 100) AS INT) AS thr_pct,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem),
+by_s AS (
+  SELECT thr_pct, SUM(y) AS tp_s, SUM(1 - y) AS fp_s
+  FROM li GROUP BY 1),
+tot AS (SELECT SUM(tp_s) AS pos, SUM(fp_s) AS neg FROM by_s),
+cum AS (
+  SELECT thr_pct,
+         SUM(tp_s) OVER (ORDER BY thr_pct DESC
+                         ROWS UNBOUNDED PRECEDING) AS cum_tp,
+         SUM(fp_s) OVER (ORDER BY thr_pct DESC
+                         ROWS UNBOUNDED PRECEDING) AS cum_fp
+  FROM by_s)
+SELECT thr_pct, cum_tp, cum_fp,
+       round(cum_tp * 1.0 / pos, 6) AS tpr,
+       round(cum_fp * 1.0 / neg, 6) AS fpr
+FROM cum, tot
+"""
+
+
+def q_pr_curve(spark, sf_dir):
+    """Precision-recall curve for the same classifier as q:roc_curve —
+    one (threshold, precision, recall) row per distinct score, plus
+    the positive-prevalence baseline each precision should beat.
+    Same contingency-collapse shape (exact integers, final division
+    only)."""
+    from pyspark.sql import Window as W
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        F.round(F.col("l_discount") * 100).cast("int").alias("thr_pct"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"))
+    by = (li.groupBy("thr_pct")
+          .agg(F.sum("y").alias("tp_s"), F.count("*").alias("n_s")))
+    tot = by.agg(F.sum("tp_s").alias("pos"), F.sum("n_s").alias("n"))
+    w = W.orderBy(F.col("thr_pct").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow)
+    return (by.withColumn("cum_tp", F.sum("tp_s").over(w))
+            .withColumn("cum_n", F.sum("n_s").over(w))
+            .crossJoin(F.broadcast(tot))
+            .select("thr_pct",
+                    F.round(F.col("cum_tp") / F.col("cum_n"), 6)
+                    .alias("precision"),
+                    F.round(F.col("cum_tp") / F.col("pos"), 6)
+                    .alias("recall"),
+                    F.round(F.col("pos") / F.col("n"), 6)
+                    .alias("prevalence")))
+
+
+_PR_ORACLE = """
+WITH li AS (
+  SELECT CAST(round(l_discount * 100) AS INT) AS thr_pct,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem),
+by_s AS (
+  SELECT thr_pct, SUM(y) AS tp_s, COUNT(*) AS n_s FROM li GROUP BY 1),
+tot AS (SELECT SUM(tp_s) AS pos, SUM(n_s) AS n FROM by_s),
+cum AS (
+  SELECT thr_pct,
+         SUM(tp_s) OVER (ORDER BY thr_pct DESC
+                         ROWS UNBOUNDED PRECEDING) AS cum_tp,
+         SUM(n_s) OVER (ORDER BY thr_pct DESC
+                        ROWS UNBOUNDED PRECEDING) AS cum_n
+  FROM by_s)
+SELECT thr_pct,
+       round(cum_tp * 1.0 / cum_n, 6) AS precision,
+       round(cum_tp * 1.0 / pos, 6) AS recall,
+       round(pos * 1.0 / n, 6) AS prevalence
+FROM cum, tot
+"""
+
+
+def q_brier_calibration(spark, sf_dir):
+    """Calibration-by-decile + per-bin Brier score for a fixed-weight
+    linear scorer p = (45*discount_pct + 9*quantity + 50)/1000 against
+    the returned-flag outcome.  The score is built in INTEGER
+    milli-units (p_millis) so binning and the (p-y)^2 sums are exact
+    decimals on both engines; doubles appear only in the final rounded
+    divisions.  One groupBy over the fact table — map-side combinable,
+    no shuffle beyond the 10-bin aggregate."""
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        (F.round(F.col("l_discount") * 100).cast("int") * 45
+         + F.col("l_quantity").cast("int") * 9 + 50).alias("p_millis"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"))
+    li = li.withColumn("bin", F.floor(F.col("p_millis") / 100).cast("int"))
+    p = (F.col("p_millis").cast("decimal(10,6)") / 1000)
+    sq = (p - F.col("y")).cast("decimal(16,10)")
+    return (li.withColumn("p", p).withColumn("sq", sq * sq)
+            .groupBy("bin")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("p") / F.count("*"), 6)
+                 .cast("double").alias("mean_pred"),
+                 F.round(F.sum("y") / F.count("*"), 6)
+                 .cast("double").alias("event_rate"),
+                 F.round(F.sum("sq") / F.count("*"), 6)
+                 .cast("double").alias("brier")))
+
+
+_BRIER_ORACLE = """
+WITH li AS (
+  SELECT CAST(round(l_discount * 100) AS INT) * 45
+         + CAST(l_quantity AS INT) * 9 + 50 AS p_millis,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem),
+b AS (
+  SELECT CAST(floor(p_millis / 100.0) AS INT) AS bin,
+         CAST(p_millis AS DECIMAL(10,6)) / 1000 AS p, y
+  FROM li)
+SELECT bin, COUNT(*) AS n,
+       round(SUM(p) * 1.0 / COUNT(*), 6) AS mean_pred,
+       round(SUM(y) * 1.0 / COUNT(*), 6) AS event_rate,
+       round(SUM(CAST(p - y AS DECIMAL(16,10))
+                 * CAST(p - y AS DECIMAL(16,10))) * 1.0 / COUNT(*), 6)
+       AS brier
+FROM b GROUP BY 1
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -14712,6 +14858,9 @@ ORACLES: dict[str, str | None] = {
     "dead_stock": _DEAD_STOCK_ORACLE,
     "session_depth_curve": _SESSION_DEPTH_ORACLE,
     "price_stickiness": _PRICE_STICKY_ORACLE,
+    "roc_curve": _ROC_ORACLE,
+    "pr_curve": _PR_ORACLE,
+    "brier_calibration": _BRIER_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -15101,6 +15250,9 @@ QUERIES = {
     "dead_stock": q_dead_stock,
     "session_depth_curve": q_session_depth_curve,
     "price_stickiness": q_price_stickiness,
+    "roc_curve": q_roc_curve,
+    "pr_curve": q_pr_curve,
+    "brier_calibration": q_brier_calibration,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
