@@ -13083,6 +13083,130 @@ FROM b GROUP BY 1
 """
 
 
+def q_butterfly_count(spark, sf_dir):
+    """Bipartite butterfly census of the customer-part purchase graph:
+    edges, wedges (part pairs sharing a customer), and butterflies
+    (2x2 bicliques) — the bipartite clustering primitives.
+
+    Scale shape: pairs are generated from the CUSTOMER side only
+    (degree ≤ catalog fanout, never part popularity), a degree cap
+    mirrors the q:copurchase_pairs skew guard (hot hubs excluded
+    identically in both engines — normally empty on TPC-H), and the
+    per-pair counts collapse by map-side-combinable groupBys; only the
+    wedge stream shuffles."""
+    n_part = spark.sparkContext.defaultParallelism * 2
+    t = load_tables(spark, sf_dir)
+    cp = (t["lineitem"].select("l_orderkey", "l_partkey")
+          .join(t["orders"].select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+          .select(F.col("o_custkey").alias("c"),
+                  F.col("l_partkey").alias("p"))
+          .distinct())
+    deg = cp.groupBy("c").agg(F.count("*").alias("d"))
+    keep = deg.where(F.col("d") <= 200)
+    cpk = (cp.join(keep.select("c"), "c", "left_semi")
+           .repartition(n_part, "c"))
+    a, b = cpk.alias("a"), cpk.alias("b")
+    pairs = (a.join(b, (F.col("a.c") == F.col("b.c"))
+                    & (F.col("a.p") < F.col("b.p")))
+             .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+             .agg(F.count("*").alias("s")))
+    side = keep.agg(
+        F.sum("d").alias("n_edges"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"))
+    bf = pairs.agg(
+        F.coalesce(F.sum(F.expr("s * (s - 1) div 2")), F.lit(0))
+        .alias("n_butterflies"))
+    return side.crossJoin(F.broadcast(bf))
+
+
+_BUTTERFLY_ORACLE = """
+WITH cp AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+deg AS (SELECT c, COUNT(*) AS d FROM cp GROUP BY 1),
+keep AS (SELECT c, d FROM deg WHERE d <= 200),
+cpk AS (SELECT cp.c, cp.p FROM cp JOIN keep USING (c)),
+pairs AS (
+  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS s
+  FROM cpk a JOIN cpk b ON a.c = b.c AND a.p < b.p
+  GROUP BY 1, 2)
+SELECT (SELECT CAST(SUM(d) AS BIGINT) FROM keep) AS n_edges,
+       (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM keep)
+         AS n_wedges,
+       (SELECT CAST(COALESCE(SUM(s * (s - 1) // 2), 0) AS BIGINT)
+        FROM pairs) AS n_butterflies
+"""
+
+
+def q_diameter_sweep(spark, sf_dir):
+    """Double-sweep diameter lower bound of the Region-Nation-Customer-
+    Order graph: BFS from the ASIA region node, hop to the farthest
+    node found (ties by uid), BFS again — ecc(far) bounds the true
+    diameter from below (exact on trees, and this subgraph is a
+    forest of region stars).  Two frontier BFS passes; each round
+    shuffles only the new frontier.  The argmax pick is a 1-row
+    driver scalar, not a collect of the reach set."""
+    t = load_tables(spark, sf_dir)
+    seed = (t["region"].where(F.col("r_name") == "ASIA")
+            .select(F.concat(F.lit("Region:"),
+                             F.col("r_regionkey")).alias("uid")))
+    g = tpch_graph(spark, sf_dir)
+    edges = g.edges_df.where(
+        F.col("kind").isin("InRegion", "FromNation", "Placed"))
+    d1 = graph_algos.bfs_distances(edges, seed, max_depth=6,
+                                   direction="both")
+    far = d1.orderBy(F.col("dist").desc(), F.col("uid")).first()
+    seed2 = spark.createDataFrame([(far["uid"],)], "uid string")
+    d2 = graph_algos.bfs_distances(edges, seed2, max_depth=8,
+                                   direction="both")
+    lb = d2.agg(F.max("dist")).first()[0]
+    return spark.createDataFrame(
+        [(far["uid"], int(far["dist"]), int(lb))],
+        "far_uid string, ecc_start int, diameter_lb int")
+
+
+_DIAMETER_SWEEP_ORACLE = """
+WITH RECURSIVE
+ed(a, b) AS (
+  SELECT 'Nation:' || CAST(n_nationkey AS VARCHAR),
+         'Region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+  UNION ALL
+  SELECT 'Region:' || CAST(n_regionkey AS VARCHAR),
+         'Nation:' || CAST(n_nationkey AS VARCHAR) FROM nation
+  UNION ALL
+  SELECT 'Customer:' || CAST(c_custkey AS VARCHAR),
+         'Nation:' || CAST(c_nationkey AS VARCHAR) FROM customer
+  UNION ALL
+  SELECT 'Nation:' || CAST(c_nationkey AS VARCHAR),
+         'Customer:' || CAST(c_custkey AS VARCHAR) FROM customer
+  UNION ALL
+  SELECT 'Customer:' || CAST(o_custkey AS VARCHAR),
+         'Order:' || CAST(o_orderkey AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'Order:' || CAST(o_orderkey AS VARCHAR),
+         'Customer:' || CAST(o_custkey AS VARCHAR) FROM orders
+),
+w1(uid, d) AS (
+  SELECT 'Region:' || CAST(r_regionkey AS VARCHAR), 0
+  FROM region WHERE r_name = 'ASIA'
+  UNION
+  SELECT ed.b, w1.d + 1 FROM w1 JOIN ed ON ed.a = w1.uid
+  WHERE w1.d < 6),
+d1 AS (SELECT uid, MIN(d) AS d FROM w1 GROUP BY uid),
+far AS (SELECT uid, d FROM d1 ORDER BY d DESC, uid LIMIT 1),
+w2(uid, d) AS (
+  SELECT uid, 0 FROM far
+  UNION
+  SELECT ed.b, w2.d + 1 FROM w2 JOIN ed ON ed.a = w2.uid
+  WHERE w2.d < 8),
+d2 AS (SELECT uid, MIN(d) AS d FROM w2 GROUP BY uid)
+SELECT (SELECT uid FROM far) AS far_uid,
+       CAST((SELECT d FROM far) AS INT) AS ecc_start,
+       CAST((SELECT MAX(d) FROM d2) AS INT) AS diameter_lb
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -14861,6 +14985,8 @@ ORACLES: dict[str, str | None] = {
     "roc_curve": _ROC_ORACLE,
     "pr_curve": _PR_ORACLE,
     "brier_calibration": _BRIER_ORACLE,
+    "butterfly_count": _BUTTERFLY_ORACLE,
+    "diameter_sweep": _DIAMETER_SWEEP_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -15253,6 +15379,8 @@ QUERIES = {
     "roc_curve": q_roc_curve,
     "pr_curve": q_pr_curve,
     "brier_calibration": q_brier_calibration,
+    "butterfly_count": q_butterfly_count,
+    "diameter_sweep": q_diameter_sweep,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
