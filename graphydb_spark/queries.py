@@ -13207,6 +13207,105 @@ SELECT (SELECT uid FROM far) AS far_uid,
 """
 
 
+def q_eigenvector_parts(spark, sf_dir):
+    """Eigenvector centrality (top 20) of the Part-Supplier bipartite
+    supply graph — the classic centrality missing from the katz/
+    pagerank/HITS family: influence weighted by neighbors' influence.
+    8 unnormalized power-iteration rounds (edge list partitioned once,
+    only the node-sized score frame shuffles per round), max-normalized
+    at the end; the DuckDB oracle replays the identical unrolled
+    recursion.  Ordering on round(score, 6) + uid so float-summation
+    noise cannot flip the selection."""
+    li = (load_tables(spark, sf_dir)["lineitem"]
+          .select(F.concat(F.lit("Part:"), F.col("l_partkey"))
+                  .alias("startuid"),
+                  F.concat(F.lit("Supplier:"), F.col("l_suppkey"))
+                  .alias("enduid"))
+          .distinct())
+    ev = graph_algos.eigenvector_centrality(li, iters=8)
+    return (ev.select("uid", F.round("score", 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("uid")).limit(20))
+
+
+_EIGENVECTOR_ORACLE = """
+WITH RECURSIVE
+fwd(a, b) AS (
+  SELECT DISTINCT 'Part:' || CAST(l_partkey AS VARCHAR),
+         'Supplier:' || CAST(l_suppkey AS VARCHAR) FROM lineitem),
+ed(a, b) AS (
+  SELECT a, b FROM fwd UNION ALL SELECT b, a FROM fwd),
+ev(iter, uid, x) AS (
+  SELECT 0, a, 1.0::DOUBLE FROM (SELECT DISTINCT a FROM ed)
+  UNION ALL
+  SELECT e.iter + 1, ed.b, SUM(e.x)
+  FROM ev e JOIN ed ON e.uid = ed.a
+  WHERE e.iter < 8
+  GROUP BY e.iter + 1, ed.b),
+fin AS (SELECT uid, x FROM ev WHERE iter = 8),
+m AS (SELECT MAX(x) AS mx FROM fin)
+SELECT uid, round(x / mx, 6) AS score
+FROM fin, m
+ORDER BY score DESC, uid LIMIT 20
+"""
+
+
+def q_unpivot_metrics(spark, sf_dir):
+    """Wide→long UNPIVOT (melt): per-region scalar metrics
+    (customers, suppliers, account-balance cents) unpivoted to
+    (region, metric, value) rows — Spark's native ``unpivot``
+    operator, DuckDB's UNION-ALL twin.  Exact integers throughout."""
+    t = load_tables(spark, sf_dir)
+    nat = t["nation"].select("n_nationkey", "n_regionkey")
+    cust = (t["customer"].join(F.broadcast(nat),
+                               F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_regionkey").alias("crk"))
+            .agg(F.count("*").alias("n_customers"),
+                 F.sum((F.col("c_acctbal").cast("decimal(18,2)") * 100)
+                       .cast("long")).alias("acctbal_cents")))
+    supp = (t["supplier"].join(F.broadcast(nat),
+                               F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_regionkey").alias("srk"))
+            .agg(F.count("*").alias("n_suppliers")))
+    wide = (t["region"].select(F.col("r_regionkey"), F.col("r_name"))
+            .join(cust, F.col("r_regionkey") == F.col("crk"), "left")
+            .join(supp, F.col("r_regionkey") == F.col("srk"), "left")
+            .select("r_name",
+                    F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+                    F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+                    F.coalesce("acctbal_cents", F.lit(0))
+                    .alias("acctbal_cents")))
+    return wide.unpivot("r_name",
+                        ["n_customers", "n_suppliers", "acctbal_cents"],
+                        "metric", "value")
+
+
+_UNPIVOT_ORACLE = """
+WITH nat AS (SELECT n_nationkey, n_regionkey FROM nation),
+cust AS (
+  SELECT n_regionkey, COUNT(*) AS n_customers,
+         CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS acctbal_cents
+  FROM customer JOIN nat ON c_nationkey = n_nationkey GROUP BY 1),
+supp AS (
+  SELECT n_regionkey, COUNT(*) AS n_suppliers
+  FROM supplier JOIN nat ON s_nationkey = n_nationkey GROUP BY 1),
+wide AS (
+  SELECT r_name,
+         COALESCE(n_customers, 0) AS n_customers,
+         COALESCE(n_suppliers, 0) AS n_suppliers,
+         COALESCE(acctbal_cents, 0) AS acctbal_cents
+  FROM region
+  LEFT JOIN cust ON r_regionkey = cust.n_regionkey
+  LEFT JOIN supp ON r_regionkey = supp.n_regionkey)
+SELECT r_name, 'n_customers' AS metric,
+       CAST(n_customers AS BIGINT) AS value FROM wide
+UNION ALL
+SELECT r_name, 'n_suppliers', CAST(n_suppliers AS BIGINT) FROM wide
+UNION ALL
+SELECT r_name, 'acctbal_cents', CAST(acctbal_cents AS BIGINT) FROM wide
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -14987,6 +15086,8 @@ ORACLES: dict[str, str | None] = {
     "brier_calibration": _BRIER_ORACLE,
     "butterfly_count": _BUTTERFLY_ORACLE,
     "diameter_sweep": _DIAMETER_SWEEP_ORACLE,
+    "eigenvector_parts": _EIGENVECTOR_ORACLE,
+    "unpivot_metrics": _UNPIVOT_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -15381,6 +15482,8 @@ QUERIES = {
     "brier_calibration": q_brier_calibration,
     "butterfly_count": q_butterfly_count,
     "diameter_sweep": q_diameter_sweep,
+    "eigenvector_parts": q_eigenvector_parts,
+    "unpivot_metrics": q_unpivot_metrics,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
