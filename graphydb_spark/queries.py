@@ -13306,6 +13306,179 @@ SELECT r_name, 'acctbal_cents', CAST(acctbal_cents AS BIGINT) FROM wide
 """
 
 
+def q_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct users per event type via mergeable bitmap words
+    (the Druid/ClickHouse bitmap-index trick): user ids chunk into
+    32-bit words (word = id div 32, bit = id mod 32), bit_or is the
+    mergeable partial aggregate, popcount-sum the final.  Unlike
+    count_distinct's expand-dedup-count, the shuffle carries one word
+    per (type, id-range-of-32) — dense id spaces compress ~32×, and
+    the partial bit_or combines map-side.  Oracle: plain
+    COUNT(DISTINCT) — same exact semantics."""
+    ev = _events(spark, sf_dir)
+    words = (ev.select("event_type",
+                       (F.col("user_id") / 32).cast("long").alias("word"),
+                       F.expr("shiftleft(CAST(1 AS BIGINT), "
+                              "CAST(user_id % 32 AS INT))").alias("bit"))
+             .groupBy("event_type", "word")
+             .agg(F.expr("bit_or(bit)").alias("bm")))
+    return (words.groupBy("event_type")
+            .agg(F.sum(F.expr("bit_count(bm)")).alias("n_users")))
+
+
+_BITMAP_DISTINCT_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+def q_croston_demand(spark, sf_dir):
+    """Croston's method for intermittent demand, per part brand:
+    exponential smoothing (α = 0.1) of nonzero-demand-day sizes and of
+    inter-demand intervals; forecast rate = size / interval.  The
+    smoothing is a LEFT FOLD over the day-ordered demand sequence —
+    identical double-op order in Spark's ``aggregate`` and DuckDB's
+    ``list_reduce`` (first element is the classic Croston init), so no
+    cross-libm pow and no associativity drift.  Per-brand sequences
+    are bounded by the calendar (one element per active day), so the
+    collect_list is group-local, never driver-side."""
+    t = load_tables(spark, sf_dir)
+    d = (t["lineitem"]
+         .join(F.broadcast(t["part"].select("p_partkey", "p_brand")),
+               F.col("l_partkey") == F.col("p_partkey"))
+         .groupBy(F.col("p_brand").alias("brand"),
+                  F.col("l_shipdate").cast("date").alias("day"))
+         .agg(F.sum(F.col("l_quantity").cast("long")).alias("q")))
+    g = (d.groupBy("brand")
+         .agg(F.sort_array(F.collect_list(F.struct("day", "q")))
+              .alias("arr"),
+              F.count("*").alias("n_demand_days")))
+    g = (g.withColumn("sizes",
+                      F.expr("transform(arr, s -> CAST(s.q AS DOUBLE))"))
+         .withColumn("ints", F.expr(
+             "transform(sequence(2, size(arr)), i -> CAST(datediff("
+             "element_at(arr, i).day, element_at(arr, i-1).day)"
+             " AS DOUBLE))")))
+    fold = ("aggregate(slice({c}, 2, size({c}) - 1), "
+            "element_at({c}, 1), "
+            "(acc, x) -> CAST(0.9 AS DOUBLE) * acc"
+            " + CAST(0.1 AS DOUBLE) * x)")
+    return (g.where(F.col("n_demand_days") >= 2)
+            .select("brand", "n_demand_days",
+                    F.round(F.expr(fold.format(c="sizes")), 6)
+                    .alias("smoothed_size"),
+                    F.round(F.expr(fold.format(c="ints")), 6)
+                    .alias("smoothed_interval"),
+                    F.round(F.expr(fold.format(c="sizes"))
+                            / F.expr(fold.format(c="ints")), 6)
+                    .alias("demand_rate")))
+
+
+_CROSTON_ORACLE = """
+WITH d AS (
+  SELECT p_brand AS brand, CAST(l_shipdate AS DATE) AS day,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS q
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2),
+g AS (
+  SELECT brand, list(q ORDER BY day) AS sizes,
+         list(day ORDER BY day) AS days,
+         COUNT(*) AS n_demand_days
+  FROM d GROUP BY 1),
+i AS (
+  SELECT brand, sizes, n_demand_days,
+         list_transform(range(2, n_demand_days + 1),
+                        i -> CAST(days[i] - days[i-1] AS DOUBLE)) AS ints
+  FROM g WHERE n_demand_days >= 2)
+SELECT brand, n_demand_days,
+       round(list_reduce(sizes, (acc, x) ->
+             0.9::DOUBLE * acc + 0.1::DOUBLE * x), 6) AS smoothed_size,
+       round(list_reduce(ints, (acc, x) ->
+             0.9::DOUBLE * acc + 0.1::DOUBLE * x), 6)
+         AS smoothed_interval,
+       round(list_reduce(sizes, (acc, x) ->
+             0.9::DOUBLE * acc + 0.1::DOUBLE * x)
+             / list_reduce(ints, (acc, x) ->
+               0.9::DOUBLE * acc + 0.1::DOUBLE * x), 6) AS demand_rate
+FROM i
+"""
+
+
+def q_attribution_time_decay(spark, sf_dir):
+    """Time-decay multi-touch attribution: each purchase's value is
+    split over the user's click/view touches in the prior 7 days with
+    rational decay w = 1 / (1 + Δdays) (no cross-libm pow), weights
+    normalized per purchase; 'direct' absorbs untouched purchases.
+    The touch join is keyed on user_id with a residual time band —
+    per-user fanout, no cross join; credit sums are grouped once."""
+    ev = _events(spark, sf_dir)
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("pid"),
+                         F.col("user_id").alias("pu"),
+                         F.col("ts").cast("long").alias("pt"),
+                         F.col("value").cast("decimal(18,2)")
+                         .alias("val")))
+    touches = (ev.where(F.col("event_type").isin("click", "view"))
+               .select(F.col("user_id").alias("tu"),
+                       F.col("ts").cast("long").alias("tt"),
+                       F.col("event_type").alias("channel")))
+    j = purchases.join(
+        touches, (F.col("pu") == F.col("tu"))
+        & (F.col("tt") < F.col("pt"))
+        & (F.col("tt") >= F.col("pt") - 7 * 86400))
+    wt = 1 / (1 + (F.col("pt") - F.col("tt")) / F.lit(86400.0))
+    per = (j.withColumn("w", wt)
+           .groupBy("pid", "channel")
+           .agg(F.sum("w").alias("w_ch"),
+                F.max(F.col("val").cast("double")).alias("val")))
+    tot = per.groupBy(F.col("pid").alias("pid2")).agg(
+        F.sum("w_ch").alias("w_tot"))
+    credited = (per.join(tot, F.col("pid") == F.col("pid2"))
+                .select("channel",
+                        (F.col("val") * F.col("w_ch") / F.col("w_tot"))
+                        .alias("credit")))
+    direct = (purchases.join(per.select("pid").distinct(),
+                             "pid", "left_anti")
+              .select(F.lit("direct").alias("channel"),
+                      F.col("val").cast("double").alias("credit")))
+    return (credited.unionByName(direct)
+            .groupBy("channel")
+            .agg(F.round(F.sum("credit"), 4).alias("credited_value")))
+
+
+_TIME_DECAY_ORACLE = """
+WITH purchases AS (
+  SELECT event_id AS pid, user_id AS pu,
+         CAST(floor(epoch(ts)) AS BIGINT) AS pt,
+         CAST(value AS DECIMAL(18,2)) AS val
+  FROM events WHERE event_type = 'purchase'),
+touches AS (
+  SELECT user_id AS tu, CAST(floor(epoch(ts)) AS BIGINT) AS tt,
+         event_type AS channel
+  FROM events WHERE event_type IN ('click', 'view')),
+j AS (
+  SELECT pid, channel, val,
+         1 / (1 + (pt - tt) / 86400.0) AS w
+  FROM purchases JOIN touches
+    ON pu = tu AND tt < pt AND tt >= pt - 7 * 86400),
+per AS (
+  SELECT pid, channel, SUM(w) AS w_ch,
+         MAX(CAST(val AS DOUBLE)) AS val
+  FROM j GROUP BY 1, 2),
+tot AS (SELECT pid, SUM(w_ch) AS w_tot FROM per GROUP BY 1),
+credited AS (
+  SELECT channel, per.val * w_ch / w_tot AS credit
+  FROM per JOIN tot USING (pid)),
+direct AS (
+  SELECT 'direct' AS channel, CAST(val AS DOUBLE) AS credit
+  FROM purchases
+  WHERE pid NOT IN (SELECT DISTINCT pid FROM per))
+SELECT channel, round(SUM(credit), 4) AS credited_value
+FROM (SELECT * FROM credited UNION ALL SELECT * FROM direct)
+GROUP BY 1
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -15088,6 +15261,9 @@ ORACLES: dict[str, str | None] = {
     "diameter_sweep": _DIAMETER_SWEEP_ORACLE,
     "eigenvector_parts": _EIGENVECTOR_ORACLE,
     "unpivot_metrics": _UNPIVOT_ORACLE,
+    "bitmap_distinct": _BITMAP_DISTINCT_ORACLE,
+    "croston_demand": _CROSTON_ORACLE,
+    "attribution_time_decay": _TIME_DECAY_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -15484,6 +15660,9 @@ QUERIES = {
     "diameter_sweep": q_diameter_sweep,
     "eigenvector_parts": q_eigenvector_parts,
     "unpivot_metrics": q_unpivot_metrics,
+    "bitmap_distinct": q_bitmap_distinct,
+    "croston_demand": q_croston_demand,
+    "attribution_time_decay": q_attribution_time_decay,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
