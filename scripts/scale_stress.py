@@ -471,12 +471,91 @@ def round4_entries(spark, n_docs=100_000, n_edges=2_000_000,
           priority_sample(w, "wt", 1000))
 
 
+def round5_entries(spark, n_edges=2_000_000, n_rows=20_000_000,
+                   n_events=5_000_000):
+    """Stress this session's additions (run standalone:
+    ``SCALE_STRESS_ONLY=round5 python scripts/scale_stress.py``).
+
+    - eigenvector centrality: per-round cost = one keyed join of the
+      node-sized score frame against the once-partitioned edge list.
+    - butterfly census: wedge generation bounded by the capped side's
+      degree; per-pair counts collapse map-side.
+    - bitmap distinct: shuffle carries one 64-bit word per (key,
+      32-id range) — the dense-id compression path.
+    - time-decay attribution: keyed band join, per-user fanout only.
+    """
+    from graphydb_spark.operators.graph_algos import eigenvector_centrality
+
+    edges = (spark.range(n_edges).repartition(64)
+             .select((F.xxhash64("id") % 100000).cast("string")
+                     .alias("startuid"),
+                     (F.xxhash64("id", F.lit(1)) % 100000).cast("string")
+                     .alias("enduid")))
+    edges = edges.localCheckpoint(eager=True)
+    timed(f"eigenvector_centrality[{n_edges:,} edges, 8 iters]",
+          eigenvector_centrality(edges, iters=8))
+
+    # bipartite: 200k customers x 10k parts, zipf-ish part popularity
+    cp = (spark.range(n_edges).repartition(64)
+          .select((F.xxhash64("id") % 200000).alias("c"),
+                  (F.xxhash64("id", F.lit(7)) % 10000).alias("p"))
+          .distinct().localCheckpoint(eager=True))
+    deg = cp.groupBy("c").agg(F.count("*").alias("d"))
+    keep = deg.where(F.col("d") <= 200)
+    cpk = cp.join(keep.select("c"), "c", "left_semi").repartition(64, "c")
+    a, b = cpk.alias("a"), cpk.alias("b")
+    pairs = (a.join(b, (F.col("a.c") == F.col("b.c"))
+                    & (F.col("a.p") < F.col("b.p")))
+             .groupBy(F.col("a.p"), F.col("b.p"))
+             .agg(F.count("*").alias("s")))
+    timed(f"butterfly_pairs[{n_edges:,} bipartite edges]",
+          pairs.agg(F.sum(F.expr("s * (s - 1) div 2")).alias("b")))
+
+    rows = (spark.range(n_rows)
+            .select((F.col("id") % 7).alias("k"),
+                    (F.xxhash64("id") % 3000000).alias("user_id")))
+    words = (rows.select("k", (F.col("user_id") / 32).cast("long")
+                         .alias("word"),
+                         F.expr("shiftleft(CAST(1 AS BIGINT), "
+                                "CAST(user_id % 32 AS INT))").alias("bit"))
+             .groupBy("k", "word").agg(F.expr("bit_or(bit)").alias("bm")))
+    timed(f"bitmap_distinct[{n_rows:,} rows, 3M id space]",
+          words.groupBy("k").agg(F.sum(F.expr("bit_count(bm)"))
+                                 .alias("n")))
+
+    ev = (spark.range(n_events).repartition(64)
+          .select(F.col("id").alias("event_id"),
+                  (F.col("id") % 50000).alias("user_id"),
+                  (1700000000 + (F.xxhash64("id") % 2592000)).alias("t"),
+                  (F.xxhash64("id", F.lit(3)) % 4).alias("et")))
+    ev = ev.localCheckpoint(eager=True)
+    purch = ev.where(F.col("et") == 0).select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"),
+        F.col("t").alias("pt"))
+    touch = ev.where(F.col("et") != 0).select(
+        F.col("user_id").alias("tu"), F.col("t").alias("tt"),
+        F.col("et").alias("channel"))
+    j = purch.join(touch, (F.col("pu") == F.col("tu"))
+                   & (F.col("tt") < F.col("pt"))
+                   & (F.col("tt") >= F.col("pt") - 86400))
+    per = (j.withColumn("w", 1 / (1 + (F.col("pt") - F.col("tt"))
+                                  / F.lit(86400.0)))
+           .groupBy("pid", "channel").agg(F.sum("w").alias("w_ch")))
+    timed(f"time_decay_credit[{n_events:,} events, 1d band]",
+          per.groupBy("channel").agg(F.sum("w_ch").alias("w")))
+
+
 if __name__ == "__main__":
     if os.environ.get("SCALE_STRESS_ONLY") == "round4":
         _s = get_spark(app="scale_stress")
         _s.sparkContext.setLogLevel("ERROR")
         _s.conf.set("spark.sql.shuffle.partitions", "64")
         round4_entries(_s)
+    elif os.environ.get("SCALE_STRESS_ONLY") == "round5":
+        _s = get_spark(app="scale_stress")
+        _s.sparkContext.setLogLevel("ERROR")
+        _s.conf.set("spark.sql.shuffle.partitions", "64")
+        round5_entries(_s)
     elif os.environ.get("SCALE_STRESS_ONLY") == "analytics":
         _s = get_spark(app="scale_stress")
         _s.sparkContext.setLogLevel("ERROR")
