@@ -13479,6 +13479,178 @@ GROUP BY 1
 """
 
 
+def q_moments_by_segment(spark, sf_dir):
+    """Distribution profiling per market segment: population skewness
+    and excess kurtosis of customer account balances from EXACT
+    decimal power sums (cents^k, k ≤ 4, decimal(38,0) — no float
+    accumulation, no engine-specific bias correction), doubles only in
+    the final moment algebra.  One map-side-combinable groupBy."""
+    c = (load_tables(spark, sf_dir)["customer"]
+         .select("c_mktsegment",
+                 (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+                 .cast("decimal(38,0)").alias("v")))
+    g = (c.groupBy("c_mktsegment")
+         .agg(F.count("*").alias("n"),
+              F.sum("v").alias("s1"),
+              F.sum(F.col("v") * F.col("v")).alias("s2"),
+              F.sum(F.col("v") * F.col("v") * F.col("v")).alias("s3"),
+              F.sum(F.col("v") * F.col("v") * F.col("v") * F.col("v"))
+              .alias("s4")))
+    n = F.col("n").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    s3, s4 = F.col("s3").cast("double"), F.col("s4").cast("double")
+    m = s1 / n
+    m2 = s2 / n - m * m
+    m3 = s3 / n - 3 * m * s2 / n + 2 * m * m * m
+    m4 = (s4 / n - 4 * m * s3 / n + 6 * m * m * s2 / n
+          - 3 * m * m * m * m)
+    # variance is ~1e11 cents² — emit it as an EXACT integer
+    # ((n·s2 − s1²) div n²) rather than a rounded double: at this
+    # magnitude the decimal→double cast can differ by one ulp between
+    # engines and flip the rounding (BASELINE.md determinism lessons)
+    var_exact = F.expr(
+        "(CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1) "
+        "div (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))")
+    return g.select(
+        "c_mktsegment", "n",
+        var_exact.cast("long").alias("variance_cents2"),
+        F.round(m3 / F.sqrt(m2 * m2 * m2), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"))
+
+
+_MOMENTS_ORACLE = """
+WITH c AS (
+  SELECT c_mktsegment,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS HUGEINT) AS v
+  FROM customer),
+g AS (
+  SELECT c_mktsegment, COUNT(*) AS n,
+         SUM(v) AS s1, SUM(v * v) AS s2, SUM(v * v * v) AS s3,
+         SUM(v * v * v * v) AS s4
+  FROM c GROUP BY 1),
+d AS (
+  SELECT c_mktsegment, n,
+         CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1,
+         CAST(s2 AS DOUBLE) AS s2, CAST(s3 AS DOUBLE) AS s3,
+         CAST(s4 AS DOUBLE) AS s4
+  FROM g),
+mm AS (
+  SELECT c_mktsegment, n, s1 / nd AS m,
+         s2 / nd - (s1 / nd) * (s1 / nd) AS m2,
+         s3 / nd - 3 * (s1 / nd) * s2 / nd
+           + 2 * (s1 / nd) * (s1 / nd) * (s1 / nd) AS m3,
+         s4 / nd - 4 * (s1 / nd) * s3 / nd
+           + 6 * (s1 / nd) * (s1 / nd) * s2 / nd
+           - 3 * (s1 / nd) * (s1 / nd) * (s1 / nd) * (s1 / nd) AS m4
+  FROM d)
+SELECT mm.c_mktsegment, mm.n,
+       CAST((g.n * g.s2 - g.s1 * g.s1) // (g.n * g.n) AS BIGINT)
+         AS variance_cents2,
+       round(m3 / sqrt(m2 * m2 * m2), 6) AS skewness,
+       round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis
+FROM mm JOIN g ON mm.c_mktsegment = g.c_mktsegment
+"""
+
+
+def q_lorenz_curve(spark, sf_dir):
+    """Lorenz curve of customer lifetime spend in deciles: cumulative
+    share of revenue held by the bottom d/10 of customers — the curve
+    behind q:gini_revenue.  Decile by ntile over exact cent totals
+    (ties broken by custkey for a unique assignment); shares are
+    integer-cent ratios rounded once."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"]
+    spend = (o.groupBy("o_custkey")
+             .agg(F.sum((F.col("o_totalprice").cast("decimal(18,2)")
+                         * 100).cast("long")).alias("cents")))
+    d = spend.withColumn(
+        "decile", F.ntile(10).over(W.orderBy("cents", "o_custkey")))
+    per = (d.groupBy("decile")
+           .agg(F.sum("cents").alias("c"), F.count("*").alias("n")))
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tot = per.agg(F.sum("c").alias("t"), F.sum("n").alias("tn"))
+    return (per.withColumn("cum_c", F.sum("c").over(w))
+            .withColumn("cum_n", F.sum("n").over(w))
+            .crossJoin(F.broadcast(tot))
+            .select("decile",
+                    F.round(F.col("cum_n") / F.col("tn"), 6)
+                    .alias("pop_share"),
+                    F.round(F.col("cum_c") / F.col("t"), 6)
+                    .alias("revenue_share")))
+
+
+_LORENZ_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+d AS (
+  SELECT cents, ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+  FROM spend),
+per AS (
+  SELECT decile, SUM(cents) AS c, COUNT(*) AS n FROM d GROUP BY 1),
+tot AS (SELECT SUM(c) AS t, SUM(n) AS tn FROM per),
+cum AS (
+  SELECT decile,
+         SUM(c) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+           AS cum_c,
+         SUM(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+           AS cum_n
+  FROM per)
+SELECT decile, round(cum_n * 1.0 / tn, 6) AS pop_share,
+       round(cum_c * 1.0 / t, 6) AS revenue_share
+FROM cum, tot
+"""
+
+
+def q_otif_rate(spark, sf_dir):
+    """On-time fulfilment rate and mean lateness per order priority
+    (the OTIF logistics KPI, restated for the fixture's reduced
+    lineitem: on-time = line shipped within 30 days of order date;
+    lateness averaged over late lines only).  Exact integer day
+    arithmetic; the priority dimension broadcasts onto the fact
+    scan — single groupBy, one shuffle of 5 groups."""
+    t = load_tables(spark, sf_dir)
+    li = (t["lineitem"].select("l_orderkey", "l_shipdate")
+          .join(t["orders"].select("o_orderkey", "o_orderdate",
+                                   "o_orderpriority"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+          .select("o_orderpriority",
+                  (F.datediff(F.col("l_shipdate").cast("date"),
+                              F.col("o_orderdate").cast("date")) - 30)
+                  .alias("late_days")))
+    return (li.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum((F.col("late_days") <= 0).cast("int"))
+                 .alias("on_time"),
+                 F.round(F.sum((F.col("late_days") <= 0).cast("int"))
+                         / F.count("*"), 6).alias("otif_rate"),
+                 F.round(F.sum(F.when(F.col("late_days") > 0,
+                                      F.col("late_days")).otherwise(0))
+                         / F.nullif(F.sum((F.col("late_days") > 0)
+                                          .cast("int")), F.lit(0)), 6)
+                 .alias("mean_late_days")))
+
+
+_OTIF_ORACLE = """
+WITH li AS (
+  SELECT o_orderpriority,
+         CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) - 30
+           AS late_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+       SUM(CASE WHEN late_days <= 0 THEN 1 ELSE 0 END) AS on_time,
+       round(SUM(CASE WHEN late_days <= 0 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS otif_rate,
+       round(SUM(CASE WHEN late_days > 0 THEN late_days ELSE 0 END)
+             * 1.0 / NULLIF(SUM(CASE WHEN late_days > 0 THEN 1
+                                     ELSE 0 END), 0), 6)
+         AS mean_late_days
+FROM li GROUP BY 1
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -15264,6 +15436,9 @@ ORACLES: dict[str, str | None] = {
     "bitmap_distinct": _BITMAP_DISTINCT_ORACLE,
     "croston_demand": _CROSTON_ORACLE,
     "attribution_time_decay": _TIME_DECAY_ORACLE,
+    "moments_by_segment": _MOMENTS_ORACLE,
+    "lorenz_curve": _LORENZ_ORACLE,
+    "otif_rate": _OTIF_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -15663,6 +15838,9 @@ QUERIES = {
     "bitmap_distinct": q_bitmap_distinct,
     "croston_demand": q_croston_demand,
     "attribution_time_decay": q_attribution_time_decay,
+    "moments_by_segment": q_moments_by_segment,
+    "lorenz_curve": q_lorenz_curve,
+    "otif_rate": q_otif_rate,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
