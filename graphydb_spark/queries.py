@@ -13651,6 +13651,123 @@ FROM li GROUP BY 1
 """
 
 
+def q_embedding_norm_outliers(spark, sf_dir):
+    """Norm-based embedding sanity screen: vectors whose squared norm
+    deviates from the corpus median by > 3×MAD (the robust-zscore
+    gate run before indexing a vector store).  Norms on the 1e3
+    integer grid (q:mutual_knn pattern) so they are EXACT longs; the
+    median/MAD order statistics interpolate on .5 grains — exact in
+    doubles — so the 3×MAD comparison is engine-stable with no
+    rounding at all.  Two tiny broadcast scalars; the corpus is
+    scanned twice, never shuffled."""
+    emb = _emb(spark, sf_dir)
+    sq = F.aggregate(
+        F.transform(F.col("embedding"),
+                    lambda x: F.round(x.cast("double") * 1e3)
+                    .cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v * v)
+    q = emb.select("vec_id", sq.alias("sq_norm"))
+    med = q.agg(F.expr("percentile(sq_norm, 0.5)").alias("med"))
+    dev = (q.crossJoin(F.broadcast(med))
+           .withColumn("ad", F.abs(F.col("sq_norm") - F.col("med"))))
+    mad = dev.agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    return (dev.crossJoin(F.broadcast(mad))
+            .where(F.col("ad") > 3 * F.col("mad"))
+            .select("vec_id", "sq_norm", F.col("ad").alias("abs_dev")))
+
+
+_NORM_OUTLIER_ORACLE = """
+WITH q AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(embedding, x ->
+              CAST(round(CAST(x AS DOUBLE) * 1e3) AS BIGINT)
+              * CAST(round(CAST(x AS DOUBLE) * 1e3) AS BIGINT)))
+              AS BIGINT) AS sq_norm
+  FROM embeddings),
+med AS (SELECT quantile_cont(sq_norm, 0.5) AS med FROM q),
+dev AS (SELECT vec_id, sq_norm, abs(sq_norm - med) AS ad FROM q, med),
+mad AS (SELECT quantile_cont(ad, 0.5) AS mad FROM dev)
+SELECT vec_id, sq_norm, ad AS abs_dev
+FROM dev, mad WHERE ad > 3 * mad
+"""
+
+
+def q_seasonal_decomposition(spark, sf_dir):
+    """Additive weekday seasonality of daily revenue, classically
+    decomposed: centered 7-day moving average as trend, per-weekday
+    mean residual as the seasonal index.  EXACT integer path: daily
+    cents are longs, the ×7-scaled residual (7·rev − Σ₇) avoids the
+    division, and the single double division happens once per weekday
+    group.  Full-window days only (count = 7) so edges don't bias."""
+    from pyspark.sql import Window as W
+    o = load_tables(spark, sf_dir)["orders"]
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg(F.sum((F.col("o_totalprice").cast("decimal(18,2)")
+                         * 100).cast("long")).alias("rev")))
+    w = W.orderBy("day").rowsBetween(-3, 3)
+    t = (daily.withColumn("s7", F.sum("rev").over(w))
+         .withColumn("n7", F.count("*").over(w))
+         .where(F.col("n7") == 7)
+         .withColumn("resid7", 7 * F.col("rev") - F.col("s7")))
+    return (t.groupBy(F.expr("weekday(day)").alias("wd"))
+            .agg(F.count("*").alias("n_days"),
+                 F.round(F.sum("resid7") / (7.0 * F.count("*")), 4)
+                 .alias("seasonal_cents")))
+
+
+_SEASONAL_DECOMP_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1),
+t AS (
+  SELECT day, rev,
+         SUM(rev) OVER (ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS s7,
+         COUNT(*) OVER (ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS n7
+  FROM daily)
+SELECT isodow(day) - 1 AS wd, COUNT(*) AS n_days,
+       round(SUM(7 * rev - s7) / (7.0 * COUNT(*)), 4)
+         AS seasonal_cents
+FROM t WHERE n7 = 7 GROUP BY 1
+"""
+
+
+def q_discount_qty_heatmap(spark, sf_dir):
+    """2-D pricing heatmap: line count and mean revenue per
+    (discount %, quantity decile-bucket) cell — the margin surface
+    behind q:price_elasticity.  Exact integer bins, DECIMAL cent
+    sums, one map-side-combinable groupBy of ≤ 55 cells."""
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        F.round(F.col("l_discount") * 100).cast("int").alias("disc_pct"),
+        (F.least(F.col("l_quantity").cast("int") - 1, F.lit(49)) / 10)
+        .cast("int").alias("qty_bucket"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"))
+    return (li.groupBy("disc_pct", "qty_bucket")
+            .agg(F.count("*").alias("n_lines"),
+                 F.round(F.sum("cents") / (100.0 * F.count("*")), 4)
+                 .alias("mean_revenue")))
+
+
+_HEATMAP_ORACLE = """
+WITH li AS (
+  SELECT CAST(round(l_discount * 100) AS INT) AS disc_pct,
+         CAST(least(CAST(l_quantity AS INT) - 1, 49) // 10 AS INT)
+           AS qty_bucket,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM lineitem)
+SELECT disc_pct, qty_bucket, COUNT(*) AS n_lines,
+       round(SUM(cents) / (100.0 * COUNT(*)), 4) AS mean_revenue
+FROM li GROUP BY 1, 2
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -15439,6 +15556,9 @@ ORACLES: dict[str, str | None] = {
     "moments_by_segment": _MOMENTS_ORACLE,
     "lorenz_curve": _LORENZ_ORACLE,
     "otif_rate": _OTIF_ORACLE,
+    "embedding_norm_outliers": _NORM_OUTLIER_ORACLE,
+    "seasonal_decomposition": _SEASONAL_DECOMP_ORACLE,
+    "discount_qty_heatmap": _HEATMAP_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -15841,6 +15961,9 @@ QUERIES = {
     "moments_by_segment": q_moments_by_segment,
     "lorenz_curve": q_lorenz_curve,
     "otif_rate": q_otif_rate,
+    "embedding_norm_outliers": q_embedding_norm_outliers,
+    "seasonal_decomposition": q_seasonal_decomposition,
+    "discount_qty_heatmap": q_discount_qty_heatmap,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
