@@ -13768,6 +13768,131 @@ FROM li GROUP BY 1, 2
 """
 
 
+def q_equi_depth_bounds(spark, sf_dir):
+    """Equi-depth range-partition boundaries: the 15 interior
+    16-quantiles of order value in exact cents — what a terasort-shaped
+    range partitioner (cf. q:global_shuffle, q:exact_median_terasort)
+    feeds its partitioner at scale.  Spark's exact ``percentile``
+    aggregate == DuckDB ``quantile_cont``: linear interpolation on
+    integer cents is .5-grained and engine-exact, so no rounding is
+    needed."""
+    o = load_tables(spark, sf_dir)["orders"].select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"))
+    fr = [i / 16.0 for i in range(1, 16)]
+    pct = o.agg(F.expr(
+        "percentile(cents, array({}))".format(
+            ", ".join(repr(f) for f in fr))).alias("b"))
+    return (pct.select(F.posexplode("b").alias("q16", "boundary_cents"))
+            .select((F.col("q16") + 1).alias("q16"), "boundary_cents"))
+
+
+_EQUI_DEPTH_ORACLE = """
+WITH o AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM orders),
+pct AS (
+  SELECT quantile_cont(cents, [{fracs}]) AS b FROM o)
+SELECT CAST(i AS INT) AS q16, b[CAST(i AS INT)] AS boundary_cents
+FROM pct, range(1, 16) t(i)
+""".format(fracs=", ".join(repr(i / 16.0) for i in range(1, 16)))
+
+
+def q_lateness_audit(spark, sf_dir):
+    """Streaming watermark audit replayed over the batch log: events
+    arrive in event_id order; an event is 'late' when its event time
+    lags the running max seen so far by > 10 minutes (i.e. a 10-min
+    watermark would have dropped it).  Per event-type: late share and
+    max observed lag — the number that sizes
+    ``withWatermark`` before deploying the streaming job.  One
+    running-max window over arrival order, one groupBy; exact integer
+    seconds."""
+    from pyspark.sql import Window as W
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type", F.col("ts").cast("long").alias("t"))
+    w = (W.orderBy("event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    lag = F.greatest(F.max("t").over(w) - F.col("t"), F.lit(0))
+    return (ev.withColumn("lag_s", lag)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum((F.col("lag_s") > 600).cast("int"))
+                 .alias("n_late"),
+                 F.round(F.sum((F.col("lag_s") > 600).cast("int"))
+                         / F.count("*"), 6).alias("late_share"),
+                 F.max("lag_s").alias("max_lag_s")))
+
+
+_LATENESS_ORACLE = """
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events),
+lagged AS (
+  SELECT event_type,
+         greatest(MAX(t) OVER (ORDER BY event_id
+                               ROWS UNBOUNDED PRECEDING) - t, 0)
+           AS lag_s
+  FROM ev)
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CASE WHEN lag_s > 600 THEN 1 ELSE 0 END) AS n_late,
+       round(SUM(CASE WHEN lag_s > 600 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS late_share,
+       MAX(lag_s) AS max_lag_s
+FROM lagged GROUP BY 1
+"""
+
+
+def q_id_gaps(spark, sf_dir):
+    """Gaps-and-islands over the FINISHED-order key sequence (the
+    fixture's full key space is dense, so islands are carved by
+    status): contiguous runs found by the key − row_number
+    constant-difference trick (one sort, no self-join), gaps read off
+    consecutive island borders.  Top 20 widest gaps, ties by start
+    key.  Exact integers."""
+    from pyspark.sql import Window as W
+    o = (load_tables(spark, sf_dir)["orders"]
+         .where(F.col("o_orderstatus") == "F")
+         .select(F.col("o_orderkey").alias("k")).distinct())
+    grp = (F.col("k")
+           - F.row_number().over(W.orderBy("k"))).alias("g")
+    islands = (o.withColumn("g", grp)
+               .groupBy("g")
+               .agg(F.min("k").alias("run_start"),
+                    F.max("k").alias("run_end")))
+    w2 = W.orderBy("run_start")
+    return (islands
+            .withColumn("next_start", F.lead("run_start").over(w2))
+            .where(F.col("next_start").isNotNull())
+            .select((F.col("run_end") + 1).alias("gap_start"),
+                    (F.col("next_start") - 1).alias("gap_end"),
+                    (F.col("next_start") - F.col("run_end") - 1)
+                    .alias("gap_len"))
+            .orderBy(F.col("gap_len").desc(), F.col("gap_start"))
+            .limit(20))
+
+
+_ID_GAPS_ORACLE = """
+WITH o AS (SELECT DISTINCT o_orderkey AS k FROM orders
+           WHERE o_orderstatus = 'F'),
+isl AS (
+  SELECT k, k - row_number() OVER (ORDER BY k) AS g FROM o),
+islands AS (
+  SELECT g, MIN(k) AS run_start, MAX(k) AS run_end
+  FROM isl GROUP BY 1),
+gaps AS (
+  SELECT run_end + 1 AS gap_start,
+         lead(run_start) OVER (ORDER BY run_start) - 1 AS gap_end,
+         lead(run_start) OVER (ORDER BY run_start) - run_end - 1
+           AS gap_len
+  FROM islands)
+SELECT gap_start, gap_end, gap_len
+FROM gaps WHERE gap_end IS NOT NULL
+ORDER BY gap_len DESC, gap_start LIMIT 20
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -15559,6 +15684,9 @@ ORACLES: dict[str, str | None] = {
     "embedding_norm_outliers": _NORM_OUTLIER_ORACLE,
     "seasonal_decomposition": _SEASONAL_DECOMP_ORACLE,
     "discount_qty_heatmap": _HEATMAP_ORACLE,
+    "equi_depth_bounds": _EQUI_DEPTH_ORACLE,
+    "lateness_audit": _LATENESS_ORACLE,
+    "id_gaps": _ID_GAPS_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -15964,6 +16092,9 @@ QUERIES = {
     "embedding_norm_outliers": q_embedding_norm_outliers,
     "seasonal_decomposition": q_seasonal_decomposition,
     "discount_qty_heatmap": q_discount_qty_heatmap,
+    "equi_depth_bounds": q_equi_depth_bounds,
+    "lateness_audit": q_lateness_audit,
+    "id_gaps": q_id_gaps,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
