@@ -13893,6 +13893,158 @@ ORDER BY gap_len DESC, gap_start LIMIT 20
 """
 
 
+def q_newsvendor_stock(spark, sf_dir):
+    """Newsvendor stocking level per brand at critical ratio 0.75
+    (binary-exact fraction — the interpolated quantile stays
+    engine-exact on integer daily demand), with expected per-day
+    shortage and leftover units against that level.  Demand days
+    aggregate exactly (longs); the quantile interpolation grain is
+    .25 so every comparison and sum below is IEEE-exact — no
+    rounding anywhere."""
+    t = load_tables(spark, sf_dir)
+    d = (t["lineitem"]
+         .join(F.broadcast(t["part"].select("p_partkey", "p_brand")),
+               F.col("l_partkey") == F.col("p_partkey"))
+         .groupBy(F.col("p_brand").alias("brand"),
+                  F.col("l_shipdate").cast("date").alias("day"))
+         .agg(F.sum(F.col("l_quantity").cast("long")).alias("q")))
+    lvl = (d.groupBy("brand")
+           .agg(F.expr("percentile(q, 0.75)").alias("stock_level"),
+                F.count("*").alias("n_days")))
+    j = d.join(lvl, "brand")
+    return (j.groupBy("brand")
+            .agg(F.max("stock_level").alias("stock_level"),
+                 F.max("n_days").alias("n_days"),
+                 (F.sum(F.greatest(F.col("q") - F.col("stock_level"),
+                                   F.lit(0.0))) / F.max("n_days"))
+                 .alias("mean_shortage"),
+                 (F.sum(F.greatest(F.col("stock_level") - F.col("q"),
+                                   F.lit(0.0))) / F.max("n_days"))
+                 .alias("mean_leftover")))
+
+
+_NEWSVENDOR_ORACLE = """
+WITH d AS (
+  SELECT p_brand AS brand, CAST(l_shipdate AS DATE) AS day,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2),
+lvl AS (
+  SELECT brand, quantile_cont(q, 0.75) AS stock_level,
+         COUNT(*) AS n_days
+  FROM d GROUP BY 1)
+SELECT d.brand, MAX(stock_level) AS stock_level,
+       MAX(n_days) AS n_days,
+       SUM(greatest(q - stock_level, 0.0)) / MAX(n_days)
+         AS mean_shortage,
+       SUM(greatest(stock_level - q, 0.0)) / MAX(n_days)
+         AS mean_leftover
+FROM d JOIN lvl ON d.brand = lvl.brand
+GROUP BY 1
+"""
+
+
+def q_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch guardrail: users hash-split 50/50 by the
+    engine's portable assignment hash (md5 first hex nibble), one
+    chi-square GOF statistic per event type + flag vs the 3.841
+    critical value (α = .05, df = 1).  The same deterministic
+    assignment both engines replay bit-for-bit — the pre-analysis
+    sanity check every experimentation platform runs."""
+    ev = (_events(spark, sf_dir)
+          .select("event_type", "user_id").distinct()
+          .withColumn("arm", (F.substring(
+              F.md5(F.col("user_id").cast("string")), 1, 1)
+              .isin(*"01234567")).cast("int")))
+    g = (ev.groupBy("event_type")
+         .agg(F.sum("arm").alias("na"),
+              F.sum(1 - F.col("arm")).alias("nb")))
+    chi = ((F.col("na") - F.col("nb"))
+           * (F.col("na") - F.col("nb"))
+           / (F.col("na") + F.col("nb")).cast("double"))
+    return g.select("event_type", "na", "nb",
+                    F.round(chi, 6).alias("chi2"),
+                    (chi > 3.841).cast("int").alias("srm_flag"))
+
+
+_SRM_ORACLE = """
+WITH ev AS (
+  SELECT DISTINCT event_type, user_id FROM events),
+armed AS (
+  SELECT event_type,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 1 ELSE 0 END AS arm
+  FROM ev),
+g AS (
+  SELECT event_type, SUM(arm) AS na, SUM(1 - arm) AS nb
+  FROM armed GROUP BY 1)
+SELECT event_type, na, nb,
+       round((na - nb) * (na - nb) / CAST(na + nb AS DOUBLE), 6)
+         AS chi2,
+       CASE WHEN (na - nb) * (na - nb) / CAST(na + nb AS DOUBLE)
+                 > 3.841 THEN 1 ELSE 0 END AS srm_flag
+FROM g
+"""
+
+
+def q_power_analysis(spark, sf_dir):
+    """A/B test sizing per market segment: observed baseline
+    conversion (share of customers with ≥ 10 orders — mid-range at
+    every SF since orders/customer is scale-invariant) + required n
+    per arm to detect a 2-point absolute lift at α = .05 / power = .8
+    — the two-proportion closed form with shared z literals.  sqrt is
+    IEEE-correctly-rounded (unlike ln/exp), so the double algebra is
+    engine-exact before the final rounding."""
+    t = load_tables(spark, sf_dir)
+    buyers = (t["orders"].groupBy("o_custkey").agg(F.count("*").alias("no"))
+              .where(F.col("no") >= 10).select("o_custkey"))
+    c = (t["customer"]
+         .join(buyers, F.col("c_custkey") == F.col("o_custkey"), "left")
+         .groupBy("c_mktsegment")
+         .agg(F.count("*").alias("n_customers"),
+              F.sum(F.col("o_custkey").isNotNull().cast("int"))
+              .alias("n_buyers")))
+    p1 = F.col("n_buyers") / F.col("n_customers").cast("double")
+    p2 = p1 + 0.02
+    pbar = (p1 + p2) / 2
+    za, zb = 1.959963984540054, 0.8416212335729143
+    num = (za * F.sqrt(2 * pbar * (1 - pbar))
+           + zb * F.sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+    n_req = F.ceil(num * num / (0.02 * 0.02))
+    return c.select("c_mktsegment", "n_customers",
+                    F.round(p1, 6).alias("baseline_rate"),
+                    n_req.cast("long").alias("n_per_arm"))
+
+
+_POWER_ORACLE = """
+WITH buyers AS (SELECT o_custkey FROM orders GROUP BY 1
+                HAVING COUNT(*) >= 10),
+c AS (
+  SELECT c_mktsegment, COUNT(*) AS n_customers,
+         SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_buyers
+  FROM customer LEFT JOIN buyers ON c_custkey = o_custkey
+  GROUP BY 1),
+p AS (
+  SELECT c_mktsegment, n_customers,
+         n_buyers / CAST(n_customers AS DOUBLE) AS p1
+  FROM c),
+num AS (
+  SELECT c_mktsegment, n_customers, p1,
+         1.959963984540054
+           * sqrt(2 * ((p1 + (p1 + 0.02)) / 2)
+                  * (1 - (p1 + (p1 + 0.02)) / 2))
+         + 0.8416212335729143
+           * sqrt(p1 * (1 - p1) + (p1 + 0.02) * (1 - (p1 + 0.02)))
+           AS z
+  FROM p)
+SELECT c_mktsegment, n_customers, round(p1, 6) AS baseline_rate,
+       CAST(ceil(z * z / (0.02 * 0.02)) AS BIGINT) AS n_per_arm
+FROM num
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -15687,6 +15839,9 @@ ORACLES: dict[str, str | None] = {
     "equi_depth_bounds": _EQUI_DEPTH_ORACLE,
     "lateness_audit": _LATENESS_ORACLE,
     "id_gaps": _ID_GAPS_ORACLE,
+    "newsvendor_stock": _NEWSVENDOR_ORACLE,
+    "srm_check": _SRM_ORACLE,
+    "power_analysis": _POWER_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -16095,6 +16250,9 @@ QUERIES = {
     "equi_depth_bounds": q_equi_depth_bounds,
     "lateness_audit": q_lateness_audit,
     "id_gaps": q_id_gaps,
+    "newsvendor_stock": q_newsvendor_stock,
+    "srm_check": q_srm_check,
+    "power_analysis": q_power_analysis,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
