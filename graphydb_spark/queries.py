@@ -14045,6 +14045,180 @@ FROM num
 """
 
 
+def q_hypergeom_enrichment(spark, sf_dir):
+    """Market-basket enrichment screen: (nation, brand) cells whose
+    purchase-line count deviates from the hypergeometric expectation
+    by |z| > 2 — the over/under-representation test run on feature
+    co-occurrence.  All counts exact integers; mean/variance algebra
+    in doubles with an identical operation order on both engines
+    (sqrt only — IEEE-exact)."""
+    t = load_tables(spark, sf_dir)
+    li = (t["lineitem"]
+          .join(F.broadcast(t["part"].select("p_partkey", "p_brand")),
+                F.col("l_partkey") == F.col("p_partkey"))
+          .join(t["orders"].select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+          .join(F.broadcast(t["customer"]
+                            .select("c_custkey", "c_nationkey")),
+                F.col("o_custkey") == F.col("c_custkey"))
+          .select(F.col("c_nationkey").alias("nation"),
+                  F.col("p_brand").alias("brand")))
+    cell = li.groupBy("nation", "brand").agg(F.count("*").alias("k"))
+    byn = li.groupBy(F.col("nation").alias("n1")).agg(
+        F.count("*").alias("n"))
+    byb = li.groupBy(F.col("brand").alias("b1")).agg(
+        F.count("*").alias("kk"))
+    tot = li.agg(F.count("*").alias("nn"))
+    j = (cell.join(F.broadcast(byn), F.col("nation") == F.col("n1"))
+         .join(F.broadcast(byb), F.col("brand") == F.col("b1"))
+         .crossJoin(F.broadcast(tot)))
+    m = (F.col("n") * F.col("kk")).cast("double") / F.col("nn")
+    frac = F.col("kk") / F.col("nn").cast("double")
+    var = (m * (1 - frac)
+           * ((F.col("nn") - F.col("n"))
+              / (F.col("nn") - F.lit(1.0))))
+    z = (F.col("k") - m) / F.sqrt(var)
+    return (j.withColumn("z", z)
+            .where(F.abs(F.col("z")) > 2)
+            .select("nation", "brand", "k", F.round("z", 6).alias("z")))
+
+
+_HYPERGEOM_ORACLE = """
+WITH li AS (
+  SELECT c_nationkey AS nation, p_brand AS brand
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey),
+cell AS (SELECT nation, brand, COUNT(*) AS k FROM li GROUP BY 1, 2),
+byn AS (SELECT nation AS n1, COUNT(*) AS n FROM li GROUP BY 1),
+byb AS (SELECT brand AS b1, COUNT(*) AS kk FROM li GROUP BY 1),
+tot AS (SELECT COUNT(*) AS nn FROM li),
+j AS (
+  SELECT nation, brand, k, n, kk, nn,
+         CAST(n * kk AS DOUBLE) / nn AS m,
+         kk / CAST(nn AS DOUBLE) AS frac
+  FROM cell
+  JOIN byn ON nation = n1
+  JOIN byb ON brand = b1, tot),
+zz AS (
+  SELECT nation, brand, k,
+         (k - m) / sqrt(m * (1 - frac) * ((nn - n) / (nn - 1.0)))
+           AS z
+  FROM j)
+SELECT nation, brand, k, round(z, 6) AS z
+FROM zz WHERE abs(z) > 2
+"""
+
+
+def q_quantile_normalize(spark, sf_dir):
+    """Quantile normalization of document lengths across sources
+    (the batch-effect-removal classic): each source's rank-r value is
+    replaced by the pooled value at the proportional pooled rank
+    ceil(r·N/Ns), then summarized as a per-(source, decile) mean.
+    Deterministic total orders everywhere (ties by doc_id); exact
+    integer ranks and sums, one double division at the end."""
+    from pyspark.sql import Window as W
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    pooled = (d.select("n_chars", "doc_id")
+              .withColumn("pr", F.row_number().over(
+                  W.orderBy("n_chars", "doc_id")))
+              .select(F.col("pr").alias("target_rank"),
+                      F.col("n_chars").alias("norm_value")))
+    n_tot = d.count()
+    per = (d.withColumn("rs", F.row_number().over(
+        W.partitionBy("source").orderBy("n_chars", "doc_id")))
+        .withColumn("ns", F.count("*").over(W.partitionBy("source"))))
+    mapped = per.withColumn(
+        "target_rank",
+        F.ceil(F.col("rs") * F.lit(n_tot) / F.col("ns")).cast("int"))
+    out = mapped.join(F.broadcast(pooled), "target_rank")
+    dec = (F.ceil(F.col("rs") * 10 / F.col("ns"))).cast("int")
+    return (out.withColumn("decile", dec)
+            .groupBy("source", "decile")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("norm_value") / F.count("*"), 4)
+                 .alias("mean_norm_chars")))
+
+
+_QNORM_ORACLE = """
+WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+pooled AS (
+  SELECT row_number() OVER (ORDER BY n_chars, doc_id) AS target_rank,
+         n_chars AS norm_value
+  FROM d),
+tot AS (SELECT COUNT(*) AS n_tot FROM d),
+per AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rs,
+         COUNT(*) OVER (PARTITION BY source) AS ns
+  FROM d),
+mapped AS (
+  SELECT source, rs, ns,
+         CAST(ceil(rs * n_tot * 1.0 / ns) AS INT) AS target_rank
+  FROM per, tot)
+SELECT source, CAST(ceil(rs * 10.0 / ns) AS INT) AS decile,
+       COUNT(*) AS n,
+       round(SUM(norm_value) * 1.0 / COUNT(*), 4) AS mean_norm_chars
+FROM mapped JOIN pooled USING (target_rank)
+GROUP BY 1, 2
+"""
+
+
+def q_gains_curve(spark, sf_dir):
+    """Cumulative gains chart: customers ranked by account balance
+    (the 'model score'), per score-decile the cumulative share of all
+    ORDERS captured — how well the score targets actual activity
+    (contrast q:lorenz_curve, which ranks by the outcome itself).
+    Exact integers, one division per row."""
+    from pyspark.sql import Window as W
+    t = load_tables(spark, sf_dir)
+    cnt = (t["orders"].groupBy("o_custkey")
+           .agg(F.count("*").alias("n_orders")))
+    c = (t["customer"]
+         .join(cnt, F.col("c_custkey") == F.col("o_custkey"), "left")
+         .select("c_custkey", "c_acctbal",
+                 F.coalesce("n_orders", F.lit(0)).alias("n_orders")))
+    d = c.withColumn("decile", F.ntile(10).over(
+        W.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))))
+    per = (d.groupBy("decile")
+           .agg(F.sum("n_orders").alias("captured"),
+                F.count("*").alias("n_customers")))
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding,
+                                        W.currentRow)
+    tot = per.agg(F.sum("captured").alias("t"))
+    return (per.withColumn("cum", F.sum("captured").over(w))
+            .crossJoin(F.broadcast(tot))
+            .select("decile", "n_customers", "captured",
+                    F.round(F.col("cum") / F.col("t"), 6)
+                    .alias("cum_gain")))
+
+
+_GAINS_ORACLE = """
+WITH cnt AS (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1),
+c AS (
+  SELECT c_custkey, c_acctbal, COALESCE(n_orders, 0) AS n_orders
+  FROM customer LEFT JOIN cnt ON c_custkey = o_custkey),
+d AS (
+  SELECT n_orders,
+         ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey)
+           AS decile
+  FROM c),
+per AS (
+  SELECT decile, SUM(n_orders) AS captured,
+         COUNT(*) AS n_customers
+  FROM d GROUP BY 1),
+tot AS (SELECT SUM(captured) AS t FROM per)
+SELECT decile, n_customers, captured,
+       round(SUM(captured) OVER (ORDER BY decile
+                                 ROWS UNBOUNDED PRECEDING)
+             * 1.0 / t, 6) AS cum_gain
+FROM per, tot
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -15842,6 +16016,9 @@ ORACLES: dict[str, str | None] = {
     "newsvendor_stock": _NEWSVENDOR_ORACLE,
     "srm_check": _SRM_ORACLE,
     "power_analysis": _POWER_ORACLE,
+    "hypergeom_enrichment": _HYPERGEOM_ORACLE,
+    "quantile_normalize": _QNORM_ORACLE,
+    "gains_curve": _GAINS_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -16253,6 +16430,9 @@ QUERIES = {
     "newsvendor_stock": q_newsvendor_stock,
     "srm_check": q_srm_check,
     "power_analysis": q_power_analysis,
+    "hypergeom_enrichment": q_hypergeom_enrichment,
+    "quantile_normalize": q_quantile_normalize,
+    "gains_curve": q_gains_curve,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
