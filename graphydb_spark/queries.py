@@ -14219,6 +14219,169 @@ FROM per, tot
 """
 
 
+def q_quality_rule_breakdown(spark, sf_dir):
+    """Per-rule attrition report for the Gopher-style quality gate
+    (q:quality_filter): how many documents fail each rule, and how
+    many fail ONLY that rule — the number that tells a pipeline owner
+    which rule to tune.  One pass over the corpus, 4-row output."""
+    from .operators.pipeline import quality_filter
+    qf = quality_filter(_docs(spark, sf_dir))
+    rules = ["ok_tokens", "ok_avg_len", "ok_symbols", "ok_stopwords"]
+    n_ok = sum(F.col(r).cast("int") for r in rules)
+    base = qf.select(*rules, n_ok.alias("n_ok"))
+    rows = [
+        base.select(
+            F.lit(r).alias("rule"),
+            (~F.col(r)).cast("int").alias("fail"),
+            ((~F.col(r)) & (F.col("n_ok") == 3)).cast("int")
+            .alias("sole"))
+        for r in rules]
+    u = rows[0]
+    for r in rows[1:]:
+        u = u.unionByName(r)
+    return (u.groupBy("rule")
+            .agg(F.sum("fail").alias("n_fail"),
+                 F.sum("sole").alias("n_sole_fail")))
+
+
+_QUALITY_BREAKDOWN_ORACLE = """
+WITH t AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x != '') AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id, len(toks) AS n,
+    length(array_to_string(toks, ''))
+      / greatest(len(toks), 1) AS avg_len,
+    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+      / greatest(length(text), 1) AS sym_ratio,
+    len(list_filter(toks, x -> list_contains(
+      ['the','a','of','and','to','in','is','for','on','with'], x)))
+      AS sw_hits
+  FROM t),
+f AS (
+  SELECT (n >= 20 AND n <= 100000) AS ok_tokens,
+         (avg_len >= 2.0 AND avg_len <= 12.0) AS ok_avg_len,
+         (sym_ratio <= 0.10) AS ok_symbols,
+         (sw_hits >= 2) AS ok_stopwords
+  FROM m),
+g AS (
+  SELECT *, CAST(ok_tokens AS INT) + CAST(ok_avg_len AS INT)
+            + CAST(ok_symbols AS INT) + CAST(ok_stopwords AS INT)
+            AS n_ok
+  FROM f)
+SELECT 'ok_tokens' AS rule,
+       SUM(CASE WHEN NOT ok_tokens THEN 1 ELSE 0 END) AS n_fail,
+       SUM(CASE WHEN NOT ok_tokens AND n_ok = 3 THEN 1 ELSE 0 END)
+         AS n_sole_fail FROM g
+UNION ALL
+SELECT 'ok_avg_len',
+       SUM(CASE WHEN NOT ok_avg_len THEN 1 ELSE 0 END),
+       SUM(CASE WHEN NOT ok_avg_len AND n_ok = 3 THEN 1 ELSE 0 END)
+FROM g
+UNION ALL
+SELECT 'ok_symbols',
+       SUM(CASE WHEN NOT ok_symbols THEN 1 ELSE 0 END),
+       SUM(CASE WHEN NOT ok_symbols AND n_ok = 3 THEN 1 ELSE 0 END)
+FROM g
+UNION ALL
+SELECT 'ok_stopwords',
+       SUM(CASE WHEN NOT ok_stopwords THEN 1 ELSE 0 END),
+       SUM(CASE WHEN NOT ok_stopwords AND n_ok = 3 THEN 1 ELSE 0 END)
+FROM g
+"""
+
+
+def q_token_length_histogram(spark, sf_dir):
+    """Power-of-two token-length histogram per source (the context-
+    window sizing chart): bucket = floor(log2(n_tokens)) computed by
+    the exact bit-length trick (length(bin(n)) − 1 — no libm log near
+    power boundaries).  One narrow pass + 2-key groupBy."""
+    from .operators.text import tokens
+    d = _docs(spark, sf_dir).select(
+        "source",
+        F.greatest(F.size(tokens(F.col("text"))), F.lit(1)).alias("n"))
+    b = (F.length(F.expr("bin(n)")) - 1).alias("log2_bucket")
+    return (d.select("source", b)
+            .groupBy("source", "log2_bucket")
+            .agg(F.count("*").alias("n_docs")))
+
+
+_TOKEN_HIST_ORACLE = """
+WITH d AS (
+  SELECT source,
+         greatest(len(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'),
+           x -> x != '')), 1) AS n
+  FROM documents)
+SELECT source, CAST(length(bin(n)) - 1 AS INT) AS log2_bucket,
+       COUNT(*) AS n_docs
+FROM d GROUP BY 1, 2
+"""
+
+
+def q_pack_efficiency_curve(spark, sf_dir):
+    """Concat-and-chunk packing audit across context-window sizes
+    (512..8192): shards needed, tail-padding utilization, and how
+    many documents straddle a shard boundary (get split) — the curve
+    that picks a training context length.  Doc order is fixed
+    (doc_id); cumulative token offsets via one window; all integers
+    exact."""
+    from pyspark.sql import Window as W
+    from .operators.text import tokens
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n"))
+    w = (W.orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    c = (d.withColumn("endo", F.sum("n").over(w))
+         .withColumn("starto", F.col("endo") - F.col("n")))
+    sizes = spark.createDataFrame([(512,), (1024,), (2048,), (4096,),
+                                   (8192,)], "window_size int")
+    j = c.crossJoin(F.broadcast(sizes))
+    split = (F.floor(F.col("starto") / F.col("window_size"))
+             != F.floor((F.col("endo") - 1) / F.col("window_size")))
+    return (j.groupBy("window_size")
+            .agg(F.max("endo").alias("total_tokens"),
+                 F.ceil(F.max("endo") / F.col("window_size").cast("double"))
+                 .cast("long").alias("n_shards"),
+                 F.sum(split.cast("int")).alias("n_docs_split"),
+                 F.round(F.max("endo")
+                         / (F.ceil(F.max("endo")
+                                   / F.col("window_size").cast("double"))
+                            * F.col("window_size")), 6)
+                 .alias("utilization"))
+            .select("window_size", "total_tokens", "n_shards",
+                    "n_docs_split", "utilization"))
+
+
+_PACK_CURVE_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x != '')) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, n,
+         SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           AS endo
+  FROM d),
+cc AS (SELECT doc_id, n, endo, endo - n AS starto FROM c),
+ws(window_size) AS (VALUES (512), (1024), (2048), (4096), (8192))
+SELECT window_size,
+       MAX(endo) AS total_tokens,
+       CAST(ceil(MAX(endo) / CAST(window_size AS DOUBLE)) AS BIGINT)
+         AS n_shards,
+       SUM(CASE WHEN (starto // window_size)
+                     <> ((endo - 1) // window_size)
+                THEN 1 ELSE 0 END) AS n_docs_split,
+       round(MAX(endo)
+             / (ceil(MAX(endo) / CAST(window_size AS DOUBLE))
+                * window_size), 6) AS utilization
+FROM cc, ws GROUP BY 1
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -16019,6 +16182,9 @@ ORACLES: dict[str, str | None] = {
     "hypergeom_enrichment": _HYPERGEOM_ORACLE,
     "quantile_normalize": _QNORM_ORACLE,
     "gains_curve": _GAINS_ORACLE,
+    "quality_rule_breakdown": _QUALITY_BREAKDOWN_ORACLE,
+    "token_length_histogram": _TOKEN_HIST_ORACLE,
+    "pack_efficiency_curve": _PACK_CURVE_ORACLE,
 }
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
@@ -16433,6 +16599,9 @@ QUERIES = {
     "hypergeom_enrichment": q_hypergeom_enrichment,
     "quantile_normalize": q_quantile_normalize,
     "gains_curve": q_gains_curve,
+    "quality_rule_breakdown": q_quality_rule_breakdown,
+    "token_length_histogram": q_token_length_histogram,
+    "pack_efficiency_curve": q_pack_efficiency_curve,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
