@@ -14382,6 +14382,154 @@ FROM cc, ws GROUP BY 1
 """
 
 
+def q_lang_confusion(spark, sf_dir):
+    """Full confusion matrix of the engine's stopword-vote language
+    identifier against the corpus labels — the cell-level detail
+    behind q:kappa_langid's single-number summary.  Exact counts +
+    per-true-row share."""
+    from pyspark.sql import Window as W
+    guessed = text.language_id(_docs(spark, sf_dir)) \
+        .select("lang", "lang_guess")
+    conf = (guessed.groupBy("lang", "lang_guess")
+            .agg(F.count("*").alias("n")))
+    row_tot = F.sum("n").over(W.partitionBy("lang"))
+    return conf.select("lang", "lang_guess", "n",
+                       F.round(F.col("n") / row_tot, 6)
+                       .alias("row_share"))
+
+
+def _lang_confusion_oracle_sql() -> str:
+    return f"""
+WITH guesses AS ({ORACLES["language_id"]}),
+conf AS (
+  SELECT d.lang, g.lang_guess, COUNT(*) AS n
+  FROM guesses g JOIN documents d USING (doc_id)
+  GROUP BY 1, 2)
+SELECT lang, lang_guess, n,
+       round(n * 1.0 / SUM(n) OVER (PARTITION BY lang), 6)
+         AS row_share
+FROM conf
+"""
+
+
+def q_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary audit of the hash-banded holdout split: for
+    val and test, the share of token TYPES and of token OCCURRENCES
+    absent from the train-split vocabulary — the split-health number
+    that predicts eval perplexity inflation.  Vocabulary membership
+    via one left join on the token key; exact integers."""
+    from .operators.pipeline import train_val_test_split
+    d = train_val_test_split(_docs(spark, sf_dir), "doc_id").select(
+        "split", F.explode(text.tokens(F.col("text"))).alias("tok"))
+    vocab = (d.where(F.col("split") == "train")
+             .select("tok").distinct().withColumn("hit", F.lit(1)))
+    rest = d.where(F.col("split") != "train")
+    occ = (rest.join(vocab, "tok", "left")
+           .groupBy("split")
+           .agg(F.count("*").alias("n_tokens"),
+                F.sum(F.col("hit").isNull().cast("int"))
+                .alias("n_oov_tokens")))
+    types = (rest.select("split", "tok").distinct()
+             .join(vocab, "tok", "left")
+             .groupBy(F.col("split").alias("s2"))
+             .agg(F.count("*").alias("n_types"),
+                  F.sum(F.col("hit").isNull().cast("int"))
+                  .alias("n_oov_types")))
+    return (occ.join(types, F.col("split") == F.col("s2"))
+            .select("split", "n_types", "n_oov_types",
+                    F.round(F.col("n_oov_types") / F.col("n_types"), 6)
+                    .alias("type_oov_rate"),
+                    "n_tokens", "n_oov_tokens",
+                    F.round(F.col("n_oov_tokens") / F.col("n_tokens"), 6)
+                    .alias("token_oov_rate")))
+
+
+_OOV_ORACLE = """
+WITH d AS (
+  SELECT CASE
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                < printf('%04x', CAST(ceil(0.05 * 65536) AS INT))
+             THEN 'val'
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                < printf('%04x', CAST(ceil(0.10 * 65536) AS INT))
+             THEN 'test'
+           ELSE 'train'
+         END AS split,
+         unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'),
+           x -> x != '')) AS tok
+  FROM documents),
+vocab AS (
+  SELECT DISTINCT tok, 1 AS hit FROM d WHERE split = 'train'),
+rest AS (SELECT split, tok FROM d WHERE split <> 'train'),
+occ AS (
+  SELECT split, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS n_oov_tokens
+  FROM rest LEFT JOIN vocab USING (tok) GROUP BY 1),
+ty AS (
+  SELECT split, COUNT(*) AS n_types,
+         SUM(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS n_oov_types
+  FROM (SELECT DISTINCT split, tok FROM rest)
+  LEFT JOIN vocab USING (tok) GROUP BY 1)
+SELECT occ.split, n_types, n_oov_types,
+       round(n_oov_types * 1.0 / n_types, 6) AS type_oov_rate,
+       n_tokens, n_oov_tokens,
+       round(n_oov_tokens * 1.0 / n_tokens, 6) AS token_oov_rate
+FROM occ JOIN ty ON occ.split = ty.split
+"""
+
+
+def q_split_leakage_check(spark, sf_dir):
+    """Split-leakage audit: MinHash near-dup candidate pairs that
+    straddle the train/holdout boundary — the contamination
+    q:grouped_split exists to prevent, quantified on the naive
+    doc-hash split.  One broadcast of the (tiny) split map onto the
+    LSH pair stream."""
+    from .operators.pipeline import train_val_test_split
+    docs = _docs(spark, sf_dir)
+    pairs = QUERIES["minhash_pairs"](spark, sf_dir)
+    sp = train_val_test_split(docs, "doc_id").select("doc_id", "split")
+    j = (pairs
+         .join(sp.select(F.col("doc_id").alias("id_a"),
+                         F.col("split").alias("split_a")), "id_a")
+         .join(sp.select(F.col("doc_id").alias("id_b"),
+                         F.col("split").alias("split_b")), "id_b"))
+    leak = ((F.col("split_a") == "train")
+            != (F.col("split_b") == "train")).cast("int")
+    return (j.agg(F.count("*").alias("n_candidate_pairs"),
+                  F.sum(leak).alias("n_leaking_pairs"),
+                  F.round(F.sum(leak) / F.count("*"), 6)
+                  .alias("leak_share")))
+
+
+def _split_leakage_oracle_sql() -> str:
+    return f"""
+WITH pairs AS ({ORACLES["minhash_pairs"]}),
+sp AS (
+  SELECT doc_id,
+         CASE
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                < printf('%04x', CAST(ceil(0.05 * 65536) AS INT))
+             THEN 'val'
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                < printf('%04x', CAST(ceil(0.10 * 65536) AS INT))
+             THEN 'test'
+           ELSE 'train'
+         END AS split
+  FROM documents),
+j AS (
+  SELECT CASE WHEN (a.split = 'train') <> (b.split = 'train')
+              THEN 1 ELSE 0 END AS leak
+  FROM pairs
+  JOIN sp a ON pairs.id_a = a.doc_id
+  JOIN sp b ON pairs.id_b = b.doc_id)
+SELECT COUNT(*) AS n_candidate_pairs,
+       SUM(leak) AS n_leaking_pairs,
+       round(SUM(leak) * 1.0 / COUNT(*), 6) AS leak_share
+FROM j
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -16189,6 +16337,9 @@ ORACLES: dict[str, str | None] = {
 
 ORACLES["kappa_langid"] = _kappa_oracle_sql()
 ORACLES["ndcg_ann"] = _ndcg_oracle_sql()
+ORACLES["lang_confusion"] = _lang_confusion_oracle_sql()
+ORACLES["oov_rate"] = _OOV_ORACLE
+ORACLES["split_leakage_check"] = _split_leakage_oracle_sql()
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
 # functions of immutable inputs (parquet fixtures + the memoized graph
@@ -16602,6 +16753,9 @@ QUERIES = {
     "quality_rule_breakdown": q_quality_rule_breakdown,
     "token_length_histogram": q_token_length_histogram,
     "pack_efficiency_curve": q_pack_efficiency_curve,
+    "lang_confusion": q_lang_confusion,
+    "oov_rate": q_oov_rate,
+    "split_leakage_check": q_split_leakage_check,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
