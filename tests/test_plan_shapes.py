@@ -181,3 +181,43 @@ def test_betweenness_frontier_keyed(spark):
     out = betweenness_sampled(e, seeds, max_depth=2)
     plan = out._jdf.queryExecution().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_eigenvector_edges_partitioned_once(spark):
+    """Power-iteration rounds must reuse the once-partitioned edge
+    list: the iteration join keys ride the checkpointed partitioning,
+    so the final plan shows no sort-merge join (node-frame exchanges
+    only) and no cartesian."""
+    from graphydb_spark.operators.graph_algos import eigenvector_centrality
+    edges = (spark.range(2000)
+             .select((F.col("id") % 97).cast("string").alias("startuid"),
+                     (F.col("id") % 101).cast("string").alias("enduid")))
+    p = plan_of(eigenvector_centrality(edges, iters=3))
+    assert "CartesianProduct" not in p
+    # exactly one nested-loop is allowed: the 1-row max-normalizer
+    # crossJoin; the per-iteration edge⋈score joins must all be
+    # hash/sort equi-joins
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_bitmap_distinct_partial_agg(spark):
+    """The bitmap words must combine map-side: two HashAggregate pairs
+    (word-level then popcount-level), never an Expand/distinct
+    shuffle of raw ids."""
+    from graphydb_spark.queries import QUERIES
+    df = QUERIES["bitmap_distinct"](spark, "/root/testdata/sf0.001")
+    p = plan_of(df)
+    assert "Expand" not in p
+    assert p.count("HashAggregate") >= 4  # partial+final at both levels
+
+
+def test_butterfly_no_cartesian(spark):
+    """The wedge self-join must stay an equi-join on the customer key
+    with the degree cap applied before pair generation."""
+    from graphydb_spark.queries import QUERIES
+    df = QUERIES["butterfly_count"](spark, "/root/testdata/sf0.001")
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+    # the only nested-loop allowed is the 1-row scalar crossJoin of
+    # the wedge/butterfly totals
+    assert p.count("BroadcastNestedLoopJoin") <= 1
