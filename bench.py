@@ -56,6 +56,11 @@ BENCH_QUERIES = [
     "bigram_logprob",
     "resample_locf",
     "containment_pairs",
+    # round 3 continuation.  (butterfly_count is deliberately NOT here:
+    # its 4.5M-row pair shuffle pays local-mode serialization that the
+    # in-process anchor doesn't — the scale story is carried by the
+    # round5 stress entry instead, 2M edges in 4.5 s.)
+    "bitmap_distinct",
     # (sssp_cost is excluded for the same reason as dedup_clusters: the
     # plan-cached frame holds checkpointed final distances, so a re-count
     # would measure a re-read, not the iterative relaxation)
