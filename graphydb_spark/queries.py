@@ -14530,6 +14530,162 @@ FROM j
 """
 
 
+def q_shingle_df_histogram(spark, sf_dir):
+    """LSH capacity-planning audit: document-frequency histogram of
+    3-token shingles in power-of-two buckets (exact bit-length trick,
+    no libm log) — the df tail predicts MinHash bucket blowups before
+    you run the join (cf. the max_bucket guard in dedup.py).  Shingles
+    hash-group once; documents never pair."""
+    docs = _docs(spark, sf_dir)
+    ws = text.tokens(F.col("text"))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("_ws") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("_ws", i), F.element_at("_ws", i + 1),
+            F.element_at("_ws", i + 2)))
+    df_counts = (docs.select("doc_id", ws.alias("_ws"))
+                 .where(F.size("_ws") >= 3)
+                 .select("doc_id", F.explode(sh).alias("g"))
+                 .distinct()
+                 .groupBy("g").agg(F.count("*").alias("df")))
+    b = (F.length(F.expr("bin(df)")) - 1).alias("log2_df")
+    return (df_counts.select(b)
+            .groupBy("log2_df")
+            .agg(F.count("*").alias("n_shingles")))
+
+
+_SHINGLE_DF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS ws
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+  FROM toks WHERE len(ws) >= 3),
+dfc AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY 1)
+SELECT CAST(length(bin(df)) - 1 AS INT) AS log2_df,
+       COUNT(*) AS n_shingles
+FROM dfc GROUP BY 1
+"""
+
+
+def q_ahash_near_dup(spark, sf_dir):
+    """NEAR-duplicate image pairs by perceptual hash: the 64-bit ahash
+    (REAL PNG decode on the engine side, q:ahash_groups) banded into
+    4×16-bit substrings — same-band candidates only, then exact
+    Hamming ≤ 6 verify.  The banded join is the scale story (no
+    all-pairs); the oracle recomputes the closed-form hash and replays
+    band + verify."""
+    from .operators.multimodal import ahash, documents_as_media
+    pngs = _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 1)
+    h = ahash(documents_as_media(pngs)).select("media_id", "ahash") \
+        .localCheckpoint(eager=True)
+    bands = h.select(
+        "media_id", "ahash",
+        F.explode(F.array(*[
+            F.concat(F.lit(str(i)), F.lit(":"),
+                     F.substring("ahash", i * 16 + 1, 16))
+            for i in range(4)])).alias("band"))
+    a = bands.select(F.col("media_id").alias("id_a"),
+                     F.col("ahash").alias("ha"), "band")
+    b = bands.select(F.col("media_id").alias("id_b"),
+                     F.col("ahash").alias("hb"), "band")
+    cand = (a.join(b, ["band"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "ha", "hb").distinct())
+    ham = F.expr("size(filter(sequence(1, 64), "
+                 "i -> substr(ha, i, 1) != substr(hb, i, 1)))")
+    return (cand.withColumn("hamming", ham)
+            .where(F.col("hamming") <= 6)
+            .select("id_a", "id_b", "hamming"))
+
+
+_AHASH_NEAR_DUP_ORACLE = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         4 + n_chars % 60 AS w, 4 + (n_chars // 7) % 60 AS h
+  FROM documents WHERE doc_id % 3 = 1),
+cells AS (
+  SELECT media_id,
+         ty.y AS y, tx.x AS x,
+         ((((tx.x * w) // 8) * 3 + ((ty.y * h) // 8)) % 256) AS px
+  FROM dims, UNNEST(range(0, 8)) AS ty(y), UNNEST(range(0, 8)) AS tx(x)),
+hashes AS (
+  SELECT media_id,
+         string_agg(CASE WHEN px * 64 > tot THEN '1' ELSE '0' END,
+                    '' ORDER BY y, x) AS ahash
+  FROM (SELECT media_id, y, x, px,
+               SUM(px) OVER (PARTITION BY media_id) AS tot
+        FROM cells)
+  GROUP BY media_id),
+bands AS (
+  SELECT media_id, ahash,
+         CAST(i AS VARCHAR) || ':'
+           || substr(ahash, CAST(i AS INT) * 16 + 1, 16) AS band
+  FROM hashes, UNNEST(range(0, 4)) AS t(i)),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         a.ahash AS ha, b.ahash AS hb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.media_id < b.media_id),
+ham AS (
+  SELECT id_a, id_b,
+         len(list_filter(range(1, 65),
+             i -> substr(ha, CAST(i AS INT), 1)
+                  <> substr(hb, CAST(i AS INT), 1))) AS hamming
+  FROM cand)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+FROM ham WHERE hamming <= 6
+"""
+
+
+def q_qq_year_compare(spark, sf_dir):
+    """Q-Q table of order values, 1996 vs 1997: both years' exact
+    16-quantile ladders side by side with the quantile ratio — the
+    distribution-shift diagnostic that shows WHERE two samples differ
+    (q:ks_statistic only says how much).  Binary-exact fractions
+    (k/16) keep the interpolation engine-exact; cents are integers."""
+    o = load_tables(spark, sf_dir)["orders"].select(
+        F.year(F.col("o_orderdate")).alias("yr"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"))
+    fr = ", ".join(repr(i / 16.0) for i in range(1, 16))
+    q = (o.where(F.col("yr").isin(1996, 1997))
+         .groupBy("yr")
+         .agg(F.expr(f"percentile(cents, array({fr}))").alias("b")))
+    e = q.select("yr", F.posexplode("b").alias("q16", "v")) \
+        .select("yr", (F.col("q16") + 1).alias("q16"), "v")
+    a = e.where(F.col("yr") == 1996).select("q16",
+                                            F.col("v").alias("v1996"))
+    b = e.where(F.col("yr") == 1997).select(
+        F.col("q16").alias("q2"), F.col("v").alias("v1997"))
+    return (a.join(b, F.col("q16") == F.col("q2"))
+            .select("q16", "v1996", "v1997",
+                    F.round(F.col("v1997") / F.col("v1996"), 6)
+                    .alias("qratio")))
+
+
+_QQ_ORACLE = """
+WITH o AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS yr,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM orders),
+q AS (
+  SELECT yr, quantile_cont(cents, [{fracs}]) AS b
+  FROM o WHERE yr IN (1996, 1997) GROUP BY 1),
+e AS (
+  SELECT yr, CAST(i AS INT) AS q16, b[CAST(i AS INT)] AS v
+  FROM q, range(1, 16) t(i))
+SELECT a.q16, a.v AS v1996, b.v AS v1997,
+       round(b.v / a.v, 6) AS qratio
+FROM (SELECT q16, v FROM e WHERE yr = 1996) a
+JOIN (SELECT q16, v FROM e WHERE yr = 1997) b USING (q16)
+""".format(fracs=", ".join(repr(i / 16.0) for i in range(1, 16)))
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -16340,6 +16496,9 @@ ORACLES["ndcg_ann"] = _ndcg_oracle_sql()
 ORACLES["lang_confusion"] = _lang_confusion_oracle_sql()
 ORACLES["oov_rate"] = _OOV_ORACLE
 ORACLES["split_leakage_check"] = _split_leakage_oracle_sql()
+ORACLES["shingle_df_histogram"] = _SHINGLE_DF_ORACLE
+ORACLES["ahash_near_dup"] = _AHASH_NEAR_DUP_ORACLE
+ORACLES["qq_year_compare"] = _QQ_ORACLE
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
 # functions of immutable inputs (parquet fixtures + the memoized graph
@@ -16756,6 +16915,9 @@ QUERIES = {
     "lang_confusion": q_lang_confusion,
     "oov_rate": q_oov_rate,
     "split_leakage_check": q_split_leakage_check,
+    "shingle_df_histogram": q_shingle_df_histogram,
+    "ahash_near_dup": q_ahash_near_dup,
+    "qq_year_compare": q_qq_year_compare,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
