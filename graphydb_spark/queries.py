@@ -14686,6 +14686,281 @@ JOIN (SELECT q16, v FROM e WHERE yr = 1997) b USING (q16)
 """.format(fracs=", ".join(repr(i / 16.0) for i in range(1, 16)))
 
 
+def q_substring_spans(spark, sf_dir):
+    """Cross-document EXACT shared-substring spans (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" exact-
+    substring method, k-gram-chain formulation): every maximal run of
+    matching 8-token grams on a (doc_a, doc_b) diagonal is a maximal
+    shared token span; spans >= 12 tokens are reported with both start
+    offsets.  Scale shape: ONE shuffle on the gram hash; a df/occurrence
+    guard (>= 2 docs, <= 16 total occurrences) bounds the position-pair
+    fanout per gram the same way dedup.py's max_bucket bounds LSH
+    buckets, so boilerplate grams can never go quadratic.  The
+    gaps-and-islands merge (pos - row_number on the diagonal) is a
+    window over candidate pairs only — the corpus itself never pairs."""
+    K = 8
+    docs = _docs(spark, sf_dir)
+    ws = text.tokens(F.col("text"))
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - (K - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("ws", i + j) for j in range(K)]))
+    gr = (docs.select("doc_id", ws.alias("ws"))
+          .where(F.size("ws") >= K)
+          .select("doc_id", F.posexplode(gram).alias("p0", "g"))
+          .select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"),
+                  "g"))
+    keep = (gr.groupBy("g")
+            .agg(F.count_distinct("doc_id").alias("ndoc"),
+                 F.count("*").alias("nocc"))
+            .where((F.col("ndoc") >= 2) & (F.col("nocc") <= 16))
+            .select("g"))
+    gk = gr.join(keep, "g").localCheckpoint(eager=True)
+    a = gk.select(F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"),
+                  "g")
+    b = gk.select(F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"),
+                  "g")
+    pairs = (a.join(b, "g")
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "pa", "pb"))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("id_a", "id_b", F.col("pa") - F.col("pb")) \
+              .orderBy("pa")
+    isl = pairs.withColumn(
+        "isl", F.col("pa") - F.row_number().over(w))
+    return (isl.groupBy("id_a", "id_b",
+                        (F.col("pa") - F.col("pb")).alias("diag"), "isl")
+            .agg(F.min("pa").alias("start_a"),
+                 F.min("pb").alias("start_b"),
+                 (F.count("*") + (K - 1)).alias("span_len"))
+            .where(F.col("span_len") >= 12)
+            .select("id_a", "id_b", "start_a", "start_b", "span_len"))
+
+
+_SUBSTRING_SPANS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS ws
+  FROM documents),
+gr AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS g
+  FROM toks, UNNEST(range(1, len(ws) - 6)) t(i)
+  WHERE len(ws) >= 8),
+keep AS (
+  SELECT g FROM gr GROUP BY g
+  HAVING COUNT(DISTINCT doc_id) >= 2 AND COUNT(*) <= 16),
+gk AS (SELECT gr.doc_id, gr.pos, gr.g FROM gr JOIN keep USING (g)),
+pairs AS (
+  SELECT a.doc_id AS id_a, a.pos AS pa, b.doc_id AS id_b, b.pos AS pb
+  FROM gk a JOIN gk b ON a.g = b.g AND a.doc_id < b.doc_id),
+isl AS (
+  SELECT id_a, id_b, pa, pb,
+         pa - ROW_NUMBER() OVER (
+           PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS isl
+  FROM pairs)
+SELECT id_a, id_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+       COUNT(*) + 7 AS span_len
+FROM isl GROUP BY id_a, id_b, pa - pb, isl
+HAVING COUNT(*) + 7 >= 12
+"""
+
+
+def q_dbscan_embeddings(spark, sf_dir):
+    """DBSCAN over the embeddings table (cosine >= 0.32 as the eps-ball,
+    minPts 4 including self) with a DETERMINISTIC border rule: core
+    points cluster by connected components over core-core eps-edges
+    (min-vec_id label); border points adopt the MIN cluster among their
+    core neighbors (classic DBSCAN's border assignment is scan-order-
+    dependent — min-label makes it engine-portable); the rest is noise
+    (cluster -1).  The eps-join here is the exact O(n^2) baseline (the
+    fixture corpus is 500 vectors); at scale the SAME core/border/noise
+    derivation runs off LSH-bucketed candidate pairs (q:lsh_near_dup)
+    instead of the brute join — the semantics only need the pair list.
+    Dot products fold sequentially in double (similarity.cosine_expr ==
+    DuckDB list_sum-over-transform, the convention every embedding
+    oracle in this file shares)."""
+    eps, minpts = 0.32, 4
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform(F.col("embedding"),
+                    lambda x: x.cast("double")).alias("v"))
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    pairs = (a.join(b, F.col("ia") < F.col("ib"))
+             .where(similarity.cosine_expr("va", "vb") >= eps)
+             .select("ia", "ib"))
+    nb = (pairs.select(F.col("ia").alias("id"), F.col("ib").alias("nbr"))
+          .unionByName(pairs.select(F.col("ib").alias("id"),
+                                    F.col("ia").alias("nbr")))
+          .localCheckpoint(eager=True))
+    deg = nb.groupBy("id").agg(F.count("*").alias("d"))
+    core = deg.where(F.col("d") + 1 >= minpts).select("id")
+    core_edges = (nb.join(core, "id")
+                  .join(core.withColumnRenamed("id", "nbr"), "nbr")
+                  .select(F.concat(F.lit("V:"), F.col("id")).alias("startuid"),
+                          F.concat(F.lit("V:"), F.col("nbr")).alias("enduid")))
+    core_nodes = core.select(F.concat(F.lit("V:"), F.col("id")).alias("uid"))
+    cc = graph_algos.connected_components(core_nodes, core_edges)
+    comp = cc.select(
+        F.regexp_replace("uid", "^V:", "").cast("long").alias("id"),
+        F.regexp_replace("component", "^V:", "").cast("long")
+        .alias("cluster"))
+    core_out = comp.join(core, "id").select(
+        "id", F.lit("core").alias("role"), "cluster")
+    border = (nb.join(core.withColumnRenamed("id", "nbr"), "nbr")
+              .join(core, "id", "left_anti")
+              .join(comp.withColumnRenamed("id", "nbr")
+                    .withColumnRenamed("cluster", "ncl"), "nbr")
+              .groupBy("id")
+              .agg(F.min("ncl").alias("cluster"))
+              .select("id", F.lit("border").alias("role"), "cluster"))
+    assigned = core_out.unionByName(border)
+    noise = (emb.select(F.col("vec_id").alias("id"))
+             .join(assigned.select("id"), "id", "left_anti")
+             .select("id", F.lit("noise").alias("role"),
+                     F.lit(-1).cast("long").alias("cluster")))
+    return (assigned.unionByName(noise)
+            .select(F.col("id").alias("vec_id"), "role", "cluster"))
+
+
+_DBSCAN_ORACLE = """
+WITH RECURSIVE
+e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+p AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(range(1, len(a.v)+1),
+                                i -> a.v[i] * b.v[i]))
+        / (sqrt(list_sum(list_transform(range(1, len(a.v)+1),
+                                        i -> a.v[i] * a.v[i])))
+           * sqrt(list_sum(list_transform(range(1, len(b.v)+1),
+                                          i -> b.v[i] * b.v[i]))))
+        >= 0.32),
+nb AS (SELECT ia AS id, ib AS nbr FROM p
+       UNION ALL SELECT ib, ia FROM p),
+deg AS (SELECT id, COUNT(*) AS d FROM nb GROUP BY 1),
+core AS (SELECT id FROM deg WHERE d + 1 >= 4),
+ce AS (SELECT nb.id AS a, nb.nbr AS b
+       FROM nb JOIN core c1 ON nb.id = c1.id
+               JOIN core c2 ON nb.nbr = c2.id),
+reach(src, dst) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT r.src, ce.b FROM reach r JOIN ce ON ce.a = r.dst),
+comp AS (SELECT src AS id, MIN(dst) AS cluster FROM reach GROUP BY 1),
+core_out AS (
+  SELECT id, 'core' AS role, cluster FROM comp),
+border AS (
+  SELECT nb.id, 'border' AS role, MIN(c.cluster) AS cluster
+  FROM nb JOIN comp c ON nb.nbr = c.id
+  WHERE nb.id NOT IN (SELECT id FROM core)
+  GROUP BY nb.id),
+assigned AS (
+  SELECT * FROM core_out UNION ALL SELECT * FROM border)
+SELECT e.vec_id, COALESCE(a.role, 'noise') AS role,
+       CAST(COALESCE(a.cluster, -1) AS BIGINT) AS cluster
+FROM e LEFT JOIN assigned a ON e.vec_id = a.id
+"""
+
+
+def q_price_model(spark, sf_dir):
+    """Multiple linear regression (2 predictors + intercept) by exact
+    normal equations: o_totalprice_cents ~ n_lines + sum_qty per order.
+    The nine sufficient statistics (n, Sx1, Sx2, Sy, Sx11, Sx22, Sx12,
+    Sx1y, Sx2y) aggregate as EXACT integers (cents/quantities, one
+    map-side-combined pass over a lineitem groupBy); the 3x3 Cramer
+    solve then runs on identical doubles in both engines — no libm, no
+    iteration, so coefficients replay bit-for-bit.  At 100 TB the whole
+    model is one partial-aggregate pass: sufficient statistics are the
+    canonical distributed-regression shape."""
+    t = load_tables(spark, sf_dir)
+    per = (t["lineitem"]
+           .groupBy("l_orderkey")
+           .agg(F.count("*").cast("long").alias("x1"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("long").alias("x2")))
+    o = (t["orders"]
+         .select("o_orderkey",
+                 (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                 .cast("long").alias("y"))
+         .join(per, F.col("o_orderkey") == F.col("l_orderkey")))
+    s = o.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("sx1"), F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx12"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"))
+    d = {c: F.col(c).cast("double") for c in
+         ("n", "sx1", "sx2", "sy", "sx11", "sx22", "sx12", "sx1y",
+          "sx2y")}
+    det = (d["n"] * (d["sx11"] * d["sx22"] - d["sx12"] * d["sx12"])
+           - d["sx1"] * (d["sx1"] * d["sx22"] - d["sx12"] * d["sx2"])
+           + d["sx2"] * (d["sx1"] * d["sx12"] - d["sx11"] * d["sx2"]))
+    det0 = (d["sy"] * (d["sx11"] * d["sx22"] - d["sx12"] * d["sx12"])
+            - d["sx1"] * (d["sx1y"] * d["sx22"] - d["sx12"] * d["sx2y"])
+            + d["sx2"] * (d["sx1y"] * d["sx12"] - d["sx11"] * d["sx2y"]))
+    det1 = (d["n"] * (d["sx1y"] * d["sx22"] - d["sx12"] * d["sx2y"])
+            - d["sy"] * (d["sx1"] * d["sx22"] - d["sx12"] * d["sx2"])
+            + d["sx2"] * (d["sx1"] * d["sx2y"] - d["sx1y"] * d["sx2"]))
+    det2 = (d["n"] * (d["sx11"] * d["sx2y"] - d["sx1y"] * d["sx12"])
+            - d["sx1"] * (d["sx1"] * d["sx2y"] - d["sx1y"] * d["sx2"])
+            + d["sy"] * (d["sx1"] * d["sx12"] - d["sx11"] * d["sx2"]))
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(det0 / det, 6).alias("beta0"),
+        F.round(det1 / det, 6).alias("beta1"),
+        F.round(det2 / det, 6).alias("beta2"))
+
+
+_PRICE_MODEL_ORACLE = """
+WITH per AS (
+  SELECT l_orderkey,
+         CAST(COUNT(*) AS BIGINT) AS x1,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS x2
+  FROM lineitem GROUP BY 1),
+o AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+         x1, x2
+  FROM orders JOIN per ON o_orderkey = l_orderkey),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x1) AS DOUBLE) AS sx1, CAST(SUM(x2) AS DOUBLE) AS sx2,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x1 * x1) AS DOUBLE) AS sx11,
+         CAST(SUM(x2 * x2) AS DOUBLE) AS sx22,
+         CAST(SUM(x1 * x2) AS DOUBLE) AS sx12,
+         CAST(SUM(x1 * y) AS DOUBLE) AS sx1y,
+         CAST(SUM(x2 * y) AS DOUBLE) AS sx2y
+  FROM o)
+SELECT CAST(n AS BIGINT) AS n,
+       round((sy * (sx11 * sx22 - sx12 * sx12)
+              - sx1 * (sx1y * sx22 - sx12 * sx2y)
+              + sx2 * (sx1y * sx12 - sx11 * sx2y))
+             / (n * (sx11 * sx22 - sx12 * sx12)
+                - sx1 * (sx1 * sx22 - sx12 * sx2)
+                + sx2 * (sx1 * sx12 - sx11 * sx2)), 6) AS beta0,
+       round((n * (sx1y * sx22 - sx12 * sx2y)
+              - sy * (sx1 * sx22 - sx12 * sx2)
+              + sx2 * (sx1 * sx2y - sx1y * sx2))
+             / (n * (sx11 * sx22 - sx12 * sx12)
+                - sx1 * (sx1 * sx22 - sx12 * sx2)
+                + sx2 * (sx1 * sx12 - sx11 * sx2)), 6) AS beta1,
+       round((n * (sx11 * sx2y - sx1y * sx12)
+              - sx1 * (sx1 * sx2y - sx1y * sx2)
+              + sy * (sx1 * sx12 - sx11 * sx2))
+             / (n * (sx11 * sx22 - sx12 * sx12)
+                - sx1 * (sx1 * sx22 - sx12 * sx2)
+                + sx2 * (sx1 * sx12 - sx11 * sx2)), 6) AS beta2
+FROM s
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -16499,6 +16774,9 @@ ORACLES["split_leakage_check"] = _split_leakage_oracle_sql()
 ORACLES["shingle_df_histogram"] = _SHINGLE_DF_ORACLE
 ORACLES["ahash_near_dup"] = _AHASH_NEAR_DUP_ORACLE
 ORACLES["qq_year_compare"] = _QQ_ORACLE
+ORACLES["substring_spans"] = _SUBSTRING_SPANS_ORACLE
+ORACLES["dbscan_embeddings"] = _DBSCAN_ORACLE
+ORACLES["price_model"] = _PRICE_MODEL_ORACLE
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
 # functions of immutable inputs (parquet fixtures + the memoized graph
@@ -16918,6 +17196,9 @@ QUERIES = {
     "shingle_df_histogram": q_shingle_df_histogram,
     "ahash_near_dup": q_ahash_near_dup,
     "qq_year_compare": q_qq_year_compare,
+    "substring_spans": q_substring_spans,
+    "dbscan_embeddings": q_dbscan_embeddings,
+    "price_model": q_price_model,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
