@@ -17,7 +17,15 @@ def docs(spark):
 
 
 def plan_of(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    """The plan that actually runs.  After an AdaptiveSparkPlan has
+    executed (the catalog's plan cache means an oracle test may run the
+    same DataFrame first), toString() prints BOTH the final and the
+    initial plan — keep only the final section so operator counts don't
+    double and assertions stay order-independent across the suite."""
+    p = df._jdf.queryExecution().executedPlan().toString()
+    if "== Final Plan ==" in p and "== Initial Plan ==" in p:
+        p = p.split("== Initial Plan ==")[0]
+    return p
 
 
 def test_stratified_sample_is_narrow(docs):
