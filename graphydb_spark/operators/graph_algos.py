@@ -1505,3 +1505,56 @@ def maximal_matching(edges_df: DataFrame, rounds: int = 6,
             "matching is valid but may not be maximal.",
             RuntimeWarning, stacklevel=2)
     return matched.select("u", "v")
+
+
+def boruvka_msf(edges_df: DataFrame, max_rounds: int = 12) -> DataFrame:
+    """Minimum spanning forest by Borůvka's algorithm — THE textbook
+    MST formulation for bulk-synchronous engines (every round is two
+    joins + one windowed argmin, components at least halve, so
+    O(log n) rounds regardless of cluster size; Kruskal/Prim are
+    sequential union-find/heap scans and do not distribute).
+
+    ``edges_df``: (src, dst, w) undirected, canonicalized src < dst,
+    with EXACT integer weights.  Edge selection uses the total order
+    (w, src, dst), so the forest is unique and engine-replayable even
+    with duplicate weights.  Returns (src, dst, w) forest edges.
+
+    Each round: label endpoints with their current component, keep
+    cross-component edges, pick each component's minimum outgoing edge
+    (row_number over the symmetrized frame), add to the forest, then
+    relabel via connected_components over the forest so far.  The edge
+    list is checkpointed once; per round only the node-sized label
+    frame shuffles plus the (shrinking) cross-edge frame.
+    """
+    from pyspark.sql.window import Window
+
+    edges = (edges_df.select("src", "dst", F.col("w").cast("long")
+                             .alias("w"))
+             .distinct().localCheckpoint(eager=True))
+    nodes = (edges.select(F.col("src").alias("uid"))
+             .unionByName(edges.select(F.col("dst").alias("uid")))
+             .distinct().localCheckpoint(eager=True))
+    forest = edges.limit(0).localCheckpoint(eager=True)
+    comp = nodes.select("uid", F.col("uid").alias("component"))
+    for _ in range(max_rounds):
+        ec = (edges
+              .join(comp.select(F.col("uid").alias("src"),
+                                F.col("component").alias("ca")), "src")
+              .join(comp.select(F.col("uid").alias("dst"),
+                                F.col("component").alias("cb")), "dst")
+              .where(F.col("ca") != F.col("cb")))
+        if ec.limit(1).count() == 0:
+            break
+        sym = (ec.select(F.col("ca").alias("c"), "w", "src", "dst")
+               .unionByName(ec.select(F.col("cb").alias("c"), "w",
+                                      "src", "dst")))
+        win = Window.partitionBy("c").orderBy("w", "src", "dst")
+        sel = (sym.withColumn("rn", F.row_number().over(win))
+               .where(F.col("rn") == 1)
+               .select("src", "dst", "w").distinct())
+        forest = (forest.unionByName(sel).distinct()
+                  .localCheckpoint(eager=True))
+        comp = connected_components(
+            nodes, forest.select(F.col("src").alias("startuid"),
+                                 F.col("dst").alias("enduid")))
+    return forest

@@ -14961,6 +14961,103 @@ FROM s
 """
 
 
+def q_mst_trade(spark, sf_dir):
+    """Minimum spanning forest of the inter-nation trade graph
+    (Borůvka, operators/graph_algos.boruvka_msf): nodes are nations,
+    edge weight is the exact undirected revenue-cents flow between the
+    pair — the cheapest backbone connecting every trading nation.
+    Selection is totally ordered by (w, src, dst), so the forest is
+    unique; the DuckDB oracle replays the identical unrolled rounds
+    (six — components at least halve per round, 25 nations need five)
+    with a recursive-CTE relabel after each.  Borůvka is the MST
+    formulation that distributes: O(log n) bulk rounds of
+    join + windowed argmin, no union-find on the driver."""
+    t = load_tables(spark, sf_dir)
+    flows = (t["lineitem"]
+             .join(t["orders"].select("o_orderkey", "o_custkey"),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+             .join(F.broadcast(t["customer"]
+                               .select("c_custkey", "c_nationkey")),
+                   F.col("o_custkey") == F.col("c_custkey"))
+             .join(F.broadcast(t["supplier"]
+                               .select("s_suppkey",
+                                       F.col("s_nationkey")
+                                       .alias("supp_nk"))),
+                   F.col("l_suppkey") == F.col("s_suppkey"))
+             .join(F.broadcast(t["nation"].select(
+                 F.col("n_nationkey").alias("supp_nk"),
+                 F.col("n_name").alias("sn"))), "supp_nk")
+             .join(F.broadcast(t["nation"].select(
+                 F.col("n_nationkey").alias("c_nationkey"),
+                 F.col("n_name").alias("cn"))), "c_nationkey")
+             .where(F.col("sn") != F.col("cn"))
+             .groupBy(F.least("sn", "cn").alias("src"),
+                      F.greatest("sn", "cn").alias("dst"))
+             .agg(F.sum((F.col("l_extendedprice").cast("decimal(18,2)")
+                         * 100).cast("long")).cast("long").alias("w")))
+    forest = graph_algos.boruvka_msf(flows, max_rounds=8)
+    return forest.select("src", "dst", F.col("w").alias("w_cents"))
+
+
+def _mst_oracle_sql(rounds: int = 6) -> str:
+    """Unrolled-Borůvka DuckDB replay of q_mst_trade: per round, a
+    recursive-CTE relabel over the forest so far, then the same
+    (w, src, dst)-ordered argmin per component."""
+    # every multi-referenced CTE is MATERIALIZED: without it DuckDB
+    # inlines the chain and forest{r} expands to ~9 copies of
+    # forest{r-1} — 9^rounds parquet scans (observed as fd exhaustion)
+    parts = ["""
+WITH RECURSIVE
+flows AS MATERIALIZED (
+  SELECT least(ns.n_name, nc.n_name) AS src,
+         greatest(ns.n_name, nc.n_name) AS dst,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE ns.n_name <> nc.n_name
+  GROUP BY 1, 2),
+nodes AS MATERIALIZED (
+  SELECT src AS uid FROM flows UNION SELECT dst FROM flows),
+forest0(src, dst, w) AS MATERIALIZED (
+  SELECT src, dst, w FROM flows WHERE 1 = 0)"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f""",
+fsym{p} AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM forest{p}
+  UNION ALL SELECT dst, src FROM forest{p}),
+reach{r}(s, d) AS (
+  SELECT uid, uid FROM nodes
+  UNION
+  SELECT t.s, f.b FROM reach{r} t JOIN fsym{p} f ON f.a = t.d),
+comp{r} AS MATERIALIZED (
+  SELECT s AS uid, MIN(d) AS c FROM reach{r} GROUP BY 1),
+er{r} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w, ka.c AS ca, kb.c AS cb
+  FROM flows e JOIN comp{r} ka ON e.src = ka.uid
+               JOIN comp{r} kb ON e.dst = kb.uid
+  WHERE ka.c <> kb.c),
+sym{r} AS (SELECT ca AS c, w, src, dst FROM er{r}
+           UNION ALL SELECT cb, w, src, dst FROM er{r}),
+sel{r} AS (
+  SELECT DISTINCT src, dst, w FROM (
+    SELECT src, dst, w,
+           ROW_NUMBER() OVER (PARTITION BY c
+                              ORDER BY w, src, dst) AS rn
+    FROM sym{r}) WHERE rn = 1),
+forest{r}(src, dst, w) AS MATERIALIZED (
+  SELECT src, dst, w FROM forest{p}
+  UNION SELECT src, dst, w FROM sel{r})""")
+    parts.append(f"""
+SELECT src, dst, w AS w_cents FROM forest{rounds}""")
+    return "".join(parts)
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -16777,6 +16874,7 @@ ORACLES["qq_year_compare"] = _QQ_ORACLE
 ORACLES["substring_spans"] = _SUBSTRING_SPANS_ORACLE
 ORACLES["dbscan_embeddings"] = _DBSCAN_ORACLE
 ORACLES["price_model"] = _PRICE_MODEL_ORACLE
+ORACLES["mst_trade"] = _mst_oracle_sql()
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
 # functions of immutable inputs (parquet fixtures + the memoized graph
@@ -17199,6 +17297,7 @@ QUERIES = {
     "substring_spans": q_substring_spans,
     "dbscan_embeddings": q_dbscan_embeddings,
     "price_model": q_price_model,
+    "mst_trade": q_mst_trade,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
