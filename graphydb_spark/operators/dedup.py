@@ -633,3 +633,59 @@ def ssjoin_jaccard(df: DataFrame, threshold: float = 0.5,
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b",
                     F.round("jaccard", 6).alias("jaccard")))
+
+
+def shared_substring_spans(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 8,
+                           min_span: int = 12, min_docs: int = 2,
+                           max_occ: int = 16) -> DataFrame:
+    """Cross-document maximal shared token spans — the EXACT-substring
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), k-gram-chain formulation: a maximal run
+    of matching k-grams on a (doc_a, doc_b) diagonal is a maximal
+    shared substring; runs covering >= ``min_span`` tokens are emitted
+    as (id_a, id_b, start_a, start_b, span_len).
+
+    Scale shape: one shuffle on the gram hash; the df/occurrence guard
+    (>= ``min_docs`` distinct docs, <= ``max_occ`` total occurrences)
+    bounds per-gram pair fanout exactly like the LSH ``max_bucket``
+    guard, so boilerplate grams cannot go quadratic; the
+    gaps-and-islands merge (pos - row_number per diagonal) windows
+    over candidate pairs only — the corpus itself never pairs.
+    """
+    from pyspark.sql.window import Window
+
+    ws = tokens(F.col(text_col))
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("_ws") - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("_ws", i + j) for j in range(k)]))
+    gr = (df.select(F.col(id_col).alias("_id"), ws.alias("_ws"))
+          .where(F.size("_ws") >= k)
+          .select("_id", F.posexplode(gram).alias("p0", "g"))
+          .select("_id", (F.col("p0") + 1).cast("long").alias("pos"),
+                  "g"))
+    keep = (gr.groupBy("g")
+            .agg(F.count_distinct("_id").alias("ndoc"),
+                 F.count("*").alias("nocc"))
+            .where((F.col("ndoc") >= min_docs)
+                   & (F.col("nocc") <= max_occ))
+            .select("g"))
+    gk = gr.join(keep, "g").localCheckpoint(eager=True)
+    a = gk.select(F.col("_id").alias("id_a"), F.col("pos").alias("pa"),
+                  "g")
+    b = gk.select(F.col("_id").alias("id_b"), F.col("pos").alias("pb"),
+                  "g")
+    pairs = (a.join(b, "g")
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "pa", "pb"))
+    win = Window.partitionBy("id_a", "id_b",
+                             F.col("pa") - F.col("pb")).orderBy("pa")
+    isl = pairs.withColumn("isl", F.col("pa") - F.row_number().over(win))
+    return (isl.groupBy("id_a", "id_b",
+                        (F.col("pa") - F.col("pb")).alias("diag"), "isl")
+            .agg(F.min("pa").alias("start_a"),
+                 F.min("pb").alias("start_b"),
+                 (F.count("*") + (k - 1)).alias("span_len"))
+            .where(F.col("span_len") >= min_span)
+            .select("id_a", "id_b", "start_a", "start_b", "span_len"))

@@ -20,6 +20,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def checkpoint_reset_stats(df: DataFrame) -> DataFrame:
+    """localCheckpoint + DISCARD the origin plan's statistics.
+
+    ``Dataset.localCheckpoint`` truncates lineage but copies the source
+    plan's ``Statistics`` onto the new ``LogicalRDD``.  In an iterative
+    SELF-join (pointer jumping, transitive closure) the estimated
+    ``sizeInBytes`` therefore SQUARES every round — after ~20 rounds it
+    is a million-digit BigInteger and Catalyst's estimation math
+    (BigInt multiply, Karatsuba/Toom-Cook) dominates wall-clock: we
+    measured checkpoint cost ×2.5 per iteration on a 161-ROW frame,
+    161 s by round four, with the digit count doubling 4→8→…→3501 in
+    ten iterations.  Rebuilding the frame over the SAME checkpointed
+    InternalRow RDD via ``internalCreateDataFrame`` drops the origin
+    stats (estimate falls back to the constant default), keeping every
+    iteration O(1) planning cost.  No data is recomputed or moved.
+
+    Use this instead of bare ``localCheckpoint`` in any loop whose
+    body joins a frame with a derivative of itself.  (Loops that join
+    against a CONSTANT frame only grow the estimate linearly per round
+    — bare checkpoints are fine there.)
+    """
+    d = df.localCheckpoint(eager=True)
+    spark = d.sparkSession
+    jdf = d._jdf
+    new_jdf = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False)
+    return DataFrame(new_jdf, spark)
+
+
 def degrees(edges_df: DataFrame, direction: str = "both",
             uid_prefix: str | None = None,
             node_kind: str | None = None,
@@ -1522,9 +1551,16 @@ def boruvka_msf(edges_df: DataFrame, max_rounds: int = 12) -> DataFrame:
     Each round: label endpoints with their current component, keep
     cross-component edges, pick each component's minimum outgoing edge
     (row_number over the symmetrized frame), add to the forest, then
-    relabel via connected_components over the forest so far.  The edge
-    list is checkpointed once; per round only the node-sized label
-    frame shuffles plus the (shrinking) cross-edge frame.
+    contract via pointer jumping: every component hooks across its
+    picked edge (parent = partner), the unique 2-cycles (the merged
+    group's globally-min edge is picked by BOTH endpoints under a
+    total order) are broken to the smaller id, and parent pointers
+    double until fixpoint — O(log n) jumps on the component-sized
+    frame, never a diameter-bound label propagation.  Component
+    labels only NAME the sets (min-edge selection groups by set), so
+    any relabeling that preserves the partition yields the same
+    forest — which is what lets a SQL oracle replay the rounds with a
+    reachability-closure relabel instead.
     """
     from pyspark.sql.window import Window
 
@@ -1543,18 +1579,58 @@ def boruvka_msf(edges_df: DataFrame, max_rounds: int = 12) -> DataFrame:
               .join(comp.select(F.col("uid").alias("dst"),
                                 F.col("component").alias("cb")), "dst")
               .where(F.col("ca") != F.col("cb")))
+        ec = checkpoint_reset_stats(ec)
         if ec.limit(1).count() == 0:
             break
-        sym = (ec.select(F.col("ca").alias("c"), "w", "src", "dst")
-               .unionByName(ec.select(F.col("cb").alias("c"), "w",
+        sym = (ec.select(F.col("ca").alias("c"), F.col("cb").alias("o"),
+                         "w", "src", "dst")
+               .unionByName(ec.select(F.col("cb").alias("c"),
+                                      F.col("ca").alias("o"), "w",
                                       "src", "dst")))
-        win = Window.partitionBy("c").orderBy("w", "src", "dst")
-        sel = (sym.withColumn("rn", F.row_number().over(win))
-               .where(F.col("rn") == 1)
-               .select("src", "dst", "w").distinct())
-        forest = (forest.unionByName(sel).distinct()
-                  .localCheckpoint(eager=True))
-        comp = connected_components(
-            nodes, forest.select(F.col("src").alias("startuid"),
-                                 F.col("dst").alias("enduid")))
+        # argmin by lexicographic struct-min: map-side combinable, so a
+        # round where components have merged into a handful of giants
+        # never funnels their whole cross-edge set through one window
+        # partition (the (w, src, dst) prefix decides; o tags along)
+        picked = (sym.groupBy("c")
+                  .agg(F.min(F.struct("w", "src", "dst", "o"))
+                       .alias("m"))
+                  .select("c", F.col("m.w").alias("w"),
+                          F.col("m.src").alias("src"),
+                          F.col("m.dst").alias("dst"),
+                          F.col("m.o").alias("o")))
+        picked = checkpoint_reset_stats(picked)
+        sel = picked.select("src", "dst", "w").distinct()
+        forest = checkpoint_reset_stats(
+            forest.unionByName(sel).distinct())
+        # hook across the picked edge; break the mutual-pick 2-cycles
+        # toward the smaller id, then pointer-double to the roots
+        hook = picked.select("c", F.col("o").alias("parent"))
+        back = hook.select(F.col("c").alias("o2"),
+                           F.col("parent").alias("pp"))
+        parent = (hook.join(back, F.col("parent") == F.col("o2"), "left")
+                  .select("c",
+                          F.when((F.col("pp") == F.col("c"))
+                                 & (F.col("c") < F.col("parent")),
+                                 F.col("c"))
+                          .otherwise(F.col("parent")).alias("parent")))
+        parent = checkpoint_reset_stats(parent)
+        while True:
+            gp = parent.select(F.col("c").alias("g_c"),
+                               F.col("parent").alias("g_p"))
+            jumped = (parent.join(gp, F.col("parent") == F.col("g_c"),
+                                  "left")
+                      .select("c", F.coalesce("g_p", "parent")
+                              .alias("parent")))
+            jumped = checkpoint_reset_stats(jumped)
+            moved = (jumped.alias("n").join(parent.alias("o"), "c")
+                     .where(F.col("n.parent") != F.col("o.parent"))
+                     .limit(1).count())
+            parent = jumped
+            if moved == 0:
+                break
+        comp = (comp.join(parent.withColumnRenamed("c", "component"),
+                          "component", "left")
+                .select("uid", F.coalesce("parent", "component")
+                        .alias("component")))
+        comp = checkpoint_reset_stats(comp)
     return forest

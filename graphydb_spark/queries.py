@@ -14698,43 +14698,8 @@ def q_substring_spans(spark, sf_dir):
     buckets, so boilerplate grams can never go quadratic.  The
     gaps-and-islands merge (pos - row_number on the diagonal) is a
     window over candidate pairs only — the corpus itself never pairs."""
-    K = 8
-    docs = _docs(spark, sf_dir)
-    ws = text.tokens(F.col("text"))
-    gram = F.transform(
-        F.sequence(F.lit(1), F.size("ws") - (K - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at("ws", i + j) for j in range(K)]))
-    gr = (docs.select("doc_id", ws.alias("ws"))
-          .where(F.size("ws") >= K)
-          .select("doc_id", F.posexplode(gram).alias("p0", "g"))
-          .select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"),
-                  "g"))
-    keep = (gr.groupBy("g")
-            .agg(F.count_distinct("doc_id").alias("ndoc"),
-                 F.count("*").alias("nocc"))
-            .where((F.col("ndoc") >= 2) & (F.col("nocc") <= 16))
-            .select("g"))
-    gk = gr.join(keep, "g").localCheckpoint(eager=True)
-    a = gk.select(F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"),
-                  "g")
-    b = gk.select(F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"),
-                  "g")
-    pairs = (a.join(b, "g")
-             .where(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "pa", "pb"))
-    from pyspark.sql.window import Window
-    w = Window.partitionBy("id_a", "id_b", F.col("pa") - F.col("pb")) \
-              .orderBy("pa")
-    isl = pairs.withColumn(
-        "isl", F.col("pa") - F.row_number().over(w))
-    return (isl.groupBy("id_a", "id_b",
-                        (F.col("pa") - F.col("pb")).alias("diag"), "isl")
-            .agg(F.min("pa").alias("start_a"),
-                 F.min("pb").alias("start_b"),
-                 (F.count("*") + (K - 1)).alias("span_len"))
-            .where(F.col("span_len") >= 12)
-            .select("id_a", "id_b", "start_a", "start_b", "span_len"))
+    return dedup.shared_substring_spans(
+        _docs(spark, sf_dir), k=8, min_span=12, min_docs=2, max_occ=16)
 
 
 _SUBSTRING_SPANS_ORACLE = """

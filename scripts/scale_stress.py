@@ -545,6 +545,49 @@ def round5_entries(spark, n_edges=2_000_000, n_rows=20_000_000,
           per.groupBy("channel").agg(F.sum("w_ch").alias("w")))
 
 
+def round6_entries(spark, n_docs=200_000, n_edges=2_000_000):
+    """Stress this session's additions (run standalone:
+    ``SCALE_STRESS_ONLY=round6 python scripts/scale_stress.py``).
+
+    - shared_substring_spans: one gram-hash shuffle; the df/occ guard
+      bounds pair fanout, so planted boilerplate cannot go quadratic.
+    - boruvka_msf: O(log n) rounds; per round two keyed joins + a
+      windowed argmin on the (shrinking) cross-edge frame, then
+      pointer-jump contraction on the component-sized frame.
+    """
+    from graphydb_spark.operators.dedup import shared_substring_spans
+    from graphydb_spark.operators.graph_algos import boruvka_msf
+
+    # 200k docs x ~48 tokens; every 20th doc pair shares a planted
+    # 24-token run (ids 2k and 2k+1 agree on tokens 12..35)
+    tok = []
+    for i in range(48):
+        shared = (F.col("id") - (F.col("id") % 2))
+        base = F.when((F.lit(12 <= i <= 35)) & (F.col("id") % 20 < 2),
+                      F.xxhash64(shared + 777, F.lit(i)))                 .otherwise(F.xxhash64(F.col("id"), F.lit(i)))
+        tok.append(F.concat(F.lit("w"),
+                            (base % 50000).cast("string")))
+    docs = (spark.range(n_docs).repartition(64)
+            .select(F.col("id").alias("doc_id"),
+                    F.concat_ws(" ", *tok).alias("text"))
+            .localCheckpoint(eager=True))
+    timed(f"substring_spans[{n_docs:,} docs, 24-tok planted runs]",
+          shared_substring_spans(docs, k=8, min_span=12))
+
+    # 100k-node random weighted graph, canonical src<dst, distinct w order
+    e = (spark.range(n_edges).repartition(64)
+         .select((F.xxhash64("id") % 100000).alias("u"),
+                 (F.xxhash64("id", F.lit(11)) % 100000).alias("v"),
+                 F.xxhash64("id", F.lit(23)).alias("w"))
+         .where(F.col("u") != F.col("v"))
+         .select(F.concat(F.lit("N"), F.least("u", "v")).alias("src"),
+                 F.concat(F.lit("N"), F.greatest("u", "v")).alias("dst"),
+                 "w")
+         .localCheckpoint(eager=True))
+    timed(f"boruvka_msf[{n_edges:,} edges, 100k nodes]",
+          boruvka_msf(e, max_rounds=24))
+
+
 if __name__ == "__main__":
     if os.environ.get("SCALE_STRESS_ONLY") == "round4":
         _s = get_spark(app="scale_stress")
@@ -556,6 +599,11 @@ if __name__ == "__main__":
         _s.sparkContext.setLogLevel("ERROR")
         _s.conf.set("spark.sql.shuffle.partitions", "64")
         round5_entries(_s)
+    elif os.environ.get("SCALE_STRESS_ONLY") == "round6":
+        _s = get_spark(app="scale_stress")
+        _s.sparkContext.setLogLevel("ERROR")
+        _s.conf.set("spark.sql.shuffle.partitions", "64")
+        round6_entries(_s)
     elif os.environ.get("SCALE_STRESS_ONLY") == "analytics":
         _s = get_spark(app="scale_stress")
         _s.sparkContext.setLogLevel("ERROR")
