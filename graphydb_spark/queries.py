@@ -14937,46 +14937,28 @@ def q_mst_trade(spark, sf_dir):
     with a recursive-CTE relabel after each.  Borůvka is the MST
     formulation that distributes: O(log n) bulk rounds of
     join + windowed argmin, no union-find on the driver."""
-    t = load_tables(spark, sf_dir)
-    flows = (t["lineitem"]
-             .join(t["orders"].select("o_orderkey", "o_custkey"),
-                   F.col("l_orderkey") == F.col("o_orderkey"))
-             .join(F.broadcast(t["customer"]
-                               .select("c_custkey", "c_nationkey")),
-                   F.col("o_custkey") == F.col("c_custkey"))
-             .join(F.broadcast(t["supplier"]
-                               .select("s_suppkey",
-                                       F.col("s_nationkey")
-                                       .alias("supp_nk"))),
-                   F.col("l_suppkey") == F.col("s_suppkey"))
-             .join(F.broadcast(t["nation"].select(
-                 F.col("n_nationkey").alias("supp_nk"),
-                 F.col("n_name").alias("sn"))), "supp_nk")
-             .join(F.broadcast(t["nation"].select(
-                 F.col("n_nationkey").alias("c_nationkey"),
-                 F.col("n_name").alias("cn"))), "c_nationkey")
-             .where(F.col("sn") != F.col("cn"))
-             .groupBy(F.least("sn", "cn").alias("src"),
-                      F.greatest("sn", "cn").alias("dst"))
-             .agg(F.sum((F.col("l_extendedprice").cast("decimal(18,2)")
-                         * 100).cast("long")).cast("long").alias("w")))
-    forest = graph_algos.boruvka_msf(flows, max_rounds=8)
+    forest = graph_algos.boruvka_msf(
+        _nation_flows(spark, sf_dir), max_rounds=8)
     return forest.select("src", "dst", F.col("w").alias("w_cents"))
 
 
-def _mst_oracle_sql(rounds: int = 6) -> str:
+def _mst_oracle_sql(rounds: int = 6, negate: bool = False,
+                    tail: str | None = None) -> str:
     """Unrolled-Borůvka DuckDB replay of q_mst_trade: per round, a
     recursive-CTE relabel over the forest so far, then the same
-    (w, src, dst)-ordered argmin per component."""
+    (w, src, dst)-ordered argmin per component.  ``negate`` flips the
+    weight sign (maximum-similarity spanning tree); ``tail`` overrides
+    the final SELECT (it sees flows/nodes/forest{rounds})."""
     # every multi-referenced CTE is MATERIALIZED: without it DuckDB
     # inlines the chain and forest{r} expands to ~9 copies of
     # forest{r-1} — 9^rounds parquet scans (observed as fd exhaustion)
-    parts = ["""
+    sign = "-" if negate else ""
+    parts = [f"""
 WITH RECURSIVE
 flows AS MATERIALIZED (
   SELECT least(ns.n_name, nc.n_name) AS src,
          greatest(ns.n_name, nc.n_name) AS dst,
-         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         {sign}CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
                        AS BIGINT)) AS BIGINT) AS w
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
@@ -15018,9 +15000,146 @@ sel{r} AS (
 forest{r}(src, dst, w) AS MATERIALIZED (
   SELECT src, dst, w FROM forest{p}
   UNION SELECT src, dst, w FROM sel{r})""")
-    parts.append(f"""
+    parts.append(tail if tail is not None else f"""
 SELECT src, dst, w AS w_cents FROM forest{rounds}""")
     return "".join(parts)
+
+
+def _nation_flows(spark, sf_dir, negate=False):
+    """Undirected inter-nation trade edges (src < dst by name, exact
+    revenue cents; ``negate`` for maximum-similarity spanning trees)."""
+    t = load_tables(spark, sf_dir)
+    rev = F.sum((F.col("l_extendedprice").cast("decimal(18,2)")
+                 * 100).cast("long")).cast("long")
+    return (t["lineitem"]
+            .join(t["orders"].select("o_orderkey", "o_custkey"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(t["customer"]
+                              .select("c_custkey", "c_nationkey")),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(t["supplier"]
+                              .select("s_suppkey",
+                                      F.col("s_nationkey")
+                                      .alias("supp_nk"))),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(t["nation"].select(
+                F.col("n_nationkey").alias("supp_nk"),
+                F.col("n_name").alias("sn"))), "supp_nk")
+            .join(F.broadcast(t["nation"].select(
+                F.col("n_nationkey").alias("c_nationkey"),
+                F.col("n_name").alias("cn"))), "c_nationkey")
+            .where(F.col("sn") != F.col("cn"))
+            .groupBy(F.least("sn", "cn").alias("src"),
+                     F.greatest("sn", "cn").alias("dst"))
+            .agg((-rev if negate else rev).alias("w")))
+
+
+def q_single_linkage_nations(spark, sf_dir):
+    """Single-linkage clustering of nations by trade similarity — the
+    classic MST formulation: the maximum-similarity spanning tree
+    (Borůvka on negated revenue) IS the single-linkage dendrogram;
+    cutting its below-average links yields the clusters.  Cut rule is
+    scale-free (edge revenue >= the forest's own mean, exact integer
+    sum / count), so the same query is meaningful at every SF.  Labels
+    are min-name connected components over the kept backbone edges.
+    At 100 TB this is the standard route to single-linkage over
+    similarity graphs: MST via O(log n) Borůvka rounds, then one CC —
+    never the O(n^2) dendrogram."""
+    forest = graph_algos.boruvka_msf(
+        _nation_flows(spark, sf_dir, negate=True), max_rounds=8)
+    rev = (-F.col("w")).alias("rev")
+    mu = forest.agg((F.sum(-F.col("w")).cast("double")
+                     / F.count("*")).alias("mu"))
+    kept = (forest.crossJoin(F.broadcast(mu))
+            .where((-F.col("w")).cast("double") >= F.col("mu"))
+            .select(F.col("src").alias("startuid"),
+                    F.col("dst").alias("enduid")))
+    nodes = (forest.select(F.col("src").alias("uid"))
+             .unionByName(forest.select(F.col("dst").alias("uid")))
+             .distinct())
+    cc = graph_algos.connected_components(nodes, kept)
+    return cc.select(F.col("uid").alias("nation"),
+                     F.col("component").alias("cluster"))
+
+
+_SINGLE_LINKAGE_TAIL = """,
+kept AS MATERIALIZED (
+  SELECT src, dst FROM forest{r}, (
+    SELECT CAST(SUM(-w) AS DOUBLE) / COUNT(*) AS mu FROM forest{r})
+  WHERE CAST(-w AS DOUBLE) >= mu),
+ksym AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM kept
+  UNION ALL SELECT dst, src FROM kept),
+reachk(s, d) AS (
+  SELECT uid, uid FROM nodes
+  UNION
+  SELECT t.s, f.b FROM reachk t JOIN ksym f ON f.a = t.d)
+SELECT s AS nation, MIN(d) AS cluster FROM reachk GROUP BY 1"""
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility audit by language: BPE tokens per word and
+    characters per BPE token under the corpus-trained merge table —
+    the standard multilingual-tokenizer health metric (high fertility
+    = the tokenizer fragments that language, inflating its training
+    cost per byte).  Shares the trained merges with q:bpe_tokenize;
+    all sums are exact integers, the two ratios divide once at the
+    end (round 6)."""
+    from .operators.text import bpe_apply, bpe_train
+    docs = _docs(spark, sf_dir)
+    merges = [(r["lhs"], r["rhs"])
+              for r in bpe_train(docs, rounds=6).collect()]
+    bpe = bpe_apply(docs, merges)
+    ws = text.tokens(F.col("text"))
+    stats = (docs.select("doc_id", "lang", ws.alias("ws"))
+             .select("doc_id", "lang",
+                     F.size("ws").cast("long").alias("n_words"),
+                     F.aggregate(F.col("ws"), F.lit(0),
+                                 lambda a, v: a + F.length(v))
+                     .cast("long").alias("n_chars")))
+    return (stats.join(bpe, "doc_id")
+            .groupBy("lang")
+            .agg(F.sum("n_words").alias("words"),
+                 F.sum("n_chars").alias("chars"),
+                 F.sum("n_bpe_tokens").alias("bpe_tokens"))
+            .select("lang",
+                    F.col("words").cast("long").alias("words"),
+                    F.col("chars").cast("long").alias("chars"),
+                    F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+                    F.round(F.col("bpe_tokens") / F.col("words"), 6)
+                    .alias("fertility"),
+                    F.round(F.col("chars") / F.col("bpe_tokens"), 6)
+                    .alias("chars_per_token")))
+
+
+def _tokenizer_fertility_oracle_sql(rounds: int = 6) -> str:
+    """Shared BPE training CTEs + the per-language fertility rollup."""
+    mrg = ", ".join(f"(SELECT pair FROM b{r}) AS p{r}"
+                    for r in range(1, rounds + 1))
+    seq = "' ' || array_to_string(string_split(w, ''), ' ') || ' '"
+    for r in range(1, rounds + 1):
+        pat = f"' ' || p{r} || ' '"
+        rep = f"' ' || replace(p{r}, ' ', '') || ' '"
+        seq = f"replace(replace({seq}, {pat}, {rep}), {pat}, {rep})"
+    return "WITH " + _bpe_ctes(rounds) + f""",
+mrg AS (SELECT {mrg}),
+per AS (
+  SELECT doc_id, lang, list_filter(
+    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS ws
+  FROM documents),
+st AS (
+  SELECT lang,
+         CAST(SUM(len(ws)) AS BIGINT) AS words,
+         CAST(SUM(COALESCE(list_sum(list_transform(ws,
+              w -> len(w))), 0)) AS BIGINT) AS chars,
+         CAST(SUM(COALESCE(list_sum(list_transform(ws,
+              w -> len(string_split(trim({seq}), ' ')))), 0)) AS BIGINT)
+           AS bpe_tokens
+  FROM per, mrg GROUP BY 1)
+SELECT lang, words, chars, bpe_tokens,
+       round(bpe_tokens / words, 6) AS fertility,
+       round(chars / bpe_tokens, 6) AS chars_per_token
+FROM st"""
 
 
 ORACLES: dict[str, str | None] = {
@@ -16840,6 +16959,9 @@ ORACLES["substring_spans"] = _SUBSTRING_SPANS_ORACLE
 ORACLES["dbscan_embeddings"] = _DBSCAN_ORACLE
 ORACLES["price_model"] = _PRICE_MODEL_ORACLE
 ORACLES["mst_trade"] = _mst_oracle_sql()
+ORACLES["single_linkage_nations"] = _mst_oracle_sql(
+    negate=True, tail=_SINGLE_LINKAGE_TAIL.format(r=6))
+ORACLES["tokenizer_fertility"] = _tokenizer_fertility_oracle_sql()
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
 # functions of immutable inputs (parquet fixtures + the memoized graph
@@ -17263,6 +17385,8 @@ QUERIES = {
     "dbscan_embeddings": q_dbscan_embeddings,
     "price_model": q_price_model,
     "mst_trade": q_mst_trade,
+    "single_linkage_nations": q_single_linkage_nations,
+    "tokenizer_fertility": q_tokenizer_fertility,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
