@@ -15142,6 +15142,142 @@ SELECT lang, words, chars, bpe_tokens,
 FROM st"""
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Portable HyperLogLog, register math in the open (upgrades
+    q:approx_distinct_users' bracketing check to a FULL hash-match):
+    md5-derived 60-bit hashes split into a register index and a tail
+    whose leading-zero rank updates the register (max per bucket —
+    one map-side-combinable aggregate; the fixed register table is
+    the mergeable sketch a 100 TB rollup ships between executors;
+    m=16 here so the fixture's 15-1500 users sit in the raw
+    estimate's valid regime, 2^14 in production).  The raw estimate alpha*m^2 / sum(2^-reg) is
+    libm-free — powers of two are exact in binary floating point, so
+    the harmonic sum and the estimate replay bit-for-bit in any
+    engine (the small-range ln() correction is deliberately NOT
+    applied: cross-engine libm is the one thing that can't be made
+    exact — cf. the croston pow lesson).  Emits exact count alongside
+    for the audit."""
+    m = 16  # registers; production uses 2^14 — the fixture has only
+    # 15-1500 distinct users, and the RAW estimate (no ln() small-range
+    # correction — cross-engine libm is unfixable, cf. croston) is only
+    # meaningful for n >~ m
+    ev = _events(spark, sf_dir)
+    h = text.hash60(F.col("user_id").cast("string"))
+    bucket = (h % m)
+    # shiftright, NOT h/m: double division mangles a 60-bit long
+    # beyond 2^53 (the DuckDB twin's // is exact integer division)
+    tail = F.shiftright(h, 4)
+    blen = F.when(F.col("tail") == 0, F.lit(0)) \
+        .otherwise(F.length(F.expr("bin(tail)")))
+    rho = (F.lit(56) - blen + 1)
+    regs = (ev.select(bucket.alias("b"), tail.alias("tail"))
+            .select("b", rho.alias("rho"))
+            .groupBy("b").agg(F.max("rho").alias("reg")))
+    alpha = 0.673  # Flajolet's m=16 constant
+    hsum = (F.sum(F.expr("power(2.0d, -CAST(reg AS DOUBLE))"))
+            + (m - F.count("*")))
+    sk = regs.agg(
+        F.count("*").alias("nonzero_regs"),
+        F.round(hsum, 9).alias("harmonic_sum"),
+        F.round(F.lit(alpha * m * m) / hsum, 6).alias("raw_estimate"))
+    exact = ev.agg(F.count_distinct("user_id").alias("n_exact"))
+    return sk.crossJoin(F.broadcast(exact)).select(
+        F.lit(m).alias("m"), "nonzero_regs", "harmonic_sum",
+        "raw_estimate", "n_exact")
+
+
+_HLL_ORACLE = """
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM events),
+hb AS (
+  SELECT h % 16 AS b, h // 16 AS tail FROM h),
+regs AS (
+  SELECT b, MAX(56 - (CASE WHEN tail = 0 THEN 0
+                           ELSE length(bin(tail)) END) + 1) AS reg
+  FROM hb GROUP BY 1),
+sk AS (
+  SELECT COUNT(*) AS nonzero_regs,
+         SUM(power(2.0, -CAST(reg AS DOUBLE)))
+           + (16 - COUNT(*)) AS hsum
+  FROM regs)
+SELECT CAST(16 AS INT) AS m, nonzero_regs,
+       round(hsum, 9) AS harmonic_sum,
+       round(0.673 * 16 * 16 / hsum, 6) AS raw_estimate,
+       (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exact
+FROM sk
+"""
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch heavy hitters, depth 4 x width 256 with
+    md5-derived row hashes: per row j the key's bucket is 8 bits of
+    md5(j || key); the sketch is the (j, bucket) count table (one
+    map-side-combinable aggregate, fixed 1024 cells at any corpus
+    size); a key's estimate is the MIN over its four cells — always
+    >= the true count, equal for true heavy hitters.  Emits every
+    user whose CMS estimate >= 0.2% of total events with the exact
+    count beside it (estimate >= exact always; integer-exact both
+    engines)."""
+    d, wdt = 4, 256
+    ev = _events(spark, sf_dir)
+    key = F.col("user_id").cast("string")
+    cells = F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 (text.hash60(F.concat(F.lit(f"{j}:"), key)) % wdt)
+                 .alias("c"))
+        for j in range(d)])
+    sketch = (ev.select(F.explode(cells).alias("jc"))
+              .groupBy("jc.j", "jc.c")
+              .agg(F.count("*").alias("n"))
+              .localCheckpoint(eager=True))
+    total = ev.count()
+    thresh = max(1, int(total * 0.002))
+    keys = ev.groupBy("user_id").agg(F.count("*").alias("n_exact"))
+    kc = keys.select(
+        "user_id", "n_exact",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     (text.hash60(F.concat(
+                         F.lit(f"{j}:"),
+                         F.col("user_id").cast("string"))) % wdt)
+                     .alias("c"))
+            for j in range(d)])).alias("jc"))
+    est = (kc.join(sketch, (F.col("jc.j") == F.col("j"))
+                   & (F.col("jc.c") == F.col("c")))
+           .groupBy("user_id", "n_exact")
+           .agg(F.min("n").alias("cms_estimate"))
+           .where(F.col("cms_estimate") >= thresh))
+    return est.select("user_id", "cms_estimate", "n_exact")
+
+
+_CMS_ORACLE = """
+WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k, user_id FROM events),
+cells AS (
+  SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || k), 1, 15))
+              ::BIGINT % 256 AS c,
+         user_id
+  FROM ev, UNNEST(range(0, 4)) t(j)),
+sketch AS (SELECT j, c, COUNT(*) AS n FROM cells GROUP BY 1, 2),
+keys AS (SELECT user_id, COUNT(*) AS n_exact FROM ev GROUP BY 1),
+kc AS (
+  SELECT k2.user_id, k2.n_exact, t.j,
+         ('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':'
+                             || CAST(k2.user_id AS VARCHAR)), 1, 15))
+           ::BIGINT % 256 AS c
+  FROM keys k2, UNNEST(range(0, 4)) t(j)),
+est AS (
+  SELECT kc.user_id, kc.n_exact, MIN(s.n) AS cms_estimate
+  FROM kc JOIN sketch s ON kc.j = s.j AND kc.c = s.c
+  GROUP BY 1, 2)
+SELECT user_id, cms_estimate, n_exact
+FROM est
+WHERE cms_estimate >= GREATEST(1, CAST(
+  (SELECT COUNT(*) FROM events) * 0.002 AS BIGINT))
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -16962,6 +17098,8 @@ ORACLES["mst_trade"] = _mst_oracle_sql()
 ORACLES["single_linkage_nations"] = _mst_oracle_sql(
     negate=True, tail=_SINGLE_LINKAGE_TAIL.format(r=6))
 ORACLES["tokenizer_fertility"] = _tokenizer_fertility_oracle_sql()
+ORACLES["hll_distinct"] = _HLL_ORACLE
+ORACLES["cms_heavy_hitters"] = _CMS_ORACLE
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
 # functions of immutable inputs (parquet fixtures + the memoized graph
@@ -17387,6 +17525,8 @@ QUERIES = {
     "mst_trade": q_mst_trade,
     "single_linkage_nations": q_single_linkage_nations,
     "tokenizer_fertility": q_tokenizer_fertility,
+    "hll_distinct": q_hll_distinct,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
