@@ -15278,6 +15278,178 @@ WHERE cms_estimate >= GREATEST(1, CAST(
 """
 
 
+_MRE_ITERS = 16
+
+
+def q_markov_removal_effects(spark, sf_dir):
+    """Markov removal-effect attribution (Anderl et al.): per-user
+    journeys truncated at the first purchase become an absorbing
+    chain START -> channels -> {CONV, NULL}; a channel's credit is
+    how much the START->CONV absorption probability drops when every
+    transition through it is deleted (mass lost, NOT renormalized —
+    the standard removal semantics).  Absorption runs as 16 fixed
+    synchronous iterations re-rounded to the 9 dp DECIMAL grid
+    (q:markov_steady_state's ladder), i.e. 'converts within 16
+    steps' — defined, engine-exact semantics with no convergence
+    check to diverge on.  All five variants (base + 4 removals) ride
+    ONE variant-keyed transition frame, so each iteration is a single
+    tiny join + groupBy regardless of channel count."""
+    from pyspark.sql import Window as W
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("long").alias("t"),
+        "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    rn = ev.withColumn("rn", F.row_number().over(w))
+    firstp = (rn.where(F.col("event_type") == "purchase")
+              .groupBy("user_id").agg(F.min("rn").alias("fp")))
+    j = rn.join(firstp, "user_id", "left")
+    kept = j.where((F.col("fp").isNull()) | (F.col("rn") < F.col("fp")))
+    states = (kept.select("user_id", F.col("rn").cast("long").alias("pos"),
+                          F.col("event_type").alias("state"))
+              .unionByName(
+                  j.select("user_id").distinct()
+                  .select("user_id", F.lit(0).cast("long").alias("pos"),
+                          F.lit("START").alias("state")))
+              .unionByName(
+                  j.select("user_id", "fp").distinct()
+                  .select("user_id",
+                          F.lit(1 << 40).cast("long").alias("pos"),
+                          F.when(F.col("fp").isNotNull(), "CONV")
+                          .otherwise("NULL").alias("state"))))
+    w2 = W.partitionBy("user_id").orderBy("pos")
+    tr = (states.withColumn("d", F.lead("state").over(w2))
+          .where(F.col("d").isNotNull())
+          .groupBy(F.col("state").alias("s"), "d")
+          .agg(F.count("*").alias("c")))
+    tot = tr.groupBy("s").agg(F.sum("c").alias("n"))
+    p = (tr.join(tot, "s")
+         .select("s", "d", F.round(F.col("c") / F.col("n"), 9)
+                 .cast("decimal(18,9)").alias("p")))
+    channels = ["click", "error", "signup", "view"]
+    variants = (spark.createDataFrame(
+        [("base",)] + [(c,) for c in channels], "removed string"))
+    pv = (p.crossJoin(F.broadcast(variants))
+          .where((F.col("removed") == "base")
+                 | ((F.col("s") != F.col("removed"))
+                    & (F.col("d") != F.col("removed"))))
+          .localCheckpoint(eager=True))
+    direct = (pv.where(F.col("d") == "CONV")
+              .select("removed", "s", F.col("p").alias("dp")))
+    ptrans = pv.where(~F.col("d").isin("CONV", "NULL")) \
+        .localCheckpoint(eager=True)
+    sts = pv.select("removed", "s").distinct().localCheckpoint(eager=True)
+    v = sts.join(direct, ["removed", "s"], "left").select(
+        "removed", "s",
+        F.coalesce(F.col("dp"), F.lit(0).cast("decimal(18,9)"))
+        .alias("v"))
+    for _ in range(_MRE_ITERS - 1):
+        nb = (ptrans.join(v.select(F.col("removed"),
+                                   F.col("s").alias("d"),
+                                   F.col("v")), ["removed", "d"])
+              .groupBy("removed", "s")
+              .agg(F.sum(F.col("p") * F.col("v")).alias("acc")))
+        v = (sts.join(direct, ["removed", "s"], "left")
+             .join(nb, ["removed", "s"], "left")
+             .select("removed", "s",
+                     F.round(F.coalesce(F.col("dp").cast("double"),
+                                        F.lit(0.0))
+                             + F.coalesce(F.col("acc").cast("double"),
+                                          F.lit(0.0)), 9)
+                     .cast("decimal(18,9)").alias("v"))
+             .localCheckpoint(eager=True))
+    vstart = v.where(F.col("s") == "START").select(
+        "removed", F.col("v").cast("double").alias("p_conv"))
+    base = vstart.where(F.col("removed") == "base") \
+        .select(F.col("p_conv").alias("p_base"))
+    return (vstart.where(F.col("removed") != "base")
+            .crossJoin(F.broadcast(base))
+            .select(F.col("removed").alias("channel"),
+                    F.round("p_conv", 9).alias("p_conv_without"),
+                    F.round("p_base", 9).alias("p_conv_base"),
+                    F.round(1 - F.col("p_conv") / F.col("p_base"), 6)
+                    .alias("removal_effect")))
+
+
+def _markov_removal_oracle_sql(iters: int = _MRE_ITERS) -> str:
+    """Unrolled DuckDB replay of q_markov_removal_effects: same
+    variant-keyed transitions, same 9 dp re-rounding per round."""
+    head = """
+WITH
+rn AS MATERIALIZED (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                     event_id) AS rn
+  FROM events),
+firstp AS MATERIALIZED (
+  SELECT user_id, MIN(rn) AS fp FROM rn
+  WHERE event_type = 'purchase' GROUP BY 1),
+jx AS MATERIALIZED (
+  SELECT rn.user_id, rn.event_type, rn.rn, firstp.fp
+  FROM rn LEFT JOIN firstp USING (user_id)),
+states AS MATERIALIZED (
+  SELECT user_id, CAST(rn AS BIGINT) AS pos, event_type AS state
+  FROM jx WHERE fp IS NULL OR rn < fp
+  UNION ALL
+  SELECT DISTINCT user_id, 0, 'START' FROM jx
+  UNION ALL
+  SELECT user_id, CAST(1099511627776 AS BIGINT),
+         CASE WHEN fp IS NOT NULL THEN 'CONV' ELSE 'NULL' END
+  FROM (SELECT DISTINCT user_id, fp FROM jx)),
+tr AS MATERIALIZED (
+  SELECT s, d, COUNT(*) AS c FROM (
+    SELECT state AS s,
+           LEAD(state) OVER (PARTITION BY user_id ORDER BY pos) AS d
+    FROM states)
+  WHERE d IS NOT NULL GROUP BY 1, 2),
+p AS MATERIALIZED (
+  SELECT s, d, CAST(round(CAST(c AS DOUBLE) / n, 9) AS DECIMAL(18,9))
+           AS p
+  FROM tr JOIN (SELECT s, SUM(c) AS n FROM tr GROUP BY 1) USING (s)),
+variants(removed) AS (VALUES ('base'), ('click'), ('error'),
+                             ('signup'), ('view')),
+pv AS MATERIALIZED (
+  SELECT removed, s, d, p FROM p, variants
+  WHERE removed = 'base' OR (s <> removed AND d <> removed)),
+direct AS MATERIALIZED (
+  SELECT removed, s, p AS dp FROM pv WHERE d = 'CONV'),
+ptrans AS MATERIALIZED (
+  SELECT removed, s, d, p FROM pv WHERE d NOT IN ('CONV', 'NULL')),
+sts AS MATERIALIZED (SELECT DISTINCT removed, s FROM pv),
+v1 AS MATERIALIZED (
+  SELECT sts.removed, sts.s,
+         CAST(COALESCE(dp, 0) AS DECIMAL(18,9)) AS v
+  FROM sts LEFT JOIN direct
+    ON sts.removed = direct.removed AND sts.s = direct.s)"""
+    rounds = []
+    for k in range(2, iters + 1):
+        rounds.append(f""",
+v{k} AS MATERIALIZED (
+  SELECT sts.removed, sts.s,
+         CAST(round(COALESCE(CAST(dp AS DOUBLE), 0)
+                    + COALESCE(acc, 0), 9) AS DECIMAL(18,9)) AS v
+  FROM sts
+  LEFT JOIN direct
+    ON sts.removed = direct.removed AND sts.s = direct.s
+  LEFT JOIN (
+    SELECT pt.removed, pt.s, CAST(SUM(pt.p * pv2.v) AS DOUBLE) AS acc
+    FROM ptrans pt JOIN v{k-1} pv2
+      ON pt.removed = pv2.removed AND pt.d = pv2.s
+    GROUP BY 1, 2) nb
+    ON sts.removed = nb.removed AND sts.s = nb.s)""")
+    tail = f"""
+SELECT x.removed AS channel,
+       round(CAST(x.v AS DOUBLE), 9) AS p_conv_without,
+       round(CAST(b.v AS DOUBLE), 9) AS p_conv_base,
+       round(1 - CAST(x.v AS DOUBLE) / CAST(b.v AS DOUBLE), 6)
+         AS removal_effect
+FROM (SELECT removed, v FROM v{iters}
+      WHERE s = 'START' AND removed <> 'base') x,
+     (SELECT v FROM v{iters}
+      WHERE s = 'START' AND removed = 'base') b"""
+    return head + "".join(rounds) + tail
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -17100,6 +17272,7 @@ ORACLES["single_linkage_nations"] = _mst_oracle_sql(
 ORACLES["tokenizer_fertility"] = _tokenizer_fertility_oracle_sql()
 ORACLES["hll_distinct"] = _HLL_ORACLE
 ORACLES["cms_heavy_hitters"] = _CMS_ORACLE
+ORACLES["markov_removal_effects"] = _markov_removal_oracle_sql()
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
 # functions of immutable inputs (parquet fixtures + the memoized graph
@@ -17527,6 +17700,7 @@ QUERIES = {
     "tokenizer_fertility": q_tokenizer_fertility,
     "hll_distinct": q_hll_distinct,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "markov_removal_effects": q_markov_removal_effects,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
