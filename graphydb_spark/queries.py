@@ -15450,6 +15450,151 @@ FROM (SELECT removed, v FROM v{iters}
     return head + "".join(rounds) + tail
 
 
+def q_edit_distance_pairs(spark, sf_dir):
+    """Character-level edit-distance verification for LSH candidate
+    pairs — the precision stage after MinHash recall: exact
+    Levenshtein (integer DP, engine-portable) plus the normalized
+    similarity 1 - d/max_len.  Runs ONLY on the pruned candidate
+    list (the corpus never pairs); the DP is O(len_a * len_b) per
+    pair, which is why it must sit behind a candidate generator at
+    scale — exactly where fuzzy-dedup pipelines place it."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    cand = q_minhash_pairs(spark, sf_dir)
+    j = (cand
+         .join(docs.select(F.col("doc_id").alias("id_a"),
+                           F.col("text").alias("ta")), "id_a")
+         .join(docs.select(F.col("doc_id").alias("id_b"),
+                           F.col("text").alias("tb")), "id_b"))
+    d = F.levenshtein("ta", "tb")
+    mx = F.greatest(F.length("ta"), F.length("tb"))
+    return j.select(
+        "id_a", "id_b", d.cast("long").alias("edit_distance"),
+        F.round(1 - d / F.greatest(mx, F.lit(1)), 6).alias("similarity"))
+
+
+_EDIT_DISTANCE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, text, list_filter(
+    string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_min(list_transform(range(1, len(ws)-1),
+        i -> md5('0:' || ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+        AS mh
+  FROM toks WHERE len(ws) >= 3
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.mh = b.mh AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_distance,
+       round(1 - CAST(levenshtein(x.text, y.text) AS DOUBLE)
+               / GREATEST(GREATEST(length(x.text), length(y.text)), 1),
+             6) AS similarity
+FROM cand JOIN documents x ON x.doc_id = id_a
+          JOIN documents y ON y.doc_id = id_b
+"""
+
+
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """TF-IDF cosine similarity for LSH candidate pairs — the sparse
+    lexical twin of the embedding verify: vectors never materialize;
+    the dot product is a sum over SHARED terms only (join the two
+    per-doc term frames on the term), normalized by per-doc norms.
+    idf uses the libm-free (N/df) weight squared into exact rationals
+    before one final double division (ln-free, so the replay is
+    bit-exact).  Scale: term frames shuffle once on term; only
+    candidate pairs ever meet."""
+    docs = _docs(spark, sf_dir)
+    cand = q_minhash_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    toks = (docs.select("doc_id",
+                        F.explode(text.tokens(F.col("text")))
+                        .alias("term")))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.count()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # weight = tf * (N/df): exact rational scaled to integers —
+    # w_num = tf * N, w_den = df  (cosine is scale-invariant per doc,
+    # but N is shared so it cancels; keep tf/df exact rationals via
+    # tf * (N // gcd…) — simplest exact form: w = tf / df as the pair
+    # (tf, df), dot = sum tf_a*tf_b/(df^2), norms likewise; all sums
+    # of exact rationals with denominator df^2 — accumulate as DOUBLE
+    # of exact integer ratios (each term's contribution rounds once)
+    wt = (tf.join(dfreq, "term")
+          .select("doc_id", "term", "tf", "df")
+          .localCheckpoint(eager=True))
+    # per-term contributions quantize onto the 9 dp DECIMAL grid
+    # before summing (the textrank ladder): float-sum ORDER differs
+    # between engines, decimal sums of identical per-term values
+    # cannot
+    contrib = lambda t1, t2, d: F.round(  # noqa: E731
+        t1.cast("double") * t2 / (d.cast("double") * d), 9) \
+        .cast("decimal(18,9)")
+    norm = (wt.groupBy("doc_id")
+            .agg(F.sum(contrib(F.col("tf"), F.col("tf"), F.col("df")))
+                 .alias("nsq")))
+    a = wt.select(F.col("doc_id").alias("id_a"), "term",
+                  F.col("tf").alias("tfa"), F.col("df").alias("dfa"))
+    b = wt.select(F.col("doc_id").alias("id_b"), "term",
+                  F.col("tf").alias("tfb"))
+    dots = (cand.join(a, "id_a").join(b, ["id_b", "term"])
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(contrib(F.col("tfa"), F.col("tfb"),
+                               F.col("dfa"))).alias("dot")))
+    na = norm.select(F.col("doc_id").alias("id_a"),
+                     F.col("nsq").cast("double").alias("na"))
+    nb = norm.select(F.col("doc_id").alias("id_b"),
+                     F.col("nsq").cast("double").alias("nb"))
+    return (dots.join(na, "id_a").join(nb, "id_b")
+            .select("id_a", "id_b",
+                    F.round(F.col("dot").cast("double")
+                            / (F.sqrt("na") * F.sqrt("nb")), 6)
+                    .alias("tfidf_cosine")))
+
+
+_TFIDF_COSINE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_min(list_transform(range(1, len(ws)-1),
+        i -> md5('0:' || ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+        AS mh
+  FROM toks WHERE len(ws) >= 3
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.mh = b.mh AND a.doc_id < b.doc_id
+), tf AS (
+  SELECT doc_id, t.term, COUNT(*) AS tf
+  FROM toks, UNNEST(ws) AS t(term) GROUP BY 1, 2
+), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+wt AS (
+  SELECT doc_id, term, tf, df FROM tf JOIN dfreq USING (term)),
+nrm AS (
+  SELECT doc_id,
+         SUM(CAST(round(CAST(tf AS DOUBLE) * tf
+                        / (CAST(df AS DOUBLE) * df), 9)
+                  AS DECIMAL(18,9))) AS nsq
+  FROM wt GROUP BY 1),
+dots AS (
+  SELECT c.id_a, c.id_b,
+         SUM(CAST(round(CAST(a.tf AS DOUBLE) * b.tf
+                        / (CAST(a.df AS DOUBLE) * a.df), 9)
+                  AS DECIMAL(18,9))) AS dot
+  FROM cand c
+  JOIN wt a ON a.doc_id = c.id_a
+  JOIN wt b ON b.doc_id = c.id_b AND b.term = a.term
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(x.nsq AS DOUBLE))
+                * sqrt(CAST(y.nsq AS DOUBLE))), 6) AS tfidf_cosine
+FROM dots JOIN nrm x ON x.doc_id = id_a
+          JOIN nrm y ON y.doc_id = id_b
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -17273,6 +17418,8 @@ ORACLES["tokenizer_fertility"] = _tokenizer_fertility_oracle_sql()
 ORACLES["hll_distinct"] = _HLL_ORACLE
 ORACLES["cms_heavy_hitters"] = _CMS_ORACLE
 ORACLES["markov_removal_effects"] = _markov_removal_oracle_sql()
+ORACLES["edit_distance_pairs"] = _EDIT_DISTANCE_ORACLE
+ORACLES["tfidf_cosine_pairs"] = _TFIDF_COSINE_ORACLE
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
 # functions of immutable inputs (parquet fixtures + the memoized graph
@@ -17701,6 +17848,8 @@ QUERIES = {
     "hll_distinct": q_hll_distinct,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "markov_removal_effects": q_markov_removal_effects,
+    "edit_distance_pairs": q_edit_distance_pairs,
+    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
