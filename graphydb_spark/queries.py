@@ -3973,17 +3973,18 @@ def q_bpe_tokenize(spark, sf_dir):
     return bpe_apply(docs, merges)
 
 
-def _bpe_ctes(rounds: int = 6) -> str:
+def _bpe_ctes(rounds: int = 6, source: str = "documents") -> str:
     """Unrolled BPE rounds: per round a pair-count aggregate over the
     word-frequency dict, a 1-row argmax (ORDER BY cnt DESC, pair), and
     the double-replace merge rewrite (both engines scan left-to-right
     non-overlapping, so the rewrites agree byte-for-byte).  Shared by
-    the bpe_train and bpe_tokenize oracles."""
-    parts = ["""w0 AS MATERIALIZED (
+    the bpe_train / bpe_tokenize / fertility / pipeline-v3 oracles;
+    ``source`` names the (possibly CTE-defined) corpus to train on."""
+    parts = [f"""w0 AS MATERIALIZED (
   SELECT array_to_string(string_split(word, ''), ' ') AS seq, freq
   FROM (SELECT t.tok AS word, COUNT(*) AS freq
         FROM (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                                 x -> x != '') AS ws FROM documents),
+                                 x -> x != '') AS ws FROM {source}),
              UNNEST(ws) AS t(tok)
         GROUP BY 1))"""]
     for r in range(1, rounds + 1):
@@ -15595,6 +15596,157 @@ FROM dots JOIN nrm x ON x.doc_id = id_a
 """
 
 
+def q_corpus_pipeline_v3(spark, sf_dir):
+    """Capstone composition of THIS session's operators in one DAG:
+    (1) exact verbatim-overlap dedup — drop the higher doc of any
+    pair sharing a >= 20-token substring span (Lee et al. exact
+    substring, q:substring_spans); (2) near-dup dedup — MinHash
+    candidates verified by character edit similarity >= 0.6
+    (q:edit_distance_pairs), clustered by connected components, keep
+    the min id; (3) BPE-budget shard packing — merges trained on the
+    SURVIVORS (not the raw corpus), documents packed into
+    4000-BPE-token shards per language (q:tokenizer_fertility's
+    counts feeding q:pack_shards' cumsum layout).  Per-shard stats
+    out.  Every stage is an already-oracled operator; the whole
+    pipeline replays as one CTE chain."""
+    from .operators.pipeline import pack_shards
+    from .operators.text import bpe_apply, bpe_train
+    docs = _docs(spark, sf_dir)
+    spans = dedup.shared_substring_spans(docs, k=8, min_span=20)
+    drop1 = spans.select(F.col("id_b").alias("doc_id")).distinct()
+    s1 = docs.join(drop1, "doc_id", "left_anti") \
+        .localCheckpoint(eager=True)
+    sig = dedup.minhash_signature(s1, num_hashes=1)
+    a = sig.select(F.col("doc_id").alias("id_a"), "sig0")
+    b = sig.select(F.col("doc_id").alias("id_b"),
+                   F.col("sig0").alias("s2"))
+    cand = (a.join(b, (F.col("sig0") == F.col("s2"))
+                   & (F.col("id_a") < F.col("id_b")))
+            .select("id_a", "id_b"))
+    tx = s1.select("doc_id", "text")
+    ver = (cand
+           .join(tx.select(F.col("doc_id").alias("id_a"),
+                           F.col("text").alias("ta")), "id_a")
+           .join(tx.select(F.col("doc_id").alias("id_b"),
+                           F.col("text").alias("tb")), "id_b")
+           .where((1 - F.levenshtein("ta", "tb")
+                   / F.greatest(F.greatest(F.length("ta"),
+                                           F.length("tb")), F.lit(1)))
+                  >= 0.6)
+           .select("id_a", "id_b"))
+    clusters = dedup.dedup_clusters(ver)
+    drop2 = (clusters.where(F.col("doc_id") != F.col("cluster"))
+             .select("doc_id"))
+    s2f = s1.join(drop2, "doc_id", "left_anti") \
+        .localCheckpoint(eager=True)
+    merges = [(r["lhs"], r["rhs"])
+              for r in bpe_train(s2f, rounds=6).collect()]
+    bpe = bpe_apply(s2f, merges)
+    packed = pack_shards(
+        s2f.select("doc_id", "lang").join(bpe, "doc_id"),
+        "doc_id", "n_bpe_tokens", budget=4000, partition_col="lang")
+    return (packed.groupBy("lang", "shard_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_bpe_tokens").cast("long")
+                 .alias("shard_tokens")))
+
+
+def _pipeline_v3_oracle_sql(rounds: int = 6) -> str:
+    """One CTE chain replaying all three v3 stages; BPE trains on the
+    surviving corpus (s2 CTE) via the shared generator."""
+    mrg = ", ".join(f"(SELECT pair FROM b{r}) AS p{r}"
+                    for r in range(1, rounds + 1))
+    seq = "' ' || array_to_string(string_split(w, ''), ' ') || ' '"
+    for r in range(1, rounds + 1):
+        pat = f"' ' || p{r} || ' '"
+        rep = f"' ' || replace(p{r}, ' ', '') || ' '"
+        seq = f"replace(replace({seq}, {pat}, {rep}), {pat}, {rep})"
+    head = """
+WITH RECURSIVE
+toks0 AS MATERIALIZED (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS ws
+  FROM documents),
+gr AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS g
+  FROM toks0, UNNEST(range(1, len(ws) - 6)) t(i)
+  WHERE len(ws) >= 8),
+keep AS (
+  SELECT g FROM gr GROUP BY g
+  HAVING COUNT(DISTINCT doc_id) >= 2 AND COUNT(*) <= 16),
+gk AS MATERIALIZED (
+  SELECT gr.doc_id, gr.pos, gr.g FROM gr JOIN keep USING (g)),
+gpairs AS (
+  SELECT a.doc_id AS id_a, a.pos AS pa, b.doc_id AS id_b, b.pos AS pb
+  FROM gk a JOIN gk b ON a.g = b.g AND a.doc_id < b.doc_id),
+isl AS (
+  SELECT id_a, id_b, pa,
+         pa - ROW_NUMBER() OVER (
+           PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS isl,
+         pa - pb AS diag
+  FROM gpairs),
+spandrop AS MATERIALIZED (
+  SELECT DISTINCT id_b AS doc_id FROM isl
+  GROUP BY id_a, id_b, diag, isl HAVING COUNT(*) + 7 >= 20),
+s1 AS MATERIALIZED (
+  SELECT d.* FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM spandrop)),
+toks1 AS MATERIALIZED (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS ws
+  FROM s1),
+sh AS MATERIALIZED (
+  SELECT doc_id, list_min(list_transform(range(1, len(ws)-1),
+        i -> md5('0:' || ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+        AS mh
+  FROM toks1 WHERE len(ws) >= 3),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.mh = b.mh AND a.doc_id < b.doc_id),
+ver AS MATERIALIZED (
+  SELECT id_a, id_b
+  FROM cand JOIN s1 x ON x.doc_id = id_a
+            JOIN s1 y ON y.doc_id = id_b
+  WHERE 1 - CAST(levenshtein(x.text, y.text) AS DOUBLE)
+            / GREATEST(GREATEST(length(x.text), length(y.text)), 1)
+        >= 0.6),
+vsym AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM ver
+  UNION SELECT id_b, id_a FROM ver),
+vreach(a, b) AS (
+  SELECT a, b FROM vsym
+  UNION
+  SELECT r.a, s.b FROM vreach r JOIN vsym s ON s.a = r.b),
+vclust AS MATERIALIZED (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
+  FROM vreach GROUP BY 1),
+s2 AS MATERIALIZED (
+  SELECT s1.* FROM s1
+  WHERE s1.doc_id NOT IN (
+    SELECT doc_id FROM vclust WHERE doc_id <> cluster)),
+"""
+    tail = f""",
+mrg AS (SELECT {mrg}),
+bpec AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST(COALESCE(list_sum(list_transform(ws,
+           w -> len(string_split(trim({seq}), ' ')))), 0) AS BIGINT)
+           AS nb
+  FROM (SELECT doc_id, lang, list_filter(
+          string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')
+          AS ws FROM s2), mrg),
+pk AS (
+  SELECT lang, doc_id, nb,
+         SUM(nb) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM bpec)
+SELECT lang, CAST(floor((cum - nb) / 4000.0) AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs, CAST(SUM(nb) AS BIGINT) AS shard_tokens
+FROM pk GROUP BY 1, 2"""
+    return head + _bpe_ctes(rounds, source="s2") + tail
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -17420,6 +17572,7 @@ ORACLES["cms_heavy_hitters"] = _CMS_ORACLE
 ORACLES["markov_removal_effects"] = _markov_removal_oracle_sql()
 ORACLES["edit_distance_pairs"] = _EDIT_DISTANCE_ORACLE
 ORACLES["tfidf_cosine_pairs"] = _TFIDF_COSINE_ORACLE
+ORACLES["corpus_pipeline_v3"] = _pipeline_v3_oracle_sql()
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
 # functions of immutable inputs (parquet fixtures + the memoized graph
@@ -17850,6 +18003,7 @@ QUERIES = {
     "markov_removal_effects": q_markov_removal_effects,
     "edit_distance_pairs": q_edit_distance_pairs,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "corpus_pipeline_v3": q_corpus_pipeline_v3,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
