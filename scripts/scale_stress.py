@@ -584,8 +584,44 @@ def round6_entries(spark, n_docs=200_000, n_edges=2_000_000):
                  F.concat(F.lit("N"), F.greatest("u", "v")).alias("dst"),
                  "w")
          .localCheckpoint(eager=True))
-    timed(f"boruvka_msf[{n_edges:,} edges, 100k nodes]",
-          boruvka_msf(e, max_rounds=24))
+    # boruvka's work happens EAGERLY inside the builder (per-round
+    # checkpoints), so time the construction, not a post-hoc count
+    t0 = time.perf_counter()
+    forest = boruvka_msf(e, max_rounds=24)
+    nf = forest.count()
+    print(f"boruvka_msf[{n_edges:,} edges, 100k nodes]: "
+          f"{time.perf_counter() - t0:.2f}s  rows_out={nf}")
+
+    # portable HLL at 20M rows / 3M id space: one register-max agg
+    n_rows = 20_000_000
+    rows = (spark.range(n_rows)
+            .select((F.xxhash64("id") % 3000000).alias("user_id")))
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                           1, 15), 16, 10).cast("long")
+    hb = rows.select((h % 16).alias("b"), F.shiftright(h, 4).alias("tail"))
+    regs = (hb.select("b", (F.lit(56) - F.when(F.col("tail") == 0, 0)
+                            .otherwise(F.length(F.expr("bin(tail)")))
+                            + 1).alias("rho"))
+            .groupBy("b").agg(F.max("rho").alias("reg")))
+    timed(f"hll_registers[{n_rows:,} rows]",
+          regs.agg(F.sum(F.expr("power(2.0d, -CAST(reg AS DOUBLE))"))
+                   .alias("hsum")))
+
+    # markov transition table at 5M events: the window+lead is the
+    # only corpus-sized pass; the absorption rounds run on the tiny
+    # (variant, state) frames
+    from pyspark.sql.window import Window as W
+    n_ev = 5_000_000
+    ev = (spark.range(n_ev).repartition(64)
+          .select(F.col("id").alias("event_id"),
+                  (F.col("id") % 100000).alias("user_id"),
+                  (F.xxhash64("id") % 1000000).alias("t"),
+                  (F.xxhash64("id", F.lit(5)) % 5).alias("et")))
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    tr = (ev.withColumn("nxt", F.lead("et").over(w))
+          .where(F.col("nxt").isNotNull())
+          .groupBy("et", "nxt").agg(F.count("*").alias("c")))
+    timed(f"markov_transitions[{n_ev:,} events]", tr)
 
 
 if __name__ == "__main__":

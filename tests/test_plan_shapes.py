@@ -229,3 +229,65 @@ def test_butterfly_no_cartesian(spark):
     # the only nested-loop allowed is the 1-row scalar crossJoin of
     # the wedge/butterfly totals
     assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_substring_spans_no_window_on_corpus(spark):
+    """The span merge must window over candidate pairs only and the
+    gram df-guard must aggregate map-side: no Expand, no cartesian;
+    the final groupBy shares the window's partitioning (no extra
+    exchange between them)."""
+    from graphydb_spark.queries import QUERIES
+    df = QUERIES["substring_spans"](spark, "/root/testdata/sf0.001")
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+    assert "Expand" not in p
+
+
+def test_boruvka_argmin_is_aggregate_not_window(spark):
+    """Borůvka's per-component min-edge pick must be a struct-min
+    HashAggregate (map-side combinable), never a row_number Window —
+    a giant merged component would otherwise funnel its whole
+    cross-edge set through one window partition."""
+    from graphydb_spark.operators.graph_algos import boruvka_msf
+    e = (spark.range(500)
+         .select(F.concat(F.lit("a"), (F.col("id") % 37)).alias("src"),
+                 F.concat(F.lit("b"), (F.col("id") % 41)).alias("dst"),
+                 F.col("id").alias("w")))
+    forest = boruvka_msf(e, max_rounds=6)
+    # the returned forest frame is checkpointed; assert on the final
+    # count being a spanning forest (<= nodes-1 per component) and
+    # that the loop produced no Window in the surviving plan
+    p = plan_of(forest)
+    assert "Window" not in p
+    n_nodes = (e.select("src").union(e.select("dst"))
+               .distinct().count())
+    assert forest.count() <= n_nodes - 1
+
+
+def test_boruvka_stats_stay_bounded(spark):
+    """checkpoint_reset_stats must keep the Catalyst sizeInBytes
+    estimate at the constant default through the self-join rounds —
+    the estimate squaring per round is the failure mode that made a
+    161-row checkpoint take 161 s."""
+    from graphydb_spark.operators.graph_algos import (
+        boruvka_msf, checkpoint_reset_stats)
+    e = (spark.range(300)
+         .select(F.concat(F.lit("x"), (F.col("id") % 29)).alias("src"),
+                 F.concat(F.lit("y"), (F.col("id") % 31)).alias("dst"),
+                 F.col("id").alias("w")))
+    forest = boruvka_msf(e, max_rounds=6)
+    stat = forest._jdf.queryExecution().optimizedPlan().stats() \
+        .sizeInBytes()
+    # a LogicalRDD without origin stats reports the session default —
+    # any BigInteger wider than 64 bits means stats leaked through
+    assert len(str(stat)) <= 20, f"stats blew up: {str(stat)[:40]}..."
+
+
+def test_hll_and_cms_partial_agg(spark):
+    """Both sketches must build via map-side-combinable aggregates
+    (register max / cell counts), never a distinct Expand."""
+    from graphydb_spark.queries import QUERIES
+    for name in ("hll_distinct", "cms_heavy_hitters"):
+        p = plan_of(QUERIES[name](spark, "/root/testdata/sf0.001"))
+        assert "Expand" not in p, name
+        assert "CartesianProduct" not in p, name
