@@ -15747,6 +15747,195 @@ FROM pk GROUP BY 1, 2"""
     return head + _bpe_ctes(rounds, source="s2") + tail
 
 
+def q_rec_precision_at_k(spark, sf_dir):
+    """Leakage-safe offline evaluation of the item-CF recommender:
+    train the co-occurrence neighbors ONLY on pre-1997 baskets,
+    recommend top-3 per customer, score against what each customer
+    actually first bought in 1997+ (parts not owned before the
+    cutoff).  Emits the corpus-level precision@3 and hit-rate —
+    the recsys audit loop q:item_recommendations feeds.  Temporal
+    split = the grouped_split/ split_leakage_check discipline applied
+    to recommendations; identical caps and 9 dp DECIMAL scores keep
+    the replay exact."""
+    from pyspark.sql import Window as W
+    t = load_tables(spark, sf_dir)
+    ol = (t["orders"].select("o_orderkey", "o_custkey", "o_orderdate")
+          .join(t["lineitem"].select("l_orderkey", "l_partkey"),
+                F.col("o_orderkey") == F.col("l_orderkey")))
+    train = (ol.where(F.col("o_orderdate") < "1997-01-01")
+             .select(F.col("o_custkey").alias("c"),
+                     F.col("l_partkey").alias("p")).distinct()
+             .localCheckpoint(eager=True))
+    test = (ol.where(F.col("o_orderdate") >= "1997-01-01")
+            .select(F.col("o_custkey").alias("c"),
+                    F.col("l_partkey").alias("p")).distinct()
+            .join(train, ["c", "p"], "left_anti"))
+    sz = train.groupBy("c").agg(F.count("*").alias("nb"))
+    capped = train.join(sz.where(F.col("nb") <= 100).select("c"), "c")
+    pop = train.groupBy("p").agg(F.count("*").alias("pop"))
+    a, b = capped.alias("a"), capped.alias("b")
+    cooc = (a.join(b, (F.col("a.c") == F.col("b.c"))
+                   & (F.col("a.p") < F.col("b.p")))
+            .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+            .agg(F.count("*").alias("cooc"))
+            .where(F.col("cooc") >= 2))
+    jac = (cooc
+           .join(F.broadcast(pop.select(F.col("p").alias("pa"),
+                                        F.col("pop").alias("na"))), "pa")
+           .join(F.broadcast(pop.select(F.col("p").alias("pb"),
+                                        F.col("pop").alias("nb"))), "pb")
+           .select("pa", "pb",
+                   F.round(F.col("cooc")
+                           / (F.col("na") + F.col("nb") - F.col("cooc")),
+                           9).cast("decimal(18,9)").alias("jac")))
+    nbrs_all = (jac.select(F.col("pa").alias("p"),
+                           F.col("pb").alias("q"), "jac")
+                .unionByName(jac.select(F.col("pb").alias("p"),
+                                        F.col("pa").alias("q"), "jac")))
+    wn = W.partitionBy("p").orderBy(F.col("jac").desc(), F.col("q"))
+    nbrs = (nbrs_all.withColumn("_nr", F.row_number().over(wn))
+            .where(F.col("_nr") <= 20).drop("_nr"))
+    scored = (capped.join(nbrs, capped["p"] == nbrs["p"])
+              .groupBy("c", "q")
+              .agg(F.sum("jac").cast("decimal(28,9)").alias("s"))
+              .join(train.select("c", F.col("p").alias("q")),
+                    ["c", "q"], "left_anti"))
+    w = W.partitionBy("c").orderBy(F.col("s").desc(), F.col("q"))
+    recs = (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("c", "q"))
+    eligible = (recs.select("c").distinct()
+                .join(test.select("c").distinct(), "c"))
+    hits = (recs.join(test.select("c", F.col("p").alias("q")),
+                      ["c", "q"])
+            .groupBy("c").agg(F.count("*").alias("h")))
+    per_user = (eligible.join(hits, "c", "left")
+                .select("c", F.coalesce("h", F.lit(0)).alias("h")))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum("h").cast("long").alias("sum_hits"),
+        F.round(F.sum("h") / (3 * F.count("*")), 6)
+        .alias("precision_at_3"),
+        F.round(F.sum(F.when(F.col("h") > 0, 1).otherwise(0))
+                / F.count("*"), 6).alias("hit_rate"))
+
+
+_REC_PRECISION_ORACLE = """
+WITH ol AS (
+  SELECT o_custkey AS c, l_partkey AS p, o_orderdate
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+train AS (
+  SELECT DISTINCT c, p FROM ol
+  WHERE o_orderdate < '1997-01-01'),
+test AS (
+  SELECT DISTINCT t.c, t.p FROM ol t
+  LEFT JOIN train tr ON tr.c = t.c AND tr.p = t.p
+  WHERE t.o_orderdate >= '1997-01-01' AND tr.p IS NULL),
+capped AS (
+  SELECT b.* FROM train b
+  JOIN (SELECT c FROM train GROUP BY c HAVING COUNT(*) <= 100) k
+    USING (c)),
+pop AS (SELECT p, COUNT(*) AS pop FROM train GROUP BY p),
+cooc AS (
+  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cooc
+  FROM capped a JOIN capped b ON a.c = b.c AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+jac AS (
+  SELECT pa, pb,
+         CAST(round(cooc * 1.0 / (na.pop + nb.pop - cooc), 9)
+              AS DECIMAL(18,9)) AS jac
+  FROM cooc JOIN pop na ON na.p = pa JOIN pop nb ON nb.p = pb),
+nbrs_all AS (
+  SELECT pa AS p, pb AS q, jac FROM jac
+  UNION ALL SELECT pb, pa, jac FROM jac),
+nbrs AS (
+  SELECT p, q, jac FROM (
+    SELECT p, q, jac,
+           row_number() OVER (PARTITION BY p
+                              ORDER BY jac DESC, q) AS nr
+    FROM nbrs_all) WHERE nr <= 20),
+scored AS (
+  SELECT cp.c, n.q, SUM(n.jac) AS s
+  FROM capped cp JOIN nbrs n ON n.p = cp.p GROUP BY 1, 2),
+fresh AS (
+  SELECT s.* FROM scored s
+  LEFT JOIN train o ON o.c = s.c AND o.p = s.q
+  WHERE o.p IS NULL),
+recs AS (
+  SELECT c, q FROM (
+    SELECT c, q,
+           row_number() OVER (PARTITION BY c ORDER BY s DESC, q) AS rn
+    FROM fresh) WHERE rn <= 3),
+eligible AS (
+  SELECT DISTINCT r.c FROM recs r
+  JOIN (SELECT DISTINCT c FROM test) t ON t.c = r.c),
+hits AS (
+  SELECT r.c, COUNT(*) AS h
+  FROM recs r JOIN test t ON t.c = r.c AND t.p = r.q
+  GROUP BY 1),
+per_user AS (
+  SELECT e.c, COALESCE(h.h, 0) AS h
+  FROM eligible e LEFT JOIN hits h ON h.c = e.c)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(h) AS BIGINT) AS sum_hits,
+       round(SUM(h) * 1.0 / (3 * COUNT(*)), 6) AS precision_at_3,
+       round(SUM(CASE WHEN h > 0 THEN 1 ELSE 0 END) * 1.0 / COUNT(*),
+             6) AS hit_rate
+FROM per_user
+"""
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier tuple (nation,
+    market segment, account-balance band): how many customers sit in
+    equivalence classes smaller than k — the re-identification risk
+    screen a training corpus with user-derived fields needs before
+    release.  One groupBy for class sizes, one tiny rollup per k.
+    Exact integers; the QI banding is width-based (floor to $1000),
+    so no rank nondeterminism."""
+    t = load_tables(spark, sf_dir)
+    qi = (t["customer"]
+          .join(F.broadcast(t["nation"].select(
+              F.col("n_nationkey").alias("c_nationkey"),
+              "n_name")), "c_nationkey")
+          .select("n_name", "c_mktsegment",
+                  F.floor(F.col("c_acctbal").cast("decimal(18,2)")
+                          / 1000).cast("long").alias("bal_band")))
+    sizes = (qi.groupBy("n_name", "c_mktsegment", "bal_band")
+             .agg(F.count("*").alias("cls")))
+    total = qi.count()
+    ks = spark.createDataFrame([(2,), (5,), (10,)], "k int")
+    return (sizes.crossJoin(F.broadcast(ks))
+            .groupBy("k")
+            .agg(F.sum(F.when(F.col("cls") < F.col("k"), F.col("cls"))
+                       .otherwise(0)).cast("long").alias("n_at_risk"),
+                 F.count(F.when(F.col("cls") < F.col("k"), 1))
+                 .cast("long").alias("classes_below_k"))
+            .select("k", "n_at_risk", "classes_below_k",
+                    F.round(F.col("n_at_risk") / F.lit(total), 6)
+                    .alias("risk_share")))
+
+
+_K_ANON_ORACLE = """
+WITH qi AS (
+  SELECT n_name, c_mktsegment,
+         CAST(floor(CAST(c_acctbal AS DECIMAL(18,2)) / 1000)
+              AS BIGINT) AS bal_band
+  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+sizes AS (
+  SELECT n_name, c_mktsegment, bal_band, COUNT(*) AS cls
+  FROM qi GROUP BY 1, 2, 3),
+ks(k) AS (VALUES (2), (5), (10))
+SELECT k,
+       CAST(SUM(CASE WHEN cls < k THEN cls ELSE 0 END) AS BIGINT)
+         AS n_at_risk,
+       CAST(COUNT(CASE WHEN cls < k THEN 1 END) AS BIGINT)
+         AS classes_below_k,
+       round(SUM(CASE WHEN cls < k THEN cls ELSE 0 END) * 1.0
+             / (SELECT COUNT(*) FROM qi), 6) AS risk_share
+FROM sizes, ks GROUP BY k
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -17573,6 +17762,8 @@ ORACLES["markov_removal_effects"] = _markov_removal_oracle_sql()
 ORACLES["edit_distance_pairs"] = _EDIT_DISTANCE_ORACLE
 ORACLES["tfidf_cosine_pairs"] = _TFIDF_COSINE_ORACLE
 ORACLES["corpus_pipeline_v3"] = _pipeline_v3_oracle_sql()
+ORACLES["rec_precision_at_k"] = _REC_PRECISION_ORACLE
+ORACLES["k_anonymity"] = _K_ANON_ORACLE
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
 # functions of immutable inputs (parquet fixtures + the memoized graph
@@ -18004,6 +18195,8 @@ QUERIES = {
     "edit_distance_pairs": q_edit_distance_pairs,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "corpus_pipeline_v3": q_corpus_pipeline_v3,
+    "rec_precision_at_k": q_rec_precision_at_k,
+    "k_anonymity": q_k_anonymity,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
