@@ -15936,6 +15936,40 @@ FROM sizes, ks GROUP BY k
 """
 
 
+def q_posting_lists(spark, sf_dir):
+    """The inverted index AS DATA: per-term posting statistics over
+    the documents corpus — document frequency, collection frequency,
+    and the posting span (min/max doc id) for the 30 highest-cf
+    terms.  This is fts.build_tf_index's shape surfaced as a
+    queryable artifact (what a search/RAG pipeline ships to its
+    serving tier); one explode + one map-side-combinable aggregate,
+    the corpus shuffles once on the term."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id",
+                       F.explode(text.tokens(F.col("text")))
+                       .alias("term"))
+    return (toks.groupBy("term")
+            .agg(F.count_distinct("doc_id").alias("df"),
+                 F.count("*").alias("cf"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc"))
+            .orderBy(F.col("cf").desc(), "term").limit(30))
+
+
+_POSTING_LISTS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM (SELECT doc_id, list_filter(
+          string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')
+          AS ws FROM documents),
+       UNNEST(ws) AS t(term))
+SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM toks GROUP BY 1
+ORDER BY cf DESC, term LIMIT 30
+"""
+
+
 ORACLES: dict[str, str | None] = {
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
@@ -17764,6 +17798,7 @@ ORACLES["tfidf_cosine_pairs"] = _TFIDF_COSINE_ORACLE
 ORACLES["corpus_pipeline_v3"] = _pipeline_v3_oracle_sql()
 ORACLES["rec_precision_at_k"] = _REC_PRECISION_ORACLE
 ORACLES["k_anonymity"] = _K_ANON_ORACLE
+ORACLES["posting_lists"] = _POSTING_LISTS_ORACLE
 
 # Plan cache (prepared-statement semantics): the catalog queries are pure
 # functions of immutable inputs (parquet fixtures + the memoized graph
@@ -18197,6 +18232,7 @@ QUERIES = {
     "corpus_pipeline_v3": q_corpus_pipeline_v3,
     "rec_precision_at_k": q_rec_precision_at_k,
     "k_anonymity": q_k_anonymity,
+    "posting_lists": q_posting_lists,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

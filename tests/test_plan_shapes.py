@@ -291,3 +291,44 @@ def test_hll_and_cms_partial_agg(spark):
         p = plan_of(QUERIES[name](spark, "/root/testdata/sf0.001"))
         assert "Expand" not in p, name
         assert "CartesianProduct" not in p, name
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """With broadcast disabled (the cluster-scale shape where both
+    join sides shuffle), Catalyst must inject a runtime bloom filter
+    from the selective dimension side into the fact scan —
+    might_contain on l_orderkey fed by bloom_filter_agg over the
+    filtered orders.  This is the engine's row-level semi-join
+    pruning; at 100 TB it cuts the fact shuffle by the dimension
+    selectivity before the join."""
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold")}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                       "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".creationSideThreshold", "100MB")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold", "0")
+        li = spark.read.parquet(
+            "/root/testdata/sf0.001/lineitem.parquet")
+        o = (spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+             .where(F.col("o_orderpriority") == "1-URGENT"))
+        j = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy("o_orderpriority").count())
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in p
+        assert "bloom_filter_agg" in p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
