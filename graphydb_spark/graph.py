@@ -231,7 +231,15 @@ class Graph:
         # small metadata side-tables (settings/cache KV + change log) ride
         # along as JSON — driver-scale data, like the reference's
         # settings/cache/changes tables (graphydb.py:523-525)
-        meta = {"settings": self._settings, "cache": self._cache,
+        meta = self._meta_dict()
+        self.spark.createDataFrame(
+            [(json.dumps(meta, sort_keys=True),)], "meta string") \
+            .coalesce(1).write.mode(mode).json(f"{path}/meta")
+        # the graph is now disk-backed: stats can report the footprint
+        self.path = path
+
+    def _meta_dict(self) -> dict:
+        return {"settings": self._settings, "cache": self._cache,
                 "changes": self._changes, "change_seq": self._change_seq,
                 "fts_node_fields": self._fts_node_fields,
                 "fts_edge_fields": self._fts_edge_fields,
@@ -239,11 +247,70 @@ class Graph:
                                    in self._edge_integrity.items()},
                 "edge_unique": {k: list(v) for k, v
                                 in self._edge_unique.items()}}
-        self.spark.createDataFrame(
-            [(json.dumps(meta, sort_keys=True),)], "meta string") \
-            .coalesce(1).write.mode(mode).json(f"{path}/meta")
-        # the graph is now disk-backed: stats can report the footprint
+
+    def write_versioned(self, path: str) -> int:
+        """Publish the graph as the next version of a SNAPSHOT store —
+        the multi-writer-safe durable form (sources/snapshot.py): node
+        and edge frames commit as snapshot tables, then one graph-root
+        manifest atomically binds (nodes_version, edges_version, meta).
+
+        Readers (:meth:`open_versioned`) resolve a graph version to its
+        pinned table versions, so they always see a CONSISTENT
+        node/edge pair — never edges from a newer write joined against
+        older nodes (the torn read ``write``'s two independent parquet
+        dirs cannot rule out).  A writer that dies mid-publish leaves
+        only invisible orphan table versions; a writer that loses the
+        root-commit race gets :class:`~graphydb_spark.sources.snapshot.
+        CommitConflict` and must re-publish on top of the winner."""
+        from .sources import snapshot as _snap
+        self._flush()
+        nv = _snap.commit_snapshot(self._nodes_df, f"{path}/nodes",
+                                   mode="overwrite")
+        ev = _snap.commit_snapshot(self._edges_df, f"{path}/edges",
+                                   mode="overwrite")
+        meta = dict(self._meta_dict(), nodes_version=nv, edges_version=ev)
+        head = _snap._head(path)
+        _snap._commit_manifest(path, head + 1, {
+            "action": "graph", "parent": head, "files": [],
+            "schema": None, "committed_at": time.time(),
+            "txn": None, "graph_meta": meta})
         self.path = path
+        return head + 1
+
+    @classmethod
+    def open_versioned(cls, spark: SparkSession, path: str,
+                       version: int | None = None) -> "Graph":
+        """Open a :meth:`write_versioned` store as of ``version``
+        (default latest) — physical time travel over published graph
+        versions, the durable complement of :meth:`as_of_change`."""
+        from .sources import snapshot as _snap
+        vs = _snap.snapshot_versions(path)
+        if not vs:
+            raise FileNotFoundError(f"no versioned graph at {path!r}")
+        v = vs[-1] if version is None else version
+        if v not in vs:
+            raise FileNotFoundError(
+                f"graph version {v} not in {path!r} "
+                f"(have {vs[0]}..{vs[-1]})")
+        meta = _snap._read_manifest(path, v)["graph_meta"]
+        g = cls.from_dataframes(
+            spark,
+            _snap.read_snapshot(spark, f"{path}/nodes",
+                                meta["nodes_version"]),
+            _snap.read_snapshot(spark, f"{path}/edges",
+                                meta["edges_version"]))
+        g._settings = meta.get("settings", {})
+        g._cache = meta.get("cache", {})
+        g._changes = meta.get("changes", [])
+        g._change_seq = meta.get("change_seq", len(g._changes))
+        g._fts_node_fields = meta.get("fts_node_fields", [])
+        g._fts_edge_fields = meta.get("fts_edge_fields", [])
+        g._edge_integrity = {k: tuple(v) for k, v
+                             in meta.get("edge_integrity", {}).items()}
+        g._edge_unique = {k: tuple(v) for k, v
+                          in meta.get("edge_unique", {}).items()}
+        g.path = path
+        return g
 
     def write_bucketed(self, n_buckets: int = 16,
                        node_table: str = "gdb_nodes_bucketed",

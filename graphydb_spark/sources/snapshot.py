@@ -1,0 +1,277 @@
+"""Versioned snapshot tables: atomic parquet publish, time travel,
+optimistic concurrency, compaction and an exactly-once streaming sink.
+
+The reference persists one mutable SQLite file — readers see whatever
+state the writer last fsynced (graphydb.py `open`/`save`).  A 100 TB
+distributed pipeline cannot mutate in place: a published dataset must
+flip atomically from one consistent version to the next while a
+thousand executors are mid-read.  This module is the minimal
+table-format core that provides that (the same commit protocol Delta
+Lake / Iceberg build on, reduced to its load-bearing essentials,
+stdlib-only):
+
+Layout::
+
+    <path>/
+      data/<commit-uuid>-part-*.parquet   immutable data files
+      _manifests/v0000000001.json         one manifest per version
+
+A manifest names the EXACT data files (relative paths) visible at that
+version plus the schema JSON and bookkeeping (action, parent version,
+optional idempotence token).  Commit = exclusive creation
+(``O_CREAT|O_EXCL``) of the next version's manifest — atomic on POSIX;
+an object store would use put-if-absent.  Losing a race raises
+``CommitConflict``; ``commit_snapshot`` retries appends (an append is
+order-independent) and surfaces the conflict for overwrites.
+
+Readers list ``_manifests``, pick the requested (default: highest)
+version and read exactly its files — a half-finished write is invisible
+because its manifest does not exist yet, and time travel is "read an
+older manifest".  Data files are never rewritten, so any pinned version
+stays readable until :func:`expire_snapshots` garbage-collects it.
+
+Scale notes: the data files are written by a normal distributed
+``df.write.parquet`` (every executor writes in parallel; the driver
+only renames + writes one small JSON).  Manifests hold file NAMES, not
+data — a manifest for a 100 TB table is a few MB of JSON.  Compaction
+(:func:`compact_snapshot`) rewrites small files into right-sized ones
+as a NEW version, so it never disturbs concurrent readers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+_V_DIGITS = 10
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the version this writer targeted."""
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, _MANIFEST_DIR,
+                        f"v{version:0{_V_DIGITS}d}.json")
+
+
+def snapshot_versions(path: str) -> list[int]:
+    """Committed versions, ascending (empty list: not a snapshot table)."""
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as fh:
+        return json.load(fh)
+
+
+def snapshot_history(path: str) -> list[dict]:
+    """One dict per version: version, action, parent, n_files, txn."""
+    out = []
+    for v in snapshot_versions(path):
+        m = _read_manifest(path, v)
+        out.append({"version": v, "action": m["action"],
+                    "parent": m["parent"], "n_files": len(m["files"]),
+                    "txn": m.get("txn")})
+    return out
+
+
+def _head(path: str) -> int:
+    vs = snapshot_versions(path)
+    return vs[-1] if vs else 0
+
+
+def _stage_files(df: DataFrame, path: str) -> tuple[list[str], str]:
+    """Distributed parquet write to a staging dir, then rename each part
+    file into ``data/`` under a commit-unique prefix.  Returns the
+    relative file names and the schema JSON.  The renames are same-
+    filesystem metadata ops; nothing is visible to readers until the
+    manifest commits."""
+    token = uuid.uuid4().hex[:12]
+    staging = os.path.join(path, f"_staging-{token}")
+    df.write.mode("overwrite").parquet(staging)
+    data_dir = os.path.join(path, _DATA_DIR)
+    os.makedirs(data_dir, exist_ok=True)
+    rel = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        dst = f"{token}-{name}"
+        os.rename(os.path.join(staging, name),
+                  os.path.join(data_dir, dst))
+        rel.append(f"{_DATA_DIR}/{dst}")
+    shutil.rmtree(staging, ignore_errors=True)
+    return rel, df.schema.json()
+
+
+def _commit_manifest(path: str, version: int, manifest: dict) -> None:
+    """Exclusive-create commit: O_EXCL loses atomically to a racer."""
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    target = _manifest_path(path, version)
+    try:
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise CommitConflict(
+            f"version {version} at {path!r} was committed by another "
+            f"writer") from None
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+
+
+def commit_snapshot(df: DataFrame, path: str, mode: str = "append",
+                    txn: dict | None = None, max_retries: int = 10) -> int:
+    """Publish ``df`` as the next version of the snapshot table.
+
+    ``mode='append'`` adds the rows to the current version's files;
+    ``mode='overwrite'`` replaces the logical content (old files stay on
+    disk for time travel until expired).  ``txn`` is an optional
+    idempotence token recorded in the manifest — if the SAME token is
+    already present in table history the commit is skipped and the
+    existing version returned (the exactly-once handshake
+    :func:`stream_to_snapshot` relies on).
+
+    Appends that lose a commit race retry against the new head (append
+    content is order-independent); an overwrite that loses raises
+    :class:`CommitConflict` — the caller must re-decide on top of the
+    winner's table, there is no safe automatic answer.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    os.makedirs(path, exist_ok=True)
+    if txn is not None:
+        for h in snapshot_history(path):
+            if h["txn"] == txn:
+                return h["version"]
+    files, schema_json = _stage_files(df, path)
+    for _ in range(max_retries):
+        head = _head(path)
+        base = (_read_manifest(path, head)["files"]
+                if mode == "append" and head else [])
+        manifest = {"action": mode, "parent": head,
+                    "files": base + files, "schema": schema_json,
+                    "committed_at": time.time(), "txn": txn}
+        try:
+            _commit_manifest(path, head + 1, manifest)
+            return head + 1
+        except CommitConflict:
+            if mode == "overwrite":
+                raise
+            if txn is not None:
+                for h in snapshot_history(path):
+                    if h["txn"] == txn:
+                        return h["version"]
+    raise CommitConflict(
+        f"append to {path!r} lost {max_retries} commit races")
+
+
+def read_snapshot(spark: SparkSession, path: str,
+                  version: int | None = None) -> DataFrame:
+    """The table exactly as of ``version`` (default: latest committed).
+
+    Reads only the manifest's files — concurrent in-flight writes are
+    invisible, and pinning ``version`` gives a reproducible input for
+    a whole multi-job pipeline run (the property training-data lineage
+    needs: "shard set X was built from corpus version 41")."""
+    vs = snapshot_versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed snapshot at {path!r}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not in {path!r} "
+                                f"(have {vs[0]}..{vs[-1]})")
+    m = _read_manifest(path, v)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if not m["files"]:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(path, f) for f in m["files"]])
+
+
+def compact_snapshot(spark: SparkSession, path: str,
+                     target_files: int = 8) -> int:
+    """Rewrite the current version into ``target_files`` right-sized
+    files and commit the rewrite as a new version (action='compact').
+
+    The small-files problem is the canonical snapshot-table failure
+    mode (every streaming micro-batch appends a few files; a year later
+    the manifest lists millions and open() dominates scan time).
+    Readers pinned to old versions are untouched — compaction adds
+    files, expiry removes them."""
+    head = _head(path)
+    if not head:
+        raise FileNotFoundError(f"no committed snapshot at {path!r}")
+    df = read_snapshot(spark, path).coalesce(target_files)
+    files, schema_json = _stage_files(df, path)
+    manifest = {"action": "compact", "parent": head, "files": files,
+                "schema": schema_json, "committed_at": time.time(),
+                "txn": None}
+    _commit_manifest(path, head + 1, manifest)
+    return head + 1
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> int:
+    """Garbage-collect: drop all but the newest ``keep_last`` manifests
+    and delete data files no surviving manifest references.  Returns
+    the number of data files deleted.  Time travel reaches only as far
+    back as the oldest surviving manifest afterwards."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = snapshot_versions(path)
+    drop, keep = vs[:-keep_last], vs[-keep_last:]
+    live: set[str] = set()
+    for v in keep:
+        live.update(_read_manifest(path, v)["files"])
+    removed = 0
+    for v in drop:
+        for f in _read_manifest(path, v)["files"]:
+            if f not in live:
+                full = os.path.join(path, f)
+                if os.path.exists(full):
+                    os.remove(full)
+                    removed += 1
+                live.add(f)  # only attempt once
+        os.remove(_manifest_path(path, v))
+    return removed
+
+
+def stream_to_snapshot(spark: SparkSession, source_dir: str, schema,
+                       path: str, checkpoint: str):
+    """Exactly-once streaming sink into a snapshot table.
+
+    ``foreachBatch`` + the manifest's ``txn`` token: each micro-batch
+    commits with ``txn={'source': checkpoint, 'batch': epoch_id}``.  On
+    failure/restart Structured Streaming replays the batch;
+    :func:`commit_snapshot` sees the token already in history and
+    no-ops, so rows land exactly once even though delivery is
+    at-least-once.  (This is the standard idempotent-sink contract —
+    Spark's own docs recommend exactly this use of (checkpointId,
+    batchId).)  Readers meanwhile only ever see whole micro-batches,
+    never partial files."""
+    stream = (spark.readStream.schema(schema).json(source_dir))
+
+    def sink(batch_df, epoch_id: int) -> None:
+        commit_snapshot(batch_df, path, mode="append",
+                        txn={"source": checkpoint, "batch": epoch_id})
+
+    return (stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())

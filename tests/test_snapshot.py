@@ -1,0 +1,171 @@
+"""Snapshot-table sink: atomic publish, time travel, optimistic
+concurrency, idempotent commits, compaction, expiry, streaming."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphydb_spark.sources import snapshot as snap
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 2).alias("val"))
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_append_overwrite_and_time_travel(spark, table):
+    v1 = snap.commit_snapshot(_df(spark, 0, 5), table)
+    v2 = snap.commit_snapshot(_df(spark, 5, 8), table)  # append
+    assert (v1, v2) == (1, 2)
+    assert snap.read_snapshot(spark, table).count() == 8
+    assert snap.read_snapshot(spark, table, version=1).count() == 5
+    v3 = snap.commit_snapshot(_df(spark, 100, 102), table,
+                              mode="overwrite")
+    assert v3 == 3
+    assert sorted(r["id"] for r in
+                  snap.read_snapshot(spark, table).collect()) == [100, 101]
+    # old versions still fully readable after the overwrite
+    assert snap.read_snapshot(spark, table, version=2).count() == 8
+    hist = snap.snapshot_history(table)
+    assert [h["action"] for h in hist] == ["append", "append", "overwrite"]
+    assert [h["parent"] for h in hist] == [0, 1, 2]
+
+
+def test_reader_never_sees_uncommitted_files(spark, table):
+    snap.commit_snapshot(_df(spark, 0, 5), table)
+    # a crashed writer: staged data renamed into data/ but no manifest
+    _df(spark, 1000, 2000)._jdf  # noqa: B018 — build only
+    files, _ = snap._stage_files(_df(spark, 1000, 2000), table)
+    assert files  # orphans exist on disk...
+    assert snap.read_snapshot(spark, table).count() == 5  # ...invisible
+
+
+def test_append_retries_through_commit_race(spark, table):
+    snap.commit_snapshot(_df(spark, 0, 5), table)
+    real = snap._commit_manifest
+    raced = {"n": 0}
+
+    def lose_first(path, version, manifest):
+        if raced["n"] == 0:
+            raced["n"] += 1
+            # a concurrent writer lands the version we targeted
+            real(path, version, {"action": "append", "parent": version - 1,
+                                 "files": snap._read_manifest(path,
+                                                              version - 1)
+                                 ["files"], "schema": manifest["schema"],
+                                 "committed_at": 0, "txn": None})
+        return real(path, version, manifest)
+
+    snap._commit_manifest, orig = lose_first, snap._commit_manifest
+    try:
+        v = snap.commit_snapshot(_df(spark, 5, 8), table)
+    finally:
+        snap._commit_manifest = orig
+    assert v == 3  # retried onto the racer's head
+    assert snap.read_snapshot(spark, table).count() == 8
+
+
+def test_overwrite_conflict_raises(spark, table):
+    snap.commit_snapshot(_df(spark, 0, 5), table)
+    real = snap._commit_manifest
+
+    def racer_wins(path, version, manifest):
+        real(path, version, dict(manifest, txn={"racer": True}))
+        return real(path, version, manifest)  # raises CommitConflict
+
+    snap._commit_manifest = racer_wins
+    try:
+        with pytest.raises(snap.CommitConflict):
+            snap.commit_snapshot(_df(spark, 9, 10), table,
+                                 mode="overwrite")
+    finally:
+        snap._commit_manifest = real
+
+
+def test_txn_token_is_idempotent(spark, table):
+    t = {"source": "job-a", "batch": 7}
+    v1 = snap.commit_snapshot(_df(spark, 0, 5), table, txn=t)
+    v2 = snap.commit_snapshot(_df(spark, 0, 5), table, txn=t)  # replay
+    assert v1 == v2 == 1
+    assert snap.read_snapshot(spark, table).count() == 5  # not doubled
+
+
+def test_compact_then_expire(spark, table):
+    for i in range(4):
+        snap.commit_snapshot(_df(spark, i * 10, i * 10 + 10), table)
+    before = len(snap._read_manifest(table, 4)["files"])
+    v = snap.compact_snapshot(spark, table, target_files=2)
+    assert v == 5
+    after = snap._read_manifest(table, 5)
+    assert len(after["files"]) <= 2 < before
+    assert snap.read_snapshot(spark, table).count() == 40
+    # version 4 (pre-compaction) still reads until expiry
+    assert snap.read_snapshot(spark, table, version=4).count() == 40
+    removed = snap.expire_snapshots(table, keep_last=1)
+    assert removed == before  # all pre-compaction files GC'd
+    assert snap.snapshot_versions(table) == [5]
+    assert snap.read_snapshot(spark, table).count() == 40
+    with pytest.raises(FileNotFoundError):
+        snap.read_snapshot(spark, table, version=4)
+
+
+def test_empty_table_schema_preserved(spark, table):
+    snap.commit_snapshot(_df(spark, 0, 5).where(F.lit(False)), table)
+    out = snap.read_snapshot(spark, table)
+    assert out.count() == 0
+    assert out.schema.fieldNames() == ["id", "val"]
+
+
+def test_stream_to_snapshot_exactly_once(spark, table, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    with open(src / "a.json", "w") as fh:
+        for i in range(6):
+            fh.write(json.dumps({"id": i}) + "\n")
+    schema = "id long"
+    q = snap.stream_to_snapshot(spark, str(src), schema, table, ckpt)
+    q.awaitTermination(120)
+    n1 = snap.read_snapshot(spark, table).count()
+    assert n1 == 6
+    # restart with no new data: replayed batches must be no-ops
+    q = snap.stream_to_snapshot(spark, str(src), schema, table, ckpt)
+    q.awaitTermination(120)
+    assert snap.read_snapshot(spark, table).count() == 6
+    # new file arrives -> exactly its rows append
+    with open(src / "b.json", "w") as fh:
+        fh.write(json.dumps({"id": 99}) + "\n")
+    q = snap.stream_to_snapshot(spark, str(src), schema, table, ckpt)
+    q.awaitTermination(120)
+    assert snap.read_snapshot(spark, table).count() == 7
+
+
+def test_graph_write_open_versioned(spark, tmp_path):
+    from graphydb_spark import Graph
+    store = str(tmp_path / "gstore")
+    g = Graph(spark)
+    a = g.Node("Person", name="Ann").save()
+    b = g.Node("Person", name="Bob").save()
+    g.Edge(a, "Likes", b).save()
+    g.savesetting("k", {"x": 1})
+    g.declare_integrity("Likes", start_kind="Person", end_kind="Person")
+    v1 = g.write_versioned(store)
+    g.Node("Person", name="Cec").save()
+    v2 = g.write_versioned(store)
+    assert (v1, v2) == (1, 2)
+    g2 = Graph.open_versioned(spark, store)
+    assert g2.stats["nodes"] == 3
+    assert g2.getsetting("k") == {"x": 1}
+    assert "Likes" in g2._edge_integrity
+    old = Graph.open_versioned(spark, store, version=1)
+    assert old.stats["nodes"] == 2
+    assert [r["uid"] for r in
+            old.fetch("(p:Person) -(e:Likes)> [q:Person]",
+                      as_df=True).collect()] == [b.uid]
