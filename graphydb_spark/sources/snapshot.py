@@ -46,6 +46,8 @@ import shutil
 import time
 import uuid
 
+import pyarrow.parquet as pq
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -122,6 +124,64 @@ def _stage_files(df: DataFrame, path: str) -> tuple[list[str], str]:
     return rel, df.schema.json()
 
 
+def _stat_value(v):
+    """JSON-safe, order-preserving canonical form for a footer stat.
+    bool before int (bool is an int subclass); date/datetime → ISO
+    strings, whose lexicographic order IS chronological order, so
+    ``where`` bounds for temporal columns are ISO strings too.
+    Unorderable-in-JSON types (Decimal, raw bytes) return None and the
+    column simply never prunes."""
+    import datetime
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        try:
+            return v.decode()
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+def _file_stats(path: str, rel_files: list[str]) -> dict:
+    """Per-file row count + per-column [min, max] from the parquet
+    footers, for the manifest's data-skipping index.  Footer reads are
+    metadata-only (no data pages); at cluster scale the executors that
+    wrote each file would report stats with it — here the driver reads
+    the footers it just renamed.  Only scalar min/max-able columns are
+    indexed; everything else simply never prunes."""
+    out = {}
+    for rel in rel_files:
+        md = pq.ParquetFile(os.path.join(path, rel)).metadata
+        cols: dict = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                st = c.statistics
+                if (st is None or not st.has_min_max
+                        or "." in c.path_in_schema):  # nested: skip
+                    cols[c.path_in_schema] = None
+                    continue
+                mn, mx = _stat_value(st.min), _stat_value(st.max)
+                if mn is None or mx is None or type(mn) is not type(mx):
+                    cols[c.path_in_schema] = None
+                    continue
+                prev = cols.get(c.path_in_schema)
+                if prev is None and c.path_in_schema in cols:
+                    continue  # poisoned by an earlier row group
+                cols[c.path_in_schema] = ([mn, mx] if prev is None
+                                          else [min(prev[0], mn),
+                                                max(prev[1], mx)])
+        out[rel] = {"rows": md.num_rows,
+                    "cols": {k: v for k, v in cols.items()
+                             if v is not None}}
+    return out
+
+
 def _commit_manifest(path: str, version: int, manifest: dict) -> None:
     """Exclusive-create commit: O_EXCL loses atomically to a racer."""
     mdir = os.path.join(path, _MANIFEST_DIR)
@@ -162,12 +222,18 @@ def commit_snapshot(df: DataFrame, path: str, mode: str = "append",
             if h["txn"] == txn:
                 return h["version"]
     files, schema_json = _stage_files(df, path)
+    stats = _file_stats(path, files)
     for _ in range(max_retries):
         head = _head(path)
-        base = (_read_manifest(path, head)["files"]
-                if mode == "append" and head else [])
+        if mode == "append" and head:
+            parent = _read_manifest(path, head)
+            base = parent["files"]
+            base_stats = parent.get("file_stats", {})
+        else:
+            base, base_stats = [], {}
         manifest = {"action": mode, "parent": head,
                     "files": base + files, "schema": schema_json,
+                    "file_stats": {**base_stats, **stats},
                     "committed_at": time.time(), "txn": txn}
         try:
             _commit_manifest(path, head + 1, manifest)
@@ -184,13 +250,22 @@ def commit_snapshot(df: DataFrame, path: str, mode: str = "append",
 
 
 def read_snapshot(spark: SparkSession, path: str,
-                  version: int | None = None) -> DataFrame:
+                  version: int | None = None,
+                  where: dict | None = None) -> DataFrame:
     """The table exactly as of ``version`` (default: latest committed).
 
     Reads only the manifest's files — concurrent in-flight writes are
     invisible, and pinning ``version`` gives a reproducible input for
     a whole multi-job pipeline run (the property training-data lineage
-    needs: "shard set X was built from corpus version 41")."""
+    needs: "shard set X was built from corpus version 41").
+
+    ``where`` maps column → ``(lo, hi)`` inclusive bounds (either end
+    may be None).  Files whose manifest min/max cannot intersect are
+    dropped BEFORE Spark ever lists them — manifest-level data
+    skipping, the step above parquet row-group pruning: with sorted or
+    clustered writes a selective query opens a handful of files out of
+    millions.  The same predicate is also applied to the surviving
+    rows, so results are exact regardless of stats coverage."""
     vs = snapshot_versions(path)
     if not vs:
         raise FileNotFoundError(f"no committed snapshot at {path!r}")
@@ -200,10 +275,75 @@ def read_snapshot(spark: SparkSession, path: str,
                                 f"(have {vs[0]}..{vs[-1]})")
     m = _read_manifest(path, v)
     schema = StructType.fromJson(json.loads(m["schema"]))
-    if not m["files"]:
+    files = m["files"]
+    if where:
+        stats = m.get("file_stats", {})
+        files = [f for f in files
+                 if _may_match(stats.get(f, {}).get("cols", {}), where)]
+    if not files:
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(path, f) for f in files])
+    if where:
+        from pyspark.sql import functions as F
+        for col, (lo, hi) in where.items():
+            if lo is not None:
+                df = df.where(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.where(F.col(col) <= F.lit(hi))
+    return df
+
+
+def _may_match(col_stats: dict, where: dict) -> bool:
+    """False only when the stats PROVE no row in the file satisfies
+    every bound; a column with no stats never prunes."""
+    for col, (lo, hi) in where.items():
+        rng = col_stats.get(col)
+        if rng is None:
+            continue
+        mn, mx = rng
+        if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+            return False
+    return True
+
+
+def read_snapshot_changes(spark: SparkSession, path: str,
+                          since_version: int,
+                          to_version: int | None = None) -> DataFrame:
+    """Exactly the rows APPENDED after ``since_version`` up to
+    ``to_version`` (default head) — the incremental-consumption
+    contract (process a 100 TB table's new data without rescanning it):
+    downstream checkpoints the version it last processed and asks for
+    the delta.  Valid only across pure-append history; an overwrite or
+    compaction in the range rewrites file identity, so the delta is no
+    longer representable as "new files" and this raises ``ValueError``
+    (the consumer must fall back to a full recompute, exactly as with
+    Iceberg/Delta incremental scans)."""
+    vs = snapshot_versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed snapshot at {path!r}")
+    to = vs[-1] if to_version is None else to_version
+    if since_version != 0 and since_version not in vs:
+        raise FileNotFoundError(f"version {since_version} not in {path!r}")
+    if to not in vs:
+        raise FileNotFoundError(f"version {to} not in {path!r}")
+    for v in vs:
+        if since_version < v <= to:
+            act = _read_manifest(path, v)["action"]
+            if act != "append":
+                raise ValueError(
+                    f"non-append action {act!r} at version {v}: the "
+                    f"range ({since_version}, {to}] has no pure delta")
+    m_to = _read_manifest(path, to)
+    base = (set(_read_manifest(path, since_version)["files"])
+            if since_version else set())
+    new = [f for f in m_to["files"] if f not in base]
+    schema = StructType.fromJson(json.loads(m_to["schema"]))
+    if not new:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(
-        *[os.path.join(path, f) for f in m["files"]])
+        *[os.path.join(path, f) for f in new])
 
 
 def compact_snapshot(spark: SparkSession, path: str,
@@ -222,8 +362,9 @@ def compact_snapshot(spark: SparkSession, path: str,
     df = read_snapshot(spark, path).coalesce(target_files)
     files, schema_json = _stage_files(df, path)
     manifest = {"action": "compact", "parent": head, "files": files,
-                "schema": schema_json, "committed_at": time.time(),
-                "txn": None}
+                "schema": schema_json,
+                "file_stats": _file_stats(path, files),
+                "committed_at": time.time(), "txn": None}
     _commit_manifest(path, head + 1, manifest)
     return head + 1
 

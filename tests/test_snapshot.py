@@ -169,3 +169,49 @@ def test_graph_write_open_versioned(spark, tmp_path):
     assert [r["uid"] for r in
             old.fetch("(p:Person) -(e:Likes)> [q:Person]",
                       as_df=True).collect()] == [b.uid]
+
+
+def test_manifest_stats_skip_files(spark, table):
+    # three appends with disjoint id ranges -> three file groups
+    for lo in (0, 100, 200):
+        snap.commit_snapshot(
+            _df(spark, lo, lo + 10).coalesce(1), table)
+    m = snap._read_manifest(table, 3)
+    assert all(f in m["file_stats"] for f in m["files"])
+    assert sum(s["rows"] for s in m["file_stats"].values()) == 30
+    # bounds land entirely in the middle file: exactly 1 file read
+    pruned = snap.read_snapshot(spark, table, where={"id": (100, 105)})
+    assert len(pruned.inputFiles()) == 1
+    assert sorted(r["id"] for r in pruned.collect()) == list(
+        range(100, 106))
+    # bounds matching nothing: zero files, empty result, schema intact
+    none = snap.read_snapshot(spark, table, where={"id": (900, 999)})
+    assert none.count() == 0 and none.schema.fieldNames() == ["id", "val"]
+    # row-level exactness: the in-file filter still applies
+    part = snap.read_snapshot(spark, table, where={"id": (5, 104)})
+    assert part.count() == 10  # 5..9 + 100..104
+
+
+def test_incremental_read_returns_exact_delta(spark, table):
+    snap.commit_snapshot(_df(spark, 0, 10), table)
+    snap.commit_snapshot(_df(spark, 10, 13), table)
+    snap.commit_snapshot(_df(spark, 13, 17), table)
+    d = snap.read_snapshot_changes(spark, table, since_version=1)
+    assert sorted(r["id"] for r in d.collect()) == list(range(10, 17))
+    d12 = snap.read_snapshot_changes(spark, table, 1, to_version=2)
+    assert sorted(r["id"] for r in d12.collect()) == [10, 11, 12]
+    # since the beginning = full table
+    assert snap.read_snapshot_changes(spark, table, 0).count() == 17
+    # empty delta
+    assert snap.read_snapshot_changes(spark, table, 3).count() == 0
+
+
+def test_incremental_read_refuses_rewrites(spark, table):
+    snap.commit_snapshot(_df(spark, 0, 10), table)
+    snap.compact_snapshot(spark, table, target_files=1)
+    with pytest.raises(ValueError):
+        snap.read_snapshot_changes(spark, table, since_version=1)
+    snap.commit_snapshot(_df(spark, 10, 12), table)
+    # delta after the rewrite is fine
+    d = snap.read_snapshot_changes(spark, table, since_version=2)
+    assert sorted(r["id"] for r in d.collect()) == [10, 11]
