@@ -1363,3 +1363,197 @@ def ahash(media: DataFrame, grid: int = 8) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         run, schema=AHASH_SCHEMA)
+
+
+# --------------------------------------------------------- MP4 (ISO BMFF)
+# Video containers: the ISO base media file format (MPEG-4 Part 12,
+# publicly specified) is a pure box tree — size-prefixed fourcc chunks —
+# so duration, track dimensions and sample counts parse with stdlib
+# struct alone, no codec.  Frame PIXEL decode (H.264 et al.) is
+# explicitly out of scope without a codec library; the GIF path above
+# (extract_frames) is the real byte-level frame-sampling demo.
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def make_mp4(width: int, height: int, n_frames: int,
+             timescale: int = 1000, fps: int = 10) -> bytes:
+    """Minimal complete ISO BMFF file with one video track: ftyp +
+    moov(mvhd, trak(tkhd, mdia(mdhd, hdlr'vide', minf(stbl(stsd/avc1,
+    stts, stsc, stsz, stco))))) + mdat.  Deterministic; every field the
+    decoder reads is derived from the arguments."""
+    delta = timescale // fps
+    duration = n_frames * delta
+    identity = (struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0,
+                            0, 0, 0x40000000))
+    mvhd = _box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, timescale,
+                                     duration)
+                + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+                + b"\0" * 8 + identity + b"\0" * 24
+                + struct.pack(">I", 2))
+    tkhd = _box(b"tkhd", struct.pack(">IIIII", 3, 0, 0, 1, 0)
+                + struct.pack(">I", duration) + b"\0" * 8
+                + struct.pack(">HHHH", 0, 0, 0, 0) + identity
+                + struct.pack(">II", width << 16, height << 16))
+    mdhd = _box(b"mdhd", struct.pack(">IIIIIHH", 0, 0, 0, timescale,
+                                     duration, 0x55C4, 0))
+    hdlr = _box(b"hdlr", struct.pack(">II", 0, 0) + b"vide"
+                + b"\0" * 12 + b"v\0")
+    avc1 = _box(b"avc1", b"\0" * 6 + struct.pack(">H", 1)
+                + b"\0" * 16 + struct.pack(">HH", width, height)
+                + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
+                + b"\0" * 32 + struct.pack(">Hh", 24, -1))
+    stsd = _box(b"stsd", struct.pack(">II", 0, 1) + avc1)
+    stts = _box(b"stts", struct.pack(">IIII", 0, 1, n_frames, delta))
+    stsc = _box(b"stsc", struct.pack(">IIIII", 0, 1, 1, n_frames, 1))
+    stsz = _box(b"stsz", struct.pack(">III", 0, 1, n_frames))
+    stco = _box(b"stco", struct.pack(">III", 0, 1, 0))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512)
+                + b"isommp42")
+    mdat = _box(b"mdat", bytes(min(n_frames, 64)))
+    return ftyp + moov + mdat
+
+
+def _walk_boxes(b: bytes, i: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) for the sibling boxes
+    in ``b[i:end]``; tolerates 64-bit largesize and size-0 (to end),
+    stops cleanly on truncation."""
+    while i + 8 <= end:
+        size = struct.unpack(">I", b[i:i + 4])[0]
+        tag = b[i + 4:i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = struct.unpack(">Q", b[i + 8:i + 16])[0]
+            body = i + 16
+        elif size == 0:
+            size = end - i
+        if size < 8 or i + size > end:
+            return
+        yield tag, body, i + size
+        i += size
+
+
+def _find_box(b: bytes, i: int, end: int, tag: bytes):
+    for t, s, e in _walk_boxes(b, i, end):
+        if t == tag:
+            return s, e
+    return None
+
+
+def decode_video(payload) -> dict | None:
+    """Parse a real MP4/ISO-BMFF container: movie timescale + duration
+    from ``mvhd``, the video track's pixel dimensions from its ``tkhd``
+    (16.16 fixed point), and the frame count by summing the track's
+    ``stts`` sample runs.  Version-0 and version-1 (64-bit) headers
+    both handled.  ``None`` for non-BMFF/truncated payloads — null
+    columns downstream, never a task failure."""
+    b = bytes(payload or b"")
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    moov = _find_box(b, 0, len(b), b"moov")
+    if moov is None:
+        return None
+    mvhd = _find_box(b, moov[0], moov[1], b"mvhd")
+    if mvhd is None:
+        return None
+    ver = b[mvhd[0]]
+    if ver == 1:
+        timescale = struct.unpack(">I", b[mvhd[0] + 20:mvhd[0] + 24])[0]
+        duration = struct.unpack(">Q", b[mvhd[0] + 24:mvhd[0] + 32])[0]
+    else:
+        timescale, duration = struct.unpack(
+            ">II", b[mvhd[0] + 12:mvhd[0] + 20])
+    if not timescale:
+        return None
+    for tag, s, e in _walk_boxes(b, moov[0], moov[1]):
+        if tag != b"trak":
+            continue
+        mdia = _find_box(b, s, e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find_box(b, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None or b[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        tkhd = _find_box(b, s, e, b"tkhd")
+        if tkhd is None or tkhd[1] - tkhd[0] < 8:
+            continue
+        w16, h16 = struct.unpack(">II", b[tkhd[1] - 8:tkhd[1]])
+        n_frames = 0
+        minf = _find_box(b, mdia[0], mdia[1], b"minf")
+        stbl = (minf and _find_box(b, minf[0], minf[1], b"stbl"))
+        stts = (stbl and _find_box(b, stbl[0], stbl[1], b"stts"))
+        if stts:
+            cnt = struct.unpack(">I", b[stts[0] + 4:stts[0] + 8])[0]
+            for k in range(cnt):
+                off = stts[0] + 8 + k * 8
+                if off + 8 > stts[1]:
+                    break
+                n_frames += struct.unpack(">I", b[off:off + 4])[0]
+        return {"fmt": "mp4", "width": w16 >> 16, "height": h16 >> 16,
+                "n_frames": n_frames,
+                "duration_ms": duration * 1000 // timescale}
+    return None
+
+
+VIDEO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("fmt", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_frames", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+])
+
+
+def video_features(media: DataFrame) -> DataFrame:
+    """Container-level video metadata from the ACTUAL bytes (box walk,
+    no codec) — Arrow-batched ``mapInPandas``, narrow map, no shuffle;
+    unrecognized payloads surface as null columns."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_video(p)
+                if d is None:
+                    rows.append((int(m), None, None, None, None, None))
+                else:
+                    rows.append((int(m), d["fmt"], d["width"],
+                                 d["height"], d["n_frames"],
+                                 d["duration_ms"]))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "fmt", "width", "height", "n_frames",
+                "duration_ms"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=VIDEO_FEATURE_SCHEMA)
+
+
+def documents_as_video(docs: DataFrame) -> DataFrame:
+    """Wrap the documents fixture as a video table with REAL MP4
+    payloads: ``width = 16 + n_chars % 120``, ``height = 16 +
+    (n_chars // 7) % 120``, ``n_frames = 1 + doc_id % 24`` at 10 fps /
+    1000 timescale — so a SQL oracle can recompute every field the
+    box-walking decoder must read back from the bytes."""
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, src, nch in zip(pdf["doc_id"], pdf["source"],
+                                     pdf["n_chars"]):
+                did, nch = int(did), int(nch)
+                payload = make_mp4(16 + nch % 120, 16 + (nch // 7) % 120,
+                                   1 + did % 24)
+                rows.append((did, payload, "video",
+                             {"source": src, "bytes": len(payload)}))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "media_type", "meta"])
+
+    return (docs.select("doc_id", "source", "n_chars")
+            .mapInPandas(build, schema=MEDIA_SCHEMA))

@@ -15970,7 +15970,30 @@ ORDER BY cf DESC, term LIMIT 30
 """
 
 
+def q_video_features(spark, sf_dir):
+    """REAL video-container path: synthesized ISO-BMFF/MP4 payloads
+    (multimodal.make_mp4 — public MPEG-4 Part 12 box structure) decoded
+    back by pure box-walking: mvhd timescale/duration, tkhd 16.16
+    dimensions, stts sample-run frame count, all from the actual bytes.
+    The oracle recomputes each field from the construction formula — a
+    mismatch means the box walker misread the container.  Narrow
+    Arrow-batched map, no shuffle — scales as a pure scan."""
+    from .operators.multimodal import documents_as_video, video_features
+    return video_features(documents_as_video(_docs(spark, sf_dir)))
+
+
+_VIDEO_FEATURES_ORACLE = """
+SELECT doc_id AS media_id, 'mp4' AS fmt,
+       CAST(16 + n_chars % 120 AS INT) AS width,
+       CAST(16 + (n_chars // 7) % 120 AS INT) AS height,
+       CAST(1 + doc_id % 24 AS INT) AS n_frames,
+       CAST((1 + doc_id % 24) * 100 AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
 ORACLES: dict[str, str | None] = {
+    "video_features": _VIDEO_FEATURES_ORACLE,
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
     "filter_json": (
@@ -18233,6 +18256,7 @@ QUERIES = {
     "rec_precision_at_k": q_rec_precision_at_k,
     "k_anonymity": q_k_anonymity,
     "posting_lists": q_posting_lists,
+    "video_features": q_video_features,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
