@@ -15970,6 +15970,138 @@ ORDER BY cf DESC, term LIMIT 30
 """
 
 
+def q_l_diversity(spark, sf_dir):
+    """l-diversity audit (Machanavajjhala et al. 2007), the step after
+    k-anonymity (q:k_anonymity): a QI class whose SENSITIVE attribute
+    is homogeneous leaks the attribute even when the class is large.
+    QI = (nation, $1000 balance band), sensitive = market segment;
+    for l in {2,3,5}: classes with < l distinct sensitive values, the
+    records inside them, and their share.  Exact integers end-to-end
+    (distinct counts + one final 6 dp division); two map-side-combined
+    aggregations, broadcast dim join — scales as a pure groupBy."""
+    t = load_tables(spark, sf_dir)
+    qi = (t["customer"]
+          .join(F.broadcast(t["nation"].select(
+              F.col("n_nationkey").alias("c_nationkey"), "n_name")),
+              "c_nationkey")
+          .select("n_name",
+                  F.floor(F.col("c_acctbal").cast("decimal(18,2)")
+                          / 1000).cast("long").alias("bal_band"),
+                  "c_mktsegment"))
+    cls = (qi.groupBy("n_name", "bal_band")
+           .agg(F.countDistinct("c_mktsegment").alias("div"),
+                F.count("*").alias("n")))
+    total = qi.count()
+    ls = spark.createDataFrame([(2,), (3,), (5,)], "l int")
+    return (cls.crossJoin(F.broadcast(ls))
+            .groupBy("l")
+            .agg(F.count(F.when(F.col("div") < F.col("l"), 1))
+                 .cast("long").alias("classes_below_l"),
+                 F.sum(F.when(F.col("div") < F.col("l"), F.col("n"))
+                       .otherwise(0)).cast("long").alias("n_at_risk"))
+            .select("l", "classes_below_l", "n_at_risk",
+                    F.round(F.col("n_at_risk") / F.lit(total), 6)
+                    .alias("risk_share")))
+
+
+_L_DIVERSITY_ORACLE = """
+WITH qi AS (
+  SELECT n_name,
+         CAST(FLOOR(CAST(c_acctbal AS DECIMAL(18,2)) / 1000) AS BIGINT)
+           AS bal_band,
+         c_mktsegment
+  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+cls AS (
+  SELECT n_name, bal_band,
+         COUNT(DISTINCT c_mktsegment) AS div, COUNT(*) AS n
+  FROM qi GROUP BY 1, 2),
+tot AS (SELECT COUNT(*) AS total FROM qi)
+SELECT l.l,
+       CAST(COUNT(CASE WHEN div < l.l THEN 1 END) AS BIGINT)
+         AS classes_below_l,
+       CAST(SUM(CASE WHEN div < l.l THEN n ELSE 0 END) AS BIGINT)
+         AS n_at_risk,
+       ROUND(SUM(CASE WHEN div < l.l THEN n ELSE 0 END)
+             / CAST(MIN(tot.total) AS DOUBLE), 6) AS risk_share
+FROM cls CROSS JOIN (SELECT UNNEST([2, 3, 5]) AS l) l CROSS JOIN tot
+GROUP BY l.l
+"""
+
+
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit (Li et al. 2007): even an l-diverse class
+    leaks when its sensitive-value DISTRIBUTION sits far from the
+    corpus-wide one.  Per QI class (nation, $1000 balance band): total
+    variation distance between the class's market-segment mix and the
+    global mix, computed EXACTLY — TVD = Σ|cnt_cs·N − cnt_s·n_c| /
+    (2·n_c·N), whose numerator is an order-free BIGINT sum over the
+    dense class × segment grid (absent segments contribute cnt_cs=0),
+    and only the final division is IEEE.  Top 10 most-skewed classes
+    of size ≥ 5.  Shapes: two groupBys + one broadcast of the 5-row
+    segment table — scales as a pure aggregation."""
+    t = load_tables(spark, sf_dir)
+    qi = (t["customer"]
+          .join(F.broadcast(t["nation"].select(
+              F.col("n_nationkey").alias("c_nationkey"), "n_name")),
+              "c_nationkey")
+          .select("n_name",
+                  F.floor(F.col("c_acctbal").cast("decimal(18,2)")
+                          / 1000).cast("long").alias("bal_band"),
+                  "c_mktsegment"))
+    seg = qi.groupBy("c_mktsegment").agg(F.count("*").alias("cnt_s"))
+    n_total = qi.count()
+    cs = (qi.groupBy("n_name", "bal_band", "c_mktsegment")
+          .agg(F.count("*").alias("cnt_cs")))
+    cls = (qi.groupBy("n_name", "bal_band")
+           .agg(F.count("*").alias("n_c")))
+    dense = (cls.crossJoin(F.broadcast(seg))
+             .join(cs, ["n_name", "bal_band", "c_mktsegment"], "left")
+             .withColumn("cnt_cs", F.coalesce("cnt_cs", F.lit(0))))
+    return (dense.groupBy("n_name", "bal_band")
+            .agg(F.min("n_c").alias("n_c"),
+                 F.sum(F.abs(F.col("cnt_cs") * n_total
+                             - F.col("cnt_s") * F.col("n_c")))
+                 .alias("num"))
+            .where(F.col("n_c") >= 5)
+            .select("n_name", "bal_band",
+                    F.col("n_c").cast("long").alias("n"),
+                    F.round(F.col("num")
+                            / (2.0 * F.col("n_c") * n_total), 6)
+                    .alias("tvd"))
+            .orderBy(F.desc("tvd"), "n_name", "bal_band").limit(10))
+
+
+_T_CLOSENESS_ORACLE = """
+WITH qi AS (
+  SELECT n_name,
+         CAST(FLOOR(CAST(c_acctbal AS DECIMAL(18,2)) / 1000) AS BIGINT)
+           AS bal_band,
+         c_mktsegment
+  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+seg AS (SELECT c_mktsegment, COUNT(*) AS cnt_s FROM qi GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM qi),
+cs AS (SELECT n_name, bal_band, c_mktsegment, COUNT(*) AS cnt_cs
+       FROM qi GROUP BY 1, 2, 3),
+cls AS (SELECT n_name, bal_band, COUNT(*) AS n_c FROM qi GROUP BY 1, 2),
+dense AS (
+  SELECT cls.n_name, cls.bal_band, cls.n_c, seg.cnt_s,
+         COALESCE(cs.cnt_cs, 0) AS cnt_cs
+  FROM cls CROSS JOIN seg
+  LEFT JOIN cs ON cs.n_name = cls.n_name
+             AND cs.bal_band = cls.bal_band
+             AND cs.c_mktsegment = seg.c_mktsegment)
+SELECT n_name, bal_band, n, tvd FROM (
+  SELECT dense.n_name, dense.bal_band,
+         CAST(MIN(dense.n_c) AS BIGINT) AS n,
+         ROUND(SUM(ABS(dense.cnt_cs * tot.n - dense.cnt_s * dense.n_c))
+               / (2.0 * MIN(dense.n_c) * MIN(tot.n)), 6) AS tvd
+  FROM dense CROSS JOIN tot
+  GROUP BY dense.n_name, dense.bal_band
+  HAVING MIN(dense.n_c) >= 5
+  ORDER BY tvd DESC, dense.n_name, dense.bal_band LIMIT 10)
+"""
+
+
 def q_video_features(spark, sf_dir):
     """REAL video-container path: synthesized ISO-BMFF/MP4 payloads
     (multimodal.make_mp4 — public MPEG-4 Part 12 box structure) decoded
@@ -15994,6 +16126,8 @@ FROM documents
 
 ORACLES: dict[str, str | None] = {
     "video_features": _VIDEO_FEATURES_ORACLE,
+    "l_diversity": _L_DIVERSITY_ORACLE,
+    "t_closeness": _T_CLOSENESS_ORACLE,
     "node_kind_counts": _NODE_KINDS_SQL,
     "edge_kind_counts": _EDGE_KINDS_SQL,
     "filter_json": (
@@ -18257,6 +18391,8 @@ QUERIES = {
     "k_anonymity": q_k_anonymity,
     "posting_lists": q_posting_lists,
     "video_features": q_video_features,
+    "l_diversity": q_l_diversity,
+    "t_closeness": q_t_closeness,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
