@@ -15970,6 +15970,105 @@ ORDER BY cf DESC, term LIMIT 30
 """
 
 
+def q_kmv_setops(spark, sf_dir):
+    """KMV (bottom-k / theta) sketch set operations — the mergeable
+    distinct-count sketch family (Beyer et al. 2007) alongside
+    q:hll_distinct and q:cms_heavy_hitters: sets are the click / the
+    purchase active (user, day) pairs; each sketch keeps the k=64
+    smallest 60-bit md5 hashes; D̂ = (k-1)·2^60 / h_(k) (exact size
+    when |S| < k), union = bottom-k of the merged sketch, intersection
+    via the Jaccard share of combined-sketch members present in both —
+    every number derives from md5 integers + one final IEEE op, so the
+    DuckDB oracle replays it bit-for-bit.  Scale shape: the per-set
+    bottom-k is a TakeOrdered (partial per partition, k-merge at the
+    driver), the element frames are distinct-aggregations — no
+    all-pairs anything; a 100 TB set costs one pass."""
+    k = 64
+    m = F.lit(1152921504606846976)  # 2^60
+    ev = load_tables(spark, sf_dir)["events"]
+
+    def hashes(etype):
+        e = (ev.where(F.col("event_type") == etype)
+             .select(F.concat_ws("|", F.col("user_id"),
+                                 F.to_date("ts")).alias("e"))
+             .distinct())
+        return e.select(F.conv(F.substring(F.md5("e"), 1, 15), 16, 10)
+                        .cast("long").alias("h")).distinct()
+
+    def sketch(h, name):
+        bot = h.orderBy("h").limit(k)
+        return bot.agg(
+            F.count("*").alias(f"n_{name}"),
+            F.max("h").alias(f"kth_{name}"))
+
+    def est(n, kth):
+        # (k-1)*2^60 overflows BIGINT: lift to double FIRST (63*2^60
+        # is exactly representable — 6-bit mantissa), one IEEE divide
+        return F.when(n < k, n.cast("double")) \
+                .otherwise((k - 1) * m.cast("double") / kth)
+
+    ha, hb = hashes("click"), hashes("purchase")
+    hu = ha.unionByName(hb).distinct()
+    ku = hu.orderBy("h").limit(k)
+    shared = (ku.join(ha, "h", "left_semi")
+              .join(hb, "h", "left_semi")
+              .agg(F.count("*").alias("n_shared")))
+    row = (sketch(ha, "a").crossJoin(sketch(hb, "b"))
+           .crossJoin(sketch(hu, "u")).crossJoin(shared)
+           .crossJoin(ha.agg(F.count("*").alias("exact_a")))
+           .crossJoin(hb.agg(F.count("*").alias("exact_b"))))
+    eu = est(F.col("n_u"), F.col("kth_u"))
+    return row.select(
+        F.lit(k).alias("k"),
+        F.col("exact_a").cast("long").alias("exact_a"),
+        F.col("exact_b").cast("long").alias("exact_b"),
+        F.round(est(F.col("n_a"), F.col("kth_a")), 6).alias("est_a"),
+        F.round(est(F.col("n_b"), F.col("kth_b")), 6).alias("est_b"),
+        F.round(eu, 6).alias("est_union"),
+        F.round(F.col("n_shared") / F.col("n_u") * eu, 6)
+        .alias("est_inter"))
+
+
+_KMV_SETOPS_ORACLE = """
+WITH ha AS (
+  SELECT DISTINCT ('0x' || substr(md5(e), 1, 15))::BIGINT AS h
+  FROM (SELECT DISTINCT CAST(user_id AS VARCHAR) || '|'
+               || strftime(CAST(ts AS DATE), '%Y-%m-%d') AS e
+        FROM events WHERE event_type = 'click')),
+hb AS (
+  SELECT DISTINCT ('0x' || substr(md5(e), 1, 15))::BIGINT AS h
+  FROM (SELECT DISTINCT CAST(user_id AS VARCHAR) || '|'
+               || strftime(CAST(ts AS DATE), '%Y-%m-%d') AS e
+        FROM events WHERE event_type = 'purchase')),
+hu AS (SELECT h FROM ha UNION SELECT h FROM hb),
+ka AS (SELECT COUNT(*) AS n_a, MAX(h) AS kth_a
+       FROM (SELECT h FROM ha ORDER BY h LIMIT 64)),
+kb AS (SELECT COUNT(*) AS n_b, MAX(h) AS kth_b
+       FROM (SELECT h FROM hb ORDER BY h LIMIT 64)),
+kub AS (SELECT h FROM hu ORDER BY h LIMIT 64),
+ku AS (SELECT COUNT(*) AS n_u, MAX(h) AS kth_u FROM kub),
+sh AS (SELECT COUNT(*) AS n_shared FROM kub
+       WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)),
+ex AS (SELECT (SELECT COUNT(*) FROM ha) AS exact_a,
+              (SELECT COUNT(*) FROM hb) AS exact_b)
+SELECT 64 AS k,
+       CAST(exact_a AS BIGINT) AS exact_a,
+       CAST(exact_b AS BIGINT) AS exact_b,
+       ROUND(CASE WHEN n_a < 64 THEN CAST(n_a AS DOUBLE)
+                  ELSE 63 * CAST(1152921504606846976 AS DOUBLE) / kth_a END, 6) AS est_a,
+       ROUND(CASE WHEN n_b < 64 THEN CAST(n_b AS DOUBLE)
+                  ELSE 63 * CAST(1152921504606846976 AS DOUBLE) / kth_b END, 6) AS est_b,
+       ROUND(CASE WHEN n_u < 64 THEN CAST(n_u AS DOUBLE)
+                  ELSE 63 * CAST(1152921504606846976 AS DOUBLE) / kth_u END, 6)
+         AS est_union,
+       ROUND(n_shared / CAST(n_u AS DOUBLE)
+             * (CASE WHEN n_u < 64 THEN CAST(n_u AS DOUBLE)
+                     ELSE 63 * CAST(1152921504606846976 AS DOUBLE) / kth_u END), 6)
+         AS est_inter
+FROM ka, kb, ku, sh, ex
+"""
+
+
 def q_l_diversity(spark, sf_dir):
     """l-diversity audit (Machanavajjhala et al. 2007), the step after
     k-anonymity (q:k_anonymity): a QI class whose SENSITIVE attribute
@@ -16126,6 +16225,7 @@ FROM documents
 
 ORACLES: dict[str, str | None] = {
     "video_features": _VIDEO_FEATURES_ORACLE,
+    "kmv_setops": _KMV_SETOPS_ORACLE,
     "l_diversity": _L_DIVERSITY_ORACLE,
     "t_closeness": _T_CLOSENESS_ORACLE,
     "node_kind_counts": _NODE_KINDS_SQL,
@@ -18393,6 +18493,7 @@ QUERIES = {
     "video_features": q_video_features,
     "l_diversity": q_l_diversity,
     "t_closeness": q_t_closeness,
+    "kmv_setops": q_kmv_setops,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
