@@ -394,6 +394,50 @@ def expire_snapshots(path: str, keep_last: int = 1) -> int:
     return removed
 
 
+def cluster_by_zorder(df: DataFrame, cols: list[str], n_files: int = 8,
+                      bits: int = 12) -> DataFrame:
+    """Lay ``df`` out along a Z-order (Morton) curve over ``cols`` so
+    that each output file covers a small hyper-rectangle of the value
+    space — which turns the manifest's per-file min/max stats into an
+    effective MULTI-column file-skipping index (sorting by one column
+    only ever prunes that column; bit interleaving prunes all of them
+    at once).  This is the standard table-format clustering step
+    (Delta/Iceberg OPTIMIZE ZORDER), reduced to Spark primitives:
+
+    1. each column min-max-quantizes to ``bits`` levels (one tiny agg),
+    2. the z-value interleaves the column bits (pure codegen exprs),
+    3. ``repartitionByRange(n_files, z)`` + an in-partition sort give
+       contiguous curve segments, one per output file.
+
+    Commit the result with ``commit_snapshot(out.sortWithinPartitions
+    ('_z').drop(...))`` — actually the sort is applied here; just pass
+    the returned frame straight to :func:`commit_snapshot`.  Linear
+    quantization is skew-sensitive (a heavy-hitter value concentrates
+    curve mass); for skewed columns pre-bucket to ranks first."""
+    from pyspark.sql import functions as F
+    bounds = df.agg(*[f(c).alias(f"{f.__name__}_{c}")
+                      for c in cols for f in (F.min, F.max)]).collect()[0]
+    levels = (1 << bits) - 1
+    qs = []
+    for c in cols:
+        lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
+        span = (hi - lo) or 1
+        qs.append(F.least(
+            F.lit(levels),
+            F.floor((F.col(c).cast("double") - F.lit(lo))
+                    / F.lit(span) * levels).cast("long")))
+    nc = len(cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, q in enumerate(qs):
+            z = z + (F.shiftright(q, i).bitwiseAND(F.lit(1))
+                     * F.lit(1 << (i * nc + j)))
+    return (df.withColumn("_z", z)
+            .repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z"))
+
+
 def stream_to_snapshot(spark: SparkSession, source_dir: str, schema,
                        path: str, checkpoint: str):
     """Exactly-once streaming sink into a snapshot table.

@@ -624,6 +624,74 @@ def round6_entries(spark, n_docs=200_000, n_edges=2_000_000):
     timed(f"markov_transitions[{n_ev:,} events]", tr)
 
 
+def round7_entries(spark, n_rows=5_000_000, n_media=100_000,
+                   n_files=256):
+    """Stress the snapshot-table storage layer + container decoders
+    (``SCALE_STRESS_ONLY=round7``).
+
+    - manifest skipping: a 256-file z-ordered table vs the same data
+      row-ordered; a 2-column box probe should open a handful of files
+      on the clustered layout and all of them on the plain one.  The
+      prune itself is DRIVER-side manifest math (no Spark job), so its
+      cost is file-count-, not data-, proportional.
+    - decode throughput: MP4 box walk + WAV chunk walk over synthetic
+      payloads through the real mapInPandas operators (Arrow batches,
+      narrow map — the scaling shape is a pure scan).
+    """
+    import shutil
+    import tempfile
+    import time as _t
+
+    from graphydb_spark.operators import multimodal as M
+    from graphydb_spark.sources import snapshot as snap
+
+    base = spark.range(n_rows).select(
+        F.col("id"),
+        (F.xxhash64("id") % 100000).alias("x"),
+        (F.xxhash64(F.col("id") + 7) % 100000).alias("y"))
+    d = tempfile.mkdtemp()
+    try:
+        t0 = _t.perf_counter()
+        snap.commit_snapshot(base.repartition(n_files),
+                             os.path.join(d, "plain"))
+        t_plain = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        snap.commit_snapshot(
+            snap.cluster_by_zorder(base, ["x", "y"], n_files),
+            os.path.join(d, "zed"))
+        t_z = _t.perf_counter() - t0
+        print(f"snapshot_commit[{n_rows:,} rows x {n_files} files]: "
+              f"plain {t_plain:.2f}s  zorder {t_z:.2f}s")
+        box = {"x": (-100000, -80000), "y": (-100000, -80000)}
+        for name in ("plain", "zed"):
+            t0 = _t.perf_counter()
+            df = snap.read_snapshot(spark, os.path.join(d, name),
+                                    where=box)
+            n = df.count()
+            print(f"box_probe[{name}]: {_t.perf_counter() - t0:.2f}s  "
+                  f"files={len(df.inputFiles())}/{n_files}  rows={n}")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    media = (spark.range(n_media).repartition(64)
+             .select(F.col("id").alias("media_id")))
+
+    def mp4_payloads(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids = [int(v) for v in pdf["media_id"]]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "payload": [M.make_mp4(16 + i % 300, 16 + i % 200,
+                                       1 + i % 240) for i in ids],
+                "media_type": ["video"] * len(ids),
+                "meta": [{}] * len(ids)})
+
+    vids = media.mapInPandas(mp4_payloads, schema=M.MEDIA_SCHEMA)
+    vids = vids.localCheckpoint(eager=True)
+    timed(f"video_features[{n_media:,} mp4]", M.video_features(vids))
+
+
 if __name__ == "__main__":
     if os.environ.get("SCALE_STRESS_ONLY") == "round4":
         _s = get_spark(app="scale_stress")
@@ -640,6 +708,11 @@ if __name__ == "__main__":
         _s.sparkContext.setLogLevel("ERROR")
         _s.conf.set("spark.sql.shuffle.partitions", "64")
         round6_entries(_s)
+    elif os.environ.get("SCALE_STRESS_ONLY") == "round7":
+        _s = get_spark(app="scale_stress")
+        _s.sparkContext.setLogLevel("ERROR")
+        _s.conf.set("spark.sql.shuffle.partitions", "64")
+        round7_entries(_s)
     elif os.environ.get("SCALE_STRESS_ONLY") == "analytics":
         _s = get_spark(app="scale_stress")
         _s.sparkContext.setLogLevel("ERROR")

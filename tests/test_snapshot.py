@@ -215,3 +215,26 @@ def test_incremental_read_refuses_rewrites(spark, table):
     # delta after the rewrite is fine
     d = snap.read_snapshot_changes(spark, table, since_version=2)
     assert sorted(r["id"] for r in d.collect()) == [10, 11]
+
+
+def test_zorder_clustering_prunes_multi_column_boxes(spark, tmp_path):
+    # two independent uniform columns: a row-order layout gives every
+    # file the full range of both (no skipping); the z-order layout
+    # gives each file a small (x, y) rectangle
+    base = spark.range(20000).select(
+        F.col("id"),
+        (F.xxhash64("id") % 1000).alias("x"),
+        (F.xxhash64(F.col("id") + 7) % 1000).alias("y"))
+    plain_t = str(tmp_path / "plain")
+    z_t = str(tmp_path / "zed")
+    snap.commit_snapshot(base.repartition(8), plain_t)
+    snap.commit_snapshot(snap.cluster_by_zorder(base, ["x", "y"], 8),
+                         z_t)
+    box = {"x": (-1000, -700), "y": (-1000, -700)}  # ~2.3% of space
+    plain = snap.read_snapshot(spark, plain_t, where=box)
+    zed = snap.read_snapshot(spark, z_t, where=box)
+    n_plain, n_zed = len(plain.inputFiles()), len(zed.inputFiles())
+    assert n_plain == 8          # row-order layout: nothing skips
+    assert n_zed <= 3            # z-order: the box touches few files
+    assert sorted(r["id"] for r in plain.collect()) == \
+        sorted(r["id"] for r in zed.collect())  # identical results
