@@ -394,6 +394,41 @@ def expire_snapshots(path: str, keep_last: int = 1) -> int:
     return removed
 
 
+def merge_snapshot(spark: SparkSession, path: str, updates: DataFrame,
+                   key: str | list[str], delete_col: str | None = None
+                   ) -> int:
+    """MERGE INTO the snapshot table: rows in ``updates`` replace
+    current rows with the same ``key``, new keys insert, and (when
+    ``delete_col`` names a boolean column) delete-marked keys drop —
+    the upsert sink (reference save semantics, SURVEY.md §2.1 S6/S7)
+    expressed against immutable storage: one anti-join of the current
+    version against the update keys + a union, committed as a NEW
+    version, so concurrent readers keep their snapshot and time travel
+    spans the merge.
+
+    Scale shape: the anti-join is the only wide operation and it
+    shuffles on the merge key; updates are usually a small fraction of
+    the table, so AQE broadcasts the update-key side.  (A format with
+    file-level deletes would rewrite only matched files — manifest
+    stats make the matched-file set computable — but rewriting the
+    logical table keeps the commit protocol untouched and is the
+    correct baseline.)  Duplicate keys WITHIN ``updates`` are an
+    error-by-construction ambiguity; last-writer-wins needs an
+    explicit pre-dedup by the caller."""
+    keys = [key] if isinstance(key, str) else list(key)
+    cur = read_snapshot(spark, path)
+    from pyspark.sql import functions as F
+    if delete_col is not None:
+        dels = updates.where(F.col(delete_col)).select(*keys)
+        ups = updates.where(~F.col(delete_col)).drop(delete_col)
+        touched = ups.select(*keys).unionByName(dels)
+    else:
+        ups = updates
+        touched = ups.select(*keys)
+    merged = cur.join(touched, keys, "left_anti").unionByName(ups)
+    return commit_snapshot(merged, path, mode="overwrite")
+
+
 def cluster_by_zorder(df: DataFrame, cols: list[str], n_files: int = 8,
                       bits: int = 12) -> DataFrame:
     """Lay ``df`` out along a Z-order (Morton) curve over ``cols`` so

@@ -332,3 +332,19 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_privacy_and_sketch_queries_broadcast_only(spark):
+    """l_diversity / t_closeness / kmv_setops: every join is either a
+    broadcast hash join (dims, dense segment grid) or a 1-row scalar
+    BNLJ — a sort-merge join appearing here would mean a dim-sized
+    frame started shuffling the fact side."""
+    from graphydb_spark import queries as Q
+    for name in ("l_diversity", "t_closeness", "kmv_setops"):
+        df = Q.QUERIES[name](spark, "/root/testdata/sf0.001")
+        df.collect()
+        p = plan_of(df)
+        assert "SortMergeJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+    p = plan_of(Q.QUERIES["t_closeness"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in p

@@ -238,3 +238,42 @@ def test_zorder_clustering_prunes_multi_column_boxes(spark, tmp_path):
     assert n_zed <= 3            # z-order: the box touches few files
     assert sorted(r["id"] for r in plain.collect()) == \
         sorted(r["id"] for r in zed.collect())  # identical results
+
+
+def test_merge_snapshot_upsert_insert_delete(spark, table):
+    snap.commit_snapshot(_df(spark, 0, 5), table)  # ids 0..4, val=2*id
+    updates = spark.createDataFrame(
+        [(2, 999, False),   # update existing
+         (7, 700, False),   # insert new
+         (4, 0, True)],     # delete existing
+        "id long, val long, is_delete boolean")
+    v = snap.merge_snapshot(spark, table, updates, "id",
+                            delete_col="is_delete")
+    assert v == 2
+    got = {r["id"]: r["val"] for r in
+           snap.read_snapshot(spark, table).collect()}
+    assert got == {0: 0, 1: 2, 2: 999, 3: 6, 7: 700}
+    # pre-merge version still readable (time travel across the merge)
+    old = {r["id"]: r["val"] for r in
+           snap.read_snapshot(spark, table, version=1).collect()}
+    assert old == {0: 0, 1: 2, 2: 4, 3: 6, 4: 8}
+
+
+def test_merge_snapshot_without_delete_col(spark, table):
+    snap.commit_snapshot(_df(spark, 0, 3), table)
+    ups = spark.createDataFrame([(1, 111), (9, 900)], "id long, val long")
+    snap.merge_snapshot(spark, table, ups, "id")
+    got = {r["id"]: r["val"] for r in
+           snap.read_snapshot(spark, table).collect()}
+    assert got == {0: 0, 1: 111, 2: 4, 9: 900}
+
+
+def test_additive_schema_evolution(spark, table):
+    snap.commit_snapshot(_df(spark, 0, 3), table)
+    wider = _df(spark, 3, 5).withColumn("tag", F.lit("b"))
+    snap.commit_snapshot(wider, table)  # append with an added column
+    out = snap.read_snapshot(spark, table)
+    assert out.schema.fieldNames() == ["id", "val", "tag"]
+    rows = {r["id"]: r["tag"] for r in out.collect()}
+    # old files surface null for the new column; new files carry it
+    assert rows[0] is None and rows[4] == "b"
