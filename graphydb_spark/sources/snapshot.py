@@ -444,30 +444,15 @@ def cluster_by_zorder(df: DataFrame, cols: list[str], n_files: int = 8,
     3. ``repartitionByRange(n_files, z)`` + an in-partition sort give
        contiguous curve segments, one per output file.
 
-    Commit the result with ``commit_snapshot(out.sortWithinPartitions
-    ('_z').drop(...))`` — actually the sort is applied here; just pass
-    the returned frame straight to :func:`commit_snapshot`.  Linear
-    quantization is skew-sensitive (a heavy-hitter value concentrates
-    curve mass); for skewed columns pre-bucket to ranks first."""
-    from pyspark.sql import functions as F
-    bounds = df.agg(*[f(c).alias(f"{f.__name__}_{c}")
-                      for c in cols for f in (F.min, F.max)]).collect()[0]
-    levels = (1 << bits) - 1
-    qs = []
-    for c in cols:
-        lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
-        span = (hi - lo) or 1
-        qs.append(F.least(
-            F.lit(levels),
-            F.floor((F.col(c).cast("double") - F.lit(lo))
-                    / F.lit(span) * levels).cast("long")))
-    nc = len(cols)
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        for j, q in enumerate(qs):
-            z = z + (F.shiftright(q, i).bitwiseAND(F.lit(1))
-                     * F.lit(1 << (i * nc + j)))
-    return (df.withColumn("_z", z)
+    Pass the returned frame straight to :func:`commit_snapshot`.  The
+    Morton key itself is :func:`graphydb_spark.operators.pipeline.
+    zorder_key` (shared with the raw-parquet ``write_zordered`` sink —
+    same curve, different stats consumer: manifest min/max here,
+    parquet footers there).  Linear quantization is skew-sensitive (a
+    heavy-hitter value concentrates curve mass); for skewed columns
+    pre-bucket to ranks first."""
+    from ..operators.pipeline import zorder_key
+    return (df.withColumn("_z", zorder_key(df, cols, bits))
             .repartitionByRange(n_files, "_z")
             .sortWithinPartitions("_z")
             .drop("_z"))
