@@ -217,16 +217,14 @@ def commit_snapshot(df: DataFrame, path: str, mode: str = "append",
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(path, exist_ok=True)
-    if txn is not None:
-        for h in snapshot_history(path):
-            if h["txn"] == txn:
-                return h["version"]
+    if txn is not None and _txn_seen(path, txn):
+        return _txn_version(path, txn)
     files, schema_json = _stage_files(df, path)
     stats = _file_stats(path, files)
     for _ in range(max_retries):
         head = _head(path)
+        parent = _read_manifest(path, head) if head else {}
         if mode == "append" and head:
-            parent = _read_manifest(path, head)
             base = parent["files"]
             base_stats = parent.get("file_stats", {})
         else:
@@ -234,19 +232,61 @@ def commit_snapshot(df: DataFrame, path: str, mode: str = "append",
         manifest = {"action": mode, "parent": head,
                     "files": base + files, "schema": schema_json,
                     "file_stats": {**base_stats, **stats},
-                    "committed_at": time.time(), "txn": txn}
+                    "committed_at": time.time(), "txn": txn,
+                    # per-source high-water marks carried forward on
+                    # EVERY action, so the idempotence probe is one
+                    # head-manifest read, not a history scan (O(1) per
+                    # commit instead of O(versions) — the difference
+                    # between a year-old streaming table and a stalled
+                    # one); same design as Delta's txn appIds
+                    "txn_wm": _merge_wm(parent.get("txn_wm", {}), txn)}
         try:
             _commit_manifest(path, head + 1, manifest)
             return head + 1
         except CommitConflict:
             if mode == "overwrite":
                 raise
-            if txn is not None:
-                for h in snapshot_history(path):
-                    if h["txn"] == txn:
-                        return h["version"]
+            if txn is not None and _txn_seen(path, txn):
+                return _txn_version(path, txn)
     raise CommitConflict(
         f"append to {path!r} lost {max_retries} commit races")
+
+
+def _is_stream_txn(txn) -> bool:
+    return (isinstance(txn, dict) and set(txn) == {"source", "batch"}
+            and isinstance(txn["batch"], int))
+
+
+def _merge_wm(wm: dict, txn) -> dict:
+    if not _is_stream_txn(txn):
+        return wm
+    prev = wm.get(str(txn["source"]), -1)
+    return {**wm, str(txn["source"]): max(prev, txn["batch"])}
+
+
+def _txn_seen(path: str, txn) -> bool:
+    """O(1) idempotence probe for (source, batch) stream tokens via the
+    head manifest's watermark map; arbitrary tokens (and tables written
+    before watermarks existed) fall back to the history scan."""
+    head = _head(path)
+    if not head:
+        return False
+    if _is_stream_txn(txn):
+        m = _read_manifest(path, head)
+        wm = m.get("txn_wm")
+        if wm is not None:
+            return wm.get(str(txn["source"]), -1) >= txn["batch"]
+    return any(h["txn"] == txn for h in snapshot_history(path))
+
+
+def _txn_version(path: str, txn) -> int:
+    """The version that committed ``txn`` (slow path — only reached on
+    an actual replay, never on the per-commit probe).  Falls back to
+    the head for watermark-covered tokens whose manifest was expired."""
+    for h in reversed(snapshot_history(path)):
+        if h["txn"] == txn:
+            return h["version"]
+    return _head(path)
 
 
 def read_snapshot(spark: SparkSession, path: str,

@@ -277,3 +277,47 @@ def test_additive_schema_evolution(spark, table):
     rows = {r["id"]: r["tag"] for r in out.collect()}
     # old files surface null for the new column; new files carry it
     assert rows[0] is None and rows[4] == "b"
+
+
+def test_txn_watermark_probe_is_single_manifest_read(spark, table):
+    # three stream batches from one source
+    for b in range(3):
+        snap.commit_snapshot(_df(spark, b * 5, b * 5 + 5), table,
+                             txn={"source": "s1", "batch": b})
+    m = snap._read_manifest(table, 3)
+    assert m["txn_wm"] == {"s1": 2}
+    # replayed batch: watermark short-circuits (count manifest reads)
+    reads = {"n": 0}
+    real = snap._read_manifest
+
+    def counting(path, version):
+        reads["n"] += 1
+        return real(path, version)
+
+    snap._read_manifest = counting
+    try:
+        snap.commit_snapshot(_df(spark, 0, 5), table,
+                             txn={"source": "s1", "batch": 1})
+        replay_reads = reads["n"]   # probe hit + version lookup
+        reads["n"] = 0
+        snap.commit_snapshot(_df(spark, 90, 91), table,
+                             txn={"source": "s1", "batch": 3})
+        fresh_reads = reads["n"]
+    finally:
+        snap._read_manifest = real
+    # the COMMON path (fresh batch) must not scan history: one read for
+    # the watermark probe + one for the parent manifest, regardless of
+    # how many versions exist
+    assert fresh_reads == 2, fresh_reads
+    assert replay_reads >= 1       # replays may scan to find the version
+    assert snap.read_snapshot(spark, table).count() == 16  # no doubles
+    # a NEW source is independent
+    v = snap.commit_snapshot(_df(spark, 100, 101), table,
+                             txn={"source": "s2", "batch": 0})
+    assert v == 5
+    assert snap._read_manifest(table, 5)["txn_wm"] == {"s1": 3, "s2": 0}
+    # watermarks survive an overwrite (exactly-once across rewrites)
+    snap.commit_snapshot(_df(spark, 0, 1), table, mode="overwrite")
+    assert snap.commit_snapshot(
+        _df(spark, 0, 5), table, txn={"source": "s1", "batch": 2}) <= 6
+    assert snap.read_snapshot(spark, table).count() == 1  # replay no-op
