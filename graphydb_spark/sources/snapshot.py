@@ -434,6 +434,70 @@ def expire_snapshots(path: str, keep_last: int = 1) -> int:
     return removed
 
 
+def refresh_aggregate(spark: SparkSession, table_path: str,
+                      agg_path: str, keys: list[str],
+                      measures: dict) -> int | None:
+    """Incrementally maintained grouped aggregate (materialized view)
+    over a snapshot table — the storage-integrated form of the
+    merge(base, delta) == recompute algebra q:incremental_agg proves:
+
+    - reads EXACTLY the rows appended since the last refresh
+      (:func:`read_snapshot_changes`), aggregates only them, and
+      merges the mergeable partial states into the stored view
+      (count/sum → sum, min → min, max → max);
+    - commits the view with the consumed head version as its stream
+      txn token, so the "which rows have I folded in" bookkeeping IS
+      the manifest watermark: a crashed-and-rerun refresh replays as a
+      no-op and the view is exactly-once under at-least-once driving;
+    - a non-append range (someone overwrote/compacted the base) makes
+      the delta unrepresentable — the refresh falls back to a full
+      recompute automatically, same trigger Delta/Iceberg MV engines
+      use.
+
+    ``measures``: ``{out_col: ("count", None) | ("sum"|"min"|"max",
+    in_col)}``.  Returns the new view version, or None when the base
+    had nothing new.  At 100 TB this is the difference between an
+    hourly dashboard costing one micro-batch scan and one full-table
+    scan."""
+    from pyspark.sql import functions as F
+    src = f"agg:{table_path}"
+    consumed = -1
+    if snapshot_versions(agg_path):
+        wm = _read_manifest(agg_path, _head(agg_path)).get("txn_wm", {})
+        consumed = wm.get(src, -1)
+    head = _head(table_path)
+    if head == consumed:
+        return None
+
+    def agg_of(df):
+        aggs = []
+        for out, (fn, col) in measures.items():
+            if fn == "count":
+                aggs.append(F.count(F.lit(1)).alias(out))
+            else:
+                aggs.append(getattr(F, fn)(col).alias(out))
+        return df.groupBy(*keys).agg(*aggs)
+
+    def combine(df):
+        aggs = []
+        for out, (fn, _col) in measures.items():
+            merge_fn = F.sum if fn in ("count", "sum") else getattr(F, fn)
+            aggs.append(merge_fn(out).alias(out))
+        return df.groupBy(*keys).agg(*aggs)
+
+    try:
+        delta = read_snapshot_changes(spark, table_path,
+                                      max(consumed, 0), head)
+        fresh = agg_of(delta)
+        if consumed > 0:
+            cur = read_snapshot(spark, agg_path)
+            fresh = combine(cur.unionByName(fresh))
+    except ValueError:  # rewrite in range: delta not representable
+        fresh = agg_of(read_snapshot(spark, table_path, head))
+    return commit_snapshot(fresh, agg_path, mode="overwrite",
+                           txn={"source": src, "batch": head})
+
+
 def merge_snapshot(spark: SparkSession, path: str, updates: DataFrame,
                    key: str | list[str], delete_col: str | None = None
                    ) -> int:

@@ -321,3 +321,42 @@ def test_txn_watermark_probe_is_single_manifest_read(spark, table):
     assert snap.commit_snapshot(
         _df(spark, 0, 5), table, txn={"source": "s1", "batch": 2}) <= 6
     assert snap.read_snapshot(spark, table).count() == 1  # replay no-op
+
+
+def test_refresh_aggregate_incremental_equals_recompute(spark, tmp_path):
+    tbl = str(tmp_path / "base")
+    agg = str(tmp_path / "agg")
+    meas = {"n": ("count", None), "s": ("sum", "val"),
+            "mn": ("min", "val"), "mx": ("max", "val")}
+
+    def expect():
+        cur = snap.read_snapshot(spark, tbl)
+        return {(r["grp"],): (r["n"], r["s"], r["mn"], r["mx"])
+                for r in cur.groupBy((F.col("id") % 3).alias("grp"))
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"),
+                     F.min("val").alias("mn"), F.max("val").alias("mx"))
+                .collect()}
+
+    def got():
+        return {(r["grp"],): (r["n"], r["s"], r["mn"], r["mx"])
+                for r in snap.read_snapshot(spark, agg).collect()}
+
+    def base_df(lo, hi):
+        return _df(spark, lo, hi).withColumn("grp", F.col("id") % 3)
+
+    snap.commit_snapshot(base_df(0, 10), tbl)
+    v1 = snap.refresh_aggregate(spark, tbl, agg, ["grp"], meas)
+    assert v1 == 1 and got() == expect()
+    # idempotent: nothing new -> no-op, version unchanged
+    assert snap.refresh_aggregate(spark, tbl, agg, ["grp"], meas) is None
+    assert snap.snapshot_versions(agg) == [1]
+    # two more appends, one refresh folds both
+    snap.commit_snapshot(base_df(10, 25), tbl)
+    snap.commit_snapshot(base_df(25, 30), tbl)
+    assert snap.refresh_aggregate(spark, tbl, agg, ["grp"], meas) == 2
+    assert got() == expect()
+    # compaction breaks the pure-append delta -> full recompute path
+    snap.compact_snapshot(spark, tbl, target_files=1)
+    snap.commit_snapshot(base_df(30, 33), tbl)
+    assert snap.refresh_aggregate(spark, tbl, agg, ["grp"], meas) == 3
+    assert got() == expect()
