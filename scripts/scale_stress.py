@@ -673,6 +673,21 @@ def round7_entries(spark, n_rows=5_000_000, n_media=100_000,
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
+    d2 = tempfile.mkdtemp()
+    try:
+        base2 = spark.range(n_rows).select(
+            F.col("id"), (F.col("id") * 2).alias("val"))
+        snap.commit_snapshot(base2.repartition(64),
+                             os.path.join(d2, "m"))
+        ups = spark.range(n_rows // 100).select(
+            (F.col("id") * 100).alias("id"), F.lit(-1).alias("val"))
+        t0 = _t.perf_counter()
+        snap.merge_snapshot(spark, os.path.join(d2, "m"), ups, "id")
+        print(f"merge_snapshot[{n_rows // 100:,} into {n_rows:,}]: "
+              f"{_t.perf_counter() - t0:.2f}s")
+    finally:
+        shutil.rmtree(d2, ignore_errors=True)
+
     media = (spark.range(n_media).repartition(64)
              .select(F.col("id").alias("media_id")))
 
