@@ -15970,6 +15970,59 @@ ORDER BY cf DESC, term LIMIT 30
 """
 
 
+def q_weighted_reservoir(spark, sf_dir):
+    """Exact-size weighted sampling WITHOUT replacement per group —
+    Efraimidis–Spirakis A-Res, the distributed answer when "sample
+    exactly k docs per source, probability ∝ length" must be one pass
+    (hash-gated Bernoulli — q:weighted_sample — only controls the
+    EXPECTED size): each row draws key = -ln(u)/w and the k smallest
+    keys win, which provably equals sequential weighted sampling.
+    Deterministic + libm-proof: u = (h+1)/2^60 from a 60-bit md5, so
+    -ln(u) = ln(2^60) − ln(h+1) computes on the 9 dp integer-ln ladder
+    (exact DECIMAL subtraction), and the final key is one IEEE divide
+    of that decimal by the weight.  Scale shape: one hash + one
+    per-group top-k window (map-side partial TakeOrdered at 100 TB via
+    groupBy-min_by alternatives; the window here is per-source)."""
+    k = 10
+    docs = _docs(spark, sf_dir).select("source", "doc_id", "n_chars")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long")
+    ln_u = (F.lit("41.588830834").cast("decimal(18,9)")
+            - F.round(F.log((h + 1).cast("double")), 9)
+            .cast("decimal(18,9)"))
+    key = ln_u.cast("double") / (F.col("n_chars") + 1).cast("double")
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("source").orderBy(
+        F.asc("key"), F.asc("doc_id"))
+    return (docs.withColumn("key", key)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("source", "rk", "doc_id",
+                    F.col("n_chars").cast("long").alias("n_chars")))
+
+
+_WEIGHTED_RESERVOIR_ORACLE = """
+WITH d AS (
+  SELECT source, doc_id, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM documents),
+keyed AS (
+  SELECT source, doc_id, n_chars,
+         CAST(CAST('41.588830834' AS DECIMAL(18,9))
+              - CAST(round(ln(CAST(h + 1 AS DOUBLE)), 9)
+                     AS DECIMAL(18,9)) AS DOUBLE)
+         / CAST(n_chars + 1 AS DOUBLE) AS key
+  FROM d)
+SELECT source, rk, doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY key ASC, doc_id ASC) AS rk
+  FROM keyed)
+WHERE rk <= 10
+"""
+
+
 def q_kmv_setops(spark, sf_dir):
     """KMV (bottom-k / theta) sketch set operations — the mergeable
     distinct-count sketch family (Beyer et al. 2007) alongside
@@ -16226,6 +16279,7 @@ FROM documents
 ORACLES: dict[str, str | None] = {
     "video_features": _VIDEO_FEATURES_ORACLE,
     "kmv_setops": _KMV_SETOPS_ORACLE,
+    "weighted_reservoir": _WEIGHTED_RESERVOIR_ORACLE,
     "l_diversity": _L_DIVERSITY_ORACLE,
     "t_closeness": _T_CLOSENESS_ORACLE,
     "node_kind_counts": _NODE_KINDS_SQL,
@@ -18494,6 +18548,7 @@ QUERIES = {
     "l_diversity": q_l_diversity,
     "t_closeness": q_t_closeness,
     "kmv_setops": q_kmv_setops,
+    "weighted_reservoir": q_weighted_reservoir,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
