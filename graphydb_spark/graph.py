@@ -277,6 +277,31 @@ class Graph:
         self.path = path
         return head + 1
 
+    @staticmethod
+    def expire_versions(path: str, keep_last: int = 1) -> int:
+        """GC a :meth:`write_versioned` store: keep the newest
+        ``keep_last`` graph versions, then expire the node/edge
+        snapshot tables pinning exactly the table versions the
+        surviving graph manifests still reference — a node-table
+        version can never disappear out from under a readable graph
+        version.  Returns data files deleted."""
+        from .sources import snapshot as _snap
+        vs = _snap.snapshot_versions(path)
+        keep = vs[-keep_last:]
+        pin_n, pin_e = set(), set()
+        for v in keep:
+            meta = _snap._read_manifest(path, v)["graph_meta"]
+            pin_n.add(meta["nodes_version"])
+            pin_e.add(meta["edges_version"])
+        removed = 0
+        for v in vs[:-keep_last]:
+            os.remove(_snap._manifest_path(path, v))
+        removed += _snap.expire_snapshots(
+            f"{path}/nodes", keep_last=1, keep_versions=pin_n)
+        removed += _snap.expire_snapshots(
+            f"{path}/edges", keep_last=1, keep_versions=pin_e)
+        return removed
+
     @classmethod
     def open_versioned(cls, spark: SparkSession, path: str,
                        version: int | None = None) -> "Graph":

@@ -409,15 +409,20 @@ def compact_snapshot(spark: SparkSession, path: str,
     return head + 1
 
 
-def expire_snapshots(path: str, keep_last: int = 1) -> int:
+def expire_snapshots(path: str, keep_last: int = 1,
+                     keep_versions: set | None = None) -> int:
     """Garbage-collect: drop all but the newest ``keep_last`` manifests
-    and delete data files no surviving manifest references.  Returns
-    the number of data files deleted.  Time travel reaches only as far
-    back as the oldest surviving manifest afterwards."""
+    (plus any explicitly pinned in ``keep_versions``) and delete data
+    files no surviving manifest references.  Returns the number of
+    data files deleted.  Time travel reaches only the surviving
+    manifests afterwards."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     vs = snapshot_versions(path)
-    drop, keep = vs[:-keep_last], vs[-keep_last:]
+    pinned = keep_versions or set()
+    keep_set = set(vs[-keep_last:]) | (pinned & set(vs))
+    drop = [v for v in vs if v not in keep_set]
+    keep = [v for v in vs if v in keep_set]
     live: set[str] = set()
     for v in keep:
         live.update(_read_manifest(path, v)["files"])

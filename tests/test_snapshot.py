@@ -360,3 +360,20 @@ def test_refresh_aggregate_incremental_equals_recompute(spark, tmp_path):
     snap.commit_snapshot(base_df(30, 33), tbl)
     assert snap.refresh_aggregate(spark, tbl, agg, ["grp"], meas) == 3
     assert got() == expect()
+
+
+def test_graph_expire_versions_pins_referenced_tables(spark, tmp_path):
+    from graphydb_spark import Graph
+    store = str(tmp_path / "gexp")
+    g = Graph(spark)
+    for i in range(3):
+        g.Node("P", name=f"n{i}").save()
+        g.write_versioned(store)
+    assert snap.snapshot_versions(store) == [1, 2, 3]
+    removed = Graph.expire_versions(store, keep_last=1)
+    assert removed > 0
+    assert snap.snapshot_versions(store) == [3]
+    g3 = Graph.open_versioned(spark, store)
+    assert g3.stats["nodes"] == 3
+    with pytest.raises(FileNotFoundError):
+        Graph.open_versioned(spark, store, version=1)
