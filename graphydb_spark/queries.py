@@ -15970,6 +15970,98 @@ ORDER BY cf DESC, term LIMIT 30
 """
 
 
+def q_wasserstein_drift(spark, sf_dir):
+    """1-D Wasserstein-1 (earth-mover) distance between the 1996 and
+    1997+ order-value distributions, per market segment — the drift
+    metric that, unlike PSI (q:psi_drift) and JSD (q:jsd_daily_mix),
+    weighs HOW FAR mass moved, not just that bins changed; unlike KS
+    (q:ks_statistic) it integrates the whole CDF gap instead of taking
+    its sup.  On a $5k bucket grid, W1 = width · Σ_b |F_ref(b) −
+    F_cur(b)|, computed EXACTLY: the summand is the BIGINT
+    |cum_ref·N_cur − cum_cur·N_ref| (order-free sum), and only the
+    final width/(N_ref·N_cur) scaling is IEEE.  Shapes: one
+    aggregation on (segment, bucket, window), cumulative sums over the
+    per-segment bucket grid (bounded: ≤ ~120 buckets), broadcast
+    totals — scales as a pure groupBy."""
+    o = load_tables(spark, sf_dir)["orders"]
+    c = load_tables(spark, sf_dir)["customer"]
+    width = 5000
+    rows = (o.join(F.broadcast(c.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment")),
+                "o_custkey")
+            .select("c_mktsegment",
+                    F.floor(F.col("o_totalprice").cast("double")
+                            / width).cast("long").alias("b"),
+                    (F.col("o_orderdate") < F.lit("1997-01-01"))
+                    .alias("is_ref")))
+    cnt = (rows.groupBy("c_mktsegment", "b")
+           .agg(F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+                .alias("n_ref"),
+                F.sum(F.when(~F.col("is_ref"), 1).otherwise(0))
+                .alias("n_cur")))
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("c_mktsegment").orderBy("b")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = cnt.select(
+        "c_mktsegment", "b",
+        F.sum("n_ref").over(w).alias("cum_ref"),
+        F.sum("n_cur").over(w).alias("cum_cur"))
+    tot = (rows.groupBy("c_mktsegment")
+           .agg(F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+                .alias("t_ref"),
+                F.sum(F.when(~F.col("is_ref"), 1).otherwise(0))
+                .alias("t_cur")))
+    return (cum.join(F.broadcast(tot), "c_mktsegment")
+            .groupBy("c_mktsegment")
+            .agg(F.sum(F.abs(F.col("cum_ref") * F.col("t_cur")
+                             - F.col("cum_cur") * F.col("t_ref")))
+                 .alias("num"),
+                 F.min("t_ref").alias("t_ref"),
+                 F.min("t_cur").alias("t_cur"))
+            .select(F.col("c_mktsegment").alias("segment"),
+                    F.col("t_ref").cast("long").alias("n_ref"),
+                    F.col("t_cur").cast("long").alias("n_cur"),
+                    F.round(F.lit(width) * F.col("num")
+                            / (F.col("t_ref").cast("double")
+                               * F.col("t_cur").cast("double")), 6)
+                    .alias("w1_dollars")))
+
+
+_WASSERSTEIN_ORACLE = """
+WITH rows_ AS (
+  SELECT c_mktsegment,
+         CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 5000) AS BIGINT) AS b,
+         o_orderdate < DATE '1997-01-01' AS is_ref
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+cnt AS (
+  SELECT c_mktsegment, b,
+         SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+         SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS n_cur
+  FROM rows_ GROUP BY 1, 2),
+cum AS (
+  SELECT c_mktsegment, b,
+         SUM(n_ref) OVER (PARTITION BY c_mktsegment ORDER BY b
+                          ROWS UNBOUNDED PRECEDING) AS cum_ref,
+         SUM(n_cur) OVER (PARTITION BY c_mktsegment ORDER BY b
+                          ROWS UNBOUNDED PRECEDING) AS cum_cur
+  FROM cnt),
+tot AS (
+  SELECT c_mktsegment,
+         SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS t_ref,
+         SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS t_cur
+  FROM rows_ GROUP BY 1)
+SELECT cum.c_mktsegment AS segment,
+       CAST(MIN(tot.t_ref) AS BIGINT) AS n_ref,
+       CAST(MIN(tot.t_cur) AS BIGINT) AS n_cur,
+       ROUND(5000 * SUM(ABS(cum.cum_ref * tot.t_cur
+                            - cum.cum_cur * tot.t_ref))
+             / (CAST(MIN(tot.t_ref) AS DOUBLE)
+                * CAST(MIN(tot.t_cur) AS DOUBLE)), 6) AS w1_dollars
+FROM cum JOIN tot USING (c_mktsegment)
+GROUP BY 1
+"""
+
+
 def q_weighted_reservoir(spark, sf_dir):
     """Exact-size weighted sampling WITHOUT replacement per group —
     Efraimidis–Spirakis A-Res, the distributed answer when "sample
