@@ -1,0 +1,218 @@
+"""Persisted vector / near-dup indexes over snapshot tables.
+
+The in-memory operators (similarity.ivf_index, dedup.minhash_lsh_pairs)
+recompute the index per run — right for one-shot jobs, wrong for the
+standing 100 TB pipeline, where the corpus is indexed ONCE and every
+daily ingest only probes + appends.  This module is that standing form:
+
+* **IVF**: :func:`build_ivf_table` trains k-means, lays assignments out
+  range-partitioned BY CELL and commits them as a snapshot table with
+  the centroids riding in the manifest's ``meta`` sidecar (atomic with
+  the files — a reader can never pair new centroids with old cells).
+  :func:`probe_ivf_table` picks the ``nprobe`` nearest cells on the
+  driver (k×dim floats) and reads ONLY the files whose manifest min/max
+  can contain those cells — at 1M files and nprobe=2/k=1024, the scan
+  opens ~0.2% of the table before Spark lists a single extra file.
+
+* **MinHash-LSH**: :func:`build_minhash_index` stores one row per doc
+  (signature + banded bucket hashes, parameters in ``meta``);
+  :func:`probe_minhash_index` minhashes the incoming batch with the
+  SAME parameters and broadcast-joins it against the index — the
+  corpus-sized side never shuffles, the only moving bytes are the
+  batch's band rows.  :func:`append_minhash_index` adds a batch's
+  signatures with an exactly-once ``txn`` token, so a replayed ingest
+  job cannot double-insert.
+
+Estimated Jaccard comes from signature component agreement (the
+unbiased MinHash estimator) — no document text lives in the index, so
+index bytes are ~n_hashes×32 per doc regardless of document size.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.snapshot import (commit_snapshot, read_snapshot,
+                                snapshot_meta, snapshot_versions,
+                                _may_match, _read_manifest)
+from .dedup import minhash_signature
+from .similarity import cosine_expr, ivf_index, vec_lit
+
+__all__ = ["build_ivf_table", "probe_ivf_table", "ivf_probe_files",
+           "build_minhash_index", "probe_minhash_index",
+           "append_minhash_index"]
+
+
+# --------------------------------------------------------------------- IVF
+
+def build_ivf_table(emb: DataFrame, path: str, k: int = 16,
+                    iters: int = 3, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    files_per_cell: float = 0.5) -> int:
+    """Train IVF and publish ``(cluster, id, vector)`` as a snapshot
+    table clustered by cell.  ``repartitionByRange`` + in-partition sort
+    give each parquet file a narrow [min,max] cluster interval, which is
+    what makes the manifest's per-file stats an effective inverted
+    index; ``files_per_cell`` scales file count (0.5 → ~2 cells/file).
+    Returns the committed version."""
+    assigned, centroids = ivf_index(emb, k=k, iters=iters,
+                                    id_col=id_col, vec_col=vec_col)
+    n_files = max(1, int(k * files_per_cell))
+    laid = (assigned.select("cluster", id_col, vec_col)
+            .repartitionByRange(n_files, "cluster")
+            .sortWithinPartitions("cluster"))
+    return commit_snapshot(
+        laid, path, mode="overwrite",
+        meta={"kind": "ivf", "k": k, "iters": iters,
+              "id_col": id_col, "vec_col": vec_col,
+              "centroids": centroids})
+
+
+def _nearest_cells(centroids: list[list[float]],
+                   query_vec: list[float], nprobe: int) -> list[int]:
+    dists = [(i, sum((a - b) ** 2 for a, b in zip(c, query_vec)))
+             for i, c in enumerate(centroids)]
+    return [i for i, _ in sorted(dists, key=lambda t: t[1])[:nprobe]]
+
+
+def probe_ivf_table(spark: SparkSession, path: str,
+                    query_vec: list[float], k: int = 10,
+                    nprobe: int = 2,
+                    version: int | None = None) -> DataFrame:
+    """Top-k by cosine among the ``nprobe`` nearest cells, reading only
+    manifest-pruned files.  Each cell is one pruned point-range read;
+    their union is the candidate set, re-ranked exactly."""
+    meta = snapshot_meta(path, version)
+    if not meta or meta.get("kind") != "ivf":
+        raise ValueError(f"{path!r} is not an IVF index table")
+    cells = _nearest_cells(meta["centroids"], query_vec, nprobe)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    parts = [read_snapshot(spark, path, version=version,
+                           where={"cluster": (c, c)}) for c in cells]
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    q = vec_lit(query_vec)
+    return (cand.withColumn("cosine", cosine_expr(q, F.col(vec_col)))
+                .select(id_col, "cosine")
+                .orderBy(F.col("cosine").desc(), F.col(id_col))
+                .limit(k))
+
+
+def ivf_probe_files(path: str, query_vec: list[float], nprobe: int = 2,
+                    version: int | None = None) -> tuple[int, int]:
+    """(files a probe would open, files total) — the data-skipping
+    accounting tests and capacity planning read; pure driver-side
+    manifest math, no Spark job."""
+    meta = snapshot_meta(path, version)
+    cells = _nearest_cells(meta["centroids"], query_vec, nprobe)
+    vs = snapshot_versions(path)
+    v = vs[-1] if version is None else version
+    m = _read_manifest(path, v)
+    stats = m.get("file_stats", {})
+    opened = set()
+    for c in cells:
+        for f in m["files"]:
+            if _may_match(stats.get(f, {}).get("cols", {}),
+                          {"cluster": (c, c)}):
+                opened.add(f)
+    return len(opened), len(m["files"])
+
+
+# ------------------------------------------------------------- MinHash-LSH
+
+def _sig_rows(docs: DataFrame, text_col: str, id_col: str,
+              k: int, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, sig array<string>, bands array<struct<band,bh>>)."""
+    sig = minhash_signature(docs, text_col, id_col,
+                            k=k, num_hashes=num_hashes)
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"sig{b * rows_per_band + r}")
+                for r in range(rows_per_band)]
+        band_cols.append(F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("bh")))
+    return sig.select(
+        F.col(id_col).alias("doc_id"),
+        F.array(*[F.col(f"sig{i}") for i in range(num_hashes)]).alias("sig"),
+        F.array(*band_cols).alias("bands"))
+
+
+def build_minhash_index(docs: DataFrame, path: str,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 3, num_hashes: int = 8,
+                        bands: int = 4) -> int:
+    """Publish the corpus's MinHash index as a snapshot table.  The
+    hash-space parameters live in ``meta`` so every later probe/append
+    provably uses the same permutations — mixing parameters silently
+    yields zero matches, the classic production LSH footgun."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rows = _sig_rows(docs, text_col, id_col, k, num_hashes, bands)
+    return commit_snapshot(
+        rows, path, mode="overwrite",
+        meta={"kind": "minhash_lsh", "k": k, "num_hashes": num_hashes,
+              "bands": bands, "text_col": text_col, "id_col": id_col})
+
+
+def _index_params(path: str, version: int | None) -> dict:
+    meta = snapshot_meta(path, version)
+    if not meta or meta.get("kind") != "minhash_lsh":
+        raise ValueError(f"{path!r} is not a MinHash-LSH index table")
+    return meta
+
+
+def probe_minhash_index(spark: SparkSession, path: str,
+                        new_docs: DataFrame,
+                        text_col: str | None = None,
+                        id_col: str | None = None,
+                        threshold: float = 0.5,
+                        version: int | None = None) -> DataFrame:
+    """Near-dup candidates of an incoming batch against the corpus:
+    ``(index_id, new_id, est_jaccard)`` for every pair sharing an LSH
+    band with estimated Jaccard ≥ threshold.
+
+    The batch side is broadcast (a daily ingest is megabytes of band
+    rows; the index is the corpus) — the index table streams through a
+    broadcast-hash join with NO shuffle and no driver collection.  The
+    estimate is the fraction of agreeing signature components
+    (``zip_with`` — pure codegen)."""
+    p = _index_params(path, version)
+    text_col = text_col or p["text_col"]
+    id_col = id_col or p["id_col"]
+    new_rows = _sig_rows(new_docs, text_col, id_col,
+                         p["k"], p["num_hashes"], p["bands"])
+    idx = read_snapshot(spark, path, version=version)
+    idx_b = idx.select(F.col("doc_id").alias("index_id"),
+                       F.col("sig").alias("sig_i"),
+                       F.explode("bands").alias("bb"))
+    new_b = new_rows.select(F.col("doc_id").alias("new_id"),
+                            F.col("sig").alias("sig_n"),
+                            F.explode("bands").alias("bb"))
+    est = (F.size(F.filter(F.zip_with("sig_i", "sig_n",
+                                      lambda a, b: a == b),
+                           lambda x: x))
+           / F.size("sig_i")).alias("est_jaccard")
+    return (idx_b.join(F.broadcast(new_b),
+                       (idx_b["bb.band"] == new_b["bb.band"])
+                       & (idx_b["bb.bh"] == new_b["bb.bh"]))
+            .select("index_id", "new_id", "sig_i", "sig_n").distinct()
+            .select("index_id", "new_id", est)
+            .where(F.col("est_jaccard") >= threshold))
+
+
+def append_minhash_index(spark: SparkSession, path: str,
+                         new_docs: DataFrame,
+                         text_col: str | None = None,
+                         id_col: str | None = None,
+                         txn: dict | None = None) -> int:
+    """Add a batch's signatures to the index (parameters from ``meta``,
+    exactly-once under ``txn`` — a retried ingest job that already
+    committed is a no-op returning the existing version)."""
+    p = _index_params(path, None)
+    rows = _sig_rows(new_docs, text_col or p["text_col"],
+                     id_col or p["id_col"],
+                     p["k"], p["num_hashes"], p["bands"])
+    return commit_snapshot(rows, path, mode="append", txn=txn)

@@ -198,7 +198,8 @@ def _commit_manifest(path: str, version: int, manifest: dict) -> None:
 
 
 def commit_snapshot(df: DataFrame, path: str, mode: str = "append",
-                    txn: dict | None = None, max_retries: int = 10) -> int:
+                    txn: dict | None = None, max_retries: int = 10,
+                    meta: dict | None = None) -> int:
     """Publish ``df`` as the next version of the snapshot table.
 
     ``mode='append'`` adds the rows to the current version's files;
@@ -213,6 +214,12 @@ def commit_snapshot(df: DataFrame, path: str, mode: str = "append",
     content is order-independent); an overwrite that loses raises
     :class:`CommitConflict` — the caller must re-decide on top of the
     winner's table, there is no safe automatic answer.
+
+    ``meta`` is an arbitrary JSON-able dict that rides in the manifest
+    and is readable via :func:`snapshot_meta` — table-level sidecar
+    state that must stay ATOMIC with the data (index parameters,
+    centroid vectors, tokenizer config).  Appends inherit the parent's
+    meta unless they pass their own; overwrites reset it.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -229,9 +236,12 @@ def commit_snapshot(df: DataFrame, path: str, mode: str = "append",
             base_stats = parent.get("file_stats", {})
         else:
             base, base_stats = [], {}
+        inherited = (parent.get("meta") if mode == "append" and head
+                     else None)
         manifest = {"action": mode, "parent": head,
                     "files": base + files, "schema": schema_json,
                     "file_stats": {**base_stats, **stats},
+                    "meta": meta if meta is not None else inherited,
                     "committed_at": time.time(), "txn": txn,
                     # per-source high-water marks carried forward on
                     # EVERY action, so the idempotence probe is one
@@ -287,6 +297,18 @@ def _txn_version(path: str, txn) -> int:
         if h["txn"] == txn:
             return h["version"]
     return _head(path)
+
+
+def snapshot_meta(path: str, version: int | None = None) -> dict | None:
+    """The ``meta`` sidecar dict committed with (or inherited by) the
+    given version — None if the table never carried one."""
+    vs = snapshot_versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed snapshot at {path!r}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not in {path!r}")
+    return _read_manifest(path, v).get("meta")
 
 
 def read_snapshot(spark: SparkSession, path: str,

@@ -1,0 +1,151 @@
+"""Persisted IVF / MinHash-LSH index tables (operators/persisted_index).
+
+The standing-pipeline form: index once, probe + append per ingest.
+Gates: probe == in-memory operator output (IVF), exact-copy recall and
+estimator correctness (LSH), manifest file-skipping accounting, append
+exactly-once, and meta/data atomicity.
+"""
+import pytest
+from pyspark.sql import functions as F
+
+from graphydb_spark.operators.persisted_index import (
+    append_minhash_index, build_ivf_table, build_minhash_index,
+    ivf_probe_files, probe_ivf_table, probe_minhash_index)
+from graphydb_spark.operators.similarity import cosine_topk
+from graphydb_spark.sources.snapshot import (commit_snapshot,
+                                             snapshot_meta)
+
+
+def _emb(spark, n=60, dim=4):
+    rows = [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(dim)])
+            for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _docs(spark, n=40):
+    rows = [(i, f"the quick brown fox {i % 10} jumps over dog {i % 10}")
+            for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_meta_rides_manifest(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = spark.range(5)
+    v1 = commit_snapshot(df, p, mode="overwrite", meta={"a": 1})
+    assert snapshot_meta(p, v1) == {"a": 1}
+    v2 = commit_snapshot(df, p, mode="append")      # inherits
+    assert snapshot_meta(p, v2) == {"a": 1}
+    v3 = commit_snapshot(df, p, mode="append", meta={"a": 2})
+    assert snapshot_meta(p, v3) == {"a": 2}
+    assert snapshot_meta(p, v1) == {"a": 1}          # history immutable
+    v4 = commit_snapshot(df, p, mode="overwrite")    # reset
+    assert snapshot_meta(p, v4) is None
+
+
+def test_ivf_probe_all_cells_equals_brute_force(spark, tmp_path):
+    emb = _emb(spark)
+    p = str(tmp_path / "ivf")
+    k = 4
+    build_ivf_table(emb, p, k=k, iters=2)
+    q = [1.0, -2.0, 0.5, 3.0]
+    got = probe_ivf_table(spark, p, q, k=5, nprobe=k).collect()
+    want = cosine_topk(emb, q, k=5).collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in want]
+    assert all(abs(a.cosine - b.cosine) < 1e-6 for a, b in zip(got, want))
+
+
+def test_ivf_narrow_probe_subset(spark, tmp_path):
+    emb = _emb(spark)
+    p = str(tmp_path / "ivf")
+    build_ivf_table(emb, p, k=4, iters=2)
+    q = [1.0, -2.0, 0.5, 3.0]
+    narrow = {r.vec_id for r in probe_ivf_table(spark, p, q, k=50,
+                                                nprobe=1).collect()}
+    full = {r.vec_id for r in probe_ivf_table(spark, p, q, k=50,
+                                              nprobe=4).collect()}
+    assert narrow and narrow < full
+
+
+def test_ivf_file_skipping(spark, tmp_path):
+    emb = _emb(spark, n=200)
+    p = str(tmp_path / "ivf")
+    build_ivf_table(emb, p, k=8, iters=2, files_per_cell=1.0)
+    q = [1.0, -2.0, 0.5, 3.0]
+    opened, total = ivf_probe_files(p, q, nprobe=1)
+    # clustered layout: a 1-cell probe opens a small fraction of files
+    assert total >= 4 and opened < total
+    op2, _ = ivf_probe_files(p, q, nprobe=8)
+    assert op2 >= opened
+
+
+def test_ivf_rejects_non_index(spark, tmp_path):
+    p = str(tmp_path / "plain")
+    commit_snapshot(spark.range(3), p, mode="overwrite")
+    with pytest.raises(ValueError, match="not an IVF"):
+        probe_ivf_table(spark, p, [0.0], k=1)
+
+
+def test_lsh_finds_exact_copies(spark, tmp_path):
+    docs = _docs(spark)
+    p = str(tmp_path / "lsh")
+    build_minhash_index(docs, p)
+    # incoming batch: ids 1000+i with text copied from corpus doc i
+    batch = docs.limit(5).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text")
+    hits = probe_minhash_index(spark, p, batch, threshold=0.99).collect()
+    # every copy matches its source at est_jaccard 1.0
+    pairs = {(r.index_id, r.new_id) for r in hits}
+    assert {(i, 1000 + i) for i in range(5)} <= pairs
+    assert all(r.est_jaccard == 1.0 for r in hits
+               if r.index_id % 10 == r.new_id % 10)
+
+
+def test_lsh_novel_docs_no_hits(spark, tmp_path):
+    docs = _docs(spark)
+    p = str(tmp_path / "lsh")
+    build_minhash_index(docs, p)
+    novel = spark.createDataFrame(
+        [(9000, "completely unrelated corpus of legal boilerplate xyz")],
+        "doc_id long, text string")
+    assert probe_minhash_index(spark, p, novel, threshold=0.5).count() == 0
+
+
+def test_lsh_append_then_probe_and_idempotence(spark, tmp_path):
+    docs = _docs(spark, n=20)
+    p = str(tmp_path / "lsh")
+    build_minhash_index(docs, p)
+    newer = spark.createDataFrame(
+        [(500, "a brand new document about snapshot tables")],
+        "doc_id long, text string")
+    txn = {"app": "ingest", "batch": 1}
+    v1 = append_minhash_index(spark, p, newer, txn=txn)
+    v2 = append_minhash_index(spark, p, newer, txn=txn)  # replay
+    assert v1 == v2  # exactly-once: no double insert
+    copy = spark.createDataFrame(
+        [(501, "a brand new document about snapshot tables")],
+        "doc_id long, text string")
+    hits = probe_minhash_index(spark, p, copy, threshold=0.99).collect()
+    assert {(r.index_id, r.new_id) for r in hits} == {(500, 501)}
+
+
+def test_lsh_params_validated(spark, tmp_path):
+    docs = _docs(spark, n=5)
+    with pytest.raises(ValueError, match="bands"):
+        build_minhash_index(docs, str(tmp_path / "x"), num_hashes=8,
+                            bands=3)
+    p = str(tmp_path / "plain")
+    commit_snapshot(spark.range(3), p, mode="overwrite")
+    with pytest.raises(ValueError, match="not a MinHash"):
+        probe_minhash_index(spark, p, docs)
+
+
+def test_lsh_probe_plan_broadcasts_batch(spark, tmp_path):
+    docs = _docs(spark)
+    p = str(tmp_path / "lsh")
+    build_minhash_index(docs, p)
+    batch = docs.limit(3)
+    plan = probe_minhash_index(spark, p, batch)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the index side must NOT shuffle: broadcast join, no sort-merge
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
