@@ -40,7 +40,7 @@ from .similarity import cosine_expr, ivf_index, vec_lit
 
 __all__ = ["build_ivf_table", "probe_ivf_table", "ivf_probe_files",
            "build_minhash_index", "probe_minhash_index",
-           "append_minhash_index"]
+           "append_minhash_index", "probe_pairs"]
 
 
 # --------------------------------------------------------------------- IVF
@@ -185,9 +185,17 @@ def probe_minhash_index(spark: SparkSession, path: str,
     new_rows = _sig_rows(new_docs, text_col, id_col,
                          p["k"], p["num_hashes"], p["bands"])
     idx = read_snapshot(spark, path, version=version)
-    idx_b = idx.select(F.col("doc_id").alias("index_id"),
-                       F.col("sig").alias("sig_i"),
-                       F.explode("bands").alias("bb"))
+    return probe_pairs(idx, new_rows, threshold)
+
+
+def probe_pairs(index_rows: DataFrame, new_rows: DataFrame,
+                threshold: float = 0.5) -> DataFrame:
+    """The probe join itself, over two ``_sig_rows``-shaped frames —
+    shared by :func:`probe_minhash_index` (persisted index side) and
+    in-memory callers (e.g. the oracle-checked catalog query)."""
+    idx_b = index_rows.select(F.col("doc_id").alias("index_id"),
+                              F.col("sig").alias("sig_i"),
+                              F.explode("bands").alias("bb"))
     new_b = new_rows.select(F.col("doc_id").alias("new_id"),
                             F.col("sig").alias("sig_n"),
                             F.explode("bands").alias("bb"))

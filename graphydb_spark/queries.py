@@ -25,7 +25,8 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import dedup, graph_algos, relational, similarity, text
+from .operators import (dedup, graph_algos, persisted_index, relational,
+                        similarity, text)
 from .sources.tpch_graph import load_tables, tpch_graph
 from .streaming.windows import sessionize, tumbling_counts
 
@@ -18203,6 +18204,66 @@ ORACLES["rec_precision_at_k"] = _REC_PRECISION_ORACLE
 ORACLES["k_anonymity"] = _K_ANON_ORACLE
 ORACLES["posting_lists"] = _POSTING_LISTS_ORACLE
 
+def q_lsh_probe(spark, sf_dir):
+    """Incremental near-dup probe (operators/persisted_index.probe_pairs):
+    even-doc_id documents play the standing corpus index, odd doc_ids the
+    incoming batch.  Emits (index_id, new_id, est_jaccard) for every pair
+    sharing an LSH band (8 hashes, 4 bands of 2) whose signatures agree on
+    ≥ 4 of 8 components (est_jaccard ≥ 0.5 — the unbiased MinHash
+    estimator).  The batch side is broadcast; the corpus side never
+    shuffles.  The PERSISTED form (build/probe/append_minhash_index over a
+    snapshot table, exactly-once appends) runs the same probe_pairs join
+    and is pytest-gated (side-effecting)."""
+    docs = _docs(spark, sf_dir)
+    ir = persisted_index._sig_rows(docs.where("doc_id % 2 = 0"),
+                                   "text", "doc_id", 3, 8, 4)
+    nr = persisted_index._sig_rows(docs.where("doc_id % 2 = 1"),
+                                   "text", "doc_id", 3, 8, 4)
+    return persisted_index.probe_pairs(ir, nr, 0.5)
+
+
+_LSH_PROBE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '') AS ws
+  FROM documents
+), sg AS (
+  SELECT doc_id, list_transform(range(1, len(ws)-1),
+         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+  FROM toks WHERE len(ws) >= 3
+), sig AS (
+  SELECT doc_id, [
+    list_min(list_transform(sh, s -> md5('0:' || s))),
+    list_min(list_transform(sh, s -> md5('1:' || s))),
+    list_min(list_transform(sh, s -> md5('2:' || s))),
+    list_min(list_transform(sh, s -> md5('3:' || s))),
+    list_min(list_transform(sh, s -> md5('4:' || s))),
+    list_min(list_transform(sh, s -> md5('5:' || s))),
+    list_min(list_transform(sh, s -> md5('6:' || s))),
+    list_min(list_transform(sh, s -> md5('7:' || s)))] AS s
+  FROM sg
+), banded AS (
+  SELECT doc_id, s, [
+    md5(s[1] || '|' || s[2]), md5(s[3] || '|' || s[4]),
+    md5(s[5] || '|' || s[6]), md5(s[7] || '|' || s[8])] AS bands
+  FROM sig
+), cand AS (
+  SELECT DISTINCT i.doc_id AS index_id, n.doc_id AS new_id,
+         i.s AS si, n.s AS sn
+  FROM banded i JOIN banded n
+    ON (i.bands[1] = n.bands[1] OR i.bands[2] = n.bands[2]
+        OR i.bands[3] = n.bands[3] OR i.bands[4] = n.bands[4])
+  WHERE i.doc_id % 2 = 0 AND n.doc_id % 2 = 1
+)
+SELECT index_id, new_id,
+       CAST(len(list_filter(range(1, 9), i -> si[i] = sn[i])) AS DOUBLE)
+       / 8.0 AS est_jaccard
+FROM cand
+WHERE len(list_filter(range(1, 9), i -> si[i] = sn[i])) >= 4
+"""
+ORACLES["lsh_probe"] = _LSH_PROBE_ORACLE
+
+
 # Plan cache (prepared-statement semantics): the catalog queries are pure
 # functions of immutable inputs (parquet fixtures + the memoized graph
 # encoding), so the analyzed/optimized logical plan can be reused across
@@ -18641,6 +18702,7 @@ QUERIES = {
     "t_closeness": q_t_closeness,
     "kmv_setops": q_kmv_setops,
     "weighted_reservoir": q_weighted_reservoir,
+    "lsh_probe": q_lsh_probe,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
