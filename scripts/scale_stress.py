@@ -707,6 +707,84 @@ def round7_entries(spark, n_rows=5_000_000, n_media=100_000,
     timed(f"video_features[{n_media:,} mp4]", M.video_features(vids))
 
 
+def round8_entries(spark, n_vecs=1_000_000, dim=16, k=64,
+                   n_corpus=200_000, n_batch=10_000):
+    """Stress the persisted indexes (``SCALE_STRESS_ONLY=round8``).
+
+    - IVF: 1M vectors, 64 cells; build once, then probe — the point is
+      the file-skip ratio (nprobe/k of the table opened) and that probe
+      latency is independent of corpus size once pruned.
+    - MinHash-LSH: 200k-doc corpus index, 10k-doc batch probe (1% near
+      dups planted); corpus side must not shuffle (broadcast batch).
+    """
+    import shutil
+    import tempfile
+    import time as _t
+
+    from graphydb_spark.operators import persisted_index as PI
+
+    d = tempfile.mkdtemp()
+    try:
+        emb = spark.range(n_vecs).select(
+            F.col("id").alias("vec_id"),
+            F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda i: (F.pmod(F.xxhash64("id", i), 1000)
+                                   .cast("float") / 100.0 - 5.0)
+                        ).alias("embedding"))
+        t0 = _t.perf_counter()
+        PI.build_ivf_table(emb, os.path.join(d, "ivf"), k=k, iters=2,
+                           files_per_cell=1.0)
+        print(f"ivf_build[{n_vecs:,} x dim{dim}, k={k}]: "
+              f"{_t.perf_counter() - t0:.2f}s")
+        q = [float(i % 7) - 3.0 for i in range(dim)]
+        opened, total = PI.ivf_probe_files(os.path.join(d, "ivf"), q,
+                                           nprobe=2)
+        t0 = _t.perf_counter()
+        n = PI.probe_ivf_table(spark, os.path.join(d, "ivf"), q,
+                               k=10, nprobe=2).count()
+        print(f"ivf_probe[nprobe=2]: {_t.perf_counter() - t0:.2f}s  "
+              f"files={opened}/{total}  rows={n}")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    d2 = tempfile.mkdtemp()
+    try:
+        corpus = spark.range(n_corpus).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *[F.concat(F.lit(f"w{j}_"),
+                                        F.pmod(F.xxhash64("id", F.lit(j)),
+                                               5000))
+                               for j in range(12)]).alias("text"))
+        t0 = _t.perf_counter()
+        PI.build_minhash_index(corpus, os.path.join(d2, "lsh"))
+        print(f"lsh_build[{n_corpus:,} docs]: "
+              f"{_t.perf_counter() - t0:.2f}s")
+        # batch: 1% exact copies of corpus docs, rest novel
+        batch = spark.range(n_batch).select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.when(F.col("id") % 100 == 0,
+                   F.concat_ws(" ", *[
+                       # cast: xxhash64 is type-sensitive; the corpus
+                       # hashed a LONG id, so the copy must too
+                       F.concat(F.lit(f"w{j}_"),
+                                F.pmod(F.xxhash64(
+                                    (F.col("id") / 100).cast("long"),
+                                    F.lit(j)), 5000))
+                       for j in range(12)]))
+            .otherwise(F.concat_ws(" ", *[
+                F.concat(F.lit(f"n{j}_"),
+                         F.pmod(F.xxhash64("id", F.lit(j + 100)), 5000))
+                for j in range(12)])).alias("text"))
+        t0 = _t.perf_counter()
+        hits = PI.probe_minhash_index(spark, os.path.join(d2, "lsh"),
+                                      batch, threshold=0.99).count()
+        print(f"lsh_probe[{n_batch:,} batch vs {n_corpus:,} corpus]: "
+              f"{_t.perf_counter() - t0:.2f}s  hits={hits} "
+              f"(expect ~{n_batch // 100})")
+    finally:
+        shutil.rmtree(d2, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if os.environ.get("SCALE_STRESS_ONLY") == "round4":
         _s = get_spark(app="scale_stress")
@@ -728,6 +806,11 @@ if __name__ == "__main__":
         _s.sparkContext.setLogLevel("ERROR")
         _s.conf.set("spark.sql.shuffle.partitions", "64")
         round7_entries(_s)
+    elif os.environ.get("SCALE_STRESS_ONLY") == "round8":
+        _s = get_spark(app="scale_stress")
+        _s.sparkContext.setLogLevel("ERROR")
+        _s.conf.set("spark.sql.shuffle.partitions", "64")
+        round8_entries(_s)
     elif os.environ.get("SCALE_STRESS_ONLY") == "analytics":
         _s = get_spark(app="scale_stress")
         _s.sparkContext.setLogLevel("ERROR")
