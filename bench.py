@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     # in-process anchor doesn't — the scale story is carried by the
     # round5 stress entry instead, 2M edges in 4.5 s.)
     "bitmap_distinct",
+    # round 3 continuation session 5: incremental index probe (8-hash
+    # minhash both halves + band join) — the standing-pipeline dedup op
+    "lsh_probe",
     # (sssp_cost is excluded for the same reason as dedup_clusters: the
     # plan-cached frame holds checkpointed final distances, so a re-count
     # would measure a re-read, not the iterative relaxation)

@@ -35,7 +35,6 @@ from pyspark.sql import functions as F
 from ..sources.snapshot import (commit_snapshot, read_snapshot,
                                 snapshot_meta, snapshot_versions,
                                 _may_match, _read_manifest)
-from .dedup import minhash_signature
 from .similarity import cosine_expr, ivf_index, vec_lit
 
 __all__ = ["build_ivf_table", "probe_ivf_table", "ivf_probe_files",
@@ -123,9 +122,22 @@ def ivf_probe_files(path: str, query_vec: list[float], nprobe: int = 2,
 
 def _sig_rows(docs: DataFrame, text_col: str, id_col: str,
               k: int, num_hashes: int, bands: int) -> DataFrame:
-    """(doc_id, sig array<string>, bands array<struct<band,bh>>)."""
-    sig = minhash_signature(docs, text_col, id_col,
-                            k=k, num_hashes=num_hashes)
+    """(doc_id, sig array<string>, bands array<struct<band,bh>>).
+
+    Same values as :func:`dedup.minhash_signature`, different physical
+    shape: shingles EXPLODE to rows and each salt is a plain md5 column
+    min-aggregated per doc.  Spark's higher-order functions (the
+    ``transform``-per-salt form) evaluate their lambdas interpretively
+    outside whole-stage codegen — at 8 salts that walk dominated the
+    probe (measured 10.5 s for 5k docs at sf0.1; this shape: all md5s
+    in one codegen stage + a map-side-combined min-agg, the shuffle is
+    8 hashes/doc regardless of document size)."""
+    from .dedup import shingled
+    sh = shingled(docs, text_col, id_col, k).where(F.size("_sh") > 0)
+    ex = sh.select(F.col(id_col), F.explode("_sh").alias("_s"))
+    mins = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_s"))))
+            .alias(f"sig{i}") for i in range(num_hashes)]
+    sig = ex.groupBy(id_col).agg(*mins)
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):

@@ -18215,10 +18215,12 @@ def q_lsh_probe(spark, sf_dir):
     snapshot table, exactly-once appends) runs the same probe_pairs join
     and is pytest-gated (side-effecting)."""
     docs = _docs(spark, sf_dir)
-    ir = persisted_index._sig_rows(docs.where("doc_id % 2 = 0"),
-                                   "text", "doc_id", 3, 8, 4)
-    nr = persisted_index._sig_rows(docs.where("doc_id % 2 = 1"),
-                                   "text", "doc_id", 3, 8, 4)
+    # one signature pass over the whole table, split by parity after —
+    # half the tokenize/agg work vs signing each side separately, and
+    # the parity filters land on the same exchange
+    sig_all = persisted_index._sig_rows(docs, "text", "doc_id", 3, 8, 4)
+    ir = sig_all.where("doc_id % 2 = 0")
+    nr = sig_all.where("doc_id % 2 = 1")
     return persisted_index.probe_pairs(ir, nr, 0.5)
 
 
