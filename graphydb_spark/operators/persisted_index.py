@@ -39,7 +39,7 @@ from .similarity import cosine_expr, ivf_index, vec_lit
 
 __all__ = ["build_ivf_table", "probe_ivf_table", "ivf_probe_files",
            "build_minhash_index", "probe_minhash_index",
-           "append_minhash_index", "probe_pairs"]
+           "append_minhash_index", "probe_pairs", "stream_dedup_ingest"]
 
 
 # --------------------------------------------------------------------- IVF
@@ -221,6 +221,62 @@ def probe_pairs(index_rows: DataFrame, new_rows: DataFrame,
             .select("index_id", "new_id", "sig_i", "sig_n").distinct()
             .select("index_id", "new_id", est)
             .where(F.col("est_jaccard") >= threshold))
+
+
+def stream_dedup_ingest(spark: SparkSession, source_dir: str, schema,
+                        index_path: str, kept_path: str,
+                        checkpoint_dir: str, threshold: float = 0.9,
+                        text_col: str | None = None,
+                        id_col: str | None = None):
+    """Streaming crawl ingest with a near-dup gate — the standing-
+    pipeline composition end to end: every micro-batch
+
+    1. probes the persisted MinHash index (:func:`probe_minhash_index`
+       — corpus side never shuffles),
+    2. drops rows matching the index at ≥ ``threshold``, and in-batch
+       near-dups (lowest id wins, via the same probe join batch×batch),
+    3. commits survivors to the ``kept_path`` snapshot table AND their
+       signatures to the index, each under the (checkpoint, batchId)
+       txn token.
+
+    The two commits are independently idempotent, not atomic: a crash
+    between them replays the batch, the already-committed table no-ops
+    on its seen token and the other completes — convergent, never
+    duplicated (same recovery contract as stream_to_snapshot).
+    Returns the started StreamingQuery (availableNow trigger); caller
+    awaits/stops it.
+    """
+    p = _index_params(index_path, None)
+    tcol = text_col or p["text_col"]
+    icol = id_col or p["id_col"]
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .load(source_dir))
+
+    def gate_batch(batch_df, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        txn = {"app": f"dedup_ingest:{checkpoint_dir}", "batch": epoch_id}
+        sigs = _sig_rows(batch_df, tcol, icol,
+                         p["k"], p["num_hashes"], p["bands"]) \
+            .localCheckpoint(eager=True)
+        dup_vs_index = (probe_pairs(
+            read_snapshot(s, index_path), sigs, threshold)
+            .select("new_id").distinct())
+        dup_in_batch = (probe_pairs(sigs, sigs, threshold)
+                        .where(F.col("new_id") > F.col("index_id"))
+                        .select("new_id").distinct())
+        drop = dup_vs_index.unionByName(dup_in_batch).distinct()
+        kept = batch_df.join(
+            drop, batch_df[icol] == drop["new_id"], "left_anti")
+        commit_snapshot(kept, kept_path, mode="append", txn=txn)
+        kept_sigs = sigs.join(
+            drop, sigs["doc_id"] == drop["new_id"], "left_anti")
+        commit_snapshot(kept_sigs, index_path, mode="append", txn=txn)
+
+    return (stream.writeStream
+            .foreachBatch(gate_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
 
 
 def append_minhash_index(spark: SparkSession, path: str,

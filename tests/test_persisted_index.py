@@ -149,3 +149,51 @@ def test_lsh_probe_plan_broadcasts_batch(spark, tmp_path):
     # the index side must NOT shuffle: broadcast join, no sort-merge
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_stream_dedup_ingest(spark, tmp_path):
+    """End-to-end streaming gate: index hits, in-batch dups and novel
+    docs; restart consumes only new files; index catches docs kept by
+    an earlier batch."""
+    from graphydb_spark.operators.persisted_index import \
+        stream_dedup_ingest
+    from graphydb_spark.sources.snapshot import read_snapshot
+
+    corpus = _docs(spark, n=10)
+    idx = str(tmp_path / "idx")
+    kept_t = str(tmp_path / "kept")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    build_minhash_index(corpus, idx)
+
+    schema = "doc_id long, text string"
+    batch1 = spark.createDataFrame(
+        [(100, "the quick brown fox 0 jumps over dog 0"),   # copy of doc 0
+         (101, "a wholly novel piece of text about spark catalyst"),
+         (102, "a wholly novel piece of text about spark catalyst"),
+         (103, "another unique document mentioning zorder manifests")],
+        schema)
+    # flat files: the parquet stream source doesn't recurse subdirs
+    batch1.write.mode("append").parquet(src)
+    q = stream_dedup_ingest(spark, src, batch1.schema, idx, kept_t, ckpt,
+                            threshold=0.9)
+    q.awaitTermination(120)
+    kept_ids = {r.doc_id for r in read_snapshot(spark, kept_t).collect()}
+    # 100 dropped (index hit), 102 dropped (in-batch dup of 101)
+    assert kept_ids == {101, 103}
+    n_idx = read_snapshot(spark, idx).count()
+    assert n_idx == 12  # 10 corpus + 2 kept
+
+    # second run: a new file repeating a doc KEPT last run -> index
+    # (grown by run 1) catches it; genuinely new doc passes
+    batch2 = spark.createDataFrame(
+        [(200, "a wholly novel piece of text about spark catalyst"),
+         (201, "fresh never seen content regarding bloom filters")],
+        schema)
+    batch2.write.mode("append").parquet(src)
+    q = stream_dedup_ingest(spark, src, batch1.schema, idx, kept_t, ckpt,
+                            threshold=0.9)
+    q.awaitTermination(120)
+    kept_ids = {r.doc_id for r in read_snapshot(spark, kept_t).collect()}
+    assert kept_ids == {101, 103, 201}
+    assert read_snapshot(spark, idx).count() == 13
