@@ -101,6 +101,11 @@ def import_graph(spark: SparkSession, path: str) -> Graph:
             rec = json.loads(cjson)
             rec["id"] = int(cid)  # the AUTOINCREMENT id is the key our
             changes.append(rec)   # undo/as_of machinery orders by
+        # the reference stores its FTS config as the fts5 virtual
+        # table's column list (graphydb.py:638-658); without restoring
+        # it an imported graph's n_fts= fetches silently match nothing
+        fts_node = _fts_fields(conn, "nodefts")
+        fts_edge = _fts_fields(conn, "edgefts")
     finally:
         conn.close()
 
@@ -113,7 +118,20 @@ def import_graph(spark: SparkSession, path: str) -> Graph:
     g._cache = cache
     g._changes = changes
     g._change_seq = max((c["id"] for c in changes), default=0)
+    g._fts_node_fields = fts_node
+    g._fts_edge_fields = fts_edge
     return g
+
+
+def _fts_fields(conn: sqlite3.Connection, table: str) -> list[str]:
+    """Column list of an fts5 virtual table, minus the UNINDEXED uid —
+    i.e. the reference's indexed-field config, recovered from schema."""
+    row = conn.execute(
+        "SELECT 1 FROM sqlite_master WHERE name = ?", (table,)).fetchone()
+    if row is None:
+        return []
+    return sorted(r[1] for r in conn.execute(f"PRAGMA table_info({table})")
+                  if r[1] != "uid")
 
 
 def export_graph(graph: Graph, path: str,
@@ -147,6 +165,11 @@ def export_graph(graph: Graph, path: str,
             CREATE TABLE changes(id INTEGER PRIMARY KEY AUTOINCREMENT,
                 change TEXT);
         """)
+        # the reference's FTS index is an fts5 virtual table per item
+        # class (graphydb.py:638-658); recreate + populate them so an
+        # exported file answers the reference's MATCH queries directly
+        nfts = _create_fts(conn, "nodefts", graph._fts_node_fields)
+        efts = _create_fts(conn, "edgefts", graph._fts_edge_fields)
         # toLocalIterator: one partition in driver memory at a time, so
         # the export streams instead of collecting the whole graph
         for row in graph.nodes_df.select(*_NODE_COLS).toLocalIterator():
@@ -154,12 +177,18 @@ def export_graph(graph: Graph, path: str,
                 "INSERT INTO nodes(uid, kind, ctime, mtime, data) "
                 "VALUES(?,?,?,?,?)",
                 (row.uid, row.kind, row.ctime, row.mtime, row.props))
+            if nfts:
+                _fts_insert(conn, "nodefts", graph._fts_node_fields,
+                            row.uid, row.props)
         for row in graph.edges_df.select(*_EDGE_COLS).toLocalIterator():
             conn.execute(
                 "INSERT INTO edges(uid, startuid, kind, enduid, ctime, "
                 "mtime, data) VALUES(?,?,?,?,?,?,?)",
                 (row.uid, row.startuid, row.kind, row.enduid,
                  row.ctime, row.mtime, row.props))
+            if efts:
+                _fts_insert(conn, "edgefts", graph._fts_edge_fields,
+                            row.uid, row.props)
         settings = dict(graph._settings)
         settings.setdefault("GraphyDB version", "spark-export")
         for k, v in settings.items():
@@ -175,6 +204,35 @@ def export_graph(graph: Graph, path: str,
         conn.commit()
     finally:
         conn.close()
+
+
+def _create_fts(conn: sqlite3.Connection, table: str,
+                fields: list[str]) -> bool:
+    """CREATE VIRTUAL TABLE ... USING fts5 per the reference's DDL.
+    Returns False (skipping population) when the graph has no fields
+    configured or this sqlite3 build lacks FTS5."""
+    if not fields:
+        return False
+    cols = ",".join(fields) + ",uid UNINDEXED"
+    try:
+        conn.execute(
+            f"CREATE VIRTUAL TABLE IF NOT EXISTS {table} "
+            f"USING fts5({cols});")
+        return True
+    except sqlite3.OperationalError:
+        return False
+
+
+def _fts_insert(conn: sqlite3.Connection, table: str, fields: list[str],
+                uid: str, props: Optional[str]) -> None:
+    data = json.loads(props) if props else {}
+    vals = [data.get(f) for f in fields]
+    if all(v is None for v in vals):
+        return
+    cols = ", ".join(list(fields) + ["uid"])
+    marks = ",".join("?" * (len(fields) + 1))
+    conn.execute(f"INSERT INTO {table}({cols}) VALUES({marks})",
+                 [None if v is None else str(v) for v in vals] + [uid])
 
 
 def _shard_schema(edge: bool):

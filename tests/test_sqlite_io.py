@@ -231,3 +231,35 @@ def test_empty_db_imports(spark, tmp_path):
     g = import_graph(spark, p)
     assert g.stats["nodes"] == 0 and g.stats["edges"] == 0
     assert g.nchanges == 0
+
+
+def test_fts_config_roundtrip(spark, tmp_path):
+    """The reference's FTS config is the fts5 table's column list —
+    export creates+populates it (reference MATCH works on our file),
+    import recovers it (n_fts fetches work on their file)."""
+    g = Graph(spark)
+    build_friend_graph(g)          # resetfts(nodefields=["name"])
+    out = str(tmp_path / "fts.db")
+    export_graph(g, out)
+    conn = sqlite3.connect(out)
+    # the reference-side query: MATCH over the virtual table
+    hits = conn.execute(
+        "SELECT uid FROM nodefts WHERE nodefts MATCH 'Anne'").fetchall()
+    assert len(hits) == 1
+    anne_uid = hits[0][0]
+    row = conn.execute("SELECT data FROM nodes WHERE uid = ?",
+                       (anne_uid,)).fetchone()
+    assert json.loads(row[0])["name"] == "Anne"
+    conn.close()
+    # our-side query on the re-import: FTS fetch works immediately
+    g2 = import_graph(spark, out)
+    assert g2._fts_node_fields == ["name"]
+    res = g2.fetch("(n)", n_fts="Anne")
+    assert len(res) == 1 and res[0]["name"] == "Anne"
+
+
+def test_import_without_fts_tables(spark, tmp_path):
+    db = str(tmp_path / "nofts.db")
+    _make_ref_db(db)
+    g = import_graph(spark, db)
+    assert g._fts_node_fields == [] and g._fts_edge_fields == []
