@@ -784,6 +784,40 @@ def round8_entries(spark, n_vecs=1_000_000, dim=16, k=64,
     finally:
         shutil.rmtree(d2, ignore_errors=True)
 
+    # sqlite shard fleet: decode happens entirely on executors — the
+    # wall-clock should scale with cores, not shard count × driver
+    import json as _json
+    import sqlite3 as _sq
+
+    from graphydb_spark.sources.sqlite_io import import_shards
+    d3 = tempfile.mkdtemp()
+    try:
+        n_shards, rows_per = 64, 5_000
+        for s in range(n_shards):
+            conn = _sq.connect(os.path.join(d3, f"s{s}.db"))
+            conn.executescript(
+                "CREATE TABLE nodes(uid TEXT PRIMARY KEY, kind TEXT, "
+                "ctime REAL, mtime REAL, data TEXT);"
+                "CREATE TABLE edges(uid TEXT PRIMARY KEY, kind TEXT, "
+                "startuid TEXT, enduid TEXT, ctime REAL, mtime REAL, "
+                "data TEXT);")
+            conn.executemany(
+                "INSERT INTO nodes VALUES(?,?,?,?,?)",
+                [(f"N{s:04d}{i:021d}", "Doc", 1.0, 1.0,
+                  _json.dumps({"uid": f"N{s:04d}{i:021d}", "kind": "Doc",
+                               "i": i, "ctime": 1.0, "mtime": 1.0}))
+                 for i in range(rows_per)])
+            conn.commit()
+            conn.close()
+        t0 = _t.perf_counter()
+        g = import_shards(spark, [os.path.join(d3, f"s{s}.db")
+                                  for s in range(n_shards)])
+        n = g.stats["nodes"]
+        print(f"sqlite_import[{n_shards} shards x {rows_per:,}]: "
+              f"{_t.perf_counter() - t0:.2f}s  nodes={n:,}")
+    finally:
+        shutil.rmtree(d3, ignore_errors=True)
+
 
 if __name__ == "__main__":
     if os.environ.get("SCALE_STRESS_ONLY") == "round4":
