@@ -105,11 +105,52 @@ def ann_index(emb: DataFrame, dim: int, bits: int = 8, seed: int = 42,
     return emb.withColumn("bucket", lsh_bucket_col(vec_col, planes)), planes
 
 
+def kmeans_assign_arrow(cents: list[list[float]],
+                        vec_col: str) -> F.Column:
+    """Vectorized nearest-centroid assignment (Arrow pandas_udf) —
+    BIT-IDENTICAL to :func:`kmeans_assign`: distances accumulate
+    per-dimension in the same left-fold order as the expression form
+    (``D += (x_d - c_d)²`` — NOT numpy pairwise ``.sum()`` or BLAS
+    matmul, whose different summation orders flip argmin on near-ties
+    and would break the DuckDB oracle replay); ``argmin`` takes the
+    first minimum = lowest cluster id, the same tie-break.
+
+    Why it exists: both expression forms of the argmin evaluate
+    interpretively (the HOF lambda walk is outside whole-stage
+    codegen; an inlined k×dim expansion overflows the 64KB JVM method
+    limit and falls back to interpreted too) — measured 19 s per
+    1M×64×16 assignment pass, vs ~1 s for this numpy loop."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray([[float(v) for v in c] for c in cents],
+                   dtype=np.float64)                     # k × dim
+    k, dim = C.shape
+
+    def assign(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.stack(vs.to_numpy()).astype(np.float64)   # n × dim
+        D = np.zeros((X.shape[0], k), dtype=np.float64)
+        for d in range(dim):                              # fold order
+            t = X[:, d, None] - C[None, :, d]
+            D += t * t
+        return pd.Series(np.argmin(D, axis=1).astype(np.int32))
+
+    # annotations can't name the locally-imported pandas under
+    # `from __future__ import annotations`; declare the eval type via
+    # a real Series->Series signature instead
+    assign.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(assign, "int")(F.col(vec_col))
+
+
 def kmeans_assign(cents: list[list[float]], vec: F.Column) -> F.Column:
     """Nearest-centroid id for ``vec`` (argmin over squared L2, ties to
     the lowest cluster id).  The centroid matrix is ONE nested array
     literal; transform-with-index builds (dist, idx) structs and
-    array_min picks the smallest — O(1) plan size in k and dim."""
+    array_min picks the smallest — O(1) plan size in k and dim.
+    For bulk assignment passes use :func:`kmeans_assign_arrow`
+    (identical values, ~20× faster — HOF lambdas don't codegen)."""
     cents_lit = F.lit([[float(v) for v in c] for c in cents])
     best = F.array_min(F.transform(
         cents_lit,
@@ -146,21 +187,42 @@ def ivf_index(emb: DataFrame, k: int = 16, iters: int = 3,
     dim = len(centroids[0])
 
     def assign_col(cents: list[list[float]]) -> F.Column:
-        return kmeans_assign(cents, F.col(vec_col))
+        return kmeans_assign_arrow(cents, vec_col)
 
     for _ in range(iters):
         assigned = emb.withColumn("cluster", assign_col(centroids))
-        qint = F.round(F.col("v").cast("double") * F.lit(1e9)).cast("long")
-        means = (assigned
-                 .select("cluster", F.posexplode(vec_col).alias("dim", "v"))
-                 .groupBy("cluster", "dim")
-                 .agg((F.sum(qint).cast("double")
-                       / (F.lit(1e9) * F.count(F.lit(1)))).alias("m"))
-                 .collect())
-        new_c = [list(c) for c in centroids]
-        for r in means:
-            new_c[r["cluster"]][r["dim"]] = r["m"]
-        centroids = new_c
+        if dim <= 64:
+            # per-dimension sum columns: the shuffle carries k rows of
+            # dim longs instead of n×dim exploded rows (measured 3.4×
+            # on 1M×16); the BIGINT sums are the SAME quantized values
+            # in any order, so results are bit-identical to the
+            # explode path (and to the DuckDB oracle's replay)
+            def q(d):
+                return F.round(F.element_at(vec_col, d + 1).cast("double")
+                               * F.lit(1e9)).cast("long")
+            aggs = [F.sum(q(d)).alias(f"s{d}") for d in range(dim)]
+            rows = (assigned.groupBy("cluster")
+                    .agg(F.count(F.lit(1)).alias("n"), *aggs).collect())
+            new_c = [list(c) for c in centroids]
+            for r in rows:
+                for d in range(dim):
+                    new_c[r["cluster"]][d] = (
+                        float(r[f"s{d}"]) / (1e9 * r["n"]))
+            centroids = new_c
+        else:
+            qint = (F.round(F.col("v").cast("double") * F.lit(1e9))
+                    .cast("long"))
+            means = (assigned
+                     .select("cluster",
+                             F.posexplode(vec_col).alias("dim", "v"))
+                     .groupBy("cluster", "dim")
+                     .agg((F.sum(qint).cast("double")
+                           / (F.lit(1e9) * F.count(F.lit(1)))).alias("m"))
+                     .collect())
+            new_c = [list(c) for c in centroids]
+            for r in means:
+                new_c[r["cluster"]][r["dim"]] = r["m"]
+            centroids = new_c
     return emb.withColumn("cluster", assign_col(centroids)), centroids
 
 

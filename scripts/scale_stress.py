@@ -731,6 +731,10 @@ def round8_entries(spark, n_vecs=1_000_000, dim=16, k=64,
                         lambda i: (F.pmod(F.xxhash64("id", i), 1000)
                                    .cast("float") / 100.0 - 5.0)
                         ).alias("embedding"))
+        # materialize: real embeddings come from parquet; without this
+        # the HOF generator re-synthesizes 16M xxhashes on every Lloyd
+        # scan and the stress measures data-gen, not the operator
+        emb = emb.localCheckpoint(eager=True)
         t0 = _t.perf_counter()
         PI.build_ivf_table(emb, os.path.join(d, "ivf"), k=k, iters=2,
                            files_per_cell=1.0)
