@@ -37,7 +37,8 @@ from ..sources.snapshot import (commit_snapshot, read_snapshot,
                                 _may_match, _read_manifest)
 from .similarity import cosine_expr, ivf_index, vec_lit
 
-__all__ = ["build_ivf_table", "probe_ivf_table", "ivf_probe_files",
+__all__ = ["build_ivf_table", "probe_ivf_table",
+           "probe_ivf_table_batch", "ivf_probe_files",
            "build_minhash_index", "probe_minhash_index",
            "append_minhash_index", "probe_pairs", "stream_dedup_ingest"]
 
@@ -96,6 +97,68 @@ def probe_ivf_table(spark: SparkSession, path: str,
                 .select(id_col, "cosine")
                 .orderBy(F.col("cosine").desc(), F.col(id_col))
                 .limit(k))
+
+
+def probe_ivf_table_batch(spark: SparkSession, path: str,
+                          queries: DataFrame, k: int = 10,
+                          nprobe: int = 2, version: int | None = None,
+                          qid_col: str = "qid",
+                          qvec_col: str = "qvec") -> DataFrame:
+    """Batch ANN serving: top-k neighbors for EVERY query vector in
+    ``queries`` → (qid, vec_id, cosine, rn).
+
+    Cells are assigned per query DISTRIBUTED (the same fold-order
+    distance expression as ``kmeans_assign``, keeping the ``nprobe``
+    smallest), then deduped across the batch so the index is read ONCE
+    as a union of manifest-pruned cell ranges — only the distinct cell
+    id list (≤ k ints) touches the driver.  Queries broadcast onto the
+    pruned
+    candidates (cell-equi join), exact cosine re-rank, ``row_number``
+    top-k per qid.  Reading cost is bounded by the DISTINCT probed
+    cells, not batch size — 1000 queries sharing 30 cells open the
+    same files as 30 queries."""
+    from .relational import topk_per_group
+
+    meta = snapshot_meta(path, version)
+    if not meta or meta.get("kind") != "ivf":
+        raise ValueError(f"{path!r} is not an IVF index table")
+    cents = meta["centroids"]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+
+    # per-query nprobe nearest cells: same inlined-literal distance
+    # construct as kmeans_assign, but keeping the nprobe smallest
+    cents_lit = F.lit([[float(v) for v in c] for c in cents])
+    dists = F.transform(
+        cents_lit,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(c, F.col(qvec_col),
+                           lambda a, x: (a - x.cast("double"))
+                           * (a - x.cast("double"))),
+                F.lit(0.0), lambda acc, v: acc + v).alias("d"),
+            i.cast("int").alias("c")))
+    probe_cells = F.slice(F.array_sort(dists), 1, nprobe)
+    q_cells = (queries.select(
+        qid_col, qvec_col,
+        F.explode(F.transform(probe_cells, lambda s: s["c"]))
+        .alias("cluster")))
+    cells = sorted(r["cluster"] for r in
+                   q_cells.select("cluster").distinct().collect())
+    parts = [read_snapshot(spark, path, version=version,
+                           where={"cluster": (c, c)}) for c in cells]
+    if not parts:
+        return spark.createDataFrame(
+            [], f"{qid_col} string, {id_col} string, cosine double, "
+                "rn long")
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    joined = cand.join(F.broadcast(q_cells), "cluster")
+    scored = joined.select(
+        qid_col, id_col,
+        cosine_expr(F.col(qvec_col), F.col(vec_col)).alias("cosine"))
+    return topk_per_group(scored, [qid_col],
+                          [F.col("cosine").desc(), F.col(id_col)], k)
 
 
 def ivf_probe_files(path: str, query_vec: list[float], nprobe: int = 2,

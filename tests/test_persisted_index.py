@@ -197,3 +197,40 @@ def test_stream_dedup_ingest(spark, tmp_path):
     kept_ids = {r.doc_id for r in read_snapshot(spark, kept_t).collect()}
     assert kept_ids == {101, 103, 201}
     assert read_snapshot(spark, idx).count() == 13
+
+
+def test_batch_probe_equals_single_probes(spark, tmp_path):
+    """probe_ivf_table_batch == per-query probe_ivf_table for every
+    query in the batch (ids, cosines, and order)."""
+    from graphydb_spark.operators.persisted_index import \
+        probe_ivf_table_batch
+    emb = _emb(spark, n=80)
+    p = str(tmp_path / "ivf")
+    build_ivf_table(emb, p, k=4, iters=2)
+    qs = [("q0", [1.0, -2.0, 0.5, 3.0]),
+          ("q1", [-3.0, 0.0, 2.0, -1.0]),
+          ("q2", [0.1, 0.2, 0.3, 0.4])]
+    queries = spark.createDataFrame(qs, "qid string, qvec array<double>")
+    got = probe_ivf_table_batch(spark, p, queries, k=5, nprobe=2)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.qid, []).append((r.rn, r.vec_id, r.cosine))
+    assert set(by_q) == {"q0", "q1", "q2"}
+    for qid, vec in qs:
+        want = probe_ivf_table(spark, p, vec, k=5, nprobe=2).collect()
+        gotq = [v for _, v, _ in sorted(by_q[qid])]
+        assert gotq == [r.vec_id for r in want], qid
+        gotc = [c for _, _, c in sorted(by_q[qid])]
+        assert all(abs(a - b.cosine) < 1e-9
+                   for a, b in zip(gotc, want))
+
+
+def test_batch_probe_rejects_non_index(spark, tmp_path):
+    from graphydb_spark.operators.persisted_index import \
+        probe_ivf_table_batch
+    p = str(tmp_path / "plain")
+    commit_snapshot(spark.range(3), p, mode="overwrite")
+    q = spark.createDataFrame([("a", [0.0])],
+                              "qid string, qvec array<float>")
+    with pytest.raises(ValueError, match="not an IVF"):
+        probe_ivf_table_batch(spark, p, q)
