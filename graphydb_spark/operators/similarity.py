@@ -52,6 +52,37 @@ def cosine_expr(a: str | F.Column, b: str | F.Column) -> F.Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def cosine_arrow(a_col: str, b_col: str) -> F.Column:
+    """Arrow-vectorized cosine between two array columns — BIT-identical
+    to :func:`cosine_expr`: dot and squared norms accumulate
+    per-dimension in the same left-fold order (not numpy ``.sum()``),
+    and the final combine is ``dot / (sqrt(na) * sqrt(nb))`` with the
+    same operation order.  Use for bulk pair scoring (the fold
+    expressions evaluate interpretively outside whole-stage codegen —
+    ~20× slower on multi-million-pair joins, same finding as
+    :func:`kmeans_assign_arrow`)."""
+    import numpy as np
+    import pandas as pd
+
+    def cos(va, vb):
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(va.to_numpy()).astype(np.float64)
+        B = np.stack(vb.to_numpy()).astype(np.float64)
+        dot = np.zeros(A.shape[0])
+        na = np.zeros(A.shape[0])
+        nb = np.zeros(A.shape[0])
+        for d in range(A.shape[1]):          # fold order
+            dot += A[:, d] * B[:, d]
+            na += A[:, d] * A[:, d]
+            nb += B[:, d] * B[:, d]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    cos.__annotations__ = {"va": pd.Series, "vb": pd.Series,
+                           "return": pd.Series}
+    return F.pandas_udf(cos, "double")(F.col(a_col), F.col(b_col))
+
+
 def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 exclude_ids: list | None = None) -> DataFrame:
@@ -429,22 +460,65 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
     query vector at once (the production retrieval shape — one query at
     a time never saturates a cluster).
 
-    The query batch broadcasts (it is the small side by construction);
-    cosines compute in one codegen pass over |Q| × corpus pairs, and
-    the per-query top-k runs as a rank window whose partial
-    (WindowGroupLimit) keeps ≤ k rows per query *per partition* before
-    the shuffle — shuffled bytes are O(|Q| × k × partitions), never the
-    pair count.  Deterministic: ties break on corpus id."""
-    q = queries.select(F.col(id_col).alias(query_id_col),
-                       F.col(vec_col).alias("__qv"))
-    pairs = (corpus.select(id_col, vec_col)
-             .join(F.broadcast(q))
-             .withColumn("cosine", cosine_expr(F.col("__qv"),
-                                               F.col(vec_col))))
+    The query batch rides in the task closure as one numpy matrix (it
+    is the small side by construction), so each corpus row crosses the
+    Arrow boundary ONCE — never the |Q| × corpus pair set (a pair join
+    pays pair-count × vector-width in either interpreted fold time or
+    Arrow bytes; this shape is a per-chunk matrix pass).  Scores
+    accumulate per-dimension in the same left-fold order as
+    :func:`cosine_expr` (bit-identical — the DuckDB oracle replays the
+    fold), each chunk prunes to the per-query top-k THRESHOLD (exact
+    ties kept), and the global ``row_number`` re-rank breaks ties on
+    corpus id."""
+    import numpy as np
+
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        raise ValueError("empty query batch")
+    qids = [r[0] for r in qrows]
+    Qm = np.asarray([[float(x) for x in r[1]] for r in qrows],
+                    dtype=np.float64)
+    qid_type = queries.schema[id_col].dataType.simpleString()
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = (f"`{query_id_col}` {qid_type}, `{id_col}` {id_type}, "
+                  "cosine double")
+
+    def score(batches):
+        import pandas as pd
+        nq = np.zeros(Qm.shape[0])
+        for d in range(Qm.shape[1]):
+            nq += Qm[:, d] * Qm[:, d]
+        sq = np.sqrt(nq)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            dot = np.zeros((Qm.shape[0], C.shape[0]))
+            nc = np.zeros(C.shape[0])
+            for d in range(C.shape[1]):              # fold order
+                dot += Qm[:, d][:, None] * C[:, d][None, :]
+                nc += C[:, d] * C[:, d]
+            cos = dot / (sq[:, None] * np.sqrt(nc)[None, :])
+            ids = pdf[id_col].to_numpy()
+            out = {query_id_col: [], id_col: [], "cosine": []}
+            for i in range(Qm.shape[0]):
+                s = cos[i]
+                if len(s) > k:
+                    thr = np.partition(s, len(s) - k)[len(s) - k]
+                    keep = np.nonzero(s >= thr)[0]
+                else:
+                    keep = np.arange(len(s))
+                out[query_id_col].extend([qids[i]] * len(keep))
+                out[id_col].extend(ids[keep])
+                out["cosine"].extend(s[keep])
+            yield pd.DataFrame(out)
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema=out_schema)
     from pyspark.sql import Window
     w = (Window.partitionBy(query_id_col)
          .orderBy(F.col("cosine").desc(), F.col(id_col)))
-    return (pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+    return (scored.withColumn("rn", F.row_number().over(w).cast("long"))
             .where(F.col("rn") <= k)
             .select(query_id_col, id_col, F.round("cosine", 6)
                     .alias("cosine"), "rn"))

@@ -748,6 +748,37 @@ def round8_entries(spark, n_vecs=1_000_000, dim=16, k=64,
                                k=10, nprobe=2).count()
         print(f"ivf_probe[nprobe=2]: {_t.perf_counter() - t0:.2f}s  "
               f"files={opened}/{total}  rows={n}")
+        # batch serving: 1000 queries in one pass; recall@10 vs exact
+        # brute force on a 20-query sample
+        from graphydb_spark.operators.similarity import cosine_topk
+        queries = spark.range(1000).select(
+            F.concat(F.lit("q"), "id").alias("qid"),
+            F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda i: (F.pmod(F.xxhash64(F.col("id") + 77, i),
+                                          1000).cast("double") / 100.0
+                                   - 5.0)).alias("qvec")) \
+            .localCheckpoint(eager=True)
+        t0 = _t.perf_counter()
+        res = PI.probe_ivf_table_batch(
+            spark, os.path.join(d, "ivf"), queries, k=10, nprobe=4)
+        nres = res.localCheckpoint(eager=True).count()
+        dt = _t.perf_counter() - t0
+        print(f"ivf_batch_probe[1000 q, nprobe=4]: {dt:.2f}s "
+              f"({1000 / dt:,.0f} q/s)  rows={nres}")
+        sample = queries.limit(20).collect()
+        got = {r.qid: set() for r in sample}
+        for r in res.join(F.broadcast(
+                spark.createDataFrame([(s.qid,) for s in sample],
+                                      "qid string")), "qid").collect():
+            got[r.qid].add(r.vec_id)
+        hit = tot = 0
+        for s in sample:
+            exact = {r.vec_id for r in
+                     cosine_topk(emb, list(s.qvec), k=10).collect()}
+            hit += len(exact & got[s.qid])
+            tot += len(exact)
+        print(f"ivf_batch_recall@10[nprobe=4/{k}]: {hit}/{tot} "
+              f"= {hit / tot:.2%}")
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

@@ -1050,7 +1050,12 @@ def test_knn_join_topk_and_plan_shape(spark):
                    (1, 1): 12, (1, 2): 11}   # y-axis query
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan        # partial top-k before shuffle
-    assert "BroadcastExchange" in plan       # query batch broadcast
+    # query batch rides the task closure: no join at all — corpus rows
+    # stream once through the Arrow scan, then only ≤k-per-query rows
+    # shuffle for the global rank
+    assert "BroadcastExchange" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" in plan
 
 
 def test_containment_detects_quoted_subset(spark):
