@@ -87,6 +87,18 @@ def import_graph(spark: SparkSession, path: str) -> Graph:
         raise FileNotFoundError(path)
     conn = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
     try:
+        try:
+            have = {r[0] for r in conn.execute(
+                "SELECT name FROM sqlite_master WHERE type='table'")}
+        except sqlite3.DatabaseError as e:
+            raise ValueError(f"{path!r} is not a SQLite file: {e}") from e
+        missing = {"nodes", "edges", "settings", "cache",
+                   "changes"} - have
+        if missing:
+            raise ValueError(
+                f"{path!r} is not a graphydb database: missing "
+                f"table(s) {sorted(missing)} (expected the reference "
+                "schema, graphydb.py:521-525)")
         node_rows = [(u, k, c, m, p) for (u, k, c, m, p)
                      in _read_items(conn, "nodes", edge=False)]
         edge_rows = [(u, k, s, e, c, m, p) for (u, k, s, e, c, m, p)

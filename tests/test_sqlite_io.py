@@ -263,3 +263,38 @@ def test_import_without_fts_tables(spark, tmp_path):
     _make_ref_db(db)
     g = import_graph(spark, db)
     assert g._fts_node_fields == [] and g._fts_edge_fields == []
+
+
+def test_import_rejects_non_graphydb_files(spark, tmp_path):
+    junk = str(tmp_path / "junk.db")
+    with open(junk, "wb") as f:
+        f.write(b"not a sqlite file at all padding padding")
+    with pytest.raises(ValueError, match="not a SQLite file"):
+        import_graph(spark, junk)
+    other = str(tmp_path / "other.db")
+    sqlite3.connect(other).executescript("CREATE TABLE foo(x);")
+    with pytest.raises(ValueError, match="not a graphydb database"):
+        import_graph(spark, other)
+    with pytest.raises(FileNotFoundError):
+        import_graph(spark, str(tmp_path / "missing.db"))
+
+
+def test_roundtrip_nasty_values(spark, tmp_path):
+    """JSON edge cases survive export -> import: unicode, nested
+    structures, floats, negative zero, big ints, quotes/newlines."""
+    g = Graph(spark)
+    nasty = {
+        "unicode": "h\u00e9llo w\u00f6rld \u4e2d\u6587 \U0001F600",
+        "nested": {"a": [1, 2, {"b": None}], "c": {"d": [[]]}},
+        "float": 3.141592653589793, "negzero": -0.0,
+        "bigint": 2**62, "quote": "it's \"quoted\"\nnew line",
+        "emptystr": "", "emptylist": [],
+        "bool": True, "none": None,
+    }
+    n = g.Node("Nasty", **nasty).save()
+    out = str(tmp_path / "nasty.db")
+    export_graph(g, out)
+    g2 = import_graph(spark, out)
+    item = g2.getuid(n["uid"])
+    for key, want in nasty.items():
+        assert item[key] == want, key
