@@ -37,7 +37,7 @@ from ..sources.snapshot import (commit_snapshot, read_snapshot,
                                 _may_match, _read_manifest)
 from .similarity import cosine_expr, ivf_index, vec_lit
 
-__all__ = ["build_ivf_table", "probe_ivf_table",
+__all__ = ["build_ivf_table", "probe_ivf_table", "append_ivf_table",
            "probe_ivf_table_batch", "ivf_probe_files",
            "build_minhash_index", "probe_minhash_index",
            "append_minhash_index", "probe_pairs", "stream_dedup_ingest"]
@@ -66,6 +66,32 @@ def build_ivf_table(emb: DataFrame, path: str, k: int = 16,
         meta={"kind": "ivf", "k": k, "iters": iters,
               "id_col": id_col, "vec_col": vec_col,
               "centroids": centroids})
+
+
+def append_ivf_table(spark: SparkSession, path: str, emb: DataFrame,
+                     txn: dict | None = None) -> int:
+    """Add vectors to an existing IVF table WITHOUT retraining: assign
+    against the index's own centroids (``meta`` — so the cells mean
+    the same thing for old and new rows), lay out by cell, append
+    exactly-once under ``txn``.  Standard IVF maintenance: centroids
+    drift from optimal as the distribution shifts; rebuild with
+    :func:`build_ivf_table` when recall degrades (the index records
+    nothing that prevents a rebuild — versions keep old probes
+    reproducible)."""
+    from .similarity import kmeans_assign_arrow
+
+    meta = snapshot_meta(path, None)
+    if not meta or meta.get("kind") != "ivf":
+        raise ValueError(f"{path!r} is not an IVF index table")
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    assigned = emb.withColumn(
+        "cluster", kmeans_assign_arrow(meta["centroids"], vec_col))
+    k = meta["k"]
+    n_files = max(1, int(k * 0.5))
+    laid = (assigned.select("cluster", id_col, vec_col)
+            .repartitionByRange(n_files, "cluster")
+            .sortWithinPartitions("cluster"))
+    return commit_snapshot(laid, path, mode="append", txn=txn)
 
 
 def _nearest_cells(centroids: list[list[float]],

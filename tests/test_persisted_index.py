@@ -234,3 +234,26 @@ def test_batch_probe_rejects_non_index(spark, tmp_path):
                               "qid string, qvec array<float>")
     with pytest.raises(ValueError, match="not an IVF"):
         probe_ivf_table_batch(spark, p, q)
+
+
+def test_ivf_append_then_probe(spark, tmp_path):
+    """Appended vectors assign against the INDEX's centroids and are
+    found by later probes; replayed appends are no-ops; probe(nprobe=k)
+    still equals brute force over the grown corpus."""
+    from graphydb_spark.operators.persisted_index import append_ivf_table
+    emb = _emb(spark, n=50)
+    p = str(tmp_path / "ivf")
+    build_ivf_table(emb, p, k=4, iters=2)
+    extra = spark.createDataFrame(
+        [(1000 + i, [float(i % 5) + 0.5, 1.0, -1.0, float(i + 1)])
+         for i in range(10)],
+        "vec_id long, embedding array<float>")
+    txn = {"app": "vecs", "batch": 7}
+    v1 = append_ivf_table(spark, p, extra, txn=txn)
+    v2 = append_ivf_table(spark, p, extra, txn=txn)   # replay
+    assert v1 == v2
+    q = [1.0, -2.0, 0.5, 3.0]
+    got = probe_ivf_table(spark, p, q, k=60, nprobe=4).collect()
+    both = emb.unionByName(extra)
+    want = cosine_topk(both, q, k=60).collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in want]
