@@ -18266,6 +18266,106 @@ WHERE len(list_filter(range(1, 9), i -> si[i] = sn[i])) >= 4
 ORACLES["lsh_probe"] = _LSH_PROBE_ORACLE
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion: BM25 top-20 for
+    ['data','query'] over Document.text fused with cosine top-20
+    around vec_id 0's embedding (doc_id ≡ vec_id in the fixtures);
+    rrf = Σ 1/(60 + rank).  Both rank lists order by their score
+    ROUNDED to 6 dp (then id) so integer ranks are engine-portable;
+    the fused score is then exact arithmetic on ranks.  This is the
+    standard RAG retrieval shape — lexical and vector evidence fused
+    without score calibration."""
+    from pyspark.sql import Window as W
+
+    from .fts import bm25_scores, build_tf_index
+    g = tpch_graph(spark, sf_dir)
+    docs = g.nodes_df.where(F.col("kind") == "Document")
+    idx = build_tf_index(docs, ["text"])
+    tw = W.orderBy(F.round(F.col("score"), 6).desc(), F.col("doc_id"))
+    trank = (bm25_scores(idx, ["data", "query"])
+             .select(F.substring("uid", 10, 30).cast("long")
+                     .alias("doc_id"), "score")
+             .withColumn("rank_text", F.row_number().over(tw)
+                         .cast("long"))
+             .where(F.col("rank_text") <= 20).drop("score"))
+    emb = _emb(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == 0) \
+        .select("embedding").collect()[0][0]
+    vw = W.orderBy(F.col("c").desc(), F.col("doc_id"))
+    vrank = (emb.where(F.col("vec_id") != 0)
+             .select(F.col("vec_id").alias("doc_id"),
+                     F.round(similarity.cosine_expr(
+                         similarity.vec_lit(list(qv)),
+                         F.col("embedding")), 6).alias("c"))
+             .withColumn("rank_vec", F.row_number().over(vw)
+                         .cast("long"))
+             .where(F.col("rank_vec") <= 20).drop("c"))
+    fused = trank.join(vrank, "doc_id", "full_outer")
+    rrf = (F.coalesce(1.0 / (F.lit(60) + F.col("rank_text")), F.lit(0.0))
+           + F.coalesce(1.0 / (F.lit(60) + F.col("rank_vec")),
+                        F.lit(0.0)))
+    return (fused.select("doc_id", F.round(rrf, 9).alias("rrf"),
+                         "rank_text", "rank_vec")
+            .orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(10))
+
+
+_HYBRID_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '') AS ws
+  FROM documents
+),
+docs AS (SELECT doc_id, len(ws) AS dl FROM toks WHERE len(ws) > 0),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM docs),
+tf AS (
+  SELECT toks.doc_id, u.tok AS term, COUNT(*) AS tf
+  FROM toks, UNNEST(ws) AS u(tok)
+  WHERE u.tok IN ('data','query')
+  GROUP BY toks.doc_id, u.tok
+),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         SUM( ln((s.n - d.df + 0.5)/(d.df + 0.5) + 1.0)
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * docs.dl / s.avgdl))
+            ) AS score
+  FROM tf JOIN dfreq d USING (term)
+       JOIN docs ON docs.doc_id = tf.doc_id
+       CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+trank AS (
+  SELECT doc_id, rt AS rank_text FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
+           AS rt
+    FROM scored) WHERE rt <= 20
+),
+q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cosd AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_dot_product(e.embedding, q.qv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.embedding, e.embedding))),
+               6) AS c
+  FROM embeddings e CROSS JOIN q0 q WHERE e.vec_id <> 0
+),
+vrank AS (
+  SELECT doc_id, rv AS rank_vec FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS rv
+    FROM cosd) WHERE rv <= 20
+)
+SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+       round(COALESCE(1.0 / (60 + t.rank_text), 0)
+             + COALESCE(1.0 / (60 + v.rank_vec), 0), 9) AS rrf,
+       t.rank_text, v.rank_vec
+FROM trank t FULL OUTER JOIN vrank v ON t.doc_id = v.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+ORACLES["hybrid_search"] = _HYBRID_ORACLE
+
+
 # Plan cache (prepared-statement semantics): the catalog queries are pure
 # functions of immutable inputs (parquet fixtures + the memoized graph
 # encoding), so the analyzed/optimized logical plan can be reused across
@@ -18705,6 +18805,7 @@ QUERIES = {
     "kmv_setops": q_kmv_setops,
     "weighted_reservoir": q_weighted_reservoir,
     "lsh_probe": q_lsh_probe,
+    "hybrid_search": q_hybrid_search,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
