@@ -39,6 +39,7 @@ from .similarity import cosine_expr, ivf_index, vec_lit
 
 __all__ = ["build_ivf_table", "probe_ivf_table", "append_ivf_table",
            "probe_ivf_table_batch", "ivf_probe_files",
+           "build_pq_table", "probe_pq_table",
            "build_minhash_index", "probe_minhash_index",
            "append_minhash_index", "probe_pairs", "stream_dedup_ingest"]
 
@@ -235,6 +236,43 @@ def ivf_probe_files(path: str, query_vec: list[float], nprobe: int = 2,
                           {"cluster": (c, c)}):
                 opened.add(f)
     return len(opened), len(m["files"])
+
+
+# ---------------------------------------------------------------------- PQ
+
+def build_pq_table(emb: DataFrame, path: str, m: int = 4, k: int = 8,
+                   iters: int = 2, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> int:
+    """Persist a product-quantization index: per-vector code arrays as
+    the snapshot table, the m×k×sub codebooks in ``meta``.  The point
+    at scale is compression — the code table is m small ints per
+    vector (a dim-4096 float corpus shrinks ~4000×), so probe scans
+    are bandwidth-light full scans; there is deliberately NO cell
+    clustering to prune (combine with IVF for that — IVF-PQ — by
+    building this table per coarse cell)."""
+    from .similarity import pq_index
+
+    coded, books = pq_index(emb, m=m, k=k, iters=iters,
+                            id_col=id_col, vec_col=vec_col)
+    return commit_snapshot(
+        coded, path, mode="overwrite",
+        meta={"kind": "pq", "m": m, "k": k, "books": books,
+              "id_col": id_col, "vec_col": vec_col})
+
+
+def probe_pq_table(spark: SparkSession, path: str,
+                   query_vec: list[float], k: int = 10,
+                   version: int | None = None) -> DataFrame:
+    """ADC top-k from the persisted code table (codebooks from
+    ``meta`` — atomically the ones the codes were encoded with)."""
+    from .similarity import pq_topk
+
+    meta = snapshot_meta(path, version)
+    if not meta or meta.get("kind") != "pq":
+        raise ValueError(f"{path!r} is not a PQ index table")
+    codes = read_snapshot(spark, path, version=version)
+    return pq_topk(codes, meta["books"], query_vec, k=k,
+                   id_col=meta["id_col"])
 
 
 # ------------------------------------------------------------- MinHash-LSH

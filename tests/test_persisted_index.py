@@ -257,3 +257,29 @@ def test_ivf_append_then_probe(spark, tmp_path):
     both = emb.unionByName(extra)
     want = cosine_topk(both, q, k=60).collect()
     assert [r.vec_id for r in got] == [r.vec_id for r in want]
+
+
+def test_pq_table_roundtrip(spark, tmp_path):
+    """Persisted PQ probe == in-memory pq_topk; codebooks travel in
+    meta atomically with the codes."""
+    from graphydb_spark.operators.persisted_index import (
+        build_pq_table, probe_pq_table)
+    from graphydb_spark.operators.similarity import pq_index, pq_topk
+    emb = _emb(spark, n=60, dim=8)
+    p = str(tmp_path / "pq")
+    build_pq_table(emb, p, m=4, k=4, iters=2)
+    q = [0.5, -1.0, 2.0, 0.0, 1.5, -0.5, 0.25, 3.0]
+    got = probe_pq_table(spark, p, q, k=7).collect()
+    codes, books = pq_index(emb, m=4, k=4, iters=2)
+    want = pq_topk(codes, books, q, k=7).collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in want]
+    assert all(abs(a.adc_dist - b.adc_dist) < 1e-12
+               for a, b in zip(got, want))
+
+
+def test_pq_table_rejects_non_index(spark, tmp_path):
+    from graphydb_spark.operators.persisted_index import probe_pq_table
+    p = str(tmp_path / "plain")
+    commit_snapshot(spark.range(3), p, mode="overwrite")
+    with pytest.raises(ValueError, match="not a PQ"):
+        probe_pq_table(spark, p, [0.0], k=1)
