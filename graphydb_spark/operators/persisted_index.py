@@ -40,6 +40,7 @@ from .similarity import cosine_expr, ivf_index, vec_lit
 __all__ = ["build_ivf_table", "probe_ivf_table", "append_ivf_table",
            "probe_ivf_table_batch", "ivf_probe_files",
            "build_pq_table", "probe_pq_table",
+           "build_ivfpq_table", "probe_ivfpq_table",
            "build_minhash_index", "probe_minhash_index",
            "append_minhash_index", "probe_pairs", "stream_dedup_ingest"]
 
@@ -273,6 +274,90 @@ def probe_pq_table(spark: SparkSession, path: str,
     codes = read_snapshot(spark, path, version=version)
     return pq_topk(codes, meta["books"], query_vec, k=k,
                    id_col=meta["id_col"])
+
+
+def build_ivfpq_table(emb: DataFrame, path: str, k: int = 16,
+                      m: int = 4, pq_k: int = 8, iters: int = 2,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      files_per_cell: float = 0.5) -> int:
+    """IVF-PQ: coarse k-means cells + product-quantized RESIDUALS
+    (vector − its cell centroid), the standard billion-scale ANN
+    layout — cells give pruning (open nprobe/k of the files), PQ gives
+    compression (m small ints per vector), and quantizing residuals
+    instead of raw vectors keeps codebook resolution where the data
+    actually is.  Codebooks are GLOBAL over all residuals (the common
+    memory-lean variant).  Everything needed to probe rides in one
+    atomic ``meta``: coarse centroids + PQ codebooks."""
+    from .similarity import ivf_index, pq_index
+
+    assigned, cents = ivf_index(emb, k=k, iters=iters,
+                                id_col=id_col, vec_col=vec_col)
+    cents_lit = F.lit([[float(v) for v in c] for c in cents])
+    res = assigned.select(
+        "cluster", id_col,
+        F.zip_with(F.col(vec_col),
+                   F.element_at(cents_lit, F.col("cluster") + 1),
+                   lambda x, c: x.cast("double") - c).alias(vec_col))
+    coded, books = pq_index(res, m=m, k=pq_k, iters=iters,
+                            id_col=id_col, vec_col=vec_col)
+    rows = (res.select("cluster", id_col)
+            .join(coded, id_col)
+            .repartitionByRange(max(1, int(k * files_per_cell)),
+                                "cluster")
+            .sortWithinPartitions("cluster"))
+    return commit_snapshot(
+        rows, path, mode="overwrite",
+        meta={"kind": "ivfpq", "k": k, "m": m, "pq_k": pq_k,
+              "centroids": cents, "books": books,
+              "id_col": id_col, "vec_col": vec_col})
+
+
+def probe_ivfpq_table(spark: SparkSession, path: str,
+                      query_vec: list[float], k: int = 10,
+                      nprobe: int = 2,
+                      version: int | None = None) -> DataFrame:
+    """ADC top-k over the ``nprobe`` nearest cells: per probed cell the
+    query's RESIDUAL builds its own m×pq_k lookup table (driver math —
+    m·pq_k doubles per cell), the cell's codes stream through a pure
+    lookup-and-sum, cells union, global top-k by approximate distance.
+    Only manifest-pruned files are read; no raw vector is touched."""
+    meta = snapshot_meta(path, version)
+    if not meta or meta.get("kind") != "ivfpq":
+        raise ValueError(f"{path!r} is not an IVF-PQ index table")
+    cents, books = meta["centroids"], meta["books"]
+    id_col = meta["id_col"]
+    m = len(books)
+    sub = len(books[0][0])
+    cells = _nearest_cells(cents, query_vec, nprobe)
+    parts = []
+    for c in cells:
+        qres = [float(q) - cc for q, cc in zip(query_vec, cents[c])]
+        tables = []
+        for s in range(m):
+            qs = qres[s * sub:(s + 1) * sub]
+            row = []
+            for cent in books[s]:
+                acc = 0.0
+                for a, b in zip(cent, qs):
+                    d = a - float(b)
+                    acc = acc + d * d
+                row.append(acc)
+            tables.append(row)
+        tab_lit = F.lit([[float(d) for d in t] for t in tables])
+        dist = F.aggregate(
+            F.zip_with(tab_lit, F.col("codes"),
+                       lambda t, code: F.element_at(t, code + F.lit(1))),
+            F.lit(0.0), lambda a, v: a + v)
+        cell_rows = read_snapshot(spark, path, version=version,
+                                  where={"cluster": (c, c)})
+        parts.append(cell_rows.select(id_col,
+                                      dist.alias("adc_dist")))
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    return (cand.orderBy(F.col("adc_dist").asc(), F.col(id_col))
+            .limit(k))
 
 
 # ------------------------------------------------------------- MinHash-LSH

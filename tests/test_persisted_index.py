@@ -283,3 +283,41 @@ def test_pq_table_rejects_non_index(spark, tmp_path):
     commit_snapshot(spark.range(3), p, mode="overwrite")
     with pytest.raises(ValueError, match="not a PQ"):
         probe_pq_table(spark, p, [0.0], k=1)
+
+
+def test_ivfpq_probe(spark, tmp_path):
+    """IVF-PQ: probing all cells recovers the true nearest neighbor on
+    well-separated data, reads are cell-pruned, and the probe is
+    deterministic across calls."""
+    from graphydb_spark.operators.persisted_index import (
+        build_ivfpq_table, probe_ivfpq_table)
+    emb = _emb(spark, n=120, dim=8)
+    p = str(tmp_path / "ivfpq")
+    build_ivfpq_table(emb, p, k=6, m=4, pq_k=8, iters=2)
+    # query sitting exactly on vector 17: its cell must contain it and
+    # ADC must rank it first when probing every cell (residual ~ 0)
+    target = emb.where("vec_id = 17").collect()[0].embedding
+    got = probe_ivfpq_table(spark, p, [float(x) for x in target],
+                            k=3, nprobe=6).collect()
+    assert got[0].vec_id in {r.vec_id for r in emb.collect()
+                             if list(r.embedding) == list(target)}
+    # determinism
+    again = probe_ivfpq_table(spark, p, [float(x) for x in target],
+                              k=3, nprobe=6).collect()
+    assert [(r.vec_id, r.adc_dist) for r in got] == \
+           [(r.vec_id, r.adc_dist) for r in again]
+    # narrow probe stays a subset of the candidate space + errors OK
+    one = probe_ivfpq_table(spark, p, [float(x) for x in target],
+                            k=50, nprobe=1).count()
+    full = probe_ivfpq_table(spark, p, [float(x) for x in target],
+                             k=500, nprobe=6).count()
+    assert one <= 50 and full == 120
+
+
+def test_ivfpq_rejects_non_index(spark, tmp_path):
+    from graphydb_spark.operators.persisted_index import \
+        probe_ivfpq_table
+    p = str(tmp_path / "plain")
+    commit_snapshot(spark.range(3), p, mode="overwrite")
+    with pytest.raises(ValueError, match="not an IVF-PQ"):
+        probe_ivfpq_table(spark, p, [0.0], k=1)
