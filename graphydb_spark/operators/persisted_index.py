@@ -47,18 +47,46 @@ __all__ = ["build_ivf_table", "probe_ivf_table", "append_ivf_table",
 
 # --------------------------------------------------------------------- IVF
 
+def _train_subset(emb: DataFrame, id_col: str,
+                  train_fraction: float) -> DataFrame:
+    """Deterministic hash-gated training sample (house sampling style:
+    reproducible on any engine/partitioning, unlike ``df.sample``).
+    Training k-means on the full corpus is the non-starter at scale —
+    sample-train + full-encode is the standard (FAISS trains on ~256
+    vectors/centroid)."""
+    if not 0 < train_fraction <= 1:
+        raise ValueError("train_fraction must be in (0, 1]")
+    if train_fraction == 1.0:
+        return emb
+    gate = max(2, int(round(1.0 / train_fraction)))
+    return emb.where(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(gate)) == 0)
+
+
 def build_ivf_table(emb: DataFrame, path: str, k: int = 16,
                     iters: int = 3, id_col: str = "vec_id",
                     vec_col: str = "embedding",
-                    files_per_cell: float = 0.5) -> int:
+                    files_per_cell: float = 0.5,
+                    train_fraction: float = 1.0) -> int:
     """Train IVF and publish ``(cluster, id, vector)`` as a snapshot
     table clustered by cell.  ``repartitionByRange`` + in-partition sort
     give each parquet file a narrow [min,max] cluster interval, which is
     what makes the manifest's per-file stats an effective inverted
     index; ``files_per_cell`` scales file count (0.5 → ~2 cells/file).
-    Returns the committed version."""
-    assigned, centroids = ivf_index(emb, k=k, iters=iters,
-                                    id_col=id_col, vec_col=vec_col)
+    ``train_fraction`` < 1 trains centroids on a deterministic sample
+    and then assigns EVERY row — the only workable shape at corpus
+    scale.  Returns the committed version."""
+    from .similarity import kmeans_assign_arrow
+
+    train = _train_subset(emb, id_col, train_fraction)
+    if train is emb:
+        assigned, centroids = ivf_index(emb, k=k, iters=iters,
+                                        id_col=id_col, vec_col=vec_col)
+    else:
+        _, centroids = ivf_index(train, k=k, iters=iters,
+                                 id_col=id_col, vec_col=vec_col)
+        assigned = emb.withColumn(
+            "cluster", kmeans_assign_arrow(centroids, vec_col))
     n_files = max(1, int(k * files_per_cell))
     laid = (assigned.select("cluster", id_col, vec_col)
             .repartitionByRange(n_files, "cluster")
@@ -280,27 +308,50 @@ def build_ivfpq_table(emb: DataFrame, path: str, k: int = 16,
                       m: int = 4, pq_k: int = 8, iters: int = 2,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding",
-                      files_per_cell: float = 0.5) -> int:
+                      files_per_cell: float = 0.5,
+                      train_fraction: float = 1.0) -> int:
     """IVF-PQ: coarse k-means cells + product-quantized RESIDUALS
     (vector − its cell centroid), the standard billion-scale ANN
     layout — cells give pruning (open nprobe/k of the files), PQ gives
     compression (m small ints per vector), and quantizing residuals
     instead of raw vectors keeps codebook resolution where the data
     actually is.  Codebooks are GLOBAL over all residuals (the common
-    memory-lean variant).  Everything needed to probe rides in one
+    memory-lean variant).  ``train_fraction`` < 1 learns both the
+    coarse centroids and the codebooks on a deterministic sample and
+    encodes EVERY row against them — training over the full corpus is
+    the non-starter at scale.  Everything needed to probe rides in one
     atomic ``meta``: coarse centroids + PQ codebooks."""
-    from .similarity import ivf_index, pq_index
+    from .similarity import (ivf_index, kmeans_assign_arrow, pq_encode,
+                             pq_index)
 
-    assigned, cents = ivf_index(emb, k=k, iters=iters,
-                                id_col=id_col, vec_col=vec_col)
+    train = _train_subset(emb, id_col, train_fraction)
+    if train is emb:
+        assigned, cents = ivf_index(emb, k=k, iters=iters,
+                                    id_col=id_col, vec_col=vec_col)
+    else:
+        _, cents = ivf_index(train, k=k, iters=iters,
+                             id_col=id_col, vec_col=vec_col)
+        assigned = emb.withColumn(
+            "cluster", kmeans_assign_arrow(cents, vec_col))
     cents_lit = F.lit([[float(v) for v in c] for c in cents])
-    res = assigned.select(
-        "cluster", id_col,
-        F.zip_with(F.col(vec_col),
-                   F.element_at(cents_lit, F.col("cluster") + 1),
-                   lambda x, c: x.cast("double") - c).alias(vec_col))
-    coded, books = pq_index(res, m=m, k=pq_k, iters=iters,
+
+    def residuals(df):
+        return df.select(
+            "cluster", id_col,
+            F.zip_with(F.col(vec_col),
+                       F.element_at(cents_lit, F.col("cluster") + 1),
+                       lambda x, c: x.cast("double") - c)
+            .alias(vec_col))
+
+    res = residuals(assigned)
+    if train is emb:
+        coded, books = pq_index(res, m=m, k=pq_k, iters=iters,
+                                id_col=id_col, vec_col=vec_col)
+    else:
+        res_train = _train_subset(res, id_col, train_fraction)
+        _, books = pq_index(res_train, m=m, k=pq_k, iters=iters,
                             id_col=id_col, vec_col=vec_col)
+        coded = pq_encode(res, books, id_col=id_col, vec_col=vec_col)
     rows = (res.select("cluster", id_col)
             .join(coded, id_col)
             .repartitionByRange(max(1, int(k * files_per_cell)),

@@ -83,6 +83,24 @@ def cosine_arrow(a_col: str, b_col: str) -> F.Column:
     return F.pandas_udf(cos, "double")(F.col(a_col), F.col(b_col))
 
 
+def pq_encode(emb: DataFrame, books: list[list[list[float]]],
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode vectors against existing PQ codebooks → (id, codes).
+    Arrow-vectorized per subspace (bit-identical to the expression
+    argmin — see :func:`kmeans_assign_arrow`); shared by
+    :func:`pq_index` (train+encode) and sample-trained builders that
+    encode the full corpus against codebooks learned on a subset."""
+    m = len(books)
+    sub = len(books[0][0])
+    return emb.select(
+        id_col,
+        F.array(*[
+            kmeans_assign_arrow(
+                books[s], F.slice(F.col(vec_col), s * sub + 1, sub))
+            for s in range(m)]).alias("codes"))
+
+
 def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 exclude_ids: list | None = None) -> DataFrame:
@@ -137,7 +155,7 @@ def ann_index(emb: DataFrame, dim: int, bits: int = 8, seed: int = 42,
 
 
 def kmeans_assign_arrow(cents: list[list[float]],
-                        vec_col: str) -> F.Column:
+                        vec_col: str | F.Column) -> F.Column:
     """Vectorized nearest-centroid assignment (Arrow pandas_udf) —
     BIT-IDENTICAL to :func:`kmeans_assign`: distances accumulate
     per-dimension in the same left-fold order as the expression form
@@ -172,7 +190,8 @@ def kmeans_assign_arrow(cents: list[list[float]],
     # `from __future__ import annotations`; declare the eval type via
     # a real Series->Series signature instead
     assign.__annotations__ = {"vs": pd.Series, "return": pd.Series}
-    return F.pandas_udf(assign, "int")(F.col(vec_col))
+    target = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.pandas_udf(assign, "int")(target)
 
 
 def kmeans_assign(cents: list[list[float]], vec: F.Column) -> F.Column:
@@ -408,13 +427,7 @@ def pq_index(emb: DataFrame, m: int = 4, k: int = 8, iters: int = 2,
         _, cents = ivf_index(sliced, k=k, iters=iters,
                              id_col=id_col, vec_col=vec_col)
         books.append(cents)
-    coded = emb.select(
-        id_col,
-        F.array(*[
-            kmeans_assign(books[s],
-                          F.slice(F.col(vec_col), s * sub + 1, sub))
-            for s in range(m)]).alias("codes"))
-    return coded, books
+    return pq_encode(emb, books, id_col=id_col, vec_col=vec_col), books
 
 
 def pq_topk(codes: DataFrame, books: list[list[list[float]]],

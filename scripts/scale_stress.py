@@ -737,7 +737,7 @@ def round8_entries(spark, n_vecs=1_000_000, dim=16, k=64,
         emb = emb.localCheckpoint(eager=True)
         t0 = _t.perf_counter()
         PI.build_ivf_table(emb, os.path.join(d, "ivf"), k=k, iters=2,
-                           files_per_cell=1.0)
+                           files_per_cell=1.0, train_fraction=0.05)
         print(f"ivf_build[{n_vecs:,} x dim{dim}, k={k}]: "
               f"{_t.perf_counter() - t0:.2f}s")
         q = [float(i % 7) - 3.0 for i in range(dim)]
@@ -779,6 +779,29 @@ def round8_entries(spark, n_vecs=1_000_000, dim=16, k=64,
             tot += len(exact)
         print(f"ivf_batch_recall@10[nprobe=4/{k}]: {hit}/{tot} "
               f"= {hit / tot:.2%}")
+        # IVF-PQ: compressed codes (m=8 x 1B/vec vs 64B raw) + pruning.
+        # ADC is an L2-metric index, so recall is judged against exact
+        # L2 top-k (cosine order differs on unnormalized vectors)
+        t0 = _t.perf_counter()
+        PI.build_ivfpq_table(emb, os.path.join(d, "ivfpq"), k=k, m=8,
+                             pq_k=32, iters=2, train_fraction=0.05)
+        print(f"ivfpq_build[{n_vecs:,}]: {_t.perf_counter() - t0:.2f}s")
+        t0 = _t.perf_counter()
+        top = PI.probe_ivfpq_table(spark, os.path.join(d, "ivfpq"),
+                                   q, k=100, nprobe=8).collect()
+        dt = _t.perf_counter() - t0
+        qlit = F.lit([float(x) for x in q])
+        l2 = F.aggregate(
+            F.zip_with("embedding", qlit,
+                       lambda x, qq: (x.cast("double") - qq)
+                       * (x.cast("double") - qq)),
+            F.lit(0.0), lambda a, v: a + v)
+        exact = {r.vec_id for r in
+                 emb.select("vec_id", l2.alias("d"))
+                 .orderBy(F.col("d").asc(), F.col("vec_id"))
+                 .limit(100).collect()}
+        rec = len(exact & {r.vec_id for r in top}) / 100
+        print(f"ivfpq_probe[nprobe=8]: {dt:.2f}s  recall@100={rec:.0%}")
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

@@ -321,3 +321,22 @@ def test_ivfpq_rejects_non_index(spark, tmp_path):
     commit_snapshot(spark.range(3), p, mode="overwrite")
     with pytest.raises(ValueError, match="not an IVF-PQ"):
         probe_ivfpq_table(spark, p, [0.0], k=1)
+
+
+def test_ivf_sampled_training_still_exact_at_full_probe(spark, tmp_path):
+    """train_fraction < 1 changes WHERE centroids land, never which
+    vectors exist: probing all cells must still equal brute force."""
+    emb = _emb(spark, n=80)
+    p = str(tmp_path / "ivf_s")
+    build_ivf_table(emb, p, k=4, iters=2, train_fraction=0.5)
+    q = [1.0, -2.0, 0.5, 3.0]
+    got = probe_ivf_table(spark, p, q, k=6, nprobe=4).collect()
+    want = cosine_topk(emb, q, k=6).collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in want]
+
+
+def test_train_fraction_validation(spark, tmp_path):
+    emb = _emb(spark, n=10)
+    with pytest.raises(ValueError, match="train_fraction"):
+        build_ivf_table(emb, str(tmp_path / "x"), k=2,
+                        train_fraction=0.0)
