@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     # round 3 continuation session 5: incremental index probe (8-hash
     # minhash both halves + band join) — the standing-pipeline dedup op
     "lsh_probe",
+    # BM25 + vector RRF fusion — the RAG retrieval shape
+    "hybrid_search",
     # (sssp_cost is excluded for the same reason as dedup_clusters: the
     # plan-cached frame holds checkpointed final distances, so a re-count
     # would measure a re-read, not the iterative relaxation)

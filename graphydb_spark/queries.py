@@ -18281,13 +18281,19 @@ def q_hybrid_search(spark, sf_dir):
     g = tpch_graph(spark, sf_dir)
     docs = g.nodes_df.where(F.col("kind") == "Document")
     idx = build_tf_index(docs, ["text"])
+    # top-20 via distributed TakeOrdered FIRST, then rank the 20
+    # survivors — a partitionless row_number window over ALL scored
+    # docs funnels the corpus through one task (the global_shuffle
+    # lesson); ranking after the limit is the same result at any scale
     tw = W.orderBy(F.round(F.col("score"), 6).desc(), F.col("doc_id"))
     trank = (bm25_scores(idx, ["data", "query"])
              .select(F.substring("uid", 10, 30).cast("long")
                      .alias("doc_id"), "score")
+             .orderBy(F.round(F.col("score"), 6).desc(), F.col("doc_id"))
+             .limit(20)
              .withColumn("rank_text", F.row_number().over(tw)
                          .cast("long"))
-             .where(F.col("rank_text") <= 20).drop("score"))
+             .drop("score"))
     emb = _emb(spark, sf_dir)
     qv = emb.where(F.col("vec_id") == 0) \
         .select("embedding").collect()[0][0]
@@ -18297,9 +18303,10 @@ def q_hybrid_search(spark, sf_dir):
                      F.round(similarity.cosine_expr(
                          similarity.vec_lit(list(qv)),
                          F.col("embedding")), 6).alias("c"))
+             .orderBy(F.col("c").desc(), F.col("doc_id")).limit(20)
              .withColumn("rank_vec", F.row_number().over(vw)
                          .cast("long"))
-             .where(F.col("rank_vec") <= 20).drop("c"))
+             .drop("c"))
     fused = trank.join(vrank, "doc_id", "full_outer")
     rrf = (F.coalesce(1.0 / (F.lit(60) + F.col("rank_text")), F.lit(0.0))
            + F.coalesce(1.0 / (F.lit(60) + F.col("rank_vec")),
