@@ -169,7 +169,7 @@ def probe_ivf_table_batch(spark: SparkSession, path: str,
     (Materializing the |queries| × |candidates| pair join and scoring
     per pair moves pair-count × row-width bytes through Arrow or the
     interpreted fold — measured 77 s expression / 292 s pair-Arrow vs
-    ~6 s this shape on 1000 queries against a 1M-vector index.)
+    ~15 s this shape on 1000 queries against a 1M-vector index.)
 
     Inside each Arrow chunk the kernel scores cell-group × probing-
     queries blocks with per-dimension left-fold accumulation —
@@ -253,6 +253,8 @@ def ivf_probe_files(path: str, query_vec: list[float], nprobe: int = 2,
     accounting tests and capacity planning read; pure driver-side
     manifest math, no Spark job."""
     meta = snapshot_meta(path, version)
+    if not meta or "centroids" not in meta:
+        raise ValueError(f"{path!r} is not an IVF index table")
     cells = _nearest_cells(meta["centroids"], query_vec, nprobe)
     vs = snapshot_versions(path)
     v = vs[-1] if version is None else version
