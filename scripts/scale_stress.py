@@ -722,6 +722,7 @@ def round8_entries(spark, n_vecs=1_000_000, dim=16, k=64,
     import time as _t
 
     from graphydb_spark.operators import persisted_index as PI
+    from graphydb_spark.sources import snapshot as snap
 
     d = tempfile.mkdtemp()
     try:
@@ -875,6 +876,55 @@ def round8_entries(spark, n_vecs=1_000_000, dim=16, k=64,
               f"{_t.perf_counter() - t0:.2f}s  nodes={n:,}")
     finally:
         shutil.rmtree(d3, ignore_errors=True)
+
+    # streaming near-dup gate end-to-end: 3 micro-batches of 20k docs
+    # against a growing index (10% index hits + in-batch dups planted)
+    d4 = tempfile.mkdtemp()
+    try:
+        corpus4 = spark.range(50_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *[F.concat(F.lit(f"c{j}_"),
+                               F.pmod(F.xxhash64("id", F.lit(j)), 9000))
+                               for j in range(12)]).alias("text"))
+        PI.build_minhash_index(corpus4, os.path.join(d4, "idx"))
+        schema4 = "doc_id long, text string"
+        from pyspark.sql.types import StructType
+        sch = spark.createDataFrame([], schema4).schema
+        total_in = 0
+        t0 = _t.perf_counter()
+        for b in range(3):
+            batch = spark.range(20_000).select(
+                (F.col("id") + 1_000_000 * (b + 1)).alias("doc_id"),
+                F.when(F.col("id") % 10 == 0,
+                       F.concat_ws(" ", *[
+                           F.concat(F.lit(f"c{j}_"),
+                                    F.pmod(F.xxhash64(
+                                        (F.col("id") / 10).cast("long"),
+                                        F.lit(j)), 9000))
+                           for j in range(12)]))
+                .otherwise(F.concat_ws(" ", *[
+                    F.concat(F.lit(f"b{b}{j}_"),
+                             F.pmod(F.xxhash64("id", F.lit(j + 50)),
+                                    9000))
+                    for j in range(12)])).alias("text"))
+            batch.write.mode("append").parquet(os.path.join(d4, "src"))
+            total_in += 20_000
+            q = PI.stream_dedup_ingest(
+                spark, os.path.join(d4, "src"), sch,
+                os.path.join(d4, "idx"), os.path.join(d4, "kept"),
+                os.path.join(d4, "ckpt"), threshold=0.99)
+            q.awaitTermination(300)
+        dt = _t.perf_counter() - t0
+        kept_n = snap.read_snapshot(
+            spark, os.path.join(d4, "kept")).count()
+        idx_n = snap.read_snapshot(
+            spark, os.path.join(d4, "idx")).count()
+        print(f"stream_dedup_ingest[3 x 20k vs 50k index]: {dt:.2f}s "
+              f"({total_in / dt:,.0f} docs/s)  kept={kept_n:,} "
+              f"index={idx_n:,}")
+    finally:
+        shutil.rmtree(d4, ignore_errors=True)
+
 
 
 if __name__ == "__main__":
