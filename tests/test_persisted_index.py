@@ -340,3 +340,19 @@ def test_train_fraction_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="train_fraction"):
         build_ivf_table(emb, str(tmp_path / "x"), k=2,
                         train_fraction=0.0)
+
+
+def test_cosine_arrow_bit_equals_expression(spark):
+    """cosine_arrow == cosine_expr BIT-for-bit (same fold order) —
+    the property every closure-matrix kernel in the engine relies on."""
+    from graphydb_spark.operators.similarity import (cosine_arrow,
+                                                     cosine_expr)
+    rows = [(i, [float((i * 13 + d * 7) % 17) - 8.0 for d in range(9)],
+             [float((i * 5 + d * 11) % 23) - 11.0 for d in range(9)])
+            for i in range(1, 300)]
+    df = spark.createDataFrame(
+        rows, "i long, a array<float>, b array<float>")
+    got = df.select(
+        "i", cosine_arrow("a", "b").alias("u"),
+        cosine_expr(F.col("a"), F.col("b")).alias("v")).collect()
+    assert all(r.u == r.v for r in got)   # exact, not approx
