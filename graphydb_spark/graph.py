@@ -194,6 +194,16 @@ class Graph:
         return cls(spark, path=path)
 
     @classmethod
+    def open_sqlite(cls, spark: SparkSession, path: str) -> "Graph":
+        """Open a REFERENCE-format SQLite graph file (the reference's
+        ``Graph(path)`` idiom, graphydb.py:489-506) — full round trip
+        including settings/cache/change-log/FTS config; see
+        sources/sqlite_io for the format contract and the sharded
+        fleet importer."""
+        from .sources.sqlite_io import import_graph
+        return import_graph(spark, path)
+
+    @classmethod
     def from_dataframes(cls, spark: SparkSession, nodes_df: DataFrame,
                         edges_df: DataFrame) -> "Graph":
         g = cls(spark)

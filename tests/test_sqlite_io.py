@@ -298,3 +298,12 @@ def test_roundtrip_nasty_values(spark, tmp_path):
     item = g2.getuid(n["uid"])
     for key, want in nasty.items():
         assert item[key] == want, key
+
+
+def test_graph_open_sqlite_classmethod(spark, tmp_path):
+    """Graph.open_sqlite mirrors the reference's Graph(path) idiom."""
+    db = str(tmp_path / "ref.db")
+    uids = _make_ref_db(db)
+    g = Graph.open_sqlite(spark, db)
+    assert g.stats["nodes"] == 3
+    assert g.getuid(uids["Anne"])["name"] == "Anne"
