@@ -48,12 +48,16 @@ def tokens_col(col):
 
 def _field_col(df: DataFrame, f_name: str):
     """Property accessor: typed pstruct field when the frame has one
-    (columnar, no JSON parse), else a JSON path extract."""
+    (columnar, no JSON parse), else a JSON path extract; frames with no
+    ``props`` document at all (plain tables like documents.parquet)
+    read the field as a top-level column."""
     if "pstruct" in df.columns:
         fields = {f.name for f in df.schema["pstruct"].dataType.fields}
         if f_name in fields:
             return F.col("pstruct").getField(f_name).cast("string")
-    return F.get_json_object(F.col("props"), f"$.{f_name}")
+    if "props" in df.columns:
+        return F.get_json_object(F.col("props"), f"$.{f_name}")
+    return F.col(f_name).cast("string")
 
 
 def build_index(df: DataFrame, fields: list[str]) -> DataFrame:

@@ -42,7 +42,9 @@ __all__ = ["build_ivf_table", "probe_ivf_table", "append_ivf_table",
            "build_pq_table", "probe_pq_table",
            "build_ivfpq_table", "probe_ivfpq_table",
            "build_minhash_index", "probe_minhash_index",
-           "append_minhash_index", "probe_pairs", "stream_dedup_ingest"]
+           "append_minhash_index", "probe_pairs", "stream_dedup_ingest",
+           "build_fts_table", "probe_fts_table", "append_fts_table",
+           "fts_probe_files"]
 
 
 # --------------------------------------------------------------------- IVF
@@ -58,9 +60,12 @@ def _train_subset(emb: DataFrame, id_col: str,
         raise ValueError("train_fraction must be in (0, 1]")
     if train_fraction == 1.0:
         return emb
-    gate = max(2, int(round(1.0 / train_fraction)))
+    # gate on the hash VALUE RANGE, not a modulus-of-rounded-reciprocal,
+    # so any fraction is honored (1/round(1/f) quantizes 0.9 down to 0.5)
+    scale = 1_000_000
+    cut = int(train_fraction * scale)
     return emb.where(
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(gate)) == 0)
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(scale)) < F.lit(cut))
 
 
 def build_ivf_table(emb: DataFrame, path: str, k: int = 16,
@@ -95,6 +100,7 @@ def build_ivf_table(emb: DataFrame, path: str, k: int = 16,
         laid, path, mode="overwrite",
         meta={"kind": "ivf", "k": k, "iters": iters,
               "id_col": id_col, "vec_col": vec_col,
+              "files_per_cell": files_per_cell,
               "centroids": centroids})
 
 
@@ -117,7 +123,9 @@ def append_ivf_table(spark: SparkSession, path: str, emb: DataFrame,
     assigned = emb.withColumn(
         "cluster", kmeans_assign_arrow(meta["centroids"], vec_col))
     k = meta["k"]
-    n_files = max(1, int(k * 0.5))
+    # reuse the file/cell layout the table was BUILT with — a different
+    # layout on append degrades manifest pruning for the appended files
+    n_files = max(1, int(k * meta.get("files_per_cell", 0.5)))
     laid = (assigned.select("cluster", id_col, vec_col)
             .repartitionByRange(n_files, "cluster")
             .sortWithinPartitions("cluster"))
@@ -233,8 +241,11 @@ def probe_ivf_table_batch(spark: SparkSession, path: str,
                 for row_i in range(len(qi)):
                     s = cos[row_i]
                     if len(s) > k:
-                        thr = np.partition(s, len(s) - k)[len(s) - k]
-                        keep = np.nonzero(s >= thr)[0]
+                        # NaN (zero-norm vector) would poison the
+                        # threshold and drop valid rows — mask to -inf
+                        sf = np.nan_to_num(s, nan=-np.inf)
+                        thr = np.partition(sf, len(sf) - k)[len(sf) - k]
+                        keep = np.nonzero(sf >= thr)[0]
                     else:
                         keep = np.arange(len(s))
                     out[qid_col].extend([qids[qi[row_i]]] * len(keep))
@@ -549,7 +560,12 @@ def stream_dedup_ingest(spark: SparkSession, source_dir: str, schema,
 
     def gate_batch(batch_df, epoch_id: int) -> None:
         s = batch_df.sparkSession
-        txn = {"app": f"dedup_ingest:{checkpoint_dir}", "batch": epoch_id}
+        # the {"source", "batch"} shape is what _is_stream_txn
+        # recognizes — it enters the manifest's txn_wm watermark, so
+        # the idempotence probe is O(1) and survives expire_snapshots
+        # (the stream_to_snapshot recovery contract)
+        txn = {"source": f"dedup_ingest:{checkpoint_dir}",
+               "batch": int(epoch_id)}
         sigs = _sig_rows(batch_df, tcol, icol,
                          p["k"], p["num_hashes"], p["bands"]) \
             .localCheckpoint(eager=True)
@@ -572,6 +588,134 @@ def stream_dedup_ingest(spark: SparkSession, source_dir: str, schema,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+# ----------------------------------------------------------- FTS / BM25
+
+def build_fts_table(docs: DataFrame, path: str,
+                    fields: list[str] | None = None,
+                    n_files: int = 8, id_col: str = "uid") -> int:
+    """Publish the corpus's term-frequency index as a snapshot table —
+    the PERSISTENT form of :func:`fts.build_tf_index` (the reference's
+    FTS5 index is likewise persistent, graphydb.py:638-658; the derived
+    per-session index in graph.py is the ephemeral form).
+
+    Rows are ``(uid, field, token, tf, doc_len)`` laid out
+    range-partitioned BY TOKEN and sorted within partitions, so each
+    parquet file covers a narrow token interval — the manifest's
+    per-file [min,max] then IS the term dictionary: a probe for one
+    term opens ~1/n_files of the table before Spark lists a single
+    extra file (the same trick the IVF table plays with cells).
+
+    Corpus statistics BM25 needs (doc count, total doc length) ride in
+    ``meta`` — atomic with the files, incrementally maintained by
+    :func:`append_fts_table` — so a probe never rescans the corpus for
+    N/avgdl.  ``fields`` defaults to ``["text"]``.  ``docs`` may be
+    graph nodes (uid + props/pstruct) or a plain table whose ``fields``
+    are top-level columns; ``id_col`` names the document id column
+    (stored as ``uid`` in the index rows either way).
+    """
+    from ..fts import build_tf_index
+
+    fields = list(fields or ["text"])
+    if id_col != "uid":
+        docs = docs.withColumnRenamed(id_col, "uid")
+    tf = build_tf_index(docs, fields)
+    laid = (tf.repartitionByRange(max(1, n_files), "token")
+              .sortWithinPartitions("token"))
+    # same doc-stat semantics as fts.bm25_scores: one row per uid
+    st = (tf.select("uid", "doc_len").dropDuplicates(["uid"])
+            .agg(F.count("*").alias("n"),
+                 F.sum("doc_len").alias("s")).collect()[0])
+    return commit_snapshot(
+        laid, path, mode="overwrite",
+        meta={"kind": "fts", "fields": fields, "n_files": n_files,
+              "id_col": id_col,
+              "n_docs": int(st["n"] or 0),
+              "sum_doclen": int(st["s"] or 0)})
+
+
+def _fts_params(path: str, version: int | None) -> dict:
+    meta = snapshot_meta(path, version)
+    if not meta or meta.get("kind") != "fts":
+        raise ValueError(f"{path!r} is not an FTS index table")
+    return meta
+
+
+def probe_fts_table(spark: SparkSession, path: str, terms: list[str],
+                    k1: float = 1.2, b: float = 0.75,
+                    version: int | None = None) -> DataFrame:
+    """BM25 scores ``(uid, score)`` for ``terms`` served FROM the
+    persisted index: one manifest-pruned point-range read per distinct
+    term (the token-sorted layout makes each a handful of files), df
+    from a tiny groupBy over the matched postings only, N/avgdl from
+    ``meta`` — nothing corpus-sized is scanned or rebuilt.
+
+    Value-identical to ``fts.bm25_scores(build_tf_index(docs), terms)``:
+    the matched postings are the same rows, avgdl is the same exact
+    integer-ratio double (doc lengths sum exactly in doubles), and the
+    idf/weight expressions are shared verbatim."""
+    p = _fts_params(path, version)
+    terms = sorted({t.lower() for t in terms})
+    n_docs = p["n_docs"]
+    avgdl = (p["sum_doclen"] / n_docs) if n_docs else 1.0
+    parts = [read_snapshot(spark, path, version=version,
+                           where={"token": (t, t)}) for t in terms]
+    hits = parts[0]
+    for q in parts[1:]:
+        hits = hits.unionByName(q)
+    dfreq = (hits.groupBy("token")
+             .agg(F.countDistinct("uid").alias("df")))
+    scored = (hits.join(F.broadcast(dfreq), "token")
+              .withColumn("idf", F.log(
+                  (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5) + 1.0))
+              .withColumn("w", F.col("idf") * (F.col("tf") * (k1 + 1)) /
+                          (F.col("tf") + k1 * (1 - b + b * F.col("doc_len")
+                                               / F.lit(float(avgdl))))))
+    return scored.groupBy("uid").agg(F.sum("w").alias("score"))
+
+
+def append_fts_table(spark: SparkSession, path: str, new_docs: DataFrame,
+                     txn: dict | None = None) -> int:
+    """Add a batch's postings to the index (fields from ``meta``,
+    exactly-once under ``txn``) and roll the corpus statistics forward
+    — the incremental maintenance FTS5 does per INSERT, here per batch.
+    ``new_docs`` must be NEW uids (an upsert would need a delete leg;
+    use rebuild for re-indexing mutated docs)."""
+    from ..fts import build_tf_index
+    from ..sources.snapshot import _txn_seen, _txn_version
+
+    p = _fts_params(path, None)
+    if txn is not None and _txn_seen(path, txn):
+        return _txn_version(path, txn)
+    if p.get("id_col", "uid") != "uid":
+        new_docs = new_docs.withColumnRenamed(p["id_col"], "uid")
+    tf = build_tf_index(new_docs, p["fields"])
+    laid = (tf.repartitionByRange(max(1, p.get("n_files", 8)), "token")
+              .sortWithinPartitions("token"))
+    st = (tf.select("uid", "doc_len").dropDuplicates(["uid"])
+            .agg(F.count("*").alias("n"),
+                 F.sum("doc_len").alias("s")).collect()[0])
+    meta = {**p, "n_docs": p["n_docs"] + int(st["n"] or 0),
+            "sum_doclen": p["sum_doclen"] + int(st["s"] or 0)}
+    return commit_snapshot(laid, path, mode="append", txn=txn, meta=meta)
+
+
+def fts_probe_files(path: str, term: str,
+                    version: int | None = None) -> tuple[int, int]:
+    """(files a term probe would open, files total) — data-skipping
+    accounting, pure driver-side manifest math (no Spark job)."""
+    _fts_params(path, version)
+    vs = snapshot_versions(path)
+    v = vs[-1] if version is None else version
+    m = _read_manifest(path, v)
+    stats = m.get("file_stats", {})
+    t = term.lower()
+    opened = [f for f in m["files"]
+              if _may_match(stats.get(f, {}).get("cols", {}),
+                            {"token": (t, t)})]
+    return len(opened), len(m["files"])
 
 
 def append_minhash_index(spark: SparkSession, path: str,

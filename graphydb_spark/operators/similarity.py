@@ -517,8 +517,13 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
             for i in range(Qm.shape[0]):
                 s = cos[i]
                 if len(s) > k:
-                    thr = np.partition(s, len(s) - k)[len(s) - k]
-                    keep = np.nonzero(s >= thr)[0]
+                    # zero-norm corpus vectors yield NaN cosine;
+                    # np.partition sorts NaN last, so a NaN threshold
+                    # would make `s >= thr` all-False and drop VALID
+                    # top-k rows — mask NaN to -inf before thresholding
+                    sf = np.nan_to_num(s, nan=-np.inf)
+                    thr = np.partition(sf, len(sf) - k)[len(sf) - k]
+                    keep = np.nonzero(sf >= thr)[0]
                 else:
                     keep = np.arange(len(s))
                 out[query_id_col].extend([qids[i]] * len(keep))

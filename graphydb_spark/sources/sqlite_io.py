@@ -243,8 +243,13 @@ def _fts_insert(conn: sqlite3.Connection, table: str, fields: list[str],
         return
     cols = ", ".join(list(fields) + ["uid"])
     marks = ",".join("?" * (len(fields) + 1))
+    # non-string JSON values are stored as their JSON text (true/false,
+    # {"k": 1}) to match the reference's FTS row content — Python str()
+    # would write 'True' / "{'k': 1}" and diverge MATCH results
     conn.execute(f"INSERT INTO {table}({cols}) VALUES({marks})",
-                 [None if v is None else str(v) for v in vals] + [uid])
+                 [None if v is None
+                  else v if isinstance(v, str)
+                  else json.dumps(v) for v in vals] + [uid])
 
 
 def _shard_schema(edge: bool):

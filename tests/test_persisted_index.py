@@ -356,3 +356,119 @@ def test_cosine_arrow_bit_equals_expression(spark):
         "i", cosine_arrow("a", "b").alias("u"),
         cosine_expr(F.col("a"), F.col("b")).alias("v")).collect()
     assert all(r.u == r.v for r in got)   # exact, not approx
+
+
+# ----------------------------------------------------------- FTS / BM25
+
+def _fts_docs(spark, ids):
+    words = ["data", "query", "spark", "index", "scan", "join"]
+    rows = [(i, " ".join(words[(i + j) % len(words)]
+                         for j in range(3 + i % 4)))
+            for i in ids]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_fts_probe_equals_derived_bm25(spark, tmp_path):
+    """probe_fts_table == fts.bm25_scores over the derived tf index —
+    value-identical serving (same postings, same meta-exact avgdl)."""
+    from graphydb_spark.fts import bm25_scores, build_tf_index
+    from graphydb_spark.operators.persisted_index import (
+        build_fts_table, probe_fts_table)
+    docs = _fts_docs(spark, range(30))
+    p = str(tmp_path / "fts")
+    build_fts_table(docs, p, ["text"], id_col="doc_id")
+    got = {r.uid: r.score
+           for r in probe_fts_table(spark, p, ["data", "query"]).collect()}
+    idx = build_tf_index(docs.withColumnRenamed("doc_id", "uid"), ["text"])
+    want = {r.uid: r.score
+            for r in bm25_scores(idx, ["data", "query"]).collect()}
+    assert got == want                                # exact doubles
+
+
+def test_fts_file_skipping(spark, tmp_path):
+    """The token-sorted layout makes the manifest a term dictionary:
+    a single-term probe opens a strict subset of the files."""
+    from graphydb_spark.operators.persisted_index import (
+        build_fts_table, fts_probe_files)
+    docs = _fts_docs(spark, range(200))
+    p = str(tmp_path / "fts")
+    build_fts_table(docs, p, ["text"], n_files=6, id_col="doc_id")
+    opened, total = fts_probe_files(p, "data")
+    assert total >= 4
+    assert 1 <= opened < total
+
+
+def test_fts_append_updates_stats_and_results(spark, tmp_path):
+    """Append rolls n_docs/sum_doclen forward; a probe after append
+    equals a fresh build over the full corpus (same BM25 inputs)."""
+    from graphydb_spark.operators.persisted_index import (
+        append_fts_table, build_fts_table, probe_fts_table)
+    p = str(tmp_path / "fts")
+    p2 = str(tmp_path / "fts_full")
+    build_fts_table(_fts_docs(spark, range(20)), p, ["text"],
+                    id_col="doc_id")
+    append_fts_table(spark, p, _fts_docs(spark, range(20, 35)))
+    build_fts_table(_fts_docs(spark, range(35)), p2, ["text"],
+                    id_col="doc_id")
+    got = {r.uid: r.score
+           for r in probe_fts_table(spark, p, ["data"]).collect()}
+    want = {r.uid: r.score
+            for r in probe_fts_table(spark, p2, ["data"]).collect()}
+    assert got == want
+    m = snapshot_meta(p, None)
+    m2 = snapshot_meta(p2, None)
+    assert m["n_docs"] == m2["n_docs"]
+    assert m["sum_doclen"] == m2["sum_doclen"]
+
+
+def test_fts_append_exactly_once(spark, tmp_path):
+    """A replayed append (same txn token) is a no-op: same version,
+    stats not double-counted, probe results unchanged."""
+    from graphydb_spark.operators.persisted_index import (
+        append_fts_table, build_fts_table, probe_fts_table)
+    p = str(tmp_path / "fts")
+    build_fts_table(_fts_docs(spark, range(15)), p, ["text"],
+                    id_col="doc_id")
+    batch = _fts_docs(spark, range(15, 25))
+    txn = {"source": "ingest", "batch": 1}
+    v1 = append_fts_table(spark, p, batch, txn=txn)
+    v2 = append_fts_table(spark, p, batch, txn=txn)   # replay
+    assert v1 == v2
+    m = snapshot_meta(p, None)
+    assert m["n_docs"] == 25
+    n = probe_fts_table(spark, p, ["data"]).count()
+    assert n <= 25
+
+
+def test_fts_rejects_non_index(spark, tmp_path):
+    from graphydb_spark.operators.persisted_index import probe_fts_table
+    p = str(tmp_path / "plain")
+    commit_snapshot(spark.range(3), p, mode="overwrite")
+    with pytest.raises(ValueError, match="FTS index"):
+        probe_fts_table(spark, p, ["data"])
+
+
+def test_stream_dedup_txn_enters_watermark(spark, tmp_path):
+    """The foreachBatch txn token must be the {"source", "batch"} shape
+    so it lands in the manifest's txn_wm map — the O(1), expiry-safe
+    idempotence path (not the O(versions) history scan)."""
+    from graphydb_spark.operators.persisted_index import (
+        build_minhash_index, stream_dedup_ingest)
+    from graphydb_spark.sources.snapshot import _read_manifest, _head
+    src = tmp_path / "src"
+    src.mkdir()
+    docs = _fts_docs(spark, range(8))
+    docs.coalesce(1).write.parquet(str(src / "b0"))
+    idx = str(tmp_path / "mh_idx")
+    kept = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+    build_minhash_index(_fts_docs(spark, range(100, 104)), idx,
+                        text_col="text", id_col="doc_id")
+    q = stream_dedup_ingest(
+        spark, str(src) + "/*/", docs.schema, idx, kept, ckpt,
+        threshold=0.9, text_col="text", id_col="doc_id")
+    q.awaitTermination(120)
+    for path in (idx, kept):
+        wm = _read_manifest(path, _head(path)).get("txn_wm", {})
+        assert any(k.startswith("dedup_ingest:") for k in wm), \
+            f"txn watermark missing at {path}: {wm}"
