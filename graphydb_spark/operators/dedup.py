@@ -380,16 +380,41 @@ def winnow_pairs(df: DataFrame, text_col: str = "text",
 
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        min_cosine: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-dup pairs.
-
-    Brute-force O(n²) — correct baseline for ≤1e5 vectors; at scale feed
-    LSH/IVF buckets (see operators.similarity) into the same verifier.
+                        min_cosine: float = 0.95,
+                        k: int = 16, iters: int = 2,
+                        max_cluster: int | None = None,
+                        exact: bool = False) -> DataFrame:
+    """Embedding-cosine near-dup pairs over IVF-BLOCKED candidates:
+    k-means cells (similarity.ivf_index — deterministic) bound the
+    pair join to same-cell pairs, O(Σ n_c²) with n_c ≈ n/k instead of
+    the O(n²) cross product, then the exact cosine verifies (the
+    SemDeDup blocking shape; near-dups at ≥ 0.95 cosine land in the
+    same cell except on cell boundaries — use
+    similarity.lsh_near_dup_pairs for multi-table recall guarantees).
+    ``max_cluster`` caps degenerate cells before the pair join (the
+    same blowup guard as the LSH paths); ``exact=True`` keeps the
+    brute-force baseline for fixture-scale verification.
     """
-    from .similarity import cosine_expr
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    from .similarity import cosine_expr, ivf_index
+    if exact:
+        a = emb.select(F.col(id_col).alias("id_a"),
+                       F.col(vec_col).alias("va"))
+        b = emb.select(F.col(id_col).alias("id_b"),
+                       F.col(vec_col).alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        indexed, _ = ivf_index(emb, k=k, iters=iters, id_col=id_col,
+                               vec_col=vec_col)
+        indexed = indexed.localCheckpoint(eager=True)
+        blocked = indexed.select("cluster", id_col, vec_col)
+        if max_cluster is not None:
+            from .relational import cap_group_size
+            blocked = cap_group_size(blocked, ["cluster"], max_cluster)
+        a = blocked.select("cluster", F.col(id_col).alias("id_a"),
+                           F.col(vec_col).alias("va"))
+        b = blocked.select("cluster", F.col(id_col).alias("id_b"),
+                           F.col(vec_col).alias("vb"))
+        pairs = a.join(b, "cluster").where(F.col("id_a") < F.col("id_b"))
     return (pairs.withColumn("cosine", cosine_expr("va", "vb"))
                  .where(F.col("cosine") >= min_cosine)
                  .select("id_a", "id_b", "cosine"))

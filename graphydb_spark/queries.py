@@ -95,6 +95,27 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+# IVF-blocked embeddings (memoized per session × sf_dir): the deterministic
+# k-means assignment that turns every pairwise-embedding query below from
+# an O(n²) cross join into a block-diagonal same-cell join — O(Σ n_c²)
+# with n_c ≈ n/k, the SemDeDup blocking shape.  All consumers share k=8,
+# iters=2 so their oracles share the same unrolled-Lloyd CTE chain
+# (_ivf_ctes), which replays the identical centroid trajectory.
+_IVFB_CACHE: dict = {}
+_IVFB_K, _IVFB_ITERS = 8, 2
+
+
+def _ivf_blocked(spark, sf_dir):
+    key = (id(spark), sf_dir)
+    got = _IVFB_CACHE.get(key)
+    if got is None:
+        indexed, _ = similarity.ivf_index(_emb(spark, sf_dir),
+                                          k=_IVFB_K, iters=_IVFB_ITERS)
+        got = indexed.localCheckpoint(eager=True)
+        _IVFB_CACHE[key] = got
+    return got
+
+
 def _register_raw(spark, sf_dir):
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
@@ -1019,16 +1040,20 @@ def q_hash_sample(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Exact embedding near-duplicate pairs (cosine ≥ 0.35, rounded before
-    thresholding so both engines cut on the same 6-dp value).  This is the
-    exact baseline; ann_lsh_topk / ivf_topk are the sub-quadratic scale
-    paths for the same capability."""
-    emb = _emb(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("id_a"),
+    """Embedding near-duplicate pairs (cosine ≥ 0.35, rounded before
+    thresholding so both engines cut on the same 6-dp value) over the
+    IVF-BLOCKED candidate set: pairs are generated by a same-cell
+    equi-join on the shared deterministic k-means assignment
+    (_ivf_blocked — O(Σ n_c²), never the O(n²) cross join), then the
+    exact cosine verifies.  The oracle replays the identical unrolled
+    Lloyd chain, so the blocked pair set is engine-reproducible;
+    lsh_near_dup is the sibling path with sign-hash candidates."""
+    idx = _ivf_blocked(spark, sf_dir)
+    a = idx.select("cluster", F.col("vec_id").alias("id_a"),
                    F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"),
+    b = idx.select("cluster", F.col("vec_id").alias("id_b"),
                    F.col("embedding").alias("eb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    pairs = a.join(b, "cluster").where(F.col("id_a") < F.col("id_b"))
     out = pairs.withColumn(
         "cosine", F.round(similarity.cosine_expr(F.col("ea"),
                                                  F.col("eb")), 6))
@@ -7970,19 +7995,25 @@ def q_facility_location(spark, sf_dir):
 
     Greedy is inherently sequential: 5 driver-coordinated rounds, each
     one join + sum over the materialized similarity frame and a 1-row
-    argmax.  The all-pairs sim matrix is the fixture-scale baseline —
-    at corpus scale the same greedy runs over IVF/LSH-pruned candidate
-    sims (q:ann_lsh_topk is that path)."""
-    emb = _emb(spark, sf_dir)
-    q = emb.select("vec_id", F.transform(
+    argmax.  The sim matrix is IVF-BLOCKED (_ivf_blocked, same-cell
+    equi-join — O(Σ n_c²), never the O(n²) cross join; out-of-cell
+    sims are 0, so each pick covers its own cell): the standard
+    blocked facility-location used for corpus-scale curation.  The
+    oracle replays the identical unrolled-Lloyd assignment, so the
+    blocked sim matrix — and hence the argmax sequence — is
+    engine-reproducible."""
+    idx = _ivf_blocked(spark, sf_dir)
+    q = idx.select("cluster", "vec_id", F.transform(
         F.col("embedding"),
         lambda x: F.round(x.cast("double") * 1e3).cast("long"))
-        .alias("q")).localCheckpoint(eager=True)
-    a = q.select(F.col("vec_id").alias("va"), F.col("q").alias("qa"))
-    b = q.select(F.col("vec_id").alias("vb"), F.col("q").alias("qb"))
+        .alias("q"))
+    a = q.select("cluster", F.col("vec_id").alias("va"),
+                 F.col("q").alias("qa"))
+    b = q.select("cluster", F.col("vec_id").alias("vb"),
+                 F.col("q").alias("qb"))
     dot = F.aggregate(F.zip_with("qa", "qb", lambda x, y: x * y),
                       F.lit(0).cast("long"), lambda acc, v: acc + v)
-    sims = (a.crossJoin(b)
+    sims = (a.join(b, "cluster")
             .select("va", "vb", F.greatest(dot, F.lit(0)).alias("s"))
             .repartition("vb").localCheckpoint(eager=True))
     best = q.select(F.col("vec_id").alias("va"),
@@ -7998,16 +8029,22 @@ def q_facility_location(spark, sf_dir):
         pick, gain = top[0]["vb"], top[0]["gain"]
         obj += gain
         rows.append((r, pick, gain, obj))
+        # LEFT join: with blocked sims a pick only covers its own
+        # cell — vectors elsewhere keep their current best
         sp = sims.where(F.col("vb") == pick) \
             .select("va", F.col("s").alias("sp"))
-        best = (best.join(sp, "va")
-                .select("va", F.greatest("best", "sp").alias("best"))
+        best = (best.join(sp, "va", "left")
+                .select("va", F.greatest(
+                    "best", F.coalesce("sp", F.lit(0))).alias("best"))
                 .localCheckpoint(eager=True))
     return spark.createDataFrame(
         rows, "round int, vec_id long, gain long, objective long")
 
 
 def _facility_location_oracle_sql(rounds: int = 5) -> str:
+    # sims are IVF-blocked (same unrolled-Lloyd chain as the engine's
+    # _ivf_blocked assignment) — out-of-cell sims are 0, so the best
+    # update after each pick is a LEFT join with COALESCE
     ctes = ["""qd AS MATERIALIZED (
   SELECT vec_id, t.i AS i,
          CAST(round(CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE)
@@ -8016,7 +8053,10 @@ def _facility_location_oracle_sql(rounds: int = 5) -> str:
             """sims AS MATERIALIZED (
   SELECT a.vec_id AS va, b.vec_id AS vb,
          GREATEST(SUM(a.v * b.v), 0) AS s
-  FROM qd a JOIN qd b ON a.i = b.i GROUP BY 1, 2)""",
+  FROM qd a JOIN qd b ON a.i = b.i
+       JOIN fin fa ON fa.vec_id = a.vec_id
+       JOIN fin fb ON fb.vec_id = b.vec_id AND fb.c = fa.c
+  GROUP BY 1, 2)""",
             """b0 AS (SELECT DISTINCT va, CAST(0 AS BIGINT) AS best
   FROM sims)"""]
     picks = []
@@ -8028,11 +8068,12 @@ def _facility_location_oracle_sql(rounds: int = 5) -> str:
   SELECT {r} AS round, vb, gain FROM g{r}
   ORDER BY gain DESC, vb LIMIT 1)""")
         ctes.append(f"""b{r} AS MATERIALIZED (
-  SELECT b.va, GREATEST(b.best, s.s) AS best
-  FROM b{r - 1} b JOIN sims s ON s.va = b.va
-  JOIN p{r} p ON p.vb = s.vb)""")
+  SELECT b.va, GREATEST(b.best, COALESCE(s.s, 0)) AS best
+  FROM b{r - 1} b LEFT JOIN (
+    SELECT s.va, s.s FROM sims s JOIN p{r} p ON p.vb = s.vb) s
+  ON s.va = b.va)""")
         picks.append(f"SELECT round, vb, gain FROM p{r}")
-    return ("WITH " + ",\n".join(ctes) + f"""
+    return (_ivf_ctes(8, 2) + ",\n" + ",\n".join(ctes) + f"""
 SELECT CAST(round AS INT) AS round, vb AS vec_id,
        CAST(gain AS BIGINT) AS gain,
        CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT) AS objective
@@ -8260,22 +8301,27 @@ def q_hard_negatives(spark, sf_dir):
     embedding, the most-similar embedding with a DIFFERENT label
     (integer-grid dot product, ties to lowest id) — the pairs that
     matter for metric learning.  Argmax via one max(struct) aggregate
-    over the label-filtered pair stream; fixture-scale all-pairs, with
-    the LSH/IVF bucketed path as the documented corpus-scale route."""
-    emb = _emb(spark, sf_dir)
-    q = emb.select("vec_id", "label", F.transform(
+    over the label-filtered pair stream.  Candidates come from the
+    shared IVF blocking (_ivf_blocked, same-cell equi-join — the
+    mined negative is the hardest DIFFERENT-label vector in the same
+    k-means cell, which is exactly where hard negatives live); the
+    oracle replays the identical unrolled-Lloyd assignment, so the
+    candidate set is engine-reproducible.  Vectors whose cell holds no
+    other label produce no row (both engines agree)."""
+    idx = _ivf_blocked(spark, sf_dir)
+    q = idx.select("cluster", "vec_id", "label", F.transform(
         F.col("embedding"),
         lambda x: F.round(x.cast("double") * 1e3).cast("long"))
-        .alias("q")).localCheckpoint(eager=True)
-    a = q.select(F.col("vec_id").alias("va"),
+        .alias("q"))
+    a = q.select("cluster", F.col("vec_id").alias("va"),
                  F.col("label").alias("la"), F.col("q").alias("qa"))
-    b = q.select(F.col("vec_id").alias("vb"),
+    b = q.select("cluster", F.col("vec_id").alias("vb"),
                  F.col("label").alias("lb"), F.col("q").alias("qb"))
     dot = F.aggregate(F.zip_with("qa", "qb", lambda x, y: x * y),
                       F.lit(0).cast("long"), lambda acc, v: acc + v)
     best = F.max(F.struct(F.col("s").alias("s"),
                           (-F.col("vb")).alias("negid")))
-    return (a.crossJoin(b)
+    return (a.join(b, "cluster")
             .where(F.col("la") != F.col("lb"))
             .select("va", "vb", dot.alias("s"))
             .groupBy("va").agg(best.alias("m"))
@@ -8285,8 +8331,8 @@ def q_hard_negatives(spark, sf_dir):
                     F.col("m.s").alias("dot_scaled")))
 
 
-_HARD_NEG_ORACLE = """
-WITH qd AS (
+_HARD_NEG_ORACLE = _ivf_ctes(8, 2) + """,
+qd AS (
   SELECT vec_id, label, t.i AS i,
          CAST(round(CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE)
                     * 1e3) AS BIGINT) AS v
@@ -8294,6 +8340,8 @@ WITH qd AS (
 dots AS (
   SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.v * b.v) AS s
   FROM qd a JOIN qd b ON a.i = b.i AND a.label <> b.label
+       JOIN fin fa ON fa.vec_id = a.vec_id
+       JOIN fin fb ON fb.vec_id = b.vec_id AND fb.c = fa.c
   GROUP BY 1, 2),
 r AS (
   SELECT va, vb, s,
@@ -12747,19 +12795,26 @@ def q_mutual_knn(spark, sf_dir):
     """Mutual nearest-neighbor pairs over the embedding corpus: pairs
     where each vector is the other's top-1 neighbor (integer-grid
     dots, argmax with id tie-break) — the high-precision seed pairs
-    used to bootstrap alignment and dedup pipelines."""
-    emb = _emb(spark, sf_dir)
-    q = emb.select("vec_id", F.transform(
+    used to bootstrap alignment and dedup pipelines.  Neighbors come
+    from the shared IVF blocking (_ivf_blocked, same-cell equi-join,
+    never the O(n²) cross join): top-1-within-cell is the standard
+    blocked-kNN approximation, and mutuality is unaffected for pairs
+    that share a cell — the oracle replays the identical unrolled-
+    Lloyd assignment so the candidate set is engine-reproducible."""
+    idx = _ivf_blocked(spark, sf_dir)
+    q = idx.select("cluster", "vec_id", F.transform(
         F.col("embedding"),
         lambda x: F.round(x.cast("double") * 1e3).cast("long"))
-        .alias("q")).localCheckpoint(eager=True)
-    a = q.select(F.col("vec_id").alias("va"), F.col("q").alias("qa"))
-    b = q.select(F.col("vec_id").alias("vb"), F.col("q").alias("qb"))
+        .alias("q"))
+    a = q.select("cluster", F.col("vec_id").alias("va"),
+                 F.col("q").alias("qa"))
+    b = q.select("cluster", F.col("vec_id").alias("vb"),
+                 F.col("q").alias("qb"))
     dot = F.aggregate(F.zip_with("qa", "qb", lambda x, y: x * y),
                       F.lit(0).cast("long"), lambda acc, v: acc + v)
     best = F.max(F.struct(F.col("s").alias("s"),
                           (-F.col("vb")).alias("negid")))
-    nn = (a.crossJoin(b).where(F.col("va") != F.col("vb"))
+    nn = (a.join(b, "cluster").where(F.col("va") != F.col("vb"))
           .select("va", "vb", dot.alias("s"))
           .groupBy("va").agg(best.alias("m"))
           .select(F.col("va"), (-F.col("m.negid")).cast("long")
@@ -12775,8 +12830,8 @@ def q_mutual_knn(spark, sf_dir):
                     F.col("p.y").alias("vec_b")))
 
 
-_MUTUAL_KNN_ORACLE = """
-WITH qd AS (
+_MUTUAL_KNN_ORACLE = _ivf_ctes(8, 2) + """,
+qd AS (
   SELECT vec_id, t.i AS i,
          CAST(round(CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE)
                     * 1e3) AS BIGINT) AS v
@@ -12784,6 +12839,8 @@ WITH qd AS (
 dots AS (
   SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.v * b.v) AS s
   FROM qd a JOIN qd b ON a.i = b.i AND a.vec_id <> b.vec_id
+       JOIN fin fa ON fa.vec_id = a.vec_id
+       JOIN fin fb ON fb.vec_id = b.vec_id AND fb.c = fa.c
   GROUP BY 1, 2),
 nn AS (
   SELECT va AS x, vb AS y FROM (
@@ -14740,21 +14797,26 @@ def q_dbscan_embeddings(spark, sf_dir):
     (min-vec_id label); border points adopt the MIN cluster among their
     core neighbors (classic DBSCAN's border assignment is scan-order-
     dependent — min-label makes it engine-portable); the rest is noise
-    (cluster -1).  The eps-join here is the exact O(n^2) baseline (the
-    fixture corpus is 500 vectors); at scale the SAME core/border/noise
-    derivation runs off LSH-bucketed candidate pairs (q:lsh_near_dup)
-    instead of the brute join — the semantics only need the pair list.
+    (cluster -1).  Eps-pairs come from the shared IVF blocking
+    (_ivf_blocked, same-cell equi-join — never the O(n²) brute join):
+    the core/border/noise derivation only needs the pair list, and the
+    oracle replays the identical unrolled-Lloyd assignment so the
+    blocked pair set is engine-reproducible (LSH buckets,
+    q:lsh_near_dup, are the sibling candidate generator).
     Dot products fold sequentially in double (similarity.cosine_expr ==
     DuckDB list_sum-over-transform, the convention every embedding
     oracle in this file shares)."""
     eps, minpts = 0.32, 4
-    emb = _emb(spark, sf_dir).select(
-        "vec_id",
+    idx = _ivf_blocked(spark, sf_dir)
+    emb = idx.select(
+        "cluster", "vec_id",
         F.transform(F.col("embedding"),
                     lambda x: x.cast("double")).alias("v"))
-    a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
-    pairs = (a.join(b, F.col("ia") < F.col("ib"))
+    a = emb.select("cluster", F.col("vec_id").alias("ia"),
+                   F.col("v").alias("va"))
+    b = emb.select("cluster", F.col("vec_id").alias("ib"),
+                   F.col("v").alias("vb"))
+    pairs = (a.join(b, "cluster").where(F.col("ia") < F.col("ib"))
              .where(similarity.cosine_expr("va", "vb") >= eps)
              .select("ia", "ib"))
     nb = (pairs.select(F.col("ia").alias("id"), F.col("ib").alias("nbr"))
@@ -14763,11 +14825,16 @@ def q_dbscan_embeddings(spark, sf_dir):
           .localCheckpoint(eager=True))
     deg = nb.groupBy("id").agg(F.count("*").alias("d"))
     core = deg.where(F.col("d") + 1 >= minpts).select("id")
+    # ZERO-PADDED uids: the CC min-label runs on strings, and the
+    # oracle's MIN() runs on integers — padding makes lexicographic
+    # order == numeric order so both engines pick the same label
+    vuid = F.format_string("V:%010d", F.col("id"))
     core_edges = (nb.join(core, "id")
                   .join(core.withColumnRenamed("id", "nbr"), "nbr")
-                  .select(F.concat(F.lit("V:"), F.col("id")).alias("startuid"),
-                          F.concat(F.lit("V:"), F.col("nbr")).alias("enduid")))
-    core_nodes = core.select(F.concat(F.lit("V:"), F.col("id")).alias("uid"))
+                  .select(vuid.alias("startuid"),
+                          F.format_string("V:%010d", F.col("nbr"))
+                          .alias("enduid")))
+    core_nodes = core.select(vuid.alias("uid"))
     cc = graph_algos.connected_components(core_nodes, core_edges)
     comp = cc.select(
         F.regexp_replace("uid", "^V:", "").cast("long").alias("id"),
@@ -14791,14 +14858,16 @@ def q_dbscan_embeddings(spark, sf_dir):
             .select(F.col("id").alias("vec_id"), "role", "cluster"))
 
 
-_DBSCAN_ORACLE = """
-WITH RECURSIVE
+_DBSCAN_ORACLE = "WITH RECURSIVE " + _ivf_ctes(
+    8, 2, pfx="k_", with_kw=False) + """,
 e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings),
 p AS (
   SELECT a.vec_id AS ia, b.vec_id AS ib
   FROM e a JOIN e b ON a.vec_id < b.vec_id
+       JOIN k_fin fa ON fa.vec_id = a.vec_id
+       JOIN k_fin fb ON fb.vec_id = b.vec_id AND fb.c = fa.c
   WHERE list_sum(list_transform(range(1, len(a.v)+1),
                                 i -> a.v[i] * b.v[i]))
         / (sqrt(list_sum(list_transform(range(1, len(a.v)+1),
@@ -16803,8 +16872,11 @@ ORACLES: dict[str, str | None] = {
         SELECT o_orderkey, o_totalprice FROM orders
         WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '10'
     """,
-    "embedding_near_dup": """
-        WITH p AS (
+    # same-cell candidate pairs via the shared unrolled-Lloyd chain
+    # (k=8, iters=2 — the _ivf_blocked assignment), then the exact
+    # cosine fold — the blocked pair set replays engine-identically
+    "embedding_near_dup": _ivf_ctes(8, 2) + """,
+        p AS (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
             round(
               list_sum(list_transform(range(1, len(a.embedding)+1),
@@ -16816,7 +16888,9 @@ ORACLES: dict[str, str | None] = {
                * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
                    i -> CAST(b.embedding[i] AS DOUBLE)
                       * CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+               JOIN fin fa ON fa.vec_id = a.vec_id
+               JOIN fin fb ON fb.vec_id = b.vec_id AND fb.c = fa.c
         )
         SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35
     """,

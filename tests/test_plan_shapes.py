@@ -348,3 +348,42 @@ def test_privacy_and_sketch_queries_broadcast_only(spark):
         assert "CartesianProduct" not in p, name
     p = plan_of(Q.QUERIES["t_closeness"](spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in p
+
+
+def test_embedding_pair_queries_no_cartesian(spark):
+    """The pairwise-embedding catalog entries generate candidates by
+    the IVF-blocked same-cell equi-join — no CartesianProduct and no
+    BroadcastNestedLoopJoin anywhere in their executed plans (the
+    committed plan at 100 TB must be block-diagonal, not all-pairs)."""
+    from graphydb_spark.queries import QUERIES
+    sf = "/root/testdata/sf0.001"
+    for name in ("embedding_near_dup", "hard_negatives", "mutual_knn",
+                 "dbscan_embeddings"):
+        p = plan_of(QUERIES[name](spark, sf))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_embedding_near_dups_operator_blocked(spark):
+    """dedup.embedding_near_dups defaults to IVF-blocked candidates
+    (equi-join on cluster) and still finds planted twins; exact=True
+    keeps the brute path for fixture verification."""
+    from graphydb_spark.operators.dedup import embedding_near_dups
+    rows = [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)])
+            for i in range(60)]
+    # plant a twin of vec 7 at id 1007 (slight dim-0 nudge)
+    twin = list(rows[7][1])
+    twin[0] += 0.01
+    rows.append((1007, twin))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    blocked = embedding_near_dups(emb, k=4, min_cosine=0.99)
+    p = plan_of(blocked)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    got = {(r.id_a, r.id_b) for r in blocked.collect()}
+    assert (7, 1007) in got
+    exact = {(r.id_a, r.id_b) for r in
+             embedding_near_dups(emb, min_cosine=0.99,
+                                 exact=True).collect()}
+    assert got <= exact          # blocked is a subset of exact
