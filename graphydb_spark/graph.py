@@ -154,6 +154,15 @@ class Graph:
         # many times) rather than a per-query re-tokenize of the corpus.
         self._epoch = 0
         self._fts_cache: dict = {}
+        # typed-props promotion state for ITEM-BUILT graphs: which side's
+        # pstruct was auto-inferred from saved Python values (vs supplied
+        # by a source like tpch_graph, whose schema we never mutate), and
+        # fields proven untypeable (containers / conflicting scalar types
+        # across rows — SQLite's dynamic typing) that stay on the JSON
+        # path permanently.
+        self._auto_pstruct = {"node": False, "edge": False}
+        self._pstruct_poison: dict[str, set] = {"node": set(),
+                                                "edge": set()}
         # declared referential-integrity guarantees per edge kind:
         # kind → (start_node_kind | None, end_node_kind | None).  Powers
         # redundant-join elimination in fetch (chain.eliminable_links).
@@ -434,9 +443,89 @@ class Graph:
         df = df.drop("nkey", "skey", "ekey")
         new = self.spark.createDataFrame(
             [tuple(r.get(f.name) for f in schema.fields) for r in rows], schema)
-        new = self._conform(new, df)
+        side = "edge" if "startuid" in {f.name for f in schema.fields} \
+            else "node"
+        if "pstruct" in df.columns and not self._auto_pstruct[side]:
+            # source-typed store (tpch_graph / import): its schema is an
+            # encoding contract — parse new rows with it, never mutate it
+            new = self._conform(new, df)
+        else:
+            df, new = self._promote_pstruct(df, new, rows, side)
         out = df.join(new.select("uid"), "uid", "left_anti").unionByName(new)
         return out.localCheckpoint(eager=True)
+
+    #: props keys that mirror system columns (always present in the JSON
+    #: document, never worth a typed shadow — the system column IS the
+    #: typed form)
+    _PSTRUCT_RESERVED = frozenset(
+        {"uid", "kind", "ctime", "mtime", "startuid", "enduid"})
+
+    def _promote_pstruct(self, df: DataFrame, new: DataFrame,
+                         rows: list[dict], side: str):
+        """Typed-props promotion for item-built graphs: infer a pstruct
+        schema from the saved Python values and attach
+        ``from_json(props, schema)`` to both frames — the same columnar
+        fast path tpch_graph ships with (SURVEY §4.3), so chain
+        predicates like ``n.data.age > 30`` compile to ONE JsonToStructs
+        per row (struct access, native types) instead of a string
+        ``get_json_object`` per predicate.
+
+        Dynamic-typing safety (SURVEY §7.4 trap #1): a field is promoted
+        only while every non-null value across every save is one scalar
+        type (int/long widens to double when mixed with floats);
+        containers or conflicting types poison the field permanently and
+        its references stay on the JSON path — behavior identical to the
+        un-promoted engine."""
+        poison = self._pstruct_poison[side]
+        fields: dict = {}
+        if "pstruct" in df.columns:
+            fields = {f.name: f.dataType
+                      for f in df.schema["pstruct"].dataType.fields}
+        before = dict(fields)
+        for r in rows:
+            data = json.loads(r["props"]) if r.get("props") else {}
+            for k, v in data.items():
+                if k in self._PSTRUCT_RESERVED or k in poison or v is None:
+                    continue
+                if isinstance(v, bool):          # before int: bool ⊂ int
+                    t = T.BooleanType()
+                elif isinstance(v, int):
+                    t = T.LongType()
+                elif isinstance(v, float):
+                    t = T.DoubleType()
+                elif isinstance(v, str):
+                    t = T.StringType()
+                else:                            # dict / list — untypeable
+                    poison.add(k)
+                    fields.pop(k, None)
+                    continue
+                prev = fields.get(k)
+                if prev is None:
+                    fields[k] = t
+                elif prev != t:
+                    if {type(prev), type(t)} == {T.LongType, T.DoubleType}:
+                        fields[k] = T.DoubleType()
+                    else:
+                        poison.add(k)
+                        fields.pop(k, None)
+        if not fields:
+            if "pstruct" in df.columns:
+                df = df.drop("pstruct")
+            if "pstruct" in new.columns:
+                new = new.drop("pstruct")
+            return df, new
+        self._auto_pstruct[side] = True
+        target = T.StructType(
+            [T.StructField(k, fields[k], True) for k in sorted(fields)])
+        pcol = F.from_json(F.col("props"), target)
+        if "pstruct" not in df.columns or fields != before:
+            # schema grew/changed: re-derive the shadow for existing rows
+            # (one parse per row, materialized by the caller's checkpoint)
+            df = (df.drop("pstruct") if "pstruct" in df.columns else df) \
+                .withColumn("pstruct", pcol)
+        new = (new.drop("pstruct") if "pstruct" in new.columns else new) \
+            .withColumn("pstruct", pcol)
+        return df, new
 
     @staticmethod
     def _conform(incoming: DataFrame, existing: DataFrame) -> DataFrame:

@@ -260,3 +260,60 @@ def test_anti_edge_semantics(spark):
                 as_df=True)
     with pytest.raises(GraphydbError, match="one anti"):
         g.fetch("(a) -(e!:X)> (b) -(f!:Y)> (c)", as_df=True)
+
+
+def test_item_graph_typed_props_promotion(spark):
+    """Item-built graphs get the typed pstruct fast path automatically
+    (SURVEY §4.3): a 3-predicate fetch compiles to struct access on the
+    precomputed from_json shadow — zero get_json_object in the SQL —
+    and native-typed comparison keeps numeric semantics."""
+    from graphydb_spark import Graph
+    g = Graph(spark)
+    for i, name in enumerate(["Ann", "Bob", "Cid", "Dot"]):
+        g.Node("P", name=name, age=20 + i * 10, score=0.5 + i).save()
+    sql, _ = g.fetch(
+        "(p:P)",
+        WHERE="p.data.age > 25 AND p.data.score < 3.0 "
+              "AND p.data.name != 'Cid'",
+        DEBUG=True)
+    assert "get_json_object" not in sql
+    assert "pstruct" in sql
+    out = g.fetch("(p:P)",
+                  WHERE="p.data.age > 25 AND p.data.score < 3.0 "
+                        "AND p.data.name != 'Cid'")
+    assert sorted(n["name"] for n in out) == ["Bob"]
+    # numeric compare is NATIVE (age is a long in the shadow): age > 9
+    # must match 20-50, not lexicographic-string behavior
+    assert g.fetch("(p:P)", WHERE="p.data.age > 9", COUNT=True) == 4
+
+
+def test_item_graph_dynamic_typing_poisons_field(spark):
+    """A field with conflicting value types across rows (SQLite dynamic
+    typing) is never promoted — its references stay on the JSON path and
+    keep working; consistently-typed fields still promote."""
+    from graphydb_spark import Graph
+    g = Graph(spark)
+    g.Node("P", name="a", tag=1).save()
+    g.Node("P", name="b", tag="one").save()     # tag flips type: poison
+    g.Node("P", name="c", tag=3).save()
+    sql, _ = g.fetch("(p:P)", WHERE="p.data.tag = 'one'", DEBUG=True)
+    assert "get_json_object" in sql             # tag fell back to JSON
+    assert g.fetch("(p:P)", WHERE="p.data.tag = 'one'", COUNT=True) == 1
+    # name stayed promoted despite the poisoned sibling
+    sql2, _ = g.fetch("(p:P)", WHERE="p.data.name = 'a'", DEBUG=True)
+    assert "get_json_object" not in sql2
+    # int-valued rows still reachable via the JSON path (stringly, the
+    # get_json_object semantics a poisoned field keeps)
+    assert g.fetch("(p:P)", WHERE="p.data.tag = '1'", COUNT=True) == 1
+
+
+def test_item_graph_pstruct_widens_int_to_double(spark):
+    """int-then-float values on one field widen the shadow to double
+    instead of poisoning (both are JSON numbers)."""
+    from graphydb_spark import Graph
+    g = Graph(spark)
+    g.Node("P", name="a", w=1).save()
+    g.Node("P", name="b", w=2.5).save()
+    sql, _ = g.fetch("(p:P)", WHERE="p.data.w > 1.0", DEBUG=True)
+    assert "get_json_object" not in sql
+    assert g.fetch("(p:P)", WHERE="p.data.w > 1.0", COUNT=True) == 1
