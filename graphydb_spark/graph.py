@@ -576,6 +576,27 @@ class Graph:
             return self._hydrate(row[0], edge=True)
         raise GraphydbError(f"No item with uid {uid!r}")
 
+    #: driver-side hydration ceiling for the item-set APIs (fetch without
+    #: as_df, traverse, NSet/ESet expansion).  Reference-parity semantics
+    #: are DRIVER-side sets (graphydb.py:1711-1772) — correct, but a
+    #: 1e8-node frontier would OOM the driver exactly like the reference
+    #: would.  Past this bound the engine refuses with the DataFrame
+    #: route spelled out instead of dying mid-collect.
+    MAX_HYDRATE_ROWS = 1_000_000
+
+    def _collect_guarded(self, df: DataFrame, what: str) -> list:
+        """collect() with an explicit scale guard: never pulls more than
+        MAX_HYDRATE_ROWS + 1 rows (the limit rides into the plan, so an
+        oversized frontier costs one truncated fetch, not an OOM)."""
+        rows = df.limit(self.MAX_HYDRATE_ROWS + 1).collect()
+        if len(rows) > self.MAX_HYDRATE_ROWS:
+            raise GraphydbError(
+                f"{what} would hydrate over {self.MAX_HYDRATE_ROWS:,} "
+                f"rows onto the driver; use fetch(..., as_df=True) / "
+                f"COUNT=True (or raise Graph.MAX_HYDRATE_ROWS) for bulk "
+                f"result sets")
+        return rows
+
     def _hydrate(self, row, edge: bool, extra_names: tuple = ()):
         data = json.loads(row["props"]) if row["props"] else {}
         data["uid"] = row["uid"]
@@ -754,7 +775,7 @@ class Graph:
             return df if as_df else df.collect()[0]["n"]
         if as_df:
             return df
-        rows = df.collect()
+        rows = self._collect_guarded(df, f"fetch({CHAIN!r})")
         extra_names = tuple(extras)
         items = [self._hydrate(r, edge=collect.is_edge, extra_names=extra_names)
                  for r in rows]
@@ -818,7 +839,7 @@ class Graph:
                             if k in collect.extras)
         items = [self._hydrate(r, edge=collect.is_edge,
                                extra_names=extra_names)
-                 for r in out.collect()]
+                 for r in self._collect_guarded(out, f"fetch({orig_chain!r})")]
         return (ESet if collect.is_edge else NSet)(items)
 
     def sql(self, query: str, **binds) -> DataFrame:
@@ -837,6 +858,11 @@ class Graph:
         (``NSet.outN``/… graphydb.py:1711-1772) with a single distributed
         join — the key scale divergence called out in SURVEY.md §3.2.
         ``direction`` ∈ {'out', 'in', 'both'}.
+
+        The returned set hydrates on the DRIVER (reference-parity item
+        semantics) behind the :attr:`MAX_HYDRATE_ROWS` guard — bulk
+        frontiers belong on ``fetch(..., as_df=True)`` / ``COUNT=True``,
+        which stay distributed end to end.
         """
         self._flush()
         frontier = self.spark.createDataFrame([(u,) for u in uids], "uid string")
@@ -858,7 +884,8 @@ class Graph:
         if not nodes:
             if COUNT:
                 return hit.count()
-            return ESet([self._hydrate(r, edge=True) for r in hit.collect()])
+            return ESet([self._hydrate(r, edge=True)
+                         for r in self._collect_guarded(hit, "traverse")])
         # endpoints on the far side of each traversed edge
         tgt = []
         if direction in ("out", "both"):
@@ -875,7 +902,8 @@ class Graph:
                                   "left_semi")
         if COUNT:
             return out.count()
-        return NSet([self._hydrate(r, edge=False) for r in out.collect()])
+        return NSet([self._hydrate(r, edge=False)
+                     for r in self._collect_guarded(out, "traverse")])
 
     # ------------------------------------------------------------ mutation
     def save_node(self, node: Node, force: bool = False,

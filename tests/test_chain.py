@@ -317,3 +317,24 @@ def test_item_graph_pstruct_widens_int_to_double(spark):
     sql, _ = g.fetch("(p:P)", WHERE="p.data.w > 1.0", DEBUG=True)
     assert "get_json_object" not in sql
     assert g.fetch("(p:P)", WHERE="p.data.w > 1.0", COUNT=True) == 1
+
+
+def test_hydration_guard_refuses_oversized_frontier(spark, monkeypatch):
+    """Driver-side item hydration is bounded: past MAX_HYDRATE_ROWS the
+    engine refuses with the as_df route spelled out instead of OOMing
+    mid-collect; as_df/COUNT stay unbounded (distributed)."""
+    from graphydb_spark import Graph
+    from graphydb_spark.graph import GraphydbError
+    g = Graph(spark)
+    nodes = [g.Node("P", name=f"n{i}").save() for i in range(6)]
+    for i in range(5):
+        g.Edge(nodes[0], "E", nodes[i + 1]).save()
+    monkeypatch.setattr(Graph, "MAX_HYDRATE_ROWS", 3)
+    with pytest.raises(GraphydbError, match="as_df"):
+        g.fetch("(p:P)")
+    with pytest.raises(GraphydbError, match="as_df"):
+        g.traverse([nodes[0]["uid"]], "out", nodes=True)
+    assert g.fetch("(p:P)", as_df=True).count() == 6      # unbounded
+    assert g.fetch("(p:P)", COUNT=True) == 6
+    monkeypatch.setattr(Graph, "MAX_HYDRATE_ROWS", 1_000_000)
+    assert len(g.fetch("(p:P)")) == 6
