@@ -12,10 +12,11 @@ DECODE is real for all four, stdlib+numpy only: BMP rasters read raw
 BGR, PNG inflates through zlib + the full scanline-unfilter set, GIF
 through a complete variable-width LZW codec (encode + decode), and
 baseline JPEG through canonical-Huffman entropy decoding + exact 8×8
-IDCT with 4:2:0/4:4:4 chroma upsampling.  Re-ENCODE exists for
-BMP/PNG/GIF (so those resize for real); JPEG resize keeps the
-byte-proportional stand-in (a DCT entropy *encoder* is the one piece
-left out of scope).
+IDCT with 4:2:0/4:4:4 chroma upsampling.  Re-ENCODE exists for all
+four: BMP/PNG/GIF write real rasters back, and :func:`encode_jpeg` is
+a complete baseline JPEG encoder (FDCT + canonical Huffman + byte
+stuffing, 4:4:4, unit quant tables), so JPEG resize resamples real
+pixels and re-encodes a real stream.
 
 Corrupt/unrecognized payloads decode to nulls instead of failing the
 task: at 100 TB a handful of truncated files must not kill the stage —
@@ -583,16 +584,17 @@ def resize(media: DataFrame, max_side: int = 256) -> DataFrame:
     the scaled dimensions computed from the REAL header dims
     (aspect-preserving, media already within ``max_side`` pass through).
 
-    Uncompressed 24-bit BMPs and 8-bit PNGs get a REAL nearest-neighbor
-    pixel resample (:func:`resize_bmp` reads the raw raster;
-    :func:`resize_png` decodes through stdlib zlib + the full PNG
-    unfilter set and re-encodes with real CRCs); the remaining
-    compressed formats (GIF/JPEG — LZW/DCT codecs, not stdlib) keep a
-    byte-proportional payload stand-in, for which the Spark-side shape
-    is still the real one: a binary-to-binary mapInPandas whose output
-    batches shrink by the area ratio, exactly the memory profile a
-    thumbnailing stage has at scale.  Undecodable payloads pass through
-    with null dims.
+    All four formats get a REAL nearest-neighbor pixel resample:
+    :func:`resize_bmp` reads the raw raster, :func:`resize_png`
+    decodes through stdlib zlib + the full PNG unfilter set and
+    re-encodes with real CRCs, :func:`resize_gif` round-trips the LZW
+    codec, and :func:`resize_jpeg` runs the full baseline decode
+    (Huffman + IDCT) and re-encodes with :func:`encode_jpeg` (FDCT +
+    canonical Huffman).  Variants a decoder rejects (palette BMPs,
+    progressive JPEGs, …) keep the byte-proportional payload stand-in,
+    for which the Spark-side shape is still the real one: a
+    binary-to-binary mapInPandas whose output batches shrink by the
+    area ratio.  Undecodable payloads pass through with null dims.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -615,6 +617,11 @@ def resize(media: DataFrame, max_side: int = 256) -> DataFrame:
                         continue
                 if d["fmt"] == "gif":
                     real = resize_gif(body, max_side)
+                    if real is not None:
+                        out_rows.append((int(m),) + real)
+                        continue
+                if d["fmt"] == "jpeg":
+                    real = resize_jpeg(body, max_side)
                     if real is not None:
                         out_rows.append((int(m),) + real)
                         continue
@@ -1233,6 +1240,174 @@ def _decode_jpeg_unsafe(body: bytes):
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+#: AC symbol order for the flat canonical table: EOB, ZRL, then every
+#: (run, size) pair — 162 symbols, all at code length 8 (162 < 256, so
+#: the canonical assignment is valid and the decoder's _huff_table
+#: reads it back directly: code for symbol i is just i)
+_AC_SYMS = [0x00, 0xF0] + [(r << 4) | s
+                           for r in range(16) for s in range(1, 11)]
+_AC_CODE = {sym: i for i, sym in enumerate(_AC_SYMS)}
+
+_FDCT_M = None
+
+
+def _fdct8(block):
+    """Exact float 8×8 forward DCT — the matrix inverse of
+    :func:`_idct8` (orthonormal basis: FDCT = M @ x @ M.T, so
+    _idct8(_fdct8(x)) == x in float)."""
+    import numpy as np
+
+    global _FDCT_M
+    if _FDCT_M is None:
+        m = np.zeros((8, 8))
+        for u in range(8):
+            c = (1 / (2 ** 0.5)) if u == 0 else 1.0
+            for x in range(8):
+                m[u, x] = 0.5 * c * \
+                    np.cos((2 * x + 1) * u * np.pi / 16)
+        _FDCT_M = m
+    return _FDCT_M @ block @ _FDCT_M.T
+
+
+def encode_jpeg(raster) -> bytes:
+    """Complete baseline JPEG ENCODER (pure stdlib + numpy) — the
+    re-encode half :func:`resize_jpeg` needs, closing the one stand-in
+    round 3 left in the codec set.
+
+    Layout choices favor fidelity and decoder simplicity over
+    compression: 4:4:4 (no chroma subsampling), UNIT quantization
+    tables (coefficients lose only their round-to-integer step — flat
+    8×8 blocks round-trip bit-exactly since they quantize to a lone
+    integer DC), and flat canonical Huffman tables (the 12 DC
+    categories as 4-bit codes, all 162 AC (run,size) symbols at 8
+    bits).  Entropy coding is the real thing: DC prediction per
+    component, (run,size) AC coding with ZRL/EOB, 0xFF byte stuffing.
+    Accepts the [h][w][1] (grayscale) or [h][w][3] (RGB, BT.601
+    forward transform) uint8 rasters :func:`decode_jpeg_pixels`
+    produces."""
+    import numpy as np
+
+    h, w = int(raster.shape[0]), int(raster.shape[1])
+    ch = int(raster.shape[2]) if raster.ndim == 3 else 1
+    x = raster.reshape(h, w, ch).astype(np.float64)
+    if ch == 3:
+        r, g, b = x[..., 0], x[..., 1], x[..., 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                  0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+    else:
+        planes = [x[..., 0]]
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = []
+    for p in planes:                       # edge-replicate partial blocks
+        p2 = np.empty((ph, pw))
+        p2[:h, :w] = p
+        if ph > h:
+            p2[h:, :w] = p[h - 1:h, :]
+        if pw > w:
+            p2[:, w:] = p2[:, w - 1:w]
+        padded.append(p2 - 128.0)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    dc_counts = bytes([0, 0, 0, 12] + [0] * 12)
+    dc_syms = bytes(range(12))
+    ac_counts = bytes([0] * 7 + [len(_AC_SYMS)] + [0] * 8)
+    out = [b"\xff\xd8", seg(0xDB, bytes([0]) + bytes([1] * 64))]
+    if ch == 3:
+        sof = bytes([8]) + struct.pack(">HH", h, w) + bytes(
+            [3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+        sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    else:
+        sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+        sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += [seg(0xC0, sof),
+            seg(0xC4, bytes([0x00]) + dc_counts + dc_syms),
+            seg(0xC4, bytes([0x10]) + ac_counts + bytes(_AC_SYMS)),
+            seg(0xDA, sos)]
+
+    bits: list[int] = []
+
+    def put(v, n):
+        for k in range(n - 1, -1, -1):
+            bits.append((v >> k) & 1)
+
+    def put_coef(v, t):
+        put(v if v >= 0 else v + (1 << t) - 1, t)
+
+    preds = [0] * ch
+    for my in range(ph // 8):
+        for mx in range(pw // 8):
+            for ci in range(ch):
+                block = padded[ci][my * 8:(my + 1) * 8,
+                                   mx * 8:(mx + 1) * 8]
+                co = np.rint(_fdct8(block)).astype(np.int64)
+                zz = [int(co.flat[_ZIGZAG[k]]) for k in range(64)]
+                # baseline AC size cap is 10 bits (|v| ≤ 1023); unit
+                # quant can push a pathological block 1-2 counts over.
+                # DC is exempt (category 11 covers its ±1024 range)
+                zz[1:] = [min(1023, max(-1023, v)) for v in zz[1:]]
+                diff = zz[0] - preds[ci]
+                preds[ci] = zz[0]
+                t = abs(diff).bit_length()
+                put(t, 4)                              # DC category code
+                if t:
+                    put_coef(diff, t)
+                run = 0
+                last_nz = max((k for k in range(1, 64) if zz[k]),
+                              default=0)
+                for k in range(1, last_nz + 1):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        put(_AC_CODE[0xF0], 8)         # ZRL
+                        run -= 16
+                    s = abs(zz[k]).bit_length()
+                    put(_AC_CODE[(run << 4) | s], 8)
+                    put_coef(zz[k], s)
+                    run = 0
+                if last_nz < 63:
+                    put(_AC_CODE[0x00], 8)             # EOB
+    while len(bits) % 8:
+        bits.append(1)
+    stuffed = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for bit in bits[i:i + 8]:
+            byte = (byte << 1) | bit
+        stuffed.append(byte)
+        if byte == 0xFF:
+            stuffed.append(0x00)
+    out.append(bytes(stuffed))
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
+def resize_jpeg(body: bytes, max_side: int) -> tuple[bytes, int, int] | None:
+    """REAL JPEG resize: full baseline decode
+    (:func:`decode_jpeg_pixels`), the same nearest-neighbor index
+    gather as :func:`resize_bmp`, then a real re-encode
+    (:func:`encode_jpeg`).  None for streams the decoder rejects
+    (progressive/arithmetic/corrupt) — the dispatch falls back to the
+    byte-proportional stand-in."""
+    import numpy as np
+
+    raster = decode_jpeg_pixels(body)
+    if raster is None:
+        return None
+    h, w = raster.shape[0], raster.shape[1]
+    if max(w, h) <= max_side:
+        return body, w, h          # already small: pass through verbatim
+    scale = min(1.0, max_side / max(w, h, 1))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    yi = (np.arange(nh) * (h / nh)).astype(int)
+    xi = (np.arange(nw) * (w / nw)).astype(int)
+    return encode_jpeg(raster[yi][:, xi]), nw, nh
 
 
 def make_jpeg(width: int, height: int) -> bytes:

@@ -180,3 +180,60 @@ def test_make_jpeg_stuffs_ff_bytes():
     r = dec(make_jpeg(112, 16))
     assert r is not None and r.shape == (16, 112, 1)
     assert r[0, 0, 0] == 0 and r[0, 8, 0] == 17 and r[8, 0, 0] == 29
+
+
+def test_encode_jpeg_flat_blocks_roundtrip_exact():
+    """encode_jpeg is a full baseline encoder; with unit quant tables a
+    flat 8×8 block carries only an integer DC, so the make_jpeg raster
+    round-trips BIT-exactly through encode→decode."""
+    from graphydb_spark.operators.multimodal import encode_jpeg, make_jpeg
+    r = decode_jpeg_pixels(make_jpeg(64, 64))
+    r2 = decode_jpeg_pixels(encode_jpeg(r))
+    assert r2 is not None and np.array_equal(r, r2)
+
+
+def test_encode_jpeg_arbitrary_rasters_near_exact():
+    """Arbitrary rasters survive encode→decode within the coefficient
+    round-to-integer step (gray ≤1, color ≤3 incl. the BT.601 forward/
+    inverse transform pair) — unit quant tables discard nothing else."""
+    from graphydb_spark.operators.multimodal import encode_jpeg
+    rng = np.random.RandomState(7)
+    g = rng.randint(0, 256, (37, 53, 1), dtype=np.uint8)
+    g2 = decode_jpeg_pixels(encode_jpeg(g))
+    assert g2 is not None
+    assert int(np.abs(g.astype(int) - g2.astype(int)).max()) <= 1
+    c = rng.randint(0, 256, (24, 31, 3), dtype=np.uint8)
+    c2 = decode_jpeg_pixels(encode_jpeg(c))
+    assert c2 is not None and c2.shape == (24, 31, 3)
+    assert int(np.abs(c.astype(int) - c2.astype(int)).max()) <= 3
+
+
+def test_resize_jpeg_real_nearest_neighbor_pixels():
+    """resize_jpeg = decode → NN index gather → re-encode: the resized
+    stream's DECODED pixels equal the NN-sample of the original's
+    decoded raster exactly (flat source blocks → integer DCT); the
+    BMP test's contract, now for the compressed format."""
+    from graphydb_spark.operators.multimodal import make_jpeg, resize_jpeg
+    body = make_jpeg(64, 48)
+    orig = decode_jpeg_pixels(body)
+    out, nw, nh = resize_jpeg(body, 32)
+    assert (nw, nh) == (32, 24)
+    small = decode_jpeg_pixels(out)
+    yi = (np.arange(nh) * (48 / nh)).astype(int)
+    xi = (np.arange(nw) * (64 / nw)).astype(int)
+    assert np.array_equal(small, orig[yi][:, xi])
+    # already-small payloads pass through verbatim
+    assert resize_jpeg(body, 64)[0] == body
+
+
+def test_resize_dispatch_covers_jpeg(spark):
+    """The resize operator routes JPEG payloads through the real codec:
+    output dims scale and the payload is itself a decodable JPEG."""
+    from graphydb_spark.operators.multimodal import make_jpeg, resize
+    rows = [(1, make_jpeg(60, 40)), (2, make_jpeg(10, 8))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in resize(df, max_side=30).collect()}
+    assert (got[1].width, got[1].height) == (30, 20)
+    assert (got[2].width, got[2].height) == (10, 8)   # pass-through
+    dec = decode_jpeg_pixels(bytes(got[1].payload))
+    assert dec is not None and dec.shape == (20, 30, 1)
