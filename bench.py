@@ -64,8 +64,12 @@ BENCH_QUERIES = [
     # round 3 continuation session 5: incremental index probe (8-hash
     # minhash both halves + band join) — the standing-pipeline dedup op
     "lsh_probe",
-    # BM25 + vector RRF fusion — the RAG retrieval shape
+    # BM25 + vector RRF fusion — the RAG retrieval shape; round 4 serves
+    # both legs from the persisted index tables (build amortized in the
+    # warm-ups — the timed runs measure the standing-index probe path)
     "hybrid_search",
+    # round 4: the persisted-FTS probe as its own headline entry
+    "bm25_probe",
     # (sssp_cost is excluded for the same reason as dedup_clusters: the
     # plan-cached frame holds checkpointed final distances, so a re-count
     # would measure a re-read, not the iterative relaxation)

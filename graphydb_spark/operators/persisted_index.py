@@ -655,6 +655,8 @@ def probe_fts_table(spark: SparkSession, path: str, terms: list[str],
     the matched postings are the same rows, avgdl is the same exact
     integer-ratio double (doc lengths sum exactly in doubles), and the
     idf/weight expressions are shared verbatim."""
+    from pyspark.sql import Window as W
+
     p = _fts_params(path, version)
     terms = sorted({t.lower() for t in terms})
     n_docs = p["n_docs"]
@@ -664,9 +666,15 @@ def probe_fts_table(spark: SparkSession, path: str, terms: list[str],
     hits = parts[0]
     for q in parts[1:]:
         hits = hits.unionByName(q)
-    dfreq = (hits.groupBy("token")
-             .agg(F.countDistinct("uid").alias("df")))
-    scored = (hits.join(F.broadcast(dfreq), "token")
+    # df as a WINDOW over the matched postings — one scan of the pruned
+    # files instead of two (a groupBy + join-back re-reads them; Spark
+    # has no automatic subtree reuse).  Single-field indexes have one
+    # row per (uid, token), so a plain count IS the distinct-uid count;
+    # multi-field indexes pay the exact collect_set form.
+    tw = W.partitionBy("token")
+    df_col = (F.count("*").over(tw) if len(p["fields"]) == 1
+              else F.size(F.collect_set("uid").over(tw)))
+    scored = (hits.withColumn("df", df_col)
               .withColumn("idf", F.log(
                   (F.lit(float(n_docs)) - F.col("df") + 0.5)
                   / (F.col("df") + 0.5) + 1.0))
