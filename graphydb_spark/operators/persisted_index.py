@@ -44,7 +44,7 @@ __all__ = ["build_ivf_table", "probe_ivf_table", "append_ivf_table",
            "build_minhash_index", "probe_minhash_index",
            "append_minhash_index", "probe_pairs", "stream_dedup_ingest",
            "build_fts_table", "probe_fts_table", "append_fts_table",
-           "fts_probe_files"]
+           "match_fts_table", "fts_probe_files"]
 
 
 # --------------------------------------------------------------------- IVF
@@ -595,17 +595,22 @@ def stream_dedup_ingest(spark: SparkSession, source_dir: str, schema,
 def build_fts_table(docs: DataFrame, path: str,
                     fields: list[str] | None = None,
                     n_files: int = 8, id_col: str = "uid") -> int:
-    """Publish the corpus's term-frequency index as a snapshot table —
-    the PERSISTENT form of :func:`fts.build_tf_index` (the reference's
-    FTS5 index is likewise persistent, graphydb.py:638-658; the derived
-    per-session index in graph.py is the ephemeral form).
+    """Publish the corpus's POSITIONAL inverted index as a snapshot
+    table — the persistent form of the FTS surface (the reference's
+    FTS5 index is likewise persistent and positional,
+    graphydb.py:638-658; the derived per-session index in graph.py is
+    the ephemeral form).
 
-    Rows are ``(uid, field, token, tf, doc_len)`` laid out
+    Rows are ``(uid, field, token, pos, doc_len)`` laid out
     range-partitioned BY TOKEN and sorted within partitions, so each
     parquet file covers a narrow token interval — the manifest's
     per-file [min,max] then IS the term dictionary: a probe for one
     term opens ~1/n_files of the table before Spark lists a single
     extra file (the same trick the IVF table plays with cells).
+    Positions make the full MATCH grammar servable from the snapshot
+    (:func:`match_fts_table` — phrase/NEAR need them); ``doc_len``
+    rides denormalized on every posting so BM25
+    (:func:`probe_fts_table`) never joins back to a doc table.
 
     Corpus statistics BM25 needs (doc count, total doc length) ride in
     ``meta`` — atomic with the files, incrementally maintained by
@@ -615,24 +620,35 @@ def build_fts_table(docs: DataFrame, path: str,
     are top-level columns; ``id_col`` names the document id column
     (stored as ``uid`` in the index rows either way).
     """
-    from ..fts import build_tf_index
-
     fields = list(fields or ["text"])
     if id_col != "uid":
         docs = docs.withColumnRenamed(id_col, "uid")
-    tf = build_tf_index(docs, fields)
-    laid = (tf.repartitionByRange(max(1, n_files), "token")
-              .sortWithinPartitions("token"))
-    # same doc-stat semantics as fts.bm25_scores: one row per uid
-    st = (tf.select("uid", "doc_len").dropDuplicates(["uid"])
-            .agg(F.count("*").alias("n"),
-                 F.sum("doc_len").alias("s")).collect()[0])
+    laid, n, s = _fts_rows(docs, fields, max(1, n_files))
     return commit_snapshot(
         laid, path, mode="overwrite",
         meta={"kind": "fts", "fields": fields, "n_files": n_files,
-              "id_col": id_col,
-              "n_docs": int(st["n"] or 0),
-              "sum_doclen": int(st["s"] or 0)})
+              "id_col": id_col, "positional": True,
+              "n_docs": n, "sum_doclen": s})
+
+
+def _fts_rows(docs: DataFrame, fields: list[str],
+              n_files: int) -> tuple[DataFrame, int, int]:
+    """(token-sorted positional rows with doc_len, n_docs, sum_doclen)
+    for a corpus — shared by build and append."""
+    from ..fts import build_index
+
+    pos_rows = build_index(docs, fields)
+    dlen = (pos_rows.groupBy("uid", "field")
+            .agg(F.count("*").alias("doc_len"))
+            .localCheckpoint(eager=True))     # feeds rows AND the stats
+    rows = pos_rows.join(dlen, ["uid", "field"])
+    laid = (rows.repartitionByRange(n_files, "token")
+                .sortWithinPartitions("token"))
+    # same doc-stat semantics as fts.bm25_scores: one row per uid
+    st = (dlen.select("uid", "doc_len").dropDuplicates(["uid"])
+              .agg(F.count("*").alias("n"),
+                   F.sum("doc_len").alias("s")).collect()[0])
+    return laid, int(st["n"] or 0), int(st["s"] or 0)
 
 
 def _fts_params(path: str, version: int | None) -> dict:
@@ -647,14 +663,15 @@ def probe_fts_table(spark: SparkSession, path: str, terms: list[str],
                     version: int | None = None) -> DataFrame:
     """BM25 scores ``(uid, score)`` for ``terms`` served FROM the
     persisted index: one manifest-pruned point-range read per distinct
-    term (the token-sorted layout makes each a handful of files), df
-    from a tiny groupBy over the matched postings only, N/avgdl from
-    ``meta`` — nothing corpus-sized is scanned or rebuilt.
+    term (the token-sorted layout makes each a handful of files), tf
+    aggregated from the matched postings, df as a window over the
+    aggregated rows, N/avgdl from ``meta`` — nothing corpus-sized is
+    scanned or rebuilt, and the pruned files are read exactly ONCE.
 
     Value-identical to ``fts.bm25_scores(build_tf_index(docs), terms)``:
-    the matched postings are the same rows, avgdl is the same exact
-    integer-ratio double (doc lengths sum exactly in doubles), and the
-    idf/weight expressions are shared verbatim."""
+    tf/doc_len aggregate to the same values the tf index stores, avgdl
+    is the same exact integer-ratio double (doc lengths sum exactly in
+    doubles), and the idf/weight expressions are shared verbatim."""
     from pyspark.sql import Window as W
 
     p = _fts_params(path, version)
@@ -666,15 +683,20 @@ def probe_fts_table(spark: SparkSession, path: str, terms: list[str],
     hits = parts[0]
     for q in parts[1:]:
         hits = hits.unionByName(q)
-    # df as a WINDOW over the matched postings — one scan of the pruned
-    # files instead of two (a groupBy + join-back re-reads them; Spark
-    # has no automatic subtree reuse).  Single-field indexes have one
-    # row per (uid, token), so a plain count IS the distinct-uid count;
-    # multi-field indexes pay the exact collect_set form.
+    # positional rows → tf per (uid, field, token); doc_len rides
+    # denormalized (constant per group — min is just deterministic)
+    tf = (hits.groupBy("uid", "field", "token")
+          .agg(F.count("*").alias("tf"), F.min("doc_len").alias("doc_len")))
+    # df as a WINDOW over the aggregated postings — one scan of the
+    # pruned files instead of two (a groupBy + join-back re-reads them;
+    # Spark has no automatic subtree reuse).  Single-field indexes have
+    # one row per (uid, token) after the tf agg, so a plain count IS
+    # the distinct-uid count; multi-field indexes pay the exact
+    # collect_set form.
     tw = W.partitionBy("token")
     df_col = (F.count("*").over(tw) if len(p["fields"]) == 1
               else F.size(F.collect_set("uid").over(tw)))
-    scored = (hits.withColumn("df", df_col)
+    scored = (tf.withColumn("df", df_col)
               .withColumn("idf", F.log(
                   (F.lit(float(n_docs)) - F.col("df") + 0.5)
                   / (F.col("df") + 0.5) + 1.0))
@@ -691,7 +713,6 @@ def append_fts_table(spark: SparkSession, path: str, new_docs: DataFrame,
     — the incremental maintenance FTS5 does per INSERT, here per batch.
     ``new_docs`` must be NEW uids (an upsert would need a delete leg;
     use rebuild for re-indexing mutated docs)."""
-    from ..fts import build_tf_index
     from ..sources.snapshot import _txn_seen, _txn_version
 
     p = _fts_params(path, None)
@@ -699,15 +720,70 @@ def append_fts_table(spark: SparkSession, path: str, new_docs: DataFrame,
         return _txn_version(path, txn)
     if p.get("id_col", "uid") != "uid":
         new_docs = new_docs.withColumnRenamed(p["id_col"], "uid")
-    tf = build_tf_index(new_docs, p["fields"])
-    laid = (tf.repartitionByRange(max(1, p.get("n_files", 8)), "token")
-              .sortWithinPartitions("token"))
-    st = (tf.select("uid", "doc_len").dropDuplicates(["uid"])
-            .agg(F.count("*").alias("n"),
-                 F.sum("doc_len").alias("s")).collect()[0])
-    meta = {**p, "n_docs": p["n_docs"] + int(st["n"] or 0),
-            "sum_doclen": p["sum_doclen"] + int(st["s"] or 0)}
+    laid, n, s = _fts_rows(new_docs, p["fields"],
+                           max(1, p.get("n_files", 8)))
+    meta = {**p, "n_docs": p["n_docs"] + n,
+            "sum_doclen": p["sum_doclen"] + s}
     return commit_snapshot(laid, path, mode="append", txn=txn, meta=meta)
+
+
+def match_fts_table(spark: SparkSession, path: str, query: str,
+                    version: int | None = None) -> DataFrame:
+    """Compile a MATCH expression against the PERSISTED index → matching
+    uids: the full grammar (term/prefix/field/AND/OR/NOT/phrase/NEAR)
+    served from the snapshot table, reading only the manifest-pruned
+    token ranges the query's terms touch — FTS5's persistent-index
+    behavior (graphydb.py:876-893), scaled out.
+
+    Prefix terms read the ``[t, t+\\uffff)`` token range (still pruned:
+    the range intersects few files in a token-sorted layout).  A group
+    with no positive term needs the uid universe and falls back to a
+    full index scan — the same cost the reference pays for a bare NOT.
+    """
+    from ..fts import NEAR_KIND, match_uids, parse_match
+
+    _fts_params(path, version)
+    groups = parse_match(query)
+    ranges: set[tuple[str, str]] = set()
+    need_full = False
+
+    def add(term, prefix):
+        if isinstance(term, tuple):
+            if term and term[0] == NEAR_KIND:
+                for toks, pfx in term[1]:
+                    if pfx and len(toks) == 1:
+                        ranges.add((toks[0], toks[0] + "￿"))
+                    else:
+                        for t in toks:
+                            ranges.add((t, t))
+            else:
+                for t in term:
+                    ranges.add((t, t))
+        elif prefix:
+            ranges.add((term, term + "￿"))
+        else:
+            ranges.add((term, term))
+
+    for _, group in groups:
+        if not any(not neg for neg, *_ in group):
+            need_full = True
+        for neg, _field, term, prefix in group:
+            add(term, prefix)
+    if need_full or not ranges:
+        idx = read_snapshot(spark, path, version=version)
+    else:
+        parts = [read_snapshot(spark, path, version=version,
+                               where={"token": r}) for r in sorted(ranges)]
+        idx = parts[0]
+        for q in parts[1:]:
+            idx = idx.unionByName(q)
+        # a prefix range can cover an exact range's postings — the match
+        # compiler distincts per term, but phrase/NEAR position joins
+        # must see each posting once.  Exact-only ranges are disjoint
+        # (distinct tokens), so the dedup shuffle is prefix-only cost.
+        if len(ranges) > 1 and any(lo != hi for lo, hi in ranges):
+            idx = idx.dropDuplicates(["uid", "field", "token", "pos"])
+    return match_uids(idx, query)
 
 
 def fts_probe_files(path: str, term: str,

@@ -18443,6 +18443,34 @@ def q_bm25_probe(spark, sf_dir):
             .limit(10))
 
 
+def q_fts_match_probe(spark, sf_dir):
+    """Composite MATCH served FROM the persisted positional FTS table
+    (persisted_index.match_fts_table): boolean (AND/NOT/OR), a quoted
+    phrase and a prefix in one expression — ``data NOT query OR
+    "table hash" OR quer*`` — reading only the manifest-pruned token
+    ranges the terms touch.  The reference serves exactly this grammar
+    from FTS5's persistent index (graphydb.py:876-893); q:fts_* are the
+    per-session derived-index forms."""
+    fts_path, _ = _retrieval_indexes(spark, sf_dir)
+    return (persisted_index.match_fts_table(
+        spark, fts_path, 'data NOT query OR "table hash" OR quer*')
+        .select("uid"))
+
+
+_FTS_MATCH_PROBE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '') AS ws
+  FROM documents
+)
+SELECT 'Document:' || CAST(doc_id AS VARCHAR) AS uid FROM toks
+WHERE (list_contains(ws, 'data') AND NOT list_contains(ws, 'query'))
+   OR instr(' ' || array_to_string(ws, ' ') || ' ', ' table hash ') > 0
+   OR len(list_filter(ws, x -> x LIKE 'quer%')) > 0
+"""
+ORACLES["fts_match_probe"] = _FTS_MATCH_PROBE_ORACLE
+
+
 _BM25_PROBE_ORACLE = """
 WITH toks AS (
   SELECT doc_id, list_filter(
@@ -19000,6 +19028,7 @@ QUERIES = {
     "lsh_probe": q_lsh_probe,
     "hybrid_search": q_hybrid_search,
     "bm25_probe": q_bm25_probe,
+    "fts_match_probe": q_fts_match_probe,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -472,3 +472,44 @@ def test_stream_dedup_txn_enters_watermark(spark, tmp_path):
         wm = _read_manifest(path, _head(path)).get("txn_wm", {})
         assert any(k.startswith("dedup_ingest:") for k in wm), \
             f"txn watermark missing at {path}: {wm}"
+
+
+def test_fts_match_grammar_from_persisted_index(spark, tmp_path):
+    """match_fts_table serves the full MATCH grammar from the snapshot
+    table: term, prefix, AND/OR/NOT, phrase, NEAR — equal to the
+    in-memory compiler over the derived positional index."""
+    from graphydb_spark.fts import build_index, match_uids
+    from graphydb_spark.operators.persisted_index import (
+        build_fts_table, match_fts_table)
+    rows = [(1, "alpha beta gamma delta"),
+            (2, "beta alpha beta epsilon"),
+            (3, "gamma delta alpha"),
+            (4, "epsilon zeta eta"),
+            (5, "alpha gamma beta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "fts")
+    build_fts_table(docs, p, ["text"], n_files=3, id_col="doc_id")
+    derived = build_index(docs.withColumnRenamed("doc_id", "uid"), ["text"])
+    for q in ["alpha", "bet*", "alpha beta", "alpha OR zeta",
+              "alpha NOT beta", '"alpha beta"', "alpha NEAR/1 gamma",
+              "NOT epsilon"]:
+        got = {r.uid for r in match_fts_table(spark, p, q).collect()}
+        want = {r.uid for r in match_uids(derived, q).collect()}
+        assert got == want, f"MATCH {q!r}: {got} vs {want}"
+
+
+def test_fts_match_prunes_files(spark, tmp_path):
+    """A term MATCH against the persisted index compiles to pruned
+    token-range scans — the executed plan contains PushedFilters on
+    token, and the result is correct."""
+    from graphydb_spark.operators.persisted_index import (
+        build_fts_table, match_fts_table)
+    docs = _fts_docs(spark, range(100))
+    p = str(tmp_path / "fts")
+    build_fts_table(docs, p, ["text"], n_files=5, id_col="doc_id")
+    df = match_fts_table(spark, p, "data")
+    n = df.count()
+    assert n > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert ("EqualTo(token,data)" in plan
+            or "GreaterThanOrEqual(token,data)" in plan)
