@@ -44,7 +44,7 @@ __all__ = ["build_ivf_table", "probe_ivf_table", "append_ivf_table",
            "build_minhash_index", "probe_minhash_index",
            "append_minhash_index", "probe_pairs", "stream_dedup_ingest",
            "build_fts_table", "probe_fts_table", "append_fts_table",
-           "match_fts_table", "fts_probe_files"]
+           "match_fts_table", "fts_probe_files", "stream_fts_ingest"]
 
 
 # --------------------------------------------------------------------- IVF
@@ -633,21 +633,30 @@ def build_fts_table(docs: DataFrame, path: str,
 
 def _fts_rows(docs: DataFrame, fields: list[str],
               n_files: int) -> tuple[DataFrame, int, int]:
-    """(token-sorted positional rows with doc_len, n_docs, sum_doclen)
-    for a corpus — shared by build and append."""
+    """(token-sorted positional rows, n_docs, sum_doclen) for a corpus —
+    shared by build and append.  ``tf`` and ``doc_len`` ride
+    denormalized on every posting and ``head`` marks one row per
+    (uid, field, token), so the BM25 probe is a pure filter over the
+    pruned scan (zero probe-side aggregation) while phrase/NEAR still
+    see every position — build-time windows pay the cost once."""
+    from pyspark.sql import Window as W
+
     from ..fts import build_index
 
     pos_rows = build_index(docs, fields)
-    dlen = (pos_rows.groupBy("uid", "field")
-            .agg(F.count("*").alias("doc_len"))
-            .localCheckpoint(eager=True))     # feeds rows AND the stats
-    rows = pos_rows.join(dlen, ["uid", "field"])
+    g = W.partitionBy("uid", "field", "token")
+    d = W.partitionBy("uid", "field")
+    rows = (pos_rows
+            .withColumn("tf", F.count("*").over(g))
+            .withColumn("head",
+                        F.row_number().over(g.orderBy("pos")) == 1)
+            .withColumn("doc_len", F.count("*").over(d)))
     laid = (rows.repartitionByRange(n_files, "token")
                 .sortWithinPartitions("token"))
     # same doc-stat semantics as fts.bm25_scores: one row per uid
-    st = (dlen.select("uid", "doc_len").dropDuplicates(["uid"])
-              .agg(F.count("*").alias("n"),
-                   F.sum("doc_len").alias("s")).collect()[0])
+    st = (pos_rows.groupBy("uid").agg(F.count("*").alias("doc_len"))
+          .agg(F.count("*").alias("n"),
+               F.sum("doc_len").alias("s")).collect()[0])
     return laid, int(st["n"] or 0), int(st["s"] or 0)
 
 
@@ -683,15 +692,16 @@ def probe_fts_table(spark: SparkSession, path: str, terms: list[str],
     hits = parts[0]
     for q in parts[1:]:
         hits = hits.unionByName(q)
-    # positional rows → tf per (uid, field, token); doc_len rides
-    # denormalized (constant per group — min is just deterministic)
-    tf = (hits.groupBy("uid", "field", "token")
-          .agg(F.count("*").alias("tf"), F.min("doc_len").alias("doc_len")))
-    # df as a WINDOW over the aggregated postings — one scan of the
-    # pruned files instead of two (a groupBy + join-back re-reads them;
+    # ``head`` marks one posting per (uid, field, token) carrying the
+    # precomputed tf/doc_len — scoring is a pure FILTER over the pruned
+    # scan, no probe-side aggregation
+    tf = hits.where("head").select("uid", "field", "token",
+                                   "tf", "doc_len")
+    # df as a WINDOW over the head postings — one scan of the pruned
+    # files instead of two (a groupBy + join-back re-reads them;
     # Spark has no automatic subtree reuse).  Single-field indexes have
-    # one row per (uid, token) after the tf agg, so a plain count IS
-    # the distinct-uid count; multi-field indexes pay the exact
+    # one head row per (uid, token), so a plain count IS the
+    # distinct-uid count; multi-field indexes pay the exact
     # collect_set form.
     tw = W.partitionBy("token")
     df_col = (F.count("*").over(tw) if len(p["fields"]) == 1
@@ -784,6 +794,35 @@ def match_fts_table(spark: SparkSession, path: str, query: str,
         if len(ranges) > 1 and any(lo != hi for lo, hi in ranges):
             idx = idx.dropDuplicates(["uid", "field", "token", "pos"])
     return match_uids(idx, query)
+
+
+def stream_fts_ingest(spark: SparkSession, source_dir: str, schema,
+                      index_path: str, kept_path: str,
+                      checkpoint_dir: str):
+    """Streaming index maintenance: every micro-batch commits the new
+    docs to the ``kept_path`` snapshot AND their postings to the
+    persisted FTS index, each under the (checkpoint, batch) txn token
+    (FTS5 maintains its index per INSERT, graphydb.py:638-658; here per
+    batch, exactly-once).  The two commits are independently
+    idempotent, not atomic — a crash between them replays the batch,
+    the committed table no-ops on its seen token and the other
+    completes (the stream_to_snapshot recovery contract).  Returns the
+    started StreamingQuery (availableNow trigger); caller awaits."""
+    _fts_params(index_path, None)
+
+    def ingest(batch_df, epoch_id: int) -> None:
+        txn = {"source": f"fts_ingest:{checkpoint_dir}",
+               "batch": int(epoch_id)}
+        commit_snapshot(batch_df, kept_path, mode="append", txn=txn)
+        append_fts_table(batch_df.sparkSession, index_path, batch_df,
+                         txn=txn)
+
+    return (spark.readStream.format("parquet").schema(schema)
+            .load(source_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
 
 
 def fts_probe_files(path: str, term: str,

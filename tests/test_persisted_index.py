@@ -513,3 +513,42 @@ def test_fts_match_prunes_files(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert ("EqualTo(token,data)" in plan
             or "GreaterThanOrEqual(token,data)" in plan)
+
+
+def test_stream_fts_ingest_exactly_once(spark, tmp_path):
+    """Streaming FTS maintenance: micro-batches land in the kept table
+    AND the index exactly-once (txn enters the manifest watermark),
+    probes see the new docs immediately, and restarting the stream on
+    the SAME checkpoint with no new files commits nothing."""
+    from graphydb_spark.operators.persisted_index import (
+        build_fts_table, match_fts_table, probe_fts_table,
+        stream_fts_ingest)
+    from graphydb_spark.sources.snapshot import _head, _read_manifest
+    src = tmp_path / "src"
+    src.mkdir()
+    _fts_docs(spark, range(10)).coalesce(1).write.parquet(str(src / "b0"))
+    idx = str(tmp_path / "fts")
+    kept = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+    build_fts_table(_fts_docs(spark, range(100, 110)), idx, ["text"],
+                    id_col="doc_id")
+    q = stream_fts_ingest(spark, str(src) + "/*/",
+                          _fts_docs(spark, range(1)).schema,
+                          idx, kept, ckpt)
+    q.awaitTermination(120)
+    m = snapshot_meta(idx, None)
+    assert m["n_docs"] == 20
+    uids = {r.uid for r in match_fts_table(spark, idx, "data").collect()}
+    assert any(u < 100 for u in uids)          # new docs indexed
+    scores = probe_fts_table(spark, idx, ["data"]).count()
+    assert scores <= 20
+    wm = _read_manifest(idx, _head(idx)).get("txn_wm", {})
+    assert any(k.startswith("fts_ingest:") for k in wm)
+    # restart on the same checkpoint: no new batches -> no new commits
+    head_before = _head(idx)
+    q2 = stream_fts_ingest(spark, str(src) + "/*/",
+                           _fts_docs(spark, range(1)).schema,
+                           idx, kept, ckpt)
+    q2.awaitTermination(120)
+    assert _head(idx) == head_before
+    assert snapshot_meta(idx, None)["n_docs"] == 20
