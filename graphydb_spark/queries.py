@@ -18279,23 +18279,20 @@ ORACLES["k_anonymity"] = _K_ANON_ORACLE
 ORACLES["posting_lists"] = _POSTING_LISTS_ORACLE
 
 def q_lsh_probe(spark, sf_dir):
-    """Incremental near-dup probe (operators/persisted_index.probe_pairs):
-    even-doc_id documents play the standing corpus index, odd doc_ids the
-    incoming batch.  Emits (index_id, new_id, est_jaccard) for every pair
-    sharing an LSH band (8 hashes, 4 bands of 2) whose signatures agree on
-    ≥ 4 of 8 components (est_jaccard ≥ 0.5 — the unbiased MinHash
-    estimator).  The batch side is broadcast; the corpus side never
-    shuffles.  The PERSISTED form (build/probe/append_minhash_index over a
-    snapshot table, exactly-once appends) runs the same probe_pairs join
-    and is pytest-gated (side-effecting)."""
-    docs = _docs(spark, sf_dir)
-    # one signature pass over the whole table, split by parity after —
-    # half the tokenize/agg work vs signing each side separately, and
-    # the parity filters land on the same exchange
-    sig_all = persisted_index._sig_rows(docs, "text", "doc_id", 3, 8, 4)
-    ir = sig_all.where("doc_id % 2 = 0")
-    nr = sig_all.where("doc_id % 2 = 1")
-    return persisted_index.probe_pairs(ir, nr, 0.5)
+    """Incremental near-dup probe SERVED from the persisted MinHash
+    index (the standing-pipeline shape, like hybrid_search): even
+    doc_ids are indexed ONCE per session
+    (persisted_index.build_minhash_index → snapshot table), each run
+    only signs the odd-doc_id batch and broadcast-joins its band rows
+    against the index — the corpus side is a parquet read of
+    signatures, never re-tokenized or shuffled.  Emits
+    (index_id, new_id, est_jaccard) for every pair sharing an LSH band
+    (8 hashes, 4 bands of 2) whose signatures agree on ≥ 4 of 8
+    components (est_jaccard ≥ 0.5, the unbiased MinHash estimator)."""
+    mh_path = _retrieval_indexes(spark, sf_dir)["mh"]
+    batch = _docs(spark, sf_dir).where("doc_id % 2 = 1")
+    return persisted_index.probe_minhash_index(spark, mh_path, batch,
+                                               threshold=0.5)
 
 
 _LSH_PROBE_ORACLE = """
@@ -18362,13 +18359,19 @@ def _retrieval_indexes(spark, sf_dir):
                         f"graphydb_spark_ridx_{os.getpid()}_{tag}")
     fts_path = os.path.join(base, "fts")
     ivf_path = os.path.join(base, "ivf")
+    mh_path = os.path.join(base, "mh")
     g = tpch_graph(spark, sf_dir)
     docs = g.nodes_df.where(F.col("kind") == "Document")
     persisted_index.build_fts_table(docs, fts_path, ["text"])
     persisted_index.build_ivf_table(_emb(spark, sf_dir), ivf_path,
                                     k=8, iters=2)
-    _RIDX_CACHE[key] = (fts_path, ivf_path)
-    return fts_path, ivf_path
+    # the standing near-dup index: even doc_ids play the corpus
+    persisted_index.build_minhash_index(
+        _docs(spark, sf_dir).where("doc_id % 2 = 0"), mh_path,
+        text_col="text", id_col="doc_id", k=3, num_hashes=8, bands=4)
+    got = {"fts": fts_path, "ivf": ivf_path, "mh": mh_path}
+    _RIDX_CACHE[key] = got
+    return got
 
 
 def q_hybrid_search(spark, sf_dir):
@@ -18385,7 +18388,8 @@ def q_hybrid_search(spark, sf_dir):
     restriction, so the ANN result is exactly reproducible."""
     from pyspark.sql import Window as W
 
-    fts_path, ivf_path = _retrieval_indexes(spark, sf_dir)
+    ridx = _retrieval_indexes(spark, sf_dir)
+    fts_path, ivf_path = ridx["fts"], ridx["ivf"]
     # top-20 via distributed TakeOrdered FIRST, then rank the 20
     # survivors — a partitionless row_number window over ALL scored
     # docs funnels the corpus through one task (the global_shuffle
@@ -18433,7 +18437,7 @@ def q_bm25_probe(spark, sf_dir):
     oracle replays plain BM25 SQL.  The standing-index form of
     q_bm25_rank (reference analogue: FTS5's persistent index,
     graphydb.py:638-658)."""
-    fts_path, _ = _retrieval_indexes(spark, sf_dir)
+    fts_path = _retrieval_indexes(spark, sf_dir)["fts"]
     return (persisted_index.probe_fts_table(spark, fts_path,
                                             ["data", "query"])
             .select(F.substring("uid", 10, 30).cast("long")
@@ -18451,7 +18455,7 @@ def q_fts_match_probe(spark, sf_dir):
     ranges the terms touch.  The reference serves exactly this grammar
     from FTS5's persistent index (graphydb.py:876-893); q:fts_* are the
     per-session derived-index forms."""
-    fts_path, _ = _retrieval_indexes(spark, sf_dir)
+    fts_path = _retrieval_indexes(spark, sf_dir)["fts"]
     return (persisted_index.match_fts_table(
         spark, fts_path, 'data NOT query OR "table hash" OR quer*')
         .select("uid"))
