@@ -521,12 +521,20 @@ def probe_pairs(index_rows: DataFrame, new_rows: DataFrame,
                                       lambda a, b: a == b),
                            lambda x: x))
            / F.size("sig_i")).alias("est_jaccard")
+    # estimate BEFORE deduplicating band collisions: the zip over 8
+    # signature components is cheap per collision row, and the pair
+    # dedup then shuffles (index_id, new_id, est) — 3 narrow columns —
+    # instead of rows carrying both full signature arrays (~15% on the
+    # sf0.1 probe's join tail; the probe's floor is signing the batch).
+    # est is a function of the pair, so max() over its collisions is
+    # the single value.
     return (idx_b.join(F.broadcast(new_b),
                        (idx_b["bb.band"] == new_b["bb.band"])
                        & (idx_b["bb.bh"] == new_b["bb.bh"]))
-            .select("index_id", "new_id", "sig_i", "sig_n").distinct()
             .select("index_id", "new_id", est)
-            .where(F.col("est_jaccard") >= threshold))
+            .where(F.col("est_jaccard") >= threshold)
+            .groupBy("index_id", "new_id")
+            .agg(F.max("est_jaccard").alias("est_jaccard")))
 
 
 def stream_dedup_ingest(spark: SparkSession, source_dir: str, schema,
