@@ -445,9 +445,20 @@ class Graph:
             [tuple(r.get(f.name) for f in schema.fields) for r in rows], schema)
         side = "edge" if "startuid" in {f.name for f in schema.fields} \
             else "node"
-        if "pstruct" in df.columns and not self._auto_pstruct[side]:
-            # source-typed store (tpch_graph / import): its schema is an
-            # encoding contract — parse new rows with it, never mutate it
+        bulk_loaded = self._known_node_uids is None
+        if bulk_loaded or ("pstruct" in df.columns
+                           and not self._auto_pstruct[side]):
+            # Source-typed store (tpch_graph / import): the schema is an
+            # encoding contract — parse new rows with it, never mutate.
+            # Bulk-loaded stores (open/from_dataframes/import, or an
+            # item graph after a bulk upsert) hold rows the promotion
+            # never type-checked — a schema inferred from saves alone
+            # could make from_json null the WHOLE pstruct of a
+            # conflicting pre-existing row (PERMISSIVE corrupt-record
+            # semantics), silently dropping it from predicates on
+            # perfectly consistent fields.  Promotion is therefore
+            # item-built-graph only; bulk stores keep their existing
+            # schema (or the JSON path).
             new = self._conform(new, df)
         else:
             df, new = self._promote_pstruct(df, new, rows, side)

@@ -61,9 +61,11 @@ def _train_subset(emb: DataFrame, id_col: str,
     if train_fraction == 1.0:
         return emb
     # gate on the hash VALUE RANGE, not a modulus-of-rounded-reciprocal,
-    # so any fraction is honored (1/round(1/f) quantizes 0.9 down to 0.5)
+    # so any fraction is honored (1/round(1/f) quantizes 0.9 down to
+    # 0.5).  Resolution is 1e-6; smaller fractions clamp to it instead
+    # of silently selecting zero training rows.
     scale = 1_000_000
-    cut = int(train_fraction * scale)
+    cut = max(1, int(train_fraction * scale))
     return emb.where(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(scale)) < F.lit(cut))
 
@@ -685,14 +687,21 @@ def probe_fts_table(spark: SparkSession, path: str, terms: list[str],
     aggregated rows, N/avgdl from ``meta`` — nothing corpus-sized is
     scanned or rebuilt, and the pruned files are read exactly ONCE.
 
-    Value-identical to ``fts.bm25_scores(build_tf_index(docs), terms)``:
-    tf/doc_len aggregate to the same values the tf index stores, avgdl
-    is the same exact integer-ratio double (doc lengths sum exactly in
-    doubles), and the idf/weight expressions are shared verbatim."""
+    For SINGLE-field indexes this is value-identical to
+    ``fts.bm25_scores(build_tf_index(docs), terms)``: tf/doc_len
+    aggregate to the same values the tf index stores, avgdl is the
+    same exact integer-ratio double (doc lengths sum exactly in
+    doubles), and the idf/weight expressions are shared verbatim.
+    Multi-field indexes define avgdl as total tokens per doc ACROSS
+    fields (the standard whole-document BM25 length) — bm25_scores'
+    dropDuplicates picks one field's length nondeterministically
+    there, so the persisted form is the better-defined one."""
     from pyspark.sql import Window as W
 
     p = _fts_params(path, version)
     terms = sorted({t.lower() for t in terms})
+    if not terms:
+        raise ValueError("probe_fts_table needs at least one term")
     n_docs = p["n_docs"]
     avgdl = (p["sum_doclen"] / n_docs) if n_docs else 1.0
     parts = [read_snapshot(spark, path, version=version,
@@ -730,7 +739,11 @@ def append_fts_table(spark: SparkSession, path: str, new_docs: DataFrame,
     exactly-once under ``txn``) and roll the corpus statistics forward
     — the incremental maintenance FTS5 does per INSERT, here per batch.
     ``new_docs`` must be NEW uids (an upsert would need a delete leg;
-    use rebuild for re-indexing mutated docs)."""
+    use rebuild for re-indexing mutated docs).  Stats assume a SINGLE
+    writer (the normal shape for index maintenance — one ingest job or
+    one stream): a concurrent appender that loses the commit race still
+    lands its files, but its pre-read stats roll-forward would be
+    computed against the stale parent, skewing N/avgdl."""
     from ..sources.snapshot import _txn_seen, _txn_version
 
     p = _fts_params(path, None)

@@ -33,11 +33,14 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.shuffle.partitions", "64")
 
-    # ~14 tokens/doc over a ~1000-word zipf-ish vocabulary; two probe
-    # terms planted at different selectivities
+    # ~14 tokens/doc over a graded vocabulary (word i drawn from
+    # 100·(i+1) choices); pmod keeps remainders non-negative so every
+    # word is one token ('tok-42' would split on the hyphen and plant
+    # a stopword-sized 'tok' posting list)
     words = F.concat_ws(" ", *[
-        F.concat(F.lit("tok"), ((F.xxhash64(F.col("id") + i) % (100 * (i + 1)))
-                                .cast("string")))
+        F.concat(F.lit("tok"),
+                 F.pmod(F.xxhash64(F.col("id") + i),
+                        F.lit(100 * (i + 1))).cast("string"))
         for i in range(12)])
     docs = (spark.range(n_docs).repartition(64)
             .select(F.col("id").alias("doc_id"),

@@ -338,3 +338,25 @@ def test_hydration_guard_refuses_oversized_frontier(spark, monkeypatch):
     assert g.fetch("(p:P)", COUNT=True) == 6
     monkeypatch.setattr(Graph, "MAX_HYDRATE_ROWS", 1_000_000)
     assert len(g.fetch("(p:P)")) == 6
+
+
+def test_bulk_loaded_graph_never_promotes(spark):
+    """Bulk-loaded stores hold rows the promotion never type-checked —
+    a save on such a graph must NOT infer a pstruct (a conflicting
+    pre-existing row would have its whole shadow nulled by from_json's
+    corrupt-record semantics and silently vanish from predicates on
+    consistent fields)."""
+    import json as _json
+    from graphydb_spark import Graph
+    nodes = spark.createDataFrame(
+        [("P:1", "P", 0.0, 0.0, _json.dumps({"name": "y", "tag": "one"}))],
+        "uid string, kind string, ctime double, mtime double, props string")
+    edges = spark.createDataFrame(
+        [], "uid string, kind string, startuid string, enduid string, "
+            "ctime double, mtime double, props string")
+    g = Graph.from_dataframes(spark, nodes, edges)
+    g.Node("P", name="x", tag=1).save()          # tag conflicts with row 1
+    sql, _ = g.fetch("(p:P)", WHERE="p.data.name = 'y'", DEBUG=True)
+    assert "pstruct" not in sql                  # stayed on the JSON path
+    assert g.fetch("(p:P)", WHERE="p.data.name = 'y'", COUNT=True) == 1
+    assert g.fetch("(p:P)", WHERE="p.data.name = 'x'", COUNT=True) == 1
