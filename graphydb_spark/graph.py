@@ -471,32 +471,19 @@ class Graph:
     _PSTRUCT_RESERVED = frozenset(
         {"uid", "kind", "ctime", "mtime", "startuid", "enduid"})
 
-    def _promote_pstruct(self, df: DataFrame, new: DataFrame,
-                         rows: list[dict], side: str):
-        """Typed-props promotion for item-built graphs: infer a pstruct
-        schema from the saved Python values and attach
-        ``from_json(props, schema)`` to both frames — the same columnar
-        fast path tpch_graph ships with (SURVEY §4.3), so chain
-        predicates like ``n.data.age > 30`` compile to ONE JsonToStructs
-        per row (struct access, native types) instead of a string
-        ``get_json_object`` per predicate.
-
-        Dynamic-typing safety (SURVEY §7.4 trap #1): a field is promoted
-        only while every non-null value across every save is one scalar
-        type (int/long widens to double when mixed with floats);
-        containers or conflicting types poison the field permanently and
-        its references stay on the JSON path — behavior identical to the
-        un-promoted engine."""
-        poison = self._pstruct_poison[side]
-        fields: dict = {}
-        if "pstruct" in df.columns:
-            fields = {f.name: f.dataType
-                      for f in df.schema["pstruct"].dataType.fields}
-        before = dict(fields)
-        for r in rows:
-            data = json.loads(r["props"]) if r.get("props") else {}
+    @classmethod
+    def _infer_pstruct_fields(cls, props_iter, poison: set,
+                              base: dict | None = None) -> dict:
+        """Fold props JSON documents into a scalar-field type map
+        (field → Spark DataType): consistent scalars promote, int
+        widens to double when mixed with floats, containers or
+        conflicting types land in ``poison`` permanently.  Shared by
+        save-time promotion and the full-corpus import-time pass."""
+        fields: dict = dict(base or {})
+        for props in props_iter:
+            data = json.loads(props) if props else {}
             for k, v in data.items():
-                if k in self._PSTRUCT_RESERVED or k in poison or v is None:
+                if k in cls._PSTRUCT_RESERVED or k in poison or v is None:
                     continue
                 if isinstance(v, bool):          # before int: bool ⊂ int
                     t = T.BooleanType()
@@ -519,6 +506,32 @@ class Graph:
                     else:
                         poison.add(k)
                         fields.pop(k, None)
+        return fields
+
+    def _promote_pstruct(self, df: DataFrame, new: DataFrame,
+                         rows: list[dict], side: str):
+        """Typed-props promotion for item-built graphs: infer a pstruct
+        schema from the saved Python values and attach
+        ``from_json(props, schema)`` to both frames — the same columnar
+        fast path tpch_graph ships with (SURVEY §4.3), so chain
+        predicates like ``n.data.age > 30`` compile to ONE JsonToStructs
+        per row (struct access, native types) instead of a string
+        ``get_json_object`` per predicate.
+
+        Dynamic-typing safety (SURVEY §7.4 trap #1): a field is promoted
+        only while every non-null value across every save is one scalar
+        type (int/long widens to double when mixed with floats);
+        containers or conflicting types poison the field permanently and
+        its references stay on the JSON path — behavior identical to the
+        un-promoted engine."""
+        poison = self._pstruct_poison[side]
+        fields: dict = {}
+        if "pstruct" in df.columns:
+            fields = {f.name: f.dataType
+                      for f in df.schema["pstruct"].dataType.fields}
+        before = dict(fields)
+        fields = self._infer_pstruct_fields(
+            (r.get("props") for r in rows), poison, fields)
         if not fields:
             if "pstruct" in df.columns:
                 df = df.drop("pstruct")

@@ -125,6 +125,27 @@ def import_graph(spark: SparkSession, path: str) -> Graph:
         if node_rows else spark.createDataFrame([], NODE_SCHEMA)
     edges_df = spark.createDataFrame(edge_rows, EDGE_SCHEMA) \
         if edge_rows else spark.createDataFrame([], EDGE_SCHEMA)
+    # typed-props promotion is SOUND here — unlike save-time promotion
+    # on a bulk-loaded graph, every row passed through this driver
+    # import, so the inferred schema saw every value (conflicts poison
+    # to the JSON path).  Imported graphs get the same columnar
+    # predicate fast path as item-built ones; later saves keep the
+    # frozen schema (the bulk-loaded conform rule).
+    from pyspark.sql import functions as SF
+    from pyspark.sql import types as ST
+    for df_name, rows_p in (("nodes_df", (r[-1] for r in node_rows)),
+                            ("edges_df", (r[-1] for r in edge_rows))):
+        fields = Graph._infer_pstruct_fields(rows_p, set())
+        if fields:
+            dtype = ST.StructType(
+                [ST.StructField(k, fields[k], True)
+                 for k in sorted(fields)])
+            if df_name == "nodes_df":
+                nodes_df = nodes_df.withColumn(
+                    "pstruct", SF.from_json("props", dtype))
+            else:
+                edges_df = edges_df.withColumn(
+                    "pstruct", SF.from_json("props", dtype))
     g = Graph.from_dataframes(spark, nodes_df, edges_df)
     g._settings = settings
     g._cache = cache

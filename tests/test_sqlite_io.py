@@ -307,3 +307,24 @@ def test_graph_open_sqlite_classmethod(spark, tmp_path):
     g = Graph.open_sqlite(spark, db)
     assert g.stats["nodes"] == 3
     assert g.getuid(uids["Anne"])["name"] == "Anne"
+
+
+def test_import_promotes_typed_props(spark, tmp_path):
+    """Import-time typed-props promotion is sound (every row passes
+    through the driver): predicates on consistently-typed fields
+    compile to pstruct access, conflicting fields stay on the JSON
+    path, and results match either way."""
+    from graphydb_spark import Graph
+    from graphydb_spark.sources.sqlite_io import export_graph
+    src = Graph(spark)
+    src.Node("P", name="a", age=30, tag=1).save()
+    src.Node("P", name="b", age=41, tag="one").save()   # tag conflicts
+    db = str(tmp_path / "g.db")
+    export_graph(src, db)
+    g = Graph.open_sqlite(spark, db)
+    sql, _ = g.fetch("(p:P)", WHERE="p.data.age > 35", DEBUG=True)
+    assert "pstruct" in sql and "$.age" not in sql
+    assert g.fetch("(p:P)", WHERE="p.data.age > 35", COUNT=True) == 1
+    sql2, _ = g.fetch("(p:P)", WHERE="p.data.tag = 'one'", DEBUG=True)
+    assert "get_json_object" in sql2                    # poisoned field
+    assert g.fetch("(p:P)", WHERE="p.data.tag = 'one'", COUNT=True) == 1
