@@ -739,11 +739,11 @@ def append_fts_table(spark: SparkSession, path: str, new_docs: DataFrame,
     exactly-once under ``txn``) and roll the corpus statistics forward
     — the incremental maintenance FTS5 does per INSERT, here per batch.
     ``new_docs`` must be NEW uids (an upsert would need a delete leg;
-    use rebuild for re-indexing mutated docs).  Stats assume a SINGLE
-    writer (the normal shape for index maintenance — one ingest job or
-    one stream): a concurrent appender that loses the commit race still
-    lands its files, but its pre-read stats roll-forward would be
-    computed against the stale parent, skewing N/avgdl."""
+    use rebuild for re-indexing mutated docs).  Stats roll forward
+    race-safely: the batch's (n_docs, sum_doclen) delta is applied to
+    the PARENT meta inside the commit retry loop (``meta_fn``), so a
+    concurrent appender that wins the race is never overwritten with
+    stale counters."""
     from ..sources.snapshot import _txn_seen, _txn_version
 
     p = _fts_params(path, None)
@@ -753,9 +753,14 @@ def append_fts_table(spark: SparkSession, path: str, new_docs: DataFrame,
         new_docs = new_docs.withColumnRenamed(p["id_col"], "uid")
     laid, n, s = _fts_rows(new_docs, p["fields"],
                            max(1, p.get("n_files", 8)))
-    meta = {**p, "n_docs": p["n_docs"] + n,
-            "sum_doclen": p["sum_doclen"] + s}
-    return commit_snapshot(laid, path, mode="append", txn=txn, meta=meta)
+
+    def roll(parent_meta):
+        pm = parent_meta or p
+        return {**pm, "n_docs": pm["n_docs"] + n,
+                "sum_doclen": pm["sum_doclen"] + s}
+
+    return commit_snapshot(laid, path, mode="append", txn=txn,
+                           meta_fn=roll)
 
 
 def match_fts_table(spark: SparkSession, path: str, query: str,

@@ -199,7 +199,7 @@ def _commit_manifest(path: str, version: int, manifest: dict) -> None:
 
 def commit_snapshot(df: DataFrame, path: str, mode: str = "append",
                     txn: dict | None = None, max_retries: int = 10,
-                    meta: dict | None = None) -> int:
+                    meta: dict | None = None, meta_fn=None) -> int:
     """Publish ``df`` as the next version of the snapshot table.
 
     ``mode='append'`` adds the rows to the current version's files;
@@ -220,9 +220,18 @@ def commit_snapshot(df: DataFrame, path: str, mode: str = "append",
     state that must stay ATOMIC with the data (index parameters,
     centroid vectors, tokenizer config).  Appends inherit the parent's
     meta unless they pass their own; overwrites reset it.
+
+    ``meta_fn`` (mutually exclusive with ``meta``) derives this
+    commit's meta FROM the parent's inside the retry loop —
+    ``meta_fn(parent_meta_or_None) -> dict`` — so counter-style
+    sidecars (doc counts, token totals) roll forward correctly even
+    when the commit loses races to concurrent appenders: each retry
+    re-reads the winner's meta before applying the delta.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if meta is not None and meta_fn is not None:
+        raise ValueError("pass meta OR meta_fn, not both")
     os.makedirs(path, exist_ok=True)
     if txn is not None and _txn_seen(path, txn):
         return _txn_version(path, txn)
@@ -238,10 +247,12 @@ def commit_snapshot(df: DataFrame, path: str, mode: str = "append",
             base, base_stats = [], {}
         inherited = (parent.get("meta") if mode == "append" and head
                      else None)
+        eff_meta = (meta_fn(inherited) if meta_fn is not None
+                    else meta if meta is not None else inherited)
         manifest = {"action": mode, "parent": head,
                     "files": base + files, "schema": schema_json,
                     "file_stats": {**base_stats, **stats},
-                    "meta": meta if meta is not None else inherited,
+                    "meta": eff_meta,
                     "committed_at": time.time(), "txn": txn,
                     # per-source high-water marks carried forward on
                     # EVERY action, so the idempotence probe is one

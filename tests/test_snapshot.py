@@ -377,3 +377,22 @@ def test_graph_expire_versions_pins_referenced_tables(spark, tmp_path):
     assert g3.stats["nodes"] == 3
     with pytest.raises(FileNotFoundError):
         Graph.open_versioned(spark, store, version=1)
+
+
+def test_commit_meta_fn_rolls_forward_per_commit(spark, tmp_path):
+    """meta_fn derives each commit's meta FROM the parent's inside the
+    retry loop — counter sidecars accumulate across appends instead of
+    overwriting each other with pre-read values."""
+    import pytest
+    from graphydb_spark.sources.snapshot import (commit_snapshot,
+                                                 snapshot_meta)
+    p = str(tmp_path / "t")
+    commit_snapshot(spark.range(2), p, mode="overwrite", meta={"n": 2})
+    for k in (3, 5):
+        commit_snapshot(spark.range(k), p, mode="append",
+                        meta_fn=lambda m, k=k: {"n": (m or {"n": 0})["n"]
+                                                + k})
+    assert snapshot_meta(p, None) == {"n": 10}
+    with pytest.raises(ValueError, match="meta OR meta_fn"):
+        commit_snapshot(spark.range(1), p, mode="append",
+                        meta={"n": 0}, meta_fn=lambda m: m)
