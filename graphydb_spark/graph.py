@@ -523,7 +523,16 @@ class Graph:
         type (int/long widens to double when mixed with floats);
         containers or conflicting types poison the field permanently and
         its references stay on the JSON path — behavior identical to the
-        un-promoted engine."""
+        un-promoted engine.
+
+        ANSI edge (documented divergence, gated by the metamorphic
+        property test): wherever the stringly JSON path can evaluate a
+        predicate, the typed path returns the same rows; the typed path
+        is strictly MORE capable (e.g. ``float_field > 0`` works
+        natively where the JSON path's string→int cast errors), and a
+        type-mismatched literal against a promoted numeric field raises
+        an ANSI cast error instead of the JSON path's silent
+        string-compare."""
         poison = self._pstruct_poison[side]
         fields: dict = {}
         if "pstruct" in df.columns:

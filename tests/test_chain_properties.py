@@ -162,3 +162,39 @@ def test_fts_grammar_never_crashes_and_stays_bounded(fts_idx, q):
     assert isinstance(parsed, list)
     got = {r["uid"] for r in match_uids(fts_idx, q).collect()}
     assert got <= {"D:0", "D:1", "D:2", "D:3"}
+
+
+# --------------------------------------------------------- promotion parity
+
+_nums = st.one_of(st.integers(-50, 50),
+                  st.floats(-50, 50, allow_nan=False, width=32),
+                  st.none())
+_strs = st.one_of(st.sampled_from(["red", "blue", "9", "true", ""]),
+                  st.none())
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(st.tuples(_nums, _strs), min_size=2, max_size=6))
+def test_typed_promotion_agrees_where_json_path_is_defined(spark, rows):
+    """Metamorphic: wherever the stringly JSON path can evaluate a
+    predicate at all, the auto-promoted typed path returns the SAME
+    rows.  (The typed path is strictly MORE capable: ANSI string->int
+    casts that error on the JSON twin — e.g. "0.0" > 0 — evaluate
+    natively once the field is typed, so twin errors are skipped, not
+    required.)"""
+    g = Graph(spark)
+    for i, (a, b) in enumerate(rows):
+        g.Node("P", name=f"n{i}", a=a, b=b).save()
+    g._flush()
+    twin = Graph.from_dataframes(
+        spark, g.nodes_df.drop("pstruct") if "pstruct" in g.nodes_df.columns
+        else g.nodes_df, g.edges_df)
+    for where in ["p.data.a > 0", "p.data.b = 'red'",
+                  "p.data.b != 'blue'", "p.data.name GLOB 'n*'"]:
+        try:
+            want = {n["name"] for n in twin.fetch("(p:P)", WHERE=where)}
+        except Exception:
+            continue            # stringly path undefined here (ANSI cast)
+        got = {n["name"] for n in g.fetch("(p:P)", WHERE=where)}
+        assert got == want, (where, rows)
