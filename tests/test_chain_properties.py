@@ -198,3 +198,39 @@ def test_typed_promotion_agrees_where_json_path_is_defined(spark, rows):
             continue            # stringly path undefined here (ANSI cast)
         got = {n["name"] for n in g.fetch("(p:P)", WHERE=where)}
         assert got == want, (where, rows)
+
+
+# ------------------------------------------------- persisted MATCH parity
+
+@pytest.fixture(scope="module")
+def fts_snapshot(spark, tmp_path_factory):
+    """The fts_idx corpus committed as a persisted positional index."""
+    from graphydb_spark.operators.persisted_index import build_fts_table
+    docs = spark.createDataFrame(
+        [("D:0", '{"t": "big data query engine", "u": "spark table"}'),
+         ("D:1", '{"t": "spark scan table data", "u": "query engine"}'),
+         ("D:2", '{"t": "zzz", "u": "zzz zzz"}'),
+         ("D:3", '{"t": "", "u": "big big data"}')],
+        "uid string, props string")
+    p = str(tmp_path_factory.mktemp("fts_prop") / "fts")
+    build_fts_table(docs, p, ["t", "u"], n_files=3)
+    return p
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=match_queries())
+def test_persisted_match_equals_in_memory_compiler(spark, fts_idx,
+                                                   fts_snapshot, q):
+    """Differential fuzz of the PERSISTED grammar surface: any MATCH
+    expression the grammar can produce returns the same uid set from
+    match_fts_table (manifest-pruned token-range reads of the snapshot)
+    as from the in-memory compiler over the derived index — the pruned
+    read must be a lossless superset of every term/prefix/phrase/NEAR
+    posting the compiler touches."""
+    from graphydb_spark.fts import match_uids
+    from graphydb_spark.operators.persisted_index import match_fts_table
+    want = {r["uid"] for r in match_uids(fts_idx, q).collect()}
+    got = {r["uid"] for r in match_fts_table(spark, fts_snapshot,
+                                             q).collect()}
+    assert got == want, q
