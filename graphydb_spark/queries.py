@@ -18447,6 +18447,26 @@ def q_bm25_probe(spark, sf_dir):
             .limit(10))
 
 
+def q_ivf_probe(spark, sf_dir):
+    """q_ivf_topk served from the PERSISTED IVF snapshot table
+    (persisted_index.build_ivf_table → probe_ivf_table): the session's
+    standing index shares the deterministic k=8/iters=2 k-means, so the
+    oracle is the identical unrolled-Lloyd replay — but the probe reads
+    ONLY the 2 probed cells' manifest-pruned files instead of scanning
+    an in-memory assignment."""
+    ivf_path = _retrieval_indexes(spark, sf_dir)["ivf"]
+    emb = _emb(spark, sf_dir)
+    qv = list(emb.where(F.col("vec_id") == 0)
+              .select("embedding").collect()[0][0])
+    top = persisted_index.probe_ivf_table(spark, ivf_path, qv,
+                                          k=6, nprobe=2)
+    return (top.where(F.col("vec_id") != 0)
+            .select("vec_id", F.round("cosine", 6).alias("cosine")))
+
+
+ORACLES["ivf_probe"] = _ivf_oracle_sql()
+
+
 def q_fts_match_probe(spark, sf_dir):
     """Composite MATCH served FROM the persisted positional FTS table
     (persisted_index.match_fts_table): boolean (AND/NOT/OR), a quoted
@@ -19033,6 +19053,7 @@ QUERIES = {
     "hybrid_search": q_hybrid_search,
     "bm25_probe": q_bm25_probe,
     "fts_match_probe": q_fts_match_probe,
+    "ivf_probe": q_ivf_probe,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}
