@@ -128,6 +128,7 @@ class Graph:
             self._edge_unique = {
                 k: tuple(v) for k, v
                 in meta.get("edge_unique", {}).items()}
+            self._restore_pstruct_state(meta)
 
     # ------------------------------------------------------------------ DDL
     def reset(self) -> None:
@@ -172,6 +173,22 @@ class Graph:
         # of this kind per distinct startuid/enduid (a FK-shaped edge).
         # Powers key-preserving-join dedup elision in chain queries.
         self._edge_unique: dict[str, tuple] = {}
+
+    def _restore_pstruct_state(self, meta: dict) -> None:
+        """Resume typed-props promotion from persisted metadata.  Only a
+        store whose meta carries ``auto_pstruct`` (written by save-time
+        promotion, import-time full-corpus inference, or an earlier
+        restore of either) is trusted — for those, every stored row was
+        type-checked against the schema+poison pair, so inferring NEW
+        fields from later saves is exactly as safe as in the original
+        session.  Stores without the marker (source-typed / pre-existing)
+        keep the frozen-schema conform rule."""
+        for side, flag in meta.get("auto_pstruct", {}).items():
+            if side in self._auto_pstruct:
+                self._auto_pstruct[side] = bool(flag)
+        for side, keys in meta.get("pstruct_poison", {}).items():
+            if side in self._pstruct_poison:
+                self._pstruct_poison[side] = set(keys)
 
     def declare_integrity(self, edge_kind: str,
                           start_kind: Optional[str] = None,
@@ -265,7 +282,18 @@ class Graph:
                 "edge_integrity": {k: list(v) for k, v
                                    in self._edge_integrity.items()},
                 "edge_unique": {k: list(v) for k, v
-                                in self._edge_unique.items()}}
+                                in self._edge_unique.items()},
+                # typed-props promotion state: auto_pstruct marks a side
+                # whose pstruct schema was inferred with every stored row
+                # type-checked (save-time promotion or a full-corpus import
+                # pass), so a reopened graph may RESUME inference — without
+                # it the typed path silently freezes on reopen and new
+                # fields fall back to per-row get_json_object forever
+                # (the reference's SQLite schema is durable by
+                # construction, graphydb.py:515-526)
+                "auto_pstruct": dict(self._auto_pstruct),
+                "pstruct_poison": {k: sorted(v) for k, v
+                                   in self._pstruct_poison.items()}}
 
     def write_versioned(self, path: str) -> int:
         """Publish the graph as the next version of a SNAPSHOT store —
@@ -353,6 +381,7 @@ class Graph:
                              in meta.get("edge_integrity", {}).items()}
         g._edge_unique = {k: tuple(v) for k, v
                           in meta.get("edge_unique", {}).items()}
+        g._restore_pstruct_state(meta)
         g.path = path
         return g
 
@@ -446,22 +475,26 @@ class Graph:
         side = "edge" if "startuid" in {f.name for f in schema.fields} \
             else "node"
         bulk_loaded = self._known_node_uids is None
-        if bulk_loaded or ("pstruct" in df.columns
-                           and not self._auto_pstruct[side]):
-            # Source-typed store (tpch_graph / import): the schema is an
-            # encoding contract — parse new rows with it, never mutate.
-            # Bulk-loaded stores (open/from_dataframes/import, or an
-            # item graph after a bulk upsert) hold rows the promotion
-            # never type-checked — a schema inferred from saves alone
-            # could make from_json null the WHOLE pstruct of a
-            # conflicting pre-existing row (PERMISSIVE corrupt-record
+        if self._auto_pstruct[side] or (not bulk_loaded
+                                        and "pstruct" not in df.columns):
+            # Promotion runs when the side's schema is TRUSTED — every
+            # stored row type-checked against it: either this session
+            # inferred it save-by-save, or the store's persisted meta /
+            # import pass says so (_restore_pstruct_state) — or when a
+            # fresh item-built graph has no schema yet.
+            df, new = self._promote_pstruct(df, new, rows, side)
+        else:
+            # Source-typed store (tpch_graph / from_dataframes): the
+            # schema is an encoding contract — parse new rows with it,
+            # never mutate.  Untrusted bulk-loaded stores (or an item
+            # graph after a bulk upsert, which demotes trust) hold rows
+            # the promotion never type-checked — a schema inferred from
+            # saves alone could make from_json null the WHOLE pstruct of
+            # a conflicting pre-existing row (PERMISSIVE corrupt-record
             # semantics), silently dropping it from predicates on
-            # perfectly consistent fields.  Promotion is therefore
-            # item-built-graph only; bulk stores keep their existing
+            # perfectly consistent fields.  Those keep their existing
             # schema (or the JSON path).
             new = self._conform(new, df)
-        else:
-            df, new = self._promote_pstruct(df, new, rows, side)
         out = df.join(new.select("uid"), "uid", "left_anti").unionByName(new)
         return out.localCheckpoint(eager=True)
 
@@ -1057,6 +1090,10 @@ class Graph:
         self._epoch += 1
         self._known_node_uids = None
         self._known_edge_uids = None
+        # incoming rows bypass save-time type-checking → the node-side
+        # schema is no longer provably consistent with every stored row;
+        # freeze it (conform rule) rather than risk PERMISSIVE nulling
+        self._auto_pstruct["node"] = False
         incoming = self._conform(
             df.select(*[f.name for f in NODE_SCHEMA.fields],
                       *(["pstruct"] if "pstruct" in df.columns else [])),
@@ -1070,6 +1107,7 @@ class Graph:
         one anti-join (the set-level form of graphydb.py:1491-1494)."""
         self._flush()
         self._epoch += 1
+        self._auto_pstruct["edge"] = False  # same demotion as node bulk
         incoming = self._conform(
             df.select(*[f.name for f in EDGE_SCHEMA.fields],
                       *(["pstruct"] if "pstruct" in df.columns else [])),

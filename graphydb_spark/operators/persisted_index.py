@@ -165,11 +165,21 @@ def probe_ivf_table(spark: SparkSession, path: str,
                 .limit(k))
 
 
+#: hard cap on the driver-collected query batch in
+#: :func:`probe_ivf_table_batch` — the closure-matrix design holds the
+#: whole batch as one numpy matrix on the driver AND in every task
+#: closure, so it is bounded by construction (64k × 128-dim float64 ≈
+#: 64 MB closure).  Past this, iterate in chunks driver-side or use the
+#: per-query :func:`probe_ivf_table` in a loop.
+MAX_QUERY_BATCH = 65_536
+
+
 def probe_ivf_table_batch(spark: SparkSession, path: str,
                           queries: DataFrame, k: int = 10,
                           nprobe: int = 2, version: int | None = None,
                           qid_col: str = "qid",
-                          qvec_col: str = "qvec") -> DataFrame:
+                          qvec_col: str = "qvec",
+                          max_batch: int | None = None) -> DataFrame:
     """Batch ANN serving: top-k neighbors for EVERY query vector in
     ``queries`` → (qid, vec_id, cosine, rn).
 
@@ -180,6 +190,13 @@ def probe_ivf_table_batch(spark: SparkSession, path: str,
     per pair moves pair-count × row-width bytes through Arrow or the
     interpreted fold — measured 77 s expression / 292 s pair-Arrow vs
     ~15 s this shape on 1000 queries against a 1M-vector index.)
+
+    SCALE BOUND: the batch is collected to the driver BY DESIGN
+    (closure-matrix scan), so it must be a bounded serving batch —
+    ``max_batch`` (default :data:`MAX_QUERY_BATCH`) is enforced with a
+    plan-side LIMIT before the collect; an oversized batch raises
+    ``ValueError`` naming the chunked alternative instead of OOMing
+    the driver mid-collect.
 
     Inside each Arrow chunk the kernel scores cell-group × probing-
     queries blocks with per-dimension left-fold accumulation —
@@ -198,7 +215,17 @@ def probe_ivf_table_batch(spark: SparkSession, path: str,
     cents = meta["centroids"]
     id_col, vec_col = meta["id_col"], meta["vec_col"]
 
-    qrows = queries.select(qid_col, qvec_col).collect()
+    cap = MAX_QUERY_BATCH if max_batch is None else int(max_batch)
+    # the LIMIT rides into the plan: an oversized batch costs one
+    # truncated fetch of cap+1 rows, never an unbounded collect
+    qrows = queries.select(qid_col, qvec_col).limit(cap + 1).collect()
+    if len(qrows) > cap:
+        raise ValueError(
+            f"query batch exceeds {cap:,} rows — probe_ivf_table_batch "
+            f"collects the batch to the driver as one closure matrix "
+            f"by design; split the query table into chunks of ≤{cap:,} "
+            f"driver-side (or raise max_batch= explicitly if the "
+            f"closure-size tradeoff is understood)")
     if not qrows:
         raise ValueError("empty query batch")
     qids = [r[0] for r in qrows]
@@ -324,7 +351,8 @@ def build_ivfpq_table(emb: DataFrame, path: str, k: int = 16,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding",
                       files_per_cell: float = 0.5,
-                      train_fraction: float = 1.0) -> int:
+                      train_fraction: float = 1.0,
+                      store_raw: bool = True) -> int:
     """IVF-PQ: coarse k-means cells + product-quantized RESIDUALS
     (vector − its cell centroid), the standard billion-scale ANN
     layout — cells give pruning (open nprobe/k of the files), PQ gives
@@ -335,7 +363,17 @@ def build_ivfpq_table(emb: DataFrame, path: str, k: int = 16,
     coarse centroids and the codebooks on a deterministic sample and
     encodes EVERY row against them — training over the full corpus is
     the non-starter at scale.  Everything needed to probe rides in one
-    atomic ``meta``: coarse centroids + PQ codebooks."""
+    atomic ``meta``: coarse centroids + PQ codebooks.
+
+    ``store_raw`` keeps the raw vector column in the same
+    cell-partitioned rows — the REFINE layer of the standard two-stage
+    serve (FAISS's IVFPQR / re-rank idiom): the ADC scan never touches
+    it (parquet is columnar, the code path selects only
+    cluster/id/codes), but ``probe_ivfpq_table(..., rerank=α)`` can
+    re-read just the probed cells filtered to the candidate ids and
+    re-rank them by EXACT distance.  Cost is storage only (≈ the raw
+    corpus bytes); set ``store_raw=False`` for a codes-only index when
+    re-ranking will never be needed."""
     from .similarity import (ivf_index, kmeans_assign_arrow, pq_encode,
                              pq_index)
 
@@ -367,30 +405,48 @@ def build_ivfpq_table(emb: DataFrame, path: str, k: int = 16,
         _, books = pq_index(res_train, m=m, k=pq_k, iters=iters,
                             id_col=id_col, vec_col=vec_col)
         coded = pq_encode(res, books, id_col=id_col, vec_col=vec_col)
-    rows = (res.select("cluster", id_col)
-            .join(coded, id_col)
-            .repartitionByRange(max(1, int(k * files_per_cell)),
-                                "cluster")
+    rows = res.select("cluster", id_col).join(coded, id_col)
+    if store_raw:
+        rows = rows.join(emb.select(id_col, vec_col), id_col)
+    rows = (rows.repartitionByRange(max(1, int(k * files_per_cell)),
+                                    "cluster")
             .sortWithinPartitions("cluster"))
     return commit_snapshot(
         rows, path, mode="overwrite",
         meta={"kind": "ivfpq", "k": k, "m": m, "pq_k": pq_k,
-              "centroids": cents, "books": books,
+              "centroids": cents, "books": books, "store_raw": store_raw,
               "id_col": id_col, "vec_col": vec_col})
 
 
 def probe_ivfpq_table(spark: SparkSession, path: str,
                       query_vec: list[float], k: int = 10,
                       nprobe: int = 2,
-                      version: int | None = None) -> DataFrame:
+                      version: int | None = None,
+                      rerank: int | None = None) -> DataFrame:
     """ADC top-k over the ``nprobe`` nearest cells: per probed cell the
     query's RESIDUAL builds its own m×pq_k lookup table (driver math —
     m·pq_k doubles per cell), the cell's codes stream through a pure
     lookup-and-sum, cells union, global top-k by approximate distance.
-    Only manifest-pruned files are read; no raw vector is touched."""
+    Only manifest-pruned files are read; no raw vector is touched.
+
+    ``rerank=α`` switches on the standard two-stage serve: the ADC
+    pass keeps top-(k·α) CANDIDATES, then their RAW vectors (stored in
+    the same cell files by ``build_ivfpq_table(store_raw=True)``, read
+    via a second manifest-pruned scan filtered to the candidate ids —
+    the code column is never re-read) are scored by exact L2 and the
+    top-k re-ranked result returns as (id, l2_dist).  This converts
+    PQ quantization error from a recall loss into a bounded extra read
+    of k·α rows: recall@100 on the committed adversarial no-structure
+    stress corpus goes 59% → ≥90% at α=4 (scripts/scale_stress.py),
+    tunable by α.  Cell-miss error (true neighbor in an un-probed
+    cell) is nprobe's knob, not α's."""
     meta = snapshot_meta(path, version)
     if not meta or meta.get("kind") != "ivfpq":
         raise ValueError(f"{path!r} is not an IVF-PQ index table")
+    if rerank is not None and not meta.get("store_raw"):
+        raise ValueError(
+            "rerank needs raw vectors in the index — rebuild with "
+            "build_ivfpq_table(..., store_raw=True)")
     cents, books = meta["centroids"], meta["books"]
     id_col = meta["id_col"]
     m = len(books)
@@ -422,7 +478,31 @@ def probe_ivfpq_table(spark: SparkSession, path: str,
     cand = parts[0]
     for p in parts[1:]:
         cand = cand.unionByName(p)
-    return (cand.orderBy(F.col("adc_dist").asc(), F.col(id_col))
+    approx = (cand.orderBy(F.col("adc_dist").asc(), F.col(id_col))
+              .limit(k if rerank is None else k * int(rerank)))
+    if rerank is None:
+        return approx
+    # ---- stage 2: exact re-rank of the k·α ADC survivors.  The id
+    # list is k·α rows by construction (driver-bounded); the raw-vector
+    # read is the SAME manifest-pruned cell files with an id filter
+    # pushed to parquet, so it touches candidate row-groups only.
+    ids = [r[0] for r in approx.select(id_col).collect()]
+    vec_col = meta["vec_col"]
+    raws = [read_snapshot(spark, path, version=version,
+                          where={"cluster": (c, c)})
+            .where(F.col(id_col).isin(ids))
+            .select(id_col, vec_col) for c in cells]
+    raw = raws[0]
+    for p in raws[1:]:
+        raw = raw.unionByName(p)
+    qlit = F.lit([float(x) for x in query_vec])
+    l2 = F.aggregate(
+        F.zip_with(F.col(vec_col), qlit,
+                   lambda x, q: (x.cast("double") - q)
+                   * (x.cast("double") - q)),
+        F.lit(0.0), lambda a, v: a + v)
+    return (raw.select(id_col, l2.alias("l2_dist"))
+            .orderBy(F.col("l2_dist").asc(), F.col(id_col))
             .limit(k))
 
 

@@ -129,14 +129,22 @@ def import_graph(spark: SparkSession, path: str) -> Graph:
     # on a bulk-loaded graph, every row passed through this driver
     # import, so the inferred schema saw every value (conflicts poison
     # to the JSON path).  Imported graphs get the same columnar
-    # predicate fast path as item-built ones; later saves keep the
-    # frozen schema (the bulk-loaded conform rule).
+    # predicate fast path as item-built ones; because every row WAS
+    # type-checked, the schema+poison pair is marked trusted
+    # (auto_pstruct) so later saves keep INFERRING new fields instead
+    # of freezing — and the trust survives write/reopen via graph meta.
     from pyspark.sql import functions as SF
     from pyspark.sql import types as ST
-    for df_name, rows_p in (("nodes_df", (r[-1] for r in node_rows)),
-                            ("edges_df", (r[-1] for r in edge_rows))):
-        fields = Graph._infer_pstruct_fields(rows_p, set())
+    auto: dict = {}
+    poisons: dict = {}
+    for df_name, side, rows_p in (
+            ("nodes_df", "node", (r[-1] for r in node_rows)),
+            ("edges_df", "edge", (r[-1] for r in edge_rows))):
+        poison: set = set()
+        fields = Graph._infer_pstruct_fields(rows_p, poison)
+        poisons[side] = poison
         if fields:
+            auto[side] = True
             dtype = ST.StructType(
                 [ST.StructField(k, fields[k], True)
                  for k in sorted(fields)])
@@ -147,6 +155,9 @@ def import_graph(spark: SparkSession, path: str) -> Graph:
                 edges_df = edges_df.withColumn(
                     "pstruct", SF.from_json("props", dtype))
     g = Graph.from_dataframes(spark, nodes_df, edges_df)
+    g._restore_pstruct_state({"auto_pstruct": auto,
+                              "pstruct_poison": {k: sorted(v) for k, v
+                                                 in poisons.items()}})
     g._settings = settings
     g._cache = cache
     g._changes = changes

@@ -1,0 +1,162 @@
+"""sf1-scale same-hour Spark/DuckDB pairs for the floor-vs-data question.
+
+The sf0.1 headline pairs leave two open items (VERDICT r4):
+
+- ``interval_join_events`` reads 3.6× its anchor at sf0.1 — the round-4
+  profiling attributes the gap to per-run broadcast materialization +
+  twin scans (a constant), but only a ≥sf1 pair can show the ratio
+  collapsing as data grows.
+- ``two_hop``'s "Spark pays a ~50-70 ms scheduling floor that DuckDB
+  doesn't" claim rests on the sf0.01↔sf0.1 cross-check; one committed
+  sf1 datapoint closes it permanently.
+
+This script materializes a DATA-PROPORTIONAL 10× replica of the sf0.1
+fixtures (10 copies of each fact table with disjoint key ranges — key +
+rep·10⁷ — so every FK keeps resolving and per-user event density is
+unchanged, i.e. output sizes scale exactly 10×), then times both engines
+on the SAME parquet with the bench protocols:
+
+- Spark: bench.py's protocol verbatim (graph encode warmed, 2 warm-up
+  runs, min of 3 timed ``.count()`` runs).
+- DuckDB: duck_bench.py's protocol verbatim (1 warm-up, min of 3 timed
+  ``fetchall()`` runs) PLUS a count-wrapped variant (``SELECT COUNT(*)
+  FROM (oracle)``) — at 10× the interval join returns ~3M rows and
+  fetchall's Python materialization would be charged to DuckDB alone,
+  so the compute-only ratio is reported alongside the anchor-protocol
+  one.
+
+Run: python scripts/sf1_pair.py      (~4 min; prints one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = int(os.environ.get("SF1_REPS", "10"))
+OFF = 10_000_000
+
+#: key columns to offset per replica (FK pairs share the offset so the
+#: joins keep resolving); every other column is copied verbatim
+_REPL = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+}
+_COPY = ["region", "nation", "documents", "embeddings"]
+
+
+def build_sf1(dest: str) -> None:
+    con = duckdb.connect()
+    con.execute(f"SET threads = {os.cpu_count()}")
+    for t, keys in _REPL.items():
+        cols = [d[0] for d in con.execute(
+            f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
+        sel = ", ".join(
+            f"{c} + rep * {OFF} AS {c}" if c in keys else c for c in cols)
+        con.execute(
+            f"COPY (SELECT {sel} FROM '{SRC}/{t}.parquet', "
+            f"UNNEST(range({REPS})) AS t(rep)) TO "
+            f"'{dest}/{t}.parquet' (FORMAT PARQUET)")
+    for t in _COPY:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{dest}/{t}.parquet")
+    con.close()
+
+
+def spark_side(sf1_dir: str, names: list[str]) -> dict[str, float]:
+    from graphydb_spark import get_spark
+    from graphydb_spark.queries import QUERIES
+    from graphydb_spark.session import tune_shuffle_for_input
+    from graphydb_spark.sources.tpch_graph import tpch_graph
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app="sf1_pair", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    g = tpch_graph(spark, sf1_dir)
+    g.nodes_df.count()
+    tune_shuffle_for_input(spark, g.edges_df.count())
+    out: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name]
+        fn(spark, sf1_dir).count()
+        fn(spark, sf1_dir).count()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n = fn(spark, sf1_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 4)
+        out[f"{name}_rows"] = n
+    return out
+
+
+def duck_side(sf1_dir: str, names: list[str]) -> dict[str, float]:
+    from graphydb_spark.queries import ORACLES
+    con = duckdb.connect()
+    con.execute(f"SET threads = {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in list(_REPL) + _COPY:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf1_dir}/{t}.parquet'")
+    out: dict[str, float] = {}
+    for name in names:
+        sql = ORACLES[name]
+        con.execute(sql).fetchall()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 4)
+        wrapped = f"SELECT COUNT(*) FROM ({sql})"
+        con.execute(wrapped).fetchall()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(wrapped).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        out[f"{name}_countonly"] = round(best, 4)
+    con.close()
+    return out
+
+
+def main() -> None:
+    names = ["two_hop", "interval_join_events"]
+    dest = os.environ.get("SF1_DIR") or tempfile.mkdtemp(prefix="sf1_")
+    made = not os.path.exists(f"{dest}/lineitem.parquet")
+    os.makedirs(dest, exist_ok=True)
+    try:
+        if made:
+            t0 = time.perf_counter()
+            build_sf1(dest)
+            print(f"# built {REPS}x replica at {dest} "
+                  f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
+        duck = duck_side(dest, names)
+        spk = spark_side(dest, names)
+        ratios = {n: round(spk[n] / duck[n], 3) for n in names}
+        ratios_c = {n: round(spk[n] / duck[f"{n}_countonly"], 3)
+                    for n in names}
+        print(json.dumps({
+            "metric": "sf1_pair", "reps": REPS, "src": SRC,
+            "spark": spk, "duckdb": duck,
+            "ratio_anchor_protocol": ratios,
+            "ratio_count_only": ratios_c,
+        }))
+    finally:
+        if not os.environ.get("SF1_DIR"):
+            shutil.rmtree(dest, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

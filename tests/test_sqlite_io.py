@@ -328,3 +328,34 @@ def test_import_promotes_typed_props(spark, tmp_path):
     sql2, _ = g.fetch("(p:P)", WHERE="p.data.tag = 'one'", DEBUG=True)
     assert "get_json_object" in sql2                    # poisoned field
     assert g.fetch("(p:P)", WHERE="p.data.tag = 'one'", COUNT=True) == 1
+
+
+def test_import_trust_resumes_inference_on_saves(spark, tmp_path):
+    """An imported graph's full-corpus inference marks the schema
+    trusted: later saves keep inferring NEW typed fields (instead of
+    freezing), the import-time poison set persists, and both survive a
+    parquet write/reopen cycle."""
+    from graphydb_spark import Graph
+    from graphydb_spark.sources.sqlite_io import export_graph
+    src = Graph(spark)
+    src.Node("P", name="a", age=30, tag=1).save()
+    src.Node("P", name="b", age=41, tag="one").save()   # tag poisoned
+    db = str(tmp_path / "g2.db")
+    export_graph(src, db)
+    g = Graph.open_sqlite(spark, db)
+    g.Node("P", name="c", age=50, score=9.5).save()     # new field
+    sql, _ = g.fetch("(p:P)", WHERE="p.data.score > 1.0", DEBUG=True)
+    assert "get_json_object" not in sql and "pstruct" in sql
+    assert g.fetch("(p:P)", WHERE="p.data.score > 1.0", COUNT=True) == 1
+    g.Node("P", name="d", tag=2).save()                 # tag stays poisoned
+    sql2, _ = g.fetch("(p:P)", WHERE="p.data.tag = 'one'", DEBUG=True)
+    assert "get_json_object" in sql2
+    assert g.fetch("(p:P)", WHERE="p.data.tag = 'one'", COUNT=True) == 1
+    # trust survives the parquet roundtrip too
+    store = str(tmp_path / "store")
+    g.write(store)
+    g2 = Graph.open(spark, store)
+    g2.Node("P", name="e", level=3).save()
+    sql3, _ = g2.fetch("(p:P)", WHERE="p.data.level = 3", DEBUG=True)
+    assert "get_json_object" not in sql3
+    assert g2.fetch("(p:P)", WHERE="p.data.level = 3", COUNT=True) == 1
