@@ -415,7 +415,44 @@ def build_ivfpq_table(emb: DataFrame, path: str, k: int = 16,
         rows, path, mode="overwrite",
         meta={"kind": "ivfpq", "k": k, "m": m, "pq_k": pq_k,
               "centroids": cents, "books": books, "store_raw": store_raw,
+              "files_per_cell": files_per_cell,
               "id_col": id_col, "vec_col": vec_col})
+
+
+def append_ivfpq_table(spark: SparkSession, path: str, emb: DataFrame,
+                       txn: dict | None = None) -> int:
+    """Add vectors to an existing IVF-PQ table WITHOUT retraining:
+    assign against the index's own coarse centroids, encode residuals
+    against its codebooks (``meta`` carries both, so old and new codes
+    mean the same thing to every probe), reuse the build's file/cell
+    layout, append exactly-once under ``txn`` — the PQ twin of
+    :func:`append_ivf_table`.  If the index stores the raw refine
+    column, appended rows carry it too, so ``rerank=`` keeps working
+    over the grown corpus.  Codebooks drift from optimal as the
+    distribution shifts; rebuild when re-ranked recall degrades."""
+    from .similarity import kmeans_assign_arrow, pq_encode
+
+    meta = snapshot_meta(path, None)
+    if not meta or meta.get("kind") != "ivfpq":
+        raise ValueError(f"{path!r} is not an IVF-PQ index table")
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    cents, books = meta["centroids"], meta["books"]
+    assigned = emb.withColumn("cluster",
+                              kmeans_assign_arrow(cents, vec_col))
+    cents_lit = F.lit([[float(v) for v in c] for c in cents])
+    res = assigned.select(
+        "cluster", id_col,
+        F.zip_with(F.col(vec_col),
+                   F.element_at(cents_lit, F.col("cluster") + 1),
+                   lambda x, c: x.cast("double") - c).alias(vec_col))
+    coded = pq_encode(res, books, id_col=id_col, vec_col=vec_col)
+    rows = res.select("cluster", id_col).join(coded, id_col)
+    if meta.get("store_raw"):
+        rows = rows.join(emb.select(id_col, vec_col), id_col)
+    n_files = max(1, int(meta["k"] * meta.get("files_per_cell", 0.5)))
+    laid = (rows.repartitionByRange(n_files, "cluster")
+            .sortWithinPartitions("cluster"))
+    return commit_snapshot(laid, path, mode="append", txn=txn)
 
 
 def probe_ivfpq_table(spark: SparkSession, path: str,
@@ -504,6 +541,114 @@ def probe_ivfpq_table(spark: SparkSession, path: str,
     return (raw.select(id_col, l2.alias("l2_dist"))
             .orderBy(F.col("l2_dist").asc(), F.col(id_col))
             .limit(k))
+
+
+def probe_ivfpq_table_batch(spark: SparkSession, path: str,
+                            queries: DataFrame, k: int = 10,
+                            nprobe: int = 2, version: int | None = None,
+                            qid_col: str = "qid",
+                            qvec_col: str = "qvec",
+                            max_batch: int | None = None) -> DataFrame:
+    """Batch ADC serving over the IVF-PQ table: top-k by approximate
+    distance for EVERY query → (qid, vec_id, adc_dist, rn) — the
+    compressed-index twin of :func:`probe_ivf_table_batch`, same
+    closure-matrix discipline and the same ``max_batch`` guard.
+
+    Each (query, probed-cell) pair's m×pq_k lookup table is driver
+    math (numpy; nq·nprobe·m·pq_k doubles ride the task closure), the
+    pruned cell files stream through once, and inside each Arrow chunk
+    a cell's code matrix scores ALL its probing queries with one fancy-
+    indexed gather+sum per subspace — no per-row Python, no pair join.
+    Chunk-local top-k thresholds keep exact ties, so the global
+    ``row_number`` re-rank sees every row it could rank ≤ k (the same
+    lossless-prune argument as the IVF batch)."""
+    import numpy as np
+
+    from .relational import topk_per_group
+
+    meta = snapshot_meta(path, version)
+    if not meta or meta.get("kind") != "ivfpq":
+        raise ValueError(f"{path!r} is not an IVF-PQ index table")
+    cents, books = meta["centroids"], meta["books"]
+    id_col = meta["id_col"]
+    m = len(books)
+    sub = len(books[0][0])
+
+    cap = MAX_QUERY_BATCH if max_batch is None else int(max_batch)
+    qrows = queries.select(qid_col, qvec_col).limit(cap + 1).collect()
+    if len(qrows) > cap:
+        raise ValueError(
+            f"query batch exceeds {cap:,} rows — probe_ivfpq_table_batch "
+            f"collects the batch to the driver as one closure matrix "
+            f"by design; split the query table into chunks of ≤{cap:,} "
+            f"driver-side (or raise max_batch= explicitly)")
+    if not qrows:
+        raise ValueError("empty query batch")
+    qids = [r[0] for r in qrows]
+    qvecs = [[float(x) for x in r[1]] for r in qrows]
+    probes = {i: _nearest_cells(cents, qvecs[i], nprobe)
+              for i in range(len(qids))}
+    cells = sorted({c for cs in probes.values() for c in cs})
+    # per (cell → probing queries) and per (query, cell) ADC tables,
+    # built with the SAME sequential fold as the per-query probe so the
+    # batch is value-identical to it
+    cell2q: dict[int, list[int]] = {
+        c: [i for i in range(len(qids)) if c in probes[i]] for c in cells}
+    tabs: dict[tuple, "np.ndarray"] = {}
+    for c in cells:
+        for i in cell2q[c]:
+            qres = [q - cc for q, cc in zip(qvecs[i], cents[c])]
+            t = np.empty((m, len(books[0])), dtype=np.float64)
+            for s in range(m):
+                qs = qres[s * sub:(s + 1) * sub]
+                for j, cent in enumerate(books[s]):
+                    acc = 0.0
+                    for a, b in zip(cent, qs):
+                        d = a - float(b)
+                        acc = acc + d * d
+                    t[s, j] = acc
+            tabs[(i, c)] = t
+
+    parts = [read_snapshot(spark, path, version=version,
+                           where={"cluster": (c, c)})
+             .select("cluster", id_col, "codes") for c in cells]
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+
+    qid_type = queries.schema[qid_col].dataType.simpleString()
+    id_type = cand.schema[id_col].dataType.simpleString()
+    out_schema = (f"`{qid_col}` {qid_type}, `{id_col}` {id_type}, "
+                  "adc_dist double")
+
+    def score(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = {qid_col: [], id_col: [], "adc_dist": []}
+            for c, grp in pdf.groupby("cluster"):
+                qi = cell2q.get(int(c))
+                if not qi:
+                    continue
+                codes = np.stack(grp["codes"].to_numpy()).astype(np.int64)
+                ids = grp[id_col].to_numpy()
+                for i in qi:
+                    t = tabs[(i, int(c))]
+                    dist = np.zeros(codes.shape[0])
+                    for s in range(m):          # fold order preserved
+                        dist = dist + t[s][codes[:, s]]
+                    if len(dist) > k:
+                        thr = np.partition(dist, k - 1)[k - 1]
+                        keep = np.nonzero(dist <= thr)[0]
+                    else:
+                        keep = np.arange(len(dist))
+                    out[qid_col].extend([qids[i]] * len(keep))
+                    out[id_col].extend(ids[keep])
+                    out["adc_dist"].extend(dist[keep])
+            yield pd.DataFrame(out)
+
+    scored = cand.mapInPandas(score, schema=out_schema)
+    return topk_per_group(scored, [qid_col],
+                          [F.col("adc_dist").asc(), F.col(id_col)], k)
 
 
 # ------------------------------------------------------------- MinHash-LSH

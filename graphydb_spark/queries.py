@@ -18611,6 +18611,70 @@ ORDER BY rrf DESC, doc_id LIMIT 10
 ORACLES["hybrid_search"] = _hybrid_oracle_sql()
 
 
+# Session-lifetime IVF-PQ index (the two-stage-serve demo's standing
+# table) — separate memo from _retrieval_indexes so the FTS/IVF/MinHash
+# probes don't pay its build in their warm-ups.
+_IVFPQ_CACHE: dict = {}
+
+
+def _ivfpq_index(spark, sf_dir):
+    key = (id(spark), sf_dir)
+    got = _IVFPQ_CACHE.get(key)
+    if got:
+        return got
+    import hashlib
+    import os
+    import tempfile
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(),
+                        f"graphydb_spark_ivfpq_{os.getpid()}_{tag}")
+    persisted_index.build_ivfpq_table(_emb(spark, sf_dir), path,
+                                      k=4, m=4, pq_k=8, iters=2)
+    _IVFPQ_CACHE[key] = path
+    return path
+
+
+def q_pq_rerank_topk(spark, sf_dir):
+    """Two-stage IVF-PQ serve (FAISS's refine idiom): ADC candidates
+    from the persisted cells, then EXACT L2 re-rank from the raw
+    refine column stored in the same files
+    (persisted_index.probe_ivfpq_table(rerank=α)).
+
+    FULL-hash gate on the whole rerank plumbing — candidate pass over
+    every probed cell, bounded id-collect, manifest-pruned raw-vector
+    re-read, sequential-fold L2, (dist, id) tie-break, 6 dp rounding —
+    by probing all cells with k·α ≥ corpus size, which makes the
+    re-ranked result EXACTLY the brute-force L2 top-10 the oracle
+    states in three lines.  The bounded-α quality curve (where the
+    result is approximate and SQL can't replay the cut) is pinned
+    separately: tests/test_persisted_index.py rerank suite + the
+    committed 1M-vector stress (recall@100 57%→79%/97% at
+    nprobe=8/16, α=4)."""
+    path = _ivfpq_index(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7)
+          .select("embedding").collect()[0][0]]
+    top = persisted_index.probe_ivfpq_table(spark, path, qv, k=10,
+                                            nprobe=4, rerank=200)
+    return top.select("vec_id", F.round("l2_dist", 6).alias("l2_dist"))
+
+
+_PQ_RERANK_ORACLE = """
+WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 7),
+d AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(1, len(embedding)+1),
+           i -> (CAST(embedding[i] AS DOUBLE) - q.qv[i])
+              * (CAST(embedding[i] AS DOUBLE) - q.qv[i]))) AS l2
+  FROM embeddings, q
+)
+SELECT vec_id, round(l2, 6) AS l2_dist
+FROM d ORDER BY l2, vec_id LIMIT 10
+"""
+ORACLES["pq_rerank_topk"] = _PQ_RERANK_ORACLE
+
+
 # Plan cache (prepared-statement semantics): the catalog queries are pure
 # functions of immutable inputs (parquet fixtures + the memoized graph
 # encoding), so the analyzed/optimized logical plan can be reused across
@@ -19054,6 +19118,7 @@ QUERIES = {
     "bm25_probe": q_bm25_probe,
     "fts_match_probe": q_fts_match_probe,
     "ivf_probe": q_ivf_probe,
+    "pq_rerank_topk": q_pq_rerank_topk,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

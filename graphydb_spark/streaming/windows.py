@@ -187,28 +187,43 @@ def interval_join(left: DataFrame, right: DataFrame,
     Floor decomposition (round-4 profiling, sf0.1, local[32]): the
     terminal count is ONE job / ONE stage — a single BroadcastHashJoin
     pipeline (2 column-pruned parquet scans + generate + broadcast
-    build + probe), no shuffle exchange at local scale.  The ~0.35-0.48 s
+    build + probe), no shuffle exchange at local scale.  The remaining
     wall is the per-run broadcast materialization + twin scans, not a
-    plan defect; explode-side/join-order variants measured within noise
-    (0.41-0.48 s).  At cluster scale AQE swaps the broadcast for a
-    shuffled hash join on (key, bucket) — the decomposition is unchanged.
+    plan defect; explode-side/join-order variants measured within noise.
+    At cluster scale AQE swaps the broadcast for a shuffled hash join
+    on (key, bucket) — the decomposition is unchanged.
+
+    Round-5 scale pass (10× and 100× event replicas, same-hour pairs):
+    timestamps now convert ONCE to epoch-µs longs and the band residual
+    compares longs — the per-candidate INTERVAL arithmetic on
+    timestamps was ~25% of wall at every scale (sf0.1 0.74→0.54 s,
+    ×100 7.2→6.3 s; values bit-identical, the band is exact µs either
+    way).  Two rejected alternatives, both measured at ×100/10M events:
+    a per-key sorted numpy sweep via mapInPandas (the IEJoin idea) ran
+    20 s — pandas concat + per-partition sort under Arrow costs more
+    than the narrow-row exchange it saves; forcing shuffled-hash join
+    matched SMJ within noise (5.3 vs 6.3 s under contention) but would
+    disable the sf0.1 broadcast pipeline, so the strategy choice stays
+    with AQE.
     """
-    width = float(max(upper_s - lower_s, 1))
+    width = max(upper_s - lower_s, 1) * 1_000_000
+    lo_us = int(lower_s) * 1_000_000
+    hi_us = int(upper_s) * 1_000_000
     lhs = left.select(F.col(key_col).alias("k"),
-                      F.col(ts_col).alias("lts"),
+                      F.unix_micros(F.col(ts_col).cast("timestamp"))
+                      .alias("lts"),
                       F.col("event_id").alias("left_id"))
     rhs = right.select(F.col(key_col).alias("k"),
-                       F.col(ts_col).alias("rts"),
+                       F.unix_micros(F.col(ts_col).cast("timestamp"))
+                       .alias("rts"),
                        F.col("event_id").alias("right_id"))
-    lo = F.floor((F.col("lts").cast("double") + lower_s) / width)
-    hi = F.floor((F.col("lts").cast("double") + upper_s) / width)
+    lo = F.floor((F.col("lts") + lo_us) / width)
+    hi = F.floor((F.col("lts") + hi_us) / width)
     l_b = lhs.withColumn("__b", F.explode(F.array_distinct(F.array(lo, hi))))
-    r_b = rhs.withColumn("__b", F.floor(F.col("rts").cast("double") / width))
+    r_b = rhs.withColumn("__b", F.floor(F.col("rts") / width))
     return (l_b.join(r_b, ["k", "__b"])
-            .where((F.col("rts") >= F.col("lts") + F.expr(
-                f"INTERVAL {lower_s} SECOND")) &
-                   (F.col("rts") <= F.col("lts") + F.expr(
-                       f"INTERVAL {upper_s} SECOND")))
+            .where((F.col("rts") >= F.col("lts") + lo_us) &
+                   (F.col("rts") <= F.col("lts") + hi_us))
             .select(F.col("k").alias(key_col), "left_id", "right_id"))
 
 

@@ -4,6 +4,18 @@ so BASELINE.md's single-node anchor can be re-measured on demand on the
 same host/hour as a bench.py run.
 
 Run: python scripts/duck_bench.py            (env: SPARK_GRAFT_SF_DIR)
+
+``--standing-index`` levels the probe-query playing field (VERDICT r4
+"What's missing" #3): bench.py's warm-ups absorb the one-time persisted
+index build for lsh_probe / bm25_probe / hybrid_search, so their timed
+Spark runs measure the steady-state PROBE path — while the plain oracle
+SQL re-derives signatures / postings / k-means from raw parquet on
+every run.  With the flag, the index-equivalent CTEs are materialized
+ONCE as temp tables (untimed, the anchor's analogue of the standing
+snapshot tables) and the timed SQL probes them; every standing probe is
+asserted result-identical to its full oracle before timing.  Everything
+Spark re-does per run stays in the timed probe (lsh_probe still signs
+the incoming batch; hybrid/bm25 still score and rank).
 """
 
 from __future__ import annotations
@@ -24,16 +36,243 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 
+# --------------------------------------------------------- standing index
+# Per probe query: ``setup`` DDL materializing the index-equivalent state
+# (run once, untimed), and a ``probe`` that reads it.  The tokenizer /
+# BM25 constants / band layout / unrolled-Lloyd chain are copied verbatim
+# from the full oracles in graphydb_spark/queries.py so the standing
+# probe is result-identical (asserted at startup).
+
+_FTS_SETUP = [
+    # the posting-list analogue of persisted_index.build_fts_table:
+    # FULL per-(doc, term) tf — not just the two probe terms
+    """CREATE TEMP TABLE idx_toks AS
+       SELECT doc_id, list_filter(
+         string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '') AS ws
+       FROM documents""",
+    """CREATE TEMP TABLE idx_docs AS
+       SELECT doc_id, len(ws) AS dl FROM idx_toks WHERE len(ws) > 0""",
+    """CREATE TEMP TABLE idx_stats AS
+       SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM idx_docs""",
+    """CREATE TEMP TABLE idx_postings AS
+       SELECT idx_toks.doc_id, u.tok AS term, COUNT(*) AS tf
+       FROM idx_toks, UNNEST(ws) AS u(tok)
+       GROUP BY idx_toks.doc_id, u.tok""",
+    """CREATE TEMP TABLE idx_dfreq AS
+       SELECT term, COUNT(DISTINCT doc_id) AS df
+       FROM idx_postings GROUP BY term""",
+]
+
+_BM25_STANDING_PROBE = """
+WITH tf AS (
+  SELECT doc_id, term, tf FROM idx_postings
+  WHERE term IN ('data','query')
+),
+scored AS (
+  SELECT tf.doc_id,
+         SUM( ln((s.n - d.df + 0.5)/(d.df + 0.5) + 1.0)
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * docs.dl / s.avgdl))
+            ) AS score
+  FROM tf JOIN idx_dfreq d USING (term)
+       JOIN idx_docs docs ON docs.doc_id = tf.doc_id
+       CROSS JOIN idx_stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY round(score, 6) DESC, doc_id
+LIMIT 10
+"""
+
+# MinHash index side (even doc_ids), banded — the analogue of
+# persisted_index.build_minhash_index's snapshot rows
+_LSH_SETUP = ["""
+CREATE TEMP TABLE idx_banded AS
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '') AS ws
+  FROM documents WHERE doc_id % 2 = 0
+), sg AS (
+  SELECT doc_id, list_transform(range(1, len(ws)-1),
+         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+  FROM toks WHERE len(ws) >= 3
+), sig AS (
+  SELECT doc_id, [
+    list_min(list_transform(sh, s -> md5('0:' || s))),
+    list_min(list_transform(sh, s -> md5('1:' || s))),
+    list_min(list_transform(sh, s -> md5('2:' || s))),
+    list_min(list_transform(sh, s -> md5('3:' || s))),
+    list_min(list_transform(sh, s -> md5('4:' || s))),
+    list_min(list_transform(sh, s -> md5('5:' || s))),
+    list_min(list_transform(sh, s -> md5('6:' || s))),
+    list_min(list_transform(sh, s -> md5('7:' || s)))] AS s
+  FROM sg
+)
+SELECT doc_id, s, [
+  md5(s[1] || '|' || s[2]), md5(s[3] || '|' || s[4]),
+  md5(s[5] || '|' || s[6]), md5(s[7] || '|' || s[8])] AS bands
+FROM sig
+"""]
+
+# signing the incoming (odd) batch stays IN the timed probe — Spark's
+# probe_minhash_index signs the batch per run too
+_LSH_STANDING_PROBE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '') AS ws
+  FROM documents WHERE doc_id % 2 = 1
+), sg AS (
+  SELECT doc_id, list_transform(range(1, len(ws)-1),
+         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+  FROM toks WHERE len(ws) >= 3
+), sig AS (
+  SELECT doc_id, [
+    list_min(list_transform(sh, s -> md5('0:' || s))),
+    list_min(list_transform(sh, s -> md5('1:' || s))),
+    list_min(list_transform(sh, s -> md5('2:' || s))),
+    list_min(list_transform(sh, s -> md5('3:' || s))),
+    list_min(list_transform(sh, s -> md5('4:' || s))),
+    list_min(list_transform(sh, s -> md5('5:' || s))),
+    list_min(list_transform(sh, s -> md5('6:' || s))),
+    list_min(list_transform(sh, s -> md5('7:' || s)))] AS s
+  FROM sg
+), new_banded AS (
+  SELECT doc_id, s, [
+    md5(s[1] || '|' || s[2]), md5(s[3] || '|' || s[4]),
+    md5(s[5] || '|' || s[6]), md5(s[7] || '|' || s[8])] AS bands
+  FROM sig
+), cand AS (
+  SELECT DISTINCT i.doc_id AS index_id, n.doc_id AS new_id,
+         i.s AS si, n.s AS sn
+  FROM idx_banded i JOIN new_banded n
+    ON (i.bands[1] = n.bands[1] OR i.bands[2] = n.bands[2]
+        OR i.bands[3] = n.bands[3] OR i.bands[4] = n.bands[4])
+)
+SELECT index_id, new_id,
+       CAST(len(list_filter(range(1, 9), i -> si[i] = sn[i])) AS DOUBLE)
+       / 8.0 AS est_jaccard
+FROM cand
+WHERE len(list_filter(range(1, 9), i -> si[i] = sn[i])) >= 4
+"""
+
+
+def _ivf_setup(k: int = 8, iters: int = 2) -> list[str]:
+    """Materialize the IVF snapshot analogue: final centroids + final
+    assignment from the shared unrolled-Lloyd chain (identical CTE text
+    to _ivf_ctes, so the standing cells equal the full oracle's)."""
+    from graphydb_spark.queries import _ivf_ctes
+    chain = _ivf_ctes(k, iters)
+    return [
+        f"CREATE TEMP TABLE idx_ivf_cents AS {chain} "
+        f"SELECT c, cent FROM c{iters}",
+        f"CREATE TEMP TABLE idx_ivf_fin AS {chain} "
+        f"SELECT vec_id, c FROM fin",
+        "CREATE TEMP TABLE idx_emb AS "
+        "SELECT vec_id, embedding FROM embeddings",
+    ]
+
+
+def _hybrid_standing_probe(nprobe: int = 2) -> str:
+    fold_cos = """
+         list_sum(list_transform(range(1, len(e.embedding)+1),
+           i -> q0.qv[i] * CAST(e.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, len(q0.qv)+1),
+              i -> q0.qv[i] * q0.qv[i])))
+          * sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+              i -> CAST(e.embedding[i] AS DOUBLE)
+                 * CAST(e.embedding[i] AS DOUBLE)))))"""
+    return f"""
+WITH tf AS (
+  SELECT doc_id, term, tf FROM idx_postings
+  WHERE term IN ('data','query')
+),
+scored AS (
+  SELECT tf.doc_id,
+         SUM( ln((s.n - d.df + 0.5)/(d.df + 0.5) + 1.0)
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * docs.dl / s.avgdl))
+            ) AS score
+  FROM tf JOIN idx_dfreq d USING (term)
+       JOIN idx_docs docs ON docs.doc_id = tf.doc_id
+       CROSS JOIN idx_stats s
+  GROUP BY tf.doc_id
+),
+trank AS (
+  SELECT doc_id, rt AS rank_text FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
+           AS rt
+    FROM scored) WHERE rt <= 20
+),
+q0 AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       FROM idx_emb WHERE vec_id = 0),
+probe AS (
+  SELECT c FROM (
+    SELECT cc.c,
+           list_sum(list_transform(range(1, len(q0.qv)+1),
+             i -> (cc.cent[i] - q0.qv[i])
+                * (cc.cent[i] - q0.qv[i]))) AS d
+    FROM idx_ivf_cents cc, q0) ORDER BY d, c LIMIT {nprobe}),
+cand AS (
+  SELECT e.vec_id,{fold_cos} AS cos
+  FROM idx_emb e JOIN idx_ivf_fin fin USING (vec_id), q0
+  WHERE fin.c IN (SELECT c FROM probe)),
+vtop AS (SELECT vec_id, cos FROM cand ORDER BY cos DESC, vec_id LIMIT 21),
+vrank AS (
+  SELECT doc_id, rv AS rank_vec FROM (
+    SELECT vec_id AS doc_id,
+           row_number() OVER (ORDER BY round(cos, 6) DESC, vec_id) AS rv
+    FROM vtop WHERE vec_id <> 0) WHERE rv <= 20
+)
+SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+       round(COALESCE(1.0 / (60 + t.rank_text), 0)
+             + COALESCE(1.0 / (60 + v.rank_vec), 0), 9) AS rrf,
+       t.rank_text, v.rank_vec
+FROM trank t FULL OUTER JOIN vrank v ON t.doc_id = v.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
+def standing_index_plan() -> dict[str, dict]:
+    """query → {setup: [DDL…], probe: SQL}.  Setup lists may share
+    tables (the FTS postings feed bm25_probe and hybrid_search); DDL is
+    idempotent via IF NOT EXISTS-free single execution per run."""
+    return {
+        "bm25_probe": {"setup": _FTS_SETUP,
+                       "probe": _BM25_STANDING_PROBE},
+        "lsh_probe": {"setup": _LSH_SETUP,
+                      "probe": _LSH_STANDING_PROBE},
+        "hybrid_search": {"setup": _FTS_SETUP + _ivf_setup(),
+                          "probe": _hybrid_standing_probe()},
+    }
+
+
 def main() -> None:
+    standing = "--standing-index" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     con = duckdb.connect()
     con.execute(f"SET threads = {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    plan = standing_index_plan() if standing else {}
+    made: set[str] = set()
+    for name, spec in plan.items():
+        for ddl in spec["setup"]:
+            tbl = ddl.split()[3]  # CREATE TEMP TABLE <name> …
+            if tbl in made:
+                continue
+            con.execute(ddl)
+            made.add(tbl)
+        # the standing probe must be RESULT-IDENTICAL to the full
+        # oracle — priced differently, never a different query
+        full = con.execute(ORACLES[name]).fetchall()
+        probe = con.execute(spec["probe"]).fetchall()
+        assert sorted(map(str, probe)) == sorted(map(str, full)), name
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        sql = ORACLES.get(name)
+        sql = plan[name]["probe"] if name in plan else ORACLES.get(name)
         if sql is None:
             continue
         con.execute(sql).fetchall()  # warm-up (OS cache, plan)
@@ -45,7 +284,8 @@ def main() -> None:
         timings[name] = round(best, 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
-        "metric": "duckdb_oracle_bench_total",
+        "metric": ("duckdb_standing_index_bench_total" if standing
+                   else "duckdb_oracle_bench_total"),
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,

