@@ -18675,6 +18675,96 @@ FROM d ORDER BY l2, vec_id LIMIT 10
 ORACLES["pq_rerank_topk"] = _PQ_RERANK_ORACLE
 
 
+def q_ivfpq_rerank_probe(spark, sf_dir):
+    """BOUNDED-α two-stage IVF-PQ serve — the honest production shape
+    pq_rerank_topk deliberately sidesteps: nprobe=2 of 4 cells, ADC
+    top-30 candidates, exact top-10 re-rank.  FULL oracle anyway: the
+    DuckDB twin replays the ENTIRE index bit-for-bit — the coarse
+    unrolled-Lloyd chain, per-vector residuals against the final
+    centroids, one unrolled-Lloyd chain per PQ subspace over the
+    residual slices, the query's per-cell distance tables, the ADC sum,
+    the (adc, id) candidate cut, and the exact-L2 re-rank — so even the
+    approximate cut is engine-portable (the _pq_oracle_sql precedent,
+    extended with the residual layer)."""
+    path = _ivfpq_index(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7)
+          .select("embedding").collect()[0][0]]
+    top = persisted_index.probe_ivfpq_table(spark, path, qv, k=10,
+                                            nprobe=2, rerank=3)
+    return top.select("vec_id", F.round("l2_dist", 6).alias("l2_dist"))
+
+
+def _ivfpq_rerank_oracle_sql(k_coarse: int = 4, iters: int = 2,
+                             m: int = 4, pq_k: int = 8,
+                             nprobe: int = 2, topk: int = 10,
+                             alpha: int = 3, dim: int = 64,
+                             qid: int = 7) -> str:
+    """DuckDB replay of q_ivfpq_rerank_probe (and of
+    persisted_index.build_ivfpq_table + probe_ivfpq_table(rerank=α)
+    generally): coarse chain → residuals → m namespaced PQ chains over
+    residual slices → per-cell ADC tables → candidate cut → exact
+    re-rank.  Every float fold is sequential in both engines."""
+    sub = dim // m
+    coarse = _ivf_ctes(k_coarse, iters)
+    res = f""",
+res AS MATERIALIZED (
+  SELECT e.vec_id, list_transform(range(1, len(e.embedding)+1),
+         i -> CAST(e.embedding[i] AS DOUBLE) - cc.cent[i]) AS embedding
+  FROM e JOIN fin USING (vec_id) JOIN c{iters} cc ON cc.c = fin.c)"""
+    chains = "".join(
+        "," + _ivf_ctes(
+            pq_k, iters,
+            source=(f"SELECT vec_id, embedding[{s*sub+1}:{(s+1)*sub}] "
+                    f"AS embedding FROM res"),
+            pfx=f"s{s}_", with_kw=False)
+        for s in range(m))
+    tabs = "".join(f""",
+tab{s} AS (
+  SELECT qres.c, bk.c AS code,
+         list_sum(list_transform(range(1, {sub}+1),
+           i -> (bk.cent[i] - qres.rv[{s*sub} + i])
+              * (bk.cent[i] - qres.rv[{s*sub} + i]))) AS d
+  FROM qres, s{s}_c{iters} bk)""" for s in range(m))
+    code_joins = " ".join(f"JOIN s{s}_fin USING (vec_id)"
+                          for s in range(m))
+    tab_joins = " ".join(
+        f"JOIN tab{s} t{s} ON t{s}.c = f.c AND t{s}.code = s{s}_fin.c"
+        for s in range(m))
+    dist = " + ".join(f"t{s}.d" for s in range(m))
+    return coarse + res + chains + f""",
+q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = {qid}),
+probe AS (
+  SELECT c FROM (
+    SELECT cc.c, list_sum(list_transform(range(1, len(q.qv)+1),
+             i -> (cc.cent[i] - q.qv[i]) * (cc.cent[i] - q.qv[i]))) AS d
+    FROM c{iters} cc, q) ORDER BY d, c LIMIT {nprobe}),
+qres AS (
+  SELECT cc.c, list_transform(range(1, len(q.qv)+1),
+         i -> q.qv[i] - cc.cent[i]) AS rv
+  FROM c{iters} cc, q WHERE cc.c IN (SELECT c FROM probe)){tabs},
+adc AS (
+  SELECT f.vec_id, {dist} AS adc_dist
+  FROM fin f {code_joins} {tab_joins}
+  WHERE f.c IN (SELECT c FROM probe)),
+cand AS (SELECT vec_id FROM adc
+         ORDER BY adc_dist, vec_id LIMIT {topk * alpha})
+SELECT e.vec_id,
+       round(list_sum(list_transform(range(1, len(e.embedding)+1),
+         i -> (CAST(e.embedding[i] AS DOUBLE) - q.qv[i])
+            * (CAST(e.embedding[i] AS DOUBLE) - q.qv[i]))), 6) AS l2_dist
+FROM e JOIN cand USING (vec_id), q
+ORDER BY list_sum(list_transform(range(1, len(e.embedding)+1),
+         i -> (CAST(e.embedding[i] AS DOUBLE) - q.qv[i])
+            * (CAST(e.embedding[i] AS DOUBLE) - q.qv[i]))), e.vec_id
+LIMIT {topk}
+"""
+
+
+ORACLES["ivfpq_rerank_probe"] = _ivfpq_rerank_oracle_sql()
+
+
 # Plan cache (prepared-statement semantics): the catalog queries are pure
 # functions of immutable inputs (parquet fixtures + the memoized graph
 # encoding), so the analyzed/optimized logical plan can be reused across
@@ -19119,6 +19209,7 @@ QUERIES = {
     "fts_match_probe": q_fts_match_probe,
     "ivf_probe": q_ivf_probe,
     "pq_rerank_topk": q_pq_rerank_topk,
+    "ivfpq_rerank_probe": q_ivfpq_rerank_probe,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -387,3 +387,30 @@ def test_embedding_near_dups_operator_blocked(spark):
              embedding_near_dups(emb, min_cosine=0.99,
                                  exact=True).collect()}
     assert got <= exact          # blocked is a subset of exact
+
+
+def test_ivfpq_refine_column_is_scan_pruned(spark, tmp_path):
+    """store_raw's whole bargain: the raw refine column costs STORAGE
+    only.  The ADC probe's scan must read (cluster, vec_id, codes) and
+    never the embedding column; the rerank stage-2 plan must read
+    (vec_id, embedding) and never codes — parquet column pruning keeps
+    each stage touching only its bytes."""
+    from graphydb_spark.operators.persisted_index import (
+        build_ivfpq_table, probe_ivfpq_table)
+    rows = [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)])
+            for i in range(60)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    p = str(tmp_path / "ivfpq_prune")
+    build_ivfpq_table(emb, p, k=3, m=4, pq_k=8, iters=1)
+    q = [0.5] * 8
+    adc = probe_ivfpq_table(spark, p, q, k=5, nprobe=3)
+    pa = plan_of(adc)
+    import re
+    for schema in re.findall(r"ReadSchema: (\S+)", pa):
+        assert "embedding" not in schema, schema
+    rr = probe_ivfpq_table(spark, p, q, k=5, nprobe=3, rerank=4)
+    pr = plan_of(rr)
+    for schema in re.findall(r"ReadSchema: (\S+)", pr):
+        assert "codes" not in schema, schema
+        assert "embedding" in schema, schema
