@@ -860,6 +860,28 @@ def round8_entries(spark, n_vecs=1_000_000, dim=16, k=64,
         rec2rr = len(exact2 & {r.vec_id for r in top2rr}) / 100
         print(f"ivfpq_rerank_structured[nprobe=4, a=4]: "
               f"recall@100={rec2rr:.0%}")
+        # batch ADC serving over the compressed index: 1000 queries,
+        # one pruned code scan; sampled agreement vs per-query probes
+        t0 = _t.perf_counter()
+        bres = PI.probe_ivfpq_table_batch(
+            spark, os.path.join(d, "ivfpq"), queries, k=10, nprobe=4)
+        nbres = bres.localCheckpoint(eager=True).count()
+        dtb = _t.perf_counter() - t0
+        print(f"ivfpq_batch_probe[1000 q, nprobe=4]: {dtb:.2f}s "
+              f"({1000 / dtb:,.0f} q/s)  rows={nbres}")
+        sample_b = queries.limit(5).collect()
+        bq = {s.qid: [] for s in sample_b}
+        for r in bres.join(F.broadcast(
+                spark.createDataFrame([(s.qid,) for s in sample_b],
+                                      "qid string")), "qid").collect():
+            bq[r.qid].append((r.rn, r.vec_id))
+        agree = all(
+            [v for _, v in sorted(bq[s.qid])]
+            == [r.vec_id for r in PI.probe_ivfpq_table(
+                spark, os.path.join(d, "ivfpq"), list(s.qvec), k=10,
+                nprobe=4).collect()]
+            for s in sample_b)
+        print(f"ivfpq_batch_probe agreement with per-query: {agree}")
         # recall@k undersells ANN when candidates are near-equidistant
         # (inside one tight cluster every member is ~the same distance);
         # the honest quality metric is the distance ratio: how far are

@@ -234,3 +234,42 @@ def test_persisted_match_equals_in_memory_compiler(spark, fts_idx,
     got = {r["uid"] for r in match_fts_table(spark, fts_snapshot,
                                              q).collect()}
     assert got == want, q
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(st.tuples(_nums, _strs), min_size=2, max_size=4),
+       more=st.lists(st.tuples(_nums, _strs), min_size=1, max_size=3))
+def test_typed_promotion_agrees_after_reopen_cycle(spark, tmp_path_factory,
+                                                   rows, more):
+    """The round-5 durability property: save → write → open → save MORE
+    rows (promotion must RESUME, poison must persist) — and the typed
+    path still agrees with a JSON-only twin wherever the twin is
+    defined.  Any divergence means a reopened graph re-promoted a
+    poisoned field (PERMISSIVE from_json nulling an old row's shadow)
+    or parsed an old row with a schema it conflicts with."""
+    g = Graph(spark)
+    for i, (a, b) in enumerate(rows):
+        g.Node("P", name=f"n{i}", a=a, b=b).save()
+    path = str(tmp_path_factory.mktemp("reopen") / "g")
+    g.write(path)
+    g2 = Graph.open(spark, path)
+    for j, (a, b) in enumerate(more):
+        g2.Node("P", name=f"m{j}", a=a, b=b, c=j).save()
+    g2._flush()
+    twin = Graph.from_dataframes(
+        spark,
+        g2.nodes_df.drop("pstruct") if "pstruct" in g2.nodes_df.columns
+        else g2.nodes_df, g2.edges_df)
+    for where in ["p.data.a > 0", "p.data.b = 'red'",
+                  "p.data.c >= 1", "p.data.name GLOB 'm*'"]:
+        try:
+            want = {n["name"] for n in twin.fetch("(p:P)", WHERE=where)}
+        except Exception:
+            continue
+        got = {n["name"] for n in g2.fetch("(p:P)", WHERE=where)}
+        assert got == want, (where, rows, more)
+    # the new field saved post-reopen compiled to the typed path
+    # whenever it was promotable (ints are always consistent here)
+    sql, _ = g2.fetch("(p:P)", WHERE="p.data.c >= 0", DEBUG=True)
+    assert "get_json_object" not in sql
