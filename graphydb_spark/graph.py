@@ -574,13 +574,17 @@ class Graph:
         before = dict(fields)
         fields = self._infer_pstruct_fields(
             (r.get("props") for r in rows), poison, fields)
+        # trust marks "every stored row was type-checked", NOT "fields
+        # were promoted" — a side whose saves carried only containers /
+        # conflicting scalars is still fully inspected (poison captured),
+        # and must keep inferring after write/reopen rather than freeze
+        self._auto_pstruct[side] = True
         if not fields:
             if "pstruct" in df.columns:
                 df = df.drop("pstruct")
             if "pstruct" in new.columns:
                 new = new.drop("pstruct")
             return df, new
-        self._auto_pstruct[side] = True
         target = T.StructType(
             [T.StructField(k, fields[k], True) for k in sorted(fields)])
         pcol = F.from_json(F.col("props"), target)

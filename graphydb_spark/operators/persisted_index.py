@@ -41,6 +41,7 @@ __all__ = ["build_ivf_table", "probe_ivf_table", "append_ivf_table",
            "probe_ivf_table_batch", "ivf_probe_files",
            "build_pq_table", "probe_pq_table",
            "build_ivfpq_table", "probe_ivfpq_table",
+           "append_ivfpq_table", "probe_ivfpq_table_batch",
            "build_minhash_index", "probe_minhash_index",
            "append_minhash_index", "probe_pairs", "stream_dedup_ingest",
            "build_fts_table", "probe_fts_table", "append_fts_table",
@@ -134,6 +135,68 @@ def append_ivf_table(spark: SparkSession, path: str, emb: DataFrame,
     return commit_snapshot(laid, path, mode="append", txn=txn)
 
 
+def _pin_version(path: str, version: int | None) -> int:
+    """Resolve 'latest' ONCE per probe call.  Multi-read probes (meta +
+    one read per cell, or the rerank's two stages) must not re-resolve
+    between reads — a concurrent overwrite/append commit between stage 1
+    and stage 2 would mix candidate ids from version N with raw vectors
+    from N+1 (torn read; the re-clustered layout can silently drop
+    candidates from the id-filtered re-read)."""
+    if version is not None:
+        return version
+    vs = snapshot_versions(path)
+    if not vs:
+        raise ValueError(f"no snapshot versions at {path!r}")
+    return vs[-1]
+
+
+def _collect_query_batch(queries: DataFrame, qid_col: str, qvec_col: str,
+                         max_batch: int | None, fn_name: str) -> list:
+    """The shared bounded driver-collect of a batch probe's query table:
+    a plan-side LIMIT caps the fetch at cap+1 rows, an oversized batch
+    raises with the chunked alternative named — never an unbounded
+    collect.  NOTE the cap bounds driver MEMORY; driver CPU for the
+    per-query closure tables scales with the batch too (vectorized
+    numpy for IVF-PQ, one matrix row per query for IVF), so batches
+    near the cap pay seconds of driver prep before the scan starts."""
+    cap = MAX_QUERY_BATCH if max_batch is None else int(max_batch)
+    qrows = queries.select(qid_col, qvec_col).limit(cap + 1).collect()
+    if len(qrows) > cap:
+        raise ValueError(
+            f"query batch exceeds {cap:,} rows — {fn_name} collects the "
+            f"batch to the driver as one closure matrix by design; "
+            f"split the query table into chunks of ≤{cap:,} driver-side "
+            f"(or raise max_batch= explicitly if the closure-size "
+            f"tradeoff is understood)")
+    if not qrows:
+        raise ValueError("empty query batch")
+    return qrows
+
+
+def _adc_table(qres: list[float],
+               books: list[list[list[float]]]) -> list[list[float]]:
+    """The per-query ADC lookup table — m rows of pq_k squared
+    distances between the query RESIDUAL's subspace slice and each
+    codebook centroid, folded sequentially per dimension.  This exact
+    fold order is load-bearing: the batch kernel's vectorized twin and
+    the DuckDB oracle replay (queries._ivfpq_rerank_oracle_sql) both
+    reproduce it bit-for-bit."""
+    m = len(books)
+    sub = len(books[0][0])
+    tables = []
+    for s in range(m):
+        qs = qres[s * sub:(s + 1) * sub]
+        row = []
+        for cent in books[s]:
+            acc = 0.0
+            for a, b in zip(cent, qs):
+                d = a - float(b)
+                acc = acc + d * d
+            row.append(acc)
+        tables.append(row)
+    return tables
+
+
 def _nearest_cells(centroids: list[list[float]],
                    query_vec: list[float], nprobe: int) -> list[int]:
     dists = [(i, sum((a - b) ** 2 for a, b in zip(c, query_vec)))
@@ -148,6 +211,7 @@ def probe_ivf_table(spark: SparkSession, path: str,
     """Top-k by cosine among the ``nprobe`` nearest cells, reading only
     manifest-pruned files.  Each cell is one pruned point-range read;
     their union is the candidate set, re-ranked exactly."""
+    version = _pin_version(path, version)
     meta = snapshot_meta(path, version)
     if not meta or meta.get("kind") != "ivf":
         raise ValueError(f"{path!r} is not an IVF index table")
@@ -209,25 +273,15 @@ def probe_ivf_table_batch(spark: SparkSession, path: str,
 
     from .relational import topk_per_group
 
+    version = _pin_version(path, version)
     meta = snapshot_meta(path, version)
     if not meta or meta.get("kind") != "ivf":
         raise ValueError(f"{path!r} is not an IVF index table")
     cents = meta["centroids"]
     id_col, vec_col = meta["id_col"], meta["vec_col"]
 
-    cap = MAX_QUERY_BATCH if max_batch is None else int(max_batch)
-    # the LIMIT rides into the plan: an oversized batch costs one
-    # truncated fetch of cap+1 rows, never an unbounded collect
-    qrows = queries.select(qid_col, qvec_col).limit(cap + 1).collect()
-    if len(qrows) > cap:
-        raise ValueError(
-            f"query batch exceeds {cap:,} rows — probe_ivf_table_batch "
-            f"collects the batch to the driver as one closure matrix "
-            f"by design; split the query table into chunks of ≤{cap:,} "
-            f"driver-side (or raise max_batch= explicitly if the "
-            f"closure-size tradeoff is understood)")
-    if not qrows:
-        raise ValueError("empty query batch")
+    qrows = _collect_query_batch(queries, qid_col, qvec_col, max_batch,
+                                 "probe_ivf_table_batch")
     qids = [r[0] for r in qrows]
     Qm = np.asarray([[float(x) for x in r[1]] for r in qrows],
                     dtype=np.float64)
@@ -338,6 +392,7 @@ def probe_pq_table(spark: SparkSession, path: str,
     ``meta`` — atomically the ones the codes were encoded with)."""
     from .similarity import pq_topk
 
+    version = _pin_version(path, version)
     meta = snapshot_meta(path, version)
     if not meta or meta.get("kind") != "pq":
         raise ValueError(f"{path!r} is not a PQ index table")
@@ -352,7 +407,7 @@ def build_ivfpq_table(emb: DataFrame, path: str, k: int = 16,
                       vec_col: str = "embedding",
                       files_per_cell: float = 0.5,
                       train_fraction: float = 1.0,
-                      store_raw: bool = True) -> int:
+                      store_raw: bool = False) -> int:
     """IVF-PQ: coarse k-means cells + product-quantized RESIDUALS
     (vector − its cell centroid), the standard billion-scale ANN
     layout — cells give pruning (open nprobe/k of the files), PQ gives
@@ -365,15 +420,16 @@ def build_ivfpq_table(emb: DataFrame, path: str, k: int = 16,
     the non-starter at scale.  Everything needed to probe rides in one
     atomic ``meta``: coarse centroids + PQ codebooks.
 
-    ``store_raw`` keeps the raw vector column in the same
-    cell-partitioned rows — the REFINE layer of the standard two-stage
-    serve (FAISS's IVFPQR / re-rank idiom): the ADC scan never touches
-    it (parquet is columnar, the code path selects only
+    ``store_raw=True`` additionally keeps the raw vector column in the
+    same cell-partitioned rows — the REFINE layer of the standard
+    two-stage serve (FAISS's IVFPQR / re-rank idiom): the ADC scan
+    never touches it (parquet is columnar, the code path selects only
     cluster/id/codes), but ``probe_ivfpq_table(..., rerank=α)`` can
     re-read just the probed cells filtered to the candidate ids and
-    re-rank them by EXACT distance.  Cost is storage only (≈ the raw
-    corpus bytes); set ``store_raw=False`` for a codes-only index when
-    re-ranking will never be needed."""
+    re-rank them by EXACT distance.  The default stays False — a
+    compressed index that silently also stores the whole raw corpus
+    would invert its own premise; opt in when re-ranked serving is the
+    plan (storage cost ≈ the raw corpus bytes, scan cost unchanged)."""
     from .similarity import (ivf_index, kmeans_assign_arrow, pq_encode,
                              pq_index)
 
@@ -477,6 +533,7 @@ def probe_ivfpq_table(spark: SparkSession, path: str,
     stress corpus goes 59% → ≥90% at α=4 (scripts/scale_stress.py),
     tunable by α.  Cell-miss error (true neighbor in an un-probed
     cell) is nprobe's knob, not α's."""
+    version = _pin_version(path, version)   # both stages read ONE version
     meta = snapshot_meta(path, version)
     if not meta or meta.get("kind") != "ivfpq":
         raise ValueError(f"{path!r} is not an IVF-PQ index table")
@@ -486,23 +543,11 @@ def probe_ivfpq_table(spark: SparkSession, path: str,
             "build_ivfpq_table(..., store_raw=True)")
     cents, books = meta["centroids"], meta["books"]
     id_col = meta["id_col"]
-    m = len(books)
-    sub = len(books[0][0])
     cells = _nearest_cells(cents, query_vec, nprobe)
     parts = []
     for c in cells:
         qres = [float(q) - cc for q, cc in zip(query_vec, cents[c])]
-        tables = []
-        for s in range(m):
-            qs = qres[s * sub:(s + 1) * sub]
-            row = []
-            for cent in books[s]:
-                acc = 0.0
-                for a, b in zip(cent, qs):
-                    d = a - float(b)
-                    acc = acc + d * d
-                row.append(acc)
-            tables.append(row)
+        tables = _adc_table(qres, books)
         tab_lit = F.lit([[float(d) for d in t] for t in tables])
         dist = F.aggregate(
             F.zip_with(tab_lit, F.col("codes"),
@@ -566,6 +611,7 @@ def probe_ivfpq_table_batch(spark: SparkSession, path: str,
 
     from .relational import topk_per_group
 
+    version = _pin_version(path, version)
     meta = snapshot_meta(path, version)
     if not meta or meta.get("kind") != "ivfpq":
         raise ValueError(f"{path!r} is not an IVF-PQ index table")
@@ -573,41 +619,42 @@ def probe_ivfpq_table_batch(spark: SparkSession, path: str,
     id_col = meta["id_col"]
     m = len(books)
     sub = len(books[0][0])
+    pq_k = len(books[0])
 
-    cap = MAX_QUERY_BATCH if max_batch is None else int(max_batch)
-    qrows = queries.select(qid_col, qvec_col).limit(cap + 1).collect()
-    if len(qrows) > cap:
-        raise ValueError(
-            f"query batch exceeds {cap:,} rows — probe_ivfpq_table_batch "
-            f"collects the batch to the driver as one closure matrix "
-            f"by design; split the query table into chunks of ≤{cap:,} "
-            f"driver-side (or raise max_batch= explicitly)")
-    if not qrows:
-        raise ValueError("empty query batch")
+    qrows = _collect_query_batch(queries, qid_col, qvec_col, max_batch,
+                                 "probe_ivfpq_table_batch")
     qids = [r[0] for r in qrows]
-    qvecs = [[float(x) for x in r[1]] for r in qrows]
-    probes = {i: _nearest_cells(cents, qvecs[i], nprobe)
+    Qm = np.asarray([[float(x) for x in r[1]] for r in qrows],
+                    dtype=np.float64)
+    probes = {i: _nearest_cells(cents, list(Qm[i]), nprobe)
               for i in range(len(qids))}
     cells = sorted({c for cs in probes.values() for c in cs})
-    # per (cell → probing queries) and per (query, cell) ADC tables,
-    # built with the SAME sequential fold as the per-query probe so the
-    # batch is value-identical to it
     cell2q: dict[int, list[int]] = {
         c: [i for i in range(len(qids)) if c in probes[i]] for c in cells}
+    # per-(query, cell) ADC tables, VECTORIZED over the cell's probing
+    # queries but with the same dim-major left fold as _adc_table —
+    # numpy elementwise adds are per-element IEEE ops in the identical
+    # order, so the batch stays value-identical to the per-query probe
+    # (pinned by test_ivfpq_batch_probe_equals_single_probes).  Driver
+    # cost is O(nq·nprobe·m·sub·pq_k) numpy flops — seconds at the
+    # MAX_QUERY_BATCH cap, not the hours the per-pair Python fold cost.
+    B = [np.asarray(books[s], dtype=np.float64) for s in range(m)]
     tabs: dict[tuple, "np.ndarray"] = {}
     for c in cells:
-        for i in cell2q[c]:
-            qres = [q - cc for q, cc in zip(qvecs[i], cents[c])]
-            t = np.empty((m, len(books[0])), dtype=np.float64)
-            for s in range(m):
-                qs = qres[s * sub:(s + 1) * sub]
-                for j, cent in enumerate(books[s]):
-                    acc = 0.0
-                    for a, b in zip(cent, qs):
-                        d = a - float(b)
-                        acc = acc + d * d
-                    t[s, j] = acc
-            tabs[(i, c)] = t
+        qi = cell2q[c]
+        if not qi:
+            continue
+        qr = Qm[qi] - np.asarray(cents[c], dtype=np.float64)[None, :]
+        t = np.empty((len(qi), m, pq_k), dtype=np.float64)
+        for s in range(m):
+            qs = qr[:, s * sub:(s + 1) * sub]
+            acc = np.zeros((len(qi), pq_k), dtype=np.float64)
+            for d in range(sub):            # dim-major left fold
+                diff = B[s][None, :, d] - qs[:, d][:, None]
+                acc = acc + diff * diff
+            t[:, s, :] = acc
+        for idx, i in enumerate(qi):
+            tabs[(i, c)] = t[idx]
 
     parts = [read_snapshot(spark, path, version=version,
                            where={"cluster": (c, c)})
@@ -724,6 +771,7 @@ def probe_minhash_index(spark: SparkSession, path: str,
     broadcast-hash join with NO shuffle and no driver collection.  The
     estimate is the fraction of agreeing signature components
     (``zip_with`` — pure codegen)."""
+    version = _pin_version(path, version)
     p = _index_params(path, version)
     text_col = text_col or p["text_col"]
     id_col = id_col or p["id_col"]

@@ -18629,7 +18629,8 @@ def _ivfpq_index(spark, sf_dir):
     path = os.path.join(tempfile.gettempdir(),
                         f"graphydb_spark_ivfpq_{os.getpid()}_{tag}")
     persisted_index.build_ivfpq_table(_emb(spark, sf_dir), path,
-                                      k=4, m=4, pq_k=8, iters=2)
+                                      k=4, m=4, pq_k=8, iters=2,
+                                      store_raw=True)
     _IVFPQ_CACHE[key] = path
     return path
 

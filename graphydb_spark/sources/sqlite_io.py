@@ -143,8 +143,11 @@ def import_graph(spark: SparkSession, path: str) -> Graph:
         poison: set = set()
         fields = Graph._infer_pstruct_fields(rows_p, poison)
         poisons[side] = poison
+        # every row passed through this pass → the side is trusted even
+        # when nothing was promotable (all-container / all-conflicting
+        # props): later saves must resume inference, not freeze
+        auto[side] = True
         if fields:
-            auto[side] = True
             dtype = ST.StructType(
                 [ST.StructField(k, fields[k], True)
                  for k in sorted(fields)])

@@ -206,9 +206,14 @@ def interval_join(left: DataFrame, right: DataFrame,
     disable the sf0.1 broadcast pipeline, so the strategy choice stays
     with AQE.
     """
-    width = max(upper_s - lower_s, 1) * 1_000_000
-    lo_us = int(lower_s) * 1_000_000
-    hi_us = int(upper_s) * 1_000_000
+    # µs-resolution band: fractional-second bounds round to the
+    # timestamp's own precision (int() truncation would both shift the
+    # bounds AND let the residual span exceed the bucket width,
+    # silently dropping pairs whose right row lands in the middle
+    # bucket a 2-bucket explode never visits)
+    lo_us = int(round(float(lower_s) * 1_000_000))
+    hi_us = int(round(float(upper_s) * 1_000_000))
+    width = max(hi_us - lo_us, 1)
     lhs = left.select(F.col(key_col).alias("k"),
                       F.unix_micros(F.col(ts_col).cast("timestamp"))
                       .alias("lts"),

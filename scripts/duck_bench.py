@@ -266,10 +266,16 @@ def main() -> None:
             con.execute(ddl)
             made.add(tbl)
         # the standing probe must be RESULT-IDENTICAL to the full
-        # oracle — priced differently, never a different query
+        # oracle — priced differently, never a different query.  A hard
+        # raise (not assert: python -O must not skip this) so a drifted
+        # copy of a tokenizer/constant can never publish timings for a
+        # different query.
         full = con.execute(ORACLES[name]).fetchall()
         probe = con.execute(spec["probe"]).fetchall()
-        assert sorted(map(str, probe)) == sorted(map(str, full)), name
+        if sorted(map(str, probe)) != sorted(map(str, full)):
+            raise ValueError(
+                f"standing-index probe for {name!r} diverged from its "
+                f"full oracle ({len(probe)} vs {len(full)} rows)")
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         sql = plan[name]["probe"] if name in plan else ORACLES.get(name)

@@ -785,7 +785,8 @@ def round8_entries(spark, n_vecs=1_000_000, dim=16, k=64,
         # L2 top-k (cosine order differs on unnormalized vectors)
         t0 = _t.perf_counter()
         PI.build_ivfpq_table(emb, os.path.join(d, "ivfpq"), k=k, m=8,
-                             pq_k=32, iters=2, train_fraction=0.05)
+                             pq_k=32, iters=2, train_fraction=0.05,
+                             store_raw=True)
         print(f"ivfpq_build[{n_vecs:,}]: {_t.perf_counter() - t0:.2f}s")
         t0 = _t.perf_counter()
         top = PI.probe_ivfpq_table(spark, os.path.join(d, "ivfpq"),
@@ -834,7 +835,8 @@ def round8_entries(spark, n_vecs=1_000_000, dim=16, k=64,
                                      100).cast("double") / 50.0 - 1.0))
             ).alias("embedding")).localCheckpoint(eager=True)
         PI.build_ivfpq_table(emb2, os.path.join(d, "ivfpq2"), k=k, m=8,
-                             pq_k=32, iters=2, train_fraction=0.05)
+                             pq_k=32, iters=2, train_fraction=0.05,
+                             store_raw=True)
         q2row = emb2.where("vec_id = 12345").collect()[0].embedding
         q2 = [float(x) + 0.25 for x in q2row]
         t0 = _t.perf_counter()

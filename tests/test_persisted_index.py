@@ -584,7 +584,8 @@ def test_ivfpq_rerank_exact_under_full_probe(spark, tmp_path):
         build_ivfpq_table, probe_ivfpq_table)
     emb = _emb(spark, n=90, dim=8)
     p = str(tmp_path / "ivfpq_rr")
-    build_ivfpq_table(emb, p, k=5, m=4, pq_k=8, iters=2)
+    build_ivfpq_table(emb, p, k=5, m=4, pq_k=8, iters=2,
+                      store_raw=True)
     q = [0.5, -1.0, 2.0, 0.0, 1.5, -0.5, 3.0, -2.0]
     got = probe_ivfpq_table(spark, p, q, k=10, nprobe=5,
                             rerank=9).collect()     # 10*9 ≥ 90 = n
@@ -616,7 +617,8 @@ def test_ivfpq_rerank_improves_recall(spark, tmp_path):
     emb = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>")
     p = str(tmp_path / "ivfpq_hostile")
-    build_ivfpq_table(emb, p, k=4, m=4, pq_k=8, iters=2)
+    build_ivfpq_table(emb, p, k=4, m=4, pq_k=8, iters=2,
+                      store_raw=True)
     q = [rng.uniform(-5, 5) for _ in range(16)]
     qlit = F.lit(q)
     l2 = F.aggregate(
@@ -666,7 +668,8 @@ def test_ivfpq_append_then_rerank_probe(spark, tmp_path):
         append_ivfpq_table, build_ivfpq_table, probe_ivfpq_table)
     emb = _emb(spark, n=60, dim=8)
     p = str(tmp_path / "ivfpq_app")
-    build_ivfpq_table(emb, p, k=4, m=4, pq_k=8, iters=2)
+    build_ivfpq_table(emb, p, k=4, m=4, pq_k=8, iters=2,
+                      store_raw=True)
     extra = spark.createDataFrame(
         [(1000 + i, [float(i % 5) - 2.0, 1.0, -1.0, float(i + 1),
                      0.5, -0.5, 2.0, 0.0]) for i in range(12)],

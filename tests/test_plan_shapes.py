@@ -402,7 +402,8 @@ def test_ivfpq_refine_column_is_scan_pruned(spark, tmp_path):
     emb = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>")
     p = str(tmp_path / "ivfpq_prune")
-    build_ivfpq_table(emb, p, k=3, m=4, pq_k=8, iters=1)
+    build_ivfpq_table(emb, p, k=3, m=4, pq_k=8, iters=1,
+                      store_raw=True)
     q = [0.5] * 8
     adc = probe_ivfpq_table(spark, p, q, k=5, nprobe=3)
     pa = plan_of(adc)

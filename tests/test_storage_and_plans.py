@@ -327,3 +327,27 @@ def test_pstruct_promotion_resumes_after_versioned_reopen(spark, tmp_path):
     sql, _ = g2.fetch("(p:P)", WHERE="p.data.score > 1.0", DEBUG=True)
     assert "get_json_object" not in sql and "pstruct" in sql
     assert g2.fetch("(p:P)", WHERE="p.data.score > 1.0", COUNT=True) == 1
+
+
+def test_fieldless_side_still_trusted_after_reopen(spark, tmp_path):
+    """Review regression (r5): trust marks "every stored row was
+    type-checked", not "fields were promoted" — a graph whose early
+    saves carried only container/conflicting props must still resume
+    inference after write/reopen when a promotable field finally
+    appears."""
+    g = Graph(spark)
+    g.Node("P", name_conflict=1, tags=[1, 2]).save()     # list poisons
+    g.Node("P", name_conflict="x", tags=[3]).save()      # conflict poisons
+    path = str(tmp_path / "fieldless")
+    g.write(path)
+    g2 = Graph.open(spark, path)
+    g2.Node("P", age=30).save()                          # first promotable
+    sql, _ = g2.fetch("(p:P)", WHERE="p.data.age > 20", DEBUG=True)
+    assert "get_json_object" not in sql and "pstruct" in sql
+    assert g2.fetch("(p:P)", WHERE="p.data.age > 20", COUNT=True) == 1
+    # the poisoned fields stayed poisoned across the cycle
+    sql2, _ = g2.fetch("(p:P)", WHERE="p.data.name_conflict = 'x'",
+                       DEBUG=True)
+    assert "get_json_object" in sql2
+    assert g2.fetch("(p:P)", WHERE="p.data.name_conflict = 'x'",
+                    COUNT=True) == 1

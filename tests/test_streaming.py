@@ -222,3 +222,32 @@ def test_stream_enrich_equals_batch_join(spark, events, tmp_path):
             for r in events.join(dim, "user_id", "left")
             .select("event_id", "tier").collect()}
     assert got == want and any(t is None for _, t in got)
+
+
+def test_interval_join_fractional_second_bounds(spark):
+    """Review regression (r5): fractional-second band bounds must round
+    to µs — int() truncation both shifted the bounds AND let the
+    residual span exceed the bucket width, silently dropping pairs
+    whose right row fell in the middle bucket a 2-bucket explode never
+    visits."""
+    from graphydb_spark.streaming.windows import interval_join
+    rows = [(1, 1, "2024-01-01 00:00:00.000000"),
+            (2, 1, "2024-01-01 00:00:01.050000"),   # +1.05 s
+            (3, 1, "2024-01-01 00:00:01.500000"),   # +1.50 s
+            (4, 1, "2024-01-01 00:00:02.000000"),   # +2.00 s
+            (5, 1, "2024-01-01 00:00:02.500000")]   # +2.50 s (outside)
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts string") \
+        .select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    got = {(r.left_id, r.right_id) for r in
+           interval_join(ev, ev, lower_s=0.9, upper_s=2.0).collect()}
+    # from event 1: partners at +1.05, +1.50, +2.00 (NOT +2.50)
+    assert {(1, 2), (1, 3), (1, 4)} <= got
+    assert (1, 5) not in got
+    # brute-force twin over every pair
+    import itertools
+    ts = {r[0]: r[2] for r in rows}
+    from datetime import datetime
+    t = {k: datetime.fromisoformat(v).timestamp() for k, v in ts.items()}
+    want = {(a, b) for a, b in itertools.product(t, t)
+            if 0.9 <= t[b] - t[a] <= 2.0}
+    assert got == want
