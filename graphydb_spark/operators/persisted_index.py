@@ -75,7 +75,8 @@ def build_ivf_table(emb: DataFrame, path: str, k: int = 16,
                     iters: int = 3, id_col: str = "vec_id",
                     vec_col: str = "embedding",
                     files_per_cell: float = 0.5,
-                    train_fraction: float = 1.0) -> int:
+                    train_fraction: float = 1.0,
+                    precomputed: tuple | None = None) -> int:
     """Train IVF and publish ``(cluster, id, vector)`` as a snapshot
     table clustered by cell.  ``repartitionByRange`` + in-partition sort
     give each parquet file a narrow [min,max] cluster interval, which is
@@ -83,11 +84,17 @@ def build_ivf_table(emb: DataFrame, path: str, k: int = 16,
     index; ``files_per_cell`` scales file count (0.5 → ~2 cells/file).
     ``train_fraction`` < 1 trains centroids on a deterministic sample
     and then assigns EVERY row — the only workable shape at corpus
-    scale.  Returns the committed version."""
+    scale.  ``precomputed=(assigned_df, centroids)`` skips training
+    entirely when the caller already holds the assignment of THIS
+    corpus under the same (k, iters) — the caller asserts that
+    equivalence (e.g. the catalog's session-shared k-means).  Returns
+    the committed version."""
     from .similarity import kmeans_assign_arrow
 
     train = _train_subset(emb, id_col, train_fraction)
-    if train is emb:
+    if precomputed is not None:
+        assigned, centroids = precomputed
+    elif train is emb:
         assigned, centroids = ivf_index(emb, k=k, iters=iters,
                                         id_col=id_col, vec_col=vec_col)
     else:

@@ -105,15 +105,25 @@ _IVFB_CACHE: dict = {}
 _IVFB_K, _IVFB_ITERS = 8, 2
 
 
-def _ivf_blocked(spark, sf_dir):
+def _ivfb_full(spark, sf_dir):
+    """(assigned, centroids) of the session-shared deterministic
+    k=8/iters=2 k-means over embeddings — computed ONCE per
+    (session, sf_dir) and shared by the pairwise-embedding family AND
+    the persisted-IVF build (closes the r4 ledger note about the two
+    families each running the identical k-means)."""
     key = (id(spark), sf_dir)
     got = _IVFB_CACHE.get(key)
     if got is None:
-        indexed, _ = similarity.ivf_index(_emb(spark, sf_dir),
-                                          k=_IVFB_K, iters=_IVFB_ITERS)
-        got = indexed.localCheckpoint(eager=True)
+        indexed, cents = similarity.ivf_index(_emb(spark, sf_dir),
+                                              k=_IVFB_K,
+                                              iters=_IVFB_ITERS)
+        got = (indexed.localCheckpoint(eager=True), cents)
         _IVFB_CACHE[key] = got
     return got
+
+
+def _ivf_blocked(spark, sf_dir):
+    return _ivfb_full(spark, sf_dir)[0]
 
 
 def _register_raw(spark, sf_dir):
@@ -18363,8 +18373,11 @@ def _retrieval_indexes(spark, sf_dir):
     g = tpch_graph(spark, sf_dir)
     docs = g.nodes_df.where(F.col("kind") == "Document")
     persisted_index.build_fts_table(docs, fts_path, ["text"])
+    # reuse the session-shared k=8/iters=2 assignment — same
+    # deterministic trajectory the oracles replay, computed once
     persisted_index.build_ivf_table(_emb(spark, sf_dir), ivf_path,
-                                    k=8, iters=2)
+                                    k=8, iters=2,
+                                    precomputed=_ivfb_full(spark, sf_dir))
     # the standing near-dup index: even doc_ids play the corpus
     persisted_index.build_minhash_index(
         _docs(spark, sf_dir).where("doc_id % 2 = 0"), mh_path,
