@@ -753,3 +753,21 @@ def test_ivfpq_batch_probe_guard_and_rejects(spark, tmp_path):
         probe_ivfpq_table_batch(spark, p, qs, k=3, max_batch=4)
     out = probe_ivfpq_table_batch(spark, p, qs, k=3, max_batch=5)
     assert out.select("qid").distinct().count() == 5
+
+
+def test_batch_probe_empty_batch_raises(spark, tmp_path):
+    from graphydb_spark.operators.persisted_index import (
+        build_ivf_table, probe_ivf_table_batch)
+    emb = _emb(spark, n=20)
+    p = str(tmp_path / "ivf_empty")
+    build_ivf_table(emb, p, k=2, iters=1)
+    empty = spark.createDataFrame([], "qid string, qvec array<double>")
+    with pytest.raises(ValueError, match="empty query batch"):
+        probe_ivf_table_batch(spark, p, empty)
+
+
+def test_pin_version_empty_table_raises(tmp_path):
+    from graphydb_spark.operators.persisted_index import _pin_version
+    with pytest.raises(ValueError, match="no snapshot versions"):
+        _pin_version(str(tmp_path / "nothing"), None)
+    assert _pin_version(str(tmp_path / "nothing"), 3) == 3
