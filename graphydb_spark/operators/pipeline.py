@@ -111,6 +111,37 @@ def mixture_sample(df: DataFrame, source_col: str,
               .drop("_rate"))
 
 
+def token_budget_mixture(df: DataFrame, source_col: str,
+                         budgets: dict[str, float], key_col: str,
+                         token_col: str = "n_chars") -> DataFrame:
+    """Down-sample each source to a TOKEN budget — how real training
+    mixtures are specified ("give me 200 B tokens of web, 30 B of
+    code"), versus :func:`mixture_sample`'s proportional doc rates.
+
+    ``rate_s = min(1, budget_s / tokens_s)`` keeps each source's
+    expected token mass at its budget (sources under budget survive
+    whole; sources absent from ``budgets`` are dropped).  Execution is
+    the house shape: one tiny per-source token-sum aggregate broadcast
+    back, then the deterministic hash-gated narrow filter — the corpus
+    is never shuffled, reproducible at any parallelism, 100 TB-safe.
+    Expectation-level budgeting is deliberate: an exact cut needs a
+    global running sum (one sort-shuffle — :func:`priority_sample` /
+    :func:`pack_shards` territory) and breaks hash-gate determinism
+    under appends."""
+    bmap = F.create_map(*[F.lit(x) for kv in sorted(budgets.items())
+                          for x in (kv[0], float(kv[1]))])
+    tot = (df.groupBy(source_col)
+             .agg(F.sum(F.col(token_col).cast("double")).alias("_tok"))
+             .withColumn("_b", bmap[F.col(source_col)])
+             .where(F.col("_b").isNotNull()))
+    rates = tot.select(
+        source_col,
+        F.least(F.lit(1.0), F.col("_b") / F.col("_tok")).alias("_rate"))
+    return (df.join(F.broadcast(rates), source_col)
+              .where(_keeps(F.col(key_col), F.col("_rate")))
+              .drop("_rate"))
+
+
 def _global_cum_before(df: DataFrame, id_col: str, weight_col) -> DataFrame:
     """Append ``_cum_before`` = running total of ``weight_col`` over the
     global ``id_col`` order, terasort-style: range-partition on the id,

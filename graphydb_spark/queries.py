@@ -18779,6 +18779,37 @@ LIMIT {topk}
 ORACLES["ivfpq_rerank_probe"] = _ivfpq_rerank_oracle_sql()
 
 
+def q_token_budget_mixture(spark, sf_dir):
+    """Token-budgeted source mixture (pipeline.token_budget_mixture):
+    keep each source's expected token mass at its budget via
+    rate_s = min(1, budget_s / tokens_s) + the deterministic md5 gate.
+    FULL oracle: the per-source token sums, the rate arithmetic and the
+    hex-threshold gate all replay in plain SQL (the mixture_sample
+    twin, with budgets over SUM(n_chars) instead of doc proportions)."""
+    from .operators.pipeline import token_budget_mixture
+    docs = _docs(spark, sf_dir)
+    out = token_budget_mixture(
+        docs, "source", {"src0": 40_000.0, "src1": 15_000.0}, "doc_id")
+    return out.select("doc_id", "source")
+
+
+ORACLES["token_budget_mixture"] = """
+WITH tot AS (
+  SELECT source, SUM(CAST(n_chars AS DOUBLE)) AS tok,
+         CASE source WHEN 'src0' THEN 40000.0
+                     WHEN 'src1' THEN 15000.0 END AS b
+  FROM documents GROUP BY source
+), rates AS (
+  SELECT source, LEAST(1.0, b / tok) AS rate FROM tot WHERE b IS NOT NULL
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates USING (source)
+WHERE rate >= 1.0
+   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+      < printf('%04x', CAST(floor(rate * 65536) AS INT))
+"""
+
+
 # Plan cache (prepared-statement semantics): the catalog queries are pure
 # functions of immutable inputs (parquet fixtures + the memoized graph
 # encoding), so the analyzed/optimized logical plan can be reused across
@@ -19224,6 +19255,7 @@ QUERIES = {
     "ivf_probe": q_ivf_probe,
     "pq_rerank_topk": q_pq_rerank_topk,
     "ivfpq_rerank_probe": q_ivfpq_rerank_probe,
+    "token_budget_mixture": q_token_budget_mixture,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

@@ -400,3 +400,28 @@ def test_dsir_select_prefers_target_like_docs(spark):
            dsir_select(df, F.col("lang") == "en", n=12).collect()]
     assert 100 in top          # target-like unlabeled doc selected
     assert 101 not in top      # off-target unlabeled doc rejected
+
+
+def test_token_budget_mixture(spark):
+    """Budget semantics: an over-budget source thins to ~its token
+    budget in expectation, an under-budget source survives WHOLE, and
+    unbudgeted sources drop; the gate is deterministic (same rows on
+    re-run)."""
+    from graphydb_spark.operators.pipeline import token_budget_mixture
+    rows = ([(i, "big", 100) for i in range(2000)]          # 200k tokens
+            + [(10_000 + i, "small", 100) for i in range(50)]  # 5k
+            + [(20_000 + i, "other", 100) for i in range(50)])
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars int")
+    out = token_budget_mixture(
+        df, "source", {"big": 20_000.0, "small": 100_000.0}, "doc_id")
+    got = out.groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in got}
+    assert "other" not in by                       # unbudgeted dropped
+    assert by["small"] == 50                       # under budget: whole
+    # big: rate 0.1 → ~200 docs (binomial; generous band)
+    assert 120 <= by["big"] <= 280
+    again = token_budget_mixture(
+        df, "source", {"big": 20_000.0, "small": 100_000.0}, "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == \
+           sorted(r.doc_id for r in again.collect())
