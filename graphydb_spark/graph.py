@@ -162,6 +162,14 @@ class Graph:
         # across rows — SQLite's dynamic typing) that stay on the JSON
         # path permanently.
         self._auto_pstruct = {"node": False, "edge": False}
+        # explicit trust DEMOTION (tri-state with auto_pstruct, review r5):
+        # a side is demoted when rows entered it bypassing save-time
+        # type-checking (bulk upsert_*_df, streaming ingest).  Demotion is
+        # sticky and persisted — a demoted side may NEVER re-enter
+        # promotion, even if later saves would otherwise qualify
+        # (auto_pstruct=False alone is ambiguous with "no schema yet",
+        # which a fresh item save legitimately promotes).
+        self._pstruct_demoted = {"node": False, "edge": False}
         self._pstruct_poison: dict[str, set] = {"node": set(),
                                                 "edge": set()}
         # declared referential-integrity guarantees per edge kind:
@@ -189,6 +197,9 @@ class Graph:
         for side, keys in meta.get("pstruct_poison", {}).items():
             if side in self._pstruct_poison:
                 self._pstruct_poison[side] = set(keys)
+        for side, flag in meta.get("pstruct_demoted", {}).items():
+            if side in self._pstruct_demoted:
+                self._pstruct_demoted[side] = bool(flag)
 
     def declare_integrity(self, edge_kind: str,
                           start_kind: Optional[str] = None,
@@ -292,6 +303,7 @@ class Graph:
                 # (the reference's SQLite schema is durable by
                 # construction, graphydb.py:515-526)
                 "auto_pstruct": dict(self._auto_pstruct),
+                "pstruct_demoted": dict(self._pstruct_demoted),
                 "pstruct_poison": {k: sorted(v) for k, v
                                    in self._pstruct_poison.items()}}
 
@@ -474,9 +486,12 @@ class Graph:
             [tuple(r.get(f.name) for f in schema.fields) for r in rows], schema)
         side = "edge" if "startuid" in {f.name for f in schema.fields} \
             else "node"
-        bulk_loaded = self._known_node_uids is None
-        if self._auto_pstruct[side] or (not bulk_loaded
-                                        and "pstruct" not in df.columns):
+        known = self._known_edge_uids if side == "edge" \
+            else self._known_node_uids
+        bulk_loaded = known is None
+        if not self._pstruct_demoted[side] and (
+                self._auto_pstruct[side]
+                or (not bulk_loaded and "pstruct" not in df.columns)):
             # Promotion runs when the side's schema is TRUSTED — every
             # stored row type-checked against it: either this session
             # inferred it save-by-save, or the store's persisted meta /
@@ -1096,8 +1111,11 @@ class Graph:
         self._known_edge_uids = None
         # incoming rows bypass save-time type-checking → the node-side
         # schema is no longer provably consistent with every stored row;
-        # freeze it (conform rule) rather than risk PERMISSIVE nulling
+        # freeze it (conform rule) rather than risk PERMISSIVE nulling.
+        # Demotion is STICKY (tri-state) — auto_pstruct=False alone would
+        # let a later save's "no schema yet" branch re-enter promotion.
         self._auto_pstruct["node"] = False
+        self._pstruct_demoted["node"] = True
         incoming = self._conform(
             df.select(*[f.name for f in NODE_SCHEMA.fields],
                       *(["pstruct"] if "pstruct" in df.columns else [])),
@@ -1112,6 +1130,7 @@ class Graph:
         self._flush()
         self._epoch += 1
         self._auto_pstruct["edge"] = False  # same demotion as node bulk
+        self._pstruct_demoted["edge"] = True  # sticky — see upsert_nodes_df
         incoming = self._conform(
             df.select(*[f.name for f in EDGE_SCHEMA.fields],
                       *(["pstruct"] if "pstruct" in df.columns else [])),

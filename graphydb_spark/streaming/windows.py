@@ -128,25 +128,75 @@ def stream_graph_upserts(spark, source_dir: str, store_path: str,
     ``foreachBatch``.  Returns the started StreamingQuery — caller stops
     it.  At scale the merge would target Delta/Iceberg MERGE INTO; plain
     parquet rewrite keeps the same semantics in this container.
+
+    Typed-props trust protocol (the streaming twin of the bulk-upsert
+    demotion at ``Graph.upsert_nodes_df``/``upsert_edges_df``): a store
+    written by a PROMOTED graph carries a typed ``pstruct`` shadow column
+    plus an ``auto_pstruct`` trust marker in ``{path}/meta``.  Streamed
+    rows bypass save-time type-checking, so each merge (a) PRESERVES the
+    pstruct column — existing rows keep theirs, batch rows parse their
+    JSON props with the store's existing pstruct schema (the conform
+    rule, never a new inferred one) — and (b) rewrites the store's meta
+    demoting the streamed side (``auto_pstruct=False`` +
+    ``pstruct_demoted=True``), so a later ``Graph.open`` → ``save`` can
+    never resume inference and ``from_json`` un-checked streamed rows
+    against a schema they might conflict with (PERMISSIVE parsing would
+    null the whole shadow of a conflicting row, silently dropping it
+    from typed predicates).  Reference analogue: SQLite's schema cannot
+    desync from its rows (graphydb.py:515-526).
     """
+    import json as _json
+
     from pyspark.sql import Window as W
 
     schema = EDGE_SCHEMA if edge else NODE_SCHEMA
     sub = "edges" if edge else "nodes"
+    side = "edge" if edge else "node"
     stream = (spark.readStream.format("parquet").schema(schema)
               .load(source_dir))
 
+    def _demote_meta(sess) -> None:
+        """Rewrite {store_path}/meta marking the streamed side demoted —
+        idempotent, driver-side (meta is a 1-row JSON table).  A store
+        with no meta has no persisted trust to invalidate."""
+        try:
+            raw = sess.read.json(f"{store_path}/meta").collect()
+            meta = _json.loads(raw[0]["meta"]) if raw else None
+        except Exception:
+            meta = None
+        if meta is None:
+            return
+        ap = meta.setdefault("auto_pstruct", {})
+        dem = meta.setdefault("pstruct_demoted", {})
+        if not ap.get(side) and dem.get(side):
+            return                                  # already demoted
+        ap[side] = False
+        dem[side] = True
+        sess.createDataFrame([(_json.dumps(meta, sort_keys=True),)],
+                             "meta string") \
+            .coalesce(1).write.mode("overwrite").json(f"{store_path}/meta")
+
     def merge_batch(batch_df, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
         w = W.partitionBy("uid").orderBy(F.col("mtime").desc())
         latest = (batch_df
                   .withColumn("_rn", F.row_number().over(w))
                   .where(F.col("_rn") == 1).drop("_rn"))
         target = f"{store_path}/{sub}"
         try:
-            current = batch_df.sparkSession.read.parquet(target) \
-                .select(*[f.name for f in schema.fields])
+            cur_raw = sess.read.parquet(target)
+            current = cur_raw.select(
+                *[f.name for f in schema.fields],
+                *(["pstruct"] if "pstruct" in cur_raw.columns else []))
         except Exception:
-            current = batch_df.sparkSession.createDataFrame([], schema)
+            current = sess.createDataFrame([], schema)
+        if "pstruct" in current.columns:
+            # conform rule: batch rows get the store's EXISTING typed
+            # schema (never an inferred one) so typed predicates keep
+            # seeing every surviving row
+            dtype = current.schema["pstruct"].dataType
+            latest = latest.withColumn(
+                "pstruct", F.from_json(F.col("props"), dtype))
         merged = (current.join(latest.select("uid"), "uid", "left_anti")
                   .unionByName(latest))
         # two-phase rewrite (all distributed): parquet cannot overwrite a
@@ -154,8 +204,9 @@ def stream_graph_upserts(spark, source_dir: str, store_path: str,
         # Iceberg MERGE INTO replaces both phases when available.
         staging = f"{store_path}/_staging/{sub}_{epoch_id}"
         merged.write.mode("overwrite").parquet(staging)
-        batch_df.sparkSession.read.parquet(staging) \
+        sess.read.parquet(staging) \
             .write.mode("overwrite").parquet(target)
+        _demote_meta(sess)
 
     q = (stream.writeStream
          .foreachBatch(merge_batch)

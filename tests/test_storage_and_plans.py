@@ -351,3 +351,43 @@ def test_fieldless_side_still_trusted_after_reopen(spark, tmp_path):
     assert "get_json_object" in sql2
     assert g2.fetch("(p:P)", WHERE="p.data.name_conflict = 'x'",
                     COUNT=True) == 1
+
+
+def test_bulk_edge_upsert_demotes_promotion_trust(spark, tmp_path):
+    """Edge-side twin of the node demotion test (review r5: the bypass).
+    On an ITEM-BUILT graph, upsert_edges_df leaves _known_node_uids
+    non-None — a per-side (or non-tri-state) bulk check would let the
+    next edge save re-enter promotion and from_json un-checked bulk
+    edge rows against a saves-only schema."""
+    import json as _json
+    g = Graph(spark)
+    n1 = g.Node("P", name="a")
+    n1.save()
+    n2 = g.Node("P", name="b")
+    n2.save()
+    g.Edge(n1, "K", n2, w=1).save()               # promotes edge: w long
+    extra = spark.createDataFrame(
+        [("K:x", "K", n1.uid, n2.uid, 0.0, 0.0,
+          _json.dumps({"tag": "bulk", "w": "str-typed"}))],
+        "uid string, kind string, startuid string, enduid string, "
+        "ctime double, mtime double, props string")
+    g.upsert_edges_df(extra, check=False)         # demotes edge side
+    # the bypass save: no pstruct column arrives with the pending row,
+    # _known_node_uids is still a set — old code re-promoted here
+    g.Edge(n1, "K", n2, w2=5).save()
+    if "pstruct" in g.edges_df.columns:
+        assert "w2" not in str(g.edges_df.schema["pstruct"].dataType)
+    # every edge row stays reachable via the JSON path (w2/tag never
+    # promoted, so these predicates compile to get_json_object)
+    assert g.fetch("(a:P) -[e:K]> (b:P)", WHERE="e.data.tag = 'bulk'",
+                   COUNT=True) == 1
+    assert g.fetch("(a:P) -[e:K]> (b:P)", WHERE="e.data.w2 = '5'",
+                   COUNT=True) == 1
+    # demotion survives write/reopen (persisted tri-state)
+    path = str(tmp_path / "edge_demote")
+    g.write(path)
+    g2 = Graph.open(spark, path)
+    g2.Edge(n1.uid, "K", n2.uid, w3=7).save()
+    if "pstruct" in g2.edges_df.columns:
+        assert "w3" not in str(g2.edges_df.schema["pstruct"].dataType)
+    assert g2.fetch("(a:P) -[e:K]> (b:P)", COUNT=True) == 4
