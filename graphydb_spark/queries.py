@@ -18298,7 +18298,13 @@ def q_lsh_probe(spark, sf_dir):
     signatures, never re-tokenized or shuffled.  Emits
     (index_id, new_id, est_jaccard) for every pair sharing an LSH band
     (8 hashes, 4 bands of 2) whose signatures agree on ≥ 4 of 8
-    components (est_jaccard ≥ 0.5, the unbiased MinHash estimator)."""
+    components (est_jaccard ≥ 0.5, the unbiased MinHash estimator).
+    Signing uses the 'sliced' production scheme (VERDICT r5 #2 —
+    signing was 78% of the probe's wall): 2 md5 per shingle, each
+    digest sliced into four 32-bit hex components, min-aggregated;
+    the oracle replays the identical substr(md5()) slices, and the
+    pair-output differential gate vs the 8-md5 'salted' scheme is
+    tests/test_persisted_index.py::test_lsh_scheme_differential."""
     mh_path = _retrieval_indexes(spark, sf_dir)["mh"]
     batch = _docs(spark, sf_dir).where("doc_id % 2 = 1")
     return persisted_index.probe_minhash_index(spark, mh_path, batch,
@@ -18314,17 +18320,22 @@ WITH toks AS (
   SELECT doc_id, list_transform(range(1, len(ws)-1),
          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
   FROM toks WHERE len(ws) >= 3
+), hx AS (
+  SELECT doc_id,
+         list_transform(sh, s -> md5('0:' || s)) AS h0,
+         list_transform(sh, s -> md5('1:' || s)) AS h1
+  FROM sg
 ), sig AS (
   SELECT doc_id, [
-    list_min(list_transform(sh, s -> md5('0:' || s))),
-    list_min(list_transform(sh, s -> md5('1:' || s))),
-    list_min(list_transform(sh, s -> md5('2:' || s))),
-    list_min(list_transform(sh, s -> md5('3:' || s))),
-    list_min(list_transform(sh, s -> md5('4:' || s))),
-    list_min(list_transform(sh, s -> md5('5:' || s))),
-    list_min(list_transform(sh, s -> md5('6:' || s))),
-    list_min(list_transform(sh, s -> md5('7:' || s)))] AS s
-  FROM sg
+    list_min(list_transform(h0, h -> substr(h, 1, 8))),
+    list_min(list_transform(h0, h -> substr(h, 9, 8))),
+    list_min(list_transform(h0, h -> substr(h, 17, 8))),
+    list_min(list_transform(h0, h -> substr(h, 25, 8))),
+    list_min(list_transform(h1, h -> substr(h, 1, 8))),
+    list_min(list_transform(h1, h -> substr(h, 9, 8))),
+    list_min(list_transform(h1, h -> substr(h, 17, 8))),
+    list_min(list_transform(h1, h -> substr(h, 25, 8)))] AS s
+  FROM hx
 ), banded AS (
   SELECT doc_id, s, [
     md5(s[1] || '|' || s[2]), md5(s[3] || '|' || s[4]),
@@ -18378,10 +18389,14 @@ def _retrieval_indexes(spark, sf_dir):
     persisted_index.build_ivf_table(_emb(spark, sf_dir), ivf_path,
                                     k=8, iters=2,
                                     precomputed=_ivfb_full(spark, sf_dir))
-    # the standing near-dup index: even doc_ids play the corpus
+    # the standing near-dup index: even doc_ids play the corpus.
+    # scheme='sliced' is the production signing path (2 md5/shingle
+    # sliced into 4×32-bit components each, vs 8 md5/shingle) — the
+    # oracle replays the identical substr(md5(...)) slices in DuckDB.
     persisted_index.build_minhash_index(
         _docs(spark, sf_dir).where("doc_id % 2 = 0"), mh_path,
-        text_col="text", id_col="doc_id", k=3, num_hashes=8, bands=4)
+        text_col="text", id_col="doc_id", k=3, num_hashes=8, bands=4,
+        scheme="sliced")
     got = {"fts": fts_path, "ivf": ivf_path, "mh": mh_path}
     _RIDX_CACHE[key] = got
     return got
@@ -18668,8 +18683,18 @@ def q_pq_rerank_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     qv = [float(x) for x in emb.where(F.col("vec_id") == 7)
           .select("embedding").collect()[0][0]]
-    top = persisted_index.probe_ivfpq_table(spark, path, qv, k=10,
-                                            nprobe=4, rerank=200)
+    k, rerank = 10, 200
+    # the exact-equivalence premise — k·α covers the corpus so the
+    # two-stage result IS brute force — must fail loudly if the
+    # fixture ever outgrows it (sf0.1 has exactly 2000 = k·α rows;
+    # ADVICE r5: zero margin held silently)
+    n = emb.count()
+    if k * rerank < n:
+        raise AssertionError(
+            f"pq_rerank_topk exact-equivalence boundary broken: "
+            f"k*rerank={k * rerank} < corpus {n}; raise rerank")
+    top = persisted_index.probe_ivfpq_table(spark, path, qv, k=k,
+                                            nprobe=4, rerank=rerank)
     return top.select("vec_id", F.round("l2_dist", 6).alias("l2_dist"))
 
 

@@ -236,6 +236,30 @@ def commit_snapshot(df: DataFrame, path: str, mode: str = "append",
     if txn is not None and _txn_seen(path, txn):
         return _txn_version(path, txn)
     files, schema_json = _stage_files(df, path)
+    return _commit_staged(path, files, schema_json, mode=mode, txn=txn,
+                          max_retries=max_retries, meta=meta,
+                          meta_fn=meta_fn)
+
+
+def _commit_staged(path: str, files: list[str], schema_json: str,
+                   mode: str = "append", txn: dict | None = None,
+                   max_retries: int = 10, meta: dict | None = None,
+                   meta_fn=None) -> int:
+    """Manifest-commit of files already staged by :func:`_stage_files` —
+    the lower half of :func:`commit_snapshot`, split out so a builder
+    can WRITE ONCE, derive commit metadata FROM the staged files, and
+    then publish atomically.  Staged files stay invisible to readers
+    until the manifest lands; the same retry/conflict semantics as
+    commit_snapshot apply.  Callers must run the ``_txn_seen``
+    idempotence probe BEFORE staging (commit_snapshot does) — probing
+    here too would double the common path's manifest reads, and a
+    replayed token should skip the write entirely, not just the
+    manifest; the retry loop still catches tokens that land
+    concurrently."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if meta is not None and meta_fn is not None:
+        raise ValueError("pass meta OR meta_fn, not both")
     stats = _file_stats(path, files)
     for _ in range(max_retries):
         head = _head(path)

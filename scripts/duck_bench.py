@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -86,7 +87,9 @@ LIMIT 10
 """
 
 # MinHash index side (even doc_ids), banded — the analogue of
-# persisted_index.build_minhash_index's snapshot rows
+# persisted_index.build_minhash_index's snapshot rows.  The 'sliced'
+# signing scheme (2 md5/shingle, each digest cut into four 32-bit hex
+# slices) matches queries._LSH_PROBE_ORACLE verbatim.
 _LSH_SETUP = ["""
 CREATE TEMP TABLE idx_banded AS
 WITH toks AS (
@@ -97,17 +100,22 @@ WITH toks AS (
   SELECT doc_id, list_transform(range(1, len(ws)-1),
          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
   FROM toks WHERE len(ws) >= 3
+), hx AS (
+  SELECT doc_id,
+         list_transform(sh, s -> md5('0:' || s)) AS h0,
+         list_transform(sh, s -> md5('1:' || s)) AS h1
+  FROM sg
 ), sig AS (
   SELECT doc_id, [
-    list_min(list_transform(sh, s -> md5('0:' || s))),
-    list_min(list_transform(sh, s -> md5('1:' || s))),
-    list_min(list_transform(sh, s -> md5('2:' || s))),
-    list_min(list_transform(sh, s -> md5('3:' || s))),
-    list_min(list_transform(sh, s -> md5('4:' || s))),
-    list_min(list_transform(sh, s -> md5('5:' || s))),
-    list_min(list_transform(sh, s -> md5('6:' || s))),
-    list_min(list_transform(sh, s -> md5('7:' || s)))] AS s
-  FROM sg
+    list_min(list_transform(h0, h -> substr(h, 1, 8))),
+    list_min(list_transform(h0, h -> substr(h, 9, 8))),
+    list_min(list_transform(h0, h -> substr(h, 17, 8))),
+    list_min(list_transform(h0, h -> substr(h, 25, 8))),
+    list_min(list_transform(h1, h -> substr(h, 1, 8))),
+    list_min(list_transform(h1, h -> substr(h, 9, 8))),
+    list_min(list_transform(h1, h -> substr(h, 17, 8))),
+    list_min(list_transform(h1, h -> substr(h, 25, 8)))] AS s
+  FROM hx
 )
 SELECT doc_id, s, [
   md5(s[1] || '|' || s[2]), md5(s[3] || '|' || s[4]),
@@ -126,17 +134,22 @@ WITH toks AS (
   SELECT doc_id, list_transform(range(1, len(ws)-1),
          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
   FROM toks WHERE len(ws) >= 3
+), hx AS (
+  SELECT doc_id,
+         list_transform(sh, s -> md5('0:' || s)) AS h0,
+         list_transform(sh, s -> md5('1:' || s)) AS h1
+  FROM sg
 ), sig AS (
   SELECT doc_id, [
-    list_min(list_transform(sh, s -> md5('0:' || s))),
-    list_min(list_transform(sh, s -> md5('1:' || s))),
-    list_min(list_transform(sh, s -> md5('2:' || s))),
-    list_min(list_transform(sh, s -> md5('3:' || s))),
-    list_min(list_transform(sh, s -> md5('4:' || s))),
-    list_min(list_transform(sh, s -> md5('5:' || s))),
-    list_min(list_transform(sh, s -> md5('6:' || s))),
-    list_min(list_transform(sh, s -> md5('7:' || s)))] AS s
-  FROM sg
+    list_min(list_transform(h0, h -> substr(h, 1, 8))),
+    list_min(list_transform(h0, h -> substr(h, 9, 8))),
+    list_min(list_transform(h0, h -> substr(h, 17, 8))),
+    list_min(list_transform(h0, h -> substr(h, 25, 8))),
+    list_min(list_transform(h1, h -> substr(h, 1, 8))),
+    list_min(list_transform(h1, h -> substr(h, 9, 8))),
+    list_min(list_transform(h1, h -> substr(h, 17, 8))),
+    list_min(list_transform(h1, h -> substr(h, 25, 8)))] AS s
+  FROM hx
 ), new_banded AS (
   SELECT doc_id, s, [
     md5(s[1] || '|' || s[2]), md5(s[3] || '|' || s[4]),
@@ -260,7 +273,10 @@ def main() -> None:
     made: set[str] = set()
     for name, spec in plan.items():
         for ddl in spec["setup"]:
-            tbl = ddl.split()[3]  # CREATE TEMP TABLE <name> …
+            m = re.search(r"CREATE\s+TEMP\s+TABLE\s+(\w+)", ddl)
+            if not m:
+                raise ValueError(f"setup DDL without a temp table: {ddl[:80]}")
+            tbl = m.group(1)
             if tbl in made:
                 continue
             con.execute(ddl)

@@ -151,6 +151,94 @@ def test_lsh_probe_plan_broadcasts_batch(spark, tmp_path):
     assert "SortMergeJoin" not in plan
 
 
+def test_lsh_scheme_differential(spark, tmp_path):
+    """The production 'sliced' signing scheme (2 md5/shingle cut into
+    four 32-bit slices each — VERDICT r5 #2's cheaper signing path)
+    must emit the SAME PAIR OUTPUT as the reference 'salted' scheme
+    (8 md5/shingle) on the committed corpora: identical (index, new)
+    pair sets at sf0.01, the driver's correctness scale (measured
+    identical at sf0.1 too — BASELINE.md round 6).  est_jaccard may
+    differ per pair (independent 8-component estimators of the same
+    Jaccard); at sf0.001 the sets differ by exactly one borderline
+    pair with TRUE 3-shingle Jaccard 0.048 — P(Bin(8, .05) >= 4) ~
+    4e-4 estimator variance on a 10-shingle doc, inherent to MinHash
+    at num_hashes=8 under ANY hash, so the cheap gate here asserts
+    instead that both schemes recover every true near-dup (exact
+    Jaccard >= threshold) with est >= 0.875, on sf0.001."""
+    import os
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        pytest.skip("driver testdata not present")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    even, odd = docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1")
+    pairs = {}
+    for scheme in ("salted", "sliced"):
+        p = str(tmp_path / scheme)
+        build_minhash_index(even, p, scheme=scheme)
+        assert snapshot_meta(p, None)["scheme"] == scheme
+        rows = probe_minhash_index(spark, p, odd, threshold=0.5).collect()
+        pairs[scheme] = {(r.index_id, r.new_id): r.est_jaccard
+                         for r in rows}
+    # exact 3-shingle Jaccard ground truth over cross-parity pairs
+    from graphydb_spark.operators.dedup import shingled
+    sh = (shingled(docs, "text", "doc_id", 3)
+          .select("doc_id", F.array_distinct("_sh").alias("sh")))
+    a = sh.where("doc_id % 2 = 0").select(
+        F.col("doc_id").alias("ia"), F.col("sh").alias("sa"))
+    b = sh.where("doc_id % 2 = 1").select(
+        F.col("doc_id").alias("ib"), F.col("sh").alias("sb"))
+    truth = {(r.ia, r.ib) for r in a.crossJoin(b).select(
+        "ia", "ib",
+        (F.size(F.array_intersect("sa", "sb")) /
+         F.size(F.array_union("sa", "sb"))).alias("jac"))
+        .where("jac >= 0.5").collect()}
+    assert truth, "fixture lost its planted near-dups"
+    for scheme, got in pairs.items():
+        strong = {k for k, est in got.items() if est >= 0.875}
+        assert truth <= strong, (scheme, truth - strong)
+        # anything extra in either scheme is borderline variance, not
+        # a missed/invented strong match
+        assert all(est < 0.875 for k, est in got.items()
+                   if k not in truth)
+
+
+def test_lsh_scheme_differential_sf001(spark, tmp_path):
+    """The full pair-set identity gate at sf0.01 (the driver's
+    correctness scale): salted and sliced emit the IDENTICAL
+    (index_id, new_id) set."""
+    import os
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        pytest.skip("driver testdata not present")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    even, odd = docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1")
+    got = {}
+    for scheme in ("salted", "sliced"):
+        p = str(tmp_path / scheme)
+        build_minhash_index(even, p, scheme=scheme)
+        got[scheme] = {(r.index_id, r.new_id) for r in
+                       probe_minhash_index(spark, p, odd,
+                                           threshold=0.5).collect()}
+    assert got["salted"] == got["sliced"]
+    assert len(got["salted"]) >= 10
+
+
+def test_lsh_scheme_mismatch_is_loud(spark, tmp_path):
+    """meta carries the scheme, so a probe against a sliced index
+    signs the batch sliced — never the silent zero-match footgun of
+    mixed hash spaces."""
+    docs = _docs(spark)
+    p = str(tmp_path / "lsh")
+    build_minhash_index(docs, p, scheme="sliced")
+    batch = docs.limit(3).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text")
+    hits = probe_minhash_index(spark, p, batch, threshold=0.99).collect()
+    assert {(r.index_id, r.new_id) for r in hits} >= {
+        (i, 1000 + i) for i in range(3)}
+    with pytest.raises(ValueError, match="scheme"):
+        build_minhash_index(docs, str(tmp_path / "bad"), scheme="nope")
+
+
 def test_stream_dedup_ingest(spark, tmp_path):
     """End-to-end streaming gate: index hits, in-batch dups and novel
     docs; restart consumes only new files; index catches docs kept by
@@ -656,6 +744,41 @@ def test_ivfpq_rerank_requires_store_raw(spark, tmp_path):
     # codes-only probe still works
     assert probe_ivfpq_table(spark, p, [0.0] * 4, k=3,
                              nprobe=3).count() == 3
+
+
+def test_ivfpq_rerank_validated(spark, tmp_path):
+    """rerank=0 must not silently serve limit(0) and a fractional α
+    must not silently truncate (ADVICE r5) — loud ValueError both."""
+    from graphydb_spark.operators.persisted_index import (
+        build_ivfpq_table, probe_ivfpq_table)
+    emb = _emb(spark, n=30, dim=4)
+    p = str(tmp_path / "ivfpq_val")
+    build_ivfpq_table(emb, p, k=2, m=2, pq_k=4, iters=1, store_raw=True)
+    for bad in (0, -1, 1.5):
+        with pytest.raises(ValueError, match="rerank"):
+            probe_ivfpq_table(spark, p, [0.0] * 4, k=3, rerank=bad)
+    # rerank=1.0 is integral — accepted
+    assert probe_ivfpq_table(spark, p, [0.0] * 4, k=3, nprobe=2,
+                             rerank=1.0).count() == 3
+
+
+def test_nearest_cells_batch_matches_scalar():
+    """The vectorized cell-assignment (one folded distance matrix for
+    the whole batch, VERDICT r5 #6) is BIT-identical to the per-query
+    scalar path: same IEEE fold order per element, stable argsort ==
+    stable sorted tie-break — including exact-tie centroids."""
+    import numpy as np
+    from graphydb_spark.operators.persisted_index import (
+        _nearest_cells, _nearest_cells_batch)
+    rng = np.random.RandomState(7)
+    cents = rng.randn(17, 12).tolist()
+    # duplicate centroid → exact distance tie broken by index
+    cents.append(list(cents[3]))
+    Qm = rng.randn(64, 12)
+    Qm[5] = np.asarray(cents[3])        # query ON the tied centroid
+    batch = _nearest_cells_batch(cents, Qm, nprobe=4)
+    for i in range(Qm.shape[0]):
+        assert batch[i] == _nearest_cells(cents, list(Qm[i]), 4), i
 
 
 def test_ivfpq_append_then_rerank_probe(spark, tmp_path):
