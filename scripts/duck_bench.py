@@ -247,6 +247,26 @@ ORDER BY rrf DESC, doc_id LIMIT 10
 """
 
 
+# interval_join_events standing layout: Spark's probe reads a
+# session-lifetime co-bucketed table pair with precomputed epoch-µs
+# (queries._interval_layout); the anchor's analogue precomputes the µs
+# columns once and lets DuckDB pick its best join over them (its
+# IEJoin needs no bucket decomposition — pricing the layout, not
+# forcing the plan).
+_IJ_SETUP = ["""
+CREATE TEMP TABLE idx_ij_ev AS
+SELECT user_id AS k, epoch_us(ts) AS us, event_id FROM events
+"""]
+
+_IJ_STANDING_PROBE = """
+SELECT l.k AS user_id, l.event_id AS left_id, r.event_id AS right_id
+FROM idx_ij_ev l JOIN idx_ij_ev r
+  ON l.k = r.k
+ AND r.us >= l.us + 1000000
+ AND r.us <= l.us + 120000000
+"""
+
+
 def standing_index_plan() -> dict[str, dict]:
     """query → {setup: [DDL…], probe: SQL}.  Setup lists may share
     tables (the FTS postings feed bm25_probe and hybrid_search); DDL is
@@ -258,6 +278,8 @@ def standing_index_plan() -> dict[str, dict]:
                       "probe": _LSH_STANDING_PROBE},
         "hybrid_search": {"setup": _FTS_SETUP + _ivf_setup(),
                           "probe": _hybrid_standing_probe()},
+        "interval_join_events": {"setup": _IJ_SETUP,
+                                 "probe": _IJ_STANDING_PROBE},
     }
 
 

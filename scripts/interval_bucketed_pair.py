@@ -96,8 +96,12 @@ def main():
     r_b = base.select("k", F.floor(F.col("us") / WIDTH).alias("__b"),
                       F.col("us").alias("rts"),
                       F.col("event_id").alias("right_id"))
+    import shutil
     for name, df in (("ij_left_bucketed", l_b), ("ij_right_bucketed", r_b)):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # DROP on a managed table whose files a previous session left
+        # behind does not clean the warehouse dir — remove it explicitly
+        shutil.rmtree(f"spark-warehouse/{name}", ignore_errors=True)
         (df.write.mode("overwrite").format("parquet")
          .bucketBy(N_BUCKETS, "k", "__b").sortBy("k", "__b")
          .saveAsTable(name))

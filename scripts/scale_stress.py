@@ -1021,6 +1021,165 @@ def round8_entries(spark, n_vecs=1_000_000, dim=16, k=64,
 
 
 
+def round9_entries(spark, corpus_docs=50_000, novel_per_batch=17_000,
+                   dup_vs_index=2_000, dup_pairs=1_000, n_batches=3):
+    """Round-9 capstone (VERDICT r5 #8): the full streaming standing
+    pipeline composed under ONE JVM session.  Per micro-batch the
+    near-dup gate probes the persisted MinHash index ('sliced'
+    production scheme), survivors commit to the kept snapshot AND both
+    persisted indexes — MinHash signatures + FTS postings — each under
+    the SAME (source, batch) txn token, and probes are served from the
+    grown indexes after every batch (BM25 term probe; near-dup probe of
+    a copied kept doc).  Bookkeeping is exact because the batch
+    composition is planted: per 20k-doc batch, 2,000 exact copies of
+    corpus docs (must drop vs the index), 1,000 in-batch duplicate
+    second copies (must drop, lowest id wins), 17,000 novel docs (must
+    keep; 170 carry the 'needle' term).  Asserts per batch: kept ==
+    17k·(b+1), MinHash index rows == corpus + kept, FTS meta n_docs
+    rolls forward exactly, BM25 'needle' hits == 170·(b+1); then a
+    direct txn replay of every batch's FTS append is a version no-op,
+    and a checkpoint restart with no new files commits nothing."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from graphydb_spark.operators import persisted_index as PI
+    from graphydb_spark.sources import snapshot as snap
+
+    d = tempfile.mkdtemp()
+    src = os.path.join(d, "src")
+    ckpt = os.path.join(d, "ckpt")
+    mh_idx = os.path.join(d, "mh")
+    fts_idx = os.path.join(d, "fts")
+    kept_t = os.path.join(d, "kept")
+
+    def corpus_text(idc):
+        return F.concat_ws(" ", *[
+            F.concat(F.lit(f"c{j}_"),
+                     F.pmod(F.xxhash64(idc, F.lit(j)), 90000)
+                     .cast("string")) for j in range(12)])
+
+    def novel_text(b, idc):
+        body = F.concat_ws(" ", *[
+            F.concat(F.lit(f"n{b}_{j}_"),
+                     F.pmod(F.xxhash64(idc, F.lit(j + 100)), 900000)
+                     .cast("string")) for j in range(12)])
+        return F.when(idc % 100 == 0,
+                      F.concat(F.lit("needle haystack "), body)) \
+                .otherwise(body)
+
+    def make_batch(b):
+        base = 10_000_000 * (b + 1)
+        dupc = spark.range(dup_vs_index).select(
+            (F.col("id") + base).alias("doc_id"),
+            corpus_text((F.col("id") * 17) % corpus_docs).alias("text"))
+        novel = spark.range(novel_per_batch).select(
+            (F.col("id") + base + 100_000).alias("doc_id"),
+            novel_text(b, F.col("id")).alias("text"))
+        dupb = spark.range(dup_pairs).select(
+            (F.col("id") + base + 200_000).alias("doc_id"),
+            novel_text(b, F.col("id")).alias("text"))
+        return dupc.unionByName(novel).unionByName(dupb)
+
+    try:
+        corpus = (spark.range(corpus_docs)
+                  .select(F.col("id").alias("doc_id"),
+                          corpus_text(F.col("id")).alias("text"))
+                  .localCheckpoint(eager=True))
+        PI.build_minhash_index(corpus, mh_idx, scheme="sliced")
+        PI.build_fts_table(corpus, fts_idx, ["text"], id_col="doc_id")
+        p = PI._index_params(mh_idx, None)
+        sch = spark.createDataFrame([], "doc_id long, text string").schema
+
+        def gate(batch_df, epoch_id):
+            s = batch_df.sparkSession
+            txn = {"source": f"capstone:{ckpt}", "batch": int(epoch_id)}
+            sigs = PI._sig_rows(
+                batch_df, "text", "doc_id", p["k"], p["num_hashes"],
+                p["bands"], scheme=p.get("scheme", "salted")) \
+                .localCheckpoint(eager=True)
+            vs_index = (PI.probe_pairs(
+                snap.read_snapshot(s, mh_idx), sigs, 0.99)
+                .select("new_id").distinct())
+            in_batch = (PI.probe_pairs(sigs, sigs, 0.99)
+                        .where(F.col("new_id") > F.col("index_id"))
+                        .select("new_id").distinct())
+            drop = vs_index.unionByName(in_batch).distinct()
+            kept = batch_df.join(
+                drop, batch_df["doc_id"] == drop["new_id"],
+                "left_anti").localCheckpoint(eager=True)
+            snap.commit_snapshot(kept, kept_t, mode="append", txn=txn)
+            kept_sigs = sigs.join(
+                drop, sigs["doc_id"] == drop["new_id"], "left_anti")
+            snap.commit_snapshot(kept_sigs, mh_idx, mode="append",
+                                 txn=txn)
+            PI.append_fts_table(s, fts_idx, kept, txn=txn)
+
+        def run_stream():
+            q = (spark.readStream.format("parquet").schema(sch)
+                 .load(src)
+                 .writeStream.foreachBatch(gate)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(300)
+
+        total_in, t0 = 0, _t.perf_counter()
+        for b in range(n_batches):
+            make_batch(b).write.mode("append").parquet(src)
+            total_in += dup_vs_index + novel_per_batch + dup_pairs
+            run_stream()
+            kept_n = snap.read_snapshot(spark, kept_t).count()
+            assert kept_n == novel_per_batch * (b + 1), \
+                (kept_n, novel_per_batch * (b + 1))
+            idx_n = snap.read_snapshot(spark, mh_idx).count()
+            assert idx_n == corpus_docs + kept_n, (idx_n, kept_n)
+            fm = snap.snapshot_meta(fts_idx, None)
+            assert fm["n_docs"] == corpus_docs + kept_n, fm["n_docs"]
+            needles = PI.probe_fts_table(spark, fts_idx,
+                                         ["needle"]).count()
+            assert needles == 170 * (b + 1), needles
+        dt = _t.perf_counter() - t0
+        print(f"capstone_stream[{n_batches} x 20k vs {corpus_docs // 1000}k"
+              f" corpus, dedup-gate + mh + fts appends]: {dt:.2f}s "
+              f"({total_in / dt:,.0f} docs/s)  kept={kept_n:,} "
+              f"mh_rows={idx_n:,} fts_docs={fm['n_docs']:,} "
+              f"needle_hits={needles}")
+
+        # near-dup probe served from the grown index: an exact copy of
+        # a batch-1 kept doc must hit its original at est 1.0
+        orig = (snap.read_snapshot(spark, kept_t)
+                .where(F.col("doc_id") == 20_100_005).collect())
+        copy = spark.createDataFrame(
+            [(999_999_999, orig[0]["text"])], "doc_id long, text string")
+        hits = PI.probe_minhash_index(spark, mh_idx, copy,
+                                      threshold=0.99).collect()
+        assert any(r.index_id == 20_100_005 and r.est_jaccard == 1.0
+                   for r in hits), hits
+        print(f"probe[copied kept doc]: {len(hits)} hit(s), est 1.0")
+
+        # exactly-once: replaying every batch's FTS-append txn is a
+        # version no-op, counts unchanged
+        head = snap.snapshot_versions(fts_idx)[-1]
+        n_before = fm["n_docs"]
+        for b in range(n_batches):
+            PI.append_fts_table(
+                spark, fts_idx, make_batch(b),
+                txn={"source": f"capstone:{ckpt}", "batch": b})
+        assert snap.snapshot_versions(fts_idx)[-1] == head
+        assert snap.snapshot_meta(fts_idx, None)["n_docs"] == n_before
+        # checkpoint restart with no new files: nothing commits
+        heads = (snap.snapshot_versions(kept_t)[-1],
+                 snap.snapshot_versions(mh_idx)[-1], head)
+        run_stream()
+        assert (snap.snapshot_versions(kept_t)[-1],
+                snap.snapshot_versions(mh_idx)[-1],
+                snap.snapshot_versions(fts_idx)[-1]) == heads
+        print("replay[3 txn replays + checkpoint restart]: all no-ops, "
+              "versions/counts unchanged")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if os.environ.get("SCALE_STRESS_ONLY") == "round4":
         _s = get_spark(app="scale_stress")
@@ -1047,6 +1206,11 @@ if __name__ == "__main__":
         _s.sparkContext.setLogLevel("ERROR")
         _s.conf.set("spark.sql.shuffle.partitions", "64")
         round8_entries(_s)
+    elif os.environ.get("SCALE_STRESS_ONLY") == "round9":
+        _s = get_spark(app="scale_stress")
+        _s.sparkContext.setLogLevel("ERROR")
+        _s.conf.set("spark.sql.shuffle.partitions", "64")
+        round9_entries(_s)
     elif os.environ.get("SCALE_STRESS_ONLY") == "analytics":
         _s = get_spark(app="scale_stress")
         _s.sparkContext.setLogLevel("ERROR")

@@ -47,3 +47,38 @@ def test_bucketed_roundtrip_preserves_rows(spark, bucketed):
     g0 = tpch_graph(spark, SF, cache=False)
     assert bucketed.nodes_df.count() == g0.nodes_df.count()
     assert bucketed.edges_df.count() == g0.edges_df.count()
+
+
+def test_interval_join_bucketed_equals_per_run_plan(spark, tmp_path):
+    """The co-bucketed interval-join layout (VERDICT r5 #3): the probe
+    over interval_join_layout tables returns the identical pair set as
+    the per-run interval_join, and with broadcast disabled its plan has
+    ZERO Exchange — the (k, band-bucket) equi-join reads bucket files
+    pairwise."""
+    from graphydb_spark.streaming.windows import (interval_join,
+                                                  interval_join_bucketed,
+                                                  interval_join_layout)
+    ev = spark.createDataFrame(
+        [(i, i % 7, 1_700_000_000 + (i * 37) % 3600)
+         for i in range(500)],
+        "event_id long, user_id long, epoch long").select(
+        "event_id", "user_id",
+        F.timestamp_seconds("epoch").alias("ts"))
+    want = sorted(map(tuple, interval_join(
+        ev, ev, lower_s=1, upper_s=120).collect()))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        interval_join_layout(spark, ev, ev, "t_ij_l", "t_ij_r",
+                             lower_s=1, upper_s=120, n_buckets=4,
+                             path_prefix=str(tmp_path))
+        probe = interval_join_bucketed(spark, "t_ij_l", "t_ij_r",
+                                       lower_s=1, upper_s=120)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        got = sorted(map(tuple, probe.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("t_ij_l", "t_ij_r"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    assert want and got == want

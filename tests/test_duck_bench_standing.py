@@ -28,12 +28,15 @@ def test_standing_probes_equal_full_oracles(duck_bench_mod):
     for t in duck_bench_mod.TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    import re
     plan = duck_bench_mod.standing_index_plan()
-    assert set(plan) == {"bm25_probe", "lsh_probe", "hybrid_search"}
+    assert set(plan) == {"bm25_probe", "lsh_probe", "hybrid_search",
+                         "interval_join_events"}
     made = set()
     for name, spec in plan.items():
         for ddl in spec["setup"]:
-            tbl = ddl.split()[3]
+            tbl = re.search(r"CREATE\s+TEMP\s+TABLE\s+(\w+)",
+                            ddl).group(1)
             if tbl in made:
                 continue
             con.execute(ddl)

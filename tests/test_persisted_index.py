@@ -223,6 +223,31 @@ def test_lsh_scheme_differential_sf001(spark, tmp_path):
     assert len(got["salted"]) >= 10
 
 
+def test_lsh_sig_shapes_agree(spark):
+    """The batch-sided 'window' signing shape (posexplode + lead — no
+    interpreted zip_with walk) must produce byte-identical signature
+    rows to the corpus-sided 'agg' shape, for both schemes, including
+    docs shorter than one shingle (dropped by both)."""
+    from graphydb_spark.operators.persisted_index import _sig_rows
+    docs = _docs(spark, n=30).unionByName(spark.createDataFrame(
+        [(900, "two words"), (901, ""), (902, "one"),
+         (903, "Tab\tand.punct SPLIT-matches tokenizer!!")],
+        "doc_id long, text string"))
+    for scheme in ("salted", "sliced"):
+        rows = {}
+        for shape in ("agg", "window"):
+            got = _sig_rows(docs, "text", "doc_id", 3, 8, 4,
+                            scheme=scheme, shape=shape).collect()
+            rows[shape] = sorted(
+                (r["doc_id"], tuple(r["sig"]),
+                 tuple((b["band"], b["bh"]) for b in r["bands"]))
+                for r in got)
+        assert rows["agg"] == rows["window"], scheme
+        assert {900, 901, 902} & {r[0] for r in rows["agg"]} == set()
+    with pytest.raises(ValueError, match="shape"):
+        _sig_rows(docs, "text", "doc_id", 3, 8, 4, shape="bad")
+
+
 def test_lsh_scheme_mismatch_is_loud(spark, tmp_path):
     """meta carries the scheme, so a probe against a sliced index
     signs the batch sliced — never the silent zero-match footgun of
