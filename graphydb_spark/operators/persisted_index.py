@@ -630,7 +630,8 @@ def probe_ivfpq_table_batch(spark: SparkSession, path: str,
                             nprobe: int = 2, version: int | None = None,
                             qid_col: str = "qid",
                             qvec_col: str = "qvec",
-                            max_batch: int | None = None) -> DataFrame:
+                            max_batch: int | None = None,
+                            rerank: int | None = None) -> DataFrame:
     """Batch ADC serving over the IVF-PQ table: top-k by approximate
     distance for EVERY query → (qid, vec_id, adc_dist, rn) — the
     compressed-index twin of :func:`probe_ivf_table_batch`, same
@@ -643,7 +644,19 @@ def probe_ivfpq_table_batch(spark: SparkSession, path: str,
     indexed gather+sum per subspace — no per-row Python, no pair join.
     Chunk-local top-k thresholds keep exact ties, so the global
     ``row_number`` re-rank sees every row it could rank ≤ k (the same
-    lossless-prune argument as the IVF batch)."""
+    lossless-prune argument as the IVF batch).
+
+    ``rerank=α`` is the BATCH form of the two-stage serve: the ADC
+    pass keeps each query's top-(k·α) candidates, their raw vectors
+    (``store_raw=True`` indexes only) are re-read from the same
+    manifest-pruned cells via a broadcast semi-join on the candidate
+    (qid, id) pairs — never collected to the driver — and exact L2
+    re-ranks per query → (qid, id, l2_dist, rn).  The L2 kernel is the
+    dim-major left fold, bit-identical to the per-query probe's SQL
+    ``aggregate(zip_with(...))`` (pinned by
+    test_ivfpq_batch_rerank_equals_single_probes).  The broadcast
+    candidate frame is nq·k·α pairs — bounded at 2M pairs with a loud
+    error naming the chunked alternative."""
     import numpy as np
 
     from .relational import topk_per_group
@@ -652,6 +665,15 @@ def probe_ivfpq_table_batch(spark: SparkSession, path: str,
     meta = snapshot_meta(path, version)
     if not meta or meta.get("kind") != "ivfpq":
         raise ValueError(f"{path!r} is not an IVF-PQ index table")
+    if rerank is not None:
+        if rerank != int(rerank) or int(rerank) < 1:
+            raise ValueError(f"rerank must be an integer >= 1, got "
+                             f"{rerank!r}")
+        rerank = int(rerank)
+        if not meta.get("store_raw"):
+            raise ValueError(
+                "rerank needs raw vectors in the index — rebuild with "
+                "build_ivfpq_table(..., store_raw=True)")
     cents, books = meta["centroids"], meta["books"]
     id_col = meta["id_col"]
     m = len(books)
@@ -721,8 +743,8 @@ def probe_ivfpq_table_batch(spark: SparkSession, path: str,
                     dist = np.zeros(codes.shape[0])
                     for s in range(m):          # fold order preserved
                         dist = dist + t[s][codes[:, s]]
-                    if len(dist) > k:
-                        thr = np.partition(dist, k - 1)[k - 1]
+                    if len(dist) > keep_n:
+                        thr = np.partition(dist, keep_n - 1)[keep_n - 1]
                         keep = np.nonzero(dist <= thr)[0]
                     else:
                         keep = np.arange(len(dist))
@@ -731,9 +753,56 @@ def probe_ivfpq_table_batch(spark: SparkSession, path: str,
                     out["adc_dist"].extend(dist[keep])
             yield pd.DataFrame(out)
 
+    # with rerank the chunk-local prune and the global cut both widen
+    # to k·α — pruning at k here would drop candidates the exact
+    # re-rank could promote into the final top-k
+    keep_n = k if rerank is None else k * rerank
     scored = cand.mapInPandas(score, schema=out_schema)
-    return topk_per_group(scored, [qid_col],
-                          [F.col("adc_dist").asc(), F.col(id_col)], k)
+    approx = topk_per_group(scored, [qid_col],
+                            [F.col("adc_dist").asc(), F.col(id_col)],
+                            keep_n)
+    if rerank is None:
+        return approx
+    if len(qids) * keep_n > 2_000_000:
+        raise ValueError(
+            f"batch rerank would broadcast {len(qids) * keep_n:,} "
+            f"candidate pairs (> 2,000,000) — split the query table "
+            f"into smaller chunks driver-side")
+    # ---- stage 2: exact re-rank.  Candidate (qid, id) pairs stay a
+    # DataFrame (bounded broadcast, never a driver collect); the raw
+    # vectors come from the SAME manifest-pruned cell files.
+    vec_col = meta["vec_col"]
+    cand_pairs = approx.select(qid_col, id_col)
+    raws = [read_snapshot(spark, path, version=version,
+                          where={"cluster": (c, c)})
+            .select(id_col, vec_col) for c in cells]
+    raw = raws[0]
+    for p in raws[1:]:
+        raw = raw.unionByName(p)
+    joined = raw.join(F.broadcast(cand_pairs), id_col)
+    qid_to_i = {q: i for i, q in enumerate(qids)}
+    l2_schema = (f"`{qid_col}` {qid_type}, `{id_col}` {id_type}, "
+                 "l2_dist double")
+
+    def exact(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qi = pdf[qid_col].map(qid_to_i).to_numpy()
+            Qs = Qm[qi]
+            acc = np.zeros(len(pdf), dtype=np.float64)
+            for d in range(V.shape[1]):         # dim-major left fold —
+                diff = V[:, d] - Qs[:, d]       # == aggregate(zip_with)
+                acc = acc + diff * diff
+            yield pd.DataFrame({qid_col: pdf[qid_col],
+                                id_col: pdf[id_col],
+                                "l2_dist": acc})
+
+    exact_scored = joined.mapInPandas(exact, schema=l2_schema)
+    return topk_per_group(exact_scored, [qid_col],
+                          [F.col("l2_dist").asc(), F.col(id_col)], k)
 
 
 # ------------------------------------------------------------- MinHash-LSH

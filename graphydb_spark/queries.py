@@ -18873,6 +18873,212 @@ WHERE rate >= 1.0
 """
 
 
+def q_pq_batch_rerank(spark, sf_dir):
+    """BATCH two-stage IVF-PQ serve
+    (persisted_index.probe_ivfpq_table_batch(rerank=α)): three query
+    vectors ride one closure matrix through the ADC scan, their
+    candidate (qid, id) pairs broadcast-semi-join the raw refine
+    column from the same manifest-pruned cells, and exact L2 re-ranks
+    per query — the batch form of pq_rerank_topk, same FULL-hash gate:
+    all cells probed with k·α ≥ corpus makes each query's re-ranked
+    result EXACTLY its brute-force L2 top-10, which the oracle states
+    per qid.  The bounded-α batch path is pinned by
+    test_ivfpq_batch_rerank_equals_single_probes."""
+    path = _ivfpq_index(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    k, rerank = 10, 200
+    n = emb.count()
+    if k * rerank < n:
+        raise AssertionError(
+            f"pq_batch_rerank exact-equivalence boundary broken: "
+            f"k*rerank={k * rerank} < corpus {n}; raise rerank")
+    queries = (emb.where(F.col("vec_id").isin([3, 7, 11]))
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    out = persisted_index.probe_ivfpq_table_batch(
+        spark, path, queries, k=k, nprobe=4, rerank=rerank)
+    return out.select("qid", "vec_id",
+                      F.round("l2_dist", 6).alias("l2_dist"))
+
+
+_PQ_BATCH_RERANK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS qid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id IN (3, 7, 11)),
+d AS (
+  SELECT q.qid, e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding)+1),
+           i -> (CAST(e.embedding[i] AS DOUBLE) - q.qv[i])
+              * (CAST(e.embedding[i] AS DOUBLE) - q.qv[i]))) AS l2
+  FROM embeddings e, q),
+r AS (
+  SELECT qid, vec_id, l2,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY l2, vec_id) AS rn
+  FROM d)
+SELECT qid, vec_id, round(l2, 6) AS l2_dist
+FROM r WHERE rn <= 10
+"""
+ORACLES["pq_batch_rerank"] = _PQ_BATCH_RERANK_ORACLE
+
+
+def q_prf_expansion(spark, sf_dir):
+    """Pseudo-relevance-feedback retrieval (Rocchio's two-pass idiom),
+    SERVED from the standing FTS index: (1) BM25 top-10 for the seed
+    terms ['data','query'] via the persisted probe (manifest-pruned
+    token-range reads + meta corpus stats); (2) expansion terms = the
+    top-5 tokens of those 10 docs by summed frequency (seeds excluded;
+    the doc texts come from the DOCUMENTS table by id — the forward
+    index — never a uid-scan of the token-sorted postings); (3) final
+    BM25 top-10 for seeds+expansion.  The 5 expansion terms are a
+    bounded driver fetch (the q_ivf_probe query-vector precedent).
+    Every cut is engine-portable: stage 1 and 3 order by 6 dp-rounded
+    score then doc_id (the bm25_probe precedent), stage 2 by integer
+    tf then term."""
+    from .operators.text import tokens as _tok
+    fts_path = _retrieval_indexes(spark, sf_dir)["fts"]
+    seeds = ["data", "query"]
+    top1 = (persisted_index.probe_fts_table(spark, fts_path, seeds)
+            .select(F.substring("uid", 10, 30).cast("long")
+                    .alias("doc_id"),
+                    F.round("score", 6).alias("s"))
+            .orderBy(F.col("s").desc(), F.col("doc_id")).limit(10))
+    exp = (_docs(spark, sf_dir).join(F.broadcast(top1), "doc_id")
+           .select(F.explode(_tok(F.col("text"))).alias("term"))
+           .where(~F.col("term").isin(seeds))
+           .groupBy("term").agg(F.count("*").alias("tf"))
+           .orderBy(F.col("tf").desc(), F.col("term")).limit(5))
+    terms = seeds + [r["term"] for r in exp.collect()]
+    return (persisted_index.probe_fts_table(spark, fts_path, terms)
+            .select(F.substring("uid", 10, 30).cast("long")
+                    .alias("doc_id"),
+                    F.round("score", 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id")).limit(10))
+
+
+def _bm25_cte(tf_where: str, tag: str) -> str:
+    """One BM25 scoring chain over the shared tokenizer CTEs —
+    parameterized by the tf filter so the PRF oracle can run the seed
+    pass and the expanded pass with identical constants (k1=1.2,
+    b=0.75, idf=ln((n-df+.5)/(df+.5)+1) — probe_fts_table's exact
+    formula)."""
+    return f"""
+tf{tag} AS (
+  SELECT toks.doc_id, u.tok AS term, COUNT(*) AS tf
+  FROM toks, UNNEST(ws) AS u(tok)
+  WHERE {tf_where}
+  GROUP BY toks.doc_id, u.tok),
+dfreq{tag} AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+               FROM tf{tag} GROUP BY term),
+scored{tag} AS (
+  SELECT t.doc_id,
+         SUM( ln((s.n - d.df + 0.5)/(d.df + 0.5) + 1.0)
+              * (t.tf * 2.2)
+              / (t.tf + 1.2 * (1 - 0.75 + 0.75 * docs.dl / s.avgdl))
+            ) AS score
+  FROM tf{tag} t JOIN dfreq{tag} d USING (term)
+       JOIN docs ON docs.doc_id = t.doc_id
+       CROSS JOIN stats s
+  GROUP BY t.doc_id)"""
+
+
+_PRF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '') AS ws
+  FROM documents
+),
+docs AS (SELECT doc_id, len(ws) AS dl FROM toks WHERE len(ws) > 0),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM docs),""" + \
+    _bm25_cte("u.tok IN ('data','query')", "1") + """,
+top1 AS (SELECT doc_id FROM scored1
+         ORDER BY round(score, 6) DESC, doc_id LIMIT 10),
+exp AS (
+  SELECT u.tok AS term, COUNT(*) AS tf
+  FROM toks JOIN top1 USING (doc_id), UNNEST(ws) AS u(tok)
+  WHERE u.tok NOT IN ('data','query')
+  GROUP BY u.tok ORDER BY tf DESC, term LIMIT 5),""" + \
+    _bm25_cte("u.tok IN ('data','query') "
+              "OR u.tok IN (SELECT term FROM exp)", "2") + """
+SELECT doc_id, round(score, 6) AS score
+FROM scored2
+ORDER BY round(score, 6) DESC, doc_id
+LIMIT 10
+"""
+ORACLES["prf_expansion"] = _PRF_ORACLE
+
+
+def q_ann_recall_curve(spark, sf_dir):
+    """ANN serving-quality evaluation over the standing IVF table:
+    recall@10 of the manifest-pruned probe vs exact brute force (the
+    nprobe=8 probe over an 8-cell index reads every cell, so it IS the
+    exact top-10) for nprobe ∈ {1,2,4,8} — the capacity-planning curve
+    an operator reads before picking a probe width.  Four bounded
+    probes of a constant-size loop (the q_ivf_probe collect precedent);
+    hits is the integer overlap, recall = hits/10.  The oracle replays
+    the identical deterministic k-means (shared unrolled-Lloyd chain)
+    and cell restriction per nprobe."""
+    ivf_path = _retrieval_indexes(spark, sf_dir)["ivf"]
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0)
+          .select("embedding").collect()[0][0]]
+    base = {r["vec_id"] for r in persisted_index.probe_ivf_table(
+        spark, ivf_path, qv, k=10, nprobe=8).collect()}
+    rows = []
+    for np_ in (1, 2, 4, 8):
+        got = {r["vec_id"] for r in persisted_index.probe_ivf_table(
+            spark, ivf_path, qv, k=10, nprobe=np_).collect()}
+        hits = len(got & base)
+        rows.append((np_, hits, round(hits / 10.0, 6)))
+    return spark.createDataFrame(rows,
+                                 "nprobe int, hits int, recall double")
+
+
+def _ann_recall_oracle_sql(k: int = 8, iters: int = 2,
+                           topk: int = 10) -> str:
+    branches = []
+    probes = []
+    for np_ in (1, 2, 4, 8):
+        probes.append(f"""
+probe{np_} AS (SELECT c FROM celld ORDER BY d, c LIMIT {np_}),
+top{np_} AS (
+  SELECT vec_id FROM scored WHERE c IN (SELECT c FROM probe{np_})
+  ORDER BY cos DESC, vec_id LIMIT {topk})""")
+        branches.append(f"""
+SELECT {np_} AS nprobe,
+       (SELECT COUNT(*) FROM top{np_} JOIN base USING (vec_id)) AS hits,
+       round((SELECT COUNT(*) FROM top{np_} JOIN base USING (vec_id))
+             / {topk}.0, 6) AS recall""")
+    return _ivf_ctes(k, iters) + f""",
+q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM e WHERE vec_id = 0),
+celld AS (
+  SELECT c{iters}.c,
+         list_sum(list_transform(range(1, len(q.qv)+1),
+           i -> (c{iters}.cent[i] - q.qv[i])
+              * (c{iters}.cent[i] - q.qv[i]))) AS d
+  FROM c{iters}, q),
+scored AS (
+  SELECT fin.c, e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding)+1),
+           i -> q.qv[i] * CAST(e.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, len(q.qv)+1),
+              i -> q.qv[i] * q.qv[i])))
+          * sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+              i -> CAST(e.embedding[i] AS DOUBLE)
+                 * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+  FROM e JOIN fin USING (vec_id), q),
+base AS (SELECT vec_id FROM scored ORDER BY cos DESC, vec_id
+         LIMIT {topk}),{",".join(probes)}
+{" UNION ALL ".join(branches)}
+ORDER BY nprobe
+"""
+
+
+ORACLES["ann_recall_curve"] = _ann_recall_oracle_sql()
+
+
 # Plan cache (prepared-statement semantics): the catalog queries are pure
 # functions of immutable inputs (parquet fixtures + the memoized graph
 # encoding), so the analyzed/optimized logical plan can be reused across
@@ -19319,6 +19525,9 @@ QUERIES = {
     "pq_rerank_topk": q_pq_rerank_topk,
     "ivfpq_rerank_probe": q_ivfpq_rerank_probe,
     "token_budget_mixture": q_token_budget_mixture,
+    "prf_expansion": q_prf_expansion,
+    "ann_recall_curve": q_ann_recall_curve,
+    "pq_batch_rerank": q_pq_batch_rerank,
 }
 
 QUERIES = {name: _plan_cached(name, fn) for name, fn in QUERIES.items()}

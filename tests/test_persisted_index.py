@@ -882,6 +882,61 @@ def test_ivfpq_batch_probe_equals_single_probes(spark, tmp_path):
                    for (_, _, a), b in zip(sorted(by_q[qid]), want)), qid
 
 
+def test_ivfpq_batch_rerank_equals_single_probes(spark, tmp_path):
+    """probe_ivfpq_table_batch(rerank=α) == per-query
+    probe_ivfpq_table(rerank=α) for every query — candidate set, exact
+    L2 values (the batch dim-major numpy fold is bit-identical to the
+    SQL aggregate(zip_with) fold) and the (l2, id) order."""
+    from graphydb_spark.operators.persisted_index import (
+        build_ivfpq_table, probe_ivfpq_table, probe_ivfpq_table_batch)
+    emb = _emb(spark, n=80, dim=8)
+    p = str(tmp_path / "ivfpq_br")
+    build_ivfpq_table(emb, p, k=4, m=4, pq_k=8, iters=2,
+                      store_raw=True)
+    qs = [("q0", [1.0, -2.0, 0.5, 3.0, 0.0, 1.0, -1.0, 2.0]),
+          ("q1", [-3.0, 0.0, 2.0, -1.0, 1.5, 0.5, 0.0, -2.0]),
+          ("q2", [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8])]
+    queries = spark.createDataFrame(qs, "qid string, qvec array<double>")
+    got = probe_ivfpq_table_batch(spark, p, queries, k=5, nprobe=2,
+                                  rerank=3)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.qid, []).append((r.rn, r.vec_id, r.l2_dist))
+    assert set(by_q) == {"q0", "q1", "q2"}
+    for qid, vec in qs:
+        want = probe_ivfpq_table(spark, p, vec, k=5, nprobe=2,
+                                 rerank=3).collect()
+        assert [v for _, v, _ in sorted(by_q[qid])] == \
+               [r.vec_id for r in want], qid
+        assert all(abs(a - b.l2_dist) < 1e-12
+                   for (_, _, a), b in zip(sorted(by_q[qid]), want)), qid
+
+
+def test_ivfpq_batch_rerank_guards(spark, tmp_path):
+    from graphydb_spark.operators.persisted_index import (
+        build_ivfpq_table, probe_ivfpq_table_batch)
+    emb = _emb(spark, n=40, dim=4)
+    p_noraw = str(tmp_path / "ivfpq_nr")
+    build_ivfpq_table(emb, p_noraw, k=3, m=2, pq_k=4, iters=1)
+    qs = spark.createDataFrame([("a", [0.0] * 4)],
+                               "qid string, qvec array<double>")
+    with pytest.raises(ValueError, match="store_raw"):
+        probe_ivfpq_table_batch(spark, p_noraw, qs, k=3, rerank=2)
+    p = str(tmp_path / "ivfpq_r")
+    build_ivfpq_table(emb, p, k=3, m=2, pq_k=4, iters=1, store_raw=True)
+    for bad in (0, 1.5):
+        with pytest.raises(ValueError, match="rerank"):
+            probe_ivfpq_table_batch(spark, p, qs, k=3, rerank=bad)
+    # candidate-pair broadcast bound: nq*k*alpha > 2M raises with the
+    # chunked alternative named (loud, before any job runs)
+    import graphydb_spark.operators.persisted_index as PI
+    qs_many = spark.createDataFrame(
+        [(f"q{i}", [float(i)] * 4) for i in range(50)],
+        "qid string, qvec array<double>")
+    with pytest.raises(ValueError, match="chunks"):
+        probe_ivfpq_table_batch(spark, p, qs_many, k=14000, rerank=3)
+
+
 def test_ivfpq_batch_probe_guard_and_rejects(spark, tmp_path):
     from graphydb_spark.operators.persisted_index import (
         build_ivfpq_table, probe_ivfpq_table_batch)
