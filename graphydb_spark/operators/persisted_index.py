@@ -650,13 +650,16 @@ def probe_ivfpq_table_batch(spark: SparkSession, path: str,
     pass keeps each query's top-(k·α) candidates, their raw vectors
     (``store_raw=True`` indexes only) are re-read from the same
     manifest-pruned cells via a broadcast semi-join on the candidate
-    (qid, id) pairs — never collected to the driver — and exact L2
-    re-ranks per query → (qid, id, l2_dist, rn).  The L2 kernel is the
-    dim-major left fold, bit-identical to the per-query probe's SQL
+    (qid, id) pairs, and exact L2 re-ranks per query →
+    (qid, id, l2_dist, rn).  The L2 kernel is the dim-major left
+    fold, bit-identical to the per-query probe's SQL
     ``aggregate(zip_with(...))`` (pinned by
-    test_ivfpq_batch_rerank_equals_single_probes).  The broadcast
-    candidate frame is nq·k·α pairs — bounded at 2M pairs with a loud
-    error naming the chunked alternative."""
+    test_ivfpq_batch_rerank_equals_single_probes).  NOTE the
+    broadcast build DOES materialize the candidate pairs in driver
+    memory (that is what a broadcast relation is) — which is exactly
+    why the stage is bounded at 2M narrow (qid, id) pairs with a
+    loud error naming the chunked alternative; size driver memory
+    accordingly before raising that constant."""
     import numpy as np
 
     from .relational import topk_per_group
@@ -768,9 +771,10 @@ def probe_ivfpq_table_batch(spark: SparkSession, path: str,
             f"batch rerank would broadcast {len(qids) * keep_n:,} "
             f"candidate pairs (> 2,000,000) — split the query table "
             f"into smaller chunks driver-side")
-    # ---- stage 2: exact re-rank.  Candidate (qid, id) pairs stay a
-    # DataFrame (bounded broadcast, never a driver collect); the raw
-    # vectors come from the SAME manifest-pruned cell files.
+    # ---- stage 2: exact re-rank.  The candidate (qid, id) frame is
+    # broadcast — the relation build materializes it driver-side,
+    # hence the hard pair bound above; the raw vectors come from the
+    # SAME manifest-pruned cell files.
     vec_col = meta["vec_col"]
     cand_pairs = approx.select(qid_col, id_col)
     raws = [read_snapshot(spark, path, version=version,

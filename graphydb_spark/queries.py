@@ -2342,15 +2342,19 @@ def _interval_layout(spark, sf_dir):
     import os
     import tempfile
     from .streaming.windows import interval_join_layout
+    # the table NAME carries the session id too: sessions sharing one
+    # SparkContext share one catalog, so a (pid, sf)-only name would
+    # let a second session's rebuild DROP the tables out from under
+    # the first session's already-built DataFrames
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    lt = f"gdb_ij_{os.getpid()}_{tag}_l"
-    rt = f"gdb_ij_{os.getpid()}_{tag}_r"
+    sid = f"{os.getpid()}_{id(spark):x}_{tag}"
+    lt, rt = f"gdb_ij_{sid}_l", f"gdb_ij_{sid}_r"
     ev = _events(spark, sf_dir)
     interval_join_layout(
         spark, ev, ev, lt, rt, key_col="user_id", ts_col="ts",
         lower_s=1, upper_s=120,
         path_prefix=os.path.join(tempfile.gettempdir(),
-                                 f"graphydb_spark_ij_{os.getpid()}_{tag}"))
+                                 f"graphydb_spark_ij_{sid}"))
     _IJB_CACHE[key] = (lt, rt)
     return lt, rt
 
@@ -18724,13 +18728,8 @@ def q_pq_rerank_topk(spark, sf_dir):
     k, rerank = 10, 200
     # the exact-equivalence premise — k·α covers the corpus so the
     # two-stage result IS brute force — must fail loudly if the
-    # fixture ever outgrows it (sf0.1 has exactly 2000 = k·α rows;
-    # ADVICE r5: zero margin held silently)
-    n = emb.count()
-    if k * rerank < n:
-        raise AssertionError(
-            f"pq_rerank_topk exact-equivalence boundary broken: "
-            f"k*rerank={k * rerank} < corpus {n}; raise rerank")
+    # fixture ever outgrows it (sf0.1 has exactly 2000 = k·α rows)
+    _assert_exact_rerank_premise("pq_rerank_topk", emb, k, rerank)
     top = persisted_index.probe_ivfpq_table(spark, path, qv, k=k,
                                             nprobe=4, rerank=rerank)
     return top.select("vec_id", F.round("l2_dist", 6).alias("l2_dist"))
@@ -18873,6 +18872,18 @@ WHERE rate >= 1.0
 """
 
 
+def _assert_exact_rerank_premise(name, emb, k, rerank):
+    """The exact-equivalence gate both rerank registry entries rest on
+    (ADVICE r5: the boundary held silently with zero margin) — shared
+    so a fixture-growth fix can never update one site and leave the
+    other's constant stale."""
+    n = emb.count()
+    if k * rerank < n:
+        raise AssertionError(
+            f"{name} exact-equivalence boundary broken: "
+            f"k*rerank={k * rerank} < corpus {n}; raise rerank")
+
+
 def q_pq_batch_rerank(spark, sf_dir):
     """BATCH two-stage IVF-PQ serve
     (persisted_index.probe_ivfpq_table_batch(rerank=α)): three query
@@ -18887,11 +18898,7 @@ def q_pq_batch_rerank(spark, sf_dir):
     path = _ivfpq_index(spark, sf_dir)
     emb = _emb(spark, sf_dir)
     k, rerank = 10, 200
-    n = emb.count()
-    if k * rerank < n:
-        raise AssertionError(
-            f"pq_batch_rerank exact-equivalence boundary broken: "
-            f"k*rerank={k * rerank} < corpus {n}; raise rerank")
+    _assert_exact_rerank_premise("pq_batch_rerank", emb, k, rerank)
     queries = (emb.where(F.col("vec_id").isin([3, 7, 11]))
                .select(F.col("vec_id").alias("qid"),
                        F.col("embedding").alias("qvec")))
@@ -19027,8 +19034,11 @@ def q_ann_recall_curve(spark, sf_dir):
         spark, ivf_path, qv, k=10, nprobe=8).collect()}
     rows = []
     for np_ in (1, 2, 4, 8):
-        got = {r["vec_id"] for r in persisted_index.probe_ivf_table(
-            spark, ivf_path, qv, k=10, nprobe=np_).collect()}
+        # nprobe=8 IS the exact probe — reuse base instead of running
+        # the identical all-cells job twice
+        got = base if np_ == 8 else {
+            r["vec_id"] for r in persisted_index.probe_ivf_table(
+                spark, ivf_path, qv, k=10, nprobe=np_).collect()}
         hits = len(got & base)
         rows.append((np_, hits, round(hits / 10.0, 6)))
     return spark.createDataFrame(rows,

@@ -299,11 +299,15 @@ def interval_join_layout(spark, left: DataFrame, right: DataFrame,
 
     Measured (scripts/interval_bucketed_pair.py, same-hour): sf0.1
     0.77 s → 0.27 s; ×10 replicas 2.52 s → 0.48 s (2.17× the DuckDB
-    anchor, vs 11.4× for the per-run plan).  Both sides must be laid
-    out with the SAME band (lower_s/upper_s) and bucket count the
-    probe will use — the band width IS the bucketing function.
-    ``path_prefix`` makes the tables external at that location
-    (session-temp layouts); default is the warehouse dir."""
+    anchor, vs 11.4× for the per-run plan).  The band width IS the
+    bucketing function, so the layout's (lower_s, upper_s, n_buckets)
+    are persisted as table properties and
+    :func:`interval_join_bucketed` REFUSES a mismatched probe — a
+    wider probe band would silently miss pairs whose right event
+    lands in a bucket the write-time explode never produced (the
+    MinHash index stores its hash-space params in meta for the same
+    reason).  ``path_prefix`` makes the tables external at that
+    location (session-temp layouts); default is the warehouse dir."""
     lo_us = int(round(float(lower_s) * 1_000_000))
     hi_us = int(round(float(upper_s) * 1_000_000))
     width = max(hi_us - lo_us, 1)
@@ -327,6 +331,19 @@ def interval_join_layout(spark, left: DataFrame, right: DataFrame,
             w = w.option("path", f"{path_prefix}/{name}")
         (w.bucketBy(n_buckets, "k", "__b").sortBy("k", "__b")
          .saveAsTable(name))
+        spark.sql(
+            f"ALTER TABLE {name} SET TBLPROPERTIES ("
+            f"'graphydb.interval.lower_s' = '{lower_s}', "
+            f"'graphydb.interval.upper_s' = '{upper_s}', "
+            f"'graphydb.interval.n_buckets' = '{n_buckets}')")
+
+
+def _layout_band(spark, table: str) -> tuple[str, str] | None:
+    props = {r["key"]: r["value"] for r in
+             spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
+    lo = props.get("graphydb.interval.lower_s")
+    hi = props.get("graphydb.interval.upper_s")
+    return (lo, hi) if lo is not None and hi is not None else None
 
 
 def interval_join_bucketed(spark, left_table: str, right_table: str,
@@ -338,7 +355,22 @@ def interval_join_bucketed(spark, left_table: str, right_table: str,
     :func:`interval_join` ((key, left_id, right_id)), but the
     (k, __b) equi-join matches bucket files pairwise (no Exchange on
     either side) and the band residual compares the precomputed
-    epoch-µs longs.  The band MUST match the layout's."""
+    epoch-µs longs.  The probe band is checked against the band the
+    tables were LAID OUT with (table properties) — a mismatch raises
+    instead of silently dropping every pair outside the write-time
+    bucket function."""
+    for t in (left_table, right_table):
+        band = _layout_band(spark, t)
+        if band is None:
+            raise ValueError(
+                f"{t!r} has no interval-layout band properties — "
+                f"(re)write it with interval_join_layout")
+        if band != (str(lower_s), str(upper_s)):
+            raise ValueError(
+                f"probe band [{lower_s}, {upper_s}]s does not match "
+                f"the layout band [{band[0]}, {band[1]}]s of {t!r} — "
+                f"the band width IS the bucketing function; rebuild "
+                f"the layout for the new band")
     lo_us = int(round(float(lower_s) * 1_000_000))
     hi_us = int(round(float(upper_s) * 1_000_000))
     lt, rt = spark.table(left_table), spark.table(right_table)

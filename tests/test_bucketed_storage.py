@@ -82,3 +82,39 @@ def test_interval_join_bucketed_equals_per_run_plan(spark, tmp_path):
         for t in ("t_ij_l", "t_ij_r"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
     assert want and got == want
+
+
+def test_interval_join_bucketed_band_mismatch_is_loud(spark, tmp_path):
+    """A probe band different from the layout's must raise — the band
+    width IS the bucketing function, so a wider probe would silently
+    miss pairs (code-review r6 finding #1); and a table without the
+    layout properties is refused."""
+    from graphydb_spark.streaming.windows import (interval_join_bucketed,
+                                                  interval_join_layout)
+    ev = spark.createDataFrame(
+        [(i, i % 3, 1_700_000_000 + i * 13) for i in range(60)],
+        "event_id long, user_id long, epoch long").select(
+        "event_id", "user_id",
+        F.timestamp_seconds("epoch").alias("ts"))
+    try:
+        interval_join_layout(spark, ev, ev, "t_ijm_l", "t_ijm_r",
+                             lower_s=1, upper_s=120, n_buckets=2,
+                             path_prefix=str(tmp_path))
+        with pytest.raises(ValueError, match="band"):
+            interval_join_bucketed(spark, "t_ijm_l", "t_ijm_r",
+                                   lower_s=1, upper_s=240)
+        # matching band still works
+        assert interval_join_bucketed(
+            spark, "t_ijm_l", "t_ijm_r",
+            lower_s=1, upper_s=120).count() >= 0
+        # a table with no layout properties is refused
+        spark.range(3).selectExpr("id AS k", "id AS __b", "id AS lts",
+                                  "id AS left_id") \
+            .write.mode("overwrite").option(
+                "path", str(tmp_path / "bare")).saveAsTable("t_ijm_bare")
+        with pytest.raises(ValueError, match="no interval-layout"):
+            interval_join_bucketed(spark, "t_ijm_bare", "t_ijm_r",
+                                   lower_s=1, upper_s=120)
+    finally:
+        for t in ("t_ijm_l", "t_ijm_r", "t_ijm_bare"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -202,7 +202,7 @@ def test_lsh_scheme_differential(spark, tmp_path):
                    if k not in truth)
 
 
-def test_lsh_scheme_differential_sf001(spark, tmp_path):
+def test_lsh_scheme_differential_sf01(spark, tmp_path):
     """The full pair-set identity gate at sf0.01 (the driver's
     correctness scale): salted and sliced emit the IDENTICAL
     (index_id, new_id) set."""
