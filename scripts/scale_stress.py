@@ -884,6 +884,30 @@ def round8_entries(spark, n_vecs=1_000_000, dim=16, k=64,
                 nprobe=4).collect()]
             for s in sample_b)
         print(f"ivfpq_batch_probe agreement with per-query: {agree}")
+        # batch TWO-STAGE serving (round 6): 1000 queries through the
+        # ADC pass + exact L2 re-rank from the refine column — the
+        # candidate (qid, id) pairs broadcast-semi-join the raw cells,
+        # one extra pruned scan for the whole batch
+        t0 = _t.perf_counter()
+        brr = PI.probe_ivfpq_table_batch(
+            spark, os.path.join(d, "ivfpq"), queries, k=10, nprobe=4,
+            rerank=4)
+        nbrr = brr.localCheckpoint(eager=True).count()
+        dtr = _t.perf_counter() - t0
+        print(f"ivfpq_batch_rerank[1000 q, nprobe=4, a=4]: {dtr:.2f}s "
+              f"({1000 / dtr:,.0f} q/s)  rows={nbrr}")
+        brq = {s.qid: [] for s in sample_b}
+        for r in brr.join(F.broadcast(
+                spark.createDataFrame([(s.qid,) for s in sample_b],
+                                      "qid string")), "qid").collect():
+            brq[r.qid].append((r.rn, r.vec_id))
+        agree_rr = all(
+            [v for _, v in sorted(brq[s.qid])]
+            == [r.vec_id for r in PI.probe_ivfpq_table(
+                spark, os.path.join(d, "ivfpq"), list(s.qvec), k=10,
+                nprobe=4, rerank=4).collect()]
+            for s in sample_b)
+        print(f"ivfpq_batch_rerank agreement with per-query: {agree_rr}")
         # recall@k undersells ANN when candidates are near-equidistant
         # (inside one tight cluster every member is ~the same distance);
         # the honest quality metric is the distance ratio: how far are
