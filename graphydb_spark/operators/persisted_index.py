@@ -224,13 +224,19 @@ def _nearest_cells_batch(centroids: list[list[float]], Qm,
     test_nearest_cells_batch_matches_scalar."""
     import numpy as np
     C = np.asarray(centroids, dtype=np.float64)        # (ncells, dim)
+    # contiguous per-dim rows + out= buffers: Qm[:, d] is a stride-dim
+    # gather and the naive broadcast allocates 3 temporaries per dim —
+    # measured 4.0 s → 0.66 s at the 65,536 cap, bitwise-equal output
+    # (same per-element IEEE op order; only memory layout changes)
+    Qt = np.ascontiguousarray(Qm.T)                    # (dim, nq)
     acc = np.zeros((Qm.shape[0], C.shape[0]), dtype=np.float64)
+    buf = np.empty_like(acc)
     for d in range(C.shape[1]):                        # fold order
-        diff = C[None, :, d] - Qm[:, d][:, None]
-        acc = acc + diff * diff
+        np.subtract(C[None, :, d], Qt[d][:, None], out=buf)
+        np.multiply(buf, buf, out=buf)
+        np.add(acc, buf, out=acc)
     order = np.argsort(acc, axis=1, kind="stable")
-    return [[int(c) for c in order[i, :nprobe]]
-            for i in range(Qm.shape[0])]
+    return order[:, :nprobe].tolist()
 
 
 def probe_ivf_table(spark: SparkSession, path: str,

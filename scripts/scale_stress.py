@@ -908,6 +908,43 @@ def round8_entries(spark, n_vecs=1_000_000, dim=16, k=64,
                 nprobe=4, rerank=4).collect()]
             for s in sample_b)
         print(f"ivfpq_batch_rerank agreement with per-query: {agree_rr}")
+        # driver prep at the batch cap (VERDICT r5 #6 "Done" gate):
+        # pure numpy, no Spark jobs — cell assignment for 65,536
+        # queries plus the per-(cell, query) ADC tables
+        import numpy as _np
+        rng = _np.random.RandomState(1)
+        cents_m = rng.randn(k, dim).tolist()
+        Qcap = rng.randn(PI.MAX_QUERY_BATCH, dim)
+        PI._nearest_cells_batch(cents_m, Qcap, nprobe=4)  # warm-up:
+        # first call pays ~130 MB of first-touch page faults (process-
+        # lifetime one-time, ~2-3 s); steady state is what a serving
+        # driver pays per batch — the same warm-up protocol bench.py
+        # uses for JIT/codegen
+        t0 = _t.perf_counter()
+        plist = PI._nearest_cells_batch(cents_m, Qcap, nprobe=4)
+        t_cells = _t.perf_counter() - t0
+        c2q: dict = {}
+        for i, cs in enumerate(plist):
+            for c in cs:
+                c2q.setdefault(c, []).append(i)
+        m_, pq_k_, sub_ = 8, 32, dim // 8
+        Bm = [rng.randn(pq_k_, sub_) for _ in range(m_)]
+        t0 = _t.perf_counter()
+        for c in sorted(c2q):
+            qi = c2q[c]
+            qr = Qcap[qi] - _np.asarray(cents_m[c])[None, :]
+            tt = _np.empty((len(qi), m_, pq_k_))
+            for s in range(m_):
+                qs = qr[:, s * sub_:(s + 1) * sub_]
+                a2 = _np.zeros((len(qi), pq_k_))
+                for dd in range(sub_):
+                    df_ = Bm[s][None, :, dd] - qs[:, dd][:, None]
+                    a2 = a2 + df_ * df_
+                tt[:, s, :] = a2
+        t_tabs = _t.perf_counter() - t0
+        print(f"driver_prep_at_cap[{PI.MAX_QUERY_BATCH:,} q, dim{dim}, "
+              f"{k} cells, nprobe=4, m{m_}/pq_k{pq_k_}]: cells "
+              f"{t_cells:.2f}s + adc_tables {t_tabs:.2f}s")
         # recall@k undersells ANN when candidates are near-equidistant
         # (inside one tight cluster every member is ~the same distance);
         # the honest quality metric is the distance ratio: how far are
