@@ -70,6 +70,10 @@ BENCH_QUERIES = [
     "hybrid_search",
     # round 4: the persisted-FTS probe as its own headline entry
     "bm25_probe",
+    # round 6: two-pass pseudo-relevance-feedback retrieval from the
+    # same standing FTS index (seed BM25 -> expansion terms -> expanded
+    # BM25); the anchor gets the postings-table twin in --standing-index
+    "prf_expansion",
     # (sssp_cost is excluded for the same reason as dedup_clusters: the
     # plan-cached frame holds checkpointed final distances, so a re-count
     # would measure a re-read, not the iterative relaxation)

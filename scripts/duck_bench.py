@@ -86,6 +86,55 @@ ORDER BY round(score, 6) DESC, doc_id
 LIMIT 10
 """
 
+# PRF two-pass retrieval served from the same standing postings: both
+# BM25 passes and the expansion-term count read idx_postings (tf is
+# the per-(doc, term) occurrence count, so SUM(tf) over the top docs
+# equals the full oracle's COUNT(*) over unnested tokens)
+_PRF_STANDING_PROBE = """
+WITH tf1 AS (
+  SELECT doc_id, term, tf FROM idx_postings
+  WHERE term IN ('data','query')
+),
+scored1 AS (
+  SELECT tf1.doc_id,
+         SUM( ln((s.n - d.df + 0.5)/(d.df + 0.5) + 1.0)
+              * (tf1.tf * 2.2)
+              / (tf1.tf + 1.2 * (1 - 0.75 + 0.75 * docs.dl / s.avgdl))
+            ) AS score
+  FROM tf1 JOIN idx_dfreq d USING (term)
+       JOIN idx_docs docs ON docs.doc_id = tf1.doc_id
+       CROSS JOIN idx_stats s
+  GROUP BY tf1.doc_id
+),
+top1 AS (SELECT doc_id FROM scored1
+         ORDER BY round(score, 6) DESC, doc_id LIMIT 10),
+exp AS (
+  SELECT p.term, SUM(p.tf) AS tf
+  FROM idx_postings p JOIN top1 USING (doc_id)
+  WHERE p.term NOT IN ('data','query')
+  GROUP BY p.term ORDER BY tf DESC, term LIMIT 5
+),
+tf2 AS (
+  SELECT doc_id, term, tf FROM idx_postings
+  WHERE term IN ('data','query') OR term IN (SELECT term FROM exp)
+),
+scored2 AS (
+  SELECT tf2.doc_id,
+         SUM( ln((s.n - d.df + 0.5)/(d.df + 0.5) + 1.0)
+              * (tf2.tf * 2.2)
+              / (tf2.tf + 1.2 * (1 - 0.75 + 0.75 * docs.dl / s.avgdl))
+            ) AS score
+  FROM tf2 JOIN idx_dfreq d USING (term)
+       JOIN idx_docs docs ON docs.doc_id = tf2.doc_id
+       CROSS JOIN idx_stats s
+  GROUP BY tf2.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored2
+ORDER BY round(score, 6) DESC, doc_id
+LIMIT 10
+"""
+
 # MinHash index side (even doc_ids), banded — the analogue of
 # persisted_index.build_minhash_index's snapshot rows.  The 'sliced'
 # signing scheme (2 md5/shingle, each digest cut into four 32-bit hex
@@ -280,6 +329,8 @@ def standing_index_plan() -> dict[str, dict]:
                           "probe": _hybrid_standing_probe()},
         "interval_join_events": {"setup": _IJ_SETUP,
                                  "probe": _IJ_STANDING_PROBE},
+        "prf_expansion": {"setup": _FTS_SETUP,
+                          "probe": _PRF_STANDING_PROBE},
     }
 
 

@@ -31,7 +31,7 @@ def test_standing_probes_equal_full_oracles(duck_bench_mod):
     import re
     plan = duck_bench_mod.standing_index_plan()
     assert set(plan) == {"bm25_probe", "lsh_probe", "hybrid_search",
-                         "interval_join_events"}
+                         "interval_join_events", "prf_expansion"}
     made = set()
     for name, spec in plan.items():
         for ddl in spec["setup"]:
