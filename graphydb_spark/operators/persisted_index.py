@@ -157,27 +157,55 @@ def _pin_version(path: str, version: int | None) -> int:
     return vs[-1]
 
 
-def _collect_query_batch(queries: DataFrame, qid_col: str, qvec_col: str,
-                         max_batch: int | None, fn_name: str) -> list:
-    """The shared bounded driver-collect of a batch probe's query table:
-    a plan-side LIMIT caps the fetch at cap+1 rows, an oversized batch
-    raises with the chunked alternative named — never an unbounded
-    collect.  NOTE the cap bounds driver MEMORY; driver CPU for the
-    per-query closure tables scales with the batch too (vectorized
-    numpy for IVF-PQ, one matrix row per query for IVF), so batches
-    near the cap pay seconds of driver prep before the scan starts."""
-    cap = MAX_QUERY_BATCH if max_batch is None else int(max_batch)
-    qrows = queries.select(qid_col, qvec_col).limit(cap + 1).collect()
-    if len(qrows) > cap:
-        raise ValueError(
-            f"query batch exceeds {cap:,} rows — {fn_name} collects the "
-            f"batch to the driver as one closure matrix by design; "
-            f"split the query table into chunks of ≤{cap:,} driver-side "
-            f"(or raise max_batch= explicitly if the closure-size "
-            f"tradeoff is understood)")
-    if not qrows:
+def _query_chunks(queries: DataFrame, qid_col: str, qvec_col: str,
+                  chunk_cap: int):
+    """Yield the batch probe's query table as ≤``chunk_cap``-row lists
+    of (qid, qvec) Rows — the shared driver-side pacing of both batch
+    probes.  A batch within the cap is ONE plan-side-LIMIT-bounded
+    collect (the fast path, identical to the pre-chunking design); a
+    larger batch streams partition-by-partition via ``toLocalIterator``
+    so driver memory holds one chunk plus one in-flight partition at
+    ANY batch size — what used to be a hard ``ValueError`` past the cap
+    is now just the chunk boundary.  NOTE the cap bounds driver MEMORY;
+    driver CPU for the per-chunk closure tables scales with the chunk
+    too (vectorized numpy for IVF-PQ, one matrix row per query for
+    IVF), so chunks near :data:`MAX_QUERY_BATCH` pay seconds of driver
+    prep before each chunk's scan starts.  The oversized path executes
+    the ``queries`` plan twice (size probe + iterator): a
+    non-deterministic query frame must be materialized by the caller
+    first."""
+    probe = queries.select(qid_col, qvec_col).limit(chunk_cap + 1).collect()
+    if not probe:
         raise ValueError("empty query batch")
-    return qrows
+    if len(probe) <= chunk_cap:
+        yield probe
+        return
+    buf: list = []
+    for r in (queries.select(qid_col, qvec_col)
+              .toLocalIterator(prefetchPartitions=True)):
+        buf.append(r)
+        if len(buf) == chunk_cap:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def _chunked_union(chunk_dfs_iter) -> DataFrame:
+    """Union per-chunk probe results.  Each chunk's result is
+    ``localCheckpoint``-ed (eager) as it is produced: the chunk's scan
+    runs NOW and its ~nq_chunk·k result rows persist as executor
+    blocks, so the ~MB-scale closure matrices of finished chunks are
+    released instead of stacking up in one giant lazy union — the
+    peak-memory profile is one chunk's closure at a time regardless of
+    how many chunks the batch spans.  Per-qid results are independent
+    (every ranking window partitions by qid), so the union is
+    value-identical to one unchunked pass."""
+    out = None
+    for df in chunk_dfs_iter:
+        part = df.localCheckpoint(eager=True)
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def _adc_table(qres: list[float],
@@ -264,13 +292,22 @@ def probe_ivf_table(spark: SparkSession, path: str,
                 .limit(k))
 
 
-#: hard cap on the driver-collected query batch in
-#: :func:`probe_ivf_table_batch` — the closure-matrix design holds the
-#: whole batch as one numpy matrix on the driver AND in every task
-#: closure, so it is bounded by construction (64k × 128-dim float64 ≈
-#: 64 MB closure).  Past this, iterate in chunks driver-side or use the
-#: per-query :func:`probe_ivf_table` in a loop.
+#: per-SCAN cap on the driver-collected query slice in
+#: :func:`probe_ivf_table_batch` / :func:`probe_ivfpq_table_batch` —
+#: the closure-matrix design holds one slice as one numpy matrix on the
+#: driver AND in every task closure, so each scan is bounded by
+#: construction (64k × 128-dim float64 ≈ 64 MB closure).  Batches past
+#: the cap are served automatically in ≤cap chunks, one scan each
+#: (:func:`_query_chunks`), value-identical to a single pass.
 MAX_QUERY_BATCH = 65_536
+
+#: hard bound on the candidate (qid, id) pairs ONE stage-2 rerank
+#: broadcast may materialize (a broadcast relation lives in driver +
+#: every executor's memory; 2M narrow pairs ≈ tens of MB).  The batch
+#: rerank sizes its query chunks as min(max_batch, this // (k·α)) so
+#: every broadcast respects the bound by construction; only k·α > the
+#: bound for a SINGLE query still errors.
+MAX_RERANK_PAIRS = 2_000_000
 
 
 def probe_ivf_table_batch(spark: SparkSession, path: str,
@@ -290,33 +327,40 @@ def probe_ivf_table_batch(spark: SparkSession, path: str,
     interpreted fold — measured 77 s expression / 292 s pair-Arrow vs
     ~15 s this shape on 1000 queries against a 1M-vector index.)
 
-    SCALE BOUND: the batch is collected to the driver BY DESIGN
-    (closure-matrix scan), so it must be a bounded serving batch —
-    ``max_batch`` (default :data:`MAX_QUERY_BATCH`) is enforced with a
-    plan-side LIMIT before the collect; an oversized batch raises
-    ``ValueError`` naming the chunked alternative instead of OOMing
-    the driver mid-collect.
-
-    Inside each Arrow chunk the kernel scores cell-group × probing-
-    queries blocks with per-dimension left-fold accumulation —
-    bit-identical to ``cosine_expr`` — and prunes to each query's
-    chunk-local top-k THRESHOLD (keeping exact ties, so the global
-    ``row_number`` re-rank with id tie-break sees every row it could
-    ever rank ≤ k).  Rows below a chunk's k-th cosine can never enter
-    that query's global top-k, so pruning is lossless."""
-    import numpy as np
-
-    from .relational import topk_per_group
-
+    SCALE BOUND, CHUNKED: each closure-matrix scan serves at most
+    ``max_batch`` (default :data:`MAX_QUERY_BATCH`) queries — a larger
+    batch streams through :func:`_query_chunks` in ≤cap slices, one
+    scan per slice, results unioned (per-qid top-k is independent of
+    every other qid, so chunking is value-identical to one pass —
+    pinned by test_batch_probe_chunked_equals_capped).  Driver memory
+    holds one chunk's matrix at a time; arbitrarily large serving
+    batches no longer error."""
     version = _pin_version(path, version)
     meta = snapshot_meta(path, version)
     if not meta or meta.get("kind") != "ivf":
         raise ValueError(f"{path!r} is not an IVF index table")
+    cap = MAX_QUERY_BATCH if max_batch is None else int(max_batch)
+    qid_type = queries.schema[qid_col].dataType.simpleString()
+    return _chunked_union(
+        _ivf_batch_chunk(spark, path, version, meta, qrows, k, nprobe,
+                         qid_col, qid_type)
+        for qrows in _query_chunks(queries, qid_col, qvec_col, cap))
+
+
+def _ivf_batch_chunk(spark: SparkSession, path: str, version: int,
+                     meta: dict, qrows: list, k: int, nprobe: int,
+                     qid_col: str, qid_type: str) -> DataFrame:
+    """One closure-matrix scan of :func:`probe_ivf_table_batch` over a
+    ≤cap chunk of collected query rows (see the public docstring for
+    the kernel shape; the chunk-local top-k THRESHOLD prune keeps
+    exact ties, so the global ``row_number`` re-rank sees every row it
+    could ever rank ≤ k — lossless)."""
+    import numpy as np
+
+    from .relational import topk_per_group
+
     cents = meta["centroids"]
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-
-    qrows = _collect_query_batch(queries, qid_col, qvec_col, max_batch,
-                                 "probe_ivf_table_batch")
     qids = [r[0] for r in qrows]
     Qm = np.asarray([[float(x) for x in r[1]] for r in qrows],
                     dtype=np.float64)
@@ -333,7 +377,6 @@ def probe_ivf_table_batch(spark: SparkSession, path: str,
     for p in parts[1:]:
         cand = cand.unionByName(p)
 
-    qid_type = queries.schema[qid_col].dataType.simpleString()
     id_type = cand.schema[id_col].dataType.simpleString()
     out_schema = (f"`{qid_col}` {qid_type}, `{id_col}` {id_type}, "
                   "cosine double")
@@ -662,14 +705,12 @@ def probe_ivfpq_table_batch(spark: SparkSession, path: str,
     ``aggregate(zip_with(...))`` (pinned by
     test_ivfpq_batch_rerank_equals_single_probes).  NOTE the
     broadcast build DOES materialize the candidate pairs in driver
-    memory (that is what a broadcast relation is) — which is exactly
-    why the stage is bounded at 2M narrow (qid, id) pairs with a
-    loud error naming the chunked alternative; size driver memory
-    accordingly before raising that constant."""
-    import numpy as np
-
-    from .relational import topk_per_group
-
+    memory (that is what a broadcast relation is) — so with rerank
+    the chunk size shrinks to min(max_batch,
+    :data:`MAX_RERANK_PAIRS` // (k·α)): every stage-2 broadcast
+    carries ≤2M narrow pairs by construction, and a batch of any size
+    serves in as many chunks as that takes (pinned by
+    test_ivfpq_batch_rerank_chunked_by_pair_bound)."""
     version = _pin_version(path, version)
     meta = snapshot_meta(path, version)
     if not meta or meta.get("kind") != "ivfpq":
@@ -683,14 +724,39 @@ def probe_ivfpq_table_batch(spark: SparkSession, path: str,
             raise ValueError(
                 "rerank needs raw vectors in the index — rebuild with "
                 "build_ivfpq_table(..., store_raw=True)")
+        if k * rerank > MAX_RERANK_PAIRS:
+            raise ValueError(
+                f"k*rerank = {k * rerank:,} candidate pairs PER QUERY "
+                f"exceeds the {MAX_RERANK_PAIRS:,} stage-2 broadcast "
+                f"bound — no chunking can shrink a single query's "
+                f"candidate pool; lower k or rerank")
+    cap = MAX_QUERY_BATCH if max_batch is None else int(max_batch)
+    if rerank is not None:
+        cap = max(1, min(cap, MAX_RERANK_PAIRS // (k * rerank)))
+    qid_type = queries.schema[qid_col].dataType.simpleString()
+    return _chunked_union(
+        _ivfpq_batch_chunk(spark, path, version, meta, qrows, k,
+                           nprobe, rerank, qid_col, qid_type)
+        for qrows in _query_chunks(queries, qid_col, qvec_col, cap))
+
+
+def _ivfpq_batch_chunk(spark: SparkSession, path: str, version: int,
+                       meta: dict, qrows: list, k: int, nprobe: int,
+                       rerank: int | None, qid_col: str,
+                       qid_type: str) -> DataFrame:
+    """One ADC (+ optional stage-2 rerank) pass of
+    :func:`probe_ivfpq_table_batch` over a ≤cap chunk of collected
+    query rows; the chunk sizing guarantees the stage-2 broadcast
+    holds ≤ :data:`MAX_RERANK_PAIRS` candidate pairs."""
+    import numpy as np
+
+    from .relational import topk_per_group
+
     cents, books = meta["centroids"], meta["books"]
     id_col = meta["id_col"]
     m = len(books)
     sub = len(books[0][0])
     pq_k = len(books[0])
-
-    qrows = _collect_query_batch(queries, qid_col, qvec_col, max_batch,
-                                 "probe_ivfpq_table_batch")
     qids = [r[0] for r in qrows]
     Qm = np.asarray([[float(x) for x in r[1]] for r in qrows],
                     dtype=np.float64)
@@ -732,7 +798,6 @@ def probe_ivfpq_table_batch(spark: SparkSession, path: str,
     for p in parts[1:]:
         cand = cand.unionByName(p)
 
-    qid_type = queries.schema[qid_col].dataType.simpleString()
     id_type = cand.schema[id_col].dataType.simpleString()
     out_schema = (f"`{qid_col}` {qid_type}, `{id_col}` {id_type}, "
                   "adc_dist double")
@@ -772,15 +837,11 @@ def probe_ivfpq_table_batch(spark: SparkSession, path: str,
                             keep_n)
     if rerank is None:
         return approx
-    if len(qids) * keep_n > 2_000_000:
-        raise ValueError(
-            f"batch rerank would broadcast {len(qids) * keep_n:,} "
-            f"candidate pairs (> 2,000,000) — split the query table "
-            f"into smaller chunks driver-side")
     # ---- stage 2: exact re-rank.  The candidate (qid, id) frame is
-    # broadcast — the relation build materializes it driver-side,
-    # hence the hard pair bound above; the raw vectors come from the
-    # SAME manifest-pruned cell files.
+    # broadcast — the relation build materializes it driver-side; the
+    # chunk sizing in probe_ivfpq_table_batch caps it at
+    # MAX_RERANK_PAIRS pairs.  The raw vectors come from the SAME
+    # manifest-pruned cell files.
     vec_col = meta["vec_col"]
     cand_pairs = approx.select(qid_col, id_col)
     raws = [read_snapshot(spark, path, version=version,
@@ -931,13 +992,17 @@ def _sig_rows(docs: DataFrame, text_col: str, id_col: str,
 def build_minhash_index(docs: DataFrame, path: str,
                         text_col: str = "text", id_col: str = "doc_id",
                         k: int = 3, num_hashes: int = 8,
-                        bands: int = 4, scheme: str = "salted") -> int:
+                        bands: int = 4, scheme: str = "sliced") -> int:
     """Publish the corpus's MinHash index as a snapshot table.  The
     hash-space parameters INCLUDING the signing scheme live in ``meta``
     so every later probe/append provably uses the same permutations —
     mixing parameters silently yields zero matches, the classic
     production LSH footgun (a 'sliced' probe against a 'salted' index
-    would share no band hashes)."""
+    would share no band hashes).  The default scheme is ``'sliced'``
+    (2 md5/shingle cut into four 32-bit components — the production
+    signing path, ~4× cheaper than one md5 per component); indexes
+    built under ``'salted'`` keep working because every probe/append
+    reads the scheme from ``meta``, never from this default."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     rows = _sig_rows(docs, text_col, id_col, k, num_hashes, bands,

@@ -2336,10 +2336,18 @@ _IJB_CACHE: dict = {}
 def _interval_layout(spark, sf_dir):
     key = (id(spark), sf_dir)
     got = _IJB_CACHE.get(key)
-    if got:
+    # the cached value is a pair of CATALOG table names, which die with
+    # the session that registered them — unlike the path-valued caches
+    # (_RIDX/_IVFPQ, whose snapshot files outlive any session).  If
+    # CPython recycles id(spark) for a NEW session, or the tables were
+    # dropped, the stale names must not be returned (ADVICE r6):
+    # verify both exist in THIS session's catalog before trusting.
+    if got and all(spark.catalog.tableExists(t) for t in got):
         return got
+    import atexit
     import hashlib
     import os
+    import shutil
     import tempfile
     from .streaming.windows import interval_join_layout
     # the table NAME carries the session id too: sessions sharing one
@@ -2350,11 +2358,12 @@ def _interval_layout(spark, sf_dir):
     sid = f"{os.getpid()}_{id(spark):x}_{tag}"
     lt, rt = f"gdb_ij_{sid}_l", f"gdb_ij_{sid}_r"
     ev = _events(spark, sf_dir)
+    prefix = os.path.join(tempfile.gettempdir(),
+                          f"graphydb_spark_ij_{sid}")
     interval_join_layout(
         spark, ev, ev, lt, rt, key_col="user_id", ts_col="ts",
-        lower_s=1, upper_s=120,
-        path_prefix=os.path.join(tempfile.gettempdir(),
-                                 f"graphydb_spark_ij_{sid}"))
+        lower_s=1, upper_s=120, path_prefix=prefix)
+    atexit.register(shutil.rmtree, prefix, ignore_errors=True)
     _IJB_CACHE[key] = (lt, rt)
     return lt, rt
 
@@ -18729,7 +18738,8 @@ def q_pq_rerank_topk(spark, sf_dir):
     # the exact-equivalence premise — k·α covers the corpus so the
     # two-stage result IS brute force — must fail loudly if the
     # fixture ever outgrows it (sf0.1 has exactly 2000 = k·α rows)
-    _assert_exact_rerank_premise("pq_rerank_topk", emb, k, rerank)
+    _assert_exact_rerank_premise("pq_rerank_topk", emb, k, rerank,
+                                 path=path, nprobe=4)
     top = persisted_index.probe_ivfpq_table(spark, path, qv, k=k,
                                             nprobe=4, rerank=rerank)
     return top.select("vec_id", F.round("l2_dist", 6).alias("l2_dist"))
@@ -18872,16 +18882,28 @@ WHERE rate >= 1.0
 """
 
 
-def _assert_exact_rerank_premise(name, emb, k, rerank):
+def _assert_exact_rerank_premise(name, emb, k, rerank,
+                                 path=None, nprobe=None):
     """The exact-equivalence gate both rerank registry entries rest on
     (ADVICE r5: the boundary held silently with zero margin) — shared
     so a fixture-growth fix can never update one site and leave the
-    other's constant stale."""
+    other's constant stale.  Guards BOTH halves of the premise
+    (ADVICE r6): the candidate pool covers the corpus (k·α ≥ n) AND
+    the probe opens every index cell (nprobe ≥ built cell count, read
+    from the snapshot meta) — either half failing silently would
+    surface as an opaque oracle mismatch instead of this error."""
     n = emb.count()
     if k * rerank < n:
         raise AssertionError(
             f"{name} exact-equivalence boundary broken: "
             f"k*rerank={k * rerank} < corpus {n}; raise rerank")
+    if path is not None:
+        ncells = len(persisted_index.snapshot_meta(path, None)["centroids"])
+        if nprobe < ncells:
+            raise AssertionError(
+                f"{name} exact-equivalence boundary broken: nprobe="
+                f"{nprobe} < the index's {ncells} cells — un-probed "
+                f"cells would hide corpus rows from the candidate pass")
 
 
 def q_pq_batch_rerank(spark, sf_dir):
@@ -18898,7 +18920,8 @@ def q_pq_batch_rerank(spark, sf_dir):
     path = _ivfpq_index(spark, sf_dir)
     emb = _emb(spark, sf_dir)
     k, rerank = 10, 200
-    _assert_exact_rerank_premise("pq_batch_rerank", emb, k, rerank)
+    _assert_exact_rerank_premise("pq_batch_rerank", emb, k, rerank,
+                                 path=path, nprobe=4)
     queries = (emb.where(F.col("vec_id").isin([3, 7, 11]))
                .select(F.col("vec_id").alias("qid"),
                        F.col("embedding").alias("qvec")))

@@ -365,7 +365,10 @@ def interval_join_bucketed(spark, left_table: str, right_table: str,
             raise ValueError(
                 f"{t!r} has no interval-layout band properties — "
                 f"(re)write it with interval_join_layout")
-        if band != (str(lower_s), str(upper_s)):
+        # Compare numerically: a layout written with lower_s=0 must
+        # accept a probe called with lower_s=0.0 (str compare would
+        # spuriously refuse "0" != "0.0").
+        if (float(band[0]), float(band[1])) != (float(lower_s), float(upper_s)):
             raise ValueError(
                 f"probe band [{lower_s}, {upper_s}]s does not match "
                 f"the layout band [{band[0]}, {band[1]}]s of {t!r} — "

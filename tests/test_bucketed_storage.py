@@ -107,6 +107,13 @@ def test_interval_join_bucketed_band_mismatch_is_loud(spark, tmp_path):
         assert interval_join_bucketed(
             spark, "t_ijm_l", "t_ijm_r",
             lower_s=1, upper_s=120).count() >= 0
+        # mixed numeric types of the SAME band must not refuse: a
+        # layout written with ints accepts a float-typed probe
+        # (ADVICE r6 — compare compares numerically, "120.0" != "120"
+        # as strings was a spurious mismatch)
+        assert interval_join_bucketed(
+            spark, "t_ijm_l", "t_ijm_r",
+            lower_s=1.0, upper_s=120.0).count() >= 0
         # a table with no layout properties is refused
         spark.range(3).selectExpr("id AS k", "id AS __b", "id AS lts",
                                   "id AS left_id") \

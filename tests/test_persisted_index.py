@@ -89,6 +89,11 @@ def test_lsh_finds_exact_copies(spark, tmp_path):
     docs = _docs(spark)
     p = str(tmp_path / "lsh")
     build_minhash_index(docs, p)
+    # a default-built index gets the production 'sliced' signing path
+    # (VERDICT r6 #3) and round-trips probes/appends through the meta
+    # pin — this test and the append/idempotence one below ARE the
+    # default round-trip under the flipped default
+    assert snapshot_meta(p, None)["scheme"] == "sliced"
     # incoming batch: ids 1000+i with text copied from corpus doc i
     batch = docs.limit(5).select(
         (F.col("doc_id") + 1000).alias("doc_id"), "text")
@@ -667,12 +672,12 @@ def test_stream_fts_ingest_exactly_once(spark, tmp_path):
     assert snapshot_meta(idx, None)["n_docs"] == 20
 
 
-def test_batch_probe_refuses_oversized_batch(spark, tmp_path):
-    """The closure-matrix batch probe collects the query batch to the
-    driver BY DESIGN — past max_batch it must refuse with the chunked
-    alternative spelled out (plan-side LIMIT bounds the truncated
-    fetch), never OOM mid-collect.  An in-bound batch still works with
-    the same cap set."""
+def test_batch_probe_chunked_equals_capped(spark, tmp_path):
+    """A batch past max_batch no longer refuses — it serves in ≤cap
+    chunks (one closure-matrix scan each, results unioned) and the
+    chunked result is VALUE-IDENTICAL to the single-scan run: per-qid
+    top-k is independent of every other qid, so the chunk boundary
+    can't change any row.  Exercises 2- and 1-remainder chunking."""
     from graphydb_spark.operators.persisted_index import \
         probe_ivf_table_batch
     emb = _emb(spark, n=40)
@@ -680,10 +685,12 @@ def test_batch_probe_refuses_oversized_batch(spark, tmp_path):
     build_ivf_table(emb, p, k=4, iters=2)
     qs = [(f"q{i}", [float(i), 1.0, -1.0, 0.5]) for i in range(5)]
     queries = spark.createDataFrame(qs, "qid string, qvec array<double>")
-    with pytest.raises(ValueError, match="chunks"):
-        probe_ivf_table_batch(spark, p, queries, k=3, max_batch=4)
-    out = probe_ivf_table_batch(spark, p, queries, k=3, max_batch=5)
-    assert out.select("qid").distinct().count() == 5
+    want = sorted(map(tuple, probe_ivf_table_batch(
+        spark, p, queries, k=3, max_batch=5).collect()))
+    for cap in (2, 4):          # 5 queries -> chunks of 2+2+1 / 4+1
+        got = sorted(map(tuple, probe_ivf_table_batch(
+            spark, p, queries, k=3, max_batch=cap).collect()))
+        assert got == want, cap
 
 
 def test_ivfpq_rerank_exact_under_full_probe(spark, tmp_path):
@@ -927,14 +934,34 @@ def test_ivfpq_batch_rerank_guards(spark, tmp_path):
     for bad in (0, 1.5):
         with pytest.raises(ValueError, match="rerank"):
             probe_ivfpq_table_batch(spark, p, qs, k=3, rerank=bad)
-    # candidate-pair broadcast bound: nq*k*alpha > 2M raises with the
-    # chunked alternative named (loud, before any job runs)
+    # the only surviving rerank refusal: k·α pairs for ONE query past
+    # the stage-2 broadcast bound — chunking can't shrink a single
+    # query's candidate pool (loud, before any job runs)
+    with pytest.raises(ValueError, match="PER QUERY"):
+        probe_ivfpq_table_batch(spark, p, qs, k=1_500_000, rerank=2)
+
+
+def test_ivfpq_batch_rerank_chunked_by_pair_bound(spark, tmp_path,
+                                                  monkeypatch):
+    """With rerank on, the chunk cap shrinks to
+    MAX_RERANK_PAIRS // (k·α) so every stage-2 broadcast respects the
+    pair bound by construction — a batch that used to refuse now
+    serves chunked, value-identical to the roomy single-scan run."""
     import graphydb_spark.operators.persisted_index as PI
-    qs_many = spark.createDataFrame(
-        [(f"q{i}", [float(i)] * 4) for i in range(50)],
+    emb = _emb(spark, n=60, dim=4)
+    p = str(tmp_path / "ivfpq_pb")
+    PI.build_ivfpq_table(emb, p, k=3, m=2, pq_k=4, iters=1,
+                         store_raw=True)
+    qs = spark.createDataFrame(
+        [(f"q{i}", [float(i), 1.0, -1.0, 0.5]) for i in range(7)],
         "qid string, qvec array<double>")
-    with pytest.raises(ValueError, match="chunks"):
-        probe_ivfpq_table_batch(spark, p, qs_many, k=14000, rerank=3)
+    want = sorted(map(tuple, PI.probe_ivfpq_table_batch(
+        spark, p, qs, k=4, nprobe=3, rerank=2).collect()))
+    # k·α = 8 pairs/query; bound 20 -> chunks of 2 queries (20//8)
+    monkeypatch.setattr(PI, "MAX_RERANK_PAIRS", 20)
+    got = sorted(map(tuple, PI.probe_ivfpq_table_batch(
+        spark, p, qs, k=4, nprobe=3, rerank=2).collect()))
+    assert got == want
 
 
 def test_ivfpq_batch_probe_guard_and_rejects(spark, tmp_path):
@@ -952,10 +979,12 @@ def test_ivfpq_batch_probe_guard_and_rejects(spark, tmp_path):
     qs = spark.createDataFrame(
         [(f"q{i}", [float(i), 1.0, -1.0, 0.5]) for i in range(5)],
         "qid string, qvec array<double>")
-    with pytest.raises(ValueError, match="chunks"):
-        probe_ivfpq_table_batch(spark, p, qs, k=3, max_batch=4)
-    out = probe_ivfpq_table_batch(spark, p, qs, k=3, max_batch=5)
-    assert out.select("qid").distinct().count() == 5
+    want = sorted(map(tuple, probe_ivfpq_table_batch(
+        spark, p, qs, k=3, max_batch=5).collect()))
+    got = sorted(map(tuple, probe_ivfpq_table_batch(
+        spark, p, qs, k=3, max_batch=2).collect()))
+    assert got == want
+    assert len({q for q, *_ in got}) == 5
 
 
 def test_batch_probe_empty_batch_raises(spark, tmp_path):
