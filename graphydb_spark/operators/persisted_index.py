@@ -1083,7 +1083,11 @@ def stream_dedup_ingest(spark: SparkSession, source_dir: str, schema,
                         index_path: str, kept_path: str,
                         checkpoint_dir: str, threshold: float = 0.9,
                         text_col: str | None = None,
-                        id_col: str | None = None):
+                        id_col: str | None = None,
+                        ivf_path: str | None = None,
+                        emb_col: str | None = None,
+                        cos_threshold: float = 0.98,
+                        nprobe: int = 2):
     """Streaming crawl ingest with a near-dup gate — the standing-
     pipeline composition end to end: every micro-batch
 
@@ -1091,13 +1095,22 @@ def stream_dedup_ingest(spark: SparkSession, source_dir: str, schema,
        — corpus side never shuffles),
     2. drops rows matching the index at ≥ ``threshold``, and in-batch
        near-dups (lowest id wins, via the same probe join batch×batch),
-    3. commits survivors to the ``kept_path`` snapshot table AND their
-       signatures to the index, each under the (checkpoint, batchId)
-       txn token.
+    3. optionally (``ivf_path`` + ``emb_col`` set) ALSO drops SEMANTIC
+       near-dups: the batch's embeddings ride one closure-matrix pass
+       through :func:`probe_ivf_table_batch` (k=1 against the standing
+       IVF index, manifest-pruned cell reads) and any row whose nearest
+       index vector has cosine ≥ ``cos_threshold`` is a duplicate —
+       the SemDeDup-style gate the MinHash pass can't see (paraphrases
+       share no shingles), and
+    4. commits survivors to the ``kept_path`` snapshot table, their
+       signatures to the MinHash index, and (when the semantic gate is
+       on) their embeddings to the IVF index via
+       :func:`append_ivf_table` — EACH under the same
+       (checkpoint, batchId) txn token.
 
-    The two commits are independently idempotent, not atomic: a crash
-    between them replays the batch, the already-committed table no-ops
-    on its seen token and the other completes — convergent, never
+    The commits are independently idempotent, not atomic: a crash
+    between them replays the batch, each already-committed table no-ops
+    on its seen token and the rest complete — convergent, never
     duplicated (same recovery contract as stream_to_snapshot).
     Returns the started StreamingQuery (availableNow trigger); caller
     awaits/stops it.
@@ -1105,6 +1118,11 @@ def stream_dedup_ingest(spark: SparkSession, source_dir: str, schema,
     p = _index_params(index_path, None)
     tcol = text_col or p["text_col"]
     icol = id_col or p["id_col"]
+    if ivf_path is not None:
+        ivf_meta = snapshot_meta(ivf_path, None)
+        if not ivf_meta or ivf_meta.get("kind") != "ivf":
+            raise ValueError(f"{ivf_path!r} is not an IVF index table")
+        emb_col = emb_col or ivf_meta["vec_col"]
     stream = (spark.readStream.format("parquet").schema(schema)
               .load(source_dir))
 
@@ -1128,12 +1146,28 @@ def stream_dedup_ingest(spark: SparkSession, source_dir: str, schema,
                         .where(F.col("new_id") > F.col("index_id"))
                         .select("new_id").distinct())
         drop = dup_vs_index.unionByName(dup_in_batch).distinct()
+        if ivf_path is not None:
+            queries = batch_df.select(F.col(icol).alias("qid"),
+                                      F.col(emb_col).alias("qvec"))
+            if queries.limit(1).count():       # batch may be empty
+                sem = (probe_ivf_table_batch(
+                    s, ivf_path, queries, k=1, nprobe=nprobe)
+                    .where(F.col("cosine") >= cos_threshold)
+                    .select(F.col("qid").alias("new_id")).distinct())
+                drop = drop.unionByName(sem).distinct()
         kept = batch_df.join(
-            drop, batch_df[icol] == drop["new_id"], "left_anti")
+            drop, batch_df[icol] == drop["new_id"], "left_anti") \
+            .localCheckpoint(eager=True)
         commit_snapshot(kept, kept_path, mode="append", txn=txn)
         kept_sigs = sigs.join(
             drop, sigs["doc_id"] == drop["new_id"], "left_anti")
         commit_snapshot(kept_sigs, index_path, mode="append", txn=txn)
+        if ivf_path is not None:
+            append_ivf_table(
+                s, ivf_path,
+                kept.select(F.col(icol).alias(ivf_meta["id_col"]),
+                            F.col(emb_col).alias(ivf_meta["vec_col"])),
+                txn=txn)
 
     return (stream.writeStream
             .foreachBatch(gate_batch)

@@ -1241,6 +1241,212 @@ def round9_entries(spark, corpus_docs=50_000, novel_per_batch=17_000,
         shutil.rmtree(d, ignore_errors=True)
 
 
+def round10_entries(spark, n_vecs=1_000_000, dim=16, k=64):
+    """Round-7 stress (``SCALE_STRESS_ONLY=round10``): the batch-ANN
+    serving paths BEYOND the former driver caps (VERDICT r6 #1), plus
+    the semantic-gate streaming capstone (VERDICT r6 #5).
+
+    1. 100,000-query batch through probe_ivf_table_batch — past the
+       65,536 chunk cap, so it serves as 65,536 + 34,464 closure-matrix
+       scans; used to hard-error.  Sampled value-identity vs per-query
+       probes.
+    2. 30,000-query two-stage rerank (k=10, α=8) — 2.4M candidate
+       pairs, past the 2M stage-2 broadcast bound, so it serves as
+       25,000 + 5,000-query chunks; used to hard-error.  Sampled
+       value-identity vs per-query rerank probes.
+    3. Capstone: 3 × 5k-doc micro-batches through the MinHash AND
+       embedding gates against standing indexes, survivors committed to
+       kept + MinHash + IVF under one txn per batch — exact planted
+       bookkeeping (500 shingle dups, 300 embedding dups of corpus
+       vectors, 200 embedding dups of the PREVIOUS batch's kept docs,
+       4,000 novel per batch), then a checkpoint restart no-op.
+    """
+    import shutil
+    import tempfile
+    import time as _t
+
+    from graphydb_spark.operators import persisted_index as PI
+    from graphydb_spark.sources import snapshot as snap
+
+    d = tempfile.mkdtemp()
+    try:
+        emb = spark.range(n_vecs).select(
+            F.col("id").alias("vec_id"),
+            F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda i: (F.pmod(F.xxhash64("id", i), 1000)
+                                   .cast("float") / 100.0 - 5.0)
+                        ).alias("embedding")).localCheckpoint(eager=True)
+        ivf_p = os.path.join(d, "ivf")
+        PI.build_ivf_table(emb, ivf_p, k=k, iters=2,
+                           files_per_cell=1.0, train_fraction=0.05)
+
+        def mk_queries(n, salt):
+            return spark.range(n).select(
+                F.concat(F.lit("q"), "id").alias("qid"),
+                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                            lambda i: (F.pmod(
+                                F.xxhash64(F.col("id") + salt, i), 1000)
+                                .cast("double") / 100.0 - 5.0)
+                            ).alias("qvec")).localCheckpoint(eager=True)
+
+        nq = 100_000                       # > MAX_QUERY_BATCH = 65,536
+        queries = mk_queries(nq, 77)
+        t0 = _t.perf_counter()
+        res = PI.probe_ivf_table_batch(spark, ivf_p, queries,
+                                       k=10, nprobe=4)
+        nres = res.localCheckpoint(eager=True).count()
+        dt = _t.perf_counter() - t0
+        print(f"ivf_batch_beyond_cap[{nq:,} q (2 chunks), nprobe=4]: "
+              f"{dt:.2f}s ({nq / dt:,.0f} q/s)  rows={nres:,}")
+        sample = queries.limit(5).collect()
+        got = {s.qid: [] for s in sample}
+        for r in res.join(F.broadcast(spark.createDataFrame(
+                [(s.qid,) for s in sample], "qid string")),
+                "qid").collect():
+            got[r.qid].append((r.rn, r.vec_id))
+        agree = all(
+            [v for _, v in sorted(got[s.qid])]
+            == [r.vec_id for r in PI.probe_ivf_table(
+                spark, ivf_p, list(s.qvec), k=10, nprobe=4).collect()]
+            for s in sample)
+        print(f"ivf_batch_beyond_cap agreement with per-query: {agree}")
+        assert agree
+
+        ivfpq_p = os.path.join(d, "ivfpq")
+        PI.build_ivfpq_table(emb, ivfpq_p, k=k, m=8, pq_k=32, iters=2,
+                             train_fraction=0.05, store_raw=True)
+        nrq = 30_000                       # k·α·nq = 2.4M pairs > 2M
+        rqueries = mk_queries(nrq, 991)
+        t0 = _t.perf_counter()
+        rres = PI.probe_ivfpq_table_batch(spark, ivfpq_p, rqueries,
+                                          k=10, nprobe=4, rerank=8)
+        nrres = rres.localCheckpoint(eager=True).count()
+        dtr = _t.perf_counter() - t0
+        print(f"ivfpq_batch_rerank_beyond_pairs[{nrq:,} q, a=8 -> 2.4M "
+              f"pairs (2 chunks), nprobe=4]: {dtr:.2f}s "
+              f"({nrq / dtr:,.0f} q/s)  rows={nrres:,}")
+        rsample = rqueries.limit(5).collect()
+        rgot = {s.qid: [] for s in rsample}
+        for r in rres.join(F.broadcast(spark.createDataFrame(
+                [(s.qid,) for s in rsample], "qid string")),
+                "qid").collect():
+            rgot[r.qid].append((r.rn, r.vec_id))
+        agree_rr = all(
+            [v for _, v in sorted(rgot[s.qid])]
+            == [r.vec_id for r in PI.probe_ivfpq_table(
+                spark, ivfpq_p, list(s.qvec), k=10, nprobe=4,
+                rerank=8).collect()]
+            for s in rsample)
+        print(f"ivfpq_batch_rerank_beyond_pairs agreement with "
+              f"per-query: {agree_rr}")
+        assert agree_rr
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    # ---- capstone: MinHash + embedding gates composing under one txn
+    d2 = tempfile.mkdtemp()
+    corpus_docs, mh_d, sem_d, kc_d, nov = 20_000, 500, 300, 200, 4_000
+    src = os.path.join(d2, "src")
+    ckpt = os.path.join(d2, "ckpt")
+    mh_idx = os.path.join(d2, "mh")
+    ivf_idx = os.path.join(d2, "ivf")
+    kept_t = os.path.join(d2, "kept")
+
+    def ctext(idc):
+        return F.concat_ws(" ", *[
+            F.concat(F.lit(f"c{j}_"),
+                     F.pmod(F.xxhash64(idc, F.lit(j)), 90000)
+                     .cast("string")) for j in range(12)])
+
+    def ntext(tag, idc):
+        return F.concat_ws(" ", *[
+            F.concat(F.lit(f"{tag}_{j}_"),
+                     F.pmod(F.xxhash64(idc, F.lit(j + 100)), 900000)
+                     .cast("string")) for j in range(12)])
+
+    def cemb(idc):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: (F.pmod(F.xxhash64(idc, i), 1000)
+                       .cast("double") / 100.0 - 5.0))
+
+    def nemb(b, idc):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: (F.pmod(F.xxhash64(idc, i + 31 * (b + 1)), 1000)
+                       .cast("double") / 100.0 - 5.0))
+
+    def make_batch(b):
+        base = 10_000_000 * (b + 1)
+        shingle_dups = spark.range(mh_d).select(
+            (F.col("id") + base).alias("doc_id"),
+            ctext((F.col("id") * 17) % corpus_docs).alias("text"),
+            nemb(b, F.col("id") + 555_000).alias("embedding"))
+        sem_dups = spark.range(sem_d).select(
+            (F.col("id") + base + 100_000).alias("doc_id"),
+            ntext(f"s{b}", F.col("id")).alias("text"),
+            cemb((F.col("id") * 13) % corpus_docs).alias("embedding"))
+        novels = spark.range(nov).select(
+            (F.col("id") + base + 300_000).alias("doc_id"),
+            ntext(f"n{b}", F.col("id")).alias("text"),
+            nemb(b, F.col("id")).alias("embedding"))
+        out = shingle_dups.unionByName(sem_dups).unionByName(novels)
+        if b > 0:                # embedding copies of PREV batch's kept
+            kept_copies = spark.range(kc_d).select(
+                (F.col("id") + base + 200_000).alias("doc_id"),
+                ntext(f"k{b}", F.col("id")).alias("text"),
+                nemb(b - 1, F.col("id")).alias("embedding"))
+            out = out.unionByName(kept_copies)
+        return out
+
+    try:
+        import time as _t
+        corpus = (spark.range(corpus_docs)
+                  .select(F.col("id").alias("doc_id"),
+                          ctext(F.col("id")).alias("text"),
+                          cemb(F.col("id")).alias("embedding"))
+                  .localCheckpoint(eager=True))
+        PI.build_minhash_index(corpus, mh_idx)
+        PI.build_ivf_table(
+            corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            ivf_idx, k=16, iters=2)
+        sch = spark.createDataFrame(
+            [], "doc_id long, text string, embedding array<double>"
+        ).schema
+        total_in, t0 = 0, _t.perf_counter()
+        for b in range(3):
+            make_batch(b).write.mode("append").parquet(src)
+            total_in += mh_d + sem_d + nov + (kc_d if b else 0)
+            q = PI.stream_dedup_ingest(
+                spark, src, sch, mh_idx, kept_t, ckpt, threshold=0.99,
+                ivf_path=ivf_idx, cos_threshold=0.995, nprobe=4)
+            q.awaitTermination(600)
+            kept_n = snap.read_snapshot(spark, kept_t).count()
+            assert kept_n == nov * (b + 1), (b, kept_n)
+            mh_n = snap.read_snapshot(spark, mh_idx).count()
+            assert mh_n == corpus_docs + kept_n, (b, mh_n)
+            ivf_n = snap.read_snapshot(spark, ivf_idx).count()
+            assert ivf_n == corpus_docs + kept_n, (b, ivf_n)
+        dt = _t.perf_counter() - t0
+        print(f"capstone_semantic_gate[3 x ~5k vs {corpus_docs // 1000}k "
+              f"corpus; planted {mh_d} shingle + {sem_d} corpus-emb + "
+              f"{kc_d} kept-emb dups/batch]: {dt:.2f}s "
+              f"({total_in / dt:,.0f} docs/s)  kept={kept_n:,} "
+              f"mh_rows={mh_n:,} ivf_rows={ivf_n:,} (all exact)")
+        heads = tuple(snap.snapshot_versions(t)[-1]
+                      for t in (kept_t, mh_idx, ivf_idx))
+        q = PI.stream_dedup_ingest(
+            spark, src, sch, mh_idx, kept_t, ckpt, threshold=0.99,
+            ivf_path=ivf_idx, cos_threshold=0.995, nprobe=4)
+        q.awaitTermination(600)
+        assert tuple(snap.snapshot_versions(t)[-1]
+                     for t in (kept_t, mh_idx, ivf_idx)) == heads
+        print("capstone restart: no new files -> all three tables "
+              "no-op, versions unchanged")
+    finally:
+        shutil.rmtree(d2, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if os.environ.get("SCALE_STRESS_ONLY") == "round4":
         _s = get_spark(app="scale_stress")
@@ -1272,6 +1478,11 @@ if __name__ == "__main__":
         _s.sparkContext.setLogLevel("ERROR")
         _s.conf.set("spark.sql.shuffle.partitions", "64")
         round9_entries(_s)
+    elif os.environ.get("SCALE_STRESS_ONLY") == "round10":
+        _s = get_spark(app="scale_stress")
+        _s.sparkContext.setLogLevel("ERROR")
+        _s.conf.set("spark.sql.shuffle.partitions", "64")
+        round10_entries(_s)
     elif os.environ.get("SCALE_STRESS_ONLY") == "analytics":
         _s = get_spark(app="scale_stress")
         _s.sparkContext.setLogLevel("ERROR")

@@ -26,6 +26,18 @@ on the SAME parquet with the bench protocols:
   one.
 
 Run: python scripts/sf1_pair.py      (~4 min; prints one JSON line)
+
+``--retrieval`` (VERDICT r6 #2) switches the query set to the
+standing-index retrieval probes — bm25_probe, hybrid_search,
+prf_expansion — with the STANDING anchor on both sides: Spark serves
+from the session's persisted FTS/IVF snapshot tables (built in the
+warm-ups, exactly bench.py's treatment) and DuckDB probes the
+duck_bench.py --standing-index temp tables (setup untimed, probes
+timed, result-identity to the full oracle asserted).  ``documents``
+and ``embeddings`` replicate with disjoint id ranges like the fact
+tables, so corpus statistics (N, df, avgdl, IVF cells) scale with the
+replica count.  Run at SF1_REPS=10 and SF1_REPS=100 for the ratio
+trajectory.
 """
 
 from __future__ import annotations
@@ -54,8 +66,10 @@ _REPL = {
     "part": ["p_partkey"],
     "supplier": ["s_suppkey"],
     "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
-_COPY = ["region", "nation", "documents", "embeddings"]
+_COPY = ["region", "nation"]
 
 
 def build_sf1(dest: str) -> None:
@@ -102,13 +116,24 @@ def spark_side(sf1_dir: str, names: list[str]) -> dict[str, float]:
     return out
 
 
-def duck_side(sf1_dir: str, names: list[str]) -> dict[str, float]:
+def duck_side(sf1_dir: str, names: list[str],
+              standing: bool = False) -> dict[str, float]:
     from graphydb_spark.queries import ORACLES
     con = duckdb.connect()
     con.execute(f"SET threads = {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
     for t in list(_REPL) + _COPY:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf1_dir}/{t}.parquet'")
+    plan = {}
+    if standing:
+        from scripts.duck_bench import standing_index_plan
+        plan = standing_index_plan()
+        done: set[str] = set()
+        for name in names:                      # setup untimed, once
+            for ddl in plan[name]["setup"]:
+                if ddl not in done:
+                    con.execute(ddl)
+                    done.add(ddl)
     out: dict[str, float] = {}
     for name in names:
         sql = ORACLES[name]
@@ -119,20 +144,36 @@ def duck_side(sf1_dir: str, names: list[str]) -> dict[str, float]:
             con.execute(sql).fetchall()
             best = min(best, time.perf_counter() - t0)
         out[name] = round(best, 4)
-        wrapped = f"SELECT COUNT(*) FROM ({sql})"
-        con.execute(wrapped).fetchall()
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
+        if standing:
+            probe = plan[name]["probe"]
+            want = sorted(map(tuple, con.execute(sql).fetchall()))
+            got = sorted(map(tuple, con.execute(probe).fetchall()))
+            assert got == want, (
+                f"standing-index probe for {name!r} diverged from its "
+                f"full oracle on the replicated corpus")
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(probe).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            out[f"{name}_standing"] = round(best, 4)
+        else:
+            wrapped = f"SELECT COUNT(*) FROM ({sql})"
             con.execute(wrapped).fetchall()
-            best = min(best, time.perf_counter() - t0)
-        out[f"{name}_countonly"] = round(best, 4)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(wrapped).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            out[f"{name}_countonly"] = round(best, 4)
     con.close()
     return out
 
 
 def main() -> None:
-    names = ["two_hop", "interval_join_events"]
+    retrieval = "--retrieval" in sys.argv
+    names = (["bm25_probe", "hybrid_search", "prf_expansion"]
+             if retrieval else ["two_hop", "interval_join_events"])
     dest = os.environ.get("SF1_DIR") or tempfile.mkdtemp(prefix="sf1_")
     made = not os.path.exists(f"{dest}/lineitem.parquet")
     os.makedirs(dest, exist_ok=True)
@@ -142,16 +183,18 @@ def main() -> None:
             build_sf1(dest)
             print(f"# built {REPS}x replica at {dest} "
                   f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
-        duck = duck_side(dest, names)
+        duck = duck_side(dest, names, standing=retrieval)
         spk = spark_side(dest, names)
         ratios = {n: round(spk[n] / duck[n], 3) for n in names}
-        ratios_c = {n: round(spk[n] / duck[f"{n}_countonly"], 3)
+        alt_key = "standing" if retrieval else "countonly"
+        ratios_a = {n: round(spk[n] / duck[f"{n}_{alt_key}"], 3)
                     for n in names}
         print(json.dumps({
-            "metric": "sf1_pair", "reps": REPS, "src": SRC,
+            "metric": ("retrieval_pair" if retrieval else "sf1_pair"),
+            "reps": REPS, "src": SRC,
             "spark": spk, "duckdb": duck,
             "ratio_anchor_protocol": ratios,
-            "ratio_count_only": ratios_c,
+            (f"ratio_{alt_key}"): ratios_a,
         }))
     finally:
         if not os.environ.get("SF1_DIR"):

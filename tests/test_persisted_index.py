@@ -317,6 +317,84 @@ def test_stream_dedup_ingest(spark, tmp_path):
     assert read_snapshot(spark, idx).count() == 13
 
 
+def test_stream_dedup_ingest_semantic_gate(spark, tmp_path):
+    """The embedding gate (VERDICT r6 #5): a doc whose text shares no
+    shingles with the corpus but whose embedding is ~identical to an
+    index vector is dropped by the IVF probe; true novels survive and
+    their embeddings APPEND to the IVF index under the batch txn —
+    so a later batch's copy of a KEPT doc is caught semantically.
+    Replaying the stream commits nothing (all three tables no-op)."""
+    from graphydb_spark.operators.persisted_index import (
+        build_ivf_table, stream_dedup_ingest)
+    from graphydb_spark.sources.snapshot import (read_snapshot,
+                                                 snapshot_versions)
+
+    corpus = _docs(spark, n=10)
+    idx = str(tmp_path / "idx")
+    ivf = str(tmp_path / "ivf")
+    kept_t = str(tmp_path / "kept")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    build_minhash_index(corpus, idx)
+    # standing semantic index: 10 well-separated corpus embeddings
+    corpus_emb = spark.createDataFrame(
+        [(i, [float(i * 10), float((i * 7) % 13), 1.0, -2.0])
+         for i in range(10)],
+        "vec_id long, embedding array<double>")
+    build_ivf_table(corpus_emb, ivf, k=2, iters=1)
+
+    schema = ("doc_id long, text string, embedding array<double>")
+    batch1 = spark.createDataFrame(
+        [(100, "paraphrased rewording, zero shared shingles with five",
+          [50.0, 9.0, 1.0, -2.0]),        # == corpus vec 5 -> semantic dup
+         (101, "a wholly novel piece of text about spark catalyst",
+          [-40.0, 3.0, 0.5, 8.0]),
+         (103, "another unique document mentioning zorder manifests",
+          [33.0, -21.0, 4.0, 0.25])],
+        schema)
+    batch1.write.mode("append").parquet(src)
+    q = stream_dedup_ingest(spark, src, batch1.schema, idx, kept_t, ckpt,
+                            threshold=0.9, ivf_path=ivf,
+                            cos_threshold=0.999)
+    q.awaitTermination(120)
+    kept_ids = {r.doc_id for r in read_snapshot(spark, kept_t).collect()}
+    assert kept_ids == {101, 103}            # 100 dropped semantically
+    ivf_ids = {r.vec_id for r in read_snapshot(spark, ivf).collect()}
+    assert ivf_ids == set(range(10)) | {101, 103}   # survivors appended
+    assert read_snapshot(spark, idx).count() == 12  # 10 corpus + 2 kept
+
+    # batch 2: same embedding as KEPT doc 101 (appended last run) ->
+    # the grown IVF index catches it; a genuinely new doc passes
+    batch2 = spark.createDataFrame(
+        [(200, "completely fresh words about bloom filter cascades",
+          [-40.0, 3.0, 0.5, 8.0]),         # semantic copy of kept 101
+         (201, "fresh never seen content regarding cuckoo hashing",
+          [7.0, 7.0, -7.0, 7.0])],
+        schema)
+    batch2.write.mode("append").parquet(src)
+    q = stream_dedup_ingest(spark, src, batch1.schema, idx, kept_t, ckpt,
+                            threshold=0.9, ivf_path=ivf,
+                            cos_threshold=0.999)
+    q.awaitTermination(120)
+    kept_ids = {r.doc_id for r in read_snapshot(spark, kept_t).collect()}
+    assert kept_ids == {101, 103, 201}
+    ivf_ids = {r.vec_id for r in read_snapshot(spark, ivf).collect()}
+    assert ivf_ids == set(range(10)) | {101, 103, 201}
+
+    # restart with no new files: nothing commits anywhere
+    heads = tuple(snapshot_versions(t)[-1] for t in (kept_t, idx, ivf))
+    q = stream_dedup_ingest(spark, src, batch1.schema, idx, kept_t, ckpt,
+                            threshold=0.9, ivf_path=ivf,
+                            cos_threshold=0.999)
+    q.awaitTermination(120)
+    assert tuple(snapshot_versions(t)[-1]
+                 for t in (kept_t, idx, ivf)) == heads
+    # a non-IVF table is refused up front
+    with pytest.raises(ValueError, match="not an IVF"):
+        stream_dedup_ingest(spark, src, batch1.schema, idx, kept_t,
+                            str(tmp_path / "ckpt2"), ivf_path=idx)
+
+
 def test_batch_probe_equals_single_probes(spark, tmp_path):
     """probe_ivf_table_batch == per-query probe_ivf_table for every
     query in the batch (ids, cosines, and order)."""
