@@ -45,9 +45,9 @@ KINDS = sorted({k for _, s, e in SCHEMA for k in (s, e)})
 #: per-kind predicates defined identically typed and stringly
 WHERES = {
     "Customer": '{a}.data.c_mktsegment = "BUILDING"',
-    "Nation": '{a}.data.n_name GLOB "NATION_1*"',
-    "Part": "{a}.data.p_size = 10",
-    "Supplier": '{a}.data.s_name GLOB "Supplier*"',
+    "Nation": "{a}.data.n_name GLOB 'NATION_1*'",   # GLOB takes single
+    "Part": "{a}.data.p_size = 10",                 # quotes (SQLite
+    "Supplier": "{a}.data.s_name GLOB 'Supplier*'",  # parity, chain C2)
 }
 
 
