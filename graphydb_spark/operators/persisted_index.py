@@ -170,15 +170,22 @@ def _query_chunks(queries: DataFrame, qid_col: str, qvec_col: str,
     driver CPU for the per-chunk closure tables scales with the chunk
     too (vectorized numpy for IVF-PQ, one matrix row per query for
     IVF), so chunks near :data:`MAX_QUERY_BATCH` pay seconds of driver
-    prep before each chunk's scan starts.  The oversized path executes
-    the ``queries`` plan twice (size probe + iterator): a
-    non-deterministic query frame must be materialized by the caller
-    first."""
-    probe = queries.select(qid_col, qvec_col).limit(chunk_cap + 1).collect()
-    if not probe:
+    prep before each chunk's scan starts.  The size probe and the row
+    fetch execute the ``queries`` plan twice (and qids must be UNIQUE
+    — a qid duplicated across chunk boundaries would emit one top-k
+    per copy instead of one merged ranking): a non-deterministic or
+    dup-qid query frame must be deduplicated/materialized by the
+    caller first."""
+    if chunk_cap < 1:
+        raise ValueError(f"max_batch must be >= 1, got {chunk_cap}")
+    # size probe reads the qid column only — no vector bytes move for
+    # the decision; the 64 MB-scale row fetch happens exactly once per
+    # chunk, never as a discarded probe
+    n = queries.select(qid_col).limit(chunk_cap + 1).count()
+    if n == 0:
         raise ValueError("empty query batch")
-    if len(probe) <= chunk_cap:
-        yield probe
+    if n <= chunk_cap:
+        yield queries.select(qid_col, qvec_col).collect()
         return
     buf: list = []
     for r in (queries.select(qid_col, qvec_col)
@@ -191,20 +198,33 @@ def _query_chunks(queries: DataFrame, qid_col: str, qvec_col: str,
         yield buf
 
 
-def _chunked_union(chunk_dfs_iter) -> DataFrame:
-    """Union per-chunk probe results.  Each chunk's result is
-    ``localCheckpoint``-ed (eager) as it is produced: the chunk's scan
-    runs NOW and its ~nq_chunk·k result rows persist as executor
-    blocks, so the ~MB-scale closure matrices of finished chunks are
-    released instead of stacking up in one giant lazy union — the
-    peak-memory profile is one chunk's closure at a time regardless of
-    how many chunks the batch spans.  Per-qid results are independent
-    (every ranking window partitions by qid), so the union is
-    value-identical to one unchunked pass."""
-    out = None
-    for df in chunk_dfs_iter:
-        part = df.localCheckpoint(eager=True)
-        out = part if out is None else out.unionByName(part)
+def _serve_chunked(chunks, core) -> DataFrame:
+    """Run ``core(qrows) -> DataFrame`` per chunk and union.
+
+    A SINGLE-chunk batch (the common serving case) returns the core's
+    LAZY DataFrame untouched — exactly the pre-chunking behavior, so
+    plan-cached handles still re-run the real scan per execution (the
+    bench/timing contract in queries._registry) and nothing pins
+    executor blocks.  Only a multi-chunk batch goes eager: each chunk
+    is ``localCheckpoint``-ed as it is produced, so its ~nq_chunk·k
+    result rows persist as executor blocks and the ~MB-scale closure
+    matrices of finished chunks are released instead of stacking up in
+    one giant lazy union — peak memory is one chunk's closure at a
+    time regardless of how many chunks the batch spans.  (Checkpoint
+    blocks are session-lifetime and non-recoverable on executor loss;
+    a multi-chunk result is a serving answer to consume, not a handle
+    to keep.)  Per-qid results are independent (every ranking window
+    partitions by qid), so the union is value-identical to one
+    unchunked pass."""
+    import itertools
+
+    first = next(chunks)
+    second = next(chunks, None)
+    if second is None:
+        return core(first)
+    out = core(first).localCheckpoint(eager=True)
+    for qrows in itertools.chain([second], chunks):
+        out = out.unionByName(core(qrows).localCheckpoint(eager=True))
     return out
 
 
@@ -341,10 +361,11 @@ def probe_ivf_table_batch(spark: SparkSession, path: str,
         raise ValueError(f"{path!r} is not an IVF index table")
     cap = MAX_QUERY_BATCH if max_batch is None else int(max_batch)
     qid_type = queries.schema[qid_col].dataType.simpleString()
-    return _chunked_union(
-        _ivf_batch_chunk(spark, path, version, meta, qrows, k, nprobe,
-                         qid_col, qid_type)
-        for qrows in _query_chunks(queries, qid_col, qvec_col, cap))
+    return _serve_chunked(
+        _query_chunks(queries, qid_col, qvec_col, cap),
+        lambda qrows: _ivf_batch_chunk(spark, path, version, meta,
+                                       qrows, k, nprobe, qid_col,
+                                       qid_type))
 
 
 def _ivf_batch_chunk(spark: SparkSession, path: str, version: int,
@@ -734,10 +755,11 @@ def probe_ivfpq_table_batch(spark: SparkSession, path: str,
     if rerank is not None:
         cap = max(1, min(cap, MAX_RERANK_PAIRS // (k * rerank)))
     qid_type = queries.schema[qid_col].dataType.simpleString()
-    return _chunked_union(
-        _ivfpq_batch_chunk(spark, path, version, meta, qrows, k,
-                           nprobe, rerank, qid_col, qid_type)
-        for qrows in _query_chunks(queries, qid_col, qvec_col, cap))
+    return _serve_chunked(
+        _query_chunks(queries, qid_col, qvec_col, cap),
+        lambda qrows: _ivfpq_batch_chunk(spark, path, version, meta,
+                                         qrows, k, nprobe, rerank,
+                                         qid_col, qid_type))
 
 
 def _ivfpq_batch_chunk(spark: SparkSession, path: str, version: int,
@@ -1079,6 +1101,48 @@ def probe_pairs(index_rows: DataFrame, new_rows: DataFrame,
             .agg(F.max("est_jaccard").alias("est_jaccard")))
 
 
+def _inbatch_semantic_drops(batch_df: DataFrame, id_col: str,
+                            vec_col: str, centroids: list,
+                            threshold: float) -> DataFrame:
+    """Micro-batch-INTERNAL semantic near-dups, lowest id wins — the
+    embedding twin of the gate's in-batch MinHash pass (review r7 #3:
+    two never-seen paraphrases in one batch must not both survive).
+    Rows are assigned to the STANDING index's cells (no training) and
+    scored pairwise per cell with numpy — O(per-cell²), bounded
+    because micro-batches are bounded.  A pair split across two cells
+    escapes (the same boundary-miss class as an nprobe cell miss);
+    exact embedding copies always share the argmin cell.  Returns one
+    ``new_id`` column: every row with a LOWER-id in-batch neighbor at
+    cosine ≥ threshold (matching the MinHash pass's ``new_id >
+    index_id`` semantics — not transitive clustering)."""
+    from .similarity import kmeans_assign_arrow
+
+    assigned = (batch_df.select(id_col, vec_col)
+                .withColumn("cluster",
+                            kmeans_assign_arrow(centroids, vec_col)))
+    id_type = batch_df.schema[id_col].dataType.simpleString()
+
+    def find(pdf):
+        import numpy as np
+        import pandas as pd
+        if len(pdf) < 2:
+            return pd.DataFrame({"new_id": pdf[id_col].iloc[:0]})
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        V, ids = V[order], ids[order]
+        nrm = np.sqrt((V * V).sum(axis=1))
+        nrm[nrm == 0] = np.inf              # zero vectors never match
+        N = V / nrm[:, None]
+        cos = N @ N.T
+        iu = np.triu_indices(len(ids), k=1)  # col index > row index ⇒
+        hit = cos[iu] >= threshold           # id[col] > id[row]
+        return pd.DataFrame({"new_id": ids[np.unique(iu[1][hit])]})
+
+    return (assigned.groupBy("cluster")
+            .applyInPandas(find, schema=f"new_id {id_type}"))
+
+
 def stream_dedup_ingest(spark: SparkSession, source_dir: str, schema,
                         index_path: str, kept_path: str,
                         checkpoint_dir: str, threshold: float = 0.9,
@@ -1097,11 +1161,13 @@ def stream_dedup_ingest(spark: SparkSession, source_dir: str, schema,
        near-dups (lowest id wins, via the same probe join batch×batch),
     3. optionally (``ivf_path`` + ``emb_col`` set) ALSO drops SEMANTIC
        near-dups: the batch's embeddings ride one closure-matrix pass
-       through :func:`probe_ivf_table_batch` (k=1 against the standing
-       IVF index, manifest-pruned cell reads) and any row whose nearest
-       index vector has cosine ≥ ``cos_threshold`` is a duplicate —
-       the SemDeDup-style gate the MinHash pass can't see (paraphrases
-       share no shingles), and
+       through :func:`probe_ivf_table_batch` (k=2 against the standing
+       IVF index, manifest-pruned cell reads) and any row with an index
+       neighbor at cosine ≥ ``cos_threshold`` is a duplicate — the
+       SemDeDup-style gate the MinHash pass can't see (paraphrases
+       share no shingles); in-batch embedding pairs get the same
+       treatment via :func:`_inbatch_semantic_drops` (lowest id wins,
+       cell-blocked), and
     4. commits survivors to the ``kept_path`` snapshot table, their
        signatures to the MinHash index, and (when the semantic gate is
        on) their embeddings to the IVF index via
@@ -1111,7 +1177,15 @@ def stream_dedup_ingest(spark: SparkSession, source_dir: str, schema,
     The commits are independently idempotent, not atomic: a crash
     between them replays the batch, each already-committed table no-ops
     on its seen token and the rest complete — convergent, never
-    duplicated (same recovery contract as stream_to_snapshot).
+    duplicated (same recovery contract as stream_to_snapshot).  The
+    ``drop`` computation is REPLAY-STABLE by construction (review r7
+    #1): both index probes EXCLUDE matches whose index id equals the
+    new row's id, so a replayed batch probing an index that already
+    contains its own committed rows (the crash window between the
+    signature commit and the IVF append) recomputes the identical
+    survivor set instead of dropping everything as a self-match — the
+    late append then commits the right rows, pinned by
+    test_stream_dedup_replay_after_partial_commit.
     Returns the started StreamingQuery (availableNow trigger); caller
     awaits/stops it.
     """
@@ -1139,8 +1213,13 @@ def stream_dedup_ingest(spark: SparkSession, source_dir: str, schema,
                          scheme=p.get("scheme", "salted"),
                          shape="window") \
             .localCheckpoint(eager=True)
+        # index_id != new_id: replay stability — after a crash between
+        # the sigs commit and the IVF append, the replayed batch's own
+        # rows ARE in the index (est/cosine 1.0 self-matches) and must
+        # not drop the survivors
         dup_vs_index = (probe_pairs(
             read_snapshot(s, index_path), sigs, threshold)
+            .where(F.col("index_id") != F.col("new_id"))
             .select("new_id").distinct())
         dup_in_batch = (probe_pairs(sigs, sigs, threshold)
                         .where(F.col("new_id") > F.col("index_id"))
@@ -1150,11 +1229,20 @@ def stream_dedup_ingest(spark: SparkSession, source_dir: str, schema,
             queries = batch_df.select(F.col(icol).alias("qid"),
                                       F.col(emb_col).alias("qvec"))
             if queries.limit(1).count():       # batch may be empty
+                vid = ivf_meta["id_col"]
+                # k=2: under replay the nearest neighbor is the row
+                # itself (excluded); the second slot still shows a
+                # genuine duplicate
                 sem = (probe_ivf_table_batch(
-                    s, ivf_path, queries, k=1, nprobe=nprobe)
-                    .where(F.col("cosine") >= cos_threshold)
+                    s, ivf_path, queries, k=2, nprobe=nprobe)
+                    .where((F.col(vid) != F.col("qid"))
+                           & (F.col("cosine") >= cos_threshold))
                     .select(F.col("qid").alias("new_id")).distinct())
-                drop = drop.unionByName(sem).distinct()
+                sem_batch = _inbatch_semantic_drops(
+                    batch_df, icol, emb_col, ivf_meta["centroids"],
+                    cos_threshold)
+                drop = (drop.unionByName(sem)
+                        .unionByName(sem_batch).distinct())
         kept = batch_df.join(
             drop, batch_df[icol] == drop["new_id"], "left_anti") \
             .localCheckpoint(eager=True)

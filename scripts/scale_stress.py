@@ -1159,8 +1159,12 @@ def round9_entries(spark, corpus_docs=50_000, novel_per_batch=17_000,
                 batch_df, "text", "doc_id", p["k"], p["num_hashes"],
                 p["bands"], scheme=p.get("scheme", "salted")) \
                 .localCheckpoint(eager=True)
+            # index_id != new_id: replay stability (the r7 gate fix) —
+            # a crash between the sigs commit and the FTS append must
+            # not turn the replayed batch into all-self-matches
             vs_index = (PI.probe_pairs(
                 snap.read_snapshot(s, mh_idx), sigs, 0.99)
+                .where(F.col("index_id") != F.col("new_id"))
                 .select("new_id").distinct())
             in_batch = (PI.probe_pairs(sigs, sigs, 0.99)
                         .where(F.col("new_id") > F.col("index_id"))

@@ -137,7 +137,10 @@ def duck_side(sf1_dir: str, names: list[str],
     out: dict[str, float] = {}
     for name in names:
         sql = ORACLES[name]
-        con.execute(sql).fetchall()
+        # the warm-up run doubles as the identity capture — at ×100
+        # the plain oracle costs ~20 s/run, never execute it just to
+        # re-fetch rows the timed loop already produced
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -146,7 +149,6 @@ def duck_side(sf1_dir: str, names: list[str],
         out[name] = round(best, 4)
         if standing:
             probe = plan[name]["probe"]
-            want = sorted(map(tuple, con.execute(sql).fetchall()))
             got = sorted(map(tuple, con.execute(probe).fetchall()))
             assert got == want, (
                 f"standing-index probe for {name!r} diverged from its "

@@ -395,6 +395,90 @@ def test_stream_dedup_ingest_semantic_gate(spark, tmp_path):
                             str(tmp_path / "ckpt2"), ivf_path=idx)
 
 
+def test_stream_dedup_inbatch_semantic_lowest_id_wins(spark, tmp_path):
+    """Two never-seen paraphrases in ONE micro-batch (identical
+    embeddings, disjoint shingles, neither near the index) — the
+    in-batch embedding pass must keep the lower id only (review r7 #3;
+    the MinHash in-batch pass cannot see them)."""
+    from graphydb_spark.operators.persisted_index import (
+        build_ivf_table, stream_dedup_ingest)
+    from graphydb_spark.sources.snapshot import read_snapshot
+
+    corpus = _docs(spark, n=6)
+    idx, ivf = str(tmp_path / "idx"), str(tmp_path / "ivf")
+    build_minhash_index(corpus, idx)
+    build_ivf_table(spark.createDataFrame(
+        [(i, [float(i * 10 + 3), 1.0, -2.0, 0.5]) for i in range(6)],
+        "vec_id long, embedding array<double>"), ivf, k=2, iters=1)
+    batch = spark.createDataFrame(
+        [(300, "alpha wording entirely about columnar shuffles today",
+          [9.0, -9.0, 4.0, 4.0]),
+         (301, "totally different beta phrasing on vectorized reads",
+          [9.0, -9.0, 4.0, 4.0]),          # paraphrase twin of 300
+         (302, "a third unrelated note regarding watermark semantics",
+          [-3.0, 8.0, 1.0, -6.0])],
+        "doc_id long, text string, embedding array<double>")
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    batch.write.mode("append").parquet(src)
+    q = stream_dedup_ingest(spark, src, batch.schema, idx,
+                            str(tmp_path / "kept"), ckpt, threshold=0.9,
+                            ivf_path=ivf, cos_threshold=0.999)
+    q.awaitTermination(120)
+    kept = {r.doc_id for r in
+            read_snapshot(spark, str(tmp_path / "kept")).collect()}
+    assert kept == {300, 302}                # 301 dropped, 300 wins
+
+
+def test_stream_dedup_replay_after_partial_commit(spark, tmp_path):
+    """The crash-window replay (review r7 #1): kept + signatures are
+    already committed under the batch txn but the IVF append is NOT
+    (crash between commits).  The replayed batch probes indexes that
+    contain its OWN rows — self-matches must not drop the survivors,
+    or the late IVF append commits an empty frame and the embeddings
+    are lost forever.  Converged state: kept unchanged (txn no-op),
+    IVF = corpus + the original survivors."""
+    from graphydb_spark.operators.persisted_index import (
+        _index_params, _sig_rows, build_ivf_table, stream_dedup_ingest)
+    from graphydb_spark.sources.snapshot import (commit_snapshot,
+                                                 read_snapshot)
+
+    corpus = _docs(spark, n=8)
+    idx, ivf = str(tmp_path / "idx"), str(tmp_path / "ivf")
+    build_minhash_index(corpus, idx)
+    build_ivf_table(spark.createDataFrame(
+        [(i, [float(i * 7 + 1), -1.0, 2.0, 0.5]) for i in range(8)],
+        "vec_id long, embedding array<double>"), ivf, k=2, iters=1)
+    batch = spark.createDataFrame(
+        [(400, "one novel meditation on broadcast thresholds",
+          [5.5, 5.5, -5.5, 5.5]),
+         (401, "the quick brown fox 2 jumps over dog 2",   # corpus copy
+          [0.25, -8.0, 3.0, 1.0])],
+        "doc_id long, text string, embedding array<double>")
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    batch.write.mode("append").parquet(src)
+    # emulate the pre-crash partial run: survivors (400) + their sigs
+    # committed under the EXACT txn token the gate will use for batch 0
+    txn = {"source": f"dedup_ingest:{ckpt}", "batch": 0}
+    p = _index_params(idx, None)
+    survivors = batch.where("doc_id = 400")
+    commit_snapshot(survivors, str(tmp_path / "kept"), mode="append",
+                    txn=txn)
+    sigs = _sig_rows(survivors, "text", "doc_id", p["k"],
+                     p["num_hashes"], p["bands"],
+                     scheme=p.get("scheme", "salted"), shape="window")
+    commit_snapshot(sigs, idx, mode="append", txn=txn)
+    # ...crash here; now the stream replays batch 0 from scratch
+    q = stream_dedup_ingest(spark, src, batch.schema, idx,
+                            str(tmp_path / "kept"), ckpt, threshold=0.9,
+                            ivf_path=ivf, cos_threshold=0.999)
+    q.awaitTermination(120)
+    kept = [r.doc_id for r in
+            read_snapshot(spark, str(tmp_path / "kept")).collect()]
+    assert sorted(kept) == [400]             # no dup, no loss
+    ivf_ids = {r.vec_id for r in read_snapshot(spark, ivf).collect()}
+    assert ivf_ids == set(range(8)) | {400}  # the append CONVERGED
+
+
 def test_batch_probe_equals_single_probes(spark, tmp_path):
     """probe_ivf_table_batch == per-query probe_ivf_table for every
     query in the batch (ids, cosines, and order)."""
@@ -1074,6 +1158,14 @@ def test_batch_probe_empty_batch_raises(spark, tmp_path):
     empty = spark.createDataFrame([], "qid string, qvec array<double>")
     with pytest.raises(ValueError, match="empty query batch"):
         probe_ivf_table_batch(spark, p, empty)
+    # a nonsense cap must refuse loudly, not degrade to an unbounded
+    # single-buffer collect (review r7 #5: chunk_cap=0 could never
+    # trigger the chunk flush)
+    one = spark.createDataFrame([("a", [0.0] * 4)],
+                                "qid string, qvec array<double>")
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="max_batch"):
+            probe_ivf_table_batch(spark, p, one, max_batch=bad)
 
 
 def test_pin_version_empty_table_raises(tmp_path):
