@@ -443,8 +443,18 @@ def read_snapshot_changes(spark: SparkSession, path: str,
         *[os.path.join(path, f) for f in new])
 
 
+#: meta ``kind`` → the column whose per-file clustering the table's
+#: probes prune on; :func:`compact_snapshot` re-clusters by it so
+#: compaction never degrades manifest skipping.  ``minhash_lsh`` is
+#: deliberately absent — its probe broadcasts the batch and streams
+#: the whole signature table, so any layout serves.
+_CLUSTER_COL_BY_KIND = {"ivf": "cluster", "ivfpq": "cluster",
+                        "fts": "token"}
+
+
 def compact_snapshot(spark: SparkSession, path: str,
-                     target_files: int = 8) -> int:
+                     target_files: int = 8,
+                     cluster_by: list[str] | None = None) -> int:
     """Rewrite the current version into ``target_files`` right-sized
     files and commit the rewrite as a new version (action='compact').
 
@@ -452,16 +462,49 @@ def compact_snapshot(spark: SparkSession, path: str,
     mode (every streaming micro-batch appends a few files; a year later
     the manifest lists millions and open() dominates scan time).
     Readers pinned to old versions are untouched — compaction adds
-    files, expiry removes them."""
+    files, expiry removes them.
+
+    Compaction is a PHYSICAL rewrite, so it must carry every logical
+    property of the table forward (round-7 fix — the old version
+    silently dropped both):
+
+    * ``meta`` rides into the new manifest unchanged — a compacted
+      IVF/FTS/MinHash index keeps its centroids / corpus stats /
+      hash-space params, so probes keep working;
+    * ``txn_wm`` (the per-source streaming high-water marks) rides
+      forward too — a micro-batch replayed AFTER compaction still
+      no-ops, preserving the exactly-once contract;
+    * the clustered layout is REBUILT, not coalesced away:
+      ``cluster_by`` (default: inferred from ``meta['kind']`` —
+      IVF/IVF-PQ cells, FTS token ranges) range-partitions and sorts
+      the rewrite so per-file min/max stay narrow and manifest pruning
+      keeps skipping files.  Pass ``cluster_by=[]`` to force a plain
+      coalesce for tables with no pruning column.
+
+    A concurrent commit between the head read and the manifest write
+    raises :class:`CommitConflict` — compaction is maintenance; re-run
+    it on the winner's head (the rewrite must be redone anyway)."""
     head = _head(path)
     if not head:
         raise FileNotFoundError(f"no committed snapshot at {path!r}")
-    df = read_snapshot(spark, path).coalesce(target_files)
+    parent = _read_manifest(path, head)
+    df = read_snapshot(spark, path)
+    if cluster_by is None:
+        kind = (parent.get("meta") or {}).get("kind")
+        col = _CLUSTER_COL_BY_KIND.get(kind)
+        cluster_by = [col] if col and col in df.columns else []
+    if cluster_by:
+        df = (df.repartitionByRange(max(1, target_files), *cluster_by)
+              .sortWithinPartitions(*cluster_by))
+    else:
+        df = df.coalesce(max(1, target_files))
     files, schema_json = _stage_files(df, path)
     manifest = {"action": "compact", "parent": head, "files": files,
                 "schema": schema_json,
                 "file_stats": _file_stats(path, files),
-                "committed_at": time.time(), "txn": None}
+                "meta": parent.get("meta"),
+                "committed_at": time.time(), "txn": None,
+                "txn_wm": parent.get("txn_wm", {})}
     _commit_manifest(path, head + 1, manifest)
     return head + 1
 

@@ -123,6 +123,86 @@ def test_empty_table_schema_preserved(spark, table):
     assert out.schema.fieldNames() == ["id", "val"]
 
 
+def test_compact_preserves_meta_and_txn_wm(spark, table):
+    """Compaction is a PHYSICAL rewrite: the meta sidecar AND the
+    streaming high-water marks must ride into the new manifest
+    (round-7 fix — both were silently dropped, so compacting an index
+    table lost its centroids and a replayed micro-batch RE-committed,
+    breaking exactly-once)."""
+    t = {"source": "stream:ck", "batch": 3}
+    snap.commit_snapshot(_df(spark, 0, 10), table,
+                         meta={"kind": "demo", "n": 10})
+    snap.commit_snapshot(_df(spark, 10, 20), table, txn=t)
+    v = snap.compact_snapshot(spark, table, target_files=1)
+    assert snap.snapshot_meta(table, v) == {"kind": "demo", "n": 10}
+    # the pre-compaction batch token still no-ops: the replay returns
+    # the version that originally carried it and commits nothing new
+    v2 = snap.commit_snapshot(_df(spark, 10, 20), table, txn=t)
+    assert v2 == 2 and snap._head(table) == v
+    assert snap.read_snapshot(spark, table).count() == 20
+
+
+def test_compact_ivf_table_keeps_probes_and_pruning(spark, tmp_path):
+    """Compacting a persisted IVF index must (a) keep the probes
+    working — meta carries the centroids — and (b) REBUILD the
+    cell-clustered layout so manifest pruning still opens a strict
+    subset of files (a blind coalesce would interleave cells and
+    every probe would read everything)."""
+    from graphydb_spark.operators.persisted_index import (
+        append_ivf_table, build_ivf_table, ivf_probe_files,
+        probe_ivf_table)
+    emb = spark.createDataFrame(
+        [(i, [float(i % 8) * 5.0, float(i % 3), -1.0, 2.0])
+         for i in range(160)],
+        "vec_id long, embedding array<double>")
+    p = str(tmp_path / "ivf")
+    build_ivf_table(emb, p, k=8, iters=2, files_per_cell=1.0)
+    # a few small appends (the streaming small-files shape)
+    for j in range(3):
+        extra = spark.createDataFrame(
+            [(1000 + j * 10 + i,
+              [float(i % 8) * 5.0, 1.0, -1.0, 2.0]) for i in range(10)],
+            "vec_id long, embedding array<double>")
+        append_ivf_table(spark, p, extra)
+    q = [10.0, 1.0, -1.0, 2.0]
+    want = [(r.vec_id, r.cosine)
+            for r in probe_ivf_table(spark, p, q, k=12, nprobe=2).collect()]
+    n_before = len(snap._read_manifest(p, snap._head(p))["files"])
+    snap.compact_snapshot(spark, p, target_files=4)
+    got = [(r.vec_id, r.cosine)
+           for r in probe_ivf_table(spark, p, q, k=12, nprobe=2).collect()]
+    assert got == want                       # value-identical serve
+    opened, total = ivf_probe_files(p, q, nprobe=1)
+    assert total <= 4 < n_before             # files actually shrank
+    assert opened < total                    # pruning survived
+
+
+def test_compact_fts_table_keeps_bm25(spark, tmp_path):
+    """FTS compaction: BM25 needs meta (n_docs, sum_doclen) and the
+    token-range layout; both must survive the rewrite."""
+    from graphydb_spark.operators.persisted_index import (
+        build_fts_table, probe_fts_table)
+    docs = spark.createDataFrame(
+        [(f"D:{i}", f"data query engine w{i % 7} token w{i % 11}")
+         for i in range(60)],
+        "uid string, text string")
+    p = str(tmp_path / "fts")
+    build_fts_table(docs, p, ["text"], n_files=6)
+    want = sorted((r.uid, r.score) for r in
+                  probe_fts_table(spark, p, ["data", "engine"]).collect())
+    snap.compact_snapshot(spark, p, target_files=2)
+    got = sorted((r.uid, r.score) for r in
+                 probe_fts_table(spark, p, ["data", "engine"]).collect())
+    assert got == want
+    m = snap._read_manifest(p, snap._head(p))
+    assert len(m["files"]) <= 2
+    # token-range stats stayed narrow enough to skip at least one file
+    stats = m["file_stats"]
+    mins = {tuple(s["cols"]["token"])[0] for s in stats.values()
+            if "token" in s.get("cols", {})}
+    assert len(mins) > 1                     # files cover distinct ranges
+
+
 def test_stream_to_snapshot_exactly_once(spark, table, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
