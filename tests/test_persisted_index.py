@@ -429,6 +429,26 @@ def test_stream_dedup_inbatch_semantic_lowest_id_wins(spark, tmp_path):
     assert kept == {300, 302}                # 301 dropped, 300 wins
 
 
+def test_inbatch_semantic_drops_edges(spark):
+    """Direct edges of the in-batch pass: a zero-norm vector never
+    matches anything (norm guard, no NaN poisoning), singleton cells
+    emit nothing, and within a cell every row with a lower-id
+    near-twin drops while the lowest id survives."""
+    from graphydb_spark.operators.persisted_index import \
+        _inbatch_semantic_drops
+    cents = [[100.0, 0.0], [-100.0, 0.0]]
+    batch = spark.createDataFrame(
+        [(1, [90.0, 1.0]),      # cell 0
+         (2, [90.0, 1.0]),      # twin of 1 -> drops
+         (3, [90.0, 1.0]),      # twin of 1 and 2 -> drops
+         (4, [0.0, 0.0]),       # zero vector -> never matches
+         (5, [-95.0, 2.0])],    # alone in cell 1 -> survives
+        "doc_id long, embedding array<double>")
+    got = sorted(r.new_id for r in _inbatch_semantic_drops(
+        batch, "doc_id", "embedding", cents, 0.999).collect())
+    assert got == [2, 3]
+
+
 def test_stream_dedup_replay_after_partial_commit(spark, tmp_path):
     """The crash-window replay (review r7 #1): kept + signatures are
     already committed under the batch txn but the IVF append is NOT
