@@ -185,7 +185,11 @@ def _query_chunks(queries: DataFrame, qid_col: str, qvec_col: str,
     if n == 0:
         raise ValueError("empty query batch")
     if n <= chunk_cap:
-        yield queries.select(qid_col, qvec_col).collect()
+        # plan-side LIMIT on the fetch too (ADVICE r7): the size probe
+        # and this collect are two executions of the queries plan — a
+        # non-deterministic source that grew between them must not turn
+        # the fast path into an unbounded driver collect
+        yield queries.select(qid_col, qvec_col).limit(chunk_cap).collect()
         return
     buf: list = []
     for r in (queries.select(qid_col, qvec_col)
@@ -196,6 +200,13 @@ def _query_chunks(queries: DataFrame, qid_col: str, qvec_col: str,
             buf = []
     if buf:
         yield buf
+
+
+#: chunks per union-fold in :func:`_serve_chunked` — the live plan
+#: never exceeds this many union arms regardless of batch size.  16
+#: checkpointed arms analyze in ~ms; the fold itself costs one pass
+#: over already-materialized result rows.
+UNION_FOLD_CHUNKS = 16
 
 
 def _serve_chunked(chunks, core) -> DataFrame:
@@ -215,7 +226,15 @@ def _serve_chunked(chunks, core) -> DataFrame:
     a multi-chunk result is a serving answer to consume, not a handle
     to keep.)  Per-qid results are independent (every ranking window
     partitions by qid), so the union is value-identical to one
-    unchunked pass."""
+    unchunked pass.
+
+    The running union FOLDS through a checkpoint every
+    :data:`UNION_FOLD_CHUNKS` chunks (VERDICT r7 #5): without the fold
+    a 1M-query batch at the 65,536 cap builds a 16-arm union — fine —
+    but a 100× batch builds a 1,600-arm lineage whose plan analysis
+    alone dominates serving.  Folding keeps the live plan ≤ fold-width
+    arms at any chunk count; the fold re-materializes only result rows
+    (~nq·k narrow rows per chunk), never the scans."""
     import itertools
 
     first = next(chunks)
@@ -223,8 +242,13 @@ def _serve_chunked(chunks, core) -> DataFrame:
     if second is None:
         return core(first)
     out = core(first).localCheckpoint(eager=True)
+    arms = 1
     for qrows in itertools.chain([second], chunks):
         out = out.unionByName(core(qrows).localCheckpoint(eager=True))
+        arms += 1
+        if arms >= UNION_FOLD_CHUNKS:
+            out = out.localCheckpoint(eager=True)
+            arms = 1
     return out
 
 
@@ -321,12 +345,14 @@ def probe_ivf_table(spark: SparkSession, path: str,
 #: (:func:`_query_chunks`), value-identical to a single pass.
 MAX_QUERY_BATCH = 65_536
 
-#: hard bound on the candidate (qid, id) pairs ONE stage-2 rerank
+#: bound on the candidate (qid, id) pairs ONE stage-2 rerank
 #: broadcast may materialize (a broadcast relation lives in driver +
 #: every executor's memory; 2M narrow pairs ≈ tens of MB).  The batch
 #: rerank sizes its query chunks as min(max_batch, this // (k·α)) so
-#: every broadcast respects the bound by construction; only k·α > the
-#: bound for a SINGLE query still errors.
+#: every broadcast respects the bound by construction; a SINGLE query
+#: whose k·α exceeds the bound (chunking can't shrink its pool) is
+#: served by a distributed shuffle join instead of a broadcast —
+#: no refusal, no driver materialization (VERDICT r7 #4).
 MAX_RERANK_PAIRS = 2_000_000
 
 
@@ -731,7 +757,13 @@ def probe_ivfpq_table_batch(spark: SparkSession, path: str,
     :data:`MAX_RERANK_PAIRS` // (k·α)): every stage-2 broadcast
     carries ≤2M narrow pairs by construction, and a batch of any size
     serves in as many chunks as that takes (pinned by
-    test_ivfpq_batch_rerank_chunked_by_pair_bound)."""
+    test_ivfpq_batch_rerank_chunked_by_pair_bound).  When ONE query's
+    own pool breaks the bound (k·α > MAX_RERANK_PAIRS — chunking
+    bottoms out at one query per chunk), stage 2 switches to a
+    distributed shuffle join on the candidate ids: no broadcast, no
+    driver-side pair materialization, value-identical by the same
+    per-qid-independence argument (pinned by
+    test_ivfpq_rerank_shuffle_equals_broadcast)."""
     version = _pin_version(path, version)
     meta = snapshot_meta(path, version)
     if not meta or meta.get("kind") != "ivfpq":
@@ -745,12 +777,6 @@ def probe_ivfpq_table_batch(spark: SparkSession, path: str,
             raise ValueError(
                 "rerank needs raw vectors in the index — rebuild with "
                 "build_ivfpq_table(..., store_raw=True)")
-        if k * rerank > MAX_RERANK_PAIRS:
-            raise ValueError(
-                f"k*rerank = {k * rerank:,} candidate pairs PER QUERY "
-                f"exceeds the {MAX_RERANK_PAIRS:,} stage-2 broadcast "
-                f"bound — no chunking can shrink a single query's "
-                f"candidate pool; lower k or rerank")
     cap = MAX_QUERY_BATCH if max_batch is None else int(max_batch)
     if rerank is not None:
         cap = max(1, min(cap, MAX_RERANK_PAIRS // (k * rerank)))
@@ -860,10 +886,19 @@ def _ivfpq_batch_chunk(spark: SparkSession, path: str, version: int,
     if rerank is None:
         return approx
     # ---- stage 2: exact re-rank.  The candidate (qid, id) frame is
-    # broadcast — the relation build materializes it driver-side; the
-    # chunk sizing in probe_ivfpq_table_batch caps it at
-    # MAX_RERANK_PAIRS pairs.  The raw vectors come from the SAME
-    # manifest-pruned cell files.
+    # broadcast when it fits the bound — the relation build
+    # materializes it driver-side; the chunk sizing in
+    # probe_ivfpq_table_batch caps it at MAX_RERANK_PAIRS pairs
+    # whenever chunking CAN (one query per chunk is the floor).  A
+    # single query whose own pool exceeds the bound (k·α >
+    # MAX_RERANK_PAIRS — what used to be a hard refusal, VERDICT r7
+    # #4) falls back to a SHUFFLE join: both sides hash-exchange on
+    # the id key, nothing materializes on the driver or in executor
+    # broadcast memory, and the pool size is bounded only by cluster
+    # shuffle capacity.  The raw vectors come from the SAME
+    # manifest-pruned cell files either way, and the L2 kernel is
+    # identical — value-identity between the two join strategies is
+    # pinned by test_ivfpq_rerank_shuffle_equals_broadcast.
     vec_col = meta["vec_col"]
     cand_pairs = approx.select(qid_col, id_col)
     raws = [read_snapshot(spark, path, version=version,
@@ -872,7 +907,10 @@ def _ivfpq_batch_chunk(spark: SparkSession, path: str, version: int,
     raw = raws[0]
     for p in raws[1:]:
         raw = raw.unionByName(p)
-    joined = raw.join(F.broadcast(cand_pairs), id_col)
+    if len(qids) * keep_n > MAX_RERANK_PAIRS:
+        joined = raw.join(cand_pairs.hint("shuffle_hash"), id_col)
+    else:
+        joined = raw.join(F.broadcast(cand_pairs), id_col)
     qid_to_i = {q: i for i, q in enumerate(qids)}
     l2_schema = (f"`{qid_col}` {qid_type}, `{id_col}` {id_type}, "
                  "l2_dist double")
@@ -1101,6 +1139,15 @@ def probe_pairs(index_rows: DataFrame, new_rows: DataFrame,
             .agg(F.max("est_jaccard").alias("est_jaccard")))
 
 
+#: per-task row cap for one pairwise-cosine block in
+#: :func:`_inbatch_semantic_drops` — a block's cos matrix is cap²
+#: doubles (2048² = 32 MB) and cap²/2 pair checks; a skewed cell
+#: splits into ceil(n/cap) vector-hash blocks, so one task's work is
+#: O(n·cap) instead of O(n²) (VERDICT r7 #3: a 100k-row cell would
+#: otherwise be 1e10 cosines on one core).
+INBATCH_CELL_CAP = 2_048
+
+
 def _inbatch_semantic_drops(batch_df: DataFrame, id_col: str,
                             vec_col: str, centroids: list,
                             threshold: float) -> DataFrame:
@@ -1114,21 +1161,39 @@ def _inbatch_semantic_drops(batch_df: DataFrame, id_col: str,
     exact embedding copies always share the argmin cell.  Returns one
     ``new_id`` column: every row with a LOWER-id in-batch neighbor at
     cosine ≥ threshold (matching the MinHash pass's ``new_id >
-    index_id`` semantics — not transitive clustering)."""
+    index_id`` semantics — not transitive clustering).
+
+    SKEW CAP (VERDICT r7 #3): a cell holding more than
+    :data:`INBATCH_CELL_CAP` batch rows (clustered ingest is exactly
+    when that happens) sub-splits by a DETERMINISTIC hash of the
+    vector bytes into ceil(n/cap) blocks, each deduped pairwise on its
+    own — per-cell work drops O(n²) → O(n·cap).  Identical embeddings
+    hash to the same block by construction, so EXACT copies never
+    escape the split; near-dup pairs across blocks join the documented
+    boundary-miss class (pinned by
+    test_inbatch_semantic_skewed_cell_capped).
+
+    Ordering/edge semantics (ADVICE r7): ids order by numpy's ``<``
+    — for Python strings that is code-point order, the same total
+    order as Spark's binary UTF-8 string comparison in the MinHash
+    pass (UTF-8 byte order preserves code-point order), so the two
+    in-batch passes always crown the same twin.  Two all-zero
+    embeddings are deliberately NOT semantic duplicates (cosine is
+    undefined at zero norm; norm is forced to inf so they match
+    nothing) — byte-identical zero-vector docs with identical TEXT are
+    still caught by the exact-signature MinHash pass."""
+    import zlib
+
     from .similarity import kmeans_assign_arrow
 
     assigned = (batch_df.select(id_col, vec_col)
                 .withColumn("cluster",
                             kmeans_assign_arrow(centroids, vec_col)))
     id_type = batch_df.schema[id_col].dataType.simpleString()
+    cap = INBATCH_CELL_CAP
 
-    def find(pdf):
+    def pairwise(V, ids):
         import numpy as np
-        import pandas as pd
-        if len(pdf) < 2:
-            return pd.DataFrame({"new_id": pdf[id_col].iloc[:0]})
-        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        ids = pdf[id_col].to_numpy()
         order = np.argsort(ids, kind="stable")
         V, ids = V[order], ids[order]
         nrm = np.sqrt((V * V).sum(axis=1))
@@ -1137,7 +1202,27 @@ def _inbatch_semantic_drops(batch_df: DataFrame, id_col: str,
         cos = N @ N.T
         iu = np.triu_indices(len(ids), k=1)  # col index > row index ⇒
         hit = cos[iu] >= threshold           # id[col] > id[row]
-        return pd.DataFrame({"new_id": ids[np.unique(iu[1][hit])]})
+        return ids[np.unique(iu[1][hit])]
+
+    def find(pdf):
+        import numpy as np
+        import pandas as pd
+        if len(pdf) < 2:
+            return pd.DataFrame({"new_id": pdf[id_col].iloc[:0]})
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        ids = pdf[id_col].to_numpy()
+        if len(pdf) <= cap:
+            return pd.DataFrame({"new_id": pairwise(V, ids)})
+        nsplits = -(-len(pdf) // cap)
+        keys = np.fromiter(
+            (zlib.crc32(V[i].tobytes()) % nsplits for i in range(len(V))),
+            dtype=np.int64, count=len(V))
+        drops = [pairwise(V[keys == s], ids[keys == s])
+                 for s in range(nsplits) if (keys == s).sum() >= 2]
+        drops = [d for d in drops if len(d)]
+        if not drops:
+            return pd.DataFrame({"new_id": pdf[id_col].iloc[:0]})
+        return pd.DataFrame({"new_id": np.concatenate(drops)})
 
     return (assigned.groupBy("cluster")
             .applyInPandas(find, schema=f"new_id {id_type}"))
@@ -1226,18 +1311,25 @@ def stream_dedup_ingest(spark: SparkSession, source_dir: str, schema,
                         .select("new_id").distinct())
         drop = dup_vs_index.unionByName(dup_in_batch).distinct()
         if ivf_path is not None:
-            queries = batch_df.select(F.col(icol).alias("qid"),
-                                      F.col(emb_col).alias("qvec"))
+            # reserved query-column names (ADVICE r7): an IVF index
+            # whose id_col is literally 'qid' would otherwise collide
+            # with the probe's qid output column and make the
+            # self-match filter an ambiguous-column AnalysisException
+            queries = batch_df.select(
+                F.col(icol).alias("__gate_qid"),
+                F.col(emb_col).alias("__gate_qvec"))
             if queries.limit(1).count():       # batch may be empty
                 vid = ivf_meta["id_col"]
                 # k=2: under replay the nearest neighbor is the row
                 # itself (excluded); the second slot still shows a
                 # genuine duplicate
                 sem = (probe_ivf_table_batch(
-                    s, ivf_path, queries, k=2, nprobe=nprobe)
-                    .where((F.col(vid) != F.col("qid"))
+                    s, ivf_path, queries, k=2, nprobe=nprobe,
+                    qid_col="__gate_qid", qvec_col="__gate_qvec")
+                    .where((F.col(vid) != F.col("__gate_qid"))
                            & (F.col("cosine") >= cos_threshold))
-                    .select(F.col("qid").alias("new_id")).distinct())
+                    .select(F.col("__gate_qid").alias("new_id"))
+                    .distinct())
                 sem_batch = _inbatch_semantic_drops(
                     batch_df, icol, emb_col, ivf_meta["centroids"],
                     cos_threshold)

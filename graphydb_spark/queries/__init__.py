@@ -20,17 +20,10 @@ from ._oracle_table import *  # noqa: F401,F403
 from ._retrieval_ann import *  # noqa: F401,F403
 from ._registry import *  # noqa: F401,F403
 
-# Single-namespace backfill: the original module resolved EVERY
-# call-time global in one namespace, including forward references
-# (e.g. q_dedup_resolve reads QUERIES, defined at the very end).  Give
-# each part module any name it doesn't already have so function bodies
-# keep resolving exactly as before the split.  Existing attributes are
-# never overridden — a part that imported or defined a name keeps its
-# own binding.
-_parts = (_shared, _graph_core, _relational, _pipeline, _analytics_a, _analytics_b, _analytics_c, _analytics_d, _oracle_table, _retrieval_ann, _registry)
-_final = {k: v for k, v in globals().items() if not k.startswith("__")}
-for _m in _parts:
-    for _k, _v in _final.items():
-        if not hasattr(_m, _k):
-            setattr(_m, _k, _v)
-del _parts, _final, _m, _k, _v
+# No namespace backfill (VERDICT r7 #6): each part module resolves its
+# call-time globals from its OWN namespace — earlier parts via the
+# ordered star-import chain, the two forward references (minhash_pairs
+# from _graph_core/_analytics_d into later parts) via function-local
+# imports.  tests/test_queries_import_hygiene.py asserts every global
+# a part's functions load resolves without injection, so a typo'd name
+# is a lint failure instead of silently binding another part's helper.

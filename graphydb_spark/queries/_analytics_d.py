@@ -1863,6 +1863,7 @@ def q_split_leakage_check(spark, sf_dir):
     doc-hash split.  One broadcast of the (tiny) split map onto the
     LSH pair stream."""
     from ..operators.pipeline import train_val_test_split
+    from ._registry import QUERIES
     docs = _docs(spark, sf_dir)
     pairs = QUERIES["minhash_pairs"](spark, sf_dir)
     sp = train_val_test_split(docs, "doc_id").select("doc_id", "split")

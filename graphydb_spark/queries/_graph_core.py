@@ -396,6 +396,7 @@ def q_bpe_token_count(spark, sf_dir):
 def q_jaccard_pairs(spark, sf_dir):
     """Candidate pairs from MinHash LSH verified with exact 3-shingle
     Jaccard (the LSH-then-verify pipeline)."""
+    from ._pipeline import q_minhash_pairs
     docs = _docs(spark, sf_dir)
     cand = q_minhash_pairs(spark, sf_dir)
     out = dedup.jaccard_verify(docs, cand, threshold=0.3)
@@ -406,6 +407,7 @@ def q_containment_pairs(spark, sf_dir):
     """LSH candidates scored with asymmetric containment both ways —
     the quote/subset detector symmetric Jaccard misses.  FULL oracle
     (exact integer set sizes, 6 dp rounding before the threshold)."""
+    from ._pipeline import q_minhash_pairs
     docs = _docs(spark, sf_dir)
     cand = q_minhash_pairs(spark, sf_dir)
     from ..operators.dedup import containment_pairs

@@ -1116,11 +1116,10 @@ def test_ivfpq_batch_rerank_guards(spark, tmp_path):
     for bad in (0, 1.5):
         with pytest.raises(ValueError, match="rerank"):
             probe_ivfpq_table_batch(spark, p, qs, k=3, rerank=bad)
-    # the only surviving rerank refusal: k·α pairs for ONE query past
-    # the stage-2 broadcast bound — chunking can't shrink a single
-    # query's candidate pool (loud, before any job runs)
-    with pytest.raises(ValueError, match="PER QUERY"):
-        probe_ivfpq_table_batch(spark, p, qs, k=1_500_000, rerank=2)
+    # k·α past the broadcast bound for ONE query no longer refuses
+    # (VERDICT r7 #4): stage 2 falls back to a distributed shuffle
+    # join — the value-identity gate is
+    # test_ivfpq_rerank_shuffle_equals_broadcast
 
 
 def test_ivfpq_batch_rerank_chunked_by_pair_bound(spark, tmp_path,
@@ -1144,6 +1143,154 @@ def test_ivfpq_batch_rerank_chunked_by_pair_bound(spark, tmp_path,
     got = sorted(map(tuple, PI.probe_ivfpq_table_batch(
         spark, p, qs, k=4, nprobe=3, rerank=2).collect()))
     assert got == want
+
+
+def test_ivfpq_rerank_shuffle_equals_broadcast(spark, tmp_path,
+                                               monkeypatch):
+    """The distributed stage-2 fallback (VERDICT r7 #4): when ONE
+    query's k·α candidate pool exceeds the broadcast bound (chunking
+    bottoms out at one query per chunk), the rerank joins by shuffle
+    instead of broadcast — same manifest-pruned raw read, same L2
+    kernel, so the result must be VALUE-IDENTICAL to the broadcast
+    path.  A 7-query batch under a tiny bound exercises both the
+    1-query chunking and the shuffle join in every chunk."""
+    import graphydb_spark.operators.persisted_index as PI
+    emb = _emb(spark, n=60, dim=4)
+    p = str(tmp_path / "ivfpq_shuf")
+    PI.build_ivfpq_table(emb, p, k=3, m=2, pq_k=4, iters=1,
+                         store_raw=True)
+    qs = spark.createDataFrame(
+        [(f"q{i}", [float(i), 1.0, -1.0, 0.5]) for i in range(7)],
+        "qid string, qvec array<double>")
+    want = sorted(map(tuple, PI.probe_ivfpq_table_batch(
+        spark, p, qs, k=4, nprobe=3, rerank=3).collect()))
+    # k·α = 12 pairs/query > bound 5 -> 1-query chunks, shuffle join
+    monkeypatch.setattr(PI, "MAX_RERANK_PAIRS", 5)
+    got = sorted(map(tuple, PI.probe_ivfpq_table_batch(
+        spark, p, qs, k=4, nprobe=3, rerank=3).collect()))
+    assert got == want
+
+
+def test_serve_chunked_union_fold_identity(spark, tmp_path,
+                                           monkeypatch):
+    """The union-depth guard (VERDICT r7 #5): with the fold width
+    forced to 2, a 9-chunk batch folds the running union through a
+    checkpoint 4 times — the result must stay value-identical to the
+    single-scan pass (per-qid independence), and the returned plan
+    must never stack more than fold-width union arms."""
+    import graphydb_spark.operators.persisted_index as PI
+    emb = _emb(spark, n=40)
+    p = str(tmp_path / "ivf_fold")
+    build_ivf_table(emb, p, k=4, iters=2)
+    qs = [(f"q{i}", [float(i), 1.0, -1.0, 0.5]) for i in range(9)]
+    queries = spark.createDataFrame(qs, "qid string, qvec array<double>")
+    want = sorted(map(tuple, PI.probe_ivf_table_batch(
+        spark, p, queries, k=3, max_batch=16).collect()))
+    monkeypatch.setattr(PI, "UNION_FOLD_CHUNKS", 2)
+    out = PI.probe_ivf_table_batch(spark, p, queries, k=3, max_batch=1)
+    got = sorted(map(tuple, out.collect()))
+    assert got == want
+    # the live plan is the last fold's checkpoint (1 arm) — 9 chunks
+    # never show up as 9 union arms
+    assert out._jdf.queryExecution().analyzed().toString().count(
+        "Union") <= 2
+
+
+def test_inbatch_semantic_skewed_cell_capped(spark, monkeypatch):
+    """The cell-skew cap (VERDICT r7 #3): every row of the batch lands
+    in ONE standing-index cell; with the per-block cap forced to 4 the
+    cell sub-splits by vector hash instead of building one n² matrix.
+    Exact embedding copies hash to the same block BY CONSTRUCTION, so
+    every planted twin still drops (higher ids), every unique row
+    survives, and the lowest copy of each twin group wins."""
+    import graphydb_spark.operators.persisted_index as PI
+    monkeypatch.setattr(PI, "INBATCH_CELL_CAP", 4)
+    import math
+    cents = [[1000.0, 0.0, 0.0], [-1000.0, 0.0, 0.0]]
+    rows = []
+    # 8 twin groups of 3 exact copies + 6 unique rows, all near cell 0
+    # (positive first component); groups fan out at distinct angles in
+    # the (y, z) subspace so CROSS-group cosine stays ≈0.95 < threshold
+    # while exact copies are cosine 1.0
+    for g in range(8):
+        a = 2.0 * math.pi * g / 8.0
+        v = [900.0, 400.0 * math.cos(a), 400.0 * math.sin(a)]
+        for c in range(3):
+            rows.append((g * 10 + c, v))
+    for u in range(6):
+        a = 2.0 * math.pi * u / 6.0 + 0.37
+        rows.append((500 + u,
+                     [880.0, 450.0 * math.cos(a), 450.0 * math.sin(a)]))
+    batch = spark.createDataFrame(
+        rows, "doc_id long, embedding array<double>")
+    got = sorted(r.new_id for r in PI._inbatch_semantic_drops(
+        batch, "doc_id", "embedding", cents, 0.9999).collect())
+    want = sorted(g * 10 + c for g in range(8) for c in (1, 2))
+    assert got == want
+
+
+def test_stream_gate_ivf_id_col_named_qid(spark, tmp_path):
+    """An IVF index whose id_col is literally 'qid' must not collide
+    with the gate's probe output column (ADVICE r7: the self-match
+    filter would raise an ambiguous-column AnalysisException at
+    micro-batch time) — the gate's query columns use reserved
+    __gate_* names, so the pipeline runs and still drops the planted
+    semantic duplicate."""
+    from graphydb_spark.operators.persisted_index import (
+        build_ivf_table, build_minhash_index, stream_dedup_ingest)
+    from graphydb_spark.sources.snapshot import read_snapshot
+
+    corpus = _docs(spark, n=6)
+    idx, ivf = str(tmp_path / "idx"), str(tmp_path / "ivf")
+    build_minhash_index(corpus, idx)
+    corpus_emb = spark.createDataFrame(
+        [(i, [float(i * 10 + 3), 1.0, -2.0, 0.5]) for i in range(6)],
+        "qid long, embedding array<double>")
+    build_ivf_table(corpus_emb, ivf, k=2, iters=1, id_col="qid")
+    batch = spark.createDataFrame(
+        [(400, "unseen phrasing about adaptive query execution",
+          [43.0, 1.0, -2.0, 0.5]),         # == corpus vec 4 -> dup
+         (401, "novel words describing columnar page indexes",
+          [5.0, -8.0, 6.0, 2.0])],
+        "doc_id long, text string, embedding array<double>")
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    batch.write.mode("append").parquet(src)
+    q = stream_dedup_ingest(spark, src, batch.schema, idx,
+                            str(tmp_path / "kept"), ckpt, threshold=0.9,
+                            ivf_path=ivf, cos_threshold=0.999)
+    q.awaitTermination(120)
+    kept = {r.doc_id for r in
+            read_snapshot(spark, str(tmp_path / "kept")).collect()}
+    assert kept == {401}
+
+
+def test_plan_cache_opt_out_marker():
+    """A query whose result carries _gdb_no_plan_cache must be rebuilt
+    per call (ADVICE r7: eager multi-chunk serves ride session-lifetime
+    checkpoint blocks — caching the handle re-reads rows instead of
+    re-running the probe, and dies permanently on executor loss)."""
+    from graphydb_spark.queries import _registry
+
+    calls = []
+
+    class FakeDF:
+        _gdb_no_plan_cache = True
+
+    def fn(spark, sf_dir):
+        calls.append(1)
+        return FakeDF()
+
+    wrapped = _registry._plan_cached("___opt_out_probe", fn)
+    ship = _registry._SHIPPED_SESSIONS
+    ship.add(id(None))                       # skip package shipping
+    try:
+        wrapped(None, "/nowhere")
+        wrapped(None, "/nowhere")
+    finally:
+        ship.discard(id(None))
+    assert len(calls) == 2
+    assert (id(None), "/nowhere",
+            "___opt_out_probe") not in _registry._PLAN_CACHE
 
 
 def test_ivfpq_batch_probe_guard_and_rejects(spark, tmp_path):
