@@ -148,6 +148,10 @@ class Graph:
         self._cache: dict[str, Any] = {}
         self._changes: list[dict] = []
         self._change_seq = 0
+        # bulk_save's prefetched old-value map (uid -> props dict or
+        # None) — live only inside a journaled bulk_save so its
+        # per-item diffs cost ONE join, not one uid lookup per item
+        self._current_cache: Optional[dict] = None
         self._fts_node_fields: list[str] = []
         self._fts_edge_fields: list[str] = []
         # FTS index cache, invalidated by any mutation (epoch bump) — the
@@ -996,8 +1000,11 @@ class Graph:
         """Upsert (graphydb.py:1309-1332); no-op when clean unless forced."""
         if not node.changed and not force:
             return
-        old = self._current_data(node.uid)
+        # the old-value probe exists only to journal the diff — skip it
+        # when not journaling (undo's bulk re-inserts would otherwise
+        # pay one uid lookup per item)
         if setchange:
+            old = self._current_data(node.uid)
             self._add_change(node.uid, old, node.data(), batch)
         self._pending_nodes[node.uid] = _item_to_row(node, edge=False)
         if self._known_node_uids is not None:
@@ -1016,8 +1023,8 @@ class Graph:
                         or self._node_exists(end)):
                     raise GraphydbError(
                         f"Edge endpoint {end!r} does not exist in nodes")
-        old = self._current_data(edge.uid)
         if setchange:
+            old = self._current_data(edge.uid)
             self._add_change(edge.uid, old, edge.data(), batch)
         self._pending_edges[edge.uid] = _item_to_row(edge, edge=True)
         if self._known_edge_uids is not None:
@@ -1034,6 +1041,11 @@ class Graph:
         for pend in (self._pending_nodes, self._pending_edges):
             if uid in pend:
                 return json.loads(pend[uid]["props"])
+        # bulk_save prefetch (pendings first: a second save of the same
+        # uid inside one bulk must see the first save's value, not the
+        # pre-bulk snapshot).  diff_items never mutates its inputs.
+        if self._current_cache is not None and uid in self._current_cache:
+            return self._current_cache[uid]
         if self._known_node_uids is not None and \
                 self._known_edge_uids is not None and \
                 uid not in self._known_node_uids and \
@@ -1152,14 +1164,43 @@ class Graph:
 
     def bulk_save(self, items, batch: Optional[str] = None,
                   setchange: bool = True) -> str:
-        """Bulk save under one batch id (graphydb.py:1561-1573)."""
+        """Bulk save under one batch id (graphydb.py:1561-1573).
+
+        When journaling, the per-item old-value probes are replaced by
+        ONE prefetch join over the batch's uids (VERDICT r7 #8): a
+        journaled 200k-modify bulk would otherwise run 200k uid point
+        lookups — row-at-a-time is the reference's shape, not Spark's.
+        """
         batch = batch or generate_uid()
-        for it in items:
-            if isinstance(it, Edge):
-                self.save_edge(it, batch=batch, setchange=setchange)
-            else:
-                self.save_node(it, batch=batch, setchange=setchange)
+        items = list(items)
+        if setchange:
+            self._prime_current_cache(
+                [it.uid for it in items if it.changed])
+        try:
+            for it in items:
+                if isinstance(it, Edge):
+                    self.save_edge(it, batch=batch, setchange=setchange)
+                else:
+                    self.save_node(it, batch=batch, setchange=setchange)
+        finally:
+            self._current_cache = None
         return batch
+
+    def _prime_current_cache(self, uids: list[str]) -> None:
+        """Prefetch current props for a journaled bulk_save: one join
+        per side over the batch's uids; uids absent from both tables
+        map to None (the same answer the per-uid probe would give)."""
+        cache: dict = dict.fromkeys(uids, None)
+        if cache:
+            self._flush()
+            keys = self.spark.createDataFrame(
+                [(u,) for u in cache], "uid string")
+            for df in (self._nodes_df, self._edges_df):
+                for r in (df.join(keys, "uid")
+                          .select("uid", "props").collect()):
+                    cache[r["uid"]] = (json.loads(r["props"])
+                                       if r["props"] else {})
+        self._current_cache = cache
 
     # ---------------------------------------------------------- change log
     def _add_change(self, uid: str, old: Optional[dict], new: Optional[dict],
@@ -1209,12 +1250,102 @@ class Graph:
         """Invert and consume the most recent change batch
         (graphydb.py:605-636): pure-add → delete; pure-delete → re-insert
         (Edge iff ``startuid`` recorded, graphydb.py:621-624); modify →
-        reverse patch + force save."""
+        reverse patch + force save.
+
+        BATCHED (VERDICT r7 #8): the reference undoes row-at-a-time,
+        which here would mean one Spark anti-join per pure-add record —
+        a 1M-item batch undo would schedule 1M jobs.  Instead the
+        reversed chunk is grouped into maximal RUNS of the same
+        operation kind with distinct uids (a repeated uid or a kind
+        switch starts a new run, preserving exact sequential
+        semantics): an add-run inverts as ONE uid anti-join per side, a
+        delete-run re-inserts through the pending buffer (one merge at
+        the next flush), and a modify-run bulk-fetches its current
+        rows with ONE join before patching driver-side.  Same state as
+        the per-record path (pinned by test_undo_batched_runs_*);
+        per-record :meth:`_apply_inverse` remains for snapshot replay.
+        """
         chunk = self.lastchanges()
         ids = {c["id"] for c in chunk}
         self._changes = [c for c in self._changes if c["id"] not in ids]
+
+        def kind_of(change):
+            plus, minus = change.get("+"), change.get("-")
+            if plus and not minus:
+                return "add"
+            if minus and not plus:
+                return "del"
+            return "mod"
+
+        runs: list[tuple[str, list[dict]]] = []
+        cur_kind, cur, seen = None, [], set()
         for change in reversed(chunk):
-            self._apply_inverse(change)
+            k = kind_of(change)
+            if k != cur_kind or change["uid"] in seen:
+                if cur:
+                    runs.append((cur_kind, cur))
+                cur_kind, cur, seen = k, [], set()
+            cur.append(change)
+            seen.add(change["uid"])
+        if cur:
+            runs.append((cur_kind, cur))
+        for k, changes in runs:
+            if k == "add":
+                self._undo_add_run(changes)
+            elif k == "mod":
+                self._undo_mod_run(changes)
+            else:
+                # re-inserts buffer in the pending dicts (driver-side)
+                # and merge in ONE anti-join at the next flush; with
+                # setchange=False no per-item old-value probe runs
+                for c in changes:
+                    self._apply_inverse(c)
+
+    def _undo_add_run(self, changes: list[dict]) -> None:
+        """Invert a run of pure-adds: one uid anti-join per side."""
+        node_uids, edge_uids = [], []
+        for c in changes:
+            uid = c["uid"]
+            if "startuid" in c["+"]:
+                self._pending_edges.pop(uid, None)
+                if self._known_edge_uids is not None:
+                    self._known_edge_uids.discard(uid)
+                edge_uids.append(uid)
+            else:
+                self._pending_nodes.pop(uid, None)
+                if self._known_node_uids is not None:
+                    self._known_node_uids.discard(uid)
+                node_uids.append(uid)
+        if edge_uids:
+            self._edges_df = self._remove_uids(self._edges_df, edge_uids)
+        if node_uids:
+            self._nodes_df = self._remove_uids(self._nodes_df, node_uids)
+
+    def _undo_mod_run(self, changes: list[dict]) -> None:
+        """Invert a run of modifies: bulk-fetch the run's current rows
+        with ONE join per side, patch driver-side, re-save through the
+        pending buffer."""
+        uids = [c["uid"] for c in changes]
+        self._flush()
+        dels = self.spark.createDataFrame([(u,) for u in uids],
+                                          "uid string")
+        fetched: dict = {}
+        for df in (self._nodes_df, self._edges_df):
+            for r in (df.join(dels, "uid")
+                      .select("uid", "props").collect()):
+                fetched[r["uid"]] = (json.loads(r["props"])
+                                     if r["props"] else {})
+        for change in changes:
+            cur = fetched.get(change["uid"])
+            if cur is None:
+                continue
+            restored = patch_reverse(cur, change)
+            if "startuid" in restored:
+                self.save_edge(Edge(graph=self, **restored), force=True,
+                               setchange=False, check=False)
+            else:
+                self.save_node(Node(graph=self, **restored), force=True,
+                               setchange=False)
 
     def _apply_inverse(self, change: dict) -> None:
         """Apply the inverse of one change record to this graph's state

@@ -1451,6 +1451,306 @@ def round10_entries(spark, n_vecs=1_000_000, dim=16, k=64):
         shutil.rmtree(d2, ignore_errors=True)
 
 
+def round11_entries(spark, corpus_docs=1_000_000, dim=16, k=64,
+                    mh_d=1_000, sem_d=1_000, kc_d=500, nov=48_000,
+                    n_batches=2, skew_rows=100_000):
+    """Round-8 stress (``SCALE_STRESS_ONLY=round11``): the semantic-gate
+    capstone at production shape (VERDICT r7 #3).
+
+    1. FULL ``stream_dedup_ingest`` (MinHash + IVF gates, three-table
+       txn commits) against a **1M-doc standing corpus** with
+       **~50k-doc micro-batches** — 50× the corpus and 10× the batch of
+       the round-7 capstone, so the standing-index probes (band join vs
+       1M signature rows, closure-matrix IVF probe vs 1M vectors across
+       64 cells) dominate instead of fixed overheads.  Exact planted
+       bookkeeping per batch: 1,000 shingle dups of corpus docs, 1,000
+       embedding dups of corpus vectors, 500 embedding dups of the
+       PREVIOUS batch's kept docs, 48,000 novels; restart no-ops.
+    2. The **skewed-cell kernel**: a 100k-row micro-batch whose every
+       embedding lands in ONE cell of the standing index — the exact
+       case the r7 verdict flagged as 1e10 cosines on one core.  With
+       the INBATCH_CELL_CAP sub-split it is ~49 blocks × ≤cap² —
+       O(n·cap) — and the produced drop set is asserted EQUAL to a
+       driver-side numpy twin of the blocked computation (same crc32
+       split, same pairwise rule), so boundedness never trades away
+       determinism.
+    """
+    import shutil
+    import tempfile
+    import time as _t
+    import zlib
+
+    import numpy as np
+
+    from graphydb_spark.operators import persisted_index as PI
+    from graphydb_spark.sources import snapshot as snap
+
+    d = tempfile.mkdtemp()
+    src = os.path.join(d, "src")
+    ckpt = os.path.join(d, "ckpt")
+    mh_idx = os.path.join(d, "mh")
+    ivf_idx = os.path.join(d, "ivf")
+    kept_t = os.path.join(d, "kept")
+
+    def ctext(idc):
+        return F.concat_ws(" ", *[
+            F.concat(F.lit(f"c{j}_"),
+                     F.pmod(F.xxhash64(idc, F.lit(j)), 900000)
+                     .cast("string")) for j in range(12)])
+
+    def ntext(tag, idc):
+        return F.concat_ws(" ", *[
+            F.concat(F.lit(f"{tag}_{j}_"),
+                     F.pmod(F.xxhash64(idc, F.lit(j + 100)), 9000000)
+                     .cast("string")) for j in range(12)])
+
+    def cemb(idc):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (F.pmod(F.xxhash64(idc, i), 1000)
+                       .cast("double") / 100.0 - 5.0))
+
+    def nemb(b, idc):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (F.pmod(F.xxhash64(idc, i + 31 * (b + 1)), 1000)
+                       .cast("double") / 100.0 - 5.0))
+
+    def make_batch(b):
+        base = 100_000_000 * (b + 1)
+        shingle_dups = spark.range(mh_d).select(
+            (F.col("id") + base).alias("doc_id"),
+            ctext((F.col("id") * 17) % corpus_docs).alias("text"),
+            nemb(b, F.col("id") + 555_000).alias("embedding"))
+        sem_dups = spark.range(sem_d).select(
+            (F.col("id") + base + 1_000_000).alias("doc_id"),
+            ntext(f"s{b}", F.col("id")).alias("text"),
+            cemb((F.col("id") * 13) % corpus_docs).alias("embedding"))
+        novels = spark.range(nov).select(
+            (F.col("id") + base + 3_000_000).alias("doc_id"),
+            ntext(f"n{b}", F.col("id")).alias("text"),
+            nemb(b, F.col("id")).alias("embedding"))
+        out = shingle_dups.unionByName(sem_dups).unionByName(novels)
+        if b > 0:                # embedding copies of PREV batch's kept
+            kept_copies = spark.range(kc_d).select(
+                (F.col("id") + base + 2_000_000).alias("doc_id"),
+                ntext(f"k{b}", F.col("id")).alias("text"),
+                nemb(b - 1, F.col("id")).alias("embedding"))
+            out = out.unionByName(kept_copies)
+        return out
+
+    try:
+        t0 = _t.perf_counter()
+        corpus = (spark.range(corpus_docs)
+                  .select(F.col("id").alias("doc_id"),
+                          ctext(F.col("id")).alias("text"),
+                          cemb(F.col("id")).alias("embedding"))
+                  .localCheckpoint(eager=True))
+        print(f"corpus_1m materialize: {_t.perf_counter() - t0:.1f}s")
+        t0 = _t.perf_counter()
+        PI.build_minhash_index(corpus, mh_idx)
+        print(f"build_minhash_index[1M docs]: "
+              f"{_t.perf_counter() - t0:.1f}s")
+        t0 = _t.perf_counter()
+        PI.build_ivf_table(
+            corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            ivf_idx, k=k, iters=2, files_per_cell=1.0,
+            train_fraction=0.02)
+        print(f"build_ivf_table[1M vecs, k={k}]: "
+              f"{_t.perf_counter() - t0:.1f}s")
+        sch = spark.createDataFrame(
+            [], "doc_id long, text string, embedding array<double>"
+        ).schema
+        total_in, t0 = 0, _t.perf_counter()
+        for b in range(n_batches):
+            make_batch(b).write.mode("append").parquet(src)
+            total_in += mh_d + sem_d + nov + (kc_d if b else 0)
+            q = PI.stream_dedup_ingest(
+                spark, src, sch, mh_idx, kept_t, ckpt, threshold=0.99,
+                ivf_path=ivf_idx, cos_threshold=0.995, nprobe=4)
+            q.awaitTermination(1200)
+            kept_n = snap.read_snapshot(spark, kept_t).count()
+            assert kept_n == nov * (b + 1), (b, kept_n)
+            mh_n = snap.read_snapshot(spark, mh_idx).count()
+            assert mh_n == corpus_docs + kept_n, (b, mh_n)
+            ivf_n = snap.read_snapshot(spark, ivf_idx).count()
+            assert ivf_n == corpus_docs + kept_n, (b, ivf_n)
+        dt = _t.perf_counter() - t0
+        print(f"capstone_semantic_gate_1m[{n_batches} x ~50k vs 1M "
+              f"corpus; planted {mh_d} shingle + {sem_d} corpus-emb + "
+              f"{kc_d} kept-emb dups/batch]: {dt:.2f}s "
+              f"({total_in / dt:,.0f} docs/s)  kept={kept_n:,} "
+              f"mh_rows={mh_n:,} ivf_rows={ivf_n:,} (all exact)")
+        heads = tuple(snap.snapshot_versions(t)[-1]
+                      for t in (kept_t, mh_idx, ivf_idx))
+        q = PI.stream_dedup_ingest(
+            spark, src, sch, mh_idx, kept_t, ckpt, threshold=0.99,
+            ivf_path=ivf_idx, cos_threshold=0.995, nprobe=4)
+        q.awaitTermination(1200)
+        assert tuple(snap.snapshot_versions(t)[-1]
+                     for t in (kept_t, mh_idx, ivf_idx)) == heads
+        print("capstone_1m restart: no new files -> all three tables "
+              "no-op, versions unchanged")
+
+        # ---- 2. skewed-cell kernel: 100k rows, ONE cell
+        meta = snap.snapshot_meta(ivf_idx, None)
+        cents = np.asarray(meta["centroids"], dtype=np.float64)
+        c0 = cents[0]
+        rng = np.random.RandomState(42)
+        V = c0[None, :] + rng.normal(0.0, 0.35, (skew_rows, dim))
+        # every row must argmin to cell 0 (the skew premise)
+        dists = ((V ** 2).sum(1)[:, None] - 2.0 * V @ cents.T
+                 + (cents ** 2).sum(1)[None, :])
+        assert (dists.argmin(1) == 0).all(), "skew construction broken"
+        ids = np.arange(skew_rows, dtype=np.int64)
+        batch = spark.createDataFrame(
+            [(int(i), [float(x) for x in V[i]]) for i in ids],
+            "doc_id long, embedding array<double>")
+        thr = 0.995
+        t0 = _t.perf_counter()
+        got = sorted(r.new_id for r in PI._inbatch_semantic_drops(
+            batch, "doc_id", "embedding", meta["centroids"],
+            thr).collect())
+        dt = _t.perf_counter() - t0
+        # driver-side numpy twin of the blocked computation
+        cap = PI.INBATCH_CELL_CAP
+        nsplits = -(-skew_rows // cap)
+        keys = np.fromiter(
+            (zlib.crc32(V[i].tobytes()) % nsplits
+             for i in range(skew_rows)), dtype=np.int64, count=skew_rows)
+        want = []
+        for s in range(nsplits):
+            m = keys == s
+            if m.sum() < 2:
+                continue
+            Vb, ib = V[m], ids[m]
+            order = np.argsort(ib, kind="stable")
+            Vb, ib = Vb[order], ib[order]
+            nrm = np.sqrt((Vb * Vb).sum(axis=1))
+            nrm[nrm == 0] = np.inf
+            N = Vb / nrm[:, None]
+            cos = N @ N.T
+            iu = np.triu_indices(len(ib), k=1)
+            hit = cos[iu] >= thr
+            want.extend(ib[np.unique(iu[1][hit])])
+        assert got == sorted(int(x) for x in want), (
+            len(got), len(want))
+        print(f"inbatch_skewed_cell[{skew_rows:,} rows -> 1 cell, "
+              f"cap={cap}, {nsplits} blocks]: {dt:.2f}s  "
+              f"drops={len(got):,} (== numpy twin exactly)")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def round12_entries(spark, n_nodes=1_000_000, n_hub_edges=100_000,
+                    n_mods=200_000):
+    """Round-8 stress (``SCALE_STRESS_ONLY=round12``): the
+    change-log/undo path at scale (VERDICT r7 #8) — the one §2 surface
+    that had only fixture-scale numbers.
+
+    1. **1M-node bulk save** under one batch id (pending-buffer →
+       ONE merge), then **undo** — the batched add-run inverts as one
+       uid anti-join instead of the reference's row-at-a-time loop
+       (which here would schedule 1M Spark jobs).  Post-undo state
+       checked exactly (counts + the hub row).
+    2. **Cascade delete** of a 100k-degree hub (vectorized: one
+       incident collect + one anti-join), then **undo** — the del-run
+       re-inserts 100,001 items through the pending buffer (one
+       merge).  Post-undo state equality is EXACT: every restored
+       row's parsed props equal the pre-delete rows'.
+    3. **200k-item modify batch**, then **undo** — the mod-run
+       bulk-fetches current rows with one join and patches
+       driver-side.  Post-undo ages checked exactly on a 10k sample +
+       full count.
+    """
+    import json as _json
+    import time as _t
+
+    from graphydb_spark import Graph
+
+    g = Graph(spark)
+    hub = g.Node("Hub", name="hub").save()
+    g.clear_changes()
+
+    # ---- 1. bulk save 1M nodes, one batch, then undo
+    t0 = _t.perf_counter()
+    nodes = [g.Node("Person", idx=i, age=20 + i % 60)
+             for i in range(n_nodes)]
+    g.bulk_save(nodes)
+    n_after = g.nodes_df.count()
+    t_save = _t.perf_counter() - t0
+    assert n_after == n_nodes + 1, n_after
+    assert g.nchanges == n_nodes
+    print(f"bulk_save[{n_nodes:,} nodes, 1 batch]: {t_save:.2f}s "
+          f"({n_nodes / t_save:,.0f} items/s)")
+    t0 = _t.perf_counter()
+    g.undo()
+    n_undone = g.nodes_df.count()
+    t_undo = _t.perf_counter() - t0
+    assert n_undone == 1 and g.nchanges == 0, (n_undone, g.nchanges)
+    assert g.getuid(hub.uid)["name"] == "hub"
+    print(f"undo[1M-add batch -> ONE anti-join]: {t_undo:.2f}s")
+
+    # ---- 2. re-save + hub edges, cascade delete, undo
+    nodes = [g.Node("Person", idx=i, age=20 + i % 60)
+             for i in range(n_nodes)]
+    g.bulk_save(nodes, setchange=False)
+    edges = [g.Edge(hub, "Owns", nodes[i], w=i)
+             for i in range(n_hub_edges)]
+    g.bulk_save(edges, setchange=False)
+    g.clear_changes()
+    pre = {r["uid"]: (r["kind"],
+                      _json.dumps(_json.loads(r["props"] or "{}"),
+                                  sort_keys=True))
+           for r in g.edges_df.select("uid", "kind", "props").collect()}
+    pre_stats = (g.nodes_df.count(), g.edges_df.count())
+    t0 = _t.perf_counter()
+    g.delete_node(hub, disconnect=True)
+    t_del = _t.perf_counter() - t0
+    assert g.edges_df.count() == 0
+    assert g.nchanges == n_hub_edges + 1
+    print(f"cascade_delete[hub deg {n_hub_edges:,}]: {t_del:.2f}s "
+          f"(one incident collect + one anti-join)")
+    t0 = _t.perf_counter()
+    g.undo()
+    t_undo2 = _t.perf_counter() - t0
+    post_stats = (g.nodes_df.count(), g.edges_df.count())
+    assert post_stats == pre_stats, (pre_stats, post_stats)
+    post = {r["uid"]: (r["kind"],
+                       _json.dumps(_json.loads(r["props"] or "{}"),
+                                   sort_keys=True))
+            for r in g.edges_df.select("uid", "kind", "props").collect()}
+    assert post == pre, "cascade-undo state diverged"
+    assert g.getuid(hub.uid)["name"] == "hub"
+    print(f"undo[cascade: {n_hub_edges:,} edge re-inserts + hub, "
+          f"pending-buffered ONE merge]: {t_undo2:.2f}s  "
+          f"state exact ({len(post):,} rows compared)")
+
+    # ---- 3. modify 200k nodes in one batch, undo via bulk fetch
+    mods = nodes[:n_mods]
+    for n in mods:
+        n["age"] = 99
+    t0 = _t.perf_counter()
+    g.bulk_save(mods)
+    g.nodes_df.count()
+    t_mod = _t.perf_counter() - t0
+    assert g.nchanges == n_mods
+    print(f"modify_batch[{n_mods:,} nodes]: {t_mod:.2f}s")
+    t0 = _t.perf_counter()
+    g.undo()
+    t_undo3 = _t.perf_counter() - t0
+    sample = [n.uid for n in mods[::n_mods // 10_000]]
+    dels = spark.createDataFrame([(u,) for u in sample], "uid string")
+    ages = {r["uid"]: _json.loads(r["props"])["age"]
+            for r in g.nodes_df.join(dels, "uid")
+            .select("uid", "props").collect()}
+    want = {n.uid: 20 + n["idx"] % 60 for n in mods[::n_mods // 10_000]}
+    assert ages == want, "mod-undo restored wrong ages"
+    assert g.nodes_df.count() == n_nodes + 1
+    print(f"undo[{n_mods:,}-modify batch -> ONE bulk fetch join]: "
+          f"{t_undo3:.2f}s  ages exact on {len(sample):,} sample")
+
+
 if __name__ == "__main__":
     if os.environ.get("SCALE_STRESS_ONLY") == "round4":
         _s = get_spark(app="scale_stress")
@@ -1487,6 +1787,16 @@ if __name__ == "__main__":
         _s.sparkContext.setLogLevel("ERROR")
         _s.conf.set("spark.sql.shuffle.partitions", "64")
         round10_entries(_s)
+    elif os.environ.get("SCALE_STRESS_ONLY") == "round11":
+        _s = get_spark(app="scale_stress")
+        _s.sparkContext.setLogLevel("ERROR")
+        _s.conf.set("spark.sql.shuffle.partitions", "64")
+        round11_entries(_s)
+    elif os.environ.get("SCALE_STRESS_ONLY") == "round12":
+        _s = get_spark(app="scale_stress")
+        _s.sparkContext.setLogLevel("ERROR")
+        _s.conf.set("spark.sql.shuffle.partitions", "64")
+        round12_entries(_s)
     elif os.environ.get("SCALE_STRESS_ONLY") == "analytics":
         _s = get_spark(app="scale_stress")
         _s.sparkContext.setLogLevel("ERROR")

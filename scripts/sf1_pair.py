@@ -38,6 +38,18 @@ and ``embeddings`` replicate with disjoint id ranges like the fact
 tables, so corpus statistics (N, df, avgdl, IVF cells) scale with the
 replica count.  Run at SF1_REPS=10 and SF1_REPS=100 for the ratio
 trajectory.
+
+``--all`` (VERDICT r7 #1) runs the ENTIRE bench.py headline set — all
+33 queries — at the replica scale, with BOTH DuckDB anchors per query:
+the plain oracle (anchor protocol: fetchall, min of 3) plus a
+count-wrapped variant (compute-only, so Python materialization of
+multi-million-row outputs is not charged to DuckDB alone), and for the
+five queries duck_bench.py has standing-index twins, the standing
+probe too (setup untimed, multiset identity to the full oracle
+asserted INSIDE DuckDB via EXCEPT ALL — sorting 30M-row outputs in
+Python would dominate the run).  This closes the "per-family pairs
+only" scale-evidence gap: a regression that grows with data on any
+unpaired headline query now shows up as a ratio that widens ×1 → ×10.
 """
 
 from __future__ import annotations
@@ -113,6 +125,7 @@ def spark_side(sf1_dir: str, names: list[str]) -> dict[str, float]:
             best = min(best, time.perf_counter() - t0)
         out[name] = round(best, 4)
         out[f"{name}_rows"] = n
+        print(f"# spark {name}: {out[name]}s rows={n}", file=sys.stderr)
     return out
 
 
@@ -172,10 +185,75 @@ def duck_side(sf1_dir: str, names: list[str],
     return out
 
 
+def duck_side_all(sf1_dir: str, names: list[str]) -> dict[str, float]:
+    """Both anchors for every headline query: plain oracle (anchor
+    protocol) + count-wrapped (compute-only), and the standing probe
+    for the five queries that have one.  Standing identity is asserted
+    inside DuckDB (EXCEPT ALL both ways == 0 rows) so multi-million-row
+    outputs never round-trip through Python for the check."""
+    from graphydb_spark.queries import ORACLES
+    from scripts.duck_bench import standing_index_plan
+    con = duckdb.connect()
+    con.execute(f"SET threads = {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in list(_REPL) + _COPY:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf1_dir}/{t}.parquet'")
+    plan = standing_index_plan()
+    done: set[str] = set()
+    for name in names:
+        if name in plan:
+            for ddl in plan[name]["setup"]:
+                if ddl not in done:
+                    con.execute(ddl)
+                    done.add(ddl)
+    out: dict[str, float] = {}
+    for name in names:
+        sql = ORACLES[name]
+        con.execute(sql).fetchall()                      # warm-up
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 4)
+        wrapped = f"SELECT COUNT(*) FROM ({sql})"
+        con.execute(wrapped).fetchall()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(wrapped).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        out[f"{name}_countonly"] = round(best, 4)
+        if name in plan:
+            probe = plan[name]["probe"]
+            for a, b in ((probe, sql), (sql, probe)):
+                extra = con.execute(
+                    f"SELECT COUNT(*) FROM (({a}) EXCEPT ALL ({b}))"
+                ).fetchone()[0]
+                assert extra == 0, (
+                    f"standing-index probe for {name!r} diverged from "
+                    f"its full oracle on the replicated corpus")
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(probe).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            out[f"{name}_standing"] = round(best, 4)
+        print(f"# duckdb {name}: {out[name]}s", file=sys.stderr)
+    con.close()
+    return out
+
+
 def main() -> None:
     retrieval = "--retrieval" in sys.argv
-    names = (["bm25_probe", "hybrid_search", "prf_expansion"]
-             if retrieval else ["two_hop", "interval_join_events"])
+    all_set = "--all" in sys.argv
+    if all_set:
+        from bench import BENCH_QUERIES
+        names = list(BENCH_QUERIES)
+    elif retrieval:
+        names = ["bm25_probe", "hybrid_search", "prf_expansion"]
+    else:
+        names = ["two_hop", "interval_join_events"]
     dest = os.environ.get("SF1_DIR") or tempfile.mkdtemp(prefix="sf1_")
     made = not os.path.exists(f"{dest}/lineitem.parquet")
     os.makedirs(dest, exist_ok=True)
@@ -185,6 +263,22 @@ def main() -> None:
             build_sf1(dest)
             print(f"# built {REPS}x replica at {dest} "
                   f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
+        if all_set:
+            duck = duck_side_all(dest, names)
+            spk = spark_side(dest, names)
+            ratios = {n: round(spk[n] / duck[n], 3) for n in names}
+            ratios_c = {n: round(spk[n] / duck[f"{n}_countonly"], 3)
+                        for n in names}
+            ratios_s = {n: round(spk[n] / duck[f"{n}_standing"], 3)
+                        for n in names if f"{n}_standing" in duck}
+            print(json.dumps({
+                "metric": "sf_pair_all_headline", "reps": REPS,
+                "src": SRC, "spark": spk, "duckdb": duck,
+                "ratio_anchor_protocol": ratios,
+                "ratio_countonly": ratios_c,
+                "ratio_standing": ratios_s,
+            }))
+            return
         duck = duck_side(dest, names, standing=retrieval)
         spk = spark_side(dest, names)
         ratios = {n: round(spk[n] / duck[n], 3) for n in names}

@@ -95,6 +95,68 @@ def test_undo_cascade_delete(eg):
     assert g.getuid(bob.uid)["nickname"] == "Bobby"
 
 
+def test_undo_batched_runs_mixed_batch(eg):
+    """One batch mixing adds, repeated-uid modifies, and a delete — the
+    batched undo (runs split on kind switches AND repeated uids) must
+    restore exactly the pre-batch state, like the per-record path
+    would (VERDICT r7 #8)."""
+    g, it = eg
+    anne, charlie = it["anne"], it["charlie"]
+    before = g.stats
+    deleted_edge = g.fetch("-(e:Drinks)>").one()
+    deleted_props = dict(deleted_edge.data())
+
+    from graphydb_spark.items import generate_uid
+    b = generate_uid()
+    x = g.Node("Person", name="Mixed")
+    g.save_node(x, batch=b)                      # add
+    anne["age"] = 23
+    g.save_node(anne, batch=b)                   # mod
+    anne["age"] = 24
+    g.save_node(anne, batch=b)                   # mod, SAME uid -> split
+    g.delete_edge(deleted_edge, batch=b)         # del
+    e = g.Edge(x, "Likes", charlie)
+    g.save_edge(e, batch=b)                      # add again (kind switch)
+
+    assert g.getuid(anne.uid)["age"] == 24
+    g.undo()
+    s = g.stats
+    assert s["nodes"] == before["nodes"]
+    assert s["edges"] == before["edges"]
+    assert not g.exists(x.uid) and not g.exists(e.uid)
+    assert g.getuid(anne.uid)["age"] == 22
+    restored = g.getuid(deleted_edge.uid)
+    assert {k: restored[k] for k in deleted_props} == deleted_props
+
+
+def test_bulk_save_journaled_modify_prefetch(eg):
+    """A journaled bulk_save of EXISTING items prefetches old values
+    with one join instead of per-item uid lookups — the diffs (and
+    therefore undo) must be identical to per-item saves: modifies
+    journal old->new, re-saves of clean items no-op, brand-new items
+    journal as pure adds."""
+    g, it = eg
+    anne, bob = it["anne"], it["bob"]
+    anne["age"] = 40
+    bob["nickname"] = "Robert"
+    fresh = g.Node("Person", name="BulkFresh")
+    n_before = g.nchanges
+    batch = g.bulk_save([anne, bob, fresh, it["charlie"]])  # charlie clean
+    assert g.nchanges == n_before + 3
+    chunk = [c for c in g.lastchanges()]
+    assert all(c.get("batch") == batch for c in chunk)
+    by_uid = {c["uid"]: c for c in chunk}
+    assert by_uid[anne.uid]["-"]["age"] == 22      # prefetched old value
+    assert by_uid[anne.uid]["+"]["age"] == 40
+    assert by_uid[bob.uid]["-"]["nickname"] == "Bobby"
+    assert "-" not in by_uid[fresh.uid]            # pure add
+    g.undo()
+    assert g.getuid(anne.uid)["age"] == 22
+    assert g.getuid(bob.uid)["nickname"] == "Bobby"
+    assert not g.exists(fresh.uid)
+    assert g.nchanges == n_before
+
+
 def test_edge_endpoint_check(eg):
     g, _ = eg
     with pytest.raises(GraphydbError):
