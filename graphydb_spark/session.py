@@ -91,11 +91,19 @@ def get_spark(app: str = "graphydb_spark", cpus: int | None = None) -> SparkSess
         # (regression-tested in test_plan_shapes on a power-law graph)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
-        # respect the advisory partition size rather than maximizing
-        # parallelism: fewer, right-sized post-shuffle partitions — the
-        # recommended production setting, and it cuts small-task scheduling
-        # overhead on small inputs too
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # keep Spark's default parallelismFirst=true: AQE coalesces tiny
+        # post-shuffle partitions but never below defaultParallelism.
+        # The round-2..7 setting (false, "respect advisory size") was
+        # measured costing 3.5x on high-cardinality final aggregates at
+        # x10 scale — tpch_q3's 1.5M-group agg compresses to ~24 MB of
+        # shuffle bytes, so the 64 MB advisory coalesced it onto ONE
+        # task (4.8 s -> 1.39 s with the flip; sf0.1 queries unchanged,
+        # round-8 A/B in BASELINE.md).  At genuine cluster scale
+        # post-shuffle partitions exceed the advisory size and the two
+        # settings converge — the false setting only ever bites
+        # CPU-heavy small-byte stages, which is exactly the wrong place
+        # to lose parallelism.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # bucketed tables (Graph.write_bucketed) land here, not in cwd
         .config("spark.sql.warehouse.dir",
