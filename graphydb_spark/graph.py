@@ -1189,18 +1189,38 @@ class Graph:
     def _prime_current_cache(self, uids: list[str]) -> None:
         """Prefetch current props for a journaled bulk_save: one join
         per side over the batch's uids; uids absent from both tables
-        map to None (the same answer the per-uid probe would give)."""
+        map to None (the same answer the per-uid probe would give).
+        While the uid set is driver-known, uids absent from both sets
+        are answered WITHOUT any Spark job — a pure-add bulk (every
+        item brand-new) primes to all-None for free, exactly like the
+        per-item path's known-set short-circuit (review r8 #2)."""
         cache: dict = dict.fromkeys(uids, None)
-        if cache:
-            self._flush()
-            keys = self.spark.createDataFrame(
-                [(u,) for u in cache], "uid string")
-            for df in (self._nodes_df, self._edges_df):
-                for r in (df.join(keys, "uid")
-                          .select("uid", "props").collect()):
-                    cache[r["uid"]] = (json.loads(r["props"])
-                                       if r["props"] else {})
+        lookup = list(cache)
+        if self._known_node_uids is not None and \
+                self._known_edge_uids is not None:
+            lookup = [u for u in lookup
+                      if u in self._known_node_uids
+                      or u in self._known_edge_uids]
+        if lookup:
+            cache.update(self._fetch_props_bulk(lookup))
         self._current_cache = cache
+
+    def _fetch_props_bulk(self, uids: list[str]) -> dict:
+        """uid -> parsed props for every uid present in either table,
+        ONE join per side.  Nodes take precedence on a cross-table uid
+        collision — the same order :meth:`_current_data` probes
+        (nodes first, returns on hit; review r8 #3) — so the bulk and
+        per-item paths journal identical old values."""
+        self._flush()
+        keys = self.spark.createDataFrame([(u,) for u in set(uids)],
+                                          "uid string")
+        out: dict = {}
+        for df in (self._edges_df, self._nodes_df):   # nodes overwrite
+            for r in (df.join(keys, "uid")
+                      .select("uid", "props").collect()):
+                out[r["uid"]] = (json.loads(r["props"])
+                                 if r["props"] else {})
+        return out
 
     # ---------------------------------------------------------- change log
     def _add_change(self, uid: str, old: Optional[dict], new: Optional[dict],
@@ -1325,16 +1345,7 @@ class Graph:
         """Invert a run of modifies: bulk-fetch the run's current rows
         with ONE join per side, patch driver-side, re-save through the
         pending buffer."""
-        uids = [c["uid"] for c in changes]
-        self._flush()
-        dels = self.spark.createDataFrame([(u,) for u in uids],
-                                          "uid string")
-        fetched: dict = {}
-        for df in (self._nodes_df, self._edges_df):
-            for r in (df.join(dels, "uid")
-                      .select("uid", "props").collect()):
-                fetched[r["uid"]] = (json.loads(r["props"])
-                                     if r["props"] else {})
+        fetched = self._fetch_props_bulk([c["uid"] for c in changes])
         for change in changes:
             cur = fetched.get(change["uid"])
             if cur is None:

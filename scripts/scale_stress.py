@@ -1612,18 +1612,33 @@ def round11_entries(spark, corpus_docs=1_000_000, dim=16, k=64,
             batch, "doc_id", "embedding", meta["centroids"],
             thr).collect())
         dt = _t.perf_counter() - t0
-        # driver-side numpy twin of the blocked computation
+        # driver-side numpy twin of the blocked computation (identity
+        # pass first — review r8 #1 — then capped blocks over the
+        # distinct representatives)
         cap = PI.INBATCH_CELL_CAP
-        nsplits = -(-skew_rows // cap)
+        groups: dict = {}
+        for i in range(skew_rows):
+            groups.setdefault(V[i].tobytes(), []).append(i)
+        want, reps = [], []
+        for idxs in groups.values():
+            if not V[idxs[0]].any():
+                continue
+            if len(idxs) > 1:
+                lo = min(idxs, key=lambda j: ids[j])
+                want.extend(ids[j] for j in idxs if j != lo)
+                reps.append(lo)
+            else:
+                reps.append(idxs[0])
+        Vr, ir = V[reps], ids[reps]
+        nsplits = 1 if len(reps) <= cap else -(-len(reps) // cap)
         keys = np.fromiter(
-            (zlib.crc32(V[i].tobytes()) % nsplits
-             for i in range(skew_rows)), dtype=np.int64, count=skew_rows)
-        want = []
+            (zlib.crc32(Vr[i].tobytes()) % nsplits
+             for i in range(len(Vr))), dtype=np.int64, count=len(Vr))
         for s in range(nsplits):
             m = keys == s
             if m.sum() < 2:
                 continue
-            Vb, ib = V[m], ids[m]
+            Vb, ib = Vr[m], ir[m]
             order = np.argsort(ib, kind="stable")
             Vb, ib = Vb[order], ib[order]
             nrm = np.sqrt((Vb * Vb).sum(axis=1))

@@ -1229,6 +1229,26 @@ def test_inbatch_semantic_skewed_cell_capped(spark, monkeypatch):
     assert got == want
 
 
+def test_inbatch_semantic_identical_flood(spark, monkeypatch):
+    """A byte-identical embedding flood (the bot-duplicated-document
+    skew — review r8 #1) must resolve in the O(n) identity pass, never
+    a pairwise matrix: with the block cap forced to 4, 60 copies of
+    one vector all drop to the lowest id, identical ZERO vectors stay
+    (documented never-match policy), and distinct near-dups still
+    resolve pairwise."""
+    import graphydb_spark.operators.persisted_index as PI
+    monkeypatch.setattr(PI, "INBATCH_CELL_CAP", 4)
+    cents = [[1000.0, 0.0], [-1000.0, 0.0]]
+    rows = [(i, [900.0, 50.0]) for i in range(60)]          # flood
+    rows += [(100, [0.0, 0.0]), (101, [0.0, 0.0])]          # zeros
+    rows += [(200, [880.0, -400.0]), (201, [880.0, -400.0001])]
+    batch = spark.createDataFrame(
+        rows, "doc_id long, embedding array<double>")
+    got = sorted(r.new_id for r in PI._inbatch_semantic_drops(
+        batch, "doc_id", "embedding", cents, 0.9999).collect())
+    assert got == list(range(1, 60)) + [201]
+
+
 def test_stream_gate_ivf_id_col_named_qid(spark, tmp_path):
     """An IVF index whose id_col is literally 'qid' must not collide
     with the gate's probe output column (ADVICE r7: the self-match
