@@ -250,6 +250,12 @@ def main() -> None:
     if all_set:
         from bench import BENCH_QUERIES
         names = list(BENCH_QUERIES)
+        # SF1_NAMES narrows --all to a comma-separated subset — the
+        # ×100 runs cover the data-heavy class only (the plain oracles
+        # of the heaviest queries cost ~15 min/run at ×100)
+        sub = os.environ.get("SF1_NAMES")
+        if sub:
+            names = [n for n in names if n in set(sub.split(","))]
     elif retrieval:
         names = ["bm25_probe", "hybrid_search", "prf_expansion"]
     else:
