@@ -852,6 +852,61 @@ FROM r WHERE rn <= 5
 ORACLES["ivf_batch_probe"] = _IVF_BATCH_PROBE_ORACLE
 
 
+def q_rerank_shuffle_probe(spark, sf_dir):
+    """The DISTRIBUTED stage-2 rerank under the full-hash gate (round
+    8 — the path that replaced the k·α > 2M broadcast refusal): two
+    query vectors with rerank=200,001 make k·α = 2,000,010 exceed
+    MAX_RERANK_PAIRS, so the batch serves in 1-query chunks and each
+    chunk's candidate pairs SHUFFLE-join the raw refine column instead
+    of broadcasting (persisted_index._ivfpq_batch_chunk's fallback
+    branch).  All cells probed + k·α ≥ corpus keeps the exact-
+    equivalence premise: each query's re-ranked top-10 is EXACTLY its
+    brute-force L2 top-10, which the oracle states per qid (the
+    pq_batch_rerank premise served by the other join strategy; value-
+    identity between strategies is also pinned by
+    test_ivfpq_rerank_shuffle_equals_broadcast).
+
+    OPTS OUT of the plan cache (the ivf_batch_probe precedent): the
+    multi-chunk serve is eagerly materialized, so every call rebuilds
+    the probe and a timing measures the real shuffle-rerank path."""
+    path = _ivfpq_index(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    k, rerank = 10, 200_001
+    _assert_exact_rerank_premise("rerank_shuffle_probe", emb, k,
+                                 rerank, path=path, nprobe=4)
+    queries = (emb.where(F.col("vec_id").isin([4, 8]))
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    out = persisted_index.probe_ivfpq_table_batch(
+        spark, path, queries, k=k, nprobe=4, rerank=rerank)
+    out = out.select("qid", "vec_id",
+                     F.round("l2_dist", 6).alias("l2_dist"))
+    out._gdb_no_plan_cache = True
+    return out
+
+
+_RERANK_SHUFFLE_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS qid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id IN (4, 8)),
+d AS (
+  SELECT q.qid, e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding)+1),
+           i -> (CAST(e.embedding[i] AS DOUBLE) - q.qv[i])
+              * (CAST(e.embedding[i] AS DOUBLE) - q.qv[i]))) AS l2
+  FROM embeddings e, q),
+r AS (
+  SELECT qid, vec_id, l2,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY l2, vec_id) AS rn
+  FROM d)
+SELECT qid, vec_id, round(l2, 6) AS l2_dist
+FROM r WHERE rn <= 10
+"""
+ORACLES["rerank_shuffle_probe"] = _RERANK_SHUFFLE_ORACLE
+
+
 # Plan cache (prepared-statement semantics): the catalog queries are pure
 # functions of immutable inputs (parquet fixtures + the memoized graph
 # encoding), so the analyzed/optimized logical plan can be reused across
@@ -892,4 +947,6 @@ __all__ = [
     '_PRF_ORACLE',
     'q_ann_recall_curve',
     '_ann_recall_oracle_sql',
+    'q_rerank_shuffle_probe',
+    '_RERANK_SHUFFLE_ORACLE',
 ]
