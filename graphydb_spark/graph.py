@@ -1205,21 +1205,38 @@ class Graph:
             cache.update(self._fetch_props_bulk(lookup))
         self._current_cache = cache
 
+    #: uids per `_fetch_props_bulk` join slice — caps peak driver
+    #: memory at one slice's old props instead of the whole batch's
+    #: (ADVICE r8: a journaled bulk_save of hundreds of thousands of
+    #: large-prop items held every old value at once, where the
+    #: per-item path held one at a time).
+    _PROPS_FETCH_SLICE = 100_000
+
     def _fetch_props_bulk(self, uids: list[str]) -> dict:
         """uid -> parsed props for every uid present in either table,
-        ONE join per side.  Nodes take precedence on a cross-table uid
-        collision — the same order :meth:`_current_data` probes
-        (nodes first, returns on hit; review r8 #3) — so the bulk and
-        per-item paths journal identical old values."""
+        ONE join per side per ≤:data:`_PROPS_FETCH_SLICE` uid slice
+        (each uid is in exactly one slice, so the nodes-overwrite-edges
+        precedence holds slice-locally).  Nodes take precedence on a
+        cross-table uid collision — the same order
+        :meth:`_current_data` probes (nodes first, returns on hit;
+        review r8 #3) — so the bulk and per-item paths journal
+        identical old values.  Peak driver memory per slice is the
+        slice's parsed props; the returned dict still holds the whole
+        batch (the journaling contract) — the slice bound caps the
+        COLLECT-side transient, which for wide props rows was ~2× the
+        dict itself."""
         self._flush()
-        keys = self.spark.createDataFrame([(u,) for u in set(uids)],
-                                          "uid string")
+        uid_list = sorted(set(uids))
         out: dict = {}
-        for df in (self._edges_df, self._nodes_df):   # nodes overwrite
-            for r in (df.join(keys, "uid")
-                      .select("uid", "props").collect()):
-                out[r["uid"]] = (json.loads(r["props"])
-                                 if r["props"] else {})
+        for i in range(0, len(uid_list), self._PROPS_FETCH_SLICE):
+            sl = uid_list[i:i + self._PROPS_FETCH_SLICE]
+            keys = self.spark.createDataFrame([(u,) for u in sl],
+                                              "uid string")
+            for df in (self._edges_df, self._nodes_df):  # nodes overwrite
+                for r in (df.join(keys, "uid")
+                          .select("uid", "props").collect()):
+                    out[r["uid"]] = (json.loads(r["props"])
+                                     if r["props"] else {})
         return out
 
     # ---------------------------------------------------------- change log

@@ -29,6 +29,8 @@ index bytes are ~n_hashes×32 per doc regardless of document size.
 """
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -202,10 +204,11 @@ def _query_chunks(queries: DataFrame, qid_col: str, qvec_col: str,
         yield buf
 
 
-#: chunks per union-fold in :func:`_serve_chunked` — the live plan
-#: never exceeds this many union arms regardless of batch size.  16
-#: checkpointed arms analyze in ~ms; the fold itself costs one pass
-#: over already-materialized result rows.
+#: arms per union-fold LEVEL in :func:`_serve_chunked` — a full level
+#: of this many checkpointed arms folds into one arm a level up, so
+#: the live plan never exceeds this many arms per fold and each result
+#: row re-materializes O(log_W C) times over C chunks.  16
+#: checkpointed arms analyze in ~ms.
 UNION_FOLD_CHUNKS = 16
 
 
@@ -228,27 +231,45 @@ def _serve_chunked(chunks, core) -> DataFrame:
     partitions by qid), so the union is value-identical to one
     unchunked pass.
 
-    The running union FOLDS through a checkpoint every
-    :data:`UNION_FOLD_CHUNKS` chunks (VERDICT r7 #5): without the fold
-    a 1M-query batch at the 65,536 cap builds a 16-arm union — fine —
+    The union FOLDS HIERARCHICALLY every :data:`UNION_FOLD_CHUNKS`
+    chunks (VERDICT r7 #5, reshaped per ADVICE r8): without any fold a
+    1M-query batch at the 65,536 cap builds a 16-arm union — fine —
     but a 100× batch builds a 1,600-arm lineage whose plan analysis
-    alone dominates serving.  Folding keeps the live plan ≤ fold-width
-    arms at any chunk count; the fold re-materializes only result rows
-    (~nq·k narrow rows per chunk), never the scans."""
+    alone dominates serving.  The previous RUNNING fold re-checkpointed
+    the whole accumulated result every W chunks, so chunk 1's rows were
+    re-materialized C/W times (O(C²/W) row writes at extreme chunk
+    counts); the fold is now a base-W counter — ``levels[l]`` holds
+    ≤ W checkpointed arms each covering W^l chunks, and a full level
+    unions + checkpoints into ONE arm one level up — so every result
+    row re-materializes O(log_W C) times, the live plan never exceeds
+    W arms per fold, and the returned plan is ≤ W·ceil(log_W C) arms
+    (~33 at 1,600 chunks).  Only result rows (~nq·k narrow rows per
+    chunk) ever re-materialize, never the scans."""
     import itertools
 
     first = next(chunks)
     second = next(chunks, None)
     if second is None:
         return core(first)
-    out = core(first).localCheckpoint(eager=True)
-    arms = 1
-    for qrows in itertools.chain([second], chunks):
-        out = out.unionByName(core(qrows).localCheckpoint(eager=True))
-        arms += 1
-        if arms >= UNION_FOLD_CHUNKS:
-            out = out.localCheckpoint(eager=True)
-            arms = 1
+    levels: list[list[DataFrame]] = []
+
+    def push(df: DataFrame, lvl: int) -> None:
+        while len(levels) <= lvl:
+            levels.append([])
+        levels[lvl].append(df)
+        if len(levels[lvl]) >= UNION_FOLD_CHUNKS:
+            arms, levels[lvl] = levels[lvl], []
+            u = arms[0]
+            for a in arms[1:]:
+                u = u.unionByName(a)
+            push(u.localCheckpoint(eager=True), lvl + 1)
+
+    for qrows in itertools.chain([first, second], chunks):
+        push(core(qrows).localCheckpoint(eager=True), 0)
+    rest = [df for lv in levels for df in lv]
+    out = rest[0]
+    for a in rest[1:]:
+        out = out.unionByName(a)
     return out
 
 
@@ -1187,11 +1208,20 @@ def _inbatch_semantic_drops(batch_df: DataFrame, id_col: str,
     embeddings are deliberately NOT semantic duplicates (cosine is
     undefined at zero norm; norm is forced to inf so they match
     nothing) — byte-identical zero-vector docs with identical TEXT are
-    still caught by the exact-signature MinHash pass."""
+    still caught by the exact-signature MinHash pass.
+
+    NO-SILENT-CAPS (ADVICE r8): a cell that actually sub-splits bumps
+    the Spark accumulator attached to the returned DataFrame as
+    ``_gdb_subsplit_cells`` — the widened cross-block miss class is
+    documented but was invisible at runtime; callers (the stream gate)
+    read it after their action and log.  Accumulator semantics are
+    at-least-once under task retry / plan re-execution — right for a
+    telemetry counter whose question is "did the cap fire at all"."""
     import zlib
 
     from .similarity import kmeans_assign_arrow
 
+    subsplit_acc = batch_df.sparkSession.sparkContext.accumulator(0)
     assigned = (batch_df.select(id_col, vec_col)
                 .withColumn("cluster",
                             kmeans_assign_arrow(centroids, vec_col)))
@@ -1240,6 +1270,7 @@ def _inbatch_semantic_drops(batch_df: DataFrame, id_col: str,
             if len(reps) <= cap:
                 drops.extend(pairwise(Vr, ir))
             else:
+                subsplit_acc.add(1)
                 nsplits = -(-len(reps) // cap)
                 keys = np.fromiter(
                     (zlib.crc32(Vr[i].tobytes()) % nsplits
@@ -1253,8 +1284,10 @@ def _inbatch_semantic_drops(batch_df: DataFrame, id_col: str,
             return pd.DataFrame({"new_id": pdf[id_col].iloc[:0]})
         return pd.DataFrame({"new_id": np.asarray(drops)})
 
-    return (assigned.groupBy("cluster")
-            .applyInPandas(find, schema=f"new_id {id_type}"))
+    out = (assigned.groupBy("cluster")
+           .applyInPandas(find, schema=f"new_id {id_type}"))
+    out._gdb_subsplit_cells = subsplit_acc
+    return out
 
 
 def stream_dedup_ingest(spark: SparkSession, source_dir: str, schema,
@@ -1339,6 +1372,7 @@ def stream_dedup_ingest(spark: SparkSession, source_dir: str, schema,
                         .where(F.col("new_id") > F.col("index_id"))
                         .select("new_id").distinct())
         drop = dup_vs_index.unionByName(dup_in_batch).distinct()
+        subsplit_acc = None
         if ivf_path is not None:
             # reserved query-column names (ADVICE r7): an IVF index
             # whose id_col is literally 'qid' would otherwise collide
@@ -1362,6 +1396,7 @@ def stream_dedup_ingest(spark: SparkSession, source_dir: str, schema,
                 sem_batch = _inbatch_semantic_drops(
                     batch_df, icol, emb_col, ivf_meta["centroids"],
                     cos_threshold)
+                subsplit_acc = sem_batch._gdb_subsplit_cells
                 drop = (drop.unionByName(sem)
                         .unionByName(sem_batch).distinct())
         kept = batch_df.join(
@@ -1377,6 +1412,15 @@ def stream_dedup_ingest(spark: SparkSession, source_dir: str, schema,
                 kept.select(F.col(icol).alias(ivf_meta["id_col"]),
                             F.col(emb_col).alias(ivf_meta["vec_col"])),
                 txn=txn)
+        if subsplit_acc is not None and subsplit_acc.value:
+            # no-silent-caps (ADVICE r8): the in-batch semantic pass
+            # sub-split ≥1 skewed cell this batch — cross-block
+            # NEAR-dup pairs (non-identical vectors at cosine ≥
+            # threshold) may have escaped; exact copies cannot.
+            print(f"# dedup_ingest batch {epoch_id}: "
+                  f"{subsplit_acc.value} skewed-cell sub-split(s) — "
+                  f"cross-block near-dup pairs may be missed",
+                  file=sys.stderr)
 
     return (stream.writeStream
             .foreachBatch(gate_batch)

@@ -163,9 +163,13 @@ def duck_side(sf1_dir: str, names: list[str],
         if standing:
             probe = plan[name]["probe"]
             got = sorted(map(tuple, con.execute(probe).fetchall()))
-            assert got == want, (
-                f"standing-index probe for {name!r} diverged from its "
-                f"full oracle on the replicated corpus")
+            if got != want:
+                # explicit raise, not assert (ADVICE r8): python -O
+                # compiles asserts out, silently skipping the identity
+                # gate while still reporting the standing timing
+                raise RuntimeError(
+                    f"standing-index probe for {name!r} diverged from "
+                    f"its full oracle on the replicated corpus")
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -230,9 +234,12 @@ def duck_side_all(sf1_dir: str, names: list[str]) -> dict[str, float]:
                 extra = con.execute(
                     f"SELECT COUNT(*) FROM (({a}) EXCEPT ALL ({b}))"
                 ).fetchone()[0]
-                assert extra == 0, (
-                    f"standing-index probe for {name!r} diverged from "
-                    f"its full oracle on the replicated corpus")
+                if extra:
+                    # explicit raise, not assert (ADVICE r8): python -O
+                    # compiles asserts out, silently skipping the gate
+                    raise RuntimeError(
+                        f"standing-index probe for {name!r} diverged "
+                        f"from its full oracle on the replicated corpus")
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()

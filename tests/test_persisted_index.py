@@ -1223,10 +1223,14 @@ def test_inbatch_semantic_skewed_cell_capped(spark, monkeypatch):
                      [880.0, 450.0 * math.cos(a), 450.0 * math.sin(a)]))
     batch = spark.createDataFrame(
         rows, "doc_id long, embedding array<double>")
-    got = sorted(r.new_id for r in PI._inbatch_semantic_drops(
-        batch, "doc_id", "embedding", cents, 0.9999).collect())
+    out = PI._inbatch_semantic_drops(
+        batch, "doc_id", "embedding", cents, 0.9999)
+    got = sorted(r.new_id for r in out.collect())
     want = sorted(g * 10 + c for g in range(8) for c in (1, 2))
     assert got == want
+    # no-silent-caps (ADVICE r8): the sub-split must be VISIBLE — the
+    # attached accumulator counts the capped cell
+    assert out._gdb_subsplit_cells.value >= 1
 
 
 def test_inbatch_semantic_identical_flood(spark, monkeypatch):
@@ -1244,9 +1248,13 @@ def test_inbatch_semantic_identical_flood(spark, monkeypatch):
     rows += [(200, [880.0, -400.0]), (201, [880.0, -400.0001])]
     batch = spark.createDataFrame(
         rows, "doc_id long, embedding array<double>")
-    got = sorted(r.new_id for r in PI._inbatch_semantic_drops(
-        batch, "doc_id", "embedding", cents, 0.9999).collect())
+    out = PI._inbatch_semantic_drops(
+        batch, "doc_id", "embedding", cents, 0.9999)
+    got = sorted(r.new_id for r in out.collect())
     assert got == list(range(1, 60)) + [201]
+    # the flood resolved in the O(n) identity pass — 3 distinct reps
+    # ≤ cap, so NO sub-split fires and the counter stays silent
+    assert out._gdb_subsplit_cells.value == 0
 
 
 def test_stream_gate_ivf_id_col_named_qid(spark, tmp_path):
