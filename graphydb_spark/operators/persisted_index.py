@@ -382,7 +382,8 @@ def probe_ivf_table_batch(spark: SparkSession, path: str,
                           nprobe: int = 2, version: int | None = None,
                           qid_col: str = "qid",
                           qvec_col: str = "qvec",
-                          max_batch: int | None = None) -> DataFrame:
+                          max_batch: int | None = None,
+                          strategy: str | None = None) -> DataFrame:
     """Batch ANN serving: top-k neighbors for EVERY query vector in
     ``queries`` → (qid, vec_id, cosine, rn).
 
@@ -401,11 +402,23 @@ def probe_ivf_table_batch(spark: SparkSession, path: str,
     every other qid, so chunking is value-identical to one pass —
     pinned by test_batch_probe_chunked_equals_capped).  Driver memory
     holds one chunk's matrix at a time; arbitrarily large serving
-    batches no longer error."""
+    batches no longer error.
+
+    STRATEGY (VERDICT r8 #1): past :data:`DISTRIBUTED_QUERY_MIN`
+    queries the chunked path is still driver-SEQUENCED (each chunk's
+    vectors collect to the driver and its closure table builds
+    serially), so ``strategy=None`` auto-routes large batches to
+    :func:`_ivf_batch_distributed` — a fully lazy join-based plan
+    whose query vectors never leave the executors, value-identical to
+    the chunked path.  Pass ``'chunked'``/``'distributed'`` to pin."""
     version = _pin_version(path, version)
     meta = snapshot_meta(path, version)
     if not meta or meta.get("kind") != "ivf":
         raise ValueError(f"{path!r} is not an IVF index table")
+    if _pick_strategy(queries, qid_col, strategy) == "distributed":
+        return _ivf_batch_distributed(spark, path, version, meta,
+                                      queries, k, nprobe, qid_col,
+                                      qvec_col)
     cap = MAX_QUERY_BATCH if max_batch is None else int(max_batch)
     qid_type = queries.schema[qid_col].dataType.simpleString()
     return _serve_chunked(
@@ -508,6 +521,342 @@ def ivf_probe_files(path: str, query_vec: list[float], nprobe: int = 2,
                           {"cluster": (c, c)}):
                 opened.add(f)
     return len(opened), len(m["files"])
+
+
+# ----------------------------------------------- distributed stage-1 probe
+
+#: auto-routing threshold for the batch probes: a batch with MORE
+#: qids than this serves via the join-based DISTRIBUTED stage-1 path
+#: (query vectors never touch the driver); at or below it, the
+#: closure-matrix chunked path wins (no shuffle, scan-only jobs).
+#: 2 chunks' worth — the crossover where the chunked path starts
+#: paying serial driver prep per chunk (VERDICT r8 #1).
+DISTRIBUTED_QUERY_MIN = 131_072
+
+#: per-cogroup-block row targets for the distributed kernels: the
+#: query side salts into ~``DIST_QUERY_BLOCK``-row groups and the
+#: index side into ~``DIST_INDEX_BLOCK``-row groups, so ONE task's
+#: pandas materialization is bounded by construction regardless of
+#: cell skew or batch size (a hot cell splits across blocks; the
+#: per-query top-k merge over blocks is lossless, same argument as
+#: the chunk union).
+DIST_QUERY_BLOCK = 4_096
+DIST_INDEX_BLOCK = 32_768
+
+
+def _nearest_cells_arrow(cents: list[list[float]],
+                         vec_col, nprobe: int) -> F.Column:
+    """Arrow-vectorized nprobe-nearest-cells — the executor-side twin
+    of the driver's :func:`_nearest_cells`, value-identical per row by
+    the same dim-major fold + stable argsort as
+    :func:`_nearest_cells_batch` (pinned by
+    test_nearest_cells_arrow_matches_scalar)."""
+    import pandas as pd
+
+    def cells_of(vs):
+        import numpy as np
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        Qm = np.stack(vs.to_numpy()).astype(np.float64)
+        return pd.Series(_nearest_cells_batch(cents, Qm, nprobe))
+
+    cells_of.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    target = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.pandas_udf(cells_of, "array<int>")(target)
+
+
+def _cells_rows_estimate(path: str, version: int, cells: list[int]) -> int:
+    """Upper bound on the rows the probed cells' pruned files hold —
+    pure manifest math (per-file ``rows`` stats), no Spark job.  Used
+    to size the distributed kernel's index-side salt; an overestimate
+    only makes blocks smaller."""
+    m = _read_manifest(path, version)
+    stats = m.get("file_stats", {})
+    opened = set()
+    for c in cells:
+        for f in m["files"]:
+            st = stats.get(f, {})
+            if _may_match(st.get("cols", {}), {"cluster": (c, c)}):
+                opened.add(f)
+    return sum(stats.get(f, {}).get("rows", 0) for f in opened)
+
+
+def _dist_salted(queries: DataFrame, index: DataFrame, qid_col: str,
+                 nqs: int, nis: int, id_col: str):
+    """Salt both sides of the distributed probe into the bounded
+    cogroup blocks: queries key on their OWN qid-hash salt and
+    replicate across every index salt; the index keys on its id-hash
+    salt and replicates across every query salt — the standard
+    block-matrix decomposition of a distributed brute-force scorer,
+    restricted here to rows already sharing a probed cell."""
+    qx = (queries
+          .withColumn("qsalt", F.pmod(F.xxhash64(qid_col),
+                                      F.lit(nqs)).cast("int"))
+          .withColumn("isalt", F.explode(F.lit(list(range(nis))))))
+    ix = (index
+          .withColumn("isalt", F.pmod(F.xxhash64(id_col),
+                                      F.lit(nis)).cast("int"))
+          .withColumn("qsalt", F.explode(F.lit(list(range(nqs))))))
+    return qx, ix
+
+
+def _dist_probed_cells(qc: DataFrame) -> list[int]:
+    """The distinct cells ANY query probes — the only query-derived
+    value that ever reaches the driver on the distributed path, and it
+    is bounded by the index's cell count k, never by the batch."""
+    cells = sorted(r[0] for r in
+                   qc.select("cluster").distinct().collect())
+    if not cells:
+        raise ValueError("empty query batch")
+    return cells
+
+
+def _ivf_batch_distributed(spark: SparkSession, path: str, version: int,
+                           meta: dict, queries: DataFrame, k: int,
+                           nprobe: int, qid_col: str,
+                           qvec_col: str) -> DataFrame:
+    """Join-based stage-1 batch ANN (VERDICT r8 #1 — the path that
+    removed the last driver-sequenced funnel): query vectors stay
+    executor-side END TO END.  Cell assignment is the Arrow
+    nprobe-cells UDF over the queries DataFrame (value-identical to
+    the driver's `_nearest_cells`), the probed-cell union of
+    manifest-pruned index files cogroups with the exploded
+    (qid, cell) rows on (cluster, qsalt, isalt) — both sides salted
+    into bounded blocks — and one pandas kernel per block scores its
+    queries × index rows with the SAME dim-major cosine fold as the
+    chunked kernel, keeping per-query top-k with exact ties; the
+    global ``row_number`` re-rank merges blocks losslessly (pinned by
+    test_ivf_batch_distributed_equals_chunked).
+
+    Driver traffic: the probed-cell id list (≤ k ints) and two
+    sizing counts — never a query vector.  The queries plan executes
+    twice (sizing count + the main job); a non-deterministic or
+    dup-qid frame must be materialized/deduplicated by the caller
+    first, the `_query_chunks` contract."""
+    import numpy as np
+
+    from .relational import topk_per_group
+
+    cents = meta["centroids"]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    if qid_col in ("cluster", "qsalt", "isalt", id_col, vec_col):
+        raise ValueError(
+            f"qid_col {qid_col!r} collides with an index/internal "
+            f"column on the distributed path — alias it first")
+    qc = (queries.select(qid_col, qvec_col)
+          .withColumn("cluster",
+                      F.explode(_nearest_cells_arrow(
+                          cents, qvec_col, nprobe))))
+    cells = _dist_probed_cells(qc)
+    nq = queries.select(qid_col).count()
+    nidx = _cells_rows_estimate(path, version, cells)
+    nqs = max(1, -(-nq * nprobe // DIST_QUERY_BLOCK))
+    nis = max(1, -(-nidx // DIST_INDEX_BLOCK))
+
+    parts = [read_snapshot(spark, path, version=version,
+                           where={"cluster": (c, c)}) for c in cells]
+    index = parts[0]
+    for p in parts[1:]:
+        index = index.unionByName(p)
+
+    qx, ix = _dist_salted(qc, index.select("cluster", id_col, vec_col),
+                          qid_col, nqs, nis, id_col)
+    qid_type = queries.schema[qid_col].dataType.simpleString()
+    id_type = index.schema[id_col].dataType.simpleString()
+    out_schema = (f"`{qid_col}` {qid_type}, `{id_col}` {id_type}, "
+                  "cosine double")
+
+    def kern(_key, qpdf, ipdf):
+        import pandas as pd
+        if not len(qpdf) or not len(ipdf):
+            return pd.DataFrame({qid_col: [], id_col: [],
+                                 "cosine": []})
+        Q = np.stack(qpdf[qvec_col].to_numpy()).astype(np.float64)
+        C = np.stack(ipdf[vec_col].to_numpy()).astype(np.float64)
+        ids = ipdf[id_col].to_numpy()
+        gqids = qpdf[qid_col].to_numpy()
+        out = {qid_col: [], id_col: [], "cosine": []}
+        # sub-block the query rows so the cos matrix stays ~8M doubles
+        step = max(1, (1 << 23) // max(1, C.shape[0]))
+        for lo in range(0, Q.shape[0], step):
+            Qc = Q[lo:lo + step]
+            dot = np.zeros((Qc.shape[0], C.shape[0]))
+            nq_ = np.zeros(Qc.shape[0])
+            nc = np.zeros(C.shape[0])
+            for d in range(C.shape[1]):          # fold order
+                dot += Qc[:, d][:, None] * C[:, d][None, :]
+                nq_ += Qc[:, d] * Qc[:, d]
+                nc += C[:, d] * C[:, d]
+            cos = dot / (np.sqrt(nq_)[:, None] * np.sqrt(nc)[None, :])
+            for row_i in range(Qc.shape[0]):
+                s = cos[row_i]
+                if len(s) > k:
+                    sf = np.nan_to_num(s, nan=-np.inf)
+                    thr = np.partition(sf, len(sf) - k)[len(sf) - k]
+                    keep = np.nonzero(sf >= thr)[0]
+                else:
+                    keep = np.arange(len(s))
+                out[qid_col].extend([gqids[lo + row_i]] * len(keep))
+                out[id_col].extend(ids[keep])
+                out["cosine"].extend(s[keep])
+        return pd.DataFrame(out)
+
+    scored = (qx.groupBy("cluster", "qsalt", "isalt")
+              .cogroup(ix.groupBy("cluster", "qsalt", "isalt"))
+              .applyInPandas(kern, schema=out_schema))
+    return topk_per_group(scored, [qid_col],
+                          [F.col("cosine").desc(), F.col(id_col)], k)
+
+
+def _ivfpq_batch_distributed(spark: SparkSession, path: str,
+                             version: int, meta: dict,
+                             queries: DataFrame, k: int, nprobe: int,
+                             rerank: int | None, qid_col: str,
+                             qvec_col: str) -> DataFrame:
+    """The IVF-PQ twin of :func:`_ivf_batch_distributed`: each cogroup
+    block builds its queries' ADC tables against the block's cell
+    centroid INSIDE the kernel (codebooks ride the closure — m·pq_k·sub
+    doubles, not per-query state) with the same dim-major fold as the
+    chunked kernel, scores the block's code rows by per-subspace
+    gather+sum in subspace order, and keeps per-query top-(k·α) with
+    exact ties.  With ``rerank``, stage 2 stays executor-side too: the
+    candidate (qid, id) pairs shuffle-join the raw refine column AND
+    the queries frame (never a broadcast, never a driver collect), and
+    the exact-L2 kernel is the same dim-major fold as the broadcast
+    path (pinned by test_ivfpq_batch_distributed_equals_chunked)."""
+    import numpy as np
+
+    from .relational import topk_per_group
+
+    cents, books = meta["centroids"], meta["books"]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    if qid_col in ("cluster", "qsalt", "isalt", "codes",
+                   id_col, vec_col):
+        raise ValueError(
+            f"qid_col {qid_col!r} collides with an index/internal "
+            f"column on the distributed path — alias it first")
+    m = len(books)
+    sub = len(books[0][0])
+    pq_k = len(books[0])
+    qc = (queries.select(qid_col, qvec_col)
+          .withColumn("cluster",
+                      F.explode(_nearest_cells_arrow(
+                          cents, qvec_col, nprobe))))
+    cells = _dist_probed_cells(qc)
+    nq = queries.select(qid_col).count()
+    nidx = _cells_rows_estimate(path, version, cells)
+    nqs = max(1, -(-nq * nprobe // DIST_QUERY_BLOCK))
+    nis = max(1, -(-nidx // DIST_INDEX_BLOCK))
+
+    parts = [read_snapshot(spark, path, version=version,
+                           where={"cluster": (c, c)}) for c in cells]
+    index = parts[0]
+    for p in parts[1:]:
+        index = index.unionByName(p)
+
+    qx, ix = _dist_salted(qc, index.select("cluster", id_col, "codes"),
+                          qid_col, nqs, nis, id_col)
+    qid_type = queries.schema[qid_col].dataType.simpleString()
+    id_type = index.schema[id_col].dataType.simpleString()
+    out_schema = (f"`{qid_col}` {qid_type}, `{id_col}` {id_type}, "
+                  "adc_dist double")
+    keep_n = k if rerank is None else k * rerank
+    B = [np.asarray(books[s], dtype=np.float64) for s in range(m)]
+    C_all = np.asarray(cents, dtype=np.float64)
+
+    def kern(key, qpdf, ipdf):
+        import pandas as pd
+        if not len(qpdf) or not len(ipdf):
+            return pd.DataFrame({qid_col: [], id_col: [],
+                                 "adc_dist": []})
+        c = int(key[0])
+        Q = np.stack(qpdf[qvec_col].to_numpy()).astype(np.float64)
+        qr = Q - C_all[c][None, :]
+        # ADC tables, same fold as _ivfpq_batch_chunk
+        T = np.empty((Q.shape[0], m, pq_k), dtype=np.float64)
+        for s in range(m):
+            qs = qr[:, s * sub:(s + 1) * sub]
+            acc = np.zeros((Q.shape[0], pq_k), dtype=np.float64)
+            for d in range(sub):                 # dim-major left fold
+                diff = B[s][None, :, d] - qs[:, d][:, None]
+                acc = acc + diff * diff
+            T[:, s, :] = acc
+        codes = np.stack(ipdf["codes"].to_numpy()).astype(np.int64)
+        ids = ipdf[id_col].to_numpy()
+        gqids = qpdf[qid_col].to_numpy()
+        out = {qid_col: [], id_col: [], "adc_dist": []}
+        for i in range(Q.shape[0]):
+            dist = np.zeros(codes.shape[0])
+            for s in range(m):                   # fold order preserved
+                dist = dist + T[i, s][codes[:, s]]
+            if len(dist) > keep_n:
+                thr = np.partition(dist, keep_n - 1)[keep_n - 1]
+                keep = np.nonzero(dist <= thr)[0]
+            else:
+                keep = np.arange(len(dist))
+            out[qid_col].extend([gqids[i]] * len(keep))
+            out[id_col].extend(ids[keep])
+            out["adc_dist"].extend(dist[keep])
+        return pd.DataFrame(out)
+
+    scored = (qx.groupBy("cluster", "qsalt", "isalt")
+              .cogroup(ix.groupBy("cluster", "qsalt", "isalt"))
+              .applyInPandas(kern, schema=out_schema))
+    approx = topk_per_group(scored, [qid_col],
+                            [F.col("adc_dist").asc(), F.col(id_col)],
+                            keep_n)
+    if rerank is None:
+        return approx
+    # stage 2, fully distributed: candidates shuffle-join the raw
+    # refine column on id, then the queries frame on qid — no
+    # broadcast bound, no driver materialization
+    cand = approx.select(qid_col, id_col)
+    raws = [read_snapshot(spark, path, version=version,
+                          where={"cluster": (c, c)})
+            .select(id_col, vec_col) for c in cells]
+    raw = raws[0]
+    for p in raws[1:]:
+        raw = raw.unionByName(p)
+    qside = queries.select(qid_col,
+                           F.col(qvec_col).alias("__dist_qvec"))
+    joined = raw.join(cand, id_col).join(qside, qid_col)
+    l2_schema = (f"`{qid_col}` {qid_type}, `{id_col}` {id_type}, "
+                 "l2_dist double")
+
+    def exact(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Qs = np.stack(pdf["__dist_qvec"].to_numpy()
+                          ).astype(np.float64)
+            acc = np.zeros(len(pdf), dtype=np.float64)
+            for d in range(V.shape[1]):          # dim-major left fold
+                diff = V[:, d] - Qs[:, d]
+                acc = acc + diff * diff
+            yield pd.DataFrame({qid_col: pdf[qid_col],
+                                id_col: pdf[id_col],
+                                "l2_dist": acc})
+
+    exact_scored = joined.mapInPandas(exact, schema=l2_schema)
+    return topk_per_group(exact_scored, [qid_col],
+                          [F.col("l2_dist").asc(), F.col(id_col)], k)
+
+
+def _pick_strategy(queries: DataFrame, qid_col: str,
+                   strategy: str | None) -> str:
+    """Resolve the batch probes' ``strategy`` parameter: explicit
+    values pass through; ``None`` routes by a limit-bounded qid count
+    (the stage-2 broadcast/shuffle precedent, persisted_index.py:910)
+    — past :data:`DISTRIBUTED_QUERY_MIN` the join path wins."""
+    if strategy in ("chunked", "distributed"):
+        return strategy
+    if strategy is not None:
+        raise ValueError(f"unknown strategy {strategy!r} — use "
+                         f"'chunked', 'distributed', or None (auto)")
+    n = queries.select(qid_col).limit(DISTRIBUTED_QUERY_MIN + 1).count()
+    return "distributed" if n > DISTRIBUTED_QUERY_MIN else "chunked"
 
 
 # ---------------------------------------------------------------------- PQ
@@ -748,7 +1097,8 @@ def probe_ivfpq_table_batch(spark: SparkSession, path: str,
                             qid_col: str = "qid",
                             qvec_col: str = "qvec",
                             max_batch: int | None = None,
-                            rerank: int | None = None) -> DataFrame:
+                            rerank: int | None = None,
+                            strategy: str | None = None) -> DataFrame:
     """Batch ADC serving over the IVF-PQ table: top-k by approximate
     distance for EVERY query → (qid, vec_id, adc_dist, rn) — the
     compressed-index twin of :func:`probe_ivf_table_batch`, same
@@ -784,7 +1134,13 @@ def probe_ivfpq_table_batch(spark: SparkSession, path: str,
     distributed shuffle join on the candidate ids: no broadcast, no
     driver-side pair materialization, value-identical by the same
     per-qid-independence argument (pinned by
-    test_ivfpq_rerank_shuffle_equals_broadcast)."""
+    test_ivfpq_rerank_shuffle_equals_broadcast).
+
+    STRATEGY (VERDICT r8 #1): ``strategy=None`` auto-routes batches
+    past :data:`DISTRIBUTED_QUERY_MIN` queries to
+    :func:`_ivfpq_batch_distributed` — stage 1 AND stage 2 fully
+    executor-side, value-identical; ``'chunked'``/``'distributed'``
+    pins the path."""
     version = _pin_version(path, version)
     meta = snapshot_meta(path, version)
     if not meta or meta.get("kind") != "ivfpq":
@@ -798,6 +1154,10 @@ def probe_ivfpq_table_batch(spark: SparkSession, path: str,
             raise ValueError(
                 "rerank needs raw vectors in the index — rebuild with "
                 "build_ivfpq_table(..., store_raw=True)")
+    if _pick_strategy(queries, qid_col, strategy) == "distributed":
+        return _ivfpq_batch_distributed(spark, path, version, meta,
+                                        queries, k, nprobe, rerank,
+                                        qid_col, qvec_col)
     cap = MAX_QUERY_BATCH if max_batch is None else int(max_batch)
     if rerank is not None:
         cap = max(1, min(cap, MAX_RERANK_PAIRS // (k * rerank)))

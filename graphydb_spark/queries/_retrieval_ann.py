@@ -907,6 +907,116 @@ FROM r WHERE rn <= 10
 ORACLES["rerank_shuffle_probe"] = _RERANK_SHUFFLE_ORACLE
 
 
+def q_dist_stage1_probe(spark, sf_dir):
+    """The DISTRIBUTED stage-1 batch ANN path under the full-hash gate
+    (round 9 — the path that removed the last driver-sequenced funnel,
+    VERDICT r8 #1): three query vectors ride
+    persisted_index.probe_ivf_table_batch with strategy='distributed',
+    so cell assignment is the executor-side Arrow nprobe-cells UDF,
+    the probe is ONE lazy cogroup plan (query vectors never collect to
+    the driver), and per-query top-5 merges across salted blocks via
+    the global row_number.  nprobe = ALL 8 cells keeps the exact-
+    equivalence premise: each query's candidate set is the whole
+    corpus, so its top-5 is EXACTLY brute-force cosine, which the
+    oracle states per qid (the ivf_batch_probe premise served by the
+    join-based path; distributed==chunked identity is also pinned by
+    test_ivf_batch_distributed_equals_chunked).
+
+    Stays plan-cacheable: the distributed serve is fully lazy (no
+    checkpoint blocks), so a cached handle re-runs the real cogroup
+    job per execution — unlike the chunked multi-chunk serve."""
+    ivf_path = _retrieval_indexes(spark, sf_dir)["ivf"]
+    emb = _emb(spark, sf_dir)
+    meta = persisted_index.snapshot_meta(ivf_path, None)
+    ncells = len(meta["centroids"])
+    assert ncells == 8, (
+        f"dist_stage1_probe exact-equivalence premise broken: the "
+        f"standing index has {ncells} cells, the probe covers 8")
+    queries = (emb.where(F.col("vec_id").isin([1, 6, 7]))
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    out = persisted_index.probe_ivf_table_batch(
+        spark, ivf_path, queries, k=5, nprobe=ncells,
+        strategy="distributed")
+    return out.select("qid", "vec_id",
+                      F.round("cosine", 6).alias("cosine"))
+
+
+_DIST_STAGE1_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS qid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id IN (1, 6, 7)),
+d AS (
+  SELECT q.qid, e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding)+1),
+           i -> q.qv[i] * CAST(e.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, len(q.qv)+1),
+              i -> q.qv[i] * q.qv[i])))
+          * sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+              i -> CAST(e.embedding[i] AS DOUBLE)
+                 * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+  FROM embeddings e, q),
+r AS (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, vec_id) AS rn
+  FROM d)
+SELECT qid, vec_id, round(cos, 6) AS cosine
+FROM r WHERE rn <= 5
+"""
+ORACLES["dist_stage1_probe"] = _DIST_STAGE1_ORACLE
+
+
+def q_dist_rerank_probe(spark, sf_dir):
+    """The distributed path's STAGE-2 under the full-hash gate: two
+    query vectors through probe_ivfpq_table_batch with
+    strategy='distributed' and rerank — candidates shuffle-join the
+    raw refine column AND the queries frame executor-side (no
+    broadcast, no driver pair materialization), exact L2 re-ranks per
+    query.  All cells probed + k·α ≥ corpus keeps the exact-
+    equivalence premise (the rerank_shuffle_probe premise served by
+    the cogroup stage-1 + join stage-2; distributed==chunked identity
+    incl. rerank is pinned by
+    test_ivfpq_batch_distributed_equals_chunked).  Fully lazy, so it
+    stays plan-cacheable like dist_stage1_probe."""
+    path = _ivfpq_index(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    k, rerank = 10, 200_001
+    _assert_exact_rerank_premise("dist_rerank_probe", emb, k,
+                                 rerank, path=path, nprobe=4)
+    queries = (emb.where(F.col("vec_id").isin([3, 7]))
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    out = persisted_index.probe_ivfpq_table_batch(
+        spark, path, queries, k=k, nprobe=4, rerank=rerank,
+        strategy="distributed")
+    return out.select("qid", "vec_id",
+                      F.round("l2_dist", 6).alias("l2_dist"))
+
+
+_DIST_RERANK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS qid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id IN (3, 7)),
+d AS (
+  SELECT q.qid, e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding)+1),
+           i -> (CAST(e.embedding[i] AS DOUBLE) - q.qv[i])
+              * (CAST(e.embedding[i] AS DOUBLE) - q.qv[i]))) AS l2
+  FROM embeddings e, q),
+r AS (
+  SELECT qid, vec_id, l2,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY l2, vec_id) AS rn
+  FROM d)
+SELECT qid, vec_id, round(l2, 6) AS l2_dist
+FROM r WHERE rn <= 10
+"""
+ORACLES["dist_rerank_probe"] = _DIST_RERANK_ORACLE
+
+
 # Plan cache (prepared-statement semantics): the catalog queries are pure
 # functions of immutable inputs (parquet fixtures + the memoized graph
 # encoding), so the analyzed/optimized logical plan can be reused across
@@ -949,4 +1059,8 @@ __all__ = [
     '_ann_recall_oracle_sql',
     'q_rerank_shuffle_probe',
     '_RERANK_SHUFFLE_ORACLE',
+    'q_dist_stage1_probe',
+    '_DIST_STAGE1_ORACLE',
+    'q_dist_rerank_probe',
+    '_DIST_RERANK_ORACLE',
 ]

@@ -1368,3 +1368,114 @@ def test_pin_version_empty_table_raises(tmp_path):
     with pytest.raises(ValueError, match="no snapshot versions"):
         _pin_version(str(tmp_path / "nothing"), None)
     assert _pin_version(str(tmp_path / "nothing"), 3) == 3
+
+
+# ------------------------------------------ distributed stage-1 probe
+
+def test_nearest_cells_arrow_matches_scalar(spark):
+    """The executor-side nprobe-cells UDF must reproduce the driver's
+    _nearest_cells per row — same dim-major fold, same stable
+    tie-break — or the distributed and chunked paths would probe
+    different cells."""
+    import graphydb_spark.operators.persisted_index as PI
+    cents = [[float((c * 5 + d) % 7) - 3.0 for d in range(4)]
+             for c in range(6)]
+    emb = _emb(spark, n=50)
+    got = (emb.select("vec_id",
+                      PI._nearest_cells_arrow(cents, "embedding", 3)
+                      .alias("cells"))
+           .orderBy("vec_id").collect())
+    rows = emb.orderBy("vec_id").collect()
+    for g, r in zip(got, rows):
+        want = PI._nearest_cells(cents,
+                                 [float(x) for x in r["embedding"]], 3)
+        assert list(g["cells"]) == want
+
+
+def test_ivf_batch_distributed_equals_chunked(spark, tmp_path,
+                                              monkeypatch):
+    """VERDICT r8 #1 identity gate: the join-based stage-1 path must
+    be value-identical to the chunked closure-matrix path — with the
+    block targets forced tiny so queries and index rows split across
+    MANY cogroup blocks and the per-query top-k merge is actually
+    exercised."""
+    import graphydb_spark.operators.persisted_index as PI
+    emb = _emb(spark, n=80)
+    p = str(tmp_path / "ivf_dist")
+    build_ivf_table(emb, p, k=4, iters=2)
+    qs = spark.createDataFrame(
+        [(f"q{i}", [float(i % 9) - 4.0, 1.0, -1.0, float(i % 5)])
+         for i in range(23)],
+        "qid string, qvec array<double>")
+    from graphydb_spark.operators.persisted_index import (
+        probe_ivf_table_batch)
+    want = sorted(map(tuple, probe_ivf_table_batch(
+        spark, p, qs, k=4, nprobe=2, strategy="chunked").collect()))
+    monkeypatch.setattr(PI, "DIST_QUERY_BLOCK", 3)
+    monkeypatch.setattr(PI, "DIST_INDEX_BLOCK", 7)
+    got = sorted(map(tuple, probe_ivf_table_batch(
+        spark, p, qs, k=4, nprobe=2, strategy="distributed").collect()))
+    assert got == want
+
+
+def test_ivfpq_batch_distributed_equals_chunked(spark, tmp_path,
+                                                monkeypatch):
+    """The IVF-PQ twin, including the fully-distributed stage-2
+    rerank: ADC fold, gather order, and the exact-L2 fold must all
+    match the chunked/broadcast path bit-for-bit."""
+    import graphydb_spark.operators.persisted_index as PI
+    emb = _emb(spark, n=90)
+    p = str(tmp_path / "ivfpq_dist")
+    PI.build_ivfpq_table(emb, p, k=3, m=2, pq_k=4, iters=1,
+                         store_raw=True)
+    qs = spark.createDataFrame(
+        [(f"q{i}", [float(i), 1.0, -1.0, 0.5]) for i in range(11)],
+        "qid string, qvec array<double>")
+    for rk in (None, 3):
+        want = sorted(map(tuple, PI.probe_ivfpq_table_batch(
+            spark, p, qs, k=4, nprobe=2, rerank=rk,
+            strategy="chunked").collect()))
+        monkeypatch.setattr(PI, "DIST_QUERY_BLOCK", 4)
+        monkeypatch.setattr(PI, "DIST_INDEX_BLOCK", 13)
+        got = sorted(map(tuple, PI.probe_ivfpq_table_batch(
+            spark, p, qs, k=4, nprobe=2, rerank=rk,
+            strategy="distributed").collect()))
+        assert got == want, f"rerank={rk}"
+
+
+def test_batch_probe_auto_routes_distributed(spark, tmp_path,
+                                             monkeypatch):
+    """strategy=None routes by qid count: above DISTRIBUTED_QUERY_MIN
+    the distributed plan serves (observable: the result is LAZY — no
+    localCheckpoint scan — and contains a Cogroup/FlatMapCoGroups
+    node), below it the chunked path serves; both value-identical."""
+    import graphydb_spark.operators.persisted_index as PI
+    emb = _emb(spark, n=40)
+    p = str(tmp_path / "ivf_route")
+    build_ivf_table(emb, p, k=4, iters=1)
+    qs = spark.createDataFrame(
+        [(f"q{i}", [float(i), 1.0, -1.0, 0.5]) for i in range(9)],
+        "qid string, qvec array<double>")
+    want = sorted(map(tuple, PI.probe_ivf_table_batch(
+        spark, p, qs, k=3, strategy="chunked").collect()))
+    monkeypatch.setattr(PI, "DISTRIBUTED_QUERY_MIN", 5)
+    auto = PI.probe_ivf_table_batch(spark, p, qs, k=3)
+    plan = auto._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert sorted(map(tuple, auto.collect())) == want
+    with pytest.raises(ValueError, match="unknown strategy"):
+        PI.probe_ivf_table_batch(spark, p, qs, strategy="turbo")
+
+
+def test_distributed_probe_qid_collision_raises(spark, tmp_path):
+    """An index whose id_col equals the probe's qid_col cannot ride
+    the cogroup output schema — refuse loudly with the alias hint."""
+    import graphydb_spark.operators.persisted_index as PI
+    emb = _emb(spark, n=20)
+    p = str(tmp_path / "ivf_coll")
+    build_ivf_table(emb, p, k=2, iters=1)
+    qs = spark.createDataFrame(
+        [("a", [0.0, 1.0, 2.0, 3.0])], "vec_id string, qvec array<double>")
+    with pytest.raises(ValueError, match="collides"):
+        PI.probe_ivf_table_batch(spark, p, qs, qid_col="vec_id",
+                                 strategy="distributed")
