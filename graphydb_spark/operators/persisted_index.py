@@ -41,6 +41,7 @@ from .similarity import cosine_expr, ivf_index, vec_lit
 
 __all__ = ["build_ivf_table", "probe_ivf_table", "append_ivf_table",
            "probe_ivf_table_batch", "ivf_probe_files",
+           "ivf_cell_balance", "rebuild_ivf_table",
            "build_pq_table", "probe_pq_table",
            "build_ivfpq_table", "probe_ivfpq_table",
            "append_ivfpq_table", "probe_ivfpq_table_batch",
@@ -78,7 +79,8 @@ def build_ivf_table(emb: DataFrame, path: str, k: int = 16,
                     vec_col: str = "embedding",
                     files_per_cell: float = 0.5,
                     train_fraction: float = 1.0,
-                    precomputed: tuple | None = None) -> int:
+                    precomputed: tuple | None = None,
+                    seed_by: str = "id") -> int:
     """Train IVF and publish ``(cluster, id, vector)`` as a snapshot
     table clustered by cell.  ``repartitionByRange`` + in-partition sort
     give each parquet file a narrow [min,max] cluster interval, which is
@@ -98,10 +100,12 @@ def build_ivf_table(emb: DataFrame, path: str, k: int = 16,
         assigned, centroids = precomputed
     elif train is emb:
         assigned, centroids = ivf_index(emb, k=k, iters=iters,
-                                        id_col=id_col, vec_col=vec_col)
+                                        id_col=id_col, vec_col=vec_col,
+                                        seed_by=seed_by)
     else:
         _, centroids = ivf_index(train, k=k, iters=iters,
-                                 id_col=id_col, vec_col=vec_col)
+                                 id_col=id_col, vec_col=vec_col,
+                                 seed_by=seed_by)
         assigned = emb.withColumn(
             "cluster", kmeans_assign_arrow(centroids, vec_col))
     n_files = max(1, int(k * files_per_cell))
@@ -113,7 +117,82 @@ def build_ivf_table(emb: DataFrame, path: str, k: int = 16,
         meta={"kind": "ivf", "k": k, "iters": iters,
               "id_col": id_col, "vec_col": vec_col,
               "files_per_cell": files_per_cell,
-              "centroids": centroids})
+              "centroids": centroids,
+              "cell_counts": _cell_counts(assigned)})
+
+
+#: cell-balance ratio (max cell count / median cell count) past which
+#: an append flags the index for rebuild — the documented drift
+#: threshold (VERDICT r8 #4): frozen centroids skew cells as the
+#: corpus distribution shifts, silently degrading probe recall (hot
+#: cells dilute candidates) and latency (a probed hot cell reads a
+#: corpus-scale file set).  8× means the hottest cell holds ~an order
+#: of magnitude more than the typical one.
+IVF_REBALANCE_RATIO = 8.0
+
+
+def _cell_counts(assigned: DataFrame) -> dict:
+    """Per-cell row counts of an assignment frame as a JSON-able
+    ``{str(cell): n}`` dict — ONE bounded agg (k rows to the driver),
+    the incremental balance telemetry both IVF builders store in
+    ``meta`` and both appenders roll forward."""
+    return {str(r["cluster"]): int(r["n"])
+            for r in assigned.groupBy("cluster")
+            .agg(F.count("*").alias("n")).collect()}
+
+
+def _roll_cell_counts(delta: dict):
+    """meta_fn rolling a batch's per-cell counts into the parent's —
+    inside the commit retry loop, so concurrent appenders never
+    overwrite each other's counters (the append_fts_table precedent).
+    Parents without ``cell_counts`` (pre-round-9 tables) stay without:
+    the base is unknowable without a rescan; rebuild to enable."""
+    def roll(parent_meta):
+        pm = dict(parent_meta or {})
+        if "cell_counts" in pm:
+            merged = dict(pm["cell_counts"])
+            for c, n in delta.items():
+                merged[c] = merged.get(c, 0) + n
+            pm["cell_counts"] = merged
+        return pm
+    return roll
+
+
+def ivf_cell_balance(path: str, version: int | None = None) -> dict | None:
+    """Cell-balance stats of an IVF/IVF-PQ table from its ``meta``
+    counters — pure driver math over ≤k integers, no Spark job:
+    ``{"max": .., "median": .., "ratio": .., "needs_rebuild": bool}``
+    over ALL k cells (unpopulated cells count 0; median is the
+    lower-middle of the sorted counts, so the stat is integer-exact
+    and engine-portable).  Returns ``None`` for tables built before
+    the telemetry existed (no ``cell_counts`` in meta) — rebuild to
+    enable.  ``needs_rebuild`` applies the documented
+    :data:`IVF_REBALANCE_RATIO` threshold."""
+    meta = snapshot_meta(path, version)
+    if not meta or meta.get("kind") not in ("ivf", "ivfpq"):
+        raise ValueError(f"{path!r} is not an IVF/IVF-PQ index table")
+    counts = meta.get("cell_counts")
+    if counts is None:
+        return None
+    k = meta["k"]
+    full = sorted(int(counts.get(str(c), 0)) for c in range(k))
+    mx = full[-1] if full else 0
+    med = full[(k - 1) // 2] if k else 0
+    ratio = (mx / med) if med else float("inf") if mx else 1.0
+    return {"max": mx, "median": med, "ratio": ratio,
+            "needs_rebuild": ratio > IVF_REBALANCE_RATIO}
+
+
+def _warn_if_skewed(path: str, version: int) -> None:
+    """Post-append drift check (no-silent-degradation): one line to
+    stderr when the rolled counters cross the rebuild threshold."""
+    bal = ivf_cell_balance(path, version)
+    if bal and bal["needs_rebuild"]:
+        print(f"# ivf append at {path}: cell-balance ratio "
+              f"{bal['ratio']:.1f} exceeds {IVF_REBALANCE_RATIO} "
+              f"(max {bal['max']} vs median {bal['median']}) — "
+              f"probe recall/latency degrade on hot cells; run "
+              f"rebuild_ivf_table", file=sys.stderr)
 
 
 def append_ivf_table(spark: SparkSession, path: str, emb: DataFrame,
@@ -122,15 +201,22 @@ def append_ivf_table(spark: SparkSession, path: str, emb: DataFrame,
     against the index's own centroids (``meta`` — so the cells mean
     the same thing for old and new rows), lay out by cell, append
     exactly-once under ``txn``.  Standard IVF maintenance: centroids
-    drift from optimal as the distribution shifts; rebuild with
-    :func:`build_ivf_table` when recall degrades (the index records
-    nothing that prevents a rebuild — versions keep old probes
-    reproducible)."""
+    drift from optimal as the distribution shifts — each append ROLLS
+    the per-cell counters forward in ``meta`` (race-safe ``meta_fn``)
+    and warns on stderr when :func:`ivf_cell_balance` crosses the
+    rebuild threshold (VERDICT r8 #4: sustained drifting appends used
+    to skew cells with no signal); :func:`rebuild_ivf_table`
+    re-clusters in place under the version chain."""
+    from ..sources.snapshot import _txn_seen, _txn_version
     from .similarity import kmeans_assign_arrow
 
     meta = snapshot_meta(path, None)
     if not meta or meta.get("kind") != "ivf":
         raise ValueError(f"{path!r} is not an IVF index table")
+    if txn is not None and _txn_seen(path, txn):
+        # replayed token: no-op BEFORE the counts agg, so the counter
+        # roll stays exactly-once alongside the rows
+        return _txn_version(path, txn)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     assigned = emb.withColumn(
         "cluster", kmeans_assign_arrow(meta["centroids"], vec_col))
@@ -141,7 +227,47 @@ def append_ivf_table(spark: SparkSession, path: str, emb: DataFrame,
     laid = (assigned.select("cluster", id_col, vec_col)
             .repartitionByRange(n_files, "cluster")
             .sortWithinPartitions("cluster"))
-    return commit_snapshot(laid, path, mode="append", txn=txn)
+    delta = (_cell_counts(assigned)
+             if "cell_counts" in meta else {})
+    v = commit_snapshot(laid, path, mode="append", txn=txn,
+                        meta_fn=_roll_cell_counts(delta))
+    _warn_if_skewed(path, v)
+    return v
+
+
+def rebuild_ivf_table(spark: SparkSession, path: str,
+                      k: int | None = None, iters: int | None = None,
+                      files_per_cell: float | None = None,
+                      train_fraction: float = 1.0) -> int:
+    """Re-cluster a drifted IVF table IN PLACE under the version
+    chain: read the current rows, retrain centroids on them (params
+    default to the build's own, all overridable — a grown corpus may
+    want more cells), and commit the re-clustered layout as an
+    OVERWRITE — old versions stay probeable (time travel), in-flight
+    probes pinned via ``_pin_version`` never tear, and a concurrent
+    append losing the race raises ``CommitConflict`` for the caller
+    to re-decide (no safe automatic answer).  Fresh counters reset
+    the balance telemetry.
+
+    Seeds by HASH order (``ivf_index(seed_by='hash')``): the default
+    lowest-id seeding would plant every seed in the OLDEST ingest's
+    distribution — exactly the rows the drift moved away from — and
+    Lloyd can never split the new cloud off a single centroid.  Hash
+    order is equally deterministic but samples the corpus as it is
+    now, so the re-cluster actually rebalances (the drifted-append
+    stress's gate)."""
+    version = _pin_version(path, None)
+    meta = snapshot_meta(path, version)
+    if not meta or meta.get("kind") != "ivf":
+        raise ValueError(f"{path!r} is not an IVF index table")
+    emb = read_snapshot(spark, path, version=version).select(
+        meta["id_col"], meta["vec_col"])
+    return build_ivf_table(
+        emb, path, k=k or meta["k"], iters=iters or meta["iters"],
+        id_col=meta["id_col"], vec_col=meta["vec_col"],
+        files_per_cell=(files_per_cell
+                        or meta.get("files_per_cell", 0.5)),
+        train_fraction=train_fraction, seed_by="hash")
 
 
 def _pin_version(path: str, version: int | None) -> int:
@@ -533,15 +659,25 @@ def ivf_probe_files(path: str, query_vec: list[float], nprobe: int = 2,
 #: paying serial driver prep per chunk (VERDICT r8 #1).
 DISTRIBUTED_QUERY_MIN = 131_072
 
-#: per-cogroup-block row targets for the distributed kernels: the
-#: query side salts into ~``DIST_QUERY_BLOCK``-row groups and the
-#: index side into ~``DIST_INDEX_BLOCK``-row groups, so ONE task's
-#: pandas materialization is bounded by construction regardless of
-#: cell skew or batch size (a hot cell splits across blocks; the
-#: per-query top-k merge over blocks is lossless, same argument as
-#: the chunk union).
-DIST_QUERY_BLOCK = 4_096
-DIST_INDEX_BLOCK = 32_768
+#: per-cogroup-block BYTE targets for the distributed kernels (query
+#: side ~32 MB, index side ~128 MB of float64 vectors).  The salt
+#: counts derive from the MAX per-cell load against these targets, so
+#: in the common case both are 1 and EACH SIDE SHUFFLES EXACTLY ONCE,
+#: grouped by cell — zero replication.  Only when one cell's load
+#: exceeds its byte target does that side split into hash blocks,
+#: replicating the OTHER side across them (the block-matrix escape
+#: valve for skew; per-query top-k merges losslessly across blocks,
+#: the chunk-union argument).  First-cut row-count salting replicated
+#: the index across EVERY query block — hundreds of GB of shuffle at
+#: 1M queries; byte-targeted max-load salting is the fix.
+DIST_QUERY_BLOCK_BYTES = 1 << 25
+DIST_INDEX_BLOCK_BYTES = 1 << 27
+
+
+def _dist_block_rows(dim: int) -> tuple[int, int]:
+    """(query rows, index rows) per block at ``dim`` float64 dims."""
+    return (max(1_024, DIST_QUERY_BLOCK_BYTES // (8 * dim)),
+            max(4_096, DIST_INDEX_BLOCK_BYTES // (8 * dim)))
 
 
 def _nearest_cells_arrow(cents: list[list[float]],
@@ -565,20 +701,36 @@ def _nearest_cells_arrow(cents: list[list[float]],
     return F.pandas_udf(cells_of, "array<int>")(target)
 
 
-def _cells_rows_estimate(path: str, version: int, cells: list[int]) -> int:
-    """Upper bound on the rows the probed cells' pruned files hold —
-    pure manifest math (per-file ``rows`` stats), no Spark job.  Used
-    to size the distributed kernel's index-side salt; an overestimate
-    only makes blocks smaller."""
+def _dist_plan(qc: DataFrame, path: str, version: int,
+               dim: int) -> tuple[list[int], int, int]:
+    """(probed cells, query-salt count, index-salt count) for one
+    distributed probe.  ONE bounded agg over the cell-assigned query
+    rows (≤k rows to the driver — cell ids and counts, never vectors)
+    yields the probed cells AND the max per-cell query load; per-cell
+    index row UPPER bounds are pure manifest math (a file's rows count
+    toward every cell its [min,max] may contain — conservative, and
+    an overestimate only adds a salt).  Salt counts target the
+    :func:`_dist_block_rows` byte budgets against the MAX-loaded cell,
+    so they are 1 (no replication at all) unless one cell's load
+    genuinely exceeds a block."""
+    loads = {int(r["cluster"]): int(r["n"]) for r in
+             qc.groupBy("cluster").agg(F.count("*").alias("n"))
+             .collect()}
+    if not loads:
+        raise ValueError("empty query batch")
+    cells = sorted(loads)
+    qrows, irows = _dist_block_rows(dim)
     m = _read_manifest(path, version)
     stats = m.get("file_stats", {})
-    opened = set()
+    max_cell_rows = 0
     for c in cells:
-        for f in m["files"]:
-            st = stats.get(f, {})
-            if _may_match(st.get("cols", {}), {"cluster": (c, c)}):
-                opened.add(f)
-    return sum(stats.get(f, {}).get("rows", 0) for f in opened)
+        n = sum(stats.get(f, {}).get("rows", 0) for f in m["files"]
+                if _may_match(stats.get(f, {}).get("cols", {}),
+                              {"cluster": (c, c)}))
+        max_cell_rows = max(max_cell_rows, n)
+    nqs = max(1, -(-max(loads.values()) // qrows))
+    nis = max(1, -(-max_cell_rows // irows))
+    return cells, nqs, nis
 
 
 def _dist_salted(queries: DataFrame, index: DataFrame, qid_col: str,
@@ -598,17 +750,6 @@ def _dist_salted(queries: DataFrame, index: DataFrame, qid_col: str,
                                       F.lit(nis)).cast("int"))
           .withColumn("qsalt", F.explode(F.lit(list(range(nqs))))))
     return qx, ix
-
-
-def _dist_probed_cells(qc: DataFrame) -> list[int]:
-    """The distinct cells ANY query probes — the only query-derived
-    value that ever reaches the driver on the distributed path, and it
-    is bounded by the index's cell count k, never by the batch."""
-    cells = sorted(r[0] for r in
-                   qc.select("cluster").distinct().collect())
-    if not cells:
-        raise ValueError("empty query batch")
-    return cells
 
 
 def _ivf_batch_distributed(spark: SparkSession, path: str, version: int,
@@ -647,11 +788,7 @@ def _ivf_batch_distributed(spark: SparkSession, path: str, version: int,
           .withColumn("cluster",
                       F.explode(_nearest_cells_arrow(
                           cents, qvec_col, nprobe))))
-    cells = _dist_probed_cells(qc)
-    nq = queries.select(qid_col).count()
-    nidx = _cells_rows_estimate(path, version, cells)
-    nqs = max(1, -(-nq * nprobe // DIST_QUERY_BLOCK))
-    nis = max(1, -(-nidx // DIST_INDEX_BLOCK))
+    cells, nqs, nis = _dist_plan(qc, path, version, len(cents[0]))
 
     parts = [read_snapshot(spark, path, version=version,
                            where={"cluster": (c, c)}) for c in cells]
@@ -742,11 +879,7 @@ def _ivfpq_batch_distributed(spark: SparkSession, path: str,
           .withColumn("cluster",
                       F.explode(_nearest_cells_arrow(
                           cents, qvec_col, nprobe))))
-    cells = _dist_probed_cells(qc)
-    nq = queries.select(qid_col).count()
-    nidx = _cells_rows_estimate(path, version, cells)
-    nqs = max(1, -(-nq * nprobe // DIST_QUERY_BLOCK))
-    nis = max(1, -(-nidx // DIST_INDEX_BLOCK))
+    cells, nqs, nis = _dist_plan(qc, path, version, len(cents[0]))
 
     parts = [read_snapshot(spark, path, version=version,
                            where={"cluster": (c, c)}) for c in cells]
@@ -968,7 +1101,8 @@ def build_ivfpq_table(emb: DataFrame, path: str, k: int = 16,
         meta={"kind": "ivfpq", "k": k, "m": m, "pq_k": pq_k,
               "centroids": cents, "books": books, "store_raw": store_raw,
               "files_per_cell": files_per_cell,
-              "id_col": id_col, "vec_col": vec_col})
+              "id_col": id_col, "vec_col": vec_col,
+              "cell_counts": _cell_counts(assigned)})
 
 
 def append_ivfpq_table(spark: SparkSession, path: str, emb: DataFrame,
@@ -982,11 +1116,14 @@ def append_ivfpq_table(spark: SparkSession, path: str, emb: DataFrame,
     column, appended rows carry it too, so ``rerank=`` keeps working
     over the grown corpus.  Codebooks drift from optimal as the
     distribution shifts; rebuild when re-ranked recall degrades."""
+    from ..sources.snapshot import _txn_seen, _txn_version
     from .similarity import kmeans_assign_arrow, pq_encode
 
     meta = snapshot_meta(path, None)
     if not meta or meta.get("kind") != "ivfpq":
         raise ValueError(f"{path!r} is not an IVF-PQ index table")
+    if txn is not None and _txn_seen(path, txn):
+        return _txn_version(path, txn)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     cents, books = meta["centroids"], meta["books"]
     assigned = emb.withColumn("cluster",
@@ -1004,7 +1141,12 @@ def append_ivfpq_table(spark: SparkSession, path: str, emb: DataFrame,
     n_files = max(1, int(meta["k"] * meta.get("files_per_cell", 0.5)))
     laid = (rows.repartitionByRange(n_files, "cluster")
             .sortWithinPartitions("cluster"))
-    return commit_snapshot(laid, path, mode="append", txn=txn)
+    delta = (_cell_counts(assigned.select("cluster"))
+             if "cell_counts" in meta else {})
+    v = commit_snapshot(laid, path, mode="append", txn=txn,
+                        meta_fn=_roll_cell_counts(delta))
+    _warn_if_skewed(path, v)
+    return v
 
 
 def probe_ivfpq_table(spark: SparkSession, path: str,

@@ -215,10 +215,21 @@ def kmeans_assign(cents: list[list[float]], vec: F.Column) -> F.Column:
 
 
 def ivf_index(emb: DataFrame, k: int = 16, iters: int = 3,
-              id_col: str = "vec_id", vec_col: str = "embedding"
-              ) -> tuple[DataFrame, list[list[float]]]:
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              seed_by: str = "id") -> tuple[DataFrame, list[list[float]]]:
     """IVF (inverted-file) ANN index: k-means centroids + per-vector
     cluster assignment.
+
+    ``seed_by='id'`` (default) seeds from the k lowest-id vectors —
+    the oracle-replayable contract every committed DuckDB twin
+    unrolls.  ``seed_by='hash'`` seeds from the k lowest
+    ``xxhash64(id)`` vectors (ties by id): still fully deterministic,
+    but DISTRIBUTION-PROPORTIONAL — id order usually correlates with
+    ingest time, so after heavy drifted appends the lowest ids all sit
+    in the OLD distribution and Lloyd can never split the new cloud
+    (k-means only splits a cluster when another centroid is nearer);
+    hash order samples the corpus as it IS.  The rebuild path uses
+    'hash' for exactly that reason (persisted_index.rebuild_ivf_table).
 
     Deterministic: centroids init from the k lowest-id vectors; each Lloyd
     round assigns distributed (argmin over k inlined dot-distances) and
@@ -232,7 +243,14 @@ def ivf_index(emb: DataFrame, k: int = 16, iters: int = 3,
     (k × dim floats); assignments are a DataFrame — at scale, write it
     partitioned by ``cluster`` for partition-pruned probes.
     """
-    seed_rows = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    if seed_by == "hash":
+        order = [F.xxhash64(F.col(id_col)), F.col(id_col)]
+    elif seed_by == "id":
+        order = [F.col(id_col)]
+    else:
+        raise ValueError(f"seed_by must be 'id' or 'hash', got "
+                         f"{seed_by!r}")
+    seed_rows = emb.orderBy(*order).limit(k).select(vec_col).collect()
     centroids = [list(r[0]) for r in seed_rows]
     dim = len(centroids[0])
 

@@ -493,4 +493,44 @@ __all__ = [
     'q_jaccard_pairs',
     'q_containment_pairs',
     '_CONTAINMENT_ORACLE',
+    'q_ingest_df_roundtrip',
+    '_INGEST_DF_ORACLE',
 ]
+
+
+def q_ingest_df_roundtrip(spark, sf_dir):
+    """The DataFrame-native ingest path under the full-hash gate
+    (round 9, VERDICT r8 #6): the nation table flows through
+    Graph.ingest_nodes_df as a user-shaped frame (uid/kind + two prop
+    columns) — executor-side packing into the stored sorted-props
+    JSON, merge-upsert, no Python row at the driver — then the stored
+    rows are read BACK through the props document (get_json_object),
+    proving pack → store → extract round-trips every value.  The
+    oracle recomputes straight from the parquet."""
+    from graphydb_spark import Graph
+    from pyspark.sql import functions as F
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    g = Graph(spark)
+    g.ingest_nodes_df(nation.select(
+        F.concat(F.lit("ing_"), F.col("n_nationkey").cast("string"))
+        .alias("uid"),
+        F.lit("Nation").alias("kind"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("rk")))
+    return g.nodes_df.select(
+        "uid", "kind",
+        F.get_json_object("props", "$.name").alias("name"),
+        F.get_json_object("props", "$.rk").cast("long").alias("rk"),
+        "ctime", "mtime")
+
+
+_INGEST_DF_ORACLE = """
+SELECT 'ing_' || CAST(n_nationkey AS VARCHAR) AS uid,
+       'Nation' AS kind,
+       n_name AS name,
+       CAST(n_regionkey AS BIGINT) AS rk,
+       CAST(0.0 AS DOUBLE) AS ctime, CAST(0.0 AS DOUBLE) AS mtime
+FROM nation
+"""
+ORACLES["ingest_df_roundtrip"] = _INGEST_DF_ORACLE

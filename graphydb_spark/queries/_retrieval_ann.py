@@ -1017,6 +1017,34 @@ FROM r WHERE rn <= 10
 ORACLES["dist_rerank_probe"] = _DIST_RERANK_ORACLE
 
 
+def q_ivf_cell_stats(spark, sf_dir):
+    """The IVF drift telemetry under the full-hash gate (round 9,
+    VERDICT r8 #4): per-cell row counts of the standing IVF table read
+    from the META COUNTERS that build_ivf_table writes and
+    append_ivf_table rolls forward — zero Spark jobs on the serve side
+    (ivf_cell_balance's input).  All k cells appear, unpopulated ones
+    as 0.  The oracle recomputes ground truth from scratch: the shared
+    unrolled-Lloyd CTE chain reproduces the engine's deterministic
+    k-means assignment exactly, so counting `fin` per cell IS the
+    counter the meta must equal — the gate proves the incremental
+    telemetry equals a full recount."""
+    ivf_path = _retrieval_indexes(spark, sf_dir)["ivf"]
+    meta = persisted_index.snapshot_meta(ivf_path, None)
+    counts = meta["cell_counts"]
+    rows = [(c, int(counts.get(str(c), 0))) for c in range(meta["k"])]
+    return spark.createDataFrame(rows, "cluster int, n_rows long")
+
+
+_IVF_CELL_STATS_ORACLE = _ivf_ctes(8, 2) + """,
+counts AS (SELECT c, COUNT(*) AS n FROM fin GROUP BY c)
+SELECT CAST(t.c AS INT) AS cluster,
+       CAST(COALESCE(counts.n, 0) AS BIGINT) AS n_rows
+FROM (SELECT UNNEST(range(8)) AS c) t LEFT JOIN counts USING (c)
+ORDER BY cluster
+"""
+ORACLES["ivf_cell_stats"] = _IVF_CELL_STATS_ORACLE
+
+
 # Plan cache (prepared-statement semantics): the catalog queries are pure
 # functions of immutable inputs (parquet fixtures + the memoized graph
 # encoding), so the analyzed/optimized logical plan can be reused across
@@ -1063,4 +1091,6 @@ __all__ = [
     '_DIST_STAGE1_ORACLE',
     'q_dist_rerank_probe',
     '_DIST_RERANK_ORACLE',
+    'q_ivf_cell_stats',
+    '_IVF_CELL_STATS_ORACLE',
 ]

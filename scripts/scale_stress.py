@@ -1806,6 +1806,205 @@ def round12_entries(spark, n_nodes=1_000_000, n_hub_edges=100_000,
           f"{t_undo3:.2f}s  ages exact on {len(sample):,} sample")
 
 
+def round13_entries(spark, n_vecs=2_200_000, dim=16, k=64,
+                    nq=1_000_000):
+    """Round-9 stress (``SCALE_STRESS_ONLY=round13``): the DISTRIBUTED
+    stage-1 batch probe at 1M queries (VERDICT r8 #1 done-criterion).
+
+    Builds a 2.2M-vector IVF table (the round-8 stress corpus shape),
+    then serves the SAME 1M-query batch through both stage-1 paths:
+
+    * ``strategy='distributed'`` — one lazy cogroup plan; query
+      vectors never collect to the driver;
+    * ``strategy='chunked'`` — the former default: 16 closure-matrix
+      scans, each preceded by a serial driver collect + numpy prep
+      (the funnel the distributed path removes).
+
+    Identity: the two paths' full results are compared on a 2,000-qid
+    subsample (40k rows), and 5 sampled qids are additionally checked
+    against the per-query probe.  Prints q/s for both paths — the
+    committed throughput bracket."""
+    import time as _t
+
+    from graphydb_spark.operators import persisted_index as PI
+
+    import shutil
+    import tempfile
+    d = tempfile.mkdtemp()
+    try:
+        emb = spark.range(n_vecs).select(
+            F.col("id").alias("vec_id"),
+            F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda i: (F.pmod(F.xxhash64("id", i), 1000)
+                                   .cast("float") / 100.0 - 5.0)
+                        ).alias("embedding")).localCheckpoint(eager=True)
+        ivf_p = os.path.join(d, "ivf")
+        t0 = _t.perf_counter()
+        PI.build_ivf_table(emb, ivf_p, k=k, iters=2,
+                           files_per_cell=1.0, train_fraction=0.05)
+        print(f"ivf_build[{n_vecs:,} x {dim}, k={k}]: "
+              f"{_t.perf_counter() - t0:.2f}s")
+        queries = spark.range(nq).select(
+            F.concat(F.lit("q"), "id").alias("qid"),
+            F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda i: (F.pmod(
+                            F.xxhash64(F.col("id") + 424_242, i), 1000)
+                            .cast("double") / 100.0 - 5.0)
+                        ).alias("qvec")).localCheckpoint(eager=True)
+
+        t0 = _t.perf_counter()
+        dist = PI.probe_ivf_table_batch(spark, ivf_p, queries,
+                                        k=10, nprobe=4,
+                                        strategy="distributed")
+        dist = dist.localCheckpoint(eager=True)
+        ndist = dist.count()
+        dt_d = _t.perf_counter() - t0
+        print(f"dist_stage1[{nq:,} q, nprobe=4]: {dt_d:.2f}s "
+              f"({nq / dt_d:,.0f} q/s)  rows={ndist:,}")
+
+        t0 = _t.perf_counter()
+        chunk = PI.probe_ivf_table_batch(spark, ivf_p, queries,
+                                         k=10, nprobe=4,
+                                         strategy="chunked")
+        nchunk = chunk.count()
+        dt_c = _t.perf_counter() - t0
+        print(f"chunked_stage1[{nq:,} q (16 chunks), nprobe=4]: "
+              f"{dt_c:.2f}s ({nq / dt_c:,.0f} q/s)  rows={nchunk:,}")
+        assert ndist == nchunk, (ndist, nchunk)
+
+        # subsample identity: 2,000 qids, full row equality
+        sample_ids = spark.createDataFrame(
+            [(f"q{i * 499}",) for i in range(2_000)], "qid string")
+        got_d = sorted(map(tuple, dist.join(
+            F.broadcast(sample_ids), "qid").collect()))
+        got_c = sorted(map(tuple, chunk.join(
+            F.broadcast(sample_ids), "qid").collect()))
+        assert got_d == got_c, "distributed != chunked on subsample"
+        print(f"subsample identity: {len(got_d):,} rows, "
+              f"distributed == chunked")
+        qs = queries.where(F.col("qid").isin(
+            [f"q{i * 199_999}" for i in range(5)])).collect()
+        per_q = {s.qid: [r.vec_id for r in PI.probe_ivf_table(
+            spark, ivf_p, list(s.qvec), k=10, nprobe=4).collect()]
+            for s in qs}
+        got = {s.qid: [] for s in qs}
+        for r in dist.join(F.broadcast(spark.createDataFrame(
+                [(s.qid,) for s in qs], "qid string")), "qid").collect():
+            got[r.qid].append((r.rn, r.vec_id))
+        assert all([v for _, v in sorted(got[q])] == per_q[q]
+                   for q in per_q), "distributed != per-query probe"
+        print("per-query probe identity on 5 sampled qids: OK")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def round14_entries(spark, n_vecs=500_000, dim=16, k=64,
+                    n_appends=4, append_rows=150_000):
+    """Round-9 stress (``SCALE_STRESS_ONLY=round14``): IVF append
+    DRIFT at scale (VERDICT r8 #4 done-criterion).  Builds a 500k
+    index on distribution A, appends 4 × 150k batches whose embedding
+    distribution has SHIFTED far outside A (every new row lands in a
+    handful of frozen cells), and checks:
+
+    1. the per-append counter roll keeps meta == a real recount,
+    2. the balance flag fires (ratio > IVF_REBALANCE_RATIO) with the
+       stderr warning,
+    3. rebuild_ivf_table re-clusters in place — balance restored,
+       old version still probeable,
+    4. recall of an nprobe=16 probe vs brute force on 5 drifted
+       queries: degraded pre-rebuild cells vs restored post-rebuild
+       (recall re-asserted)."""
+    import time as _t
+
+    from graphydb_spark.operators import persisted_index as PI
+    from graphydb_spark.operators.similarity import cosine_topk
+    from graphydb_spark.sources import snapshot as snap
+
+    import shutil
+    import tempfile
+    d = tempfile.mkdtemp()
+    try:
+        emb = spark.range(n_vecs).select(
+            F.col("id").alias("vec_id"),
+            F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda i: (F.pmod(F.xxhash64("id", i), 1000)
+                                   .cast("float") / 100.0 - 5.0)
+                        ).alias("embedding")).localCheckpoint(eager=True)
+        p = os.path.join(d, "ivf")
+        t0 = _t.perf_counter()
+        v0 = PI.build_ivf_table(emb, p, k=k, iters=2,
+                                files_per_cell=1.0, train_fraction=0.1)
+        bal0 = PI.ivf_cell_balance(p)
+        print(f"build[{n_vecs:,}, k={k}]: {_t.perf_counter() - t0:.2f}s "
+              f"balance ratio={bal0['ratio']:.2f}")
+        assert not bal0["needs_rebuild"]
+        t0 = _t.perf_counter()
+        for b in range(n_appends):
+            # drifted distribution: offset +200 in every dim — far
+            # outside the built corpus's [-5, 5) range
+            drift = spark.range(append_rows).select(
+                (F.col("id") + 10_000_000 * (b + 1)).alias("vec_id"),
+                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                            lambda i: (F.pmod(
+                                F.xxhash64(F.col("id") + 7 * b, i), 1000)
+                                .cast("float") / 100.0 + 200.0)
+                            ).alias("embedding"))
+            PI.append_ivf_table(spark, p, drift)
+        dt = _t.perf_counter() - t0
+        bal1 = PI.ivf_cell_balance(p)
+        print(f"drifted appends[{n_appends} x {append_rows:,}]: "
+              f"{dt:.2f}s  ratio={bal1['ratio']:.2f} "
+              f"needs_rebuild={bal1['needs_rebuild']}")
+        assert bal1["needs_rebuild"], bal1
+        truth = {str(r["cluster"]): r["n"] for r in
+                 snap.read_snapshot(spark, p).groupBy("cluster")
+                 .agg(F.count("*").alias("n")).collect()}
+        meta_counts = PI.snapshot_meta(p, None)["cell_counts"]
+        assert meta_counts == truth, "counter roll diverged from recount"
+        print(f"counter roll == full recount over "
+              f"{len(truth)} populated cells")
+
+        # recall on drifted queries BEFORE rebuild (frozen cells
+        # cram all drifted rows into few cells -> a bounded nprobe
+        # sees a diluted candidate pool)
+        qs = [(i, [float((i * 37 + dd) % 10) / 10.0 + 200.0
+                   for dd in range(dim)]) for i in range(5)]
+        allv = snap.read_snapshot(spark, p).select(
+            "vec_id", F.col("embedding").cast("array<double>")
+            .alias("embedding")).localCheckpoint(eager=True)
+
+        def recall(nprobe, version):
+            hits = 0
+            for _, qv in qs:
+                got = {r.vec_id for r in PI.probe_ivf_table(
+                    spark, p, qv, k=10, nprobe=nprobe,
+                    version=version).collect()}
+                want = {r.vec_id for r in
+                        cosine_topk(allv, qv, k=10).collect()}
+                hits += len(got & want)
+            return hits / (10 * len(qs))
+
+        pre_v = snap.snapshot_versions(p)[-1]
+        r_pre = recall(16, pre_v)
+        t0 = _t.perf_counter()
+        v_new = PI.rebuild_ivf_table(spark, p, train_fraction=0.1)
+        dt_rb = _t.perf_counter() - t0
+        bal2 = PI.ivf_cell_balance(p)
+        r_post = recall(16, v_new)
+        print(f"rebuild[{n_vecs + n_appends * append_rows:,} rows]: "
+              f"{dt_rb:.2f}s  ratio {bal1['ratio']:.2f} -> "
+              f"{bal2['ratio']:.2f}  recall@10(nprobe=16/{k}) "
+              f"{r_pre:.2f} -> {r_post:.2f}")
+        assert not bal2["needs_rebuild"], bal2
+        assert r_post >= r_pre and r_post >= 0.9, (r_pre, r_post)
+        # old version still serves after the overwrite (time travel)
+        assert PI.probe_ivf_table(spark, p, qs[0][1], k=3, nprobe=2,
+                                  version=v0).count() == 3
+        print("pre-rebuild version still probeable (time travel) OK")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if os.environ.get("SCALE_STRESS_ONLY") == "round4":
         _s = get_spark(app="scale_stress")
@@ -1852,6 +2051,16 @@ if __name__ == "__main__":
         _s.sparkContext.setLogLevel("ERROR")
         _s.conf.set("spark.sql.shuffle.partitions", "64")
         round12_entries(_s)
+    elif os.environ.get("SCALE_STRESS_ONLY") == "round14":
+        _s = get_spark(app="scale_stress")
+        _s.sparkContext.setLogLevel("ERROR")
+        _s.conf.set("spark.sql.shuffle.partitions", "64")
+        round14_entries(_s)
+    elif os.environ.get("SCALE_STRESS_ONLY") == "round13":
+        _s = get_spark(app="scale_stress")
+        _s.sparkContext.setLogLevel("ERROR")
+        _s.conf.set("spark.sql.shuffle.partitions", "64")
+        round13_entries(_s)
     elif os.environ.get("SCALE_STRESS_ONLY") == "analytics":
         _s = get_spark(app="scale_stress")
         _s.sparkContext.setLogLevel("ERROR")

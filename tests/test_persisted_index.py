@@ -1411,8 +1411,7 @@ def test_ivf_batch_distributed_equals_chunked(spark, tmp_path,
         probe_ivf_table_batch)
     want = sorted(map(tuple, probe_ivf_table_batch(
         spark, p, qs, k=4, nprobe=2, strategy="chunked").collect()))
-    monkeypatch.setattr(PI, "DIST_QUERY_BLOCK", 3)
-    monkeypatch.setattr(PI, "DIST_INDEX_BLOCK", 7)
+    monkeypatch.setattr(PI, "_dist_block_rows", lambda dim: (3, 7))
     got = sorted(map(tuple, probe_ivf_table_batch(
         spark, p, qs, k=4, nprobe=2, strategy="distributed").collect()))
     assert got == want
@@ -1435,8 +1434,7 @@ def test_ivfpq_batch_distributed_equals_chunked(spark, tmp_path,
         want = sorted(map(tuple, PI.probe_ivfpq_table_batch(
             spark, p, qs, k=4, nprobe=2, rerank=rk,
             strategy="chunked").collect()))
-        monkeypatch.setattr(PI, "DIST_QUERY_BLOCK", 4)
-        monkeypatch.setattr(PI, "DIST_INDEX_BLOCK", 13)
+        monkeypatch.setattr(PI, "_dist_block_rows", lambda dim: (4, 13))
         got = sorted(map(tuple, PI.probe_ivfpq_table_batch(
             spark, p, qs, k=4, nprobe=2, rerank=rk,
             strategy="distributed").collect()))
@@ -1479,3 +1477,120 @@ def test_distributed_probe_qid_collision_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="collides"):
         PI.probe_ivf_table_batch(spark, p, qs, qid_col="vec_id",
                                  strategy="distributed")
+
+
+# -------------------------------------- IVF drift telemetry + rebuild
+
+def test_ivf_cell_counts_roll_and_balance(spark, tmp_path):
+    """Build + two appends must keep the meta counters equal to the
+    real per-cell row counts (race-safe meta_fn roll), and
+    ivf_cell_balance must read them with zero Spark jobs."""
+    import graphydb_spark.operators.persisted_index as PI
+    from graphydb_spark.sources.snapshot import read_snapshot
+    emb = _emb(spark, n=60)
+    p = str(tmp_path / "ivf_tel")
+    build_ivf_table(emb, p, k=4, iters=2)
+    extra1 = spark.createDataFrame(
+        [(1000 + i, [float(i % 3), -1.0, 2.0, 0.5]) for i in range(15)],
+        "vec_id long, embedding array<float>")
+    txn = {"app": "t", "batch": 1}
+    v1 = PI.append_ivf_table(spark, p, extra1, txn=txn)
+    # replay must not double-roll the counters
+    assert PI.append_ivf_table(spark, p, extra1, txn=txn) == v1
+    extra2 = spark.createDataFrame(
+        [(2000 + i, [5.0, 5.0, -5.0, float(i % 2)]) for i in range(9)],
+        "vec_id long, embedding array<float>")
+    PI.append_ivf_table(spark, p, extra2)
+    meta = snapshot_meta(p, None)
+    truth = {str(r["cluster"]): r["n"] for r in
+             read_snapshot(spark, p).groupBy("cluster")
+             .agg(F.count("*").alias("n")).collect()}
+    assert meta["cell_counts"] == truth
+    bal = PI.ivf_cell_balance(p)
+    assert bal["max"] == max(truth.values())
+    assert isinstance(bal["needs_rebuild"], bool)
+
+
+def test_ivf_drift_flag_and_rebuild_restores_balance(spark, tmp_path):
+    """VERDICT r8 #4 end-to-end: a corpus whose appends drift to one
+    region skews every new row into few cells — the balance flag must
+    fire; rebuild_ivf_table re-clusters in place, balance restores,
+    old versions stay probeable, and an all-cells probe of the
+    rebuilt index is still exactly brute-force top-k."""
+    import graphydb_spark.operators.persisted_index as PI
+    emb = _emb(spark, n=80)
+    p = str(tmp_path / "ivf_drift")
+    v0 = build_ivf_table(emb, p, k=4, iters=2)
+    # drifted appends: a DIVERSE cloud far outside the built
+    # distribution — every row lands in one frozen cell (skew), but a
+    # re-cluster can spread it (not a degenerate point mass)
+    for b in range(3):
+        drift = spark.createDataFrame(
+            [(10_000 + b * 1000 + i,
+              [400.0 + (i * 7 + b) % 50, 400.0 + (i * 13) % 50,
+               400.0 + (i * 29) % 50, 400.0 + (i * 3) % 50])
+             for i in range(120)],
+            "vec_id long, embedding array<float>")
+        PI.append_ivf_table(spark, p, drift)
+    bal = PI.ivf_cell_balance(p)
+    assert bal["needs_rebuild"] and bal["ratio"] > PI.IVF_REBALANCE_RATIO
+    v_new = PI.rebuild_ivf_table(spark, p)
+    bal2 = PI.ivf_cell_balance(p)
+    assert not bal2["needs_rebuild"]
+    assert bal2["ratio"] <= PI.IVF_REBALANCE_RATIO
+    # the old version still serves (time travel pin)
+    old = probe_ivf_table(spark, p, [1.0, -2.0, 0.5, 3.0], k=3,
+                          nprobe=4, version=v0)
+    assert old.count() == 3
+    # rebuilt index, all cells probed == brute force
+    from graphydb_spark.operators.similarity import cosine_topk
+    from graphydb_spark.sources.snapshot import read_snapshot
+    allv = read_snapshot(spark, p, version=v_new).select(
+        "vec_id", F.col("embedding").cast("array<double>")
+        .alias("embedding"))
+    q = [400.0, 399.0, 401.0, 400.0]
+    got = [r.vec_id for r in probe_ivf_table(
+        spark, p, q, k=5, nprobe=4, version=v_new).collect()]
+    want = [r.vec_id for r in cosine_topk(allv, q, k=5).collect()]
+    assert got == want
+
+
+def test_ivf_balance_none_for_legacy_tables(spark, tmp_path):
+    """Tables built before the telemetry (no cell_counts in meta) must
+    keep appending fine and report balance as None, never crash."""
+    import graphydb_spark.operators.persisted_index as PI
+    from graphydb_spark.sources.snapshot import (commit_snapshot,
+                                                 snapshot_meta)
+    emb = _emb(spark, n=30)
+    p = str(tmp_path / "ivf_legacy")
+    build_ivf_table(emb, p, k=2, iters=1)
+    # strip the counters to simulate a pre-round-9 table
+    meta = snapshot_meta(p, None)
+    legacy = {k: v for k, v in meta.items() if k != "cell_counts"}
+    from graphydb_spark.sources.snapshot import read_snapshot
+    commit_snapshot(read_snapshot(spark, p), p, mode="overwrite",
+                    meta=legacy)
+    extra = spark.createDataFrame(
+        [(900, [0.0, 1.0, 2.0, 3.0])], "vec_id long, embedding array<float>")
+    PI.append_ivf_table(spark, p, extra)
+    assert PI.ivf_cell_balance(p) is None
+    assert "cell_counts" not in snapshot_meta(p, None)
+
+
+def test_ivfpq_cell_counts_roll(spark, tmp_path):
+    """The IVF-PQ builder/appender carry the same counters."""
+    import graphydb_spark.operators.persisted_index as PI
+    from graphydb_spark.sources.snapshot import read_snapshot
+    emb = _emb(spark, n=50)
+    p = str(tmp_path / "ivfpq_tel")
+    PI.build_ivfpq_table(emb, p, k=3, m=2, pq_k=4, iters=1)
+    extra = spark.createDataFrame(
+        [(800 + i, [float(i), 1.0, -1.0, 0.5]) for i in range(7)],
+        "vec_id long, embedding array<float>")
+    PI.append_ivfpq_table(spark, p, extra)
+    meta = snapshot_meta(p, None)
+    truth = {str(r["cluster"]): r["n"] for r in
+             read_snapshot(spark, p).groupBy("cluster")
+             .agg(F.count("*").alias("n")).collect()}
+    assert meta["cell_counts"] == truth
+    assert PI.ivf_cell_balance(p) is not None

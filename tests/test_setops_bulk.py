@@ -83,3 +83,89 @@ def test_metadata_persistence_roundtrip(graph, spark, tmp_path):
     assert g2.nchanges == graph.nchanges
     # change log survives → undo still works across restarts
     assert g2._fts_node_fields == ["name"]
+
+
+# ----------------------------------- DataFrame-native ingest (round 9)
+
+def test_ingest_nodes_df_state_equals_bulk_save(spark):
+    """VERDICT r8 #6 parity gate: the same logical items through
+    ingest_nodes_df (user-shaped DataFrame, executor-side packing) and
+    bulk_save (item path) must produce IDENTICAL stored rows — uid,
+    kind, times, and the byte-exact sorted-props JSON."""
+    ga, gb = Graph(spark), Graph(spark)
+    items = [dict(uid=f"n{i}", kind="Person", ctime=1.0, mtime=2.0,
+                  name=f"p{i}", age=20 + i) for i in range(6)]
+    gb.bulk_save([gb.Node(**it) for it in items], setchange=False)
+    df = spark.createDataFrame(
+        [(it["uid"], it["kind"], 1.0, 2.0, it["name"], it["age"])
+         for it in items],
+        "uid string, kind string, ctime double, mtime double, "
+        "name string, age long")
+    assert ga.ingest_nodes_df(df) is None
+    rows_a = {r["uid"]: tuple(r) for r in ga.nodes_df
+              .select("uid", "kind", "ctime", "mtime", "props").collect()}
+    rows_b = {r["uid"]: tuple(r) for r in gb.nodes_df
+              .select("uid", "kind", "ctime", "mtime", "props").collect()}
+    assert rows_a == rows_b
+    # merge-style upsert: re-ingesting an overlapping frame overwrites
+    upd = spark.createDataFrame(
+        [("n0", "Person", 1.0, 3.0, "p0x", 99)],
+        "uid string, kind string, ctime double, mtime double, "
+        "name string, age long")
+    ga.ingest_nodes_df(upd)
+    assert ga.stats["nodes"] == 6
+    assert json.loads({r["uid"]: r["props"] for r in
+                       ga.nodes_df.collect()}["n0"])["age"] == 99
+
+
+def test_ingest_edges_df_endpoint_check_and_props_col(spark):
+    """Edges via the props-JSON-column contract + the ONE-anti-join
+    endpoint check; a dangling endpoint refuses with samples."""
+    g = Graph(spark)
+    g.ingest_nodes_df(spark.createDataFrame(
+        [("a", "P"), ("b", "P")], "uid string, kind string"))
+    edges = spark.createDataFrame(
+        [("e1", "Knows", "a", "b", json.dumps({"w": 2}))],
+        "uid string, kind string, startuid string, enduid string, "
+        "props string")
+    g.ingest_edges_df(edges)
+    assert g.stats["edges"] == 1
+    got = json.loads(g.edges_df.collect()[0]["props"])
+    assert got["w"] == 2 and got["startuid"] == "a"
+    bad = spark.createDataFrame(
+        [("e2", "Knows", "a", "GHOST", "{}")],
+        "uid string, kind string, startuid string, enduid string, "
+        "props string")
+    with pytest.raises(GraphydbError, match="endpoints missing"):
+        g.ingest_edges_df(bad)
+
+
+def test_ingest_journal_batch_record_not_undoable(spark):
+    """journal=True appends ONE summary record (no per-item diffs at
+    driver scale); undo() of that batch must refuse loudly, and the
+    record must surface through lastchanges."""
+    g = Graph(spark)
+    batch = g.ingest_nodes_df(
+        spark.createDataFrame([("x", "K"), ("y", "K")],
+                              "uid string, kind string"),
+        journal=True)
+    assert batch is not None and g.nchanges == 1
+    rec = g.lastchanges()[0]
+    assert rec["bulk"] == {"side": "nodes", "rows": 2}
+    assert rec["batch"] == batch
+    with pytest.raises(GraphydbError, match="bulk ingest"):
+        g.undo()
+    # the refused undo must leave the log intact
+    assert g.nchanges == 1
+
+
+def test_ingest_rejects_ambiguous_props(spark):
+    g = Graph(spark)
+    both = spark.createDataFrame(
+        [("u", "K", "{}", 5)],
+        "uid string, kind string, props string, age long")
+    with pytest.raises(GraphydbError, match="not both"):
+        g.ingest_nodes_df(both)
+    with pytest.raises(GraphydbError, match="missing columns"):
+        g.ingest_nodes_df(spark.createDataFrame(
+            [("u",)], "uid string"))
