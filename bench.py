@@ -80,26 +80,26 @@ BENCH_QUERIES = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark(app="graphydb_spark_bench", cpus=cpus)
-    spark.sparkContext.setLogLevel("ERROR")
-
+def run_bench(spark, sf_dir: str,
+              names: list[str] | None = None) -> dict[str, float]:
+    """THE bench protocol — graph encode warmed, data-proportional
+    shuffle tuning, 2 untimed warm-ups, min of 3 timed counts per
+    query.  Shared by main() and scripts/cluster_bench.py (review r9
+    #7: a third hand copy of this loop would let the cluster pair
+    silently measure a different protocol than the local baseline it
+    divides by)."""
     from graphydb_spark.queries import QUERIES
+    from graphydb_spark.session import tune_shuffle_for_input
     from graphydb_spark.sources.tpch_graph import tpch_graph
 
     # touch the shared graph encoding once (plan warm-up; frames are lazy)
     g = tpch_graph(spark, sf_dir)
     g.nodes_df.count()
-    n_edges = g.edges_df.count()
-
-    # shuffle parallelism proportional to data, not machine (see session.py)
-    from graphydb_spark.session import tune_shuffle_for_input
-    tune_shuffle_for_input(spark, n_edges)
+    # shuffle parallelism proportional to data, not machine (session.py)
+    tune_shuffle_for_input(spark, g.edges_df.count())
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in (names or BENCH_QUERIES):
         fn = QUERIES[name]
         fn(spark, sf_dir).count()          # warm-up (codegen compile)
         fn(spark, sf_dir).count()          # second warm-up (C2 JIT)
@@ -109,6 +109,15 @@ def main() -> None:
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+    return timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app="graphydb_spark_bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings = run_bench(spark, sf_dir)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "graphydb_spark_bench_total",

@@ -598,11 +598,18 @@ def _ivf_batch_chunk(spark: SparkSession, path: str, version: int,
                     continue
                 C = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
                 Qc = Qm[qi]
+                # out= buffer (same as the distributed kernel): kills
+                # the one matrix-sized temporary per dim (dot += was
+                # already in-place); op order — and therefore every
+                # bit of the result — is unchanged
                 dot = np.zeros((len(qi), C.shape[0]))
+                buf = np.empty_like(dot)
                 nq = np.zeros(len(qi))
                 nc = np.zeros(C.shape[0])
                 for d in range(C.shape[1]):          # fold order
-                    dot += Qc[:, d][:, None] * C[:, d][None, :]
+                    np.multiply(Qc[:, d][:, None], C[:, d][None, :],
+                                out=buf)
+                    np.add(dot, buf, out=dot)
                     nq += Qc[:, d] * Qc[:, d]
                     nc += C[:, d] * C[:, d]
                 cos = dot / (np.sqrt(nq)[:, None] * np.sqrt(nc)[None, :])
@@ -680,6 +687,25 @@ def _dist_block_rows(dim: int) -> tuple[int, int]:
             max(4_096, DIST_INDEX_BLOCK_BYTES // (8 * dim)))
 
 
+#: (pair × per-pair-work) units one cogroup task may score — the
+#: COMPUTE granularity floor.  Memory-only salting caps a task's
+#: bytes but leaves its work O(cell_queries × cell_rows × per-pair
+#: cost): parallelism is then bounded by the CELL COUNT and one hot
+#: cell becomes the straggler (observed on the 1M-query stress: a
+#: 64-cell probe ran as 64 tasks, 2-task tail on 32 cores — and a
+#: 1000-core cluster would idle 93%).  The budget is in pair·dims
+#: (IVF's per-pair cost is the dim-length fold; IVF-PQ's is m
+#: subspace gathers), so a dim-768 task gets proportionally fewer
+#: pairs than a dim-16 one.  2³¹ pair·dims ≈ a few seconds of fold
+#: per task.
+DIST_PAIRDIMS_PER_TASK = 1 << 31
+
+#: per-side salt ceiling: past this the added replication shuffle
+#: outweighs further task-splitting (a capped plan just runs bigger
+#: tasks — graceful, never pathological).
+DIST_MAX_SALT = 256
+
+
 def _nearest_cells_arrow(cents: list[list[float]],
                          vec_col, nprobe: int) -> F.Column:
     """Arrow-vectorized nprobe-nearest-cells — the executor-side twin
@@ -702,17 +728,30 @@ def _nearest_cells_arrow(cents: list[list[float]],
 
 
 def _dist_plan(qc: DataFrame, path: str, version: int,
-               dim: int) -> tuple[list[int], int, int]:
+               dim: int, pair_cost: int | None = None
+               ) -> tuple[list[int], int, int]:
     """(probed cells, query-salt count, index-salt count) for one
     distributed probe.  ONE bounded agg over the cell-assigned query
     rows (≤k rows to the driver — cell ids and counts, never vectors)
     yields the probed cells AND the max per-cell query load; per-cell
     index row UPPER bounds are pure manifest math (a file's rows count
     toward every cell its [min,max] may contain — conservative, and
-    an overestimate only adds a salt).  Salt counts target the
-    :func:`_dist_block_rows` byte budgets against the MAX-loaded cell,
-    so they are 1 (no replication at all) unless one cell's load
-    genuinely exceeds a block."""
+    an overestimate only adds a salt).  Salt counts target TWO budgets
+    against the MAX-loaded cell: the :func:`_dist_block_rows` byte
+    budgets (bound one task's pandas materialization) and the
+    :data:`DIST_PAIRDIMS_PER_TASK` compute budget (bound one task's
+    scoring work — without it parallelism is capped at the cell count
+    and hot cells straggle).  ``pair_cost`` is the per-pair work unit
+    (defaults to ``dim`` — IVF's fold; the PQ path passes ``m``).
+
+    The compute shortfall grows the salts GREEDILY, each doubling
+    landing on the side whose replication is currently cheaper
+    (doubling the query salt re-replicates the whole index once more
+    and vice versa — compare the two replicated-row volumes), capped
+    at :data:`DIST_MAX_SALT` per side: a capped plan just runs bigger
+    tasks, never a pathological shuffle.  In the common small-batch
+    case every budget is met at 1 and neither side replicates at
+    all."""
     loads = {int(r["cluster"]): int(r["n"]) for r in
              qc.groupBy("cluster").agg(F.count("*").alias("n"))
              .collect()}
@@ -722,14 +761,28 @@ def _dist_plan(qc: DataFrame, path: str, version: int,
     qrows, irows = _dist_block_rows(dim)
     m = _read_manifest(path, version)
     stats = m.get("file_stats", {})
-    max_cell_rows = 0
+    max_cell_rows, total_idx = 0, 0
     for c in cells:
         n = sum(stats.get(f, {}).get("rows", 0) for f in m["files"]
                 if _may_match(stats.get(f, {}).get("cols", {}),
                               {"cluster": (c, c)}))
         max_cell_rows = max(max_cell_rows, n)
-    nqs = max(1, -(-max(loads.values()) // qrows))
+        total_idx += n
+    max_qload = max(loads.values())
+    total_q = sum(loads.values())
+    nqs = max(1, -(-max_qload // qrows))
     nis = max(1, -(-max_cell_rows // irows))
+    budget = max(1, DIST_PAIRDIMS_PER_TASK // max(1, pair_cost or dim))
+    while ((-(-max_qload // nqs)) * (-(-max_cell_rows // nis)) > budget
+           and (nqs < DIST_MAX_SALT or nis < DIST_MAX_SALT)):
+        # marginal cost of doubling a salt ≈ the OTHER side's rows
+        # re-replicated across the new blocks
+        if nis >= DIST_MAX_SALT or (nqs < DIST_MAX_SALT
+                                    and total_idx * nqs
+                                    <= total_q * nis):
+            nqs = min(DIST_MAX_SALT, nqs * 2)
+        else:
+            nis = min(DIST_MAX_SALT, nis * 2)
     return cells, nqs, nis
 
 
@@ -817,11 +870,20 @@ def _ivf_batch_distributed(spark: SparkSession, path: str, version: int,
         step = max(1, (1 << 23) // max(1, C.shape[0]))
         for lo in range(0, Q.shape[0], step):
             Qc = Q[lo:lo + step]
+            # out= buffer: the naive broadcast allocates one
+            # matrix-sized temporary per dim (+= is in-place) — the
+            # fold's cost is memory traffic, not flops (the
+            # _nearest_cells_batch finding); per-element IEEE op
+            # order is unchanged, so values stay bit-identical to
+            # the chunked kernel
             dot = np.zeros((Qc.shape[0], C.shape[0]))
+            buf = np.empty_like(dot)
             nq_ = np.zeros(Qc.shape[0])
             nc = np.zeros(C.shape[0])
             for d in range(C.shape[1]):          # fold order
-                dot += Qc[:, d][:, None] * C[:, d][None, :]
+                np.multiply(Qc[:, d][:, None], C[:, d][None, :],
+                            out=buf)
+                np.add(dot, buf, out=dot)
                 nq_ += Qc[:, d] * Qc[:, d]
                 nc += C[:, d] * C[:, d]
             cos = dot / (np.sqrt(nq_)[:, None] * np.sqrt(nc)[None, :])
@@ -879,7 +941,8 @@ def _ivfpq_batch_distributed(spark: SparkSession, path: str,
           .withColumn("cluster",
                       F.explode(_nearest_cells_arrow(
                           cents, qvec_col, nprobe))))
-    cells, nqs, nis = _dist_plan(qc, path, version, len(cents[0]))
+    cells, nqs, nis = _dist_plan(qc, path, version,
+                                 len(cents[0]), pair_cost=m)
 
     parts = [read_snapshot(spark, path, version=version,
                            where={"cluster": (c, c)}) for c in cells]

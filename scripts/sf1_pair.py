@@ -129,6 +129,20 @@ def spark_side(sf1_dir: str, names: list[str]) -> dict[str, float]:
     return out
 
 
+def _min3(con, q: str, warm: bool = False) -> float:
+    """The shared DuckDB timing protocol (review r9 #6): optional
+    warm-up, then min of 3 timed fetchall runs — one implementation
+    so the anchors cannot drift between modes."""
+    if warm:
+        con.execute(q).fetchall()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        con.execute(q).fetchall()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def duck_side(sf1_dir: str, names: list[str],
               standing: bool = False) -> dict[str, float]:
     from graphydb_spark.queries import ORACLES
@@ -154,12 +168,7 @@ def duck_side(sf1_dir: str, names: list[str],
         # the plain oracle costs ~20 s/run, never execute it just to
         # re-fetch rows the timed loop already produced
         want = sorted(map(tuple, con.execute(sql).fetchall()))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            best = min(best, time.perf_counter() - t0)
-        out[name] = round(best, 4)
+        out[name] = _min3(con, sql)
         if standing:
             probe = plan[name]["probe"]
             got = sorted(map(tuple, con.execute(probe).fetchall()))
@@ -170,21 +179,10 @@ def duck_side(sf1_dir: str, names: list[str],
                 raise RuntimeError(
                     f"standing-index probe for {name!r} diverged from "
                     f"its full oracle on the replicated corpus")
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                con.execute(probe).fetchall()
-                best = min(best, time.perf_counter() - t0)
-            out[f"{name}_standing"] = round(best, 4)
+            out[f"{name}_standing"] = _min3(con, probe)
         else:
-            wrapped = f"SELECT COUNT(*) FROM ({sql})"
-            con.execute(wrapped).fetchall()
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                con.execute(wrapped).fetchall()
-                best = min(best, time.perf_counter() - t0)
-            out[f"{name}_countonly"] = round(best, 4)
+            out[f"{name}_countonly"] = _min3(
+                con, f"SELECT COUNT(*) FROM ({sql})", warm=True)
     con.close()
     return out
 
@@ -213,21 +211,9 @@ def duck_side_all(sf1_dir: str, names: list[str]) -> dict[str, float]:
     out: dict[str, float] = {}
     for name in names:
         sql = ORACLES[name]
-        con.execute(sql).fetchall()                      # warm-up
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            best = min(best, time.perf_counter() - t0)
-        out[name] = round(best, 4)
-        wrapped = f"SELECT COUNT(*) FROM ({sql})"
-        con.execute(wrapped).fetchall()
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            con.execute(wrapped).fetchall()
-            best = min(best, time.perf_counter() - t0)
-        out[f"{name}_countonly"] = round(best, 4)
+        out[name] = _min3(con, sql, warm=True)
+        out[f"{name}_countonly"] = _min3(
+            con, f"SELECT COUNT(*) FROM ({sql})", warm=True)
         if name in plan:
             probe = plan[name]["probe"]
             for a, b in ((probe, sql), (sql, probe)):
@@ -240,13 +226,63 @@ def duck_side_all(sf1_dir: str, names: list[str]) -> dict[str, float]:
                     raise RuntimeError(
                         f"standing-index probe for {name!r} diverged "
                         f"from its full oracle on the replicated corpus")
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                con.execute(probe).fetchall()
-                best = min(best, time.perf_counter() - t0)
-            out[f"{name}_standing"] = round(best, 4)
+            out[f"{name}_standing"] = _min3(con, probe)
         print(f"# duckdb {name}: {out[name]}s", file=sys.stderr)
+    con.close()
+    return out
+
+
+def duck_side_standing_only(sf1_dir: str,
+                            names: list[str]) -> dict[str, float]:
+    """The ×100 protocol for the super-linear-oracle holdouts (VERDICT
+    r8 #3): their PLAIN oracles cost minutes per run at ×100, so the
+    min-of-3 anchor protocol is unaffordable — this mode times ONLY
+    the standing-index probe (setup untimed) and asserts identity to
+    the plain oracle via ONE execution of each side reduced to
+    (COUNT(*), SUM(hash(all columns as VARCHAR))) — an
+    order-independent multiset check that never materializes the rows
+    in Python and runs the expensive oracle exactly once."""
+    from graphydb_spark.queries import ORACLES
+    from scripts.duck_bench import standing_index_plan
+    con = duckdb.connect()
+    con.execute(f"SET threads = {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in list(_REPL) + _COPY:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf1_dir}/{t}.parquet'")
+    plan = standing_index_plan(extended=True)
+    done: set[str] = set()
+    for name in names:
+        for ddl in plan[name]["setup"]:
+            if ddl not in done:
+                con.execute(ddl)
+                done.add(ddl)
+    out: dict[str, float] = {}
+    for name in names:
+        probe, sql = plan[name]["probe"], ORACLES[name]
+        cols = [d[0] for d in
+                con.execute(f"DESCRIBE {probe}").fetchall()]
+        hx = ", ".join(f'CAST("{c}" AS VARCHAR)' for c in cols)
+
+        def digest(q):
+            return con.execute(
+                f"SELECT COUNT(*), SUM(hash({hx})) FROM ({q})"
+            ).fetchone()
+
+        t0 = time.perf_counter()
+        want = digest(sql)                    # the ONE plain execution
+        plain_once = time.perf_counter() - t0
+        got = digest(probe)
+        if got != want:
+            raise RuntimeError(
+                f"standing-index probe for {name!r} diverged from its "
+                f"full oracle on the replicated corpus "
+                f"(probe {got} vs plain {want})")
+        out[f"{name}_standing"] = _min3(con, probe, warm=True)
+        out[f"{name}_plain_once"] = round(plain_once, 4)
+        out[f"{name}_rows"] = int(want[0])
+        print(f"# duckdb standing {name}: {best:.4f}s "
+              f"(plain-once {plain_once:.1f}s, {want[0]:,} rows, "
+              f"hash-identity OK)", file=sys.stderr)
     con.close()
     return out
 
@@ -254,7 +290,14 @@ def duck_side_all(sf1_dir: str, names: list[str]) -> dict[str, float]:
 def main() -> None:
     retrieval = "--retrieval" in sys.argv
     all_set = "--all" in sys.argv
-    if all_set:
+    standing_only = "--standing-only" in sys.argv
+    if standing_only:
+        names = ["minhash_pairs", "lsh_probe", "containment_pairs",
+                 "resample_locf"]
+        sub = os.environ.get("SF1_NAMES")
+        if sub:
+            names = [n for n in names if n in set(sub.split(","))]
+    elif all_set:
         from bench import BENCH_QUERIES
         names = list(BENCH_QUERIES)
         # SF1_NAMES narrows --all to a comma-separated subset — the
@@ -276,6 +319,17 @@ def main() -> None:
             build_sf1(dest)
             print(f"# built {REPS}x replica at {dest} "
                   f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
+        if standing_only:
+            duck = duck_side_standing_only(dest, names)
+            spk = spark_side(dest, names)
+            ratios_s = {n: round(spk[n] / duck[f"{n}_standing"], 3)
+                        for n in names}
+            print(json.dumps({
+                "metric": "sf_pair_standing_only", "reps": REPS,
+                "src": SRC, "spark": spk, "duckdb": duck,
+                "ratio_standing": ratios_s,
+            }))
+            return
         if all_set:
             duck = duck_side_all(dest, names)
             spk = spark_side(dest, names)

@@ -1594,3 +1594,44 @@ def test_ivfpq_cell_counts_roll(spark, tmp_path):
              .agg(F.count("*").alias("n")).collect()}
     assert meta["cell_counts"] == truth
     assert PI.ivf_cell_balance(p) is not None
+
+
+def test_dist_plan_compute_salts(spark, tmp_path, monkeypatch):
+    """The compute-granularity salt branch (review r9 #1/#8): with the
+    pair·dims budget forced tiny, _dist_plan must (a) engage salts,
+    (b) land the growth on the cheaper-to-replicate side, (c) respect
+    the per-side ceiling, and (d) leave the end-to-end result
+    value-identical (identity under compute-salting)."""
+    import graphydb_spark.operators.persisted_index as PI
+    emb = _emb(spark, n=120)
+    p = str(tmp_path / "ivf_saltplan")
+    build_ivf_table(emb, p, k=3, iters=1)
+    qs = spark.createDataFrame(
+        [(f"q{i}", [float(i % 7), 1.0, -1.0, 0.5]) for i in range(40)],
+        "qid string, qvec array<double>")
+    meta = snapshot_meta(p, None)
+    version = PI._pin_version(p, None)
+    qc = (qs.select("qid", "qvec")
+          .withColumn("cluster",
+                      F.explode(PI._nearest_cells_arrow(
+                          meta["centroids"], "qvec", 2))))
+    cells, nqs, nis = PI._dist_plan(qc, p, version, 4)
+    assert nqs == 1 and nis == 1          # budgets met, no replication
+    # index is the bigger side here (120 rows vs 80 query-cell rows):
+    # the compute factor must land on nis (replicating the queries)
+    monkeypatch.setattr(PI, "DIST_PAIRDIMS_PER_TASK", 64 * 4)
+    _, nqs2, nis2 = PI._dist_plan(qc, p, version, 4)
+    assert nqs2 * nis2 > 1
+    assert nis2 >= nqs2                   # cheaper side grew at least as much
+    assert nqs2 <= PI.DIST_MAX_SALT and nis2 <= PI.DIST_MAX_SALT
+    # ceiling: an impossible budget caps instead of exploding
+    monkeypatch.setattr(PI, "DIST_PAIRDIMS_PER_TASK", 1)
+    _, nqs3, nis3 = PI._dist_plan(qc, p, version, 4)
+    assert nqs3 <= PI.DIST_MAX_SALT and nis3 <= PI.DIST_MAX_SALT
+    # end-to-end identity with the forced salts
+    monkeypatch.setattr(PI, "DIST_PAIRDIMS_PER_TASK", 64 * 4)
+    want = sorted(map(tuple, PI.probe_ivf_table_batch(
+        spark, p, qs, k=3, nprobe=2, strategy="chunked").collect()))
+    got = sorted(map(tuple, PI.probe_ivf_table_batch(
+        spark, p, qs, k=3, nprobe=2, strategy="distributed").collect()))
+    assert got == want
