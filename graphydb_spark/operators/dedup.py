@@ -205,14 +205,36 @@ def resolve_duplicates(df: DataFrame, clusters: DataFrame, score_col,
                     "n_members"))
 
 
+def _pair_member_prune(df: DataFrame, pairs: DataFrame,
+                       id_col: str) -> DataFrame:
+    """Keep only the docs that appear in a candidate pair (round 9,
+    guide §2.3 — don't compute what the join will throw away).
+
+    The verify joins are INNER on id_a/id_b, so docs outside the pair
+    list contribute nothing; shingling them is pure waste — at sf0.1
+    the LSH candidates touch ~3% of the corpus, and the shingle
+    projection (interpreted HOF walk + array_distinct over string
+    arrays) is the dominant per-row cost.  A semi-join on the distinct
+    pair members prunes BEFORE the shingle projection; AQE broadcasts
+    the (small) id side at runtime, so the corpus is never shuffled —
+    the same shape stays correct at 100 TB where candidates are sparse
+    by construction (LSH bands bound them)."""
+    ids = (pairs.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+           .distinct())
+    return df.join(ids, id_col, "left_semi")
+
+
 def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", k: int = 3,
                    threshold: float = 0.5) -> DataFrame:
     """Exact k-shingle Jaccard for candidate pairs → (id_a, id_b, jaccard).
 
-    Joins the shingle sets back onto the (pruned) pair list only.
+    Joins the shingle sets back onto the (pruned) pair list only; the
+    corpus side is semi-join-pruned to pair members before shingling
+    (:func:`_pair_member_prune`).
     """
-    sh = shingled(df, text_col, id_col, k) \
+    sh = shingled(_pair_member_prune(df, pairs, id_col),
+                  text_col, id_col, k) \
         .select(F.col(id_col), F.array_distinct("_sh").alias("sh"))
     out = (pairs
            .join(sh.withColumnRenamed(id_col, "id_a")
@@ -559,10 +581,13 @@ def containment_pairs(df: DataFrame, pairs: DataFrame,
     resemblance/containment pairing).
 
     Same scale contract as :func:`jaccard_verify`: shingle sets join
-    onto the pruned candidate list only, never all-pairs.  Keeps pairs
-    where either direction clears ``threshold``.
+    onto the pruned candidate list only, never all-pairs — and the
+    corpus side is semi-join-pruned to pair members before shingling
+    (round 9, :func:`_pair_member_prune`).  Keeps pairs where either
+    direction clears ``threshold``.
     """
-    sh = shingled(df, text_col, id_col, k) \
+    sh = shingled(_pair_member_prune(df, pairs, id_col),
+                  text_col, id_col, k) \
         .select(F.col(id_col), F.array_distinct("_sh").alias("sh"))
     out = (pairs
            .join(sh.withColumnRenamed(id_col, "id_a")

@@ -724,7 +724,8 @@ def _nearest_cells_arrow(cents: list[list[float]],
 
     cells_of.__annotations__ = {"vs": pd.Series, "return": pd.Series}
     target = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    return F.pandas_udf(cells_of, "array<int>")(target)
+    from .similarity import _udf_input_guard
+    return F.pandas_udf(cells_of, "array<int>")(_udf_input_guard(target))
 
 
 def _dist_plan(qc: DataFrame, path: str, version: int,

@@ -80,7 +80,8 @@ def cosine_arrow(a_col: str, b_col: str) -> F.Column:
 
     cos.__annotations__ = {"va": pd.Series, "vb": pd.Series,
                            "return": pd.Series}
-    return F.pandas_udf(cos, "double")(F.col(a_col), F.col(b_col))
+    return F.pandas_udf(cos, "double")(_udf_input_guard(F.col(a_col)),
+                                       _udf_input_guard(F.col(b_col)))
 
 
 def pq_encode(emb: DataFrame, books: list[list[list[float]]],
@@ -154,6 +155,26 @@ def ann_index(emb: DataFrame, dim: int, bits: int = 8, seed: int = 42,
     return emb.withColumn("bucket", lsh_bucket_col(vec_col, planes)), planes
 
 
+def _udf_input_guard(c: F.Column) -> F.Column:
+    """Shield an Arrow-UDF's array input from a Spark 4.1 planner miss.
+
+    ``ExtractPythonUDFs`` fails to pull a scalar pandas UDF out of a
+    projection when the UDF's input expression contains a lambda that
+    references an ENCLOSING lambda's variable (e.g. an embedding
+    computed as ``transform(seq, d -> aggregate(toks, .., (acc,t) ->
+    ..d..))``) — the un-extracted ``PythonUDF`` then throws
+    ``[INTERNAL_ERROR] Cannot evaluate expression`` at runtime.  Such
+    expressions reach the UDF only when ``CollapseProject`` inlines the
+    caller's column alias into the UDF input (an alias referenced once
+    is always inlined).  ``when(size(c) >= 0, c)`` is value-identical
+    (arrays: size ≥ 0 when non-null, null propagates either way) but
+    references the input twice with branches the optimizer cannot prove
+    equal, so a non-cheap upstream alias is never inlined and the UDF's
+    input stays a plain attribute — extraction then succeeds.  Pinned
+    by test_assign_over_nested_lambda_embedding."""
+    return F.when(F.size(c) >= 0, c)
+
+
 def kmeans_assign_arrow(cents: list[list[float]],
                         vec_col: str | F.Column) -> F.Column:
     """Vectorized nearest-centroid assignment (Arrow pandas_udf) —
@@ -191,7 +212,7 @@ def kmeans_assign_arrow(cents: list[list[float]],
     # a real Series->Series signature instead
     assign.__annotations__ = {"vs": pd.Series, "return": pd.Series}
     target = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    return F.pandas_udf(assign, "int")(target)
+    return F.pandas_udf(assign, "int")(_udf_input_guard(target))
 
 
 def kmeans_assign(cents: list[list[float]], vec: F.Column) -> F.Column:
