@@ -205,23 +205,39 @@ def resolve_duplicates(df: DataFrame, clusters: DataFrame, score_col,
                     "n_members"))
 
 
-def _pair_member_prune(df: DataFrame, pairs: DataFrame,
-                       id_col: str) -> DataFrame:
-    """Keep only the docs that appear in a candidate pair (round 9,
-    guide §2.3 — don't compute what the join will throw away).
+def _spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin the rows across the cluster when the scan has fewer
+    splits than cores (round 9, the ``_sig_rows`` 'agg'-shape pattern):
+    a small corpus collapses to 1-2 scan partitions (128 MB split
+    target), serializing CPU-heavy per-row projections (shingling —
+    interpreted HOF walk + array_distinct) onto as many cores.  At
+    corpus scale the scan already exceeds defaultParallelism and this
+    is a no-op, so the full-size path never pays an extra shuffle."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
 
-    The verify joins are INNER on id_a/id_b, so docs outside the pair
-    list contribute nothing; shingling them is pure waste — at sf0.1
-    the LSH candidates touch ~3% of the corpus, and the shingle
-    projection (interpreted HOF walk + array_distinct over string
-    arrays) is the dominant per-row cost.  A semi-join on the distinct
-    pair members prunes BEFORE the shingle projection; AQE broadcasts
-    the (small) id side at runtime, so the corpus is never shuffled —
-    the same shape stays correct at 100 TB where candidates are sparse
-    by construction (LSH bands bound them)."""
-    ids = (pairs.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
-           .distinct())
-    return df.join(ids, id_col, "left_semi")
+
+def _paired_shingles(df: DataFrame, pairs: DataFrame, text_col: str,
+                     id_col: str, k: int) -> DataFrame:
+    """Attach both sides' distinct shingle sets to each candidate pair.
+
+    Shingling happens on the corpus side BELOW the join — the filter
+    above (jaccard/containment ≥ threshold) then references plain join
+    output attributes, so predicate pushdown cannot inline the shingle
+    expressions into the join condition and re-evaluate them per probed
+    row (measured 4×: a post-join shingle projection let
+    PushPredicateThroughNonJoin clone the whole tokenize+shingle walk
+    into the HashJoin bound condition).  The corpus-side pass is
+    spread across cores first (:func:`_spread_small_scan`)."""
+    sh = shingled(_spread_small_scan(df), text_col, id_col, k) \
+        .select(F.col(id_col), F.array_distinct("_sh").alias("sh"))
+    return (pairs
+            .join(sh.withColumnRenamed(id_col, "id_a")
+                    .withColumnRenamed("sh", "sh_a"), "id_a")
+            .join(sh.withColumnRenamed(id_col, "id_b")
+                    .withColumnRenamed("sh", "sh_b"), "id_b"))
 
 
 def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
@@ -229,18 +245,9 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                    threshold: float = 0.5) -> DataFrame:
     """Exact k-shingle Jaccard for candidate pairs → (id_a, id_b, jaccard).
 
-    Joins the shingle sets back onto the (pruned) pair list only; the
-    corpus side is semi-join-pruned to pair members before shingling
-    (:func:`_pair_member_prune`).
+    Joins the shingle sets back onto the (pruned) pair list only.
     """
-    sh = shingled(_pair_member_prune(df, pairs, id_col),
-                  text_col, id_col, k) \
-        .select(F.col(id_col), F.array_distinct("_sh").alias("sh"))
-    out = (pairs
-           .join(sh.withColumnRenamed(id_col, "id_a")
-                   .withColumnRenamed("sh", "sh_a"), "id_a")
-           .join(sh.withColumnRenamed(id_col, "id_b")
-                   .withColumnRenamed("sh", "sh_b"), "id_b"))
+    out = _paired_shingles(df, pairs, text_col, id_col, k)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (out.withColumn("jaccard", (inter / union).cast("double"))
@@ -581,19 +588,12 @@ def containment_pairs(df: DataFrame, pairs: DataFrame,
     resemblance/containment pairing).
 
     Same scale contract as :func:`jaccard_verify`: shingle sets join
-    onto the pruned candidate list only, never all-pairs — and the
-    corpus side is semi-join-pruned to pair members before shingling
-    (round 9, :func:`_pair_member_prune`).  Keeps pairs where either
-    direction clears ``threshold``.
+    onto the pruned candidate list only, never all-pairs; the
+    corpus-side shingle pass is spread across cores
+    (:func:`_paired_shingles`).  Keeps pairs where either direction
+    clears ``threshold``.
     """
-    sh = shingled(_pair_member_prune(df, pairs, id_col),
-                  text_col, id_col, k) \
-        .select(F.col(id_col), F.array_distinct("_sh").alias("sh"))
-    out = (pairs
-           .join(sh.withColumnRenamed(id_col, "id_a")
-                   .withColumnRenamed("sh", "sh_a"), "id_a")
-           .join(sh.withColumnRenamed(id_col, "id_b")
-                   .withColumnRenamed("sh", "sh_b"), "id_b"))
+    out = _paired_shingles(df, pairs, text_col, id_col, k)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     c_a = F.round(inter / F.greatest(F.size("sh_a"), F.lit(1)), 6)
     c_b = F.round(inter / F.greatest(F.size("sh_b"), F.lit(1)), 6)

@@ -1583,7 +1583,21 @@ def _sig_rows(docs: DataFrame, text_col: str, id_col: str,
         from pyspark.sql import Window as W
 
         from .text import tokens
-        toks = docs.select(
+        # EXPLICIT doc_id repartition instead of the window's implicit
+        # ENSURE_REQUIREMENTS exchange (round 9): the batch's shuffle
+        # bytes are tiny, so AQE's coalescer (minPartitionSize 1 MB,
+        # which applies even under parallelismFirst) merged the
+        # CPU-heavy window+md5 reduce stage onto ONE task — measured
+        # 0.77 s -> 0.34 s on the sf0.1 probe batch at 32 cores.  A
+        # user repartition is never AQE-coalesced, and hash(doc_id, n)
+        # satisfies both the window's clustering and the min-agg, so
+        # the exchange COUNT is unchanged; repartitioning the doc rows
+        # BEFORE posexplode shuffles text bytes, not exploded tokens
+        # (explode keeps a doc's rows in its partition).  n tracks the
+        # session's data-proportional shuffle parallelism.
+        n_parts = int(docs.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+        toks = docs.repartition(n_parts, F.col(id_col)).select(
             F.col(id_col),
             F.posexplode(tokens(F.col(text_col)))
             .alias("_pos", "_tok"))
