@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import hash60, tokens
+from .text import hash60, spread_small_scan as _spread_small_scan, tokens
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -205,18 +205,6 @@ def resolve_duplicates(df: DataFrame, clusters: DataFrame, score_col,
                     "n_members"))
 
 
-def _spread_small_scan(df: DataFrame) -> DataFrame:
-    """Round-robin the rows across the cluster when the scan has fewer
-    splits than cores (round 9, the ``_sig_rows`` 'agg'-shape pattern):
-    a small corpus collapses to 1-2 scan partitions (128 MB split
-    target), serializing CPU-heavy per-row projections (shingling —
-    interpreted HOF walk + array_distinct) onto as many cores.  At
-    corpus scale the scan already exceeds defaultParallelism and this
-    is a no-op, so the full-size path never pays an extra shuffle."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
 
 
 def _paired_shingles(df: DataFrame, pairs: DataFrame, text_col: str,

@@ -28,6 +28,24 @@ def tokens(col) -> F.Column:
     return F.filter(F.split(F.lower(col), TOKEN_SPLIT), lambda t: t != "")
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin the rows across the cluster when the scan has fewer
+    splits than cores (round 9, the ``_sig_rows`` 'agg'-shape pattern
+    generalized): a small corpus collapses to 1-2 scan partitions (one
+    row group / 128 MB split target), serializing every CPU-heavy
+    projection and map-side partial aggregate above it onto as many
+    cores — the round-9 stage audit measured 0.15-0.47 s single-task
+    stages on the sf0.1 corpus passes.  At corpus scale the scan
+    already exceeds defaultParallelism and this is a NO-OP, so the
+    full-size path never pays the extra shuffle.  Only callers whose
+    downstream is order-independent (decimal sums, min-struct winners,
+    hash gates — every user in this package) may apply it."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def hash60(col) -> F.Column:
     """First 60 bits of md5 as a BIGINT — the engine-portable hash every
     hash-derived operator shares (simhash portable mode, winnowing,
