@@ -1675,9 +1675,16 @@ def _interval_layout(spark, sf_dir):
     ev = _events(spark, sf_dir)
     prefix = os.path.join(tempfile.gettempdir(),
                           f"graphydb_spark_ij_{sid}")
+    # data-proportional bucket count (round 9, the tune_shuffle_for_input
+    # formula): the fixed default of 32 buckets gave every probe 32+
+    # task dispatches for ~3k rows each at sf0.1 — pure scheduling
+    # overhead — while at corpus scale the same formula grows the
+    # bucket count with the data (~50k rows / bucket).
+    par = spark.sparkContext.defaultParallelism
+    n_buckets = max(8, min(ev.count() // 50_000 + 1, par * 4))
     interval_join_layout(
         spark, ev, ev, lt, rt, key_col="user_id", ts_col="ts",
-        lower_s=1, upper_s=120, path_prefix=prefix)
+        lower_s=1, upper_s=120, n_buckets=n_buckets, path_prefix=prefix)
     atexit.register(shutil.rmtree, prefix, ignore_errors=True)
     _IJB_CACHE[key] = (lt, rt)
     return lt, rt
