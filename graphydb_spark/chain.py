@@ -313,6 +313,7 @@ def compile_fetch_sql(
     edge_unique: Optional[dict] = None,
     project: Optional[list] = None,
     collect_sub: Optional[str] = None,
+    kind_views: Optional[dict] = None,
 ) -> str:
     """Emit one Spark SQL SELECT for the parsed chain.
 
@@ -326,10 +327,19 @@ def compile_fetch_sql(
     extras = extras or {}
     fts_views = fts_views or {}
     eliminated = eliminated or set()
+    kind_views = kind_views or {}
     collect = next(l for l in links if l.collect)
 
     def rel(l: Link) -> str:
-        return f"{edge_view if l.is_edge else node_view} AS {l.alias}"
+        # a typed link with a declared per-kind branch frame compiles
+        # against that single branch instead of the N-branch union —
+        # same rows (the union is the disjoint concatenation of the
+        # branches; the kind predicate below still applies), but the
+        # analyzed plan Catalyst must re-optimize per action shrinks
+        # ~10x (round 9, the plan-size fast path)
+        view = kind_views.get(l.alias) or \
+            (edge_view if l.is_edge else node_view)
+        return f"{view} AS {l.alias}"
 
     # Each link exposes a left/right "connector" column; adjacent kept
     # links join connector-to-connector.  An eliminated node link

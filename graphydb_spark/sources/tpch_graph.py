@@ -139,7 +139,11 @@ def _align_pstruct(parts: list[DataFrame]) -> list[DataFrame]:
     return aligned
 
 
-def encode_nodes(t: dict[str, DataFrame]) -> DataFrame:
+def encode_node_parts(t: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """kind → aligned branch frame (the union's disjoint summands).
+    Exposed separately (round 9) so the Graph can declare per-kind
+    frames and typed chain links compile against one branch instead of
+    the 9-branch union — see Graph.declare_kind_frames."""
     c = F.col
     parts = [
         _node(t["region"], "Region", "r_regionkey",
@@ -174,14 +178,33 @@ def encode_nodes(t: dict[str, DataFrame]) -> DataFrame:
                "value": c("value"), "ts": c("ts").cast("double"),
                "user_id": c("user_id")}),
     ]
-    parts = _align_pstruct(parts)
+    kinds = ["Region", "Nation", "Customer", "Supplier", "Part", "Order",
+             "Document", "User", "Event"]
+    return dict(zip(kinds, _align_pstruct(parts)))
+
+
+def encode_nodes(t: dict[str, DataFrame]) -> DataFrame:
+    parts = list(encode_node_parts(t).values())
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
 
 
+def encode_edge_parts(t: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """kind → edge branch frame (see :func:`encode_node_parts`)."""
+    return _encode_edge_parts(t)
+
+
 def encode_edges(t: dict[str, DataFrame]) -> DataFrame:
+    parts = list(_encode_edge_parts(t).values())
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _encode_edge_parts(t: dict[str, DataFrame]) -> dict[str, DataFrame]:
     from pyspark.sql import Window as W
     c = F.col
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic fixtures —
@@ -245,11 +268,9 @@ def encode_edges(t: dict[str, DataFrame]) -> DataFrame:
                "ts": c("ts").cast("double")},
               skey=c("user_id"), ekey=c("event_id")),
     ]
-    parts = _align_pstruct(parts)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    kinds = ["InRegion", "FromNation", "LocatedIn", "Placed",
+             "Contains", "SuppliedBy", "Did"]
+    return dict(zip(kinds, _align_pstruct(parts)))
 
 
 _GRAPH_CACHE: dict = {}
@@ -269,7 +290,18 @@ def tpch_graph(spark: SparkSession, sf_dir: str, cache: bool = True) -> Graph:
     if cache and key in _GRAPH_CACHE:
         return _GRAPH_CACHE[key]
     t = load_tables(spark, sf_dir)
-    g = Graph.from_dataframes(spark, encode_nodes(t), encode_edges(t))
+    nparts, eparts = encode_node_parts(t), encode_edge_parts(t)
+
+    def _union(parts):
+        out = None
+        for p in parts.values():
+            out = p if out is None else out.unionByName(p)
+        return out
+
+    g = Graph.from_dataframes(spark, _union(nparts), _union(eparts))
+    # typed chain links compile against the single-kind branch frames
+    # (round 9): same rows, ~10x smaller analyzed plans per action
+    g.declare_kind_frames(nodes=nparts, edges=eparts)
     # TPC-H foreign keys hold by construction → declare them so fetch can
     # drop provably redundant node joins from multi-hop patterns
     # (start_kind, end_kind, start_unique, end_unique): uniqueness is the
