@@ -218,7 +218,11 @@ def _paired_shingles(df: DataFrame, pairs: DataFrame, text_col: str,
     row (measured 4×: a post-join shingle projection let
     PushPredicateThroughNonJoin clone the whole tokenize+shingle walk
     into the HashJoin bound condition).  The corpus-side pass is
-    spread across cores first (:func:`_spread_small_scan`)."""
+    spread across cores first (:func:`_spread_small_scan`).  Each join
+    branch re-evaluates the shingle walk (2× corpus CPU) — a shared
+    hash exchange above the walk was A/B'd to dedupe it and measured
+    WORSE (0.55 → 0.95 s same-session: the exchange doesn't get reused
+    under AQE and widens both probe sides), so the recompute stays."""
     sh = shingled(_spread_small_scan(df), text_col, id_col, k) \
         .select(F.col(id_col), F.array_distinct("_sh").alias("sh"))
     return (pairs

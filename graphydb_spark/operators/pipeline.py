@@ -283,10 +283,20 @@ def quality_filter(df: DataFrame, text_col: str = "text",
     Gopher/C4-style heuristics): token-count band, mean-token-length
     band, symbol-to-char ratio cap, minimum english-stopword hits.
     Pure JVM expressions over one pass of the text column.
+
+    The token array is materialized in its OWN projection (round 9):
+    the rules reference it four times, and interpreted HOF expressions
+    get no common-subexpression elimination, so an inline ``tokens()``
+    re-ran split+lower+filter per reference (the shingled() lesson);
+    the multi-referenced non-cheap alias is never inlined back by
+    CollapseProject.  Dropped before returning, so the output schema
+    is unchanged — and a consumer that prunes the rule columns (e.g. a
+    bare count) prunes the token column with them.
     """
     from .text import STOPWORDS, tokens
 
-    toks = tokens(F.col(text_col))
+    df = df.withColumn("_qf_toks", tokens(F.col(text_col)))
+    toks = F.col("_qf_toks")
     n = F.size(toks)
     avg_len = (F.length(F.concat_ws("", toks)) /
                F.greatest(n, F.lit(1))).cast("double")
@@ -310,7 +320,7 @@ def quality_filter(df: DataFrame, text_col: str = "text",
     keep = None
     for name in rules:
         keep = F.col(name) if keep is None else keep & F.col(name)
-    return out.withColumn("keep", keep)
+    return out.withColumn("keep", keep).drop("_qf_toks")
 
 
 def unigram_logprob(df: DataFrame, text_col: str = "text",
@@ -375,6 +385,13 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     toksed = (df.select(id_col, tokens(F.col(text_col)).alias("_t"))
               .where(F.size("_t") >= 2)
               .localCheckpoint(eager=True))
+    # gram expansion stays the interpreted transform/element_at walk: a
+    # posexplode+lead window twin (the _sig_rows 'window' shape) was
+    # A/B'd round 9 and measured WORSE here (0.78-0.86 s → 0.90-1.62 s
+    # same-session) — the grams feed three shuffled joins, so the
+    # window's extra exchange+sort outweighs the lambda cost it saves,
+    # unlike the probe-signing path where the window reuses the
+    # aggregation's own partitioning.
     grams = (toksed.select(
         id_col,
         F.explode(F.transform(
