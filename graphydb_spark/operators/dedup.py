@@ -81,8 +81,13 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
                       num_hashes: int = 8) -> DataFrame:
     """(id, sig[0..num_hashes)) — each sig_i = min over shingles of
     md5(i || shingle).  Salted-md5 permutations keep the oracle portable;
-    swap for xxhash64 when oracle parity doesn't matter (≈3× faster)."""
-    out = shingled(df, text_col, id_col, k).where(F.size("_sh") > 0)
+    swap for xxhash64 when oracle parity doesn't matter (≈3× faster).
+    Signing is a pure projection, so a collapsed scan would serialize
+    the whole md5-over-shingles pass onto one core — spread first
+    (round 9, same-session A/B 4.5 s → 1.25 s on the 8-hash sf0.1
+    pass; no-op at corpus scale)."""
+    out = shingled(_spread_small_scan(df), text_col, id_col, k) \
+        .where(F.size("_sh") > 0)
 
     def min_salted(salt: str) -> F.Column:
         # NB: the transform lambda must be single-argument — pyspark treats
