@@ -125,6 +125,18 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # scaling observability (additions-only, round 10): prove the
+        # $SPARK_GRAFT_CPUS contract took effect in the session so a
+        # flat low-core/high-core ratio can be read as "honored but the
+        # workload is overhead-bound at this SF" rather than "env var
+        # ignored".  `cpus` echoes the env contract; `parallelism` is
+        # the live session's sc.defaultParallelism (== the local[N]
+        # worker count actually running tasks); `shuffle_partitions` is
+        # the data-proportional value tune_shuffle_for_input set.
+        "cpus": cpus,
+        "parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions":
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
     }))
 
 

@@ -502,6 +502,12 @@ class Graph:
     def _kind_views(self, links) -> dict:
         """alias → registered temp-view of the link's single-kind branch
         frame, for every typed link with a declared branch."""
+        # flush pending mutations HERE, not by call-site argument order:
+        # a mutation reassigns the frames, whose setters invalidate the
+        # declared branch frames — without this, correctness would hinge
+        # on self._view("nodes") being evaluated before _kind_views in
+        # the same call expression (advice r9)
+        self._flush()
         out: dict = {}
         nk = self._node_kind_frames
         ek = self._edge_kind_frames

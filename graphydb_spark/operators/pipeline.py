@@ -295,8 +295,14 @@ def quality_filter(df: DataFrame, text_col: str = "text",
     """
     from .text import STOPWORDS, tokens
 
-    df = df.withColumn("_qf_toks", tokens(F.col(text_col)))
-    toks = F.col("_qf_toks")
+    # temp token column: uniquified against the caller's frame so a
+    # pre-existing column of the same name is never silently overwritten
+    # and dropped from the output (advice r9)
+    tok_col = "_qf_toks"
+    while tok_col in df.columns:
+        tok_col += "_"
+    df = df.withColumn(tok_col, tokens(F.col(text_col)))
+    toks = F.col(tok_col)
     n = F.size(toks)
     avg_len = (F.length(F.concat_ws("", toks)) /
                F.greatest(n, F.lit(1))).cast("double")
@@ -320,7 +326,7 @@ def quality_filter(df: DataFrame, text_col: str = "text",
     keep = None
     for name in rules:
         keep = F.col(name) if keep is None else keep & F.col(name)
-    return out.withColumn("keep", keep).drop("_qf_toks")
+    return out.withColumn("keep", keep).drop(tok_col)
 
 
 def unigram_logprob(df: DataFrame, text_col: str = "text",

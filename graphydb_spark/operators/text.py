@@ -39,8 +39,20 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     already exceeds defaultParallelism and this is a NO-OP, so the
     full-size path never pays the extra shuffle.  Only callers whose
     downstream is order-independent (decimal sums, min-struct winners,
-    hash gates — every user in this package) may apply it."""
+    hash gates — every user in this package) may apply it.
+
+    Input contract: SCAN-SHAPED plans only (no Exchange below).  The
+    partition-count probe goes through ``df.rdd``, and with AQE on that
+    materializes the final physical plan — for a shuffled input it would
+    eagerly execute every upstream stage at DataFrame-construction time
+    and throw the work away (advice r9).  Guarded here: a plan that
+    already contains an exchange is left untouched (its parallelism is
+    the shuffle conf's, cluster-wide by construction), so the probe only
+    ever runs on pure scan pipelines where ``.rdd`` plans without
+    executing."""
     par = df.sparkSession.sparkContext.defaultParallelism
+    if "Exchange" in df._jdf.queryExecution().sparkPlan().toString():
+        return df
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df

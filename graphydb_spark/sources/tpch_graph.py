@@ -112,6 +112,22 @@ def _edge(df: DataFrame, kind: str, uid_col, start_col, end_col,
     )
 
 
+def _knode(df: DataFrame, kind: str, key: str, prop_cols: dict):
+    """``(kind, branch)`` pair — the kind string is spelled ONCE, in the
+    builder call, and the branch dict key comes from the same string.  A
+    parallel literal kind list zipped positionally onto the parts (the
+    pre-r10 shape) would silently mis-map kind → branch after an
+    insert/reorder in one list; typed links would then return zero rows
+    with no error because compile_fetch_sql still emits the kind
+    predicate (advice r9)."""
+    return kind, _node(df, kind, key, prop_cols)
+
+
+def _kedge(df: DataFrame, kind: str, *args, **kwargs):
+    """Edge twin of :func:`_knode`."""
+    return kind, _edge(df, kind, *args, **kwargs)
+
+
 def _align_pstruct(parts: list[DataFrame]) -> list[DataFrame]:
     """Pad every branch's ``pstruct`` to one canonical merged schema
     (union of all branches' fields, first-seen order, nulls elsewhere).
@@ -146,41 +162,40 @@ def encode_node_parts(t: dict[str, DataFrame]) -> dict[str, DataFrame]:
     the 9-branch union — see Graph.declare_kind_frames."""
     c = F.col
     parts = [
-        _node(t["region"], "Region", "r_regionkey",
+        _knode(t["region"], "Region", "r_regionkey",
               {"r_regionkey": c("r_regionkey"), "r_name": c("r_name")}),
-        _node(t["nation"], "Nation", "n_nationkey",
+        _knode(t["nation"], "Nation", "n_nationkey",
               {"n_nationkey": c("n_nationkey"), "n_name": c("n_name"),
                "n_regionkey": c("n_regionkey")}),
-        _node(t["customer"], "Customer", "c_custkey",
+        _knode(t["customer"], "Customer", "c_custkey",
               {"c_custkey": c("c_custkey"), "c_name": c("c_name"),
                "c_nationkey": c("c_nationkey"), "c_acctbal": c("c_acctbal"),
                "c_mktsegment": c("c_mktsegment")}),
-        _node(t["supplier"], "Supplier", "s_suppkey",
+        _knode(t["supplier"], "Supplier", "s_suppkey",
               {"s_suppkey": c("s_suppkey"), "s_name": c("s_name"),
                "s_nationkey": c("s_nationkey"), "s_acctbal": c("s_acctbal")}),
-        _node(t["part"], "Part", "p_partkey",
+        _knode(t["part"], "Part", "p_partkey",
               {"p_partkey": c("p_partkey"), "p_name": c("p_name"),
                "p_brand": c("p_brand"), "p_type": c("p_type"),
                "p_size": c("p_size"), "p_retailprice": c("p_retailprice")}),
-        _node(t["orders"], "Order", "o_orderkey",
+        _knode(t["orders"], "Order", "o_orderkey",
               {"o_orderkey": c("o_orderkey"), "o_custkey": c("o_custkey"),
                "o_orderstatus": c("o_orderstatus"),
                "o_totalprice": c("o_totalprice"),
                "o_orderdate": c("o_orderdate").cast("timestamp").cast("double"),
                "o_orderpriority": c("o_orderpriority")}),
-        _node(t["documents"], "Document", "doc_id",
+        _knode(t["documents"], "Document", "doc_id",
               {"doc_id": c("doc_id"), "text": c("text"), "lang": c("lang"),
                "source": c("source"), "n_chars": c("n_chars")}),
-        _node(t["events"].select("user_id").distinct(), "User", "user_id",
+        _knode(t["events"].select("user_id").distinct(), "User", "user_id",
               {"user_id": c("user_id")}),
-        _node(t["events"], "Event", "event_id",
+        _knode(t["events"], "Event", "event_id",
               {"event_id": c("event_id"), "event_type": c("event_type"),
                "value": c("value"), "ts": c("ts").cast("double"),
                "user_id": c("user_id")}),
     ]
-    kinds = ["Region", "Nation", "Customer", "Supplier", "Part", "Order",
-             "Document", "User", "Event"]
-    return dict(zip(kinds, _align_pstruct(parts)))
+    kinds = [k for k, _ in parts]
+    return dict(zip(kinds, _align_pstruct([p for _, p in parts])))
 
 
 def encode_nodes(t: dict[str, DataFrame]) -> DataFrame:
@@ -229,38 +244,38 @@ def _encode_edge_parts(t: dict[str, DataFrame]) -> dict[str, DataFrame]:
         "l_shipdate": c("l_shipdate").cast("timestamp").cast("double"),
     }
     parts = [
-        _edge(t["nation"], "InRegion",
+        _kedge(t["nation"], "InRegion",
               _uid("InRegion", c("n_nationkey")),
               _uid("Nation", c("n_nationkey")),
               _uid("Region", c("n_regionkey")),
               skey=c("n_nationkey"), ekey=c("n_regionkey")),
-        _edge(t["customer"], "FromNation",
+        _kedge(t["customer"], "FromNation",
               _uid("FromNation", c("c_custkey")),
               _uid("Customer", c("c_custkey")),
               _uid("Nation", c("c_nationkey")),
               skey=c("c_custkey"), ekey=c("c_nationkey")),
-        _edge(t["supplier"], "LocatedIn",
+        _kedge(t["supplier"], "LocatedIn",
               _uid("LocatedIn", c("s_suppkey")),
               _uid("Supplier", c("s_suppkey")),
               _uid("Nation", c("s_nationkey")),
               skey=c("s_suppkey"), ekey=c("s_nationkey")),
-        _edge(t["orders"], "Placed",
+        _kedge(t["orders"], "Placed",
               _uid("Placed", c("o_orderkey")),
               _uid("Customer", c("o_custkey")),
               _uid("Order", c("o_orderkey")),
               skey=c("o_custkey"), ekey=c("o_orderkey")),
-        _edge(li, "Contains",
+        _kedge(li, "Contains",
               F.concat(F.lit("Contains:"), li_uid_tail),
               _uid("Order", c("l_orderkey")),
               _uid("Part", c("l_partkey")),
               li_props,
               skey=c("l_orderkey"), ekey=c("l_partkey")),
-        _edge(li, "SuppliedBy",
+        _kedge(li, "SuppliedBy",
               F.concat(F.lit("SuppliedBy:"), li_uid_tail),
               _uid("Order", c("l_orderkey")),
               _uid("Supplier", c("l_suppkey")),
               skey=c("l_orderkey"), ekey=c("l_suppkey")),
-        _edge(t["events"], "Did",
+        _kedge(t["events"], "Did",
               _uid("Did", c("event_id")),
               _uid("User", c("user_id")),
               _uid("Event", c("event_id")),
@@ -268,9 +283,8 @@ def _encode_edge_parts(t: dict[str, DataFrame]) -> dict[str, DataFrame]:
                "ts": c("ts").cast("double")},
               skey=c("user_id"), ekey=c("event_id")),
     ]
-    kinds = ["InRegion", "FromNation", "LocatedIn", "Placed",
-             "Contains", "SuppliedBy", "Did"]
-    return dict(zip(kinds, _align_pstruct(parts)))
+    kinds = [k for k, _ in parts]
+    return dict(zip(kinds, _align_pstruct([p for _, p in parts])))
 
 
 _GRAPH_CACHE: dict = {}

@@ -1,7 +1,9 @@
-"""Round-9 optimization guard: the candidate-verify operators shingle
-ONLY rows that survive the candidate join (_paired_shingles) — values
-must be unchanged vs the old whole-corpus-shingle shape, and the
-shingle projection must sit ABOVE the join in the plan.
+"""Round-9 optimization guard: the candidate-verify operators keep the
+whole-corpus shingle projection BELOW the candidate join
+(_paired_shingles) — the filter above the join then references plain
+join-output attributes, so predicate pushdown cannot clone the shingle
+walk into the join condition (the measured-4×-worse post-join shape).
+Values must be unchanged vs a members-only shingle pass.
 
 The full-hash oracle replay (test_oracle.py: jaccard_pairs,
 containment_pairs) is the end-to-end gate; this test pins the operator
