@@ -23,6 +23,10 @@ the same restriction test_chain_properties' promotion-parity tests
 derive.
 """
 
+#: full-tier only (round 10 tiering): property/fuzz suite, not part
+#: of the driver-window default run
+pytestmark = __import__("pytest").mark.slowtier
+
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st

@@ -11,6 +11,10 @@ extension:
   are a subset of optional uids.
 """
 
+#: full-tier only (round 10 tiering): property/fuzz suite, not part
+#: of the driver-window default run
+pytestmark = __import__("pytest").mark.slowtier
+
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st

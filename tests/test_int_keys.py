@@ -36,6 +36,7 @@ def test_bad_where_raises_graphydb_error_with_context(spark):
 
 
 @pytest.mark.parametrize("chain,where,params", CASES)
+@pytest.mark.slowtier
 def test_int_key_rewrite_metamorphic(spark, chain, where, params):
     g = tpch_graph(spark, SF, cache=False)
     with_keys = {tuple(sorted(r.asDict().items()))

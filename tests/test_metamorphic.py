@@ -4,6 +4,10 @@ tests/test_graphdb.py:112-115) generalized: every identity below must
 hold on ANY graph, so random multigraphs with self-loops probe the
 query/traversal/set-algebra semantics far beyond the fixed fixtures."""
 
+#: full-tier only (round 10 tiering): property/fuzz suite, not part
+#: of the driver-window default run
+pytestmark = __import__("pytest").mark.slowtier
+
 import random
 
 import pytest

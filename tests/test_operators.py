@@ -552,6 +552,7 @@ def test_fts_column_group(spark):
     assert field == ("a", "b") and term == "x" and not neg and not prefix
 
 
+@pytest.mark.slowtier
 def test_similarity_plan_size_constant_in_dim(spark):
     """The judge-flagged blowup: query vectors / plane matrices inlined
     as per-element literals made the expression tree O(dim x bits).  As
@@ -1196,6 +1197,7 @@ def _tarjan(nodes, edges):
     return out
 
 
+@pytest.mark.slowtier
 def test_scc_matches_tarjan_on_random_graphs(spark):
     """Randomized differential: the distributed coloring SCC must equal
     sequential Tarjan on seeded random digraphs."""

@@ -48,8 +48,22 @@ def normalize(rows, cols):
 QUERIES = entrymod.queries()
 ORACLE = entrymod.oracle_sql()
 
+# Tiering (round 10): the DEFAULT tier replays the driver-visible
+# surface — the driver's 50-entry correctness window (the first 50
+# declared queries, the frozen window CORRECTNESS_rNN.json checks) plus
+# every bench.py headline query.  The remaining registry entries carry
+# the `slowtier` mark and run in the full tier (-m ""), which the
+# builder runs at each round's head.  Declaration order is the window:
+# queries() preserves the registry's insertion order.
+from bench import BENCH_QUERIES  # noqa: E402  (repo root on sys.path)
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+_WINDOW = set(list(QUERIES)[:50]) | set(BENCH_QUERIES)
+_PARAMS = [n if n in _WINDOW
+           else pytest.param(n, marks=pytest.mark.slowtier)
+           for n in sorted(QUERIES)]
+
+
+@pytest.mark.parametrize("name", _PARAMS)
 def test_query_matches_oracle(spark, duck, name):
     df = QUERIES[name](spark, SF_DIR)
     got_cols = df.columns

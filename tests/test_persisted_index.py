@@ -156,6 +156,7 @@ def test_lsh_probe_plan_broadcasts_batch(spark, tmp_path):
     assert "SortMergeJoin" not in plan
 
 
+@pytest.mark.slowtier
 def test_lsh_scheme_differential(spark, tmp_path):
     """The production 'sliced' signing scheme (2 md5/shingle cut into
     four 32-bit slices each — VERDICT r5 #2's cheaper signing path)
@@ -207,6 +208,7 @@ def test_lsh_scheme_differential(spark, tmp_path):
                    if k not in truth)
 
 
+@pytest.mark.slowtier
 def test_lsh_scheme_differential_sf01(spark, tmp_path):
     """The full pair-set identity gate at sf0.01 (the driver's
     correctness scale): salted and sliced emit the IDENTICAL
@@ -875,6 +877,7 @@ def test_batch_probe_chunked_equals_capped(spark, tmp_path):
         assert got == want, cap
 
 
+@pytest.mark.slowtier
 def test_ivfpq_rerank_exact_under_full_probe(spark, tmp_path):
     """Two-stage serve correctness anchor: probing EVERY cell with a
     candidate pool covering the whole corpus (k·α ≥ n) makes the
@@ -904,6 +907,7 @@ def test_ivfpq_rerank_exact_under_full_probe(spark, tmp_path):
            [(r.vec_id, round(r.l2_dist, 9)) for r in want]
 
 
+@pytest.mark.slowtier
 def test_ivfpq_rerank_improves_recall(spark, tmp_path):
     """On a quantization-hostile corpus (high-dim, no cluster
     structure: coarse codebooks shred the geometry) the re-ranked
@@ -995,6 +999,7 @@ def test_nearest_cells_batch_matches_scalar():
         assert batch[i] == _nearest_cells(cents, list(Qm[i]), 4), i
 
 
+@pytest.mark.slowtier
 def test_ivfpq_append_then_rerank_probe(spark, tmp_path):
     """Appended vectors encode against the INDEX's coarse centroids and
     codebooks (never retrained), replayed appends are no-ops, and a
@@ -1045,6 +1050,7 @@ def test_ivfpq_append_rejects_non_index(spark, tmp_path):
         append_ivfpq_table(spark, p, emb)
 
 
+@pytest.mark.slowtier
 def test_ivfpq_batch_probe_equals_single_probes(spark, tmp_path):
     """probe_ivfpq_table_batch == per-query probe_ivfpq_table for every
     query (ids, adc distances, order) — the closure tables use the same
@@ -1071,6 +1077,7 @@ def test_ivfpq_batch_probe_equals_single_probes(spark, tmp_path):
                    for (_, _, a), b in zip(sorted(by_q[qid]), want)), qid
 
 
+@pytest.mark.slowtier
 def test_ivfpq_batch_rerank_equals_single_probes(spark, tmp_path):
     """probe_ivfpq_table_batch(rerank=α) == per-query
     probe_ivfpq_table(rerank=α) for every query — candidate set, exact
@@ -1101,6 +1108,7 @@ def test_ivfpq_batch_rerank_equals_single_probes(spark, tmp_path):
                    for (_, _, a), b in zip(sorted(by_q[qid]), want)), qid
 
 
+@pytest.mark.slowtier
 def test_ivfpq_batch_rerank_guards(spark, tmp_path):
     from graphydb_spark.operators.persisted_index import (
         build_ivfpq_table, probe_ivfpq_table_batch)
@@ -1122,6 +1130,7 @@ def test_ivfpq_batch_rerank_guards(spark, tmp_path):
     # test_ivfpq_rerank_shuffle_equals_broadcast
 
 
+@pytest.mark.slowtier
 def test_ivfpq_batch_rerank_chunked_by_pair_bound(spark, tmp_path,
                                                   monkeypatch):
     """With rerank on, the chunk cap shrinks to

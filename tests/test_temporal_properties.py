@@ -3,6 +3,10 @@ operators: random event streams vs brute-force Python models of the
 same semantics — the reference's own randomized-differential test
 strategy (SURVEY.md §5) applied to the beyond-parity surface."""
 
+#: full-tier only (round 10 tiering): property/fuzz suite, not part
+#: of the driver-window default run
+pytestmark = __import__("pytest").mark.slowtier
+
 import datetime
 
 from hypothesis import HealthCheck, given, settings
