@@ -34,7 +34,8 @@ import sys
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.snapshot import (commit_snapshot, read_snapshot,
+from ..sources.snapshot import (commit_snapshot, pruned_file_rows,
+                                read_snapshot,
                                 snapshot_meta, snapshot_versions,
                                 _may_match, _read_manifest)
 from .similarity import cosine_expr, ivf_index, vec_lit
@@ -2148,11 +2149,29 @@ def probe_fts_table(spark: SparkSession, path: str, terms: list[str],
     hits = parts[0]
     for q in parts[1:]:
         hits = hits.unionByName(q)
+    # Probe-proportional shuffle width (round 10, guide §2.2): the two
+    # exchanges below (the df window keyed on token, the score agg
+    # keyed on uid) otherwise inherit the session-global shuffle width
+    # — 25-32 tasks of <1 KB each on a point probe, and AQE's
+    # parallelismFirst floor never coalesces below defaultParallelism.
+    # The manifest already knows exactly how many posting rows the
+    # pruned files hold, so pin both exchanges to ~500k rows/partition
+    # of what the probe actually reads (tens of MB): 1 task locally,
+    # hundreds of tasks for a stopword probe of a 100 TB index.
+    # Explicit repartition is never AQE-coalesced, and any hash
+    # partitioning on the keys satisfies the window's/agg's required
+    # distribution, so the exchange COUNT is unchanged — only widths.
+    pruned_rows = sum(
+        pruned_file_rows(path, version, {"token": (t, t)})[1]
+        for t in terms)
+    w = max(1, min(pruned_rows // 500_000 + 1,
+                   int(spark.conf.get("spark.sql.shuffle.partitions"))))
     # ``head`` marks one posting per (uid, field, token) carrying the
     # precomputed tf/doc_len — scoring is a pure FILTER over the pruned
     # scan, no probe-side aggregation
-    tf = hits.where("head").select("uid", "field", "token",
-                                   "tf", "doc_len")
+    tf = (hits.where("head").select("uid", "field", "token",
+                                    "tf", "doc_len")
+          .repartition(w, "token"))
     # df as a WINDOW over the head postings — one scan of the pruned
     # files instead of two (a groupBy + join-back re-reads them;
     # Spark has no automatic subtree reuse).  Single-field indexes have
@@ -2169,7 +2188,13 @@ def probe_fts_table(spark: SparkSession, path: str, terms: list[str],
               .withColumn("w", F.col("idf") * (F.col("tf") * (k1 + 1)) /
                           (F.col("tf") + k1 * (1 - b + b * F.col("doc_len")
                                                / F.lit(float(avgdl))))))
-    return scored.groupBy("uid").agg(F.sum("w").alias("score"))
+    # uid exchange pinned to the same probe-proportional width; the
+    # per-uid addend SET is unchanged (sum over the same ≤|terms| rows),
+    # so values are identical.  Map-side partial aggregation loses
+    # nothing here: the rows arrive clustered by TOKEN, so same-uid
+    # rows almost never share a partition for a pre-shuffle merge.
+    return (scored.repartition(w, "uid")
+            .groupBy("uid").agg(F.sum("w").alias("score")))
 
 
 def append_fts_table(spark: SparkSession, path: str, new_docs: DataFrame,

@@ -293,7 +293,7 @@ def quality_filter(df: DataFrame, text_col: str = "text",
     is unchanged — and a consumer that prunes the rule columns (e.g. a
     bare count) prunes the token column with them.
     """
-    from .text import STOPWORDS, tokens
+    from .text import STOPWORDS, compute_once, tokens
 
     # temp token column: uniquified against the caller's frame so a
     # pre-existing column of the same name is never silently overwritten
@@ -301,7 +301,13 @@ def quality_filter(df: DataFrame, text_col: str = "text",
     tok_col = "_qf_toks"
     while tok_col in df.columns:
         tok_col += "_"
-    df = df.withColumn(tok_col, tokens(F.col(text_col)))
+    # compute_once (round 10): without it, a downstream ``where(keep)``
+    # lets filter pushdown substitute the alias chain and re-derive the
+    # token walk once PER RULE inside the scan's filter (measured: six
+    # split+lower+filter walks per row, single-task — the whole ×10
+    # corpus_pipeline wall), defeating both the round-9 single-tokenize
+    # projection and any spread exchange above the scan.
+    df = df.withColumn(tok_col, compute_once(tokens(F.col(text_col))))
     toks = F.col(tok_col)
     n = F.size(toks)
     avg_len = (F.length(F.concat_ws("", toks)) /

@@ -58,6 +58,76 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     return df
 
 
+def compute_once(col: F.Column) -> F.Column:
+    """Pin an expensive expression so the optimizer can neither inline
+    it into each consumer (CollapseProject) nor clone it into a
+    pushed-down filter (PushPredicateThroughNonJoin) — the built-in
+    analogue of ``udf.asNondeterministic()`` (guide §4.4's fix for the
+    duplicated-evaluation pathology, which applies to interpreted HOF
+    chains exactly as it does to Python UDFs: round 10 found
+    quality_filter's ``where(keep)`` consumer re-deriving the token
+    walk SIX times inside the scan's pushed filter).
+
+    Mechanism: ``monotonically_increasing_id()`` is nondeterministic to
+    the optimizer, and a predicate or projection referencing a
+    nondeterministic alias may not be pushed, reordered, or duplicated.
+    Value-identical: the id is ≥ 0 by construction, so the WHEN always
+    takes the value branch.  Trade-off (same as §4.4): other filters
+    also stop pushing past the pinned projection — apply to expensive
+    walks only, not blanket."""
+    return F.when(F.monotonically_increasing_id() >= 0, col)
+
+
+def spread_scan_by_bytes(df: DataFrame,
+                         bytes_per_slot: int = 2 << 20) -> DataFrame:
+    """Bytes-proportional variant of :func:`spread_small_scan` for
+    CPU-heavy interpreted passes (token walks, shingle walks) above a
+    single-split scan.
+
+    :func:`spread_small_scan` always fans out to defaultParallelism,
+    which round 9 measured as a net LOSS on 0.1-0.3 s passes (the extra
+    shuffle + the parallelismFirst floor widening every downstream
+    stage costs more than the serialized stage saves).  This helper
+    sizes the spread from the scan's UNCOMPRESSED bytes instead
+    (parquet row-group ``total_byte_size`` summed from the footers,
+    driver-side metadata only, no job): ~one slot per
+    ``bytes_per_slot``, capped at defaultParallelism.  Uncompressed
+    bytes — not file size — because the interpreted walk's CPU cost is
+    per decoded byte, and repeated text compresses 10-20× (a
+    dictionary-friendly corpus would otherwise read as "tiny" and stay
+    serialized).  A bench-scale corpus (sf0.1, ~1.5 MB of text) gets
+    width 1 → exact no-op, so the measured-negative small-scale spread
+    never returns; a ×10 corpus gets real width exactly where the
+    serialized token walk becomes the wall; a many-file corpus already
+    has enough scan splits and is returned untouched.  Same
+    scan-shaped-input contract as spread_small_scan (the Exchange guard
+    protects shuffled inputs from the ``.rdd`` plan materialization)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if "Exchange" in df._jdf.queryExecution().sparkPlan().toString():
+        return df
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    files = [f for f in df.inputFiles() if f.startswith("file:")]
+    if not files:
+        return df
+    import pyarrow.parquet as pq
+    sample = files[:64]          # bound driver metadata work
+    size = 0
+    for uri in sample:
+        path = uri[len("file:"):]
+        while path.startswith("//"):
+            path = path[1:]
+        md = pq.ParquetFile(path).metadata
+        size += sum(md.row_group(i).total_byte_size
+                    for i in range(md.num_row_groups))
+    if len(files) > len(sample):
+        size = size * len(files) // len(sample)
+    w = min(size // bytes_per_slot + 1, par)
+    if w <= 1 or df.rdd.getNumPartitions() >= w:
+        return df
+    return df.repartition(w)
+
+
 def hash60(col) -> F.Column:
     """First 60 bits of md5 as a BIGINT — the engine-portable hash every
     hash-derived operator shares (simhash portable mode, winnowing,

@@ -535,7 +535,11 @@ def q_bigram_logprob(spark, sf_dir):
     exact ML bigram + add-one unigram tables replay in SQL; the 6 dp
     decimal per-position rounding makes the mean order-free."""
     from ..operators.pipeline import bigram_logprob
-    return bigram_logprob(_docs(spark, sf_dir), lam=0.7)
+    from ..operators.text import spread_scan_by_bytes
+    # gram expansion is an interpreted HOF walk below the bigram-table
+    # aggregation — bytes-proportional spread (no-op at bench scale)
+    return bigram_logprob(spread_scan_by_bytes(_docs(spark, sf_dir)),
+                          lam=0.7)
 
 
 def _bigram_logprob_oracle_sql(lam: float = 0.7) -> str:
@@ -1718,10 +1722,17 @@ def q_corpus_pipeline(spark, sf_dir):
     ride the same scan).  The DuckDB twin replays all four stages as a
     CTE chain."""
     from ..operators.pipeline import pack_shards, quality_filter
-    from ..operators.text import fingerprint
+    from ..operators.text import fingerprint, spread_scan_by_bytes
     from pyspark.sql import Window as W
 
-    docs = _docs(spark, sf_dir)
+    # The quality-gate token walk + fingerprint run BELOW the dedup
+    # window's exchange, i.e. in the scan stage — a single-row-group
+    # corpus file serializes all of it onto one core.  Spread
+    # bytes-proportionally (round 10): no-op at bench scale (the r9
+    # fixed-width sweep measured every width a loss there), ~1 slot per
+    # 2 MB of uncompressed text beyond it — the ×10 profile showed the
+    # serialized walk as this query's whole wall.
+    docs = spread_scan_by_bytes(_docs(spark, sf_dir))
     clean = quality_filter(docs).where(F.col("keep")) \
         .select("doc_id", "lang", "text", "n_chars")
     w = W.partitionBy("fp").orderBy("doc_id")
@@ -1892,7 +1903,10 @@ def q_line_dedup(spark, sf_dir):
     the line-ification and the winner election verbatim; clean_text is
     hash-compared, so the gate covers reassembly order too."""
     from ..operators.pipeline import line_dedup
-    docs = _docs(spark, sf_dir)
+    from ..operators.text import spread_scan_by_bytes
+    # line-ification is an interpreted transform/slice walk below the
+    # first exchange — bytes-proportional spread (no-op at bench scale)
+    docs = spread_scan_by_bytes(_docs(spark, sf_dir))
     toks = F.split(F.col("text"), " ")
     nlines = F.greatest(
         F.ceil(F.size(toks) / F.lit(8)).cast("int"), F.lit(1))
@@ -1945,7 +1959,10 @@ def q_unigram_logprob(spark, sf_dir):
     round to 6 dp and sum as DECIMAL so the mean is order-independent —
     replayable exactly by the SQL twin."""
     from ..operators.pipeline import unigram_logprob
-    return unigram_logprob(_docs(spark, sf_dir)) \
+    from ..operators.text import spread_scan_by_bytes
+    # tokenize+explode run below the vocab aggregation's exchange —
+    # bytes-proportional spread (no-op at bench scale)
+    return unigram_logprob(spread_scan_by_bytes(_docs(spark, sf_dir))) \
         .select("doc_id", "logprob", "n_tokens")
 
 

@@ -392,6 +392,34 @@ def read_snapshot(spark: SparkSession, path: str,
     return df
 
 
+def pruned_file_rows(path: str, version: int | None = None,
+                     where: dict | None = None) -> tuple[int, int]:
+    """``(n_files, n_rows)`` that :func:`read_snapshot` with the same
+    ``where`` would open — from the manifest alone, zero file I/O.
+
+    Probe operators use this to size their post-scan shuffle widths
+    data-proportionally (rows the probe actually reads, not the
+    session-global ``spark.sql.shuffle.partitions``): a point probe of
+    a manifest-pruned table reads a handful of files whose row counts
+    the manifest already carries, so the right reduce width is known
+    BEFORE any job runs (guide §2.2 — fewer, larger partitions)."""
+    vs = snapshot_versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed snapshot at {path!r}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not in {path!r} "
+                                f"(have {vs[0]}..{vs[-1]})")
+    m = _read_manifest(path, v)
+    stats = m.get("file_stats", {})
+    files = m["files"]
+    if where:
+        files = [f for f in files
+                 if _may_match(stats.get(f, {}).get("cols", {}), where)]
+    rows = sum(int(stats.get(f, {}).get("rows", 0)) for f in files)
+    return len(files), rows
+
+
 def _may_match(col_stats: dict, where: dict) -> bool:
     """False only when the stats PROVE no row in the file satisfies
     every bound; a column with no stats never prunes."""
