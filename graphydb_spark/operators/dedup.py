@@ -227,7 +227,13 @@ def _paired_shingles(df: DataFrame, pairs: DataFrame, text_col: str,
     branch re-evaluates the shingle walk (2× corpus CPU) — a shared
     hash exchange above the walk was A/B'd to dedupe it and measured
     WORSE (0.55 → 0.95 s same-session: the exchange doesn't get reused
-    under AQE and widens both probe sides), so the recompute stays."""
+    under AQE and widens both probe sides), so the recompute stays.
+    Round 10 re-ran the A/B under ``local-cluster[4,8,1024]`` (real
+    executor JVMs and socket shuffles — scripts/cluster_shingle_ab.py)
+    to test whether cheap CPU + real network inverts the trade: it does
+    not (recompute 0.704/0.653 s vs shared exchange 0.733/0.660 s,
+    value identity asserted), so the recompute stays at cluster scale
+    too."""
     sh = shingled(_spread_small_scan(df), text_col, id_col, k) \
         .select(F.col(id_col), F.array_distinct("_sh").alias("sh"))
     return (pairs
